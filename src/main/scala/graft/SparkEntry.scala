@@ -1,13 +1,607 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.io.{Readers, Tables}
+import graft.metrics.Metrics
+import graft.sample.Samplers
+import graft.scale.{Dedup, Events, Similarity, TextAnalysis}
+import graft.serialize.Serialize
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is a deterministic demonstration of one
+  * SURVEY.md §2 operator (or a scale-path operator) over the harness corpus,
+  * paired with DuckDB-equivalent SQL in [[oracleSql]]. Determinism rules
+  * (SURVEY §5.3): no rand, md5-based hashing, decimal-exact money sums,
+  * integer-quantized vector math, epoch-second timestamps, explicit ORDER BY.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Money-safe exact sum: cast to decimal, sum exactly, emit double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pricingSummary(spark, "/root/testdata/sf0.001")
+
+  /** TPC-H Q1-shaped rollup: scan → filter-free agg → sort. Exercises
+    * parquet scan, partial+final hash agg, decimal-exact sums.
+    */
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val one = lit(1).cast("decimal(18,2)")
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (one - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- flagship scan+agg+sort -------------------------------------------
+    "q1_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
+
+    // ---- P1 keyed serialization (customer) --------------------------------
+    "serialize_keyed_customer" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          Serialize.serializeKeyed(Seq(
+            "c_name" -> "c_name", "c_nationkey" -> "c_nationkey",
+            "c_mktsegment" -> "c_mktsegment")).as("text"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- P2 simple serialization (part) -----------------------------------
+    "serialize_simple_part" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Serialize.serializeSimple(
+            Seq("p_name", "p_brand", "p_type", "p_size")).as("text"))
+        .orderBy(col("p_partkey"))),
+
+    // ---- J1+P3+P4 blocked-pair join + merged A/B serialization ------------
+    // lineitem plays the labels table (ltable=part, rtable=supplier);
+    // both dims broadcast (SURVEY §2.3 J1 scale note).
+    "em_blocked_pairs" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val part = broadcast(t(s, dir, "part"))
+      val supp = broadcast(t(s, dir, "supplier"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Serialize.serializeMergedAB(
+            Seq(col("p_name"), col("p_brand"), col("p_size")),
+            Seq(col("s_name"), col("s_nationkey"),
+              col("s_acctbal").cast("decimal(18,2)"))).as("text"),
+          Serialize.yesNoLabel(
+            when(col("l_returnflag") === "R", 1).otherwise(0)).as("label_str"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- P1+P6+P8 imputation serialization (customer, target=mktsegment) --
+    "impute_serialize_customer" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .withColumn("c_acctbal_d", col("c_acctbal").cast("decimal(18,2)"))
+        .select(col("c_custkey"),
+          Serialize.serializeKeyed(Seq(
+            "c_name" -> "c_name", "c_nationkey" -> "c_nationkey",
+            "c_acctbal_d" -> "c_acctbal")).as("text"),
+          Serialize.imputeLabel(col("c_mktsegment")).as("label_str"))
+        .orderBy(col("c_custkey"))),
+
+    // ---- P5+P7 error-detection labels (events as the dirty table) ---------
+    "error_detection_labels" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("is_clean",
+          when(col("event_type") =!= "error", 1).otherwise(0))
+        .select(col("event_id"), col("props").as("text"),
+          Serialize.invertedCleanLabel(col("is_clean")).as("label_str"))
+        .orderBy(col("event_id"))),
+
+    // ---- A3 class-balanced downsample (deterministic variant) -------------
+    "class_balanced_orders" -> ((s, dir) =>
+      Samplers.classBalancedDeterministic(
+          t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus"),
+          "o_orderstatus", "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy(col("o_orderkey"))),
+
+    // ---- A2 stratified sample (deterministic variant) ---------------------
+    "stratified_sample_docs" -> ((s, dir) =>
+      Samplers.stratifiedDeterministic(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id", 20)
+        .orderBy(col("doc_id"))),
+
+    // ---- A6 positional split (test side) ----------------------------------
+    "positional_split_docs" -> ((s, dir) => {
+      val (_, test) = Samplers.positionalSplit(
+        t(s, dir, "documents").select("doc_id", "lang"), "doc_id", 3)
+      test.orderBy(col("doc_id"))
+    }),
+
+    // ---- A5 head-fraction limit (window form, no driver count) ------------
+    "head_fraction_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
+      val total = li.agg(count(lit(1)).as("total"))
+      li.withColumn("__rn", row_number().over(w))
+        .crossJoin(broadcast(total))
+        .filter(col("__rn") <= floor(col("total") * 0.1))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- T1 top-k ---------------------------------------------------------
+    "topk_orders" -> ((s, dir) =>
+      Samplers.topK(
+        t(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        col("o_totalprice").desc, col("o_orderkey"), 10)),
+
+    // ---- G1-G3 grouped aggregation stats ----------------------------------
+    "group_stats_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("lang"))),
+
+    // ---- G4 confusion-matrix metrics (one-pass conditional agg) -----------
+    "confusion_metrics_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+        .withColumn("gold",
+          when(col("value") > 100.0, "yes").otherwise("no"))
+        .withColumn("pred",
+          when(col("event_type").isin("error", "purchase"), "yes")
+            .otherwise("no"))
+      Metrics.confusionMetrics(e, "pred", "gold")
+    }),
+
+    // ---- F4 tolerant numeric equality (full extract→compare pipeline) -----
+    "tolerant_equality_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val delta = (col("l_linenumber") % 5).cast("double") * 0.01
+      val pred = concat(lit("qty "),
+        (col("l_quantity") + delta).cast("string"))
+      val gold = concat(lit("qty "), col("l_quantity").cast("string"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Metrics.tolerantEquals(pred, gold).as("crc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- F4 fraction parsing path -----------------------------------------
+    "tolerant_fraction_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val pred = concat((col("l_partkey") % 7).cast("string"), lit("/8"))
+      val gold = concat((col("l_suppkey") % 7).cast("string"), lit("/8"))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+          Metrics.tolerantEquals(pred, gold).as("crc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- scale: exact dedup -----------------------------------------------
+    "dedup_exact_docs" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "n_dups")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: MinHash signatures + LSH banding --------------------------
+    "minhash_bands_docs" -> ((s, dir) =>
+      Dedup.lshBands(
+          Dedup.minhashSignatures(
+            t(s, dir, "documents"), "doc_id", "text", 8, 3),
+          "doc_id", 8, 2)
+        .orderBy(col("doc_id"), col("band"))),
+
+    // ---- scale: LSH candidate pairs ---------------------------------------
+    "minhash_pairs_docs" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 8, 2, 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- scale: n-gram Jaccard near-dup pairs -----------------------------
+    "jaccard_pairs_docs" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(
+          t(s, dir, "documents"), "doc_id", "text", 3, 0.2, 100)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- scale: SimHash near-dup pairs (no SQL oracle: base-16 conv) ------
+    "simhash_pairs_docs" -> ((s, dir) =>
+      Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 20, 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- scale: text quality features -------------------------------------
+    "quality_docs" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(t(s, dir, "documents"), "text")
+        .select("doc_id", "n_tokens", "n_distinct", "distinct_ratio",
+          "stopword_ratio")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: language-ID heuristic --------------------------------------
+    "lang_id_docs" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents"), "text")
+        .select("doc_id", "lang", "pred_lang")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: document fingerprints --------------------------------------
+    "fingerprint_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          TextAnalysis.minShingleFingerprint(col("text"), 3).as("min_shingle_fp"))
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: token counting ---------------------------------------------
+    "token_count_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_ws_tokens"),
+          size(TextAnalysis.regexTokens(col("text"))).as("n_re_tokens"))
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: brute-force cosine top-k (quantized, oracle-exact) --------
+    "ann_topk_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ---- scale: embedding near-dup pairs (sign-LSH blocked) ----------------
+    "cosine_near_dup_embeddings" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, 8)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- scale: event sessionization (gap-based) ---------------------------
+    "sessionize_events" -> ((s, dir) =>
+      Events.sessionize(t(s, dir, "events"), 1800L)
+        .orderBy(col("user_id"), col("session_idx"))),
+
+    // ---- scale: tumbling-window aggregation --------------------------------
+    "hourly_agg_events" -> ((s, dir) =>
+      Events.hourlyAgg(t(s, dir, "events"))
+        .orderBy(col("hour_epoch"), col("event_type"))),
+
+    // ---- scale: JSON property extraction + agg -----------------------------
+    "json_props_events" -> ((s, dir) =>
+      Events.extractProps(t(s, dir, "events"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("prop_k")).as("sum_k"),
+          count(col("prop_k")).as("n_k"))
+        .orderBy(col("event_type")))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "serialize_keyed_customer" ->
+      """SELECT c_custkey,
+        |  'c_name: ' || c_name || ' ^ c_nationkey: ' || c_nationkey
+        |    || ' ^ c_mktsegment: ' || c_mktsegment AS text
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "serialize_simple_part" ->
+      """SELECT p_partkey,
+        |  p_name || '^' || p_brand || '^' || p_type || '^' || p_size AS text
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "em_blocked_pairs" ->
+      """SELECT l.l_orderkey, l.l_linenumber,
+        |  'A: ' || p.p_name || '; ' || p.p_brand || '; ' || p.p_size
+        |    || '; ' || 'B: ' || s.s_name || '; ' || s.s_nationkey || '; '
+        |    || CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS text,
+        |  CASE WHEN l.l_returnflag = 'R' THEN 'Yes' ELSE 'No' END AS label_str
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "impute_serialize_customer" ->
+      """SELECT c_custkey,
+        |  'c_name: ' || c_name || ' ^ c_nationkey: ' || c_nationkey
+        |    || ' ^ c_acctbal: ' || CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) AS text,
+        |  c_mktsegment || chr(10) AS label_str
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "error_detection_labels" ->
+      """SELECT event_id, props AS text,
+        |  CASE WHEN event_type <> 'error' THEN 'no' ELSE 'yes' END AS label_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "class_balanced_orders" ->
+      """WITH m AS (
+        |  SELECT MIN(cnt) AS m FROM (
+        |    SELECT COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus)),
+        |r AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, o_orderstatus
+        |FROM r, m WHERE r.rn <= m.m ORDER BY o_orderkey""".stripMargin,
+
+    "stratified_sample_docs" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
+
+    "positional_split_docs" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn > 3 ORDER BY doc_id""".stripMargin,
+
+    "head_fraction_lineitem" ->
+      """WITH tot AS (SELECT COUNT(*) AS total FROM lineitem),
+        |r AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity,
+        |    ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+        |FROM r, tot WHERE r.rn <= FLOOR(tot.total * 0.1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "group_stats_docs" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "confusion_metrics_events" ->
+      """WITH lab AS (
+        |  SELECT CASE WHEN value > 100.0 THEN 'yes' ELSE 'no' END AS gold,
+        |    CASE WHEN event_type IN ('error','purchase') THEN 'yes' ELSE 'no' END AS pred
+        |  FROM events),
+        |c AS (
+        |  SELECT COUNT(*) AS total,
+        |    SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS crc,
+        |    SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS tn,
+        |    SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS fp
+        |  FROM lab),
+        |p AS (
+        |  SELECT *,
+        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fp) AS prec,
+        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fn) AS rec,
+        |    CAST(crc AS DOUBLE) / total AS acc
+        |  FROM c)
+        |SELECT total, crc, tp, fn, tn, fp, prec, rec, acc,
+        |  2.0 * prec * rec / GREATEST(1.0, prec + rec) AS f1_legacy,
+        |  CASE WHEN prec + rec > 0.0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+        |FROM p""".stripMargin,
+
+    "tolerant_equality_lineitem" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_linenumber % 5) IN (0, 1, 2) AS crc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "tolerant_fraction_lineitem" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  (l_partkey % 7) = (l_suppkey % 7) AS crc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "dedup_exact_docs" ->
+      """SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+
+    "minhash_bands_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s)
+        |SELECT doc_id, s // 2 AS band,
+        |  STRING_AGG(h, '' ORDER BY s) AS band_key
+        |FROM mh GROUP BY doc_id, s // 2
+        |ORDER BY doc_id, band""".stripMargin,
+
+    "minhash_pairs_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.band_key = b.band_key
+        |WHERE a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "jaccard_pairs_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+        |f AS (SELECT s.* FROM sh s JOIN keep k ON s.sh = k.sh),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "quality_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id, length(text) AS nc,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_distinct(t)) AS DOUBLE) / GREATEST(1, len(t)) AS distinct_ratio,
+        |  CAST(len(list_filter(t, x -> x IN ('the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','from'))) AS DOUBLE)
+        |    / GREATEST(1, len(t)) AS stopword_ratio
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "lang_id_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(t, x -> x IN ('the','a','and','of','order','fast','small'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','los','de','que','por'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','que','pour'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('de5','shi4','bu4'))) AS s_zh
+        |  FROM q),
+        |g AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS gmax FROM sc)
+        |SELECT doc_id, lang,
+        |  CASE WHEN gmax = 0 THEN 'unknown'
+        |    WHEN s_zh = gmax THEN 'zh'
+        |    WHEN s_fr = gmax THEN 'fr'
+        |    WHEN s_es = gmax THEN 'es'
+        |    WHEN s_en = gmax THEN 'en'
+        |    ELSE 'de' END AS pred_lang
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "fingerprint_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM q, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |msf AS (SELECT doc_id, MIN(md5(sh)) AS min_shingle_fp FROM sh GROUP BY doc_id)
+        |SELECT q.doc_id, md5(array_to_string(t, ' ')) AS fp, msf.min_shingle_fp
+        |FROM q JOIN msf ON q.doc_id = msf.doc_id
+        |ORDER BY q.doc_id""".stripMargin,
+
+    "token_count_docs" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ann_topk_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |r AS (
+        |  SELECT query_id, cand_id, cs,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, cand_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
+        |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "cosine_near_dup_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |blocked AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform([1,2,3,4,5,6,7,8],
+        |      i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '') AS block
+        |  FROM qv),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v)) AS cs
+        |  FROM blocked a JOIN blocked b
+        |    ON a.block = b.block AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
+        |FROM pairs WHERE cs >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "sessionize_events" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+        |  FROM events),
+        |l AS (
+        |  SELECT *, LAG(ep) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ep
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > 1800
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM f)
+        |SELECT user_id, session_idx, COUNT(*) AS n_events,
+        |  MIN(ep) AS start_epoch, MAX(ep) AS end_epoch,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
+
+    "hourly_agg_events" ->
+      """SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "json_props_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
 }

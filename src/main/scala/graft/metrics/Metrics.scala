@@ -1,0 +1,131 @@
+package graft.metrics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tolerant-equality + confusion-matrix metrics (SURVEY.md §2.5 G4, §2.7 F4).
+  *
+  * Everything here is pure Catalyst expressions (no UDFs): the reference's
+  * per-row Python loop (`utils/utils.py:83-128`) becomes one shuffle-free
+  * partial aggregation + a 1-row final — the plan Spark picks is a single
+  * HashAggregate pair, which is what we want at 100 TB.
+  */
+object Metrics {
+
+  /** The reference's numeric regex (`utils/utils.py:49`):
+    * `[-+]?([0-9]*\.?[0-9]+|[0-9]+/[0-9]+)`.
+    * Python `re.findall` with one group returns the GROUP matches — i.e. the
+    * sign is dropped. Faithful: we extract group 1.
+    */
+  val NumberPattern: String = "[-+]?([0-9]*\\.?[0-9]+|[0-9]+/[0-9]+)"
+
+  /** `pred.strip().lower()` normalization with None→"" (`utils/utils.py:88-95`). */
+  def normalize(c: Column): Column =
+    lower(trim(coalesce(c.cast("string"), lit(""))))
+
+  /** Corrected-mode pattern with the fraction branch FIRST, so "1/2"
+    * actually matches as a fraction (see the dead-code note below).
+    */
+  val NumberPatternFractionsFirst: String =
+    "[-+]?([0-9]+/[0-9]+|[0-9]*\\.?[0-9]+)"
+
+  /** F4 — extract all numbers from a string as an array<double>. Sign
+    * dropped (see [[NumberPattern]]).
+    *
+    * Faithful-quirk note: the reference's fraction-evaluation branch
+    * (`utils/utils.py:52-58`) is DEAD CODE — in its regex the first
+    * alternation branch consumes the numerator of "a/b", so `findall`
+    * returns ["a","b"] and no match ever contains "/" (verified against
+    * CPython). Java regex alternation behaves identically, so this
+    * implementation reproduces the reference exactly: fractions decompose
+    * into two numbers. The `contains("/")` branch is kept for structural
+    * fidelity and for [[extractNumbersCorrected]], where it is reachable.
+    */
+  def extractNumbers(c: Column): Column =
+    extractWith(c, NumberPattern)
+
+  /** Corrected mode: fractions really evaluate ("1/2" → 0.5). */
+  def extractNumbersCorrected(c: Column): Column =
+    extractWith(c, NumberPatternFractionsFirst)
+
+  private def extractWith(c: Column, pattern: String): Column = {
+    val matches = regexp_extract_all(c, lit(pattern), lit(1))
+    transform(matches, m =>
+      when(m.contains("/"),
+        element_at(split(m, "/"), 1).cast("double") /
+          element_at(split(m, "/"), 2).cast("double"))
+        .otherwise(m.cast("double")))
+  }
+
+  /** F4 — pairwise |a-b| <= tol with TRUNCATING zip semantics: the reference
+    * compares only up to the shorter list (`zip` at `utils/utils.py:32`).
+    * Set `truncating=false` for the corrected equal-length-required mode.
+    */
+  def withinTolerance(
+      a: Column,
+      b: Column,
+      tol: Double = 0.021,
+      truncating: Boolean = true): Column = {
+    val n = least(size(a), size(b))
+    val (as_, bs) =
+      if (truncating) (slice(a, lit(1), n), slice(b, lit(1), n)) else (a, b)
+    val lenOk = if (truncating) lit(true) else size(a) === size(b)
+    lenOk && forall(zip_with(as_, bs, (x, y) => abs(x - y) <= tol), p => p)
+  }
+
+  /** F4 — the reference's row-level correctness predicate
+    * (`utils/utils.py:104-107` + `64-80`): case/whitespace-insensitive exact
+    * match, OR both sides contain numbers and all pairs are within tolerance.
+    */
+  def tolerantEquals(
+      pred: Column,
+      gold: Column,
+      tol: Double = 0.021,
+      truncating: Boolean = true): Column = {
+    val p = normalize(pred)
+    val g = normalize(gold)
+    val np = extractNumbers(p)
+    val ng = extractNumbers(g)
+    (p === g) ||
+      (size(np) > 0 && size(ng) > 0 && withinTolerance(np, ng, tol, truncating))
+  }
+
+  /** G4 — one-pass confusion-matrix aggregation (`utils/utils.py:83-128`):
+    * counts tp/tn/fp/fn/crc/total where crc = [[tolerantEquals]] and the gold
+    * label gates tp/fn ("yes") vs tn/fp ("no"). Emits both the reference's
+    * legacy F1 (`2pr/max(1,p+r)`, `utils.py:127` — deflating whenever p+r<1)
+    * and the corrected F1.
+    *
+    * All counts are exact integers; the derived ratios are double divisions of
+    * identical integers — deterministic across engines (oracle-safe).
+    */
+  def confusionMetrics(
+      df: DataFrame,
+      predCol: String,
+      goldCol: String,
+      tol: Double = 0.021,
+      truncating: Boolean = true): DataFrame = {
+    val crc = tolerantEquals(col(predCol), col(goldCol), tol, truncating)
+    val g = normalize(col(goldCol))
+    val cnt = (p: Column) => sum(when(p, 1L).otherwise(0L))
+    df.agg(
+        count(lit(1)).as("total"),
+        cnt(crc).as("crc"),
+        cnt(g === "yes" && crc).as("tp"),
+        cnt(g === "yes" && !crc).as("fn"),
+        cnt(g === "no" && crc).as("tn"),
+        cnt(g === "no" && !crc).as("fp"))
+      .withColumn("prec",
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fp")))
+      .withColumn("rec",
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fn")))
+      .withColumn("acc", col("crc").cast("double") / col("total"))
+      .withColumn("f1_legacy",
+        lit(2.0) * col("prec") * col("rec") /
+          greatest(lit(1.0), col("prec") + col("rec")))
+      .withColumn("f1",
+        when(col("prec") + col("rec") > 0.0,
+          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+          .otherwise(lit(0.0)))
+  }
+}

@@ -1,0 +1,134 @@
+package graft.sample
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sampling / split operators (SURVEY.md §2.4, A1-A6 + T1).
+  *
+  * Two families:
+  *  - seeded-random variants faithful to the reference's semantics (exact-n,
+  *    stratified, class-balanced, shuffle). Seeded but NOT bit-identical to
+  *    numpy (`np.random` sequences are not reproducible cross-engine) —
+  *    covered by invariant unit tests.
+  *  - deterministic variants keyed on a unique column (row_number / modulo),
+  *    reproducible in any engine — these back the DuckDB-oracle queries
+  *    (SURVEY §5.3 determinism rule).
+  *
+  * Scale note: `orderBy(rand)` is a global sort (full shuffle). For the tiny
+  * demo sets the reference draws (k≈3) that's irrelevant, but the `*Scalable`
+  * comments flag the 100 TB-safe alternative where it matters.
+  */
+object Samplers {
+
+  /** A1 — random exact-n sample (`sample_random`, `utils/data_utils.py:20-27`).
+    * Exact-n needs a total order; at scale prefer `df.sample(frac, seed)`
+    * (no shuffle) when approximate n is acceptable.
+    */
+  def randomExactN(df: DataFrame, n: Int, seed: Long): DataFrame =
+    df.orderBy(rand(seed)).limit(n)
+
+  /** A2 — stratified exact-n: `max(n / nLabels, 1)` rows per label group,
+    * topped up with random rows to reach n (`sample_stratified`,
+    * `utils/data_utils.py:29-61`). Reference samples within groups WITH
+    * replacement; we sample without (flagged difference — replacement on a
+    * k≈3 demo draw from large groups is observationally identical).
+    */
+  def stratifiedExactN(
+      df: DataFrame,
+      labelCol: String,
+      n: Int,
+      seed: Long): DataFrame = {
+    val nLabels = df.select(labelCol).distinct().count()
+    val perLabel = math.max(n / math.max(nLabels, 1L), 1L)
+    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    val base = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= perLabel).drop("__rn")
+    val missing = n - perLabel * nLabels
+    if (missing > 0)
+      base.unionByName(df.orderBy(rand(seed + 1)).limit(missing.toInt))
+    else base.limit(n)
+  }
+
+  /** A3 — class-balanced downsample: find the min class count m, keep m rows
+    * per class (`create_data_class_balanced`, `utils/data_utils.py:337-346`).
+    * One extra tiny job for m (1-row agg), then a single window pass.
+    * Reference quirk NOT carried: it keys EM on a dropped "label" column and
+    * crashes (`data_utils.py:267` vs `:125`); we key on the label column given.
+    */
+  def classBalanced(df: DataFrame, labelCol: String, seed: Long): DataFrame = {
+    val m = df.groupBy(labelCol).count()
+      .agg(min("count")).first().getLong(0)
+    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= m).drop("__rn")
+  }
+
+  /** Deterministic A3: per-class keep the m lowest `keyCol` rows (m = min
+    * class count). Oracle-reproducible (no rand).
+    */
+  def classBalancedDeterministic(
+      df: DataFrame,
+      labelCol: String,
+      keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(col(keyCol))
+    val counts = df.groupBy(labelCol).count()
+    val m = counts.agg(min("count").as("m"))
+    df.withColumn("__rn", row_number().over(w))
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("m"))
+      .drop("__rn", "m")
+  }
+
+  /** Deterministic A2: n lowest-key rows per label group. */
+  def stratifiedDeterministic(
+      df: DataFrame,
+      labelCol: String,
+      keyCol: String,
+      nPerLabel: Int): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nPerLabel).drop("__rn")
+  }
+
+  /** Deterministic hash-ish sample: `key % m == r` — reproducible in any
+    * engine, shuffle-free, partition-pruning-friendly.
+    */
+  def moduloSample(df: DataFrame, keyCol: String, m: Int, r: Int): DataFrame =
+    df.filter(col(keyCol) % m === r)
+
+  /** A4 — full shuffle (`shuffle_data`, `utils/data_utils.py:348-357`). */
+  def shuffle(df: DataFrame, seed: Long = 42L): DataFrame =
+    df.orderBy(rand(seed))
+
+  /** A5 — head-fraction limit (`limit_train_samples`,
+    * `utils/data_utils.py:358-367`): despite the CLI name "samples" the value
+    * is a fraction; >1.0 raises (reference quirk kept).
+    */
+  def headFraction(df: DataFrame, frac: Double): DataFrame = {
+    require(frac <= 1.0, "max_train_samples must be a fraction <= 1.0")
+    df.limit((frac * df.count()).toInt)
+  }
+
+  /** A6 — positional train/test split: first k rows (in `orderCol` order) →
+    * train, rest → test (`utils/data_utils.py:216-217`). Spark has no implicit
+    * row order so the order column must be explicit (file line index, key…).
+    */
+  def positionalSplit(
+      df: DataFrame,
+      orderCol: String,
+      k: Int): (DataFrame, DataFrame) = {
+    val w = Window.orderBy(col(orderCol))
+    val rn = df.withColumn("__rn", row_number().over(w))
+    (rn.filter(col("__rn") <= k).drop("__rn"),
+      rn.filter(col("__rn") > k).drop("__rn"))
+  }
+
+  /** T1 — top-k by a sort column with a stable unique tiebreaker (the
+    * reference's best-function pick is a driver-side `maxBy`,
+    * `run_wrangler.py:210-213`; as a data-plane op this is orderBy+limit,
+    * which Spark executes as TakeOrderedAndProject — no global sort).
+    */
+  def topK(df: DataFrame, sortCol: Column, tiebreak: Column, k: Int): DataFrame =
+    df.orderBy(sortCol, tiebreak).limit(k)
+}

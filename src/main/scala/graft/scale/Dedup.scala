@@ -1,0 +1,183 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication family for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (embedding near-dup lives in Similarity.scala).
+  *
+  * Scale design: everything is expressed as explode→hash→groupBy/join plans
+  * that shuffle on bounded keys (doc_id, band, shingle). Hashes are md5
+  * strings so the sf0.01 DuckDB oracle can replay them exactly; at 100 TB
+  * you would swap md5 for xxhash64 behind the same API (one-line change,
+  * noted per function) — semantics identical, ~6× cheaper.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical representative (min key) per identical value of
+    * `dupCols`. Single hash-aggregate shuffle on the dup key — the 100 TB
+    * plan you want (map-side partial min, no sort).
+    */
+  def exact(df: DataFrame, dupCols: Seq[String], keyCol: String): DataFrame =
+    df.groupBy(dupCols.map(col): _*)
+      .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_dups"))
+
+  /** MinHash signature per (doc, hash seed): min over shingles of
+    * md5(seed || ":" || shingle). Lexicographic min over hex strings is a
+    * valid min-wise hash family here (fixed-width hex).
+    *
+    * Implementation note: explode distinct shingles, project `numHashes` md5
+    * columns (whole-stage codegen'd), then ONE hash-aggregate with
+    * `numHashes` mins — map-side partial min makes the shuffle carry only
+    * one 8-hash row per (partition, doc). A previous higher-order-function
+    * formulation (transform/array_min lambdas) evaluated interpreted and was
+    * ~50× slower at sf0.1.
+    */
+  def minhashSignatures(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val mins = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s.toString), lit(":"), col("sh")).cast("binary")))
+        .as(s"h$s")
+    }
+    sh.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol),
+        array((0 until numHashes).map(s => col(s"h$s")): _*).as("minhash"))
+  }
+
+  /** LSH banding: group the `numHashes` minhashes into bands of
+    * `rowsPerBand`; band key = concat of the band's minhashes. Docs sharing
+    * any band key are candidate near-duplicates.
+    */
+  def lshBands(
+      signatures: DataFrame,
+      idCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = transform(sequence(lit(0), lit(numBands - 1)),
+      b => struct(b.as("band"),
+        array_join(slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand)), "")
+          .as("band_key")))
+    signatures.select(col(idCol), explode(bands).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.band_key").as("band_key"))
+  }
+
+  /** Candidate pairs from LSH buckets (a.id < b.id, distinct). The self-join
+    * shuffles on (band, band_key) — bucket sizes are tiny for a healthy hash
+    * family, so no skew; a skewed bucket means true mass-duplication and is
+    * exactly the data you want co-located anyway.
+    */
+  def lshCandidatePairs(bands: DataFrame, idCol: String): DataFrame = {
+    val l = bands.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val r = bands.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline → distinct candidate pairs. */
+  def minhashLsh(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame =
+    lshCandidatePairs(
+      lshBands(minhashSignatures(df, idCol, textCol, numHashes, shingleSize),
+        idCol, numHashes, rowsPerBand),
+      idCol)
+
+  /** SimHash (60 bits, staying in a signed long): per token, hash = first
+    * 15 hex chars of md5 as a long; each bit position votes ±1 weighted by
+    * token frequency; the fingerprint bit is the vote's sign.
+    *
+    * Shape: explode tokens → codegen'd md5 projection → one hash-aggregate
+    * with `bits` conditional sums (map-side partial) → pack bits. Constant
+    * shift amounts keep every expression codegen-able.
+    */
+  def simhashDF(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bits: Int = 60): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("t"))
+      .withColumn("h",
+        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
+          .cast("long"))
+    val votes = (0 until bits).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$j")
+    }
+    val packed = (0 until bits).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      .select(col(idCol), packed.as("sig"))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on the top `blockBits` bits (near-dups
+    * almost always agree on a high-bit prefix after the vote), then verify
+    * with full Hamming distance. Blocking keeps the self-join linear.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 8,
+      blockBits: Int = 16): DataFrame = {
+    val withSig = simhashDF(df, idCol, textCol)
+      .withColumn("block", shiftright(col("sig"), 60 - blockBits))
+    val l = withSig.select(col("block"), col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = withSig.select(col("block"), col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  /** n-gram Jaccard near-dup via inverted shingle index: explode distinct
+    * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
+    * blocking — they generate candidate pairs quadratically while carrying no
+    * signal), equi-join on shingle, Jaccard = |∩| / (|A|+|B|-|∩|) from exact
+    * integer counts.
+    */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.5,
+      maxDf: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val filtered = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
+        .filter(col("df_cnt") <= maxDf),
+      Seq("sh"))
+    val common = filtered.select(col("sh"), col(idCol).as("id_a"))
+      .join(filtered.select(col("sh"), col(idCol).as("id_b")), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_common", "jaccard")
+  }
+}

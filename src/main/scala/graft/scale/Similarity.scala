@@ -1,0 +1,148 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over embedding columns (ARRAY<FLOAT>).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k (the exact baseline): queries × candidates
+  *    cross product with a broadcast query side — embarrassingly parallel,
+  *    no shuffle on the big side; TakeOrderedAndProject per query.
+  *  - IVF (inverted-file) top-k: assign every vector to its nearest centroid,
+  *    search only the query's probe cells — the 100 TB path (cuts the scan by
+  *    the centroid fan-out).
+  *
+  * Determinism: the oracle-facing variants quantize components to integers
+  * (round(x·1000)) so every dot product is exact integer math — identical in
+  * Spark and DuckDB regardless of summation order. The float variants are the
+  * production path.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold in doubles). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in doubles (production path). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Quantized copy of an embedding: round(x·1000) per component, as longs.
+    * 64 dims × |q|≤~1000 keeps any dot product ≪ 2^53 → exact everywhere.
+    */
+  def quantize(a: Column, scale: Int = 1000): Column =
+    transform(a, x => round(x.cast("double") * scale).cast("long"))
+
+  def dotLong(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Cosine over quantized vectors: exact-integer dots, one final double
+    * division — bit-deterministic across engines.
+    */
+  def cosineQuantized(a: Column, b: Column): Column =
+    dotLong(a, b).cast("double") /
+      sqrt((dotLong(a, a) * dotLong(b, b)).cast("double"))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * candidates. Query side is broadcast (queries ≪ candidates); ranking via
+    * window row_number with (similarity desc, id) deterministic order.
+    */
+  def bruteForceTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      quantized: Boolean = true): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      (if (quantized) quantize(col(vecCol)) else col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      (if (quantized) quantize(col(vecCol)) else col(vecCol)).as("cv"))
+    val sim =
+      if (quantized) cosineQuantized(col("qv"), col("cv"))
+      else cosine(col("qv"), col("cv"))
+    import org.apache.spark.sql.expressions.Window
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", sim)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** IVF scale path. Centroids are chosen deterministically as the vectors
+    * with `idCol % centroidMod == 0` (a real deployment would k-means them;
+    * the index structure — assign, invert, probe — is what matters here).
+    * Every vector is assigned to its argmax-cosine centroid; a query probes
+    * only its own cell. Returns top-k within the probed cell.
+    *
+    * Plan shape: centroid table is broadcast twice (assignment of candidates,
+    * assignment of queries); the only shuffle is the per-cell window — keyed
+    * on centroid, so it scales with cells, not pairs.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidMod: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+    def assign(df: DataFrame, id: String, v: String): DataFrame = {
+      val scored = df.crossJoin(broadcast(cents))
+        .withColumn("c_sim", cosineQuantized(col(v), col("centv")))
+      val w = Window.partitionBy(col(id))
+        .orderBy(col("c_sim").desc, col("centroid_id"))
+      scored.withColumn("crk", row_number().over(w)).filter(col("crk") === 1)
+        .drop("crk", "c_sim", "centv")
+    }
+    val cAssigned = assign(
+      candidates.select(col(idCol).as("cand_id"), quantize(col(vecCol)).as("cv")),
+      "cand_id", "cv")
+    val qAssigned = assign(
+      queries.select(col(idCol).as("query_id"), quantize(col(vecCol)).as("qv")),
+      "query_id", "qv")
+    val scored = qAssigned.join(cAssigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosineQuantized(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("centroid_id"), col("cand_id"), col("rk"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
+    * LSH-ish signature: the sign pattern of selected components (a random-
+    * hyperplane sketch with axis-aligned planes — deterministic). Pairs are
+    * only compared within a block.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double = 0.95,
+      signDims: Int = 8): DataFrame = {
+    val qv = quantize(col(vecCol))
+    val block = array_join(
+      transform(sequence(lit(1), lit(signDims)),
+        i => when(element_at(qv, i.cast("int")) >= 0, "1").otherwise("0")),
+      "")
+    val sided = df.select(col(idCol), qv.as("v"), block.as("block"))
+    val l = sided.select(col("block"), col(idCol).as("id_a"), col("v").as("v_a"))
+    val r = sided.select(col("block"), col(idCol).as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineQuantized(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+}

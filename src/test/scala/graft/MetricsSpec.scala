@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.metrics.Metrics
+
+/** Metric-edge fixtures from FIXTURES.md §A5: case/whitespace-insensitive
+  * match, ±0.021 tolerance incl. fractions, truncating zip, sign-dropping
+  * regex, "Not excutable" sentinel, legacy-F1 denominator.
+  */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def te(pred: String, gold: String): Boolean =
+    Seq((pred, gold)).toDF("p", "g")
+      .select(Metrics.tolerantEquals(col("p"), col("g")).as("r"))
+      .as[Boolean].head()
+
+  test("exact match is case/whitespace-insensitive") {
+    assert(te("  Hello World ", "hello world"))
+    assert(!te("hello", "world"))
+  }
+
+  test("numeric tolerance ±0.021") {
+    assert(te("3.14", "3.15"))          // diff 0.01
+    assert(te("val 3.14", "x 3.16"))    // diff 0.02
+    assert(!te("3.14", "3.17"))         // diff 0.03
+  }
+
+  test("fractions decompose into two numbers (reference dead-code quirk)") {
+    // The reference's fraction branch is unreachable: findall returns the
+    // group, and branch 1 consumes the numerator, so "1/2" -> [1, 2] — it
+    // does NOT equal 0.5 (verified against CPython; see Metrics scaladoc).
+    assert(!te("1/2", "0.5"))
+    assert(te("1/2", "1.0 2.0"))        // [1,2] vs [1,2]
+    assert(te("3/8", "3/8") && !te("3/8", "2/8"))
+  }
+
+  test("corrected mode evaluates fractions for real") {
+    def tec(p: String, g: String): Boolean = {
+      import org.apache.spark.sql.Column
+      val eq = (a: Column, b: Column) => {
+        val na = Metrics.extractNumbersCorrected(Metrics.normalize(a))
+        val nb = Metrics.extractNumbersCorrected(Metrics.normalize(b))
+        size(na) > 0 && size(nb) > 0 && Metrics.withinTolerance(na, nb)
+      }
+      Seq((p, g)).toDF("p", "g").select(eq(col("p"), col("g")).as("r"))
+        .as[Boolean].head()
+    }
+    assert(tec("1/2", "0.5"))
+    assert(tec("1/3", "0.34"))          // |0.333..-0.34| < 0.021
+    assert(!tec("1/2", "0.6"))
+  }
+
+  test("sign is dropped by the reference regex (findall group semantics)") {
+    // "-3.14" extracts 3.14 — faithful to utils.py:49 findall with group
+    assert(te("-3.14", "3.14"))
+  }
+
+  test("truncating zip compares only up to the shorter list") {
+    assert(te("1.0 2.0 3.0", "1.0 2.0"))   // extra pred numbers ignored
+    assert(te("1.0", "1.0 99.0"))          // extra gold numbers ignored
+  }
+
+  test("no numbers on either side -> exact match only") {
+    assert(!te("abc", "abd"))
+    assert(!te("Not excutable", "yes"))   // the F2 sentinel never matches
+  }
+
+  test("nulls normalize to empty string") {
+    val r = Seq((Option.empty[String], Option.empty[String]))
+      .toDF("p", "g")
+      .select(Metrics.tolerantEquals(col("p"), col("g")).as("r"))
+      .as[Boolean].head()
+    assert(r)   // "" == ""
+  }
+
+  test("confusionMetrics counts + legacy F1 deflation") {
+    val df = Seq(
+      ("yes", "yes"),   // tp
+      ("no", "yes"),    // fn
+      ("no", "no"),     // tn
+      ("yes", "no"),    // fp
+      ("yes", "yes")    // tp
+    ).toDF("pred", "gold")
+    val m = Metrics.confusionMetrics(df, "pred", "gold").collect()(0)
+    assert(m.getAs[Long]("tp") == 2 && m.getAs[Long]("fn") == 1)
+    assert(m.getAs[Long]("tn") == 1 && m.getAs[Long]("fp") == 1)
+    assert(m.getAs[Long]("crc") == 3 && m.getAs[Long]("total") == 5)
+    val prec = m.getAs[Double]("prec")   // 2/3
+    val rec = m.getAs[Double]("rec")     // 2/3
+    assert(math.abs(prec - 2.0 / 3) < 1e-12 && math.abs(rec - 2.0 / 3) < 1e-12)
+    // p+r = 4/3 > 1 -> legacy == corrected here
+    assert(math.abs(m.getAs[Double]("f1_legacy") - m.getAs[Double]("f1")) < 1e-12)
+  }
+
+  test("legacy F1 deflates when prec+rec < 1 (utils.py:127 quirk)") {
+    val df = Seq(("yes", "yes"), ("yes", "no"), ("yes", "no"),
+      ("no", "yes"), ("no", "yes")).toDF("pred", "gold")
+    val m = Metrics.confusionMetrics(df, "pred", "gold").collect()(0)
+    val p = m.getAs[Double]("prec")      // 1/3
+    val r = m.getAs[Double]("rec")       // 1/3
+    assert(p + r < 1.0)
+    assert(math.abs(m.getAs[Double]("f1_legacy") - 2 * p * r) < 1e-12)
+    assert(math.abs(m.getAs[Double]("f1") - 2 * p * r / (p + r)) < 1e-12)
+  }
+}

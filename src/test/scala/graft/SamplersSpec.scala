@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sample.Samplers
+
+/** Invariant tests for the seeded samplers (SURVEY §5.2: size/stratum
+  * invariants — seeded-rand variants can't be oracle-checked, so properties
+  * stand in: exact sizes, per-group caps, determinism under same seed).
+  */
+class SamplersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val labeled = (1 to 100)
+    .map(i => (i.toLong, if (i % 10 == 0) "rare" else "common"))
+    .toDF("id", "label_str")
+
+  test("randomExactN returns exactly n, deterministic per seed") {
+    val a = Samplers.randomExactN(labeled, 7, 42).as[(Long, String)].collect()
+    val b = Samplers.randomExactN(labeled, 7, 42).as[(Long, String)].collect()
+    assert(a.length == 7 && a.sameElements(b))
+    val c = Samplers.randomExactN(labeled, 7, 43).as[(Long, String)].collect()
+    assert(!a.sameElements(c))
+  }
+
+  test("stratifiedExactN covers every label and returns n") {
+    val got = Samplers.stratifiedExactN(labeled, "label_str", 6, 42)
+    assert(got.count() == 6)
+    assert(got.select("label_str").distinct().count() == 2)
+  }
+
+  test("classBalanced downsamples every class to the min count") {
+    val got = Samplers.classBalanced(labeled, "label_str", 42)
+    val counts = got.groupBy("label_str").count()
+      .as[(String, Long)].collect().toMap
+    assert(counts.values.toSet == Set(10L))   // min class = 10 "rare"
+  }
+
+  test("classBalancedDeterministic keeps lowest keys per class") {
+    val got = Samplers.classBalancedDeterministic(labeled, "label_str", "id")
+    assert(got.count() == 20)
+    val rare = got.filter(col("label_str") === "common")
+      .agg(max("id")).as[Long].head()
+    assert(rare == 11L)   // first 10 "common" ids are 1..9,11
+  }
+
+  test("headFraction keeps floor(frac*n) rows and rejects frac>1") {
+    assert(Samplers.headFraction(labeled, 0.25).count() == 25)
+    intercept[IllegalArgumentException] {
+      Samplers.headFraction(labeled, 1.5)
+    }
+  }
+
+  test("positionalSplit: first k in order, remainder disjoint") {
+    val (tr, te) = Samplers.positionalSplit(labeled, "id", 5)
+    assert(tr.count() == 5 && te.count() == 95)
+    assert(tr.agg(max("id")).as[Long].head() == 5L)
+    assert(te.agg(min("id")).as[Long].head() == 6L)
+  }
+
+  test("moduloSample is a disjoint partition of the keys") {
+    val parts = (0 until 4).map(r =>
+      Samplers.moduloSample(labeled, "id", 4, r).count()).sum
+    assert(parts == 100)
+  }
+
+  test("topK picks by sort column with stable tiebreak") {
+    val got = Samplers.topK(labeled, col("label_str").desc, col("id"), 3)
+      .as[(Long, String)].collect()
+    assert(got.map(_._2).forall(_ == "rare"))
+    assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
+  }
+}

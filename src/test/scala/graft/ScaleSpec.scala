@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.scale.{Dedup, Events, Shingles, Similarity, TextAnalysis}
+
+/** Unit tests for the scale-path operators on hand-built fixtures: dedup
+  * families find planted duplicates, similarity ranks planted neighbors,
+  * sessionization splits on the gap.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),   // near-dup of 1
+    (3L, "completely different content about spark engines"),
+    (4L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (5L, "unrelated words entirely disjoint vocabulary here")
+  ).toDF("doc_id", "text")
+
+  test("wordShingles produces n-k+1 distinct shingles") {
+    val sh = docs.filter($"doc_id" === 1)
+      .select(Shingles.wordShingles($"text", 3).as("s"))
+      .select(size($"s")).as[Int].head()
+    assert(sh == 7)   // 9 tokens -> 7 trigrams (all distinct here)
+  }
+
+  test("exact dedup groups identical texts") {
+    val got = Dedup.exact(docs, Seq("text"), "doc_id")
+    assert(got.count() == 4)
+    val dupRow = got.filter($"n_dups" === 2).select("doc_id").as[Long].head()
+    assert(dupRow == 1L)   // min id of the {1,4} group
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))          // exact dup always collides
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))   // disjoint vocab never
+  }
+
+  test("ngram Jaccard scores the planted near-dup pair") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.3, 100)
+    val m = got.select($"id_a", $"id_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((1L, 4L)) == 1.0)                // identical
+    assert(m.contains((1L, 2L)) && m((1L, 2L)) > 0.5)   // 6/8 shingles shared
+    assert(!m.contains((3L, 5L)))
+  }
+
+  test("simhash: identical docs same sig, near-dups low hamming") {
+    val sigs = Dedup.simhashDF(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(4L))
+    val near = Dedup.hammingDistance(lit(sigs(1L)), lit(sigs(2L)))
+    val far = Dedup.hammingDistance(lit(sigs(1L)), lit(sigs(5L)))
+    val (n, f) = docs.limit(1).select(near.as("n"), far.as("f"))
+      .as[(Int, Int)].head()
+    assert(n < f)
+  }
+
+  test("cosine: orthogonal vs identical vectors") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.5f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 1), vecs, "vec_id", "embedding", 2)
+      .select("cand_id", "cos_sim").as[(Long, Double)].collect()
+    assert(top(0) == ((3L, 1.0)))   // same direction -> cos 1
+    assert(top(1)._2 == 0.0)        // orthogonal
+  }
+
+  test("ivfTopK returns neighbors from the probed cell") {
+    val e = graft.io.Tables.load(spark, sf, "embeddings")
+    val got = Similarity.ivfTopK(
+      e.filter($"vec_id" < 3), e, "vec_id", "embedding", 5, 100)
+    assert(got.count() > 0)
+    assert(got.groupBy("query_id").count()
+      .agg(max("count")).as[Long].head() <= 5)
+  }
+
+  test("sessionize splits on gap > threshold") {
+    val base = 1700000000L
+    val ev = Seq(
+      (1L, base, 1.0), (1L, base + 60, 2.0),          // session 1
+      (1L, base + 5000, 3.0),                          // session 2 (gap>1800)
+      (2L, base, 4.0)                                  // other user
+    ).map { case (u, ep, v) => (u, ep * 1000000000L, v) }
+      .toDF("user_id", "ts", "value")                  // epoch-nanos longs
+    val got = Events.sessionize(ev, 1800L)
+      .select("user_id", "session_idx", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
+  }
+
+  test("sessionizeNative agrees with lag-based session counts") {
+    val events = graft.io.Tables.load(spark, sf, "events")
+    val lagBased = Events.sessionize(events, 1800L).count()
+    val native = Events.sessionizeNative(events, "30 minutes").count()
+    assert(lagBased == native)
+  }
+
+  test("language id picks a language present in profile, else unknown") {
+    val d = Seq((1L, "the fast order of the small"), (2L, "zzz qqq www"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(d, "text")
+      .select("pred_lang").as[String].collect()
+    assert(got(0) == "en" && got(1) == "unknown")
+  }
+
+  test("quality features: exact ratios on a known sentence") {
+    val d = Seq((1L, "the the fox")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityFeatures(d, "text")
+      .select("n_tokens", "n_distinct", "stopword_ratio")
+      .as[(Long, Long, Double)].head()
+    assert(r == ((3L, 2L, 2.0 / 3)))
+  }
+}
