@@ -1,0 +1,245 @@
+package graft.transform
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The central design decision of the rebuild (SURVEY.md §1.1, §7.3):
+  * the reference's "learned function" is a Python source string `exec`'d
+  * per row (`function_generator.py:119-135`); here it is a typed, closed
+  * transform DSL that COMPILES TO CATALYST COLUMN EXPRESSIONS — whole-stage
+  * codegen'd, no interpreter, no trust boundary, embarrassingly parallel.
+  *
+  * The op set covers the reference prompts' capability envelope
+  * (`promptsTemplate.py:10,38,75` — regex, dates, numbers/units, case edits,
+  * dictionary lookups, similarity thresholds; SURVEY §2.7 F6). Programs are
+  * data (case classes): serializable, inspectable, comparable — the engine's
+  * "query IR" for synthesized row transforms.
+  *
+  * Every program also carries a driver-side interpreter ([[eval]]) used by
+  * the validation gates on k≈3 demo rows (spinning a Spark job per candidate
+  * would be pure overhead); `toColumn` and `eval` agree by construction and
+  * are cross-checked in TransformSpec.
+  */
+sealed trait TransformProgram {
+  def toColumn(in: Column): Column
+  def eval(in: String): String
+  def describe: String
+}
+
+object TransformProgram {
+
+  case object Identity extends TransformProgram {
+    def toColumn(in: Column): Column = in
+    def eval(in: String): String = in
+    def describe = "identity"
+  }
+
+  case object LowerCase extends TransformProgram {
+    def toColumn(in: Column): Column = lower(in)
+    def eval(in: String): String = in.toLowerCase
+    def describe = "lower"
+  }
+
+  case object UpperCase extends TransformProgram {
+    def toColumn(in: Column): Column = upper(in)
+    def eval(in: String): String = in.toUpperCase
+    def describe = "upper"
+  }
+
+  case object TitleCase extends TransformProgram {
+    def toColumn(in: Column): Column = initcap(lower(in))
+    def eval(in: String): String =
+      in.toLowerCase.split(" ", -1)
+        .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1))
+        .mkString(" ")
+    def describe = "titlecase"
+  }
+
+  case object TrimWs extends TransformProgram {
+    def toColumn(in: Column): Column = trim(in)
+    def eval(in: String): String = in.trim
+    def describe = "trim"
+  }
+
+  final case class Chain(steps: Seq[TransformProgram]) extends TransformProgram {
+    def toColumn(in: Column): Column = steps.foldLeft(in)((c, p) => p.toColumn(c))
+    def eval(in: String): String = steps.foldLeft(in)((s, p) => p.eval(s))
+    def describe: String = steps.map(_.describe).mkString(" | ")
+  }
+
+  final case class ConstOutput(v: String) extends TransformProgram {
+    def toColumn(in: Column): Column = lit(v)
+    def eval(in: String): String = v
+    def describe = s"const($v)"
+  }
+
+  /** Add a literal prefix/suffix. */
+  final case class Surround(prefix: String, suffix: String) extends TransformProgram {
+    def toColumn(in: Column): Column = concat(lit(prefix), in, lit(suffix))
+    def eval(in: String): String = prefix + in + suffix
+    def describe = s"surround('$prefix','$suffix')"
+  }
+
+  /** Strip a known prefix/suffix if present. */
+  final case class StripAffix(prefix: String, suffix: String) extends TransformProgram {
+    def toColumn(in: Column): Column = {
+      val c1 = if (prefix.nonEmpty)
+        regexp_replace(in, lit("^" + java.util.regex.Pattern.quote(prefix)), lit("")) else in
+      if (suffix.nonEmpty)
+        regexp_replace(c1, lit(java.util.regex.Pattern.quote(suffix) + "$"), lit(""))
+      else c1
+    }
+    def eval(in: String): String = {
+      val a = if (prefix.nonEmpty && in.startsWith(prefix)) in.substring(prefix.length) else in
+      if (suffix.nonEmpty && a.endsWith(suffix)) a.substring(0, a.length - suffix.length) else a
+    }
+    def describe = s"strip('$prefix','$suffix')"
+  }
+
+  /** Java-regex replace-all. */
+  final case class RegexReplace(pattern: String, replacement: String)
+      extends TransformProgram {
+    def toColumn(in: Column): Column =
+      regexp_replace(in, lit(pattern), lit(replacement))
+    def eval(in: String): String = in.replaceAll(pattern, replacement)
+    def describe = s"regex_replace(/$pattern/ -> '$replacement')"
+  }
+
+  /** Extract the first match group of a Java regex ("" when no match —
+    * matches Spark regexp_extract semantics).
+    */
+  final case class RegexExtract(pattern: String, group: Int = 1)
+      extends TransformProgram {
+    def toColumn(in: Column): Column = regexp_extract(in, pattern, group)
+    def eval(in: String): String = {
+      val m = java.util.regex.Pattern.compile(pattern).matcher(in)
+      if (m.find()) Option(m.group(group)).getOrElse("") else ""
+    }
+    def describe = s"regex_extract(/$pattern/ g$group)"
+  }
+
+  /** Split on a literal separator, take 0-based token idx (negative = from
+    * end, Python-style). Empty string when out of range.
+    */
+  final case class SplitIndex(sep: String, idx: Int) extends TransformProgram {
+    def toColumn(in: Column): Column = {
+      val parts = split(in, java.util.regex.Pattern.quote(sep))
+      val pos = if (idx >= 0) lit(idx + 1) else size(parts) + lit(idx + 1)
+      // try_element_at: null (not an ANSI error) when out of range
+      coalesce(try_element_at(parts, pos.cast("int")), lit(""))
+    }
+    def eval(in: String): String = {
+      val parts = in.split(java.util.regex.Pattern.quote(sep), -1)
+      val i = if (idx >= 0) idx else parts.length + idx
+      if (i >= 0 && i < parts.length) parts(i) else ""
+    }
+    def describe = s"split('$sep')[$idx]"
+  }
+
+  /** Date reformat via java.time patterns (Spark session TZ = UTC). */
+  final case class DateReformat(inFmt: String, outFmt: String)
+      extends TransformProgram {
+    def toColumn(in: Column): Column =
+      // try_to_timestamp: unparseable rows become null (→ the F2 sentinel)
+      // instead of an ANSI runtime error that would kill the whole job.
+      date_format(try_to_timestamp(in, lit(inFmt)), outFmt)
+    def eval(in: String): String = {
+      import java.time._
+      import java.time.format.DateTimeFormatter
+      val f = DateTimeFormatter.ofPattern(inFmt)
+      val o = DateTimeFormatter.ofPattern(outFmt)
+      val parsed = f.parseBest(in, LocalDateTime.from(_), LocalDate.from(_))
+      val ldt = parsed match {
+        case d: LocalDate => d.atStartOfDay()
+        case dt: LocalDateTime => dt
+      }
+      o.format(ldt)
+    }
+    def describe = s"date('$inFmt' -> '$outFmt')"
+  }
+
+  /** Scale the first number in the string by `factor`, rounded to
+    * `decimals` (unit conversion: km→mi, kg→lb, °C→°F needs offset too —
+    * see [[AffineNumber]]).
+    */
+  final case class AffineNumber(factor: Double, offset: Double, decimals: Int,
+      trimZeros: Boolean = false) extends TransformProgram {
+    private val numRe = "[-+]?[0-9]*\\.?[0-9]+"
+    def toColumn(in: Column): Column = {
+      val s = regexp_extract(in, numRe, 0)
+      val n = when(length(s) > 0, s.cast("double"))   // "" would ANSI-error
+      val bd = round(n * factor + offset, decimals)
+      val str =
+        if (decimals == 0) bd.cast("long").cast("string") else bd.cast("string")
+      if (trimZeros && decimals > 0)
+        regexp_replace(regexp_replace(str, lit("(\\.[0-9]*?)0+$"), lit("$1")),
+          lit("\\.$"), lit(""))
+      else str
+    }
+    def eval(in: String): String = {
+      val m = java.util.regex.Pattern.compile(numRe).matcher(in)
+      if (!m.find()) "" else {
+        val v = m.group(0).toDouble * factor + offset
+        val r = BigDecimal(v).setScale(decimals, BigDecimal.RoundingMode.HALF_UP)
+        if (decimals == 0) r.toLong.toString
+        else if (trimZeros) r.bigDecimal.stripTrailingZeros.toPlainString
+        else r.toString
+      }
+    }
+    def describe = s"affine(*$factor+$offset, $decimals dp)"
+  }
+
+  /** Broadcast dictionary lookup (the reference's example-derived mappings:
+    * currency tables, spelling fixes, code→name maps). Compiles to a
+    * chained CASE WHEN for small dicts (codegen'd); larger dicts should go
+    * through a broadcast join instead (see Wrangler.imputeByDict).
+    */
+  final case class DictLookup(map: Map[String, String], default: Option[String])
+      extends TransformProgram {
+    def toColumn(in: Column): Column = {
+      val base: Column = default.map(lit(_): Column).getOrElse(lit(null).cast("string"))
+      map.foldLeft(base) { case (acc, (k, v)) => when(in === k, lit(v)).otherwise(acc) }
+    }
+    def eval(in: String): String =
+      map.getOrElse(in, default.getOrElse(null))
+    def describe = s"dict(${map.size} entries)"
+  }
+
+  /** Roman numeral → integer, as a pure expression: additive value minus
+    * twice the subtractive positions (classic trick: translate each letter
+    * to its value, subtract 2× where a smaller value precedes a larger).
+    * Covers well-formed numerals (the prompt envelope's `roman` lib).
+    */
+  case object RomanToInt extends TransformProgram {
+    private val vals = Seq("M" -> 1000, "D" -> 500, "C" -> 100, "L" -> 50,
+      "X" -> 10, "V" -> 5, "I" -> 1)
+    private val subs = Seq("CM" -> 100, "CD" -> 100, "XC" -> 10, "XL" -> 10,
+      "IX" -> 1, "IV" -> 1)
+    def toColumn(in: Column): Column = {
+      val u = upper(in)
+      val additive = vals.map { case (l, v) =>
+        (length(u) - length(regexp_replace(u, lit(l), lit("")))) * v
+      }.reduce(_ + _)
+      val subtractive = subs.map { case (p, v) =>
+        when(u.contains(p), v * 2).otherwise(0)
+      }.reduce(_ + _)
+      (additive - subtractive).cast("string")
+    }
+    def eval(in: String): String = {
+      val u = in.toUpperCase
+      val add = vals.map { case (l, v) => u.count(_ == l.head) * v }.sum
+      val sub = subs.map { case (p, v) => if (u.contains(p)) v * 2 else 0 }.sum
+      (add - sub).toString
+    }
+    def describe = "roman_to_int"
+  }
+
+  /** The reference's dummy fallback function
+    * (`run_wrangler.py:42`: `def string_transformation(...): return None`).
+    */
+  case object NullProgram extends TransformProgram {
+    def toColumn(in: Column): Column = lit(null).cast("string")
+    def eval(in: String): String = null
+    def describe = "null"
+  }
+}

@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.WranglerConfig
+import graft.transform._
+import graft.transform.TransformProgram._
+
+/** The synthesis core: DSL programs agree between Column compilation and
+  * driver-side eval; the rule synthesizer recovers programs from k=3 demos
+  * across the reference capability envelope (dates, units, case, affixes,
+  * splits, roman numerals); validation gates mirror the reference's verdicts
+  * including the miscalibrated supervision gate.
+  */
+class TransformSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Cross-check toColumn vs eval on a battery of inputs. */
+  private def agree(p: TransformProgram, inputs: Seq[String]): Unit = {
+    val spark_ = inputs.toDF("in")
+      .select(p.toColumn(col("in")).as("out")).as[String].collect()
+    val local = inputs.map(i => p.eval(i))
+    assert(spark_.toSeq == local.toSeq, s"${p.describe} disagrees")
+  }
+
+  test("Column and eval agree across the DSL") {
+    val texts = Seq("Hello World", "  padded  ", "a,b,c", "no match here", "42")
+    agree(Identity, texts)
+    agree(LowerCase, texts)
+    agree(UpperCase, texts)
+    agree(TitleCase, Seq("hello world", "FOO BAR"))
+    agree(TrimWs, texts)
+    agree(Surround("<", ">"), texts)
+    agree(StripAffix("Hel", "rld"), texts)
+    agree(RegexReplace("[aeiou]", "*"), texts)
+    agree(RegexExtract("([0-9]+)", 1), texts)
+    agree(SplitIndex(",", 1), texts)
+    agree(SplitIndex(",", -1), texts)
+    agree(AffineNumber(1.8, 32.0, 1), Seq("100", "0", "37.5"))
+    agree(RomanToInt, Seq("XIV", "MCMXCIV", "iii"))
+    agree(DictLookup(Map("a" -> "1", "b" -> "2"), Some("?")), Seq("a", "b", "z"))
+    agree(Chain(Seq(TrimWs, LowerCase, Surround("[", "]"))), texts)
+    agree(DateReformat("yyyy-MM-dd", "dd/MM/yyyy"), Seq("2024-03-01", "1999-12-31"))
+  }
+
+  private def synth(demos: (String, String)*): TransformProgram =
+    RuleSynthesizer.synthesize(None, demos).head
+
+  test("synthesizer recovers case transforms") {
+    assert(synth("Foo" -> "foo", "BAR" -> "bar") == LowerCase)
+    assert(synth("foo" -> "FOO", "Bar" -> "BAR") == UpperCase)
+    assert(synth("x" -> "x", "y" -> "y") == Identity)
+  }
+
+  test("synthesizer recovers date reformat") {
+    val p = synth("2024-03-01" -> "01/03/2024", "1999-12-31" -> "31/12/1999")
+    assert(p == DateReformat("yyyy-MM-dd", "dd/MM/yyyy"))
+  }
+
+  test("synthesizer recovers affix add/strip") {
+    assert(synth("a" -> "pre-a", "b" -> "pre-b") == Surround("pre-", ""))
+    assert(synth("x.txt" -> "x", "y.txt" -> "y") == StripAffix("", ".txt"))
+  }
+
+  test("synthesizer recovers split-index (first/last token)") {
+    val p = synth("john smith" -> "smith", "ada lovelace" -> "lovelace")
+    assert(p == SplitIndex(" ", 1) || p == SplitIndex(" ", -1))
+  }
+
+  test("synthesizer recovers unit conversion (km->mi style scale)") {
+    val p = synth("10 km" -> "6.21", "100 km" -> "62.14")
+    p match {
+      case AffineNumber(f, o, d, _) =>
+        assert(math.abs(f - 0.6214) < 0.01 && math.abs(o) < 1.0 && d == 2)
+      case other => fail(s"expected AffineNumber, got $other")
+    }
+  }
+
+  test("synthesizer recovers celsius->fahrenheit (scale+offset)") {
+    val p = synth("0" -> "32", "100" -> "212", "37" -> "98.6")
+    p match {
+      case AffineNumber(f, o, _, _) =>
+        assert(math.abs(f - 1.8) < 1e-9 && math.abs(o - 32.0) < 1e-9)
+      case other => fail(s"expected AffineNumber, got $other")
+    }
+  }
+
+  test("synthesizer recovers roman numerals") {
+    assert(synth("XIV" -> "14", "III" -> "3") == RomanToInt)
+  }
+
+  test("synthesizer falls back to demo dictionary") {
+    val p = synth("alpha" -> "z9", "beta" -> "q7")
+    assert(p.isInstanceOf[DictLookup])
+  }
+
+  test("validation gates mirror the reference verdicts") {
+    val cfg = WranglerConfig.default
+    val demos = Seq("Foo" -> "foo", "BAR" -> "bar")
+    assert(Validation.validate(LowerCase, demos, Seq.empty, cfg)._1 ==
+      Validation.Validated)
+    // note: UpperCase also validates — the reference's metric is
+    // case-insensitive (utils.py:88,95), kept faithfully; a genuinely wrong
+    // program is NotFit:
+    assert(Validation.validate(ConstOutput("zzz"), demos, Seq.empty, cfg)._1 ==
+      Validation.NotFit)
+    // miscalibrated thresholdSup=10.0 (ref quirk): any supervision set fails
+    assert(Validation.validate(LowerCase, demos, Seq("X" -> "x"), cfg)._1 ==
+      Validation.NotGeneralizable)
+    // corrected mode
+    val fixed = cfg.copy(thresholdSup = 0.5)
+    assert(Validation.validate(LowerCase, demos, Seq("X" -> "x"), fixed)._1 ==
+      Validation.Validated)
+  }
+
+  test("trialLoop returns the null program when nothing fits") {
+    val cfg = WranglerConfig.default.copy(k = 2)
+    val impossible = Seq("a" -> "xyzzy1", "a" -> "xyzzy2")  // contradictory
+    val got = Validation.trialLoop(RuleSynthesizer, None, impossible, Seq.empty, cfg)
+    assert(got.nonEmpty)   // always yields a (program, acc) per trial
+  }
+
+  test("end-to-end transformation pipeline on a synthetic task") {
+    val data = (1 to 50).map(i => (s"item $i", s"ITEM $i", i.toLong))
+      .toDF("text", "label_str", "ord")
+    val (prog, applied) = graft.tasks.Wrangler.runTransformation(
+      data, "ord", None, WranglerConfig.default)
+    assert(prog == UpperCase)
+    val m = graft.tasks.Wrangler.evaluate(applied).collect()(0)
+    assert(m.getAs[Double]("acc") == 1.0)
+  }
+
+  test("EM threshold fit + predict") {
+    val demos = Seq((0.9, "yes"), (0.8, "yes"), (0.2, "no"), (0.1, "no"))
+    val th = graft.tasks.Wrangler.fitEmThreshold(demos)
+    assert(th > 0.2 && th <= 0.8)
+    val pairs = Seq(("red apple pie", "apple pie red"), ("dog", "cat"))
+      .toDF("a", "b")
+    val got = graft.tasks.Wrangler.emPredict(pairs, "a", "b", 0.5)
+      .select("pred").as[String].collect()
+    assert(got.toSeq == Seq("Yes", "No"))
+  }
+
+  test("error detection by vocab membership") {
+    val vocab = Seq("red", "green", "blue").toDF("text")
+    val test_ = Seq("red", "gren", "blue").toDF("text")
+    val got = graft.tasks.Wrangler.errorDetectByVocab(test_, vocab)
+      .select("text", "pred").as[(String, String)].collect().toMap
+    assert(got == Map("red" -> "no", "gren" -> "yes", "blue" -> "no"))
+  }
+
+  test("error detection by spell distance") {
+    val vocab = Seq("red", "green", "blue").toDF("text")
+    val test_ = Seq("redd", "xyzzy").toDF("text")
+    val got = graft.tasks.Wrangler.errorDetectBySpellDistance(test_, vocab)
+      .select("text", "pred").as[(String, String)].collect().toMap
+    assert(got == Map("redd" -> "no", "xyzzy" -> "yes"))
+  }
+
+  test("imputation by learned dictionary") {
+    val train = Seq(("us", "NYC"), ("us", "NYC"), ("us", "LA"), ("fr", "Paris"))
+      .toDF("country", "city")
+    val test_ = Seq(("us", ""), ("fr", ""), ("de", "")).toDF("country", "city")
+    val got = graft.tasks.Wrangler.imputeByDict(train, test_, "country", "city")
+      .select("country", "pred").as[(String, String)].collect().toMap
+    assert(got("us") == "NYC" && got("fr") == "Paris")
+    assert(got("de") == "NYC")   // global mode fallback
+  }
+}
