@@ -6,9 +6,12 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{Readers, Tables}
 import graft.metrics.Metrics
+import graft.plans.Joins
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.serialize.Serialize
+import graft.tasks.Wrangler
+import graft.transform.TransformProgram
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -287,7 +290,171 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("prop_k")).as("sum_k"),
           count(col("prop_k")).as("n_k"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // ---- §2.8 ranking/analytic windows (rank, lag, running frame sum) ------
+    "window_analytics_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_custkey"),
+          row_number().over(w).as("rn"),
+          lag(col("o_totalprice").cast("decimal(18,2)"), 1).over(w)
+            .cast("double").as("prev_price"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(wf)
+            .cast("double").as("run_sum"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    // ---- §2.3 semi join (customers with ≥1 finished order) -----------------
+    "semi_join_customers" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      t(s, dir, "customer")
+        .join(f, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- §2.3 anti join (dedup-against-seen shape) -------------------------
+    "anti_join_customers" -> ((s, dir) => {
+      val f = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      t(s, dir, "customer")
+        .join(f, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- grouping-set family: rollup ---------------------------------------
+    "rollup_revenue_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_extendedprice")).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // ---- set ops: except + intersect ---------------------------------------
+    "set_ops_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id")
+      d.except(d.filter(col("doc_id") % 7 === 0))
+        .intersect(d.filter(col("doc_id") % 2 === 0))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- J3 entity-matching similarity predicates (blocked self-join) ------
+    "em_similarity_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        col("p_brand"), col("p_size"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("p_brand"), col("p_size"))
+      a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", Wrangler.tokenJaccard(col("name_a"), col("name_b")))
+        .withColumn("lev_sim",
+          Wrangler.levenshteinSim(col("name_a"), col("name_b")))
+        .select(col("id_a"), col("id_b"),
+          round(col("sim"), 6).as("jaccard_sim"),
+          round(col("lev_sim"), 6).as("lev_sim"),
+          when(col("sim") >= 0.5, "Yes").otherwise("No").as("pred"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- imputation via learned dictionary (broadcast mode-map) ------------
+    "impute_dict_customer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      Wrangler.imputeByDict(
+          c.filter(col("c_custkey") % 10 =!= 0),
+          c.filter(col("c_custkey") % 10 === 0),
+          "c_nationkey", "c_mktsegment")
+        .select(col("c_custkey"), col("pred"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- error detection vs broadcast vocabulary ---------------------------
+    "error_detect_vocab_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val dirty = p.filter(col("p_partkey") % 10 === 0)
+        .withColumn("val",
+          when(col("p_partkey") % 50 === 0, concat(col("p_type"), lit("_xx")))
+            .otherwise(col("p_type")))
+        .select("p_partkey", "val")
+      val vocab = p.filter(col("p_partkey") % 10 =!= 0)
+        .select(col("p_type").as("val"))
+      Wrangler.errorDetectByVocab(dirty, vocab, "val")
+        .select(col("p_partkey"), col("pred"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- V1-V5+F2 end-to-end program synthesis + distributed apply ---------
+    // Deterministic: demos (first 3 parts by key) admit exactly UpperCase
+    // from the RuleSynthesizer candidate order.
+    "synthesize_transform_part" -> ((s, dir) => {
+      val data = t(s, dir, "part").select(col("p_partkey"),
+        col("p_name").as("text"), upper(col("p_name")).as("label_str"))
+      val (_, applied) = Wrangler.runTransformation(data, "p_partkey", None)
+      applied.select(col("p_partkey"), col("pred")).orderBy(col("p_partkey"))
+    }),
+
+    // ---- F1 transform program as a column expression (unit conversion) -----
+    "transform_affine_lineitem" -> ((s, dir) => {
+      val prog = TransformProgram.AffineNumber(1.8, 32.0, 1) // °C → °F
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          prog.toColumn(col("l_quantity").cast("string")).as("pred"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- multimodal: binary payload + stub decode (mapPartitions batch) ----
+    "multimodal_features_docs" -> ((s, dir) => {
+      val mm = Multimodal.decodeFeatures(
+        Multimodal.fromDocuments(t(s, dir, "documents")))
+      mm.select(col("doc_id"), col("kind"), col("n_bytes"),
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 2).as("f1"),
+          element_at(col("features"), 3).as("f2"),
+          element_at(col("features"), 4).as("f3"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- as-of join (union-sort, single shuffle): purchase ← last click ----
+    // Times are epoch-µs: DuckDB timestamps are µs-precision, so the oracle
+    // can only see µs — both engines compare/emit the same truncation.
+    "asof_purchase_click_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("pts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts DIV 1000").as("ts"), col("value"))
+      Joins.asOfJoin(purchases, clicks, "user_id", "user_id",
+          col("pts"), col("ts"), Seq("ts", "value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---- ANN scale path: IVF (assign → invert → probe own cell) ------------
+    "ivf_topk_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id",
+          "embedding", 5, 100)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ---- G5 trial mean/std from exact decimal sums -------------------------
+    "trial_stats_orders" -> ((s, dir) => {
+      val dec = col("o_totalprice").cast("decimal(18,2)")
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_trials"),
+          sum(dec).cast("double").as("sum_price"),
+          sum((dec * dec).cast("decimal(38,4)")).cast("double").as("sum_sq"))
+        .select(col("o_orderstatus"), col("n_trials"),
+          round(col("sum_price") / col("n_trials"), 6).as("mean_price"),
+          round(sqrt(col("sum_sq") / col("n_trials") -
+            (col("sum_price") / col("n_trials")) *
+            (col("sum_price") / col("n_trials"))), 6).as("std_price"))
+        .orderBy(col("o_orderstatus"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -602,6 +769,179 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "window_analytics_orders" ->
+      """SELECT o_orderkey, o_custkey,
+        |  ROW_NUMBER() OVER w AS rn,
+        |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS run_sum
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "semi_join_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "anti_join_customers" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "rollup_revenue_lineitem" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "set_ops_docs" ->
+      """SELECT doc_id FROM (
+        |  (SELECT doc_id FROM documents
+        |   EXCEPT
+        |   SELECT doc_id FROM documents WHERE doc_id % 7 = 0)
+        |  INTERSECT
+        |  SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin,
+
+    "em_similarity_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_size, p_name,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    a.p_name AS name_a, b.p_name AS name_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) AS sim,
+        |    1.0 - CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS DOUBLE)
+        |      / GREATEST(length(a.p_name), length(b.p_name)) AS lev_sim
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS jaccard_sim,
+        |  ROUND(lev_sim, 6) AS lev_sim,
+        |  CASE WHEN sim >= 0.5 THEN 'Yes' ELSE 'No' END AS pred
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "impute_dict_customer" ->
+      """WITH train AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+        |test AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+        |cnt AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM train GROUP BY 1, 2),
+        |dict AS (
+        |  SELECT c_nationkey, c_mktsegment FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cnt DESC, c_mktsegment) AS rn FROM cnt)
+        |  WHERE rn = 1),
+        |g AS (
+        |  SELECT c_mktsegment FROM train GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, c_mktsegment LIMIT 1)
+        |SELECT t.c_custkey,
+        |  COALESCE(d.c_mktsegment, (SELECT c_mktsegment FROM g)) AS pred
+        |FROM test t LEFT JOIN dict d ON t.c_nationkey = d.c_nationkey
+        |ORDER BY t.c_custkey""".stripMargin,
+
+    "error_detect_vocab_part" ->
+      """WITH vocab AS (
+        |  SELECT DISTINCT p_type AS val FROM part WHERE p_partkey % 10 <> 0),
+        |test AS (
+        |  SELECT p_partkey,
+        |    CASE WHEN p_partkey % 50 = 0 THEN p_type || '_xx' ELSE p_type END AS val
+        |  FROM part WHERE p_partkey % 10 = 0)
+        |SELECT t.p_partkey,
+        |  CASE WHEN v.val IS NULL THEN 'yes' ELSE 'no' END AS pred
+        |FROM test t LEFT JOIN vocab v ON t.val = v.val
+        |ORDER BY t.p_partkey""".stripMargin,
+
+    "synthesize_transform_part" ->
+      """SELECT p_partkey, upper(p_name) AS pred FROM (
+        |  SELECT p_partkey, p_name,
+        |    ROW_NUMBER() OVER (ORDER BY p_partkey) AS rn FROM part)
+        |WHERE rn > 3 ORDER BY p_partkey""".stripMargin,
+
+    "transform_affine_lineitem" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(ROUND(l_quantity * 1.8 + 32, 1) AS VARCHAR) AS pred
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "multimodal_features_docs" ->
+      """SELECT doc_id,
+        |  (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS f0,
+        |  CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS f1,
+        |  CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS f2,
+        |  CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS f3
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "asof_purchase_click_events" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(EPOCH_US(ts) AS BIGINT) AS pts
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS ts, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, p.user_id, p.pts,
+        |  c.ts AS asof_ts, c.value AS asof_value
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.pts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "ivf_topk_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id % 100 = 0),
+        |asn AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT q.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.centv)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |                 * list_dot_product(c.centv, c.centv)) DESC,
+        |        c.centroid_id) AS crk
+        |    FROM qv q, cents c)
+        |  WHERE crk = 1),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, a1.centroid_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q
+        |  JOIN asn a1 ON q.vec_id = a1.vec_id AND q.vec_id < 5
+        |  JOIN asn a2 ON a2.centroid_id = a1.centroid_id
+        |  JOIN qv c ON c.vec_id = a2.vec_id AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT query_id, centroid_id, cand_id, cs,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, cand_id) AS rk
+        |  FROM pairs)
+        |SELECT query_id, centroid_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
+        |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "trial_stats_orders" ->
+      """WITH s AS (
+        |  SELECT o_orderstatus, COUNT(*) AS n_trials,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |      * CAST(o_totalprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sum_sq
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n_trials,
+        |  ROUND(sum_price / n_trials, 6) AS mean_price,
+        |  ROUND(SQRT(sum_sq / n_trials -
+        |    (sum_price / n_trials) * (sum_price / n_trials)), 6) AS std_price
+        |FROM s ORDER BY o_orderstatus""".stripMargin
   )
 }

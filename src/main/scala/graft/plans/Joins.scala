@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join operators beyond the built-in equi/non-equi surface (SURVEY §2.3:
+  * the reference has hash equi-joins only; these are the generalized family
+  * a temporal/feature pipeline needs).
+  */
+object Joins {
+
+  /** As-of join: for every left row, attach the latest right row of the same
+    * key whose time ≤ the left row's time (the feature-store / trade-quote
+    * join).
+    *
+    * Implementation is the union-sort trick, NOT a θ-join: tag both inputs,
+    * union, and take per (key) a running `last(right value, ignoreNulls)`
+    * over (time, tag) order — right rows sort before left rows at equal
+    * times, so same-time right rows are visible to the left row. ONE shuffle
+    * on the key, no candidate-pair explosion: at 100 TB this is the only
+    * shape that survives (a `right.time <= left.time` range join is O(n·m)
+    * per key; Spark would nested-loop it).
+    *
+    * @param valueCols right columns to carry (emitted as `asof_<name>`)
+    * @return left rows that found a match (inner as-of semantics)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTime: Column,
+      rightTime: Column,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tag 0 = right (sorts first at equal time), 1 = left
+    val l = left
+      .withColumn("__key", col(leftKey))
+      .withColumn("__t", leftTime)
+      .withColumn("__tag", lit(1))
+    val lPadded = valueCols.foldLeft(l)((d, c) =>
+      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+    val r = right
+      .withColumn("__key", col(rightKey))
+      .withColumn("__t", rightTime)
+      .withColumn("__tag", lit(0))
+    val rPadded = leftCols.foldLeft(
+      valueCols.foldLeft(r)((d, c) => d.withColumn(s"__v_$c", col(c))))(
+      (d, c) => if (valueCols.contains(c) || c == rightKey) d
+        else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val unionCols = leftCols.map(col) ++
+      Seq(col("__key"), col("__t"), col("__tag")) ++
+      valueCols.map(c => col(s"__v_$c"))
+    val unioned = lPadded.select(unionCols: _*)
+      .unionByName(rPadded.select(unionCols: _*))
+    val w = Window.partitionBy(col("__key"))
+      .orderBy(col("__t"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = valueCols.foldLeft(unioned)((d, c) =>
+        d.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
+      // match marker independent of value nullability
+      .withColumn("__matched",
+        last(when(col("__tag") === 0, lit(1)), ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 1 && col("__matched") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+  }
+
+  /** Range join: pair left rows with right rows whose time falls in
+    * [left.start, left.end). Equi-key first (shuffles on the key), the range
+    * predicate applied post-join — Spark plans this as a hash join with the
+    * range as a residual filter, which is the right plan when keys are
+    * selective. For key-less range joins, bucketize the range into intervals
+    * and equi-join on the bucket (see `bucketedRangeJoin`).
+    */
+  def rangeJoin(
+      left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String,
+      rightTime: Column, leftStart: Column, leftEnd: Column): DataFrame =
+    left.join(right,
+      col(leftKey) === col(rightKey) &&
+        rightTime >= leftStart && rightTime < leftEnd)
+
+  /** Key-less interval join at scale: explode each left interval into the
+    * fixed-width buckets it overlaps, equi-join on bucket, then apply the
+    * exact range predicate. Turns an O(n·m) θ-join into a shuffle join whose
+    * fan-out is interval_width / bucketWidth.
+    */
+  def bucketedRangeJoin(
+      left: DataFrame, right: DataFrame,
+      rightTime: Column, leftStart: Column, leftEnd: Column,
+      bucketWidth: Long): DataFrame = {
+    val lb = left
+      .withColumn("__bucket",
+        explode(sequence(floor(leftStart / bucketWidth),
+          floor((leftEnd - 1) / bucketWidth))))
+    val rb = right.withColumn("__bucket", floor(rightTime / bucketWidth))
+    lb.join(rb, Seq("__bucket"))
+      .filter(rightTime >= leftStart && rightTime < leftEnd)
+      .drop("__bucket")
+  }
+}

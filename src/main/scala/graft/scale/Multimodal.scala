@@ -1,0 +1,146 @@
+package graft.scale
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque BINARY payloads plus a
+  * typed metadata struct, with decode / feature-extract / resize /
+  * frame-sample stages (north-star requirement; the reference is text-only).
+  *
+  * The container has no image/audio codecs, so the DECODE STEP IS A STUB —
+  * [[StubCodec]] derives deterministic fake pixels/samples from the md5 of
+  * the payload bytes. Everything around it is real and tested: the schema,
+  * the per-partition batched execution (`mapPartitions` — the Scala analog of
+  * arrow-batched python UDFs: one codec instance per partition, not per row),
+  * the size-balanced repartitioning, and the feature post-processing, which
+  * is plain columnar Spark.
+  *
+  * Scale design: media blobs are large and skewed, so [[repartitionBySize]]
+  * range-partitions on cumulative byte size before the decode stage — a 1000-
+  * executor cluster then decodes balanced byte volumes, not balanced row
+  * counts. Decoded features are small fixed-width arrays; everything
+  * downstream is normal columnar work.
+  */
+object Multimodal {
+
+  /** Typed metadata carried beside every payload. */
+  val mediaMetaType: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),      // image|audio|video
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("n_frames", IntegerType, nullable = true)))
+
+  /** Fabricate a multimodal table from the documents corpus: payload =
+    * utf-8 bytes of the text (a stand-in blob; real pipelines read files via
+    * `spark.read.format("binaryFile")`), metadata derived deterministically
+    * from the doc key.
+    */
+  def fromDocuments(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      col(textCol).cast("binary").as("payload"),
+      struct(
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col(idCol) % 3 + 1).cast("int")).as("kind"),
+        (col(idCol) % 640 + 16).cast("int").as("width"),
+        (col(idCol) % 480 + 16).cast("int").as("height"),
+        lit(16000).as("sample_rate"),
+        (col(idCol) % 30 + 1).cast("int").as("n_frames")).as("meta"))
+
+  /** Range-partition on cumulative payload size so each partition decodes a
+    * comparable byte volume (row-count balance is the wrong target for
+    * skewed blob sizes).
+    */
+  def repartitionBySize(df: DataFrame, numPartitions: Int,
+      payloadCol: String = "payload"): DataFrame =
+    df.withColumn("__sz", length(col(payloadCol)))
+      .repartitionByRange(numPartitions, col("__sz"), spark_partition_id())
+      .drop("__sz")
+
+  /** The stubbed codec: deterministic fake decode. A real deployment swaps
+    * this object for JNI/javacpp bindings (libjpeg/ffmpeg) — the pipeline
+    * shape does not change.
+    */
+  object StubCodec {
+    /** md5 of the payload — the seed all fake signals derive from. */
+    def digest(payload: Array[Byte]): Array[Byte] =
+      MessageDigest.getInstance("MD5").digest(payload)
+
+    /** STUB — not a real image decode. Fake `n` channel statistics: byte i of
+      * md5(payload), unsigned. Deterministic, reproducible in any engine
+      * that has md5.
+      */
+    def channelStats(payload: Array[Byte], n: Int): Array[Int] =
+      digest(payload).take(n).map(b => b & 0xff)
+
+    /** STUB — fake per-frame signature for video: md5 over (payload ++ frame
+      * index), first byte unsigned.
+      */
+    def frameSignature(payload: Array[Byte], frame: Int): Int = {
+      val md = MessageDigest.getInstance("MD5")
+      md.update(payload)
+      md.update(frame.toByte)
+      md.digest()(0) & 0xff
+    }
+  }
+
+  /** Decode + feature-extract stage: per partition, one codec instance, rows
+    * streamed through it (the batched-UDF shape). Output schema: id, kind,
+    * n_bytes, fixed-width feature array.
+    */
+  def decodeFeatures(df: DataFrame, idCol: String = "doc_id",
+      nChannels: Int = 4): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("kind", StringType, nullable = false),
+      StructField("n_bytes", IntegerType, nullable = false),
+      StructField("features", ArrayType(IntegerType, containsNull = false),
+        nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.select(col(idCol), col("payload"), col("meta.kind").as("kind"))
+      .mapPartitions { rows =>
+        // per-partition codec init happens here (stub has none)
+        rows.map { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), r.getString(2), payload.length,
+            StubCodec.channelStats(payload, nChannels).toSeq)
+        }
+      }(enc)
+  }
+
+  /** Frame sampling for video rows: emit every `stride`-th frame index with
+    * its (stubbed) signature. Row-multiplying stage — explode on a bounded
+    * per-row frame count, so output scales with Σ n_frames/stride.
+    */
+  def sampleFrames(df: DataFrame, idCol: String = "doc_id",
+      stride: Int = 5): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("signature", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.filter(col("meta.kind") === "video")
+      .select(col(idCol), col("payload"), col("meta.n_frames").as("n_frames"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = r.getAs[Array[Byte]]("payload")
+          (0 until r.getInt(2) by stride).iterator.map { f =>
+            Row(r.getLong(0), f, StubCodec.frameSignature(payload, f))
+          }
+        }
+      }(enc)
+  }
+
+  /** "Resize" stage (STUB): recompute channel stats at a coarser feature
+    * width — stands in for image resize changing the feature dimensionality.
+    * Pure column work over already-decoded features: truncate the array.
+    */
+  def resizeFeatures(decoded: DataFrame, newWidth: Int): DataFrame =
+    decoded.withColumn("features", slice(col("features"), 1, newWidth))
+}

@@ -1,0 +1,166 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface of the engine (SURVEY.md §2.8: the reference
+  * has no streaming — batch CSV → metrics in one process; these are the
+  * generalized event-stream operators the north star requires, built on the
+  * batch operators' semantics in [[graft.scale.Events]]).
+  *
+  * Every transform here takes and returns a streaming DataFrame, so the same
+  * code runs against any source (`readStream.format("rate"|"kafka"|files)`).
+  * Tests drive them through `MemoryStream` (StreamingSpec).
+  *
+  * Scale design: all aggregations are keyed on (window/session, user) so
+  * state is partitioned by the shuffle; watermarks bound state size — without
+  * one, 100 TB of events would accumulate state forever. Late data beyond the
+  * watermark is dropped (Spark defaults; no reference semantics to honor).
+  */
+object Streams {
+
+  /** Tumbling event-time window aggregation with a watermark. Mirrors
+    * Events.hourlyAgg: counts + exact decimal value sums per
+    * (window, event_type).
+    *
+    * `approxDistinctUsers`: streaming `countDistinct` is unsupported in
+    * append mode, so the distinct-user count is HLL-sketched
+    * (`approx_count_distinct`) — the standard scale trade-off.
+    */
+  def windowedAgg(
+      events: DataFrame,
+      tsCol: String = "ts",
+      window: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(functions.window(col(tsCol), window), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  // alias so `functions.window` above resolves against the sql functions
+  private val functions = org.apache.spark.sql.functions
+
+  /** Streaming exact dedup on key columns within the watermark horizon —
+    * the streaming form of Dedup.exact. State holds one entry per distinct
+    * key seen within the horizon; the watermark evicts it.
+    */
+  def dedupWithinWatermark(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Built-in gap-based session windows (streaming form of
+    * Events.sessionizeNative): sessions close `gap` after the last event,
+    * emitted once the watermark passes.
+    */
+  def sessionWindows(
+      events: DataFrame,
+      tsCol: String = "ts",
+      gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+
+  // ---------------------------------------------------------------------
+  // Custom state: flatMapGroupsWithState sessionization with per-session
+  // event caps — semantics session_window can't express (emit a session
+  // early once it reaches maxEvents, regardless of gap).
+  // ---------------------------------------------------------------------
+
+  final case class SessionEvent(user_id: Long, epochSec: Long, value: Double)
+  final case class SessionState(
+      start: Long, last: Long, nEvents: Long, sumValue: Double)
+  final case class SessionOut(
+      user_id: Long, start_epoch: Long, end_epoch: Long,
+      n_events: Long, sum_value: Double, closed_by: String)
+
+  /** Event-count-capped sessionization via explicit state. With
+    * `idleTimeout=true`, a processing-time timeout also closes idle sessions
+    * — production mode; leave false under test harnesses driven by
+    * `processAllAvailable()`, which never returns while timeout-only batches
+    * keep scheduling. (Event-time closing: swap in `EventTimeTimeout` + an
+    * input watermark — same structure.)
+    */
+  def cappedSessions(
+      events: Dataset[SessionEvent],
+      gapSeconds: Long = 1800L,
+      maxEvents: Long = 100L,
+      idleTimeout: Boolean = false): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append,
+        if (idleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(s =>
+              SessionOut(user, s.start, s.last, s.nEvents, s.sumValue, "timeout"))
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(e => (e.epochSec, e.value))
+            val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.epochSec - s.last > gapSeconds =>
+                  closed += SessionOut(user, s.start, s.last, s.nEvents,
+                    s.sumValue, "gap")
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1L, e.value))
+                case Some(s) =>
+                  val grown = SessionState(s.start, e.epochSec,
+                    s.nEvents + 1, s.sumValue + e.value)
+                  if (grown.nEvents >= maxEvents) {
+                    closed += SessionOut(user, grown.start, grown.last,
+                      grown.nEvents, grown.sumValue, "cap")
+                    cur = None
+                  } else cur = Some(grown)
+                case None =>
+                  cur = Some(SessionState(e.epochSec, e.epochSec, 1L, e.value))
+              }
+            }
+            cur match {
+              case Some(s) =>
+                state.update(s)
+                if (idleTimeout) state.setTimeoutDuration(gapSeconds * 1000)
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the collected result table (test/dev harness; production would
+    * `writeStream.format("parquet").option("checkpointLocation", …)`).
+    */
+  def runToMemory(
+      spark: SparkSession,
+      df: DataFrame,
+      name: String,
+      outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(name)
+  }
+}

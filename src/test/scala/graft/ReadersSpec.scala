@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.Readers
+
+class ReadersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpFile(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft_readers")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  test("S1 csv reader infers header and types") {
+    val path = tmpFile("t.csv", "id,name,score\n1,alpha,2.5\n2,beta,3.0\n")
+    val df = Readers.csv(spark, path)
+    assert(df.columns.toSeq === Seq("id", "name", "score"))
+    assert(df.count() === 2)
+    assert(df.schema("id").dataType.typeName === "integer")
+  }
+
+  test("S1+J1 blockedPairs joins labels through both dims and serializes") {
+    val labels = Seq((1, 10, 1), (2, 20, 0)).toDF("ltable_id", "rtable_id", "label")
+    val a = Seq((1, "acme corp"), (2, "other")).toDF("id", "name")
+    val b = Seq((10, "acme inc"), (20, "misc")).toDF("id", "name")
+    val out = Readers.blockedPairs(labels, a, b).orderBy("label_str")
+      .as[(String, String)].collect().toSeq
+    assert(out === Seq(
+      ("A: other; B: misc", "No"),
+      ("A: acme corp; B: acme inc", "Yes")))
+  }
+
+  test("S2 transformationPairs: instruction line, tab-split, blank filtering") {
+    val path = tmpFile("pairs.tsv",
+      "//convert to upper\nfoo\t\tFOO\n\n  \nbar\t\tBAR\n")
+    val (df, instr) = Readers.transformationPairs(spark, path)
+    assert(instr === Some("convert to upper"))
+    val rows = df.orderBy("__line").select("text", "label_str")
+      .as[(String, String)].collect().toSeq
+    assert(rows === Seq(("foo", "FOO"), ("bar", "BAR")))
+    val (train, test) = Readers.splitTrainTest(df, 1)
+    assert(train.count() === 1 && test.count() === 1)
+  }
+
+  test("S4 instruction reader strips //") {
+    val path = tmpFile("instruction.txt", "// do the thing \n")
+    assert(Readers.instruction(path) === Some("do the thing"))
+    assert(Readers.instruction("/nonexistent/instruction.txt") === None)
+  }
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.SerializeResplitRule
+import graft.serialize.Serialize
+import graft.transform.TransformProgram.SplitIndex
+
+class RuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("serialize→re-split round trip collapses to the direct column") {
+    spark.experimental.extraOptimizations = Seq(SerializeResplitRule)
+    try {
+      val df = Seq(("alpha", "beta", "1"), ("gamma", "delta", "2"))
+        .toDF("a", "b", "c")
+      val serialized = df.select(col("a"),
+        Serialize.serializeSimple(Seq("a", "b", "c")).as("text"))
+      // element_at(split(text, quote(^)), 2) — the shape SplitIndex compiles to
+      val roundTrip = serialized.select(
+        element_at(split(col("text"), java.util.regex.Pattern.quote("^")), 2)
+          .as("field"))
+      val optimized = roundTrip.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("split"),
+        s"round trip should collapse, got:\n$optimized")
+      assert(roundTrip.as[String].collect().toSeq === Seq("beta", "delta"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rule does not fire when the index can exceed the column count") {
+    spark.experimental.extraOptimizations = Seq(SerializeResplitRule)
+    try {
+      // range source: keeps the plan from collapsing to a LocalRelation,
+      // so the (un-rewritten) expression stays visible for inspection
+      val df = spark.range(1)
+        .select(concat(lit("x"), col("id")).as("a"), lit("y").as("b"))
+      val q = df.select(
+        try_element_at(split(
+          Serialize.serializeSimple(Seq("a", "b")),
+          java.util.regex.Pattern.quote("^")), lit(5)).as("field"))
+      assert(q.queryExecution.optimizedPlan.toString.contains("split"))
+      assert(q.as[Option[String]].head().isEmpty)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("SplitIndex after serialize still computes correctly (program path)") {
+    val df = Seq(("ab", "cd")).toDF("a", "b")
+    val text = Serialize.serializeSimple(Seq("a", "b"))
+    val out = df.select(SplitIndex("^", 1).toColumn(text).as("v"))
+    assert(out.as[String].head() === "cd")
+  }
+}

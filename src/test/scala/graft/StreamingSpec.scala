@@ -1,0 +1,86 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streams
+import graft.streaming.Streams.{SessionEvent, SessionOut}
+
+case class Ev(ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(sec: Long) = new Timestamp(sec * 1000L)
+
+  test("windowedAgg aggregates per tumbling window and event type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(60), 2, "click", 2.0),
+      Ev(t(120), 1, "buy", 10.0), Ev(t(3700), 1, "click", 4.0))
+    val out = Streams.runToMemory(spark,
+      Streams.windowedAgg(in.toDF(), window = "1 hour"),
+      "win_agg", OutputMode.Complete)
+    val rows = out
+      .select(unix_timestamp($"window.start").as("w"), $"event_type",
+        $"n_events", $"sum_value")
+      .as[(Long, String, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (0L, "click", 2L, 3.0), (0L, "buy", 1L, 10.0),
+      (3600L, "click", 1L, 4.0)))
+  }
+
+  test("dedupWithinWatermark drops repeated keys") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(10), 1, "click", 1.0),
+      Ev(t(20), 2, "click", 2.0))
+    val out = Streams.runToMemory(spark,
+      Streams.dedupWithinWatermark(in.toDF(), Seq("user_id", "event_type")),
+      "dedup_stream")
+    assert(out.count() === 2)
+    assert(out.select("user_id").as[Long].collect().sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("sessionWindows closes sessions at the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    // user 1: two events 10 min apart (one session), then one 2h later
+    in.addData(
+      Ev(t(0), 1, "click", 1.0), Ev(t(600), 1, "click", 2.0),
+      Ev(t(7800), 1, "click", 3.0))
+    // advance the watermark far enough to emit both sessions
+    in.addData(Ev(t(100000), 9, "tick", 0.0))
+    val out = Streams.runToMemory(spark,
+      Streams.sessionWindows(in.toDF(), gap = "30 minutes"),
+      "sess_win")
+    val u1 = out.filter($"user_id" === 1)
+      .select($"n_events", $"sum_value").as[(Long, Double)]
+      .collect().toSet
+    assert(u1 === Set((2L, 3.0), (1L, 3.0)))
+  }
+
+  test("cappedSessions closes on gap and on event cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    // user 1: 3 events within gap → capped at 3; user 2: gap-split
+    in.addData(
+      SessionEvent(1, 0, 1.0), SessionEvent(1, 10, 2.0), SessionEvent(1, 20, 3.0),
+      SessionEvent(2, 0, 5.0), SessionEvent(2, 4000, 7.0))
+    val out = Streams.runToMemory(spark,
+      Streams.cappedSessions(in.toDS(), gapSeconds = 1800L, maxEvents = 3L).toDF(),
+      "capped_sess")
+    val rows = out.as[SessionOut].collect()
+    val u1 = rows.filter(_.user_id == 1)
+    assert(u1.length === 1 && u1.head.closed_by === "cap" &&
+      u1.head.n_events === 3 && u1.head.sum_value === 6.0)
+    val u2 = rows.filter(_.user_id == 2)
+    assert(u2.length === 1 && u2.head.closed_by === "gap" &&
+      u2.head.n_events === 1 && u2.head.sum_value === 5.0)
+  }
+}
