@@ -344,14 +344,18 @@ object SparkEntry {
 
     // ---- J3 entity-matching similarity predicates (blocked self-join) ------
     "em_similarity_part" -> ((s, dir) => {
+      // tokens materialize BEFORE the pair join: one tokenization per part
+      // row instead of one per candidate pair
       val p = t(s, dir, "part")
+        .withColumn("toks", Wrangler.emTokens(col("p_name")))
       val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-        col("p_brand"), col("p_size"))
+        col("toks").as("toks_a"), col("p_brand"), col("p_size"))
       val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-        col("p_brand"), col("p_size"))
+        col("toks").as("toks_b"), col("p_brand"), col("p_size"))
       a.join(b, Seq("p_brand", "p_size"))
         .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", Wrangler.tokenJaccard(col("name_a"), col("name_b")))
+        .withColumn("sim",
+          Wrangler.tokenJaccardArrays(col("toks_a"), col("toks_b")))
         .withColumn("lev_sim",
           Wrangler.levenshteinSim(col("name_a"), col("name_b")))
         .select(col("id_a"), col("id_b"),
@@ -438,6 +442,83 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") < 5), e, "vec_id",
           "embedding", 5, 100)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ---- canonical-representative dedup (keep best per group) -------------
+    "dedup_keep_best_docs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select("doc_id", "source", "n_chars")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus statistics: top-k tokens (explode → count → topk) ----------
+    "top_tokens_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)),
+
+    // ---- pivot (explicit value list → deterministic columns) ---------------
+    "pivot_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .orderBy(col("user_bucket"))),
+
+    // ---- cube over event_type × high-value flag ----------------------------
+    // rollup nulls project to 'ALL': nullable booleans stringify differently
+    // in the two engines' pandas bridges ('None' vs NaN) — a checker
+    // artifact, not semantics — so the output carries no nulls.
+    "cube_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .cube(col("event_type"),
+          (col("value") > 100.0).as("high_value"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("high_value").cast("string"), lit("ALL"))
+            .as("high_value"),
+          col("n"))
+        .orderBy(col("event_type"), col("high_value"))),
+
+    // ---- sketches: approx distinct + approx percentiles (rows-only check:
+    // sketch internals are engine-specific by design) ------------------------
+    "approx_stats_events" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id")).as("n_users_approx"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
+          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
+        .orderBy(col("event_type"))),
+
+    // ---- skew: salted two-phase aggregation (5 hot keys spread over salt
+    // buckets; result is salt-independent → plain GROUP BY oracle) -----------
+    "salted_agg_events" -> ((s, dir) =>
+      graft.scale.Skew.saltedCountSum(
+          t(s, dir, "events"), Seq("event_type"), "value", 16,
+          Seq(col("event_id")))
+        .orderBy(col("event_type"))),
+
+    // ---- composite training-data pipeline: quality filter → exact dedup →
+    // stratified per-lang sample (the 100 TB preprocessing shape) ------------
+    "training_pipeline_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val q = TextAnalysis.qualityFeatures(docs, "text")
+        .filter(col("n_tokens") >= 5 && col("distinct_ratio") >= 0.3)
+      val deduped = q.withColumn("__rn",
+          row_number().over(Window.partitionBy(col("text"))
+            .orderBy(col("doc_id"))))
+        .filter(col("__rn") === 1)
+      Samplers.stratifiedDeterministic(
+          deduped.select("doc_id", "lang", "n_tokens"), "lang", "doc_id", 50)
+        .orderBy(col("doc_id"))
     }),
 
     // ---- G5 trial mean/std from exact decimal sums -------------------------
@@ -929,6 +1010,64 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, centroid_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
         |FROM r WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+
+    "salted_agg_events" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "training_pipeline_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0))) AS DOUBLE)
+        |      / GREATEST(1, len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0))) AS distinct_ratio
+        |  FROM documents),
+        |f AS (SELECT * FROM q WHERE n_tokens >= 5 AND distinct_ratio >= 0.3),
+        |d AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS drn
+        |  FROM f),
+        |dd AS (SELECT doc_id, lang, n_tokens FROM d WHERE drn = 1),
+        |st AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS srn
+        |  FROM dd)
+        |SELECT doc_id, lang, n_tokens FROM st WHERE srn <= 50
+        |ORDER BY doc_id""".stripMargin,
+
+    "dedup_keep_best_docs" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "top_tokens_docs" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "pivot_events" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "cube_events" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(value > 100.0 AS VARCHAR), 'ALL') AS high_value,
+        |  COUNT(*) AS n
+        |FROM events
+        |GROUP BY CUBE(event_type, value > 100.0)
+        |ORDER BY 1, 2""".stripMargin,
 
     "trial_stats_orders" ->
       """WITH s AS (

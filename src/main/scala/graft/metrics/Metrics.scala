@@ -76,8 +76,26 @@ object Metrics {
   /** F4 — the reference's row-level correctness predicate
     * (`utils/utils.py:104-107` + `64-80`): case/whitespace-insensitive exact
     * match, OR both sides contain numbers and all pairs are within tolerance.
+    *
+    * Default path is the native codegen'd [[TolerantEqualsExpr]] (one regex
+    * pass per side, stays in whole-stage codegen — ~20× the composed
+    * built-in form on 600k rows). [[tolerantEqualsColumns]] keeps the
+    * pure-built-in formulation; MetricsSpec asserts they agree.
     */
   def tolerantEquals(
+      pred: Column,
+      gold: Column,
+      tol: Double = 0.021,
+      truncating: Boolean = true): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.column(TolerantEqualsExpr(
+      ColumnBridge.expression(pred.cast("string")),
+      ColumnBridge.expression(gold.cast("string")),
+      tol, truncating))
+  }
+
+  /** F4 via composed built-in expressions only (reference formulation). */
+  def tolerantEqualsColumns(
       pred: Column,
       gold: Column,
       tol: Double = 0.021,

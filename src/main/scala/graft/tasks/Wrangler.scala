@@ -58,14 +58,22 @@ object Wrangler {
   // promptsTemplate.py:30-48) as column expressions over the A/B halves.
   // ---------------------------------------------------------------------
 
-  /** Token-set Jaccard between two string columns. */
-  def tokenJaccard(a: Column, b: Column): Column = {
-    val ta = array_distinct(filter(split(lower(a), "\\s+|;\\s*"), t => length(t) > 0))
-    val tb = array_distinct(filter(split(lower(b), "\\s+|;\\s*"), t => length(t) > 0))
+  /** Distinct lowercase tokens of a string column. Materialize this BEFORE a
+    * pair join (one tokenization per row, not per pair).
+    */
+  def emTokens(a: Column): Column =
+    array_distinct(filter(split(lower(a), "\\s+|;\\s*"), t => length(t) > 0))
+
+  /** Jaccard over two precomputed distinct-token arrays. */
+  def tokenJaccardArrays(ta: Column, tb: Column): Column = {
     val inter = size(array_intersect(ta, tb))
     val uni = size(array_union(ta, tb))
     when(uni === 0, 0.0).otherwise(inter.cast("double") / uni)
   }
+
+  /** Token-set Jaccard between two string columns. */
+  def tokenJaccard(a: Column, b: Column): Column =
+    tokenJaccardArrays(emTokens(a), emTokens(b))
 
   /** Normalized Levenshtein similarity (1 - dist/maxlen). */
   def levenshteinSim(a: Column, b: Column): Column = {

@@ -74,6 +74,25 @@ class MetricsSpec extends SparkSpec {
     assert(r)   // "" == ""
   }
 
+  test("native codegen expr agrees with the composed built-in formulation") {
+    val cases = Seq(
+      ("  Hello ", "hello"), ("a", "b"), ("3.14", "3.15"), ("3.14", "3.17"),
+      ("1/2", "0.5"), ("1/2", "1.0 2.0"), ("-3.14", "3.14"),
+      ("1.0 2.0 3.0", "1.0 2.0"), ("", ""), ("x 1.0", "y"),
+      ("0.021", "0.042"), ("0.021", "0.0421"), ("nan", "nan"),
+      ("12,5", "12.5"), ("v1.2.3", "1.2 3"), (".5", "0.5"))
+    for (truncating <- Seq(true, false)) {
+      val df = cases.toDF("p", "g")
+      val both = df.select(
+        Metrics.tolerantEquals(col("p"), col("g"), 0.021, truncating).as("a"),
+        Metrics.tolerantEqualsColumns(col("p"), col("g"), 0.021, truncating).as("b"))
+      val rows = both.as[(Boolean, Boolean)].collect()
+      rows.zip(cases).foreach { case ((a, b), c) =>
+        assert(a === b, s"native vs columns disagree on $c (truncating=$truncating)")
+      }
+    }
+  }
+
   test("confusionMetrics counts + legacy F1 deflation") {
     val df = Seq(
       ("yes", "yes"),   // tp

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.scale.Events
+
+/** Plan-shape regression guards: the properties that make these operators
+  * scale are asserted, not assumed (builder prompt: ".explain the plan and
+  * iterate until it's the plan you'd want").
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("filter + projection push into the parquet scan") {
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(col("lang") === "en")
+      .select("doc_id", "n_chars")
+    val plan = formatted(docs)
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"),
+      s"missing pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,lang:string,n_chars:bigint>"),
+      s"column pruning failed:\n$plan")
+  }
+
+  test("em_blocked_pairs uses broadcast joins (no shuffle on the fact side)") {
+    val df = SparkEntry.queries("em_blocked_pairs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("sessionize window and aggregation share one user_id exchange") {
+    val df = Events.sessionize(Tables.load(spark, sf, "events"))
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected single user_id shuffle, found $exchanges:\n$plan")
+  }
+
+  test("q1 aggregation is partial+final hash agg (map-side combine)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+  }
+
+  test("tolerant equality stays inside whole-stage codegen") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val df = li.select(graft.metrics.Metrics.tolerantEquals(
+      col("l_quantity").cast("string"),
+      col("l_discount").cast("string")).as("crc"))
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" marks operators inside a WholeStageCodegen stage; the Project
+    // evaluating the expression must carry it
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")),
+      s"expression not in a codegen stage:\n$plan")
+  }
+
+  test("topk plans as TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("topk_orders")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+}

@@ -65,6 +65,37 @@ class StreamingSpec extends SparkSpec {
     assert(u1 === Set((2L, 3.0), (1L, 3.0)))
   }
 
+  test("file-stream over the real events table matches batch hourly counts") {
+    import graft.io.Tables
+    import graft.scale.Events
+    val batch = Tables.load(spark, sf, "events")   // sets nanosAsLong conf
+    // file streams need a DIRECTORY source; stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamed = spark.readStream
+      .schema(batch.schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val agg = Streams.windowedAgg(streamed, tsCol = "ts_t",
+      window = "1 hour", watermark = "2 hours")
+    val out = Streams.runToMemory(spark, agg, "real_events_win",
+      org.apache.spark.sql.streaming.OutputMode.Complete)
+    val streamTotal = out.agg(sum("n_events")).as[Long].head()
+    val batchTotal = batch.count()
+    assert(streamTotal === batchTotal)
+    // per-(hour, type) counts agree with the batch operator
+    val batchAgg = Events.hourlyAgg(batch)
+      .select($"hour_epoch", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val streamAgg = out
+      .select(unix_timestamp($"window.start").as("h"), $"event_type",
+        $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamAgg === batchAgg)
+  }
+
   test("cappedSessions closes on gap and on event cap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
