@@ -148,6 +148,14 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // ---- deterministic hash-ish sample (shuffle-free, pruning-friendly) ----
+    "modulo_sample_lineitem" -> ((s, dir) =>
+      Samplers.moduloSample(
+          t(s, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_partkey"),
+          "l_orderkey", 10, 3)
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // ---- T1 top-k ---------------------------------------------------------
     "topk_orders" -> ((s, dir) =>
       Samplers.topK(
@@ -613,6 +621,11 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
         |FROM r, tot WHERE r.rn <= FLOOR(tot.total * 0.1)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "modulo_sample_lineitem" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+        |WHERE l_orderkey % 10 = 3
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "topk_orders" ->

@@ -124,6 +124,20 @@ object Samplers {
       rn.filter(col("__rn") > k).drop("__rn"))
   }
 
+  /** T2 — 3-way co-sort (`sort_by_instruction`, `utils/data_utils.py:226-246`):
+    * align parallel (train, test, instruction) triples by the instruction
+    * key so per-sub-task splits stay matched. Driver-side list op — the
+    * lists hold DataFrame handles, not data.
+    */
+  def coSort3[A, B](
+      train: Seq[A], test: Seq[A], instructions: Seq[B])(
+      implicit ord: Ordering[B]): (Seq[A], Seq[A], Seq[B]) = {
+    require(train.length == test.length && test.length == instructions.length,
+      "co-sort requires equal-length lists")
+    val sorted = instructions.zip(train.zip(test)).sortBy(_._1)
+    (sorted.map(_._2._1), sorted.map(_._2._2), sorted.map(_._1))
+  }
+
   /** T1 — top-k by a sort column with a stable unique tiebreaker (the
     * reference's best-function pick is a driver-side `maxBy`,
     * `run_wrangler.py:210-213`; as a data-plane op this is orderBy+limit,

@@ -1,0 +1,111 @@
+package graft.tasks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{TaskKind, WranglerConfig}
+import graft.io.Sinks
+import graft.metrics.Metrics
+import graft.transform._
+
+/** Full-run orchestration mirroring `run_wrangler.py main()` (SURVEY §3.1):
+  * per task — synthesize over demo samples (V5 trial loop), select per-batch
+  * functions (V6), apply distributed (F2), aggregate task metrics (G4), then
+  * global all-rows metrics + mean/std over tasks (G5) and the JSON sinks
+  * (S6/S7).
+  *
+  * The reference iterates rows in a driver loop; here each task's apply is
+  * one codegen'd column over its test split, and every metric is a one-pass
+  * conditional aggregation.
+  */
+object WranglerMain {
+
+  final case class TaskInput(
+      name: String,
+      kind: TaskKind,
+      data: DataFrame,          // canonical (text, label_str) + orderCol
+      orderCol: String,
+      instruction: Option[String])
+
+  final case class TaskResult(
+      name: String,
+      program: TransformProgram,
+      applied: DataFrame,       // with pred
+      metrics: Map[String, Double])
+
+  /** V6 — per-task function selection (`run_wrangler.py:194-227`):
+    * transformation & error detection zip batches to per-trial functions;
+    * EM & imputation use the single best-accuracy function for all batches.
+    * The reference's batch list is `[whole test set]`
+    * (`run_wrangler.py:182-184`), so zip selects trial 0's function —
+    * behavior preserved.
+    */
+  def selectPrograms(
+      kind: TaskKind,
+      trials: Seq[(TransformProgram, Double)],
+      nBatches: Int): Seq[TransformProgram] = kind match {
+    case TaskKind.DataTransformation | TaskKind.ErrorDetection =>
+      trials.take(nBatches).map(_._1)                  // zip semantics
+    case _ =>
+      Seq.fill(nBatches)(trials.maxBy(_._2)._1)        // best-of-trials
+  }
+
+  def metricsToMap(df: DataFrame): Map[String, Double] = {
+    val row = df.collect()(0)
+    row.schema.fieldNames.map(f =>
+      f -> row.getAs[Any](f).toString.toDouble).toMap
+  }
+
+  /** One task end-to-end. Empty test split → skipped (P11 guard,
+    * `run_wrangler.py:172-174`).
+    */
+  def runTask(input: TaskInput,
+      cfg: WranglerConfig = WranglerConfig.default): Option[TaskResult] = {
+    val (trainDf, testDf) =
+      graft.sample.Samplers.positionalSplit(input.data, input.orderCol, cfg.k)
+    if (testDf.isEmpty) return None
+    val train = trainDf.select("text", "label_str").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val trials = Validation.trialLoop(
+      RuleSynthesizer, input.instruction, train, Seq.empty, cfg)
+    val prog = selectPrograms(input.kind, trials, 1).head
+    val applied = Wrangler.applyProgram(testDf, prog)
+    val m = metricsToMap(Metrics.confusionMetrics(
+      applied, "pred", "label_str", cfg.tolerance, cfg.truncatingZip))
+    Some(TaskResult(input.name, prog, applied, m))
+  }
+
+  /** All tasks + global metrics + sinks. Returns per-task results and the
+    * global metric map that lands in metrics.json.
+    */
+  def runAll(
+      spark: SparkSession,
+      inputs: Seq[TaskInput],
+      outDir: String,
+      cfg: WranglerConfig = WranglerConfig.default)
+      : (Seq[TaskResult], Map[String, Double]) = {
+    val results = inputs.flatMap(runTask(_, cfg))
+    // all-rows global metrics (run_wrangler.py:257-261): union of applied
+    val global = results.map(_.applied.select("pred", "label_str"))
+      .reduceOption(_ unionByName _)
+      .map(u => metricsToMap(Metrics.confusionMetrics(
+        u, "pred", "label_str", cfg.tolerance, cfg.truncatingZip)))
+      .getOrElse(Map.empty)
+    // per-task mean/std of accuracy (G5; np.std is population std)
+    val accs = results.map(_.metrics("acc"))
+    val stats =
+      if (accs.isEmpty) Map.empty[String, Double]
+      else {
+        val mean = accs.sum / accs.size
+        val variance = accs.map(a => (a - mean) * (a - mean)).sum / accs.size
+        Map("acc_mean" -> mean, "acc_std" -> math.sqrt(variance))
+      }
+    val all = global.map { case (k, v) => s"global_$k" -> v } ++ stats ++
+      results.flatMap(r => r.metrics.map { case (k, v) =>
+        s"${r.name}_$k" -> v })
+    Sinks.writeMetricsJson(all, s"$outDir/metrics.json")
+    Sinks.writeLearnedProgramsJson(
+      results.map(_.program.describe), s"$outDir/learned_funcs.json")
+    (results, all)
+  }
+}

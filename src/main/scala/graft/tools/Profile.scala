@@ -30,6 +30,21 @@ object Profile {
     val docs = Tables.load(spark, sfDir, "documents")
     time("warmup count")(docs.count())
 
+    val events = Tables.load(spark, sfDir, "events")
+    time("pivot (Spark pivot op)")(
+      events.groupBy((col("user_id") % 10).as("user_bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().count())
+    time("pivot (manual conditional agg)")(
+      events.groupBy((col("user_id") % 10).as("user_bucket"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L)).as("click"),
+          sum(when(col("event_type") === "error", 1L)).as("error"),
+          sum(when(col("event_type") === "purchase", 1L)).as("purchase"),
+          sum(when(col("event_type") === "signup", 1L)).as("signup"),
+          sum(when(col("event_type") === "view", 1L)).as("view"))
+        .count())
+
     val sh = docs.select(col("doc_id"),
       explode(Shingles.wordShingles(col("text"), 3)).as("sh"))
     time("shingle explode")(sh.count())

@@ -63,6 +63,16 @@ class SamplersSpec extends SparkSpec {
     assert(parts == 100)
   }
 
+  test("coSort3 aligns parallel lists by instruction key") {
+    val (tr, te, ins) = Samplers.coSort3(
+      Seq("tA", "tB", "tC"), Seq("eA", "eB", "eC"), Seq("b", "c", "a"))
+    assert(ins == Seq("a", "b", "c"))
+    assert(tr == Seq("tC", "tA", "tB") && te == Seq("eC", "eA", "eB"))
+    intercept[IllegalArgumentException] {
+      Samplers.coSort3(Seq(1), Seq(1, 2), Seq("x"))
+    }
+  }
+
   test("topK picks by sort column with stable tiebreak") {
     val got = Samplers.topK(labeled, col("label_str").desc, col("id"), 3)
       .as[(Long, String)].collect()
