@@ -120,6 +120,92 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Lloyd k-means over an embedding column, pure DataFrame ops — the real
+    * IVF centroid training (ivfTopK's modulo pick stands in where oracle
+    * determinism matters). Deterministic init: the k lowest-id vectors.
+    * Each iteration: one broadcast crossJoin assignment + one posexplode +
+    * hash-agg mean — shuffle keyed on (centroid, dim), never on pairs.
+    */
+  def kmeansCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = df.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    var cents = vecs.orderBy(col("__id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("__id"))) - 1)
+        .as("centroid_id"), col("__v").as("centv"))
+    for (_ <- 0 until iters) {
+      val assigned = assignNearest(vecs, cents)
+      cents = assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
+          .as("__pairs"))
+        .select(col("centroid_id"),
+          transform(col("__pairs"), p => p.getField("m")).as("centv"))
+    }
+    cents
+  }
+
+  /** Argmin-L2 centroid per vector (broadcast centroids; ties → lowest id). */
+  private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d2 = aggregate(zip_with(col("__v"), col("centv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__d2"), col("centroid_id"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("__d2", d2)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .drop("__rk", "__d2", "centv")
+  }
+
+  /** IVF search with trained centroids and multi-probe: each query scans its
+    * `nProbe` nearest cells instead of one (recall/latency dial). The only
+    * pair work is within probed cells — scan cost is ~nProbe/k of the corpus
+    * per query at 100 TB.
+    */
+  def ivfTopKTrained(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroids: DataFrame,
+      nProbe: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = candidates.select(col(idCol).as("__id"),
+      transform(col(vecCol), x => x.cast("double")).as("__v"))
+    val cAssigned = assignNearest(cand, centroids)
+      .select(col("__id").as("cand_id"), col("__v").as("cv"),
+        col("centroid_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x => x.cast("double")).as("qv"))
+    val d2 = aggregate(zip_with(col("qv"), col("centv"),
+      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d2"), col("centroid_id"))
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .withColumn("__d2", d2)
+      .withColumn("__rk", row_number().over(wProbe))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("qv"), col("centroid_id"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    qProbes.join(cAssigned, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("cos_sim", cosine(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"), col("cos_sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
     * LSH-ish signature: the sign pattern of selected components (a random-
     * hyperplane sketch with axis-aligned planes — deterministic). Pairs are

@@ -82,6 +82,34 @@ class ScaleSpec extends SparkSpec {
       .agg(max("count")).as[Long].head() <= 5)
   }
 
+  test("kmeans finds planted clusters; trained IVF matches brute force") {
+    import graft.scale.Similarity
+    // two tight clusters around (10,0,...) and (0,10,...)
+    val vecs = ((0 until 10).map(i => (i.toLong,
+      Array(10.0f + i * 0.01f, 0.0f, 1.0f, 0.0f))) ++
+      (10 until 20).map(i => (i.toLong,
+        Array(0.0f, 10.0f + i * 0.01f, 0.0f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(vecs, "vec_id", "embedding", 2, 4)
+    val cMap = cents.collect().map(r =>
+      r.getAs[Long]("centroid_id") ->
+        r.getAs[scala.collection.Seq[Double]]("centv").toVector).toMap
+    assert(cMap.size === 2)
+    // one centroid dominated by dim 0, the other by dim 1
+    val dims = cMap.values.map(v => v.indexOf(v.max)).toSet
+    assert(dims === Set(0, 1))
+    // multi-probe IVF covers both cells → identical to brute force here
+    val ivf = Similarity.ivfTopKTrained(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 5,
+      cents, nProbe = 2)
+      .select("cand_id", "rk").as[(Long, Int)].collect().toMap
+    val brute = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" === 0), vecs, "vec_id", "embedding", 5,
+      quantized = false)
+      .select("cand_id", "rk").as[(Long, Int)].collect().toMap
+    assert(ivf === brute)
+  }
+
   test("sessionize splits on gap > threshold") {
     val base = 1700000000L
     val ev = Seq(
