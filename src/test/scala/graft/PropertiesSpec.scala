@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+import graft.metrics.{MetricsAggregator, TolerantEq}
+import graft.transform.{LocalEval, TransformProgram}
+
+/** Property-based invariants (SURVEY §5.2): tolerant-equality algebra,
+  * serialization round-trips, metric bounds — driver-side via the same
+  * evaluators the engine compiles into expressions (TolerantEq backs the
+  * codegen'd TolerantEqualsExpr; LocalEval backs validation).
+  */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Raw-scalacheck sampling (no scalatestplus bridge in the offline cache):
+    * draw n samples from the generator and assert the property on each.
+    */
+  private def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    Iterator.continually(g.sample).flatten.take(n).foreach(f)
+
+  private def forAll[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(Gen.zip(ga, gb))(p => f(p._1, p._2))
+
+  private def u(s: String) =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+  private val anyString = Gen.asciiPrintableStr
+
+  test("tolerant equality is reflexive") {
+    forAll(anyString) { s =>
+      assert(TolerantEq.eval(u(s), u(s), 0.021, truncating = true))
+    }
+  }
+
+  test("tolerant equality is symmetric under equal-length lists") {
+    forAll(anyString, anyString) { (a, b) =>
+      val ab = TolerantEq.eval(u(a), u(b), 0.021, truncating = false)
+      val ba = TolerantEq.eval(u(b), u(a), 0.021, truncating = false)
+      assert(ab === ba)
+    }
+  }
+
+  test("tolerance monotonicity: a match at tol stays a match at larger tol") {
+    forAll(anyString, anyString) { (a, b) =>
+      if (TolerantEq.eval(u(a), u(b), 0.01, truncating = true))
+        assert(TolerantEq.eval(u(a), u(b), 0.1, truncating = true))
+    }
+  }
+
+  test("number extraction never throws and yields finite doubles") {
+    forAll(anyString) { s =>
+      val nums = TolerantEq.extract(s.toLowerCase)
+      assert(nums.forall(d => !d.isNaN))
+    }
+  }
+
+  test("serialize(sep-free values) splits back to the original fields") {
+    val sepFree = Gen.listOfN(3,
+      Gen.alphaNumStr.suchThat(s => s.nonEmpty && !s.contains("^")))
+    forAll(sepFree) { vals =>
+      val joined = vals.mkString("^")   // P2 serializeSimple shape
+      assert(joined.split(java.util.regex.Pattern.quote("^"), -1).toSeq
+        === vals)
+    }
+  }
+
+  test("SplitIndex eval: index within range returns the field, else empty") {
+    val fields = Gen.listOfN(4, Gen.alphaNumStr.suchThat(!_.contains(",")))
+    forAll(fields, Gen.choose(-6, 6)) { (vals, idx) =>
+      val prog = TransformProgram.SplitIndex(",", idx)
+      val out = prog.eval(vals.mkString(","))
+      val i = if (idx >= 0) idx else vals.length + idx
+      if (i >= 0 && i < vals.length) assert(out === vals(i))
+      else assert(out === "")
+    }
+  }
+
+  test("Chain(eval) composes left to right") {
+    forAll(anyString) { s =>
+      val prog = TransformProgram.Chain(Seq(
+        TransformProgram.TrimWs, TransformProgram.LowerCase))
+      assert(prog.eval(s) === s.trim.toLowerCase)
+    }
+  }
+
+  test("metric counts are bounded and consistent") {
+    val label = Gen.oneOf("yes", "no", "maybe")
+    forAll(Gen.listOf(Gen.zip(label, label))) { pairs =>
+      val agg = MetricsAggregator()
+      val counts = pairs.foldLeft(agg.zero)((b, p) => agg.reduce(b, p))
+      val r = agg.finish(counts)
+      assert(r.total === pairs.length)
+      assert(r.tp + r.fn + r.tn + r.fp <= r.total)
+      assert(r.crc <= r.total)
+      assert(r.acc >= 0.0 && r.acc <= 1.0)
+      assert(r.prec >= 0.0 && r.prec <= 1.0 && r.rec >= 0.0 && r.rec <= 1.0)
+      assert(r.f1Legacy <= r.f1 + 1e-12)   // legacy only ever deflates
+    }
+  }
+
+  test("LocalEval accuracy agrees with TolerantEq on identity programs") {
+    forAll(Gen.listOf(anyString)) { inputs =>
+      val demos = inputs.map(s => (s, s))
+      if (demos.nonEmpty)
+        assert(LocalEval.accuracy(TransformProgram.Identity, demos) === 1.0)
+    }
+  }
+}
