@@ -291,6 +291,11 @@ object SparkEntry {
       Events.hourlyAgg(t(s, dir, "events"))
         .orderBy(col("hour_epoch"), col("event_type"))),
 
+    // ---- scale: sliding-window aggregation (1h window / 30m slide) ---------
+    "sliding_agg_events" -> ((s, dir) =>
+      Events.slidingAgg(t(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     // ---- scale: JSON property extraction + agg -----------------------------
     "json_props_events" -> ((s, dir) =>
       Events.extractProps(t(s, dir, "events"))
@@ -858,6 +863,20 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "sliding_agg_events" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) AS ep
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest([ (ep // 1800) * 1800 - 1800, (ep // 1800) * 1800 ])
+        |      AS win_start
+        |  FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "json_props_events" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -81,6 +81,21 @@ object Events {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
   }
 
+  /** Sliding event-time windows (batch form of the streaming sliding agg):
+    * each event lands in window_len/slide windows; the generator fan-out is
+    * the built-in `window()` function, emitted as window-start epoch seconds.
+    */
+  def slidingAgg(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("__ts", tsAsTimestamp(events))
+      .groupBy(window(col("__ts"), windowLen, slide), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** Built-in session_window variant (same semantics, Spark-native operator;
     * covered by unit tests — the lag-based form above is the oracle query).
     */

@@ -138,6 +138,46 @@ object Wrangler {
       .drop("__mind")
   }
 
+  /** Deletion variants of a string column: the word itself plus every
+    * single-character deletion (SymSpell neighborhood for edit distance 1).
+    */
+  def deletionVariants(w: Column): Column = {
+    val dels = transform(sequence(lit(1), greatest(length(w), lit(1))),
+      i => concat(
+        w.substr(lit(1), (i - 1).cast("int")),
+        w.substr((i + 1).cast("int"), length(w))))
+    array_distinct(concat(array(w), dels))
+  }
+
+  /** SymSpell-style error detection at scale: instead of a crossJoin against
+    * the vocabulary, both sides explode their deletion neighborhoods and
+    * equi-join on the variant — candidate pairs then verify with a real
+    * Levenshtein ≤ maxDist. Join fan-out is O(word_length) per row and the
+    * join is a plain shuffle/broadcast hash join — the 100 TB shape
+    * (`errorDetectBySpellDistance`'s crossJoin is the small-vocab fallback).
+    * Supports maxDist=1 (deletion depth 1 on both sides reaches all
+    * distance-1 edits: substitution/insertion/deletion/transposition-adjacent
+    * candidates all share a variant).
+    */
+  def errorDetectSymSpell(test: DataFrame, vocab: DataFrame,
+      valueCol: String = "text", keyCol: String = "text"): DataFrame = {
+    val v = vocab.select(lower(col(valueCol)).as("__vw")).distinct()
+    val vVar = v.select(col("__vw"),
+      explode(deletionVariants(col("__vw"))).as("__var"))
+    val tVar = test
+      .withColumn("__tw", lower(col(valueCol)))
+      .select(col(keyCol).as("__key"), col("__tw"),
+        explode(deletionVariants(col("__tw"))).as("__var"))
+    val candidates = tVar.join(vVar, Seq("__var"))
+      .filter(levenshtein(col("__tw"), col("__vw")) <= 1)
+      .select(col("__key")).distinct()
+      .withColumn("__ok", lit(1))
+    test.join(broadcast(candidates),
+        test(keyCol) === candidates("__key"), "left")
+      .withColumn("pred", when(col("__ok").isNull, "yes").otherwise("no"))
+      .drop("__key", "__ok")
+  }
+
   // ---------------------------------------------------------------------
   // Imputation: learned dictionary from a predictor column → target, via
   // broadcast join (the scalable form of DictLookup for big dictionaries).

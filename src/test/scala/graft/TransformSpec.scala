@@ -1,5 +1,6 @@
 package graft
 
+
 import org.apache.spark.sql.functions._
 import graft.core.WranglerConfig
 import graft.transform._
@@ -154,6 +155,20 @@ class TransformSpec extends SparkSpec {
     val got = graft.tasks.Wrangler.errorDetectBySpellDistance(test_, vocab)
       .select("text", "pred").as[(String, String)].collect().toMap
     assert(got == Map("redd" -> "no", "xyzzy" -> "yes"))
+  }
+
+  test("symspell error detection agrees with crossJoin spell distance") {
+    val vocab = Seq("red", "green", "blue", "orange").toDF("text")
+    // distance 1: deletion (re), insertion (redd), substitution (rad),
+    // exact (blue); distance ≥2: xyzzy, grn→green is distance 2
+    val test_ = Seq("re", "redd", "rad", "blue", "xyzzy", "grn").toDF("text")
+    val sym = graft.tasks.Wrangler.errorDetectSymSpell(test_, vocab)
+      .select("text", "pred").as[(String, String)].collect().toMap
+    val cross = graft.tasks.Wrangler.errorDetectBySpellDistance(test_, vocab)
+      .select("text", "pred").as[(String, String)].collect().toMap
+    assert(sym === cross)
+    assert(sym === Map("re" -> "no", "redd" -> "no", "rad" -> "no",
+      "blue" -> "no", "xyzzy" -> "yes", "grn" -> "yes"))
   }
 
   test("imputation by learned dictionary") {
