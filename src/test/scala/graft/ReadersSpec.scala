@@ -45,6 +45,13 @@ class ReadersSpec extends SparkSpec {
     assert(train.count() === 1 && test.count() === 1)
   }
 
+  test("S3 errorDetection reader lowercases columns and inverts is_clean") {
+    val file = Seq(("Memphis", 1), ("Memfis", 0)).toDF("City", "Is_Clean")
+    val out = Readers.errorDetection(file, "City")
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("Memphis", "no"), ("Memfis", "yes")))
+  }
+
   test("S4 instruction reader strips //") {
     val path = tmpFile("instruction.txt", "// do the thing \n")
     assert(Readers.instruction(path) === Some("do the thing"))

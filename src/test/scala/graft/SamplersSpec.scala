@@ -57,6 +57,14 @@ class SamplersSpec extends SparkSpec {
     assert(te.agg(min("id")).as[Long].head() == 6L)
   }
 
+  test("shuffle permutes deterministically per seed, preserving rows") {
+    val a = Samplers.shuffle(labeled, 42L).as[(Long, String)].collect().toSeq
+    val b = Samplers.shuffle(labeled, 42L).as[(Long, String)].collect().toSeq
+    assert(a == b)
+    assert(a.map(_._1).sorted == (1L to 100L))
+    assert(a.map(_._1) != (1L to 100L).toSeq)   // actually permuted
+  }
+
   test("moduloSample is a disjoint partition of the keys") {
     val parts = (0 until 4).map(r =>
       Samplers.moduloSample(labeled, "id", 4, r).count()).sum
