@@ -225,6 +225,14 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 8, 2, 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- scale: LSH pairs → connected components → dedup clusters ----------
+    "dup_clusters_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateClusters(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: n-gram Jaccard near-dup pairs -----------------------------
     "jaccard_pairs_docs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -376,6 +384,25 @@ object SparkEntry {
           round(col("lev_sim"), 6).as("lev_sim"),
           when(col("sim") >= 0.5, "Yes").otherwise("No").as("pred"))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- J3+G4 EM task end-to-end: blocked pairs → similarity predicate →
+    // one-pass confusion metrics (gold = same p_type proxy) ------------------
+    "em_end_to_end_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .withColumn("toks", Wrangler.emTokens(col("p_name")))
+      val a = p.select(col("p_partkey").as("id_a"), col("toks").as("toks_a"),
+        col("p_type").as("type_a"), col("p_brand"), col("p_size"))
+      val b = p.select(col("p_partkey").as("id_b"), col("toks").as("toks_b"),
+        col("p_type").as("type_b"), col("p_brand"), col("p_size"))
+      val pairs = a.join(b, Seq("p_brand", "p_size"))
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("pred",
+          when(Wrangler.tokenJaccardArrays(col("toks_a"), col("toks_b")) >= 0.5,
+            "yes").otherwise("no"))
+        .withColumn("gold",
+          when(col("type_a") === col("type_b"), "yes").otherwise("no"))
+      Metrics.confusionMetrics(pairs, "pred", "gold")
     }),
 
     // ---- imputation via learned dictionary (broadcast mode-map) ------------
@@ -720,6 +747,36 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "dup_clusters_docs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
+        |SELECT a AS doc_id, MIN(b) AS cluster_rep
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
     "jaccard_pairs_docs" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -945,6 +1002,42 @@ object SparkEntry {
         |  ROUND(lev_sim, 6) AS lev_sim,
         |  CASE WHEN sim >= 0.5 THEN 'Yes' ELSE 'No' END AS pred
         |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    "em_end_to_end_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_brand, p_size, p_type,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |lab AS (
+        |  SELECT
+        |    CASE WHEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |      THEN 'yes' ELSE 'no' END AS pred,
+        |    CASE WHEN a.p_type = b.p_type THEN 'yes' ELSE 'no' END AS gold
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey),
+        |c AS (
+        |  SELECT COUNT(*) AS total,
+        |    SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS crc,
+        |    SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS tn,
+        |    SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS fp
+        |  FROM lab),
+        |pr AS (
+        |  SELECT *,
+        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fp) AS prec,
+        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fn) AS rec,
+        |    CAST(crc AS DOUBLE) / total AS acc
+        |  FROM c)
+        |SELECT total, crc, tp, fn, tn, fp, prec, rec, acc,
+        |  2.0 * prec * rec / GREATEST(1.0, prec + rec) AS f1_legacy,
+        |  CASE WHEN prec + rec > 0.0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+        |FROM pr""".stripMargin,
 
     "impute_dict_customer" ->
       """WITH train AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),

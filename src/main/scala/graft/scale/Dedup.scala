@@ -94,6 +94,54 @@ object Dedup {
         idCol, numHashes, rowsPerBand),
       idCol)
 
+  /** Connected components over candidate-duplicate pairs → cluster
+    * representative (min doc id reachable) per document. This is the dedup
+    * endgame: LSH emits PAIRS, but retention decisions need GROUPS (keep one
+    * doc per component).
+    *
+    * Implementation: iterative min-label propagation — each round joins
+    * current labels across the (bidirectional) edge list and takes the min —
+    * run to fixpoint with a driver-side convergence check. Rounds needed =
+    * graph diameter; near-dup components are tiny cliques (diameter ≤ ~3),
+    * so 5 rounds is generous. At extreme scale swap the inner step for the
+    * large-star/small-star contraction (same join shape, fewer rounds on
+    * long chains).
+    *
+    * @param nodes  one row per document (idCol)
+    * @param pairs  candidate pairs (id_a, id_b)
+    * @return (idCol, cluster_rep) — singletons map to themselves
+    */
+  def duplicateClusters(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIters: Int = 10): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lab"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaEdges = edges
+        .join(labels, edges("dst") === labels("node"))
+        .select(col("src").as("node"), col("lab"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min("lab").as("lab"))
+      // convergence: no label changed this round
+      val changed = next.as("n")
+        .join(labels.as("p"), col("n.node") === col("p.node"))
+        .filter(col("n.lab") =!= col("p.lab"))
+        .limit(1).count()
+      labels = next.localCheckpoint(eager = true) // cut lineage across rounds
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
+  }
+
   /** SimHash (60 bits, staying in a signed long): per token, hash = first
     * 15 hex chars of md5 as a long; each bit position votes ±1 weighted by
     * token frequency; the fingerprint bit is the vote's sign.

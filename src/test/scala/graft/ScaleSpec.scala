@@ -82,6 +82,17 @@ class ScaleSpec extends SparkSpec {
       .agg(max("count")).as[Long].head() <= 5)
   }
 
+  test("duplicateClusters: chains collapse to min label, singletons stay") {
+    import graft.scale.Dedup
+    val nodes = (1L to 7L).toDF("doc_id")
+    // components: {1,2,3} (chain), {5,6}, singletons {4}, {7}
+    val pairs = Seq((2L, 3L), (1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(nodes, pairs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
   test("kmeans finds planted clusters; trained IVF matches brute force") {
     import graft.scale.Similarity
     // two tight clusters around (10,0,...) and (0,10,...)
