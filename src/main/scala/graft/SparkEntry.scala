@@ -431,6 +431,25 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- imputation task end-to-end: learned dict → apply → G4 metrics -----
+    "impute_end_to_end_customer" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val applied = Wrangler.imputeByDict(
+        c.filter(col("c_custkey") % 10 =!= 0),
+        c.filter(col("c_custkey") % 10 === 0),
+        "c_nationkey", "c_mktsegment")
+      Metrics.confusionMetrics(
+        applied.withColumn("gold", col("c_mktsegment")), "pred", "gold")
+    }),
+
+    // ---- transformation task end-to-end: synthesize → apply → G4 metrics ---
+    "transform_end_to_end_part" -> ((s, dir) => {
+      val data = t(s, dir, "part").select(col("p_partkey"),
+        col("p_name").as("text"), upper(col("p_name")).as("label_str"))
+      val (_, applied) = Wrangler.runTransformation(data, "p_partkey", None)
+      Metrics.confusionMetrics(applied, "pred", "label_str")
+    }),
+
     // ---- V1-V5+F2 end-to-end program synthesis + distributed apply ---------
     // Deterministic: demos (first 3 parts by key) admit exactly UpperCase
     // from the RuleSynthesizer candidate order.
@@ -1038,6 +1057,50 @@ object SparkEntry {
         |  CASE WHEN prec + rec > 0.0
         |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
         |FROM pr""".stripMargin,
+
+    "impute_end_to_end_customer" ->
+      """WITH train AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
+        |test AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
+        |cnt AS (
+        |  SELECT c_nationkey, c_mktsegment, COUNT(*) AS cnt
+        |  FROM train GROUP BY 1, 2),
+        |dict AS (
+        |  SELECT c_nationkey, c_mktsegment FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |      ORDER BY cnt DESC, c_mktsegment) AS rn FROM cnt)
+        |  WHERE rn = 1),
+        |g AS (
+        |  SELECT c_mktsegment FROM train GROUP BY 1
+        |  ORDER BY COUNT(*) DESC, c_mktsegment LIMIT 1),
+        |pred AS (
+        |  SELECT COALESCE(d.c_mktsegment, (SELECT c_mktsegment FROM g)) AS pred,
+        |    t.c_mktsegment AS gold
+        |  FROM test t LEFT JOIN dict d ON t.c_nationkey = d.c_nationkey),
+        |c AS (
+        |  SELECT COUNT(*) AS total,
+        |    SUM(CASE WHEN lower(trim(pred)) = lower(trim(gold))
+        |      THEN 1 ELSE 0 END) AS crc
+        |  FROM pred)
+        |SELECT total, crc,
+        |  CAST(0 AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fn,
+        |  CAST(0 AS BIGINT) AS tn, CAST(0 AS BIGINT) AS fp,
+        |  0.0 AS prec, 0.0 AS rec,
+        |  CAST(crc AS DOUBLE) / total AS acc,
+        |  0.0 AS f1_legacy, 0.0 AS f1
+        |FROM c""".stripMargin,
+
+    "transform_end_to_end_part" ->
+      """WITH te AS (
+        |  SELECT p_partkey FROM (
+        |    SELECT p_partkey, ROW_NUMBER() OVER (ORDER BY p_partkey) AS rn
+        |    FROM part) WHERE rn > 3),
+        |c AS (SELECT COUNT(*) AS total FROM te)
+        |SELECT total, total AS crc,
+        |  CAST(0 AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fn,
+        |  CAST(0 AS BIGINT) AS tn, CAST(0 AS BIGINT) AS fp,
+        |  0.0 AS prec, 0.0 AS rec, 1.0 AS acc,
+        |  0.0 AS f1_legacy, 0.0 AS f1
+        |FROM c""".stripMargin,
 
     "impute_dict_customer" ->
       """WITH train AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
