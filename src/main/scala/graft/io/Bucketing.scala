@@ -44,3 +44,25 @@ object Bucketing {
   def read(spark: SparkSession, tableName: String): DataFrame =
     spark.table(tableName)
 }
+
+/** Partitioned-directory layout: the other half of the 100 TB data-layout
+  * story (bucketing co-locates join keys; partitioning prunes scans).
+  * Writing fact tables partitioned by their dominant filter column
+  * (date, event_type, lang…) turns those filters into directory pruning —
+  * the scan never opens non-matching files. LayoutSpec asserts the
+  * `PartitionFilters` in the read plan.
+  */
+object Layout {
+
+  def writePartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write
+      .mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}
