@@ -52,8 +52,10 @@ object WranglerMain {
 
   def metricsToMap(df: DataFrame): Map[String, Double] = {
     val row = df.collect()(0)
-    row.schema.fieldNames.map(f =>
-      f -> row.getAs[Any](f).toString.toDouble).toMap
+    row.schema.fieldNames.map { f =>
+      // null (e.g. acc on an empty split) → 0.0 rather than an NPE
+      f -> Option(row.getAs[Any](f)).map(_.toString.toDouble).getOrElse(0.0)
+    }.toMap
   }
 
   /** One task end-to-end. Empty test split → skipped (P11 guard,
