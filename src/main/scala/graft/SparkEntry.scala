@@ -313,6 +313,54 @@ object SparkEntry {
           count(col("prop_k")).as("n_k"))
         .orderBy(col("event_type"))),
 
+    // ---- full TPC-H Q1 shape: filtered scan (pushdown) + avg columns -------
+    "q1_full_pricing" -> ((s, dir) => {
+      val one = lit(1).cast("decimal(18,2)")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (one - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- grouping sets (beyond rollup/cube: explicit set list) -------------
+    "grouping_sets_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      // (event_type) and (user_bucket) marginals in one pass
+      e.groupBy(col("event_type"), (col("user_id") % 5).as("user_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .cube(col("event_type"), col("user_bucket"))
+        .agg(sum(col("n")).as("n"))
+        .filter(grouping(col("event_type")) + grouping(col("user_bucket")) === 1)
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("user_bucket").cast("string"), lit("ALL"))
+            .as("user_bucket"),
+          col("n"))
+        .orderBy(col("event_type"), col("user_bucket"))
+    }),
+
+    // ---- window range frame: trailing 7-day spend per customer -------------
+    "range_frame_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("day",
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400"))
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+        .rangeBetween(-7L, Window.currentRow)
+      o.select(col("o_orderkey"), col("o_custkey"), col("day"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+            .cast("double").as("spend_7d"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- §2.8 ranking/analytic windows (rank, lag, running frame sum) ------
     "window_analytics_orders" -> ((s, dir) => {
       val w = Window.partitionBy(col("o_custkey"))
@@ -959,6 +1007,38 @@ object SparkEntry {
         |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_full_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "grouping_sets_events" ->
+      """SELECT COALESCE(event_type, 'ALL') AS event_type,
+        |  COALESCE(CAST(user_bucket AS VARCHAR), 'ALL') AS user_bucket,
+        |  COUNT(*) AS n
+        |FROM (SELECT event_type, user_id % 5 AS user_bucket FROM events)
+        |GROUP BY GROUPING SETS ((event_type), (user_bucket))
+        |ORDER BY 1, 2""".stripMargin,
+
+    "range_frame_orders" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(EPOCH(o_orderdate) AS BIGINT) // 86400 AS day
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY day
+        |    RANGE BETWEEN 7 PRECEDING AND CURRENT ROW) AS DOUBLE) AS spend_7d
+        |FROM o ORDER BY o_orderkey""".stripMargin,
 
     "window_analytics_orders" ->
       """SELECT o_orderkey, o_custkey,
