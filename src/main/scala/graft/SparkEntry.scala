@@ -134,15 +134,13 @@ object SparkEntry {
       test.orderBy(col("doc_id"))
     }),
 
-    // ---- A5 head-fraction limit (window form, no driver count) ------------
+    // ---- A5 head-fraction limit (parallel two-phase global rank — no
+    // single-partition window stage) -----------------------------------------
     "head_fraction_lineitem" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
         .select("l_orderkey", "l_linenumber", "l_quantity")
-      val w = Window.orderBy(col("l_orderkey"), col("l_linenumber"))
-      val total = li.agg(count(lit(1)).as("total"))
-      li.withColumn("__rn", row_number().over(w))
-        .crossJoin(broadcast(total))
-        .filter(col("__rn") <= floor(col("total") * 0.1))
+      Samplers.headFractionOrdered(
+          li, Seq("l_orderkey", "l_linenumber"), 0.1)
         .select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("double").as("l_quantity"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))

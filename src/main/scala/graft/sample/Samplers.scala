@@ -110,6 +110,55 @@ object Samplers {
     df.limit((frac * df.count()).toInt)
   }
 
+  /** Global row number over a total order WITHOUT a single-partition window:
+    * range-partition on the order keys, rank within each (parallel) range
+    * partition, then add the broadcast cumulative offset of the preceding
+    * partitions. Two jobs, both fully parallel — the 100 TB replacement for
+    * `Window.orderBy(...)` (which funnels the table through one task).
+    * Order keys must be unique for a deterministic ranking.
+    */
+  def globalRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      numPartitions: Int = 32,
+      rnCol: String = "__rn"): DataFrame = {
+    // Materialize ONCE: RangePartitioner samples boundaries with an RDD-id-
+    // derived seed, so two evaluations can partition differently — the size
+    // job and the rank job must see the SAME partitioning.
+    val ranged = df
+      .repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sizes = ranged.groupBy("__pid").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions).scanLeft(0L) {
+      (acc, p) => acc + sizes.getOrElse(p, 0L)
+    }
+    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
+      (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+    ranged
+      .withColumn(rnCol, row_number().over(w).cast("long") + offsetExpr)
+      .drop("__pid")
+  }
+
+  /** A5 at scale: first floor(frac·n) rows in `orderCols` order, computed
+    * with [[globalRowNumber]] — no single-partition stage anywhere.
+    */
+  def headFractionOrdered(
+      df: DataFrame,
+      orderCols: Seq[String],
+      frac: Double,
+      numPartitions: Int = 32): DataFrame = {
+    require(frac <= 1.0, "fraction must be <= 1.0")
+    val total = df.count()
+    globalRowNumber(df, orderCols, numPartitions)
+      .filter(col("__rn") <= (frac * total).toLong)
+      .drop("__rn")
+  }
+
   /** A6 — positional train/test split: first k rows (in `orderCol` order) →
     * train, rest → test (`utils/data_utils.py:216-217`). Spark has no implicit
     * row order so the order column must be explicit (file line index, key…).

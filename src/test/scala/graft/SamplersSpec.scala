@@ -71,6 +71,19 @@ class SamplersSpec extends SparkSpec {
     assert(parts == 100)
   }
 
+  test("globalRowNumber matches the single-partition window ranking") {
+    val df = labeled.orderBy(rand(7))   // scramble physical order
+    val viaRange = Samplers.globalRowNumber(df, Seq("id"), 8)
+      .select("id", "__rn").as[(Long, Long)].collect().toMap
+    assert(viaRange === (1L to 100L).map(i => i -> i).toMap)
+  }
+
+  test("headFractionOrdered keeps exactly the first floor(frac*n) keys") {
+    val got = Samplers.headFractionOrdered(labeled, Seq("id"), 0.23, 8)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(got === (1L to 23L))
+  }
+
   test("coSort3 aligns parallel lists by instruction key") {
     val (tr, te, ins) = Samplers.coSort3(
       Seq("tA", "tB", "tC"), Seq("eA", "eB", "eC"), Seq("b", "c", "a"))
