@@ -239,7 +239,7 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
-    // ---- scale: SimHash near-dup pairs (no SQL oracle: base-16 conv) ------
+    // ---- scale: SimHash near-dup pairs (oracle: DuckDB '0x..' hex cast) ---
     "simhash_pairs_docs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 20, 8)
         .orderBy(col("id_a"), col("id_b"))),
@@ -742,22 +742,22 @@ object SparkEntry {
         |  FROM events),
         |c AS (
         |  SELECT COUNT(*) AS total,
-        |    SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS crc,
-        |    SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS tp,
-        |    SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS fn,
-        |    SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS tn,
-        |    SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS fp
+        |    CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS crc,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fp
         |  FROM lab),
         |p AS (
         |  SELECT *,
-        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fp) AS prec,
-        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fn) AS rec,
-        |    CAST(crc AS DOUBLE) / total AS acc
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fp), 6) AS prec,
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fn), 6) AS rec,
+        |    ROUND(CAST(crc AS DOUBLE) / total, 6) AS acc
         |  FROM c)
         |SELECT total, crc, tp, fn, tn, fp, prec, rec, acc,
-        |  2.0 * prec * rec / GREATEST(1.0, prec + rec) AS f1_legacy,
-        |  CASE WHEN prec + rec > 0.0
-        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+        |  ROUND(2.0 * prec * rec / GREATEST(1.0, prec + rec), 6) AS f1_legacy,
+        |  ROUND(CASE WHEN prec + rec > 0.0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
         |FROM p""".stripMargin,
 
     "tolerant_equality_lineitem" ->
@@ -866,6 +866,35 @@ object SparkEntry {
         |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // SimHash: 60-bit sig from the first 15 md5 hex chars per token
+    // (DuckDB parses '0x…' string casts to BIGINT — same value Spark gets
+    // from conv(…,16,10)); bit votes, pack, block on top 8 bits, Hamming≤20.
+    "simhash_pairs_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15)) AS BIGINT) AS h
+        |  FROM toks),
+        |v AS (
+        |  SELECT doc_id, j,
+        |    CAST(SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v
+        |  FROM h, UNNEST(range(0, 60)) AS u(j)
+        |  GROUP BY doc_id, j),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j)
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+        |  FROM v GROUP BY doc_id),
+        |b AS (SELECT doc_id, sig, sig >> 52 AS block FROM sig)
+        |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+        |FROM b a JOIN b c ON a.block = c.block AND a.doc_id < c.doc_id
+        |WHERE bit_count(xor(a.sig, c.sig)) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "quality_docs" ->
       """WITH q AS (
         |  SELECT doc_id, length(text) AS nc,
@@ -960,7 +989,8 @@ object SparkEntry {
 
     "sessionize_events" ->
       """WITH e AS (
-        |  SELECT user_id, ts, value, CAST(FLOOR(EPOCH(ts)) AS BIGINT) AS ep
+        |  SELECT user_id, ts, value,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) AS ep
         |  FROM events),
         |l AS (
         |  SELECT *, LAG(ep) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ep
@@ -970,8 +1000,8 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS ns
         |  FROM l),
         |s AS (
-        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  SELECT *, CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
         |  FROM f)
         |SELECT user_id, session_idx, COUNT(*) AS n_events,
         |  MIN(ep) AS start_epoch, MAX(ep) AS end_epoch,
@@ -1002,7 +1032,7 @@ object SparkEntry {
 
     "json_props_events" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
@@ -1118,22 +1148,22 @@ object SparkEntry {
         |    AND a.p_partkey < b.p_partkey),
         |c AS (
         |  SELECT COUNT(*) AS total,
-        |    SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS crc,
-        |    SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS tp,
-        |    SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS fn,
-        |    SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS tn,
-        |    SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS fp
+        |    CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS crc,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fp
         |  FROM lab),
         |pr AS (
         |  SELECT *,
-        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fp) AS prec,
-        |    CAST(tp AS DOUBLE) / GREATEST(1, tp + fn) AS rec,
-        |    CAST(crc AS DOUBLE) / total AS acc
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fp), 6) AS prec,
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fn), 6) AS rec,
+        |    ROUND(CAST(crc AS DOUBLE) / total, 6) AS acc
         |  FROM c)
         |SELECT total, crc, tp, fn, tn, fp, prec, rec, acc,
-        |  2.0 * prec * rec / GREATEST(1.0, prec + rec) AS f1_legacy,
-        |  CASE WHEN prec + rec > 0.0
-        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END AS f1
+        |  ROUND(2.0 * prec * rec / GREATEST(1.0, prec + rec), 6) AS f1_legacy,
+        |  ROUND(CASE WHEN prec + rec > 0.0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
         |FROM pr""".stripMargin,
 
     "impute_end_to_end_customer" ->
@@ -1156,14 +1186,14 @@ object SparkEntry {
         |  FROM test t LEFT JOIN dict d ON t.c_nationkey = d.c_nationkey),
         |c AS (
         |  SELECT COUNT(*) AS total,
-        |    SUM(CASE WHEN lower(trim(pred)) = lower(trim(gold))
-        |      THEN 1 ELSE 0 END) AS crc
+        |    CAST(SUM(CASE WHEN lower(trim(pred)) = lower(trim(gold))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS crc
         |  FROM pred)
         |SELECT total, crc,
         |  CAST(0 AS BIGINT) AS tp, CAST(0 AS BIGINT) AS fn,
         |  CAST(0 AS BIGINT) AS tn, CAST(0 AS BIGINT) AS fp,
         |  0.0 AS prec, 0.0 AS rec,
-        |  CAST(crc AS DOUBLE) / total AS acc,
+        |  ROUND(CAST(crc AS DOUBLE) / total, 6) AS acc,
         |  0.0 AS f1_legacy, 0.0 AS f1
         |FROM c""".stripMargin,
 

@@ -1,7 +1,6 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.serialize.Serialize
@@ -122,10 +121,11 @@ object Readers {
     } else None
   }
 
-  /** Positional split on the explicit line order (A6 over S2 output). */
+  /** Positional split on the explicit line order (A6 over S2 output).
+    * Parallel two-phase global rank — no single-partition window stage.
+    */
   def splitTrainTest(df: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col("__line"))
-    val rn = df.withColumn("__rn", row_number().over(w))
+    val rn = graft.sample.Samplers.globalRowNumber(df, Seq("__line"))
     (rn.filter(col("__rn") <= k).drop("__rn", "__line"),
       rn.filter(col("__rn") > k).drop("__rn", "__line"))
   }

@@ -115,7 +115,9 @@ object Metrics {
     * and the corrected F1.
     *
     * All counts are exact integers; the derived ratios are double divisions of
-    * identical integers — deterministic across engines (oracle-safe).
+    * identical integers, rounded to 6 decimals per the repo determinism rule
+    * (SURVEY §5.3) so both engines emit bit-identical doubles. F1 variants are
+    * computed from the ROUNDED prec/rec — oracles mirror that order exactly.
     */
   def confusionMetrics(
       df: DataFrame,
@@ -133,17 +135,17 @@ object Metrics {
         cnt(g === "yes" && !crc).as("fn"),
         cnt(g === "no" && crc).as("tn"),
         cnt(g === "no" && !crc).as("fp"))
-      .withColumn("prec",
-        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fp")))
-      .withColumn("rec",
-        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fn")))
-      .withColumn("acc", col("crc").cast("double") / col("total"))
-      .withColumn("f1_legacy",
+      .withColumn("prec", round(
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fp")), 6))
+      .withColumn("rec", round(
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fn")), 6))
+      .withColumn("acc", round(col("crc").cast("double") / col("total"), 6))
+      .withColumn("f1_legacy", round(
         lit(2.0) * col("prec") * col("rec") /
-          greatest(lit(1.0), col("prec") + col("rec")))
-      .withColumn("f1",
+          greatest(lit(1.0), col("prec") + col("rec")), 6))
+      .withColumn("f1", round(
         when(col("prec") + col("rec") > 0.0,
           lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
-          .otherwise(lit(0.0)))
+          .otherwise(lit(0.0)), 6))
   }
 }

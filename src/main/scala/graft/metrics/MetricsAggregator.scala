@@ -45,12 +45,19 @@ object MetricsAggregator {
         Counts(a.total + b.total, a.crc + b.crc, a.tp + b.tp,
           a.fn + b.fn, a.tn + b.tn, a.fp + b.fp)
 
+      // Same HALF_UP-at-6-decimals rounding as Catalyst's round() so the
+      // typed form agrees bit-for-bit with Metrics.confusionMetrics.
+      private def round6(x: Double): Double =
+        BigDecimal.valueOf(x)
+          .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+
       override def finish(c: Counts): Result = {
-        val prec = c.tp.toDouble / math.max(1L, c.tp + c.fp)
-        val rec = c.tp.toDouble / math.max(1L, c.tp + c.fn)
-        val acc = if (c.total == 0) 0.0 else c.crc.toDouble / c.total
-        val f1Legacy = 2.0 * prec * rec / math.max(1.0, prec + rec)
-        val f1 = if (prec + rec > 0.0) 2.0 * prec * rec / (prec + rec) else 0.0
+        val prec = round6(c.tp.toDouble / math.max(1L, c.tp + c.fp))
+        val rec = round6(c.tp.toDouble / math.max(1L, c.tp + c.fn))
+        val acc = round6(if (c.total == 0) 0.0 else c.crc.toDouble / c.total)
+        val f1Legacy = round6(2.0 * prec * rec / math.max(1.0, prec + rec))
+        val f1 = round6(
+          if (prec + rec > 0.0) 2.0 * prec * rec / (prec + rec) else 0.0)
         Result(c.total, c.crc, c.tp, c.fn, c.tn, c.fp,
           prec, rec, acc, f1Legacy, f1)
       }

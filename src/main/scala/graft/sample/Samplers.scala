@@ -30,20 +30,39 @@ object Samplers {
 
   /** A2 — stratified exact-n: `max(n / nLabels, 1)` rows per label group,
     * topped up with random rows to reach n (`sample_stratified`,
-    * `utils/data_utils.py:29-61`). Reference samples within groups WITH
-    * replacement; we sample without (flagged difference — replacement on a
-    * k≈3 demo draw from large groups is observationally identical).
+    * `utils/data_utils.py:29-61`).
+    *
+    * `withReplacement = true` is the faithful mode (the reference's
+    * `df.sample(n, replace=True)` within each stratum,
+    * `data_utils.py:49-53`): each of the `perLabel` draw slots independently
+    * picks one uniform row of its stratum, so duplicate draws are possible.
+    * Implemented by replicating each row once per draw slot
+    * (`explode(sequence)`) and taking the min-rand row per
+    * (label, slot) — one window shuffle, fan-out bounded by perLabel (k≈3
+    * in every reference call site; for large perLabel prefer per-stratum
+    * Poisson sampling). Default remains without-replacement.
     */
   def stratifiedExactN(
       df: DataFrame,
       labelCol: String,
       n: Int,
-      seed: Long): DataFrame = {
+      seed: Long,
+      withReplacement: Boolean = false): DataFrame = {
     val nLabels = df.select(labelCol).distinct().count()
     val perLabel = math.max(n / math.max(nLabels, 1L), 1L)
-    val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
-    val base = df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= perLabel).drop("__rn")
+    val base =
+      if (withReplacement) {
+        val slots = df.withColumn("__slot",
+          explode(sequence(lit(1L), lit(perLabel))))
+        val w = Window.partitionBy(col(labelCol), col("__slot"))
+          .orderBy(rand(seed))
+        slots.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn", "__slot")
+      } else {
+        val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
+        df.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= perLabel).drop("__rn")
+      }
     val missing = n - perLabel * nLabels
     if (missing > 0)
       base.unionByName(df.orderBy(rand(seed + 1)).limit(missing.toInt))
@@ -162,13 +181,18 @@ object Samplers {
   /** A6 — positional train/test split: first k rows (in `orderCol` order) →
     * train, rest → test (`utils/data_utils.py:216-217`). Spark has no implicit
     * row order so the order column must be explicit (file line index, key…).
+    *
+    * Ranked via [[globalRowNumber]] — range-partitioned parallel ranking, no
+    * single-partition `Window.orderBy` stage (this runs on the FULL input in
+    * the wrangler task pipelines, so the naive window would funnel the whole
+    * table through one task at scale).
     */
   def positionalSplit(
       df: DataFrame,
       orderCol: String,
-      k: Int): (DataFrame, DataFrame) = {
-    val w = Window.orderBy(col(orderCol))
-    val rn = df.withColumn("__rn", row_number().over(w))
+      k: Int,
+      numPartitions: Int = 32): (DataFrame, DataFrame) = {
+    val rn = globalRowNumber(df, Seq(orderCol), numPartitions)
     (rn.filter(col("__rn") <= k).drop("__rn"),
       rn.filter(col("__rn") > k).drop("__rn"))
   }

@@ -17,9 +17,14 @@ object Dedup {
   /** Exact dedup: canonical representative (min key) per identical value of
     * `dupCols`. Single hash-aggregate shuffle on the dup key — the 100 TB
     * plan you want (map-side partial min, no sort).
+    *
+    * The shuffle key is `md5(to_json(struct(dupCols)))` — a 32-byte
+    * fingerprint — so the exchange never carries full document bytes
+    * (grouping by the raw text column would shuffle whole documents at
+    * 100 TB). md5 group identity equals value identity for dedup purposes.
     */
   def exact(df: DataFrame, dupCols: Seq[String], keyCol: String): DataFrame =
-    df.groupBy(dupCols.map(col): _*)
+    df.groupBy(md5(to_json(struct(dupCols.map(col): _*))).as("dup_key"))
       .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_dups"))
 
   /** MinHash signature per (doc, hash seed): min over shingles of

@@ -135,6 +135,8 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val vecs = df.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
+    // k rows only (post-limit) — the unpartitioned window runs on a
+    // k-row frame, not the input table, so no scale hazard.
     var cents = vecs.orderBy(col("__id")).limit(k)
       .select((row_number().over(Window.orderBy(col("__id"))) - 1)
         .as("centroid_id"), col("__v").as("centv"))

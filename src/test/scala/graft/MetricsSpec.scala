@@ -107,9 +107,10 @@ class MetricsSpec extends SparkSpec {
     assert(m.getAs[Long]("crc") == 3 && m.getAs[Long]("total") == 5)
     val prec = m.getAs[Double]("prec")   // 2/3
     val rec = m.getAs[Double]("rec")     // 2/3
-    assert(math.abs(prec - 2.0 / 3) < 1e-12 && math.abs(rec - 2.0 / 3) < 1e-12)
+    // ratios are rounded to 6 decimals (oracle determinism rule)
+    assert(math.abs(prec - 2.0 / 3) < 1e-6 && math.abs(rec - 2.0 / 3) < 1e-6)
     // p+r = 4/3 > 1 -> legacy == corrected here
-    assert(math.abs(m.getAs[Double]("f1_legacy") - m.getAs[Double]("f1")) < 1e-12)
+    assert(math.abs(m.getAs[Double]("f1_legacy") - m.getAs[Double]("f1")) < 1e-6)
   }
 
   test("legacy F1 deflates when prec+rec < 1 (utils.py:127 quirk)") {
@@ -119,7 +120,7 @@ class MetricsSpec extends SparkSpec {
     val p = m.getAs[Double]("prec")      // 1/3
     val r = m.getAs[Double]("rec")       // 1/3
     assert(p + r < 1.0)
-    assert(math.abs(m.getAs[Double]("f1_legacy") - 2 * p * r) < 1e-12)
-    assert(math.abs(m.getAs[Double]("f1") - 2 * p * r / (p + r)) < 1e-12)
+    assert(math.abs(m.getAs[Double]("f1_legacy") - 2 * p * r) < 1e-6)
+    assert(math.abs(m.getAs[Double]("f1") - 2 * p * r / (p + r)) < 1e-6)
   }
 }

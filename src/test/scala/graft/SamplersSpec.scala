@@ -28,6 +28,25 @@ class SamplersSpec extends SparkSpec {
     assert(got.select("label_str").distinct().count() == 2)
   }
 
+  test("stratifiedExactN withReplacement: exact sizes, duplicates possible") {
+    // tiny strata + many draw slots → duplicate draws are near-certain,
+    // which without-replacement sampling can never produce
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"))
+      .toDF("id", "label_str")
+    val got = Samplers.stratifiedExactN(tiny, "label_str", 12, 42,
+      withReplacement = true)
+    assert(got.count() == 12)   // 6 per stratum despite only 2 rows each
+    val perLabel = got.groupBy("label_str").count()
+      .as[(String, Long)].collect().toMap
+    assert(perLabel == Map("a" -> 6L, "b" -> 6L))
+    val maxDup = got.groupBy("id").count().agg(max("count")).as[Long].head()
+    assert(maxDup > 1L)         // replacement actually happened
+    // deterministic under the same seed
+    val again = Samplers.stratifiedExactN(tiny, "label_str", 12, 42,
+      withReplacement = true).as[(Long, String)].collect().sorted.toSeq
+    assert(again == got.as[(Long, String)].collect().sorted.toSeq)
+  }
+
   test("classBalanced downsamples every class to the min count") {
     val got = Samplers.classBalanced(labeled, "label_str", 42)
     val counts = got.groupBy("label_str").count()

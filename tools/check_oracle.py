@@ -12,6 +12,7 @@ import sys
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
@@ -26,6 +27,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype(str)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
+
+
+def strict_repr(df: pd.DataFrame) -> list:
+    """Value-level canonical strings, dtype-sensitive like the driver's hash:
+    an int64 3233 and a float64 3233.0 must NOT compare equal (DuckDB HUGEINT
+    sums come back as float64/object — cast them to BIGINT in oracle SQL)."""
+    out = []
+    for row in df.itertuples(index=False):
+        cells = []
+        for v in row:
+            if v is None or (isinstance(v, (float, np.floating)) and pd.isna(v)):
+                cells.append("NULL")
+            elif isinstance(v, (float, np.floating)):
+                cells.append(repr(float(v)))
+            elif isinstance(v, (bool, np.bool_)):
+                cells.append(str(bool(v)))
+            elif isinstance(v, (int, np.integer)):
+                cells.append(str(int(v)))
+            else:
+                cells.append(str(v))
+        out.append("|".join(cells))
+    return out
 
 
 def main(out_dir: str, sf_dir: str) -> int:
@@ -58,6 +81,14 @@ def main(out_dir: str, sf_dir: str) -> int:
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
+            sg, sw = strict_repr(got), strict_repr(want)
+            if sg != sw:
+                bad = next(i for i, (a, b) in enumerate(zip(sg, sw)) if a != b)
+                print(f"FAIL  {name}: strict-hash mismatch (dtype drift?)")
+                print(f"      spark : {sg[bad][:220]}")
+                print(f"      duckdb: {sw[bad][:220]}")
+                n_fail += 1
+                continue
             print(f"PASS  {name} ({len(got)} rows)")
             n_pass += 1
         except AssertionError as e:
