@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,18 +11,33 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def run(name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
       // count() would let Catalyst prune projection-only work away).
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      try SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+
+    // Warm-up: absorb JVM/classloader/codegen/parquet-footer start-up cost
+    // so per-query timings reflect steady state rather than whichever query
+    // happens to run first (~20 s of one-time cost otherwise lands on it).
+    // Mixed shapes: scan+agg, window, broadcast join+concat, regex transform.
+    val warmup = Seq("q1_full_pricing", "window_analytics_orders",
+      "em_blocked_pairs", "transform_affine_lineitem")
+    val tw0 = System.nanoTime()
+    warmup.foreach(run)
+    val warmupSec = (System.nanoTime() - tw0) / 1e9
+
+    // Deterministic name order (Map iteration order is arbitrary).
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

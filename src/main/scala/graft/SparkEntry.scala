@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.io.{Readers, Tables}
 import graft.metrics.Metrics
-import graft.plans.Joins
+import graft.plans.{Joins, SerializeResplitRule}
 import graft.sample.Samplers
 import graft.scale.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
 import graft.serialize.Serialize
@@ -477,6 +477,58 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- S3+P5/P7+T2+detector+G4: error-detection task end-to-end ----------
+    // Reproduces the reference's split-directory layout (run_wrangler.py:
+    // 121-135 + data_utils.py:288-305): one per-column CSV per split dir,
+    // target column parsed from the filename token; the S3 sweep reads
+    // train+test dirs, T2 co-sorts the (train, test, instruction) triples,
+    // a vocabulary detector (trained on the clean train rows) predicts per
+    // task, and G4 emits per-target confusion metrics. The CSV fixture
+    // derives deterministically from `part`, so DuckDB can reproduce the
+    // metrics straight from the parquet table.
+    "error_detection_end_to_end_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val targets = Seq("pbrand" -> "p_brand", "ptype" -> "p_type")
+      val root = java.nio.file.Files.createTempDirectory("errdet_splits")
+      val trainDir =
+        java.nio.file.Files.createDirectory(root.resolve("train_splits_single"))
+      val testDir =
+        java.nio.file.Files.createDirectory(root.resolve("test_splits_single"))
+      def dump(where: java.nio.file.Path, colName: String,
+          rows: Seq[String]): Unit = {
+        val content = (s"rowkey,$colName,is_clean" +: rows).mkString("\n")
+        java.nio.file.Files.write(where.resolve(s"table_split_$colName.csv"),
+          content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      targets.foreach { case (colName, src) =>
+        val test = p.filter(col("p_partkey") % 10 === 0)
+          .select(col("p_partkey").cast("long").as("k"),
+            when(col("p_partkey") % 50 === 0, concat(col(src), lit("_xx")))
+              .otherwise(col(src)).as("v"),
+            when(col("p_partkey") % 50 === 0, lit(0)).otherwise(lit(1)).as("c"))
+          .orderBy(col("k")).collect()
+          .map(r => s"${r.getLong(0)},${r.getString(1)},${r.getInt(2)}").toSeq
+        val train = p.filter(col("p_partkey") % 10 =!= 0)
+          .select(col("p_partkey").cast("long").as("k"), col(src).as("v"))
+          .orderBy(col("k")).collect()
+          .map(r => s"${r.getLong(0)},${r.getString(1)},1").toSeq
+        dump(testDir, colName, test)
+        dump(trainDir, colName, train)
+      }
+      val trainTasks = Readers.errorDetectionDir(s, trainDir.toString)
+      val testTasks = Readers.errorDetectionDir(s, testDir.toString)
+      val (trainAligned, testAligned, _) = Samplers.coSort3(
+        trainTasks.map(x => (x._1, x._2)), testTasks.map(x => (x._1, x._2)),
+        trainTasks.map(_._3))
+      trainAligned.zip(testAligned).map {
+        case ((colName, trainDf), (_, testDf)) =>
+          val vocab = trainDf.filter(col("label_str") === "no").select("text")
+          val applied = Wrangler.errorDetectByVocab(testDf, vocab, "text")
+          Metrics.confusionMetrics(applied, "pred", "label_str")
+            .withColumn("target", lit(colName))
+      }.reduce(_ unionByName _).orderBy(col("target"))
+    }),
+
     // ---- imputation task end-to-end: learned dict → apply → G4 metrics -----
     "impute_end_to_end_customer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -504,6 +556,25 @@ object SparkEntry {
         col("p_name").as("text"), upper(col("p_name")).as("label_str"))
       val (_, applied) = Wrangler.runTransformation(data, "p_partkey", None)
       applied.select(col("p_partkey"), col("pred")).orderBy(col("p_partkey"))
+    }),
+
+    // ---- §4 custom rule: serialize→re-split round trip collapses -----------
+    // P2-serializes three part columns then applies the synthesized
+    // SplitIndex program — the exact build-a-string-then-reparse shape the
+    // reference's prompts teach. With SerializeResplitRule registered, the
+    // optimized plan reads `p_brand` directly (RuleSpec asserts the collapse;
+    // the oracle checks the values). Registration is idempotent and the
+    // rewrite is semantics-preserving, so sharing the session is safe.
+    "resplit_rewrite_part" -> ((s, dir) => {
+      if (!s.experimental.extraOptimizations.contains(SerializeResplitRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ SerializeResplitRule
+      val prog = TransformProgram.SplitIndex("^", 1)
+      t(s, dir, "part")
+        .withColumn("text",
+          Serialize.serializeSimple(Seq("p_name", "p_brand", "p_type")))
+        .select(col("p_partkey"), prog.toColumn(col("text")).as("pred"))
+        .orderBy(col("p_partkey"))
     }),
 
     // ---- F1 transform program as a column expression (unit conversion) -----
@@ -1166,6 +1237,49 @@ object SparkEntry {
         |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
         |FROM pr""".stripMargin,
 
+    // Oracle recomputes the error-detection pipeline straight from `part`
+    // (the CSV split-dir round-trip on the Spark side is value-preserving).
+    "error_detection_end_to_end_part" ->
+      """WITH t1 AS (
+        |  SELECT CASE WHEN p_partkey % 50 = 0 THEN p_brand || '_xx'
+        |    ELSE p_brand END AS val,
+        |    CASE WHEN p_partkey % 50 = 0 THEN 'yes' ELSE 'no' END AS gold
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |v1 AS (SELECT DISTINCT p_brand AS w FROM part WHERE p_partkey % 10 <> 0),
+        |t2 AS (
+        |  SELECT CASE WHEN p_partkey % 50 = 0 THEN p_type || '_xx'
+        |    ELSE p_type END AS val,
+        |    CASE WHEN p_partkey % 50 = 0 THEN 'yes' ELSE 'no' END AS gold
+        |  FROM part WHERE p_partkey % 10 = 0),
+        |v2 AS (SELECT DISTINCT p_type AS w FROM part WHERE p_partkey % 10 <> 0),
+        |lab AS (
+        |  SELECT 'pbrand' AS target,
+        |    CASE WHEN v1.w IS NULL THEN 'yes' ELSE 'no' END AS pred, gold
+        |  FROM t1 LEFT JOIN v1 ON t1.val = v1.w
+        |  UNION ALL
+        |  SELECT 'ptype' AS target,
+        |    CASE WHEN v2.w IS NULL THEN 'yes' ELSE 'no' END AS pred, gold
+        |  FROM t2 LEFT JOIN v2 ON t2.val = v2.w),
+        |c AS (
+        |  SELECT target, COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS crc,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN gold = 'yes' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred = gold THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |    CAST(SUM(CASE WHEN gold = 'no' AND pred <> gold THEN 1 ELSE 0 END) AS BIGINT) AS fp
+        |  FROM lab GROUP BY target),
+        |p AS (
+        |  SELECT *,
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fp), 6) AS prec,
+        |    ROUND(CAST(tp AS DOUBLE) / GREATEST(1, tp + fn), 6) AS rec,
+        |    ROUND(CAST(crc AS DOUBLE) / total, 6) AS acc
+        |  FROM c)
+        |SELECT target, total, crc, tp, fn, tn, fp, prec, rec, acc,
+        |  ROUND(2.0 * prec * rec / GREATEST(1.0, prec + rec), 6) AS f1_legacy,
+        |  ROUND(CASE WHEN prec + rec > 0.0
+        |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
+        |FROM p ORDER BY target""".stripMargin,
+
     "impute_end_to_end_customer" ->
       """WITH train AS (SELECT * FROM customer WHERE c_custkey % 10 <> 0),
         |test AS (SELECT * FROM customer WHERE c_custkey % 10 = 0),
@@ -1251,6 +1365,12 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber,
         |  CAST(ROUND(l_quantity * 1.8 + 32, 1) AS VARCHAR) AS pred
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    // The rewrite is semantics-preserving: the oracle is simply the column
+    // the collapsed plan reads directly.
+    "resplit_rewrite_part" ->
+      """SELECT p_partkey, p_brand AS pred
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "multimodal_features_docs" ->
       """SELECT doc_id,

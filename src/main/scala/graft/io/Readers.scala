@@ -75,6 +75,48 @@ object Readers {
       .select("text", "label_str")
   }
 
+  /** Error-detection instruction template (`promptsTemplate.py:84`),
+    * formatted per file with the parsed column name.
+    */
+  val ErrorDetectionInstruction: String =
+    "I have a table with adult data, now I will provide rows of records " +
+      "with the column name: {column_name}, please write an appropriate " +
+      "python program that checks if there are any spelling errors. " +
+      "Return \"yes\" if there is spelling and \"no\" if there is none."
+
+  /** S3 — directory-of-CSVs error-detection reader
+    * (`read_error_detection_single_simple`, `data_utils.py:146-176`):
+    * sweep `dir` for `*.csv`, parse each file's audit-target column from the
+    * third `_`-separated filename token (`data_utils.py:157`), scan the file
+    * (distributed CSV read), normalize through [[errorDetection]]
+    * (P5 inverted-clean label + P7 lowercase columns), and pair it with the
+    * formatted spelling instruction.
+    *
+    * The directory listing is a driver-side metadata op: file COUNT is one
+    * per audited column (small by construction) while each FILE can be
+    * arbitrarily large and scans distributed — the right split of driver vs
+    * executor work. Files are taken in sorted name order so the downstream
+    * 3-way co-sort (T2) sees a deterministic sequence.
+    *
+    * @return per file: (target column, (text,label_str) frame, instruction)
+    */
+  def errorDetectionDir(
+      spark: SparkSession,
+      dir: String): Seq[(String, DataFrame, String)] = {
+    import scala.jdk.CollectionConverters._
+    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.endsWith(".csv"))
+      .toSeq.sorted
+    names.map { name =>
+      val colName = name.split("_")(2).split("\\.csv")(0)
+      (colName,
+        errorDetection(csv(spark, s"$dir/$name"), colName),
+        ErrorDetectionInstruction.replace("{column_name}", colName))
+    }
+  }
+
   /** S2 — pair-file scan for transformation benchmarks
     * (`read_transformation_data`, `data_utils.py:180-224`): text lines,
     * optional leading `//instruction`, fields split on `\t\t`, blank/tab-only

@@ -52,6 +52,22 @@ class ReadersSpec extends SparkSpec {
     assert(out === Set(("Memphis", "no"), ("Memfis", "yes")))
   }
 
+  test("S3 errorDetectionDir sweeps *.csv, parses filename target, formats instruction") {
+    val dir = Files.createTempDirectory("graft_errdet")
+    Files.writeString(dir.resolve("adult_split_city.csv"),
+      "rowkey,city,is_clean\n1,Memphis,1\n2,Memfis,0\n")
+    Files.writeString(dir.resolve("adult_split_state.csv"),
+      "rowkey,state,is_clean\n1,Texas,1\n")
+    Files.writeString(dir.resolve("ignore.txt"), "not a csv")
+    val tasks = Readers.errorDetectionDir(spark, dir.toString)
+    assert(tasks.map(_._1) === Seq("city", "state"))   // sorted file order
+    val city = tasks.head._2.as[(String, String)].collect().toSet
+    assert(city === Set(("Memphis", "no"), ("Memfis", "yes")))
+    assert(tasks.head._3.contains("column name: city"))
+    assert(tasks(1)._3.contains("column name: state"))
+    assert(tasks(1)._2.count() === 1)
+  }
+
   test("S4 instruction reader strips //") {
     val path = tmpFile("instruction.txt", "// do the thing \n")
     assert(Readers.instruction(path) === Some("do the thing"))

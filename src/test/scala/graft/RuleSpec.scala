@@ -49,4 +49,26 @@ class RuleSpec extends SparkSpec {
     val out = df.select(SplitIndex("^", 1).toColumn(text).as("v"))
     assert(out.as[String].head() === "cd")
   }
+
+  test("the resplit_rewrite_part query's optimized plan has no split") {
+    // the exact shape SparkEntry.queries("resplit_rewrite_part") builds:
+    // SplitIndex-compiled try_element_at over a P2-serialized concat_ws
+    spark.experimental.extraOptimizations = Seq(SerializeResplitRule)
+    try {
+      val df = spark.range(3).select(
+        col("id"), concat(lit("n"), col("id")).as("p_name"),
+        concat(lit("b"), col("id")).as("p_brand"),
+        concat(lit("t"), col("id")).as("p_type"))
+      val q = df
+        .withColumn("text",
+          Serialize.serializeSimple(Seq("p_name", "p_brand", "p_type")))
+        .select(col("id"), SplitIndex("^", 1).toColumn(col("text")).as("pred"))
+      // match the function call, not the Range node's "splits=" annotation
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("split("),
+        s"SplitIndex round trip should collapse, got:\n$optimized")
+      assert(q.orderBy("id").select("pred").as[String].collect().toSeq ===
+        Seq("b0", "b1", "b2"))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
 }

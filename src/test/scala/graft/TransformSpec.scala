@@ -171,6 +171,52 @@ class TransformSpec extends SparkSpec {
       "blue" -> "no", "xyzzy" -> "yes", "grn" -> "yes"))
   }
 
+  test("LLM-shaped synthesizer plug-point: transport-backed repair recovers") {
+    // A FunctionSynthesizer backed by a prompt→completion transport (the
+    // reference's OpenAI call, function_generator.py:44-86) — here a scripted
+    // fake (zero egress). Candidates materialize LAZILY, one transport round
+    // per repair attempt, so V4's candidate walk IS the re-prompt loop.
+    final class TransportSynthesizer(transport: String => String)
+        extends FunctionSynthesizer {
+      val prompts = scala.collection.mutable.ArrayBuffer[String]()
+      private def parse(resp: String): TransformProgram = resp.trim match {
+        case "uppercase" => UpperCase
+        case "lowercase" => LowerCase
+        case "identity"  => Identity
+        case s if s.startsWith("append:") => Surround("", s.stripPrefix("append:"))
+        case other       => throw new IllegalArgumentException(other)
+      }
+      override def synthesize(
+          instruction: Option[String],
+          demos: Seq[(String, String)]): Seq[TransformProgram] =
+        LazyList.from(0).map { attempt =>
+          val prompt = s"instruction: ${instruction.getOrElse("")}\n" +
+            demos.map { case (i, o) => s"$i -> $o" }.mkString("\n") +
+            s"\nattempt: $attempt"
+          prompts += prompt
+          parse(transport(prompt))
+        }
+    }
+
+    // Scripted transport: first completion is a plausible-but-wrong program
+    // (Identity runs fine but fails demo accuracy — note tolerant equality
+    // is case/whitespace-insensitive, so the task must differ by content,
+    // not case), second one is correct.
+    val script = Iterator("identity", "append:!")
+    val synth = new TransportSynthesizer(_ => script.next())
+
+    val demos = Seq(("foo", "foo!"), ("bar", "bar!"), ("baz", "baz!"))
+    val got = Validation.generatePipeline(
+      synth, Some("add an exclamation mark"), demos, Seq.empty,
+      WranglerConfig.default)
+
+    assert(got.map(_._1) === Some(Surround("", "!")))   // repair recovered
+    assert(got.map(_._2) === Some(1.0))
+    assert(synth.prompts.size === 2)            // exactly one re-prompt, lazy walk
+    assert(synth.prompts.head.contains("add an exclamation mark"))
+    assert(synth.prompts.head.contains("foo -> foo!"))
+  }
+
   test("imputation by learned dictionary") {
     val train = Seq(("us", "NYC"), ("us", "NYC"), ("us", "LA"), ("fr", "Paris"))
       .toDF("country", "city")
