@@ -638,6 +638,65 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // ---- scale: passage-level cross-corpus dedup + reassembly --------------
+    "passage_dedup_docs" -> ((s, dir) =>
+      Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text", 10)
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: benchmark decontamination (shared n-gram flag) -------------
+    "decontaminate_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- scale: repetition quality signal (top-bigram fraction) ------------
+    "repetition_docs" -> ((s, dir) =>
+      TextAnalysis.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: corpus-frequency rarity score ------------------------------
+    "corpus_freq_docs" -> ((s, dir) =>
+      TextAnalysis.corpusFrequencyScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: PII scrubbing (synthetic spans injected deterministically) -
+    "pii_scrub_docs" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.scrubPii(concat(
+            col("text"), lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail.com or 555-"),
+            lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-1234"))).as("clean_text"))
+        .orderBy(col("doc_id"))),
+
+    // ---- streaming in the CHECKED surface: hourly agg via readStream -------
+    // Structured Streaming over the events parquet (AvailableNow semantics
+    // through processAllAvailable), Complete-mode memory sink; deterministic
+    // columns only (streaming countDistinct is unsupported → omitted). Same
+    // oracle math as hourly_agg_events.
+    "streaming_hourly_agg_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      // glob, not the bare file path: FileStreamSource requires its
+      // basePath to be a directory
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream
+        .groupBy(Events.hourEpoch(stream).as("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      val name = "stream_hourly_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
     // ---- pivot (explicit value list → deterministic columns) ---------------
     "pivot_events" -> ((s, dir) =>
       t(s, dir, "events")
@@ -1467,6 +1526,100 @@ object SparkEntry {
         |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "passage_dedup_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(t[(i*10+1):(i*10+10)], ' ') AS chunk
+        |  FROM toks,
+        |    UNNEST(range(0, greatest(CAST(ceil(len(t)/10.0) AS INT), 1))) AS u(i)),
+        |rn AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+        |    ORDER BY doc_id, pos) AS r
+        |  FROM ch),
+        |surv AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM rn WHERE r = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks,
+        |  COALESCE(s.n_kept, 0) AS n_kept,
+        |  COALESCE(s.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN surv s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "decontaminate_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_shared
+        |  FROM sh s JOIN ev ON s.sh = ev.sh
+        |  WHERE s.doc_id % 20 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "repetition_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, concat(t[i], COALESCE(' ' || t[i+1], '')) AS bg
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)),
+        |c AS (SELECT doc_id, bg, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bg),
+        |a AS (
+        |  SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_n,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_bigrams
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, top_bigram_n, n_bigrams,
+        |  ROUND(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "corpus_freq_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(CAST(SUM(f.cnt) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |    AS avg_tok_freq
+        |FROM tok t JOIN freq f ON t.tok = f.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+
+    "pii_scrub_docs" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+        |      '@mail.com or 555-' ||
+        |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234',
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "streaming_hourly_agg_events" ->
+      """SELECT (CAST(EPOCH_US(date_trunc('hour', ts)) AS BIGINT) // 1000000)
+        |    AS hour_epoch,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "pivot_events" ->
       """SELECT user_id % 10 AS user_bucket,

@@ -216,6 +216,71 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Passage-level exact dedup across the corpus: segment each document
+    * into fixed `chunkWords`-word passages, keep only the globally FIRST
+    * occurrence of every distinct passage (order = (doc, position)), and
+    * reassemble the surviving passages per document — the chunked
+    * approximation of exact-substring dedup used by large-corpus pipelines
+    * (one pass, no suffix array).
+    *
+    * Shape: chunk (codegen'd array ops) → posexplode → ONE window shuffle
+    * partitioned by `md5(chunk)` (first-occurrence pick) → per-doc
+    * reassembly agg. The window partitions by content hash, so skew equals
+    * true mass duplication — exactly the data you want co-located.
+    */
+  def passageDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = df.select(col(idCol),
+      posexplode(TextAnalysis.wordChunks(col(textCol), chunkWords))
+        .as(Seq("pos", "chunk")))
+    val w = Window.partitionBy(md5(col("chunk").cast("binary")))
+      .orderBy(col(idCol), col("pos"))
+    val kept = chunks
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val survivors = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          p => p.getField("chunk"))).as("clean_text"))
+    val totals = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+    totals.join(survivors, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any word
+    * k-shingle with a held-out evaluation set (the n-gram-overlap rule used
+    * to scrub pretraining corpora against eval benchmarks). The eval side's
+    * distinct shingle set is small → broadcast equi-join against the corpus
+    * shingle explode; no pair join, linear in corpus size.
+    */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3): DataFrame = {
+    val corpusSh = corpus.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val evalSh = evalSet
+      .select(explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+    val hits = corpusSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** n-gram Jaccard near-dup via inverted shingle index: explode distinct
     * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
     * blocking — they generate candidate pairs quadratically while carrying no

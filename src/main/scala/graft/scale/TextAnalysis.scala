@@ -80,6 +80,85 @@ object TextAnalysis {
       .drop(LangMarkers.map(m => s"score_${m._1}"): _*)
   }
 
+  /** Fixed-size word chunks ("passages"): tokens grouped k at a time, last
+    * chunk ragged. Chunk count = floor((n-1)/k)+1 (one empty chunk for an
+    * empty doc, so no document is dropped). Same singleton-array lambda
+    * binding as [[Shingles.wordShingles]] (HOF rebind pitfall).
+    */
+  def wordChunks(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val n = size(t)
+        val numChunks = greatest(ceil(n.cast("double") / k).cast("int"), lit(1))
+        transform(sequence(lit(0), numChunks - 1),
+          i => concat_ws(" ", slice(t, i * k + 1, lit(k))))
+      }),
+      1)
+
+  /** Word n-grams WITHOUT dedup (every occurrence, for frequency-sensitive
+    * scores — [[Shingles.wordShingles]] is the distinct variant). Docs
+    * shorter than n yield one ragged n-gram of the whole token list.
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val sz = size(t)
+        transform(sequence(lit(1), greatest(sz - (n - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until n).map(j =>
+              when(i + j <= sz, element_at(t, (i + j).cast("int")))): _*))
+      }),
+      1)
+
+  /** Repetition scoring (the "fraction of n-grams in the most common
+    * n-gram" quality signal): per document, the share of bigram occurrences
+    * taken by its single most frequent bigram. High values flag boilerplate
+    * / degenerate repetition. One explode + two hash-aggs, keyed per doc.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = df.select(col(idCol),
+      explode(wordNgrams(col(textCol), 2)).as("bg"))
+    bg.groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top_bigram_n"),
+        sum(col("cnt")).as("n_bigrams"))
+      .select(col(idCol), col("top_bigram_n"), col("n_bigrams"),
+        round(col("top_bigram_n").cast("double") / col("n_bigrams"), 6)
+          .as("top_bigram_frac"))
+  }
+
+  /** Corpus-frequency score: average corpus-wide occurrence count of a
+    * document's tokens (including repeats) — a cheap rarity/quality signal
+    * (low = rare-token-heavy doc) that needs no trained model and no
+    * transcendental math (oracle-exact: ratio of exact integers).
+    * Two hash-aggs + one equi-join on token; at 100 TB the frequency table
+    * shuffles on token (or broadcasts if the vocabulary is bounded).
+    */
+  def corpusFrequencyScore(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    tok.join(freq, Seq("tok"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("freq_sum"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("freq_sum").cast("double") / col("n_tokens"), 6)
+          .as("avg_tok_freq"))
+  }
+
+  /** PII scrubbing: redact email-shaped and phone-shaped spans (the
+    * pre-training hygiene pass). Portable regexes (no lookaround, no \b) so
+    * the DuckDB oracle replays them byte-identically; extend the pattern
+    * list per jurisdiction. Pure projection — shuffle-free at any scale.
+    */
+  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * The distributed analog of a rolling-hash fingerprint; md5 keeps it
     * engine-portable.

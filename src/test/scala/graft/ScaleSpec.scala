@@ -32,6 +32,64 @@ class ScaleSpec extends SparkSpec {
     assert(dupRow == 1L)   // min id of the {1,4} group
   }
 
+  test("wordChunks segments tokens into ragged fixed-size passages") {
+    val got = docs.filter($"doc_id" === 1)
+      .select(TextAnalysis.wordChunks($"text", 4).as("c"))
+      .as[Seq[String]].head()
+    assert(got === Seq("the quick brown fox", "jumps over the lazy", "dog"))
+  }
+
+  test("passageDedup keeps only the first global occurrence of each passage") {
+    // chunk size 4: docs 1 and 4 are identical → doc 4 loses all chunks;
+    // doc 2 shares its first 2 chunks with doc 1 and keeps only "cat"
+    val got = Dedup.passageDedup(docs, "doc_id", "text", 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got.map(r => (r._1, r._2, r._3)) ===
+      Seq((1L, 3L, 3L), (2L, 3L, 1L), (3L, 2L, 2L), (4L, 3L, 0L), (5L, 2L, 2L)))
+    assert(got(1)._4 === "cat")
+    assert(got(3)._4 === "")
+    assert(got(0)._4 === "the quick brown fox jumps over the lazy dog")
+  }
+
+  test("decontaminate flags corpus docs sharing shingles with the eval set") {
+    val eval_ = docs.filter($"doc_id" === 1)
+    val corpus = docs.filter($"doc_id" =!= 1)
+    val got = Dedup.decontaminate(corpus, eval_, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(r => (r._1, r._3)) ===
+      Seq((2L, true), (3L, false), (4L, true), (5L, false)))
+    assert(got.head._2 === 6L)   // doc 2 shares 6 of 7 trigrams with doc 1
+  }
+
+  test("repetitionScore: top-bigram fraction on a degenerate doc") {
+    val rep = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(rep, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, 3L, 3L, 1.0)))     // "spam spam" ×3 of 3
+    assert(got(1)._2 === 1L && got(1)._4 === 0.333333)
+  }
+
+  test("corpusFrequencyScore averages corpus-wide token counts") {
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus counts: a=2, b=2, c=1
+    val got = TextAnalysis.corpusFrequencyScore(tiny, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got(0) === ((1L, 3L, 2.0)))          // (2+2+2)/3
+    assert(got(1) === ((2L, 2L, 1.5)))          // (2+1)/2
+  }
+
+  test("scrubPii redacts email and phone spans, leaves prose alone") {
+    val df = Seq("write to bob.smith@corp.io or call 415-555-0199 today")
+      .toDF("text")
+    val got = df.select(TextAnalysis.scrubPii($"text")).as[String].head()
+    assert(got === "write to <EMAIL> or call <PHONE> today")
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3)
       .as[(Long, Long)].collect().toSet
