@@ -638,6 +638,22 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // ---- JSONL source/sink round trip (LLM-corpus interchange format) ------
+    // Writes the documents table as JSONL (distributed sink), reads it back
+    // schema-first, and checks full row fidelity against the parquet
+    // original (text via md5 to keep rows narrow). JSON escaping must be
+    // lossless for this to hash-match.
+    "jsonl_roundtrip_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_jsonl").toString
+      docs.write.mode("overwrite").json(out)
+      Readers.jsonl(s, out, Some(docs.schema))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: passage-level cross-corpus dedup + reassembly --------------
     "passage_dedup_docs" -> ((s, dir) =>
       Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text", 10)
@@ -1526,6 +1542,10 @@ object SparkEntry {
         |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
         |  FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+
+    "jsonl_roundtrip_docs" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "passage_dedup_docs" ->
       """WITH toks AS (

@@ -75,6 +75,18 @@ object Readers {
       .select("text", "label_str")
   }
 
+  /** JSONL corpus reader — the de-facto interchange format for LLM training
+    * corpora (one JSON document per line). Schema-first read (no inference
+    * pass over 100 TB); pass `schema = None` only for ad-hoc exploration.
+    * Distributed line-splittable scan; pairs with `df.write.json(...)` as
+    * the sink side (exercised end-to-end by `jsonl_roundtrip_docs`).
+    */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
   /** Error-detection instruction template (`promptsTemplate.py:84`),
     * formatted per file with the parsed column name.
     */

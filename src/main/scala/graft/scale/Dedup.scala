@@ -148,13 +148,17 @@ object Dedup {
         .localCheckpoint(true) // cut lineage; also feeds the self-join twice
       // pointer jumping: follow my label's label — halves the remaining
       // chain length every round (O(log diameter) total instead of
-      // O(diameter) for chain-shaped duplicate clusters)
+      // O(diameter) for chain-shaped duplicate clusters).
+      // Checkpointed too: the fixpoint agg below plus BOTH consumers of the
+      // next iteration (edge join, union) would otherwise re-run this
+      // self-join three times per round.
       labels = propagated
         .join(propagated.select(col("node").as("__ln"),
           col("lab").as("__ll")),
           col("lab") === col("__ln"), "left")
         .select(col("node"),
           least(col("lab"), coalesce(col("__ll"), col("lab"))).as("lab"))
+        .localCheckpoint(true)
       val s = labels.agg(sum("lab")).first().getLong(0)
       converged = s == prevSum
       prevSum = s

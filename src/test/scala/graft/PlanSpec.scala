@@ -66,4 +66,27 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
+
+  test("positionalSplit plan has no single-partition exchange or window") {
+    val docs = Tables.load(spark, sf, "documents")
+    val (train, _) = graft.sample.Samplers.positionalSplit(docs, "doc_id", 5)
+    val plan = train.queryExecution.executedPlan.toString
+    // the global rank must come from the range-partitioned parallel path:
+    // no SinglePartition exchange, and every window is partitioned
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"single-partition exchange in split plan:\n$plan")
+    assert(!plan.contains("Window [") ||
+      plan.contains("windowspartitionBy") || plan.contains("__pid"),
+      s"unpartitioned window in split plan:\n$plan")
+  }
+
+  test("decontaminate joins the eval shingle set by broadcast") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.scale.Dedup.decontaminate(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval shingle set should broadcast:\n$plan")
+  }
 }
