@@ -19,10 +19,28 @@ import org.apache.spark.sql.functions._
   * production path.
   */
 object Similarity {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
 
-  /** Σ aᵢ·bᵢ via zip_with + aggregate (sequential fold in doubles). */
-  def dot(a: Column, b: Column): Column =
+  private def vec(a: Column, b: Column, op: VectorBinaryExpr.Op): Column =
+    ColumnBridge.column(VectorBinaryExpr(
+      ColumnBridge.expression(a), ColumnBridge.expression(b), op))
+
+  /** Σ aᵢ·bᵢ — native codegen'd tight loop ([[VectorBinaryExpr]]); the HOF
+    * formulation ([[dotHof]]) evaluates interpreted and is kept only as the
+    * cross-check reference.
+    */
+  def dot(a: Column, b: Column): Column = vec(a, b, VectorBinaryExpr.Dot)
+
+  /** Σ (aᵢ-bᵢ)² — native codegen'd. */
+  def l2Sq(a: Column, b: Column): Column = vec(a, b, VectorBinaryExpr.L2Sq)
+
+  /** HOF reference implementations (interpreted; ScaleSpec asserts they agree
+    * bit-for-bit with the native expressions).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dotLongHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,8 +53,7 @@ object Similarity {
   def quantize(a: Column, scale: Int = 1000): Column =
     transform(a, x => round(x.cast("double") * scale).cast("long"))
 
-  def dotLong(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  def dotLong(a: Column, b: Column): Column = vec(a, b, VectorBinaryExpr.Dot)
 
   /** Cosine over quantized vectors: exact-integer dots, one final double
     * division — bit-deterministic across engines.
@@ -157,8 +174,7 @@ object Similarity {
   /** Argmin-L2 centroid per vector (broadcast centroids; ties → lowest id). */
   private def assignNearest(vecs: DataFrame, cents: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val d2 = aggregate(zip_with(col("__v"), col("centv"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val d2 = l2Sq(col("__v"), col("centv"))
     val w = Window.partitionBy(col("__id"))
       .orderBy(col("__d2"), col("centroid_id"))
     vecs.crossJoin(broadcast(cents))
@@ -189,8 +205,7 @@ object Similarity {
         col("centroid_id"))
     val q = queries.select(col(idCol).as("query_id"),
       transform(col(vecCol), x => x.cast("double")).as("qv"))
-    val d2 = aggregate(zip_with(col("qv"), col("centv"),
-      (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)
+    val d2 = l2Sq(col("qv"), col("centv"))
     val wProbe = Window.partitionBy(col("query_id"))
       .orderBy(col("__d2"), col("centroid_id"))
     val qProbes = q.crossJoin(broadcast(centroids))

@@ -80,6 +80,16 @@ class PlanSpec extends SparkSpec {
       s"unpartitioned window in split plan:\n$plan")
   }
 
+  test("vector dot product stays inside whole-stage codegen") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = emb.select(graft.scale.Similarity.dot(
+      col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")),
+      s"dot product not in a codegen stage:\n$plan")
+  }
+
   test("decontaminate joins the eval shingle set by broadcast") {
     val docs = Tables.load(spark, sf, "documents")
     val df = graft.scale.Dedup.decontaminate(

@@ -32,6 +32,35 @@ class ScaleSpec extends SparkSpec {
     assert(dupRow == 1L)   // min id of the {1,4} group
   }
 
+  test("native vector expressions agree bit-for-bit with the HOF forms") {
+    val vecs = Seq(
+      (1L, Seq(0.25, -1.5, 3.0), Seq(2.0, 0.5, -1.25)),
+      (2L, Seq(1e9, -2e9, 3.5e8), Seq(7.25, 0.125, -3.0)),
+      (3L, Seq(0.1, 0.2, 0.3), Seq(0.3, 0.2, 0.1))
+    ).toDF("id", "a", "b")
+    val got = vecs.select(
+      Similarity.dot($"a", $"b").as("native"),
+      Similarity.dotHof($"a", $"b").as("hof"),
+      Similarity.l2Sq($"a", $"b").as("l2native"),
+      aggregate(zip_with($"a", $"b", (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x).as("l2hof"))
+      .as[(Double, Double, Double, Double)].collect()
+    got.foreach { case (n, h, l2n, l2h) =>
+      assert(n == h, "dot mismatch")        // bitwise: same fold order
+      assert(l2n == l2h, "l2 mismatch")
+    }
+    // long (quantized) path: exact integer math
+    val lv = Seq((Seq(1000L, -2000L, 3L), Seq(7L, 8L, -9L)))
+      .toDF("a", "b")
+    val gl = lv.select(Similarity.dotLong($"a", $"b").as("n"),
+      Similarity.dotLongHof($"a", $"b").as("h")).as[(Long, Long)].head()
+    assert(gl._1 === gl._2 && gl._1 === (1000L * 7 - 2000L * 8 - 27L))
+    // unequal lengths → null, matching zip_with's null propagation
+    val uneq = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    assert(uneq.select(Similarity.dot($"a", $"b"))
+      .as[Option[Double]].head().isEmpty)
+  }
+
   test("wordChunks segments tokens into ragged fixed-size passages") {
     val got = docs.filter($"doc_id" === 1)
       .select(TextAnalysis.wordChunks($"text", 4).as("c"))
