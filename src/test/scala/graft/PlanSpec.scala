@@ -90,6 +90,44 @@ class PlanSpec extends SparkSpec {
       s"dot product not in a codegen stage:\n$plan")
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // Force tiny skew thresholds so the planted hot key (90% of the big
+    // side) trips OptimizeSkewedJoin under local-mode data volumes; restores
+    // every conf afterwards. Complements the explicit salting in Skew.scala:
+    // AQE handles JOIN skew automatically, salting covers aggregations.
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    def restore(): Unit = saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      val big = spark.range(200000).select(
+        when(col("id") % 10 =!= 0, lit(1L)).otherwise(col("id")).as("k"),
+        concat(lit("payload_payload_payload_"), col("id")).as("p"))
+      val dim = spark.range(2000).select(col("id").as("k"), col("id").as("v"))
+      val j = big.join(dim, Seq("k"))
+      // execute through the SAME QueryExecution so its AdaptiveSparkPlan
+      // finalizes (a write action would build a fresh one)
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skewed"), s"expected AQE skew split:\n$plan")
+    } finally restore()
+  }
+
   test("decontaminate joins the eval shingle set by broadcast") {
     val docs = Tables.load(spark, sf, "documents")
     val df = graft.scale.Dedup.decontaminate(
