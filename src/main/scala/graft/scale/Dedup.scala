@@ -298,21 +298,32 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.5,
       maxDf: Int = 100): DataFrame = {
-    // Materialize the exploded (id, shingle) relation ONCE: it feeds four
-    // consumers (per-doc sizes, the df-cut aggregate, and both sides of the
-    // shingle self-join) and Spark re-executes the tokenize+shingle pipeline
-    // per consumer otherwise (measured ~4× scan cost at sf0.1). Same
-    // bounded-intermediate pattern as duplicateClusters' edge checkpoint.
+    // Materialize the exploded (id, shingle) relation ONCE: it feeds the
+    // per-doc sizes and the posting-list aggregate, and Spark re-executes
+    // the tokenize+shingle pipeline per consumer otherwise (measured ~4×
+    // scan cost at sf0.1).
     val sh = df.select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .localCheckpoint(true)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
-    val filtered = sh.join(
-      sh.groupBy("sh").agg(count(lit(1)).as("df_cnt"))
-        .filter(col("df_cnt") <= maxDf),
-      Seq("sh"))
-    val common = filtered.select(col("sh"), col(idCol).as("id_a"))
-      .join(filtered.select(col("sh"), col(idCol).as("id_b")), Seq("sh"))
+    // Inverted-index pair generation. Order matters for scale: the df-cut
+    // runs FIRST as a count aggregate (O(1) partial state per shingle — a
+    // billion-df stop-shingle costs one counter, never a collected list),
+    // THEN posting lists build only for surviving shingles, bounded at
+    // maxDf ids each. Candidate pairs expand map-side from the bounded
+    // lists (double explode) instead of a shuffle self-join — every
+    // aggregation/join here keys on `sh`, so Catalyst reuses one exchange.
+    // Stop-shingles (df > maxDf) carry no signal but generate pairs
+    // quadratically — dropping them bounds the fan-out at C(maxDf, 2).
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf)
+      .select("sh")
+    val postings = sh.join(keep, Seq("sh"))
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val common = postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
     common
