@@ -638,6 +638,12 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // ---- multimodal: frame sampling over video payloads --------------------
+    "frame_sample_docs" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.fromDocuments(t(s, dir, "documents")), stride = 5)
+        .orderBy(col("doc_id"), col("frame"))),
+
     // ---- JSONL source/sink round trip (LLM-corpus interchange format) ------
     // Writes the documents table as JSONL (distributed sink), reads it back
     // schema-first, and checks full row fidelity against the parquet
@@ -1546,6 +1552,18 @@ object SparkEntry {
     "jsonl_roundtrip_docs" ->
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // video kind ⇔ doc_id % 3 = 2 (fromDocuments' kind array); signature =
+    // first md5 byte of payload ++ frame-index-as-string, unsigned
+    "frame_sample_docs" ->
+      """WITH v AS (
+        |  SELECT doc_id, text, CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT doc_id, CAST(f AS INT) AS frame,
+        |  CAST(('0x' || substr(md5(text || CAST(f AS VARCHAR)), 1, 2)) AS INT)
+        |    AS signature
+        |FROM v, UNNEST(range(0, n_frames, 5)) AS u(f)
+        |ORDER BY doc_id, frame""".stripMargin,
 
     "passage_dedup_docs" ->
       """WITH toks AS (

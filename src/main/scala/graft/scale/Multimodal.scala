@@ -80,12 +80,13 @@ object Multimodal {
       digest(payload).take(n).map(b => b & 0xff)
 
     /** STUB — fake per-frame signature for video: md5 over (payload ++ frame
-      * index), first byte unsigned.
+      * index as a decimal string — string, not raw byte, so the DuckDB
+      * oracle can replay it with VARCHAR md5), first byte unsigned.
       */
     def frameSignature(payload: Array[Byte], frame: Int): Int = {
       val md = MessageDigest.getInstance("MD5")
       md.update(payload)
-      md.update(frame.toByte)
+      md.update(frame.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest()(0) & 0xff
     }
   }
