@@ -119,6 +119,30 @@ class ScaleSpec extends SparkSpec {
     assert(got === "write to <EMAIL> or call <PHONE> today")
   }
 
+  test("corpus invariants of the new operators hold on the sf0.001 table") {
+    val corpus = graft.io.Tables.load(spark, sf, "documents")
+    // passage dedup conservation: every distinct chunk survives exactly once
+    // globally, so Σ n_kept = |distinct chunks| and n_kept ≤ n_chunks per doc
+    val pd = Dedup.passageDedup(corpus, "doc_id", "text", 10)
+    val keptSum = pd.agg(sum("n_kept")).as[Long].head()
+    val distinctChunks = corpus
+      .select(explode(TextAnalysis.wordChunks($"text", 10)).as("c"))
+      .distinct().count()
+    assert(keptSum === distinctChunks)
+    assert(pd.filter($"n_kept" > $"n_chunks").count() === 0)
+    // self-decontamination flags every document
+    val selfDecon = Dedup.decontaminate(corpus, corpus, "doc_id", "text", 3)
+    assert(selfDecon.filter(!$"contaminated").count() === 0)
+    // rarity score is ≥ 1 (every token occurs at least once in the corpus)
+    val cf = TextAnalysis.corpusFrequencyScore(corpus, "doc_id", "text")
+    assert(cf.filter($"avg_tok_freq" < 1.0).count() === 0)
+    // repetition fraction ∈ (0, 1], top ≤ total
+    val rep = TextAnalysis.repetitionScore(corpus, "doc_id", "text")
+    assert(rep.filter($"top_bigram_frac" <= 0.0 ||
+      $"top_bigram_frac" > 1.0).count() === 0)
+    assert(rep.filter($"top_bigram_n" > $"n_bigrams").count() === 0)
+  }
+
   test("minhash LSH finds exact and near duplicates, not unrelated docs") {
     val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3)
       .as[(Long, Long)].collect().toSet
