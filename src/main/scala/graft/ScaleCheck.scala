@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.Tables
+import graft.sample.Samplers
+import graft.scale.{Dedup, Events, TextAnalysis}
+
+/** Scaling sanity harness: times the shuffle-heavy operators at 1× and N×
+  * the sf0.1 corpus (N× = union with key-shifted copies, so dup/cluster
+  * structure replicates instead of degenerating) and prints the time ratio
+  * next to the data ratio. A ratio well above N flags a scaling cliff
+  * (quadratic candidate generation, single-partition funnel, driver
+  * collect); ~N or below means the operator parallelizes.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_SCALE_N=8 \
+  *   sbt "runMain graft.ScaleCheck"
+  */
+object ScaleCheck {
+
+  /** N key-shifted copies. When `saltTextCol` is set, every TOKEN of each
+    * copy gets a copy-distinct prefix, making the copies' shingle spaces
+    * disjoint — the N× corpus is then N independent replicas of the base
+    * near-dup structure. Without this, copies share shingles and the
+    * near-dup PAIR mass itself grows ~N² (total mass duplication) — a data
+    * property, not the algorithmic scaling being measured.
+    */
+  private def replicate(df: DataFrame, idCol: String, n: Int,
+      saltTextCol: Option[String] = None): DataFrame = {
+    val width = 10000000L
+    (0 until n).map { i =>
+      val shifted = df.withColumn(idCol, col(idCol) + lit(i * width))
+      saltTextCol.fold(shifted)(t =>
+        shifted.withColumn(t, concat_ws(" ",
+          transform(split(col(t), " "), w => concat(lit(s"c$i"), w)))))
+    }.reduce(_ unionByName _)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "8").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+    val events = Tables.load(spark, sfDir, "events")
+    val lineitem = Tables.load(spark, sfDir, "lineitem")
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val cases: Seq[(String, DataFrame => DataFrame, DataFrame, String, Option[String])] = Seq(
+      ("jaccard_pairs",
+        (d: DataFrame) => Dedup.ngramJaccardPairs(d, "doc_id", "text", 3, 0.2, 100),
+        docs, "doc_id", Some("text")),
+      ("dup_clusters",
+        (d: DataFrame) => Dedup.duplicateClusters(d,
+          Dedup.minhashLsh(d, "doc_id", "text", 8, 2, 3), "doc_id"),
+        docs, "doc_id", Some("text")),
+      ("passage_dedup",
+        (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
+        docs, "doc_id", Some("text")),
+      ("corpus_freq",
+        (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
+        docs, "doc_id", None),
+      ("sessionize",
+        (d: DataFrame) => Events.sessionize(d, 1800L),
+        events, "user_id", None),
+      ("global_rank",
+        (d: DataFrame) => Samplers.globalRowNumber(
+          d.select("l_orderkey", "l_linenumber", "__copy"),
+          Seq("l_orderkey", "l_linenumber", "__copy")),
+        lineitem.withColumn("__copy", lit(0L)), "__copy", None))
+
+    // warm-up
+    noop(Dedup.passageDedup(docs, "doc_id", "text", 10))
+
+    val results = cases.map { case (name, op, base, idCol, salt) =>
+      val big = replicate(base, idCol, n, salt)
+      val t1 = time(noop(op(base.withColumnRenamed(idCol, idCol))))
+      val tn = time(noop(op(big)))
+      val ratio = tn / t1
+      println(f"[scalecheck] $name%-14s 1x=$t1%6.2fs  ${n}x=$tn%6.2fs  " +
+        f"ratio=$ratio%5.2f (data ${n}x)")
+      (name, t1, tn, ratio)
+    }
+    val qs = results.map { case (k, a, b, r) =>
+      s"""\"$k\":{\"t1\":$a,\"tn\":$b,\"ratio\":$r}"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scalecheck","n":$n,"cases":$qs,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
