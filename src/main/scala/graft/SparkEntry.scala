@@ -638,6 +638,12 @@ object SparkEntry {
         .groupBy(col("token")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token")).limit(20)),
 
+    // ---- scale: token-budget shard packing (parallel global cumsum) --------
+    "shard_pack_docs" -> ((s, dir) =>
+      TextAnalysis.packIntoShards(t(s, dir, "documents"), "doc_id", "text", 1000L)
+        .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+        .orderBy(col("doc_id"))),
+
     // ---- multimodal: frame sampling over video payloads --------------------
     "frame_sample_docs" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -1552,6 +1558,20 @@ object SparkEntry {
     "jsonl_roundtrip_docs" ->
       """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "shard_pack_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, (cum - n_tokens) // 1000 AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     // video kind ⇔ doc_id % 3 = 2 (fromDocuments' kind array); signature =
     // first md5 byte of payload ++ frame-index-as-string, unsigned

@@ -163,6 +163,41 @@ object Samplers {
       .drop("__pid")
   }
 
+  /** Parallel global cumulative sum over a total order (running total of
+    * `valueCol` in `orderCols` order, inclusive of the current row): the
+    * same two-phase shape as [[globalRowNumber]] — range-partition on the
+    * order keys, partial running sums within each (parallel) partition,
+    * broadcast cumulative offsets of the preceding partitions. No
+    * single-partition window. `valueCol` must be integral (summed as long).
+    */
+  def globalCumSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      numPartitions: Int = 32,
+      cumCol: String = "__cum"): DataFrame = {
+    val ranged = df
+      .repartitionByRange(numPartitions, orderCols.map(col): _*)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val sums = ranged.groupBy("__pid")
+      .agg(sum(col(valueCol).cast("long")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until numPartitions).scanLeft(0L) {
+      (acc, p) => acc + sums.getOrElse(p, 0L)
+    }
+    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
+      (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn(cumCol,
+        sum(col(valueCol).cast("long")).over(w) + offsetExpr)
+      .drop("__pid")
+  }
+
   /** A5 at scale: first floor(frac·n) rows in `orderCols` order, computed
     * with [[globalRowNumber]] — no single-partition stage anywhere.
     */

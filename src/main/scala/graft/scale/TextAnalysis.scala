@@ -146,6 +146,28 @@ object TextAnalysis {
           .as("avg_tok_freq"))
   }
 
+  /** Token-budget shard packing: assign documents (in `idCol` order) to
+    * training shards greedily so each shard holds ~`budgetTokens` tokens —
+    * the sharding step before tokenize-and-concat in a pretraining pipeline.
+    * shard_id = floor(tokens_before_this_doc / budget); a shard can exceed
+    * the budget by at most one document (greedy semantics, deterministic).
+    * The running total uses [[graft.sample.Samplers.globalCumSum]] — the
+    * parallel two-phase form, no single-partition window at any scale.
+    */
+  def packIntoShards(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val withTokens = df.withColumn("n_tokens",
+      tokenCount(col(textCol)).cast("long"))
+    graft.sample.Samplers
+      .globalCumSum(withTokens, Seq(idCol), "n_tokens")
+      .withColumn("shard_id",
+        floor((col("__cum") - col("n_tokens")) / lit(budgetTokens)))
+      .drop("__cum")
+  }
+
   /** PII scrubbing: redact email-shaped and phone-shaped spans (the
     * pre-training hygiene pass). Portable regexes (no lookaround, no \b) so
     * the DuckDB oracle replays them byte-identically; extend the pattern

@@ -65,16 +65,40 @@ object WranglerMain {
       cfg: WranglerConfig = WranglerConfig.default): Option[TaskResult] = {
     val (trainDf, testDf) =
       graft.sample.Samplers.positionalSplit(input.data, input.orderCol, cfg.k)
+    runTaskSplit(input.name, input.kind, trainDf, testDf,
+      input.instruction, cfg)
+  }
+
+  /** Pre-split variant: the error-detection task family arrives as SEPARATE
+    * train/test split directories (`data_utils.py:288-305`), not a
+    * positional split of one frame — this is its entry point (paired with
+    * `Readers.errorDetectionDir` + `Samplers.coSort3` for the triple
+    * alignment).
+    */
+  def runTaskSplit(
+      name: String,
+      kind: TaskKind,
+      trainDf: DataFrame,
+      testDf: DataFrame,
+      instruction: Option[String],
+      cfg: WranglerConfig = WranglerConfig.default): Option[TaskResult] = {
     if (testDf.isEmpty) return None
-    val train = trainDf.select("text", "label_str").collect()
+    // The demo pool collected to the driver is BOUNDED: trials only ever
+    // draw k-row demo samples, so a seeded exact-n pool (TakeOrdered, no
+    // shuffle) stands in for the reference's whole-train sampling frame —
+    // collecting a full 100 TB-scale train split would be a driver OOM.
+    val poolCap = math.max(cfg.d, cfg.k * 100)
+    val train = graft.sample.Samplers
+      .randomExactN(trainDf.select("text", "label_str"), poolCap, cfg.seed)
+      .collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val trials = Validation.trialLoop(
-      RuleSynthesizer, input.instruction, train, Seq.empty, cfg)
-    val prog = selectPrograms(input.kind, trials, 1).head
+      RuleSynthesizer, instruction, train, Seq.empty, cfg)
+    val prog = selectPrograms(kind, trials, 1).head
     val applied = Wrangler.applyProgram(testDf, prog)
     val m = metricsToMap(Metrics.confusionMetrics(
       applied, "pred", "label_str", cfg.tolerance, cfg.truncatingZip))
-    Some(TaskResult(input.name, prog, applied, m))
+    Some(TaskResult(name, prog, applied, m))
   }
 
   /** All tasks + global metrics + sinks. Returns per-task results and the

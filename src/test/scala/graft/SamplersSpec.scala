@@ -97,6 +97,18 @@ class SamplersSpec extends SparkSpec {
     assert(viaRange === (1L to 100L).map(i => i -> i).toMap)
   }
 
+  test("globalCumSum matches the single-partition running total") {
+    val df = labeled.withColumn("v", (col("id") % 7) + 1)
+      .orderBy(rand(11))   // scramble physical order
+    val got = Samplers.globalCumSum(df, Seq("id"), "v", 8)
+      .select("id", "__cum").as[(Long, Long)].collect().toMap
+    var run = 0L
+    (1L to 100L).foreach { i =>
+      run += (i % 7) + 1
+      assert(got(i) === run, s"cumsum diverged at id=$i")
+    }
+  }
+
   test("headFractionOrdered keeps exactly the first floor(frac*n) keys") {
     val got = Samplers.headFractionOrdered(labeled, Seq("id"), 0.23, 8)
       .select("id").as[Long].collect().sorted.toSeq

@@ -112,6 +112,28 @@ class ScaleSpec extends SparkSpec {
     assert(got(1) === ((2L, 2L, 1.5)))          // (2+1)/2
   }
 
+  test("packIntoShards: greedy budget packing invariants on sf0.001 corpus") {
+    val corpus = graft.io.Tables.load(spark, sf, "documents")
+    val budget = 500L
+    val packed = TextAnalysis.packIntoShards(corpus, "doc_id", "text", budget)
+      .select($"doc_id", $"n_tokens", $"shard_id")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // shard ids are nondecreasing in doc order and start at 0
+    assert(packed.head._3 === 0L)
+    packed.sliding(2).foreach { case Array(a, b) =>
+      assert(a._3 <= b._3, s"shard id decreased at ${b._1}")
+    }
+    // each shard holds <= budget + its largest doc (greedy overshoot bound)
+    val byShard = packed.groupBy(_._3)
+    byShard.foreach { case (sid, rows) =>
+      val total = rows.map(_._2).sum
+      val maxDoc = rows.map(_._2).max
+      assert(total <= budget + maxDoc, s"shard $sid over-packed: $total")
+    }
+    // conservation: every doc lands in exactly one shard
+    assert(packed.length === corpus.count())
+  }
+
   test("scrubPii redacts email and phone spans, leaves prose alone") {
     val df = Seq("write to bob.smith@corp.io or call 415-555-0199 today")
       .toDF("text")
