@@ -136,11 +136,18 @@ object TextAnalysis {
     */
   def corpusFrequencyScore(
       df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val freq = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-    tok.join(freq, Seq("tok"))
+    // Pre-aggregate to (doc, token) multiplicities before the frequency
+    // join: the join then carries distinct per-doc tokens (≤ vocabulary ×
+    // docs) instead of every occurrence, and the corpus frequency table
+    // derives from the same aggregate — Σ ct·cnt ≡ Σ over occurrences.
+    val docTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("ct"))
+    val freq = docTok.groupBy(col("tok")).agg(sum(col("ct")).as("cnt"))
+    docTok.join(freq, Seq("tok"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("freq_sum"))
+      .agg(sum(col("ct")).as("n_tokens"),
+        sum(col("ct") * col("cnt")).as("freq_sum"))
       .select(col(idCol), col("n_tokens"),
         round(col("freq_sum").cast("double") / col("n_tokens"), 6)
           .as("avg_tok_freq"))
