@@ -28,6 +28,11 @@ object Bench {
     // Mixed shapes: scan+agg, window, broadcast join+concat, regex transform.
     val warmup = Seq("q1_full_pricing", "window_analytics_orders",
       "em_blocked_pairs", "transform_affine_lineitem")
+    // fail loudly if a warm-up query is renamed/removed — run() swallows
+    // per-query errors, which would silently skip warm-up and land the
+    // one-time JVM/codegen cost on the first measured query
+    warmup.foreach(n => require(SparkEntry.queries.contains(n),
+      s"warm-up query '$n' missing from SparkEntry.queries"))
     val tw0 = System.nanoTime()
     warmup.foreach(run)
     val warmupSec = (System.nanoTime() - tw0) / 1e9

@@ -86,7 +86,7 @@ object ScaleCheck {
 
     val results = cases.map { case (name, op, base, idCol, salt) =>
       val big = replicate(base, idCol, n, salt)
-      val t1 = time(noop(op(base.withColumnRenamed(idCol, idCol))))
+      val t1 = time(noop(op(base)))
       val tn = time(noop(op(big)))
       val ratio = tn / t1
       println(f"[scalecheck] $name%-14s 1x=$t1%6.2fs  ${n}x=$tn%6.2fs  " +

@@ -30,6 +30,27 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Root for filesystem fixtures written by round-trip queries (CSV split
+    * dirs, JSONL dumps); recursively deleted at JVM exit so repeated
+    * bench/verify runs can't accumulate unbounded /tmp usage. Deletion must
+    * be deferred to exit — the returned DataFrames read these paths lazily
+    * at execution time.
+    */
+  private lazy val fixturesRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft_fixtures")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }))
+    p
+  }
+
+  private def freshFixtureDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(fixturesRoot, prefix)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     pricingSummary(spark, "/root/testdata/sf0.001")
@@ -489,7 +510,7 @@ object SparkEntry {
     "error_detection_end_to_end_part" -> ((s, dir) => {
       val p = t(s, dir, "part")
       val targets = Seq("pbrand" -> "p_brand", "ptype" -> "p_type")
-      val root = java.nio.file.Files.createTempDirectory("errdet_splits")
+      val root = freshFixtureDir("errdet_splits")
       val trainDir =
         java.nio.file.Files.createDirectory(root.resolve("train_splits_single"))
       val testDir =
@@ -657,8 +678,7 @@ object SparkEntry {
     // lossless for this to hash-match.
     "jsonl_roundtrip_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_jsonl").toString
+      val out = freshFixtureDir("graft_jsonl").toString
       docs.write.mode("overwrite").json(out)
       Readers.jsonl(s, out, Some(docs.schema))
         .select(col("doc_id"), col("lang"), col("n_chars"),
@@ -938,7 +958,7 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |mh AS (
         |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
@@ -955,7 +975,7 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |mh AS (
         |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
@@ -976,7 +996,7 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |mh AS (
         |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
@@ -1006,7 +1026,7 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |keep AS (
@@ -1095,7 +1115,7 @@ object SparkEntry {
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM q, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |msf AS (SELECT doc_id, MIN(md5(sh)) AS min_shingle_fp FROM sh GROUP BY doc_id)
         |SELECT q.doc_id, md5(array_to_string(t, ' ')) AS fp, msf.min_shingle_fp
@@ -1618,7 +1638,7 @@ object SparkEntry {
         |      x -> len(x) > 0) AS t
         |  FROM documents),
         |sh AS (
-        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
         |hits AS (

@@ -116,13 +116,21 @@ object Readers {
       spark: SparkSession,
       dir: String): Seq[(String, DataFrame, String)] = {
     import scala.jdk.CollectionConverters._
-    val names = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala
-      .map(_.getFileName.toString)
-      .filter(_.endsWith(".csv"))
-      .toSeq.sorted
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+    val names =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".csv"))
+        .toSeq.sorted
+      finally stream.close()   // Files.list leaks a directory fd otherwise
     names.map { name =>
-      val colName = name.split("_")(2).split("\\.csv")(0)
+      // faithful filename-token parse (data_utils.py:157) — a CSV without
+      // three '_'-separated tokens fails there too (IndexError); surface
+      // the offending file name instead of a bare index error
+      val toks = name.split("_")
+      require(toks.length > 2,
+        s"error-detection CSV name '$name' lacks the <x>_<y>_<column>.csv shape")
+      val colName = toks(2).split("\\.csv")(0)
       (colName,
         errorDetection(csv(spark, s"$dir/$name"), colName),
         ErrorDetectionInstruction.replace("{column_name}", colName))

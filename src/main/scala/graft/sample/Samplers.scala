@@ -136,19 +136,26 @@ object Samplers {
     * `Window.orderBy(...)` (which funnels the table through one task).
     * Order keys must be unique for a deterministic ranking.
     */
-  def globalRowNumber(
+  /** Shared two-phase scaffold for [[globalRowNumber]] / [[globalCumSum]]:
+    * range-partition on the order keys, measure each (parallel) partition
+    * with `partitionAgg`, and return the materialized frame plus the
+    * broadcast cumulative-offset expression of the preceding partitions.
+    * Materialized ONCE (localCheckpoint): RangePartitioner samples
+    * boundaries with an RDD-id-derived seed, so two evaluations could
+    * partition differently — the measure job and the window job must see
+    * the SAME partitioning.
+    */
+  private def rangedWithOffsets(
       df: DataFrame,
       orderCols: Seq[String],
-      numPartitions: Int = 32,
-      rnCol: String = "__rn"): DataFrame = {
-    // Materialize ONCE: RangePartitioner samples boundaries with an RDD-id-
-    // derived seed, so two evaluations can partition differently — the size
-    // job and the rank job must see the SAME partitioning.
+      numPartitions: Int,
+      partitionAgg: Column): (DataFrame, Column) = {
     val ranged = df
       .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val sizes = ranged.groupBy("__pid").count()
+    val sizes = ranged.groupBy("__pid")
+      .agg(coalesce(partitionAgg, lit(0L)).as("__s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val offsets = (0 until numPartitions).scanLeft(0L) {
       (acc, p) => acc + sizes.getOrElse(p, 0L)
@@ -156,6 +163,16 @@ object Samplers {
     val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
       (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
     }
+    (ranged, offsetExpr)
+  }
+
+  def globalRowNumber(
+      df: DataFrame,
+      orderCols: Seq[String],
+      numPartitions: Int = 32,
+      rnCol: String = "__rn"): DataFrame = {
+    val (ranged, offsetExpr) =
+      rangedWithOffsets(df, orderCols, numPartitions, count(lit(1)))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
     ranged
@@ -176,19 +193,10 @@ object Samplers {
       valueCol: String,
       numPartitions: Int = 32,
       cumCol: String = "__cum"): DataFrame = {
-    val ranged = df
-      .repartitionByRange(numPartitions, orderCols.map(col): _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
-    val sums = ranged.groupBy("__pid")
-      .agg(sum(col(valueCol).cast("long")).as("s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions).scanLeft(0L) {
-      (acc, p) => acc + sums.getOrElse(p, 0L)
-    }
-    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
-      (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
-    }
+    // coalesce in rangedWithOffsets guards the all-NULL-partition case
+    // (sum over nulls) — offset 0, not a driver NPE
+    val (ranged, offsetExpr) = rangedWithOffsets(
+      df, orderCols, numPartitions, sum(col(valueCol).cast("long")))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -153,18 +153,19 @@ case class VectorBinaryExpr(
     case (VectorBinaryExpr.L2Sq, _)         => "l2SqDouble"
   }
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  // resolved once, not per interpreted-eval row
+  @transient private lazy val kernel: (ArrayData, ArrayData) => Any =
     method match {
-      case "dotLong"    => VectorOps.dotLong(x, y)
-      case "dotFloat"   => VectorOps.dotFloat(x, y)
-      case "dotDouble"  => VectorOps.dotDouble(x, y)
-      case "l2SqLong"   => VectorOps.l2SqLong(x, y)
-      case "l2SqFloat"  => VectorOps.l2SqFloat(x, y)
-      case "l2SqDouble" => VectorOps.l2SqDouble(x, y)
+      case "dotLong"    => VectorOps.dotLong
+      case "dotFloat"   => VectorOps.dotFloat
+      case "dotDouble"  => VectorOps.dotDouble
+      case "l2SqLong"   => VectorOps.l2SqLong
+      case "l2SqFloat"  => VectorOps.l2SqFloat
+      case "l2SqDouble" => VectorOps.l2SqDouble
     }
-  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val helper = "graft.scale.VectorOps$.MODULE$"
