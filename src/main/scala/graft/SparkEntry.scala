@@ -302,6 +302,32 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ---- scale: one Lloyd iteration, oracle-exact (quantized L2 argmin) ----
+    // Assignment by exact-integer squared L2 over quantized vectors (native
+    // l2Sq kernel), deterministic ties → lowest centroid; centroid update as
+    // exact integer sums per (centroid, dim) → rounded mean. The
+    // k-means/IVF training loop's single step, DuckDB-checkable.
+    "kmeans_assign_embeddings" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("__id"),
+          Similarity.quantize(col("embedding")).as("__v"))
+      val cents = vecs.filter(col("__id") < 4)
+        .select(col("__id").as("centroid_id"), col("__v").as("centv"))
+      val w = Window.partitionBy(col("__id"))
+        .orderBy(col("__d2"), col("centroid_id"))
+      val assigned = vecs.crossJoin(broadcast(cents))
+        .withColumn("__d2", Similarity.l2Sq(col("__v"), col("centv")))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") === 1)
+      assigned
+        .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        .select(col("centroid_id"), col("pos"), col("n"),
+          round(col("sx").cast("double") / col("n"), 6).as("m"))
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
     // ---- scale: embedding near-dup pairs (sign-LSH blocked) ----------------
     "cosine_near_dup_embeddings" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(
@@ -1145,6 +1171,31 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "kmeans_assign_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id < 4),
+        |d AS (
+        |  SELECT q.vec_id, c.centroid_id,
+        |    (SELECT SUM((q.v[i] - c.centv[i]) * (q.v[i] - c.centv[i]))
+        |     FROM UNNEST(range(1, len(q.v) + 1)) AS u(i)) AS d2
+        |  FROM qv q CROSS JOIN cents c),
+        |a AS (
+        |  SELECT vec_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+        |  FROM d),
+        |asg AS (SELECT vec_id, centroid_id FROM a WHERE rk = 1),
+        |ex AS (
+        |  SELECT s.centroid_id, CAST(i - 1 AS INT) AS pos, qv.v[i] AS x
+        |  FROM asg s JOIN qv ON qv.vec_id = s.vec_id,
+        |    UNNEST(range(1, len(qv.v) + 1)) AS u(i))
+        |SELECT centroid_id, pos, COUNT(*) AS n,
+        |  ROUND(CAST(CAST(SUM(x) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS m
+        |FROM ex GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "cosine_near_dup_embeddings" ->
       """WITH qv AS (
