@@ -35,6 +35,20 @@ class WranglerMainSpec extends SparkSpec {
     assert(WranglerMain.runTask(tiny).isEmpty)
   }
 
+  test("runTaskSplit: separate train/test frames (error-detection dir shape)") {
+    // train teaches the transform; test is a disjoint frame — no positional
+    // split involved, mirroring the train/test split-directory layout
+    val train = (1 to 30).map(i => (s"word$i", s"WORD$i"))
+      .toDF("text", "label_str")
+    val test_ = (31 to 40).map(i => (s"word$i", s"WORD$i"))
+      .toDF("text", "label_str")
+    val r = WranglerMain.runTaskSplit(
+      "dirtask", TaskKind.ErrorDetection, train, test_, None).get
+    assert(r.program === TransformProgram.UpperCase)
+    assert(r.metrics("acc") === 1.0)
+    assert(r.applied.count() === 10)   // whole test frame, not n - k
+  }
+
   test("selectPrograms: zip for transformation, best-acc for EM") {
     val trials = Seq(
       (TransformProgram.LowerCase: TransformProgram, 0.4),
