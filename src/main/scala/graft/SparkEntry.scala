@@ -393,6 +393,52 @@ object SparkEntry {
         .orderBy(col("event_type"), col("user_bucket"))
     }),
 
+    // ---- TPC-H Q3 shape: 3-way join, pushed filters, top-10 by revenue -----
+    // customer filter and both date filters push into the parquet scans;
+    // orders⋈lineitem is the fact-fact shuffle join, customer broadcasts.
+    "q3_shipping_priority" -> ((s, dir) => {
+      val cust = broadcast(t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
+            .as("o_day"),
+          col("o_orderpriority"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // ---- TPC-H Q5 shape: 6-way join, dims broadcast, region-filtered -------
+    "q5_local_supplier" -> ((s, dir) => {
+      val region = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      val nation = broadcast(t(s, dir, "nation"))
+      val supp = broadcast(t(s, dir, "supplier"))
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(nation, col("s_nationkey") === col("n_nationkey"))
+        .join(region, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // ---- window range frame: trailing 7-day spend per customer -------------
     "range_frame_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -1285,6 +1331,39 @@ object SparkEntry {
         |FROM (SELECT event_type, user_id % 5 AS user_bucket FROM events)
         |GROUP BY GROUPING SETS ((event_type), (user_bucket))
         |ORDER BY 1, 2""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l.l_orderkey,
+        |  (CAST(EPOCH_US(o.o_orderdate) AS BIGINT) // 86400000000) AS o_day,
+        |  o.o_orderpriority,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_local_supplier" ->
+      """SELECT n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
 
     "range_frame_orders" ->
       """WITH o AS (

@@ -79,6 +79,17 @@ class PlanSpec extends SparkSpec {
       s"single-partition exchange in split plan:\n$plan")
   }
 
+  test("q3 pushes both date filters into the scans and broadcasts customer") {
+    val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected BHJ:\n$plan")
+    val formattedPlan = formatted(df)
+    assert(formattedPlan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate"),
+      s"orders date filter not pushed:\n$formattedPlan")
+    assert(formattedPlan.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$formattedPlan")
+  }
+
   test("vector dot product stays inside whole-stage codegen") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(graft.scale.Similarity.dot(
