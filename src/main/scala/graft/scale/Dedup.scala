@@ -145,13 +145,13 @@ object Dedup {
         .select(col("src").as("node"), col("lab"))
       val propagated = labels.unionByName(viaEdges)
         .groupBy("node").agg(min("lab").as("lab"))
-        .localCheckpoint(true) // cut lineage; also feeds the self-join twice
       // pointer jumping: follow my label's label — halves the remaining
       // chain length every round (O(log diameter) total instead of
-      // O(diameter) for chain-shaped duplicate clusters).
-      // Checkpointed too: the fixpoint agg below plus BOTH consumers of the
-      // next iteration (edge join, union) would otherwise re-run this
-      // self-join three times per round.
+      // O(diameter) for chain-shaped duplicate clusters). One checkpoint
+      // per round, AFTER the jump: `propagated` feeds both self-join sides
+      // as an identical subplan, so its shuffle is computed once and served
+      // to the second side via ReusedExchange — a second materialization
+      // bought nothing (measured).
       labels = propagated
         .join(propagated.select(col("node").as("__ln"),
           col("lab").as("__ll")),
