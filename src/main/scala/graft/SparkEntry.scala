@@ -758,6 +758,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- ORC source/sink round trip (second columnar format) ---------------
+    "orc_roundtrip_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = freshFixtureDir("graft_orc").toString
+      docs.write.mode("overwrite").orc(out)
+      s.read.schema(docs.schema).orc(out)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- hive-partitioned layout: write by lang, read one partition --------
+    // The partition filter must prune at the directory level (LayoutSpec
+    // asserts the pruned plan); the oracle checks the data survives the
+    // partitioned round trip exactly.
+    "partitioned_layout_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = freshFixtureDir("graft_part").toString
+      docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: passage-level cross-corpus dedup + reassembly --------------
     "passage_dedup_docs" -> ((s, dir) =>
       Dedup.passageDedup(t(s, dir, "documents"), "doc_id", "text", 10)
@@ -1734,6 +1760,14 @@ object SparkEntry {
         |    AS signature
         |FROM v, UNNEST(range(0, n_frames, 5)) AS u(f)
         |ORDER BY doc_id, frame""".stripMargin,
+
+    "orc_roundtrip_docs" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "partitioned_layout_docs" ->
+      """SELECT doc_id, lang, n_chars, md5(text) AS text_md5
+        |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin,
 
     "passage_dedup_docs" ->
       """WITH toks AS (
