@@ -27,6 +27,26 @@ class PropertiesSpec extends AnyFunSuite {
 
   private val anyString = Gen.asciiPrintableStr
 
+  test("VectorOps kernels match a naive fold on random arrays") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.scale.VectorOps
+    val gArr = Gen.listOfN(16, Gen.chooseNum(-1e6, 1e6))
+    forAll(Gen.zip(gArr, gArr), 100) { case (a, b) =>
+      val ad = ArrayData.toArrayData(a.toArray)
+      val bd = ArrayData.toArrayData(b.toArray)
+      val dot = a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+      val l2 = a.zip(b).foldLeft(0.0) { case (s, (x, y)) =>
+        s + (x - y) * (x - y) }
+      assert(VectorOps.dotDouble(ad, bd) === dot)     // bitwise: same order
+      assert(VectorOps.l2SqDouble(ad, bd) === l2)
+    }
+    // unequal lengths are NULL, never a partial result
+    val a3 = ArrayData.toArrayData(Array(1.0, 2.0, 3.0))
+    val a2 = ArrayData.toArrayData(Array(1.0, 2.0))
+    assert(VectorOps.dotDouble(a3, a2) == null)
+    assert(VectorOps.l2SqDouble(a2, a3) == null)
+  }
+
   test("tolerant equality is reflexive") {
     forAll(anyString) { s =>
       assert(TolerantEq.eval(u(s), u(s), 0.021, truncating = true))

@@ -68,6 +68,26 @@ class ReadersSpec extends SparkSpec {
     assert(tasks(1)._2.count() === 1)
   }
 
+  test("jsonl reader is corrupt-line tolerant under an explicit schema") {
+    val dir = Files.createTempDirectory("graft_jsonl_corrupt")
+    Files.writeString(dir.resolve("part-0.jsonl"),
+      """{"doc_id": 1, "text": "good line"}
+        |this is not json at all
+        |{"doc_id": 3, "text": "another good one"}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val df = Readers.jsonl(spark, dir.toString, Some(schema))
+    // PERMISSIVE default: the corrupt line becomes an all-null row, the
+    // good rows survive — no crash mid-scan on a 100 TB corpus
+    assert(df.count() === 3)
+    assert(df.filter($"doc_id".isNull).count() === 1)
+    assert(df.filter($"doc_id".isNotNull).count() === 2)
+  }
+
   test("S4 instruction reader strips //") {
     val path = tmpFile("instruction.txt", "// do the thing \n")
     assert(Readers.instruction(path) === Some("do the thing"))
