@@ -439,6 +439,39 @@ object SparkEntry {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // ---- TPC-H Q6 shape: pure pushed-filter scan + single aggregate --------
+    "q6_forecast_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            col("l_discount").cast("decimal(18,4)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_lines"))),
+
+    // ---- TPC-H Q18 shape: having-filtered fact agg semi-joined back --------
+    // big-quantity orders: aggregate lineitem per order, HAVING over the
+    // sum, then join orders+customer for the report — the agg output is the
+    // small side and broadcasts back against the fact tables.
+    "q18_large_orders" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sum_qty"))
+        .filter(col("sum_qty") > lit(150).cast("decimal(18,2)"))
+      t(s, dir, "orders")
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"),
+          col("o_totalprice").cast("decimal(18,2)").cast("double")
+            .as("o_totalprice"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy(col("sum_qty").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
     // ---- window range frame: trailing 7-day spend per customer -------------
     "range_frame_orders" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -841,6 +874,26 @@ object SparkEntry {
         .runToMemory(s, agg, name,
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
+    // ---- streaming sliding windows in the CHECKED surface ------------------
+    "streaming_sliding_agg_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream
+        .withColumn("__ts", Events.tsAsTimestamp(stream))
+        .groupBy(window(col("__ts"), "1 hour", "30 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val name = "stream_sliding_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("win_start"), col("event_type"))
     }),
 
     // ---- pivot (explicit value list → deterministic columns) ---------------
@@ -1331,6 +1384,21 @@ object SparkEntry {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // same math as sliding_agg_events — the streaming form must match it
+    "streaming_sliding_agg_events" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) AS ep
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest([ (ep // 1800) * 1800 - 1800, (ep // 1800) * 1800 ])
+        |      AS win_start
+        |  FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "json_props_events" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
@@ -1390,6 +1458,28 @@ object SparkEntry {
         |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150)
+        |SELECT c.c_name, o.o_orderkey,
+        |  CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+        |  CAST(b.sum_qty AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY sum_qty DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "range_frame_orders" ->
       """WITH o AS (
