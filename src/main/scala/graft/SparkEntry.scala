@@ -1179,10 +1179,10 @@ object SparkEntry {
         |sh AS (
         |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
         |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
         |keep AS (
         |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
         |f AS (SELECT s.* FROM sh s JOIN keep k ON s.sh = k.sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
         |common AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
         |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -1942,7 +1942,7 @@ object SparkEntry {
         |    text || ' contact u' || CAST(doc_id AS VARCHAR) ||
         |      '@mail.com or 555-' ||
         |      lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234',
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
 

@@ -133,10 +133,15 @@ object Dedup {
       .localCheckpoint(true)
     var labels = nodes.select(col(idCol).as("node"), col(idCol).as("lab"))
       .localCheckpoint(true)
-    // labels are monotonically non-increasing, so the label sum strictly
-    // decreases every non-converged round — a 1-row aggregate replaces a
-    // per-round join as the fixpoint test.
-    var prevSum = labels.agg(sum("lab")).first().getLong(0)
+    // Fixpoint test: 1-row bit_xor aggregate of per-(node, label) hashes —
+    // type-agnostic (string document ids work, where a raw sum("lab")
+    // would coerce to NULL and NPE) and overflow-free (summing full-range
+    // xxhash64 values trips ANSI long overflow). Any node's label change
+    // flips its pair hash; a stable xor across a changed label set needs a
+    // 2^-64 coincidence per round — negligible next to maxIters.
+    def labelDigest(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(node, lab))")).first().getLong(0)
+    var prevSum = labelDigest(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -159,7 +164,7 @@ object Dedup {
         .select(col("node"),
           least(col("lab"), coalesce(col("__ll"), col("lab"))).as("lab"))
         .localCheckpoint(true)
-      val s = labels.agg(sum("lab")).first().getLong(0)
+      val s = labelDigest(labels)
       converged = s == prevSum
       prevSum = s
       i += 1
@@ -238,9 +243,13 @@ object Dedup {
       textCol: String,
       chunkWords: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // materialized once: the first-occurrence window (keyed on the chunk
+    // hash) and the per-doc totals (keyed on the doc) would otherwise each
+    // re-run the tokenize+chunk+posexplode pipeline
     val chunks = df.select(col(idCol),
       posexplode(TextAnalysis.wordChunks(col(textCol), chunkWords))
         .as(Seq("pos", "chunk")))
+      .localCheckpoint(true)
     val w = Window.partitionBy(md5(col("chunk").cast("binary")))
       .orderBy(col(idCol), col("pos"))
     val kept = chunks
@@ -305,7 +314,6 @@ object Dedup {
     val sh = df.select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .localCheckpoint(true)
-    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     // Inverted-index pair generation. Order matters for scale: the df-cut
     // runs FIRST as a count aggregate (O(1) partial state per shingle — a
     // billion-df stop-shingle costs one counter, never a collected list),
@@ -318,7 +326,13 @@ object Dedup {
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
       .filter(col("df_cnt") <= maxDf)
       .select("sh")
-    val postings = sh.join(keep, Seq("sh"))
+    val kept = sh.join(keep, Seq("sh"))
+    // Sizes come from the KEPT (post-df-cut) shingle set — the same
+    // universe as the intersection counts. Pre-cut sizes would deflate
+    // every score (identical docs sharing 30 corpus-common shingles would
+    // score 0.25, not 1.0) and silently miss true near-duplicates.
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val postings = kept
       .groupBy(col("sh"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
     val common = postings

@@ -53,15 +53,27 @@ object Multimodal {
         lit(16000).as("sample_rate"),
         (col(idCol) % 30 + 1).cast("int").as("n_frames")).as("meta"))
 
-  /** Range-partition on cumulative payload size so each partition decodes a
-    * comparable byte volume (row-count balance is the wrong target for
-    * skewed blob sizes).
+  /** Byte-volume-balanced repartitioning: bin rows by the running total of
+    * payload bytes (parallel global cumsum) so each partition decodes a
+    * comparable byte VOLUME. Row-count balance — or range-partitioning on
+    * the size itself, which concentrates the biggest blobs together — is
+    * the wrong target for skewed blob sizes.
     */
   def repartitionBySize(df: DataFrame, numPartitions: Int,
-      payloadCol: String = "payload"): DataFrame =
-    df.withColumn("__sz", length(col(payloadCol)))
-      .repartitionByRange(numPartitions, col("__sz"), spark_partition_id())
-      .drop("__sz")
+      payloadCol: String = "payload",
+      orderCol: String = "doc_id"): DataFrame = {
+    val sized = df.withColumn("__sz",
+      coalesce(length(col(payloadCol)).cast("long"), lit(0L)))
+    val total = math.max(
+      sized.agg(sum(col("__sz"))).first().getLong(0), 1L)
+    val perBin = math.max(total / numPartitions, 1L)
+    graft.sample.Samplers.globalCumSum(sized, Seq(orderCol), "__sz")
+      .withColumn("__bin",
+        least(floor((col("__cum") - col("__sz")) / perBin),
+          lit(numPartitions - 1L)))
+      .repartition(numPartitions, col("__bin"))
+      .drop("__sz", "__cum", "__bin")
+  }
 
   /** The stubbed codec: deterministic fake decode. A real deployment swaps
     * this object for JNI/javacpp bindings (libjpeg/ffmpeg) — the pipeline
@@ -108,7 +120,9 @@ object Multimodal {
       .mapPartitions { rows =>
         // per-partition codec init happens here (stub has none)
         rows.map { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          // null payload → zero-byte blob, not an executor NPE
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           Row(r.getLong(0), r.getString(2), payload.length,
             StubCodec.channelStats(payload, nChannels).toSeq)
         }
@@ -130,7 +144,8 @@ object Multimodal {
       .select(col(idCol), col("payload"), col("meta.n_frames").as("n_frames"))
       .mapPartitions { rows =>
         rows.flatMap { r =>
-          val payload = r.getAs[Array[Byte]]("payload")
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           (0 until r.getInt(2) by stride).iterator.map { f =>
             Row(r.getLong(0), f, StubCodec.frameSignature(payload, f))
           }

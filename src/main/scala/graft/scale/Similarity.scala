@@ -159,14 +159,21 @@ object Similarity {
         .as("centroid_id"), col("__v").as("centv"))
     for (_ <- 0 until iters) {
       val assigned = assignNearest(vecs, cents)
-      cents = assigned
+      val updated = assigned
         .select(col("centroid_id"), posexplode(col("__v")).as(Seq("pos", "x")))
         .groupBy(col("centroid_id"), col("pos")).agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
         .agg(array_sort(collect_list(struct(col("pos"), col("m"))))
           .as("__pairs"))
         .select(col("centroid_id"),
-          transform(col("__pairs"), p => p.getField("m")).as("centv"))
+          transform(col("__pairs"), p => p.getField("m")).as("__newv"))
+      // a centroid with zero assigned vectors keeps its previous position
+      // instead of silently vanishing (which would shrink the index below
+      // the requested k for every later iteration)
+      cents = cents
+        .join(updated, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("__newv"), col("centv")).as("centv"))
     }
     cents
   }
@@ -234,12 +241,16 @@ object Similarity {
       vecCol: String,
       threshold: Double = 0.95,
       signDims: Int = 8): DataFrame = {
-    val qv = quantize(col(vecCol))
-    val block = array_join(
-      transform(sequence(lit(1), lit(signDims)),
-        i => when(element_at(qv, i.cast("int")) >= 0, "1").otherwise("0")),
-      "")
-    val sided = df.select(col(idCol), qv.as("v"), block.as("block"))
+    // quantize ONCE into a column, then derive the sign block from that
+    // column — a lambda referencing the quantize subtree directly would
+    // re-evaluate the 64-element transform per sign dimension per row
+    // (the HOF rebind pitfall documented at Shingles.wordShingles)
+    val sided = df.select(col(idCol), quantize(col(vecCol)).as("v"))
+      .withColumn("block", array_join(
+        transform(sequence(lit(1), lit(signDims)),
+          i => when(element_at(col("v"), i.cast("int")) >= 0, "1")
+            .otherwise("0")),
+        ""))
     val l = sided.select(col("block"), col(idCol).as("id_a"), col("v").as("v_a"))
     val r = sided.select(col("block"), col(idCol).as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("block"))

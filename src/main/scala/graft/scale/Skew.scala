@@ -81,9 +81,11 @@ object Skew {
     val saltedBig = big.withColumn("__salt", saltCol(saltBuckets, bigSaltSource))
     val fannedDim = dim.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1L))))
+    // qualify both key references — identically-named join keys (the common
+    // case) are otherwise an AMBIGUOUS_REFERENCE analysis failure
     saltedBig.join(fannedDim,
         saltedBig("__salt") === fannedDim("__salt") &&
-          col(bigKey) === col(dimKey))
+          saltedBig(bigKey) === fannedDim(dimKey))
       .drop("__salt")
   }
 }

@@ -41,7 +41,10 @@ object TextAnalysis {
       .withColumn("distinct_ratio",
         col("n_distinct").cast("double") / greatest(lit(1L), col("n_tokens")))
       .withColumn("avg_token_len",
-        (col("n_chars_calc") - (col("n_tokens") - 1)).cast("double") /
+        // exact: sum of token lengths (whitespace runs / padding would
+        // inflate a chars-minus-separators estimate)
+        aggregate(transform(t, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x).cast("double") /
           greatest(lit(1L), col("n_tokens")))
       .withColumn("n_stop",
         size(filter(t, x => array_contains(stop, x))).cast("long"))
@@ -176,11 +179,13 @@ object TextAnalysis {
   }
 
   /** PII scrubbing: redact email-shaped and phone-shaped spans (the
-    * pre-training hygiene pass). Portable regexes (no lookaround, no \b) so
-    * the DuckDB oracle replays them byte-identically; extend the pattern
-    * list per jurisdiction. Pure projection — shuffle-free at any scale.
+    * pre-training hygiene pass). Portable regexes (no lookaround, no \b;
+    * `(?i)` case-insensitivity works in both Java regex and DuckDB's RE2 —
+    * without it, Mixed-Case emails would sail through unredacted) so the
+    * DuckDB oracle replays them byte-identically; extend the pattern list
+    * per jurisdiction. Pure projection — shuffle-free at any scale.
     */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
   def scrubPii(text: Column): Column =
