@@ -19,9 +19,15 @@ object Metrics {
     */
   val NumberPattern: String = "[-+]?([0-9]*\\.?[0-9]+|[0-9]+/[0-9]+)"
 
-  /** `pred.strip().lower()` normalization with None→"" (`utils/utils.py:88-95`). */
+  /** `pred.strip().lower()` normalization with None→"" (`utils/utils.py:88-95`).
+    * The trim set covers the control-whitespace characters Python's
+    * `.strip()` and Java's `String.trim` (used by the codegen
+    * [[TolerantEqualsExpr]] path) remove — Spark's bare `trim` strips ASCII
+    * spaces only, which would make this reference-form path disagree with
+    * the native path on \n-padded labels (e.g. the P6 impute label quirk).
+    */
   def normalize(c: Column): Column =
-    lower(trim(coalesce(c.cast("string"), lit(""))))
+    lower(trim(coalesce(c.cast("string"), lit("")), " \t\n\r\f\u000B"))
 
   /** Corrected-mode pattern with the fraction branch FIRST, so "1/2"
     * actually matches as a fraction (see the dead-code note below).

@@ -34,36 +34,40 @@ object Joins {
       rightTime: Column,
       valueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
+    // Right values travel as ONE struct: a single running
+    // last(struct, ignoreNulls) attaches the latest right ROW atomically.
+    // Per-column lasts would stitch values from DIFFERENT right rows
+    // whenever right value columns contain nulls (a torn row that never
+    // existed). The struct itself is non-null for every right row even
+    // when its fields are null, so it doubles as the match marker.
+    val vsType = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     // tag 0 = right (sorts first at equal time), 1 = left
-    val l = left
+    val lPadded = left
       .withColumn("__key", col(leftKey))
       .withColumn("__t", leftTime)
       .withColumn("__tag", lit(1))
-    val lPadded = valueCols.foldLeft(l)((d, c) =>
-      d.withColumn(s"__v_$c", lit(null).cast(right.schema(c).dataType)))
+      .withColumn("__vs", lit(null).cast(vsType))
     val r = right
       .withColumn("__key", col(rightKey))
       .withColumn("__t", rightTime)
       .withColumn("__tag", lit(0))
-    val rPadded = leftCols.foldLeft(
-      valueCols.foldLeft(r)((d, c) => d.withColumn(s"__v_$c", col(c))))(
+      .withColumn("__vs", struct(valueCols.map(col): _*))
+    val rPadded = leftCols.foldLeft(r)(
       (d, c) => if (valueCols.contains(c) || c == rightKey) d
         else d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val unionCols = leftCols.map(col) ++
-      Seq(col("__key"), col("__t"), col("__tag")) ++
-      valueCols.map(c => col(s"__v_$c"))
+      Seq(col("__key"), col("__t"), col("__tag"), col("__vs"))
     val unioned = lPadded.select(unionCols: _*)
       .unionByName(rPadded.select(unionCols: _*))
     val w = Window.partitionBy(col("__key"))
       .orderBy(col("__t"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = valueCols.foldLeft(unioned)((d, c) =>
-        d.withColumn(s"asof_$c", last(col(s"__v_$c"), ignoreNulls = true).over(w)))
-      // match marker independent of value nullability
-      .withColumn("__matched",
-        last(when(col("__tag") === 0, lit(1)), ignoreNulls = true).over(w))
-    filled.filter(col("__tag") === 1 && col("__matched") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(c => col(s"asof_$c")): _*)
+    val filled = unioned
+      .withColumn("__asof", last(col("__vs"), ignoreNulls = true).over(w))
+    filled.filter(col("__tag") === 1 && col("__asof").isNotNull)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col("__asof").getField(c).as(s"asof_$c")): _*)
   }
 
   /** Range join: pair left rows with right rows whose time falls in
@@ -90,11 +94,21 @@ object Joins {
       left: DataFrame, right: DataFrame,
       rightTime: Column, leftStart: Column, leftEnd: Column,
       bucketWidth: Long): DataFrame = {
+    // Integer DIV, not floor(double /): double division loses integer
+    // precision above 2^53 (epoch-nano timestamps are ~1.7e18, ulp ~256),
+    // so boundary rows would bucket differently on the two sides and
+    // genuinely-matching pairs silently vanish. Both sides use the same
+    // truncating DIV, so bucket identity is consistent.
     val lb = left
+      .withColumn("__s", leftStart.cast("long"))
+      .withColumn("__e", leftEnd.cast("long"))
       .withColumn("__bucket",
-        explode(sequence(floor(leftStart / bucketWidth),
-          floor((leftEnd - 1) / bucketWidth))))
-    val rb = right.withColumn("__bucket", floor(rightTime / bucketWidth))
+        explode(sequence(expr(s"__s DIV ${bucketWidth}L"),
+          expr(s"(__e - 1) DIV ${bucketWidth}L"))))
+      .drop("__s", "__e")
+    val rb = right.withColumn("__t", rightTime.cast("long"))
+      .withColumn("__bucket", expr(s"__t DIV ${bucketWidth}L"))
+      .drop("__t")
     lb.join(rb, Seq("__bucket"))
       .filter(rightTime >= leftStart && rightTime < leftEnd)
       .drop("__bucket")

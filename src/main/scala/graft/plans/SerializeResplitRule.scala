@@ -30,6 +30,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - values are separator-free, which is the serialization contract the
   *    reference itself relies on for round-tripping (SURVEY §2.2 P2).
   *
+  * CONTRACT, not a proof: if a serialized value DOES contain the separator,
+  * the un-rewritten expression returns a shifted token while the rewrite
+  * returns the intended column — i.e. the rewrite gives the answer the
+  * reference's own split-based programs MEAN but also get wrong on such
+  * rows. Register this rule only for workloads that honor the
+  * separator-free serialization contract (the engine's own serializers +
+  * synthesized SplitIndex programs); it is deliberately not in the default
+  * session for arbitrary user SQL.
+  *
   * Wired either via [[GraftExtensions]]
   * (`spark.sql.extensions=graft.plans.GraftExtensions`) or
   * `spark.experimental.extraOptimizations`.

@@ -123,19 +123,25 @@ object Wrangler {
 
   /** Edit-distance-1 variant: error iff no vocab word within Levenshtein
     * distance ≤ maxDist. Broadcast the (small) vocab and take the min
-    * distance via a groupBy — the 100 TB path blocks on first-char or
-    * length-bucket before the distance.
+    * distance per ROW — keyed on a synthetic row id, so duplicate test
+    * rows survive (grouping by value columns would collapse them and
+    * shrink the prediction set vs the test split, corrupting the metrics).
+    * An empty vocabulary marks every row an error instead of emptying the
+    * output through the crossJoin. The 100 TB path blocks on first-char or
+    * length-bucket before the distance (see [[errorDetectSymSpell]]).
     */
   def errorDetectBySpellDistance(test: DataFrame, vocab: DataFrame,
-      valueCol: String = "text", maxDist: Int = 1, keyCols: Seq[String] = Seq()): DataFrame = {
-    val keys = if (keyCols.isEmpty) test.columns.toSeq else keyCols
+      valueCol: String = "text", maxDist: Int = 1): DataFrame = {
     val v = vocab.select(col(valueCol).as("__vw")).distinct()
-    val joined = test.crossJoin(broadcast(v))
+    if (v.isEmpty) return test.withColumn("pred", lit("yes"))
+    val withId = test.withColumn("__row", monotonically_increasing_id())
+    val mind = withId.select(col("__row"), col(valueCol))
+      .crossJoin(broadcast(v))
       .withColumn("__d", levenshtein(lower(col(valueCol)), lower(col("__vw"))))
-    joined.groupBy(keys.map(col): _*)
-      .agg(min(col("__d")).as("__mind"))
+      .groupBy(col("__row")).agg(min(col("__d")).as("__mind"))
+    withId.join(mind, Seq("__row"))
       .withColumn("pred", when(col("__mind") > maxDist, "yes").otherwise("no"))
-      .drop("__mind")
+      .drop("__row", "__mind")
   }
 
   /** Deletion variants of a string column: the word itself plus every

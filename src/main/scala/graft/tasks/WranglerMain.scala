@@ -87,13 +87,20 @@ object WranglerMain {
     // draw k-row demo samples, so a seeded exact-n pool (TakeOrdered, no
     // shuffle) stands in for the reference's whole-train sampling frame —
     // collecting a full 100 TB-scale train split would be a driver OOM.
-    val poolCap = math.max(cfg.d, cfg.k * 100)
-    val train = graft.sample.Samplers
+    // When the config is in the CORRECTED supervision mode
+    // (thresholdSup ≤ 1.0 — the faithful default 10.0 makes gate V3(c)
+    // unconditionally fail, SURVEY §2.6), the first d pool rows become the
+    // supervision hold-out so the generalization gate actually runs.
+    val supervised = cfg.d > 0 && cfg.thresholdSup <= 1.0
+    val supN = if (supervised) cfg.d else 0
+    val poolCap = math.max(cfg.d, cfg.k * 100) + supN
+    val pool = graft.sample.Samplers
       .randomExactN(trainDf.select("text", "label_str"), poolCap, cfg.seed)
       .collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
+    val (supervision, train) = pool.splitAt(supN)
     val trials = Validation.trialLoop(
-      RuleSynthesizer, instruction, train, Seq.empty, cfg)
+      RuleSynthesizer, instruction, train, supervision, cfg)
     val prog = selectPrograms(kind, trials, 1).head
     val applied = Wrangler.applyProgram(testDf, prog)
     val m = metricsToMap(Metrics.confusionMetrics(

@@ -48,6 +48,10 @@ object TransformProgram {
 
   case object TitleCase extends TransformProgram {
     def toColumn(in: Column): Column = initcap(lower(in))
+    // Spark initcap delimits on the SPACE character only — a tab- or
+    // newline-separated "word" is NOT capitalized ("new\tyork" →
+    // "New\tyork"). eval mirrors that exactly; the edge-case agreement
+    // test pins it (docs say "whitespace", the implementation says ' ').
     def eval(in: String): String =
       in.toLowerCase.split(" ", -1)
         .map(w => if (w.isEmpty) w else w.substring(0, 1).toUpperCase + w.substring(1))
@@ -125,8 +129,12 @@ object TransformProgram {
     def toColumn(in: Column): Column = {
       val parts = split(in, java.util.regex.Pattern.quote(sep))
       val pos = if (idx >= 0) lit(idx + 1) else size(parts) + lit(idx + 1)
-      // try_element_at: null (not an ANSI error) when out of range
-      coalesce(try_element_at(parts, pos.cast("int")), lit(""))
+      // pos >= 1 guard: element_at(…, 0) is an unconditional error even in
+      // try_ form, and a NEGATIVE computed pos (deep negative idx on a short
+      // row) would wrap around and read from the END — both must yield ""
+      // exactly like eval(). try_element_at past the length → null → "".
+      val posOk = when(pos >= 1, pos.cast("int"))
+      coalesce(try_element_at(parts, posOk), lit(""))
     }
     def eval(in: String): String = {
       val parts = in.split(java.util.regex.Pattern.quote(sep), -1)
@@ -146,8 +154,12 @@ object TransformProgram {
     def eval(in: String): String = {
       import java.time._
       import java.time.format.DateTimeFormatter
-      val f = DateTimeFormatter.ofPattern(inFmt)
-      val o = DateTimeFormatter.ofPattern(outFmt)
+      // Locale.US pins month/day names: Spark's try_to_timestamp /
+      // date_format always format with the US locale, so a default-locale
+      // formatter would make validation disagree with distributed apply on
+      // any non-English JVM
+      val f = DateTimeFormatter.ofPattern(inFmt, java.util.Locale.US)
+      val o = DateTimeFormatter.ofPattern(outFmt, java.util.Locale.US)
       val parsed = f.parseBest(in, LocalDateTime.from(_), LocalDate.from(_))
       val ldt = parsed match {
         case d: LocalDate => d.atStartOfDay()
@@ -171,10 +183,14 @@ object TransformProgram {
       val bd = round(n * factor + offset, decimals)
       val str =
         if (decimals == 0) bd.cast("long").cast("string") else bd.cast("string")
-      if (trimZeros && decimals > 0)
-        regexp_replace(regexp_replace(str, lit("(\\.[0-9]*?)0+$"), lit("$1")),
-          lit("\\.$"), lit(""))
-      else str
+      val trimmed =
+        if (trimZeros && decimals > 0)
+          regexp_replace(regexp_replace(str, lit("(\\.[0-9]*?)0+$"), lit("$1")),
+            lit("\\.$"), lit(""))
+        else str
+      // numberless input: eval() returns "" — null here would surface as
+      // the "Not excutable" sentinel after applyProgram's coalesce instead
+      coalesce(trimmed, lit(""))
     }
     def eval(in: String): String = {
       val m = java.util.regex.Pattern.compile(numRe).matcher(in)

@@ -43,6 +43,18 @@ class TransformSpec extends SparkSpec {
     agree(DateReformat("yyyy-MM-dd", "dd/MM/yyyy"), Seq("2024-03-01", "1999-12-31"))
   }
 
+  test("Column/eval agreement on the reviewed edge cases") {
+    // deep-negative SplitIndex on short rows: computed pos hits 0 (was an
+    // unconditional element_at error) or negative (was an end-wrap read)
+    agree(SplitIndex(",", -2), Seq("only-one-token", "a,b", "a,b,c", ""))
+    agree(SplitIndex(",", -3), Seq("x", "a,b", "a,b,c,d"))
+    agree(SplitIndex(",", 5), Seq("a,b", ""))
+    // initcap delimits on ANY whitespace — tabs and runs included
+    agree(TitleCase, Seq("new\tyork", "a  double  space", "x\ny", ""))
+    // numberless AffineNumber input: both sides must yield ""
+    agree(AffineNumber(2.0, 1.0, 1), Seq("no digits here", "", "x7y"))
+  }
+
   private def synth(demos: (String, String)*): TransformProgram =
     RuleSynthesizer.synthesize(None, demos).head
 
@@ -155,6 +167,38 @@ class TransformSpec extends SparkSpec {
     val got = graft.tasks.Wrangler.errorDetectBySpellDistance(test_, vocab)
       .select("text", "pred").as[(String, String)].collect().toMap
     assert(got == Map("redd" -> "no", "xyzzy" -> "yes"))
+  }
+
+  test("spell distance preserves duplicate rows and survives an empty vocab") {
+    val vocab = Seq("red").toDF("text")
+    val dup = Seq("teh", "teh", "red").toDF("text")
+    // duplicates must NOT collapse — predictions stay row-for-row with the
+    // test split or the confusion counts are wrong
+    val got = graft.tasks.Wrangler.errorDetectBySpellDistance(dup, vocab)
+    assert(got.count() === 3)
+    val empty = vocab.filter(col("text") === "nothing")
+    val all = graft.tasks.Wrangler.errorDetectBySpellDistance(dup, empty)
+    assert(all.count() === 3)
+    assert(all.select("pred").as[String].collect().forall(_ == "yes"))
+  }
+
+  test("supervision gate V3(c) is live through runTaskSplit in corrected mode") {
+    import graft.core.WranglerConfig
+    // train pool where only DictLookup fits the demos (inputs share no
+    // simple program) — with a corrected thresholdSup the supervision
+    // hold-out must reject the memorized dictionary's non-generalization
+    val rows = (1 to 40).map(i => (s"in$i", s"out${i * 7 % 13}"))
+    val train = rows.toDF("text", "label_str")
+    val test_ = (41 to 50).map(i => (s"in$i", s"out${i * 7 % 13}"))
+      .toDF("text", "label_str")
+    val cfg = WranglerConfig(d = 10, thresholdSup = 0.8)
+    val r = graft.tasks.WranglerMain.runTaskSplit(
+      "sup", graft.core.TaskKind.DataTransformation, train, test_, None, cfg)
+    // DictLookup memorizes k demos, fails the 10-row supervision set, so
+    // the pipeline falls back to best-of-stack / null program — either way
+    // test accuracy is far below perfect memorization's demo accuracy
+    assert(r.isDefined)
+    assert(r.get.metrics("acc") < 0.5)
   }
 
   test("symspell error detection agrees with crossJoin spell distance") {
