@@ -23,10 +23,17 @@ object Sinks {
     case c => c.toString
   }
 
-  /** S6 — task-metrics JSON (`metrics.json`, `run_wrangler.py:267-268`). */
+  /** S6 — task-metrics JSON (`metrics.json`, `run_wrangler.py:267-268`).
+    * Non-finite values (a -Inf accuracy from the null-program fallback
+    * could reach here) serialize as JSON null — bare NaN/Infinity tokens
+    * are invalid JSON and would corrupt the whole file.
+    */
   def writeMetricsJson(metrics: Map[String, Double], path: String): Unit = {
     val body = metrics.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""${esc(k)}": $v""" }
+      .map { case (k, v) =>
+        val jv = if (java.lang.Double.isFinite(v)) v.toString else "null"
+        s""""${esc(k)}": $jv"""
+      }
       .mkString("{", ", ", "}")
     Files.createDirectories(Paths.get(path).getParent)
     Files.writeString(Paths.get(path), body)

@@ -116,22 +116,26 @@ object Streams {
             val sorted = rows.toSeq.sortBy(e => (e.epochSec, e.value))
             val closed = scala.collection.mutable.ArrayBuffer[SessionOut]()
             var cur = state.getOption
+            // cap check applies to every state transition — including a
+            // session's FIRST event (maxEvents=1 would otherwise never cap,
+            // since the old growth-only check saw nEvents=1 as fresh)
+            def admit(s: SessionState): Option[SessionState] =
+              if (s.nEvents >= maxEvents) {
+                closed += SessionOut(user, s.start, s.last, s.nEvents,
+                  s.sumValue, "cap")
+                None
+              } else Some(s)
             sorted.foreach { e =>
               cur match {
                 case Some(s) if e.epochSec - s.last > gapSeconds =>
                   closed += SessionOut(user, s.start, s.last, s.nEvents,
                     s.sumValue, "gap")
-                  cur = Some(SessionState(e.epochSec, e.epochSec, 1L, e.value))
+                  cur = admit(SessionState(e.epochSec, e.epochSec, 1L, e.value))
                 case Some(s) =>
-                  val grown = SessionState(s.start, e.epochSec,
-                    s.nEvents + 1, s.sumValue + e.value)
-                  if (grown.nEvents >= maxEvents) {
-                    closed += SessionOut(user, grown.start, grown.last,
-                      grown.nEvents, grown.sumValue, "cap")
-                    cur = None
-                  } else cur = Some(grown)
+                  cur = admit(SessionState(s.start, e.epochSec,
+                    s.nEvents + 1, s.sumValue + e.value))
                 case None =>
-                  cur = Some(SessionState(e.epochSec, e.epochSec, 1L, e.value))
+                  cur = admit(SessionState(e.epochSec, e.epochSec, 1L, e.value))
               }
             }
             cur match {

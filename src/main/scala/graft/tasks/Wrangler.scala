@@ -178,7 +178,10 @@ object Wrangler {
       .filter(levenshtein(col("__tw"), col("__vw")) <= 1)
       .select(col("__key")).distinct()
       .withColumn("__ok", lit(1))
-    test.join(broadcast(candidates),
+    // no broadcast hint: `candidates` scales with DISTINCT test keys, which
+    // is unbounded at corpus scale — let AQE broadcast it only when it
+    // measures small; otherwise this is a plain shuffle join on the key
+    test.join(candidates,
         test(keyCol) === candidates("__key"), "left")
       .withColumn("pred", when(col("__ok").isNull, "yes").otherwise("no"))
       .drop("__key", "__ok")
