@@ -15,6 +15,10 @@ class PlanSpec extends SparkSpec {
   private def formatted(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  test("driver contract: entry() returns rows on the sf0.001 corpus") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("filter + projection push into the parquet scan") {
     val docs = Tables.load(spark, sf, "documents")
       .filter(col("lang") === "en")
