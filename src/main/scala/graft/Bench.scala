@@ -12,13 +12,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     def run(name: String): Double = {
       val t0 = System.nanoTime()
       // noop sink: forces full evaluation of every output column (a bare
       // count() would let Catalyst prune projection-only work away).
+      // Failures are RECORDED, not just swallowed — a broken query returns
+      // in milliseconds and would otherwise read as a bench speedup.
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch { case _: Throwable => errors += name }
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -41,8 +44,9 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.distinct.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

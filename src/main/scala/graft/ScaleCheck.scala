@@ -31,7 +31,11 @@ object ScaleCheck {
     val width = 10000000L
     (0 until n).map { i =>
       val shifted = df.withColumn(idCol, col(idCol) + lit(i * width))
-      saltTextCol.fold(shifted)(t =>
+      // copy 0 stays byte-identical to the 1x baseline (it still shares no
+      // shingles with the prefixed copies) — salting it too would mix
+      // data-shape differences into the scaling ratio being measured
+      if (i == 0) shifted
+      else saltTextCol.fold(shifted)(t =>
         shifted.withColumn(t, concat_ws(" ",
           transform(split(col(t), " "), w => concat(lit(s"c$i"), w)))))
     }.reduce(_ unionByName _)

@@ -14,14 +14,26 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Clean the output dir FIRST: a stale per-query directory from a
+    // previous run would otherwise be validated as if current — a broken
+    // query could false-PASS against yesterday's output.
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
+    var failures = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    if (failures.nonEmpty)
+      System.err.println(
+        s"[verify] ${failures.size} queries FAILED: ${failures.sorted.mkString(", ")}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -63,10 +63,15 @@ object Samplers {
         df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= perLabel).drop("__rn")
       }
-    val missing = n - perLabel * nLabels
+    // top-up from the ACTUAL base size — a stratum smaller than perLabel
+    // contributes fewer rows than the theoretical perLabel*nLabels, and
+    // computing `missing` from theory would silently under-fill n
+    val missing = n - base.count()
     if (missing > 0)
       base.unionByName(df.orderBy(rand(seed + 1)).limit(missing.toInt))
-    else base.limit(n)
+    // seeded order: a bare limit(n) would keep whichever rows whichever
+    // partition delivered first — nondeterministic despite the seed
+    else base.orderBy(rand(seed + 2)).limit(n)
   }
 
   /** A3 — class-balanced downsample: find the min class count m, keep m rows
@@ -76,11 +81,15 @@ object Samplers {
     * crashes (`data_utils.py:267` vs `:125`); we key on the label column given.
     */
   def classBalanced(df: DataFrame, labelCol: String, seed: Long): DataFrame = {
-    val m = df.groupBy(labelCol).count()
-      .agg(min("count")).first().getLong(0)
+    // broadcast the 1-row min instead of collecting it: min over zero
+    // groups is NULL, and first().getLong would NPE on an empty input
+    // (the crossJoin filter is simply false then — empty result, no crash)
+    val m = df.groupBy(labelCol).count().agg(min("count").as("__m"))
     val w = Window.partitionBy(col(labelCol)).orderBy(rand(seed))
     df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= m).drop("__rn")
+      .crossJoin(broadcast(m))
+      .filter(col("__rn") <= col("__m"))
+      .drop("__rn", "__m")
   }
 
   /** Deterministic A3: per-class keep the m lowest `keyCol` rows (m = min
@@ -149,7 +158,7 @@ object Samplers {
       df: DataFrame,
       orderCols: Seq[String],
       numPartitions: Int,
-      partitionAgg: Column): (DataFrame, Column) = {
+      partitionAgg: Column): (DataFrame, Column, Long) = {
     val ranged = df
       .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
@@ -163,21 +172,34 @@ object Samplers {
     val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
       (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
     }
-    (ranged, offsetExpr)
+    // offsets.last = the grand total of partitionAgg — already computed,
+    // so callers never need a separate full-table pass for it
+    (ranged, offsetExpr, offsets.last)
   }
 
   def globalRowNumber(
       df: DataFrame,
       orderCols: Seq[String],
       numPartitions: Int = 32,
-      rnCol: String = "__rn"): DataFrame = {
-    val (ranged, offsetExpr) =
+      rnCol: String = "__rn"): DataFrame =
+    globalRowNumberWithTotal(df, orderCols, numPartitions, rnCol)._1
+
+  /** [[globalRowNumber]] plus the total row count (free — the scaffold's
+    * partition-size job already sums it; saves callers a full extra scan).
+    */
+  def globalRowNumberWithTotal(
+      df: DataFrame,
+      orderCols: Seq[String],
+      numPartitions: Int = 32,
+      rnCol: String = "__rn"): (DataFrame, Long) = {
+    val (ranged, offsetExpr, total) =
       rangedWithOffsets(df, orderCols, numPartitions, count(lit(1)))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
-    ranged
+    val ranked = ranged
       .withColumn(rnCol, row_number().over(w).cast("long") + offsetExpr)
       .drop("__pid")
+    (ranked, total)
   }
 
   /** Parallel global cumulative sum over a total order (running total of
@@ -195,7 +217,7 @@ object Samplers {
       cumCol: String = "__cum"): DataFrame = {
     // coalesce in rangedWithOffsets guards the all-NULL-partition case
     // (sum over nulls) — offset 0, not a driver NPE
-    val (ranged, offsetExpr) = rangedWithOffsets(
+    val (ranged, offsetExpr, _) = rangedWithOffsets(
       df, orderCols, numPartitions, sum(col(valueCol).cast("long")))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
@@ -215,8 +237,11 @@ object Samplers {
       frac: Double,
       numPartitions: Int = 32): DataFrame = {
     require(frac <= 1.0, "fraction must be <= 1.0")
-    val total = df.count()
-    globalRowNumber(df, orderCols, numPartitions)
+    // total comes free from the rank scaffold's partition-size job — no
+    // separate full-table count() pass
+    val (ranked, total) =
+      globalRowNumberWithTotal(df, orderCols, numPartitions)
+    ranked
       .filter(col("__rn") <= (frac * total).toLong)
       .drop("__rn")
   }

@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
 object Serialize {
 
   /** Null (and literal "nan" — a reference quirk, `data_utils.py:73`) →
-    * `nanTok`; everything else stringified + trimmed.
+    * `nanTok`; everything else stringified + trimmed. The nan check is
+    * case-insensitive on the TRIMMED value: Spark stringifies Double.NaN
+    * as "NaN" where pandas str() gives "nan" — a case-sensitive pre-trim
+    * compare would let real NaN numerics (and padded " nan " cells)
+    * through where the reference substitutes the token.
     */
   private def cleanValue(c: Column, nanTok: String): Column = {
     val s = c.cast("string")
-    when(s.isNull || s === "nan", lit(nanTok)).otherwise(trim(s))
+    when(s.isNull || lower(trim(s)) === "nan", lit(nanTok))
+      .otherwise(trim(s))
   }
 
   /** P1 — keyed serialization: `"col: value"` entries joined by the

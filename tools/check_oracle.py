@@ -58,7 +58,14 @@ def main(out_dir: str, sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     n_pass = n_fail = n_skip = 0
-    for name in sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir()):
+    out_dirs = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
+    # reconcile BOTH directions: an oracle entry with no output dir means
+    # the query failed (or was dropped) in Verify — that must FAIL loudly,
+    # not silently fall out of the gate
+    for missing in sorted(set(oracle) - set(out_dirs)):
+        print(f"FAIL  {missing}: oracle sql present but no Verify output")
+        n_fail += 1
+    for name in out_dirs:
         if name not in oracle:
             print(f"SKIP  {name} (no oracle sql — rows-only)")
             n_skip += 1
