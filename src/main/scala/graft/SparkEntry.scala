@@ -969,6 +969,91 @@ object SparkEntry {
             (col("sum_price") / col("n_trials")) *
             (col("sum_price") / col("n_trials"))), 6).as("std_price"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // ---- scale: TF·rarity top-terms per document (log-free tf-idf) ---------
+    "tfidf_top_terms_docs" -> ((s, dir) =>
+      TextAnalysis.rarityTopTerms(t(s, dir, "documents"), "doc_id", "text", 3)
+        .orderBy(col("doc_id"), col("rk"))),
+
+    // ---- scale: bloom-prefiltered decontamination (same output as exact) ---
+    "decontaminate_bloom_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateBloom(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", 3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- deterministic k-fold split (md5 mod k — shuffle-free projection) --
+    "kfold_split_orders" -> ((s, dir) =>
+      Samplers.kfoldAssign(t(s, dir, "orders"), "o_orderkey", 5)
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("fold"))),
+
+    // ---- exact interpolated percentiles per group (sort-based agg) ---------
+    "percentiles_lineitem" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25D)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5D)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75D)"), 6).as("p75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- NTILE quantile binning per group (partitioned window) -------------
+    "ntile_binning_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bin", ntile(4).over(
+          Window.partitionBy(col("o_orderpriority"))
+            .orderBy(col("o_totalprice"), col("o_orderkey"))))
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("bin"))),
+
+    // ---- keyed range join: lineitems shipped within 30 days of the order ---
+    "range_join_lineitem" -> ((s, dir) => {
+      val orders = t(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"),
+        col("o_orderdate").as("win_start"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("win_end"))
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"))
+      Joins.rangeJoin(orders, li, "o_orderkey", "l_orderkey",
+          col("l_shipdate"), col("win_start"), col("win_end"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_shipped_30d"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- key-less interval join via bucketization: clicks within 30 min of
+    // an anchor purchase (bucket equi-join, then exact predicate) ------------
+    "bucketed_range_join_events" -> ((s, dir) => {
+      // ts is epoch-ns LongType (nanosAsLong); truncate to µs on BOTH engines
+      // (DuckDB reads nanos parquet timestamps at µs precision).
+      val ev = t(s, dir, "events")
+      val anchors = ev
+        .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
+        .select(col("event_id").as("anchor_id"),
+          expr("ts DIV 1000").as("win_start"),
+          (expr("ts DIV 1000") + lit(1800L * 1000000L)).as("win_end"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          expr("ts DIV 1000").as("ts_us"), col("value"))
+      Joins.bucketedRangeJoin(anchors, clicks,
+          col("ts_us"), col("win_start"), col("win_end"),
+          1800L * 1000000L)
+        .groupBy(col("anchor_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
+            .as("sum_value"))
+        .orderBy(col("anchor_id"))
     })
   )
 
@@ -1982,6 +2067,102 @@ object SparkEntry {
         |  ROUND(sum_price / n_trials, 6) AS mean_price,
         |  ROUND(SQRT(sum_sq / n_trials -
         |    (sum_price / n_trials) * (sum_price / n_trials)), 6) AS std_price
-        |FROM s ORDER BY o_orderstatus""".stripMargin
+        |FROM s ORDER BY o_orderstatus""".stripMargin,
+
+    "tfidf_top_terms_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, t[i] AS term, COUNT(*) AS tf
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+        |  GROUP BY doc_id, t[i]),
+        |dfreq AS (SELECT term, COUNT(*) AS df_cnt FROM dt GROUP BY term),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT dt.doc_id, dt.term, dt.tf, dfreq.df_cnt,
+        |    ROUND(CAST(dt.tf * n.n_docs AS DOUBLE) / dfreq.df_cnt, 6) AS score
+        |  FROM dt JOIN dfreq USING (term) CROSS JOIN n),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER
+        |    (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df_cnt AS BIGINT) AS df_cnt, score
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "decontaminate_bloom_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+        |hits AS (
+        |  SELECT s.doc_id, COUNT(*) AS n_shared
+        |  FROM sh s JOIN ev ON s.sh = ev.sh
+        |  WHERE s.doc_id % 20 <> 0
+        |  GROUP BY s.doc_id)
+        |SELECT d.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN hits h ON d.doc_id = h.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "kfold_split_orders" ->
+      """WITH f AS (
+        |  SELECT CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 5 AS INT) AS fold,
+        |    o_totalprice
+        |  FROM orders)
+        |SELECT fold, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
+
+    "percentiles_lineitem" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "ntile_binning_orders" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority, o_totalprice,
+        |    NTILE(4) OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice, o_orderkey) AS bin
+        |  FROM orders)
+        |SELECT o_orderpriority, bin, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM b GROUP BY o_orderpriority, bin
+        |ORDER BY o_orderpriority, bin""".stripMargin,
+
+    "range_join_lineitem" ->
+      """SELECT o.o_orderpriority, COUNT(*) AS n_shipped_30d,
+        |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM orders o JOIN lineitem l
+        |  ON l.l_orderkey = o.o_orderkey
+        | AND l.l_shipdate >= o.o_orderdate
+        | AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin,
+
+    "bucketed_range_join_events" ->
+      """WITH a AS (
+        |  SELECT event_id AS anchor_id, epoch_us(ts) AS win_start,
+        |    epoch_us(ts) + 1800 * 1000000 AS win_end
+        |  FROM events WHERE event_type = 'purchase' AND user_id % 97 = 0),
+        |c AS (
+        |  SELECT event_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT a.anchor_id, COUNT(*) AS n_clicks,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
+        |FROM a JOIN c ON c.ts_us >= a.win_start AND c.ts_us < a.win_end
+        |GROUP BY a.anchor_id ORDER BY a.anchor_id""".stripMargin
   )
 }

@@ -286,4 +286,17 @@ object Samplers {
     */
   def topK(df: DataFrame, sortCol: Column, tiebreak: Column, k: Int): DataFrame =
     df.orderBy(sortCol, tiebreak).limit(k)
+
+  /** Deterministic k-fold assignment: fold = md5(key) mod k. The standard
+    * cross-validation split as a pure projection — no shuffle, no rand, no
+    * driver state, stable under re-partitioning and re-runs (the same row
+    * always lands in the same fold on any cluster size). md5 (not `hash`)
+    * so the oracle engine reproduces fold identity exactly.
+    */
+  def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 0, "k-fold requires k > 0")
+    df.withColumn("fold",
+      (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long") % k).cast("int"))
+  }
 }

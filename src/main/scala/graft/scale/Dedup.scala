@@ -294,6 +294,65 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** Bloom-prefiltered decontamination: same contract and output as
+    * [[decontaminate]], with a Bloom-filter membership pass BEFORE the exact
+    * shingle join. This is the 100 TB shape when the eval shingle set is too
+    * large to broadcast as an exact hash relation but fits as a bitset: the
+    * corpus-side explode is filtered by a codegen'd
+    * `BloomFilterMightContain` (Spark's own runtime-filter expression — no
+    * UDF, stays inside whole-stage codegen), so only candidate shingles
+    * reach the confirming equi-join. False positives are removed by that
+    * exact join, so the final output is deterministic and bit-identical to
+    * [[decontaminate]] — the bloom stage only prunes.
+    *
+    * The filter is built by `BloomFilterAggregate` over `xxhash64(shingle)`
+    * and collected once to the driver (size = numBits/8 — e.g. 2^20 bits =
+    * 128 KiB); at cluster scale the same binary rides the closure/literal
+    * into every task exactly like Spark's own injected runtime filters.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      expectedItems: Long = 1L << 16,
+      numBits: Long = 1L << 22): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val corpusSh = corpus.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+    val evalSh = evalSet
+      .select(explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+
+    val bloomAgg = ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("sh"))),
+        Literal(expectedItems), Literal(numBits)
+      ).toAggregateExpression())
+    val bloomBin = evalSh.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+
+    // Empty eval set → BloomFilterAggregate yields null → nothing can match.
+    val pre =
+      if (bloomBin == null) corpusSh.limit(0)
+      else corpusSh.filter(ColumnBridge.column(
+        BloomFilterMightContain(
+          Literal(bloomBin, BinaryType),
+          ColumnBridge.expression(xxhash64(col("sh"))))))
+
+    val hits = pre.join(broadcast(evalSh), Seq("sh"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_shared"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
+  }
+
   /** n-gram Jaccard near-dup via inverted shingle index: explode distinct
     * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
     * blocking — they generate candidate pairs quadratically while carrying no

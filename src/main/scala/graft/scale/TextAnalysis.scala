@@ -156,6 +156,39 @@ object TextAnalysis {
           .as("avg_tok_freq"))
   }
 
+  /** TF-IDF-style top-k salient terms per document, with a rational rarity
+    * weight instead of a logarithm: score = tf · N / df (N = corpus doc
+    * count, df = docs containing the term). Rank order is identical to
+    * tf·idf under any monotone idf, but every score is a ratio of exact
+    * integers — reproducible bit-for-bit in the oracle, no transcendental
+    * math. Plan: one explode + two hash-aggs keyed on (doc, term) / term,
+    * one equi-join on term, one per-doc window — every stage keyed and
+    * partition-parallel at 100 TB (the df table shuffles on term, or
+    * broadcasts when the vocabulary is bounded).
+    */
+  def rarityTopTerms(
+      df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTok = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = docTok.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_cnt"))
+    val nDocs = df.agg(count_distinct(col(idCol)).as("n_docs"))
+    val scored = docTok
+      .join(dfreq, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round((col("tf") * col("n_docs")).cast("double") / col("df_cnt"), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("tf"),
+        col("df_cnt"), col("score"))
+  }
+
   /** Token-budget shard packing: assign documents (in `idCol` order) to
     * training shards greedily so each shard holds ~`budgetTokens` tokens —
     * the sharding step before tokenize-and-concat in a pretraining pipeline.

@@ -131,4 +131,19 @@ class SamplersSpec extends SparkSpec {
     assert(got.map(_._2).forall(_ == "rare"))
     assert(got.map(_._1).toSeq == Seq(10L, 20L, 30L))
   }
+
+  test("kfoldAssign: folds in [0,k), deterministic, partition-invariant") {
+    val df = spark.range(0, 500).toDF("id")
+    val a = Samplers.kfoldAssign(df, "id", 5)
+    val folds = a.select("fold").distinct().as[Int].collect().toSet
+    assert(folds.subsetOf((0 until 5).toSet) && folds.size == 5)
+    // every fold gets a non-degenerate share of 500 uniform keys
+    val sizes = a.groupBy("fold").count().as[(Int, Long)].collect().toMap
+    assert(sizes.values.forall(n => n > 50 && n < 150))
+    // same key -> same fold regardless of partitioning or run
+    val b = Samplers.kfoldAssign(df.repartition(13), "id", 5)
+      .orderBy("id").select("fold").as[Int].collect().toSeq
+    val aSorted = a.orderBy("id").select("fold").as[Int].collect().toSeq
+    assert(aSorted == b)
+  }
 }

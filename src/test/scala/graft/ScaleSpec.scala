@@ -290,4 +290,42 @@ class ScaleSpec extends SparkSpec {
       .as[(Long, Long, Double)].head()
     assert(r == ((3L, 2L, 2.0 / 3)))
   }
+
+  test("decontaminateBloom is bit-identical to the exact decontaminate") {
+    val corpus = docs.filter($"doc_id" % 2 === 1)
+    val eval = docs.filter($"doc_id" % 2 === 0)
+    val exact = Dedup.decontaminate(corpus, eval, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, eval, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect().toSeq
+    assert(bloom == exact)
+    // doc 1 shares trigrams with eval doc 2 ("the quick brown ..."); doc 5
+    // is vocabulary-disjoint from every eval doc.
+    val flags = bloom.map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flags(1L) && !flags(5L))
+  }
+
+  test("decontaminateBloom: empty eval set marks nothing contaminated") {
+    val got = Dedup.decontaminateBloom(
+        docs, docs.limit(0), "doc_id", "text", 3)
+      .agg(sum($"n_shared"), max($"contaminated"))
+      .as[(Long, Boolean)].head()
+    assert(got == ((0L, false)))
+  }
+
+  test("rarityTopTerms: rank-1 term is the rarest-weighted, k respected") {
+    val d = Seq(
+      (1L, "alpha alpha shared"),
+      (2L, "beta shared shared"),
+      (3L, "shared gamma delta")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.rarityTopTerms(d, "doc_id", "text", 2)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(5)))
+    assert(rows.count(_._1 == 1L) == 2)
+    // doc 1: alpha tf=2, df=1 -> score 2*3/1 = 6; shared tf=1, df=3 -> 1.
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1(0)._3 == "alpha" && doc1(0)._4 == 6.0)
+    assert(doc1(1)._3 == "shared" && doc1(1)._4 == 1.0)
+  }
 }
