@@ -1054,7 +1054,28 @@ object SparkEntry {
           round(sum(col("value").cast("decimal(18,6)")).cast("double"), 6)
             .as("sum_value"))
         .orderBy(col("anchor_id"))
-    })
+    }),
+
+    // ---- exact-sums Pearson correlation per group (order-free decimals) ----
+    "corr_lineitem" -> ((s, dir) =>
+      Metrics.exactCorrelation(
+          t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy(col("l_returnflag"))),
+
+    // ---- robust stats: median + median-absolute-deviation per group --------
+    "mad_orders" -> ((s, dir) =>
+      Metrics.medianAbsoluteDeviation(
+          t(s, dir, "orders"), "o_orderstatus", "o_totalprice")
+        .orderBy(col("o_orderstatus"))),
+
+    // ---- fixed-width histogram (shuffle only carries bin ids) --------------
+    "histogram_orders" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(floor(col("o_totalprice") / 50000.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(min(col("o_totalprice")), 6).as("min_price"),
+          round(max(col("o_totalprice")), 6).as("max_price"))
+        .orderBy(col("bin")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2163,6 +2184,44 @@ object SparkEntry {
         |SELECT a.anchor_id, COUNT(*) AS n_clicks,
         |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
         |FROM a JOIN c ON c.ts_us >= a.win_start AND c.ts_us < a.win_end
-        |GROUP BY a.anchor_id ORDER BY a.anchor_id""".stripMargin
+        |GROUP BY a.anchor_id ORDER BY a.anchor_id""".stripMargin,
+
+    "corr_lineitem" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, COUNT(*) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+        |      AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |    (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |     SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr_xy
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+
+    "mad_orders" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, quantile_cont(o_totalprice, 0.5) AS med
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o.o_orderstatus, COUNT(*) AS n,
+        |  ROUND(MIN(m.med), 6) AS median,
+        |  ROUND(quantile_cont(abs(o.o_totalprice - m.med), 0.5), 6) AS mad
+        |FROM orders o JOIN m ON o.o_orderstatus = m.o_orderstatus
+        |GROUP BY o.o_orderstatus ORDER BY o.o_orderstatus""".stripMargin,
+
+    "histogram_orders" ->
+      """SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+        |  COUNT(*) AS n_orders,
+        |  ROUND(MIN(o_totalprice), 6) AS min_price,
+        |  ROUND(MAX(o_totalprice), 6) AS max_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -154,4 +154,47 @@ object Metrics {
           lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
           .otherwise(lit(0.0)), 6))
   }
+
+  /** Pearson correlation per group from EXACT decimal co-moment sums.
+    * Spark's built-in `corr` streams floating co-moments whose merge order
+    * depends on partitioning — the last ulps are not reproducible across
+    * cluster layouts. Accumulating Σx, Σy, Σx², Σy², Σxy as decimals is
+    * exact and order-free; the closed-form combination is then ONE fixed
+    * double expression, bit-identical on any partitioning and in the
+    * oracle engine. Same single partial+final hash-agg shuffle as `corr`.
+    */
+  def exactCorrelation(
+      df: DataFrame, groupCol: String, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val nD = col("n").cast("double")
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("double").as("sx"),
+        sum(y).cast("double").as("sy"),
+        sum((x * x).cast("decimal(38,4)")).cast("double").as("sxx"),
+        sum((y * y).cast("decimal(38,4)")).cast("double").as("syy"),
+        sum((x * y).cast("decimal(38,4)")).cast("double").as("sxy"))
+      .select(col(groupCol), col("n"),
+        round((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sxx") - col("sx") * col("sx")) *
+            sqrt(nD * col("syy") - col("sy") * col("sy"))), 6).as("corr_xy"))
+  }
+
+  /** Robust dispersion per group: median and median-absolute-deviation via
+    * two exact interpolated-percentile passes (median first, then the
+    * median of |x − median|). Two keyed hash-agg shuffles + one equi-join
+    * on the group key — no global sort; each group's percentile is a
+    * per-reducer sort of that group's values only.
+    */
+  def medianAbsoluteDeviation(
+      df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valCol, 0.5D)").as("med"))
+    df.join(med, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("median"),
+        round(expr(s"percentile(abs($valCol - med), 0.5D)"), 6).as("mad"))
+  }
 }

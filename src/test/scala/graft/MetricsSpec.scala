@@ -123,4 +123,38 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("f1_legacy") - 2 * p * r) < 1e-6)
     assert(math.abs(m.getAs[Double]("f1") - 2 * p * r / (p + r)) < 1e-6)
   }
+
+  test("exactCorrelation: perfect linear relation gives 1, inverse gives -1") {
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 4.0), ("a", 3.0, 6.0),
+      ("b", 1.0, 9.0), ("b", 2.0, 5.0), ("b", 3.0, 1.0)
+    ).toDF("g", "x", "y")
+    val got = Metrics.exactCorrelation(df, "g", "x", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("corr_xy"))).toSeq
+    assert(got == Seq(("a", 1.0), ("b", -1.0)))
+  }
+
+  test("exactCorrelation is partition-invariant bit-for-bit") {
+    val base = spark.range(0, 1000)
+      .selectExpr("CAST(id % 7 AS STRING) AS g",
+        "CAST(id % 13 AS DOUBLE) AS x",
+        "CAST((id * id) % 31 AS DOUBLE) AS y")
+    val one = Metrics.exactCorrelation(base.coalesce(1), "g", "x", "y")
+      .orderBy("g").collect().toSeq
+    val many = Metrics.exactCorrelation(base.repartition(17), "g", "x", "y")
+      .orderBy("g").collect().toSeq
+    assert(one == many)
+  }
+
+  test("medianAbsoluteDeviation: known medians on a small group") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0))
+      .toDF("g", "v")
+    val r = Metrics.medianAbsoluteDeviation(df, "g", "v").collect()(0)
+    // sorted values (1,2,3,100): median = 2.5; |v-med| = (1.5,0.5,0.5,97.5)
+    // sorted -> (0.5,0.5,1.5,97.5): interpolated median = 1.0
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("median") == 2.5)
+    assert(r.getAs[Double]("mad") == 1.0)
+  }
 }
