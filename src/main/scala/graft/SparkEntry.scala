@@ -1076,6 +1076,30 @@ object SparkEntry {
           round(min(col("o_totalprice")), 6).as("min_price"),
           round(max(col("o_totalprice")), 6).as("max_price"))
         .orderBy(col("bin")))
+,
+    // ---- scale-path quantile binning (broadcast boundaries, no per-group
+    // global sort — the 100 TB alternative to the ntile query) ---------------
+    "quantile_bin_orders" -> ((s, dir) =>
+      Metrics.quantileBin(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+        .groupBy(col("o_orderpriority"), col("bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"), col("bin"))),
+
+    // ---- data-validation column profile (one pass + stack unpivot) ---------
+    "profile_customer" -> ((s, dir) =>
+      Metrics.profileColumns(t(s, dir, "customer"),
+          Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .orderBy(col("column_name"))),
+
+    // ---- corpus bigram conditional stats (collocation mining) --------------
+    "bigram_stats_docs" -> ((s, dir) =>
+      TextAnalysis.bigramStats(t(s, dir, "documents"), "text", 20)),
+
+    // ---- overlapping passage windows (retrieval chunking, stride<size) -----
+    "passage_windows_docs" -> ((s, dir) =>
+      TextAnalysis.passageWindows(t(s, dir, "documents"), "doc_id", "text", 8, 4)
+        .orderBy(col("doc_id"), col("win_idx")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2222,6 +2246,81 @@ object SparkEntry {
         |  COUNT(*) AS n_orders,
         |  ROUND(MIN(o_totalprice), 6) AS min_price,
         |  ROUND(MAX(o_totalprice), 6) AS max_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "quantile_bin_orders" ->
+      """WITH q AS (
+        |  SELECT o_orderpriority,
+        |    quantile_cont(o_totalprice, 0.25) AS q1,
+        |    quantile_cont(o_totalprice, 0.5) AS q2,
+        |    quantile_cont(o_totalprice, 0.75) AS q3
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT o.o_orderpriority,
+        |  1 + CAST(o.o_totalprice > q.q1 AS INT)
+        |    + CAST(o.o_totalprice > q.q2 AS INT)
+        |    + CAST(o.o_totalprice > q.q3 AS INT) AS bin,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN q ON o.o_orderpriority = q.o_orderpriority
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "profile_customer" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS column_name,
+        |    CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    COUNT(DISTINCT c_custkey) AS n_distinct,
+        |    CAST(MIN(c_custkey) AS VARCHAR) AS min_val,
+        |    CAST(MAX(c_custkey) AS VARCHAR) AS max_val
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_name',
+        |    CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_name), MIN(c_name), MAX(c_name)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_nationkey',
+        |    CAST(SUM(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_nationkey),
+        |    CAST(MIN(c_nationkey) AS VARCHAR), CAST(MAX(c_nationkey) AS VARCHAR)
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment',
+        |    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
+        |  FROM customer)
+        |ORDER BY column_name""".stripMargin,
+
+    "bigram_stats_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bg0 AS (
+        |  SELECT concat(t[i], COALESCE(' ' || t[i+1], '')) AS bg
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)),
+        |bg AS (
+        |  SELECT bg, string_split(bg, ' ')[1] AS w1 FROM bg0
+        |  WHERE len(string_split(bg, ' ')) = 2),
+        |c AS (SELECT bg, w1, COUNT(*) AS cnt FROM bg GROUP BY bg, w1),
+        |l AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_cnt FROM c GROUP BY w1)
+        |SELECT c.bg, c.cnt, l.w1_cnt,
+        |  ROUND(CAST(c.cnt AS DOUBLE) / l.w1_cnt, 6) AS p_cond
+        |FROM c JOIN l ON c.w1 = l.w1
+        |ORDER BY c.cnt DESC, c.bg LIMIT 20""".stripMargin,
+
+    "passage_windows_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(t[(i*4+1):(i*4+8)], ' ') AS passage
+        |  FROM toks, UNNEST(range(0,
+        |    CAST(ceil((greatest(len(t) - 7, 1) - 1) / 4.0) AS INT) + 1)) AS u(i))
+        |SELECT doc_id, CAST(i + 1 AS BIGINT) AS win_idx, passage
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin
   )
 }

@@ -197,4 +197,51 @@ object Metrics {
         round(min(col("med")), 6).as("median"),
         round(expr(s"percentile(abs($valCol - med), 0.5D)"), 6).as("mad"))
   }
+
+  /** Scale-path quantile binning: assign each row the quartile bin of its
+    * group via BROADCAST percentile boundaries + a shuffle-free comparison
+    * projection. This is the 100 TB alternative to `ntile()` over a
+    * low-cardinality partition key — NTILE needs a total sort of each
+    * group through one task per group, while here only the tiny boundary
+    * table (one row per group) moves, and bin assignment is a codegen'd
+    * per-row expression. Boundary semantics: bin = 1 + Σ (x > q_k) —
+    * rows equal to a boundary fall in the lower bin (NTILE splits ties by
+    * rank instead, so counts can differ by the tie mass; same bins when
+    * values at boundaries are distinct).
+    */
+  def quantileBin(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val qs = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile($valCol, 0.25D)").as("q1"),
+      expr(s"percentile($valCol, 0.5D)").as("q2"),
+      expr(s"percentile($valCol, 0.75D)").as("q3"))
+    df.join(broadcast(qs), Seq(groupCol))
+      .withColumn("bin",
+        lit(1) + (col(valCol) > col("q1")).cast("int") +
+          (col(valCol) > col("q2")).cast("int") +
+          (col(valCol) > col("q3")).cast("int"))
+      .drop("q1", "q2", "q3")
+  }
+
+  /** Column-profile summary (the data-validation `describe` analog):
+    * one pass computing null count, exact distinct count, and min/max per
+    * requested column, unpivoted to one row per column via `stack`. All
+    * stats are exact (distinct via expand — one shuffle); min/max emitted
+    * as strings so heterogeneous column types share one output schema.
+    * Restrict to string/integer columns for oracle use — float→string
+    * formatting is not portable across engines.
+    */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stacked = cols.map(c =>
+      s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${cols.size}, $stacked) AS " +
+        "(column_name, n_null, n_distinct, min_val, max_val)")
+  }
 }

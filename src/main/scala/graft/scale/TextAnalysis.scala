@@ -211,6 +211,54 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Corpus-level bigram conditional statistics: for each bigram "w1 w2",
+    * its corpus count and P(w2|w1) = count(w1 w2)/count(w1 ·) as an exact
+    * integer ratio — the co-occurrence table behind language-model-ish
+    * phrase scoring and collocation mining. One explode + two hash-aggs +
+    * one equi-join, everything keyed on the bigram / left token; top-k by
+    * count keeps the output bounded (TakeOrderedAndProject, no global sort).
+    */
+  def bigramStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val bg = df.select(explode(wordNgrams(col(textCol), 2)).as("bg"))
+      .filter(size(split(col("bg"), " ")) === 2)
+      .select(col("bg"), split(col("bg"), " ").getItem(0).as("w1"))
+    val counts = bg.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("cnt"))
+    val left = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
+    counts.join(left, Seq("w1"))
+      .select(col("bg"), col("cnt"), col("w1_cnt"),
+        round(col("cnt").cast("double") / col("w1_cnt"), 6).as("p_cond"))
+      .orderBy(col("cnt").desc, col("bg"))
+      .limit(k)
+  }
+
+  /** Overlapping passage windows for retrieval pipelines: token windows of
+    * `size` with `stride` (< size ⇒ overlap), emitted as
+    * (id, win_idx, passage). Windows start at token 1, 1+stride, …, and the
+    * last window begins at or before max(n−size+1, 1), so every token is
+    * covered and short docs yield one ragged window. Pure per-row expansion
+    * (explode of a transform over a bound token array) — shuffle-free,
+    * linear at any scale.
+    */
+  def passageWindows(
+      df: DataFrame, idCol: String, textCol: String,
+      size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    val wins = element_at(
+      transform(array(tokens(col(textCol))), t => {
+        val n = org.apache.spark.sql.functions.size(t)
+        val lastStart = greatest(n - (size - 1), lit(1))
+        val nw = ceil((lastStart.cast("double") - 1) / stride).cast("int") + 1
+        transform(sequence(lit(0), nw - 1), i =>
+          struct((i + 1).as("win_idx"),
+            concat_ws(" ", slice(t, i * stride + 1, lit(size))).as("passage")))
+      }),
+      1)
+    df.select(col(idCol), explode(wins).as("w"))
+      .select(col(idCol),
+        col("w.win_idx").cast("long").as("win_idx"),
+        col("w.passage").as("passage"))
+  }
+
   /** PII scrubbing: redact email-shaped and phone-shaped spans (the
     * pre-training hygiene pass). Portable regexes (no lookaround, no \b;
     * `(?i)` case-insensitivity works in both Java regex and DuckDB's RE2 —

@@ -147,6 +147,28 @@ class MetricsSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("quantileBin: quartile bins partition the group, ties fall low") {
+    val df = (1 to 8).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val got = Metrics.quantileBin(df, "g", "v")
+      .groupBy("bin").count().orderBy("bin")
+      .as[(Int, Long)].collect().toSeq
+    // quartiles of 1..8: q1=2.75, q2=4.5, q3=6.25 -> bins of 2 each
+    assert(got == Seq((1, 2L), (2, 2L), (3, 2L), (4, 2L)))
+  }
+
+  test("profileColumns: exact nulls/distinct/min/max per column") {
+    val df = Seq(
+      (Some(1L), "b"), (Some(2L), "a"), (None, "a")
+    ).toDF("k", "s")
+    val got = Metrics.profileColumns(df, Seq("k", "s"))
+      .orderBy("column_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    assert(got == Seq(
+      ("k", 1L, 2L, "1", "2"),
+      ("s", 0L, 2L, "a", "b")))
+  }
+
   test("medianAbsoluteDeviation: known medians on a small group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0))
       .toDF("g", "v")

@@ -313,6 +313,30 @@ class ScaleSpec extends SparkSpec {
     assert(got == ((0L, false)))
   }
 
+  test("bigramStats: conditional probabilities from exact counts") {
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    // bigrams: (a b)x2, (b a)x2, (a c)x1 -> P(b|a)=2/3, P(c|a)=1/3, P(a|b)=1
+    val got = TextAnalysis.bigramStats(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("p_cond"))).toSeq
+    assert(got.toSet == Set(
+      ("a b", 2L, 3L, 0.666667), ("b a", 2L, 2L, 1.0), ("a c", 1L, 3L, 0.333333)))
+  }
+
+  test("passageWindows: stride-4 windows of 8 cover the tail, short docs kept") {
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")),   // 10 tokens
+      (2L, "only three tokens")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.passageWindows(d, "doc_id", "text", 8, 4)
+      .orderBy($"doc_id", $"win_idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq(
+      (1L, 1L, (1 to 8).map(i => s"t$i").mkString(" ")),
+      (1L, 2L, (5 to 10).map(i => s"t$i").mkString(" ")),
+      (2L, 1L, "only three tokens")))
+  }
+
   test("rarityTopTerms: rank-1 term is the rarest-weighted, k respected") {
     val d = Seq(
       (1L, "alpha alpha shared"),
