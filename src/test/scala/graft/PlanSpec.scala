@@ -151,4 +151,35 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"eval shingle set should broadcast:\n$plan")
   }
+
+  test("decontaminateBloom prunes with might_contain before the exact join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.scale.Dedup.decontaminateBloom(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom membership filter should precede the join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"confirming eval join should broadcast:\n$plan")
+  }
+
+  test("quantileBin broadcasts the boundary table; no window in the plan") {
+    val orders = Tables.load(spark, sf, "orders")
+    val df = graft.metrics.Metrics.quantileBin(
+      orders, "o_orderpriority", "o_totalprice")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"boundary table should broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"bin assignment must be a projection, not a sort window:\n$plan")
+  }
+
+  test("kfold assignment is a shuffle-free projection over the scan") {
+    val orders = Tables.load(spark, sf, "orders")
+    val df = graft.sample.Samplers.kfoldAssign(orders, "o_orderkey", 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"fold assignment must not shuffle:\n$plan")
+  }
 }
