@@ -1099,7 +1099,40 @@ object SparkEntry {
     // ---- overlapping passage windows (retrieval chunking, stride<size) -----
     "passage_windows_docs" -> ((s, dir) =>
       TextAnalysis.passageWindows(t(s, dir, "documents"), "doc_id", "text", 8, 4)
-        .orderBy(col("doc_id"), col("win_idx")))
+        .orderBy(col("doc_id"), col("win_idx"))),
+
+    // ---- ranking-family windows: rank / dense_rank / percent_rank /
+    // cume_dist (tie-free ordering via unique key tiebreak) ------------------
+    "rank_family_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders").select(
+          col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .filter(col("o_orderkey") % 50 === 0)
+        .orderBy(col("o_orderpriority"), col("rnk"))
+    }),
+
+    // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
+    "streaming_dedup_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val deduped = stream
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_users"))
+      val name = "stream_dedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, deduped, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("event_type"))
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2321,6 +2354,22 @@ object SparkEntry {
         |  FROM toks, UNNEST(range(0,
         |    CAST(ceil((greatest(len(t) - 7, 1) - 1) / 4.0) AS INT) + 1)) AS u(i))
         |SELECT doc_id, CAST(i + 1 AS BIGINT) AS win_idx, passage
-        |FROM w ORDER BY doc_id, win_idx""".stripMargin
+        |FROM w ORDER BY doc_id, win_idx""".stripMargin,
+
+    "rank_family_orders" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    RANK() OVER w AS rnk, DENSE_RANK() OVER w AS drnk,
+        |    ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+        |    ROUND(CUME_DIST() OVER w, 6) AS cdist
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey))
+        |SELECT * FROM r WHERE o_orderkey % 50 = 0
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
+
+    "streaming_dedup_events" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
