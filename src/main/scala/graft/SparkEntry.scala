@@ -1116,6 +1116,39 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rnk"))
     }),
 
+    // ---- gap-filled hourly series (spine join, zero-filled holes) ----------
+    "gap_fill_events" -> ((s, dir) =>
+      Events.gapFilledHourly(t(s, dir, "events"), "purchase")
+        .orderBy(col("hour"))),
+
+    // ---- stage funnel: view → click → purchase by earliest-event order -----
+    "funnel_events" -> ((s, dir) =>
+      Events.funnel(t(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    // ---- cohort retention: first-activity day × day offset -----------------
+    "cohort_retention_events" -> ((s, dir) =>
+      Events.cohortRetention(t(s, dir, "events"), 7)
+        .orderBy(col("cohort_day"), col("offset"))),
+
+    // ---- CDC-style upsert compaction: latest version per key wins ----------
+    "upsert_merge_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val base = orders.select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), lit(0).as("version"))
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit(1).as("version"))
+      val w = Window.partitionBy(col("o_orderkey")).orderBy(col("version").desc)
+      base.unionByName(updates)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
     "streaming_dedup_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -2370,6 +2403,58 @@ object SparkEntry {
 
     "streaming_dedup_events" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "gap_fill_events" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 1000000 // 3600 AS hour, event_type, value
+        |  FROM events),
+        |b AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+        |spine AS (SELECT UNNEST(range(h0, h1 + 1)) AS hour FROM b),
+        |c AS (
+        |  SELECT hour, COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY hour)
+        |SELECT s.hour, COALESCE(c.n_events, 0) AS n_events,
+        |  ROUND(COALESCE(c.sum_value, 0.0), 6) AS sum_value
+        |FROM spine s LEFT JOIN c ON s.hour = c.hour
+        |ORDER BY s.hour""".stripMargin,
+
+    "funnel_events" ->
+      """WITH m AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view'
+        |      THEN epoch_us(ts) // 1000000 END) AS t0,
+        |    MIN(CASE WHEN event_type = 'click'
+        |      THEN epoch_us(ts) // 1000000 END) AS t1,
+        |    MIN(CASE WHEN event_type = 'purchase'
+        |      THEN epoch_us(ts) // 1000000 END) AS t2
+        |  FROM events GROUP BY user_id)
+        |SELECT COUNT(*) AS n_users,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_stage1,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t0 < t1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_stage2,
+        |  CAST(SUM(CASE WHEN t0 IS NOT NULL AND t0 < t1 AND t1 < t2
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_stage3
+        |FROM m""".stripMargin,
+
+    "cohort_retention_events" ->
+      """WITH d AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 1000000 // 86400 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY user_id)
+        |SELECT f.cohort_day, d.day - f.cohort_day AS "offset",
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN f ON d.user_id = f.user_id
+        |WHERE d.day - f.cohort_day <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "upsert_merge_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
+        |    THEN o_totalprice + 1000.0 ELSE o_totalprice END
+        |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -112,4 +112,68 @@ object Events {
   def extractProps(events: DataFrame): DataFrame =
     events.withColumn("prop_k",
       get_json_object(col("props"), "$.k").cast("long"))
+
+  /** Gap-filled hourly series for one event type: every hour in the
+    * corpus's [min, max] hour range appears, zero-filled where no events
+    * landed — the spine-join shape behind dashboards and window-complete
+    * time-series features. The spine generates from a 1-row bounds
+    * aggregate (`sequence` explode — thousands of rows, trivially
+    * broadcast); the counts side is one keyed hash-agg. No driver loop.
+    */
+  def gapFilledHourly(events: DataFrame, eventType: String): DataFrame = {
+    val withHour = events.withColumn("__sec", epochSeconds(events))
+      .withColumn("hour", expr("__sec DIV 3600"))
+    val counts = withHour.filter(col("event_type") === eventType)
+      .groupBy(col("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val spine = withHour.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hour"))
+    spine.join(counts, Seq("hour"), "left")
+      .select(col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(coalesce(col("sum_value"), lit(0.0)), 6).as("sum_value"))
+  }
+
+  /** Stage-completion funnel over first-occurrence ordering: a user
+    * completes stage i when their earliest stage-i event is strictly later
+    * than their earliest stage-(i−1) event. One groupBy(user) conditional-
+    * min pass + one global roll-up — two shuffles total, no self-joins,
+    * no per-stage scans (the min-per-stage trick keeps it a single scan
+    * whatever the funnel depth).
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ts = epochSeconds(events)
+    val mins = stages.zipWithIndex.map { case (st, i) =>
+      min(when(col("event_type") === st, ts)).as(s"t$i")
+    }
+    val perUser = events.groupBy(col("user_id")).agg(mins.head, mins.tail: _*)
+    val stageHit: Seq[Column] = stages.indices.map { i =>
+      (0 until i).map(j => col(s"t$j") < col(s"t${j + 1}"))
+        .foldLeft(col("t0").isNotNull)(_ && _)
+    }
+    val rollups = stageHit.zipWithIndex.map { case (hit, i) =>
+      sum(when(hit, 1L).otherwise(0L)).as(s"n_stage${i + 1}")
+    }
+    perUser.agg(count(lit(1)).as("n_users"), rollups: _*)
+  }
+
+  /** Cohort retention: users grouped by first-activity day; for each
+    * (cohort day, day offset ≤ maxOffset) the count of distinct cohort
+    * members active that day. Two keyed shuffles (first-day agg on
+    * user_id, retention agg on (cohort, offset)) + one equi-join on
+    * user_id — the first-day table is the small side once users ≪ events.
+    */
+  def cohortRetention(events: DataFrame, maxOffset: Int = 7): DataFrame = {
+    val withDay = events.withColumn("__sec", epochSeconds(events))
+      .select(col("user_id"), expr("__sec DIV 86400").as("day")).distinct()
+    val firstDay = withDay.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    withDay.join(firstDay, Seq("user_id"))
+      .withColumn("offset", col("day") - col("cohort_day"))
+      .filter(col("offset") <= maxOffset)
+      .groupBy(col("cohort_day"), col("offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
 }

@@ -275,6 +275,47 @@ class ScaleSpec extends SparkSpec {
     assert(lagBased == native)
   }
 
+  test("gapFilledHourly zero-fills hours with no matching events") {
+    val h = 3600L * 1000000000L
+    val ev = Seq(
+      (1L, 0L * h, "purchase", 10.0),
+      (1L, 3L * h, "purchase", 5.0),
+      (2L, 2L * h, "click", 1.0)      // extends the spine, wrong type
+    ).toDF("user_id", "ts", "event_type", "value")
+    val got = Events.gapFilledHourly(ev, "purchase")
+      .orderBy($"hour").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0L, 1L, 10.0), (1L, 0L, 0.0), (2L, 0L, 0.0), (3L, 1L, 5.0)))
+  }
+
+  test("funnel counts only strictly-ordered stage completions") {
+    val s = 1000000000L
+    val ev = Seq(
+      (1L, 1L * s, "view"), (1L, 2L * s, "click"), (1L, 3L * s, "purchase"),
+      (2L, 5L * s, "view"), (2L, 4L * s, "click"),   // click before view
+      (3L, 7L * s, "view"),                          // view only
+      (4L, 9L * s, "click")                          // never viewed
+    ).toDF("user_id", "ts", "event_type").withColumn("value", lit(1.0))
+    val r = Events.funnel(ev, Seq("view", "click", "purchase")).collect()(0)
+    assert(r.getAs[Long]("n_users") == 4L)
+    assert(r.getAs[Long]("n_stage1") == 3L)   // users 1,2,3 viewed
+    assert(r.getAs[Long]("n_stage2") == 1L)   // only user 1 in order
+    assert(r.getAs[Long]("n_stage3") == 1L)
+  }
+
+  test("cohortRetention assigns offsets from first-activity day") {
+    val d = 86400L * 1000000000L
+    val ev = Seq(
+      (1L, 0L * d), (1L, 1L * d), (1L, 3L * d),
+      (2L, 1L * d), (2L, 1L * d),                    // same-day repeat
+      (3L, 0L * d), (3L, 20L * d)                    // beyond maxOffset
+    ).toDF("user_id", "ts")
+      .withColumn("event_type", lit("view")).withColumn("value", lit(1.0))
+    val got = Events.cohortRetention(ev, 7)
+      .orderBy($"cohort_day", $"offset")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 3L, 1L), (1L, 0L, 1L)))
+  }
+
   test("language id picks a language present in profile, else unknown") {
     val d = Seq((1L, "the fast order of the small"), (2L, "zzz qqq www"))
       .toDF("doc_id", "text")
