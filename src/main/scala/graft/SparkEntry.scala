@@ -1092,6 +1092,21 @@ object SparkEntry {
           Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
         .orderBy(col("column_name"))),
 
+    // ---- data-quality expectations: one-pass rule violation counts ---------
+    "constraints_orders" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val rowRules = Metrics.constraintViolations(orders, Seq(
+        "nonpositive_price" -> (col("o_totalprice") <= 0.0),
+        "null_custkey" -> col("o_custkey").isNull,
+        "unknown_priority" -> !col("o_orderpriority").isin(
+          "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"),
+        "null_orderdate" -> col("o_orderdate").isNull))
+      rowRules
+        .unionByName(
+          Metrics.uniquenessViolations(orders, "o_orderkey", "dup_orderkey"))
+        .orderBy(col("rule"))
+    }),
+
     // ---- corpus bigram conditional stats (collocation mining) --------------
     "bigram_stats_docs" -> ((s, dir) =>
       TextAnalysis.bigramStats(t(s, dir, "documents"), "text", 20)),
@@ -2313,6 +2328,26 @@ object SparkEntry {
         |  ROUND(MIN(o_totalprice), 6) AS min_price,
         |  ROUND(MAX(o_totalprice), 6) AS max_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "constraints_orders" ->
+      """SELECT * FROM (
+        |  SELECT 'dup_orderkey' AS rule,
+        |    COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations FROM orders
+        |  UNION ALL SELECT 'nonpositive_price',
+        |    CAST(SUM(CASE WHEN o_totalprice <= 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'null_custkey',
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'unknown_priority',
+        |    CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH',
+        |      '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW') THEN 1 ELSE 0 END)
+        |      AS BIGINT)
+        |  FROM orders
+        |  UNION ALL SELECT 'null_orderdate',
+        |    CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders)
+        |ORDER BY rule""".stripMargin,
 
     "quantile_bin_orders" ->
       """WITH q AS (

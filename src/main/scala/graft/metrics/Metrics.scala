@@ -230,6 +230,33 @@ object Metrics {
     * Restrict to string/integer columns for oracle use — float→string
     * formatting is not portable across engines.
     */
+  /** Declarative data-quality gate: each rule is (name, violation
+    * predicate); the result is one row per rule with its exact violation
+    * count — the expectations check run before a corpus enters training.
+    * All rules evaluate in ONE scan/aggregate pass however many there are
+    * (conditional sums share the same partial-agg state), then unpivot via
+    * `stack`. Row-local rules only; for uniqueness use
+    * [[uniquenessViolations]] (needs a distinct aggregate).
+    */
+  def constraintViolations(
+      df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one rule")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val stacked = rules.zipWithIndex
+      .map { case ((n, _), i) => s"'$n', __v$i" }.mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${rules.size}, $stacked) AS (rule, n_violations)")
+  }
+
+  /** Duplicate-key mass for a uniqueness expectation: rows − distinct keys
+    * (0 ⇔ the column is unique). One expand-based distinct aggregate.
+    */
+  def uniquenessViolations(df: DataFrame, keyCol: String, ruleName: String): DataFrame =
+    df.agg((count(lit(1)) - count_distinct(col(keyCol))).as("n_violations"))
+      .select(lit(ruleName).as("rule"), col("n_violations"))
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

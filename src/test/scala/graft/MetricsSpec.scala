@@ -169,6 +169,20 @@ class MetricsSpec extends SparkSpec {
       ("s", 0L, 2L, "a", "b")))
   }
 
+  test("constraintViolations counts rule breaches in one pass") {
+    val df = Seq(
+      (Some(1L), 10.0), (Some(2L), -5.0), (None, 0.0), (Some(2L), 3.0)
+    ).toDF("k", "v")
+    val got = Metrics.constraintViolations(df, Seq(
+        "nonpositive_v" -> (col("v") <= 0.0),
+        "null_k" -> col("k").isNull))
+      .unionByName(Metrics.uniquenessViolations(df, "k", "dup_k"))
+      .orderBy("rule")
+      .as[(String, Long)].collect().toSeq
+    // dup_k: 4 rows, 3 distinct non-null... count_distinct skips nulls -> 4-2=2
+    assert(got == Seq(("dup_k", 2L), ("nonpositive_v", 2L), ("null_k", 1L)))
+  }
+
   test("medianAbsoluteDeviation: known medians on a small group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0))
       .toDF("g", "v")
