@@ -76,8 +76,17 @@ object ScaleCheck {
       ("corpus_freq",
         (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
         docs, "doc_id", None),
+      ("tfidf_terms",
+        (d: DataFrame) => TextAnalysis.rarityTopTerms(d, "doc_id", "text", 3),
+        docs, "doc_id", Some("text")),
+      ("bigram_stats",
+        (d: DataFrame) => TextAnalysis.bigramStats(d, "text", 20),
+        docs, "doc_id", Some("text")),
       ("sessionize",
         (d: DataFrame) => Events.sessionize(d, 1800L),
+        events, "user_id", None),
+      ("cohort_retention",
+        (d: DataFrame) => Events.cohortRetention(d, 7),
         events, "user_id", None),
       ("global_rank",
         (d: DataFrame) => Samplers.globalRowNumber(
