@@ -1145,6 +1145,22 @@ object SparkEntry {
       Events.cohortRetention(t(s, dir, "events"), 7)
         .orderBy(col("cohort_day"), col("offset"))),
 
+    // ---- full outer join: daily click vs purchase series aligned -----------
+    "full_outer_join_events" -> ((s, dir) => {
+      val raw = t(s, dir, "events")
+      val ev = raw.withColumn("__sec", Events.epochSeconds(raw))
+        .withColumn("day", expr("__sec DIV 86400"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_clicks"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("day")).agg(count(lit(1)).as("n_purchases"))
+      clicks.join(purchases, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+        .orderBy(col("day"))
+    }),
+
     // ---- CDC-style upsert compaction: latest version per key wins ----------
     "upsert_merge_orders" -> ((s, dir) => {
       val orders = t(s, dir, "orders")
@@ -2484,6 +2500,20 @@ object SparkEntry {
         |FROM d JOIN f ON d.user_id = f.user_id
         |WHERE d.day - f.cohort_day <= 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "full_outer_join_events" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 1000000 // 86400 AS day, event_type
+        |  FROM events),
+        |c AS (SELECT day, COUNT(*) AS n_clicks FROM ev
+        |  WHERE event_type = 'click' GROUP BY day),
+        |p AS (SELECT day, COUNT(*) AS n_purchases FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY day)
+        |SELECT COALESCE(c.day, p.day) AS day,
+        |  COALESCE(c.n_clicks, 0) AS n_clicks,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p ON c.day = p.day
+        |ORDER BY day""".stripMargin,
 
     "upsert_merge_orders" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders,
