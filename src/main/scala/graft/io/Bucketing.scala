@@ -65,4 +65,24 @@ object Layout {
 
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Globally-sorted export: range-partition on the sort key, sort within
+    * each partition, write. File k's key range sits entirely below file
+    * k+1's, and each file is internally sorted — so the directory as a
+    * whole is one sorted sequence (the layout consumers want for binary-
+    * searchable shards and merge-readers). This is the 100 TB sorted-write
+    * shape: `orderBy().write` would funnel everything through one sorting
+    * task per output file wave, while range partitioning samples the key
+    * distribution and sorts all partitions in parallel.
+    */
+  def writeSorted(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numPartitions: Int = 32): Unit =
+    df.repartitionByRange(numPartitions, sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .sortWithinPartitions(sortCols.map(org.apache.spark.sql.functions.col): _*)
+      .write
+      .mode("overwrite")
+      .parquet(path)
 }

@@ -27,6 +27,31 @@ class LayoutSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("writeSorted produces disjoint ordered file ranges, sorted within") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/sorted"
+    val orders = Tables.load(spark, sf, "orders")
+    Layout.writeSorted(orders, dir, Seq("o_orderkey"), 8)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    assert(files.length > 1, "expected a multi-file sorted export")
+    val ranges = files.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+      val r = d.agg(min("o_orderkey"), max("o_orderkey")).head()
+      // internally sorted: row sequence equals its sorted self
+      val keys = d.select("o_orderkey").as[Long].collect()
+      assert(keys.sameElements(keys.sorted), s"file ${f.getName} not sorted")
+      (r.getLong(0), r.getLong(1))
+    }
+    // file k's max < file k+1's min -> globally sorted directory
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, s"overlapping ranges $ranges")
+      case _ =>
+    }
+    // nothing lost in the rewrite
+    assert(spark.read.parquet(dir).count() === orders.count())
+  }
+
   test("partition column round-trips through the directory encoding") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/docs"
     val docs = Tables.load(spark, sf, "documents")
