@@ -72,6 +72,14 @@ object SparkEntry {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** Morton interleave of the low 10 bits of x and y as portable SQL bit
+    * ops — mirrors [[graft.io.ZOrder.zValue]] term for term.
+    */
+  private val zInterleaveSql: String =
+    (0 until 10).map(i =>
+      s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
+      .mkString(" | ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- flagship scan+agg+sort -------------------------------------------
     "q1_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
@@ -1179,6 +1187,46 @@ object SparkEntry {
           dsum(col("o_totalprice")).as("sum_price"))
         .orderBy(col("o_orderpriority"))
     }),
+
+    // ---- z-order layout: per-file min/max envelopes on BOTH dimensions -----
+    "zorder_stats_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .withColumn("x", col("o_custkey") % 1024)
+        .withColumn("y",
+          expr("(CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400) % 1024"))
+      graft.io.ZOrder.fileStats(o, col("x"), col("y"), 10, 4)
+        .orderBy(col("file_id"))
+    }),
+
+    // ---- SCD2 dimension build from a change feed (validity intervals) ------
+    "scd2_orders" -> ((s, dir) => {
+      val changes = t(s, dir, "orders")
+        .filter(col("o_custkey") % 100 === 0)
+        .withColumn("day",
+          expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400"))
+      Events.scd2(changes, "o_custkey", "day", "o_orderkey",
+          Seq("o_orderpriority"))
+        .orderBy(col("o_custkey"), col("version"))
+    }),
+
+    // ---- rolling z-score anomaly flags over the daily value series ---------
+    "anomaly_zscore_events" -> ((s, dir) =>
+      Events.rollingAnomaly(t(s, dir, "events"), 7, 2.0)
+        .orderBy(col("event_type"), col("day"))),
+
+    // ---- domain-mixture resampling toward a target corpus composition ------
+    "domain_mix_docs" -> ((s, dir) => {
+      val kept = TextAnalysis.domainMix(t(s, dir, "documents"),
+        "source", "doc_id", Map("src0" -> 0.25, "src1" -> 0.125), 400L)
+      kept.groupBy(col("source"))
+        .agg(max(col("__quota")).as("quota"), count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- BM25-weighted retrieval over a fixed query-term set ---------------
+    "bm25_search_docs" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+        Seq("join", "vector", "stream"), 20)),
 
     // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
     "streaming_dedup_events" -> ((s, dir) => {
@@ -2520,6 +2568,126 @@ object SparkEntry {
         |  CAST(SUM(CAST(CASE WHEN o_orderkey % 10 = 0
         |    THEN o_totalprice + 1000.0 ELSE o_totalprice END
         |    AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "zorder_stats_orders" ->
+      s"""WITH d AS (
+        |  SELECT o_custkey % 1024 AS x,
+        |    (CAST(EPOCH_US(o_orderdate) AS BIGINT) // 86400000000) % 1024 AS y
+        |  FROM orders),
+        |z AS (SELECT x, y, $zInterleaveSql AS zv FROM d)
+        |SELECT zv >> 16 AS file_id, COUNT(*) AS n_rows,
+        |  MIN(x) AS min_x, MAX(x) AS max_x,
+        |  MIN(y) AS min_y, MAX(y) AS max_y
+        |FROM z GROUP BY file_id ORDER BY file_id""".stripMargin,
+
+    "scd2_orders" ->
+      """WITH c AS (
+        |  SELECT o_custkey,
+        |    CAST(EPOCH_US(o_orderdate) AS BIGINT) // 86400000000 AS day,
+        |    o_orderkey, o_orderpriority
+        |  FROM orders WHERE o_custkey % 100 = 0),
+        |l AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey, day
+        |    ORDER BY o_orderkey DESC) AS rn
+        |  FROM c),
+        |v AS (
+        |  SELECT o_custkey, day, o_orderpriority,
+        |    ROW_NUMBER() OVER w AS version,
+        |    LEAD(day) OVER w AS valid_to
+        |  FROM l WHERE rn = 1
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY day))
+        |SELECT o_custkey, version, day AS valid_from, valid_to,
+        |  valid_to IS NULL AS is_current, o_orderpriority
+        |FROM v ORDER BY o_custkey, version""".stripMargin,
+
+    "anomaly_zscore_events" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 1000000 // 86400 AS day,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, day, day_value,
+        |    COUNT(day_value) OVER f AS n,
+        |    SUM(day_value) OVER f AS s1,
+        |    SUM(CAST(CAST(day_value AS DECIMAL(18,2)) *
+        |      CAST(day_value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER f AS s2
+        |  FROM daily
+        |  WINDOW f AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |v AS (
+        |  SELECT event_type, day, day_value,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+        |      / (n - 1) AS var
+        |  FROM w WHERE n >= 2),
+        |z AS (
+        |  SELECT *, CASE WHEN var > 0
+        |    THEN (CAST(day_value AS DOUBLE) - mean) / SQRT(var) END AS zz
+        |  FROM v)
+        |SELECT event_type, day, CAST(day_value AS DOUBLE) AS day_value,
+        |  ROUND(mean, 6) AS roll_mean, ROUND(zz, 6) AS z,
+        |  (zz IS NOT NULL AND ABS(zz) > 2.0) AS is_anomaly
+        |FROM z ORDER BY event_type, day""".stripMargin,
+
+    "domain_mix_docs" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |u AS (SELECT COUNT(DISTINCT source) - 2 AS n_unw FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN source = 'src0'
+        |      THEN CAST(FLOOR(CAST(0.25 AS DOUBLE) * 400.0) AS BIGINT)
+        |    WHEN source = 'src1'
+        |      THEN CAST(FLOOR(CAST(0.125 AS DOUBLE) * 400.0) AS BIGINT)
+        |    ELSE CAST(FLOOR((CAST(0.625 AS DOUBLE) /
+        |      GREATEST(CAST(n_unw AS DOUBLE), CAST(1.0 AS DOUBLE))) * 400.0)
+        |      AS BIGINT) END AS quota
+        |  FROM (SELECT DISTINCT source FROM documents), u)
+        |SELECT r.source, MAX(q.quota) AS quota, COUNT(*) AS n_kept
+        |FROM r JOIN q ON r.source = q.source
+        |WHERE r.rnk <= q.quota
+        |GROUP BY r.source ORDER BY r.source""".stripMargin,
+
+    "bm25_search_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'stream')) AS BIGINT) AS tf2
+        |  FROM tok),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, dl, tf0, tf1, tf2, n_docs, df0, df1, df2,
+        |    CAST(total_dl AS DOUBLE) / n_docs AS avgdl
+        |  FROM d, g),
+        |sc AS (
+        |  SELECT doc_id, dl, ROUND(
+        |    ((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |      * (CAST(tf0 AS DOUBLE) * 2.25) / (CAST(tf0 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |    + ((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |      * (CAST(tf1 AS DOUBLE) * 2.25) / (CAST(tf1 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |    + ((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |      * (CAST(tf2 AS DOUBLE) * 2.25) / (CAST(tf2 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+        |    AS score
+        |  FROM s)
+        |SELECT doc_id, dl, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

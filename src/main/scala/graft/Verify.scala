@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args: <sfDir> <outDir> [comma-separated query-name filter]
+    // The driver always passes two args (full dump); the filter is a local
+    // iteration aid — check_oracle.py only compares dirs that exist.
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, None)
+      case Array(a, b, f) => (a, b, Some(f.split(",").map(_.trim).toSet))
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -23,7 +29,9 @@ object Verify {
     rm(new java.io.File(outDir))
     new java.io.File(outDir).mkdirs()
     var failures = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

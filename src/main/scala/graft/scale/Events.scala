@@ -176,4 +176,84 @@ object Events {
       .groupBy(col("cohort_day"), col("offset"))
       .agg(count_distinct(col("user_id")).as("n_users"))
   }
+
+  /** Rolling z-score anomaly detection over the daily value series of each
+    * event type: a day is anomalous when its total deviates from the
+    * trailing `lookback`-day mean by more than `threshold` sample standard
+    * deviations.
+    *
+    * Determinism: the rolling mean/variance are derived from DECIMAL-exact
+    * frame sums (sum and sum-of-squares over the preceding-rows frame), not
+    * from the engine's floating `stddev` — double accumulation order inside
+    * a window frame is engine-dependent, decimal addition is not. The final
+    * ratio is the only double step, rounded to 6.
+    *
+    * One exchange: the daily agg and the window share the event_type hash
+    * partitioning (series length is days, so state per key is tiny however
+    * large the input).
+    */
+  def rollingAnomaly(events: DataFrame, lookback: Int = 7,
+      threshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .withColumn("__sec", epochSeconds(events))
+      .withColumn("day", expr("__sec DIV 86400"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+    val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(-lookback, -1)
+    val withStats = daily
+      .withColumn("n", count(col("day_value")).over(frame))
+      .withColumn("s1", sum(col("day_value")).over(frame))
+      .withColumn("s2",
+        sum((col("day_value") * col("day_value")).cast("decimal(38,4)"))
+          .over(frame))
+    // mean/var from exact sums; sample variance guard: need n >= 2
+    withStats
+      .filter(col("n") >= 2)
+      .withColumn("mean", col("s1").cast("double") / col("n"))
+      .withColumn("var",
+        (col("s2").cast("double") -
+          col("s1").cast("double") * col("s1").cast("double") / col("n")) /
+          (col("n") - lit(1)))
+      .withColumn("z",
+        when(col("var") > 0,
+          (col("day_value").cast("double") - col("mean")) / sqrt(col("var"))))
+      .select(col("event_type"), col("day"),
+        col("day_value").cast("double").as("day_value"),
+        round(col("mean"), 6).as("roll_mean"),
+        round(col("z"), 6).as("z"),
+        (col("z").isNotNull && abs(col("z")) > threshold).as("is_anomaly"))
+  }
+
+  /** SCD Type-2 dimension build from a change feed: each (key, change-day)
+    * pair becomes a dimension version valid from its day until the next
+    * version's day (open-ended on the latest = the current row). Multiple
+    * changes on one day collapse to the highest-sequence change (last write
+    * wins within the grain).
+    *
+    * Shape: one dedup agg + one lead() window, both partitioned by the
+    * dimension key — a single exchange end to end, no self-join. This is
+    * the merge that keeps a 100 TB fact table joinable to point-in-time
+    * dimension attributes (pair it with [[graft.plans.Joins.asOfJoin]] on
+    * the fact side).
+    */
+  def scd2(changes: DataFrame, keyCol: String, dayCol: String,
+      seqCol: String, attrCols: Seq[String]): DataFrame = {
+    val byKeyDay = Window.partitionBy(col(keyCol), col(dayCol))
+      .orderBy(col(seqCol).desc)
+    val latestPerDay = changes
+      .withColumn("__rn", row_number().over(byKeyDay))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(dayCol))
+    latestPerDay
+      // long, not int: DuckDB ROW_NUMBER is BIGINT and the driver compare
+      // is dtype-strict
+      .withColumn("version", row_number().over(byKey).cast("long"))
+      .withColumn("valid_from", col(dayCol))
+      .withColumn("valid_to", lead(col(dayCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select((Seq(col(keyCol), col("version"), col("valid_from"),
+        col("valid_to"), col("is_current")) ++ attrCols.map(col)): _*)
+  }
 }

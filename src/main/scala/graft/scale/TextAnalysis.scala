@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for LLM training-data pipelines (builder-prompt
@@ -286,6 +287,106 @@ object TextAnalysis {
     */
   def minShingleFingerprint(text: Column, k: Int = 3): Column =
     array_min(transform(Shingles.wordShingles(text, k), s => md5(s.cast("binary"))))
+
+  /** BM25 retrieval scoring for a FIXED query-term set, top-k by score.
+    *
+    * Because the query terms are a small compile-time list, per-term tf is a
+    * pure column expression (`size(filter(tokens, _ == term))`) — no
+    * explode, no per-doc shuffle; the scan stays linear and codegen'd. The
+    * corpus constants (N, avg doc length, per-term document frequency) come
+    * from ONE single-row aggregate that broadcasts back over the scan — two
+    * jobs total at any corpus size.
+    *
+    * Determinism: the classic BM25 idf is log((N−df+0.5)/(df+0.5)); `log`
+    * is the one step whose last ulp can differ across math libraries, so the
+    * oracle-checked form uses the RATIONAL idf (N−df+0.5)/(df+0.5) — the
+    * same monotone document-frequency weighting (identical ranking for a
+    * single-term query; for multi-term it weights rare terms more
+    * aggressively), built from IEEE ops both engines execute identically.
+    * Terms are summed in fixed list order.
+    */
+  def bm25TopK(
+      df: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      // defaults are FP-exact (k1+1 = 2.25, 1−b = 0.25): the oracle writes
+      // the same constants as SQL literals and both engines must parse to
+      // the identical double
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    // bind the token array once per row; per-term tf reads the bound array
+    val perDoc = df.withColumn("__t", tokens(col(textCol)))
+      .select(
+        (col(idCol) +: size(col("__t")).cast("long").as("dl") +:
+          queryTerms.zipWithIndex.map { case (term, i) =>
+            size(filter(col("__t"), x => x === term)).cast("long").as(s"tf$i")
+          }): _*)
+    val constAggs =
+      count(lit(1)).cast("long").as("n_docs") +:
+        sum(col("dl")).cast("long").as("total_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
+            .as(s"df$i"))
+    val consts = perDoc.agg(constAggs.head, constAggs.tail: _*)
+    val scored = perDoc.crossJoin(broadcast(consts))
+      .withColumn("avgdl",
+        col("total_dl").cast("double") / col("n_docs"))
+    val termScores = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    }
+    scored
+      .withColumn("score", round(termScores.reduceLeft(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Domain-mixture resampling: down-sample each domain toward a target
+    * corpus composition — the "data mixing" step of LLM pre-training
+    * (e.g. cap web crawl at x%, keep all of the rare high-quality domain).
+    *
+    * Per domain, quota = floor(weight × targetSize) (missing weight ⇒ the
+    * uniform share of the residual mass), and the kept rows are the quota
+    * lowest by (md5(id), id) — a deterministic uniform draw, cluster-size
+    * invariant, reproducible in any engine with md5. The rank window is
+    * PARTITIONED by domain (never global), so the shuffle is one exchange
+    * keyed on the domain column; skew is bounded by the largest domain,
+    * which salting handles if one domain dominates ([[graft.scale.Skew]]).
+    *
+    * Returns the kept rows with their domain rank (callers aggregate or
+    * write). Exact-size guarantee: output per domain = min(quota, n_domain).
+    */
+  def domainMix(
+      df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], targetSize: Long): DataFrame = {
+    val known = weights.values.sum
+    require(known <= 1.0 + 1e-9, s"weights sum over 1: $known")
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, w)) =>
+        when(col(domainCol) === dom, lit(w)).otherwise(acc)
+    }
+    val byDomain = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    // residual mass shared uniformly over unweighted domains, counted from
+    // a single-row distinct-count aggregate (broadcast back over the scan)
+    val nUnweighted = df
+      .agg((count_distinct(col(domainCol)) - lit(weights.size.toLong))
+        .as("n_unw"))
+    df.crossJoin(broadcast(nUnweighted))
+      .withColumn("__w",
+        coalesce(wExpr,
+          lit(math.max(0.0, 1.0 - known)) /
+            greatest(col("n_unw").cast("double"), lit(1.0))))
+      .withColumn("__quota",
+        floor(col("__w") * lit(targetSize.toDouble)).cast("long"))
+      .withColumn("__rank", row_number().over(byDomain).cast("long"))
+      .filter(col("__rank") <= col("__quota"))
+      .drop("n_unw", "__w")
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

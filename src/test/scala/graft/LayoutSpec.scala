@@ -61,4 +61,46 @@ class LayoutSpec extends SparkSpec {
       docs.select("lang").distinct().count())
     assert(back.count() === docs.count())
   }
+
+  test("zValue expression matches the reference interleave") {
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1023L, 1023L),
+      (513L, 257L), (640L, 85L)).toDF("x", "y")
+    val got = pts.select($"x", $"y",
+        graft.io.ZOrder.zValue($"x", $"y", 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (x, y, z) =>
+      assert(z === graft.io.ZOrder.zValueRef(x, y, 10), s"($x,$y)")
+    }
+    // the two axes map to disjoint bit positions
+    assert(graft.io.ZOrder.zValueRef(1023L, 0L, 10) === 0x55555L)
+    assert(graft.io.ZOrder.zValueRef(0L, 1023L, 10) === 0xAAAAAL)
+  }
+
+  test("z-order files bound BOTH dimension envelopes; a 1-D sort cannot") {
+    // uniform 1024x1024 grid sample via orders keys
+    val orders = Tables.load(spark, sf, "orders")
+      .select((col("o_orderkey") % 1024).as("x"),
+        ((col("o_orderkey") * 37 + 11) % 1024).as("y"))
+    val stats = graft.io.ZOrder.fileStats(orders, col("x"), col("y"), 10, 4)
+      .collect()
+    assert(stats.length <= 16)
+    // prefix of 4 z-bits fixes 2 high bits of each dim -> span < 1024/4
+    stats.foreach { r =>
+      val (fid, xs, ys) = (r.getLong(0),
+        r.getAs[Long]("max_x") - r.getAs[Long]("min_x"),
+        r.getAs[Long]("max_y") - r.getAs[Long]("min_y"))
+      assert(xs < 256 && ys < 256, s"file $fid spans x=$xs y=$ys")
+    }
+  }
+
+  test("writeZOrdered round-trips all rows") {
+    val dir = Files.createTempDirectory("graft_layout").toString + "/zorders"
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("x", col("o_custkey") % 1024)
+      .withColumn("y", col("o_orderkey") % 1024)
+    graft.io.ZOrder.writeZOrdered(orders, "x", "y", 10, 8, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() === orders.count())
+    assert(!back.columns.contains("__z"))
+  }
 }

@@ -378,6 +378,68 @@ class ScaleSpec extends SparkSpec {
       (2L, 1L, "only three tokens")))
   }
 
+  test("rollingAnomaly flags a spike against its trailing window, not the flat past") {
+    // seconds → one event per day; alternating 10/12 gives the window a
+    // nonzero variance (a perfectly constant history has var=0 ⇒ z null)
+    val rows = ((0 to 7).map(d => (d.toLong * 86400L, if (d % 2 == 0) 10.0 else 12.0)) :+
+      (8L * 86400L, 100.0))
+    val ev = rows.zipWithIndex.map { case ((sec, v), i) =>
+      (i.toLong, sec * 1000000000L, 1L, "a", v, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Events.rollingAnomaly(ev, 7, 2.0)
+      .orderBy($"day")
+      .select($"day", $"is_anomaly").as[(Long, Boolean)].collect().toSeq
+    assert(got.last == (8L, true), s"spike not flagged: $got")
+    assert(got.init.forall(!_._2), s"false positives: $got")
+  }
+
+  test("scd2 builds validity intervals; last write wins within a day") {
+    val changes = Seq(
+      (1L, 1L, 10L, "a"),   // key 1, day 1, seq 10
+      (1L, 1L, 20L, "b"),   // same day, higher seq -> wins
+      (1L, 5L, 30L, "c"),
+      (2L, 3L, 40L, "x")
+    ).toDF("k", "day", "seq", "attr")
+    val got = Events.scd2(changes, "k", "day", "seq", Seq("attr"))
+      .orderBy($"k", $"version")
+      .select($"k", $"version", $"valid_from", $"valid_to", $"is_current", $"attr")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getBoolean(4), r.getString(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, Some(5L), false, "b"),
+      (1L, 2L, 5L, None, true, "c"),
+      (2L, 1L, 3L, None, true, "x")))
+  }
+
+  test("domainMix: quotas honored, short domains capped at availability") {
+    val d = (Seq.tabulate(2)(i => (i.toLong, "A")) ++
+      Seq.tabulate(5)(i => (10L + i, "B")) ++
+      Seq.tabulate(1)(i => (20L + i, "C"))).toDF("doc_id", "source")
+    // target 8: A quota 4 (only 2 present), residual 0.5/2 -> 2 each for B, C
+    val kept = TextAnalysis.domainMix(d, "source", "doc_id",
+      Map("A" -> 0.5), 8L)
+    val bySrc = kept.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc == Map("A" -> 2L, "B" -> 2L, "C" -> 1L))
+    // deterministic: same draw on re-run
+    val again = TextAnalysis.domainMix(d, "source", "doc_id",
+      Map("A" -> 0.5), 8L).select("doc_id").as[Long].collect().sorted.toSeq
+    assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("bm25TopK ranks higher tf and shorter docs first; non-matches dropped") {
+    val d = Seq(
+      (1L, "spark spark engine"),            // tf=2, short
+      (2L, "spark engine row column value"), // tf=1, longer
+      (3L, "no match here at all"),
+      (4L, "spark spark engine")             // tie with doc 1 -> id tiebreak
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(d, "doc_id", "text", Seq("spark"), 10)
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L), s"unexpected ranking: $got")
+  }
+
   test("rarityTopTerms: rank-1 term is the rarest-weighted, k respected") {
     val d = Seq(
       (1L, "alpha alpha shared"),
