@@ -1228,6 +1228,44 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("join", "vector", "stream"), 20)),
 
+    // ---- quality-proportional (weighted Bernoulli) corpus sampling ---------
+    "weighted_sample_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      val mx = d.agg(max(col("n_tokens")).as("max_tokens"))
+      val withW = d.crossJoin(broadcast(mx))
+        .withColumn("w",
+          col("n_tokens").cast("double") / col("max_tokens"))
+      Samplers.weightedBernoulli(withW, "doc_id", "w")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_tokens")).as("sum_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- snapshot diff: added/deleted/changed/unchanged between versions ---
+    "snapshot_diff_orders" -> ((s, dir) => {
+      val snapA = t(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val snapB = snapA.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 500.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(snapA.filter(col("o_orderkey") % 11 === 0)
+          .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            col("o_totalprice")))
+      Joins.snapshotDiff(snapA, snapB, Seq("o_orderkey"), Seq("o_totalprice"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(abs(coalesce(col("new_o_totalprice"), lit(0.0)) -
+            coalesce(col("old_o_totalprice"), lit(0.0)))).as("sum_abs_delta"))
+        .orderBy(col("status"))
+    }),
+
+    // ---- SQ8 embedding compression: per-dimension codes + error -----------
+    "sq8_embeddings" -> ((s, dir) =>
+      Similarity.sq8Stats(t(s, dir, "embeddings"), "vec_id", "embedding")
+        .orderBy(col("pos"))),
+
     // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
     "streaming_dedup_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -2651,6 +2689,74 @@ object SparkEntry {
         |FROM r JOIN q ON r.source = q.source
         |WHERE r.rnk <= q.quota
         |GROUP BY r.source ORDER BY r.source""".stripMargin,
+
+    "weighted_sample_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |m AS (SELECT MAX(n_tokens) AS max_tokens FROM d),
+        |k AS (
+        |  SELECT source, n_tokens FROM d, m
+        |  WHERE CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) AS DOUBLE) / 4294967296.0
+        |    < CAST(n_tokens AS DOUBLE) / max_tokens)
+        |SELECT source, COUNT(*) AS n_kept,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+
+    "snapshot_diff_orders" ->
+      """WITH a AS (SELECT o_orderkey, o_totalprice FROM orders),
+        |b AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+        |      ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, o_totalprice FROM orders
+        |  WHERE o_orderkey % 11 = 0),
+        |j AS (
+        |  SELECT a.o_orderkey AS ak, b.o_orderkey AS bk,
+        |    a.o_totalprice AS oldp, b.o_totalprice AS newp
+        |  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey),
+        |c AS (
+        |  SELECT CASE WHEN bk IS NULL THEN 'deleted'
+        |    WHEN ak IS NULL THEN 'added'
+        |    WHEN oldp IS DISTINCT FROM newp THEN 'changed'
+        |    ELSE 'unchanged' END AS status,
+        |    ABS(COALESCE(newp, 0.0) - COALESCE(oldp, 0.0)) AS delta
+        |  FROM j)
+        |SELECT status, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(delta AS DECIMAL(18,2))) AS DOUBLE) AS sum_abs_delta
+        |FROM c GROUP BY status ORDER BY status""".stripMargin,
+
+    "sq8_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT CAST(i - 1 AS INT) AS pos, v[i] AS xq
+        |  FROM qv, UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |r AS (SELECT pos, MIN(xq) AS minq, MAX(xq) AS maxq FROM e GROUP BY pos),
+        |c AS (
+        |  SELECT e.pos, e.xq, r.minq, r.maxq,
+        |    CASE WHEN r.maxq > r.minq
+        |      THEN ((e.xq - r.minq) * 255) // (r.maxq - r.minq)
+        |      ELSE 0 END AS code
+        |  FROM e JOIN r ON e.pos = r.pos),
+        |x AS (
+        |  SELECT pos, minq, maxq,
+        |    CASE WHEN maxq > minq
+        |      THEN ABS(510 * (xq - minq) - (2 * code + 1) * (maxq - minq))
+        |      ELSE 0 END AS err_num
+        |  FROM c)
+        |SELECT pos, COUNT(*) AS n, MAX(minq) AS minq, MAX(maxq) AS maxq,
+        |  CAST(SUM(err_num) AS BIGINT) AS sum_err_num,
+        |  ROUND(CAST(CAST(SUM(err_num) AS BIGINT) AS DOUBLE) /
+        |    (CAST(COUNT(*) AS DOUBLE) * CAST(510.0 AS DOUBLE)), 6) AS avg_err
+        |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
 
     "bm25_search_docs" ->
       """WITH tok AS (

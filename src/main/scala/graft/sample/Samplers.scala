@@ -299,4 +299,23 @@ object Samplers {
       (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
         16, 10).cast("long") % k).cast("int"))
   }
+
+  /** Per-row uniform draw in [0, 1): the first 32 bits of md5(key) as a
+    * dyadic rational k/2^32 — exactly representable, engine-portable.
+    */
+  def uniformDraw(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long").cast("double") / lit(4294967296.0)
+
+  /** Weighted Bernoulli sampling: keep each row with probability equal to
+    * its weight column (importance / quality-proportional sampling — the
+    * "sample high-quality documents more often" step of corpus curation).
+    *
+    * Pure projection + filter: no shuffle, no rand; the draw is a
+    * deterministic function of the row's key, so the SAME rows survive on
+    * any cluster size, any partitioning, any re-run — and a weight of 1
+    * always keeps the row, 0 never does (the draw is strictly < 1).
+    */
+  def weightedBernoulli(df: DataFrame, keyCol: String, weightCol: String): DataFrame =
+    df.filter(uniformDraw(col(keyCol)) < col(weightCol))
 }

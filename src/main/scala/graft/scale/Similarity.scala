@@ -259,4 +259,44 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
+
+  /** SQ8 scalar quantization of the embedding corpus: per-dimension
+    * [min, max] ranges, 8-bit codes, and the resulting reconstruction
+    * error — the standard 4× memory compression that makes a 100 TB vector
+    * corpus fit its serving tier (each float32 → one byte + a shared
+    * per-dimension range pair).
+    *
+    * Shape: one posexplode + a tiny per-dimension min/max agg broadcast
+    * back over the scan — two jobs, no pair-wise work, linear at any corpus
+    * size.
+    *
+    * Determinism: inputs quantize to integers (round(x·1000), the module
+    * convention), codes come from INTEGER division, and the reconstruction
+    * error is carried as the exact integer numerator of
+    * |xq − (minq + (2·code+1)·(maxq−minq)/510)| (scaled by 510) — the only
+    * double step is the final ratio, rounded to 6.
+    */
+  def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val q = embeddings.select(col(idCol),
+      posexplode(quantize(col(vecCol))).as(Seq("pos", "xq")))
+    val ranges = q.groupBy(col("pos"))
+      .agg(min(col("xq")).as("minq"), max(col("xq")).as("maxq"))
+    q.join(broadcast(ranges), Seq("pos"))
+      .withColumn("code",
+        when(col("maxq") > col("minq"),
+          expr("((xq - minq) * 255) DIV (maxq - minq)")).otherwise(0L))
+      .withColumn("err_num",
+        when(col("maxq") > col("minq"),
+          abs(lit(510L) * (col("xq") - col("minq")) -
+            (lit(2L) * col("code") + lit(1L)) * (col("maxq") - col("minq"))))
+          .otherwise(0L))
+      .groupBy(col("pos"))
+      .agg(
+        count(lit(1)).as("n"),
+        max(col("minq")).as("minq"),
+        max(col("maxq")).as("maxq"),
+        sum(col("err_num")).as("sum_err_num"),
+        round(sum(col("err_num")).cast("double") /
+          (count(lit(1)).cast("double") * lit(510.0)), 6).as("avg_err"))
+  }
 }

@@ -49,4 +49,22 @@ class JoinsSpec extends SparkSpec {
     val got = out.select("iv", "pt").as[(String, Long)].collect().toSet
     assert(got === Set(("x", 100L), ("x", 125L), ("x", 129L), ("y", 125L)))
   }
+
+  test("snapshotDiff classifies added/deleted/changed/unchanged") {
+    val a = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+    val b = Seq((2L, 25.0), (3L, 30.0), (4L, 40.0)).toDF("k", "v")
+    val got = Joins.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "deleted", 2L -> "changed",
+      3L -> "unchanged", 4L -> "added"))
+  }
+
+  test("snapshotDiff null-safe compare: null -> value is changed, null -> null is not") {
+    val a = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
+      .toDF("k", "v")
+    val b = Seq((1L, Some(5.0)), (2L, Option.empty[Double])).toDF("k", "v")
+    val got = Joins.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .select("k", "status").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "changed", 2L -> "unchanged"))
+  }
 }

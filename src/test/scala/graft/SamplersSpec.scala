@@ -146,4 +146,24 @@ class SamplersSpec extends SparkSpec {
     val aSorted = a.orderBy("id").select("fold").as[Int].collect().toSeq
     assert(aSorted == b)
   }
+
+  test("weightedBernoulli: w=1 keeps all, w=0 keeps none, deterministic, monotone-ish") {
+    val df = (1L to 400L).toDF("id")
+    val all = Samplers.weightedBernoulli(df.withColumn("w", lit(1.0)), "id", "w")
+    assert(all.count() === 400L)
+    val none = Samplers.weightedBernoulli(df.withColumn("w", lit(0.0)), "id", "w")
+    assert(none.count() === 0L)
+    val half = Samplers.weightedBernoulli(df.withColumn("w", lit(0.5)), "id", "w")
+    val n = half.count()
+    assert(n > 120 && n < 280, s"half-weight keep count off: $n")
+    // deterministic under repartitioning
+    val again = Samplers.weightedBernoulli(
+      df.repartition(7).withColumn("w", lit(0.5)), "id", "w")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(again === half.select("id").as[Long].collect().sorted.toSeq)
+    // a kept row at weight w stays kept at any w' >= w (same draw)
+    val q = Samplers.weightedBernoulli(df.withColumn("w", lit(0.25)), "id", "w")
+      .select("id").as[Long].collect().toSet
+    assert(q.subsetOf(half.select("id").as[Long].collect().toSet))
+  }
 }

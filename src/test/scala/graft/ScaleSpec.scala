@@ -378,6 +378,29 @@ class ScaleSpec extends SparkSpec {
       (2L, 1L, "only three tokens")))
   }
 
+  test("sq8Stats: codes in [0,255], exact error bound, constant dims harmless") {
+    val vecs = Seq(
+      (1L, Seq(0.0f, 7.5f, 1.0f)),
+      (2L, Seq(1.0f, 7.5f, 2.0f)),
+      (3L, Seq(0.5f, 7.5f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.sq8Stats(vecs, "vec_id", "embedding")
+      .orderBy($"pos").collect()
+    assert(got.length == 3)
+    // dim 1 is constant: zero range, zero error, no div-by-zero
+    val d1 = got(1)
+    assert(d1.getAs[Long]("minq") == 7500L && d1.getAs[Long]("maxq") == 7500L)
+    assert(d1.getAs[Long]("sum_err_num") == 0L)
+    // per-value reconstruction error is at most half a code cell:
+    // err_num <= (maxq - minq) ⇒ avg_err <= range/510
+    got.foreach { r =>
+      val range = r.getAs[Long]("maxq") - r.getAs[Long]("minq")
+      assert(r.getAs[Long]("sum_err_num") <= range * r.getAs[Long]("n"))
+      // avg_err is rounded to 6 decimals — allow the half-ulp of that
+      assert(r.getAs[Double]("avg_err") <= range / 510.0 + 5e-7)
+    }
+  }
+
   test("rollingAnomaly flags a spike against its trailing window, not the flat past") {
     // seconds → one event per day; alternating 10/12 gives the window a
     // nonzero variance (a perfectly constant history has var=0 ⇒ z null)
