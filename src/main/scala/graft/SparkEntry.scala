@@ -1266,6 +1266,59 @@ object SparkEntry {
       Similarity.sq8Stats(t(s, dir, "embeddings"), "vec_id", "embedding")
         .orderBy(col("pos"))),
 
+    // ---- product-quantization codes: per-subspace codebook assignment ------
+    "pq_codes_embeddings" -> ((s, dir) =>
+      Similarity.pqAssign(t(s, dir, "embeddings"), "vec_id", "embedding", 4, 4)
+        .orderBy(col("sub"), col("code"))),
+
+    // ---- group-wise top-n: longest documents per language ------------------
+    "topn_per_group_docs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          row_number().over(w).cast("long").as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("lang"), col("rn"))
+    }),
+
+    // ---- percentile-threshold quality gate: keep docs above corpus p75 -----
+    "quality_threshold_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val thr = d.agg(expr("percentile(n_chars, 0.75D)").as("thr"))
+      d.crossJoin(broadcast(thr))
+        .filter(col("n_chars").cast("double") >= col("thr"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("n_chars")).as("min_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- stream-stream interval join in the CHECKED surface ----------------
+    "streaming_join_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      def sideStream(etype: String, userAs: String, tsAs: String) = {
+        val st = s.readStream.schema(batch.schema)
+          .parquet(s"$dir/events*.parquet")
+        st.filter(col("event_type") === etype)
+          .withColumn(tsAs, Events.tsAsTimestamp(st))
+          .withWatermark(tsAs, "2 hours")
+          .select(col("user_id").as(userAs), col(tsAs))
+      }
+      val clicks = sideStream("click", "c_user", "c_ts")
+      val purchases = sideStream("purchase", "p_user", "p_ts")
+      val joined = purchases.join(clicks,
+        expr("c_user = p_user AND " +
+          "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+      val name = "stream_join_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.runToMemory(s, joined, name)
+        .withColumn("day", expr("CAST(p_ts AS LONG) DIV 86400"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_user")).as("n_users"))
+        .orderBy(col("day"))
+    }),
+
     // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
     "streaming_dedup_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -2757,6 +2810,59 @@ object SparkEntry {
         |  ROUND(CAST(CAST(SUM(err_num) AS BIGINT) AS DOUBLE) /
         |    (CAST(COUNT(*) AS DOUBLE) * CAST(510.0 AS DOUBLE)), 6) AS avg_err
         |FROM x GROUP BY pos ORDER BY pos""".stripMargin,
+
+    "pq_codes_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |subs AS (
+        |  SELECT vec_id, CAST(s AS INT) AS sub,
+        |    v[(s*16+1):(s*16+16)] AS sv
+        |  FROM qv, UNNEST(range(0, 4)) AS t(s)),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, sub, sv AS cv FROM subs WHERE vec_id < 4),
+        |d AS (
+        |  SELECT a.vec_id, a.sub, c.cent_id,
+        |    (SELECT SUM((a.sv[i] - c.cv[i]) * (a.sv[i] - c.cv[i]))
+        |     FROM UNNEST(range(1, len(a.sv) + 1)) AS u(i)) AS d2
+        |  FROM subs a JOIN cents c ON a.sub = c.sub),
+        |r AS (
+        |  SELECT vec_id, sub, cent_id, d2,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+        |      ORDER BY d2, cent_id) AS rk
+        |  FROM d)
+        |SELECT sub, cent_id AS code, COUNT(*) AS n,
+        |  ROUND(CAST(CAST(SUM(d2) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS avg_d2
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "topn_per_group_docs" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rn FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
+
+    "quality_threshold_docs" ->
+      """WITH t AS (SELECT quantile_cont(n_chars, 0.75) AS thr FROM documents)
+        |SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_chars
+        |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= thr
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "streaming_join_events" ->
+      """WITH c AS (
+        |  SELECT user_id, epoch_us(ts) AS cus FROM events
+        |  WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) AS pus FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT pus // 1000000 // 86400 AS day, COUNT(*) AS n_pairs,
+        |  COUNT(DISTINCT p.user_id) AS n_users
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "bm25_search_docs" ->
       """WITH tok AS (

@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Vector similarity search over embedding columns (ARRAY<FLOAT>).
@@ -276,6 +277,49 @@ object Similarity {
     * |xq − (minq + (2·code+1)·(maxq−minq)/510)| (scaled by 510) — the only
     * double step is the final ratio, rounded to 6.
     */
+  /** Product-quantization (PQ) code assignment: split each embedding into
+    * `m` contiguous subspaces and encode every subvector as the id of its
+    * nearest codebook centroid — the memory layout (m bytes per vector)
+    * behind billion-scale ANN indexes, complementing [[sq8Stats]] (SQ8
+    * compresses per dimension; PQ per subspace).
+    *
+    * The codebook here is the deterministic convention the k-means query
+    * family uses: the subvectors of the first `k` ids (a trained codebook
+    * drops in via the same DataFrame shape — [[kmeansCentroids]] per
+    * subspace). Distances are exact integer L2² on quantized vectors via
+    * the native codegen kernel; the argmin tiebreak is (d2, centroid id).
+    *
+    * Shape: one subspace explode (m rows per vector) + one broadcast join
+    * against the m·k codebook + one keyed min — linear in corpus size, no
+    * pair shuffle. Emits per (subspace, code): population and mean L2²
+    * distortion (exact-integer sum, one rounded double).
+    */
+  def pqAssign(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      m: Int, k: Int): DataFrame = {
+    val dims = 64
+    require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
+    val sub = dims / m
+    def subspaces(df: DataFrame, outId: String): DataFrame =
+      df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
+        .select(col(outId), explode(sequence(lit(0), lit(m - 1))).as("sub"),
+          col("v"))
+        .select(col(outId), col("sub"),
+          slice(col("v"), col("sub") * sub + 1, lit(sub)).as("sv"))
+    val vecs = subspaces(embeddings, "vec_id_")
+    val cents = subspaces(embeddings.filter(col(idCol) < k), "cent_id")
+      .withColumnRenamed("sv", "cv")
+    val byVecSub = Window.partitionBy(col("vec_id_"), col("sub"))
+      .orderBy(col("d2"), col("cent_id"))
+    vecs.join(broadcast(cents), Seq("sub"))
+      .withColumn("d2", l2Sq(col("sv"), col("cv")))
+      .withColumn("rk", row_number().over(byVecSub))
+      .filter(col("rk") === 1)
+      .groupBy(col("sub"), col("cent_id").as("code"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
+  }
+
   def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embeddings.select(col(idCol),
       posexplode(quantize(col(vecCol))).as(Seq("pos", "xq")))

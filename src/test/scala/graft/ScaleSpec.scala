@@ -378,6 +378,22 @@ class ScaleSpec extends SparkSpec {
       (2L, 1L, "only three tokens")))
   }
 
+  test("pqAssign: near-copies of codebook vectors get that codebook's code in every subspace") {
+    // ids 0..3 are the codebook; ids 4..7 are jittered copies of id-4
+    val base = (0 until 4).map(c =>
+      Array.tabulate(64)(j => (c * 10 + j % 3).toFloat))
+    val rows = (0 until 4).map(c => (c.toLong, base(c).toSeq)) ++
+      (0 until 4).map(c => ((c + 4).toLong,
+        base(c).map(_ + 0.1f).toSeq))
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Similarity.pqAssign(df, "vec_id", "embedding", 4, 4)
+      .orderBy($"sub", $"code").collect()
+    // every (sub, code) cell holds exactly 2 vectors: the centroid + its copy
+    assert(got.length == 16)
+    got.foreach(r => assert(r.getAs[Long]("n") == 2L,
+      s"sub=${r.get(0)} code=${r.get(1)} n=${r.getAs[Long]("n")}"))
+  }
+
   test("sq8Stats: codes in [0,255], exact error bound, constant dims harmless") {
     val vecs = Seq(
       (1L, Seq(0.0f, 7.5f, 1.0f)),
