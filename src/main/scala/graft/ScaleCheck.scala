@@ -4,8 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.io.Tables
+import graft.plans.Joins
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, TextAnalysis}
+import graft.scale.{Dedup, Events, Similarity, TextAnalysis}
 
 /** Scaling sanity harness: times the shuffle-heavy operators at 1× and N×
   * the sf0.1 corpus (N× = union with key-shifted copies, so dup/cluster
@@ -55,6 +56,8 @@ object ScaleCheck {
     val docs = Tables.load(spark, sfDir, "documents")
     val events = Tables.load(spark, sfDir, "events")
     val lineitem = Tables.load(spark, sfDir, "lineitem")
+    val orders = Tables.load(spark, sfDir, "orders")
+    val embeddings = Tables.load(spark, sfDir, "embeddings")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -92,7 +95,37 @@ object ScaleCheck {
         (d: DataFrame) => Samplers.globalRowNumber(
           d.select("l_orderkey", "l_linenumber", "__copy"),
           Seq("l_orderkey", "l_linenumber", "__copy")),
-        lineitem.withColumn("__copy", lit(0L)), "__copy", None))
+        lineitem.withColumn("__copy", lit(0L)), "__copy", None),
+      ("snapshot_diff",
+        (d: DataFrame) => {
+          val a = d.select(col("o_orderkey"), col("o_totalprice"))
+          val b = a.filter(col("o_orderkey") % 7 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 500.0)
+                .otherwise(col("o_totalprice")))
+          Joins.snapshotDiff(a, b, Seq("o_orderkey"), Seq("o_totalprice"))
+            .groupBy(col("status")).agg(count(lit(1)).as("n"))
+        },
+        orders, "o_orderkey", None),
+      ("sq8_stats",
+        (d: DataFrame) => Similarity.sq8Stats(d, "vec_id", "embedding"),
+        embeddings, "vec_id", None),
+      ("pq_codes",
+        // codebook = ids < 4, present only in copy 0 → constant-size
+        // broadcast however large the corpus
+        (d: DataFrame) => Similarity.pqAssign(d, "vec_id", "embedding", 4, 4),
+        embeddings, "vec_id", None),
+      ("domain_mix",
+        (d: DataFrame) => TextAnalysis.domainMix(d, "source", "doc_id",
+          Map("src0" -> 0.25, "src1" -> 0.125), 400L)
+          .groupBy(col("source")).agg(count(lit(1)).as("n")),
+        docs, "doc_id", None),
+      ("zorder_stats",
+        (d: DataFrame) => graft.io.ZOrder.fileStats(
+          d.withColumn("x", col("o_custkey") % 1024)
+            .withColumn("y", col("o_orderkey") % 1024),
+          col("x"), col("y"), 10, 4),
+        orders, "o_orderkey", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))
