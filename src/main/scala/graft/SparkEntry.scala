@@ -2705,7 +2705,7 @@ object SparkEntry {
         |      CAST(day_value AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER f AS s2
         |  FROM daily
         |  WINDOW f AS (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |    RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)),
         |v AS (
         |  SELECT event_type, day, day_value,
         |    CAST(s1 AS DOUBLE) / n AS mean,
@@ -2727,7 +2727,8 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY source
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
         |  FROM documents),
-        |u AS (SELECT COUNT(DISTINCT source) - 2 AS n_unw FROM documents),
+        |u AS (SELECT COUNT(DISTINCT CASE WHEN source NOT IN ('src0', 'src1')
+        |  THEN source END) AS n_unw FROM documents),
         |q AS (
         |  SELECT source,
         |    CASE WHEN source = 'src0'

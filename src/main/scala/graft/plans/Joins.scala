@@ -130,18 +130,21 @@ object Joins {
       newSnap: DataFrame,
       keys: Seq[String],
       compareCols: Seq[String]): DataFrame = {
-    val a = oldSnap.select((keys ++ compareCols).map(col): _*).alias("a")
-    val b = newSnap.select((keys ++ compareCols).map(col): _*).alias("b")
+    // explicit presence markers, not key nullness: a row whose KEY COLUMN
+    // is genuinely null would otherwise always classify as the other
+    // side's absence (null keys never equi-match, so they surface one-sided)
+    val a = oldSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__a_present", lit(true)).alias("a")
+    val b = newSnap.select((keys ++ compareCols).map(col): _*)
+      .withColumn("__b_present", lit(true)).alias("b")
     val cond = keys.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _)
     val changed = compareCols
       .map(c => !(col(s"a.$c") <=> col(s"b.$c")))
       .foldLeft(lit(false))(_ || _)
-    val aKey = col(s"a.${keys.head}")
-    val bKey = col(s"b.${keys.head}")
     a.join(b, cond, "full_outer")
       .withColumn("status",
-        when(bKey.isNull, "deleted")
-          .when(aKey.isNull, "added")
+        when(col("a.__a_present").isNull, "added")
+          .when(col("b.__b_present").isNull, "deleted")
           .when(changed, "changed")
           .otherwise("unchanged"))
       .select((keys.map(k => coalesce(col(s"a.$k"), col(s"b.$k")).as(k)) :+

@@ -293,19 +293,24 @@ object Samplers {
     * always lands in the same fold on any cluster size). md5 (not `hash`)
     * so the oracle engine reproduces fold identity exactly.
     */
+  /** The deterministic-draw convention shared by the hash-based family:
+    * the first 32 bits of md5(key) as a long in [0, 2^32) — reproducible
+    * in any engine with md5, invariant to partitioning and cluster size.
+    */
+  def hashDraw32(keyCol: Column): Column =
+    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+
   def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, "k-fold requires k > 0")
-    df.withColumn("fold",
-      (conv(substring(md5(col(keyCol).cast("string").cast("binary")), 1, 8),
-        16, 10).cast("long") % k).cast("int"))
+    df.withColumn("fold", (hashDraw32(col(keyCol)) % k).cast("int"))
   }
 
-  /** Per-row uniform draw in [0, 1): the first 32 bits of md5(key) as a
-    * dyadic rational k/2^32 — exactly representable, engine-portable.
+  /** Per-row uniform draw in [0, 1): [[hashDraw32]] as a dyadic rational
+    * k/2^32 — exactly representable, engine-portable.
     */
   def uniformDraw(keyCol: Column): Column =
-    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long").cast("double") / lit(4294967296.0)
+    hashDraw32(keyCol).cast("double") / lit(4294967296.0)
 
   /** Weighted Bernoulli sampling: keep each row with probability equal to
     * its weight column (importance / quality-proportional sampling — the

@@ -199,8 +199,10 @@ object Events {
       .withColumn("day", expr("__sec DIV 86400"))
       .groupBy(col("event_type"), col("day"))
       .agg(sum(col("value").cast("decimal(18,2)")).as("day_value"))
+    // RANGE (value-based) frame, not ROWS: on a gappy series a ROWS frame
+    // would stretch "the trailing week" over arbitrarily old observations
     val frame = Window.partitionBy(col("event_type")).orderBy(col("day"))
-      .rowsBetween(-lookback, -1)
+      .rangeBetween(-lookback, -1)
     val withStats = daily
       .withColumn("n", count(col("day_value")).over(frame))
       .withColumn("s1", sum(col("day_value")).over(frame))
@@ -239,8 +241,10 @@ object Events {
     */
   def scd2(changes: DataFrame, keyCol: String, dayCol: String,
       seqCol: String, attrCols: Seq[String]): DataFrame = {
+    // attr columns as trailing tiebreakers: ties on (key, day, seq) must
+    // still pick a partitioning-invariant winner (determinism contract)
     val byKeyDay = Window.partitionBy(col(keyCol), col(dayCol))
-      .orderBy(col(seqCol).desc)
+      .orderBy((col(seqCol).desc +: attrCols.map(c => col(c).desc)): _*)
     val latestPerDay = changes
       .withColumn("__rn", row_number().over(byKeyDay))
       .filter(col("__rn") === 1)

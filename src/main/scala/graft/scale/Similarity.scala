@@ -261,22 +261,6 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
-  /** SQ8 scalar quantization of the embedding corpus: per-dimension
-    * [min, max] ranges, 8-bit codes, and the resulting reconstruction
-    * error — the standard 4× memory compression that makes a 100 TB vector
-    * corpus fit its serving tier (each float32 → one byte + a shared
-    * per-dimension range pair).
-    *
-    * Shape: one posexplode + a tiny per-dimension min/max agg broadcast
-    * back over the scan — two jobs, no pair-wise work, linear at any corpus
-    * size.
-    *
-    * Determinism: inputs quantize to integers (round(x·1000), the module
-    * convention), codes come from INTEGER division, and the reconstruction
-    * error is carried as the exact integer numerator of
-    * |xq − (minq + (2·code+1)·(maxq−minq)/510)| (scaled by 510) — the only
-    * double step is the final ratio, rounded to 6.
-    */
   /** Product-quantization (PQ) code assignment: split each embedding into
     * `m` contiguous subspaces and encode every subvector as the id of its
     * nearest codebook centroid — the memory layout (m bytes per vector)
@@ -296,12 +280,19 @@ object Similarity {
     */
   def pqAssign(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int, k: Int): DataFrame = {
-    val dims = 64
+      m: Int, k: Int, dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
     val sub = dims / m
     def subspaces(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))
+        // fail fast on ragged/short vectors: out-of-range slices would
+        // otherwise yield empty subvectors (l2Sq = 0 for every centroid)
+        // and silently assign code 0
+        .withColumn("v",
+          when(size(col("v")) === dims, col("v"))
+            .otherwise(raise_error(concat(
+              lit(s"pqAssign: expected $dims-dim vector, got "),
+              size(col("v")).cast("string")))))
         .select(col(outId), explode(sequence(lit(0), lit(m - 1))).as("sub"),
           col("v"))
         .select(col(outId), col("sub"),
@@ -320,6 +311,22 @@ object Similarity {
         round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
   }
 
+  /** SQ8 scalar quantization of the embedding corpus: per-dimension
+    * [min, max] ranges, 8-bit codes, and the resulting reconstruction
+    * error — the standard 4× memory compression that makes a 100 TB vector
+    * corpus fit its serving tier (each float32 → one byte + a shared
+    * per-dimension range pair).
+    *
+    * Shape: one posexplode + a tiny per-dimension min/max agg broadcast
+    * back over the scan — two jobs, no pair-wise work, linear at any corpus
+    * size.
+    *
+    * Determinism: inputs quantize to integers (round(x·1000), the module
+    * convention), codes come from INTEGER division, and the reconstruction
+    * error is carried as the exact integer numerator of
+    * |xq − (minq + (2·code+1)·(maxq−minq)/510)| (scaled by 510) — the only
+    * double step is the final ratio, rounded to 6.
+    */
   def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embeddings.select(col(idCol),
       posexplode(quantize(col(vecCol))).as(Seq("pos", "xq")))

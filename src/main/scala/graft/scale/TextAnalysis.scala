@@ -372,9 +372,12 @@ object TextAnalysis {
     val byDomain = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
     // residual mass shared uniformly over unweighted domains, counted from
-    // a single-row distinct-count aggregate (broadcast back over the scan)
+    // a single-row distinct-count aggregate (broadcast back over the scan);
+    // count domains NOT in the weight map, not |domains|−|weights| — a
+    // weighted domain absent from the data must not shift residual shares
     val nUnweighted = df
-      .agg((count_distinct(col(domainCol)) - lit(weights.size.toLong))
+      .agg(count_distinct(
+        when(!col(domainCol).isin(weights.keys.toSeq: _*), col(domainCol)))
         .as("n_unw"))
     df.crossJoin(broadcast(nUnweighted))
       .withColumn("__w",

@@ -59,6 +59,17 @@ class JoinsSpec extends SparkSpec {
       3L -> "unchanged", 4L -> "added"))
   }
 
+  test("snapshotDiff: a null-keyed row counts as present on its own side") {
+    // null keys never equi-match, so each side's null-key rows surface
+    // one-sided; presence must come from side markers, not key nullness
+    val a = Seq((Some(1L), 10.0), (Option.empty[Long], 99.0)).toDF("k", "v")
+    val b = Seq((Some(1L), 10.0), (Option.empty[Long], 77.0)).toDF("k", "v")
+    val got = Joins.snapshotDiff(a, b, Seq("k"), Seq("v"))
+      .select("status").as[String].collect().sorted.toSeq
+    // unchanged (k=1), deleted (a's null-key row), added (b's null-key row)
+    assert(got === Seq("added", "deleted", "unchanged"))
+  }
+
   test("snapshotDiff null-safe compare: null -> value is changed, null -> null is not") {
     val a = Seq((1L, Option.empty[Double]), (2L, Option.empty[Double]))
       .toDF("k", "v")
