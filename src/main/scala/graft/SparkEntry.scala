@@ -1293,6 +1293,24 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- last-touch attribution: purchase revenue to latest prior click ----
+    "attribution_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          expr("ts DIV 1000").as("pts"), col("value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), expr("ts DIV 1000").as("cts"),
+          (get_json_object(col("props"), "$.k").cast("long") % 5)
+            .as("campaign"))
+      Joins.asOfJoin(purchases, clicks, "user_id", "user_id",
+          col("pts"), col("cts"), Seq("campaign"))
+        .groupBy(col("asof_campaign"))
+        .agg(count(lit(1)).as("n_purchases"),
+          dsum(col("value")).as("attributed_revenue"))
+        .orderBy(col("asof_campaign"))
+    }),
+
     // ---- stream-stream interval join in the CHECKED surface ----------------
     "streaming_join_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -2851,6 +2869,22 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_chars
         |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= thr
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "attribution_events" ->
+      """WITH p AS (
+        |  SELECT event_id, user_id, CAST(EPOCH_US(ts) AS BIGINT) AS pts, value
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, CAST(EPOCH_US(ts) AS BIGINT) AS cts,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 5 AS campaign
+        |  FROM events WHERE event_type = 'click'),
+        |j AS (
+        |  SELECT p.value, c.campaign
+        |  FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.cts <= p.pts)
+        |SELECT campaign AS asof_campaign, COUNT(*) AS n_purchases,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS attributed_revenue
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "streaming_join_events" ->
       """WITH c AS (

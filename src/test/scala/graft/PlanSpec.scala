@@ -182,4 +182,41 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange"),
       s"fold assignment must not shuffle:\n$plan")
   }
+
+  test("weightedBernoulli is a shuffle-free filter over the scan") {
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("w", lit(0.5))
+    val df = graft.sample.Samplers.weightedBernoulli(docs, "doc_id", "w")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"weighted sampling must not shuffle:\n$plan")
+  }
+
+  test("zorder fileStats is one hash aggregation, no sort or window") {
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("x", col("o_custkey") % 1024)
+      .withColumn("y", col("o_orderkey") % 1024)
+    val df = graft.io.ZOrder.fileStats(orders, col("x"), col("y"), 10, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one stat shuffle:\n$plan")
+    assert(!plan.contains("Window") && !plan.contains("Sort "),
+      s"stats must not sort:\n$plan")
+  }
+
+  test("pqAssign broadcasts the codebook; no pair shuffle on the corpus side") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.pqAssign(emb, "vec_id", "embedding", 4, 4)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"codebook should broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("topn per group partitions its window by the group key (never global)") {
+    val df = SparkEntry.queries("topn_per_group_docs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"group-wise top-n must not funnel to one partition:\n$plan")
+  }
 }
