@@ -1293,6 +1293,43 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- TPC-H Q10 shape: top customers by returned-goods revenue ----------
+    "q10_returned_items" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      val cust = broadcast(t(s, dir, "customer"))
+      val nat = broadcast(t(s, dir, "nation"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ---- adjacency sequence detection: click→purchase within 600 s ---------
+    "sequence_detect_events" -> ((s, dir) => {
+      val e = t(s, dir, "events")
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      e.withColumn("__sec", Events.epochSeconds(e))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .withColumn("prev_sec", lag(col("__sec"), 1).over(byUser))
+        .filter(col("event_type") === "purchase" &&
+          col("prev_type") === "click" &&
+          col("__sec") - col("prev_sec") <= 600)
+        .withColumn("day", expr("__sec DIV 86400"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sequences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("day"))
+    }),
+
     // ---- last-touch attribution: purchase revenue to latest prior click ----
     "attribution_events" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -2869,6 +2906,35 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_chars
         |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= thr
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c.c_custkey, c.c_name, n.n_name,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        |  AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "sequence_detect_events" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS sec,
+        |    LAG(event_type) OVER w AS prev_type,
+        |    LAG(epoch_us(ts) // 1000000) OVER w AS prev_sec
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT sec // 86400 AS day, COUNT(*) AS n_sequences,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM o
+        |WHERE event_type = 'purchase' AND prev_type = 'click'
+        |  AND sec - prev_sec <= 600
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "attribution_events" ->
       """WITH p AS (
