@@ -1293,6 +1293,44 @@ object SparkEntry {
         .orderBy(col("lang"))
     }),
 
+    // ---- few-shot prompt packing: first-k serialized examples per group ----
+    // (the reference's V1 prompt-formulation step, distributed: examples
+    // collect per group and order deterministically — collect_list alone is
+    // partition-order-dependent; sort_array over (key, text) structs pins it)
+    "prompt_pack_customer" -> ((s, dir) => {
+      val ser = t(s, dir, "customer")
+        .select((col("c_nationkey") % 5).cast("long").as("grp"),
+          col("c_custkey"),
+          Serialize.serializeKeyed(Seq(
+            "c_name" -> "c_name", "c_mktsegment" -> "c_mktsegment"))
+            .as("txt"))
+      ser.groupBy(col("grp"))
+        .agg(
+          slice(sort_array(collect_list(struct(col("c_custkey"), col("txt")))),
+            1, 3).as("ex"),
+          count(lit(1)).as("n_rows"))
+        .select(col("grp"),
+          concat_ws("\n\n", transform(col("ex"), e => e.getField("txt")))
+            .as("prompt"),
+          col("n_rows"))
+        .orderBy(col("grp"))
+    }),
+
+    // ---- inverted index: per-token document frequency + posting head -------
+    "inverted_index_docs" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("token"))
+      tok.groupBy(col("token"))
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",",
+            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+              x => x.cast("string"))).as("postings_head"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(20)
+    }),
+
     // ---- TPC-H Q10 shape: top customers by returned-goods revenue ----------
     "q10_returned_items" -> ((s, dir) => {
       val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
@@ -2906,6 +2944,40 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_kept, MIN(n_chars) AS min_chars
         |FROM documents, t WHERE CAST(n_chars AS DOUBLE) >= thr
         |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "prompt_pack_customer" ->
+      """WITH s AS (
+        |  SELECT CAST(c_nationkey % 5 AS BIGINT) AS grp, c_custkey,
+        |    'c_name: ' || c_name || ' ^ c_mktsegment: ' || c_mktsegment AS txt
+        |  FROM customer),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c_custkey)
+        |    AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT grp, string_agg(txt, chr(10) || chr(10) ORDER BY c_custkey)
+        |    AS prompt
+        |  FROM r WHERE rn <= 3 GROUP BY grp),
+        |n AS (SELECT grp, COUNT(*) AS n_rows FROM s GROUP BY grp)
+        |SELECT p.grp, p.prompt, n.n_rows FROM p JOIN n ON p.grp = n.grp
+        |ORDER BY p.grp""".stripMargin,
+
+    "inverted_index_docs" ->
+      """WITH tok AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |r AS (
+        |  SELECT token, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+        |  FROM tok),
+        |g AS (
+        |  SELECT token, COUNT(*) AS df,
+        |    string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+        |      ',' ORDER BY doc_id) AS postings_head
+        |  FROM r GROUP BY token)
+        |SELECT token, df, postings_head FROM g
+        |ORDER BY df DESC, token LIMIT 20""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
