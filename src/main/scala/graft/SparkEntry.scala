@@ -1389,22 +1389,34 @@ object SparkEntry {
     // ---- stream-stream interval join in the CHECKED surface ----------------
     "streaming_join_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
-      def sideStream(etype: String, userAs: String, tsAs: String) = {
-        val st = s.readStream.schema(batch.schema)
-          .parquet(s"$dir/events*.parquet")
+      // ONE file-stream source, both join sides derived from it (stream
+      // self-join): halves the source listing/scan work vs two readStreams
+      val st = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      def side(etype: String, userAs: String, tsAs: String) =
         st.filter(col("event_type") === etype)
           .withColumn(tsAs, Events.tsAsTimestamp(st))
           .withWatermark(tsAs, "2 hours")
           .select(col("user_id").as(userAs), col(tsAs))
-      }
-      val clicks = sideStream("click", "c_user", "c_ts")
-      val purchases = sideStream("purchase", "p_user", "p_ts")
+      val clicks = side("click", "c_user", "c_ts")
+      val purchases = side("purchase", "p_user", "p_ts")
       val joined = purchases.join(clicks,
         expr("c_user = p_user AND " +
           "c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
       val name = "stream_join_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
-      graft.streaming.Streams.runToMemory(s, joined, name)
+      // stream-stream join state cost is per (partition × 4 state stores):
+      // at this corpus size the commit/snapshot overhead of 32 partitions
+      // dwarfs the work — run the stateful query on fewer partitions
+      // (result-invariant: everything downstream re-aggregates), restoring
+      // the session setting afterwards
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      val collected =
+        try {
+          s.conf.set("spark.sql.shuffle.partitions", "8")
+          graft.streaming.Streams.runToMemory(s, joined, name)
+        } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+      collected
         .withColumn("day", expr("CAST(p_ts AS LONG) DIV 86400"))
         .groupBy(col("day"))
         .agg(count(lit(1)).as("n_pairs"),
