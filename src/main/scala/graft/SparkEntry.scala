@@ -1304,16 +1304,20 @@ object SparkEntry {
           Serialize.serializeKeyed(Seq(
             "c_name" -> "c_name", "c_mktsegment" -> "c_mktsegment"))
             .as("txt"))
-      ser.groupBy(col("grp"))
-        .agg(
-          slice(sort_array(collect_list(struct(col("c_custkey"), col("txt")))),
-            1, 3).as("ex"),
-          count(lit(1)).as("n_rows"))
-        .select(col("grp"),
-          concat_ws("\n\n", transform(col("ex"), e => e.getField("txt")))
-            .as("prompt"),
-          col("n_rows"))
-        .orderBy(col("grp"))
+      // bound the collect buffer BEFORE aggregating: rank-filter to the 3
+      // winners per group first (collect_list of a whole group is the
+      // unbounded top-n anti-pattern; the buffer here never exceeds 3 rows)
+      val byGrp = Window.partitionBy(col("grp")).orderBy(col("c_custkey"))
+      val packs = ser
+        .withColumn("rn", row_number().over(byGrp))
+        .filter(col("rn") <= 3)
+        .groupBy(col("grp"))
+        .agg(concat_ws("\n\n",
+          transform(
+            sort_array(collect_list(struct(col("c_custkey"), col("txt")))),
+            e => e.getField("txt"))).as("prompt"))
+      val counts = ser.groupBy(col("grp")).agg(count(lit(1)).as("n_rows"))
+      packs.join(counts, Seq("grp")).orderBy(col("grp"))
     }),
 
     // ---- inverted index: per-token document frequency + posting head -------
@@ -1322,10 +1326,17 @@ object SparkEntry {
         .select(col("doc_id"),
           explode(array_distinct(TextAnalysis.tokens(col("text"))))
             .as("token"))
-      tok.groupBy(col("token"))
+      // collect_list skips nulls, so ranking first bounds the posting
+      // buffer at 5 ids per token — a stopword token would otherwise
+      // accumulate a corpus-sized array before the slice; the window and
+      // the agg share the token exchange
+      val byTok = Window.partitionBy(col("token")).orderBy(col("doc_id"))
+      tok.withColumn("rn", row_number().over(byTok))
+        .groupBy(col("token"))
         .agg(count(lit(1)).as("df"),
           concat_ws(",",
-            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 5),
+            transform(
+              sort_array(collect_list(when(col("rn") <= 5, col("doc_id")))),
               x => x.cast("string"))).as("postings_head"))
         .orderBy(col("df").desc, col("token"))
         .limit(20)
@@ -1413,7 +1424,10 @@ object SparkEntry {
       val prev = s.conf.get("spark.sql.shuffle.partitions")
       val collected =
         try {
-          s.conf.set("spark.sql.shuffle.partitions", "8")
+          // never RAISE the session's partition count (small test/verify
+          // sessions run at 4) — only cap the bench's 32
+          s.conf.set("spark.sql.shuffle.partitions",
+            math.min(prev.toInt, 8).toString)
           graft.streaming.Streams.runToMemory(s, joined, name)
         } finally s.conf.set("spark.sql.shuffle.partitions", prev)
       collected
