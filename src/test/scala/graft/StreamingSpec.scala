@@ -96,6 +96,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamAgg === batchAgg)
   }
 
+  test("stream-stream interval join: window bounds inclusive, outside-window dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    in.addData(
+      Ev(t(1000), 1, "click", 0.0),    // exactly 1 h before -> kept (closed bound)
+      Ev(t(4600), 1, "purchase", 1.0),
+      Ev(t(100), 2, "click", 0.0),     // 3700 s before -> outside 1 h window
+      Ev(t(3800), 2, "purchase", 1.0),
+      Ev(t(5000), 3, "click", 0.0),    // click AFTER purchase -> dropped
+      Ev(t(4000), 3, "purchase", 1.0),
+      Ev(t(4000), 4, "click", 0.0),    // same instant -> kept (<= bound)
+      Ev(t(4000), 4, "purchase", 1.0))
+    val base = in.toDF()
+    def side(et: String, u: String, tc: String) =
+      base.filter($"event_type" === et)
+        .withColumn(tc, $"ts")
+        .withWatermark(tc, "2 hours")
+        .select($"user_id".as(u), col(tc))
+    val joined = side("purchase", "p_user", "p_ts").join(
+      side("click", "c_user", "c_ts"),
+      expr("c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL 1 HOUR AND p_ts"))
+    val out = Streams.runToMemory(spark, joined, "ss_join")
+    val users = out.select($"p_user").as[Long].collect().sorted.toSeq
+    assert(users === Seq(1L, 4L), s"unexpected join survivors: $users")
+  }
+
   test("cappedSessions closes on gap and on event cap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
