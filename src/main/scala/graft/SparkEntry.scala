@@ -1379,6 +1379,57 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- TPC-H Q7 shape: bilateral trade volume between two nations --------
+    "q7_volume_shipping" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = broadcast(t(s, dir, "customer"))
+      val supp = broadcast(t(s, dir, "supplier"))
+      val nat = t(s, dir, "nation")
+      val n1 = broadcast(nat.select(col("n_nationkey").as("s_nk"),
+        col("n_name").as("supp_nation")))
+      val n2 = broadcast(nat.select(col("n_nationkey").as("c_nk"),
+        col("n_name").as("cust_nation")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .join(n1, col("s_nationkey") === col("s_nk"))
+        .join(n2, col("c_nationkey") === col("c_nk"))
+        .filter(
+          (col("supp_nation") === "NATION_1" &&
+            col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") -
+              col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // ---- order-invariant table checksum (migration/replica verification) ---
+    // sum of 32-bit md5 row digests: commutative, so any partitioning or
+    // row order produces the same value — the cheap way to prove two copies
+    // of a 100 TB table identical without sorting either
+    "table_checksum_orders" -> ((s, dir) => {
+      val repr = concat_ws("|",
+        col("o_orderkey").cast("string"),
+        coalesce(col("o_custkey").cast("string"), lit("<null>")),
+        coalesce(col("o_orderstatus"), lit("<null>")),
+        coalesce(col("o_totalprice").cast("decimal(18,2)").cast("string"),
+          lit("<null>")),
+        coalesce(expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG)")
+          .cast("string"), lit("<null>")),
+        coalesce(col("o_orderpriority"), lit("<null>")))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(Samplers.hashDraw32(repr)).as("checksum"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // ---- last-touch attribution: purchase revenue to latest prior click ----
     "attribution_events" -> ((s, dir) => {
       val e = t(s, dir, "events")
@@ -3004,6 +3055,36 @@ object SparkEntry {
         |  FROM r GROUP BY token)
         |SELECT token, df, postings_head FROM g
         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "q7_volume_shipping" ->
+      """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+        |  CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l.l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+        |JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+        |WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+        |   OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "table_checksum_orders" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    CAST(o_orderkey AS VARCHAR) || '|' ||
+        |    COALESCE(CAST(o_custkey AS VARCHAR), '<null>') || '|' ||
+        |    COALESCE(o_orderstatus, '<null>') || '|' ||
+        |    COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+        |      '<null>') || '|' ||
+        |    COALESCE(CAST(CAST(EPOCH_US(o_orderdate) AS BIGINT) // 1000000
+        |      AS VARCHAR), '<null>') || '|' ||
+        |    COALESCE(o_orderpriority, '<null>')), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS checksum
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q10_returned_items" ->
       """SELECT c.c_custkey, c.c_name, n.n_name,
