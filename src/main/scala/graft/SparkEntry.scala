@@ -1379,6 +1379,30 @@ object SparkEntry {
         .orderBy(col("day"))
     }),
 
+    // ---- schema evolution: mergeSchema read over batches with added cols ---
+    // batch 1 writes the original columns; batch 2 adds a quality column.
+    // mergeSchema unions the file schemas; old rows surface null quality —
+    // the append-only column-add path every long-lived 100 TB table needs
+    "schema_evolution_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = freshFixtureDir("graft_evo").toString
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$out/batch=1")
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") >= 100).as("long_doc"))
+        .write.mode("overwrite").parquet(s"$out/batch=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("lang"),
+          coalesce(col("long_doc"), lit(false)).as("long_doc_filled"),
+          col("long_doc").isNull.as("pre_evo"))
+        .groupBy(col("lang"), col("long_doc_filled").as("long_doc"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pre_evo"), 1L).otherwise(0L)).as("n_pre_evolution"))
+        .orderBy(col("lang"), col("long_doc"))
+    }),
+
     // ---- TPC-H Q7 shape: bilateral trade volume between two nations --------
     "q7_volume_shipping" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
@@ -3055,6 +3079,18 @@ object SparkEntry {
         |  FROM r GROUP BY token)
         |SELECT token, df, postings_head FROM g
         |ORDER BY df DESC, token LIMIT 20""".stripMargin,
+
+    "schema_evolution_docs" ->
+      """WITH m AS (
+        |  SELECT lang, FALSE AS long_doc, TRUE AS pre_evo
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT lang, n_chars >= 100 AS long_doc, FALSE AS pre_evo
+        |  FROM documents WHERE doc_id % 2 <> 0)
+        |SELECT lang, long_doc, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN pre_evo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pre_evolution
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q7_volume_shipping" ->
       """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
