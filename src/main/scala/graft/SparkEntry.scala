@@ -30,6 +30,15 @@ object SparkEntry {
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** TPC-H discounted revenue Σ extendedprice·(1−discount), decimal-exact
+    * (one definition — six query shapes share it, so a precision change
+    * cannot silently diverge per query).
+    */
+  private def discountedRevenue: Column =
+    sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
+      .cast("double")
+
   /** Root for filesystem fixtures written by round-trip queries (CSV split
     * dirs, JSONL dumps); recursively deleted at JVM exit so repeated
     * bench/verify runs can't accumulate unbounded /tmp usage. Deletion must
@@ -58,19 +67,15 @@ object SparkEntry {
   /** TPC-H Q1-shaped rollup: scan → filter-free agg → sort. Exercises
     * parquet scan, partial+final hash agg, decimal-exact sums.
     */
-  private def pricingSummary(s: SparkSession, dir: String): DataFrame = {
-    val one = lit(1).cast("decimal(18,2)")
+  private def pricingSummary(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        sum(col("l_extendedprice").cast("decimal(18,2)") *
-          (one - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("sum_disc_price"),
+        discountedRevenue.as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
-  }
 
   /** Morton interleave of the low 10 bits of x and y as portable SQL bit
     * ops — mirrors [[graft.io.ZOrder.zValue]] term for term.
@@ -368,16 +373,13 @@ object SparkEntry {
 
     // ---- full TPC-H Q1 shape: filtered scan (pushdown) + avg columns -------
     "q1_full_pricing" -> ((s, dir) => {
-      val one = lit(1).cast("decimal(18,2)")
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
       li.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (one - col("l_discount").cast("decimal(18,2)")))
-            .cast("double").as("sum_disc_price"),
+          discountedRevenue.as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .withColumn("avg_qty", col("sum_qty") / col("count_order"))
         .withColumn("avg_price", col("sum_base_price") / col("count_order"))
@@ -417,9 +419,7 @@ object SparkEntry {
           expr("CAST(CAST(o_orderdate AS TIMESTAMP) AS LONG) DIV 86400")
             .as("o_day"),
           col("o_orderpriority"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+        .agg(discountedRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -441,9 +441,7 @@ object SparkEntry {
         .join(nation, col("s_nationkey") === col("n_nationkey"))
         .join(region, col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+        .agg(discountedRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
@@ -1354,10 +1352,7 @@ object SparkEntry {
         .join(cust, col("o_custkey") === col("c_custkey"))
         .join(nat, col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") -
-              col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+        .agg(discountedRevenue.as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     }),
@@ -1426,10 +1421,7 @@ object SparkEntry {
             col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).cast("long").as("l_year"))
-        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1).cast("decimal(18,2)") -
-              col("l_discount").cast("decimal(18,2)")))
-          .cast("double").as("revenue"))
+        .agg(discountedRevenue.as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
 

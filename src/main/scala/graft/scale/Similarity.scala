@@ -282,6 +282,9 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       m: Int, k: Int, dims: Int = 64): DataFrame = {
     require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
+    // an empty codebook (k <= 0, or no ids below k) would silently drop
+    // every vector at the join — fail fast on the statically-checkable half
+    require(k > 0, s"codebook size must be positive: $k")
     val sub = dims / m
     def subspaces(df: DataFrame, outId: String): DataFrame =
       df.select(col(idCol).as(outId), quantize(col(vecCol)).as("v"))

@@ -365,6 +365,11 @@ object TextAnalysis {
       weights: Map[String, Double], targetSize: Long): DataFrame = {
     val known = weights.values.sum
     require(known <= 1.0 + 1e-9, s"weights sum over 1: $known")
+    // mixing requires a domain: NULL-domain rows are excluded (they are
+    // invisible to the distinct-count below, so giving them a residual
+    // quota would over-allocate the target mass; callers coalesce to a
+    // sentinel domain first if they want them sampled)
+    val dfd = df.filter(col(domainCol).isNotNull)
     val wExpr = weights.foldLeft(lit(null).cast("double")) {
       case (acc, (dom, w)) =>
         when(col(domainCol) === dom, lit(w)).otherwise(acc)
@@ -375,11 +380,11 @@ object TextAnalysis {
     // a single-row distinct-count aggregate (broadcast back over the scan);
     // count domains NOT in the weight map, not |domains|−|weights| — a
     // weighted domain absent from the data must not shift residual shares
-    val nUnweighted = df
+    val nUnweighted = dfd
       .agg(count_distinct(
         when(!col(domainCol).isin(weights.keys.toSeq: _*), col(domainCol)))
         .as("n_unw"))
-    df.crossJoin(broadcast(nUnweighted))
+    dfd.crossJoin(broadcast(nUnweighted))
       .withColumn("__w",
         coalesce(wExpr,
           lit(math.max(0.0, 1.0 - known)) /

@@ -51,7 +51,7 @@ def strict_repr(df: pd.DataFrame) -> list:
     return out
 
 
-def main(out_dir: str, sf_dir: str) -> int:
+def main(out_dir: str, sf_dir: str, only: str | None = None) -> int:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -61,8 +61,12 @@ def main(out_dir: str, sf_dir: str) -> int:
     out_dirs = sorted(p.name for p in Path(out_dir).iterdir() if p.is_dir())
     # reconcile BOTH directions: an oracle entry with no output dir means
     # the query failed (or was dropped) in Verify — that must FAIL loudly,
-    # not silently fall out of the gate
-    for missing in sorted(set(oracle) - set(out_dirs)):
+    # not silently fall out of the gate. For a FILTERED local iteration
+    # (Verify's optional 3rd arg), pass the same filter here as a 3rd arg:
+    # only those queries are required to have output.
+    required = set(oracle) if only is None else (
+        {q.strip() for q in only.split(",")} & set(oracle))
+    for missing in sorted(required - set(out_dirs)):
         print(f"FAIL  {missing}: oracle sql present but no Verify output")
         n_fail += 1
     for name in out_dirs:
@@ -114,4 +118,5 @@ def main(out_dir: str, sf_dir: str) -> int:
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
