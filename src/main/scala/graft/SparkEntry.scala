@@ -1221,6 +1221,17 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- domain up-sampling with replacement to exact quotas ---------------
+    "domain_upsample_docs" -> ((s, dir) => {
+      val up = TextAnalysis.domainUpsample(t(s, dir, "documents"),
+        "source", "doc_id", Map("src0" -> 0.25, "src1" -> 0.125), 1000L)
+      up.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_emitted"),
+          countDistinct(col("doc_id")).as("n_source_rows"),
+          max(col("__quota")).as("quota"))
+        .orderBy(col("source"))
+    }),
+
     // ---- BM25-weighted retrieval over a fixed query-term set ---------------
     "bm25_search_docs" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
@@ -3171,6 +3182,39 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "domain_upsample_docs" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents),
+        |u AS (SELECT COUNT(DISTINCT CASE WHEN source NOT IN ('src0', 'src1')
+        |  THEN source END) AS n_unw FROM documents),
+        |c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |q AS (
+        |  SELECT c.source, c.n,
+        |    CASE WHEN c.source = 'src0'
+        |      THEN CAST(FLOOR(CAST(0.25 AS DOUBLE) * 1000.0) AS BIGINT)
+        |    WHEN c.source = 'src1'
+        |      THEN CAST(FLOOR(CAST(0.125 AS DOUBLE) * 1000.0) AS BIGINT)
+        |    ELSE CAST(FLOOR((CAST(0.625 AS DOUBLE) /
+        |      GREATEST(CAST(u.n_unw AS DOUBLE), CAST(1.0 AS DOUBLE))) * 1000.0)
+        |      AS BIGINT) END AS quota
+        |  FROM c, u),
+        |x AS (
+        |  SELECT r.source, r.doc_id,
+        |    (q.quota // q.n) + CASE WHEN r.rnk <= q.quota % q.n
+        |      THEN 1 ELSE 0 END AS nrep
+        |  FROM r JOIN q ON r.source = q.source),
+        |e AS (
+        |  SELECT source, doc_id FROM x,
+        |    UNNEST(range(CAST(GREATEST(nrep, 0) AS BIGINT))) AS t(i))
+        |SELECT source, COUNT(*) AS n_emitted,
+        |  COUNT(DISTINCT doc_id) AS n_source_rows,
+        |  MAX(q2.quota) AS quota
+        |FROM e JOIN (SELECT source, quota FROM q) q2 USING (source)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "bm25_search_docs" ->
       """WITH tok AS (

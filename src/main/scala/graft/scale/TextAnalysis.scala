@@ -345,6 +345,55 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Domain up-sampling WITH replacement to exact per-domain quotas — the
+    * oversampling half of corpus mixing ([[domainMix]] is the down-sampling
+    * half): a rare high-quality domain gets each row repeated
+    * quota DIV n times, and the (quota % n) rows lowest by (md5(id), id)
+    * get one extra copy, so the emitted count equals the quota EXACTLY —
+    * deterministic, partition-invariant, no rand.
+    *
+    * Shape: one tiny per-domain count agg broadcast back, one rank window
+    * keyed on the domain, one `explode(array_repeat(...))` fan-out — the
+    * standard with-replacement trick (SURVEY §2.4 A2), linear in output
+    * size at any scale.
+    */
+  def domainUpsample(
+      df: DataFrame, domainCol: String, idCol: String,
+      weights: Map[String, Double], targetSize: Long): DataFrame = {
+    val known = weights.values.sum
+    require(known <= 1.0 + 1e-9, s"weights sum over 1: $known")
+    val dfd = df.filter(col(domainCol).isNotNull)
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (dom, w)) =>
+        when(col(domainCol) === dom, lit(w)).otherwise(acc)
+    }
+    val nUnweighted = dfd
+      .agg(count_distinct(
+        when(!col(domainCol).isin(weights.keys.toSeq: _*), col(domainCol)))
+        .as("n_unw"))
+    val counts = dfd.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val byDomain = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    dfd.crossJoin(broadcast(nUnweighted))
+      .join(broadcast(counts), Seq(domainCol))
+      .withColumn("__w",
+        coalesce(wExpr,
+          lit(math.max(0.0, 1.0 - known)) /
+            greatest(col("n_unw").cast("double"), lit(1.0))))
+      .withColumn("__quota",
+        floor(col("__w") * lit(targetSize.toDouble)).cast("long"))
+      .withColumn("__rank", row_number().over(byDomain).cast("long"))
+      .withColumn("__nrep",
+        expr("__quota DIV __n") +
+          when(col("__rank") <= col("__quota") % col("__n"), 1L)
+            .otherwise(0L))
+      .withColumn("__rep",
+        explode(array_repeat(lit(1), greatest(col("__nrep"), lit(0L))
+          .cast("int"))))
+      .drop("n_unw", "__w", "__n", "__rep")
+  }
+
   /** Domain-mixture resampling: down-sample each domain toward a target
     * corpus composition — the "data mixing" step of LLM pre-training
     * (e.g. cap web crawl at x%, keep all of the rare high-quality domain).

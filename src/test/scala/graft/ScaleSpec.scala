@@ -467,6 +467,21 @@ class ScaleSpec extends SparkSpec {
     assert(again == kept.select("doc_id").as[Long].collect().sorted.toSeq)
   }
 
+  test("domainUpsample: emitted count equals quota exactly, with-replacement") {
+    val d = (Seq.tabulate(3)(i => (i.toLong, "A")) ++
+      Seq.tabulate(10)(i => (10L + i, "B"))).toDF("doc_id", "source")
+    // target 20: A quota floor(0.5*20)=10 from 3 rows (upsampled 3x + 1 extra),
+    // B residual 0.5 -> quota 10 from 10 rows (each exactly once)
+    val up = TextAnalysis.domainUpsample(d, "source", "doc_id",
+      Map("A" -> 0.5), 20L)
+    val bySrc = up.groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("A" -> 10L, "B" -> 10L))
+    // with replacement: some A row appears at least 3 times
+    val reps = up.filter($"source" === "A").groupBy($"doc_id").count()
+      .select("count").as[Long].collect().toSeq
+    assert(reps.max >= 3 && reps.sum == 10L)
+  }
+
   test("bm25TopK ranks higher tf and shorter docs first; non-matches dropped") {
     val d = Seq(
       (1L, "spark spark engine"),            // tf=2, short
