@@ -1221,6 +1221,41 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- FLAGSHIP composite: the full LLM-corpus curation pipeline ---------
+    // quality gate → exact dedup (fingerprint) → benchmark decontamination
+    // → domain mixing → token-budget shard packing, ending in per-shard
+    // stats. Every stage is an oracle-proven operator; the composition is
+    // the end-to-end DAG a 100 TB pretraining-data build runs.
+    "curation_pipeline_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      // 1. quality: at least 20 tokens
+      val quality = docs
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .filter(col("n_tokens") >= 20)
+      // 2. exact dedup: keep the min doc_id per normalized-text fingerprint
+      val byFp = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+      val deduped = quality
+        .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+        .withColumn("rn", row_number().over(byFp))
+        .filter(col("rn") === 1).drop("rn", "fp")
+      // 3. decontaminate against the eval slice (doc_id % 20 == 0)
+      val corpus = deduped.filter(col("doc_id") % 20 =!= 0)
+      val flags = Dedup.decontaminate(corpus,
+        docs.filter(col("doc_id") % 20 === 0), "doc_id", "text", 3)
+      val clean = corpus.join(
+        flags.filter(!col("contaminated")).select("doc_id"), Seq("doc_id"))
+      // 4. domain mixing toward the target composition
+      val mixed = TextAnalysis.domainMix(clean, "source", "doc_id",
+        Map("src0" -> 0.25, "src1" -> 0.125), 200L)
+      // 5. shard packing at a 500-token budget → per-shard stats
+      TextAnalysis.packIntoShards(mixed, "doc_id", "text", 500L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("shard_id"))
+    }),
+
     // ---- domain up-sampling with replacement to exact quotas ---------------
     "domain_upsample_docs" -> ((s, dir) => {
       val up = TextAnalysis.domainUpsample(t(s, dir, "documents"),
@@ -3182,6 +3217,60 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c.cus BETWEEN p.pus - 3600000000 AND p.pus
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "curation_pipeline_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n_tokens
+        |  FROM tok WHERE len(t) >= 20),
+        |d AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY md5(array_to_string(t, ' '))
+        |      ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |corp AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+        |evsh AS (
+        |  SELECT DISTINCT concat(t[i], COALESCE(' ' || t[i+1], ''),
+        |    COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+        |  WHERE doc_id % 20 = 0),
+        |csh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''),
+        |    COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM corp, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN evsh USING (sh)),
+        |clean AS (
+        |  SELECT * FROM corp
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        |u2 AS (SELECT COUNT(DISTINCT CASE WHEN source NOT IN ('src0', 'src1')
+        |  THEN source END) AS n_unw FROM clean),
+        |r2 AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM clean),
+        |mixed AS (
+        |  SELECT r2.doc_id, r2.source, r2.n_tokens FROM r2, u2
+        |  WHERE r2.rnk <= CASE WHEN r2.source = 'src0'
+        |      THEN CAST(FLOOR(CAST(0.25 AS DOUBLE) * 200.0) AS BIGINT)
+        |    WHEN r2.source = 'src1'
+        |      THEN CAST(FLOOR(CAST(0.125 AS DOUBLE) * 200.0) AS BIGINT)
+        |    ELSE CAST(FLOOR((CAST(0.625 AS DOUBLE) /
+        |      GREATEST(CAST(u2.n_unw AS DOUBLE), CAST(1.0 AS DOUBLE)))
+        |      * 200.0) AS BIGINT) END),
+        |packed AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM mixed)
+        |SELECT (cum - n_tokens) // 500 AS shard_id, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "domain_upsample_docs" ->
       """WITH r AS (
