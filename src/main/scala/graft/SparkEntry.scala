@@ -1567,7 +1567,164 @@ object SparkEntry {
         .runToMemory(s, deduped, name,
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy(col("event_type"))
-    })
+    }),
+
+    // ---- TPC-H Q4 shape: EXISTS → semi join with a non-equi conjunct -------
+    // Orders in a quarter having at least one line shipped after the order
+    // date. The EXISTS decorrelates to a LEFT SEMI join whose condition
+    // carries the correlated l_shipdate > o_orderdate predicate; the date
+    // filter prunes the orders side before the shuffle.
+    "q4_priority_count" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1995-04-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      val l = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // ---- TPC-H Q11 shape: HAVING against a scalar over the same agg --------
+    // Parts whose discounted revenue exceeds 1.5× the mean per-part share.
+    // Exact everywhere: per-line revenue is decimal(18,2)·decimal(18,4) → 6
+    // decimal places, summed exactly and carried as integer micro-units
+    // (longs), so the threshold comparison 2·rev·n_parts > 3·total is pure
+    // integer math in both engines. (Long micro-units hold to ~SF100; past
+    // that, widen to decimal or rescale.) The 1-row total broadcasts back
+    // over the per-part aggregate — two shuffles total (both keyed on
+    // l_partkey, reused).
+    "q11_part_concentration" -> ((s, dir) => {
+      val revDec = sum((col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+        .cast("decimal(28,6)"))
+      val perPart = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg((revDec.cast("decimal(28,6)") * 1000000).cast("long")
+          .as("rev_micro"),
+          count(lit(1)).as("n_lines"))
+      val tot = perPart.agg(sum(col("rev_micro")).as("tot_micro"),
+        count(lit(1)).as("n_parts"))
+      perPart.crossJoin(broadcast(tot))
+        .filter(col("rev_micro") * col("n_parts") * 2 > col("tot_micro") * 3)
+        .select(col("l_partkey"),
+          round(col("rev_micro").cast("double") / 1e6, 6).as("revenue"),
+          col("n_lines"))
+        .orderBy(col("l_partkey"))
+    }),
+
+    // ---- TPC-H Q14 shape: conditional-aggregate ratio over a dim join ------
+    // Promo revenue share for one ship month. sum(CASE WHEN promo) / sum —
+    // both sums decimal-exact; the single division is the only double step.
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1995-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1995-10-01").cast("timestamp"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_type"))
+      val rev = col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100).cast("double") *
+            sum(when(col("p_type") === "PROMO", rev)).cast("double") /
+            sum(rev).cast("double"), 6).as("promo_pct"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q15 shape: argmax via scalar-max broadcast ------------------
+    // Top revenue supplier for a quarter. The per-supplier aggregate stays
+    // decimal so the rev = max(rev) equality is exact (a double tie-compare
+    // would be engine-dependent); the 1-row max and the supplier dim
+    // broadcast — no second shuffle after the supplier agg.
+    "q15_top_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)")))
+          .as("rev_dec"))
+      val mx = r.agg(max(col("rev_dec")).as("max_rev"))
+      r.crossJoin(broadcast(mx))
+        .filter(col("rev_dec") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_dec").cast("double"), 6).as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q17 shape: correlated avg → grouped-agg join decorrelation --
+    // Revenue from lines whose quantity is under half their part's average.
+    // qty < avg/2 cross-multiplies to 2·qty·n < Σqty — exact longs (the
+    // quantities are integral), no double avg on the comparison path. The
+    // per-part aggregate joins back on l_partkey (broadcast at these SFs;
+    // at 100 TB AQE turns it into a co-partitioned shuffle join on the same
+    // key the aggregate already produced).
+    "q17_small_qty_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val perPart = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n_li"))
+      l.join(broadcast(perPart), col("l_partkey") === col("pk"))
+        .filter(col("l_quantity").cast("long") * col("n_li") * 2 < col("sum_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("total_price"))
+    }),
+
+    // ---- TPC-H Q19 shape: disjunctive multi-column join predicate ----------
+    // Three OR'ed (brand, size-range, quantity-range) triples. The p_size
+    // bounds push to the part scan and the quantity bounds to the lineitem
+    // scan (union of the ranges); the residual disjunction evaluates inside
+    // the broadcast join's codegen stage.
+    "q19_disjunctive_revenue" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_size"))
+      def m(brand: String, sMax: Int, qMin: Int, qMax: Int): Column =
+        col("p_brand") === brand && col("p_size").between(1, sMax) &&
+          col("l_quantity").between(qMin, qMax)
+      t(s, dir, "lineitem")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey") &&
+          (m("Brand#12", 5, 1, 11) || m("Brand#23", 10, 10, 20) ||
+            m("Brand#34", 15, 20, 30)))
+        .agg(discountedRevenue.as("revenue"), count(lit(1)).as("n_lines"))
+    }),
+
+    // ---- TPC-H Q22 shape: scalar-avg gate + anti join ----------------------
+    // Dormant rich customers: above-average balance (avg over positive
+    // balances) with no order since 2000. The average gate is exact:
+    // bal·n > total in decimal — no double avg on the comparison path.
+    // The recent-orders key set anti-joins (broadcast: it only shrinks with
+    // the date filter; at TB scale the anti join shuffles on custkey).
+    "q22_dormant_customers" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val gate = cust.filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("tot"),
+          count(lit(1)).as("n"))
+      val recent = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(gate))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("n") > col("tot"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          dsum(col("c_acctbal")).as("total_acctbal"))
+        .orderBy(col("c_nationkey"))
+    }),
+
+    // ---- corpus quality: unigram-LM mean log-probability per doc -----------
+    "unigram_logprob_docs" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- scale: SemDeDup cluster-scoped semantic dedup ---------------------
+    "semdedup_embeddings" -> ((s, dir) =>
+      Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
+        .orderBy(col("vec_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -3341,6 +3498,144 @@ object SparkEntry {
         |    AS score
         |  FROM s)
         |SELECT doc_id, dl, score FROM sc WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1995-04-01'
+        |  AND o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_part_concentration" ->
+      """WITH pp AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DECIMAL(28,6)) * 1000000 AS BIGINT) AS rev_micro,
+        |    COUNT(*) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(SUM(rev_micro) AS BIGINT) AS tot_micro,
+        |  COUNT(*) AS n_parts FROM pp)
+        |SELECT l_partkey, ROUND(CAST(rev_micro AS DOUBLE) / 1e6, 6) AS revenue,
+        |  n_lines
+        |FROM pp CROSS JOIN t
+        |WHERE rev_micro * n_parts * 2 > tot_micro * 3
+        |ORDER BY l_partkey""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  ROUND(CAST(100 AS DOUBLE) *
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |        (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      END) AS DOUBLE) /
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS DOUBLE), 6) AS promo_pct,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+        |  AND l_shipdate < TIMESTAMP '1995-10-01'""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))))
+        |      AS rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1),
+        |mx AS (SELECT MAX(rev) AS m FROM r)
+        |SELECT s_suppkey, s_name, ROUND(CAST(rev AS DOUBLE), 6) AS total_revenue
+        |FROM r CROSS JOIN mx
+        |JOIN supplier ON r.l_suppkey = s_suppkey
+        |WHERE r.rev = mx.m
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q17_small_qty_revenue" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |    COUNT(*) AS n_li
+        |  FROM lineitem GROUP BY 1)
+        |SELECT COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price
+        |FROM lineitem JOIN pa ON l_partkey = pk
+        |WHERE CAST(l_quantity AS BIGINT) * n_li * 2 < sum_qty""".stripMargin,
+
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |    (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH gate AS (
+        |  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS tot, COUNT(*) AS n
+        |  FROM customer WHERE c_acctbal > 0),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+        |SELECT c_nationkey, COUNT(*) AS n_custs,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM customer CROSS JOIN gate
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "unigram_logprob_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
+        |FROM tok JOIN freq USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "semdedup_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id % 100 = 0),
+        |asn AS (
+        |  SELECT vec_id, centroid_id, v FROM (
+        |    SELECT q.vec_id, c.centroid_id, q.v,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.centv)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |                 * list_dot_product(c.centv, c.centv)) DESC,
+        |        c.centroid_id) AS crk
+        |    FROM qv q, cents c)
+        |  WHERE crk = 1),
+        |pairs AS (
+        |  SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_dot_product(a.v, b.v)
+        |      / sqrt(list_dot_product(a.v, a.v) * list_dot_product(b.v, b.v))
+        |      AS cs
+        |  FROM asn a JOIN asn b
+        |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id)
+        |SELECT id_b AS vec_id, centroid_id, COUNT(*) AS n_dups,
+        |  ROUND(MAX(cs), 6) AS max_sim
+        |FROM pairs WHERE cs >= 0.3
+        |GROUP BY centroid_id, id_b
+        |ORDER BY vec_id""".stripMargin
   )
 }

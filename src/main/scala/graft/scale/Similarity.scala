@@ -353,4 +353,54 @@ object Similarity {
         round(sum(col("err_num")).cast("double") /
           (count(lit(1)).cast("double") * lit(510.0)), 6).as("avg_err"))
   }
+
+  /** SemDeDup-style cluster-scoped semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): assign every vector to its nearest centroid, compare
+    * pairs ONLY within a cluster, and drop each vector that has a
+    * smaller-id cluster-mate above the similarity threshold (keep-lowest-id
+    * — the deterministic stand-in for SemDeDup's keep-least-central).
+    *
+    * Returns the DROP list: (vec_id, centroid_id, n_dups, max_sim) — one row
+    * per removed vector, n_dups = how many kept-or-dropped smaller-id
+    * neighbors exceeded the threshold, max_sim the strongest of them.
+    *
+    * Scale shape: centroid table broadcasts (k ≪ N); the pair generation is
+    * a self-join keyed on centroid_id — the shuffle scales with Σ|cluster|²,
+    * not N², which is the entire point of SemDeDup: k is chosen so clusters
+    * are ~10⁴ vectors regardless of corpus size. Centroids here follow the
+    * module's deterministic convention (id % centroidMod == 0); a trained
+    * codebook from [[kmeansCentroids]] drops in via the same DataFrame shape.
+    * At extreme skew (one mega-cluster) cap cluster size by re-assigning
+    * overflow to the next-nearest centroid — noted, not needed at tested SFs.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroidMod: Int = 100): DataFrame = {
+    val cents = df.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+    val vecs = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
+    val scored = vecs.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosineQuantized(col("v"), col("centv")))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("c_sim").desc, col("centroid_id"))
+    val asn = scored.withColumn("crk", row_number().over(w))
+      .filter(col("crk") === 1)
+      .select(col("centroid_id"), col("__id"), col("v"))
+    val a = asn.select(col("centroid_id"), col("__id").as("id_a"),
+      col("v").as("v_a"))
+    val b = asn.select(col("centroid_id"), col("__id").as("id_b"),
+      col("v").as("v_b"))
+    a.join(b, Seq("centroid_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineQuantized(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("centroid_id"), col("id_b"))
+      .agg(count(lit(1)).as("n_dups"),
+        round(max(col("cos_sim")), 6).as("max_sim"))
+      .select(col("id_b").as("vec_id"), col("centroid_id"),
+        col("n_dups"), col("max_sim"))
+  }
 }

@@ -444,6 +444,35 @@ object TextAnalysis {
       .filter(col("__rank") <= col("__quota"))
       .drop("n_unw", "__w")
   }
+
+  /** Per-document mean unigram log-probability under the corpus's own
+    * unigram model — the cheapest useful "LM perplexity" quality proxy
+    * (CCNet-style filtering uses a real KenLM; the pipeline shape is
+    * identical: score every document against a language model, then
+    * threshold/bucket on the score). More negative ⇒ rarer tokens.
+    *
+    * Two passes over the exploded tokens: (1) vocabulary frequencies via
+    * hash-agg on token; (2) join tokens back to their frequency and average
+    * ln(tf/total) per document. The join is keyed on token — the build side
+    * is one row per vocabulary entry, so Zipf-hot tokens skew only the
+    * probe side, which AQE's skew-join split handles; the vocabulary is NOT
+    * broadcast because at corpus scale it is ~10⁸ entries. The 1-row total
+    * broadcasts.
+    *
+    * Determinism: tf and total are exact longs; ln and the mean are the
+    * only double steps, rounded to 6 (sub-1e-12 summation-order noise).
+    */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val freq = tok.groupBy(col("token")).agg(count(lit(1)).as("tf"))
+    val total = freq.agg(sum(col("tf")).cast("double").as("total"))
+    tok.join(freq, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(log(col("tf").cast("double") / col("total"))), 6)
+          .as("avg_logprob"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

@@ -509,4 +509,38 @@ class ScaleSpec extends SparkSpec {
     assert(doc1(0)._3 == "alpha" && doc1(0)._4 == 6.0)
     assert(doc1(1)._3 == "shared" && doc1(1)._4 == 1.0)
   }
+
+  test("semDedup drops smaller-id-neighbor vectors within a cluster only") {
+    // ids 0 and 3 are centroids (mod 3). 0,1,2 are near-identical (cluster
+    // of centroid 0); 3,4 are near-identical (cluster of 3); 5 is alone in
+    // its cluster's direction but orthogonal to its mates -> never dropped.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f)),
+      (1L, Seq(0.99f, 0.01f, 0.0f)),
+      (2L, Seq(0.98f, 0.02f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(0.0f, 0.99f, 0.01f)),
+      (5L, Seq(0.1f, 0.9f, 0.3f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.semDedup(e, "vec_id", "embedding", 0.999, 3)
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // dropped: 1 and 2 (neighbors of 0 in cluster 0), 4 (neighbor of 3).
+    // 0 and 3 survive (lowest ids); 5's sims to 3/4 are < 0.999.
+    assert(got.toSeq == Seq((1L, 0L), (2L, 0L), (4L, 3L)),
+      s"unexpected drop set: ${got.toSeq}")
+  }
+
+  test("unigramLogProb: exact model probabilities on a closed vocabulary") {
+    // corpus: total 6 tokens; tf(a)=3, tf(b)=2, tf(c)=1
+    val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6((2 * math.log(3 / 6.0) + math.log(2 / 6.0)) / 3)
+    val exp2 = r6((math.log(3 / 6.0) + math.log(2 / 6.0) + math.log(1 / 6.0)) / 3)
+    assert(got.toSeq == Seq((1L, 3L, exp1), (2L, 3L, exp2)),
+      s"unexpected scores: ${got.toSeq}")
+  }
 }
