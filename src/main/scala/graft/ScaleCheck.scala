@@ -36,9 +36,19 @@ object ScaleCheck {
       // shingles with the prefixed copies) — salting it too would mix
       // data-shape differences into the scaling ratio being measured
       if (i == 0) shifted
-      else saltTextCol.fold(shifted)(t =>
-        shifted.withColumn(t, concat_ws(" ",
-          transform(split(col(t), " "), w => concat(lit(s"c$i"), w)))))
+      else saltTextCol.fold(shifted) { t =>
+        if (df.schema(t).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+          // vector "salt": rotate components by the copy index — norms and
+          // within-copy geometry are preserved, cross-copy cosines collapse
+          // to noise, so duplicated data can't inflate true pair mass
+          shifted.withColumn(t,
+            expr(s"concat(slice($t, ${i + 1}, size($t) - $i), " +
+              s"slice($t, 1, $i))"))
+        else
+          shifted.withColumn(t, concat_ws(" ",
+            transform(split(col(t), " "), w => concat(lit(s"c$i"), w))))
+      }
     }.reduce(_ unionByName _)
   }
 
@@ -120,6 +130,15 @@ object ScaleCheck {
           Map("src0" -> 0.25, "src1" -> 0.125), 400L)
           .groupBy(col("source")).agg(count(lit(1)).as("n")),
         docs, "doc_id", None),
+      ("semdedup",
+        // rotated copies decorrelate across copies (see replicate): cluster
+        // count grows with the data, cluster size stays bounded → the
+        // within-cluster pair mass scales linearly
+        (d: DataFrame) => Similarity.semDedup(d, "vec_id", "embedding", 0.3),
+        embeddings, "vec_id", Some("embedding")),
+      ("unigram_logprob",
+        (d: DataFrame) => TextAnalysis.unigramLogProb(d, "doc_id", "text"),
+        docs, "doc_id", Some("text")),
       ("zorder_stats",
         (d: DataFrame) => graft.io.ZOrder.fileStats(
           d.withColumn("x", col("o_custkey") % 1024)

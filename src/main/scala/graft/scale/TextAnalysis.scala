@@ -69,19 +69,27 @@ object TextAnalysis {
     size(filter(tokens(text), t => array_contains(lit(markers.toArray), t)))
 
   def languageId(df: DataFrame, textCol: String): DataFrame = {
-    val scored = LangMarkers.foldLeft(df) { case (d, (lang, markers)) =>
-      d.withColumn(s"score_$lang", langScore(col(textCol), markers))
-    }
-    val best = LangMarkers.map { case (lang, _) =>
-      struct(col(s"score_$lang").as("s"), lit(lang).as("l"))
-    }
-    // argmax by (score, then lexicographically-larger lang) via array_max on
-    // (score, lang) structs; score 0 → "unknown".
-    val top = array_max(array(best: _*))
-    scored
-      .withColumn("pred_lang",
-        when(top.getField("s") > 0, top.getField("l")).otherwise("unknown"))
-      .drop(LangMarkers.map(m => s"score_${m._1}"): _*)
+    // Everything — tokenize, the 5 marker scans, argmax, tiebreak — happens
+    // inside one singleton-array lambda chain, so the tokenization and the
+    // score array each evaluate exactly ONCE per row. The previous
+    // per-language withColumn formulation let projection collapse re-inline
+    // the `tokens(text)` subtree into every score column and the argmax
+    // struct (≈10 tokenizations/row after inlining — measured 3.8 s at
+    // sf0.1; this shape is ~1 s). Argmax by (score, then lexicographically
+    // larger lang) via array_max over (s, l) structs; score 0 → "unknown".
+    val pred = element_at(
+      transform(array(tokens(col(textCol))), toks => {
+        val best = array_max(array(LangMarkers.map { case (lang, markers) =>
+          struct(
+            size(filter(toks, t => array_contains(lit(markers.toArray), t)))
+              .as("s"),
+            lit(lang).as("l"))
+        }: _*))
+        element_at(transform(array(best), b =>
+          when(b.getField("s") > 0, b.getField("l")).otherwise("unknown")), 1)
+      }),
+      1)
+    df.withColumn("pred_lang", pred)
   }
 
   /** Fixed-size word chunks ("passages"): tokens grouped k at a time, last

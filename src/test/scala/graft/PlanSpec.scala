@@ -219,4 +219,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"group-wise top-n must not funnel to one partition:\n$plan")
   }
+
+  test("semDedup pairs join on the centroid key — no all-pairs cartesian") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.semDedup(emb, "vec_id", "embedding", 0.3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the k-row centroid table rides a broadcast nested loop (a real cross
+    // join against a constant-size side); the id_a<id_b pair join must be
+    // an equi join keyed on centroid_id, never a cartesian over the corpus
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must not be all-pairs:\n$plan")
+  }
+
+  test("q4 EXISTS decorrelates to a semi join; q17 correlated avg broadcasts") {
+    val p4 = SparkEntry.queries("q4_priority_count")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"),
+      s"EXISTS should become one semi join:\n$p4")
+    val p17 = SparkEntry.queries("q17_small_qty_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p17.contains("BroadcastHashJoin"),
+      s"per-part aggregate should broadcast back:\n$p17")
+  }
 }
