@@ -1721,6 +1721,30 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- scale: exact-substring duplication (char k-gram index) ------------
+    "substring_dup_docs" -> ((s, dir) =>
+      Dedup.substringDupPairs(t(s, dir, "documents"), "doc_id", "text", 48, 100)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- composite: CCNet-style per-language perplexity bucketing ----------
+    // Score every document against the corpus's own unigram LM, then split
+    // each language into head/upper/lower/tail quartile buckets by score —
+    // the filtering shape CCNet runs with a KenLM. Buckets come from the
+    // broadcast-quantile join ([[Metrics.quantileBin]]), never a global
+    // ntile window.
+    "perplexity_buckets_docs" -> ((s, dir) => {
+      val scored = TextAnalysis
+        .unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
+        .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+          Seq("doc_id"))
+      Metrics.quantileBin(scored, "lang", "avg_logprob")
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(min(col("avg_logprob")), 6).as("min_score"),
+          round(max(col("avg_logprob")), 6).as("max_score"))
+        .orderBy(col("lang"), col("bin"))
+    }),
+
     // ---- scale: SemDeDup cluster-scoped semantic dedup ---------------------
     "semdedup_embeddings" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
@@ -3595,6 +3619,46 @@ object SparkEntry {
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "substring_dup_docs" ->
+      """WITH w AS (
+        |  SELECT DISTINCT doc_id,
+        |    md5(substr(text, CAST(i AS INT), 48)) AS h
+        |  FROM documents,
+        |    UNNEST(range(1, GREATEST(len(text) - 47, 1) + 1)) AS u(i)),
+        |keep AS (
+        |  SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM w a
+        |JOIN keep ON keep.h = a.h
+        |JOIN w b ON b.h = a.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "perplexity_buckets_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |freq AS (SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(tf) AS DOUBLE) AS total FROM freq),
+        |sc AS (
+        |  SELECT t.doc_id, d.lang,
+        |    ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS s
+        |  FROM tok t JOIN freq USING (token) CROSS JOIN tot
+        |  JOIN documents d ON d.doc_id = t.doc_id
+        |  GROUP BY t.doc_id, d.lang),
+        |q AS (
+        |  SELECT lang, quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.5) AS q2,
+        |    quantile_cont(s, 0.75) AS q3
+        |  FROM sc GROUP BY lang)
+        |SELECT sc.lang,
+        |  1 + CAST(sc.s > q.q1 AS INT) + CAST(sc.s > q.q2 AS INT)
+        |    + CAST(sc.s > q.q3 AS INT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  ROUND(MIN(sc.s), 6) AS min_score,
+        |  ROUND(MAX(sc.s), 6) AS max_score
+        |FROM sc JOIN q ON sc.lang = q.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "unigram_logprob_docs" ->
       """WITH tok AS (

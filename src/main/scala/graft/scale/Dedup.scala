@@ -408,4 +408,61 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
   }
+
+  /** Cross-document exact-substring duplication — the ExactSubstr decision
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) re-shaped for a distributed engine: two
+    * documents are substring-duplicates iff they share ≥ one character
+    * k-gram, i.e. iff they share a substring of length ≥ k. Every stride-1
+    * character window is hashed (md5 — the module's portable-hash
+    * convention); the inverted window-hash index then generates candidate
+    * pairs exactly like [[ngramJaccardPairs]]: count-first df-cut, bounded
+    * posting lists, map-side pair expansion. Where the suffix array finds
+    * the LONGEST shared substring, the k-gram index finds every ≥k-char
+    * share — the same dedup decision at threshold k, embarrassingly
+    * parallel, no global sort.
+    *
+    * Semantics: (id, window-hash) pairs are DISTINCT (a k-gram repeated
+    * inside one doc counts once), so `n_shared` = number of distinct shared
+    * k-grams ≈ L−k+1 for a length-L shared span. Documents shorter than k
+    * contribute their whole text as their single "window" — two identical
+    * short docs still pair. Windows seen by > maxDf docs are boilerplate
+    * (headers, licenses): they carry no pair signal a rarer window wouldn't,
+    * but cost C(df,2) pairs — cut, like the jaccard stop-shingles; windows
+    * in a single doc are cut too (df ≥ 2), which jaccard cannot do (it
+    * needs per-doc sizes) but a pure pair-finder can.
+    *
+    * Scale: the explode is |corpus characters| rows — linear, shuffled once
+    * on the 16-byte hash. At 100 TB, stride the QUERY side by k/2 while
+    * keeping one side stride-1 (halves the index at no recall loss for
+    * spans ≥ 1.5k), or go per-partition suffix arrays; noted, not needed at
+    * tested SFs.
+    */
+  def substringDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 48,
+      maxDf: Int = 100): DataFrame = {
+    val n = length(col(textCol))
+    // one (id, hash) relation, three consumers (df-cut, keep-join,
+    // postings) — materialize once, as ngramJaccardPairs does
+    val w = df.select(col(idCol),
+        explode(transform(
+          sequence(lit(1), greatest(n - (k - 1), lit(1))),
+          i => md5(col(textCol).substr(i, lit(k)).cast("binary")))).as("h"))
+      .distinct()
+      .localCheckpoint(true)
+    val keep = w.groupBy(col("h")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") >= 2 && col("df_cnt") <= maxDf)
+      .select("h")
+    val postings = w.join(keep, Seq("h"))
+      .groupBy(col("h"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+  }
 }

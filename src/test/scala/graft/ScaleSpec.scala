@@ -531,6 +531,21 @@ class ScaleSpec extends SparkSpec {
       s"unexpected drop set: ${got.toSeq}")
   }
 
+  test("substringDupPairs: k-char shares pair, shorter overlaps don't") {
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, s"PREFIX ONE $span"),
+      (2L, s"$span SUFFIX TWO"),                  // shares the 59-char span with 1
+      (3L, "entirely unrelated content with no common character runs at all"),
+      (4L, "tiny"),
+      (5L, "tiny")                                // sub-k doc: whole-text window
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(d, "doc_id", "text", 48, 100)
+      .orderBy($"id_a", $"id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L), (4L, 5L)), s"unexpected pairs: ${got.toSeq}")
+  }
+
   test("unigramLogProb: exact model probabilities on a closed vocabulary") {
     // corpus: total 6 tokens; tf(a)=3, tf(b)=2, tf(c)=1
     val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
