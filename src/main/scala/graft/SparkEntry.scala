@@ -1716,6 +1716,239 @@ object SparkEntry {
         .orderBy(col("c_nationkey"))
     }),
 
+    // ---- TPC-H Q2 shape: regional min-cost supplier (argmin decorrelation) -
+    // partsupp is absent from the corpus, so lineitem's (part, supplier)
+    // pairs play the supply catalog and the min line price plays supply
+    // cost. Argmin without a window: per-pair min, per-part min, equality
+    // join back on the exact decimal, min-suppkey tie-break (same
+    // decorrelation as q15). EUROPE suppliers resolve through a broadcast
+    // semi-join chain, so the fact scan shuffles only on its group keys.
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eurSupp = broadcast(
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("s_suppkey")))
+      val pc = t(s, dir, "lineitem")
+        .join(eurSupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+      val mc = pc.groupBy(col("l_partkey").as("mk"))
+        .agg(min(col("cost")).as("mcost"))
+      pc.join(mc, col("l_partkey") === col("mk") &&
+            col("cost") === col("mcost"))
+        .groupBy(col("l_partkey"), col("cost"))
+        .agg(min(col("l_suppkey")).as("best_suppkey"))
+        .join(broadcast(t(s, dir, "part").filter(col("p_size") <= 5)),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_brand"), col("best_suppkey"),
+          round(col("cost").cast("double"), 6).as("min_cost"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // ---- TPC-H Q8 shape: national market share within a regional market ----
+    // Numerator and denominator accumulate as exact decimal micro-units in
+    // ONE conditional aggregation pass; the share is a single double
+    // division of two exact longs. Customer-region membership is a
+    // broadcast semi-join on orders (never widens the fact rows); supplier
+    // nation is a broadcast dim join.
+    "q8_market_share" -> ((s, dir) => {
+      val amerCust = broadcast(
+        t(s, dir, "customer")
+          .join(t(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "AMERICA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("c_custkey")))
+      val suppNat = broadcast(
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(amerCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val volume = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1).cast("decimal(18,4)") -
+          col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          (sum(when(col("supp_nation") === "NATION_3", volume)
+            .otherwise(lit(0).cast("decimal(28,6)"))).cast("decimal(28,6)")
+            * 1000000).cast("long").as("nation_micro"),
+          (sum(volume).cast("decimal(28,6)") * 1000000)
+            .cast("long").as("total_micro"))
+        .select(col("o_year"),
+          round(col("nation_micro").cast("double") /
+            col("total_micro").cast("double"), 6).as("mkt_share"),
+          round(col("total_micro").cast("double") / 1e6, 6)
+            .as("total_volume"))
+        .orderBy(col("o_year"))
+    }),
+
+    // ---- TPC-H Q9 shape: product profit by supplier nation and year --------
+    // Profit = revenue − imputed supply cost (retailprice·qty/2 — partsupp
+    // has no analog in the corpus), every term exact decimal before the
+    // one grouped sum. Part filter prunes the fact early through a
+    // broadcast join; only orderkey→year requires the fact-fact shuffle.
+    "q9_product_profit" -> ((s, dir) => {
+      val redParts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val suppNat = broadcast(
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("n_name").as("nation")))
+      val profit = (col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,4)") -
+            col("l_discount").cast("decimal(18,4)"))).cast("decimal(28,6)") -
+        (col("p_retailprice").cast("decimal(18,2)") *
+          col("l_quantity").cast("decimal(18,2)") *
+          lit(0.5).cast("decimal(18,2)")).cast("decimal(28,6)")
+      t(s, dir, "lineitem")
+        .join(redParts, col("l_partkey") === col("p_partkey"))
+        .join(suppNat, col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(profit).cast("double").as("profit"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("nation"), col("o_year"))
+    }),
+
+    // ---- TPC-H Q12 shape: late-shipment priority counts --------------------
+    // No l_shipmode/commitdate in the corpus: "late" = shipped more than
+    // 60 days after the order date, mode proxied by l_linestatus. The
+    // two-branch CASE aggregation is the Q12 signature; one fact-fact
+    // shuffle join, conditional sums share one partial-agg pass.
+    "q12_late_shipment_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > expr("o_orderdate + INTERVAL 60 DAY"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ---- TPC-H Q13 shape: customer order-count distribution ----------------
+    // Pre-aggregate orders per customer FIRST (shuffle carries one row per
+    // customer, not per order), then the left-outer join against the
+    // customer dim and a second tiny aggregation over the counts. The
+    // nulls-become-zero outer-join histogram is the Q13 signature.
+    "q13_customer_distribution" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .filter(col("o_orderpriority") =!= "5-LOW")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // ---- TPC-H Q16 shape: supplier count by part attribute -----------------
+    // Distinct-supplier counts per (brand, type, size) with a broadcast
+    // anti-join blacklist (negative-balance suppliers) — lineitem plays
+    // partsupp as the part↔supplier link. Anti + dim joins broadcast;
+    // the only shuffle is the final distinct aggregation on its group keys.
+    "q16_supplier_part_types" -> ((s, dir) => {
+      val badSupp = broadcast(t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0).select(col("s_suppkey")))
+      val parts = broadcast(t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").startsWith("MEDIUM") && col("p_size") <= 9)
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size")))
+      t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    }),
+
+    // ---- TPC-H Q20 shape: suppliers holding a dominant part share ----------
+    // Nested semi-join ladder: small-part filter → per-(part,supplier)
+    // 1996 quantity → per-part total → pairs with share > 1/2 (exact
+    // decimal compare) → ASIA suppliers that own one. Every membership
+    // test is a semi-join, never a fact-widening inner join.
+    "q20_promotion_suppliers" -> ((s, dir) => {
+      val smallParts = broadcast(t(s, dir, "part")
+        .filter(col("p_name").like("small%")).select(col("p_partkey")))
+      val ps = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("pair_qty"))
+      val tot = ps.groupBy(col("l_partkey").as("tk"))
+        .agg(sum(col("pair_qty")).as("part_qty"))
+      val dominant = ps.join(tot,
+          col("l_partkey") === col("tk") &&
+            col("pair_qty") * 2 > col("part_qty"))
+        .select(col("l_suppkey"))
+      val asiaNat = broadcast(t(s, dir, "nation")
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey")))
+      t(s, dir, "supplier")
+        .join(asiaNat, col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // ---- TPC-H Q21 shape: sole-late supplier in multi-supplier orders ------
+    // The EXISTS / NOT-EXISTS pair decorrelates into one per-order
+    // aggregation (supplier count + late-supplier count) joined back to the
+    // per-(order,supplier) late flags — two hash aggregations sharing the
+    // l_orderkey exchange instead of two correlated self-join probes.
+    // "Late" = shipped >90 days after the order date (no receipt/commit
+    // dates in the corpus).
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val ordF = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val perPair = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ordF, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max((col("l_shipdate") >
+          expr("o_orderdate + INTERVAL 90 DAY")).cast("int")).as("supp_late"))
+      val perOrder = perPair.groupBy(col("l_orderkey").as("ok"))
+        .agg(count(lit(1)).as("n_supps"),
+          sum(col("supp_late")).as("n_late_supps"))
+      perPair
+        .join(perOrder, col("l_orderkey") === col("ok") &&
+          col("supp_late") === 1 && col("n_supps") > 1 &&
+          col("n_late_supps") === 1)
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
     // ---- corpus quality: unigram-LM mean log-probability per doc -----------
     "unigram_logprob_docs" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
@@ -3619,6 +3852,160 @@ object SparkEntry {
         |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > tot
         |  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |pc AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM eur)
+        |  GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS mk, MIN(cost) AS mcost FROM pc GROUP BY 1),
+        |best AS (
+        |  SELECT pc.l_partkey, pc.cost, MIN(pc.l_suppkey) AS best_suppkey
+        |  FROM pc JOIN mc ON pc.l_partkey = mc.mk AND pc.cost = mc.mcost
+        |  GROUP BY 1, 2)
+        |SELECT p_partkey, p_brand, best_suppkey,
+        |  ROUND(CAST(cost AS DOUBLE), 6) AS min_cost
+        |FROM best JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q8_market_share" ->
+      """WITH amer AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AMERICA'),
+        |f AS (
+        |  SELECT CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS vol,
+        |    n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE o_custkey IN (SELECT c_custkey FROM amer)
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+        |a AS (
+        |  SELECT o_year,
+        |    CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+        |      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(28,6)) * 1000000
+        |      AS BIGINT) AS nation_micro,
+        |    CAST(CAST(SUM(vol) AS DECIMAL(28,6)) * 1000000 AS BIGINT)
+        |      AS total_micro
+        |  FROM f GROUP BY 1)
+        |SELECT o_year,
+        |  ROUND(CAST(nation_micro AS DOUBLE) / CAST(total_micro AS DOUBLE), 6)
+        |    AS mkt_share,
+        |  ROUND(CAST(total_micro AS DOUBLE) / 1e6, 6) AS total_volume
+        |FROM a ORDER BY o_year""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+        |      AS DECIMAL(28,6)) -
+        |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(0.5 AS DECIMAL(18,2)) AS DECIMAL(28,6))
+        |  ) AS DOUBLE) AS profit,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q12_late_shipment_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q13_customer_distribution" ->
+      """WITH pc AS (
+        |  SELECT o_custkey, COUNT(*) AS n_orders FROM orders
+        |  WHERE o_orderpriority <> '5-LOW' GROUP BY 1),
+        |cc AS (
+        |  SELECT COALESCE(n_orders, 0) AS c_count
+        |  FROM customer LEFT JOIN pc ON c_custkey = o_custkey)
+        |SELECT c_count, COUNT(*) AS custdist
+        |FROM cc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q16_supplier_part_types" ->
+      """SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1'
+        |  AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size <= 9
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q20_promotion_suppliers" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS pair_qty
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    AND l_partkey IN
+        |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT l_partkey AS tk, SUM(pair_qty) AS part_qty
+        |  FROM ps GROUP BY 1),
+        |dominant AS (
+        |  SELECT DISTINCT l_suppkey FROM ps
+        |  JOIN tot ON l_partkey = tk AND pair_qty * 2 > part_qty)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    JOIN region ON n_regionkey = r_regionkey
+        |    WHERE r_name = 'ASIA')
+        |  AND s_suppkey IN (SELECT l_suppkey FROM dominant)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH pp AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    MAX(CAST(l_shipdate > o_orderdate + INTERVAL 90 DAY AS INT))
+        |      AS supp_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |  GROUP BY 1, 2),
+        |po AS (
+        |  SELECT l_orderkey AS ok, COUNT(*) AS n_supps,
+        |    SUM(supp_late) AS n_late_supps
+        |  FROM pp GROUP BY 1)
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM pp
+        |JOIN po ON l_orderkey = ok
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE supp_late = 1 AND n_supps > 1 AND n_late_supps = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
 
     "substring_dup_docs" ->
       """WITH w AS (
