@@ -8,7 +8,7 @@ import graft.io.{Readers, Tables}
 import graft.metrics.Metrics
 import graft.plans.{Joins, SerializeResplitRule}
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Events, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.serialize.Serialize
 import graft.tasks.Wrangler
 import graft.transform.TransformProgram
@@ -1947,6 +1947,57 @@ object SparkEntry {
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
+    }),
+
+    // ---- scale: PageRank centrality over the supplier↔customer trade graph -
+    // Exact integer micro-unit PageRank ([[Graph.pageRankMicro]]): the
+    // bipartite trade graph (distinct supplier–customer pairs from
+    // lineitem⋈orders, symmetrized) ranked by 3 damped iterations. Node
+    // ids disambiguate by an offset; every score is a deterministic long.
+    "pagerank_trade_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + 10000000L).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      Graph.pageRankMicro(edges, 3)
+        .select(
+          when(col("node") >= 10000000L, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          when(col("node") >= 10000000L, col("node") - 10000000L)
+            .otherwise(col("node")).as("node_id"),
+          col("score").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
+    }),
+
+    // ---- streaming: stream-static broadcast enrichment join ----------------
+    // The dimension-enrichment shape every event pipeline needs: a
+    // micro-batch stream joined against a STATIC broadcast dim (no state
+    // store, no watermark — the static side is re-broadcast per batch),
+    // then a streaming aggregation. Batch-equivalent oracle: the same
+    // join+agg over the full table.
+    "streaming_enrich_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val dim = broadcast(t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")))
+      val enriched = stream
+        .join(dim, stream("user_id") === dim("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      val name = "stream_enrich_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, enriched, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("c_mktsegment"), col("event_type"))
     }),
 
     // ---- corpus quality: unigram-LM mean log-probability per doc -----------
@@ -4006,6 +4057,54 @@ object SparkEntry {
         |WHERE supp_late = 1 AND n_supps > 1 AND n_late_supps = 1
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+
+    "pagerank_trade_orders" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey + 10000000 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT sk AS src, ck AS dst FROM pairs
+        |  UNION ALL SELECT ck AS src, sk AS dst FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS node FROM edges),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+        |s0 AS (SELECT node, CAST(1000000 AS BIGINT) AS score FROM nodes),
+        |i1 AS (
+        |  SELECT n.node, CAST(150000 +
+        |    (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(s.score // d.outdeg AS BIGINT) AS contrib
+        |    FROM edges e JOIN s0 s ON e.src = s.node
+        |    JOIN deg d ON e.src = d.src) c ON c.dst = n.node
+        |  GROUP BY 1),
+        |i2 AS (
+        |  SELECT n.node, CAST(150000 +
+        |    (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(s.score // d.outdeg AS BIGINT) AS contrib
+        |    FROM edges e JOIN i1 s ON e.src = s.node
+        |    JOIN deg d ON e.src = d.src) c ON c.dst = n.node
+        |  GROUP BY 1),
+        |i3 AS (
+        |  SELECT n.node, CAST(150000 +
+        |    (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS score
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(s.score // d.outdeg AS BIGINT) AS contrib
+        |    FROM edges e JOIN i2 s ON e.src = s.node
+        |    JOIN deg d ON e.src = d.src) c ON c.dst = n.node
+        |  GROUP BY 1)
+        |SELECT CASE WHEN node >= 10000000 THEN 'customer'
+        |    ELSE 'supplier' END AS node_type,
+        |  CAST(CASE WHEN node >= 10000000 THEN node - 10000000
+        |    ELSE node END AS BIGINT) AS node_id,
+        |  score AS score_micro
+        |FROM i3
+        |ORDER BY score_micro DESC, node_type, node_id""".stripMargin,
+
+    "streaming_enrich_events" ->
+      """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "substring_dup_docs" ->
       """WITH w AS (

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.scale.Graph
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 4-node path graph a—b—c—d (symmetrized): interior nodes must outrank
+    * endpoints, and the exact scores are hand-checkable integers.
+    */
+  private def pathEdges = Seq(
+    (1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L), (3L, 4L), (4L, 3L))
+    .toDF("src", "dst")
+
+  test("pageRankMicro: hand-computed exact scores on a path graph") {
+    // deg: 1→1, 2→2, 3→2, 4→1. s0 = 1_000_000 each.
+    // i1 contribs: into 1: s(2)/2 = 500000; into 2: s(1)/1 + s(3)/2
+    //   = 1500000; into 3: s(2)/2 + s(4)/1 = 1500000; into 4: 500000.
+    // i1 scores: ends 150000+425000=575000; mids 150000+1275000=1425000.
+    val got = Graph.pageRankMicro(pathEdges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(
+      1L -> 575000L, 2L -> 1425000L, 3L -> 1425000L, 4L -> 575000L))
+  }
+
+  test("pageRankMicro: partition-invariant (1 vs 7 partitions)") {
+    val e = pathEdges.union(Seq((4L, 1L), (1L, 4L)).toDF("src", "dst"))
+    val a = Graph.pageRankMicro(e.repartition(1), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val b = Graph.pageRankMicro(e.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(a.sameElements(b))
+  }
+
+  test("pageRankMicro: total mass stays bounded and mids dominate") {
+    val scores = Graph.pageRankMicro(pathEdges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(2L) > scores(1L) && scores(3L) > scores(4L))
+    // floor divisions only ever LOSE mass vs the rational fixpoint:
+    // total ≤ 4 · 1e6 at every iteration
+    assert(scores.values.sum <= 4000000L)
+    assert(scores.values.forall(_ >= 150000L))
+  }
+
+  test("pageRankMicro: zero-in-degree node falls back to teleport mass") {
+    // b→a only: a never links out to b, so b's score is exactly 150000
+    val e = Seq((2L, 1L)).toDF("src", "dst")
+    val got = Graph.pageRankMicro(e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(2L) === 150000L)
+    assert(got(1L) === 150000L + 85L * 150000L / 100L)
+  }
+}
