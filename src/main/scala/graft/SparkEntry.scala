@@ -946,6 +946,11 @@ object SparkEntry {
           Seq(col("event_id")))
         .orderBy(col("event_type"))),
 
+    // ---- heavy-hitter key diagnostic (decides when salting pays) -----------
+    "heavy_hitters_events" -> ((s, dir) =>
+      graft.scale.Skew.heavyHitters(
+        t(s, dir, "events"), Seq("user_id", "event_type"), 25)),
+
     // ---- composite training-data pipeline: quality filter → exact dedup →
     // stratified per-lang sample (the 100 TB preprocessing shape) ------------
     "training_pipeline_docs" -> ((s, dir) => {
@@ -1271,6 +1276,16 @@ object SparkEntry {
     "bm25_search_docs" -> ((s, dir) =>
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("join", "vector", "stream"), 20)),
+
+    // ---- RAG composite: passage chunks → passage-grain BM25 → top-k --------
+    "rag_retrieve_docs" -> ((s, dir) =>
+      TextAnalysis.ragRetrieve(t(s, dir, "documents"), "doc_id", "text",
+        8, 4, Seq("merge", "window"), 15)),
+
+    // ---- hashed-feature linear quality classifier (fastText-style gate) ----
+    "classifier_score_docs" -> ((s, dir) =>
+      TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
 
     // ---- quality-proportional (weighted Bernoulli) corpus sampling ---------
     "weighted_sample_docs" -> ((s, dir) => {
@@ -2032,7 +2047,13 @@ object SparkEntry {
     // ---- scale: SemDeDup cluster-scoped semantic dedup ---------------------
     "semdedup_embeddings" -> ((s, dir) =>
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // ---- nearest-centroid (Rocchio) classifier confusion matrix ------------
+    "centroid_classify_embeddings" -> ((s, dir) =>
+      Similarity.nearestCentroidConfusion(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("label"), col("pred_label")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -2847,6 +2868,15 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "heavy_hitters_events" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT COUNT(*) AS total FROM events)
+        |SELECT user_id, event_type, cnt,
+        |  ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
+        |FROM c, t ORDER BY cnt DESC, user_id, event_type LIMIT 25""".stripMargin,
 
     "training_pipeline_docs" ->
       """WITH q AS (
@@ -3808,6 +3838,66 @@ object SparkEntry {
         |SELECT doc_id, dl, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
+    // passage windows (size 8, stride 4) then the same BM25 form at passage
+    // grain — corpus stats computed over passages, like a passage index
+    "rag_retrieve_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS win_idx,
+        |    t[(i*4+1):(i*4+8)] AS pt
+        |  FROM toks, UNNEST(range(0,
+        |    CAST(ceil((greatest(len(t) - 7, 1) - 1) / 4.0) AS INT) + 1)) AS u(i)),
+        |d AS (
+        |  SELECT doc_id, win_idx, array_to_string(pt, ' ') AS passage,
+        |    CAST(len(pt) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(pt, x -> x = 'merge')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(pt, x -> x = 'window')) AS BIGINT) AS tf1
+        |  FROM w),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1
+        |  FROM d),
+        |s AS (
+        |  SELECT d.*, n_docs, df0, df1,
+        |    CAST(total_dl AS DOUBLE) / n_docs AS avgdl
+        |  FROM d, g),
+        |sc AS (
+        |  SELECT doc_id, win_idx, dl, passage, ROUND(
+        |    ((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |      * (CAST(tf0 AS DOUBLE) * 2.25) / (CAST(tf0 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |    + ((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |      * (CAST(tf1 AS DOUBLE) * 2.25) / (CAST(tf1 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+        |    AS score
+        |  FROM s)
+        |SELECT doc_id, win_idx, dl, score, passage FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id, win_idx LIMIT 15""".stripMargin,
+
+    // same 60-bit md5 token hash simhash uses; bucket→weight is the Knuth
+    // multiplicative mix onto [-1000, 1000] — all BIGINT math in both engines
+    "classifier_score_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(w) AS BIGINT) AS w_sum,
+        |  ROUND(CAST(CAST(SUM(w) AS BIGINT) AS DOUBLE) / COUNT(*), 6) AS score,
+        |  CAST(SUM(w) AS BIGINT) > 0 AS keep
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q4_priority_count" ->
       """SELECT o_orderpriority, COUNT(*) AS n_orders
         |FROM orders o
@@ -4186,6 +4276,35 @@ object SparkEntry {
         |  ROUND(MAX(cs), 6) AS max_sim
         |FROM pairs WHERE cs >= 0.3
         |GROUP BY centroid_id, id_b
-        |ORDER BY vec_id""".stripMargin
+        |ORDER BY vec_id""".stripMargin,
+
+    // per-label centroid components are floor(1024·Σx / n) — exact integers
+    // in both engines (kmeans_assign discipline); argmin over exact long L2²
+    "centroid_classify_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT label, i, qv.v[i] AS x
+        |  FROM qv, UNNEST(range(1, len(v) + 1)) AS u(i)),
+        |cm AS (
+        |  SELECT label AS clabel, i,
+        |    CAST(FLOOR(CAST(CAST(SUM(x) AS BIGINT) * 1024 AS DOUBLE)
+        |      / COUNT(*)) AS BIGINT) AS m
+        |  FROM ex GROUP BY 1, 2),
+        |cents AS (SELECT clabel, list(m ORDER BY i) AS cv FROM cm GROUP BY 1),
+        |d AS (
+        |  SELECT q.vec_id, q.label, c.clabel,
+        |    (SELECT SUM((q.v[i]*1024 - c.cv[i]) * (q.v[i]*1024 - c.cv[i]))
+        |     FROM UNNEST(range(1, len(q.v) + 1)) AS u(i)) AS d2
+        |  FROM qv q CROSS JOIN cents c),
+        |a AS (
+        |  SELECT vec_id, label, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
+        |  FROM d)
+        |SELECT label, clabel AS pred_label, COUNT(*) AS n
+        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -49,15 +49,18 @@ object Graph {
     // (e.g. a fact-fact join producing the edges) re-executes per round —
     // and the per-iteration score lineage would nest it k times over
     // (measured 10 s → ~2 s at sf0.1 for 3 iterations).
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // the caller's edge derivation (often a fact-fact join) would otherwise
+    // re-execute THREE times below — once for nodes, twice inside degEdges
+    val e = edges.localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     // out-degree folded onto each edge ONCE — iterations then reuse the
     // same (src, dst, outdeg) relation instead of re-joining the degree
     // table every round
-    val degEdges = edges
-      .join(edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+    val degEdges = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
       .localCheckpoint(true)
     var scores = nodes.withColumn("score", lit(1000000L))

@@ -403,4 +403,51 @@ object Similarity {
       .select(col("id_b").as("vec_id"), col("centroid_id"),
         col("n_dups"), col("max_sim"))
   }
+
+  /** Nearest-centroid classification eval: build one centroid per LABEL
+    * (the Rocchio classifier / "prototype" eval every embedding-model
+    * pipeline runs), assign each vector to its nearest class centroid, and
+    * emit the confusion matrix (true label × predicted label × count) — the
+    * embedding-space analog of [[graft.metrics.Metrics.confusionMetrics]].
+    *
+    * Exactness (the kmeans_assign discipline): vectors quantize to 1e-3
+    * longs; each centroid component is floor(1024·Σx / n) — an integer both
+    * engines compute identically (the division result is ≥ 1/n from the
+    * nearest integer whenever it isn't exact, far outside double error at
+    * any class size below 2^40) — so the argmin compares exact long
+    * distances, tie-broken on label.
+    *
+    * Plan: one posexplode + hash-agg for the centroids (rows = labels ×
+    * dim, broadcast back), one codegen L2² projection per (vector, label),
+    * one min-struct hash-agg keyed on the vector, one tiny confusion agg.
+    * No window, no pair join — linear at 100 TB.
+    */
+  def nearestCentroidConfusion(
+      df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame = {
+    val vecs = df.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__label"),
+      quantize(col(vecCol)).as("__v"))
+    val cents = vecs
+      .select(col("__label").as("clabel"),
+        posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("clabel"), col("pos"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor((col("sx") * lit(1024L)).cast("double") / col("n")).cast("long"))
+      .groupBy(col("clabel"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("__pairs"))
+      .select(col("clabel"),
+        transform(col("__pairs"), p => p.getField("m")).as("centv"))
+    val scaled = vecs.withColumn("__sv",
+      transform(col("__v"), x => x * lit(1024L)))
+    scaled.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("__sv"), col("centv")))
+      .groupBy(col("__id"), col("__label"))
+      .agg(min(struct(col("__d2"), col("clabel"))).as("__best"))
+      .select(col("__label").as("label"),
+        col("__best").getField("clabel").as("pred_label"))
+      .groupBy(col("label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
 }

@@ -88,4 +88,24 @@ object Skew {
           saltedBig(bigKey) === fannedDim(dimKey))
       .drop("__salt")
   }
+
+  /** Heavy-hitter diagnostic: the exact top-`n` keys by row count with each
+    * key's share of the table — the measurement that DECIDES when the
+    * salting above (or a broadcast/AQE skew split) is worth applying. One
+    * hash aggregation (map-side partials absorb the hot keys — the agg
+    * itself is skew-immune), one broadcast 1-row total, one
+    * TakeOrderedAndProject for the top-n: no global sort, no window, linear
+    * at 100 TB.
+    */
+  def heavyHitters(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val counts = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select((keyCols.map(col) :+ col("cnt") :+
+        round(col("cnt").cast("double") / col("total"), 6).as("share")): _*)
+      .orderBy(col("cnt").desc +: keyCols.map(col): _*)
+      .limit(n)
+  }
 }

@@ -228,13 +228,24 @@ object TextAnalysis {
     * count keeps the output bounded (TakeOrderedAndProject, no global sort).
     */
   def bigramStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
-    val bg = df.select(explode(wordNgrams(col(textCol), 2)).as("bg"))
-      .filter(size(split(col("bg"), " ")) === 2)
-      .select(col("bg"), split(col("bg"), " ").getItem(0).as("w1"))
-    val counts = bg.groupBy(col("bg"), col("w1")).agg(count(lit(1)).as("cnt"))
-    val left = counts.groupBy(col("w1")).agg(sum(col("cnt")).as("w1_cnt"))
-    counts.join(left, Seq("w1"))
-      .select(col("bg"), col("cnt"), col("w1_cnt"),
+    // Bigrams as zipped token-array slices (arrays_zip + slice are
+    // codegen'd) rather than building "w1 w2" strings inside an interpreted
+    // HOF lambda and re-splitting them — and the left-word totals come from
+    // a window over the aggregated bigram table (one extra keyed exchange
+    // over a vocab²-bounded table) instead of a self-join that recomputes
+    // the full explode lineage twice. Measured 12.6 s → ~1 s at sf0.1.
+    val t = tokens(col(textCol))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val pair = arrays_zip(slice(t, lit(1), n1).as("w1"),
+      slice(t, lit(2), n1).as("w2"))
+    val counts = df.select(explode(pair).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("w1"))
+    counts
+      .withColumn("w1_cnt", sum(col("cnt")).over(w))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"), col("cnt"),
+        col("w1_cnt"),
         round(col("cnt").cast("double") / col("w1_cnt"), 6).as("p_cond"))
       .orderBy(col("cnt").desc, col("bg"))
       .limit(k)
@@ -480,6 +491,87 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_tokens"),
         round(avg(log(col("tf").cast("double") / col("total"))), 6)
           .as("avg_logprob"))
+  }
+
+  /** Hashed-feature linear text classifier — the distributed shape of a
+    * fastText-style quality filter (score = mean of per-token weights from a
+    * hashed embedding table; CCNet / Llama-era pipelines gate documents on
+    * exactly this kind of cheap linear model). The "model" here is a
+    * deterministic weight function of the hash bucket (a Knuth
+    * multiplicative mix onto [-1000, 1000] milli-units) so the oracle can
+    * replay it bit-for-bit; a real deployment broadcasts a trained
+    * weight array and looks weights up by the same bucket id.
+    *
+    * Plan: explode → md5-bucket projection (codegen) → one hash-agg keyed on
+    * the document — map-side partials, no join, no window. Linear at 100 TB.
+    * Integer weight sums are exact longs; the mean is the only double step.
+    */
+  def hashedLinearScore(
+      df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    // 60-bit token hash (15 md5 hex chars — same portable form simhash uses)
+    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    val bucket = pmod(h, lit(nBuckets.toLong))
+    val w = pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
+    tok
+      .withColumn("__w", w)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__w")).as("w_sum"))
+      .select(col(idCol), col("n_tokens"), col("w_sum"),
+        round(col("w_sum").cast("double") / col("n_tokens"), 6).as("score"),
+        (col("w_sum") > 0L).as("keep"))
+  }
+
+  /** RAG retrieval composite: overlapping passage windows → BM25 score per
+    * passage against a fixed query → global top-k passages. The
+    * chunk-then-retrieve shape of a retrieval-augmented-generation corpus
+    * build: [[passageWindows]] provides the chunks, the scorer is the same
+    * rational-idf BM25 as [[bm25TopK]] but at passage grain (corpus stats —
+    * n/avgdl/df — are computed over PASSAGES, as a passage index would).
+    *
+    * Plan: one explode (windows), one 1-row stats agg broadcast back, one
+    * TakeOrderedAndProject for the top-k — no global sort, no pair joins;
+    * everything before the top-k is a linear scan at 100 TB.
+    */
+  def ragRetrieve(
+      df: DataFrame, idCol: String, textCol: String,
+      winSize: Int, stride: Int, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "ragRetrieve needs at least one query term")
+    val passages = passageWindows(df, idCol, textCol, winSize, stride)
+    val pt = passages.withColumn("__t", tokens(col("passage")))
+      .select(
+        (col(idCol) +: col("win_idx") +: col("passage") +:
+          size(col("__t")).cast("long").as("dl") +:
+          queryTerms.zipWithIndex.map { case (term, i) =>
+            size(filter(col("__t"), x => x === term)).cast("long").as(s"tf$i")
+          }): _*)
+    val constAggs =
+      count(lit(1)).cast("long").as("n_docs") +:
+        sum(col("dl")).cast("long").as("total_dl") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).cast("long")
+            .as(s"df$i"))
+    val consts = pt.agg(constAggs.head, constAggs.tail: _*)
+    val scored = pt.crossJoin(broadcast(consts))
+      .withColumn("avgdl", col("total_dl").cast("double") / col("n_docs"))
+    val termScores = queryTerms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val idf = (col("n_docs").cast("double") - col(s"df$i") + lit(0.5)) /
+        (col(s"df$i").cast("double") + lit(0.5))
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) +
+          lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    }
+    scored
+      .withColumn("score", round(termScores.reduceLeft(_ + _), 6))
+      .filter(col("score") > 0)
+      .select(col(idCol), col("win_idx"), col("dl"), col("score"),
+        col("passage"))
+      .orderBy(col("score").desc, col(idCol), col("win_idx"))
+      .limit(k)
   }
 }
 

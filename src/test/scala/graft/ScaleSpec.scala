@@ -558,4 +558,78 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 3L, exp1), (2L, 3L, exp2)),
       s"unexpected scores: ${got.toSeq}")
   }
+
+  test("hashedLinearScore: weight sums are per-token additive, " +
+      "partition-invariant, keep = sign") {
+    val d = Seq(
+      (1L, "alpha"),
+      (2L, "alpha alpha alpha"),
+      (3L, "alpha beta")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.hashedLinearScore(d, "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("score"), r.getAs[Boolean]("keep")))
+    val Seq(r1, r2, r3) = rows.toSeq
+    val wAlpha = r1._3
+    assert(r1._2 == 1L && r2._2 == 3L && r3._2 == 2L)
+    // same token ⇒ same weight every occurrence; w_sum is exactly additive
+    assert(r2._3 == 3 * wAlpha, s"triple-token sum ${r2._3} != 3·$wAlpha")
+    assert(math.abs(wAlpha) <= 1000, s"weight $wAlpha outside milli-range")
+    assert(r3._4 == math.rint(r3._3.toDouble / 2 * 1e6) / 1e6)
+    rows.foreach(r => assert(r._5 == r._3 > 0))
+    // partitioning must not change anything (pure hash-agg)
+    val repart = TextAnalysis.hashedLinearScore(
+        d.repartition(7), "doc_id", "text")
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(repart.toSeq == rows.map(r => (r._1, r._3)).toSeq)
+  }
+
+  test("nearestCentroidConfusion: planted clusters classify diagonally") {
+    // label 0 hugs e1, label 1 hugs e2; one mislabeled vector sits in the
+    // wrong cluster to prove off-diagonal cells appear where they should
+    val d = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.9f, 0.1f), 0),
+      (3L, Array(1.1f, -0.1f), 0),
+      (4L, Array(0.0f, 1.0f), 1), (5L, Array(0.1f, 0.9f), 1),
+      (6L, Array(-0.1f, 1.1f), 1),
+      (7L, Array(1.0f, 0.05f), 1) // label-1 row deep inside cluster 0
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidConfusion(
+        d, "vec_id", "embedding", "label")
+      .orderBy($"label", $"pred_label")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // centroid 1 is dragged slightly toward e1 by row 7, but rows 4-6 stay
+    // nearest to it; row 7 itself lands on centroid 0 → (1, 0, 1)
+    assert(got == Seq((0L, 0L, 3L), (1L, 0L, 1L), (1L, 1L, 3L)),
+      s"unexpected confusion: $got")
+  }
+
+  test("heavyHitters: exact top-n with shares, count-desc tiebreak on key") {
+    val d = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
+    val got = graft.scale.Skew.heavyHitters(d, Seq("k"), 2)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getAs[Double]("share"))).toSeq
+    assert(got == Seq(("a", 3L, 0.5), ("b", 2L, 0.333333)),
+      s"unexpected hitters: $got")
+  }
+
+  test("ragRetrieve: passage containing the query terms ranks first, " +
+      "term-free docs never appear") {
+    val d = Seq(
+      (1L, "merge window merge filler filler filler filler filler " +
+        "noise noise noise noise noise noise noise noise"),
+      (2L, "scan scan scan scan scan scan scan scan")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ragRetrieve(
+        d, "doc_id", "text", 4, 2, Seq("merge", "window"), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("score"), r.getString(4))).toSeq
+    assert(got.nonEmpty && got.head._1 == 1L && got.head._2 == 1L,
+      s"expected doc 1 window 1 first: $got")
+    assert(got.head._4 == "merge window merge filler")
+    assert(got.forall(_._1 == 1L), s"term-free doc leaked in: $got")
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+  }
 }
