@@ -144,7 +144,35 @@ object ScaleCheck {
           d.withColumn("x", col("o_custkey") % 1024)
             .withColumn("y", col("o_orderkey") % 1024),
           col("x"), col("y"), 10, 4),
-        orders, "o_orderkey", None))
+        orders, "o_orderkey", None),
+      ("classifier_score",
+        (d: DataFrame) => TextAnalysis.hashedLinearScore(d, "doc_id", "text"),
+        docs, "doc_id", None),
+      ("rag_retrieve",
+        // salted copies carry no query terms, but every passage still flows
+        // through the window explode + corpus-stats agg being measured
+        (d: DataFrame) => TextAnalysis.ragRetrieve(d, "doc_id", "text",
+          8, 4, Seq("merge", "window"), 15),
+        docs, "doc_id", Some("text")),
+      ("substring_dup",
+        // token prefixes shift every character window → cross-copy shares
+        // vanish; the |chars| explode + postings shuffle is what's timed
+        (d: DataFrame) => Dedup.substringDupPairs(d, "doc_id", "text", 48, 100),
+        docs, "doc_id", Some("text")),
+      ("hard_negatives",
+        // id shift is a multiple of centroidMod → each copy contributes its
+        // own centroids; rotation keeps cells bounded while cell COUNT grows
+        (d: DataFrame) => Similarity.hardNegatives(
+          d, "vec_id", "embedding", "label"),
+        embeddings, "vec_id", Some("embedding")),
+      ("centroid_classify",
+        (d: DataFrame) => Similarity.nearestCentroidConfusion(
+          d, "vec_id", "embedding", "label"),
+        embeddings, "vec_id", Some("embedding")),
+      ("heavy_hitters",
+        (d: DataFrame) => graft.scale.Skew.heavyHitters(
+          d, Seq("user_id", "event_type"), 25),
+        events, "user_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -2053,7 +2053,13 @@ object SparkEntry {
     "centroid_classify_embeddings" -> ((s, dir) =>
       Similarity.nearestCentroidConfusion(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .orderBy(col("label"), col("pred_label")))
+        .orderBy(col("label"), col("pred_label"))),
+
+    // ---- hard-negative mining (IVF-cell-blocked contrastive pairs) ---------
+    "hard_negatives_embeddings" -> ((s, dir) =>
+      Similarity.hardNegatives(
+          t(s, dir, "embeddings"), "vec_id", "embedding", "label")
+        .orderBy(col("vec_id")))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -4199,7 +4205,8 @@ object SparkEntry {
     "substring_dup_docs" ->
       """WITH w AS (
         |  SELECT DISTINCT doc_id,
-        |    md5(substr(text, CAST(i AS INT), 48)) AS h
+        |    CAST(('0x' || substring(md5(substr(text, CAST(i AS INT), 48)),
+        |      1, 15)) AS BIGINT) AS h
         |  FROM documents,
         |    UNNEST(range(1, GREATEST(len(text) - 47, 1) + 1)) AS u(i)),
         |keep AS (
@@ -4305,6 +4312,40 @@ object SparkEntry {
         |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, clabel) AS rk
         |  FROM d)
         |SELECT label, clabel AS pred_label, COUNT(*) AS n
-        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |FROM a WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same cell-assignment walk as semdedup, then the per-anchor nearest
+    // OTHER-label candidate within the cell — exact long L2², id tiebreak
+    "hard_negatives_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv
+        |  WHERE vec_id % 100 = 0),
+        |asn AS (
+        |  SELECT vec_id, label, v, centroid_id FROM (
+        |    SELECT q.vec_id, q.label, q.v, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        (SELECT SUM((q.v[i] - c.centv[i]) * (q.v[i] - c.centv[i]))
+        |         FROM UNNEST(range(1, len(q.v) + 1)) AS u(i)),
+        |        c.centroid_id) AS crk
+        |    FROM qv q CROSS JOIN cents c)
+        |  WHERE crk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+        |    b.label AS neg_label,
+        |    (SELECT SUM((a.v[i] - b.v[i]) * (a.v[i] - b.v[i]))
+        |     FROM UNNEST(range(1, len(a.v) + 1)) AS u(i)) AS d2
+        |  FROM asn a JOIN asn b
+        |    ON a.centroid_id = b.centroid_id AND a.label <> b.label),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY d2, neg_id, neg_label) AS rk
+        |  FROM pairs)
+        |SELECT vec_id, label, neg_id, neg_label, CAST(d2 AS BIGINT) AS d2
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
   )
 }

@@ -447,11 +447,19 @@ object Dedup {
     val n = length(col(textCol))
     // explode window START POSITIONS, then hash in a codegen projection —
     // md5 inside a `transform` lambda evaluates interpreted per element
-    // (the repo-wide HOF discipline; measured ~6× on this operator)
+    // (the repo-wide HOF discipline; measured ~6× on this operator).
+    // The key is the top 60 bits of the md5 as a LONG (the portable
+    // truncation simhash uses): the distinct + df-cut + postings shuffles
+    // then carry 8-byte keys instead of 32-char hex strings; 60-bit
+    // collisions are negligible below ~2^30 distinct windows per corpus
+    // (and a collision only ever ADDS a candidate pair, never drops one).
     val w = df.select(col(idCol), col(textCol),
         explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("__i"))
       .select(col(idCol),
-        md5(col(textCol).substr(col("__i"), lit(k)).cast("binary")).as("h"))
+        conv(substring(
+            md5(col(textCol).substr(col("__i"), lit(k)).cast("binary")),
+            1, 15), 16, 10)
+          .cast("long").as("h"))
       // one (id, hash) relation, three consumers (df-cut, keep-join,
       // postings) — materialize once, as ngramJaccardPairs does
       .distinct()

@@ -404,6 +404,48 @@ object Similarity {
         col("n_dups"), col("max_sim"))
   }
 
+  /** Hard-negative mining for embedding-model training: for each anchor
+    * vector, the single nearest vector carrying a DIFFERENT label — the
+    * contrastive pair a triplet/InfoNCE trainer wants. Exhaustive
+    * cross-label search is all-pairs; this blocks candidates by IVF cell
+    * (the deterministic id-modulo centroid convention [[semDedup]] and
+    * [[ivfTopK]] use — a trained [[kmeansCentroids]] codebook drops in),
+    * so the pair work is within-cell only, ~1/k of the corpus per anchor
+    * at any scale. Anchors whose cell holds no other-label vector emit
+    * nothing (miss rate falls as nProbe rises; 1-probe here).
+    *
+    * Exactness: distances are exact long L2² over 1e-3-quantized vectors;
+    * per-anchor argmin tie-breaks on candidate id.
+    */
+  def hardNegatives(
+      df: DataFrame, idCol: String, vecCol: String, labelCol: String,
+      centroidMod: Int = 100): DataFrame = {
+    val cents = df.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+    val vecs = df.select(col(idCol).as("__id"),
+      col(labelCol).cast("long").as("__label"),
+      quantize(col(vecCol)).as("__v"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("__cd2"), col("centroid_id"))
+    val asn = vecs.crossJoin(broadcast(cents))
+      .withColumn("__cd2", l2Sq(col("__v"), col("centv")))
+      .withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") === 1)
+      .select(col("centroid_id"), col("__id"), col("__label"), col("__v"))
+    val cand = asn.select(col("centroid_id"), col("__id").as("neg_id"),
+      col("__label").as("neg_label"), col("__v").as("neg_v"))
+    asn.join(cand, Seq("centroid_id"))
+      .filter(col("__label") =!= col("neg_label"))
+      .withColumn("__d2", l2Sq(col("__v"), col("neg_v")))
+      .groupBy(col("__id"), col("__label"))
+      .agg(min(struct(col("__d2"), col("neg_id"), col("neg_label")))
+        .as("__best"))
+      .select(col("__id").as(idCol), col("__label").as("label"),
+        col("__best").getField("neg_id").as("neg_id"),
+        col("__best").getField("neg_label").as("neg_label"),
+        col("__best").getField("__d2").as("d2"))
+  }
+
   /** Nearest-centroid classification eval: build one centroid per LABEL
     * (the Rocchio classifier / "prototype" eval every embedding-model
     * pipeline runs), assign each vector to its nearest class centroid, and

@@ -606,6 +606,32 @@ class ScaleSpec extends SparkSpec {
       s"unexpected confusion: $got")
   }
 
+  test("hardNegatives: nearest other-label vector within the cell, " +
+      "anchors with no cross-label candidate drop") {
+    // centroidMod=100 with max id 6 ⇒ one centroid (id 0): a single cell,
+    // so blocking is exhaustive here and expectations are hand-computable
+    val d = Seq(
+      (0L, Array(0.0f, 0.0f), 0),
+      (1L, Array(0.1f, 0.0f), 0),
+      (2L, Array(0.3f, 0.0f), 1),   // nearest label-1 to both 0 and 1
+      (3L, Array(0.5f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(d, "vec_id", "embedding", "label")
+      .orderBy($"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 0L, 2L, 1L, 90000L),    // (300-0)² at 1e-3 quantization
+      (1L, 0L, 2L, 1L, 40000L),
+      (2L, 1L, 1L, 0L, 40000L),
+      (3L, 1L, 1L, 0L, 160000L)),
+      s"unexpected negatives: $got")
+    // all same label ⇒ empty result, not an error
+    val same = d.withColumn("label", lit(7))
+    assert(Similarity.hardNegatives(same, "vec_id", "embedding", "label")
+      .count() == 0L)
+  }
+
   test("heavyHitters: exact top-n with shares, count-desc tiebreak on key") {
     val d = Seq("a", "a", "a", "b", "b", "c").map(Tuple1(_)).toDF("k")
     val got = graft.scale.Skew.heavyHitters(d, Seq("k"), 2)
