@@ -1287,6 +1287,14 @@ object SparkEntry {
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- cross-corpus n-gram overlap (diversity / contamination metric) ----
+    "ngram_overlap_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.ngramOverlap(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text", 3)
+    }),
+
     // ---- quality-proportional (weighted Bernoulli) corpus sampling ---------
     "weighted_sample_docs" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2874,6 +2882,35 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // same 3-shingle construction as the jaccard oracle, per language side;
+    // |intersection| of two DISTINCT sets = inner-join row count
+    "ngram_overlap_docs" ->
+      """WITH ta AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE lang = 'en'),
+        |tb AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents WHERE lang <> 'en'),
+        |sa AS (
+        |  SELECT DISTINCT concat(t[i], COALESCE(' ' || t[i+1], ''),
+        |    COALESCE(' ' || t[i+2], '')) AS s
+        |  FROM ta, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |sb AS (
+        |  SELECT DISTINCT concat(t[i], COALESCE(' ' || t[i+1], ''),
+        |    COALESCE(' ' || t[i+2], '')) AS s
+        |  FROM tb, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |c AS (
+        |  SELECT (SELECT COUNT(*) FROM sa) AS n_a,
+        |    (SELECT COUNT(*) FROM sb) AS n_b,
+        |    (SELECT COUNT(*) FROM sa JOIN sb ON sa.s = sb.s) AS n_common)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(n_common AS BIGINT) AS n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / n_a, 6) AS overlap_a,
+        |  ROUND(CAST(n_common AS DOUBLE) / n_b, 6) AS overlap_b
+        |FROM c""".stripMargin,
 
     "heavy_hitters_events" ->
       """WITH c AS (

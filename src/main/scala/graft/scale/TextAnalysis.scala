@@ -524,6 +524,31 @@ object TextAnalysis {
         (col("w_sum") > 0L).as("keep"))
   }
 
+  /** Cross-corpus n-gram overlap — the corpus-level diversity /
+    * contamination metric (what share of corpus A's distinct k-shingles
+    * also occur in corpus B, and vice versa): the aggregate form of
+    * benchmark decontamination, and the standard check that generated or
+    * newly-crawled data isn't just re-serving the existing corpus.
+    *
+    * Plan: per-side distinct shingle sets (explode + hash-agg), one
+    * full-outer equi-join on the shingle, one 1-row aggregate. Both sides
+    * shuffle once on the shingle key — linear at 100 TB, no pair work.
+    */
+  def ngramOverlap(
+      a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
+    def side(df: DataFrame, flag: String) =
+      df.select(explode(Shingles.wordShingles(col(textCol), k)).as("s"))
+        .distinct()
+        .withColumn(flag, lit(1L))
+    side(a, "in_a").join(side(b, "in_b"), Seq("s"), "full_outer")
+      .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
+        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        round(col("n_common").cast("double") / col("n_a"), 6).as("overlap_a"),
+        round(col("n_common").cast("double") / col("n_b"), 6).as("overlap_b"))
+  }
+
   /** RAG retrieval composite: overlapping passage windows → BM25 score per
     * passage against a fixed query → global top-k passages. The
     * chunk-then-retrieve shape of a retrieval-augmented-generation corpus

@@ -606,6 +606,17 @@ class ScaleSpec extends SparkSpec {
       s"unexpected confusion: $got")
   }
 
+  test("ngramOverlap: exact distinct-shingle intersection both ways") {
+    // A: shingles {a b c, b c d} ∪ {x y z}; B: shingles {b c d, c d e}
+    // common = {b c d} → n_a=3, n_b=2, n_common=1
+    val a = Seq((1L, "a b c d"), (2L, "x y z")).toDF("doc_id", "text")
+    val b = Seq((3L, "b c d e")).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramOverlap(a, b, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("overlap_a"), r.getAs[Double]("overlap_b"))).toSeq
+    assert(got == Seq((3L, 2L, 1L, 0.333333, 0.5)), s"unexpected: $got")
+  }
+
   test("hardNegatives: nearest other-label vector within the cell, " +
       "anchors with no cross-label candidate drop") {
     // centroidMod=100 with max id 6 ⇒ one centroid (id 0): a single cell,
