@@ -451,8 +451,10 @@ object Dedup {
     // The key is the top 60 bits of the md5 as a LONG (the portable
     // truncation simhash uses): the distinct + df-cut + postings shuffles
     // then carry 8-byte keys instead of 32-char hex strings; 60-bit
-    // collisions are negligible below ~2^30 distinct windows per corpus
-    // (and a collision only ever ADDS a candidate pair, never drops one).
+    // collisions are negligible below ~2^30 distinct windows per corpus.
+    // (A collision usually just ADDS a spurious candidate pair; the one
+    // drop path — two real windows merging past the maxDf cut — needs a
+    // collision between two already-high-df windows, ~2^-60 each.)
     val w = df.select(col(idCol), col(textCol),
         explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("__i"))
       .select(col(idCol),

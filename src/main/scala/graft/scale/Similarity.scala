@@ -454,10 +454,13 @@ object Similarity {
     *
     * Exactness (the kmeans_assign discipline): vectors quantize to 1e-3
     * longs; each centroid component is floor(1024·Σx / n) — an integer both
-    * engines compute identically (the division result is ≥ 1/n from the
-    * nearest integer whenever it isn't exact, far outside double error at
-    * any class size below 2^40) — so the argmin compares exact long
-    * distances, tie-broken on label.
+    * engines compute identically while 1024·Σx stays within double's exact
+    * integer range and the division ulp stays under the 1/n floor-safety
+    * gap: with |q| ≤ ~2^10 that holds to class sizes ~2^32. Beyond that
+    * (trillion-row classes) compute the centroid in two exact integer
+    * terms, m = 1024·(Σx div n) + (1024·(Σx mod n)) div n — noted, not
+    * needed at tested SFs. The argmin then compares exact long distances,
+    * tie-broken on label.
     *
     * Plan: one posexplode + hash-agg for the centroids (rows = labels ×
     * dim, broadcast back), one codegen L2² projection per (vector, label),

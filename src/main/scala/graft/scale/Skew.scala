@@ -99,9 +99,13 @@ object Skew {
     */
   def heavyHitters(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame = {
     require(n > 0, "n must be positive")
+    // one scan: the grand total is Σcnt over the (small) counts relation,
+    // not a second full pass over the input; the checkpoint stops the
+    // two consumers from re-running the base aggregation
     val counts = df.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-    val total = df.agg(count(lit(1)).as("total"))
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("cnt")).as("total"))
     counts.crossJoin(broadcast(total))
       .select((keyCols.map(col) :+ col("cnt") :+
         round(col("cnt").cast("double") / col("total"), 6).as("share")): _*)

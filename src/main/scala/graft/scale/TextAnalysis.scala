@@ -536,14 +536,18 @@ object TextAnalysis {
     */
   def ngramOverlap(
       a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
-    def side(df: DataFrame, flag: String) =
+    // one tagged union + one groupBy on the shingle key (max(in_a/in_b)
+    // per shingle = set membership) — a single shuffle, vs per-side
+    // distincts plus a full-outer join
+    def side(df: DataFrame, inA: Boolean) =
       df.select(explode(Shingles.wordShingles(col(textCol), k)).as("s"))
-        .distinct()
-        .withColumn(flag, lit(1L))
-    side(a, "in_a").join(side(b, "in_b"), Seq("s"), "full_outer")
+        .select(col("s"), lit(if (inA) 1L else 0L).as("in_a"),
+          lit(if (inA) 0L else 1L).as("in_b"))
+    side(a, inA = true).unionAll(side(b, inA = false))
+      .groupBy(col("s"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
       .agg(sum(col("in_a")).as("n_a"), sum(col("in_b")).as("n_b"),
-        sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
-          .otherwise(0L)).as("n_common"))
+        sum(col("in_a") * col("in_b")).as("n_common"))
       .select(col("n_a"), col("n_b"), col("n_common"),
         round(col("n_common").cast("double") / col("n_a"), 6).as("overlap_a"),
         round(col("n_common").cast("double") / col("n_b"), 6).as("overlap_b"))
@@ -556,7 +560,8 @@ object TextAnalysis {
     * rational-idf BM25 as [[bm25TopK]] but at passage grain (corpus stats —
     * n/avgdl/df — are computed over PASSAGES, as a passage index would).
     *
-    * Plan: one explode (windows), one 1-row stats agg broadcast back, one
+    * Plan: one explode (windows, materialized once — the stats agg and the
+    * scorer both consume it), one 1-row stats agg broadcast back, one
     * TakeOrderedAndProject for the top-k — no global sort, no pair joins;
     * everything before the top-k is a linear scan at 100 TB.
     */
@@ -573,6 +578,9 @@ object TextAnalysis {
           queryTerms.zipWithIndex.map { case (term, i) =>
             size(filter(col("__t"), x => x === term)).cast("long").as(s"tf$i")
           }): _*)
+      // two consumers (corpus-stats agg + scored projection) — without the
+      // eager checkpoint the window explode executes twice
+      .localCheckpoint(true)
     val constAggs =
       count(lit(1)).cast("long").as("n_docs") +:
         sum(col("dl")).cast("long").as("total_dl") +:

@@ -241,4 +241,56 @@ class PlanSpec extends SparkSpec {
     assert(p17.contains("BroadcastHashJoin"),
       s"per-part aggregate should broadcast back:\n$p17")
   }
+
+  test("classifier score is one hash aggregation — no join, no window") {
+    val df = SparkEntry.queries("classifier_score_docs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.toLowerCase.contains("window"), s"unexpected window:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected one doc_id shuffle, got $exchanges:\n$plan")
+  }
+
+  test("ragRetrieve tops out in TakeOrderedAndProject; stats broadcast back") {
+    val df = SparkEntry.queries("rag_retrieve_docs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"1-row corpus stats should broadcast:\n$plan")
+  }
+
+  test("heavyHitters: top-n without global sort, total from the counts " +
+      "relation (single base scan)") {
+    val df = graft.scale.Skew.heavyHitters(
+      Tables.load(spark, sf, "events"), Seq("user_id", "event_type"), 25)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-n must not be a global sort:\n$plan")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans === 0, // counts is checkpointed: no parquet scan at all here
+      s"expected checkpointed counts (no rescan), got $scans scans:\n$plan")
+  }
+
+  test("ngramOverlap is one shuffle on the shingle key (union, no join)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.scale.TextAnalysis.ngramOverlap(
+      docs.filter(col("lang") === "en"),
+      docs.filter(col("lang") =!= "en"), "text", 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expected tagged union, not a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 1,
+      s"expected one shingle shuffle, got $exchanges:\n$plan")
+  }
+
+  test("hardNegatives broadcasts centroids; pair join keyed on the cell") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.hardNegatives(
+      emb, "vec_id", "embedding", "label")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation must not be all-pairs:\n$plan")
+  }
 }
