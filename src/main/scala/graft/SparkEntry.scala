@@ -257,6 +257,11 @@ object SparkEntry {
       Dedup.minhashLsh(t(s, dir, "documents"), "doc_id", "text", 8, 2, 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- scale: incremental batch-vs-corpus dedup (exact + LSH screens) ----
+    "incremental_dedup_docs" -> ((s, dir) =>
+      Dedup.incrementalDedup(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- scale: LSH pairs → connected components → dedup clusters ----------
     "dup_clusters_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -313,6 +318,17 @@ object SparkEntry {
       Similarity.bruteForceTopK(
         e.filter(col("vec_id") < 5), e, "vec_id", "embedding", 10)
         .orderBy(col("query_id"), col("rk"))
+    }),
+
+    // ---- scale: ANN recall@k — IVF result graded against exact top-k -------
+    "ann_recall_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10),
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", 10, 100),
+          10)
+        .orderBy(col("query_id"))
     }),
 
     // ---- scale: one Lloyd iteration, oracle-exact (quantized L2 argmin) ----
@@ -763,6 +779,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup diagnostic: duplication exposed by canonical-form choice ----
+    // The synthetic corpus has zero byte-identical dups, so to give the
+    // before/after diagnostic a real signal the query injects re-punctuated
+    // copies of every 7th doc (the classic boilerplate-suffix case): raw
+    // dedup must NOT catch them, normalized dedup must.
+    "norm_dedup_gain_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 1000000L,
+          concat(col("text"), lit(" !!")).as("text"))
+      Dedup.normalizationGain(docs.union(variants), "text")
+    }),
+
     // ---- corpus statistics: top-k tokens (explode → count → topk) ----------
     "top_tokens_docs" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -950,6 +979,11 @@ object SparkEntry {
     "heavy_hitters_events" -> ((s, dir) =>
       graft.scale.Skew.heavyHitters(
         t(s, dir, "events"), Seq("user_id", "event_type"), 25)),
+
+    // ---- behavior model: first-order Markov transition matrix --------------
+    "markov_transitions_events" -> ((s, dir) =>
+      Events.markovTransitions(t(s, dir, "events"))
+        .orderBy(col("prev_type"), col("next_type"))),
 
     // ---- composite training-data pipeline: quality filter → exact dedup →
     // stratified per-lang sample (the 100 TB preprocessing shape) ------------
@@ -1997,6 +2031,24 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
     }),
 
+    // ---- graph: degree-ordered triangle counting ---------------------------
+    // Co-purchase graph: parts joined by appearing in the same order with
+    // high quantity (l_quantity >= 35 keeps the graph sparse — a raw
+    // co-occurrence graph is near-complete and its wedge space explodes
+    // quadratically; real pipelines prune edges before counting). The
+    // operator is [[Graph.triangleStats]]: orient by (degree, id), wedge
+    // self-join on the low-rank anchor, semi-join the closing edge.
+    "triangle_count_lineitem" -> ((s, dir) => {
+      val hi = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 35.0)
+        .select(col("l_orderkey").as("k"), col("l_partkey"))
+      val other = hi.select(col("k"), col("l_partkey").as("p2"))
+      val edges = hi.join(other, Seq("k"))
+        .filter(col("l_partkey") =!= col("p2"))
+        .select(col("l_partkey").as("src"), col("p2").as("dst"))
+      Graph.triangleStats(edges)
+    }),
+
     // ---- streaming: stream-static broadcast enrichment join ----------------
     // The dimension-enrichment shape every event pipeline needs: a
     // micro-batch stream joined against a STATIC broadcast dim (no state
@@ -2239,6 +2291,41 @@ object SparkEntry {
         |WHERE a.doc_id < b.doc_id
         |ORDER BY id_a, id_b""".stripMargin,
 
+    "incremental_dedup_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |cfp AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 < 8),
+        |cbk AS (SELECT DISTINCT band, band_key FROM bands
+        |        WHERE doc_id % 10 < 8),
+        |inc AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 >= 8),
+        |ex AS (SELECT DISTINCT doc_id FROM inc
+        |       WHERE fp IN (SELECT fp FROM cfp)),
+        |nr AS (SELECT DISTINCT b.doc_id
+        |       FROM bands b JOIN cbk c
+        |         ON b.band = c.band AND b.band_key = c.band_key
+        |       WHERE b.doc_id % 10 >= 8)
+        |SELECT i.doc_id,
+        |  (ex.doc_id IS NOT NULL) AS dup_exact,
+        |  (nr.doc_id IS NOT NULL) AS dup_near,
+        |  (ex.doc_id IS NULL AND nr.doc_id IS NULL) AS kept
+        |FROM inc i
+        |LEFT JOIN ex ON i.doc_id = ex.doc_id
+        |LEFT JOIN nr ON i.doc_id = nr.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
+
     "dup_clusters_docs" ->
       """WITH RECURSIVE toks AS (
         |  SELECT doc_id,
@@ -2394,6 +2481,66 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+
+    "ann_recall_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |ep AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 5),
+        |exact AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cs DESC, cand_id) AS rk
+        |    FROM ep) WHERE rk <= 10),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id % 100 = 0),
+        |asn AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT q.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.centv)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |                 * list_dot_product(c.centv, c.centv)) DESC,
+        |        c.centroid_id) AS crk
+        |    FROM qv q, cents c)
+        |  WHERE crk = 1),
+        |ap AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q
+        |  JOIN asn a1 ON q.vec_id = a1.vec_id AND q.vec_id < 5
+        |  JOIN asn a2 ON a2.centroid_id = a1.centroid_id
+        |  JOIN qv c ON c.vec_id = a2.vec_id AND c.vec_id <> q.vec_id),
+        |approx AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cs DESC, cand_id) AS rk
+        |    FROM ap) WHERE rk <= 10),
+        |h AS (
+        |  SELECT a.query_id,
+        |    CASE WHEN e.cand_id IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM approx a LEFT JOIN exact e
+        |    ON a.query_id = e.query_id AND a.cand_id = e.cand_id),
+        |g AS (
+        |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_approx,
+        |    CAST(SUM(hit) AS BIGINT) AS n_hit
+        |  FROM h GROUP BY query_id)
+        |SELECT qs.query_id,
+        |  CAST(COALESCE(g.n_approx, 0) AS BIGINT) AS n_approx,
+        |  CAST(COALESCE(g.n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(g.n_hit, 0) AS DOUBLE) / 10.0, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM exact) qs
+        |LEFT JOIN g ON qs.query_id = g.query_id
+        |ORDER BY qs.query_id""".stripMargin,
 
     "kmeans_assign_embeddings" ->
       """WITH qv AS (
@@ -2921,6 +3068,25 @@ object SparkEntry {
         |  ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
         |FROM c, t ORDER BY cnt DESC, user_id, event_type LIMIT 25""".stripMargin,
 
+    "markov_transitions_events" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(EPOCH_US(ts) AS BIGINT) AS us
+        |  FROM events),
+        |st AS (
+        |  SELECT
+        |    LAG(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY us, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |c AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n
+        |  FROM st WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type), 6)
+        |    AS prob
+        |FROM c ORDER BY prev_type, next_type""".stripMargin,
+
     "training_pipeline_docs" ->
       """WITH q AS (
         |  SELECT doc_id, lang, text,
@@ -2949,6 +3115,23 @@ object SparkEntry {
         |      ORDER BY n_chars DESC, doc_id) AS rn
         |  FROM documents)
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "norm_dedup_gain_docs" ->
+      """WITH aug AS (
+        |  SELECT text FROM documents
+        |  UNION ALL
+        |  SELECT text || ' !!' FROM documents WHERE doc_id % 7 = 0),
+        |h AS (
+        |  SELECT md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+        |      AS norm_h
+        |  FROM aug)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(*) - COUNT(DISTINCT raw_h) AS BIGINT) AS n_raw_dups,
+        |  CAST(COUNT(*) - COUNT(DISTINCT norm_h) AS BIGINT) AS n_norm_dups,
+        |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
+        |    AS gain
+        |FROM h""".stripMargin,
 
     "top_tokens_docs" ->
       """SELECT token, COUNT(*) AS n FROM (
@@ -4232,6 +4415,46 @@ object SparkEntry {
         |  score AS score_micro
         |FROM i3
         |ORDER BY score_micro DESC, node_type, node_id""".stripMargin,
+
+    "triangle_count_lineitem" ->
+      """WITH hi AS (
+        |  SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity >= 35.0),
+        |und AS (
+        |  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+        |  FROM hi a JOIN hi b ON a.k = b.k AND a.p <> b.p),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS deg FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und) u
+        |  GROUP BY node),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+        |      THEN und.a ELSE und.b END AS lo,
+        |    CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+        |      THEN und.b ELSE und.a END AS hi,
+        |    CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+        |      THEN db.deg ELSE da.deg END AS dhi
+        |  FROM und
+        |  JOIN deg da ON da.node = und.a
+        |  JOIN deg db ON db.node = und.b),
+        |wed AS (
+        |  SELECT e1.hi AS v, e2.hi AS w
+        |  FROM o e1 JOIN o e2 ON e1.lo = e2.lo
+        |  WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |tri AS (
+        |  SELECT COUNT(*) AS n_triangles FROM wed
+        |  WHERE EXISTS (SELECT 1 FROM o WHERE o.lo = wed.v AND o.hi = wed.w)),
+        |wt AS (
+        |  SELECT CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+        |  FROM deg)
+        |SELECT
+        |  (SELECT COUNT(*) FROM deg) AS n_nodes,
+        |  (SELECT COUNT(*) FROM und) AS n_edges,
+        |  wt.n_wedges,
+        |  tri.n_triangles,
+        |  ROUND(tri.n_triangles * 3.0 / wt.n_wedges, 6) AS clustering
+        |FROM wt, tri""".stripMargin,
 
     "streaming_enrich_events" ->
       """SELECT c_mktsegment, event_type, COUNT(*) AS n_events,

@@ -478,4 +478,70 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Incremental (batch-vs-corpus) dedup — the shape a continuously-
+    * ingesting pipeline actually runs: dedup the NEW batch against the
+    * already-accepted corpus without ever re-pairing the corpus with
+    * itself. Two screens, both one-sided:
+    *
+    *  1. exact: md5 fingerprint of the text, incoming semi-joined against
+    *     the corpus's distinct fingerprint set (16-byte keys; at 100 TB the
+    *     corpus fingerprint table is the small, bucketable side);
+    *  2. near: MinHash/LSH band keys — an incoming doc is a near-dup
+    *     candidate if ANY of its band keys exists in the corpus's band-key
+    *     set. Again a semi-join on (band, band_key): candidate generation
+    *     cost scales with the incoming batch, not the corpus pair space.
+    *
+    * Returns one row per incoming doc: (id, dup_exact, dup_near, kept) —
+    * `kept` = survives both screens. Flags are independent (an exact dup
+    * is normally also a band match).
+    */
+  def incrementalDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      mod: Long = 10L,
+      corpusBelow: Long = 8L): DataFrame = {
+    val corpus = docs.filter(col(idCol) % mod < corpusBelow)
+    val incoming = docs.filter(col(idCol) % mod >= corpusBelow)
+    val fp = md5(col(textCol).cast("binary")).as("fp")
+    val corpusFp = corpus.select(fp).distinct()
+    val exactIds = incoming.select(col(idCol), fp)
+      .join(corpusFp, Seq("fp"), "left_semi")
+      .select(col(idCol)).distinct()
+    val corpusBands = lshBands(minhashSignatures(corpus, idCol, textCol), idCol)
+      .select("band", "band_key").distinct()
+    val nearIds = lshBands(minhashSignatures(incoming, idCol, textCol), idCol)
+      .join(corpusBands, Seq("band", "band_key"), "left_semi")
+      .select(col(idCol)).distinct()
+    incoming.select(col(idCol))
+      .join(exactIds.withColumn("__e", lit(1)), Seq(idCol), "left_outer")
+      .join(nearIds.withColumn("__n", lit(1)), Seq(idCol), "left_outer")
+      .select(col(idCol),
+        col("__e").isNotNull.as("dup_exact"),
+        col("__n").isNotNull.as("dup_near"),
+        (col("__e").isNull && col("__n").isNull).as("kept"))
+  }
+
+  /** How much extra duplication does normalization expose? One row:
+    * total docs, raw exact-dup count (docs beyond the first per identical
+    * byte string), normalized-dup count (same, over
+    * [[TextAnalysis.normalizeText]]), and the gain (distinct texts that
+    * collapse together only after normalization). The standard
+    * before/after diagnostic run when choosing a dedup canonical form.
+    *
+    * Scale: one scan; both distincts are over 16-byte md5 fingerprints,
+    * never full documents, so the multi-distinct Expand doubles only a
+    * 16-byte column, not the corpus.
+    */
+  def normalizationGain(df: DataFrame, textCol: String): DataFrame =
+    df.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(md5(col(textCol).cast("binary"))).as("__raw"),
+      countDistinct(md5(TextAnalysis.normalizeText(col(textCol))
+        .cast("binary"))).as("__norm"))
+      .select(col("n_docs"),
+        (col("n_docs") - col("__raw")).as("n_raw_dups"),
+        (col("n_docs") - col("__norm")).as("n_norm_dups"),
+        (col("__raw") - col("__norm")).as("gain"))
 }

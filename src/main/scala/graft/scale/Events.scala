@@ -260,4 +260,44 @@ object Events {
       .select((Seq(col(keyCol), col("version"), col("valid_from"),
         col("valid_to"), col("is_current")) ++ attrCols.map(col)): _*)
   }
+
+  /** Epoch microseconds of the event, exact — the finest granularity both
+    * engines share (DuckDB timestamps are µs; ns floor-divides losslessly).
+    */
+  def epochMicros(df: DataFrame): Column =
+    if (isNanosLong(df)) expr("ts DIV 1000") else unix_micros(col("ts"))
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * for each (previous event_type → event_type) step, its count and the
+    * row-normalized transition probability. The standard session-behavior
+    * model (next-action prediction, bot detection by improbable chains,
+    * funnel leak analysis).
+    *
+    * Ordering contract: steps are adjacent events per user ordered by
+    * (epoch-µs, event_id) — both keys identical in any engine, so the
+    * lag sequence is engine-invariant even when timestamps collide.
+    *
+    * Scale: one window shuffle keyed on user_id (user streams are the
+    * natural partition; no global order), then one hash-agg on the
+    * (prev, next) pair — |types|² rows out. The probability is a
+    * window-free second agg on prev_type fanned back with a broadcast-size
+    * join-free window over the tiny aggregated table.
+    */
+  def markovTransitions(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us"), col("event_id"))
+    val steps = events
+      .withColumn("__us", epochMicros(events))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    // the aggregated table is |types|² rows — the normalizing window is
+    // driver-cheap and stays in one stage
+    val byPrev = Window.partitionBy(col("prev_type"))
+    steps
+      .withColumn("prob",
+        round(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
+      .select(col("prev_type"), col("next_type"), col("n"), col("prob"))
+  }
 }

@@ -495,4 +495,34 @@ object Similarity {
       .groupBy(col("label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Retrieval-quality evaluation: recall@k of an approximate top-k result
+    * against the exact top-k ground truth (per query). THE gate before
+    * shipping an ANN index config — IVF probe counts / LSH band widths are
+    * tuned against exactly this number on a held-out query sample.
+    *
+    * Both inputs are (query_id, cand_id, ...) top-k tables (e.g.
+    * [[bruteForceTopK]] and [[ivfTopK]]). Queries the approximate index
+    * returns nothing for (empty probe cell) still appear, with recall 0.
+    *
+    * Scale: ground truth is only computed over a query SAMPLE (k·|Q| rows
+    * per side), so the joins here are trivially small; the expensive part
+    * is producing `exact`, which is the caller's sampled brute-force pass.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select(col("query_id"), col("cand_id"))
+      .join(exact.select(col("query_id"), col("cand_id"))
+        .withColumn("__hit", lit(1L)),
+        Seq("query_id", "cand_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_approx"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+    exact.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_approx"), lit(0L)).as("n_approx"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+          .as("recall"))
+  }
 }

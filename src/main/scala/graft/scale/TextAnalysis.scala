@@ -294,6 +294,14 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Aggressive dedup normalization: lowercase, collapse every non-
+    * alphanumeric run to one space, trim. The CCNet/Dolma-style canonical
+    * form — exact dedup over it catches re-punctuated / re-cased copies
+    * that raw-byte dedup misses.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   /** Document fingerprint: md5 of whitespace-normalized lowercase text.
     * The distributed analog of a rolling-hash fingerprint; md5 keeps it
     * engine-portable.

@@ -52,4 +52,36 @@ class GraphSpec extends SparkSpec {
     assert(got(2L) === 150000L)
     assert(got(1L) === 150000L + 85L * 150000L / 100L)
   }
+
+  test("triangleStats: hand-checked counts; canonicalizes dirty input") {
+    // triangle {1,2,3} + pendant 3—4, fed as a dirty multiset: duplicates,
+    // reversed pairs, and a self-loop must all canonicalize away.
+    // deg: 1→2, 2→2, 3→3, 4→1; wedges = 1+1+3+0 = 5; clustering = 3/5.
+    val e = Seq(
+      (1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (1L, 3L),
+      (3L, 4L), (4L, 3L), (3L, 4L), (2L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.triangleStats(e).collect()(0)
+    assert(r.getAs[Long]("n_nodes") === 4L)
+    assert(r.getAs[Long]("n_edges") === 4L)
+    assert(r.getAs[Long]("n_wedges") === 5L)
+    assert(r.getAs[Long]("n_triangles") === 1L)
+    assert(r.getAs[Double]("clustering") === 0.6)
+  }
+
+  test("triangleStats: counts each triangle once on K4, any partitioning") {
+    // K4 has exactly 4 triangles and 12 wedges; every edge is in 2
+    // triangles, so orientation/dedup bugs show up as over- or
+    // under-counts. Also a degree-tie stress: all degrees equal → rank
+    // falls back to id order everywhere.
+    val nodes = (1L to 4L)
+    val k4 = for (a <- nodes; b <- nodes if a != b) yield (a, b)
+    val e = k4.toDF("src", "dst")
+    for (p <- Seq(1, 7)) {
+      val r = Graph.triangleStats(e.repartition(p)).collect()(0)
+      assert(r.getAs[Long]("n_triangles") === 4L, s"partitions=$p")
+      assert(r.getAs[Long]("n_wedges") === 12L)
+      assert(r.getAs[Double]("clustering") === 1.0)
+    }
+  }
 }

@@ -669,4 +669,59 @@ class ScaleSpec extends SparkSpec {
     assert(got.forall(_._1 == 1L), s"term-free doc leaked in: $got")
     assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
   }
+
+  test("markovTransitions: exact counts, row-normalized, µs+id tiebreak") {
+    val base = 1700000000L * 1000000000L
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, 1L, base, "view"), (1L, 2L, base + sec, "view"),
+      (1L, 3L, base + 2 * sec, "buy"),
+      (2L, 4L, base, "view"), (2L, 5L, base, "buy"), // same ts: id order
+      (3L, 6L, base, "buy") // single event → contributes no step
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = Events.markovTransitions(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === Set(
+      ("view", "view", 1L, 0.333333),
+      ("view", "buy", 2L, 0.666667)))
+  }
+
+  test("recallAtK: per-query hits; empty-probe query appears with recall 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 12L))
+      .toDF("query_id", "cand_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "cand_id")
+    val got = Similarity.recallAtK(exact, approx, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === Set((1L, 2L, 1L, 0.5), (2L, 0L, 0L, 0.0)))
+  }
+
+  test("incrementalDedup: exact dup screened, novel doc kept") {
+    // doc_id % 10 < 8 → corpus {1, 2}; incoming {8, 9, 18}
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "an entirely different corpus document about engines"),
+      (8L, "the quick brown fox jumps over the lazy dog"), // byte-dup of 1
+      (9L, "novel text with disjoint vocabulary tokens here"),
+      (18L, "the quick brown fox jumps over the lazy cat") // near-dup of 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got.keySet === Set(8L, 9L, 18L))
+    // identical text ⇒ identical minhash ⇒ every band collides
+    assert(got(8L) === ((true, true, false)))
+    assert(got(9L) === ((false, false, true)))
+    assert(!got(18L)._1) // one-word edit is never a byte-exact dup
+  }
+
+  test("normalizationGain: dups under raw vs canonical form") {
+    val d = Seq((1L, "Hello, World!"), (2L, "hello world"),
+      (3L, "hello world"), (4L, "other")).toDF("doc_id", "text")
+    val r = Dedup.normalizationGain(d, "text").collect()(0)
+    // raw distinct 3 → 1 dup; normalized distinct 2 → 2 dups; gain 1
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((4L, 1L, 2L, 1L)))
+  }
 }
