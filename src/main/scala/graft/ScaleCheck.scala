@@ -172,7 +172,36 @@ object ScaleCheck {
       ("heavy_hitters",
         (d: DataFrame) => graft.scale.Skew.heavyHitters(
           d, Seq("user_id", "event_type"), 25),
-        events, "user_id", None))
+        events, "user_id", None),
+      ("triangle_count",
+        // partkeys are re-keyed per copy (copy = orderkey div width) so the
+        // N× graph is N disjoint replicas — same degree structure, N× the
+        // edges — not one graph with N× duplicate (collapsing) edges
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.triangleStats(edges)
+        },
+        lineitem, "l_orderkey", None),
+      ("incremental_dedup",
+        // id shift is ≡ 0 mod 10 → each copy keeps its 80/20 corpus/incoming
+        // split; salted tokens keep copies' shingle spaces disjoint
+        (d: DataFrame) => Dedup.incrementalDedup(d, "doc_id", "text"),
+        docs, "doc_id", Some("text")),
+      ("markov_transitions",
+        (d: DataFrame) => Events.markovTransitions(d),
+        events, "user_id", None),
+      ("bq_topk",
+        // queries are ids < 5 — only copy 0 has them, so the broadcast side
+        // stays constant while the signature scan grows N×
+        (d: DataFrame) => Similarity.bqTopK(d.filter(col("vec_id") < 5), d,
+          "vec_id", "embedding", 10, 40),
+        embeddings, "vec_id", Some("embedding")))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -320,6 +320,14 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rk"))
     }),
 
+    // ---- scale: 1-bit binary quantization, Hamming shortlist + rerank ------
+    "bq_topk_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bqTopK(e.filter(col("vec_id") < 5), e,
+          "vec_id", "embedding", 10, 40)
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // ---- scale: ANN recall@k — IVF result graded against exact top-k -------
     "ann_recall_embeddings" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -791,6 +799,10 @@ object SparkEntry {
           concat(col("text"), lit(" !!")).as("text"))
       Dedup.normalizationGain(docs.union(variants), "text")
     }),
+
+    // ---- corpus statistics: Zipf-law fit over token frequencies ------------
+    "zipf_fit_docs" -> ((s, dir) =>
+      TextAnalysis.zipfFit(t(s, dir, "documents"), "text", 100)),
 
     // ---- corpus statistics: top-k tokens (explode → count → topk) ----------
     "top_tokens_docs" -> ((s, dir) =>
@@ -2482,6 +2494,48 @@ object SparkEntry {
         |SELECT query_id, cand_id, rk, ROUND(cs, 6) AS cos_sim
         |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
 
+    "bq_topk_embeddings" ->
+      """WITH sig AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33), i ->
+        |      CASE WHEN embedding[i] > 0
+        |        THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END))
+        |      AS BIGINT) AS sig_lo,
+        |    CAST(list_sum(list_transform(range(33, 65), i ->
+        |      CASE WHEN embedding[i] > 0
+        |        THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END))
+        |      AS BIGINT) AS sig_hi
+        |  FROM embeddings),
+        |ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    CAST(bit_count(xor(c.sig_lo, q.sig_lo))
+        |      + bit_count(xor(c.sig_hi, q.sig_hi)) AS BIGINT) AS hamming
+        |  FROM sig q JOIN sig c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |short AS (
+        |  SELECT query_id, cand_id, hamming FROM (
+        |    SELECT query_id, cand_id, hamming,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY hamming, cand_id) AS hrk
+        |    FROM ham) WHERE hrk <= 40),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |rer AS (
+        |  SELECT s.query_id, s.cand_id, s.hamming,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM short s
+        |  JOIN qv c ON c.vec_id = s.cand_id
+        |  JOIN qv q ON q.vec_id = s.query_id)
+        |SELECT query_id, cand_id, rk, hamming, ROUND(cs, 6) AS cos_sim
+        |FROM (
+        |  SELECT query_id, cand_id, hamming, cs,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, cand_id) AS rk
+        |  FROM rer) WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
+
     "ann_recall_embeddings" ->
       """WITH qv AS (
         |  SELECT vec_id,
@@ -3132,6 +3186,34 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
         |    AS gain
         |FROM h""".stripMargin,
+
+    "zipf_fit_docs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |top AS (SELECT token, freq FROM cnt ORDER BY freq DESC, token LIMIT 100),
+        |q AS (
+        |  SELECT
+        |    CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+        |      AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+        |  FROM top),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+        |    CAST(SUM(lx * ly) AS BIGINT) AS sxy,
+        |    CAST(SUM(lx * lx) AS BIGINT) AS sxx
+        |  FROM q)
+        |SELECT n AS n_terms,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+        |  ROUND((CAST(sy AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
+        |FROM s""".stripMargin,
 
     "top_tokens_docs" ->
       """SELECT token, COUNT(*) AS n FROM (

@@ -496,6 +496,77 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** 1-bit binary quantization: the sign bit of each of ≤64 dimensions,
+    * packed into TWO 32-bit halves (`sig_lo` dims 1-32, `sig_hi` dims
+    * 33-64). Two words, not one, so no value ever touches a BIGINT sign
+    * bit — `1 << 63` wraps negative in any engine and every downstream
+    * comparison would have to reason about it.
+    *
+    * Shape: posexplode → codegen'd shift/case projection → one hash-agg on
+    * the id (the repo's explode-over-interpreted-HOF rule). A 64-dim float
+    * vector compresses 32:1 into 8 bytes — at 100 TB the Hamming scan
+    * reads 2 longs/row instead of 256 bytes/row, which is the entire point
+    * of BQ shortlisting.
+    */
+  def binarySignatures(
+      df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      .groupBy(col(idCol))
+      .agg(
+        sum(when(col("__x") > 0 && col("__p") < 32,
+          expr("shiftleft(CAST(1 AS BIGINT), __p)")).otherwise(0L))
+          .as("sig_lo"),
+        sum(when(col("__x") > 0 && col("__p") >= 32,
+          expr("shiftleft(CAST(1 AS BIGINT), __p - 32)")).otherwise(0L))
+          .as("sig_hi"))
+
+  /** Binary-quantized top-k: Hamming-distance shortlist over the packed
+    * sign bits, then an exact rerank of the shortlist only — the
+    * two-stage shape production BQ indexes use (Hamming approximates
+    * angle; the rerank restores exact order where it matters).
+    *
+    * Scale: stage 1 is the broadcast-queries scan over 8-byte signatures
+    * (per-query top-`shortlist` via window); stage 2 joins the tiny
+    * shortlist back to full vectors — per query its cost is
+    * `shortlist`, independent of corpus size.
+    */
+  def bqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = binarySignatures(candidates, idCol, vecCol)
+      .withColumnRenamed(idCol, "cand_id")
+    val qs = binarySignatures(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"),
+        col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"))
+    val ham = cs.crossJoin(broadcast(qs))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("hamming",
+        (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).cast("long"))
+    val w1 = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("cand_id"))
+    val short = ham.withColumn("hrk", row_number().over(w1))
+      .filter(col("hrk") <= shortlist)
+      .select("query_id", "cand_id", "hamming")
+    val cv = candidates.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("cv"))
+    val qv = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val w2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("cand_id"))
+    short.join(cv, Seq("cand_id")).join(broadcast(qv), Seq("query_id"))
+      .withColumn("cos_sim", cosineQuantized(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"), col("hamming"),
+        round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Retrieval-quality evaluation: recall@k of an approximate top-k result
     * against the exact top-k ground truth (per query). THE gate before
     * shipping an ANN index config — IVF probe counts / LSH band widths are

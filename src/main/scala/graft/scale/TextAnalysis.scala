@@ -294,6 +294,49 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Zipf-law fit over the corpus token-frequency distribution: the
+    * least-squares slope of ln(freq) against ln(rank) over the top-R
+    * terms. Natural text sits near slope −1; a corpus that drifts far off
+    * (template spam → shallow, mass-duplication → steep head) fails the
+    * distributional health check — this is a standard corpus-level
+    * quality gate next to the per-doc ones.
+    *
+    * Determinism: ranks and frequencies are exact longs; their logs are
+    * quantized to 1e-6 (ln of the same integer is the same double in any
+    * libm at this precision — the unigram-LM precedent), and the
+    * regression sums over the quantized longs are exact integer
+    * arithmetic. Only the final slope/intercept division is floating.
+    *
+    * Scale: one explode + hash-agg for counts, then top-R via
+    * TakeOrderedAndProject (driver-bounded at R rows); the regression
+    * runs on R rows. No global sort, no wide window.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
+    val top = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token")).limit(topR)
+    // window over ≤ topR rows — single-partition by construction, not by
+    // accident (the limit already funneled to the driver)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val q = top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(
+        round(log(col("rank").cast("double")) * 1e6).cast("long").as("lx"),
+        round(log(col("freq").cast("double")) * 1e6).cast("long").as("ly"))
+    q.agg(count(lit(1)).as("n"),
+        sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
+        sum(col("lx") * col("ly")).as("sxy"),
+        sum(col("lx") * col("lx")).as("sxx"))
+      .select(col("n").as("n_terms"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+          6).as("slope"),
+        round((col("sy").cast("double")
+          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            * col("sx").cast("double"))
+          / col("n").cast("double") / 1e6, 6).as("intercept"))
+  }
+
   /** Aggressive dedup normalization: lowercase, collapse every non-
     * alphanumeric run to one space, trim. The CCNet/Dolma-style canonical
     * form — exact dedup over it catches re-punctuated / re-cased copies

@@ -293,4 +293,56 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair generation must not be all-pairs:\n$plan")
   }
+
+  test("triangleStats: wedge join is keyed — no cartesian, no global window") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 35.0)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val edges = li.join(li.select(col("k"), col("l_partkey").as("p2")), Seq("k"))
+      .filter(col("l_partkey") =!= col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    val plan = graft.scale.Graph.triangleStats(edges)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs wedge join:\n$plan")
+    assert(!plan.contains("Window"), s"unexpected window:\n$plan")
+  }
+
+  test("incrementalDedup screens with semi joins, never pair joins") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.scale.Dedup.incrementalDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected semi-join screens:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs screen:\n$plan")
+  }
+
+  test("bqTopK: signature scan broadcasts queries; rerank join is on the " +
+      "shortlist side") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.bqTopK(
+      emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", 10, 40)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), s"queries not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"non-broadcast pair scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"rerank shuffled a big side:\n$plan")
+  }
+
+  test("zipfFit tops out in TakeOrderedAndProject before the regression") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.scale.TextAnalysis.zipfFit(docs, "text", 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-R must not be a global sort:\n$plan")
+  }
+
+  test("markovTransitions: one user shuffle, prob window over the agg only") {
+    val ev = Tables.load(spark, sf, "events")
+    val df = Events.markovTransitions(ev)
+    val plan = df.queryExecution.executedPlan.toString
+    // the lag window keys on user_id, the prob window on prev_type — no
+    // stage may funnel through one partition
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"global window leaked in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }

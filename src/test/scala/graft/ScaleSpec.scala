@@ -716,6 +716,43 @@ class ScaleSpec extends SparkSpec {
     assert(!got(18L)._1) // one-word edit is never a byte-exact dup
   }
 
+  test("binarySignatures: sign bits land in the right half-words") {
+    val v1 = Seq(1.0f, -1.0f, 0.0f, 2.0f) // bits 0,3 → lo 9; zero is NOT set
+    val v2 = Seq.fill(33)(-1.0f) :+ 1.0f  // pos 33 → hi bit 1 → 2
+    val d = Seq((1L, v1), (2L, v2)).toDF("vec_id", "embedding")
+    val got = Similarity.binarySignatures(d, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got(1L) === ((9L, 0L)))
+    assert(got(2L) === ((0L, 2L)))
+  }
+
+  test("bqTopK: hamming shortlists, exact cosine reranks") {
+    val d = Seq(
+      (0L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),
+      (1L, Seq(1.0f, 1.0f, -1.0f, -1.0f)),   // identical → ham 0, cos 1
+      (2L, Seq(-1.0f, -1.0f, 1.0f, 1.0f)),   // opposite  → ham 4, cos -1
+      (3L, Seq(1.0f, -1.0f, -1.0f, -1.0f))   // ham 1, cos 0.5
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.bqTopK(d.filter($"vec_id" === 0), d,
+        "vec_id", "embedding", 3, 3)
+      .orderBy($"rk").collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 0L, 1.0), (3L, 1L, 0.5), (2L, 4L, -1.0)))
+  }
+
+  test("zipfFit: exact power-law corpus recovers slope -1") {
+    // freq(r) = 12/r for r = 1..4 → ln f = ln 12 - ln r: slope exactly -1,
+    // intercept ln 12, up to the 1e-6 log quantization
+    val text = (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++
+      Seq.fill(4)("cc") ++ Seq.fill(3)("dd")).mkString(" ")
+    val r = TextAnalysis.zipfFit(Seq((1L, text)).toDF("doc_id", "text"), "text", 100)
+      .collect()(0)
+    assert(r.getLong(0) === 4L)
+    assert(math.abs(r.getDouble(1) + 1.0) < 1e-5, s"slope ${r.getDouble(1)}")
+    assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-5)
+  }
+
   test("normalizationGain: dups under raw vs canonical form") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"),
       (3L, "hello world"), (4L, "other")).toDF("doc_id", "text")
