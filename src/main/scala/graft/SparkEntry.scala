@@ -997,6 +997,53 @@ object SparkEntry {
       Events.markovTransitions(t(s, dir, "events"))
         .orderBy(col("prev_type"), col("next_type"))),
 
+    // ---- deletion propagation: aggregate maintenance under erasure ---------
+    // The right-to-be-forgotten shape: instead of rescanning the corpus
+    // after deleting a user set, aggregate the DELETED rows and subtract —
+    // counts as longs, money as exact decimals, so after = before − deleted
+    // holds bit-exactly. At 100 TB the deleted slice is ~0.1% of the scan.
+    "deletion_propagation_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val before = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(col("value").cast("decimal(18,2)")).as("__sb"))
+      val del = ev.filter(col("user_id") % 97 === 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_deleted"),
+          sum(col("value").cast("decimal(18,2)")).as("__sd"))
+      before.join(del, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_before"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+          (col("n_before") - coalesce(col("n_deleted"), lit(0L)))
+            .as("n_after"),
+          round((col("__sb")
+            - coalesce(col("__sd"), lit(0).cast("decimal(18,2)")))
+            .cast("double"), 6).as("sum_after"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- robust aggregates: per-group winsorized sums -----------------------
+    // Clip values to the group's [p05, p95] before summing — the standard
+    // outlier guard before training-metric aggregation. Boundary table is
+    // one row per group, broadcast back (quantileBin's shape); sums are
+    // decimal-exact.
+    "winsorize_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.05D)").as("p05"),
+        expr("percentile(value, 0.95D)").as("p95"))
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("__cv",
+          least(greatest(col("value"), col("p05")), col("p95")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("p05")), 6).as("p05"),
+          round(min(col("p95")), 6).as("p95"),
+          round(dsum(col("value")), 6).as("sum_raw"),
+          round(dsum(col("__cv")), 6).as("sum_clipped"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- composite training-data pipeline: quality filter → exact dedup →
     // stratified per-lang sample (the 100 TB preprocessing shape) ------------
     "training_pipeline_docs" -> ((s, dir) => {
@@ -1621,6 +1668,31 @@ object SparkEntry {
     }),
 
     // ---- streaming dedup in the CHECKED surface: dropDuplicates state ------
+    // ---- streaming: incoming stream deduped against a static corpus --------
+    // The streaming face of incremental dedup: the micro-batch stream of
+    // new docs anti-joins (stream-static, no state store) the corpus's
+    // min-shingle fingerprint set; survivors aggregate per source. The
+    // static side is re-broadcast per batch — at scale it would be a
+    // bucketed table the join prunes against instead.
+    "streaming_corpus_dedup_docs" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val key = TextAnalysis.minShingleFingerprint(col("text"), 3)
+      val corpusKeys = batch.filter(col("doc_id") % 10 < 8)
+        .select(key.as("fp")).distinct()
+      val kept = stream.filter(col("doc_id") % 10 >= 8)
+        .select(col("source"), key.as("fp"))
+        .join(corpusKeys, Seq("fp"), "left_anti")
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      val name = "stream_corpus_dedup_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, kept, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("source"))
+    }),
+
     "streaming_dedup_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
       val stream = s.readStream.schema(batch.schema)
@@ -3121,6 +3193,58 @@ object SparkEntry {
         |SELECT user_id, event_type, cnt,
         |  ROUND(CAST(cnt AS DOUBLE) / total, 6) AS share
         |FROM c, t ORDER BY cnt DESC, user_id, event_type LIMIT 25""".stripMargin,
+
+    "deletion_propagation_events" ->
+      """WITH b AS (
+        |  SELECT event_type, COUNT(*) AS n_before,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sb
+        |  FROM events GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, COUNT(*) AS n_deleted,
+        |    SUM(CAST(value AS DECIMAL(18,2))) AS sd
+        |  FROM events WHERE user_id % 97 = 0 GROUP BY 1)
+        |SELECT b.event_type, CAST(b.n_before AS BIGINT) AS n_before,
+        |  CAST(COALESCE(d.n_deleted, 0) AS BIGINT) AS n_deleted,
+        |  CAST(b.n_before - COALESCE(d.n_deleted, 0) AS BIGINT) AS n_after,
+        |  ROUND(CAST(b.sb - COALESCE(d.sd, 0) AS DOUBLE), 6) AS sum_after
+        |FROM b LEFT JOIN d ON b.event_type = d.event_type
+        |ORDER BY b.event_type""".stripMargin,
+
+    "winsorize_events" ->
+      """WITH bounds AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT e.event_type, e.value,
+        |    LEAST(GREATEST(e.value, b.p05), b.p95) AS cv, b.p05, b.p95
+        |  FROM events e JOIN bounds b ON e.event_type = b.event_type)
+        |SELECT event_type, COUNT(*) AS n,
+        |  ROUND(MIN(p05), 6) AS p05, ROUND(MIN(p95), 6) AS p95,
+        |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS sum_raw,
+        |  ROUND(CAST(SUM(CAST(cv AS DECIMAL(18,2))) AS DOUBLE), 6)
+        |    AS sum_clipped
+        |FROM c GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "streaming_corpus_dedup_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |keys AS (
+        |  SELECT doc_id, source, MIN(md5(sh)) AS fp
+        |  FROM sh GROUP BY doc_id, source),
+        |ck AS (SELECT DISTINCT fp FROM keys WHERE doc_id % 10 < 8),
+        |inc AS (SELECT doc_id, source, fp FROM keys WHERE doc_id % 10 >= 8)
+        |SELECT source, COUNT(*) AS n_kept
+        |FROM inc i
+        |WHERE NOT EXISTS (SELECT 1 FROM ck WHERE ck.fp = i.fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "markov_transitions_events" ->
       """WITH e AS (

@@ -753,6 +753,34 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-5)
   }
 
+  test("deletion propagation: after = before − deleted, exactly, per type") {
+    val got = SparkEntry.queries("deletion_propagation_events")(spark, sf)
+      .collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getLong(1) - r.getLong(2) === r.getLong(3))
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+    }
+    // the % 97 slice is non-empty on the real table — the subtraction path
+    // is actually exercised
+    assert(got.map(_.getLong(2)).sum > 0)
+  }
+
+  test("winsorize: clipped sum bounded by raw sum of bounds, n unchanged") {
+    val ev = graft.io.Tables.load(spark, sf, "events")
+    val n = ev.count()
+    val got = SparkEntry.queries("winsorize_events")(spark, sf).collect()
+    assert(got.map(_.getLong(1)).sum === n) // every row aggregated
+    got.foreach { r =>
+      val (p05, p95) = (r.getDouble(2), r.getDouble(3))
+      val clipped = r.getDouble(5)
+      assert(p05 <= p95)
+      // clipped sum must lie within [n·p05, n·p95]
+      assert(clipped >= r.getLong(1) * p05 - 0.01 &&
+        clipped <= r.getLong(1) * p95 + 0.01)
+    }
+  }
+
   test("normalizationGain: dups under raw vs canonical form") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"),
       (3L, "hello world"), (4L, "other")).toDF("doc_id", "text")

@@ -122,6 +122,25 @@ class StreamingSpec extends SparkSpec {
     assert(users === Seq(1L, 4L), s"unexpected join survivors: $users")
   }
 
+  test("stream-static anti-join dedup matches the batch computation") {
+    // the streaming_corpus_dedup shape on the real table: file-stream of
+    // documents anti-joined against the static corpus fingerprints must
+    // equal the same plan run fully in batch
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val key = graft.scale.TextAnalysis.minShingleFingerprint(col("text"), 3)
+    val corpusKeys = docs.filter(col("doc_id") % 10 < 8)
+      .select(key.as("fp")).distinct()
+    val batchResult = docs.filter(col("doc_id") % 10 >= 8)
+      .select(col("source"), key.as("fp"))
+      .join(corpusKeys, Seq("fp"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = SparkEntry.queries("streaming_corpus_dedup_docs")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed === batchResult)
+    assert(streamed.values.sum > 0, "anti-join dropped everything")
+  }
+
   test("cappedSessions closes on gap and on event cap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
