@@ -800,6 +800,11 @@ object SparkEntry {
       Dedup.normalizationGain(docs.union(variants), "text")
     }),
 
+    // ---- batching: padding waste, arrival vs length-sorted batches ---------
+    "padding_waste_docs" -> ((s, dir) =>
+      TextAnalysis.paddingWaste(t(s, dir, "documents"), "doc_id", "text", 32)
+        .orderBy(col("strategy"))),
+
     // ---- corpus statistics: Zipf-law fit over token frequencies ------------
     "zipf_fit_docs" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", 100)),
@@ -991,6 +996,10 @@ object SparkEntry {
     "heavy_hitters_events" -> ((s, dir) =>
       graft.scale.Skew.heavyHitters(
         t(s, dir, "events"), Seq("user_id", "event_type"), 25)),
+
+    // ---- per-type daily trend: exact-integer least squares -----------------
+    "trend_fit_events" -> ((s, dir) =>
+      Events.trendFit(t(s, dir, "events")).orderBy(col("event_type"))),
 
     // ---- behavior model: first-order Markov transition matrix --------------
     "markov_transitions_events" -> ((s, dir) =>
@@ -3310,6 +3319,51 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
         |    AS gain
         |FROM h""".stripMargin,
+
+    "padding_waste_docs" ->
+      """WITH lens AS (
+        |  SELECT doc_id, CAST(len(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0))
+        |    AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |srt AS (
+        |  SELECT n_tokens,
+        |    (ROW_NUMBER() OVER (ORDER BY n_tokens, doc_id) - 1) // 32 AS batch
+        |  FROM lens),
+        |arr AS (
+        |  SELECT n_tokens,
+        |    (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+        |  FROM lens),
+        |bs AS (
+        |  SELECT 'length_sorted' AS strategy, batch, MAX(n_tokens) AS mx,
+        |    SUM(n_tokens) AS sm, COUNT(*) AS c
+        |  FROM srt GROUP BY batch
+        |  UNION ALL
+        |  SELECT 'arrival', batch, MAX(n_tokens), SUM(n_tokens), COUNT(*)
+        |  FROM arr GROUP BY batch)
+        |SELECT strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+        |  CAST(SUM(mx * c) AS BIGINT) AS padded_tokens,
+        |  CAST(SUM(sm) AS BIGINT) AS real_tokens,
+        |  ROUND(CAST(SUM(mx * c) - SUM(sm) AS DOUBLE)
+        |    / CAST(SUM(mx * c) AS DOUBLE), 6) AS waste_frac
+        |FROM bs GROUP BY strategy ORDER BY strategy""".stripMargin,
+
+    "trend_fit_events" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(day) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+        |    CAST(SUM(day * yc) AS BIGINT) AS sxy,
+        |    CAST(SUM(day * day) AS BIGINT) AS sxx
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, n AS n_days,
+        |  ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 6) AS slope_per_day
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "zipf_fit_docs" ->
       """WITH tok AS (

@@ -267,6 +267,38 @@ object Events {
   def epochMicros(df: DataFrame): Column =
     if (isNanosLong(df)) expr("ts DIV 1000") else unix_micros(col("ts"))
 
+  /** Per-group linear trend: the least-squares slope of the DAILY value
+    * total against the epoch day, one row per event_type — "is this
+    * activity growing and how fast", the metric behind alerting and
+    * capacity curves.
+    *
+    * Exactness: daily totals are decimal-exact cents (long), days are
+    * epoch-day longs, and all five regression sums are exact integer
+    * arithmetic — the closing slope division is the only floating op
+    * (same discipline as the Zipf fit; the classic cancellation danger in
+    * n·Σxx − (Σx)² is gone because the subtraction is exact).
+    *
+    * Scale: two hash-aggs — (type, day) then (type) — both keyed, no
+    * window, no collect.
+    */
+  def trendFit(events: DataFrame): DataFrame = {
+    val daily = events
+      .withColumn("__sec", epochSeconds(events))
+      .selectExpr("event_type", "__sec DIV 86400 AS day", "value")
+      .groupBy(col("event_type"), col("day"))
+      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+        .cast("long").as("yc"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("day")).as("sx"), sum(col("yc")).as("sy"),
+        sum(col("day") * col("yc")).as("sxy"),
+        sum(col("day") * col("day")).as("sxx"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / 100.0, 6).as("slope_per_day"))
+  }
+
   /** First-order Markov transition matrix over per-user event streams:
     * for each (previous event_type → event_type) step, its count and the
     * row-normalized transition probability. The standard session-behavior

@@ -294,6 +294,46 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** Padding-waste analysis for fixed-size batch packing: batches of
+    * `batchSize` docs pad every member to the batch max token count, so
+    * waste = Σ(batch_max·batch_size − batch_sum). Compares ARRIVAL order
+    * (batch by id) against LENGTH-SORTED order — the length-bucketing
+    * argument every inference/training batcher makes, quantified on the
+    * actual corpus.
+    *
+    * Scale: token counts are one scan; both rankings use
+    * [[graft.sample.Samplers.globalRowNumber]] (range-partition +
+    * per-partition rank + broadcast offsets) — no single-partition window
+    * anywhere, the repo's standing rule for global order.
+    */
+  def paddingWaste(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      batchSize: Int = 32): DataFrame = {
+    // one narrow (id, len) relation, two ranking consumers
+    val lens = df.select(col(idCol),
+      tokenCount(col(textCol)).cast("long").as("n_tokens"))
+      .localCheckpoint(true)
+    def waste(strategy: String, ordered: DataFrame): DataFrame =
+      ordered
+        .withColumn("batch", expr(s"(__rn - 1) DIV $batchSize"))
+        .groupBy(col("batch"))
+        .agg(max(col("n_tokens")).as("mx"),
+          sum(col("n_tokens")).as("sm"), count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("mx") * col("c")).as("padded_tokens"),
+          sum(col("sm")).as("real_tokens"))
+        .select(lit(strategy).as("strategy"), col("n_batches"),
+          col("padded_tokens"), col("real_tokens"),
+          round((col("padded_tokens") - col("real_tokens")).cast("double")
+            / col("padded_tokens").cast("double"), 6).as("waste_frac"))
+    val byLen = graft.sample.Samplers.globalRowNumber(
+      lens, Seq("n_tokens", idCol))
+    val byId = graft.sample.Samplers.globalRowNumber(lens, Seq(idCol))
+    waste("length_sorted", byLen).union(waste("arrival", byId))
+  }
+
   /** Zipf-law fit over the corpus token-frequency distribution: the
     * least-squares slope of ln(freq) against ln(rank) over the top-R
     * terms. Natural text sits near slope −1; a corpus that drifts far off

@@ -781,6 +781,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("trendFit: exact-line daily totals recover the slope exactly") {
+    // one event per day with value 1.00, 2.00, 3.00 → slope 1 value/day
+    val day = 86400L * 1000000000L
+    val ev = Seq((0L * day, "x", 1.0), (1L * day, "x", 2.0),
+      (2L * day, "x", 3.0)).toDF("ts", "event_type", "value")
+    val r = Events.trendFit(ev).collect()(0)
+    assert(r.getString(0) === "x" && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 1.0)
+  }
+
+  test("paddingWaste: real tokens strategy-invariant; sorting never worse") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val got = TextAnalysis.paddingWaste(docs, "doc_id", "text", 32)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val (arrival, sorted) = (got("arrival"), got("length_sorted"))
+    assert(arrival._1 === sorted._1)       // same batch count
+    assert(arrival._3 === sorted._3)       // same real token mass
+    assert(sorted._2 <= arrival._2)        // sorting never pads more
+    assert(sorted._4 <= arrival._4)
+    assert(arrival._2 >= arrival._3)       // padded ≥ real always
+  }
+
   test("normalizationGain: dups under raw vs canonical form") {
     val d = Seq((1L, "Hello, World!"), (2L, "hello world"),
       (3L, "hello world"), (4L, "other")).toDF("doc_id", "text")
