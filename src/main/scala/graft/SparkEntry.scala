@@ -800,6 +800,64 @@ object SparkEntry {
       Dedup.normalizationGain(docs.union(variants), "text")
     }),
 
+    // ---- layout: small-file compaction round trip ---------------------------
+    // THE operational problem at 100 TB: a table fragmented into thousands
+    // of small files (one per micro-batch/task) read-amplifies every scan.
+    // Write the corpus as 64 shards, compact to ceil(n/200) by row count,
+    // and prove bit fidelity via an order-invariant row checksum computed
+    // on both layouts (oracle computes the same checksum from the source
+    // table — all three must agree).
+    "compaction_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = freshFixtureDir("graft_compact").toString
+      val small = s"$base/small"; val packed = s"$base/packed"
+      docs.repartition(64).write.mode("overwrite").parquet(small)
+      val readSmall = s.read.parquet(small)
+      val n = readSmall.count()
+      val target = ((n + 199L) / 200L).toInt
+      readSmall.repartition(target).write.mode("overwrite").parquet(packed)
+      def nFiles(p: String): Long =
+        new java.io.File(p).listFiles()
+          .count(f => f.getName.endsWith(".parquet")).toLong
+      // unresolved column expression — binds to whichever layout it
+      // aggregates over
+      val checksum: Column = sum(Samplers.hashDraw32(
+        concat_ws("|", col("doc_id").cast("string"), col("lang"),
+          col("source"), col("n_chars").cast("string"),
+          md5(col("text").cast("binary")))))
+      s.read.parquet(packed).agg(checksum.as("checksum_packed"))
+        .crossJoin(readSmall.agg(checksum.as("checksum_small"),
+          count(lit(1)).as("n_rows")))
+        .select(col("n_rows"),
+          lit(nFiles(small)).as("files_small"),
+          lit(nFiles(packed)).as("files_packed"),
+          col("checksum_small"), col("checksum_packed"))
+    }),
+
+    // ---- ML eval: calibration curve of the hashed linear classifier --------
+    // Decile-ish bins by EXACT integer math on (w_sum, n_tokens) — never
+    // float bin edges, and the +1000·n offset keeps the dividend
+    // non-negative so truncating (Spark DIV) and flooring (DuckDB //)
+    // integer division agree.
+    "calibration_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+        .withColumn("bin",
+          expr("((w_sum + 1000 * n_tokens) * 10) DIV (2001 * n_tokens)"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("w_sum")).as("__tw"), sum(col("n_tokens")).as("__tt"),
+          sum(col("y")).as("n_pos"))
+        .select(col("bin"), col("n"),
+          round(col("__tw").cast("double") / col("__tt"), 6)
+            .as("mean_score"),
+          col("n_pos"),
+          round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
+        .orderBy(col("bin"))
+    }),
+
     // ---- batching: padding waste, arrival vs length-sorted batches ---------
     "padding_waste_docs" -> ((s, dir) =>
       TextAnalysis.paddingWaste(t(s, dir, "documents"), "doc_id", "text", 32)
@@ -3319,6 +3377,49 @@ object SparkEntry {
         |  CAST(COUNT(DISTINCT raw_h) - COUNT(DISTINCT norm_h) AS BIGINT)
         |    AS gain
         |FROM h""".stripMargin,
+
+    "compaction_docs" ->
+      """WITH cs AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CAST(('0x' || substr(md5(
+        |      CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source
+        |        || '|' || CAST(n_chars AS VARCHAR) || '|' || md5(text)),
+        |      1, 8)) AS BIGINT)) AS BIGINT) AS checksum
+        |  FROM documents)
+        |SELECT CAST(n_rows AS BIGINT) AS n_rows,
+        |  CAST(64 AS BIGINT) AS files_small,
+        |  CAST((n_rows + 199) // 200 AS BIGINT) AS files_packed,
+        |  checksum AS checksum_small, checksum AS checksum_packed
+        |FROM cs""".stripMargin,
+
+    "calibration_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w) AS BIGINT) AS w_sum
+        |  FROM w GROUP BY doc_id),
+        |lab AS (
+        |  SELECT s.doc_id, s.n_tokens, s.w_sum,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id),
+        |b AS (
+        |  SELECT ((w_sum + 1000 * n_tokens) * 10) // (2001 * n_tokens)
+        |    AS bin, n_tokens, w_sum, y
+        |  FROM lab)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(SUM(w_sum) AS DOUBLE) / SUM(n_tokens), 6) AS mean_score,
+        |  CAST(SUM(y) AS BIGINT) AS n_pos,
+        |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "padding_waste_docs" ->
       """WITH lens AS (
