@@ -150,14 +150,19 @@ object Similarity {
       vecCol: String,
       k: Int,
       iters: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val vecs = df.select(col(idCol).as("__id"),
       transform(col(vecCol), x => x.cast("double")).as("__v"))
-    // k rows only (post-limit) — the unpartitioned window runs on a
-    // k-row frame, not the input table, so no scale hazard.
-    var cents = vecs.orderBy(col("__id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("__id"))) - 1)
-        .as("centroid_id"), col("__v").as("centv"))
+    // k rows only (post-limit); dense 0-based ids via predecessor-count
+    // join over the k-row frame — bounded broadcast nested-loop, no
+    // global-window stage
+    val sel = vecs.orderBy(col("__id")).limit(k).localCheckpoint(true)
+    val cid = sel.select(col("__id"))
+      .join(sel.select(col("__id").as("__id2")),
+        col("__id2") < col("__id"), "left")
+      .groupBy(col("__id"))
+      .agg(count(col("__id2")).cast("int").as("centroid_id"))
+    var cents = sel.join(cid, Seq("__id"))
+      .select(col("centroid_id"), col("__v").as("centv"))
     for (_ <- 0 until iters) {
       val assigned = assignNearest(vecs, cents)
       val updated = assigned

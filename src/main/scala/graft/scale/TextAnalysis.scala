@@ -355,10 +355,18 @@ object TextAnalysis {
     val top = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("token")).limit(topR)
-    // window over ≤ topR rows — single-partition by construction, not by
-    // accident (the limit already funneled to the driver)
-    val w = Window.orderBy(col("freq").desc, col("token"))
-    val q = top.withColumn("rank", row_number().over(w).cast("long"))
+      // ≤ topR rows, consumed twice by the rank self-join below
+      .localCheckpoint(true)
+    // rank via predecessor-count over the ≤ topR-row frame (broadcast
+    // nested-loop on a bounded set) — no global-window stage at all
+    val ranked = top.join(
+        top.select(col("token").as("t2"), col("freq").as("f2")),
+        col("f2") > col("freq") ||
+          (col("f2") === col("freq") && col("t2") < col("token")),
+        "left")
+      .groupBy(col("token"), col("freq"))
+      .agg((count(col("t2")) + 1).as("rank"))
+    val q = ranked
       .select(
         round(log(col("rank").cast("double")) * 1e6).cast("long").as("lx"),
         round(log(col("freq").cast("double")) * 1e6).cast("long").as("ly"))
