@@ -867,6 +867,16 @@ object SparkEntry {
     "zipf_fit_docs" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", 100)),
 
+    // ---- corpus statistics: vocabulary coverage curve (tokenizer budget) ---
+    "vocab_coverage_docs" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", 200)
+        .orderBy(col("rank"))),
+
+    // ---- dedup QA: MinHash estimate vs exact Jaccard on LSH candidates -----
+    "minhash_accuracy_docs" -> ((s, dir) =>
+      Dedup.minhashAccuracy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- corpus statistics: top-k tokens (explode → count → topk) ----------
     "top_tokens_docs" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -3493,6 +3503,69 @@ object SparkEntry {
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
         |FROM s""".stripMargin,
+
+    "vocab_coverage_docs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |cnt AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+        |top AS (SELECT token, freq FROM cnt ORDER BY freq DESC, token LIMIT 200)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS BIGINT)
+        |    AS rank,
+        |  token, freq,
+        |  ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token) AS DOUBLE)
+        |    / CAST((SELECT SUM(freq) FROM cnt) AS DOUBLE), 6) AS coverage
+        |FROM top ORDER BY rank""".stripMargin,
+
+    "minhash_accuracy_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |est AS (
+        |  SELECT c.id_a, c.id_b,
+        |    CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 8
+        |      AS est_sim
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.id_a
+        |  JOIN mh mb ON mb.doc_id = c.id_b AND mb.s = ma.s
+        |  GROUP BY c.id_a, c.id_b),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.id_a
+        |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT e.id_a, e.id_b, ROUND(e.est_sim, 6) AS est_sim,
+        |  ROUND(CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |    / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+        |    AS exact_jaccard,
+        |  ROUND(ABS(e.est_sim
+        |    - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+        |      / CAST(sa.sz + sb.sz - COALESCE(i.n_inter, 0) AS DOUBLE)), 6)
+        |    AS abs_err
+        |FROM est e
+        |LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+        |JOIN sizes sa ON sa.doc_id = e.id_a
+        |JOIN sizes sb ON sb.doc_id = e.id_b
+        |ORDER BY e.id_a, e.id_b""".stripMargin,
 
     "top_tokens_docs" ->
       """SELECT token, COUNT(*) AS n FROM (

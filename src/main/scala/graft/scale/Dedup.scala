@@ -99,6 +99,75 @@ object Dedup {
         idCol, numHashes, rowsPerBand),
       idCol)
 
+  /** MinHash estimator quality on the LSH candidate set: for every candidate
+    * pair, the signature-agreement estimate (matching components /
+    * numHashes) next to the exact Jaccard over the full distinct-shingle
+    * sets, plus the absolute error. The dedup analog of ANN recall@k —
+    * before trusting a sketch at 100 TB you measure it against ground truth,
+    * and the candidate pairs ARE the right sample: they are the only pairs
+    * the pipeline ever acts on, so their estimation error is the quantity
+    * that decides dedup precision.
+    *
+    * Scale: the signature/candidate side is the production LSH path
+    * (banded, bounded buckets). The exact side explodes shingles ONLY for
+    * documents appearing in some candidate pair (left-semi first), and the
+    * intersection join fans out per pair by |A| — proportional to the
+    * near-dup mass, not the corpus.
+    */
+  def minhashAccuracy(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(true)
+    val cand = lshCandidatePairs(
+      lshBands(sigs, idCol, numHashes, rowsPerBand), idCol)
+      .localCheckpoint(true)
+    // agreeing components as a codegen integer sum (element_at is 1-based);
+    // est_sim = matches/numHashes is an exact binary fraction
+    val matches = (1 to numHashes)
+      .map(i =>
+        when(element_at(col("mh_a"), i) === element_at(col("mh_b"), i), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash").as("mh_a")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash").as("mh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (matches.cast("double") / numHashes).as("est_sim"))
+    // exact Jaccard over the FULL distinct-shingle sets (the quantity the
+    // estimator approximates — no df-cut here), candidate docs only
+    val inCand = cand.select(col("id_a").as(idCol))
+      .union(cand.select(col("id_b").as(idCol))).distinct()
+    val sh = df.join(inCand, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = cand
+      .join(sh.select(col(idCol).as("id_a"), col("sh")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("sh")), Seq("id_b", "sh"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    val exact = coalesce(col("n_inter"), lit(0L)).cast("double") /
+      (col("sz_a") + col("sz_b") - coalesce(col("n_inter"), lit(0L)))
+    est
+      .join(inter, Seq("id_a", "id_b"), "left_outer")
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(col("est_sim"), 6).as("est_sim"),
+        round(exact, 6).as("exact_jaccard"),
+        round(abs(col("est_sim") - exact), 6).as("abs_err"))
+  }
+
   /** Connected components over candidate-duplicate pairs → cluster
     * representative (min doc id reachable) per document. This is the dedup
     * endgame: LSH emits PAIRS, but retention decisions need GROUPS (keep one

@@ -385,6 +385,41 @@ object TextAnalysis {
           / col("n").cast("double") / 1e6, 6).as("intercept"))
   }
 
+  /** Vocabulary coverage curve: for the top-V corpus terms by frequency —
+    * rank, term, count, and the cumulative fraction of ALL token
+    * occurrences covered by ranks 1..r. The tokenizer-budget analytic: how
+    * large a vocabulary buys what corpus coverage (the knee of this curve
+    * is where BPE merges stop paying), and a drift check between corpus
+    * snapshots.
+    *
+    * Scale: one explode + hash-agg for counts (map-side partials), top-V
+    * via TakeOrderedAndProject; rank AND cumulative sum come from one
+    * predecessor-or-equal join over the bounded V-row frame (broadcast
+    * nested-loop) — no global window anywhere.
+    */
+  def vocabCoverage(df: DataFrame, textCol: String, topV: Int = 200)
+      : DataFrame = {
+    val counts = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      // feeds both the corpus total and the top-V selection
+      .localCheckpoint(true)
+    val total = counts.agg(sum(col("freq")).as("total_tokens"))
+    val top = counts.orderBy(col("freq").desc, col("token")).limit(topV)
+      .localCheckpoint(true)
+    // b precedes-or-equals a in (freq desc, token) order; the self match
+    // makes count() the 1-based rank and sum(f2) the inclusive cumulative
+    val ranked = top.join(
+        top.select(col("token").as("t2"), col("freq").as("f2")),
+        col("f2") > col("freq") ||
+          (col("f2") === col("freq") && col("t2") <= col("token")))
+      .groupBy(col("token"), col("freq"))
+      .agg(count(lit(1)).as("rank"), sum(col("f2")).as("cum_freq"))
+    ranked.crossJoin(broadcast(total))
+      .select(col("rank"), col("token"), col("freq"),
+        round(col("cum_freq").cast("double") / col("total_tokens"), 6)
+          .as("coverage"))
+  }
+
   /** Aggressive dedup normalization: lowercase, collapse every non-
     * alphanumeric run to one space, trim. The CCNet/Dolma-style canonical
     * form — exact dedup over it catches re-punctuated / re-cased copies

@@ -327,12 +327,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"rerank shuffled a big side:\n$plan")
   }
 
-  test("zipfFit tops out in TakeOrderedAndProject before the regression") {
+  test("zipfFit: rank from bounded broadcast NL join, no window stage") {
     val docs = Tables.load(spark, sf, "documents")
     val plan = graft.scale.TextAnalysis.zipfFit(docs, "text", 100)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"top-R must not be a global sort:\n$plan")
+    // the top-R frame arrives checkpointed (TakeOrderedAndProject ran in
+    // the checkpoint job); ranks come from the predecessor-count join over
+    // that bounded frame — never from a single-partition WindowExec
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected the bounded rank join:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no window stage may appear:\n$plan")
   }
 
   test("markovTransitions: one user shuffle, prob window over the agg only") {

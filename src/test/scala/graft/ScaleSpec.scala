@@ -753,6 +753,41 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - math.log(12.0)) < 1e-5)
   }
 
+  test("vocabCoverage: contiguous ranks, monotone coverage, exact tail") {
+    // 10×aa 5×bb 3×cc 2×dd → total 20; coverage 0.5, 0.75, 0.9, 1.0
+    val text = (Seq.fill(10)("aa") ++ Seq.fill(5)("bb") ++
+      Seq.fill(3)("cc") ++ Seq.fill(2)("dd")).mkString(" ")
+    val rows = TextAnalysis
+      .vocabCoverage(Seq((1L, text)).toDF("doc_id", "text"), "text", 200)
+      .orderBy(col("rank")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(rows.map(_.getString(1)).toSeq === Seq("aa", "bb", "cc", "dd"))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.5, 0.75, 0.9, 1.0))
+    // truncation: top-2 keeps the same head ranks/coverage
+    val top2 = TextAnalysis
+      .vocabCoverage(Seq((1L, text)).toDF("doc_id", "text"), "text", 2)
+      .orderBy(col("rank")).collect()
+    assert(top2.map(_.getDouble(3)).toSeq === Seq(0.5, 0.75))
+  }
+
+  test("minhashAccuracy: exact copies agree at 1.0 with zero error") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base), (2L, base), // exact pair → est 1, jaccard 1
+      (3L, (100 to 130).map(i => s"zz$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.minhashAccuracy(docs, "doc_id", "text").collect()
+    val pair = rows.find(r => r.getLong(0) === 1L && r.getLong(1) === 2L)
+    assert(pair.isDefined, s"exact copy pair not a candidate: ${rows.toSeq}")
+    assert(pair.get.getDouble(2) === 1.0)
+    assert(pair.get.getDouble(3) === 1.0)
+    assert(pair.get.getDouble(4) === 0.0)
+    // every estimate and exact score sits in [0, 1]
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0 && r.getDouble(2) <= 1)
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= 1)
+    }
+  }
+
   test("deletion propagation: after = before − deleted, exactly, per type") {
     val got = SparkEntry.queries("deletion_propagation_events")(spark, sf)
       .collect()
