@@ -867,6 +867,11 @@ object SparkEntry {
     "zipf_fit_docs" -> ((s, dir) =>
       TextAnalysis.zipfFit(t(s, dir, "documents"), "text", 100)),
 
+    // ---- corpus statistics: n-gram diversity (distinct-1/2/3 ratios) -------
+    "ngram_diversity_docs" -> ((s, dir) =>
+      TextAnalysis.ngramDiversity(t(s, dir, "documents"), "text", 3)
+        .orderBy(col("n"))),
+
     // ---- corpus statistics: vocabulary coverage curve (tokenizer budget) ---
     "vocab_coverage_docs" -> ((s, dir) =>
       TextAnalysis.vocabCoverage(t(s, dir, "documents"), "text", 200)
@@ -3503,6 +3508,29 @@ object SparkEntry {
         |       / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
         |    / CAST(n AS DOUBLE) / 1e6, 6) AS intercept
         |FROM s""".stripMargin,
+
+    "ngram_diversity_docs" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT 1 AS n, COALESCE(t[i], '') AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(t), 1) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT 2 AS n,
+        |    concat(COALESCE(t[i], ''), COALESCE(' ' || t[i+1], '')) AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 1) + 1)) AS u(i)
+        |  UNION ALL
+        |  SELECT 3 AS n,
+        |    concat(COALESCE(t[i], ''), COALESCE(' ' || t[i+1], ''),
+        |           COALESCE(' ' || t[i+2], '')) AS g
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+        |cnt AS (SELECT n, g, COUNT(*) AS c FROM grams GROUP BY n, g)
+        |SELECT n, CAST(SUM(c) AS BIGINT) AS total_ngrams,
+        |  COUNT(*) AS distinct_ngrams,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS distinct_ratio
+        |FROM cnt GROUP BY n ORDER BY n""".stripMargin,
 
     "vocab_coverage_docs" ->
       """WITH tok AS (

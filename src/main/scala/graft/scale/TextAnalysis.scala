@@ -420,6 +420,50 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Raw (non-distinct) word n-grams — same bound-lambda idiom and
+    * short-doc semantics as [[Shingles.wordShingles]] (a doc with < n
+    * tokens yields one n-gram of its whole token list), but keeping every
+    * occurrence: diversity ratios need totals, not sets.
+    */
+  private def rawNgrams(text: Column, n: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val sz = size(t)
+        transform(sequence(lit(1), greatest(sz - (n - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until n).map(j =>
+              when(i + j <= sz, element_at(t, (i + j).cast("int")))): _*))
+      }), 1)
+
+  /** Corpus n-gram diversity (distinct-n): for n = 1..maxN, the total
+    * n-gram occurrences, the number of distinct n-grams, and their ratio.
+    * distinct-1 is the classic type-token ratio; distinct-2/3 are the
+    * standard diversity gates for synthetic/model-generated corpora (mass
+    * duplication and templated spam crater them long before exact dedup
+    * fires). Complements the within-doc [[repetitionSignal]] and the
+    * cross-corpus n-gram overlap.
+    *
+    * Scale: ONE scan — each doc emits its 1..maxN-grams tagged with n from
+    * a single flattened projection; then two keyed hash-aggregations
+    * ((n, gram) counts → per-n totals), both with map-side partials. No
+    * count-distinct expand, no join, no window.
+    */
+  def ngramDiversity(df: DataFrame, textCol: String, maxN: Int = 3)
+      : DataFrame = {
+    val tagged = (1 to maxN).map(n =>
+      transform(rawNgrams(col(textCol), n),
+        g => struct(lit(n).as("n"), g.as("g"))))
+    df.select(explode(flatten(array(tagged: _*))).as("x"))
+      .select(col("x.n").as("n"), col("x.g").as("g"))
+      .groupBy(col("n"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("n"))
+      .agg(sum(col("c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .select(col("n"), col("total_ngrams"), col("distinct_ngrams"),
+        round(col("distinct_ngrams").cast("double")
+          / col("total_ngrams").cast("double"), 6).as("distinct_ratio"))
+  }
+
   /** Aggressive dedup normalization: lowercase, collapse every non-
     * alphanumeric run to one space, trim. The CCNet/Dolma-style canonical
     * form — exact dedup over it catches re-punctuated / re-cased copies

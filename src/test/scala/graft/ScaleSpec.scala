@@ -770,6 +770,17 @@ class ScaleSpec extends SparkSpec {
     assert(top2.map(_.getDouble(3)).toSeq === Seq(0.5, 0.75))
   }
 
+  test("ngramDiversity: hand-computed ratios, short docs kept") {
+    // doc1 "a b a b": 1-grams 4/2, 2-grams 3/2, 3-grams 2/2
+    // doc2 "x" (< n tokens): contributes its whole list at every n
+    val docs = Seq((1L, "a b a b"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextAnalysis.ngramDiversity(docs, "text", 3)
+      .orderBy(col("n")).collect()
+    assert(rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ===
+      Seq((1, 5L, 3L), (2, 4L, 3L), (3, 3L, 3L)))
+    assert(rows.map(_.getDouble(3)).toSeq === Seq(0.6, 0.75, 1.0))
+  }
+
   test("minhashAccuracy: exact copies agree at 1.0 with zero error") {
     val base = (1 to 30).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
