@@ -719,14 +719,16 @@ object SparkEntry {
     // SplitIndex program — the exact build-a-string-then-reparse shape the
     // reference's prompts teach. With SerializeResplitRule registered, the
     // optimized plan reads `p_brand` directly (RuleSpec asserts the collapse;
-    // the oracle checks the values). Registration is idempotent and the
-    // rewrite is semantics-preserving, so sharing the session is safe.
+    // the oracle checks the values). The rule lives in a DEDICATED child
+    // session (`newSession`: same SparkContext + catalog state isolation),
+    // never the shared one — round-2 registered it into the shared session's
+    // `experimental.extraOptimizations`, which made every later query in the
+    // run pay the rule's pattern match over its plan.
     "resplit_rewrite_part" -> ((s, dir) => {
-      if (!s.experimental.extraOptimizations.contains(SerializeResplitRule))
-        s.experimental.extraOptimizations =
-          s.experimental.extraOptimizations :+ SerializeResplitRule
+      val ruled = s.newSession()
+      ruled.experimental.extraOptimizations = Seq(SerializeResplitRule)
       val prog = TransformProgram.SplitIndex("^", 1)
-      t(s, dir, "part")
+      t(ruled, dir, "part")
         .withColumn("text",
           Serialize.serializeSimple(Seq("p_name", "p_brand", "p_type")))
         .select(col("p_partkey"), prog.toColumn(col("text")).as("pred"))

@@ -250,19 +250,37 @@ object Samplers {
     * train, rest → test (`utils/data_utils.py:216-217`). Spark has no implicit
     * row order so the order column must be explicit (file line index, key…).
     *
-    * Ranked via [[globalRowNumber]] — range-partitioned parallel ranking, no
-    * single-partition `Window.orderBy` stage (this runs on the FULL input in
-    * the wrangler task pipelines, so the naive window would funnel the whole
-    * table through one task at scale).
+    * k is tiny in every reference call site (k≈3 demos), so ranking the
+    * whole table would be absurd: instead the k-th smallest order key is
+    * found with an orderBy+limit — Spark executes it as
+    * TakeOrderedAndProject, a per-partition top-k + driver merge of k·p
+    * keys, NO shuffle and NO materialization — aggregated to a 1-row max,
+    * broadcast, and both sides are plain filters over the original frame.
+    * The input is scanned, never checkpointed or ranked; at 100 TB the
+    * threshold job moves k keys per partition and the filters are
+    * pushdown-eligible scans. Order keys must be unique (documented
+    * contract, same as the rank path): ties AT the threshold would all land
+    * in train. For rank-everything consumers (headFractionOrdered, shard
+    * packing) use [[globalRowNumber]] — this fast path is for tiny k.
     */
   def positionalSplit(
       df: DataFrame,
       orderCol: String,
       k: Int,
       numPartitions: Int = 32): (DataFrame, DataFrame) = {
-    val rn = globalRowNumber(df, Seq(orderCol), numPartitions)
-    (rn.filter(col("__rn") <= k).drop("__rn"),
-      rn.filter(col("__rn") > k).drop("__rn"))
+    // max over the k lowest keys = the k-th smallest key; null when k=0 or
+    // the input is empty → train's `<= null` filter is never-true and
+    // test's isNull branch keeps everything, which is the right degenerate
+    // split in both cases. k >= n collapses to (everything, empty).
+    val thr = df.select(col(orderCol).as("__thr"))
+      .orderBy(col("__thr")).limit(k)
+      .agg(max(col("__thr")).as("__thr"))
+    val train = df.crossJoin(broadcast(thr))
+      .filter(col(orderCol) <= col("__thr")).drop("__thr")
+    val test = df.crossJoin(broadcast(thr))
+      .filter(col("__thr").isNull || col(orderCol) > col("__thr"))
+      .drop("__thr")
+    (train, test)
   }
 
   /** T2 — 3-way co-sort (`sort_by_instruction`, `utils/data_utils.py:226-246`):

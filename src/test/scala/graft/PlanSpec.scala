@@ -71,16 +71,27 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
   }
 
-  test("positionalSplit plan has no single-partition exchange or window") {
+  test("positionalSplit is a threshold filter: top-k + broadcast, " +
+      "no rank, no checkpoint") {
     val docs = Tables.load(spark, sf, "documents")
-    val (train, _) = graft.sample.Samplers.positionalSplit(docs, "doc_id", 5)
-    val plan = train.queryExecution.executedPlan.toString
-    // A global Window.orderBy (no partitionBy) ALWAYS plans an
-    // `Exchange SinglePartition` under the WindowExec, so asserting that
-    // exchange's absence IS the "no unpartitioned window over the data"
-    // invariant — no fragile window-spec string matching needed.
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"single-partition exchange in split plan:\n$plan")
+    val (train, test) =
+      graft.sample.Samplers.positionalSplit(docs, "doc_id", 5)
+    for ((side, name) <- Seq(train -> "train", test -> "test")) {
+      val plan = side.queryExecution.executedPlan.toString
+      // threshold comes from a per-partition top-k (k keys per partition
+      // move), never a global sort or rank of the data
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"$name: threshold must be a top-k, not a sort:\n$plan")
+      assert(!plan.toLowerCase.contains("window"),
+        s"$name: no rank window may appear in the split plan:\n$plan")
+      // the round-2 regression: globalRowNumber localCheckpoint()ed the
+      // WHOLE input (shows as a Scan ExistingRDD) just to peel off k rows
+      assert(!plan.contains("ExistingRDD"),
+        s"$name: split must not materialize/checkpoint the input:\n$plan")
+      assert(plan.contains("BroadcastNestedLoopJoin") ||
+        plan.contains("BroadcastExchange"),
+        s"$name: 1-row threshold should broadcast:\n$plan")
+    }
   }
 
   test("q3 pushes both date filters into the scans and broadcasts customer") {
