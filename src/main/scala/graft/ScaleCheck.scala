@@ -206,7 +206,11 @@ object ScaleCheck {
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))
 
-    val results = cases.map { case (name, op, base, idCol, salt) =>
+    // optional args: case-name filter (local iteration aid)
+    val only = if (args.nonEmpty) Some(args.toSet) else None
+    val results = cases
+      .filter { case (name, _, _, _, _) => only.forall(_.contains(name)) }
+      .map { case (name, op, base, idCol, salt) =>
       val big = replicate(base, idCol, n, salt)
       val t1 = time(noop(op(base)))
       val tn = time(noop(op(big)))

@@ -4932,7 +4932,8 @@ object SparkEntry {
         |    CAST(('0x' || substring(md5(substr(text, CAST(i AS INT), 48)),
         |      1, 15)) AS BIGINT) AS h
         |  FROM documents,
-        |    UNNEST(range(1, GREATEST(len(text) - 47, 1) + 1)) AS u(i)),
+        |    UNNEST(range(1, GREATEST(len(text) - 47, 1) + 1)) AS u(i)
+        |  WHERE i = 1 OR substr(text, CAST(i - 1 AS INT), 1) = ' '),
         |keep AS (
         |  SELECT h FROM w GROUP BY h HAVING COUNT(*) BETWEEN 2 AND 100)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared

@@ -481,56 +481,92 @@ object Dedup {
   /** Cross-document exact-substring duplication — the ExactSubstr decision
     * of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499) re-shaped for a distributed engine: two
-    * documents are substring-duplicates iff they share ≥ one character
-    * k-gram, i.e. iff they share a substring of length ≥ k. Every stride-1
-    * character window is hashed (md5 — the module's portable-hash
-    * convention); the inverted window-hash index then generates candidate
-    * pairs exactly like [[ngramJaccardPairs]]: count-first df-cut, bounded
+    * documents are substring-duplicates iff they share a character k-gram
+    * window. The inverted window-hash index generates candidate pairs
+    * exactly like [[ngramJaccardPairs]]: count-first df-cut, bounded
     * posting lists, map-side pair expansion. Where the suffix array finds
-    * the LONGEST shared substring, the k-gram index finds every ≥k-char
+    * the LONGEST shared substring, the k-gram index finds every qualifying
     * share — the same dedup decision at threshold k, embarrassingly
     * parallel, no global sort.
     *
+    * Window selection (`anchored`, default true): hashing every stride-1
+    * position is the exhaustive mode — |corpus characters| md5s, the whole
+    * cost of this operator (profiled: the hash evaluation dominates, not
+    * the shuffle). A BLIND stride s would be ~s× cheaper but silently
+    * loses recall: windows in two documents only collide if the shared run
+    * happens to start at the same position mod s in both, so unaligned
+    * duplicates vanish. The sound reduction is CONTENT-DEFINED anchoring
+    * (the idea behind winnowing — Schleimer/Wilkerson/Aiken, SIGMOD'03 —
+    * and content-defined chunking): select window starts by a predicate of
+    * the text itself, here word starts (position 1 or preceded by a
+    * space), so two documents sharing a run select the SAME positions
+    * inside the run regardless of where the run sits. Recall contract:
+    * a shared run is detected iff it fully contains one anchored window —
+    * guaranteed for runs of length ≥ k + g, where g is the run-start
+    * offset of its first word start (for natural text, bounded by the
+    * longest word + 1; pathological space-free data degrades to the
+    * position-1 anchor, i.e. whole-doc prefix duplicates only — use
+    * `anchored = false` for such corpora). ~6× fewer windows on
+    * word-length-6 text, same asymptotic shape.
+    *
     * Semantics: (id, window-hash) pairs are DISTINCT (a k-gram repeated
     * inside one doc counts once), so `n_shared` = number of distinct shared
-    * k-grams ≈ L−k+1 for a length-L shared span. Documents shorter than k
-    * contribute their whole text as their single "window" — two identical
-    * short docs still pair. Windows seen by > maxDf docs are boilerplate
-    * (headers, licenses): they carry no pair signal a rarer window wouldn't,
-    * but cost C(df,2) pairs — cut, like the jaccard stop-shingles; windows
-    * in a single doc are cut too (df ≥ 2), which jaccard cannot do (it
-    * needs per-doc sizes) but a pure pair-finder can.
+    * anchored k-grams (≈ shared-span word count in anchored mode).
+    * Documents shorter than k contribute their whole text as their single
+    * position-1 "window" — two identical short docs still pair. Windows
+    * seen by > maxDf docs are boilerplate (headers, licenses): they carry
+    * no pair signal a rarer window wouldn't, but cost C(df,2) pairs — cut,
+    * like the jaccard stop-shingles; windows in a single doc are cut too
+    * (df ≥ 2), which jaccard cannot do (it needs per-doc sizes) but a pure
+    * pair-finder can.
     *
-    * Scale: the explode is |corpus characters| rows — linear, shuffled once
-    * on the 16-byte hash. At 100 TB, stride the QUERY side by k/2 while
-    * keeping one side stride-1 (halves the index at no recall loss for
-    * spans ≥ 1.5k), or go per-partition suffix arrays; noted, not needed at
-    * tested SFs.
+    * Scale: the explode is |corpus characters| rows but only anchored ones
+    * reach the hash; the index shuffles once on 8-byte keys — linear. At
+    * 100 TB the remaining lever is per-partition suffix arrays; noted, not
+    * needed at tested SFs.
     */
   def substringDupPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       k: Int = 48,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = 100,
+      anchored: Boolean = true): DataFrame = {
     val n = length(col(textCol))
-    // explode window START POSITIONS, then hash in a codegen projection —
-    // md5 inside a `transform` lambda evaluates interpreted per element
-    // (the repo-wide HOF discipline; measured ~6× on this operator).
-    // The key is the top 60 bits of the md5 as a LONG (the portable
-    // truncation simhash uses): the distinct + df-cut + postings shuffles
-    // then carry 8-byte keys instead of 32-char hex strings; 60-bit
-    // collisions are negligible below ~2^30 distinct windows per corpus.
-    // (A collision usually just ADDS a spurious candidate pair; the one
-    // drop path — two real windows merging past the maxDf cut — needs a
-    // collision between two already-high-df windows, ~2^-60 each.)
-    val w = df.select(col(idCol), col(textCol),
-        explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("__i"))
+    // Anchored mode extracts the window STRINGS in one compiled-regex scan
+    // per document: a zero-width match at every word start (`(?<![^ ])` =
+    // start-of-string or after a space) whose lookahead CAPTURES the next
+    // exactly-k characters. Anchors within k-1 of the end can't fill the
+    // capture, so they drop — the same bound as the position formulation's
+    // `i <= n-k+1`; sub-k docs take the whole text as their position-1
+    // window via the `when` branch. Profiled against exploding all
+    // character positions and filtering (carries the doc text through
+    // 1.25M explode rows) and against a per-doc HOF position aggregate
+    // (interpreted, quadratic in tokens): the regex scan is linear,
+    // codegen-adjacent, and produced the identical window set ~40% faster.
+    // The window hash runs in a codegen projection over the anchor rows;
+    // its key is the first 8 BYTES of the md5 (unhex of the hex prefix —
+    // no hex→decimal string parse): distinct + df-cut + postings shuffles
+    // carry 8-byte keys; 64-bit collisions are negligible below ~2^32
+    // distinct windows per corpus. (A collision usually just ADDS a
+    // spurious candidate pair; the one drop path — two real windows
+    // merging past the maxDf cut — needs a collision between two
+    // already-high-df windows, ~2^-64 each.)
+    val sel =
+      if (anchored)
+        df.select(col(idCol),
+          explode(when(n < k, array(col(textCol)))
+            .otherwise(regexp_extract_all(col(textCol),
+              lit("(?<![^ ])(?=([\\s\\S]{" + k + "}))"), lit(1))))
+            .as("__w"))
+      else
+        df.select(col(idCol), col(textCol),
+            explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("__i"))
+          .select(col(idCol),
+            col(textCol).substr(col("__i"), lit(k)).as("__w"))
+    val w = sel
       .select(col(idCol),
-        conv(substring(
-            md5(col(textCol).substr(col("__i"), lit(k)).cast("binary")),
-            1, 15), 16, 10)
-          .cast("long").as("h"))
+        unhex(substring(md5(col("__w").cast("binary")), 1, 16)).as("h"))
       // one (id, hash) relation, three consumers (df-cut, keep-join,
       // postings) — materialize once, as ngramJaccardPairs does
       .distinct()

@@ -34,24 +34,22 @@ object ProfileSubstr {
       conv(substring(md5(col("text").substr(col("__i"), lit(k)).cast("binary")),
         1, 15), 16, 10).cast("long").as("h"))
     time("explode + md5 + conv")(hashed.select(sum(col("h"))).count())
-    val dist = hashed.distinct()
-    time("+ distinct")(dist.count())
-    time("distinct on md5 string (no conv)")(
-      pos.select(col("doc_id"),
-        md5(col("text").substr(col("__i"), lit(k)).cast("binary")).as("h"))
-        .distinct().count())
-    time("distinct on xxhash64")(
-      pos.select(col("doc_id"),
-        xxhash64(col("text").substr(col("__i"), lit(k))).as("h"))
-        .distinct().count())
-    time("distinct on unhex md5 prefix")(
-      pos.select(col("doc_id"),
-        unhex(substring(md5(col("text").substr(col("__i"), lit(k))
-          .cast("binary")), 1, 16)).as("h"))
-        .distinct().count())
-    val ckpt = hashed.localCheckpoint(true)
-    time("distinct after checkpoint")(ckpt.distinct().count())
-    time("full substringDupPairs")(
+    val winArr = when(n < k, array(col("text")))
+      .otherwise(regexp_extract_all(col("text"),
+        lit("(?<![^ ])(?=([\\s\\S]{48}))"), lit(1)))
+    val regexWins = docs.select(col("doc_id"),
+      explode(winArr).as("__w"))
+    time("regex anchor windows")(regexWins.count())
+    val ahashed = regexWins.select(col("doc_id"),
+      unhex(substring(md5(col("__w").cast("binary")), 1, 16)).as("h"))
+    time("regex windows + md5 unhex")(
+      ahashed.select(sum(length(col("h"))).as("s")).collect()(0).getLong(0))
+    time("+ distinct")(ahashed.distinct().count())
+    time("+ distinct + checkpoint")(
+      ahashed.distinct().localCheckpoint(true).count())
+    time("full substringDupPairs (anchored)")(
+      Dedup.substringDupPairs(docs, "doc_id", "text", 48, 100).count())
+    time("full again (warm)")(
       Dedup.substringDupPairs(docs, "doc_id", "text", 48, 100).count())
     spark.stop()
   }

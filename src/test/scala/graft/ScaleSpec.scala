@@ -546,6 +546,23 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (4L, 5L)), s"unexpected pairs: ${got.toSeq}")
   }
 
+  test("substringDupPairs anchoring is alignment-invariant (the case a " +
+      "blind stride misses)") {
+    // The shared span sits at DIFFERENT offsets in the two docs (7 vs 31 —
+    // different mod s for any stride s>1, so blind-strided windows would
+    // never collide). Word-start anchors are positions of the text itself,
+    // so both docs hash the same in-span windows and the pair survives.
+    val span = "sphinx of black quartz judge my vow twice over and again"
+    val d = Seq(
+      (1L, s"prefix $span"),
+      (2L, s"a much longer unrelated prefix, $span"),
+      (3L, "nothing shared with anybody here in this filler document x")
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupPairs(d, "doc_id", "text", 48, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 2L)), s"unexpected pairs: ${got.toSeq}")
+  }
+
   test("unigramLogProb: exact model probabilities on a closed vocabulary") {
     // corpus: total 6 tokens; tf(a)=3, tf(b)=2, tf(c)=1
     val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
