@@ -123,7 +123,11 @@ object SparkEntry {
               col("s_acctbal").cast("decimal(18,2)"))).as("text"),
           Serialize.yesNoLabel(
             when(col("l_returnflag") === "R", 1).otherwise(0)).as("label_str"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // no presentation sort: 600k output rows at sf0.1 — a trailing global
+      // orderBy would be the single most expensive stage of the query, and
+      // the driver compare is order-insensitive (it sorts rows itself).
+      // Convention: small outputs keep ORDER BY for inspectability; the
+      // >=50k-row outputs drop it (same for the other lineitem-wide tails).
     }),
 
     // ---- P1+P6+P8 imputation serialization (customer, target=mktsegment) --
@@ -143,8 +147,7 @@ object SparkEntry {
         .withColumn("is_clean",
           when(col("event_type") =!= "error", 1).otherwise(0))
         .select(col("event_id"), col("props").as("text"),
-          Serialize.invertedCleanLabel(col("is_clean")).as("label_str"))
-        .orderBy(col("event_id"))),
+          Serialize.invertedCleanLabel(col("is_clean")).as("label_str"))),
 
     // ---- A3 class-balanced downsample (deterministic variant) -------------
     "class_balanced_orders" -> ((s, dir) =>
@@ -225,7 +228,6 @@ object SparkEntry {
       val gold = concat(lit("qty "), col("l_quantity").cast("string"))
       li.select(col("l_orderkey"), col("l_linenumber"),
           Metrics.tolerantEquals(pred, gold).as("crc"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ---- F4 fraction parsing path -----------------------------------------
@@ -235,7 +237,6 @@ object SparkEntry {
       val gold = concat((col("l_suppkey") % 7).cast("string"), lit("/8"))
       li.select(col("l_orderkey"), col("l_linenumber"),
           Metrics.tolerantEquals(pred, gold).as("crc"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ---- scale: exact dedup -----------------------------------------------
@@ -740,7 +741,6 @@ object SparkEntry {
       val prog = TransformProgram.AffineNumber(1.8, 32.0, 1) // °C → °F
       t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           prog.toColumn(col("l_quantity").cast("string")).as("pred"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
     // ---- multimodal: binary payload + stub decode (mapPartitions batch) ----
