@@ -1050,14 +1050,44 @@ object SparkEntry {
 
     // ---- sketches: approx distinct + approx percentiles (rows-only check:
     // sketch internals are engine-specific by design) ------------------------
-    "approx_stats_events" -> ((s, dir) =>
-      t(s, dir, "events")
+    // The sketches themselves are engine-specific (HLL++ register layout,
+    // quantile-summary compression order), so their raw values can't be
+    // oracle-compared — and percentile_approx isn't even stable across
+    // partitionings. What IS deterministic: each sketch's documented error
+    // CONTRACT. The query emits exact companions plus boolean in-bound
+    // flags — hll within 3×rsd of the exact distinct; each approx
+    // percentile's rank interval [count(<v), count(<=v)]/n intersecting
+    // q ± (1/accuracy + slack) — computed by joining the 5-row sketch
+    // output back over the data (one extra broadcast-join scan). The
+    // oracle pins the flags to TRUE: a sketch drifting out of contract
+    // flips a flag and fails the hash compare.
+    "approx_stats_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(
+        col("event_type"), col("user_id"), col("value"))
+      val sk = ev.groupBy(col("event_type")).agg(
+        approx_count_distinct(col("user_id")).as("__au"),
+        percentile_approx(col("value"), lit(0.5), lit(1000)).as("__p50"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("__p99"),
+        countDistinct(col("user_id")).as("n_users"),
+        count(col("value")).as("n_vals"))
+      val n = col("n_vals").cast("double")
+      ev.join(broadcast(sk), Seq("event_type"))
         .groupBy(col("event_type"))
         .agg(
-          approx_count_distinct(col("user_id")).as("n_users_approx"),
-          percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50"),
-          percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99"))
-        .orderBy(col("event_type"))),
+          first(col("n_users")).as("n_users"),
+          first(col("n_vals")).as("n_vals"),
+          (abs(first(col("__au")) - first(col("n_users"))) <=
+            first(col("n_users")) * 0.15).as("hll_ok"),
+          (sum(when(col("value") < col("__p50"), 1L).otherwise(0L)) <=
+            first(n) * 0.51 &&
+           sum(when(col("value") <= col("__p50"), 1L).otherwise(0L)) >=
+            first(n) * 0.49).as("p50_ok"),
+          (sum(when(col("value") < col("__p99"), 1L).otherwise(0L)) <=
+            first(n) * 1.0 &&
+           sum(when(col("value") <= col("__p99"), 1L).otherwise(0L)) >=
+            first(n) * 0.98).as("p99_ok"))
+        .orderBy(col("event_type"))
+    }),
 
     // ---- skew: salted two-phase aggregation (5 hot keys spread over salt
     // buckets; result is salt-independent → plain GROUP BY oracle) -----------
@@ -3239,6 +3269,16 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // exact companions + sketch-contract flags; the Spark side computes the
+    // flags from its own sketches, the oracle pins them TRUE (see the query
+    // comment) — an out-of-contract sketch fails the hash compare
+    "approx_stats_events" ->
+      """SELECT event_type,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(value) AS n_vals,
+        |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // same 3-shingle construction as the jaccard oracle, per language side;
     // |intersection| of two DISTINCT sets = inner-join row count
