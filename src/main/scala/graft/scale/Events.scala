@@ -263,9 +263,15 @@ object Events {
 
   /** Epoch microseconds of the event, exact — the finest granularity both
     * engines share (DuckDB timestamps are µs; ns floor-divides losslessly).
+    * FLOOR division, not Spark DIV's truncation toward zero: a pre-1970
+    * nanos value that isn't µs-aligned must land on the same µs key as
+    * DuckDB's floor-to-µs native storage (the `% 1000` correction costs
+    * nothing post-1970, where the two divisions agree).
     */
   def epochMicros(df: DataFrame): Column =
-    if (isNanosLong(df)) expr("ts DIV 1000") else unix_micros(col("ts"))
+    if (isNanosLong(df))
+      expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
+    else unix_micros(col("ts"))
 
   /** Per-group linear trend: the least-squares slope of the DAILY value
     * total against the epoch day, one row per event_type — "is this
@@ -294,9 +300,14 @@ object Events {
         sum(col("day") * col("yc")).as("sxy"),
         sum(col("day") * col("day")).as("sxx"))
       .select(col("event_type"), col("n").as("n_days"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-          / 100.0, 6).as("slope_per_day"))
+        // single-day groups have denominator 0: emit NULL explicitly —
+        // Spark's 0.0/0.0 is NaN while DuckDB's divide-by-zero semantics
+        // differ by version, so the guard is what keeps the two engines
+        // hash-identical on degenerate groups
+        round(when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            / 100.0), 6).as("slope_per_day"))
   }
 
   /** First-order Markov transition matrix over per-user event streams:

@@ -516,6 +516,10 @@ object Similarity {
   def binarySignatures(
       df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), posexplode(col(vecCol)).as(Seq("__p", "__x")))
+      // dims beyond 64 are ignored, not aliased: shiftleft masks the shift
+      // amount mod 64, so an unguarded __p >= 64 would silently fold into
+      // sig_hi and diverge from any reader of the first 64 dims
+      .filter(col("__p") < 64)
       .groupBy(col(idCol))
       .agg(
         sum(when(col("__x") > 0 && col("__p") < 32,
@@ -593,12 +597,16 @@ object Similarity {
       .groupBy(col("query_id"))
       .agg(count(lit(1)).as("n_approx"),
         sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
-    exact.select(col("query_id")).distinct()
+    // denominator = min(k, per-query ground-truth size): a query with
+    // fewer than k exact neighbors can still reach recall 1.0 when the
+    // approximate result returns all of them
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("__n_exact"))
       .join(hits, Seq("query_id"), "left_outer")
       .select(col("query_id"),
         coalesce(col("n_approx"), lit(0L)).as("n_approx"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        round(coalesce(col("n_hit"), lit(0L)).cast("double") / k, 6)
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") /
+          least(lit(k.toLong), col("__n_exact")), 6)
           .as("recall"))
   }
 }

@@ -370,18 +370,19 @@ object TextAnalysis {
       .select(
         round(log(col("rank").cast("double")) * 1e6).cast("long").as("lx"),
         round(log(col("freq").cast("double")) * 1e6).cast("long").as("ly"))
+    // topR=1 (or an all-one-rank degenerate corpus) zeroes the denominator:
+    // guard to NULL on both engines (Spark would emit NaN, DuckDB's
+    // divide-by-zero varies by version — same hazard as Events.trendFit)
+    val denom = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    val slope = when(denom =!= 0.0,
+      (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") / denom)
     q.agg(count(lit(1)).as("n"),
         sum(col("lx")).as("sx"), sum(col("ly")).as("sy"),
         sum(col("lx") * col("ly")).as("sxy"),
         sum(col("lx") * col("lx")).as("sxx"))
       .select(col("n").as("n_terms"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
-          6).as("slope"),
-        round((col("sy").cast("double")
-          - ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            * col("sx").cast("double"))
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
           / col("n").cast("double") / 1e6, 6).as("intercept"))
   }
 

@@ -52,6 +52,26 @@ class LayoutSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === orders.count())
   }
 
+  test("compaction writer layout: 64 small files pack to ceil(n/200) files") {
+    // The writer-layout expectation the compaction_docs ORACLE used to
+    // hardcode: one file per repartition partition, none empty. Asserted
+    // here instead, so a writer change fails with a layout message rather
+    // than masquerading as a wrong answer in the oracle compare (the
+    // oracle now checks only row count + content checksums).
+    val dir = Files.createTempDirectory("graft_layout").toString
+    val docs = Tables.load(spark, sf, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(s"$dir/small")
+    val n = spark.read.parquet(s"$dir/small").count()
+    val target = ((n + 199L) / 200L).toInt
+    spark.read.parquet(s"$dir/small").repartition(target)
+      .write.mode("overwrite").parquet(s"$dir/packed")
+    def nFiles(p: String): Long =
+      new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet")).toLong
+    assert(nFiles(s"$dir/small") === 64L)
+    assert(nFiles(s"$dir/packed") === target.toLong)
+  }
+
   test("partition column round-trips through the directory encoding") {
     val dir = Files.createTempDirectory("graft_layout").toString + "/docs"
     val docs = Tables.load(spark, sf, "documents")

@@ -714,6 +714,15 @@ class ScaleSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L, 0.5), (2L, 0L, 0L, 0.0)))
   }
 
+  test("recallAtK: a query with fewer than k exact neighbors can reach 1.0") {
+    // query 1 has only 1 exact neighbor; the approx result returns it →
+    // perfect recall (dividing by the parameter k would cap it at 0.5)
+    val exact = Seq((1L, 10L)).toDF("query_id", "cand_id")
+    val approx = Seq((1L, 10L), (1L, 99L)).toDF("query_id", "cand_id")
+    val r = Similarity.recallAtK(exact, approx, 2).collect()(0)
+    assert(r.getDouble(3) === 1.0, s"expected recall 1.0, got $r")
+  }
+
   test("incrementalDedup: exact dup screened, novel doc kept") {
     // doc_id % 10 < 8 → corpus {1, 2}; incoming {8, 9, 18}
     val d = Seq(
@@ -742,6 +751,16 @@ class ScaleSpec extends SparkSpec {
       .toMap
     assert(got(1L) === ((9L, 0L)))
     assert(got(2L) === ((0L, 2L)))
+  }
+
+  test("binarySignatures: dims beyond 64 are ignored, not aliased") {
+    // 65 positive dims: an unguarded shiftleft would fold position 64
+    // into sig_hi bit 0 (shift amount wraps mod 64)
+    val d = Seq((1L, Seq.fill(65)(1.0f))).toDF("vec_id", "embedding")
+    val r = Similarity.binarySignatures(d, "vec_id", "embedding")
+      .collect()(0)
+    assert(r.getLong(1) === 0xFFFFFFFFL, s"sig_lo wrong: $r")
+    assert(r.getLong(2) === 0xFFFFFFFFL, s"sig_hi must stop at dim 64: $r")
   }
 
   test("bqTopK: hamming shortlists, exact cosine reranks") {
@@ -852,6 +871,13 @@ class ScaleSpec extends SparkSpec {
     val r = Events.trendFit(ev).collect()(0)
     assert(r.getString(0) === "x" && r.getLong(1) === 3L)
     assert(r.getDouble(2) === 1.0)
+  }
+
+  test("trendFit: a single-day group yields NULL slope, not NaN") {
+    val ev = Seq((0L, "x", 1.0), (1000L, "x", 2.0))
+      .toDF("ts", "event_type", "value")  // both events on epoch day 0
+    val r = Events.trendFit(ev).collect()(0)
+    assert(r.isNullAt(2), s"expected NULL slope for one-day group, got $r")
   }
 
   test("paddingWaste: real tokens strategy-invariant; sorting never worse") {
