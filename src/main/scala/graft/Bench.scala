@@ -46,7 +46,21 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.distinct.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    // The full per-query map (~6 KB for 166 queries) goes to a known file:
+    // a consumer that captures only the TAIL of stdout truncates the long
+    // line mid-JSON (both prior rounds' bench records show `parsed: null`
+    // with a cut-off tail). stdout still gets the full line for humans,
+    // then — LAST, so it is what a tail capture sees intact — a compact
+    // summary line with the slowest queries inline and a pointer to the
+    // full file.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), full)
+    println(full)
+    val slowest = results.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"n_queries":${results.size},"errors":$errs,"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

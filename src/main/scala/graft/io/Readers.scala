@@ -183,12 +183,12 @@ object Readers {
     } else None
   }
 
-  /** Positional split on the explicit line order (A6 over S2 output).
-    * Parallel two-phase global rank — no single-partition window stage.
+  /** Positional split on the explicit line order (A6 over S2 output) —
+    * the k-th-key threshold split (top-k + broadcast threshold + filters;
+    * no rank, no materialization — see Samplers.positionalSplit).
     */
   def splitTrainTest(df: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val rn = graft.sample.Samplers.globalRowNumber(df, Seq("__line"))
-    (rn.filter(col("__rn") <= k).drop("__rn", "__line"),
-      rn.filter(col("__rn") > k).drop("__rn", "__line"))
+    val (tr, te) = graft.sample.Samplers.positionalSplit(df, "__line", k)
+    (tr.drop("__line"), te.drop("__line"))
   }
 }

@@ -27,6 +27,18 @@ object WranglerMain {
       orderCol: String,
       instruction: Option[String])
 
+  /** Pre-split task: the shape the benchmark readers produce when train
+    * and test arrive as separate files/directories (EM, imputation,
+    * error-detection) or after the reader's own positional split
+    * (transformation pair files).
+    */
+  final case class SplitInput(
+      name: String,
+      kind: TaskKind,
+      train: DataFrame,         // canonical (text, label_str)
+      test: DataFrame,
+      instruction: Option[String])
+
   final case class TaskResult(
       name: String,
       program: TransformProgram,
@@ -116,8 +128,28 @@ object WranglerMain {
       inputs: Seq[TaskInput],
       outDir: String,
       cfg: WranglerConfig = WranglerConfig.default)
+      : (Seq[TaskResult], Map[String, Double]) =
+    finishRun(inputs.flatMap(runTask(_, cfg)), outDir, cfg)
+
+  /** [[runAll]] over pre-split tasks — the CLI entry path, where every
+    * benchmark layout has already produced (train, test) frames.
+    */
+  def runAllSplits(
+      spark: SparkSession,
+      inputs: Seq[SplitInput],
+      outDir: String,
+      cfg: WranglerConfig = WranglerConfig.default)
+      : (Seq[TaskResult], Map[String, Double]) =
+    finishRun(
+      inputs.flatMap(i =>
+        runTaskSplit(i.name, i.kind, i.train, i.test, i.instruction, cfg)),
+      outDir, cfg)
+
+  private def finishRun(
+      results: Seq[TaskResult],
+      outDir: String,
+      cfg: WranglerConfig)
       : (Seq[TaskResult], Map[String, Double]) = {
-    val results = inputs.flatMap(runTask(_, cfg))
     // all-rows global metrics (run_wrangler.py:257-261): union of applied
     val global = results.map(_.applied.select("pred", "label_str"))
       .reduceOption(_ unionByName _)
