@@ -261,6 +261,78 @@ class TransformSpec extends SparkSpec {
     assert(synth.prompts.head.contains("foo -> foo!"))
   }
 
+  test("ProgramDsl round-trips the program space") {
+    val progs: Seq[TransformProgram] = Seq(
+      Identity, LowerCase, UpperCase, TitleCase, TrimWs, RomanToInt,
+      NullProgram, ConstOutput("n/a"), Surround("[", "]"),
+      StripAffix("pre-", ""), SplitIndex("^", 2),
+      RegexReplace("[0-9]+", "#"), RegexExtract("([a-z]+)", 1),
+      DateReformat("yyyy-MM-dd", "dd/MM/yyyy"),
+      AffineNumber(1.8, 32.0, 1, trimZeros = true),
+      DictLookup(Map("a" -> "1", "b" -> "2"), Some("z")),
+      DictLookup(Map("a" -> "1"), None),
+      Chain(Seq(TrimWs, LowerCase)))
+    progs.foreach { p =>
+      assert(ProgramDsl.parse(ProgramDsl.render(p)) === p,
+        s"round trip failed for ${p.describe}")
+    }
+    intercept[IllegalArgumentException](ProgramDsl.parse("def f(x): ..."))
+  }
+
+  test("TransportSynthesizer retries unparsable responses (ref :202-209)") {
+    // first two completions are garbage (a Python function body — exactly
+    // the reference's ast.literal_eval failure mode), third parses
+    val script = Iterator(
+      "def string_transformation(s): return s.upper()",
+      "```python ...```",
+      "uppercase")
+    var n = 0
+    val synth = new TransportSynthesizer(_ => { n += 1; script.next() })
+    val got = synth.synthesize(None, Seq(("a", "A"))).head
+    assert(got === UpperCase)
+    assert(n === 3, s"expected 2 parse retries then success, got $n calls")
+  }
+
+  test("TransportSynthesizer + LocalTransport: repair walk re-prompts " +
+      "with the retry turn and advances candidates") {
+    // first completion is plausible-but-wrong (parses, fails validation —
+    // the reference's bad-function path); subsequent rounds answer with
+    // the real local transport, which reads the attempt index from the
+    // retry turns in the transcript
+    var first = true
+    val synth = new TransportSynthesizer(messages =>
+      if (first) { first = false; "identity" }
+      // dropRight(1): the scripted wrong round consumed attempt 0, so
+      // realign the local transport's attempt index (= retry-turn count)
+      else LocalTransport.transport(messages.dropRight(1)))
+    val demos = Seq(("foo", "foo!"), ("bar", "bar!"), ("baz", "baz!"))
+    val got = Validation.generatePipeline(
+      synth, Some("add an exclamation mark"), demos, Seq.empty,
+      WranglerConfig.default)
+    assert(got.map(_._1) === Some(Surround("", "!")))
+    assert(got.map(_._2) === Some(1.0))
+    assert(synth.calls.size >= 2, "expected at least one repair re-prompt")
+    // the re-prompt transcript grows by exactly the retry turn
+    assert(synth.calls(1).size === synth.calls(0).size + 1)
+    assert(synth.calls(1).last.content.contains("failed validation"))
+  }
+
+  test("Synthesizers.fromEnv: rule default, transport selectable") {
+    assert(Synthesizers.fromEnv(Map.empty) === RuleSynthesizer)
+    assert(Synthesizers.fromEnv(Map("GRAFT_SYNTHESIZER" -> "transport"))
+      .isInstanceOf[TransportSynthesizer])
+    intercept[IllegalArgumentException](
+      Synthesizers.fromEnv(Map("GRAFT_SYNTHESIZER" -> "gpt4")))
+  }
+
+  test("quoted example rendering survives hostile strings") {
+    val demos = Seq(("tab\there \"q\"", "line\nbreak\\slash"))
+    val rendered = Prompts.renderExamples(demos)
+    val Array(i, o) = rendered.split("\nOutput: ")
+    assert(Prompts.unquote(i.stripPrefix("Input: ")) === demos.head._1)
+    assert(Prompts.unquote(o) === demos.head._2)
+  }
+
   test("imputation by learned dictionary") {
     val train = Seq(("us", "NYC"), ("us", "NYC"), ("us", "LA"), ("fr", "Paris"))
       .toDF("country", "city")
