@@ -271,6 +271,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: same clusters via large-star/small-star contraction --------
+    // The extreme-diameter CC path (Kiveris et al. SOCC'14) over the same
+    // LSH pairs — identical output contract, so it shares the recursive-SQL
+    // oracle with dup_clusters_docs (the oracle describes components, not
+    // the algorithm).
+    "dup_clusters_star_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.connectedComponentsStar(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: n-gram Jaccard near-dup pairs -----------------------------
     "jaccard_pairs_docs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -2320,7 +2332,15 @@ object SparkEntry {
         .orderBy(col("vec_id")))
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // the star-contraction CC produces the same components as the
+    // propagation CC — the oracle describes the RESULT (recursive
+    // reachability), not the algorithm, so the SQL is shared verbatim
+    m + ("dup_clusters_star_docs" -> m("dup_clusters_docs"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

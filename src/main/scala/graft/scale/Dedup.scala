@@ -241,6 +241,82 @@ object Dedup {
     labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
   }
 
+  /** Connected components via alternating large-star/small-star contraction
+    * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
+    * Components in MapReduce and Beyond", SOCC'14) — the extreme-diameter
+    * path noted in [[duplicateClusters]]: min-label propagation re-joins
+    * the FULL edge list every round, while star contraction rewires edges
+    * toward each node's neighborhood minimum so the edge set itself
+    * collapses toward stars, converging in O(log² n) rounds on ANY graph
+    * shape with per-round shuffle mass that SHRINKS as components
+    * contract. Same output contract as [[duplicateClusters]]:
+    * (idCol, cluster_rep = component-minimum id); singletons map to
+    * themselves — so the two implementations are interchangeable and the
+    * equivalence is unit-tested on chain/clique/random graphs.
+    *
+    * One round = large-star (each node connects its LARGER neighbors to
+    * its neighborhood min) then small-star (each node connects its
+    * not-larger neighbors, and itself, to the min). Both phases are one
+    * groupBy(min) + one equi-join over the bidirectional edge relation —
+    * keyed shuffles of (long, long) pairs, no adjacency lists, no driver
+    * state beyond the convergence digest.
+    */
+  def connectedComponentsStar(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      maxIters: Int = 20): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    def bidir(df: DataFrame): DataFrame = df
+      .select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(df.select(col("b").as("src"), col("a").as("dst")))
+    // type-agnostic, overflow-free fixpoint digest (same rationale as
+    // duplicateClusters' labelDigest); NULL (empty set) → 0
+    def digest(df: DataFrame): Long = df
+      .agg(expr("coalesce(bit_xor(xxhash64(a, b)), CAST(0 AS BIGINT))"))
+      .first().getLong(0)
+    def neighborhoodMin(n: DataFrame): DataFrame = n
+      .groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+      .select(col("src"), least(col("src"), col("__mn")).as("__m"))
+
+    var edges = canon(pairs.select(col("id_a").as("a"), col("id_b").as("b")))
+      .localCheckpoint(true)
+    var prev = digest(edges)
+    var converged = prev == 0L   // no edges → all singletons, skip rounds
+    var i = 0
+    while (!converged && i < maxIters) {
+      val n1 = bidir(edges)
+      val large = canon(
+        n1.join(neighborhoodMin(n1), Seq("src"))
+          .filter(col("dst") > col("src"))
+          .select(col("dst").as("a"), col("__m").as("b")))
+        .localCheckpoint(true)
+      val n2 = bidir(large)
+      val m2 = neighborhoodMin(n2)
+      val small = canon(
+        n2.join(m2, Seq("src"))
+          .filter(col("dst") < col("src"))
+          .select(col("dst").as("a"), col("__m").as("b"))
+          .unionByName(m2.select(col("src").as("a"), col("__m").as("b"))))
+        .localCheckpoint(true)
+      edges = small
+      val d = digest(edges)
+      converged = d == prev
+      prev = d
+      i += 1
+    }
+    val lab = bidir(edges).groupBy(col("src")).agg(min(col("dst")).as("__mn"))
+    nodes.select(col(idCol))
+      .join(lab, col(idCol) === col("src"), "left_outer")
+      .select(col(idCol),
+        least(col(idCol), coalesce(col("__mn"), col(idCol)))
+          .as("cluster_rep"))
+  }
+
   /** SimHash (60 bits, staying in a signed long): per token, hash = first
     * 15 hex chars of md5 as a long; each bit position votes ±1 weighted by
     * token frequency; the fingerprint bit is the vote's sign.

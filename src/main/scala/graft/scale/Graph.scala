@@ -63,6 +63,12 @@ object Graph {
       .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
         Seq("src"))
       .localCheckpoint(true)
+    scoreLoop(nodes, degEdges, iterations)
+  }
+
+  /** The k damping/propagation rounds shared by both edge layouts. */
+  private def scoreLoop(
+      nodes: DataFrame, degEdges: DataFrame, iterations: Int): DataFrame = {
     var scores = nodes.withColumn("score", lit(1000000L))
     for (_ <- 1 to iterations) {
       val inSum = degEdges
@@ -78,6 +84,54 @@ object Graph {
         .localCheckpoint(true)
     }
     scores
+  }
+
+  /** Write an edge list as a src-bucketed table — the "pre-bucket edges by
+    * src" layout for [[pageRankMicroBucketed]]: each bucket holds one src
+    * hash range, sorted, so downstream per-src aggregations and joins read
+    * co-located data with NO exchange on the edge side.
+    */
+  def writeBucketedEdges(
+      edges: DataFrame, table: String, buckets: Int = 8): Unit =
+    edges.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, "src").sortBy("src").saveAsTable(table)
+
+  /** [[pageRankMicro]] over a src-bucketed edge TABLE (see
+    * [[writeBucketedEdges]]) — the very-large-graph layout the scale note
+    * on [[pageRankMicro]] promises. Differences from the checkpoint path:
+    *
+    *  - the table IS durable materialized storage, so the edge relation is
+    *    NOT localCheckpoint()ed — checkpointing would erase the bucketed
+    *    outputPartitioning and force an exchange of the (big) edge side in
+    *    every iteration's score join;
+    *  - the out-degree aggregation and the degree⋈edge join both run
+    *    EXCHANGE-FREE over the buckets (plan-asserted in GraphSpec), and
+    *    each iteration's score join shuffles only the (long, long) score
+    *    table to the buckets' partitioning — at web-graph scale that is
+    *    the difference between shuffling |E| once per iteration and
+    *    shuffling |V|.
+    */
+  def pageRankMicroBucketed(
+      spark: org.apache.spark.sql.SparkSession,
+      table: String,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = spark.table(table)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    val degEdges = bucketedDegEdges(spark, table)
+    scoreLoop(nodes, degEdges, iterations)
+  }
+
+  /** The exchange-free (src, dst, outdeg) relation over a bucketed edge
+    * table — exposed for the plan assertion.
+    */
+  def bucketedDegEdges(
+      spark: org.apache.spark.sql.SparkSession, table: String): DataFrame = {
+    val e = spark.table(table)
+    e.join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
   }
 
   /** Triangle counting over an undirected edge list, degree-ordered.

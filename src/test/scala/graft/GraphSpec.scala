@@ -53,6 +53,66 @@ class GraphSpec extends SparkSpec {
     assert(got(1L) === 150000L + 85L * 150000L / 100L)
   }
 
+  test("pageRankMicroBucketed: bucketed degree/edge stage is exchange-free " +
+      "and scores match the checkpoint path exactly") {
+    val e = pathEdges.union(Seq((4L, 1L), (1L, 4L)).toDF("src", "dst"))
+    val table = "graft_pr_edges_bucketed"
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // disable auto-broadcast: on this tiny fixture Spark would broadcast
+      // the degree table (fine here, wrong at |V| scale) — force the
+      // at-scale plan so the assertion checks the layout that matters
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Graph.writeBucketedEdges(e, table, 4)
+      // the out-degree agg and the degree⋈edge join both consume the
+      // bucketed layout directly — no shuffle anywhere in the subplan
+      val plan = Graph.bucketedDegEdges(spark, table)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed degree/edge relation must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"scan did not use the bucketed layout:\n$plan")
+      val bucketed = Graph.pageRankMicroBucketed(spark, table, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val plain = Graph.pageRankMicro(e, 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(bucketed.sameElements(plain),
+        "bucketed and checkpointed paths must agree bit-exactly")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("connectedComponentsStar matches duplicateClusters on adversarial " +
+      "shapes: long chain, cliques, singletons, random graph") {
+    import graft.scale.Dedup
+    def check(nodeIds: Seq[Long], pairSeq: Seq[(Long, Long)]): Unit = {
+      val nodes = nodeIds.toDF("doc_id")
+      val pairs = pairSeq.toDF("id_a", "id_b")
+      val star = Dedup.connectedComponentsStar(nodes, pairs, "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val prop = Dedup.duplicateClusters(nodes, pairs, "doc_id", 50)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(star.sameElements(prop),
+        s"star ${star.toSeq} != propagation ${prop.toSeq}")
+    }
+    // 60-node chain: diameter 59 — label propagation's worst case, star
+    // contraction's motivating shape (converges in O(log^2) rounds)
+    check(1L to 60L, (1L until 60L).map(i => (i, i + 1)))
+    // two cliques + untouched singletons
+    val cliqueA = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val cliqueB = for (a <- 10L to 13L; b <- (a + 1) to 13L) yield (a, b)
+    check(1L to 20L, cliqueA ++ cliqueB)
+    // seeded random graph (forest + cross links, reversed pairs, dups)
+    val rnd = new scala.util.Random(42)
+    val randomPairs = (1 to 80).map { _ =>
+      val a = rnd.nextInt(40) + 1L; val b = rnd.nextInt(40) + 1L
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    check(1L to 45L, randomPairs)
+  }
+
   test("triangleStats: hand-checked counts; canonicalizes dirty input") {
     // triangle {1,2,3} + pendant 3—4, fed as a dirty multiset: duplicates,
     // reversed pairs, and a self-loop must all canonicalize away.
