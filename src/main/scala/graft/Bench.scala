@@ -22,7 +22,16 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => errors += name }
-      (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Free this query's localCheckpoint blocks before the next query:
+      // 166 queries share one block manager, and accumulated
+      // MEMORY_AND_DISK checkpoint RDDs from earlier queries degrade
+      // later ones through eviction/GC pressure — the r01/r02 driver
+      // benches showed exactly the alphabetical-tail slowdown that
+      // predicts. Unpersist is async (non-blocking) and the finished
+      // query's frames are unreachable, so nothing re-reads the blocks.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      sec
     }
 
     // Warm-up: absorb JVM/classloader/codegen/parquet-footer start-up cost

@@ -38,6 +38,9 @@ object Verify {
         failures ::= name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // bound block-manager growth across the 167-query sweep (same
+      // rationale as Bench: finished queries' checkpoint blocks are dead)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     if (failures.nonEmpty)
       System.err.println(

@@ -241,6 +241,32 @@ object Dedup {
     labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
   }
 
+  /** Leakage-safe train/test split: near-duplicate CLUSTERS — not
+    * documents — are the unit of assignment, so no near-dup pair ever
+    * straddles the boundary. This closes the within-corpus contamination
+    * channel that benchmark decontamination misses: if a test document's
+    * near-twin sits in train, the eval answer leaks through the duplicate
+    * even though neither document appears in any external benchmark.
+    *
+    * Cluster representatives come from [[duplicateClusters]] (or
+    * [[connectedComponentsStar]] — same contract); the assignment is the
+    * deterministic md5-uniform draw on the REPRESENTATIVE
+    * (Samplers.uniformDraw), so every member of a cluster draws the same
+    * value, the split is reproducible on any partitioning/cluster size,
+    * and the expected test mass is `testFrac` of CLUSTERS (the honest
+    * unit — splitting by documents would bias toward breaking up large
+    * clusters).
+    */
+  def leakageSafeSplit(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      testFrac: Double): DataFrame =
+    duplicateClusters(nodes, pairs, idCol)
+      .withColumn("split",
+        when(graft.sample.Samplers.uniformDraw(col("cluster_rep")) < testFrac,
+          "test").otherwise("train"))
+
   /** Connected components via alternating large-star/small-star contraction
     * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SOCC'14) — the extreme-diameter

@@ -723,6 +723,30 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0, s"expected recall 1.0, got $r")
   }
 
+  test("leakageSafeSplit: no near-dup pair straddles the train/test " +
+      "boundary; assignment is cluster-deterministic") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3)
+      .localCheckpoint(true)
+    val split = Dedup.leakageSafeSplit(docs, pairs, "doc_id", 0.2)
+      .localCheckpoint(true)
+    val straddling = pairs
+      .join(split.select($"doc_id".as("id_a"), $"split".as("sa")), Seq("id_a"))
+      .join(split.select($"doc_id".as("id_b"), $"split".as("sb")), Seq("id_b"))
+      .filter($"sa" =!= $"sb")
+      .count()
+    assert(straddling === 0L, s"$straddling near-dup pairs cross the split")
+    // both sides populated on the fixture, and the draw keys on the rep:
+    // every member of a cluster lands in its representative's split
+    val bySplit = split.groupBy($"split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet === Set("train", "test"), s"splits: $bySplit")
+    val repDisagree = split.as("m")
+      .join(split.as("r"), col("m.cluster_rep") === col("r.doc_id"))
+      .filter(col("m.split") =!= col("r.split")).count()
+    assert(repDisagree === 0L)
+  }
+
   test("incrementalDedup: exact dup screened, novel doc kept") {
     // doc_id % 10 < 8 → corpus {1, 2}; incoming {8, 9, 18}
     val d = Seq(
