@@ -83,6 +83,16 @@ object ScaleCheck {
         (d: DataFrame) => Dedup.duplicateClusters(d,
           Dedup.minhashLsh(d, "doc_id", "text", 8, 2, 3), "doc_id"),
         docs, "doc_id", Some("text")),
+      ("dup_clusters_star",
+        // same pair derivation, star-contraction CC — rounds bounded by
+        // log² independent of diameter, per-round mass shrinks
+        (d: DataFrame) => Dedup.connectedComponentsStar(d,
+          Dedup.minhashLsh(d, "doc_id", "text", 8, 2, 3), "doc_id"),
+        docs, "doc_id", Some("text")),
+      ("leakage_split",
+        (d: DataFrame) => Dedup.leakageSafeSplit(d,
+          Dedup.minhashLsh(d, "doc_id", "text", 8, 2, 3), "doc_id", 0.2),
+        docs, "doc_id", Some("text")),
       ("passage_dedup",
         (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
         docs, "doc_id", Some("text")),
