@@ -1349,6 +1349,10 @@ object SparkEntry {
     "bigram_stats_docs" -> ((s, dir) =>
       TextAnalysis.bigramStats(t(s, dir, "documents"), "text", 20)),
 
+    // ---- BPE first-merge pair statistics (tokenizer training step) ---------
+    "bpe_merge_docs" -> ((s, dir) =>
+      TextAnalysis.bpeMergeStats(t(s, dir, "documents"), "text", 20)),
+
     // ---- overlapping passage windows (retrieval chunking, stride<size) -----
     "passage_windows_docs" -> ((s, dir) =>
       TextAnalysis.passageWindows(t(s, dir, "documents"), "doc_id", "text", 8, 4)
@@ -4069,6 +4073,20 @@ object SparkEntry {
         |    COUNT(DISTINCT c_mktsegment), MIN(c_mktsegment), MAX(c_mktsegment)
         |  FROM customer)
         |ORDER BY column_name""".stripMargin,
+
+    "bpe_merge_docs" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents),
+        |wf AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+        |  FROM wf, UNNEST(range(1, len(w))) AS u(i)
+        |  WHERE len(w) >= 2)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_occurrences
+        |FROM p GROUP BY pair
+        |ORDER BY n_occurrences DESC, pair LIMIT 20""".stripMargin,
 
     "bigram_stats_docs" ->
       """WITH toks AS (

@@ -421,6 +421,35 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** BPE merge-pair statistics — the pair-counting step of byte-pair-
+    * encoding tokenizer training (Sennrich/Haddow/Birch, "Neural Machine
+    * Translation of Rare Words with Subword Units", ACL'16): count
+    * adjacent character-pair occurrences across the corpus, weighted by
+    * word frequency; the top pair is BPE's first merge, and re-running
+    * after each merge is the full training loop.
+    *
+    * The distributed shape is the whole point: the corpus first compresses
+    * to its VOCABULARY (one hash-agg — at 100 TB that's the |corpus| →
+    * |vocab| collapse, typically 6+ orders of magnitude), and only then do
+    * character positions explode — the explode mass is |vocab|·word_len,
+    * independent of corpus size. Pair counts are a second hash-agg over
+    * the weighted pairs; top-k is TakeOrderedAndProject. Deterministic
+    * tiebreak (count desc, pair asc), exact long counts.
+    */
+  def bpeMergeStats(df: DataFrame, textCol: String, topK: Int = 20)
+      : DataFrame = {
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    words
+      .filter(length(col("w")) >= 2)
+      .select(col("freq"),
+        explode(sequence(lit(1), length(col("w")) - 1)).as("__i"),
+        col("w"))
+      .select(col("w").substr(col("__i"), lit(2)).as("pair"), col("freq"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(topK)
+  }
+
   /** Raw (non-distinct) word n-grams — same bound-lambda idiom and
     * short-doc semantics as [[Shingles.wordShingles]] (a doc with < n
     * tokens yields one n-gram of its whole token list), but keeping every

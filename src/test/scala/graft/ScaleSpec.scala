@@ -563,6 +563,17 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)), s"unexpected pairs: ${got.toSeq}")
   }
 
+  test("bpeMergeStats: frequency-weighted char pairs, hand-checked") {
+    // vocab: "low" ×3, "lower" ×1, "to" ×2 →
+    //   lo: 3+1=4, ow: 3+1=4, we: 1, er: 1, to: 2
+    val d = Seq((1L, "low low to"), (2L, "low lower to"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeMergeStats(d, "text", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq === Seq(("lo", 4L), ("ow", 4L), ("to", 2L),
+      ("er", 1L), ("we", 1L)), s"unexpected pairs: ${got.toSeq}")
+  }
+
   test("unigramLogProb: exact model probabilities on a closed vocabulary") {
     // corpus: total 6 tokens; tf(a)=3, tf(b)=2, tf(c)=1
     val d = Seq((1L, "a a b"), (2L, "a b c")).toDF("doc_id", "text")
