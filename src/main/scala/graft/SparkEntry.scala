@@ -1457,6 +1457,22 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- temperature-based domain resampling (mC4/XLM-R balancing) ---------
+    "temperature_mix_docs" -> ((s, dir) => {
+      val kept = TextAnalysis.temperatureMix(
+        t(s, dir, "documents"), "source", "doc_id", 400L)
+      kept.groupBy(col("source"))
+        .agg(max(col("__n")).as("n_total"),
+          max(col("__quota")).as("quota"),
+          count(lit(1)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- per-source data-card ("datasheet") summary -------------------------
+    "data_card_docs" -> ((s, dir) =>
+      TextAnalysis.dataCard(t(s, dir, "documents"), "source", "text", "lang")
+        .orderBy(col("source"))),
+
     // ---- FLAGSHIP composite: the full LLM-corpus curation pipeline ---------
     // quality gate → exact dedup (fingerprint) → benchmark decontamination
     // → domain mixing → token-budget shard packing, ending in per-shard
@@ -4262,6 +4278,47 @@ object SparkEntry {
         |  ROUND(mean, 6) AS roll_mean, ROUND(zz, 6) AS z,
         |  (zz IS NOT NULL AND ABS(zz) > 2.0) AS is_anomaly
         |FROM z ORDER BY event_type, day""".stripMargin,
+
+    // integer-exact quotas over quantized sqrt weights (sqrt is IEEE
+    // correctly rounded -> identical doubles in both engines; everything
+    // after the floor is BIGINT arithmetic)
+    "temperature_mix_docs" ->
+      """WITH c AS (
+        |  SELECT source, COUNT(*) AS n FROM documents
+        |  WHERE source IS NOT NULL GROUP BY source),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS wq
+        |  FROM c),
+        |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+        |q AS (
+        |  SELECT source, n, (400 * wq) // tw AS quota
+        |  FROM w CROSS JOIN tot),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents WHERE source IS NOT NULL)
+        |SELECT q.source, CAST(q.n AS BIGINT) AS n_total,
+        |  CAST(q.quota AS BIGINT) AS quota,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept
+        |FROM r JOIN q ON r.source = q.source AND r.rnk <= q.quota
+        |GROUP BY q.source, q.n, q.quota
+        |ORDER BY q.source""".stripMargin,
+
+    "data_card_docs" ->
+      """WITH tok AS (
+        |  SELECT source, lang, len(text) AS n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS n_toks
+        |  FROM documents)
+        |SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars
+        |FROM tok GROUP BY source ORDER BY source""".stripMargin,
 
     "domain_mix_docs" ->
       """WITH r AS (

@@ -421,6 +421,64 @@ object TextAnalysis {
           .as("coverage"))
   }
 
+  /** Temperature-based domain resampling — the multilingual/multi-source
+    * balancing rule of mC4/XLM-R-style corpus construction: sampling mass
+    * per domain ∝ n_d^τ for temperature τ ∈ (0, 1], down-weighting head
+    * domains and up-weighting the tail relative to natural shares (τ=1 =
+    * natural, τ→0 = uniform). Complements [[domainMix]] (explicit quotas):
+    * here the quotas are DERIVED from the counts and one scalar.
+    *
+    * Engine parity: quotas are computed in exact integer arithmetic over
+    * QUANTIZED weights — w_d = floor(n_d^τ · 1e6) as a long, quota_d =
+    * (targetSize · w_d) div Σw — so the only floating step is n_d^τ
+    * itself. For τ=0.5 that is `sqrt`, which IEEE 754 requires to be
+    * correctly rounded: bit-identical in any engine, hence
+    * oracle-checkable. (General τ goes through pow, whose last-ulp
+    * behavior is libm-specific — fine operationally, not oracle-safe;
+    * the checked query pins τ=0.5.) Selection within a domain is the
+    * deterministic md5 rank order, as in [[domainMix]].
+    */
+  def temperatureMix(
+      df: DataFrame, domainCol: String, idCol: String,
+      targetSize: Long, tau: Double = 0.5): DataFrame = {
+    val dfd = df.filter(col(domainCol).isNotNull)
+    val counts = dfd.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("__n"))
+    val powed =
+      if (tau == 0.5) sqrt(col("__n").cast("double"))
+      else pow(col("__n").cast("double"), tau)
+    val weights = counts
+      .withColumn("__wq", floor(powed * 1e6).cast("long"))
+    val total = weights.agg(sum(col("__wq")).as("__tw"))
+    val quotas = weights.crossJoin(broadcast(total))
+      .withColumn("__quota",
+        expr(s"($targetSize * __wq) div __tw"))
+      .select(col(domainCol), col("__n"), col("__quota"))
+    val byDomain = Window.partitionBy(col(domainCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+    dfd.join(broadcast(quotas), Seq(domainCol))
+      .withColumn("__rank", row_number().over(byDomain).cast("long"))
+      .filter(col("__rank") <= col("__quota"))
+  }
+
+  /** Per-source data-card aggregate — the "datasheet" summary row a corpus
+    * release publishes per slice (Gebru et al., "Datasheets for Datasets"):
+    * document count, exact token and character mass, language spread, and
+    * the exact interpolated median document length. One grouped pass plus
+    * the sort-based exact percentile; every number is deterministic
+    * (integer masses; the median interpolates between integers).
+    */
+  def dataCard(
+      df: DataFrame, sourceCol: String, textCol: String, langCol: String)
+      : DataFrame =
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol))).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        countDistinct(col(langCol)).as("n_langs"),
+        expr(s"percentile(length($textCol), 0.5)").as("p50_chars"))
+
   /** BPE merge-pair statistics — the pair-counting step of byte-pair-
     * encoding tokenizer training (Sennrich/Haddow/Birch, "Neural Machine
     * Translation of Rare Words with Subword Units", ACL'16): count

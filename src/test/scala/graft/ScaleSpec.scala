@@ -563,6 +563,38 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L)), s"unexpected pairs: ${got.toSeq}")
   }
 
+  test("temperatureMix: tail domain up-weighted vs natural share; quota " +
+      "caps at domain size") {
+    // n = 100 vs 1 → sqrt weights 10e6 vs 1e6 → quotas of target 22:
+    // (22·10e6) div 11e6 = 20 and (22·1e6) div 11e6 = 2 — the tail gets
+    // 9% of the budget vs its 1% natural share; only 1 doc exists, so
+    // kept caps at 1
+    val d = ((1L to 100L).map(i => (i, "big")) :+ (101L -> "small"))
+      .toDF("doc_id", "source")
+    val kept = TextAnalysis.temperatureMix(d, "source", "doc_id", 22L)
+    val got = kept.groupBy($"source")
+      .agg(max($"__quota").as("q"), count(lit(1)).as("k"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got("big") === ((20L, 20L)), s"head: $got")
+    assert(got("small") === ((2L, 1L)), s"tail: $got")
+  }
+
+  test("dataCard: hand-checked per-source masses and median") {
+    val d = Seq(
+      (1L, "s1", "en", "one two three"),
+      (2L, "s1", "de", "vier"),
+      (3L, "s2", "en", "five six")
+    ).toDF("doc_id", "source", "lang", "text")
+    val got = TextAnalysis.dataCard(d, "source", "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5)))).toMap
+    // s1: 2 docs, 3+1 tokens, 13+4 chars, 2 langs, median (13+4)/2 = 8.5
+    assert(got("s1") === ((2L, 4L, 17L, 2L, 8.5)), s"s1: $got")
+    assert(got("s2") === ((1L, 2L, 8L, 1L, 8.0)), s"s2: $got")
+  }
+
   test("bpeMergeStats: frequency-weighted char pairs, hand-checked") {
     // vocab: "low" ×3, "lower" ×1, "to" ×2 →
     //   lo: 3+1=4, ow: 3+1=4, we: 1, er: 1, to: 2
