@@ -110,12 +110,16 @@ object ProgramDsl {
   }
 
   def parse(line: String): TransformProgram = {
-    // trim spaces/newlines only — a trailing TAB delimits a legitimate
-    // empty argument (e.g. strip_affix with an empty suffix)
-    def softTrim(s: String) = s
-      .dropWhile(c => c == ' ' || c == '\n' || c == '\r')
-      .reverse.dropWhile(c => c == ' ' || c == '\n' || c == '\r').reverse
-    val parts = softTrim(line).split("\t", -1).toList
+    // strip line terminators only, then trim whitespace around the NAME
+    // token alone: a trailing TAB delimits a legitimate empty argument,
+    // and leading/trailing SPACES inside an argument are argument content
+    // (fuzz-found: `const` with a trailing-space literal must round-trip);
+    // sloppy whitespace around the program name itself is tolerated
+    val parts = line.replace("\r", "").replace("\n", "")
+      .split("\t", -1).toList match {
+      case h :: t => h.trim :: t
+      case Nil    => Nil
+    }
     def bad() = throw new IllegalArgumentException(s"unparsable DSL: $line")
     parts match {
       case "identity" :: Nil     => Identity

@@ -126,4 +126,32 @@ class PropertiesSpec extends AnyFunSuite {
         assert(LocalEval.accuracy(TransformProgram.Identity, demos) === 1.0)
     }
   }
+
+  test("ProgramDsl round-trips arbitrary programs (DSL v1 arg domain)") {
+    import TransformProgram._
+    import graft.transform.ProgramDsl
+    // literal args: printable, no tabs/newlines (the documented DSL v1
+    // restriction); chains hold nullary steps only
+    val lit = Gen.asciiPrintableStr.map(_.filterNot(c => c == '\t'))
+    val nullary: Gen[TransformProgram] = Gen.oneOf(
+      Identity, LowerCase, UpperCase, TitleCase, TrimWs, RomanToInt,
+      NullProgram)
+    val anyProg: Gen[TransformProgram] = Gen.oneOf(
+      nullary,
+      Gen.zip(lit, lit).map { case (p, s) => Surround(p, s) },
+      Gen.zip(lit, lit).map { case (p, s) => StripAffix(p, s) },
+      lit.map(ConstOutput(_)),
+      Gen.zip(lit, Gen.chooseNum(-5, 5)).map { case (sep, i) =>
+        SplitIndex(sep, i) },
+      Gen.zip(Gen.chooseNum(-100.0, 100.0), Gen.chooseNum(-100.0, 100.0),
+        Gen.chooseNum(0, 6), Gen.oneOf(true, false)).map {
+        case (f, o, d, t) => AffineNumber(f, o, d, t) },
+      Gen.zip(Gen.mapOf(Gen.zip(lit, lit)), Gen.option(lit))
+        .map { case (m, dflt) => DictLookup(m, dflt) },
+      Gen.nonEmptyListOf(nullary).map(steps => Chain(steps)))
+    forAll(anyProg, 300) { p =>
+      assert(ProgramDsl.parse(ProgramDsl.render(p)) === p,
+        s"round trip failed for ${p.describe}")
+    }
+  }
 }
