@@ -148,8 +148,11 @@ object WranglerCli {
     val cfg = WranglerConfig(
       sepTok = a.sepTok, nanTok = a.nanTok, k = a.k, d = a.d,
       seed = a.seed, numTrials = a.numTrials, numIter = a.numIter)
+    // synthesizer selection is env-driven (GRAFT_SYNTHESIZER=rule|transport);
+    // the transport path picks the per-task prompt template by kind
     WranglerMain.runAllSplits(
-      spark, readTasks(spark, a).map(applyCaps(_, a)), a.outputDir, cfg)
+      spark, readTasks(spark, a).map(applyCaps(_, a)), a.outputDir, cfg,
+      graft.transform.Synthesizers.forTask())
   }
 
   def main(argv: Array[String]): Unit = {

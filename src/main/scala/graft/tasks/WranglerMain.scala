@@ -93,7 +93,8 @@ object WranglerMain {
       trainDf: DataFrame,
       testDf: DataFrame,
       instruction: Option[String],
-      cfg: WranglerConfig = WranglerConfig.default): Option[TaskResult] = {
+      cfg: WranglerConfig = WranglerConfig.default,
+      synth: FunctionSynthesizer = RuleSynthesizer): Option[TaskResult] = {
     if (testDf.isEmpty) return None
     // The demo pool collected to the driver is BOUNDED: trials only ever
     // draw k-row demo samples, so a seeded exact-n pool (TakeOrdered, no
@@ -112,7 +113,7 @@ object WranglerMain {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val (supervision, train) = pool.splitAt(supN)
     val trials = Validation.trialLoop(
-      RuleSynthesizer, instruction, train, supervision, cfg)
+      synth, instruction, train, supervision, cfg)
     val prog = selectPrograms(kind, trials, 1).head
     val applied = Wrangler.applyProgram(testDf, prog)
     val m = metricsToMap(Metrics.confusionMetrics(
@@ -138,11 +139,13 @@ object WranglerMain {
       spark: SparkSession,
       inputs: Seq[SplitInput],
       outDir: String,
-      cfg: WranglerConfig = WranglerConfig.default)
+      cfg: WranglerConfig = WranglerConfig.default,
+      synthFor: TaskKind => FunctionSynthesizer = _ => RuleSynthesizer)
       : (Seq[TaskResult], Map[String, Double]) =
     finishRun(
       inputs.flatMap(i =>
-        runTaskSplit(i.name, i.kind, i.train, i.test, i.instruction, cfg)),
+        runTaskSplit(i.name, i.kind, i.train, i.test, i.instruction, cfg,
+          synthFor(i.kind))),
       outDir, cfg)
 
   private def finishRun(

@@ -19,8 +19,13 @@ package graft.transform
 final case class ChatMessage(role: String, content: String)
 
 /** V1 prompt formulation (`formulate_prompt`, `function_generator.py:94-116`):
-  * system prefix + task template + rendered examples. The DSL contract
-  * replaces the reference's "return only the python function" instruction.
+  * system prefix + per-task template + rendered examples, mirroring the
+  * reference's four task templates (`promptsTemplate.py:8-93` —
+  * STRING_TRANSFORMATION / ENTITY_MATCHING / DATA_IMPUTATION /
+  * ERROR_DETECTION_SPELLING; the texts here are engine-native analogs,
+  * not copies: the DSL contract replaces "return only the python
+  * function", and the per-task guidance describes the engine's closed
+  * program space instead of Python libraries).
   */
 object Prompts {
   private val SystemPrefix =
@@ -30,6 +35,27 @@ object Prompts {
       "that converts every input to its output. Respond with the DSL " +
       "line and nothing else."
 
+  /** Per-task preamble (the TASK template analog, selected the same way
+    * as `formulate_prompt`'s task routing).
+    */
+  def taskPreamble(task: graft.core.TaskKind): String = task match {
+    case graft.core.TaskKind.DataTransformation =>
+      "Task: string transformation. Find one program that converts each " +
+        "input string to its output string (case, affixes, splits, date " +
+        "or unit conversion, dictionary lookup)."
+    case graft.core.TaskKind.EntityMatching =>
+      "Task: entity matching. Inputs serialize a record pair; the output " +
+        "is Yes when they refer to the same entity, else No. Prefer a " +
+        "generalizable similarity decision over memorizing pairs."
+    case graft.core.TaskKind.DataImputation =>
+      "Task: data imputation. Inputs serialize a record with a missing " +
+        "attribute; the output is the imputed value. Prefer mappings " +
+        "derivable from the visible attributes."
+    case graft.core.TaskKind.ErrorDetection =>
+      "Task: spelling-error detection. The output is yes when the input " +
+        "value is misspelled, else no."
+  }
+
   def renderExamples(demos: Seq[(String, String)]): String =
     demos.map { case (i, o) =>
       s"Input: ${quote(i)}\nOutput: ${quote(o)}"
@@ -37,8 +63,11 @@ object Prompts {
 
   def formulate(
       instruction: Option[String],
-      demos: Seq[(String, String)]): Seq[ChatMessage] = Seq(
+      demos: Seq[(String, String)],
+      task: graft.core.TaskKind = graft.core.TaskKind.DataTransformation)
+      : Seq[ChatMessage] = Seq(
     ChatMessage("system", SystemPrefix),
+    ChatMessage("user", taskPreamble(task)),
     ChatMessage("user",
       s"Instructions: ${instruction.getOrElse("")}\n" +
         s"Examples:\n${renderExamples(demos)}"))
@@ -171,8 +200,10 @@ object LocalTransport {
       (Prompts.unquote(m.group(1)), Prompts.unquote(m.group(2)))).toSeq
     val instruction = Instr.findFirstMatchIn(body)
       .map(_.group(1).trim).filter(_.nonEmpty)
+    // attempt index = number of RETRY turns (not all non-example user
+    // turns: the task preamble is also a user message)
     val attempt = messages.count(m =>
-      m.role == "user" && !m.content.contains("Input: "))
+      m.role == "user" && m.content.contains("failed validation"))
     val cands = RuleSynthesizer.synthesize(instruction, demos)
     ProgramDsl.render(
       if (attempt < cands.length) cands(attempt)
@@ -191,6 +222,7 @@ object LocalTransport {
   */
 final class TransportSynthesizer(
     transport: Seq[ChatMessage] => String,
+    task: graft.core.TaskKind = graft.core.TaskKind.DataTransformation,
     maxParseRetries: Int = 5) extends FunctionSynthesizer {
 
   /** Transport rounds made (prompt transcripts), for inspection/tests. */
@@ -210,7 +242,7 @@ final class TransportSynthesizer(
   override def synthesize(
       instruction: Option[String],
       demos: Seq[(String, String)]): Seq[TransformProgram] = {
-    val base = Prompts.formulate(instruction, demos)
+    val base = Prompts.formulate(instruction, demos, task)
     LazyList.from(0).map { attempt =>
       callParsed(base ++ Seq.fill(attempt)(Prompts.retry(
         "The previous function failed validation on the examples; " +
@@ -227,9 +259,18 @@ final class TransportSynthesizer(
   */
 object Synthesizers {
   def fromEnv(env: Map[String, String] = sys.env): FunctionSynthesizer =
+    forTask(env)(graft.core.TaskKind.DataTransformation)
+
+  /** Task-aware factory (the transport path selects the per-task prompt
+    * template exactly like `formulate_prompt`'s routing): what the
+    * wrangler pipeline plugs into `WranglerMain.runAllSplits`.
+    */
+  def forTask(env: Map[String, String] = sys.env)
+      : graft.core.TaskKind => FunctionSynthesizer =
     env.getOrElse("GRAFT_SYNTHESIZER", "rule") match {
-      case "rule"      => RuleSynthesizer
-      case "transport" => new TransportSynthesizer(LocalTransport.transport)
+      case "rule" => _ => RuleSynthesizer
+      case "transport" =>
+        kind => new TransportSynthesizer(LocalTransport.transport, kind)
       case other =>
         throw new IllegalArgumentException(s"Unknown synthesizer: $other")
     }

@@ -22,6 +22,25 @@ class WranglerMainSpec extends SparkSpec {
       rows.toDF("ord", "text", "label_str"), "ord", None)
   }
 
+  test("transport-backed synthesizer through the full task pipeline " +
+      "matches the rule path; per-task template selected") {
+    val train = (1 to 30).map(i => (s"word$i", s"WORD$i"))
+      .toDF("text", "label_str")
+    val test_ = (31 to 40).map(i => (s"word$i", s"WORD$i"))
+      .toDF("text", "label_str")
+    val synth = new graft.transform.TransportSynthesizer(
+      graft.transform.LocalTransport.transport, TaskKind.ErrorDetection)
+    val viaTransport = WranglerMain.runTaskSplit(
+      "t", TaskKind.ErrorDetection, train, test_, None,
+      graft.core.WranglerConfig.default, synth).get
+    val viaRule = WranglerMain.runTaskSplit(
+      "t", TaskKind.ErrorDetection, train, test_, None).get
+    assert(viaTransport.program === viaRule.program)
+    assert(viaTransport.metrics("acc") === viaRule.metrics("acc"))
+    // the task preamble the reference routes per task is in the transcript
+    assert(synth.calls.head.exists(_.content.contains("spelling-error")))
+  }
+
   test("runTask synthesizes, applies, and scores a transformation") {
     val r = WranglerMain.runTask(upperTask).get
     assert(r.program === TransformProgram.UpperCase)
