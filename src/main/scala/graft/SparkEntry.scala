@@ -283,6 +283,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: dedup-threshold tuning curve -------------------------------
+    "dedup_threshold_sweep_docs" -> ((s, dir) =>
+      Dedup.dedupThresholdSweep(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("threshold"))),
+
     // ---- scale: leakage-safe split (clusters are the assignment unit) ------
     "leakage_split_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -3674,6 +3679,50 @@ object SparkEntry {
         |  ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token) AS DOUBLE)
         |    / CAST((SELECT SUM(freq) FROM cnt) AS DOUBLE), 6) AS coverage
         |FROM top ORDER BY rank""".stripMargin,
+
+    // integer sweep over minimum match counts — threshold m/8 is an exact
+    // dyadic; same minhash/band CTEs as the accuracy oracle
+    "dedup_threshold_sweep_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |mcount AS (
+        |  SELECT c.id_a, c.id_b,
+        |    SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS m
+        |  FROM cand c
+        |  JOIN mh ma ON ma.doc_id = c.id_a
+        |  JOIN mh mb ON mb.doc_id = c.id_b AND mb.s = ma.s
+        |  GROUP BY c.id_a, c.id_b),
+        |sw AS (
+        |  SELECT u.t, id_a, id_b
+        |  FROM mcount, UNNEST(range(1, 9)) AS u(t)
+        |  WHERE m >= u.t),
+        |pa AS (SELECT t, COUNT(*) AS n_pairs FROM sw GROUP BY t),
+        |da AS (
+        |  SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
+        |    SELECT t, id_a AS d FROM sw
+        |    UNION ALL SELECT t, id_b AS d FROM sw)
+        |  GROUP BY t)
+        |SELECT CAST(t AS DOUBLE) / 8 AS threshold,
+        |  CAST(n_pairs AS BIGINT) AS n_pairs,
+        |  CAST(n_docs AS BIGINT) AS n_docs
+        |FROM pa JOIN da USING (t) ORDER BY threshold""".stripMargin,
 
     "minhash_accuracy_docs" ->
       """WITH toks AS (

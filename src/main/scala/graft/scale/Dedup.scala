@@ -241,6 +241,58 @@ object Dedup {
     labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
   }
 
+  /** Dedup-threshold tuning curve: for every candidate similarity
+    * threshold, how many LSH candidate pairs the MinHash estimate accepts
+    * and how many distinct documents are touched by at least one accepted
+    * pair (the upper bound on removals) — THE operational table consulted
+    * before committing a near-dup threshold, produced in one sweep instead
+    * of re-running the dedup per setting.
+    *
+    * Exactness: with `numHashes` signature components the estimate only
+    * takes values m/numHashes, so the sweep iterates INTEGER minimum match
+    * counts m ∈ 1..numHashes — no floating comparison anywhere, and the
+    * emitted threshold m/numHashes is a dyadic rational both engines
+    * represent identically. Cost: the candidate set (LSH-bounded) ×
+    * numHashes sweep rows — candidate-mass-linear, corpus-independent.
+    */
+  def dedupThresholdSweep(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numHashes, shingleSize)
+      .localCheckpoint(true)
+    val cand = lshCandidatePairs(
+      lshBands(sigs, idCol, numHashes, rowsPerBand), idCol)
+    val matches = (1 to numHashes)
+      .map(i =>
+        when(element_at(col("mh_a"), i) === element_at(col("mh_b"), i), 1)
+          .otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sigs.select(col(idCol).as("id_a"), col("minhash").as("mh_a")),
+        Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("minhash").as("mh_b")),
+        Seq("id_b"))
+      .select(col("id_a"), col("id_b"), matches.as("__m"))
+      .localCheckpoint(true)
+    val swept = est
+      .select(col("id_a"), col("id_b"), col("__m"),
+        explode(sequence(lit(1), lit(numHashes))).as("__t"))
+      .filter(col("__m") >= col("__t"))
+    val pairsAgg = swept.groupBy(col("__t"))
+      .agg(count(lit(1)).as("n_pairs"))
+    val docsAgg = swept
+      .select(col("__t"),
+        explode(array(col("id_a"), col("id_b"))).as("__d"))
+      .groupBy(col("__t")).agg(countDistinct(col("__d")).as("n_docs"))
+    pairsAgg.join(docsAgg, Seq("__t"))
+      .select((col("__t").cast("double") / numHashes).as("threshold"),
+        col("n_pairs"), col("n_docs"))
+  }
+
   /** Leakage-safe train/test split: near-duplicate CLUSTERS — not
     * documents — are the unit of assignment, so no near-dup pair ever
     * straddles the boundary. This closes the within-corpus contamination

@@ -766,6 +766,28 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0, s"expected recall 1.0, got $r")
   }
 
+  test("dedupThresholdSweep: counts non-increasing in threshold; " +
+      "exact dups survive to threshold 1.0") {
+    val span = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Seq(
+      (1L, span), (2L, span),                          // exact dups → m=8
+      (3L, s"$span with a small tail difference here"),
+      (4L, "entirely unrelated content with no shared shingles at all")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.dedupThresholdSweep(d, "doc_id", "text")
+      .orderBy($"threshold")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array((_, p1, d1), (_, p2, d2)) =>
+        assert(p2 <= p1 && d2 <= d1, s"not monotone: ${rows.toSeq}")
+      case _ =>
+    }
+    val atMax = rows.last
+    assert(atMax._1 === 1.0 && atMax._2 >= 1L && atMax._3 >= 2L,
+      s"exact dup pair must survive every threshold: ${rows.toSeq}")
+  }
+
   test("leakageSafeSplit: no near-dup pair straddles the train/test " +
       "boundary; assignment is cluster-deterministic") {
     val docs = graft.io.Tables.load(spark, sf, "documents")
