@@ -94,6 +94,32 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bpeMergeStats: two hash-agg stages and a top-k, no sort, no join") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.scale.TextAnalysis.bpeMergeStats(docs, "text", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not be a global sort:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4,
+      s"expected partial+final aggs for vocab and pairs:\n$plan")
+  }
+
+  test("temperatureMix: quotas broadcast; rank window keyed by domain, " +
+      "never global") {
+    val docs = Tables.load(spark, sf, "documents")
+    val plan = graft.scale.TextAnalysis
+      .temperatureMix(docs, "source", "doc_id", 400L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-domain quota table should broadcast:\n$plan")
+    // the rank window must partition by the domain key (a global window
+    // would funnel the corpus); the one SinglePartition exchange in the
+    // plan is the |domains|-row weight-total aggregate, which is fine
+    assert(plan.contains("windowspecdefinition(source"),
+      s"rank window must be keyed by domain:\n$plan")
+  }
+
   test("q3 pushes both date filters into the scans and broadcasts customer") {
     val df = SparkEntry.queries("q3_shipping_priority")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
