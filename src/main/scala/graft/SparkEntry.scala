@@ -283,6 +283,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: intra-document repeated-sentence removal -------------------
+    "sentence_dedup_docs" -> ((s, dir) =>
+      Dedup.dedupSentences(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- scale: dedup-threshold tuning curve -------------------------------
     "dedup_threshold_sweep_docs" -> ((s, dir) =>
       Dedup.dedupThresholdSweep(t(s, dir, "documents"), "doc_id", "text")
@@ -3679,6 +3684,20 @@ object SparkEntry {
         |  ROUND(CAST(SUM(freq) OVER (ORDER BY freq DESC, token) AS DOUBLE)
         |    / CAST((SELECT SUM(freq) FROM cnt) AS DOUBLE), 6) AS coverage
         |FROM top ORDER BY rank""".stripMargin,
+
+    "sentence_dedup_docs" ->
+      """WITH s AS (
+        |  SELECT doc_id, u.p, l[u.p] AS s
+        |  FROM (SELECT doc_id, string_split(text, '. ') AS l FROM documents),
+        |    UNNEST(range(1, len(l) + 1)) AS u(p)),
+        |f AS (
+        |  SELECT doc_id, s, MIN(p) AS p, COUNT(*) AS n
+        |  FROM s GROUP BY doc_id, s)
+        |SELECT doc_id,
+        |  CAST(SUM(n) AS BIGINT) AS n_sentences,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  md5(STRING_AGG(s, '. ' ORDER BY p)) AS clean_md5
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // integer sweep over minimum match counts — threshold m/8 is an exact
     // dyadic; same minhash/band CTEs as the accuracy oracle

@@ -241,6 +241,38 @@ object Dedup {
     labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
   }
 
+  /** Intra-document repeated-sentence removal — the C4-style cleanup step
+    * (Raffel et al. 2020 deduplicate repeated spans within pages; CCNet
+    * drops repeated paragraphs): keep the FIRST occurrence of each
+    * distinct sentence within a document, preserve original order, and
+    * reassemble the cleaned text, with removal accounting.
+    *
+    * Shape: posexplode sentences → (doc, sentence) hash-agg keeping the
+    * min position → per-doc reassembly via sort_array over collected
+    * (pos, sentence) structs (the prompt-packing convention — the HOF
+    * runs per DOCUMENT over its sentence array, not per corpus row).
+    * Emits md5 of the cleaned text (rows stay narrow; the oracle compares
+    * the digest). One keyed shuffle + one doc-keyed agg — linear.
+    */
+  def dedupSentences(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // limit -1 keeps trailing empty fields: Spark's 2-arg split drops
+    // them while DuckDB's string_split keeps them — a text ending in the
+    // separator would otherwise hash differently per engine
+    val sent = df.select(col(idCol),
+      posexplode(split(col(textCol), "\\. ", -1)).as(Seq("__p", "__s")))
+    val first = sent.groupBy(col(idCol), col("__s"))
+      .agg(min(col("__p")).as("__p"), count(lit(1)).as("__n"))
+    first.groupBy(col(idCol))
+      .agg(
+        sum(col("__n")).as("n_sentences"),
+        count(lit(1)).as("n_kept"),
+        md5(concat_ws(". ",
+          transform(
+            sort_array(collect_list(struct(col("__p"), col("__s")))),
+            x => x.getField("__s"))).cast("binary")).as("clean_md5"))
+  }
+
   /** Dedup-threshold tuning curve: for every candidate similarity
     * threshold, how many LSH candidate pairs the MinHash estimate accepts
     * and how many distinct documents are touched by at least one accepted

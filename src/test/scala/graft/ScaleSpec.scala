@@ -766,6 +766,25 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0, s"expected recall 1.0, got $r")
   }
 
+  test("dedupSentences: first occurrence kept in order; accounting exact") {
+    val d = Seq(
+      (1L, "alpha beta. gamma. alpha beta. delta"),  // dup sentence removed
+      (2L, "solo sentence")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupSentences(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 4L && got(1L)._2 === 3L)
+    // cleaned text = "alpha beta. gamma. delta" (order preserved)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta. gamma. delta".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got(1L)._3 === md, s"cleaned digest mismatch: ${got(1L)}")
+    assert(got(2L) === ((1L, 1L, java.security.MessageDigest
+      .getInstance("MD5").digest("solo sentence".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString)))
+  }
+
   test("dedupThresholdSweep: counts non-increasing in threshold; " +
       "exact dups survive to threshold 1.0") {
     val span = "the quick brown fox jumps over the lazy dog again and again"
