@@ -266,8 +266,7 @@ object Samplers {
   def positionalSplit(
       df: DataFrame,
       orderCol: String,
-      k: Int,
-      numPartitions: Int = 32): (DataFrame, DataFrame) = {
+      k: Int): (DataFrame, DataFrame) = {
     // max over the k lowest keys = the k-th smallest key; null when k=0 or
     // the input is empty → train's `<= null` filter is never-true and
     // test's isNull branch keeps everything, which is the right degenerate
