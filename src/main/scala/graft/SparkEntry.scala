@@ -1033,6 +1033,35 @@ object SparkEntry {
         .orderBy(col("hour_epoch"), col("event_type"))
     }),
 
+    // ---- streaming gap-based session windows in the CHECKED surface --------
+    // session_window semantics are HALF-OPEN at µs precision: a new
+    // session opens iff the inter-event gap is >= 30 min (the batch
+    // lag-based sessionize uses strictly-greater at SECOND precision — a
+    // deliberate pair of boundary semantics, each oracle-matched to its
+    // operator). Complete mode: every session emits, matching the batch
+    // ground truth over the full fixture.
+    "streaming_session_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream
+        .withColumn("__ts", Events.tsAsTimestamp(stream))
+        .groupBy(session_window(col("__ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+      val name = "stream_session_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // ---- streaming sliding windows in the CHECKED surface ------------------
     "streaming_sliding_agg_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -2965,6 +2994,30 @@ object SparkEntry {
         |SELECT win_start, event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // session_window's half-open µs rule: new session iff gap >= 30 min
+    "streaming_session_events" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(EPOCH_US(ts) AS BIGINT) AS us
+        |  FROM events),
+        |l AS (
+        |  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f)
+        |SELECT user_id,
+        |  MIN(us) AS start_us,
+        |  MAX(us) + 1800000000 AS end_us,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
 
     // same math as sliding_agg_events — the streaming form must match it
     "streaming_sliding_agg_events" ->
