@@ -313,10 +313,14 @@ object Samplers {
   /** The deterministic-draw convention shared by the hash-based family:
     * the first 32 bits of md5(key) as a long in [0, 2^32) — reproducible
     * in any engine with md5, invariant to partitioning and cluster size.
+    * Evaluated by the codegen [[graft.scale.Md5PrefixLongExpr]] (digest
+    * bytes read directly — no hex string, no base-16 reparse); the value
+    * contract `conv(substring(md5(x),1,8),16,10)` is property-tested
+    * against the composed built-ins.
     */
   def hashDraw32(keyCol: Column): Column =
-    conv(substring(md5(keyCol.cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    graft.scale.HashExprs.md5PrefixLong(
+      keyCol.cast("string").cast("binary"), 8)
 
   def kfoldAssign(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k > 0, "k-fold requires k > 0")

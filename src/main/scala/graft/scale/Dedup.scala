@@ -443,8 +443,7 @@ object Dedup {
     val toks = df.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("t"))
       .withColumn("h",
-        conv(substring(md5(col("t").cast("binary")), 1, 15), 16, 10)
-          .cast("long"))
+        HashExprs.md5PrefixLong(col("t").cast("binary"), 15))
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
         .otherwise(-1L)).as(s"v$j")
@@ -752,7 +751,9 @@ object Dedup {
             col(textCol).substr(col("__i"), lit(k)).as("__w"))
     val w = sel
       .select(col(idCol),
-        unhex(substring(md5(col("__w").cast("binary")), 1, 16)).as("h"))
+        // signed-long reading of the first 8 digest bytes (grouping key
+        // only — bijective with the 8-byte binary prefix)
+        HashExprs.md5PrefixLong(col("__w").cast("binary"), 16).as("h"))
       // one (id, hash) relation, three consumers (df-cut, keep-join,
       // postings) — materialize once, as ngramJaccardPairs does
       .distinct()

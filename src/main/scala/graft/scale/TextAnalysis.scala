@@ -777,8 +777,9 @@ object TextAnalysis {
       nBuckets: Int = 1024): DataFrame = {
     require(nBuckets > 0, "nBuckets must be positive")
     val tok = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    // 60-bit token hash (15 md5 hex chars — same portable form simhash uses)
-    val h = conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long")
+    // 60-bit token hash (15 md5 hex chars — same portable form simhash
+    // uses), via the codegen digest-prefix expression
+    val h = HashExprs.md5PrefixLong(col("tok").cast("binary"), 15)
     val bucket = pmod(h, lit(nBuckets.toLong))
     val w = pmod(bucket * lit(2654435761L), lit(2001L)) - lit(1000L)
     tok

@@ -131,6 +131,16 @@ class PlanSpec extends SparkSpec {
       s"lineitem date filter not pushed:\n$formattedPlan")
   }
 
+  test("md5PrefixLong stays inside whole-stage codegen") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = docs.select(graft.scale.HashExprs.md5PrefixLong(
+      col("text").cast("binary"), 15).as("h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("Project") && l.trim.startsWith("*")),
+      s"hash expression not in a codegen stage:\n$plan")
+  }
+
   test("vector dot product stays inside whole-stage codegen") {
     val emb = Tables.load(spark, sf, "embeddings")
     val df = emb.select(graft.scale.Similarity.dot(

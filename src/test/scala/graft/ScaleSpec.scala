@@ -766,6 +766,33 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(3) === 1.0, s"expected recall 1.0, got $r")
   }
 
+  test("md5PrefixLong agrees with the composed conv(substring(md5)) form " +
+      "on random strings (8 and 15 hex chars)") {
+    val rnd = new scala.util.Random(7)
+    val strs = (1 to 200).map(_ =>
+      rnd.alphanumeric.take(rnd.nextInt(40)).mkString + rnd.nextInt(1000))
+    val d = strs.toDF("s")
+    for (n <- Seq(8, 15)) {
+      val got = d.select(
+          graft.scale.HashExprs.md5PrefixLong(
+            $"s".cast("string").cast("binary"), n).as("fast"),
+          conv(substring(md5($"s".cast("string").cast("binary")), 1, n),
+            16, 10).cast("long").as("composed"))
+        .collect()
+      got.foreach(r => assert(r.getLong(0) === r.getLong(1),
+        s"disagreement at hexChars=$n: $r"))
+    }
+    // hexChars=16: bijective with the 8-byte binary prefix (grouping key)
+    val pair = d.select(
+        graft.scale.HashExprs.md5PrefixLong($"s".cast("binary"), 16).as("l"),
+        unhex(substring(md5($"s".cast("binary")), 1, 16)).as("b"))
+      .collect()
+    pair.foreach { r =>
+      val expect = java.nio.ByteBuffer.wrap(r.getAs[Array[Byte]](1)).getLong
+      assert(r.getLong(0) === expect, s"16-char reading mismatch: $r")
+    }
+  }
+
   test("dedupSentences: first occurrence kept in order; accounting exact") {
     val d = Seq(
       (1L, "alpha beta. gamma. alpha beta. delta"),  // dup sentence removed
