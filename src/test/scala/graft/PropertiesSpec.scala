@@ -127,6 +127,20 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("Md5Prefix kernel equals BigInteger hex-prefix parse on raw bytes") {
+    val gBytes = Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte))
+      .map(_.toArray)
+    val gN = Gen.chooseNum(1, 16)
+    forAll(Gen.zip(gBytes, gN), 300) { case (bytes, n) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString.take(n)
+      // reference: unsigned base-16 parse of the prefix, low 64 bits
+      val expect = new java.math.BigInteger(hex, 16).longValue()
+      assert(graft.scale.Md5Prefix.eval(bytes, n) === expect,
+        s"kernel mismatch for n=$n hex=$hex")
+    }
+  }
+
   test("ProgramDsl round-trips arbitrary programs (DSL v1 arg domain)") {
     import TransformProgram._
     import graft.transform.ProgramDsl
