@@ -68,6 +68,7 @@ object ScaleCheck {
     val lineitem = Tables.load(spark, sfDir, "lineitem")
     val orders = Tables.load(spark, sfDir, "orders")
     val embeddings = Tables.load(spark, sfDir, "embeddings")
+    val part = Tables.load(spark, sfDir, "part")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -211,7 +212,16 @@ object ScaleCheck {
         // stays constant while the signature scan grows N×
         (d: DataFrame) => Similarity.bqTopK(d.filter(col("vec_id") < 5), d,
           "vec_id", "embedding", 10, 40),
-        embeddings, "vec_id", Some("embedding")))
+        embeddings, "vec_id", Some("embedding")),
+      ("em_ppjoin",
+        // salted tokens make copies' token spaces disjoint → prefix posting
+        // lists and true pair mass both scale linearly, which is exactly the
+        // property the fixed-(brand,size) blocking join lacked
+        (d: DataFrame) => Dedup.ppjoinPairs(
+          d.select(col("p_partkey").as("id"),
+            graft.tasks.Wrangler.emTokens(col("p_name")).as("toks")),
+          "id", "toks", 0.5),
+        part, "p_partkey", Some("p_name")))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -638,6 +638,32 @@ object SparkEntry {
       Metrics.confusionMetrics(pairs, "pred", "gold")
     }),
 
+    // ---- J3 scale path: PPJoin prefix-filter EM candidate generation -------
+    // Same above-threshold pair semantics as em_similarity_part but with NO
+    // blocking key: candidates come from a rarest-token prefix inverted
+    // index (exact — no false negatives), so the pair set is the FULL
+    // all-pairs `jaccard >= 0.5` relation, not just the within-(brand,size)
+    // subset, and candidate mass tracks true near-match mass instead of
+    // growing quadratically with block population.
+    "em_similarity_ppjoin_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"),
+          col("p_name"),
+          Wrangler.emTokens(col("p_name")).as("toks"))
+      val pairs = Dedup.ppjoinPairs(p, "id", "toks", 0.5)
+      val names = p.select(col("id"), col("p_name"))
+      pairs
+        .join(names.select(col("id").as("id_a"), col("p_name").as("name_a")),
+          Seq("id_a"))
+        .join(names.select(col("id").as("id_b"), col("p_name").as("name_b")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(col("jaccard"), 6).as("jaccard_sim"),
+          round(Wrangler.levenshteinSim(col("name_a"), col("name_b")), 6)
+            .as("lev_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- imputation via learned dictionary (broadcast mode-map) ------------
     "impute_dict_customer" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -3225,6 +3251,27 @@ object SparkEntry {
         |    THEN 2.0 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1
         |FROM pr""".stripMargin,
 
+    // The prefix-filter join is EXACT, so the oracle is the brute-force
+    // all-pairs relation thresholded at 0.5 — no blocking key anywhere.
+    "em_similarity_ppjoin_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |    a.p_name AS name_a, b.p_name AS name_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) AS sim,
+        |    1.0 - CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS DOUBLE)
+        |      / GREATEST(length(a.p_name), length(b.p_name)) AS lev_sim
+        |  FROM p a JOIN p b ON a.p_partkey < b.p_partkey)
+        |SELECT id_a, id_b, ROUND(sim, 6) AS jaccard_sim,
+        |  ROUND(lev_sim, 6) AS lev_sim
+        |FROM pairs WHERE sim >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
     // Oracle recomputes the error-detection pipeline straight from `part`
     // (the CSV split-dir round-trip on the Spark side is value-preserving).
     "error_detection_end_to_end_part" ->
@@ -5288,18 +5335,32 @@ object SparkEntry {
         |  SELECT vec_id,
         |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
         |  FROM embeddings),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, v AS coarsev FROM qv
+        |  ORDER BY vec_id LIMIT 32),
+        |vasn AS (
+        |  SELECT vec_id, coarse_id, v FROM (
+        |    SELECT q.vec_id, c.coarse_id, q.v,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.coarsev)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |                 * list_dot_product(c.coarsev, c.coarsev)) DESC,
+        |        c.coarse_id) AS crk
+        |    FROM qv q, coarse c)
+        |  WHERE crk = 1),
         |cents AS (
-        |  SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id % 100 = 0),
+        |  SELECT coarse_id, vec_id AS centroid_id, v AS centv
+        |  FROM vasn WHERE vec_id % 100 = 0),
         |asn AS (
         |  SELECT vec_id, centroid_id, v FROM (
-        |    SELECT q.vec_id, c.centroid_id, q.v,
-        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
-        |        list_dot_product(q.v, c.centv)
-        |          / sqrt(list_dot_product(q.v, q.v)
+        |    SELECT a.vec_id, c.centroid_id, a.v,
+        |      ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+        |        list_dot_product(a.v, c.centv)
+        |          / sqrt(list_dot_product(a.v, a.v)
         |                 * list_dot_product(c.centv, c.centv)) DESC,
-        |        c.centroid_id) AS crk
-        |    FROM qv q, cents c)
-        |  WHERE crk = 1),
+        |        c.centroid_id) AS frk
+        |    FROM vasn a JOIN cents c ON a.coarse_id = c.coarse_id)
+        |  WHERE frk = 1),
         |pairs AS (
         |  SELECT a.centroid_id, a.vec_id AS id_a, b.vec_id AS id_b,
         |    list_dot_product(a.v, b.v)

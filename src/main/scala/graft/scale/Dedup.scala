@@ -1,6 +1,7 @@
 package graft.scale
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication family for training-data pipelines: exact, MinHash+LSH,
@@ -661,6 +662,146 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "n_common", "jaccard")
+  }
+
+  /** Exact prefix-filter similarity self-join over precomputed token-set
+    * arrays — the AllPairs/PPJoin candidate generator (Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08) as a Spark plan. This is the scale-safe entity-
+    * matching candidate generator the SURVEY J3 mapping prescribes: unlike a
+    * fixed-key blocking self-join (e.g. `(p_brand, p_size)` in
+    * `em_similarity_part`), whose per-block population grows linearly with
+    * the corpus and whose within-block pair mass therefore grows
+    * QUADRATICALLY, prefix filtering keys candidate generation on the
+    * rarest tokens of each set, so posting lists track true token rarity and
+    * candidate mass tracks true near-match mass.
+    *
+    * Exactness (no false negatives), unlike the df-cut in
+    * [[ngramJaccardPairs]]: under any single global token order, if
+    * J(x,y) >= t then the first `|x| - ceil(t|x|) + 1` tokens of x and the
+    * first `|y| - ceil(t|y|) + 1` tokens of y share at least one token
+    * (prefix-filtering principle). We order tokens by (global df asc, token
+    * asc) — rarest first — which both preserves exactness and minimizes
+    * posting-list length. A length filter (`J >= t ⇒ min(|x|,|y|) >=
+    * t·max(|x|,|y|)`) prunes candidates before the verify join.
+    *
+    * Plan shape at scale: one explode + one count aggregate on `tok` (O(1)
+    * partial state per token), one keyed aggregate on `id` to rebuild the
+    * ordered prefix (no window — a doc's tokens collapse into one row), one
+    * posting aggregate on `tok`, map-side pair expansion from the posting
+    * lists, then an equi-join verify on the candidate ids only. Every
+    * shuffle keys on `tok` or `id`; nothing is all-pairs.
+    *
+    * Reference behavior: fast_ai_wrangler prompts mandate thresholded
+    * Jaccard pair predicates for entity matching (promptsTemplate.py:30-48);
+    * this generator feeds those predicates without a hand-picked blocking
+    * key.
+    */
+  def ppjoinPairs(
+      df: DataFrame,
+      idCol: String,
+      toksCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"prefix filtering needs 0 < t <= 1, got $threshold")
+    // Float-boundary guard: every filter below prunes when a REAL-arithmetic
+    // inequality fails. Computing `t·sz` / `t/(1+t)·(sz_a+sz_b)` in doubles
+    // can round a hair ABOVE an exact integer boundary and wrongly prune a
+    // qualifying pair (false negative = wrong answer). Subtracting EPS keeps
+    // every boundary case; the only cost is a handful of extra candidates.
+    val EPS = 1e-9
+    // (id, tok) relation materialized once: feeds the df count and the
+    // per-doc ordered rebuild.
+    val tok = df.select(col(idCol).as("id"), explode(col(toksCol)).as("tok"))
+      .localCheckpoint(true)
+    val dfCnt = tok.groupBy(col("tok")).agg(count(lit(1)).as("df_cnt"))
+    // Dense integer token ids ranked rarest-first (df asc, token asc), so
+    // NUMERIC tid order IS the global prefix-filter order: ordered arrays
+    // are plain sorted int arrays (small, codegen-friendly intersects) and
+    // "first common token" = array_min of the intersection. The dictionary
+    // is distinct-token-scale (same assumption as the vocab/BPE operators),
+    // not corpus-scale — the one global sort here is over the dictionary.
+    val dim = dfCnt.select(col("tok"),
+      row_number().over(Window.orderBy(col("df_cnt"), col("tok"))).as("tid"))
+    val ordered = tok.join(dim, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("tid"))).as("toks_o"))
+    // Super-node collapse: identical token SETS join identically (Jaccard
+    // depends only on the sets), and real near-dup corpora repeat sets
+    // massively (the sf0.1 part table's 20k names collapse to 64 distinct
+    // sets). The O(candidates²)-shaped index work therefore runs over
+    // DISTINCT sets only; member ids re-expand afterwards at output mass.
+    // Empty-set docs never reach here (explode emits nothing), matching the
+    // all-pairs contract where an empty side scores J = 0 < t.
+    val groups = ordered
+      .groupBy(col("toks_o"))
+      .agg(min(col("id")).as("gid"), collect_list(col("id")).as("members"))
+      .withColumn("sz", size(col("toks_o")))
+      .withColumn("plen",
+        (col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1).cast("int"))
+      .localCheckpoint(true)
+    // Within a group every pair matches exactly: J = 1.0 >= any t.
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(col("members"))
+      .select(explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"), explode(col("members")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", lit(1.0))
+    // Posting lists over PREFIX tokens only (rare by construction), one
+    // entry per DISTINCT set. Each entry carries its ordered tid array, so
+    // verification happens INLINE at pair expansion — no candidate
+    // materialization, no verify joins, and no distinct anywhere: a
+    // qualifying group pair is emitted exactly once, from its first-common-
+    // token generation row. This is the classic PPJoin index layout: the
+    // index stores the records.
+    val postings = groups
+      .select(col("gid"), col("sz"), col("toks_o"),
+        posexplode(slice(col("toks_o"), lit(1), col("plen")))
+          .as(Seq("pos0", "tid")))
+      .groupBy(col("tid"))
+      .agg(collect_list(
+        struct(col("gid"), col("pos0"), col("sz"), col("toks_o"))).as("es"))
+    // Required overlap α = ceil(t/(1+t)·(|x|+|y|)) (Xiao et al. WWW'08).
+    val alpha = ceil(
+      lit(threshold / (1.0 + threshold)) * (col("a.sz") + col("b.sz")) - EPS)
+    val gpairs = postings
+      .select(col("tid"), explode(col("es")).as("a"), col("es"))
+      .select(col("tid"), col("a"), explode(col("es")).as("b"))
+      .filter(col("a.gid") < col("b.gid"))
+      // length filter: J >= t ⇒ min(|x|,|y|) >= t·max(|x|,|y|)
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz")) - EPS)
+      // position filter: common tokens at/after this shared prefix position
+      // bound the remaining possible overlap to min(|x|-i, |y|-j). Valid for
+      // the first-common-token row (all common tokens sit at or after it in
+      // rarity order); later rows may be over-pruned, which is harmless
+      // because only the first-common-token row emits.
+      .filter((least(col("a.sz") - col("a.pos0"), col("b.sz") - col("b.pos0")))
+        .cast("double") >= alpha)
+      .withColumn("ia", array_intersect(col("a.toks_o"), col("b.toks_o")))
+      // exactly-once emission: this row's generating token is the pair's
+      // smallest (rarest) common token
+      .filter(col("tid") === array_min(col("ia")))
+      .withColumn("inter", size(col("ia")))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (col("a.sz") + col("b.sz") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("jaccard"))
+    // Cross-group expansion: every member of a matched group pair matches
+    // with the group-level score. Output mass only — nothing quadratic in
+    // corpus size beyond the true answer.
+    val cross = gpairs
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
+        Seq("gid_b"))
+      .select(explode(col("ma")).as("ia"), col("mb"), col("jaccard"))
+      .select(col("ia"), explode(col("mb")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
+    intra.unionByName(cross)
   }
 
   /** Cross-document exact-substring duplication — the ExactSubstr decision

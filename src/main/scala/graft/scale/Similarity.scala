@@ -369,30 +369,51 @@ object Similarity {
     * per removed vector, n_dups = how many kept-or-dropped smaller-id
     * neighbors exceeded the threshold, max_sim the strongest of them.
     *
-    * Scale shape: centroid table broadcasts (k ≪ N); the pair generation is
-    * a self-join keyed on centroid_id — the shuffle scales with Σ|cluster|²,
-    * not N², which is the entire point of SemDeDup: k is chosen so clusters
-    * are ~10⁴ vectors regardless of corpus size. Centroids here follow the
-    * module's deterministic convention (id % centroidMod == 0); a trained
-    * codebook from [[kmeansCentroids]] drops in via the same DataFrame shape.
-    * At extreme skew (one mega-cluster) cap cluster size by re-assigning
-    * overflow to the next-nearest centroid — noted, not needed at tested SFs.
+    * Scale shape — TWO-LEVEL assignment, so no broadcast grows with the
+    * corpus (the round-3 weak spot was a single-level centroid broadcast of
+    * N/centroidMod rows):
+    *  - level 1: a FIXED budget of `coarseK` coarse centroids (the coarseK
+    *    smallest ids — deterministic; a trained [[kmeansCentroids]] codebook
+    *    drops in via the same shape). The only broadcast in the plan; its
+    *    size is corpus-independent. Scoring is N × coarseK — linear.
+    *  - level 2: fine centroids are CELL-LOCAL — the `id % fineMod == 0`
+    *    members of each coarse cell — and are never broadcast: the fine
+    *    assignment is an equi-join keyed on coarse_id, so per-cell exchanged
+    *    state tracks cell population. Fine-cluster sizes stay ~fineMod, so
+    *    the within-cluster pair shuffle scales with Σ|cluster|² ≈ N·fineMod,
+    *    not N². coarseK is the knob to keep per-cell fine scoring bounded as
+    *    the corpus grows (pick coarseK ~ √(N/fineMod) upward).
+    * A coarse cell with no fine-centroid member contributes nothing (its
+    * vectors are unassigned, hence never deduped) — the cell-local analog of
+    * the level-1 convention. `coarseK = 1` reduces exactly to the previous
+    * single-level semantics.
     */
   def semDedup(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
-      centroidMod: Int = 100): DataFrame = {
-    val cents = df.filter(col(idCol) % centroidMod === 0)
-      .select(col(idCol).as("centroid_id"), quantize(col(vecCol)).as("centv"))
+      fineMod: Int = 100,
+      coarseK: Int = 32): DataFrame = {
+    val coarse = df.orderBy(col(idCol)).limit(coarseK)
+      .select(col(idCol).as("coarse_id"), quantize(col(vecCol)).as("coarsev"))
     val vecs = df.select(col(idCol).as("__id"), quantize(col(vecCol)).as("v"))
-    val scored = vecs.crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosineQuantized(col("v"), col("centv")))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("c_sim").desc, col("centroid_id"))
-    val asn = scored.withColumn("crk", row_number().over(w))
+    val wc = Window.partitionBy(col("__id"))
+      .orderBy(col("c_sim").desc, col("coarse_id"))
+    val vAsn = vecs.crossJoin(broadcast(coarse))
+      .withColumn("c_sim", cosineQuantized(col("v"), col("coarsev")))
+      .withColumn("crk", row_number().over(wc))
       .filter(col("crk") === 1)
+      .select(col("coarse_id"), col("__id"), col("v"))
+    val fine = vAsn.filter(col("__id") % fineMod === 0)
+      .select(col("coarse_id"), col("__id").as("centroid_id"),
+        col("v").as("centv"))
+    val wf = Window.partitionBy(col("__id"))
+      .orderBy(col("f_sim").desc, col("centroid_id"))
+    val asn = vAsn.join(fine, Seq("coarse_id"))
+      .withColumn("f_sim", cosineQuantized(col("v"), col("centv")))
+      .withColumn("frk", row_number().over(wf))
+      .filter(col("frk") === 1)
       .select(col("centroid_id"), col("__id"), col("v"))
     val a = asn.select(col("centroid_id"), col("__id").as("id_a"),
       col("v").as("v_a"))

@@ -37,6 +37,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("em_similarity_ppjoin_part: no fixed-block self-join, no all-pairs") {
+    val df = SparkEntry.queries("em_similarity_ppjoin_part")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // candidate generation must key on tokens, never on the old
+    // (p_brand, p_size) blocking columns, and never degenerate to a
+    // cartesian/nested-loop pair enumeration
+    assert(!plan.contains("p_brand"), s"blocking key leaked into plan:\n$plan")
+    assert(!plan.contains("p_size"), s"blocking key leaked into plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  }
+
   test("sessionize window and aggregation share one user_id exchange") {
     val df = Events.sessionize(Tables.load(spark, sf, "events"))
     val plan = df.queryExecution.executedPlan.toString

@@ -182,6 +182,24 @@ class ScaleSpec extends SparkSpec {
     assert(!m.contains((3L, 5L)))
   }
 
+  test("ppjoinPairs equals brute-force all-pairs at several thresholds") {
+    val toks = docs.select($"doc_id".as("id"),
+      graft.tasks.Wrangler.emTokens($"text").as("toks"))
+    val a = toks.select($"id".as("id_a"), $"toks".as("ta"))
+    val b = toks.select($"id".as("id_b"), $"toks".as("tb"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val got = Dedup.ppjoinPairs(toks, "id", "toks", t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = a.crossJoin(b).filter($"id_a" < $"id_b")
+        .withColumn("j",
+          graft.tasks.Wrangler.tokenJaccardArrays($"ta", $"tb"))
+        .filter($"j" >= t)
+        .select("id_a", "id_b", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == brute, s"threshold $t: prefix filter missed/added pairs")
+    }
+  }
+
   test("simhash: identical docs same sig, near-dups low hamming") {
     val sigs = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
@@ -522,7 +540,9 @@ class ScaleSpec extends SparkSpec {
       (4L, Seq(0.0f, 0.99f, 0.01f)),
       (5L, Seq(0.1f, 0.9f, 0.3f))
     ).toDF("vec_id", "embedding")
-    val got = Similarity.semDedup(e, "vec_id", "embedding", 0.999, 3)
+    // coarseK = 1 → single coarse cell → cell-local fine centroids reduce
+    // to the global id-mod rule this fixture was built around
+    val got = Similarity.semDedup(e, "vec_id", "embedding", 0.999, 3, 1)
       .orderBy($"vec_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     // dropped: 1 and 2 (neighbors of 0 in cluster 0), 4 (neighbor of 3).
