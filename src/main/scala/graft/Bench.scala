@@ -50,12 +50,28 @@ object Bench {
     val warmupSec = (System.nanoTime() - tw0) / 1e9
 
     // Deterministic name order (Map iteration order is arbitrary).
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    // INTERLEAVED median-of-N passes: the full sorted list runs N times
+    // end-to-end (A,B,C,…,A,B,C,… — never A,A,A,B,B,B), so a host-
+    // interference band hitting one wall-clock window inflates at most one
+    // sample of each affected query and the per-query MEDIAN discards it.
+    // Rounds 1-3 all showed contiguous alphabetical bands at 3-34× in
+    // driver captures (e.g. a plain rollup at 42.9 s vs 1.25 s local) that
+    // cost a round of analysis each time; medians kill the phantom.
+    val passes =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = names.map(n => n ->
+      scala.collection.mutable.ArrayBuffer[Double]()).toMap
+    for (_ <- 1 to passes; n <- names) samples(n) += run(n)
+    def median(v: Seq[Double]): Double = { val s = v.sorted; s(s.size / 2) }
+    val results = names.map(n => n -> median(samples(n).toSeq))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qmins = names.map(n => s"\"" + n + "\":" + samples(n).min)
       .mkString("{", ",", "}")
     val errs = errors.distinct.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}"""
     // The full per-query map (~6 KB for 166 queries) goes to a known file:
     // a consumer that captures only the TAIL of stdout truncates the long
     // line mid-JSON (both prior rounds' bench records show `parsed: null`
@@ -69,7 +85,7 @@ object Bench {
     val slowest = results.sortBy(-_._2).take(15)
       .map { case (k, v) => s"\"" + k + "\":" + math.rint(v * 1000) / 1000 }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmupSec,"n_queries":${results.size},"errors":$errs,"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"warmup_sec":$warmupSec,"n_queries":${results.size},"errors":$errs,"slowest":$slowest,"queries_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -799,6 +799,24 @@ object SparkEntry {
           prog.toColumn(col("l_quantity").cast("string")).as("pred"))
     }),
 
+    // ---- F1 tier-2 escape hatch: opaque closure behind a ScalaUDF ----------
+    // A program the closed DSL can't express (reverse + conditional throw),
+    // with the reference's per-row try/except semantics: the throwing rows
+    // surface as the "Not excutable" sentinel (function_generator.py:143-147).
+    "transform_opaque_part" -> ((s, dir) => {
+      val prog = TransformProgram.Chain(Seq(
+        TransformProgram.TrimWs,
+        TransformProgram.OpaqueFn("rev_upper_mod7", { v =>
+          if (v.length % 7 == 0) throw new IllegalArgumentException("mod7")
+          else v.reverse.toUpperCase
+        })))
+      Wrangler.applyProgram(
+          t(s, dir, "part").select(col("p_partkey"), col("p_name")),
+          prog, "p_name")
+        .select(col("p_partkey"), col("pred"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- multimodal: binary payload + stub decode (mapPartitions batch) ----
     "multimodal_features_docs" -> ((s, dir) => {
       val mm = Multimodal.decodeFeatures(
@@ -3401,6 +3419,15 @@ object SparkEntry {
         |  CAST(ROUND(l_quantity * 1.8 + 32, 1) AS VARCHAR) AS pred
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
+    // Opaque-UDF semantics replayed declaratively: trim, then either the
+    // reverse-upper transform or the sentinel where the closure throws
+    // (length divisible by 7 after trim).
+    "transform_opaque_part" ->
+      """SELECT p_partkey,
+        |  CASE WHEN length(trim(p_name)) % 7 = 0 THEN 'Not excutable'
+        |       ELSE upper(reverse(trim(p_name))) END AS pred
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
     // The rewrite is semantics-preserving: the oracle is simply the column
     // the collapsed plan reads directly.
     "resplit_rewrite_part" ->
@@ -3837,11 +3864,13 @@ object SparkEntry {
         |  SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
         |    SELECT t, id_a AS d FROM sw
         |    UNION ALL SELECT t, id_b AS d FROM sw)
-        |  GROUP BY t)
+        |  GROUP BY t),
+        |grid AS (SELECT t FROM UNNEST(range(1, 9)) AS g(t))
         |SELECT CAST(t AS DOUBLE) / 8 AS threshold,
-        |  CAST(n_pairs AS BIGINT) AS n_pairs,
-        |  CAST(n_docs AS BIGINT) AS n_docs
-        |FROM pa JOIN da USING (t) ORDER BY threshold""".stripMargin,
+        |  CAST(COALESCE(n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(n_docs, 0) AS BIGINT) AS n_docs
+        |FROM grid LEFT JOIN pa USING (t) LEFT JOIN da USING (t)
+        |ORDER BY threshold""".stripMargin,
 
     "minhash_accuracy_docs" ->
       """WITH toks AS (

@@ -169,9 +169,13 @@ object Samplers {
     val offsets = (0 until numPartitions).scanLeft(0L) {
       (acc, p) => acc + sizes.getOrElse(p, 0L)
     }
-    val offsetExpr = (0 until numPartitions).foldLeft(lit(0L)) {
-      (acc, p) => when(col("__pid") === p, offsets(p)).otherwise(acc)
-    }
+    // ONE map literal + element_at, not an O(P) chained `when`: a chained
+    // conditional is fine at 32 partitions but blows up codegen (and plan
+    // size) at ~10⁴ partitions; a literal map is a single constant whatever
+    // P is, and the lookup is a hash probe.
+    val offsetMap = (0 until numPartitions).map(p => p -> offsets(p)).toMap
+    val offsetExpr = coalesce(
+      element_at(typedLit(offsetMap), col("__pid")), lit(0L))
     // offsets.last = the grand total of partitionAgg — already computed,
     // so callers never need a separate full-table pass for it
     (ranged, offsetExpr, offsets.last)
@@ -260,24 +264,31 @@ object Samplers {
     * threshold job moves k keys per partition and the filters are
     * pushdown-eligible scans. Order keys must be unique (documented
     * contract, same as the rank path): ties AT the threshold would all land
-    * in train. For rank-everything consumers (headFractionOrdered, shard
+    * in train. A NULL order key has no position in the order: null-keyed
+    * rows route to TEST and never consume a top-k slot (they would
+    * otherwise sort nulls-first into the threshold job AND fall out of
+    * both `<= thr` and `> thr` filters — silently vanishing from the
+    * split). For rank-everything consumers (headFractionOrdered, shard
     * packing) use [[globalRowNumber]] — this fast path is for tiny k.
     */
   def positionalSplit(
       df: DataFrame,
       orderCol: String,
       k: Int): (DataFrame, DataFrame) = {
-    // max over the k lowest keys = the k-th smallest key; null when k=0 or
-    // the input is empty → train's `<= null` filter is never-true and
-    // test's isNull branch keeps everything, which is the right degenerate
-    // split in both cases. k >= n collapses to (everything, empty).
+    // max over the k lowest NON-NULL keys = the k-th smallest key; null
+    // when k=0 or the input is empty → train's `<= null` filter is
+    // never-true and test's isNull branch keeps everything, which is the
+    // right degenerate split in both cases. k >= n collapses to
+    // (everything, empty).
     val thr = df.select(col(orderCol).as("__thr"))
+      .filter(col("__thr").isNotNull)
       .orderBy(col("__thr")).limit(k)
       .agg(max(col("__thr")).as("__thr"))
     val train = df.crossJoin(broadcast(thr))
       .filter(col(orderCol) <= col("__thr")).drop("__thr")
     val test = df.crossJoin(broadcast(thr))
-      .filter(col("__thr").isNull || col(orderCol) > col("__thr"))
+      .filter(col(orderCol).isNull ||
+        col("__thr").isNull || col(orderCol) > col("__thr"))
       .drop("__thr")
     (train, test)
   }

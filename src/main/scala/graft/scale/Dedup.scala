@@ -321,9 +321,17 @@ object Dedup {
       .select(col("__t"),
         explode(array(col("id_a"), col("id_b"))).as("__d"))
       .groupBy(col("__t")).agg(countDistinct(col("__d")).as("n_docs"))
-    pairsAgg.join(docsAgg, Seq("__t"))
+    // The tuning curve promises one row PER candidate threshold: thresholds
+    // where zero candidate pairs survive must read as explicit zeros, not
+    // missing rows (an inner join here silently dropped them).
+    val grid = df.sparkSession.range(1, numHashes + 1)
+      .select(col("id").cast("int").as("__t"))
+    grid
+      .join(pairsAgg, Seq("__t"), "left")
+      .join(docsAgg, Seq("__t"), "left")
       .select((col("__t").cast("double") / numHashes).as("threshold"),
-        col("n_pairs"), col("n_docs"))
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
   }
 
   /** Leakage-safe train/test split: near-duplicate CLUSTERS — not
@@ -420,6 +428,17 @@ object Dedup {
       prev = d
       i += 1
     }
+    // Exiting via the iteration cap means some component may still span
+    // multiple stars → labels would SILENTLY split one true cluster into
+    // several. Downstream consumers are correctness-critical (leakageSafeSplit
+    // uses clusters as the assignment unit — a split cluster leaks near-dup
+    // pairs across train/test), so fail loudly rather than return
+    // possibly-wrong labels. Star contraction converges in O(log² n) rounds;
+    // hitting maxIters signals something structurally wrong, not slow data.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIters rounds — " +
+          "refusing to emit possibly-split cluster labels")
     val lab = bidir(edges).groupBy(col("src")).agg(min(col("dst")).as("__mn"))
     nodes.select(col(idCol))
       .join(lab, col(idCol) === col("src"), "left_outer")

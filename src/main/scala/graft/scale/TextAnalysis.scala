@@ -450,9 +450,14 @@ object TextAnalysis {
     val weights = counts
       .withColumn("__wq", floor(powed * 1e6).cast("long"))
     val total = weights.agg(sum(col("__wq")).as("__tw"))
+    // DECIMAL(38,0) product: targetSize·w_d multiplies two longs (wq ≈
+    // 1e6·n^τ), which overflows signed 64-bit at real corpus scales (e.g.
+    // targetSize 1e10 × wq 1e12) and would silently corrupt quotas. 38-digit
+    // decimal holds any long×long product exactly; `div` still returns the
+    // exact integer quotient as a long.
     val quotas = weights.crossJoin(broadcast(total))
       .withColumn("__quota",
-        expr(s"($targetSize * __wq) div __tw"))
+        expr(s"(CAST($targetSize AS DECIMAL(38,0)) * __wq) div __tw"))
       .select(col(domainCol), col("__n"), col("__quota"))
     val byDomain = Window.partitionBy(col(domainCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))

@@ -138,8 +138,16 @@ object WranglerCli {
       if (a.maxTrainSamples >= 0)
         Samplers.headFraction(balanced, a.maxTrainSamples)
       else balanced
+    // --num_run caps the evaluated test rows. An unordered limit(n) is
+    // partitioning/plan-dependent — WHICH rows get evaluated (and thus the
+    // reported metrics) would vary across cluster layouts. The canonical
+    // split frame carries no file-line index, so order on the content key:
+    // not the reference's byte order, but reproducible on any layout.
+    // orderBy+limit executes as TakeOrderedAndProject — no global sort.
     val test =
-      if (a.numRun >= 0) in.test.limit(a.numRun) else in.test
+      if (a.numRun >= 0)
+        in.test.orderBy(col("text"), col("label_str")).limit(a.numRun)
+      else in.test
     in.copy(train = capped, test = test)
   }
 

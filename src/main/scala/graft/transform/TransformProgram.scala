@@ -250,6 +250,35 @@ object TransformProgram {
     def describe = "roman_to_int"
   }
 
+  /** Tier-2 escape hatch (SURVEY §2.8 mapping policy): a transform OUTSIDE
+    * the closed node set runs as an opaque Scala closure behind a ScalaUDF.
+    * The reference can exec ANY generated function
+    * (`function_generator.py:119-135`); this node is the engine-native
+    * equivalent for programs the 17-node DSL cannot express. Deliberately
+    * tier 2: a UDF is a black box to Catalyst (no codegen, no pushdown
+    * through it), so the synthesizer prefers DSL nodes and reaches for this
+    * only when composition fails.
+    *
+    * Failure semantics match the reference's per-row try/except
+    * (`function_generator.py:143-147`): any throw — and a null input — maps
+    * to null, which [[graft.tasks.Wrangler.applyProgram]] surfaces as the
+    * "Not excutable" sentinel. The closure must be pure and serializable
+    * (it ships to executors).
+    */
+  final case class OpaqueFn(name: String, fn: String => String)
+      extends TransformProgram {
+    def toColumn(in: Column): Column = {
+      val safe = udf { (s: String) =>
+        if (s == null) null
+        else scala.util.Try(fn(s)).toOption.orNull
+      }
+      safe(in)
+    }
+    def eval(in: String): String =
+      if (in == null) null else scala.util.Try(fn(in)).toOption.orNull
+    def describe = s"opaque($name)"
+  }
+
   /** The reference's dummy fallback function
     * (`run_wrangler.py:42`: `def string_transformation(...): return None`).
     */

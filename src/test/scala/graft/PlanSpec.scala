@@ -37,6 +37,20 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("globalRowNumber offsets ride one map literal, not an O(P) when-chain") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+    val df = graft.sample.Samplers.globalRowNumber(
+      li, Seq("l_orderkey", "l_linenumber"), 64)
+    val plan = df.queryExecution.executedPlan.toString
+    // a chained conditional repeats CASE WHEN per partition; the map-literal
+    // form has zero of them regardless of partition count
+    assert(!plan.contains("CASE WHEN (__pid"),
+      s"per-partition when-chain leaked into the plan:\n$plan")
+    assert(plan.contains("map_from_arrays") || plan.contains("element_at") ||
+      plan.contains("keys:"), s"expected a map-literal lookup:\n$plan")
+  }
+
   test("em_similarity_ppjoin_part: no fixed-block self-join, no all-pairs") {
     val df = SparkEntry.queries("em_similarity_ppjoin_part")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString

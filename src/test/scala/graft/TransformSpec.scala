@@ -43,6 +43,23 @@ class TransformSpec extends SparkSpec {
     agree(DateReformat("yyyy-MM-dd", "dd/MM/yyyy"), Seq("2024-03-01", "1999-12-31"))
   }
 
+  test("OpaqueFn tier-2 node: round trip, throw→null→sentinel, null-safe") {
+    val rev = OpaqueFn("rev_upper_mod7", { v =>
+      if (v.length % 7 == 0) throw new IllegalArgumentException("mod7")
+      else v.reverse.toUpperCase
+    })
+    // "abcdefg" (len 7) throws → eval null; toColumn null → applyProgram
+    // surfaces the reference's "Not excutable" sentinel
+    agree(rev, Seq("Hello World", "abcdefg", "", "x"))
+    assert(rev.eval("abcdefg") == null)
+    assert(rev.eval(null) == null)
+    agree(Chain(Seq(TrimWs, rev)), Seq("  abc  ", " abcdefg "))
+    val sent = graft.tasks.Wrangler.applyProgram(
+        Seq("ok", "abcdefg").toDF("text"), rev)
+      .select("pred").as[String].collect().toSeq
+    assert(sent == Seq("KO", "Not excutable"), s"got $sent")
+  }
+
   test("Column/eval agreement on the reviewed edge cases") {
     // deep-negative SplitIndex on short rows: computed pos hits 0 (was an
     // unconditional element_at error) or negative (was an end-wrap read)
