@@ -213,6 +213,12 @@ object ScaleCheck {
         (d: DataFrame) => Similarity.bqTopK(d.filter(col("vec_id") < 5), d,
           "vec_id", "embedding", 10, 40),
         embeddings, "vec_id", Some("embedding")),
+      ("ivfpq_topk",
+        // queries are ids < 5 — only copy 0 has them; codes + probe scan
+        // grow N× while the codebook and centroid broadcasts stay bounded
+        (d: DataFrame) => Similarity.ivfPqTopK(d.filter(col("vec_id") < 5),
+          d, "vec_id", "embedding", 10),
+        embeddings, "vec_id", Some("embedding")),
       ("em_ppjoin",
         // salted tokens make copies' token spaces disjoint → prefix posting
         // lists and true pair mass both scale linearly, which is exactly the

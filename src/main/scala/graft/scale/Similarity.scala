@@ -236,6 +236,140 @@ object Similarity {
       .select(col("query_id"), col("cand_id"), col("rk"), col("cos_sim"))
   }
 
+  /** Brute-force EXACT-L2 top-k (the ground-truth companion for L2-metric
+    * indexes like [[ivfPqTopK]], where the cosine ground truth of
+    * [[bruteForceTopK]] would grade against the wrong metric). Distances
+    * are exact long L2² over quantized vectors; ties break on cand id.
+    */
+  def bruteForceTopKL2(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val c = candidates.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("cv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2"), col("cand_id"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("cand_id"))
+      .withColumn("d2", l2Sq(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk"), col("d2"))
+  }
+
+  /** IVF-PQ asymmetric-distance search (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the composition that IS the
+    * practical 100 TB retrieval configuration: the IVF level prunes the
+    * corpus to `nProbe` cells per query, and the PQ level replaces every
+    * candidate vector by `m` small codes, so the search scan reads codes
+    * (m values + a cell id per candidate), never raw vectors. Distances come
+    * from a per-query lookup table (ADC): for each (subspace, codebook
+    * entry), the exact long L2² between the query's subvector and that
+    * entry; a candidate's distance is the sum of its m table entries.
+    *
+    * Deterministic family conventions: coarse cells = `id % centroidMod == 0`
+    * ([[ivfTopK]]); PQ codebook = subvectors of ids < pqK ([[pqAssign]]);
+    * quantized 1e-3 integer vectors; every argmin ties on the lower id. ADC
+    * is a sum of exact longs — the whole search replays in DuckDB.
+    *
+    * Plan shape: the codebook (m·pqK subvectors) and the coarse centroid
+    * table are the only broadcasts; encoding is a broadcast join plus a
+    * per-(vector, subspace) argmin keyed on the vector; the search joins
+    * probe lists to code arrays on the CELL key and evaluates ADC from a
+    * per-query map — no raw-vector pair shuffle anywhere.
+    */
+  def ivfPqTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidMod: Int = 100,
+      nProbe: Int = 2,
+      m: Int = 4,
+      pqK: Int = 16,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
+    val sub = dims / m
+    // key packing for the ADC map: (subspace, code) → one long. 2^20 leaves
+    // room for any realistic codebook id while staying far from overflow.
+    val KEY = 1048576L
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cell"), quantize(col(vecCol)).as("centv"))
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("cv"))
+    val wc = Window.partitionBy(col("cand_id"))
+      .orderBy(col("__d2"), col("cell"))
+    val candCell = cand.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("cv"), col("centv")))
+      .withColumn("__rk", row_number().over(wc))
+      .filter(col("__rk") === 1)
+      .select(col("cand_id"), col("cv"), col("cell"))
+    val book = candidates.filter(col(idCol) < pqK)
+      .select(col(idCol).as("code"), quantize(col(vecCol)).as("bv"))
+      .select(col("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("bv"))
+      .select(col("code"), col("sub"),
+        slice(col("bv"), col("sub") * sub + 1, lit(sub)).as("bsv"))
+    // candidate encoding: per (vector, subspace) argmin over the codebook
+    val wcode = Window.partitionBy(col("cand_id"), col("sub"))
+      .orderBy(col("__d2"), col("code"))
+    val codes = candCell
+      .select(col("cand_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("cv"))
+      .select(col("cand_id"), col("cell"), col("sub"),
+        slice(col("cv"), col("sub") * sub + 1, lit(sub)).as("csv"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("__d2", l2Sq(col("csv"), col("bsv")))
+      .withColumn("__rk", row_number().over(wcode))
+      .filter(col("__rk") === 1)
+      .groupBy(col("cand_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("__sc"))
+      .select(col("cand_id"), col("cell"),
+        expr("transform(__sc, p -> p.code)").as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d2"), col("cell"))
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("qv"), col("centv")))
+      .withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("cell"))
+    // per-query ADC table: map (sub·KEY + code) → exact long L2²
+    val dtab = q
+      .select(col("query_id"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("qv"))
+      .select(col("query_id"), col("sub"),
+        slice(col("qv"), col("sub") * sub + 1, lit(sub)).as("qsv"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("__d2", l2Sq(col("qsv"), col("bsv")))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub").cast("long") * KEY + col("code")).as("k"),
+        col("__d2").as("v")))).as("dtab"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    probes.join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(dtab, Seq("query_id"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          s"acc + element_at(dtab, CAST(s AS BIGINT) * $KEY + " +
+          "element_at(codes, s + 1)))"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("rk"),
+        col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
     * LSH-ish signature: the sign pattern of selected components (a random-
     * hyperplane sketch with axis-aligned planes — deterministic). Pairs are

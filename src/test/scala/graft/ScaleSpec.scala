@@ -528,6 +528,30 @@ class ScaleSpec extends SparkSpec {
     assert(doc1(1)._3 == "shared" && doc1(1)._4 == 1.0)
   }
 
+  test("ivfPqTopK: ADC equals exact L2² when candidates ARE codebook entries") {
+    // ids 0..3 all sit in the PQ codebook (pqK=4), so each candidate's codes
+    // reconstruct the candidate exactly and the asymmetric distance collapses
+    // to the true L2². With nProbe=2 of 2 cells, coverage is total → the
+    // result must equal brute-force L2 top-k, distances included.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 5.0f, 1.0f)),
+      (1L, Seq(0.9f, 0.1f, 4.0f, 2.0f)),
+      (2L, Seq(-1.0f, 2.0f, 0.0f, 3.0f)),
+      (3L, Seq(0.5f, 0.5f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 0)
+    val got = Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 3,
+        centroidMod = 2, nProbe = 2, m = 2, pqK = 4, dims = 4)
+      .select("query_id", "cand_id", "rk", "adc")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    val exact = Similarity.bruteForceTopKL2(q, e, "vec_id", "embedding", 3)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(got.sorted == exact.sorted,
+      s"ADC ranking diverged from exact L2: $got vs $exact")
+  }
+
   test("semDedup drops smaller-id-neighbor vectors within a cluster only") {
     // ids 0 and 3 are centroids (mod 3). 0,1,2 are near-identical (cluster
     // of centroid 0); 3,4 are near-identical (cluster of 3); 5 is alone in
