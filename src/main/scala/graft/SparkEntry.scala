@@ -1457,6 +1457,11 @@ object SparkEntry {
     "bpe_merge_docs" -> ((s, dir) =>
       TextAnalysis.bpeMergeStats(t(s, dir, "documents"), "text", 20)),
 
+    // ---- full iterative BPE trainer: 8 merge rounds over the vocab ---------
+    "bpe_train_docs" -> ((s, dir) =>
+      TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 8)
+        .orderBy(col("round"))),
+
     // ---- overlapping passage windows (retrieval chunking, stride<size) -----
     "passage_windows_docs" -> ((s, dir) =>
       TextAnalysis.passageWindows(t(s, dir, "documents"), "doc_id", "text", 8, 4)
@@ -1632,6 +1637,33 @@ object SparkEntry {
     "rag_retrieve_docs" -> ((s, dir) =>
       TextAnalysis.ragRetrieve(t(s, dir, "documents"), "doc_id", "text",
         8, 4, Seq("merge", "window"), 15)),
+
+    // ---- classifier TRAINING: exact-integer batch perceptron ---------------
+    // Per-epoch log of the distributed training loop (gradient = keyed
+    // aggregation over hashed features; driver holds only the 1024-long
+    // weight vector). Label: the document contains the token 'spark' — a
+    // text-derivable target (the synthetic corpus draws every lang's text
+    // from ONE vocabulary, so metadata labels like lang are independent of
+    // the features and unlearnable by construction). Every update is exact
+    // long arithmetic, so DuckDB replays all five epochs bit-for-bit.
+    "classifier_train_docs" -> ((s, dir) =>
+      TextAnalysis.trainHashedLinear(t(s, dir, "documents"), "doc_id",
+          "text",
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("long"))._1
+        .orderBy(col("epoch"))),
+
+    // ---- calibration curve of the TRAINED classifier -----------------------
+    // calibration_docs machinery over learned weights: exact-integer bins
+    // from the known bound B = max|w|.
+    "classifier_calibration_trained_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val label =
+        array_contains(TextAnalysis.tokens(col("text")), "spark").cast("long")
+      val w = TextAnalysis.trainHashedLinear(docs, "doc_id", "text", label)._2
+      TextAnalysis.trainedCalibration(docs, "doc_id", "text", label, w)
+        .orderBy(col("bin"))
+    }),
 
     // ---- hashed-feature linear quality classifier (fastText-style gate) ----
     "classifier_score_docs" -> ((s, dir) =>
@@ -2469,7 +2501,160 @@ object SparkEntry {
     // the star-contraction CC produces the same components as the
     // propagation CC — the oracle describes the RESULT (recursive
     // reachability), not the algorithm, so the SQL is shared verbatim
-    m + ("dup_clusters_star_docs" -> m("dup_clusters_docs"))
+    m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
+      ("bpe_train_docs" -> bpeTrainOracle(8)) +
+      ("classifier_train_docs" ->
+        classifierTrainOracle(8, calibration = false)) +
+      ("classifier_calibration_trained_docs" ->
+        classifierTrainOracle(8, calibration = true))
+  }
+
+  /** Mechanically unrolled perceptron-training oracle (same unroll idiom as
+    * [[bpeTrainOracle]]): per epoch, a (scores → errors → gradient → new
+    * weights) CTE quartet over the hashed features, starting from the zero
+    * vector. `calibration = false` emits the per-epoch log;
+    * `calibration = true` emits the exact-integer calibration curve of the
+    * final weights (bound B = max|w| from the replayed weight table).
+    */
+  private def classifierTrainOracle(
+      epochs: Int, calibration: Boolean): String = {
+    val head =
+      """WITH lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0), 'spark') AS BIGINT) AS y
+        |  FROM documents),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |ft AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b,
+        |    CAST(1 AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM documents),
+        |w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, 1025)) AS BIGINT) AS b,
+        |  CAST(0 AS BIGINT) AS w)""".stripMargin
+    val epochCtes = (1 to epochs).map { k =>
+      s""",
+         |s$k AS MATERIALIZED (
+         |  SELECT l.doc_id, l.y,
+         |    CAST(COALESCE(SUM(f.cnt * wp.w), 0) AS BIGINT) AS score
+         |  FROM lab l
+         |  LEFT JOIN ft f ON f.doc_id = l.doc_id
+         |  LEFT JOIN w${k - 1} wp ON wp.b = f.b
+         |  GROUP BY 1, 2),
+         |e$k AS MATERIALIZED (SELECT doc_id, y,
+         |  y - CASE WHEN score > 0 THEN 1 ELSE 0 END AS err FROM s$k),
+         |n$k AS MATERIALIZED (
+         |  SELECT CAST(SUM(CASE WHEN err = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS npe,
+         |    CAST(SUM(CASE WHEN err = -1 THEN 1 ELSE 0 END) AS BIGINT) AS nne
+         |  FROM e$k),
+         |g$k AS MATERIALIZED (
+         |  SELECT f.b,
+         |    CAST(SUM(CASE WHEN e.err = 1 THEN f.cnt ELSE 0 END) AS BIGINT)
+         |      AS pg,
+         |    CAST(SUM(CASE WHEN e.err = -1 THEN f.cnt ELSE 0 END) AS BIGINT)
+         |      AS ng
+         |  FROM ft f JOIN e$k e ON e.doc_id = f.doc_id
+         |  WHERE e.err <> 0 GROUP BY f.b),
+         |w$k AS MATERIALIZED (
+         |  SELECT wp.b, wp.w +
+         |    ((CASE WHEN n.npe > 0 THEN (1000 * COALESCE(g.pg, 0)) // n.npe
+         |        ELSE 0 END -
+         |      CASE WHEN n.nne > 0 THEN (1000 * COALESCE(g.ng, 0)) // n.nne
+         |        ELSE 0 END) // $k) AS w
+         |  FROM w${k - 1} wp
+         |  LEFT JOIN g$k g ON g.b = wp.b
+         |  CROSS JOIN n$k n)""".stripMargin
+    }.mkString
+    val tail =
+      if (!calibration) {
+        val unions = (1 to epochs).map { k =>
+          s"""SELECT CAST($k AS INT) AS epoch,
+             |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             |  CAST(SUM(CASE WHEN err = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_err,
+             |  CAST(SUM(CASE WHEN err = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_err,
+             |  ROUND(CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             |    / COUNT(*), 6) AS accuracy,
+             |  (SELECT CAST(SUM(ABS(w)) AS BIGINT) FROM w$k) AS w_abs_sum
+             |FROM e$k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"\nSELECT * FROM (\n$unions\n) ORDER BY epoch"
+      } else {
+        s""",
+           |bnd AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w))) AS bv
+           |  FROM w$epochs),
+           |sc AS MATERIALIZED (
+           |  SELECT l.doc_id, l.y,
+           |    CAST(COALESCE(SUM(f.cnt * wf.w), 0) AS BIGINT) AS score,
+           |    CAST(COALESCE(SUM(f.cnt), 0) AS BIGINT) AS n_feats
+           |  FROM lab l
+           |  LEFT JOIN ft f ON f.doc_id = l.doc_id
+           |  LEFT JOIN w$epochs wf ON wf.b = f.b
+           |  GROUP BY 1, 2),
+           |binned AS MATERIALIZED (
+           |  SELECT ((score + bv * n_feats) * 10) // (2 * bv * n_feats + 1)
+           |    AS bin, y, score, n_feats
+           |  FROM sc CROSS JOIN bnd)
+           |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CASE WHEN SUM(n_feats) > 0
+           |    THEN ROUND(CAST(SUM(score) AS DOUBLE) / SUM(n_feats), 6)
+           |  END AS mean_score,
+           |  CAST(SUM(y) AS BIGINT) AS n_pos,
+           |  ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+           |FROM binned GROUP BY bin ORDER BY bin""".stripMargin
+      }
+    s"$head$epochCtes$tail"
+  }
+
+  /** Mechanically unrolled N-round BPE-trainer oracle: DuckDB has no
+    * iterate-with-aggregation construct, so each round is its own CTE
+    * triple (pair counts → arg-max pair → merged vocab state), chained
+    * exactly like the Spark loop in [[TextAnalysis.bpeTrain]] — same
+    * U+0001-delimited symbol state, same literal `replace`, same
+    * (count desc, pair asc) tiebreak.
+    */
+  private def bpeTrainOracle(rounds: Int): String = {
+    val head =
+      """WITH v1 AS (
+        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s,
+        |    freq
+        |  FROM (
+        |    SELECT w, COUNT(*) AS freq
+        |    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> len(x) > 0)) AS w FROM documents)
+        |    WHERE NOT contains(w, chr(1))
+        |    GROUP BY w))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val next =
+        if (r < rounds)
+          s""",
+             |v${r + 1} AS (
+             |  SELECT replace(s, chr(1) || l || chr(1) || chr(1) || r2 || chr(1),
+             |    chr(1) || l || r2 || chr(1)) AS s, freq
+             |  FROM v$r CROSS JOIN t$r)""".stripMargin
+        else ""
+      s""",
+         |p$r AS (
+         |  SELECT list_extract(sy, CAST(i AS INT)) AS l,
+         |    list_extract(sy, CAST(i + 1 AS INT)) AS r2, freq
+         |  FROM (SELECT list_filter(string_split(s, chr(1)), x -> len(x) > 0)
+         |          AS sy, freq FROM v$r),
+         |    UNNEST(range(1, len(sy))) AS u(i)),
+         |t$r AS (
+         |  SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c FROM p$r
+         |  GROUP BY l, r2 ORDER BY c DESC, l, r2 LIMIT 1)$next""".stripMargin
+    }.mkString
+    val unions = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, l AS sym_l, r2 AS sym_r, " +
+        s"l || r2 AS merged, c AS n_occurrences FROM t$r"
+    }.mkString("\nUNION ALL\n")
+    s"$head$roundCtes\nSELECT * FROM (\n$unions\n) ORDER BY round"
   }
 
   private def baseOracleSql: Map[String, String] = Map(

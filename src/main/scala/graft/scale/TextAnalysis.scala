@@ -513,6 +513,77 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair")).limit(topK)
   }
 
+  /** Full iterative BPE training — the N-round merge loop [[bpeMergeStats]]
+    * is one step of (Sennrich et al. 2016, arXiv:1508.07909). Each round:
+    * count adjacent symbol pairs over the collapsed VOCABULARY weighted by
+    * word frequency, take the arg-max pair (count desc, pair asc —
+    * deterministic), and rewrite every vocabulary entry merging that pair's
+    * non-overlapping left-to-right occurrences.
+    *
+    * Scale shape: the corpus collapses to its vocabulary ONCE (the only
+    * corpus-size-dependent job); every round after that works on |vocab|
+    * rows — explode mass |vocab|·word_len per round, independent of corpus
+    * size. Per round: one hash-agg + a 1-row TakeOrdered to the driver (the
+    * driver holds only the merge table) + one projection; the vocab state
+    * is localCheckpoint'd so plans stay flat across rounds.
+    *
+    * Symbol state rides a \u0001-delimited string (`⟨S⟩a⟨S⟩⟨S⟩b⟨S⟩`), so the
+    * merge rewrite is a single literal string replacement with unambiguous
+    * symbol boundaries — the identical operation replays in DuckDB's
+    * `replace`, making the whole trainer oracle-checkable. Words containing
+    * the sentinel character are excluded (guard, not a real token).
+    *
+    * Returns the merge table: (round, sym_l, sym_r, merged, n_occurrences).
+    * Stops early when no pair remains (fully merged vocabulary).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    val SENT = "\u0001"
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(SENT))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", SENT + "$1" + SENT).as("s"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ArrayBuffer[(Int, String, String, String, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val top = vocab
+        .select(col("freq"),
+          filter(split(col("s"), SENT), x => length(x) > 0).as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "named_struct('l', element_at(sy, i), 'r', element_at(sy, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r2"))
+        .agg(sum(col("freq")).as("c"))
+        .orderBy(col("c").desc, col("l"), col("r2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, c) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, l, rr, l + rr, c))
+        // literal (non-regex) semantics via quoted pattern/replacement:
+        // tokens may contain regex metacharacters
+        vocab = vocab.select(
+          regexp_replace(col("s"),
+            lit(java.util.regex.Pattern.quote(
+              SENT + l + SENT + SENT + rr + SENT)),
+            lit(java.util.regex.Matcher.quoteReplacement(
+              SENT + l + rr + SENT))).as("s"),
+          col("freq"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "sym_l", "sym_r", "merged", "n_occurrences")
+  }
+
   /** Raw (non-distinct) word n-grams — same bound-lambda idiom and
     * short-doc semantics as [[Shingles.wordShingles]] (a doc with < n
     * tokens yields one n-gram of its whole token list), but keeping every
@@ -794,6 +865,146 @@ object TextAnalysis {
       .select(col(idCol), col("n_tokens"), col("w_sum"),
         round(col("w_sum").cast("double") / col("n_tokens"), 6).as("score"),
         (col("w_sum") > 0L).as("keep"))
+  }
+
+  /** Distributed TRAINING for the hashed-feature linear quality gate —
+    * [[hashedLinearScore]] scores with a fixed weight function; this is the
+    * missing learning loop. A batch perceptron over hashed token-count
+    * features, kept exactly replayable:
+    *  - every quantity is an exact long: features are bucket counts, the
+    *    score is Σ cnt·w[b], the error is y − [score > 0] ∈ {−1,0,1}, and
+    *    the per-bucket gradient Σ err·cnt adds straight into the weights —
+    *    no float step anywhere in the update;
+    *  - the driver holds ONLY the weight vector (nBuckets longs) and ships
+    *    it each epoch as one literal map — the corpus-sized work (feature
+    *    build, scoring, gradient) is all keyed aggregation: two shuffles
+    *    per epoch (doc key, bucket key), no window, no pair join;
+    *  - features are built once and localCheckpoint'd; epochs reuse them.
+    *
+    * Returns (per-epoch training log, final weights). Log rows: metrics of
+    * the weights ENTERING the epoch (so epoch 1 describes the zero model)
+    * plus `w_abs_sum`, the post-update Σ|w| — a checksum the DuckDB replay
+    * must reproduce exactly.
+    */
+  /** Binary hashed feature rows (doc, bucket, 1) + a per-doc BIAS feature at
+    * bucket `nBuckets`: presence features give every example comparable
+    * update mass (count features let long docs dominate the batch
+    * gradient), and the bias bucket lets the model learn a threshold —
+    * without it, a class-imbalanced corpus is unseparable by any
+    * through-the-origin score. Shared by training and trained scoring.
+    */
+  private def hashedBinaryFeatures(
+      df: DataFrame, idCol: String, textCol: String,
+      nBuckets: Int): DataFrame = {
+    val bucket = pmod(
+      HashExprs.md5PrefixLong(col("tok").cast("binary"), 15),
+      lit(nBuckets.toLong))
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .withColumn("b", bucket)
+      .groupBy(col(idCol), col("b")).agg(lit(1L).as("cnt"))
+      .unionByName(df.select(col(idCol),
+        lit(nBuckets.toLong).as("b"), lit(1L).as("cnt")))
+  }
+
+  def trainHashedLinear(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      epochs: Int = 8, nBuckets: Int = 1024): (DataFrame, Array[Long]) = {
+    require(epochs >= 1 && nBuckets > 0, "need epochs >= 1, nBuckets > 0")
+    val spark = df.sparkSession
+    val K = 1000L   // gradient quantization (milli-units per class share)
+    val feats =
+      hashedBinaryFeatures(df, idCol, textCol, nBuckets).localCheckpoint(true)
+    val labels = df.select(col(idCol), label.as("y")).localCheckpoint(true)
+    val w = Array.fill(nBuckets + 1)(0L)   // + the bias bucket
+    val log = scala.collection.mutable
+      .ArrayBuffer[(Int, Long, Long, Long, Double, Long)]()
+    for (epoch <- 1 to epochs) {
+      val wm = typedLit((0 to nBuckets).map(b => b.toLong -> w(b)).toMap)
+      val scores = feats
+        .withColumn("wv", coalesce(element_at(wm, col("b")), lit(0L)))
+        .groupBy(col(idCol)).agg(sum(col("cnt") * col("wv")).as("score"))
+      // the bias feature guarantees every doc (even token-less) has rows,
+      // but keep the left-join guard for robustness
+      val errs = labels.join(scores, Seq(idCol), "left")
+        .select(col(idCol), col("y"),
+          (col("y") - when(coalesce(col("score"), lit(0L)) > 0L, 1L)
+            .otherwise(0L)).as("err"))
+        .localCheckpoint(true)
+      val m = errs.agg(
+        sum(when(col("err") === 0L, 1L).otherwise(0L)).as("n_correct"),
+        sum(when(col("err") === 1L, 1L).otherwise(0L)).as("n_pos_err"),
+        sum(when(col("err") === -1L, 1L).otherwise(0L)).as("n_neg_err"),
+        count(lit(1)).as("n")).collect()(0)
+      val (npe, nne) = (m.getLong(1), m.getLong(2))
+      // CLASS-BALANCED batch gradient: each error class contributes its
+      // per-bucket presence share scaled to K, so a 3:1 class imbalance
+      // can't freeze the model at the majority prediction (the plain batch
+      // gradient provably stalls there: the minority class's total mass
+      // under a decaying step never cancels the majority's head start —
+      // observed as accuracy pinned at the base rate for every schedule).
+      // Harmonic damping g/epoch: steps shrink but Σ1/k diverges, so the
+      // model can keep moving as far as it needs. All divisions truncate
+      // toward zero — DuckDB's // semantics (-3 // 2 = -1, verified).
+      val grad = feats.join(errs.filter(col("err") =!= 0L), Seq(idCol))
+        .groupBy(col("b")).agg(
+          sum(when(col("err") === 1L, col("cnt")).otherwise(0L)).as("pg"),
+          sum(when(col("err") === -1L, col("cnt")).otherwise(0L)).as("ng"))
+        .collect()
+      grad.foreach { r =>
+        val g = (if (npe > 0) K * r.getLong(1) / npe else 0L) -
+          (if (nne > 0) K * r.getLong(2) / nne else 0L)
+        w(r.getLong(0).toInt) += g / epoch
+      }
+      val acc = java.math.BigDecimal
+        .valueOf(m.getLong(0).toDouble / m.getLong(3))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      log += ((epoch, m.getLong(0), npe, nne, acc, w.map(math.abs).sum))
+    }
+    import spark.implicits._
+    (log.toSeq.toDF("epoch", "n_correct", "n_pos_err", "n_neg_err",
+      "accuracy", "w_abs_sum"), w)
+  }
+
+  /** Score + exact-integer calibration bins for a TRAINED weight vector
+    * (the [[trainHashedLinear]] output) — the calibration_docs machinery
+    * re-used for a learned model: bin edges come from the known weight
+    * bound B = max|w| (dividend offset keeps it non-negative, so Spark's
+    * truncating DIV and DuckDB's flooring // agree), never from float
+    * quantiles.
+    */
+  def trainedCalibration(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      weights: Array[Long], nBuckets: Int = 1024): DataFrame = {
+    val bound =
+      math.max(1L, if (weights.isEmpty) 1L else weights.map(math.abs).max)
+    val wm = typedLit(weights.zipWithIndex.map {
+      case (v, b) => b.toLong -> v
+    }.toMap)
+    // same binary-presence + bias feature map the trainer used — scoring
+    // with a different feature map than training would be a silent bug
+    val scored = hashedBinaryFeatures(df, idCol, textCol, nBuckets)
+      .withColumn("wv", coalesce(element_at(wm, col("b")), lit(0L)))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("wv")).as("score"),
+        sum(col("cnt")).as("n_feats"))
+    df.select(col(idCol), label.as("y"))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("y"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+      .withColumn("bin",
+        expr(s"((score + $bound * n_feats) * 10) DIV " +
+          s"(2 * $bound * n_feats + 1)"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("score")).as("__ts"), sum(col("n_feats")).as("__tt"),
+        sum(col("y")).as("n_pos"))
+      .select(col("bin"), col("n"),
+        when(col("__tt") > 0L,
+          round(col("__ts").cast("double") / col("__tt"), 6))
+          .as("mean_score"),
+        col("n_pos"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
   }
 
   /** Cross-corpus n-gram overlap — the corpus-level diversity /

@@ -528,6 +528,44 @@ class ScaleSpec extends SparkSpec {
     assert(doc1(1)._3 == "shared" && doc1(1)._4 == 1.0)
   }
 
+  test("trainHashedLinear converges to 1.0 on a separable token label") {
+    val d = Seq(
+      (1L, "spark engine shuffles data fast"),
+      (2L, "query planner rewrites the tree"),
+      (3L, "spark executors cache partitions"),
+      (4L, "storage formats encode columns"),
+      (5L, "spark drivers schedule stages"),
+      (6L, "vector kernels hash rows")
+    ).toDF("doc_id", "text")
+    val label = array_contains(TextAnalysis.tokens($"text"), "spark")
+      .cast("long")
+    val (log, w) = TextAnalysis.trainHashedLinear(
+      d, "doc_id", "text", label, epochs = 8)
+    val accs = log.orderBy($"epoch").select("accuracy").as[Double].collect()
+    assert(accs.last == 1.0, s"did not converge: ${accs.toSeq}")
+    // trained weights separate a held-out-style re-scoring too
+    val cal = TextAnalysis.trainedCalibration(d, "doc_id", "text", label, w)
+      .agg(sum($"n_pos"), sum($"n")).collect()(0)
+    assert(cal.getLong(0) == 3L && cal.getLong(1) == 6L)
+  }
+
+  test("bpeTrain: hand-computed merges on the classic BPE example") {
+    // vocab: low:3 lower:2 newest:4 widest:1 (Sennrich et al.'s example).
+    // r1: 'we' = 2(lower) + 4(newest) = 6.  r2: 'lo':5 ties 'st':5 →
+    // pair-asc tiebreak picks 'lo'.  r3: 'st' = 4 + 1 = 5.
+    val d = Seq((1L,
+      "low low low lower lower newest newest newest newest widest"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTrain(d, "text", 3)
+      .orderBy($"round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "w", "e", "we", 6L),
+      (2, "l", "o", "lo", 5L),
+      (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
+  }
+
   test("ivfPqTopK: ADC equals exact L2² when candidates ARE codebook entries") {
     // ids 0..3 all sit in the PQ codebook (pqK=4), so each candidate's codes
     // reconstruct the candidate exactly and the asymmetric distance collapses
