@@ -799,6 +799,32 @@ object SparkEntry {
           prog.toColumn(col("l_quantity").cast("string")).as("pred"))
     }),
 
+    // ---- F6 geo/calendar DSL family: deg↔DMS + fixed-zone shift ------------
+    // Inputs are built from exact integers via identical printf formats in
+    // both engines, so the only doubles are the conversion arithmetic —
+    // identical IEEE ops on identical inputs.
+    "transform_geo_part" -> ((s, dir) => {
+      val toDms = TransformProgram.DegToDms(1)
+      val toDeg = TransformProgram.DmsToDeg(6)
+      val shift = TransformProgram.FixedZoneShift(
+        "yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm", 330)
+      val p = t(s, dir, "part")
+        .withColumn("deg_in",
+          format_string("%d.%04d", col("p_partkey") % 90,
+            col("p_partkey") % 10000))
+        .withColumn("ts_in",
+          format_string("%04d-%02d-%02d %02d:%02d:00",
+            lit(1995) + col("p_partkey") % 3,
+            lit(1) + col("p_partkey") % 12,
+            lit(1) + col("p_partkey") % 28,
+            col("p_partkey") % 24, col("p_partkey") % 60))
+      p.select(col("p_partkey"),
+          toDms.toColumn(col("deg_in")).as("dms"),
+          toDeg.toColumn(toDms.toColumn(col("deg_in"))).as("deg_roundtrip"),
+          shift.toColumn(col("ts_in")).as("shifted"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- F1 tier-2 escape hatch: opaque closure behind a ScalaUDF ----------
     // A program the closed DSL can't express (reverse + conditional throw),
     // with the reference's per-row try/except semantics: the throwing rows
@@ -3633,6 +3659,35 @@ object SparkEntry {
         |  CASE WHEN length(trim(p_name)) % 7 = 0 THEN 'Not excutable'
         |       ELSE upper(reverse(trim(p_name))) END AS pred
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    // deg→DMS→deg + fixed-zone shift replay: the same IEEE double ops on
+    // the same printf-built inputs; the DMS seconds string round-trips
+    // exactly (shortest double representation), so the reconstruction uses
+    // the numeric components directly.
+    "transform_geo_part" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    CAST(printf('%d.%04d', p_partkey % 90, p_partkey % 10000)
+        |      AS DOUBLE) AS v,
+        |    printf('%04d-%02d-%02d %02d:%02d:00',
+        |      1995 + p_partkey % 3, 1 + p_partkey % 12, 1 + p_partkey % 28,
+        |      p_partkey % 24, p_partkey % 60) AS ts_in
+        |  FROM part),
+        |dms AS (
+        |  SELECT p_partkey, v, ts_in,
+        |    CAST(FLOOR(v) AS BIGINT) AS d,
+        |    CAST(FLOOR((v - FLOOR(v)) * 60) AS BIGINT) AS m,
+        |    ROUND(((v - FLOOR(v)) * 60 - FLOOR((v - FLOOR(v)) * 60)) * 60, 1)
+        |      AS sec
+        |  FROM base)
+        |SELECT p_partkey,
+        |  CAST(d AS VARCHAR) || '°' || CAST(m AS VARCHAR) || '''' ||
+        |    CAST(sec AS VARCHAR) || '"' AS dms,
+        |  CAST(ROUND(d + m / 60.0 + sec / 3600.0, 6) AS VARCHAR)
+        |    AS deg_roundtrip,
+        |  strftime(strptime(ts_in, '%Y-%m-%d %H:%M:%S')
+        |    + INTERVAL 330 MINUTE, '%d/%m/%Y %H:%M') AS shifted
+        |FROM dms ORDER BY p_partkey""".stripMargin,
 
     // The rewrite is semantics-preserving: the oracle is simply the column
     // the collapsed plan reads directly.

@@ -169,12 +169,46 @@ object RuleSynthesizer extends FunctionSynthesizer {
         Seq(RomanToInt).filter(fits)
       else Seq.empty
 
+    // geo/calendar family (F6 envelope edge): degree↔DMS when the ° marker
+    // appears on the relevant side; fixed-zone shift when both sides parse
+    // as datetimes — the offset is DERIVED from the first demo per format
+    // pair, then fits-checked against all demos (bounded: |fmts|² probes,
+    // no offset grid).
+    val geoCands: Seq[TransformProgram] = {
+      val dms =
+        if (demos.forall(_._2.contains("°")))
+          (0 to 2).map(DegToDms(_))
+        else if (demos.forall(_._1.contains("°")))
+          Seq(2, 4, 6).map(DmsToDeg(_))
+        else Seq.empty
+      dms.filter(fits)
+    }
+    val tzCands: Seq[TransformProgram] = {
+      val fmts = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",
+        "dd/MM/yyyy HH:mm", "HH:mm")
+      import java.time.format.DateTimeFormatter
+      import java.time.LocalDateTime
+      val (i0, o0) = demos.head
+      (for {
+        inF <- fmts; outF <- fmts
+        p <- try {
+          val fi = DateTimeFormatter.ofPattern(inF, java.util.Locale.US)
+          val fo = DateTimeFormatter.ofPattern(outF, java.util.Locale.US)
+          val a = LocalDateTime.parse(i0, fi)
+          val b = LocalDateTime.parse(o0, fo)
+          val mins = java.time.Duration.between(a, b).toMinutes.toInt
+          if (mins != 0) Some(FixedZoneShift(inF, outF, mins)) else None
+        } catch { case _: Throwable => None }
+      } yield p).filter(fits)
+    }
+
     // Last resort: the demo dictionary itself (always fits the demos; the
     // supervision gate V3(c) is what catches its non-generalization).
     val dictCand = DictLookup(demos.toMap, None)
 
     (caseCands.filter(fits) ++ affixCands.filter(fits) ++ dateCands ++
-      splitCands ++ romanCands ++ affineCands ++ numExtract ++ Seq(dictCand))
+      splitCands ++ romanCands ++ geoCands ++ tzCands ++ affineCands ++
+      numExtract ++ Seq(dictCand))
       .distinct
   }
 

@@ -250,6 +250,113 @@ object TransformProgram {
     def describe = "roman_to_int"
   }
 
+  /** Decimal degrees → DMS string (`41.3811` → `41°22'52.0"`), the
+    * coordinate-format family the reference prompts authorize via
+    * pyproj/geopy (`promptsTemplate.py:10-12`; F6 envelope edge). The
+    * seconds component is rounded to `decimals` (HALF_UP, the AffineNumber
+    * convention). No minute/degree carry at the 60-boundary after rounding:
+    * both evaluators apply the identical formula, and a carry rule would
+    * only re-shape the same information. Negative degrees keep a leading
+    * "-" on the degree part; numberless input yields "".
+    */
+  final case class DegToDms(decimals: Int = 1) extends TransformProgram {
+    private val numRe = "[-+]?[0-9]*\\.?[0-9]+"
+    def toColumn(in: Column): Column = {
+      val sC = regexp_extract(in, numRe, 0)
+      val v = when(length(sC) > 0, sC.cast("double"))
+      val a = abs(v)
+      val d = floor(a)
+      val mr = (a - d) * 60.0
+      val m = floor(mr)
+      val sec = round((mr - m) * 60.0, decimals)
+      val out = concat(
+        when(v < 0, "-").otherwise(""),
+        d.cast("long").cast("string"), lit("°"),
+        m.cast("long").cast("string"), lit("'"),
+        sec.cast("string"), lit("\""))
+      coalesce(out, lit(""))
+    }
+    def eval(in: String): String = {
+      val mch = java.util.regex.Pattern.compile(numRe).matcher(in)
+      if (!mch.find()) "" else {
+        val v = mch.group(0).toDouble
+        val a = math.abs(v)
+        val d = math.floor(a)
+        val mr = (a - d) * 60.0
+        val m = math.floor(mr)
+        val sec = java.math.BigDecimal.valueOf((mr - m) * 60.0)
+          .setScale(decimals, java.math.RoundingMode.HALF_UP).doubleValue()
+        val sign = if (v < 0) "-" else ""
+        s"$sign${d.toLong}°${m.toLong}'${sec.toString}\""
+      }
+    }
+    def describe = s"deg_to_dms($decimals dp)"
+  }
+
+  /** DMS string → decimal degrees (`41°22'52.0"` → `41.381111`), rounded to
+    * `decimals`. Sign comes from a leading "-" or a trailing S/W hemisphere
+    * letter; unparsable input yields "".
+    */
+  final case class DmsToDeg(decimals: Int = 6) extends TransformProgram {
+    private val re =
+      "([-+]?)([0-9]+)\\u00b0([0-9]+)'([0-9]*\\.?[0-9]+)\"?\\s*([NSEWnsew]?)"
+    def toColumn(in: Column): Column = {
+      val dS = regexp_extract(in, re, 2)
+      val v = when(length(dS) > 0,
+        dS.cast("double") +
+          regexp_extract(in, re, 3).cast("double") / 60.0 +
+          regexp_extract(in, re, 4).cast("double") / 3600.0)
+      val neg = regexp_extract(in, re, 1) === "-" ||
+        upper(regexp_extract(in, re, 5)).isin("S", "W")
+      val signed = when(neg, -v).otherwise(v)
+      coalesce(round(signed, decimals).cast("string"), lit(""))
+    }
+    def eval(in: String): String = {
+      val m = java.util.regex.Pattern.compile(re).matcher(in)
+      if (!m.find()) "" else {
+        val v = m.group(2).toDouble + m.group(3).toDouble / 60.0 +
+          m.group(4).toDouble / 3600.0
+        val neg = m.group(1) == "-" ||
+          Seq("S", "W").contains(m.group(5).toUpperCase)
+        val signed = if (neg) -v else v
+        java.math.BigDecimal.valueOf(signed)
+          .setScale(decimals, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toString
+      }
+    }
+    def describe = s"dms_to_deg($decimals dp)"
+  }
+
+  /** Fixed-offset timezone shift + reformat (`2024-03-01 10:30:00` with
+    * +330 → `01/03/2024 16:00` in the out format): parse with `inFmt`, add
+    * `offsetMinutes`, render with `outFmt` — the fixed-zone datetime
+    * conversion of the prompt envelope's calendar family (ummalqura-style
+    * full calendar conversion stays out of DSL v1; a fixed-zone shift is
+    * the deterministic core both engines replay). Unparsable rows → null →
+    * the F2 sentinel, like [[DateReformat]].
+    */
+  final case class FixedZoneShift(inFmt: String, outFmt: String,
+      offsetMinutes: Int) extends TransformProgram {
+    def toColumn(in: Column): Column =
+      date_format(
+        try_to_timestamp(in, lit(inFmt)) +
+          expr(s"INTERVAL '$offsetMinutes' MINUTE"),
+        outFmt)
+    def eval(in: String): String = {
+      import java.time._
+      import java.time.format.DateTimeFormatter
+      val f = DateTimeFormatter.ofPattern(inFmt, java.util.Locale.US)
+      val o = DateTimeFormatter.ofPattern(outFmt, java.util.Locale.US)
+      val parsed = f.parseBest(in, LocalDateTime.from(_), LocalDate.from(_))
+      val ldt = parsed match {
+        case d: LocalDate => d.atStartOfDay()
+        case dt: LocalDateTime => dt
+      }
+      o.format(ldt.plusMinutes(offsetMinutes.toLong))
+    }
+    def describe = s"tz_shift('$inFmt' -> '$outFmt', $offsetMinutes min)"
+  }
+
   /** Tier-2 escape hatch (SURVEY §2.8 mapping policy): a transform OUTSIDE
     * the closed node set runs as an opaque Scala closure behind a ScalaUDF.
     * The reference can exec ANY generated function

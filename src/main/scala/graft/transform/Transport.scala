@@ -127,7 +127,15 @@ object ProgramDsl {
     case RegexReplace(p1, r) => s"regex_replace\t$p1\t$r"
     case RegexExtract(p1, g) => s"regex_extract\t$p1\t$g"
     case DateReformat(i, o)  => s"date\t$i\t$o"
+    case DegToDms(d)         => s"deg_to_dms\t$d"
+    case DmsToDeg(d)         => s"dms_to_deg\t$d"
+    case FixedZoneShift(i, o, m) => s"tz_shift\t$i\t$o\t$m"
     case AffineNumber(f, o, d, t) => s"affine\t$f\t$o\t$d\t$t"
+    case OpaqueFn(name, _)   =>
+      // tier-2 closures have no wire form by design (they exist precisely
+      // because they are outside the declarative DSL); render a marker the
+      // parser rejects so a round trip fails loudly instead of silently
+      s"opaque\t$name"
     case DictLookup(m, dflt) =>
       (Seq("dict", dflt.getOrElse("\u0000")) ++
         m.toSeq.sortBy(_._1).flatMap { case (k, v) => Seq(k, v) })
@@ -167,6 +175,12 @@ object ProgramDsl {
       case "regex_extract" :: p :: g :: Nil =>
         RegexExtract(p, try g.toInt catch { case _: Throwable => bad() })
       case "date" :: i :: o :: Nil => DateReformat(i, o)
+      case "deg_to_dms" :: d :: Nil =>
+        DegToDms(try d.toInt catch { case _: Throwable => bad() })
+      case "dms_to_deg" :: d :: Nil =>
+        DmsToDeg(try d.toInt catch { case _: Throwable => bad() })
+      case "tz_shift" :: i :: o :: m :: Nil =>
+        FixedZoneShift(i, o, try m.toInt catch { case _: Throwable => bad() })
       case "affine" :: f :: o :: d :: t :: Nil =>
         try AffineNumber(f.toDouble, o.toDouble, d.toInt, t.toBoolean)
         catch { case _: Throwable => bad() }
@@ -251,11 +265,198 @@ final class TransportSynthesizer(
   }
 }
 
+/** Minimal JSON support for the HTTP transport — serialization of the
+  * request body and extraction of `choices[0].message.content` from the
+  * response. Hand-rolled on purpose: the build has no JSON dependency and
+  * must not grow one for a single wire format. The parser is a strict
+  * recursive-descent reader of the full JSON grammar (objects, arrays,
+  * strings with escapes/surrogates, numbers, literals) — not a regex grep,
+  * which would corrupt content containing quotes or braces.
+  */
+private[transform] object MiniJson {
+  def escape(s: String): String = {
+    val b = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => b.append("\\\"")
+      case '\\' => b.append("\\\\")
+      case '\b' => b.append("\\b")
+      case '\f' => b.append("\\f")
+      case '\n' => b.append("\\n")
+      case '\r' => b.append("\\r")
+      case '\t' => b.append("\\t")
+      case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+      case c => b.append(c)
+    }
+    b.append("\"").toString
+  }
+
+  def parse(s: String): Any = {
+    val p = new P(s); val v = p.value(); p.ws()
+    require(p.eof, s"trailing JSON content at ${p.pos}")
+    v
+  }
+
+  private final class P(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def ws(): Unit = while (!eof && s(pos).isWhitespace) pos += 1
+    private def expect(c: Char): Unit = {
+      require(!eof && s(pos) == c, s"expected '$c' at $pos"); pos += 1
+    }
+    def value(): Any = {
+      ws()
+      require(!eof, "unexpected end of JSON")
+      s(pos) match {
+        case '{' => obj()
+        case '[' => arr()
+        case '"' => str()
+        case 't' => lit("true", true)
+        case 'f' => lit("false", false)
+        case 'n' => lit("null", null)
+        case _   => num()
+      }
+    }
+    private def lit(word: String, v: Any): Any = {
+      require(s.startsWith(word, pos), s"bad literal at $pos")
+      pos += word.length; v
+    }
+    private def obj(): Map[String, Any] = {
+      expect('{'); ws()
+      if (!eof && s(pos) == '}') { pos += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws(); val k = str(); ws(); expect(':')
+        b += (k -> value()); ws()
+        if (!eof && s(pos) == ',') pos += 1
+        else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    private def arr(): Vector[Any] = {
+      expect('['); ws()
+      if (!eof && s(pos) == ']') { pos += 1; return Vector.empty }
+      val b = Vector.newBuilder[Any]
+      var done = false
+      while (!done) {
+        b += value(); ws()
+        if (!eof && s(pos) == ',') pos += 1
+        else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    private def str(): String = {
+      expect('"')
+      val b = new StringBuilder
+      while (!eof && s(pos) != '"') {
+        val c = s(pos)
+        if (c == '\\') {
+          pos += 1
+          require(!eof, "bad escape")
+          s(pos) match {
+            case '"' => b += '"'; case '\\' => b += '\\'; case '/' => b += '/'
+            case 'b' => b += '\b'; case 'f' => b += '\f'; case 'n' => b += '\n'
+            case 'r' => b += '\r'; case 't' => b += '\t'
+            case 'u' =>
+              require(pos + 4 < s.length, "bad \\u escape")
+              b += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              pos += 4
+            case x => throw new IllegalArgumentException(s"bad escape \\$x")
+          }
+          pos += 1
+        } else { b += c; pos += 1 }
+      }
+      expect('"'); b.toString
+    }
+    private def num(): Any = {
+      val start = pos
+      while (!eof && ("+-.eE0123456789".indexOf(s(pos)) >= 0)) pos += 1
+      require(pos > start, s"bad JSON value at $start")
+      s.substring(start, pos).toDouble
+    }
+  }
+}
+
+/** OpenAI-compatible chat-completions client over `java.net` — the
+  * production implementation of the transport function (the reference
+  * calls this exact wire shape, `function_generator.py:76-84`). NEVER
+  * constructed by default: [[Synthesizers.forTask]] builds it only when
+  * the deployment explicitly sets `GRAFT_SYNTHESIZER=http` plus
+  * `GRAFT_LLM_ENDPOINT`; every test runs against an in-process fake
+  * server, so the build stays zero-egress.
+  *
+  * Request: `{"model": …, "messages": [{role, content}…]}` to
+  * `<endpoint>` with optional `Authorization: Bearer <key>`.
+  * Response: `choices[0].message.content`. Non-2xx or malformed bodies
+  * throw `IllegalArgumentException`, which the synthesizer's parse-retry
+  * loop already treats as a failed attempt.
+  */
+final class HttpTransport(
+    endpoint: String,
+    model: String,
+    apiKey: Option[String] = None,
+    timeoutMs: Int = 30000) {
+
+  val transport: Seq[ChatMessage] => String = { messages =>
+    val body = "{\"model\": " + MiniJson.escape(model) +
+      ", \"messages\": [" +
+      messages.map(m =>
+        "{\"role\": " + MiniJson.escape(m.role) +
+          ", \"content\": " + MiniJson.escape(m.content) + "}")
+        .mkString(", ") +
+      "]}"
+    val url = java.net.URI.create(endpoint).toURL
+    val conn = url.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    try {
+      conn.setRequestMethod("POST")
+      conn.setConnectTimeout(timeoutMs)
+      conn.setReadTimeout(timeoutMs)
+      conn.setRequestProperty("Content-Type", "application/json")
+      apiKey.foreach(k =>
+        conn.setRequestProperty("Authorization", s"Bearer $k"))
+      conn.setDoOutput(true)
+      val out = conn.getOutputStream
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val code = conn.getResponseCode
+      val stream =
+        if (code >= 200 && code < 300) conn.getInputStream
+        else conn.getErrorStream
+      val resp =
+        if (stream == null) ""
+        else try new String(stream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally stream.close()
+      if (code < 200 || code >= 300)
+        throw new IllegalArgumentException(
+          s"chat-completions HTTP $code: ${resp.take(500)}")
+      extractContent(resp)
+    } finally conn.disconnect()
+  }
+
+  private def extractContent(responseBody: String): String =
+    try {
+      val root = MiniJson.parse(responseBody).asInstanceOf[Map[String, Any]]
+      val choices = root("choices").asInstanceOf[Vector[Any]]
+      val msg = choices.head.asInstanceOf[Map[String, Any]]("message")
+        .asInstanceOf[Map[String, Any]]
+      msg("content").asInstanceOf[String]
+    } catch {
+      case e: IllegalArgumentException => throw e
+      case e: Exception =>
+        throw new IllegalArgumentException(
+          s"malformed chat-completions response: ${e.getMessage}: " +
+            responseBody.take(500))
+    }
+}
+
 /** Config-driven synthesizer selection (the deploy-time plug point): the
   * deterministic rule search is the default; `GRAFT_SYNTHESIZER=transport`
   * routes through the transport machinery with the zero-egress local
-  * transport. A deployment with a real LLM endpoint constructs
-  * `new TransportSynthesizer(itsHttpCall)` directly.
+  * transport; `GRAFT_SYNTHESIZER=http` — and ONLY that explicit setting —
+  * constructs the [[HttpTransport]] chat-completions client from
+  * `GRAFT_LLM_ENDPOINT` (required), `GRAFT_LLM_MODEL`, `GRAFT_LLM_API_KEY`.
   */
 object Synthesizers {
   def fromEnv(env: Map[String, String] = sys.env): FunctionSynthesizer =
@@ -271,6 +472,15 @@ object Synthesizers {
       case "rule" => _ => RuleSynthesizer
       case "transport" =>
         kind => new TransportSynthesizer(LocalTransport.transport, kind)
+      case "http" =>
+        val endpoint = env.getOrElse("GRAFT_LLM_ENDPOINT",
+          throw new IllegalArgumentException(
+            "GRAFT_SYNTHESIZER=http requires GRAFT_LLM_ENDPOINT"))
+        val t = new HttpTransport(
+          endpoint,
+          env.getOrElse("GRAFT_LLM_MODEL", "gpt-4o-mini"),
+          env.get("GRAFT_LLM_API_KEY"))
+        kind => new TransportSynthesizer(t.transport, kind)
       case other =>
         throw new IllegalArgumentException(s"Unknown synthesizer: $other")
     }

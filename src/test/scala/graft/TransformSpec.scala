@@ -43,6 +43,97 @@ class TransformSpec extends SparkSpec {
     agree(DateReformat("yyyy-MM-dd", "dd/MM/yyyy"), Seq("2024-03-01", "1999-12-31"))
   }
 
+  test("HttpTransport: full transcript against an in-process fake server") {
+    // zero egress: the "endpoint" is a loopback com.sun.net.httpserver fake
+    // speaking the chat-completions wire shape
+    val received =
+      scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+        received += ((
+          Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse(""),
+          ex.getRequestURI.getPath, body))
+        // content exercises JSON escaping: a DSL const with tab + quote
+        val resp = if (received.size == 1)
+          """{"id":"x","object":"chat.completion","choices":[{"index":0,
+            |"message":{"role":"assistant","content":"uppercase"},
+            |"finish_reason":"stop"}]}""".stripMargin
+        else
+          """{"choices":[{"message":{"role":"assistant",
+            |"content":"const\tA\"B"}}]}""".stripMargin
+        val bytes = resp.getBytes("UTF-8")
+        ex.getResponseHeaders.add("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, bytes.length)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      val env = Map(
+        "GRAFT_SYNTHESIZER" -> "http",
+        "GRAFT_LLM_ENDPOINT" -> s"http://127.0.0.1:$port/v1/chat/completions",
+        "GRAFT_LLM_MODEL" -> "test-model",
+        "GRAFT_LLM_API_KEY" -> "sekret")
+      val synth =
+        Synthesizers.forTask(env)(graft.core.TaskKind.DataTransformation)
+      val progs = synth.synthesize(Some("upper-case it"),
+        Seq("ab" -> "AB", "cd" -> "CD"))
+      assert(progs.head == UpperCase)
+      assert(progs(1) == ConstOutput("A\"B"))   // second (retry) attempt
+      assert(received.size == 2)
+      val (auth, path, body) = received(0)
+      assert(auth == "Bearer sekret")
+      assert(path == "/v1/chat/completions")
+      assert(body.contains("\"model\": \"test-model\""))
+      assert(body.contains("\"role\": \"system\""))
+      assert(body.contains("Input: \\\"ab\\\"\\nOutput: \\\"AB\\\""))
+      assert(body.contains("upper-case it"))
+      // the retry round appends the validation-failure turn
+      assert(received(1)._3.contains("failed validation"))
+    } finally server.stop(0)
+  }
+
+  test("http synthesizer selection is config-gated") {
+    // default stays the deterministic rule synthesizer — no HTTP anywhere
+    assert(Synthesizers.fromEnv(Map.empty) == RuleSynthesizer)
+    // explicit http WITHOUT an endpoint refuses loudly
+    intercept[IllegalArgumentException] {
+      Synthesizers.forTask(Map("GRAFT_SYNTHESIZER" -> "http"))
+    }
+  }
+
+  test("geo/calendar family: Column/eval agreement and DSL round trip") {
+    agree(DegToDms(1), Seq("41.3811", "0.5", "-12.25", "7", "no number"))
+    agree(DmsToDeg(6), Seq("41°22'52.0\"", "-12°15'0.0\"", "0°30'0.0\"",
+      "12°5'30.5\" S", "3°2'1.5\"W", "garbage"))
+    agree(FixedZoneShift("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm", 330),
+      Seq("2024-03-01 10:30:00", "1999-12-31 23:45:00"))
+    // DSL wire round trip
+    for (p <- Seq(DegToDms(2), DmsToDeg(4),
+        FixedZoneShift("yyyy-MM-dd HH:mm", "HH:mm", -90)))
+      assert(ProgramDsl.parse(ProgramDsl.render(p)) == p)
+  }
+
+  test("synthesizer recovers the geo/calendar family from demos") {
+    val dms = RuleSynthesizer.synthesize(None,
+      Seq("41.3811" -> "41°22'52.0\"", "10.5" -> "10°30'0.0\""))
+    assert(dms.exists(_.isInstanceOf[DegToDms]), s"no DegToDms in $dms")
+    val deg = RuleSynthesizer.synthesize(None,
+      Seq("41°22'52.0\"" -> "41.381111", "10°30'0.0\"" -> "10.5"))
+    assert(deg.exists(_.isInstanceOf[DmsToDeg]), s"no DmsToDeg in $deg")
+    val tz = RuleSynthesizer.synthesize(None,
+      Seq("2024-03-01 10:30:00" -> "01/03/2024 16:00",
+        "2024-06-10 00:00:00" -> "10/06/2024 05:30"))
+    assert(tz.exists {
+      case FixedZoneShift(_, _, 330) => true
+      case _ => false
+    }, s"no +330 FixedZoneShift in $tz")
+  }
+
   test("OpaqueFn tier-2 node: round trip, throw→null→sentinel, null-safe") {
     val rev = OpaqueFn("rev_upper_mod7", { v =>
       if (v.length % 7 == 0) throw new IllegalArgumentException("mod7")
