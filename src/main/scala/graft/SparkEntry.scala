@@ -652,16 +652,25 @@ object SparkEntry {
           Wrangler.emTokens(col("p_name")).as("toks"))
       val pairs = Dedup.ppjoinPairs(p, "id", "toks", 0.5)
       val names = p.select(col("id"), col("p_name"))
-      pairs
+      val joined = pairs
         .join(names.select(col("id").as("id_a"), col("p_name").as("name_a")),
           Seq("id_a"))
         .join(names.select(col("id").as("id_b"), col("p_name").as("name_b")),
           Seq("id_b"))
+      // Levenshtein once per DISTINCT name pair, not once per matched id
+      // pair: the corpus repeats names massively (64 distinct at sf0.1 vs
+      // ~3M matched pairs), and per-pair edit distance dominated the query
+      // 10:1. The distinct name-pair table is dictionary-scale → broadcast.
+      val nameSim = joined.select(col("name_a"), col("name_b")).distinct()
+        .withColumn("lev_sim",
+          round(Wrangler.levenshteinSim(col("name_a"), col("name_b")), 6))
+      // No presentation sort: the output is pair-mass-sized (~3M rows at
+      // sf0.1) and the oracle comparison sorts rows itself; a global sort
+      // here is a pure range-shuffle tax on the largest column of the plan.
+      joined
+        .join(broadcast(nameSim), Seq("name_a", "name_b"))
         .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard_sim"),
-          round(Wrangler.levenshteinSim(col("name_a"), col("name_b")), 6)
-            .as("lev_sim"))
-        .orderBy(col("id_a"), col("id_b"))
+          round(col("jaccard"), 6).as("jaccard_sim"), col("lev_sim"))
     }),
 
     // ---- imputation via learned dictionary (broadcast mode-map) ------------
@@ -808,6 +817,7 @@ object SparkEntry {
       val toDeg = TransformProgram.DmsToDeg(6)
       val shift = TransformProgram.FixedZoneShift(
         "yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm", 330)
+      val hijri = TransformProgram.GregorianToHijri()
       val p = t(s, dir, "part")
         .withColumn("deg_in",
           format_string("%d.%04d", col("p_partkey") % 90,
@@ -818,10 +828,16 @@ object SparkEntry {
             lit(1) + col("p_partkey") % 12,
             lit(1) + col("p_partkey") % 28,
             col("p_partkey") % 24, col("p_partkey") % 60))
+        .withColumn("date_in",
+          format_string("%04d-%02d-%02d",
+            lit(1990) + col("p_partkey") % 60,
+            lit(1) + col("p_partkey") % 12,
+            lit(1) + col("p_partkey") % 28))
       p.select(col("p_partkey"),
           toDms.toColumn(col("deg_in")).as("dms"),
           toDeg.toColumn(toDms.toColumn(col("deg_in"))).as("deg_roundtrip"),
-          shift.toColumn(col("ts_in")).as("shifted"))
+          shift.toColumn(col("ts_in")).as("shifted"),
+          hijri.toColumn(col("date_in")).as("hijri"))
         .orderBy(col("p_partkey"))
     }),
 
@@ -3671,23 +3687,48 @@ object SparkEntry {
         |      AS DOUBLE) AS v,
         |    printf('%04d-%02d-%02d %02d:%02d:00',
         |      1995 + p_partkey % 3, 1 + p_partkey % 12, 1 + p_partkey % 28,
-        |      p_partkey % 24, p_partkey % 60) AS ts_in
+        |      p_partkey % 24, p_partkey % 60) AS ts_in,
+        |    1990 + p_partkey % 60 AS gy, 1 + p_partkey % 12 AS gm,
+        |    1 + p_partkey % 28 AS gd
         |  FROM part),
         |dms AS (
-        |  SELECT p_partkey, v, ts_in,
+        |  SELECT p_partkey, v, ts_in, gy, gm, gd,
         |    CAST(FLOOR(v) AS BIGINT) AS d,
         |    CAST(FLOOR((v - FLOOR(v)) * 60) AS BIGINT) AS m,
         |    ROUND(((v - FLOOR(v)) * 60 - FLOOR((v - FLOOR(v)) * 60)) * 60, 1)
         |      AS sec
-        |  FROM base)
+        |  FROM base),
+        |hj1 AS (
+        |  SELECT *, (14 - gm) // 12 AS ha FROM dms),
+        |hj2 AS (
+        |  SELECT *, gd + ((gm + ha*12 - 3) * 153 + 2) // 5
+        |    + (gy + 4800 - ha) * 365 + (gy + 4800 - ha) // 4
+        |    - (gy + 4800 - ha) // 100 + (gy + 4800 - ha) // 400 - 32045
+        |    AS jdn
+        |  FROM hj1),
+        |hj3 AS (SELECT *, jdn - 1948440 + 10632 AS l0 FROM hj2),
+        |hj4 AS (SELECT *, (l0 - 1) // 10631 AS n FROM hj3),
+        |hj5 AS (SELECT *, l0 - n * 10631 + 354 AS l1 FROM hj4),
+        |hj6 AS (
+        |  SELECT *, ((10985 - l1) // 5316) * ((l1 * 50) // 17719)
+        |    + (l1 // 5670) * ((l1 * 43) // 15238) AS hj
+        |  FROM hj5),
+        |hj7 AS (
+        |  SELECT *, l1 - ((30 - hj) // 15) * ((hj * 17719) // 50)
+        |    - (hj // 16) * ((hj * 15238) // 43) + 29 AS l2
+        |  FROM hj6),
+        |hj8 AS (
+        |  SELECT *, n * 30 + hj - 30 AS hy, (l2 * 24) // 709 AS hm
+        |  FROM hj7)
         |SELECT p_partkey,
         |  CAST(d AS VARCHAR) || '°' || CAST(m AS VARCHAR) || '''' ||
         |    CAST(sec AS VARCHAR) || '"' AS dms,
         |  CAST(ROUND(d + m / 60.0 + sec / 3600.0, 6) AS VARCHAR)
         |    AS deg_roundtrip,
         |  strftime(strptime(ts_in, '%Y-%m-%d %H:%M:%S')
-        |    + INTERVAL 330 MINUTE, '%d/%m/%Y %H:%M') AS shifted
-        |FROM dms ORDER BY p_partkey""".stripMargin,
+        |    + INTERVAL 330 MINUTE, '%d/%m/%Y %H:%M') AS shifted,
+        |  printf('%04d-%02d-%02d', hy, hm, l2 - (hm * 709) // 24) AS hijri
+        |FROM hj8 ORDER BY p_partkey""".stripMargin,
 
     // The rewrite is semantics-preserving: the oracle is simply the column
     // the collapsed plan reads directly.

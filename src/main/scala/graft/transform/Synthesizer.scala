@@ -181,7 +181,8 @@ object RuleSynthesizer extends FunctionSynthesizer {
         else if (demos.forall(_._1.contains("°")))
           Seq(2, 4, 6).map(DmsToDeg(_))
         else Seq.empty
-      dms.filter(fits)
+      val hijri = DateFormats.map(GregorianToHijri(_))
+      (dms ++ hijri).filter(fits)
     }
     val tzCands: Seq[TransformProgram] = {
       val fmts = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",

@@ -357,6 +357,80 @@ object TransformProgram {
     def describe = s"tz_shift('$inFmt' -> '$outFmt', $offsetMinutes min)"
   }
 
+  /** Gregorian → tabular Islamic (Hijri) date — the arithmetic "civil"
+    * calendar (30-year intercalation cycle, Kuwaiti-algorithm integer form),
+    * the deterministic core of the prompt envelope's ummalqura family
+    * (`promptsTemplate.py:10-12`). The observational Umm al-Qura calendar
+    * differs by ±1 day in some months (it is table-based by definition);
+    * the tabular calendar is THE standard arithmetic approximation and is
+    * exactly replayable in any engine: every step is integer arithmetic on
+    * non-negative values (guarded to dates at/after the epoch), so
+    * truncating and flooring division agree everywhere. Output
+    * `yyyy-MM-dd` (zero-padded); unparseable or pre-epoch input → "".
+    */
+  final case class GregorianToHijri(inFmt: String = "yyyy-MM-dd")
+      extends TransformProgram {
+    def toColumn(in: Column): Column = {
+      val ts = try_to_timestamp(in, lit(inFmt))
+      def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
+      val y = year(ts).cast("long"); val m = month(ts).cast("long")
+      val d = dayofmonth(ts).cast("long")
+      val a = idiv(lit(14L) - m, lit(12L))
+      val y2 = y + 4800L - a
+      val m2 = m + a * 12L - 3L
+      val jdn = d + idiv(m2 * 153L + 2L, lit(5L)) + y2 * 365L +
+        idiv(y2, lit(4L)) - idiv(y2, lit(100L)) + idiv(y2, lit(400L)) -
+        32045L
+      val l0 = jdn - 1948440L + 10632L
+      val n = idiv(l0 - 1L, lit(10631L))
+      val l1 = l0 - n * 10631L + 354L
+      val j = idiv(lit(10985L) - l1, lit(5316L)) * idiv(l1 * 50L, lit(17719L)) +
+        idiv(l1, lit(5670L)) * idiv(l1 * 43L, lit(15238L))
+      val l2 = l1 - idiv(lit(30L) - j, lit(15L)) * idiv(j * 17719L, lit(50L)) -
+        idiv(j, lit(16L)) * idiv(j * 15238L, lit(43L)) + 29L
+      val hm = idiv(l2 * 24L, lit(709L))
+      val hd = l2 - idiv(hm * 709L, lit(24L))
+      val hy = n * 30L + j - 30L
+      coalesce(
+        when(jdn >= 1948440L,
+          format_string("%04d-%02d-%02d", hy, hm, hd)),
+        lit(""))
+    }
+    def eval(in: String): String = {
+      import java.time.format.DateTimeFormatter
+      try {
+        val f = DateTimeFormatter.ofPattern(inFmt, java.util.Locale.US)
+        val parsed = f.parseBest(in,
+          java.time.LocalDateTime.from(_), java.time.LocalDate.from(_))
+        val ld = parsed match {
+          case d: java.time.LocalDate => d
+          case dt: java.time.LocalDateTime => dt.toLocalDate
+        }
+        val (y, m, d) =
+          (ld.getYear.toLong, ld.getMonthValue.toLong, ld.getDayOfMonth.toLong)
+        def idiv(a: Long, b: Long): Long = Math.floorDiv(a, b)
+        val a = idiv(14L - m, 12L)
+        val y2 = y + 4800L - a
+        val m2 = m + a * 12L - 3L
+        val jdn = d + idiv(m2 * 153L + 2L, 5L) + y2 * 365L + idiv(y2, 4L) -
+          idiv(y2, 100L) + idiv(y2, 400L) - 32045L
+        if (jdn < 1948440L) return ""
+        val l0 = jdn - 1948440L + 10632L
+        val n = idiv(l0 - 1L, 10631L)
+        val l1 = l0 - n * 10631L + 354L
+        val j = idiv(10985L - l1, 5316L) * idiv(l1 * 50L, 17719L) +
+          idiv(l1, 5670L) * idiv(l1 * 43L, 15238L)
+        val l2 = l1 - idiv(30L - j, 15L) * idiv(j * 17719L, 50L) -
+          idiv(j, 16L) * idiv(j * 15238L, 43L) + 29L
+        val hm = idiv(l2 * 24L, 709L)
+        val hd = l2 - idiv(hm * 709L, 24L)
+        val hy = n * 30L + j - 30L
+        f"$hy%04d-$hm%02d-$hd%02d"
+      } catch { case _: Throwable => "" }
+    }
+    def describe = s"gregorian_to_hijri('$inFmt')"
+  }
+
   /** Tier-2 escape hatch (SURVEY §2.8 mapping policy): a transform OUTSIDE
     * the closed node set runs as an opaque Scala closure behind a ScalaUDF.
     * The reference can exec ANY generated function

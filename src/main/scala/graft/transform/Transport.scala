@@ -128,6 +128,7 @@ object ProgramDsl {
     case RegexExtract(p1, g) => s"regex_extract\t$p1\t$g"
     case DateReformat(i, o)  => s"date\t$i\t$o"
     case DegToDms(d)         => s"deg_to_dms\t$d"
+    case GregorianToHijri(f) => s"hijri\t$f"
     case DmsToDeg(d)         => s"dms_to_deg\t$d"
     case FixedZoneShift(i, o, m) => s"tz_shift\t$i\t$o\t$m"
     case AffineNumber(f, o, d, t) => s"affine\t$f\t$o\t$d\t$t"
@@ -175,6 +176,7 @@ object ProgramDsl {
       case "regex_extract" :: p :: g :: Nil =>
         RegexExtract(p, try g.toInt catch { case _: Throwable => bad() })
       case "date" :: i :: o :: Nil => DateReformat(i, o)
+      case "hijri" :: f :: Nil => GregorianToHijri(f)
       case "deg_to_dms" :: d :: Nil =>
         DegToDms(try d.toInt catch { case _: Throwable => bad() })
       case "dms_to_deg" :: d :: Nil =>

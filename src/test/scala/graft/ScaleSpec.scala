@@ -200,6 +200,31 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("ppjoinPairs equals brute force on random corpora (property)") {
+    import org.scalacheck.Gen
+    val alpha = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val gDoc = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(alpha)))
+    val gCorpus = Gen.chooseNum(6, 14).flatMap(n => Gen.listOfN(n, gDoc))
+    val gCase = Gen.zip(gCorpus, Gen.oneOf(0.34, 0.5, 0.72, 0.9))
+    Iterator.continually(gCase.sample).flatten.take(10).foreach {
+      case (corpus, t) =>
+        val ds = corpus.zipWithIndex.map { case (ts, i) =>
+          (i.toLong, ts.distinct) }
+        val got = Dedup.ppjoinPairs(ds.toDF("id", "toks"), "id", "toks", t)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val expected = (for {
+          (ia, ta) <- ds; (ib, tb) <- ds if ia < ib
+          inter = ta.toSet.intersect(tb.toSet).size
+          uni = ta.toSet.union(tb.toSet).size
+          j = if (uni == 0) 0.0 else inter.toDouble / uni
+          if j >= t
+        } yield (ia, ib, j)).toSet
+        assert(got == expected, s"corpus=$ds t=$t")
+    }
+  }
+
   test("simhash: identical docs same sig, near-dups low hamming") {
     val sigs = Dedup.simhashDF(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

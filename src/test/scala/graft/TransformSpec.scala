@@ -112,8 +112,15 @@ class TransformSpec extends SparkSpec {
       "12°5'30.5\" S", "3°2'1.5\"W", "garbage"))
     agree(FixedZoneShift("yyyy-MM-dd HH:mm:ss", "dd/MM/yyyy HH:mm", 330),
       Seq("2024-03-01 10:30:00", "1999-12-31 23:45:00"))
+    // tabular Hijri: civil-epoch anchor + known conversions + agreement
+    val hij = GregorianToHijri()
+    assert(hij.eval("0622-07-19") == "0001-01-01")   // tabular epoch
+    assert(hij.eval("2024-03-11") == "1445-09-01")   // 1 Ramadan 1445
+    assert(hij.eval("2000-01-01") == "1420-09-24")
+    agree(hij, Seq("2024-03-11", "2000-01-01", "1990-07-09", "0622-07-19",
+      "not a date"))
     // DSL wire round trip
-    for (p <- Seq(DegToDms(2), DmsToDeg(4),
+    for (p <- Seq(DegToDms(2), DmsToDeg(4), GregorianToHijri("dd/MM/yyyy"),
         FixedZoneShift("yyyy-MM-dd HH:mm", "HH:mm", -90)))
       assert(ProgramDsl.parse(ProgramDsl.render(p)) == p)
   }
@@ -132,6 +139,9 @@ class TransformSpec extends SparkSpec {
       case FixedZoneShift(_, _, 330) => true
       case _ => false
     }, s"no +330 FixedZoneShift in $tz")
+    val hj = RuleSynthesizer.synthesize(None,
+      Seq("2024-03-11" -> "1445-09-01", "2000-01-01" -> "1420-09-24"))
+    assert(hj.exists(_.isInstanceOf[GregorianToHijri]), s"no Hijri in $hj")
   }
 
   test("OpaqueFn tier-2 node: round trip, throw→null→sentinel, null-safe") {
