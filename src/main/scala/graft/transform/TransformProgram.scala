@@ -370,32 +370,15 @@ object TransformProgram {
     */
   final case class GregorianToHijri(inFmt: String = "yyyy-MM-dd")
       extends TransformProgram {
-    def toColumn(in: Column): Column = {
-      val ts = try_to_timestamp(in, lit(inFmt))
-      def idiv(a: Column, b: Column): Column = floor(a / b).cast("long")
-      val y = year(ts).cast("long"); val m = month(ts).cast("long")
-      val d = dayofmonth(ts).cast("long")
-      val a = idiv(lit(14L) - m, lit(12L))
-      val y2 = y + 4800L - a
-      val m2 = m + a * 12L - 3L
-      val jdn = d + idiv(m2 * 153L + 2L, lit(5L)) + y2 * 365L +
-        idiv(y2, lit(4L)) - idiv(y2, lit(100L)) + idiv(y2, lit(400L)) -
-        32045L
-      val l0 = jdn - 1948440L + 10632L
-      val n = idiv(l0 - 1L, lit(10631L))
-      val l1 = l0 - n * 10631L + 354L
-      val j = idiv(lit(10985L) - l1, lit(5316L)) * idiv(l1 * 50L, lit(17719L)) +
-        idiv(l1, lit(5670L)) * idiv(l1 * 43L, lit(15238L))
-      val l2 = l1 - idiv(lit(30L) - j, lit(15L)) * idiv(j * 17719L, lit(50L)) -
-        idiv(j, lit(16L)) * idiv(j * 15238L, lit(43L)) + 29L
-      val hm = idiv(l2 * 24L, lit(709L))
-      val hd = l2 - idiv(hm * 709L, lit(24L))
-      val hy = n * 30L + j - 30L
+    def toColumn(in: Column): Column =
+      // One codegen'd kernel call per row ([[GregorianToHijriExpr]]): the
+      // composed-Column form of this arithmetic duplicated every val
+      // reference into the tree (l1/j/l2 each referenced 2-4× downstream),
+      // compounding to dozens of timestamp parses per row.
       coalesce(
-        when(jdn >= 1948440L,
-          format_string("%04d-%02d-%02d", hy, hm, hd)),
+        HijriExprs.gregorianToHijri(
+          try_to_timestamp(in, lit(inFmt)).cast("date")),
         lit(""))
-    }
     def eval(in: String): String = {
       import java.time.format.DateTimeFormatter
       try {
