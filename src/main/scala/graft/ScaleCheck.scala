@@ -227,7 +227,29 @@ object ScaleCheck {
           d.select(col("p_partkey").as("id"),
             graft.tasks.Wrangler.emTokens(col("p_name")).as("toks")),
           "id", "toks", 0.5),
-        part, "p_partkey", Some("p_name")))
+        part, "p_partkey", Some("p_name")),
+      ("bpe_train",
+        // UNsalted copies: the N× corpus has the SAME vocabulary (N× word
+        // frequencies), so this measures the scale claim directly — only
+        // the one-time corpus→vocab collapse grows with N; every merge
+        // round works on |vocab| rows regardless of corpus size
+        (d: DataFrame) => TextAnalysis.bpeTrain(d, "text"),
+        docs, "doc_id", None),
+      ("classifier_train",
+        // epochs are constant; per-epoch cost is one feats join + two
+        // keyed aggs over the corpus → linear is the expected shape
+        (d: DataFrame) => TextAnalysis.trainHashedLinear(d, "doc_id", "text",
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("long"))._1,
+        docs, "doc_id", None),
+      ("kmv_distinct",
+        // constant-width sketch partials: the exchange carries one ≤64-long
+        // array per (partition, group) however large the input grows
+        (d: DataFrame) => graft.scale.Sketches.kmvDistinct(
+          d.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+            col("user_id").cast("string").cast("binary"), 15)),
+          Seq("event_type"), col("__h")),
+        events, "user_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -1255,6 +1255,53 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- bounded-state mergeable distinct sketch (KMV / bottom-k) ----------
+    // The deterministic counterpart of approx_count_distinct: state is the
+    // 64 smallest distinct md5-prefix hashes per group (constant-width
+    // map-side partials, merge-order-independent), so unlike HLL the oracle
+    // replays kth/estimate EXACTLY — no tolerance flags.
+    "kmv_distinct_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hashed = ev.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+        col("user_id").cast("string").cast("binary"), 15))
+      graft.scale.Sketches.kmvDistinct(hashed, Seq("event_type"), col("__h"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users")), Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("n_sketch"),
+          col("kmv_kth"), col("kmv_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- KMV set-operation estimates (theta-sketch shape) ------------------
+    // Per event_type: user-set overlap of two event slices (A = event_id
+    // not ≡ 0 mod 3, B = even event_id) from 64-long sketches only — the
+    // cross-corpus-overlap question at 100 TB without an exact distinct
+    // join. Exact companions ride along; every sketch output is
+    // exact-integer and replayed verbatim by the oracle.
+    "kmv_setops_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val h = graft.scale.HashExprs.md5PrefixLong(
+        col("user_id").cast("string").cast("binary"), 15)
+      val a = ev.filter(col("event_id") % 3 =!= 0).withColumn("__h", h)
+      val b = ev.filter(col("event_id") % 2 === 0).withColumn("__h", h)
+      val sketch = graft.scale.Sketches.kmvSetEstimate(
+        a, b, Seq("event_type"), col("__h"))
+      val flags = ev.groupBy(col("event_type"), col("user_id")).agg(
+        max(when(col("event_id") % 3 =!= 0, 1L).otherwise(0L)).as("ia"),
+        max(when(col("event_id") % 2 === 0, 1L).otherwise(0L)).as("ib"))
+      val exact = flags.groupBy(col("event_type")).agg(
+        sum(col("ia")).as("n_a"), sum(col("ib")).as("n_b"),
+        sum(when(col("ia") === 1L || col("ib") === 1L, 1L).otherwise(0L))
+          .as("n_union"),
+        sum(when(col("ia") === 1L && col("ib") === 1L, 1L).otherwise(0L))
+          .as("n_inter"))
+      sketch.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("n_union"),
+          col("n_inter"), col("n_both"), col("est_union"),
+          col("est_intersect"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- skew: salted two-phase aggregation (5 hot keys spread over salt
     // buckets; result is salt-independent → plain GROUP BY oracle) -----------
     "salted_agg_events" -> ((s, dir) =>
@@ -3961,6 +4008,81 @@ object SparkEntry {
         |  COUNT(value) AS n_vals,
         |  TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p99_ok
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // deterministic KMV: k=64 smallest distinct 15-hex md5-prefix hashes
+    // per group, replayed with a window over distinct hashes. Estimate is
+    // exact-integer 63·2^60 div kth in HUGEINT — DuckDB's // on DECIMAL
+    // ROUNDS the quotient (measured: 144.92 → 145) while // on integer
+    // types truncates like Spark's div/BigInteger.divide; 63·2^60
+    // overflows BIGINT, so int128 it is. Below-k groups report exact size.
+    "kmv_distinct_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_sketch, MAX(hv) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |d AS (
+        |  SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, d.n_users, s.n_sketch,
+        |  s.kth AS kmv_kth,
+        |  CAST(CASE WHEN s.n_sketch < 64 THEN s.n_sketch
+        |    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // GREATEST(s.kth, 1) END AS BIGINT) AS kmv_est
+        |FROM d JOIN s USING (event_type) ORDER BY 1""".stripMargin,
+
+    // KMV set ops: the A/B sketches are the k smallest hashes of each
+    // slice's user set; a union-sketch member's slice membership is its
+    // per-user flag (rank-in-slice ≤ rank-in-union ≤ k, so sketch
+    // membership ⟺ set membership — see Sketches.kmvSetEstimate). SUMs
+    // CAST to BIGINT (DuckDB SUM(INTEGER) widens to HUGEINT).
+    "kmv_setops_events" ->
+      """WITH f AS (
+        |  SELECT event_type, user_id,
+        |    MAX(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS ib
+        |  FROM events GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT event_type,
+        |    CAST(SUM(ia) AS BIGINT) AS n_a,
+        |    CAST(SUM(ib) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN ia = 1 OR ib = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_union,
+        |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_inter
+        |  FROM f GROUP BY 1),
+        |r AS (
+        |  SELECT event_type, ia, ib,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+        |      CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |        AS BIGINT)) AS rn,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM f WHERE ia = 1 OR ib = 1),
+        |u AS (
+        |  SELECT event_type, COUNT(*) AS nu, MAX(hv) AS kthu,
+        |    CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_both
+        |  FROM r WHERE rn <= 64 GROUP BY 1),
+        |est AS (
+        |  SELECT event_type, nu, n_both,
+        |    CAST(CASE WHEN nu < 64 THEN nu
+        |      ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+        |        // GREATEST(kthu, 1) END AS BIGINT) AS est_union
+        |  FROM u)
+        |SELECT ex.event_type, ex.n_a, ex.n_b, ex.n_union, ex.n_inter,
+        |  est.n_both, est.est_union,
+        |  CAST(CASE WHEN est.nu < 64 THEN est.n_both
+        |    ELSE (CAST(est.n_both AS HUGEINT) * est.est_union)
+        |      // est.nu END AS BIGINT) AS est_intersect
+        |FROM ex JOIN est USING (event_type) ORDER BY 1""".stripMargin,
 
     // same 3-shingle construction as the jaccard oracle, per language side;
     // |intersection| of two DISTINCT sets = inner-join row count

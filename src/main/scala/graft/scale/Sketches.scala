@@ -1,0 +1,192 @@
+package graft.scale
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded-state mergeable sketches with EXACTLY-replayable output.
+  *
+  * The approx family Spark ships (HLL++ `approx_count_distinct`, KLL-ish
+  * `percentile_approx`) is the right tool when a ±2% answer is fine, but its
+  * outputs are implementation-defined — an oracle can only tolerance-check
+  * them (see `approx_stats_events`). The k-minimum-values (KMV / bottom-k)
+  * sketch (Bar-Yossef et al. 2002; the theta-sketch core) is the
+  * deterministic alternative: its state is the k smallest DISTINCT 64-bit
+  * hash values, so every output is an exact function of the input SET —
+  * independent of partitioning, merge order, and duplication — and a SQL
+  * engine can replay it bit-for-bit with a window over distinct hashes.
+  *
+  * Scale story (the reason this exists): state is k longs per group per
+  * map-side partial — corpus-size-INDEPENDENT. The shuffle carries one
+  * ≤k-long array per (partition, group), never the distinct-value set, so
+  * a 100 TB distinct-count costs a constant-width exchange where
+  * `countDistinct` shuffles every distinct value. Merge is the k-smallest
+  * of a sorted-array union — associative and commutative, which is exactly
+  * what Spark's partial aggregation needs.
+  *
+  * Estimator: with the value domain hashed uniformly onto [1, 2^60] (the
+  * repo's portable 15-hex-char md5 prefix, `Md5Prefix.eval` contract) and
+  * n ≥ k distinct values, the k-th smallest hash h_k estimates
+  * n ≈ (k-1) · 2^60 / h_k (the classic unbiased KMV form). Below k distinct
+  * values the sketch holds the whole set and the answer is exact. The
+  * division is floored BigInteger arithmetic — no float anywhere, so Spark
+  * and DuckDB agree to the last digit.
+  */
+object Sketches {
+
+  /** 2^60 — the hash domain size of the 15-hex-char md5 prefix. */
+  val HashDomain: java.math.BigInteger =
+    java.math.BigInteger.ONE.shiftLeft(60)
+
+  /** Sorted ascending, distinct, size ≤ k. Invariant maintained by every
+    * reduce/merge, so finish is O(1) and the shuffled partial is minimal.
+    */
+  final case class KmvBuf(vals: Array[Long])
+
+  final case class KmvOut(nSketch: Int, kth: Long, estimate: Long)
+
+  /** KMV estimate from a sketch's content: exact size below k, floored
+    * (k-1)·2^60 / h_k at k. Callable from tests and the set-op helpers.
+    */
+  def estimate(vals: Array[Long], k: Int): Long =
+    if (vals.length < k) vals.length.toLong
+    else java.math.BigInteger.valueOf(k - 1L)
+      .multiply(HashDomain)
+      .divide(java.math.BigInteger.valueOf(math.max(1L, vals.last)))
+      .longValue()
+
+  /** Insert into a sorted-distinct bounded buffer (O(log k) search +
+    * O(k) arraycopy — k is small and constant).
+    */
+  private def insert(vals: Array[Long], k: Int, h: Long): Array[Long] = {
+    val pos = java.util.Arrays.binarySearch(vals, h)
+    if (pos >= 0) return vals                      // already present
+    val ins = -pos - 1
+    if (ins >= k) return vals                      // larger than current max
+    val n = math.min(vals.length + 1, k)
+    val out = new Array[Long](n)
+    System.arraycopy(vals, 0, out, 0, ins)
+    out(ins) = h
+    System.arraycopy(vals, ins, out, ins + 1, n - ins - 1)
+    out
+  }
+
+  /** Merge two sorted-distinct arrays keeping the k smallest. */
+  private def mergeSorted(a: Array[Long], b: Array[Long], k: Int)
+      : Array[Long] = {
+    val out = new Array[Long](math.min(a.length + b.length, k))
+    var i = 0; var j = 0; var o = 0
+    var last = Long.MinValue
+    var first = true
+    while (o < out.length && (i < a.length || j < b.length)) {
+      val v =
+        if (j >= b.length || (i < a.length && a(i) <= b(j))) { i += 1; a(i - 1) }
+        else { j += 1; b(j - 1) }
+      if (first || v != last) { out(o) = v; o = o + 1; last = v; first = false }
+    }
+    if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+  }
+
+  /** The typed aggregator: Long hash in (the caller hashes — keeps the
+    * aggregator engine-agnostic and the hash convention in ONE place),
+    * bounded sorted buffer, (n_sketch, kth, estimate) out.
+    */
+  def kmvAggregator(k: Int): Aggregator[Long, KmvBuf, KmvOut] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    new Aggregator[Long, KmvBuf, KmvOut] {
+      override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+      override def reduce(b: KmvBuf, h: Long): KmvBuf =
+        KmvBuf(insert(b.vals, k, h))
+      override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+        KmvBuf(mergeSorted(a.vals, b.vals, k))
+      override def finish(b: KmvBuf): KmvOut =
+        KmvOut(b.vals.length,
+          if (b.vals.isEmpty) 0L else b.vals.last,
+          estimate(b.vals, k))
+      override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+      override def outputEncoder: Encoder[KmvOut] = Encoders.product[KmvOut]
+    }
+  }
+
+  /** Vals-emitting variant for set operations: the sketch CONTENT (sorted
+    * ≤k distinct hashes) per group, not just its summary.
+    */
+  def kmvValsAggregator(k: Int): Aggregator[Long, KmvBuf, KmvBuf] = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    new Aggregator[Long, KmvBuf, KmvBuf] {
+      override def zero: KmvBuf = KmvBuf(Array.emptyLongArray)
+      override def reduce(b: KmvBuf, h: Long): KmvBuf =
+        KmvBuf(insert(b.vals, k, h))
+      override def merge(a: KmvBuf, b: KmvBuf): KmvBuf =
+        KmvBuf(mergeSorted(a.vals, b.vals, k))
+      override def finish(b: KmvBuf): KmvBuf = b
+      override def bufferEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+      override def outputEncoder: Encoder[KmvBuf] = Encoders.product[KmvBuf]
+    }
+  }
+
+  /** Theta-sketch-style SET OPERATION estimates from two per-group KMV
+    * sketches — the 100 TB shape for "how much do corpus A and corpus B
+    * overlap per key" without an exact distinct-join: each side is reduced
+    * to k longs per group, the join carries sketches, and every output is
+    * still an exact-integer function of the two hash sets.
+    *
+    * Union: the k smallest of A ∪ B is itself the KMV sketch of the union
+    * (merge = the aggregator's merge), so `est_union` is the plain KMV
+    * estimate on the merged sketch. Intersection: for a hash h in the
+    * union sketch, h's rank in A is ≤ its rank in A∪B ≤ k, so "h ∈ A" ⟺
+    * "h ∈ A's sketch" — membership needs no data beyond the sketches.
+    * With n_both = |union_sketch ∩ A ∩ B|, the estimator is the classic
+    * (n_both / |union_sketch|) · est_union, floored in DECIMAL(38,0).
+    * When the union sketch holds everything (n_union_sketch < k) both
+    * answers are exact.
+    *
+    * Groups are inner-joined: a group must appear on both sides (callers
+    * with one-sided groups union empty sketches first).
+    */
+  def kmvSetEstimate(dfA: DataFrame, dfB: DataFrame, groupCols: Seq[String],
+      hashCol: Column, k: Int = 64): DataFrame = {
+    val agg = udaf(kmvValsAggregator(k), Encoders.scalaLong)
+    def sk(df: DataFrame, out: String): DataFrame =
+      df.groupBy(groupCols.map(col): _*)
+        .agg(agg(hashCol).getField("vals").as(out))
+    val dom = java.math.BigDecimal.valueOf(HashDomain.longValueExact())
+    sk(dfA, "__a").join(sk(dfB, "__b"), groupCols)
+      .withColumn("__u", slice(
+        array_sort(array_union(col("__a"), col("__b"))), 1, k))
+      .withColumn("__nu", size(col("__u")).cast("long"))
+      .withColumn("__kthu",
+        coalesce(element_at(col("__u"), size(col("__u"))), lit(0L)))
+      .withColumn("n_both", size(array_intersect(col("__u"),
+        array_intersect(col("__a"), col("__b")))).cast("long"))
+      .withColumn("est_union",
+        when(col("__nu") < k, col("__nu")).otherwise(
+          expr(s"CAST((CAST(${k - 1} AS DECIMAL(38,0)) * $dom)" +
+            " div greatest(__kthu, 1) AS BIGINT)")))
+      .withColumn("est_intersect",
+        when(col("__nu") < k, col("n_both")).otherwise(
+          expr("CAST((CAST(n_both AS DECIMAL(38,0)) * est_union)" +
+            " div greatest(__nu, 1) AS BIGINT)")))
+      .select(groupCols.map(col) ++ Seq(col("n_both"),
+        col("est_union"), col("est_intersect")): _*)
+  }
+
+  /** Per-group KMV distinct sketch of `hashCol` (must already be the
+    * 15-hex-char md5-prefix long — pair it with
+    * [[HashExprs.md5PrefixLong]](…, 15) so the oracle's
+    * `CAST(('0x' || substring(md5(x),1,15)) AS BIGINT)` replays it).
+    * Output per group: `n_sketch` (how many values the sketch holds),
+    * `kmv_kth` (largest hash the sketch holds = the min(n,k)-th smallest
+    * distinct hash; 0 for an empty group), `kmv_est`.
+    */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+      k: Int = 64): DataFrame = {
+    val agg = udaf(kmvAggregator(k), Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(hashCol).as("__kmv"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__kmv.nSketch").cast("long").as("n_sketch"),
+        col("__kmv.kth").as("kmv_kth"),
+        col("__kmv.estimate").as("kmv_est")): _*)
+  }
+}

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.scale.{HashExprs, Sketches}
+
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Exact reference: k smallest distinct hashes per group via a window —
+    * the same formulation the DuckDB oracle uses.
+    */
+  private def windowForm(rows: Seq[(String, Long)], k: Int)
+      : Map[String, (Long, Long, Long)] = {
+    val df = rows.toDF("g", "v")
+      .withColumn("h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+      .select($"g", $"h").distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"h")))
+      .filter($"rn" <= k)
+      .groupBy($"g")
+      .agg(count(lit(1)).as("n"), max($"h").as("kth"),
+        sort_array(collect_list($"h")).as("vals"))
+    df.collect().map { r =>
+      val vals = r.getSeq[Long](3).toArray
+      r.getString(0) ->
+        (r.getLong(1), r.getLong(2), Sketches.estimate(vals, k))
+    }.toMap
+  }
+
+  private def aggForm(rows: Seq[(String, Long)], k: Int, parts: Int)
+      : Map[String, (Long, Long, Long)] = {
+    val df = rows.toDF("g", "v").repartition(parts)
+      .withColumn("h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+    Sketches.kmvDistinct(df, Seq("g"), col("h"), k).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("KMV aggregator equals the window form on both sides of k") {
+    // group a: 200 distinct (> k) with every value duplicated 3x;
+    // group b: 5 distinct (< k); group c: exactly k distinct
+    val k = 8
+    val rows =
+      (1 to 200).flatMap(i => Seq.fill(3)(("a", i.toLong))) ++
+      (1 to 5).map(i => ("b", i.toLong)) ++
+      (1 to k).map(i => ("c", 1000L + i))
+    val want = windowForm(rows, k)
+    val got = aggForm(rows, k, parts = 7)
+    assert(got == want)
+    // below-k groups are EXACT counts
+    assert(got("b")._3 == 5L)
+    assert(got("c")._1 == k.toLong)
+  }
+
+  test("KMV is partitioning- and merge-order-independent") {
+    val k = 16
+    val rows = (1 to 500).map(i => ("g" + (i % 3), i.toLong * 37L))
+    val canonical = aggForm(rows, k, parts = 1)
+    for (p <- Seq(2, 5, 13))
+      assert(aggForm(rows, k, parts = p) == canonical,
+        s"KMV drifted at $p partitions")
+  }
+
+  test("KMV estimate lands near the true distinct count at k=64") {
+    val k = 64
+    val n = 5000
+    val rows = (1 to n).map(i => ("x", i.toLong))
+    val est = aggForm(rows, k, parts = 4)("x")._3
+    // KMV relative standard error ~ 1/sqrt(k-2) ≈ 12.7%; 4 sigma bound
+    assert(math.abs(est - n) < n * 0.51, s"estimate $est vs true $n")
+  }
+
+  private def hashOf(v: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(v.toString.getBytes("UTF-8"))
+    // same contract as Md5Prefix.eval(bytes, 15): 15 hex chars = first 7
+    // bytes + high nibble of the 8th
+    var x = 0L
+    for (i <- 0 until 8) x = (x << 8) | (d(i) & 0xffL)
+    x >>> 4
+  }
+
+  test("kmvSetEstimate equals first-principles reference on both branches") {
+    val k = 16
+    // group "big": 120 vs 100 values overlapping in [81, 120] (40 common);
+    // group "small": 6 vs 5 values overlapping in [3, 6] — union below k,
+    // where every output must be EXACT
+    val aRows = (1L to 120L).map(("big", _)) ++ (1L to 6L).map(("small", _))
+    val bRows = (81L to 180L).map(("big", _)) ++ (3L to 7L).map(("small", _))
+    def mk(rows: Seq[(String, Long)], parts: Int) =
+      rows.toDF("g", "v").repartition(parts)
+        .withColumn("__h",
+          HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+    val got = Sketches.kmvSetEstimate(
+        mk(aRows, 5), mk(bRows, 3), Seq("g"), col("__h"), k)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // reference: bottom-k over the exact hash sets
+    def ref(as: Set[Long], bs: Set[Long]): (Long, Long, Long) = {
+      val ha = as.map(hashOf).toArray.sorted.take(k)
+      val hb = bs.map(hashOf).toArray.sorted.take(k)
+      val u = (ha ++ hb).distinct.sorted.take(k)
+      val nBoth = u.count(h => ha.contains(h) && hb.contains(h)).toLong
+      val estU = Sketches.estimate(u, k)
+      val estI =
+        if (u.length < k) nBoth
+        else java.math.BigInteger.valueOf(nBoth)
+          .multiply(java.math.BigInteger.valueOf(estU))
+          .divide(java.math.BigInteger.valueOf(u.length.toLong)).longValue()
+      (nBoth, estU, estI)
+    }
+    assert(got("big") == ref((1L to 120L).toSet, (81L to 180L).toSet))
+    assert(got("small") == ref((1L to 6L).toSet, (3L to 7L).toSet))
+    // the below-k group is exact: union 7, intersection 4
+    assert(got("small")._2 == 7L && got("small")._3 == 4L)
+  }
+
+  test("kmv_setops_events query: sketch agrees with exact companions") {
+    val out = SparkEntry.queries("kmv_setops_events")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nUnion, nInter) = (r.getLong(3), r.getLong(4))
+      val (estU, estI) = (r.getLong(6), r.getLong(7))
+      assert(math.abs(estU - nUnion) <= math.max(8L, nUnion),
+        s"union estimate off: $r")
+      assert(math.abs(estI - nInter) <= math.max(8L, nUnion), // union-scale error
+        s"intersect estimate off: $r")
+    }
+  }
+
+  test("kmv_distinct_events query matches its own exact column") {
+    val out = SparkEntry.queries("kmv_distinct_events")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(4))
+      // at sf0.001 each event_type has few-dozen users; sketch exact or near
+      assert(est > 0 && math.abs(est - exact) <= math.max(8L, exact),
+        s"row $r")
+    }
+  }
+}
