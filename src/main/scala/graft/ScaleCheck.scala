@@ -249,6 +249,11 @@ object ScaleCheck {
           d.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
             col("user_id").cast("string").cast("binary"), 15)),
           Seq("event_type"), col("__h")),
+        events, "user_id", None),
+      ("cms_counts",
+        // the sketch output is d·w rows at ANY input mass; map-side
+        // partials absorb the heavy keys so the exchange is constant-width
+        (d: DataFrame) => graft.scale.Sketches.cmsBuild(d, col("user_id")),
         events, "user_id", None))
 
     // warm-up

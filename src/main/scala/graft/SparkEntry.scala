@@ -1302,6 +1302,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- count-min frequency sketch over the event stream ------------------
+    // Build a 4×512 CMS of per-user event counts (the sketch is a 2048-row
+    // count table — constant size at any input mass, mergeable by summing
+    // counters), then point-estimate the exact top-15 users. CMS placement
+    // is md5-deterministic, so est and overcount replay exactly; est ≥
+    // exact is the structural guarantee (asserted in SketchesSpec).
+    "cms_counts_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sketch = graft.scale.Sketches.cmsBuild(ev, col("user_id"))
+      val top = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(15)
+      graft.scale.Sketches.cmsEstimate(sketch, top, "user_id")
+        .join(top, Seq("user_id"))
+        .select(col("user_id"), col("n_exact"), col("cms_est"),
+          (col("cms_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("user_id"))
+    }),
+
     // ---- skew: salted two-phase aggregation (5 hot keys spread over salt
     // buckets; result is salt-independent → plain GROUP BY oracle) -----------
     "salted_agg_events" -> ((s, dir) =>
@@ -4083,6 +4101,35 @@ object SparkEntry {
         |    ELSE (CAST(est.n_both AS HUGEINT) * est.est_union)
         |      // est.nu END AS BIGINT) AS est_intersect
         |FROM ex JOIN est USING (event_type) ORDER BY 1""".stripMargin,
+
+    // CMS replay: row j's bucket for key x = md5-prefix("j:x") % 512 in
+    // both engines; top-15 tie-break (count desc, user_id) is total order
+    "cms_counts_events" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM events GROUP BY 1),
+        |top AS (
+        |  SELECT user_id, n_exact FROM c
+        |  ORDER BY n_exact DESC, user_id LIMIT 15),
+        |d AS (SELECT UNNEST([0, 1, 2, 3]) AS j),
+        |sk AS (
+        |  SELECT d.j,
+        |    CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' ||
+        |      CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512
+        |      AS bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM events e CROSS JOIN d GROUP BY 1, 2),
+        |est AS (
+        |  SELECT t.user_id, MIN(sk.cnt) AS cms_est
+        |  FROM top t CROSS JOIN d
+        |  JOIN sk ON sk.j = d.j AND sk.bucket =
+        |    CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' ||
+        |      CAST(t.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512
+        |  GROUP BY 1)
+        |SELECT t.user_id, t.n_exact, e.cms_est,
+        |  e.cms_est - t.n_exact AS overcount
+        |FROM top t JOIN est e USING (user_id)
+        |ORDER BY t.n_exact DESC, t.user_id""".stripMargin,
 
     // same 3-shingle construction as the jaccard oracle, per language side;
     // |intersection| of two DISTINCT sets = inner-join row count

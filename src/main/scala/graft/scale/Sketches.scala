@@ -171,6 +171,54 @@ object Sketches {
         col("est_union"), col("est_intersect")): _*)
   }
 
+  /** Count-min sketch build (Cormode-Muthukrishnan 2005) — the
+    * bounded-memory FREQUENCY counterpart of the KMV distinct sketch, and
+    * like it fully deterministic: row j's bucket for key x is the
+    * md5-prefix hash of `"j:x"` mod `w`, so both engines place every
+    * update identically and the sketch table replays in SQL verbatim.
+    *
+    * The "sketch" here IS a (depth·width)-row count table — at 100 TB the
+    * build is one hash-agg whose output is d·w rows regardless of input
+    * mass (map-side partials absorb the heavy keys), two sketches merge by
+    * summing aligned counters, and the estimate path touches d rows per
+    * queried key. Standard guarantee: est ≥ true; est ≤ true + εN with
+    * prob 1-δ for w = ⌈e/ε⌉, d = ⌈ln 1/δ⌉.
+    */
+  def cmsBuild(df: DataFrame, key: Column, depth: Int = 4, width: Int = 512)
+      : DataFrame = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape d=$depth w=$width")
+    df.select(key.cast("string").as("__k"))
+      .select(explode(lit((0 until depth).toArray)).as("j"), col("__k"))
+      .select(col("j"),
+        pmod(HashExprs.md5PrefixLong(
+          concat(col("j").cast("string"), lit(":"), col("__k"))
+            .cast("binary"), 15), lit(width.toLong)).as("bucket"))
+      .groupBy(col("j"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a CMS for a (small) key set: min over the d
+    * counters each key hashes into. `keys` is broadcast-joined against the
+    * d·w sketch — at scale the candidate set comes from a heavy-hitter
+    * pre-pass, never the full key domain.
+    */
+  def cmsEstimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 512): DataFrame = {
+    val probes = keys
+      .select(col(keyCol), col(keyCol).cast("string").as("__k"))
+      .select(col(keyCol), explode(lit((0 until depth).toArray)).as("j"),
+        col("__k"))
+      .select(col(keyCol), col("j"),
+        pmod(HashExprs.md5PrefixLong(
+          concat(col("j").cast("string"), lit(":"), col("__k"))
+            .cast("binary"), 15), lit(width.toLong)).as("bucket"))
+    // left join + 0-fill: a never-seen key probes EMPTY buckets (no sketch
+    // row) and must estimate 0, not disappear
+    probes.join(sketch, Seq("j", "bucket"), "left")
+      .groupBy(col(keyCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+
   /** Per-group KMV distinct sketch of `hashCol` (must already be the
     * 15-hex-char md5-prefix long — pair it with
     * [[HashExprs.md5PrefixLong]](…, 15) so the oracle's

@@ -132,6 +132,49 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("CMS: est >= exact for every key, exact under no-collision, 0 for unseen") {
+    val d = 4; val w = 512
+    // 40 keys with distinct frequencies 1..40 — far below w, so most rows
+    // are collision-free and many estimates come out exact
+    val rows = (1 to 40).flatMap(k => Seq.fill(k)(k.toLong)).toDF("k")
+    val sketch = Sketches.cmsBuild(rows, $"k", d, w)
+    assert(sketch.count() <= d.toLong * w)
+    val keys = ((1 to 40) ++ Seq(999, 1000)).map(_.toLong).toDF("k")
+    val est = Sketches.cmsEstimate(sketch, keys, "k", d, w)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- 1 to 40)
+      assert(est(k.toLong) >= k.toLong, s"undercount at $k: ${est(k.toLong)}")
+    // total mass 820 over 512 buckets: min-of-4 rarely collides on ALL
+    // rows; assert the bound est <= exact + total (loose, deterministic)
+    for (k <- 1 to 40) assert(est(k.toLong) <= k.toLong + 820L)
+    assert(est(999L) == 0L && est(1000L) == 0L, "unseen keys must be 0")
+  }
+
+  test("CMS build is partitioning-invariant and merges by counter addition") {
+    val rows = (1 to 300).map(i => (i % 23).toLong)
+    val a = Sketches.cmsBuild(rows.toDF("k").repartition(1), $"k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val b = Sketches.cmsBuild(rows.toDF("k").repartition(7), $"k")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(a == b)
+    // merge = summed counters: sketch(first half) + sketch(second half)
+    val h1 = Sketches.cmsBuild(rows.take(150).toDF("k"), $"k")
+    val h2 = Sketches.cmsBuild(rows.drop(150).toDF("k"), $"k")
+    val merged = h1.unionByName(h2).groupBy($"j", $"bucket")
+      .agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == a)
+  }
+
+  test("cms_counts_events query: overcount non-negative, top keys present") {
+    val out = SparkEntry.queries("cms_counts_events")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 15)
+    out.foreach { r =>
+      assert(r.getLong(3) >= 0L, s"CMS undercounted: $r")
+      assert(r.getLong(2) >= r.getLong(1), s"est < exact: $r")
+    }
+  }
+
   test("kmv_distinct_events query matches its own exact column") {
     val out = SparkEntry.queries("kmv_distinct_events")(spark, sf).collect()
     assert(out.nonEmpty)
