@@ -1302,6 +1302,35 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- KMV sketch as STREAMING aggregation state -------------------------
+    // The bounded-distinct-count production shape: the typed KMV aggregator
+    // runs inside a streaming groupBy, so the state store holds ≤64 longs
+    // per group however long the stream runs (vs dropDuplicates state that
+    // grows with the distinct count). Merge-order invariance (SketchesSpec)
+    // is what makes the result micro-batch-schedule-independent — the
+    // oracle is the same window-over-distinct-hashes SQL as the batch query.
+    "streaming_kmv_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = udaf(graft.scale.Sketches.kmvAggregator(64),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val sk = stream
+        .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+          col("user_id").cast("string").cast("binary"), 15))
+        .groupBy(col("event_type")).agg(agg(col("__h")).as("__kmv"))
+        .select(col("event_type"),
+          col("__kmv.nSketch").cast("long").as("n_sketch"),
+          col("__kmv.kth").as("kmv_kth"),
+          col("__kmv.estimate").as("kmv_est"))
+      val name = "stream_kmv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, sk, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("event_type"))
+    }),
+
     // ---- count-min frequency sketch over the event stream ------------------
     // Build a 4×512 CMS of per-user event counts (the sketch is a 2048-row
     // count table — constant size at any input mass, mergeable by summing
@@ -4101,6 +4130,27 @@ object SparkEntry {
         |    ELSE (CAST(est.n_both AS HUGEINT) * est.est_union)
         |      // est.nu END AS BIGINT) AS est_intersect
         |FROM ex JOIN est USING (event_type) ORDER BY 1""".stripMargin,
+
+    // streaming KMV == batch KMV (merge-order invariance): same replay as
+    // kmv_distinct_events, without the exact companion column
+    "streaming_kmv_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        |  FROM h),
+        |s AS (
+        |  SELECT event_type, COUNT(*) AS n_sketch, MAX(hv) AS kth
+        |  FROM r WHERE rn <= 64 GROUP BY 1)
+        |SELECT event_type, n_sketch, kth AS kmv_kth,
+        |  CAST(CASE WHEN n_sketch < 64 THEN n_sketch
+        |    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+        |      // GREATEST(kth, 1) END AS BIGINT) AS kmv_est
+        |FROM s ORDER BY 1""".stripMargin,
 
     // CMS replay: row j's bucket for key x = md5-prefix("j:x") % 512 in
     // both engines; top-15 tie-break (count desc, user_id) is total order

@@ -175,6 +175,41 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("streaming KMV state merges across micro-batches to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val k = 8
+    val agg = udaf(Sketches.kmvAggregator(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val in = MemoryStream[(String, Long)]
+    val sk = in.toDF().toDF("g", "v")
+      .withColumn("__h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+      .groupBy($"g").agg(agg($"__h").as("s"))
+      .select($"g", $"s.nSketch".as("n"), $"s.kth".as("kth"),
+        $"s.estimate".as("est"))
+    val name = "kmv_merge_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sk.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    // three batches with overlapping values — the second and third must
+    // MERGE into existing per-group state, not restart it
+    in.addData((1 to 30).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    in.addData((20 to 50).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    in.addData((1 to 5).map(i => ("b", i.toLong)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val wantA = windowForm((1 to 50).map(i => ("a", i.toLong)), k)("a")
+    assert(got("a") == ((wantA._1.toInt, wantA._2, wantA._3)))
+    assert(got("b")._1 == 5 && got("b")._3 == 5L)
+  }
+
   test("kmv_distinct_events query matches its own exact column") {
     val out = SparkEntry.queries("kmv_distinct_events")(spark, sf).collect()
     assert(out.nonEmpty)
