@@ -1598,6 +1598,15 @@ object SparkEntry {
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 8)
         .orderBy(col("round"))),
 
+    // ---- tokenizer APPLICATION: encode the corpus with the trained BPE -----
+    // The merge table is never applied per document: the trainer's final
+    // vocabulary becomes a word → token-count dictionary and encoding is
+    // one equi-join of exploded words against it. Per-source token mass =
+    // the number a shard-packing/budgeting pass actually consumes.
+    "bpe_encode_docs" -> ((s, dir) =>
+      TextAnalysis.bpeEncode(t(s, dir, "documents"), "source", "text", 8)
+        .orderBy(col("source"))),
+
     // ---- overlapping passage windows (retrieval chunking, stride<size) -----
     "passage_windows_docs" -> ((s, dir) =>
       TextAnalysis.passageWindows(t(s, dir, "documents"), "doc_id", "text", 8, 4)
@@ -2639,6 +2648,7 @@ object SparkEntry {
     // reachability), not the algorithm, so the SQL is shared verbatim
     m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
       ("bpe_train_docs" -> bpeTrainOracle(8)) +
+      ("bpe_encode_docs" -> bpeEncodeOracle(8)) +
       ("classifier_train_docs" ->
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
@@ -2791,6 +2801,60 @@ object SparkEntry {
         s"l || r2 AS merged, c AS n_occurrences FROM t$r"
     }.mkString("\nUNION ALL\n")
     s"$head$roundCtes\nSELECT * FROM (\n$unions\n) ORDER BY round"
+  }
+
+  /** Encode oracle: the same unrolled trainer CTEs as [[bpeTrainOracle]]
+    * but carrying the vocabulary state through the LAST merge (v_{N+1}),
+    * then the final vocab becomes the word → token-count dictionary and
+    * per-source mass is one join of exploded words against it — the exact
+    * SQL mirror of [[TextAnalysis.bpeEncode]].
+    */
+  private def bpeEncodeOracle(rounds: Int): String = {
+    val head =
+      """WITH v1 AS (
+        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s,
+        |    freq
+        |  FROM (
+        |    SELECT w, COUNT(*) AS freq
+        |    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> len(x) > 0)) AS w FROM documents)
+        |    WHERE NOT contains(w, chr(1))
+        |    GROUP BY w))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |p$r AS (
+         |  SELECT list_extract(sy, CAST(i AS INT)) AS l,
+         |    list_extract(sy, CAST(i + 1 AS INT)) AS r2, freq
+         |  FROM (SELECT list_filter(string_split(s, chr(1)), x -> len(x) > 0)
+         |          AS sy, freq FROM v$r),
+         |    UNNEST(range(1, len(sy))) AS u(i)),
+         |t$r AS (
+         |  SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c FROM p$r
+         |  GROUP BY l, r2 ORDER BY c DESC, l, r2 LIMIT 1),
+         |v${r + 1} AS (
+         |  SELECT replace(s, chr(1) || l || chr(1) || chr(1) || r2 || chr(1),
+         |    chr(1) || l || r2 || chr(1)) AS s, freq
+         |  FROM v$r CROSS JOIN t$r)""".stripMargin
+    }.mkString
+    val tail =
+      s""",
+         |dict AS (
+         |  SELECT replace(s, chr(1), '') AS w,
+         |    CAST(len(list_filter(string_split(s, chr(1)), x -> len(x) > 0))
+         |      AS BIGINT) AS nt
+         |  FROM v${rounds + 1}),
+         |wd AS (
+         |  SELECT source,
+         |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0)) AS w
+         |  FROM documents)
+         |SELECT wd.source, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(d.nt) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(len(wd.w)) AS BIGINT) AS n_chars
+         |FROM wd JOIN dict d ON wd.w = d.w
+         |WHERE NOT contains(wd.w, chr(1))
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    s"$head$roundCtes$tail"
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -536,7 +536,15 @@ object TextAnalysis {
     * Returns the merge table: (round, sym_l, sym_r, merged, n_occurrences).
     * Stops early when no pair remains (fully merged vocabulary).
     */
-  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int = 8): DataFrame =
+    bpeTrainWithVocab(df, textCol, rounds)._1
+
+  /** [[bpeTrain]] plus the FINAL merged-vocabulary state — the input the
+    * encode path ([[bpeEncode]]) needs: (merge table, vocab of
+    * (delimited-symbol string `s`, word freq) after the last merge).
+    */
+  def bpeTrainWithVocab(df: DataFrame, textCol: String, rounds: Int = 8)
+      : (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val SENT = "\u0001"
     var vocab = df.select(explode(tokens(col(textCol))).as("w"))
@@ -581,7 +589,35 @@ object TextAnalysis {
       }
     }
     import spark.implicits._
-    merges.toSeq.toDF("round", "sym_l", "sym_r", "merged", "n_occurrences")
+    (merges.toSeq.toDF("round", "sym_l", "sym_r", "merged", "n_occurrences"),
+      vocab)
+  }
+
+  /** Tokenizer APPLICATION at corpus scale: encode every document with the
+    * trained BPE merges and report per-group token mass. The merge table
+    * is never applied per document — the final vocabulary (|vocab| rows,
+    * already merge-applied by the trainer) becomes a word → token-count
+    * dictionary, and encoding the corpus is ONE equi-join of exploded
+    * words against it. Work on the corpus is the split + join; everything
+    * merge-related is |vocab|-bound (the trainer's own scale shape).
+    * Output per group: n_words, n_tokens, n_chars — exact longs (the
+    * bytes-per-token ratio is the caller's division).
+    */
+  def bpeEncode(df: DataFrame, groupCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val SENT = "\u0001"
+    val (_, vocab) = bpeTrainWithVocab(df, textCol, rounds)
+    val dict = vocab.select(
+      regexp_replace(col("s"), SENT, "").as("__w"),
+      size(filter(split(col("s"), SENT), x => length(x) > 0))
+        .cast("long").as("__nt"))
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(SENT))
+      .join(dict, Seq("__w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(length(col("__w")).cast("long")).as("n_chars"))
   }
 
   /** Raw (non-distinct) word n-grams — same bound-lambda idiom and

@@ -591,6 +591,24 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("bpeEncode: token mass from hand-applied merges") {
+    // same Sennrich corpus, 3 merges (we, lo, st). Tokenizations after:
+    // low = lo|w (2), lower = lo|we|r (3), newest = n|e|we|st (4),
+    // widest = w|i|d|e|st (5). Two sources split the corpus.
+    val d = Seq(
+      (1L, "a", "low low low lower lower"),
+      (2L, "b", "newest newest newest newest widest"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.bpeEncode(d, "source", "text", 3)
+      .orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // a: 5 words; tokens 3·2 + 2·3 = 12; chars 3·3 + 2·5 = 19
+    // b: 5 words; tokens 4·4 + 1·5 = 21; chars 4·6 + 1·6 = 30
+    assert(got == Seq(("a", 5L, 12L, 19L), ("b", 5L, 21L, 30L)),
+      s"unexpected encode summary: $got")
+  }
+
   test("ivfPqTopK: ADC equals exact L2² when candidates ARE codebook entries") {
     // ids 0..3 all sit in the PQ codebook (pqK=4), so each candidate's codes
     // reconstruct the candidate exactly and the asymmetric distance collapses
