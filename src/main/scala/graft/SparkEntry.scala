@@ -1302,6 +1302,24 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- media near-dup: perceptual-signature multi-band Hamming LSH -------
+    // The LAION-style image-dedup shape over the fabricated media table:
+    // 60-bit signature (codec-seam stub = md5 prefix; real deployments put
+    // a DCT pHash here) → 4×15-bit band bucket join (complete for
+    // hamming ≤ 3 by pigeonhole, linear candidate mass) → exact
+    // bit_count(xor) verify.
+    "phash_pairs_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // deterministic duplicate injection (every 97th doc re-ingested under
+      // a shifted id — the re-crawled-image situation), so the pair output
+      // is non-empty at every SF: sf0.01 has no natural byte-identical docs
+      val echo = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      val media = graft.scale.Multimodal.fromDocuments(docs.unionByName(echo))
+      graft.scale.Multimodal.phashPairs(media)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- KMV sketch as STREAMING aggregation state -------------------------
     // The bounded-distinct-count production shape: the typed KMV aggregator
     // runs inside a streaming groupBy, so the state store holds ≤64 longs
@@ -4194,6 +4212,34 @@ object SparkEntry {
         |    ELSE (CAST(est.n_both AS HUGEINT) * est.est_union)
         |      // est.nu END AS BIGINT) AS est_intersect
         |FROM ex JOIN est USING (event_type) ORDER BY 1""".stripMargin,
+
+    // pHash pairs: payload = utf-8 text bytes, so the 60-bit stub signature
+    // is the same md5-prefix DuckDB computes over the text; bands are bit
+    // slices (>> then mask), verify is bit_count(xor)
+    "phash_pairs_docs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000, text FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS sig
+        |  FROM corpus),
+        |b AS (
+        |  SELECT doc_id, sig, d.band,
+        |    (sig >> (d.band * 15)) & 32767 AS bkey
+        |  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) d),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    a.sig AS sig_a, bb.sig AS sig_b
+        |  FROM b a JOIN b bb
+        |    ON a.band = bb.band AND a.bkey = bb.bkey
+        |      AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
 
     // streaming KMV == batch KMV (merge-order invariance): same replay as
     // kmv_distinct_events, without the exact companion column

@@ -159,4 +159,56 @@ object Multimodal {
     */
   def resizeFeatures(decoded: DataFrame, newWidth: Int): DataFrame =
     decoded.withColumn("features", slice(col("features"), 1, newWidth))
+
+  /** Media near-dup pairs by perceptual-signature LSH — the image-dedup
+    * shape of a LAION-style corpus clean. The SIGNATURE is the codec-seam
+    * stub (md5-prefix of the payload; a real deployment computes a
+    * DCT/pHash over decoded pixels, same 60-bit output), but the pipeline
+    * around it is the real algorithm: split the signature into `bands`
+    * disjoint bit-bands and bucket-join on (band, band bits) — by
+    * pigeonhole, EVERY pair within Hamming distance < `bands` shares at
+    * least one exact band, so candidate generation is complete for
+    * `maxHamming ≤ bands - 1` and stays linear in corpus size (a pair
+    * never forms unless it collides on 15 exact bits); then one codegen'd
+    * `bit_count(xor)` verifies the true distance. Multi-band is strictly
+    * stronger than [[Dedup.simhashPairs]]'s single top-bit block (which
+    * misses near-dups differing in the prefix) — kept separate because the
+    * text simhash documents that tradeoff deliberately.
+    */
+  def phashPairs(media: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    phashPairsFromSigs(
+      media.select(col(idCol),
+        HashExprs.md5PrefixLong(col("payload"), 15).as("sig")),
+      idCol, maxHamming, bands)
+
+  /** The banding + verify core over precomputed (id, 60-bit sig) rows —
+    * separated so the completeness property (every pair with hamming <
+    * bands survives) is testable with PLANTED signatures, which a real
+    * hash function cannot produce on demand.
+    */
+  def phashPairsFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int): DataFrame = {
+    val bits = 60
+    require(bands >= 1 && bits % bands == 0, s"bands must divide $bits")
+    val w = bits / bands
+    require(maxHamming < bands,
+      s"banding is only complete for maxHamming < bands ($maxHamming/$bands)")
+    val banded = sigs
+      .select(col(idCol), col("sig"),
+        explode(lit((0 until bands).toArray)).as("band"))
+      .withColumn("bkey",
+        expr(s"shiftright(sig, band * $w)").bitwiseAND(lit((1L << w) - 1)))
+    val l = banded.select(col("band"), col("bkey"),
+      col(idCol).as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bkey"),
+      col(idCol).as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()   // a pair can collide in several bands
+      .withColumn("hamming", Dedup.hammingDistance(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -50,4 +50,46 @@ class MultimodalSpec extends SparkSpec {
     val mm = Multimodal.fromDocuments(docs)
     assert(Multimodal.repartitionBySize(mm, 2).count() === 3)
   }
+
+  test("phash banding: complete below `bands` flips, excludes beyond max") {
+    // planted 60-bit signatures around a base: flip 0/1/2/3 bits (must all
+    // pair with base at hamming <= 3), flip 4 spread across distinct bands
+    // (candidate via shared band 3 but FILTERED by hamming), flip 15 bits
+    // of band 0 only (agrees on bands 1-3 → candidate, filtered), and a
+    // far signature (no shared band, never even a candidate)
+    val base = 0x0ABCDEF1234567L & ((1L << 60) - 1)
+    def flip(s: Long, bits: Seq[Int]): Long =
+      bits.foldLeft(s)((v, b) => v ^ (1L << b))
+    val sigs = Seq(
+      0L -> base,
+      1L -> flip(base, Seq(5)),             // hamming 1
+      2L -> flip(base, Seq(16, 31)),        // hamming 2, two bands touched
+      3L -> flip(base, Seq(0, 15, 30)),     // hamming 3, three bands
+      4L -> flip(base, Seq(0, 1, 15, 16)),  // hamming 4, bands 2-3 still
+                                            // agree → candidate, FILTERED
+      5L -> flip(base, (0 until 15)),       // band 0 inverted → excluded
+      6L -> (~base & ((1L << 60) - 1))      // all bits differ
+    ).toDF("doc_id", "sig")
+    val pairs = Multimodal.phashPairsFromSigs(sigs, "doc_id", 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1)
+    assert(pairs.contains((0L, 2L)) && pairs((0L, 2L)) == 2)
+    assert(pairs.contains((0L, 3L)) && pairs((0L, 3L)) == 3)
+    assert(!pairs.contains((0L, 4L)), "hamming-4 pair must be filtered")
+    assert(!pairs.contains((0L, 5L)), "inverted-band pair must be filtered")
+    assert(!pairs.contains((0L, 6L)), "far pair must not even be a candidate")
+    // derived near-dups of each other also pair (1,2): hamming 3
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 3)
+  }
+
+  test("phashPairs finds exact-payload duplicates at hamming 0") {
+    val dup = Seq(
+      (10L, "same bytes"), (11L, "same bytes"), (12L, "other bytes"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromDocuments(dup)
+    val got = Multimodal.phashPairs(media).collect()
+    assert(got.length == 1)
+    assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 11L
+      && got(0).getInt(2) == 0)
+  }
 }
