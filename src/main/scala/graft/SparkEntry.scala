@@ -1302,6 +1302,22 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- corpus-overlap matrix from per-source KMV sketches ----------------
+    // Pairwise vocabulary union/intersection estimates between EVERY two
+    // sources, from one 64-long sketch per source: the "which sources
+    // duplicate each other" pre-dedup diagnostic. The corpus is scanned
+    // once (sketch build); the 20×19/2 pair matrix is array math on ≤128
+    // longs per pair — never a data-mass term.
+    "kmv_source_overlap_docs" -> ((s, dir) => {
+      val words = t(s, dir, "documents")
+        .select(col("source"),
+          explode(TextAnalysis.tokens(col("text"))).as("__w"))
+        .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+          col("__w").cast("binary"), 15))
+      graft.scale.Sketches.kmvPairwiseOverlap(words, "source", col("__h"))
+        .orderBy(col("g_a"), col("g_b"))
+    }),
+
     // ---- media near-dup: perceptual-signature multi-band Hamming LSH -------
     // The LAION-style image-dedup shape over the fabricated media table:
     // 60-bit signature (codec-seam stub = md5 prefix; real deployments put
@@ -4212,6 +4228,62 @@ object SparkEntry {
         |    ELSE (CAST(est.n_both AS HUGEINT) * est.est_union)
         |      // est.nu END AS BIGINT) AS est_intersect
         |FROM ex JOIN est USING (event_type) ORDER BY 1""".stripMargin,
+
+    // pairwise overlap: per-source bottom-64 word-hash sketches; per pair,
+    // the union sketch is the 64 smallest of the two sketches' union and
+    // membership flags come from each side's sketch (rank containment) —
+    // same HUGEINT floor-div arithmetic as the other KMV oracles
+    "kmv_source_overlap_docs" ->
+      """WITH w AS (
+        |  SELECT DISTINCT source,
+        |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS hv
+        |  FROM (SELECT source,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS tok
+        |    FROM documents)),
+        |rk AS (
+        |  SELECT source, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY hv) AS rn
+        |  FROM w),
+        |sk AS (SELECT source, hv FROM rk WHERE rn <= 64),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |pairs AS (
+        |  SELECT a.source AS g_a, b.source AS g_b
+        |  FROM srcs a JOIN srcs b ON a.source < b.source),
+        |pu AS (
+        |  SELECT p.g_a, p.g_b, s.hv FROM pairs p
+        |    JOIN sk s ON s.source = p.g_a
+        |  UNION
+        |  SELECT p.g_a, p.g_b, s.hv FROM pairs p
+        |    JOIN sk s ON s.source = p.g_b),
+        |r AS (
+        |  SELECT g_a, g_b, hv,
+        |    ROW_NUMBER() OVER (PARTITION BY g_a, g_b ORDER BY hv) AS rn
+        |  FROM pu),
+        |m AS (
+        |  SELECT r.g_a, r.g_b, r.hv,
+        |    MAX(CASE WHEN s.source = r.g_a THEN 1 ELSE 0 END) AS ia,
+        |    MAX(CASE WHEN s.source = r.g_b THEN 1 ELSE 0 END) AS ib
+        |  FROM r JOIN sk s ON s.hv = r.hv
+        |    AND s.source IN (r.g_a, r.g_b)
+        |  WHERE r.rn <= 64 GROUP BY 1, 2, 3),
+        |us AS (
+        |  SELECT g_a, g_b, COUNT(*) AS nu, MAX(hv) AS kthu
+        |  FROM r WHERE rn <= 64 GROUP BY 1, 2),
+        |nb AS (
+        |  SELECT g_a, g_b, CAST(SUM(ia * ib) AS BIGINT) AS n_both
+        |  FROM m GROUP BY 1, 2),
+        |est AS (
+        |  SELECT us.g_a, us.g_b, us.nu, nb.n_both,
+        |    CAST(CASE WHEN us.nu < 64 THEN us.nu
+        |      ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
+        |        // GREATEST(us.kthu, 1) END AS BIGINT) AS est_union
+        |  FROM us JOIN nb USING (g_a, g_b))
+        |SELECT g_a, g_b, n_both, est_union,
+        |  CAST(CASE WHEN nu < 64 THEN n_both
+        |    ELSE (CAST(n_both AS HUGEINT) * est_union)
+        |      // nu END AS BIGINT) AS est_intersect
+        |FROM est ORDER BY 1, 2""".stripMargin,
 
     // pHash pairs: payload = utf-8 text bytes, so the 60-bit stub signature
     // is the same md5-prefix DuckDB computes over the text; bands are bit

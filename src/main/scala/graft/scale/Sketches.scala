@@ -150,8 +150,18 @@ object Sketches {
     def sk(df: DataFrame, out: String): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg(agg(hashCol).getField("vals").as(out))
+    withSetEstimates(sk(dfA, "__a").join(sk(dfB, "__b"), groupCols), k)
+      .select(groupCols.map(col) ++ Seq(col("n_both"),
+        col("est_union"), col("est_intersect")): _*)
+  }
+
+  /** Shared set-estimate arithmetic over a frame carrying two sketch
+    * arrays `__a`/`__b` (see [[kmvSetEstimate]] for the math): adds
+    * n_both, est_union, est_intersect.
+    */
+  private def withSetEstimates(joined: DataFrame, k: Int): DataFrame = {
     val dom = java.math.BigDecimal.valueOf(HashDomain.longValueExact())
-    sk(dfA, "__a").join(sk(dfB, "__b"), groupCols)
+    joined
       .withColumn("__u", slice(
         array_sort(array_union(col("__a"), col("__b"))), 1, k))
       .withColumn("__nu", size(col("__u")).cast("long"))
@@ -167,8 +177,26 @@ object Sketches {
         when(col("__nu") < k, col("n_both")).otherwise(
           expr("CAST((CAST(n_both AS DECIMAL(38,0)) * est_union)" +
             " div greatest(__nu, 1) AS BIGINT)")))
-      .select(groupCols.map(col) ++ Seq(col("n_both"),
-        col("est_union"), col("est_intersect")): _*)
+  }
+
+  /** Corpus-overlap matrix: pairwise set-operation estimates between EVERY
+    * two groups, from one sketch per group — "which sources duplicate each
+    * other" answered with |groups| · k longs of state. The pair join is a
+    * self-join of the (|groups|-row) sketch table, so at 100 TB the cost is
+    * |groups|²/2 array operations on ≤2k elements — never a data-mass term
+    * (the corpus is touched exactly once, by the sketch build). Same
+    * estimate arithmetic and below-k exactness as [[kmvSetEstimate]].
+    */
+  def kmvPairwiseOverlap(df: DataFrame, groupCol: String, hashCol: Column,
+      k: Int = 64): DataFrame = {
+    val agg = udaf(kmvValsAggregator(k), Encoders.scalaLong)
+    val sk = df.groupBy(col(groupCol))
+      .agg(agg(hashCol).getField("vals").as("__v"))
+    val a = sk.select(col(groupCol).as("g_a"), col("__v").as("__a"))
+    val b = sk.select(col(groupCol).as("g_b"), col("__v").as("__b"))
+    withSetEstimates(a.join(b, col("g_a") < col("g_b")), k)
+      .select(col("g_a"), col("g_b"), col("n_both"),
+        col("est_union"), col("est_intersect"))
   }
 
   /** Count-min sketch build (Cormode-Muthukrishnan 2005) — the

@@ -132,6 +132,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvPairwiseOverlap agrees with kmvSetEstimate per pair") {
+    val k = 16
+    val rows =
+      (1 to 100).map(i => ("s1", i.toLong)) ++
+      (51 to 160).map(i => ("s2", i.toLong)) ++
+      (1 to 10).map(i => ("s3", i.toLong * 1000L))
+    val df = rows.toDF("g", "v")
+      .withColumn("__h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+    val got = Sketches.kmvPairwiseOverlap(df, "g", col("__h"), k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet == Set(("s1", "s2"), ("s1", "s3"), ("s2", "s3")))
+    for (((ga, gb), triple) <- got) {
+      val a = df.filter($"g" === ga).withColumn("g", lit("x"))
+      val b = df.filter($"g" === gb).withColumn("g", lit("x"))
+      val ref = Sketches.kmvSetEstimate(a, b, Seq("g"), col("__h"), k)
+        .collect()(0)
+      assert(triple == ((ref.getLong(1), ref.getLong(2), ref.getLong(3))),
+        s"pair ($ga,$gb) diverged from kmvSetEstimate")
+    }
+    // disjoint pair is exactly empty-intersection
+    assert(got(("s1", "s3"))._3 == 0L)
+  }
+
   test("CMS: est >= exact for every key, exact under no-collision, 0 for unseen") {
     val d = 4; val w = 512
     // 40 keys with distinct frequencies 1..40 — far below w, so most rows
