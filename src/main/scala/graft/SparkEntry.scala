@@ -1302,6 +1302,11 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- Gopher repetition rule family (quality screens) -------------------
+    "gopher_repetition_docs" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"), col("n"))),
+
     // ---- corpus-overlap matrix from per-source KMV sketches ----------------
     // Pairwise vocabulary union/intersection estimates between EVERY two
     // sources, from one 64-long sketch per source: the "which sources
@@ -2683,6 +2688,7 @@ object SparkEntry {
     m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
       ("bpe_train_docs" -> bpeTrainOracle(8)) +
       ("bpe_encode_docs" -> bpeEncodeOracle(8)) +
+      ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)) +
       ("classifier_train_docs" ->
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
@@ -2889,6 +2895,40 @@ object SparkEntry {
          |WHERE NOT contains(wd.w, chr(1))
          |GROUP BY 1 ORDER BY 1""".stripMargin
     s"$head$roundCtes$tail"
+  }
+
+  /** Per-order n-gram CTEs (the `repetition_docs` ragged-edge idiom
+    * generalized: concat t[i] with COALESCE'd successors, so docs shorter
+    * than n contribute one whole-token-list gram), unioned long-format —
+    * the SQL mirror of [[TextAnalysis.gopherRepetition]].
+    */
+  private def gopherRepetitionOracle(minN: Int, maxN: Int): String = {
+    val head =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents)""".stripMargin
+    val perN = (minN to maxN).map { n =>
+      val tail = (1 until n)
+        .map(j => s"COALESCE(' ' || t[i+$j], '')").mkString(", ")
+      s""",
+         |g$n AS (
+         |  SELECT doc_id, concat(t[i], $tail) AS g
+         |  FROM toks,
+         |    UNNEST(range(1, greatest(len(t) - ${n - 1}, 1) + 1)) AS u(i)),
+         |c$n AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g$n GROUP BY 1, 2),
+         |a$n AS (
+         |  SELECT doc_id, CAST($n AS INT) AS n,
+         |    CAST(SUM(cnt) AS BIGINT) AS n_ngrams,
+         |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+         |    CAST(SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         |      AS dup_cnt
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }.mkString
+    val unions = (minN to maxN).map(n => s"SELECT * FROM a$n")
+      .mkString("\nUNION ALL\n")
+    s"$head$perN\nSELECT * FROM (\n$unions\n) ORDER BY doc_id, n"
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -139,6 +139,35 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** Gopher-style repetition rule family (Rae et al. 2021 Table A1,
+    * arXiv:2112.11446): per document and n-gram order n, (a) the occurrence
+    * count of the single most frequent n-gram (Gopher's "fraction in most
+    * common n-gram" screens, n = 2..4 there) and (b) the total occurrence
+    * mass of ALL duplicated n-grams (the "fraction in duplicated n-grams"
+    * screens). Emitted LONG-format as exact integers — (doc_id, n,
+    * n_ngrams, top_cnt, dup_cnt) — the caller thresholds ratios; counting
+    * token-gram occurrences rather than characters is the documented
+    * deviation (tokens are this corpus's unit everywhere else).
+    *
+    * Shape: one explode + two hash-aggs per order, all orders unioned into
+    * one DAG — (maxN - minN + 1) linear scans, each keyed per doc (no
+    * cross-doc shuffle beyond the per-doc agg).
+    */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String,
+      minN: Int = 2, maxN: Int = 6): DataFrame = {
+    require(2 <= minN && minN <= maxN, s"bad n-gram range [$minN,$maxN]")
+    (minN to maxN).map { n =>
+      df.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("g"))
+        .groupBy(col(idCol), col("g")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col(idCol))
+        .agg(sum(col("cnt")).as("n_ngrams"),
+          max(col("cnt")).as("top_cnt"),
+          sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup_cnt"))
+        .select(col(idCol), lit(n).as("n"), col("n_ngrams"),
+          col("top_cnt"), col("dup_cnt"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Corpus-frequency score: average corpus-wide occurrence count of a
     * document's tokens (including repeats) — a cheap rarity/quality signal
     * (low = rare-token-heavy doc) that needs no trained model and no

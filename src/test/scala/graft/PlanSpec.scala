@@ -51,6 +51,31 @@ class PlanSpec extends SparkSpec {
       plan.contains("keys:"), s"expected a map-literal lookup:\n$plan")
   }
 
+  test("KMV sketch agg partial-aggregates map-side; no extra exchange") {
+    val ev = Tables.load(spark, sf, "events")
+      .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+        col("user_id").cast("string").cast("binary"), 15))
+    val df = graft.scale.Sketches.kmvDistinct(ev, Seq("event_type"), col("__h"))
+    val plan = df.queryExecution.executedPlan.toString
+    // typed-Aggregator udaf → ObjectHashAggregate, and it must appear as a
+    // partial+final PAIR (constant-width partials cross the one exchange)
+    val objAggs = "ObjectHashAggregate".r.findAllIn(plan).length
+    assert(objAggs >= 2, s"expected partial+final ObjectHashAggregate:\n$plan")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"sketch agg should need one shuffle (plus output sort at most):\n$plan")
+  }
+
+  test("phash pairs join on band keys — never cartesian/nested-loop") {
+    val media = graft.scale.Multimodal.fromDocuments(
+      Tables.load(spark, sf, "documents"))
+    val df = graft.scale.Multimodal.phashPairs(media)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian pair join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop pair join:\n$plan")
+  }
+
   test("em_similarity_ppjoin_part: no fixed-block self-join, no all-pairs") {
     val df = SparkEntry.queries("em_similarity_ppjoin_part")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
