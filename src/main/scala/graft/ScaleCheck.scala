@@ -254,7 +254,23 @@ object ScaleCheck {
         // the sketch output is d·w rows at ANY input mass; map-side
         // partials absorb the heavy keys so the exchange is constant-width
         (d: DataFrame) => graft.scale.Sketches.cmsBuild(d, col("user_id")),
-        events, "user_id", None))
+        events, "user_id", None),
+      ("phash_pairs",
+        // salted text changes every md5 signature, so copies share no
+        // bands — candidate mass stays linear while the corpus grows N×
+        (d: DataFrame) => graft.scale.Multimodal.phashPairs(
+          graft.scale.Multimodal.fromDocuments(d)),
+        docs, "doc_id", Some("text")),
+      ("kmv_overlap",
+        // the source set is FIXED while the corpus grows: the sketch build
+        // is the only corpus-mass term and the pair matrix is constant
+        (d: DataFrame) => graft.scale.Sketches.kmvPairwiseOverlap(
+          d.select(col("source"),
+            explode(TextAnalysis.tokens(col("text"))).as("__w"))
+            .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+              col("__w").cast("binary"), 15)),
+          "source", col("__h")),
+        docs, "doc_id", Some("text")))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))
