@@ -1034,6 +1034,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- shard release manifest (per-shard stats + content checksums) ------
+    "shard_manifest_docs" -> ((s, dir) =>
+      TextAnalysis.shardManifest(t(s, dir, "documents"), "doc_id", "text",
+          1000L)
+        .orderBy(col("shard_id"))),
+
     // ---- multimodal: frame sampling over video payloads --------------------
     "frame_sample_docs" -> ((s, dir) =>
       Multimodal.sampleFrames(
@@ -4844,6 +4850,29 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, n_tokens, (cum - n_tokens) // 1000 AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // manifest: shard assignment replays shard_pack's running-sum floor
+    // division; the checksum is the table_checksum 8-hex-draw convention
+    // over "doc_id|md5(text)"
+    "shard_manifest_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT (cum - n_tokens) // 1000 AS shard_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_id, MAX(doc_id) AS last_id,
+        |  CAST(SUM(CAST(('0x' || substr(md5(
+        |    CAST(doc_id AS VARCHAR) || '|' || md5(text)), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS content_checksum
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // video kind ⇔ doc_id % 3 = 2 (fromDocuments' kind array); signature =
     // first md5 byte of payload ++ frame-index-as-string, unsigned

@@ -249,6 +249,28 @@ object TextAnalysis {
       .drop("__cum")
   }
 
+  /** Release manifest for a token-budget-packed corpus export: per shard,
+    * row count, exact token mass, the id range, and an order-independent
+    * content checksum (sum of per-doc md5 draws over "id|text-fingerprint",
+    * the [[graft.sample.Samplers.hashDraw32]] convention `table_checksum`
+    * uses) — what a data release ships beside its shards so a consumer
+    * verifies transfer integrity without re-reading the source. Composes
+    * [[packIntoShards]] (parallel global cumsum) with one per-shard
+    * hash-agg; at 100 TB the manifest is |shards| rows.
+    */
+  def shardManifest(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    val packed = packIntoShards(df, idCol, textCol, budgetTokens)
+    val repr = concat_ws("|", col(idCol).cast("string"),
+      md5(col(textCol).cast("binary")))
+    packed.groupBy(col("shard_id")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("n_tokens"),
+      min(col(idCol)).as("first_id"),
+      max(col(idCol)).as("last_id"),
+      sum(graft.sample.Samplers.hashDraw32(repr)).as("content_checksum"))
+  }
+
   /** Corpus-level bigram conditional statistics: for each bigram "w1 w2",
     * its corpus count and P(w2|w1) = count(w1 w2)/count(w1 ·) as an exact
     * integer ratio — the co-occurrence table behind language-model-ish

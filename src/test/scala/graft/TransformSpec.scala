@@ -125,6 +125,24 @@ class TransformSpec extends SparkSpec {
       assert(ProgramDsl.parse(ProgramDsl.render(p)) == p)
   }
 
+  test("Hijri codegen kernel: property parity with per-row eval") {
+    // the codegen expression (GregorianToHijriExpr) and the JVM eval walk
+    // different code paths over the same integer algorithm — drive 2000
+    // seeded random dates across ~623..3600 CE plus the epoch boundary
+    val rng = new scala.util.Random(20260813L)
+    val dates = Seq("0622-07-18", "0622-07-19", "0622-07-20") ++
+      (1 to 2000).map(_ => java.time.LocalDate.ofEpochDay(
+        -492000L + rng.nextInt(1100000)).toString)
+    agree(GregorianToHijri(), dates)
+    // spot invariants over the random set: month in [1,12], day in [1,30]
+    val out = dates.map(GregorianToHijri().eval).filter(_.nonEmpty)
+    assert(out.nonEmpty)
+    assert(out.forall { s =>
+      val m = s.slice(5, 7).toInt; val d = s.slice(8, 10).toInt
+      m >= 1 && m <= 12 && d >= 1 && d <= 30
+    }, "Hijri month/day out of range")
+  }
+
   test("synthesizer recovers the geo/calendar family from demos") {
     val dms = RuleSynthesizer.synthesize(None,
       Seq("41.3811" -> "41°22'52.0\"", "10.5" -> "10°30'0.0\""))
