@@ -1376,6 +1376,25 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- CMS as STREAMING aggregation state --------------------------------
+    // The frequency-sketch counterpart of streaming_kmv_events: cmsBuild's
+    // hash-agg runs as a streaming groupBy, so the state store holds the
+    // fixed 4×512 counter table however long the stream runs — bounded-
+    // memory heavy-hitter tracking. Counter addition is merge-order-free,
+    // so the batch sketch-table oracle replays the result exactly.
+    "streaming_cms_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val sk = graft.scale.Sketches.cmsBuild(stream, col("user_id"))
+      val name = "stream_cms_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, sk, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("j"), col("bucket"))
+    }),
+
     // ---- count-min frequency sketch over the event stream ------------------
     // Build a 4×512 CMS of per-user event counts (the sketch is a 2048-row
     // count table — constant size at any input mass, mergeable by summing
@@ -4379,6 +4398,16 @@ object SparkEntry {
         |    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
         |      // GREATEST(kth, 1) END AS BIGINT) AS kmv_est
         |FROM s ORDER BY 1""".stripMargin,
+
+    // streaming CMS == batch CMS (counter addition is merge-order-free):
+    // the sketch table itself is the checked output
+    "streaming_cms_events" ->
+      """SELECT d.j,
+        |  CAST(('0x' || substring(md5(CAST(d.j AS VARCHAR) || ':' ||
+        |    CAST(e.user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 512 AS bucket,
+        |  CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM events e CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS j) d
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // CMS replay: row j's bucket for key x = md5-prefix("j:x") % 512 in
     // both engines; top-15 tie-break (count desc, user_id) is total order
