@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify driver captures only the tail of stdout and parses the
+// last line as JSON. sbt's default forked-run output goes through the sbt
+// logger ("[info] " prefix) and is followed by a "[success] Total time"
+// footer — both break that parse (BENCH_r01..r04 all show parsed:null).
+// Route the forked JVM's stdout straight through, and drop the footer.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+ThisBuild / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
