@@ -250,6 +250,26 @@ object ScaleCheck {
             col("user_id").cast("string").cast("binary"), 15)),
           Seq("event_type"), col("__h")),
         events, "user_id", None),
+      ("hll_distinct",
+        // 64 bytes of state per group with O(1) reduce: the flattest
+        // possible scaling curve for a distinct count
+        (d: DataFrame) => graft.scale.Sketches.hllDistinct(
+          d.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+            col("user_id").cast("string").cast("binary"), 15)),
+          Seq("event_type"), col("__h")),
+        events, "user_id", None),
+      ("dsir_select",
+        // LM tables stay 1024 rows at any corpus mass; scoring is one
+        // broadcast join + per-doc agg; selection is a TakeOrdered
+        (d: DataFrame) => TextAnalysis.dsirSelect(
+          d, "doc_id", "text", col("lang") === "en"),
+        docs, "doc_id", Some("text")),
+      ("kcenter_select",
+        // k map-only passes over the persisted quantized projection; the
+        // only non-scan work is a 1-row TakeOrdered per round
+        (d: DataFrame) => Similarity.kcenterSelect(
+          d, "vec_id", "embedding", 8),
+        embeddings, "vec_id", Some("embedding")),
       ("cms_counts",
         // the sketch output is d·w rows at ANY input mass; map-side
         // partials absorb the heavy keys so the exchange is constant-width

@@ -878,9 +878,9 @@ object SparkEntry {
       val e = t(s, dir, "events")
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("pts"))
+          Events.epochMicros(e).as("pts"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts DIV 1000").as("ts"), col("value"))
+        .select(col("user_id"), Events.epochMicros(e).as("ts"), col("value"))
       Joins.asOfJoin(purchases, clicks, "user_id", "user_id",
           col("pts"), col("ts"), Seq("ts", "value"))
         .orderBy(col("event_id"))
@@ -1278,6 +1278,27 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- HLL distinct sketch (exactly-replayable registers) ----------------
+    // The constant-state counterpart of kmv_distinct_events with O(1)
+    // reduce: 64 byte registers per group, merged by elementwise max.
+    // Registers are an exact function of the input SET (bucket + leading-
+    // zero rank of the md5-prefix hash), so n_zero_regs / harmonic_num /
+    // regs_digest are exact integers the oracle replays, and the final
+    // alpha·m²·2^R/num estimate (with linear-counting small-range branch)
+    // is one fixed-order double expression over them. Exact countDistinct
+    // rides along for accuracy eyeballing.
+    "hll_distinct_events" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hashed = ev.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+        col("user_id").cast("string").cast("binary"), 15))
+      graft.scale.Sketches.hllDistinct(hashed, Seq("event_type"), col("__h"))
+        .join(ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_users")), Seq("event_type"))
+        .select(col("event_type"), col("n_users"), col("n_zero_regs"),
+          col("harmonic_num"), col("regs_digest"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- KMV set-operation estimates (theta-sketch shape) ------------------
     // Per event_type: user-set overlap of two event slices (A = event_id
     // not ≡ 0 mod 3, B = even event_id) from 64-long sketches only — the
@@ -1369,6 +1390,27 @@ object SparkEntry {
           col("__kmv.kth").as("kmv_kth"),
           col("__kmv.estimate").as("kmv_est"))
       val name = "stream_kmv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, sk, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- HLL as STREAMING aggregation state --------------------------------
+    // Register max-merge is associative/commutative/idempotent, so the
+    // streaming Complete-mode state is the same 64-byte register table the
+    // batch build produces — the oracle replays it verbatim.
+    "streaming_hll_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val hashed = stream.withColumn("__h",
+        graft.scale.HashExprs.md5PrefixLong(
+          col("user_id").cast("string").cast("binary"), 15))
+      val sk = graft.scale.Sketches.hllDistinct(
+        hashed, Seq("event_type"), col("__h"))
+      val name = "stream_hll_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       graft.streaming.Streams
         .runToMemory(s, sk, name,
@@ -1577,17 +1619,17 @@ object SparkEntry {
     // ---- key-less interval join via bucketization: clicks within 30 min of
     // an anchor purchase (bucket equi-join, then exact predicate) ------------
     "bucketed_range_join_events" -> ((s, dir) => {
-      // ts is epoch-ns LongType (nanosAsLong); truncate to µs on BOTH engines
-      // (DuckDB reads nanos parquet timestamps at µs precision).
+      // µs epoch keys on BOTH engines (Events.epochMicros handles every ts
+      // representation the harness has shipped; DuckDB sees µs natively).
       val ev = t(s, dir, "events")
       val anchors = ev
         .filter(col("event_type") === "purchase" && col("user_id") % 97 === 0)
         .select(col("event_id").as("anchor_id"),
-          expr("ts DIV 1000").as("win_start"),
-          (expr("ts DIV 1000") + lit(1800L * 1000000L)).as("win_end"))
+          Events.epochMicros(ev).as("win_start"),
+          (Events.epochMicros(ev) + lit(1800L * 1000000L)).as("win_end"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("event_id").as("click_id"),
-          expr("ts DIV 1000").as("ts_us"), col("value"))
+          Events.epochMicros(ev).as("ts_us"), col("value"))
       Joins.bucketedRangeJoin(anchors, clicks,
           col("ts_us"), col("win_start"), col("win_end"),
           1800L * 1000000L)
@@ -2112,9 +2154,9 @@ object SparkEntry {
       val e = t(s, dir, "events")
       val purchases = e.filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"),
-          expr("ts DIV 1000").as("pts"), col("value"))
+          Events.epochMicros(e).as("pts"), col("value"))
       val clicks = e.filter(col("event_type") === "click")
-        .select(col("user_id"), expr("ts DIV 1000").as("cts"),
+        .select(col("user_id"), Events.epochMicros(e).as("cts"),
           (get_json_object(col("props"), "$.k").cast("long") % 5)
             .as("campaign"))
       Joins.asOfJoin(purchases, clicks, "user_id", "user_id",
@@ -2663,6 +2705,24 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- DSIR importance-resampling data selection -------------------------
+    // Target = English docs; every doc scored by the hashed-unigram
+    // importance ratio and sampled without replacement via deterministic
+    // Gumbel top-k (see TextAnalysis.dsirSelect). LM tables are 1024 rows
+    // regardless of corpus mass; selection is a TakeOrdered.
+    "dsir_select_docs" -> ((s, dir) =>
+      TextAnalysis.dsirSelect(t(s, dir, "documents"), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy(col("sel_rank"))),
+
+    // ---- DoReMi-style domain reweighting -----------------------------------
+    // Excess unigram cross-entropy per source vs its own-domain reference
+    // LM, one exponentiated-gradient step from uniform, uniform-smoothed
+    // (see TextAnalysis.doremiWeights).
+    "doremi_weights_docs" -> ((s, dir) =>
+      TextAnalysis.doremiWeights(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("domain"))),
+
     // ---- scale: exact-substring duplication (char k-gram index) ------------
     "substring_dup_docs" -> ((s, dir) =>
       Dedup.substringDupPairs(t(s, dir, "documents"), "doc_id", "text", 48, 100)
@@ -2692,6 +2752,14 @@ object SparkEntry {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
         .orderBy(col("vec_id"))),
 
+    // ---- greedy k-center diverse selection ---------------------------------
+    // Farthest-first traversal over quantized embeddings: 8 rounds, each a
+    // map-only scan + 1-row TakeOrdered (see Similarity.kcenterSelect).
+    "kcenter_select_embeddings" -> ((s, dir) =>
+      Similarity.kcenterSelect(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .orderBy(col("sel_round"))),
+
     // ---- nearest-centroid (Rocchio) classifier confusion matrix ------------
     "centroid_classify_embeddings" -> ((s, dir) =>
       Similarity.nearestCentroidConfusion(
@@ -2718,6 +2786,44 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true))
+  }
+
+  /** Mechanically unrolled greedy k-center oracle: one (pick, re-min) CTE
+    * pair per round — the oracle replays the ALGORITHM (greedy argmax
+    * chain) because the k-center result is defined by it. All distances
+    * are integer sums over the quantized vectors, so every argmax
+    * comparison is exact; ties fall to ascending vec_id like the Spark
+    * side.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i])))"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings)""".stripMargin
+    ctes += """c1 AS (
+      |  SELECT vec_id, v,
+      |    list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS obj
+      |  FROM qv ORDER BY obj DESC, vec_id LIMIT 1)""".stripMargin
+    ctes += s"""d1 AS (
+      |  SELECT q.vec_id, q.v, ${dist("q", "c")} AS dm
+      |  FROM qv q, c1 c WHERE q.vec_id <> c.vec_id)""".stripMargin
+    for (r <- 2 to k) {
+      ctes += s"c$r AS (\n  SELECT vec_id, v, dm AS obj FROM d${r - 1}" +
+        s"\n  ORDER BY dm DESC, vec_id LIMIT 1)"
+      if (r < k)
+        ctes += s"d$r AS (\n  SELECT d.vec_id, d.v," +
+          s" LEAST(d.dm, ${dist("d", "c")}) AS dm" +
+          s"\n  FROM d${r - 1} d, c$r c WHERE d.vec_id <> c.vec_id)"
+    }
+    val sel = (1 to k).map(r =>
+        s"SELECT $r AS sel_round, vec_id AS sel_id," +
+          s" CAST(obj AS BIGINT) AS obj FROM c$r")
+      .mkString("\nUNION ALL\n")
+    "WITH " + ctes.mkString(",\n") + "\n" + sel + "\nORDER BY sel_round"
   }
 
   /** Mechanically unrolled perceptron-training oracle (same unroll idiom as
@@ -4248,6 +4354,47 @@ object SparkEntry {
         |      // GREATEST(s.kth, 1) END AS BIGINT) AS kmv_est
         |FROM d JOIN s USING (event_type) ORDER BY 1""".stripMargin,
 
+    // HLL: bucket = hash mod 64; rho = leading zeros of the remaining
+    // 54-bit word + 1 (= 55 − bit-length, computed via the binary-format
+    // string — exact integer string op in both engines); registers are
+    // per-bucket MAX. Estimate arithmetic mirrors Sketches.hllDistinct
+    // token for token.
+    "hll_distinct_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - length(format('{:b}', hv // 64)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |f AS (
+        |  SELECT e.event_type, g.bucket, COALESCE(r.rho, 0) AS reg
+        |  FROM (SELECT DISTINCT event_type FROM events) e
+        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS bucket) g
+        |  LEFT JOIN r ON r.event_type = e.event_type AND r.bucket = g.bucket),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT)
+        |      AS harmonic_num,
+        |    CAST(SUM((bucket + 1) * reg) AS BIGINT) AS regs_digest
+        |  FROM f GROUP BY 1),
+        |d AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        |  FROM events GROUP BY 1)
+        |SELECT d.event_type, d.n_users, s.n_zero_regs, s.harmonic_num,
+        |  s.regs_digest,
+        |  CAST(CASE WHEN s.n_zero_regs > 0 AND
+        |      2.0925986477216114E20
+        |        / CAST(s.harmonic_num AS DOUBLE) <= 160.0
+        |    THEN ROUND(64.0 * LN(64.0 / CAST(s.n_zero_regs AS DOUBLE)))
+        |    ELSE ROUND(2.0925986477216114E20
+        |      / CAST(s.harmonic_num AS DOUBLE)) END AS BIGINT) AS hll_est
+        |FROM d JOIN s USING (event_type) ORDER BY 1""".stripMargin,
+
     // KMV set ops: the A/B sketches are the k smallest hashes of each
     // slice's user set; a union-sketch member's slice membership is its
     // per-user flag (rank-in-slice ≤ rank-in-union ≤ k, so sketch
@@ -4397,6 +4544,40 @@ object SparkEntry {
         |  CAST(CASE WHEN n_sketch < 64 THEN n_sketch
         |    ELSE (CAST(63 AS HUGEINT) * 1152921504606846976)
         |      // GREATEST(kth, 1) END AS BIGINT) AS kmv_est
+        |FROM s ORDER BY 1""".stripMargin,
+
+    // streaming HLL == batch HLL (register max is merge-order-free)
+    "streaming_hll_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - length(format('{:b}', hv // 64)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |f AS (
+        |  SELECT e.event_type, g.bucket, COALESCE(r.rho, 0) AS reg
+        |  FROM (SELECT DISTINCT event_type FROM events) e
+        |  CROSS JOIN (SELECT UNNEST(range(0, 64)) AS bucket) g
+        |  LEFT JOIN r ON r.event_type = e.event_type AND r.bucket = g.bucket),
+        |s AS (
+        |  SELECT event_type,
+        |    CAST(SUM(CASE WHEN reg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_zero_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (56 - reg)) AS BIGINT)
+        |      AS harmonic_num,
+        |    CAST(SUM((bucket + 1) * reg) AS BIGINT) AS regs_digest
+        |  FROM f GROUP BY 1)
+        |SELECT event_type, n_zero_regs, harmonic_num, regs_digest,
+        |  CAST(CASE WHEN n_zero_regs > 0 AND
+        |      2.0925986477216114E20
+        |        / CAST(harmonic_num AS DOUBLE) <= 160.0
+        |    THEN ROUND(64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE)))
+        |    ELSE ROUND(2.0925986477216114E20
+        |      / CAST(harmonic_num AS DOUBLE)) END AS BIGINT) AS hll_est
         |FROM s ORDER BY 1""".stripMargin,
 
     // streaming CMS == batch CMS (counter addition is merge-order-free):
@@ -6315,6 +6496,91 @@ object SparkEntry {
         |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // DSIR: hashed-unigram bucket LMs with add-1 smoothing; per-token log
+    // ratio as four fixed-order lns of exact integers; Gumbel key from the
+    // md5 'dsir:<id>' hash; ranks compare 6-decimal-rounded keys.
+    "dsir_select_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tb AS (
+        |  SELECT doc_id,  lang,
+        |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM tok),
+        |lm AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_cnt
+        |  FROM tb GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
+        |    CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+        |  FROM lm),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(ln(t_cnt + 1) + ln(r_tot + 1024)
+        |      - ln(r_cnt + 1) - ln(t_tot + 1024)) AS logw_raw
+        |  FROM tb JOIN lm USING (b) CROSS JOIN tot
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, n_tokens, ROUND(logw_raw, 6) AS logw,
+        |    ROUND(logw_raw - ln(-ln(
+        |      (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0)), 6)
+        |      AS gumbel_key
+        |  FROM sc),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+        |    AS sel_rank, doc_id, n_tokens, logw, gumbel_key
+        |  FROM g)
+        |SELECT sel_rank, doc_id, n_tokens, logw, gumbel_key FROM r
+        |WHERE sel_rank <= 50 ORDER BY sel_rank""".stripMargin,
+
+    // DoReMi: per-(domain,token) count table drives both cross-entropies;
+    // the softmax reads the 6-decimal-rounded excess, mirroring
+    // TextAnalysis.doremiWeights token for token.
+    "doremi_weights_docs" ->
+      """WITH tok AS (
+        |  SELECT source AS domain, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |ndt AS (
+        |  SELECT domain, token, CAST(COUNT(*) AS BIGINT) AS n_dt
+        |  FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT token, CAST(SUM(n_dt) AS BIGINT) AS n_t
+        |  FROM ndt GROUP BY 1),
+        |tc AS (SELECT CAST(SUM(n_t) AS BIGINT) AS t_c FROM nt),
+        |td AS (SELECT domain, CAST(SUM(n_dt) AS BIGINT) AS t_d
+        |  FROM ndt GROUP BY 1),
+        |nd AS (SELECT source AS domain, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |pd AS (
+        |  SELECT n.domain,
+        |    CAST(SUM(n.n_dt) AS BIGINT) AS n_tokens,
+        |    ROUND((-SUM(CAST(n.n_dt AS DOUBLE) * (ln(t.n_t) - ln(c.t_c))))
+        |      / CAST(SUM(n.n_dt) AS DOUBLE), 6) AS loss_corpus,
+        |    ROUND((-SUM(CAST(n.n_dt AS DOUBLE) * (ln(n.n_dt) - ln(d.t_d))))
+        |      / CAST(SUM(n.n_dt) AS DOUBLE), 6) AS loss_self
+        |  FROM ndt n JOIN nt t USING (token) JOIN td d USING (domain)
+        |  CROSS JOIN tc c
+        |  GROUP BY 1),
+        |ex AS (
+        |  SELECT *, GREATEST(0.0, loss_corpus - loss_self) AS excess_raw,
+        |    exp(1.0 * GREATEST(0.0, loss_corpus - loss_self)) AS uw
+        |  FROM pd),
+        |s AS (SELECT SUM(uw) AS su, COUNT(*) AS ndom FROM ex)
+        |SELECT e.domain, nd.n_docs, e.n_tokens, e.loss_corpus, e.loss_self,
+        |  ROUND(e.excess_raw, 6) AS excess,
+        |  ROUND((1.0 - 0.1) * (e.uw / s.su) + 0.1 / s.ndom, 6) AS weight
+        |FROM ex e CROSS JOIN s JOIN nd USING (domain)
+        |ORDER BY domain""".stripMargin,
+
+    // k-center: the greedy argmax chain unrolled as one CTE per round —
+    // generated programmatically (see kcenterOracleSql); all-integer
+    // distances so every comparison is exact.
+    "kcenter_select_embeddings" -> kcenterOracleSql(8),
 
     "semdedup_embeddings" ->
       """WITH qv AS (

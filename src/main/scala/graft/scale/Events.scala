@@ -32,11 +32,16 @@ object Events {
     else unix_timestamp(date_trunc("hour", col("ts")))
 
   /** A proper TimestampType view of ts (µs precision) for operators that
-    * need one (session_window, watermarks, streaming).
+    * need one (session_window, watermarks, streaming). The harness has
+    * shipped `ts` as nanos-long, µs TIMESTAMP_NTZ, and µs TIMESTAMP_LTZ
+    * across corpus generations; watermarks and unix_micros demand LTZ, so
+    * the non-long branch casts (identity for LTZ; session-tz — UTC in
+    * every main — interpretation for NTZ, matching DuckDB's epoch_us view
+    * of the same column).
     */
   def tsAsTimestamp(df: DataFrame): Column =
     if (isNanosLong(df)) timestamp_micros(expr("ts DIV 1000"))
-    else col("ts")
+    else col("ts").cast(TimestampType)
 
   /** Tumbling 1-hour window aggregation (equivalent to
     * `window($"ts", "1 hour")` for aligned windows, emitted as the hour's
@@ -271,7 +276,7 @@ object Events {
   def epochMicros(df: DataFrame): Column =
     if (isNanosLong(df))
       expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
-    else unix_micros(col("ts"))
+    else unix_micros(col("ts").cast(TimestampType))
 
   /** Per-group linear trend: the least-squares slope of the DAILY value
     * total against the epoch day, one row per event_type — "is this

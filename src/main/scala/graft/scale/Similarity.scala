@@ -744,6 +744,66 @@ object Similarity {
     * per side), so the joins here are trivially small; the expensive part
     * is producing `exact`, which is the caller's sampled brute-force pass.
     */
+  /** Greedy farthest-first k-center selection (Gonzalez 1985) — the
+    * diversity-maximizing counterpart of [[semDedup]]: instead of dropping
+    * near-duplicates, PICK the `k` most mutually-spread vectors (coreset /
+    * prompt-diversity selection for curation pipelines). 2-approximation of
+    * the optimal k-center radius.
+    *
+    * Fully deterministic and oracle-replayable: distances are exact-integer
+    * squared L2 over [[quantize]]d components (the codegen
+    * [[VectorExprs.l2Sq]] kernel), the seed is the max-squared-norm vector,
+    * and every argmax tie-breaks on ascending id.
+    *
+    * Execution shape: k passes over the corpus. Each round broadcasts ONE
+    * new 64-long center (a scalar literal in the plan), updates the running
+    * min-distance column with `least`, and takes a 1-row TakeOrdered — the
+    * per-round driver traffic is one (id, vec) row, the data plane never
+    * collects. At 100 TB: k linear scans with map-only work between them —
+    * persist the quantized projection once and each scan reads columnar
+    * cache; no shuffle at all outside the 1-row top-k.
+    *
+    * Output: one row per round — (sel_round, id, obj) where obj is the
+    * squared norm for round 1 (the seed criterion) and the chosen point's
+    * min squared distance to the already-selected set after round 1 (the
+    * k-center coverage radius at that step — non-increasing in r).
+    */
+  def kcenterSelect(df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 1, s"k-center needs k >= 1, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val qv = df.select(col(idCol).cast("long").as("__id"),
+        quantize(col(vecCol)).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def lits(c: Array[Long]): Column =
+      typedLit(c.toSeq)
+    try {
+      val seed = qv
+        .withColumn("__obj", dotLong(col("__v"), col("__v")))
+        .orderBy(col("__obj").desc, col("__id"))
+        .select(col("__id"), col("__v"), col("__obj"))
+        .head()
+      var picked = List((1, seed.getLong(0), seed.getLong(2)))
+      var center = seed.getSeq[Long](1).toArray
+      // running frame: survivors with min distance to the selected set
+      var d = qv.filter(col("__id") =!= seed.getLong(0))
+        .withColumn("__dm", l2Sq(col("__v"), lits(center)))
+      var r = 2
+      while (r <= k) {
+        val next = d.orderBy(col("__dm").desc, col("__id")).head()
+        picked ::= ((r, next.getLong(0), next.getLong(2)))
+        center = next.getSeq[Long](1).toArray
+        d = d.filter(col("__id") =!= next.getLong(0))
+          .withColumn("__dm",
+            least(col("__dm"), l2Sq(col("__v"), lits(center))))
+        r += 1
+      }
+      import spark.implicits._
+      picked.reverse.toDF("sel_round", "sel_id", "obj")
+    } finally qv.unpersist()
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = approx.select(col("query_id"), col("cand_id"))
       .join(exact.select(col("query_id"), col("cand_id"))

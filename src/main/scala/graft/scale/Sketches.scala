@@ -265,4 +265,124 @@ object Sketches {
         col("__kmv.kth").as("kmv_kth"),
         col("__kmv.estimate").as("kmv_est")): _*)
   }
+
+  // --------------------------------------------------------------------------
+  // HyperLogLog (Flajolet et al. 2007) with exactly-replayable registers
+  // --------------------------------------------------------------------------
+
+  /** Fixed 2^p byte registers; merge = elementwise max (associative,
+    * commutative, idempotent — the reason HLL state is safe under Spark's
+    * partial aggregation AND under streaming Complete-mode re-merge).
+    */
+  final case class HllBuf(regs: Array[Byte])
+
+  /** Exact-integer register summary (estimate is derived in the column
+    * layer so the oracle can replay the same arithmetic):
+    * nZeroRegs — registers still 0 (drives linear counting);
+    * harmonicNum — Σ_b 2^(R − M[b]) with R = (60−p)+2, the harmonic-mean
+    *   denominator lifted to a COMMON power-of-two denominator so it is an
+    *   exact long (≤ 2^62 for every p);
+    * regsDigest — Σ_b (b+1)·M[b], a replayable checksum of the whole
+    *   register table so an oracle mismatch pinpoints register drift.
+    */
+  final case class HllOut(nZeroRegs: Long, harmonicNum: Long,
+      regsDigest: Long, maxRho: Int)
+
+  /** The rho exponent cap: hashes live in [0, 2^60) (15-hex md5 prefix),
+    * the bucket eats p bits, so the rank word w has 60−p bits and
+    * rho = (leading zeros of w) + 1 ∈ [1, 61−p].
+    */
+  private def rho(w: Long, wBits: Int): Int =
+    if (w == 0L) wBits + 1
+    else wBits - (64 - java.lang.Long.numberOfLeadingZeros(w)) + 1
+
+  /** HLL aggregator over md5-prefix hashes: Long hash in (same convention
+    * as [[kmvAggregator]] — the caller hashes), 2^p bytes of state,
+    * exact-integer summary out. Scale story: the shuffle carries 2^p bytes
+    * per (partition, group) — corpus-size-independent, like KMV but with
+    * O(1) reduce (KMV pays O(k) arraycopy per new small hash).
+    */
+  def hllAggregator(p: Int): Aggregator[Long, HllBuf, HllOut] = {
+    require(p >= 4 && p <= 16, s"HLL needs 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val wBits = 60 - p
+    new Aggregator[Long, HllBuf, HllOut] {
+      override def zero: HllBuf = HllBuf(new Array[Byte](m))
+      override def reduce(b: HllBuf, h: Long): HllBuf = {
+        val bucket = (h % m).toInt
+        val r = rho(h >>> p, wBits)
+        if (r > b.regs(bucket)) b.regs(bucket) = r.toByte
+        b
+      }
+      override def merge(a: HllBuf, b: HllBuf): HllBuf = {
+        var i = 0
+        while (i < m) {
+          if (b.regs(i) > a.regs(i)) a.regs(i) = b.regs(i)
+          i += 1
+        }
+        a
+      }
+      override def finish(b: HllBuf): HllOut = {
+        val bigR = wBits + 2
+        var zeros = 0L; var num = 0L; var digest = 0L; var maxR = 0
+        var i = 0
+        while (i < m) {
+          val r = b.regs(i).toInt
+          if (r == 0) zeros += 1
+          num += 1L << (bigR - r)
+          digest += (i + 1).toLong * r
+          if (r > maxR) maxR = r
+          i += 1
+        }
+        HllOut(zeros, num, digest, maxR)
+      }
+      override def bufferEncoder: Encoder[HllBuf] = Encoders.product[HllBuf]
+      override def outputEncoder: Encoder[HllOut] = Encoders.product[HllOut]
+    }
+  }
+
+  /** Standard HLL bias constant alpha_m, rendered as the exact decimal
+    * literal BOTH engines parse (so the raw-estimate double is reproduced
+    * bit-for-bit by the oracle's identical expression).
+    */
+  def hllAlphaLiteral(m: Int): String = m match {
+    case 16 => "0.673"
+    case 32 => "0.697"
+    case 64 => "0.709"
+    case _  => // 0.7213 / (1 + 1.079/m), pre-rounded to 6 decimals
+      java.math.BigDecimal.valueOf(0.7213 / (1.0 + 1.079 / m))
+        .setScale(6, java.math.RoundingMode.HALF_UP).toPlainString
+  }
+
+  /** Per-group HLL distinct estimate of `hashCol` (15-hex md5-prefix long,
+    * see [[kmvDistinct]]). Output per group: `n_zero_regs`, `harmonic_num`,
+    * `regs_digest` (all exact integers — see [[HllOut]]) and `hll_est`:
+    * the classic alpha·m²·2^R / harmonic_num raw estimate, replaced by
+    * linear counting m·ln(m/V) below the 2.5·m small-range threshold.
+    * Both branches are single-expression doubles over exact-integer inputs
+    * with fixed literal order, so DuckDB replays the rounded result.
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+      p: Int = 6): DataFrame = {
+    val m = 1 << p
+    val agg = udaf(hllAggregator(p), Encoders.scalaLong)
+    // alpha·m²·2^R pre-multiplied into ONE double literal: a naked
+    // `0.709 * …` chain parses as DECIMAL arithmetic in DuckDB (overflows
+    // DECIMAL(18)) and as a mixed decimal tree in Spark — a single
+    // scientific-notation literal is a DOUBLE in both engines and both
+    // parse it to the identical bit pattern
+    val cLit = ((hllAlphaLiteral(m).toDouble * m) * m *
+      java.lang.Math.scalb(1.0, 62 - p)).toString
+    val raw = s"$cLit / CAST(harmonic_num AS DOUBLE)"
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(hashCol).as("__hll"))
+      .select(groupCols.map(col) ++ Seq(
+        col("__hll.nZeroRegs").as("n_zero_regs"),
+        col("__hll.harmonicNum").as("harmonic_num"),
+        col("__hll.regsDigest").as("regs_digest")): _*)
+      .withColumn("hll_est", expr(
+        s"CAST(CASE WHEN n_zero_regs > 0 AND ($raw) <= ${2.5 * m}" +
+          s" THEN ROUND($m.0 * LN($m.0 / CAST(n_zero_regs AS DOUBLE)))" +
+          s" ELSE ROUND($raw) END AS BIGINT)"))
+  }
 }

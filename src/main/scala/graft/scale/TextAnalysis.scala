@@ -1176,6 +1176,132 @@ object TextAnalysis {
       .orderBy(col("score").desc, col(idCol), col("win_idx"))
       .limit(k)
   }
+
+  /** DSIR-style data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023): score every raw document by how target-like its hashed
+    * bag-of-words is, then draw a without-replacement sample of `topK`
+    * docs proportionally to the importance weights via Gumbel top-k.
+    *
+    * Model: unigram bucket LMs with add-1 smoothing over `buckets` hashed
+    * features (md5-prefix mod buckets — the repo's portable hash, so the
+    * oracle replays bucket placement exactly).
+    *   log w(doc) = Σ_tokens ln( (t_b+1)·(R+B) / ((r_b+1)·(T+B)) )
+    * with t/r the target/raw bucket counts and T/R their totals. The Gumbel
+    * key is log w − ln(−ln(u)) with u = (h+0.5)/2^60 from a per-doc md5
+    * hash — deterministic "randomness", so selection is reproducible and
+    * engine-independent.
+    *
+    * Scale story: the two LM tables are `buckets` rows each however large
+    * the corpus (hash-agg with map-side partials), broadcast onto the token
+    * stream; per-doc scoring is one groupBy(doc); selection is a top-k —
+    * TakeOrdered, no global sort. Doubles appear only in the final ln/sum;
+    * ranks compare 6-decimal-rounded keys so reassociation noise cannot
+    * reorder the pick (ties fall back to doc_id).
+    *
+    * Reference anchor: selection-style corpus filtering is the reference's
+    * data-curation concern (sampling family, e.g. sample_data.py); this is
+    * the published importance-resampling form of it at corpus scale.
+    */
+  def dsirSelect(df: DataFrame, idCol: String, textCol: String,
+      isTarget: Column, buckets: Int = 1024, topK: Int = 50): DataFrame = {
+    val b = buckets
+    val tok = df.select(col(idCol), isTarget.as("__tgt"),
+        explode(tokens(col(textCol))).as("__token"))
+      .withColumn("__b", pmod(
+        HashExprs.md5PrefixLong(col("__token").cast("binary"), 15),
+        lit(b.toLong)))
+    // bucket LMs: `b` rows each, corpus-size-independent
+    val rawLm = tok.groupBy(col("__b")).agg(count(lit(1)).as("r_cnt"))
+    val tgtLm = tok.filter(col("__tgt"))
+      .groupBy(col("__b")).agg(count(lit(1)).as("t_cnt"))
+    val lm = rawLm.join(tgtLm, Seq("__b"), "left")
+      .select(col("__b"), col("r_cnt"),
+        coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
+    val totals = lm.agg(sum(col("r_cnt")).as("r_tot"),
+      sum(col("t_cnt")).as("t_tot"))
+    // four lns of exact integers (each < 2^53 even at 100 TB token mass),
+    // summed in fixed left-to-right order: both engines see identical
+    // doubles, and nothing overflows the way a long×long product would
+    val scored = tok.join(broadcast(lm), Seq("__b"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__lr",
+        log(col("t_cnt") + 1) + log(col("r_tot") + b) -
+          log(col("r_cnt") + 1) - log(col("t_tot") + b))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr")).as("__logw"))
+    val gumbel = scored.withColumn("__u",
+        (HashExprs.md5PrefixLong(
+          concat(lit("dsir:"), col(idCol).cast("string")).cast("binary"), 15)
+          .cast("double") + lit(0.5)) / lit(1152921504606846976.0))
+      .withColumn("__key", col("__logw") - log(-log(col("__u"))))
+      .withColumn("logw", round(col("__logw"), 6))
+      .withColumn("gumbel_key", round(col("__key"), 6))
+    gumbel
+      .orderBy(col("gumbel_key").desc, col(idCol))
+      .limit(topK)
+      .withColumn("sel_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("gumbel_key").desc, col(idCol))))
+      .select(col("sel_rank"), col(idCol), col("n_tokens"),
+        col("logw"), col("gumbel_key"))
+  }
+
+  /** DoReMi-style domain reweighting (Xie et al., NeurIPS 2023): upweight
+    * the domains a shared model serves WORST relative to a domain-specific
+    * reference. The published method trains proxy models; the engine-native
+    * deterministic proxy here is unigram cross-entropy — per domain d:
+    *   loss_corpus(d) = mean −ln p_corpus(token)   (shared-model loss)
+    *   loss_self(d)   = mean −ln p_domain(token)   (reference-model loss)
+    *   excess(d)      = max(0, loss_corpus − loss_self)
+    * and one exponentiated-gradient step from uniform weights:
+    *   weight(d) ∝ exp(eta·excess(d)), then smoothed with the uniform
+    *   mixture (1−smooth)·w + smooth/|D| exactly as the paper's Algorithm 1.
+    *
+    * Scale story: everything derives from the (domain, token) count table —
+    * one hash-agg over the exploded corpus (map-side partials), then
+    * domain-level reductions over that table; the final softmax touches
+    * |D| rows. No token-level join back to the corpus, no window over the
+    * data plane. Doubles appear only in ln/÷ over exact counts with
+    * fixed-order expressions; every emitted float is 6-decimal-rounded, and
+    * the softmax reads the ROUNDED excess so engine noise cannot compound.
+    */
+  def doremiWeights(df: DataFrame, domainCol: String, textCol: String,
+      eta: Double = 1.0, smooth: Double = 0.1): DataFrame = {
+    require(smooth >= 0 && smooth <= 1, s"smooth in [0,1], got $smooth")
+    val (etaL, smoothL) = (eta.toString, smooth.toString)
+    val tok = df.select(col(domainCol).as("domain"),
+      explode(tokens(col(textCol))).as("token"))
+    val ndt = tok.groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("n_dt"))
+    val nt = ndt.groupBy(col("token")).agg(sum(col("n_dt")).as("n_t"))
+    val totC = nt.agg(sum(col("n_t")).as("t_c"))
+    val totD = ndt.groupBy(col("domain")).agg(sum(col("n_dt")).as("t_d"))
+    val nDocs = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    val perDomain = ndt.join(nt, Seq("token"))
+      .join(broadcast(totD), Seq("domain"))
+      .crossJoin(broadcast(totC))
+      .groupBy(col("domain"))
+      .agg(sum(col("n_dt")).as("n_tokens"),
+        round((-sum(col("n_dt").cast("double") *
+            (log(col("n_t")) - log(col("t_c"))))) /
+          sum(col("n_dt")).cast("double"), 6).as("loss_corpus"),
+        round((-sum(col("n_dt").cast("double") *
+            (log(col("n_dt")) - log(col("t_d"))))) /
+          sum(col("n_dt")).cast("double"), 6).as("loss_self"))
+      .withColumn("excess",
+        greatest(lit(0.0), col("loss_corpus") - col("loss_self")))
+      .withColumn("__u", expr(s"exp($etaL * excess)"))
+    val norm = perDomain.agg(sum(col("__u")).as("__su"),
+      count(lit(1)).as("__ndom"))
+    perDomain.crossJoin(broadcast(norm))
+      .join(nDocs, Seq("domain"))
+      .withColumn("weight", expr(
+        s"ROUND((1.0 - $smoothL) * (__u / __su) + $smoothL / __ndom, 6)"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("loss_corpus"), col("loss_self"),
+        round(col("excess"), 6).as("excess"), col("weight"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

@@ -1161,4 +1161,59 @@ class ScaleSpec extends SparkSpec {
     assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
       ((4L, 1L, 2L, 1L)))
   }
+
+  test("kcenterSelect: matches a brute-force greedy reference, obj " +
+    "non-increasing") {
+    val pts = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(10.0f, 0.0f)), (2L, Seq(0.0f, 10.0f)),
+      (3L, Seq(10.0f, 10.0f)), (4L, Seq(5.0f, 5.0f)), (5L, Seq(9.9f, 0.1f)))
+    val got = Similarity
+      .kcenterSelect(pts.toDF("vec_id", "embedding"), "vec_id", "embedding", 4)
+      .orderBy($"sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1000.0)).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def normSq(id: Long): Long = d2(q(id), Array.fill(q(id).length)(0L))
+    val seed = q.keys.toSeq.sortBy(id => (-normSq(id), id)).head
+    var selected = Vector((1, seed, normSq(seed)))
+    var rest = q.keySet - seed
+    for (r <- 2 to 4) {
+      val dm = rest.map(id =>
+        id -> selected.map(s => d2(q(id), q(s._2))).min).toMap
+      val pick = rest.toSeq.sortBy(id => (-dm(id), id)).head
+      selected :+= ((r, pick, dm(pick)))
+      rest -= pick
+    }
+    assert(got == selected)
+    // coverage radius never grows as centers are added
+    val objs = got.drop(1).map(_._3)
+    assert(objs == objs.sorted.reverse)
+  }
+
+  test("dsirSelect: target-like doc outranks off-target doc; deterministic") {
+    val docs =
+      (1L to 20L).map(i => (i, "alpha beta gamma", "en")) ++
+        (21L to 40L).map(i => (i, "delta epsilon zeta", "xx")) ++
+        Seq((41L, "alpha beta alpha beta", "xx"),      // target-like probe
+          (42L, "delta epsilon delta epsilon", "xx"))  // off-target probe
+    val df = docs.toDF("doc_id", "text", "lang")
+    val out = TextAnalysis
+      .dsirSelect(df, "doc_id", "text", col("lang") === "en", 1024, 42)
+      .collect()
+      .map(r => r.getLong(1) -> ((r.getInt(0), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.size == 42)
+    assert(out(41L)._2 == 4L, "token count")
+    // the target-vocabulary probe must carry a HIGHER importance weight
+    assert(out(41L)._3 > out(42L)._3,
+      s"logw: target-like ${out(41L)._3} vs off-target ${out(42L)._3}")
+    val again = TextAnalysis
+      .dsirSelect(df, "doc_id", "text", col("lang") === "en", 1024, 42)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getInt(0), r.getLong(2), r.getDouble(3)))).toMap
+    assert(again == out, "selection must be deterministic")
+  }
 }

@@ -246,4 +246,87 @@ class SketchesSpec extends SparkSpec {
         s"row $r")
     }
   }
+
+  // ---- HyperLogLog ---------------------------------------------------------
+
+  /** JVM register reference: same bucket/rho math as the aggregator, from
+    * the hash set directly.
+    */
+  private def hllReference(hashes: Seq[Long])
+      : (Long, Long, Long) = {
+    val regs = new Array[Int](64)
+    hashes.distinct.foreach { h =>
+      val b = (h % 64).toInt
+      val w = h >>> 6
+      val r = if (w == 0L) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+      if (r > regs(b)) regs(b) = r
+    }
+    val zeros = regs.count(_ == 0).toLong
+    val num = regs.map(r => 1L << (56 - r)).sum
+    val digest = regs.zipWithIndex.map { case (r, i) => (i + 1).toLong * r }.sum
+    (zeros, num, digest)
+  }
+
+  test("HLL summary is partition-invariant and matches the JVM reference") {
+    val rows =
+      (1 to 500).flatMap(i => Seq.fill(3)(("a", i.toLong))) ++
+        (1 to 5).map(i => ("b", i.toLong))
+    def run(parts: Int): Map[String, (Long, Long, Long, Long)] = {
+      val df = rows.toDF("g", "v").repartition(parts)
+        .withColumn("h",
+          HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+      Sketches.hllDistinct(df, Seq("g"), col("h")).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    }
+    val one = run(1)
+    assert(run(7) == one, "registers must not depend on partitioning")
+    // reference from the same hash column
+    val hashed = rows.toDF("g", "v")
+      .withColumn("h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+      .select($"g", $"h").collect().map(r => r.getString(0) -> r.getLong(1))
+    for (g <- Seq("a", "b")) {
+      val (zeros, num, digest) =
+        hllReference(hashed.collect { case (`g`, h) => h }.toSeq)
+      assert(one(g)._1 == zeros && one(g)._2 == num && one(g)._3 == digest,
+        s"group $g summary drifted from reference")
+    }
+    // accuracy: 500 distinct with m=64 → σ ≈ 13%; assert a loose 30%
+    assert(math.abs(one("a")._4 - 500L) <= 150, s"est ${one("a")._4}")
+    // small group takes the linear-counting branch and lands within ±2
+    assert(math.abs(one("b")._4 - 5L) <= 2, s"est ${one("b")._4}")
+  }
+
+  test("streaming HLL state merges across micro-batches to the batch answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    val sk = Sketches.hllDistinct(
+      in.toDF().toDF("g", "v")
+        .withColumn("__h",
+          HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15)),
+      Seq("g"), col("__h"))
+    val name = "hll_merge_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = sk.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete()).start()
+    in.addData((1 to 30).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    in.addData((20 to 50).map(i => ("a", i.toLong)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val batch = Sketches.hllDistinct(
+      (1 to 50).map(i => ("a", i.toLong)).toDF("g", "v")
+        .withColumn("__h",
+          HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15)),
+      Seq("g"), col("__h")).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == batch, "streamed register state must equal the batch build")
+  }
 }

@@ -74,10 +74,11 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val streamed = spark.readStream
+    val streamedRaw = spark.readStream
       .schema(batch.schema)
       .parquet(streamDir.toString)
-      .withColumn("ts_t", timestamp_micros(expr("ts DIV 1000")))
+    val streamed =
+      streamedRaw.withColumn("ts_t", Events.tsAsTimestamp(streamedRaw))
     val agg = Streams.windowedAgg(streamed, tsCol = "ts_t",
       window = "1 hour", watermark = "2 hours")
     val out = Streams.runToMemory(spark, agg, "real_events_win",
