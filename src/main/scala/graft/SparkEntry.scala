@@ -2752,6 +2752,14 @@ object SparkEntry {
       Similarity.semDedup(t(s, dir, "embeddings"), "vec_id", "embedding", 0.3)
         .orderBy(col("vec_id"))),
 
+    // ---- one-pass Gram/covariance sufficient statistic ---------------------
+    // Flat-triangle aggregator: one d·(d+1)/2-long partial per partition
+    // crosses the exchange (see Similarity.gramMatrix) — the PCA/whitening
+    // input without corpus×d² explode mass.
+    "gram_matrix_embeddings" -> ((s, dir) =>
+      Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding")
+        .orderBy(col("i"), col("j"))),
+
     // ---- greedy k-center diverse selection ---------------------------------
     // Farthest-first traversal over quantized embeddings: 8 rounds, each a
     // map-only scan + 1-row TakeOrdered (see Similarity.kcenterSelect).
@@ -6576,6 +6584,29 @@ object SparkEntry {
         |  ROUND((1.0 - 0.1) * (e.uw / s.su) + 0.1 / s.ndom, 6) AS weight
         |FROM ex e CROSS JOIN s JOIN nd USING (domain)
         |ORDER BY domain""".stripMargin,
+
+    // Gram matrix: the oracle replays the RESULT via the quadratic
+    // explode+self-join form the Spark side deliberately avoids — fine in
+    // DuckDB at sf0.01, which is exactly why the aggregator exists at scale
+    "gram_matrix_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, i, v[i] AS x
+        |  FROM qv, UNNEST(range(1, 65)) AS u(i)),
+        |n AS (SELECT COUNT(*) AS n FROM qv),
+        |s AS (SELECT i, CAST(SUM(x) AS BIGINT) AS sum_x FROM e GROUP BY 1),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j, CAST(SUM(a.x * b.x) AS BIGINT) AS gram
+        |  FROM e a JOIN e b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT g.i, g.j, n.n, sa.sum_x AS sum_i, sb.sum_x AS sum_j, g.gram
+        |FROM g CROSS JOIN n
+        |JOIN s sa ON sa.i = g.i
+        |JOIN s sb ON sb.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin,
 
     // k-center: the greedy argmax chain unrolled as one CTE per round —
     // generated programmatically (see kcenterOracleSql); all-integer

@@ -56,6 +56,12 @@ object Similarity {
 
   def dotLong(a: Column, b: Column): Column = vec(a, b, VectorBinaryExpr.Dot)
 
+  /** [[gramMatrix]] accumulator: row count, per-component sums, and the
+    * flat upper triangle of Σ x·xᵀ. Arrays size themselves lazily on the
+    * first reduce/merge so the aggregator is dimension-agnostic.
+    */
+  final case class GramBuf(n: Long, sums: Array[Long], tri: Array[Long])
+
   /** Cosine over quantized vectors: exact-integer dots, one final double
     * division — bit-deterministic across engines.
     */
@@ -469,6 +475,84 @@ object Similarity {
     * |xq − (minq + (2·code+1)·(maxq−minq)/510)| (scaled by 510) — the only
     * double step is the final ratio, rounded to 6.
     */
+  /** Upper-triangle Gram matrix Σ x·xᵀ over quantized embeddings — the
+    * one-pass sufficient statistic behind PCA / whitening / covariance
+    * estimation on an embedding corpus (the d×d Gram plus the component
+    * sums and count give the covariance exactly; the eigendecomposition is
+    * a driver-side step on d² numbers, not a data-plane job).
+    *
+    * Execution shape — the part that must scale: a typed Aggregator whose
+    * buffer is the flat upper triangle (d·(d+1)/2 longs, ~16 KB at d=64)
+    * accumulated per PARTITION and merged by elementwise add, so 100 TB of
+    * vectors cross the exchange as one triangle per partition. The naive
+    * expressions of the same query — explode to (id, i, xᵢ) and self-join
+    * on id, or explode each row to d² products — shuffle corpus×d or
+    * materialize corpus×d² rows; the aggregator shuffles O(partitions·d²)
+    * bytes total.
+    *
+    * Output: (i, j, n, sum_i, sum_j, gram) for 1 ≤ i ≤ j ≤ d, all exact
+    * longs over round(x·1000) components (|x|≤~3·10³, so a 2⁶³ overflow
+    * needs ~10¹² rows per partial — beyond any real shard; DECIMAL the
+    * accumulator if that bound ever binds).
+    */
+  def gramMatrix(embeddings: DataFrame, vecCol: String): DataFrame = {
+    val spark = embeddings.sparkSession
+    import org.apache.spark.sql.{Encoder, Encoders}
+    import org.apache.spark.sql.expressions.Aggregator
+    // typed path: Dataset[Array[Long]] keeps the aggregator input simple
+    import spark.implicits._
+    val ds = embeddings.select(quantize(col(vecCol)).as("v"))
+      .as[Array[Long]]
+    val agg = new Aggregator[Array[Long], GramBuf, GramBuf] {
+      override def zero: GramBuf = GramBuf(0L, Array.emptyLongArray,
+        Array.emptyLongArray)
+      private def sized(b: GramBuf, d: Int): GramBuf =
+        if (b.sums.nonEmpty) b
+        else GramBuf(b.n, new Array[Long](d), new Array[Long](d * (d + 1) / 2))
+      override def reduce(b0: GramBuf, x: Array[Long]): GramBuf = {
+        val d = x.length
+        val b = sized(b0, d)
+        var i = 0; var t = 0
+        while (i < d) {
+          b.sums(i) += x(i)
+          var j = i
+          while (j < d) { b.tri(t) += x(i) * x(j); t += 1; j += 1 }
+          i += 1
+        }
+        GramBuf(b.n + 1, b.sums, b.tri)
+      }
+      override def merge(a0: GramBuf, c: GramBuf): GramBuf = {
+        if (c.sums.isEmpty) return a0
+        val a = sized(a0, c.sums.length)
+        var i = 0
+        while (i < a.sums.length) { a.sums(i) += c.sums(i); i += 1 }
+        var t = 0
+        while (t < a.tri.length) { a.tri(t) += c.tri(t); t += 1 }
+        GramBuf(a.n + c.n, a.sums, a.tri)
+      }
+      override def finish(b: GramBuf): GramBuf = b
+      override def bufferEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+      override def outputEncoder: Encoder[GramBuf] = Encoders.product[GramBuf]
+    }
+    val buf = ds.select(udaf(agg, implicitly[Encoder[Array[Long]]])
+      .apply(col("v")).as("g"))
+    // unpack the triangle into (i, j, n, sum_i, sum_j, gram) rows
+    buf.select(col("g.n").as("n"), col("g.sums").as("sums"),
+        col("g.tri").as("tri"))
+      .select(col("n"), col("sums"), col("tri"),
+        explode(sequence(lit(1), size(col("sums")))).as("i"))
+      .select(col("n"), col("sums"), col("tri"), col("i"),
+        explode(sequence(col("i"), size(col("sums")))).as("j"))
+      .select(col("i"), col("j"), col("n"),
+        element_at(col("sums"), col("i")).as("sum_i"),
+        element_at(col("sums"), col("j")).as("sum_j"),
+        // flat index of (i,j), 1-based cols: offset of row i plus (j-i)
+        element_at(col("tri"),
+          (((col("i") - 1) * (lit(2) * size(col("sums")) - col("i") + 2))
+            .cast("int") / 2 + (col("j") - col("i")) + 1).cast("int"))
+          .as("gram"))
+  }
+
   def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embeddings.select(col(idCol),
       posexplode(quantize(col(vecCol))).as(Seq("pos", "xq")))

@@ -1193,6 +1193,50 @@ class ScaleSpec extends SparkSpec {
     assert(objs == objs.sorted.reverse)
   }
 
+  test("gramMatrix: matches brute force and is partition-invariant") {
+    val pts = Seq(
+      (0L, Seq(1.0f, 2.0f, -3.0f)), (1L, Seq(0.5f, -1.5f, 2.5f)),
+      (2L, Seq(-2.0f, 0.0f, 1.0f)), (3L, Seq(3.0f, 3.0f, 3.0f)))
+    def run(parts: Int) = Similarity
+      .gramMatrix(pts.toDF("vec_id", "embedding").repartition(parts),
+        "embedding")
+      .orderBy($"i", $"j").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    val got = run(1)
+    assert(run(3) == got, "partials must merge to the same triangle")
+    val q = pts.map { case (_, v) => v.map(x => math.round(x * 1000.0)) }
+    for ((i, j, n, si, sj, g) <- got) {
+      assert(n == 4L)
+      assert(si == q.map(_(i - 1)).sum && sj == q.map(_(j - 1)).sum)
+      assert(g == q.map(v => v(i - 1) * v(j - 1)).sum, s"gram($i,$j)")
+    }
+    assert(got.map(r => (r._1, r._2)) ==
+      (for (i <- 1 to 3; j <- i to 3) yield (i, j)))
+  }
+
+  test("doremiWeights: the domain the corpus LM serves worst gets the " +
+    "largest weight; weights sum to 1") {
+    val docs =
+      (1L to 10L).map(i => (i, "alpha beta gamma alpha", "a")) ++
+        (11L to 20L).map(i => (i, "alpha beta gamma beta", "b")) ++
+        (21L to 22L).map(i => (i, "quark rho sigma tau", "c")) // rare vocab
+    val out = TextAnalysis
+      .doremiWeights(docs.toDF("doc_id", "text", "source"), "source", "text")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(3), r.getDouble(4),
+        r.getDouble(5), r.getDouble(6)))).toMap
+    // domain c's tokens are rare corpus-wide but common under its own LM →
+    // largest excess → largest weight
+    assert(out("c")._3 > out("a")._3 && out("c")._3 > out("b")._3)
+    assert(out("c")._4 > out("a")._4 && out("c")._4 > out("b")._4)
+    out.values.foreach { case (lc, ls, ex, _) =>
+      assert(ex >= 0.0 && lc >= 0.0 && ls >= 0.0)
+    }
+    val total = out.values.map(_._4).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"weights sum $total")
+  }
+
   test("dsirSelect: target-like doc outranks off-target doc; deterministic") {
     val docs =
       (1L to 20L).map(i => (i, "alpha beta gamma", "en")) ++
