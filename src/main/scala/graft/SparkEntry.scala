@@ -2760,6 +2760,16 @@ object SparkEntry {
       Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding")
         .orderBy(col("i"), col("j"))),
 
+    // ---- distributed-PCA composite: Gram pass → driver eigensolve ----------
+    // Iterative float math is not SQL-replayable, so this is the one
+    // deliberately rows-only-checked query (no oracleSql entry); the
+    // algebraic invariants are spec-asserted (ScaleSpec) and the Gram
+    // input itself is oracle-exact above.
+    "pca_variance_embeddings" -> ((s, dir) =>
+      Similarity.pcaFromGram(
+          Similarity.gramMatrix(t(s, dir, "embeddings"), "embedding"), 8)
+        .orderBy(col("pc"))),
+
     // ---- greedy k-center diverse selection ---------------------------------
     // Farthest-first traversal over quantized embeddings: 8 rounds, each a
     // map-only scan + 1-row TakeOrdered (see Similarity.kcenterSelect).

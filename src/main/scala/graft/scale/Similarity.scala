@@ -553,6 +553,110 @@ object Similarity {
           .as("gram"))
   }
 
+  /** Driver-side PCA completion of [[gramMatrix]]: collect the d·(d+1)/2
+    * sufficient-statistic rows (d² numbers — control plane, never
+    * data-plane rows), form the covariance C = G/n − μμᵀ, and run a cyclic
+    * Jacobi eigensolve. The split is the point: the corpus-sized work is
+    * the one-pass Gram aggregation; the eigendecomposition is O(d³) on the
+    * driver — the standard architecture for distributed PCA at d ≪ n.
+    *
+    * Deterministic (fixed sweep order, fixed convergence threshold, double
+    * arithmetic on driver), but iterative float math is not SQL-replayable
+    * — this query is rows-only-checked by design, with the spec asserting
+    * the algebraic invariants (trace preservation, descending order,
+    * planted-variance recovery).
+    *
+    * Output: (pc, eigenvalue, var_ratio, cum_ratio) for the top `topK`
+    * components; eigenvalues are in quantized-component units (×10⁻⁶ of
+    * the raw embedding scale — callers compare ratios, which are unitless).
+    */
+  def pcaFromGram(gram: DataFrame, topK: Int = 8): DataFrame = {
+    val spark = gram.sparkSession
+    val rows = gram.select(col("i"), col("j"), col("n"), col("sum_i"),
+      col("sum_j"), col("gram")).collect()
+    require(rows.nonEmpty, "empty gram input")
+    val d = rows.iterator.map(_.getInt(1)).max
+    val n = rows.head.getLong(2).toDouble
+    val a = Array.ofDim[Double](d, d)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val c = r.getLong(5) / n -
+        (r.getLong(3) / n) * (r.getLong(4) / n)
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val eig = jacobiEigenvalues(a).sorted(Ordering[Double].reverse)
+    val trace = eig.sum
+    val k = math.min(topK, d)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val out = (0 until k).map { p =>
+      (p + 1, r6(eig(p)), r6(eig(p) / trace),
+        r6(eig.take(p + 1).sum / trace))
+    }
+    import spark.implicits._
+    out.toDF("pc", "eigenvalue", "var_ratio", "cum_ratio")
+  }
+
+  /** Cyclic Jacobi for a symmetric matrix: rotate out each off-diagonal
+    * element in fixed (p,q) order until the off-diagonal Frobenius mass
+    * drops below 1e-12·trace² or 50 sweeps pass. O(d³) per sweep — driver
+    * cost only, d is the embedding dimension.
+    */
+  private def jacobiEigenvalues(a0: Array[Array[Double]]): Seq[Double] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    def off(): Double = {
+      var s = 0.0
+      var p = 0
+      while (p < d) {
+        var q = p + 1
+        while (q < d) { s += 2 * a(p)(q) * a(p)(q); q += 1 }
+        p += 1
+      }
+      s
+    }
+    val tol = 1e-12 * math.max(1.0, math.pow((0 until d).map(i => a(i)(i)).sum, 2))
+    var sweep = 0
+    while (off() > tol && sweep < 50) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2 * apq)
+            // tan of the annihilating rotation, stable form; theta = 0
+            // (equal diagonal) rotates by 45°: t = 1
+            val t = {
+              val tt = 1.0 / (math.abs(theta) + math.sqrt(theta * theta + 1))
+              if (theta < 0) -tt else tt
+            }
+            val c = 1 / math.sqrt(t * t + 1)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (0 until d).map(i => a(i)(i))
+  }
+
   def sq8Stats(embeddings: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val q = embeddings.select(col(idCol),
       posexplode(quantize(col(vecCol))).as(Seq("pos", "xq")))

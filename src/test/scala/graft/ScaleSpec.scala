@@ -1215,6 +1215,37 @@ class ScaleSpec extends SparkSpec {
       (for (i <- 1 to 3; j <- i to 3) yield (i, j)))
   }
 
+  test("pcaFromGram: trace preserved, eigenvalues descending, planted " +
+    "dominant direction recovered") {
+    // 40 points along (1,1,0)/√2 with ±spread, small noise on dim 3:
+    // top eigenvalue ≫ others, Σλ = trace(cov)
+    val pts = (0 until 40).map { k =>
+      val t = (k - 19.5) / 4.0
+      (k.toLong, Seq((t + 0.001 * k).toFloat, (t - 0.001 * k).toFloat,
+        (0.01 * (k % 5 - 2)).toFloat))
+    }
+    val gram = Similarity.gramMatrix(
+      pts.toDF("vec_id", "embedding"), "embedding")
+    val out = Similarity.pcaFromGram(gram, 3).orderBy($"pc").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(out.length == 3)
+    val evs = out.map(_._2)
+    assert(evs.sorted.reverse.toSeq == evs.toSeq, "descending eigenvalues")
+    assert(out.head._3 > 0.99, s"planted direction ratio ${out.head._3}")
+    assert(math.abs(out.last._4 - 1.0) < 1e-4, "3 PCs of a rank-3 " +
+      s"covariance must explain everything, got ${out.last._4}")
+    // trace check against the covariance built from the gram rows directly
+    val rows = gram.collect().map(r => ((r.getInt(0), r.getInt(1)),
+      (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val n = rows.values.head._1.toDouble
+    val trace = (1 to 3).map { i =>
+      val (_, si, sj, g) = rows((i, i))
+      g / n - (si / n) * (sj / n)
+    }.sum
+    assert(math.abs(evs.sum - trace) < 1e-6 * math.max(1.0, trace))
+  }
+
   test("doremiWeights: the domain the corpus LM serves worst gets the " +
     "largest weight; weights sum to 1") {
     val docs =
