@@ -270,6 +270,16 @@ object ScaleCheck {
         (d: DataFrame) => Similarity.kcenterSelect(
           d, "vec_id", "embedding", 8),
         embeddings, "vec_id", Some("embedding")),
+      ("gram_matrix",
+        // one triangle partial per partition crosses the exchange — the
+        // time curve should track the scan, nothing else
+        (d: DataFrame) => Similarity.gramMatrix(d, "embedding"),
+        embeddings, "vec_id", Some("embedding")),
+      ("doremi_weights",
+        // all reductions run over the (domain, token) count table; only
+        // the one explode+hash-agg pass sees corpus mass
+        (d: DataFrame) => TextAnalysis.doremiWeights(d, "source", "text"),
+        docs, "doc_id", Some("text")),
       ("cms_counts",
         // the sketch output is d·w rows at ANY input mass; map-side
         // partials absorb the heavy keys so the exchange is constant-width

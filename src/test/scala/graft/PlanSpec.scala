@@ -448,4 +448,47 @@ class PlanSpec extends SparkSpec {
       s"global window leaked in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("gramMatrix: one partial-agg pass over the vectors — no join, no " +
+    "per-component explode before the aggregation") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.gramMatrix(emb, "embedding")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"no join may appear:\n$plan")
+    // the ONLY explode is the driver-sized triangle unpack ABOVE the
+    // aggregation; the corpus-side scan must feed the aggregator directly,
+    // so the plan carries at most the two unpack Generates and exactly one
+    // aggregate pair (partial + final)
+    assert("ObjectHashAggregate|HashAggregate".r
+      .findAllIn(plan).size <= 4, s"aggregation shape drifted:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("dsirSelect: LM tables broadcast onto the token stream; selection " +
+    "is TakeOrdered, never a global sort") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.scale.TextAnalysis.dsirSelect(
+      docs, "doc_id", "text", col("lang") === "en")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"),
+      s"LM join must broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection must be top-k:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+  }
+
+  test("hllDistinct: one aggregation exchange on the group key, " +
+    "constant-width state — no window, no join") {
+    val ev = Tables.load(spark, sf, "events")
+    val hashed = ev.withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+      col("user_id").cast("string").cast("binary"), 15))
+    val df = graft.scale.Sketches.hllDistinct(
+      hashed, Seq("event_type"), col("__h"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"sketch build must be agg-only:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(event_type"),
+      s"expected one keyed exchange:\n$plan")
+  }
 }
