@@ -841,6 +841,24 @@ object SparkEntry {
         .orderBy(col("p_partkey"))
     }),
 
+    // ---- F6 geo envelope: geodesic distance (haversine DSL node) -----------
+    // Coordinate pairs synthesized from p_partkey with INTEGER printf so
+    // both engines build byte-identical input strings; the node parses and
+    // computes the identical double formula (see HaversineKm).
+    "transform_haversine_part" -> ((s, dir) => {
+      val hv = TransformProgram.HaversineKm(3)
+      val p = t(s, dir, "part")
+        .withColumn("pair_in",
+          format_string("%d.%02d,%d.%02d -> %d.%02d,%d.%02d",
+            col("p_partkey") % 80, col("p_partkey") % 100,
+            col("p_partkey") % 170, (col("p_partkey") * 7) % 100,
+            (col("p_partkey") * 3) % 80, (col("p_partkey") * 13) % 100,
+            (col("p_partkey") * 11) % 170, (col("p_partkey") * 17) % 100))
+      p.select(col("p_partkey"), col("pair_in"),
+          hv.toColumn(col("pair_in")).as("dist_km"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // ---- F1 tier-2 escape hatch: opaque closure behind a ScalaUDF ----------
     // A program the closed DSL can't express (reverse + conditional throw),
     // with the reference's per-row try/except semantics: the throwing rows
@@ -4110,6 +4128,43 @@ object SparkEntry {
         |    + INTERVAL 330 MINUTE, '%d/%m/%Y %H:%M') AS shifted,
         |  printf('%04d-%02d-%02d', hy, hm, l2 - (hm * 709) // 24) AS hijri
         |FROM hj8 ORDER BY p_partkey""".stripMargin,
+
+    // Haversine: the oracle re-parses the pair string with the same regex
+    // and runs the same fixed-order double formula (pi()/libm trig agree
+    // bit-for-bit with the JVM on this platform — the ln/exp contract
+    // every scored query already relies on; ROUND(.,3) is the guard).
+    "transform_haversine_part" ->
+      """WITH base AS (
+        |  SELECT p_partkey,
+        |    printf('%d.%02d,%d.%02d -> %d.%02d,%d.%02d',
+        |      p_partkey % 80, p_partkey % 100,
+        |      p_partkey % 170, (p_partkey * 7) % 100,
+        |      (p_partkey * 3) % 80, (p_partkey * 13) % 100,
+        |      (p_partkey * 11) % 170, (p_partkey * 17) % 100) AS pair_in
+        |  FROM part),
+        |px AS (
+        |  SELECT p_partkey, pair_in,
+        |    CAST(regexp_extract(pair_in,
+        |      '(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)\s*->\s*(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)', 1) AS DOUBLE)
+        |      * pi() / 180.0 AS la1,
+        |    CAST(regexp_extract(pair_in,
+        |      '(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)\s*->\s*(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)', 2) AS DOUBLE)
+        |      * pi() / 180.0 AS lo1,
+        |    CAST(regexp_extract(pair_in,
+        |      '(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)\s*->\s*(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)', 3) AS DOUBLE)
+        |      * pi() / 180.0 AS la2,
+        |    CAST(regexp_extract(pair_in,
+        |      '(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)\s*->\s*(-?[0-9]+\.?[0-9]*)\s*,\s*(-?[0-9]+\.?[0-9]*)', 4) AS DOUBLE)
+        |      * pi() / 180.0 AS lo2
+        |  FROM base),
+        |h AS (
+        |  SELECT p_partkey, pair_in,
+        |    power(sin((la2 - la1) / 2), 2)
+        |      + cos(la1) * cos(la2) * power(sin((lo2 - lo1) / 2), 2) AS hh
+        |  FROM px)
+        |SELECT p_partkey, pair_in,
+        |  CAST(ROUND(asin(sqrt(hh)) * 12742.0176, 3) AS VARCHAR) AS dist_km
+        |FROM h ORDER BY p_partkey""".stripMargin,
 
     // The rewrite is semantics-preserving: the oracle is simply the column
     // the collapsed plan reads directly.

@@ -182,7 +182,14 @@ object RuleSynthesizer extends FunctionSynthesizer {
           Seq(2, 4, 6).map(DmsToDeg(_))
         else Seq.empty
       val hijri = DateFormats.map(GregorianToHijri(_))
-      (dms ++ hijri).filter(fits)
+      // geodesic distance: the input side must look like a coordinate-pair
+      // arrow expression before the (bounded) decimals probe runs
+      val hav =
+        if (demos.forall { case (i, _) =>
+            i.contains("->") && i.contains(",") })
+          (2 to 4).map(HaversineKm(_))
+        else Seq.empty
+      (dms ++ hijri ++ hav).filter(fits)
     }
     val tzCands: Seq[TransformProgram] = {
       val fmts = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd HH:mm",

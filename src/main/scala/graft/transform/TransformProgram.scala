@@ -327,6 +327,49 @@ object TransformProgram {
     def describe = s"dms_to_deg($decimals dp)"
   }
 
+  /** Coordinate-pair string → great-circle distance in km
+    * (`"41.38,2.17 -> 48.85,2.35"` → `831.576`): haversine on the IUGG
+    * mean earth radius 6371.0088 km, rounded to `decimals` — the
+    * geodesic-distance capability the reference prompts authorize via
+    * geopy (`promptsTemplate.py:10-12`; F6 envelope). Both evaluators run
+    * the IDENTICAL double formula in the same operation order (sin/cos/
+    * asin delegate to the platform libm in Spark and DuckDB alike; the
+    * rounded output is the cross-engine determinism guard, the same
+    * contract every ln/exp-based query in the repo relies on). Input not
+    * matching the pair pattern → "".
+    */
+  final case class HaversineKm(decimals: Int = 3) extends TransformProgram {
+    private val num = "(-?[0-9]+\\.?[0-9]*)"
+    private val re = s"$num\\s*,\\s*$num\\s*->\\s*$num\\s*,\\s*$num"
+    def toColumn(in: Column): Column = {
+      def g(i: Int) = regexp_extract(in, re, i)
+      def rad(c: Column) = c.cast("double") * math.Pi / lit(180.0)
+      val (la1, lo1) = (rad(g(1)), rad(g(2)))
+      val (la2, lo2) = (rad(g(3)), rad(g(4)))
+      val h = pow(sin((la2 - la1) / 2), 2) +
+        cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
+      val km = asin(sqrt(h)) * lit(12742.0176) // 2R, R = 6371.0088
+      coalesce(when(length(g(1)) > 0,
+        round(km, decimals).cast("string")), lit(""))
+    }
+    def eval(in: String): String = {
+      val m = java.util.regex.Pattern.compile(re).matcher(in)
+      if (!m.find()) "" else {
+        def rad(s: String) = s.toDouble * math.Pi / 180.0
+        val (la1, lo1, la2, lo2) =
+          (rad(m.group(1)), rad(m.group(2)), rad(m.group(3)), rad(m.group(4)))
+        val h = math.pow(math.sin((la2 - la1) / 2), 2) +
+          math.cos(la1) * math.cos(la2) *
+            math.pow(math.sin((lo2 - lo1) / 2), 2)
+        val km = math.asin(math.sqrt(h)) * 12742.0176
+        java.math.BigDecimal.valueOf(km)
+          .setScale(decimals, java.math.RoundingMode.HALF_UP)
+          .doubleValue().toString
+      }
+    }
+    def describe = s"haversine_km($decimals dp)"
+  }
+
   /** Fixed-offset timezone shift + reformat (`2024-03-01 10:30:00` with
     * +330 → `01/03/2024 16:00` in the out format): parse with `inFmt`, add
     * `offsetMinutes`, render with `outFmt` — the fixed-zone datetime

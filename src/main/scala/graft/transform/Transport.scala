@@ -130,6 +130,7 @@ object ProgramDsl {
     case DegToDms(d)         => s"deg_to_dms\t$d"
     case GregorianToHijri(f) => s"hijri\t$f"
     case DmsToDeg(d)         => s"dms_to_deg\t$d"
+    case HaversineKm(d)      => s"haversine_km\t$d"
     case FixedZoneShift(i, o, m) => s"tz_shift\t$i\t$o\t$m"
     case AffineNumber(f, o, d, t) => s"affine\t$f\t$o\t$d\t$t"
     case OpaqueFn(name, _)   =>
@@ -181,6 +182,8 @@ object ProgramDsl {
         DegToDms(try d.toInt catch { case _: Throwable => bad() })
       case "dms_to_deg" :: d :: Nil =>
         DmsToDeg(try d.toInt catch { case _: Throwable => bad() })
+      case "haversine_km" :: d :: Nil =>
+        HaversineKm(try d.toInt catch { case _: Throwable => bad() })
       case "tz_shift" :: i :: o :: m :: Nil =>
         FixedZoneShift(i, o, try m.toInt catch { case _: Throwable => bad() })
       case "affine" :: f :: o :: d :: t :: Nil =>

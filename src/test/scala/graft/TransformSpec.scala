@@ -119,9 +119,17 @@ class TransformSpec extends SparkSpec {
     assert(hij.eval("2000-01-01") == "1420-09-24")
     agree(hij, Seq("2024-03-11", "2000-01-01", "1990-07-09", "0622-07-19",
       "not a date"))
+    // haversine: agreement + a known distance (Barcelona → Paris ≈ 831 km)
+    val hv = HaversineKm(3)
+    agree(hv, Seq("41.38,2.17 -> 48.85,2.35", "0,0 -> 0,180",
+      "-33.86,151.20 -> 51.50,-0.12", "12,34 -> 12,34", "no coords"))
+    assert(hv.eval("0,0 -> 0,0") == "0.0")
+    val bcnParis = hv.eval("41.38,2.17 -> 48.85,2.35").toDouble
+    assert(bcnParis > 820 && bcnParis < 840, s"got $bcnParis")
+    assert(hv.eval("garbage") == "")
     // DSL wire round trip
     for (p <- Seq(DegToDms(2), DmsToDeg(4), GregorianToHijri("dd/MM/yyyy"),
-        FixedZoneShift("yyyy-MM-dd HH:mm", "HH:mm", -90)))
+        FixedZoneShift("yyyy-MM-dd HH:mm", "HH:mm", -90), HaversineKm(4)))
       assert(ProgramDsl.parse(ProgramDsl.render(p)) == p)
   }
 
@@ -160,6 +168,14 @@ class TransformSpec extends SparkSpec {
     val hj = RuleSynthesizer.synthesize(None,
       Seq("2024-03-11" -> "1445-09-01", "2000-01-01" -> "1420-09-24"))
     assert(hj.exists(_.isInstanceOf[GregorianToHijri]), s"no Hijri in $hj")
+    val hv = RuleSynthesizer.synthesize(None,
+      Seq("41.38,2.17 -> 48.85,2.35" -> HaversineKm(3)
+          .eval("41.38,2.17 -> 48.85,2.35"),
+        "0,0 -> 0,180" -> HaversineKm(3).eval("0,0 -> 0,180")))
+    assert(hv.exists {
+      case HaversineKm(3) => true
+      case _ => false
+    }, s"no HaversineKm in $hv")
   }
 
   test("OpaqueFn tier-2 node: round trip, throw→null→sentinel, null-safe") {
