@@ -2741,6 +2741,29 @@ object SparkEntry {
       TextAnalysis.doremiWeights(t(s, dir, "documents"), "source", "text")
         .orderBy(col("domain"))),
 
+    // ---- composite: selection pipeline (gate → dedup → DSIR → split) -------
+    // The round-5 curation DAG: quality gate, exact-dedup to canonical
+    // representatives, DSIR importance selection of the 100 most
+    // target-like docs, deterministic hash split. Every stage is the
+    // already-verified operator; the composite checks they COMPOSE
+    // (the DSIR LMs here are built over the gated+deduped corpus, not the
+    // raw table — the oracle replays that ordering exactly).
+    "selection_pipeline_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val gated = docs.filter(TextAnalysis.tokenCount(col("text")) >= 5)
+      val reps = Dedup.exact(gated, Seq("text"), "doc_id").select("doc_id")
+      val surviving = gated.join(reps, Seq("doc_id"), "left_semi")
+      TextAnalysis
+        .dsirSelect(surviving, "doc_id", "text", col("lang") === "en",
+          1024, 100)
+        .withColumn("split",
+          when(Samplers.uniformDraw(col("doc_id")) < 0.2, "test")
+            .otherwise("train"))
+        .select(col("sel_rank"), col("doc_id"), col("n_tokens"),
+          col("gumbel_key"), col("split"))
+        .orderBy(col("sel_rank"))
+    }),
+
     // ---- scale: exact-substring duplication (char k-gram index) ------------
     "substring_dup_docs" -> ((s, dir) =>
       Dedup.substringDupPairs(t(s, dir, "documents"), "doc_id", "text", 48, 100)
@@ -6672,6 +6695,55 @@ object SparkEntry {
         |JOIN s sa ON sa.i = g.i
         |JOIN s sb ON sb.i = g.j
         |ORDER BY g.i, g.j""".stripMargin,
+
+    // selection pipeline: the dsir CTE chain re-rooted on the gated +
+    // deduped survivor set, split via the 8-hex md5 draw
+    "selection_pipeline_docs" ->
+      """WITH gated AS (
+        |  SELECT doc_id, text, lang FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) >= 5),
+        |reps AS (SELECT MIN(doc_id) AS doc_id FROM gated GROUP BY text),
+        |surv AS (SELECT g.* FROM gated g JOIN reps r USING (doc_id)),
+        |tok AS (
+        |  SELECT doc_id, lang, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM surv),
+        |tb AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) % 1024 AS b
+        |  FROM tok),
+        |lm AS (
+        |  SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+        |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_cnt
+        |  FROM tb GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(r_cnt) AS BIGINT) AS r_tot,
+        |    CAST(SUM(t_cnt) AS BIGINT) AS t_tot
+        |  FROM lm),
+        |sc AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens,
+        |    SUM(ln(t_cnt + 1) + ln(r_tot + 1024)
+        |      - ln(r_cnt + 1) - ln(t_tot + 1024)) AS logw_raw
+        |  FROM tb JOIN lm USING (b) CROSS JOIN tot
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT doc_id, n_tokens,
+        |    ROUND(logw_raw - ln(-ln(
+        |      (CAST(('0x' || substring(md5('dsir:' || CAST(doc_id AS VARCHAR)),
+        |        1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0)), 6)
+        |      AS gumbel_key
+        |  FROM sc),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY gumbel_key DESC, doc_id)
+        |    AS sel_rank, doc_id, n_tokens, gumbel_key
+        |  FROM g)
+        |SELECT sel_rank, doc_id, n_tokens, gumbel_key,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+        |      1, 8)) AS BIGINT) / 4294967296.0 < 0.2
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM r WHERE sel_rank <= 100 ORDER BY sel_rank""".stripMargin,
 
     // k-center: the greedy argmax chain unrolled as one CTE per round —
     // generated programmatically (see kcenterOracleSql); all-integer
