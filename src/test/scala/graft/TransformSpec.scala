@@ -133,6 +133,23 @@ class TransformSpec extends SparkSpec {
       assert(ProgramDsl.parse(ProgramDsl.render(p)) == p)
   }
 
+  test("HaversineKm: property parity across 400 seeded random pairs") {
+    // Column path (Spark SQL round/trig) vs eval path (java.lang.Math +
+    // BigDecimal) walk different rounding code — drive a seeded sweep so a
+    // platform trig or rounding-boundary divergence surfaces here, not in
+    // the oracle gate
+    val rng = new scala.util.Random(20260813L)
+    def coord(span: Int): String = {
+      val v = (rng.nextInt(span * 200) - span * 100) / 100.0
+      f"$v%.2f"
+    }
+    val pairs = (1 to 400).map(_ =>
+      s"${coord(85)},${coord(175)} -> ${coord(85)},${coord(175)}")
+    for (d <- Seq(2, 3, 4)) agree(HaversineKm(d), pairs)
+    // antipodal + degenerate sanity via eval
+    assert(HaversineKm(0).eval("0,0 -> 0,180").toDouble > 20000)
+  }
+
   test("Hijri codegen kernel: property parity with per-row eval") {
     // the codegen expression (GregorianToHijriExpr) and the JVM eval walk
     // different code paths over the same integer algorithm — drive 2000
