@@ -2692,6 +2692,21 @@ object SparkEntry {
       Graph.triangleStats(edges)
     }),
 
+    // ---- k-core decomposition on the co-order part graph -------------------
+    // Iterative peeling to fixpoint (Graph.kCore); the oracle unrolls 10
+    // rounds — past convergence each extra round is identity, so the
+    // fixpoint and the fixed-depth replay agree.
+    "kcore_lineitem" -> ((s, dir) => {
+      val hi = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 35.0)
+        .select(col("l_orderkey").as("k"), col("l_partkey"))
+      val other = hi.select(col("k"), col("l_partkey").as("p2"))
+      val edges = hi.join(other, Seq("k"))
+        .filter(col("l_partkey") =!= col("p2"))
+        .select(col("l_partkey").as("src"), col("p2").as("dst"))
+      Graph.kCore(edges, 4).orderBy(col("node"))
+    }),
+
     // ---- streaming: stream-static broadcast enrichment join ----------------
     // The dimension-enrichment shape every event pipeline needs: a
     // micro-batch stream joined against a STATIC broadcast dim (no state
@@ -2838,6 +2853,7 @@ object SparkEntry {
     // propagation CC — the oracle describes the RESULT (recursive
     // reachability), not the algorithm, so the SQL is shared verbatim
     m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
+      ("kcore_lineitem" -> kcoreOracleSql(4, 10)) +
       ("bpe_train_docs" -> bpeTrainOracle(8)) +
       ("bpe_encode_docs" -> bpeEncodeOracle(8)) +
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)) +
@@ -2845,6 +2861,37 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true))
+  }
+
+  /** Mechanically unrolled k-core peeling oracle: per round, a (degree,
+    * keep, prune) CTE triple over the shrinking edge set. Peeling past the
+    * fixpoint is identity, so `rounds` ≥ the corpus's convergence depth
+    * replays [[graft.scale.Graph.kCore]]'s fixpoint exactly.
+    */
+  private def kcoreOracleSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each e_r is referenced 3× by the next round — if
+    // the engine inlines the chain, the scan count grows 3^rounds and the
+    // replay dies on file handles before it dies on CPU
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += """hi AS MATERIALIZED (
+      |  SELECT l_orderkey AS kk, l_partkey AS p FROM lineitem
+      |  WHERE l_quantity >= 35.0)""".stripMargin
+    ctes += """e0 AS MATERIALIZED (
+      |  SELECT DISTINCT least(a.p, b.p) AS a, greatest(a.p, b.p) AS b
+      |  FROM hi a JOIN hi b ON a.kk = b.kk AND a.p <> b.p)""".stripMargin
+    for (r <- 1 to rounds) {
+      ctes += s"d$r AS MATERIALIZED (\n  SELECT node, COUNT(*) AS deg FROM (\n" +
+        s"    SELECT a AS node FROM e${r - 1}" +
+        s" UNION ALL SELECT b FROM e${r - 1}) u\n  GROUP BY node)"
+      ctes += s"k$r AS MATERIALIZED (SELECT node FROM d$r WHERE deg >= $k)"
+      ctes += s"e$r AS MATERIALIZED (\n  SELECT e.a, e.b FROM e${r - 1} e\n" +
+        s"  JOIN k$r ka ON e.a = ka.node\n  JOIN k$r kb ON e.b = kb.node)"
+    }
+    "WITH " + ctes.mkString(",\n") +
+      s"\nSELECT node, COUNT(*) AS core_deg FROM (\n" +
+      s"  SELECT a AS node FROM e$rounds" +
+      s" UNION ALL SELECT b FROM e$rounds) u\n" +
+      "GROUP BY node ORDER BY node"
   }
 
   /** Mechanically unrolled greedy k-center oracle: one (pick, re-min) CTE

@@ -213,4 +213,54 @@ object Graph {
         round(col("n_triangles").cast("double") * 3.0 /
           col("n_wedges"), 6).as("clustering"))
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983; the
+    * MapReduce form follows Montresor et al.): repeatedly drop nodes whose
+    * degree in the SURVIVING subgraph is < k until a fixpoint — what
+    * remains is the maximal subgraph where every node keeps ≥ k
+    * neighbors. The dense-nucleus diagnostic for curation graphs: on a
+    * near-dup graph the k-core is the template/boilerplate cluster mass
+    * no pairwise threshold isolates.
+    *
+    * Execution shape: per round, one degree hash-agg + two semi-joins,
+    * all keyed on the node — the edge set only SHRINKS, so per-round
+    * shuffle mass is non-increasing (the CC-loop property). Rounds
+    * truncate lineage with an eager checkpoint; the fixpoint test is one
+    * driver scalar (surviving-edge count) per round. Peeling is
+    * order-free — removing all sub-k nodes simultaneously each round is
+    * confluent, so the fixpoint is partitioning-independent, and an SQL
+    * replay of N ≥ convergence rounds equals it (extra rounds are
+    * identity).
+    *
+    * Output: surviving (node, core_deg), core_deg ≥ k.
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, s"bad kCore args k=$k rounds=$maxRounds")
+    def degrees(und: DataFrame): DataFrame = und
+      .select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = und.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val keep = degrees(und).filter(col("deg") >= k).select(col("node"))
+      val pruned = und
+        .join(keep.select(col("node").as("a")), Seq("a"), "left_semi")
+        .join(keep.select(col("node").as("b")), Seq("b"), "left_semi")
+        .localCheckpoint(true)
+      val n = pruned.count()
+      converged = n == nEdges
+      nEdges = n
+      und = pruned
+      round += 1
+    }
+    degrees(und).select(col("node"), col("deg").as("core_deg"))
+  }
 }

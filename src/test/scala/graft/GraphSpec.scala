@@ -144,4 +144,23 @@ class GraphSpec extends SparkSpec {
       assert(r.getAs[Double]("clustering") === 1.0)
     }
   }
+
+  test("kCore: tail chain peels away, the clique survives with its " +
+    "in-core degrees; cascade handled; partition-invariant") {
+    // 4-clique on 1..4 plus a tail 4-5-6: peeling at k=3 must remove 6
+    // (deg 1), THEN 5 (deg drops to 1) — the cascade — leaving the clique
+    val nodes = (1L to 4L)
+    val clique = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val e = (clique ++ Seq((4L, 5L), (5L, 6L))).toDF("src", "dst")
+    for (p <- Seq(1, 5)) {
+      val core = Graph.kCore(e.repartition(p), 3).orderBy($"node")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSeq
+      assert(core == Seq(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+        s"partitions=$p got $core")
+    }
+    // k above the clique degree empties the graph
+    assert(Graph.kCore(e, 4).count() == 0L)
+    // k=1 keeps everything (no sub-1-degree node exists)
+    assert(Graph.kCore(e, 1).count() == 6L)
+  }
 }
