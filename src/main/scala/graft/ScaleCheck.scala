@@ -199,6 +199,21 @@ object ScaleCheck {
           graft.scale.Graph.triangleStats(edges)
         },
         lineitem, "l_orderkey", None),
+      ("kcore",
+        // same disjoint-replica re-keying as triangle_count: N independent
+        // copies of the peeling structure, so rounds-to-fixpoint stay
+        // constant while per-round edge mass scales N×
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.kCore(edges, 4)
+        },
+        lineitem, "l_orderkey", None),
       ("incremental_dedup",
         // id shift is ≡ 0 mod 10 → each copy keeps its 80/20 corpus/incoming
         // split; salted tokens keep copies' shingle spaces disjoint
