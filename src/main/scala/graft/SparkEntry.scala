@@ -1317,6 +1317,39 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- sliding-window distinct via mergeable HLL registers ---------------
+    // Distinct users in the trailing 4 hours, per (event_type, hour) — the
+    // sketch-ALGEBRA payoff: the raw events are scanned once into per-hour
+    // register tables; every window is a register-max union of 4 tiny
+    // rows-per-bucket slices (see Sketches.hllRollingDistinct). The exact
+    // recount rides along as the accuracy companion (it pays the per-window
+    // rescan the sketch exists to avoid).
+    "rolling_hll_events" -> ((s, dir) => {
+      val ev0 = t(s, dir, "events")
+      val ev = ev0
+        .withColumn("__es", graft.scale.Events.epochSeconds(ev0))
+        .withColumn("hour", expr("__es DIV 3600"))
+        .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+          col("user_id").cast("string").cast("binary"), 15))
+      val sk = graft.scale.Sketches.hllRollingDistinct(
+          ev, Seq("event_type"), col("hour"), col("__h"), 4)
+        .withColumnRenamed("tb", "hour")
+      val du = ev.select(col("event_type"), col("hour"), col("user_id"))
+        .distinct()
+      val anchors = du.select(col("event_type").as("a_t"),
+        col("hour").as("a_h")).distinct()
+      val exact = du.join(anchors,
+          col("event_type") === col("a_t") &&
+            col("hour") > col("a_h") - 4 && col("hour") <= col("a_h"))
+        .groupBy(col("a_t").as("event_type"), col("a_h").as("hour"))
+        .agg(countDistinct(col("user_id")).as("n_users_4h"))
+      sk.join(exact, Seq("event_type", "hour"))
+        .select(col("event_type"), col("hour"), col("n_users_4h"),
+          col("n_zero_regs"), col("harmonic_num"), col("regs_digest"),
+          col("hll_est"))
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
     // ---- KMV set-operation estimates (theta-sketch shape) ------------------
     // Per event_type: user-set overlap of two event slices (A = event_id
     // not ≡ 0 mod 3, B = even event_id) from 64-long sketches only — the
@@ -4537,6 +4570,57 @@ object SparkEntry {
         |    ELSE ROUND(2.0925986477216114E20
         |      / CAST(s.harmonic_num AS DOUBLE)) END AS BIGINT) AS hll_est
         |FROM d JOIN s USING (event_type) ORDER BY 1""".stripMargin,
+
+    // rolling HLL: per-hour registers range-joined 4-wide, absent buckets
+    // contribute 2^56 to the harmonic numerator; same estimate text as
+    // hll_distinct_events
+    "rolling_hll_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 AS hour,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hour, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - length(format('{:b}', hv // 64)) END) AS rho
+        |  FROM h GROUP BY 1, 2, 3),
+        |a AS (SELECT DISTINCT event_type, hour FROM r),
+        |roll AS (
+        |  SELECT a.event_type, a.hour, r.bucket, MAX(r.rho) AS rho
+        |  FROM a JOIN r ON r.event_type = a.event_type
+        |    AND r.hour > a.hour - 4 AND r.hour <= a.hour
+        |  GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT event_type, hour,
+        |    CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (56 - rho))
+        |      + (64 - COUNT(*)) * 72057594037927936 AS BIGINT)
+        |      AS harmonic_num,
+        |    CAST(SUM((bucket + 1) * rho) AS BIGINT) AS regs_digest
+        |  FROM roll GROUP BY 1, 2),
+        |du AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 AS hour, user_id
+        |  FROM events),
+        |ex AS (
+        |  SELECT a.event_type, a.hour,
+        |    COUNT(DISTINCT d.user_id) AS n_users_4h
+        |  FROM (SELECT DISTINCT event_type, hour FROM du) a
+        |  JOIN du d ON d.event_type = a.event_type
+        |    AND d.hour > a.hour - 4 AND d.hour <= a.hour
+        |  GROUP BY 1, 2)
+        |SELECT s.event_type, s.hour, ex.n_users_4h, s.n_zero_regs,
+        |  s.harmonic_num, s.regs_digest,
+        |  CAST(CASE WHEN s.n_zero_regs > 0 AND
+        |      2.0925986477216114E20
+        |        / CAST(s.harmonic_num AS DOUBLE) <= 160.0
+        |    THEN ROUND(64.0 * LN(64.0 / CAST(s.n_zero_regs AS DOUBLE)))
+        |    ELSE ROUND(2.0925986477216114E20
+        |      / CAST(s.harmonic_num AS DOUBLE)) END AS BIGINT) AS hll_est
+        |FROM s JOIN ex USING (event_type, hour)
+        |ORDER BY event_type, hour""".stripMargin,
 
     // KMV set ops: the A/B sketches are the k smallest hashes of each
     // slice's user set; a union-sketch member's slice membership is its

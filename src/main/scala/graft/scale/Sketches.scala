@@ -362,27 +362,93 @@ object Sketches {
     * Both branches are single-expression doubles over exact-integer inputs
     * with fixed literal order, so DuckDB replays the rounded result.
     */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
-      p: Int = 6): DataFrame = {
+  /** The estimate expression over (n_zero_regs, harmonic_num) columns —
+    * ONE string shared by every HLL surface so the arithmetic can't drift
+    * between the grouped, rolling, and streaming forms.
+    *
+    * alpha·m²·2^R is pre-multiplied into ONE double literal: a naked
+    * `0.709 * …` chain parses as DECIMAL arithmetic in DuckDB (overflows
+    * DECIMAL(18)) and as a mixed decimal tree in Spark — a single
+    * scientific-notation literal is a DOUBLE in both engines and both
+    * parse it to the identical bit pattern.
+    */
+  def hllEstimateSql(p: Int): String = {
     val m = 1 << p
-    val agg = udaf(hllAggregator(p), Encoders.scalaLong)
-    // alpha·m²·2^R pre-multiplied into ONE double literal: a naked
-    // `0.709 * …` chain parses as DECIMAL arithmetic in DuckDB (overflows
-    // DECIMAL(18)) and as a mixed decimal tree in Spark — a single
-    // scientific-notation literal is a DOUBLE in both engines and both
-    // parse it to the identical bit pattern
     val cLit = ((hllAlphaLiteral(m).toDouble * m) * m *
       java.lang.Math.scalb(1.0, 62 - p)).toString
     val raw = s"$cLit / CAST(harmonic_num AS DOUBLE)"
+    s"CAST(CASE WHEN n_zero_regs > 0 AND ($raw) <= ${2.5 * m}" +
+      s" THEN ROUND($m.0 * LN($m.0 / CAST(n_zero_regs AS DOUBLE)))" +
+      s" ELSE ROUND($raw) END AS BIGINT)"
+  }
+
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+      p: Int = 6): DataFrame = {
+    val agg = udaf(hllAggregator(p), Encoders.scalaLong)
     df.groupBy(groupCols.map(col): _*)
       .agg(agg(hashCol).as("__hll"))
       .select(groupCols.map(col) ++ Seq(
         col("__hll.nZeroRegs").as("n_zero_regs"),
         col("__hll.harmonicNum").as("harmonic_num"),
         col("__hll.regsDigest").as("regs_digest")): _*)
-      .withColumn("hll_est", expr(
-        s"CAST(CASE WHEN n_zero_regs > 0 AND ($raw) <= ${2.5 * m}" +
-          s" THEN ROUND($m.0 * LN($m.0 / CAST(n_zero_regs AS DOUBLE)))" +
-          s" ELSE ROUND($raw) END AS BIGINT)"))
+      .withColumn("hll_est", expr(hllEstimateSql(p)))
+  }
+
+  /** Sliding-window distinct counts from MERGEABLE per-bucket registers —
+    * the sketch-algebra payoff: "distinct users in the trailing W hours,
+    * per hour" without ever recounting a window. Build one register table
+    * per (group, time bucket) — d·m rows per bucket however large the
+    * input — then the trailing-W union is register max over a W-wide
+    * range join of that TINY table against its own anchor set; the raw
+    * events are scanned exactly once. An exact recount pays the full scan
+    * PER WINDOW; at 100 TB this is the difference between one pass and W
+    * passes.
+    *
+    * Determinism: identical bucket/rho math to [[hllAggregator]], here as
+    * column expressions (bit-length via the binary-format string — exact
+    * in both engines), summarized with the shared [[hllEstimateSql]].
+    *
+    * Output per (groupCols, timeBucket): n_zero_regs, harmonic_num,
+    * regs_digest, hll_est for the window (timeBucket − trailing + 1 ..
+    * timeBucket].
+    */
+  def hllRollingDistinct(df: DataFrame, groupCols: Seq[String],
+      timeBucket: Column, hashCol: Column, trailing: Int = 4,
+      p: Int = 6): DataFrame = {
+    require(trailing >= 1, s"trailing >= 1, got $trailing")
+    val m = 1 << p
+    val wBits = 60 - p
+    val gcols = groupCols.map(col)
+    val regs = df
+      .select(gcols :+ timeBucket.as("tb") :+ hashCol.as("__h"): _*)
+      .withColumn("bucket", pmod(col("__h"), lit(m.toLong)))
+      .withColumn("__w", expr(s"__h DIV $m"))
+      .withColumn("rho", when(col("__w") === 0L, lit(wBits + 1))
+        .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
+      .groupBy(gcols :+ col("tb") :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+    val anchors = regs.select(gcols :+ col("tb"): _*).distinct()
+      .select(gcols.map(c => c.as("a_" + c.toString)) :+
+        col("tb").as("a_tb"): _*)
+    val joinCond = groupCols.map(g => col(g) === col(s"a_$g"))
+      .reduce(_ && _) &&
+      col("tb") > col("a_tb") - trailing && col("tb") <= col("a_tb")
+    val rolled = regs.join(anchors, joinCond)
+      .groupBy(groupCols.map(g => col(s"a_$g").as(g)) :+
+        col("a_tb").as("tb") :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+    rolled
+      .groupBy(gcols :+ col("tb"): _*)
+      .agg(count(lit(1)).as("__n_present"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wBits + 2} - rho)"))
+          .as("__hp"),
+        sum(expr("(bucket + 1) * rho")).as("regs_digest"))
+      .withColumn("n_zero_regs", lit(m.toLong) - col("__n_present"))
+      .withColumn("harmonic_num", col("__hp") +
+        (lit(m.toLong) - col("__n_present")) *
+          expr(s"CAST(${java.math.BigInteger.ONE.shiftLeft(62 - p)} AS BIGINT)"))
+      .withColumn("hll_est", expr(hllEstimateSql(p)))
+      .select(gcols ++ Seq(col("tb"), col("n_zero_regs"),
+        col("harmonic_num"), col("regs_digest"), col("hll_est")): _*)
   }
 }

@@ -298,6 +298,27 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(one("b")._4 - 5L) <= 2, s"est ${one("b")._4}")
   }
 
+  test("hllRollingDistinct: every window's summary equals the batch " +
+    "sketch of exactly that window's rows") {
+    val rows = for (h <- 0 to 5; u <- 1 to (10 + h * 3))
+      yield ("a", h.toLong, (u * (h + 7)).toLong)
+    val df = rows.toDF("g", "tb", "v")
+      .withColumn("__h",
+        HashExprs.md5PrefixLong($"v".cast("string").cast("binary"), 15))
+    val roll = Sketches.hllRollingDistinct(df, Seq("g"), $"tb", $"__h", 3)
+      .collect()
+      .map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(roll.keySet == (0L to 5L).toSet)
+    for (anchor <- 2L to 5L) {
+      val slice = df.filter($"tb" > anchor - 3 && $"tb" <= anchor)
+      val b = Sketches.hllDistinct(slice, Seq("g"), col("__h")).collect()(0)
+      assert(roll(anchor) ==
+        ((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(4))),
+        s"anchor $anchor drifted from the batch union")
+    }
+  }
+
   test("streaming HLL state merges across micro-batches to the batch answer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
