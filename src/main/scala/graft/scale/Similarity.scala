@@ -967,25 +967,34 @@ object Similarity {
     def lits(c: Array[Long]): Column =
       typedLit(c.toSeq)
     try {
+      // fewer points than rounds → select everything and stop (the
+      // 1-row TakeOrdered returns empty once the pool is exhausted)
       val seed = qv
         .withColumn("__obj", dotLong(col("__v"), col("__v")))
         .orderBy(col("__obj").desc, col("__id"))
         .select(col("__id"), col("__v"), col("__obj"))
-        .head()
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "kcenterSelect on an empty input"))
       var picked = List((1, seed.getLong(0), seed.getLong(2)))
       var center = seed.getSeq[Long](1).toArray
       // running frame: survivors with min distance to the selected set
       var d = qv.filter(col("__id") =!= seed.getLong(0))
         .withColumn("__dm", l2Sq(col("__v"), lits(center)))
       var r = 2
-      while (r <= k) {
-        val next = d.orderBy(col("__dm").desc, col("__id")).head()
-        picked ::= ((r, next.getLong(0), next.getLong(2)))
-        center = next.getSeq[Long](1).toArray
-        d = d.filter(col("__id") =!= next.getLong(0))
-          .withColumn("__dm",
-            least(col("__dm"), l2Sq(col("__v"), lits(center))))
-        r += 1
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        d.orderBy(col("__dm").desc, col("__id"))
+          .limit(1).collect().headOption match {
+          case None => exhausted = true
+          case Some(next) =>
+            picked ::= ((r, next.getLong(0), next.getLong(2)))
+            center = next.getSeq[Long](1).toArray
+            d = d.filter(col("__id") =!= next.getLong(0))
+              .withColumn("__dm",
+                least(col("__dm"), l2Sq(col("__v"), lits(center))))
+            r += 1
+        }
       }
       import spark.implicits._
       picked.reverse.toDF("sel_round", "sel_id", "obj")

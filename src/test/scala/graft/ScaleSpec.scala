@@ -1191,6 +1191,13 @@ class ScaleSpec extends SparkSpec {
     // coverage radius never grows as centers are added
     val objs = got.drop(1).map(_._3)
     assert(objs == objs.sorted.reverse)
+    // k beyond the pool selects everything, in order, without crashing
+    val all = Similarity
+      .kcenterSelect(pts.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        50)
+      .collect()
+    assert(all.length == pts.length)
+    assert(all.map(_.getInt(0)).toSeq == (1 to pts.length))
   }
 
   test("gramMatrix: matches brute force and is partition-invariant") {
