@@ -536,9 +536,14 @@ object Similarity {
     }
     val buf = ds.select(udaf(agg, implicitly[Encoder[Array[Long]]])
       .apply(col("v")).as("g"))
-    // unpack the triangle into (i, j, n, sum_i, sum_j, gram) rows
+    // unpack the triangle into (i, j, n, sum_i, sum_j, gram) rows.
+    // The size guard matters on an EMPTY corpus: the aggregator then emits
+    // its zero buffer (empty arrays), and Spark's sequence(1, 0) counts
+    // DOWN — without the filter the unpack would fabricate rows instead
+    // of yielding none.
     buf.select(col("g.n").as("n"), col("g.sums").as("sums"),
         col("g.tri").as("tri"))
+      .filter(size(col("sums")) > 0)
       .select(col("n"), col("sums"), col("tri"),
         explode(sequence(lit(1), size(col("sums")))).as("i"))
       .select(col("n"), col("sums"), col("tri"), col("i"),

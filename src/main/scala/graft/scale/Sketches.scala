@@ -416,6 +416,9 @@ object Sketches {
       timeBucket: Column, hashCol: Column, trailing: Int = 4,
       p: Int = 6): DataFrame = {
     require(trailing >= 1, s"trailing >= 1, got $trailing")
+    require(groupCols.nonEmpty,
+      "hllRollingDistinct needs at least one group column (the anchor " +
+        "join keys on it); wrap a constant column for a global rollup")
     val m = 1 << p
     val wBits = 60 - p
     val gcols = groupCols.map(col)

@@ -1253,6 +1253,11 @@ class ScaleSpec extends SparkSpec {
     assert(math.abs(evs.sum - trace) < 1e-6 * math.max(1.0, trace))
   }
 
+  test("gramMatrix: empty input yields zero rows, not fabricated indices") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Similarity.gramMatrix(empty, "embedding").count() == 0L)
+  }
+
   test("doremiWeights: the domain the corpus LM serves worst gets the " +
     "largest weight; weights sum to 1") {
     val docs =
