@@ -261,6 +261,16 @@ object Graph {
       und = pruned
       round += 1
     }
+    // Exiting via the cap means peeling has NOT reached its fixpoint: the
+    // surviving edge set is a strict SUPERGRAPH of the true k-core, so the
+    // returned degrees would silently over-report core membership. A long
+    // path graph needs O(n) peeling rounds, so the cap is reachable on real
+    // shapes — fail loudly (same contract as connectedComponentsStar) and
+    // let the caller raise maxRounds.
+    if (!converged)
+      throw new IllegalStateException(
+        s"kCore: peeling did not reach a fixpoint after $maxRounds rounds — " +
+          "refusing to return a supergraph of the true k-core; raise maxRounds")
     degrees(und).select(col("node"), col("deg").as("core_deg"))
   }
 }

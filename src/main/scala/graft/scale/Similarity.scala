@@ -602,6 +602,77 @@ object Similarity {
     out.toDF("pc", "eigenvalue", "var_ratio", "cum_ratio")
   }
 
+  /** Oracle-checkable companion of [[pcaFromGram]] — the `approx_stats`
+    * trick applied to PCA: iterative eigensolve output can't be replayed in
+    * SQL, but its algebraic CONTRACT against the exact integer sufficient
+    * statistic can. Emits, per principal component:
+    *
+    *  - exact companions DuckDB recomputes from the same gram relation:
+    *    `n`, `d`, `trace_q` = Σᵢ(Gᵢᵢ·n − sumᵢ²) and `frob_q` =
+    *    Σᵢⱼ(Gᵢⱼ·n − sumᵢ·sumⱼ)² — the covariance trace and squared
+    *    Frobenius norm in quantized integer units (scaled by n² resp. n⁴),
+    *    computed in BigDecimal so nothing overflows at any corpus size;
+    *  - boolean contract flags the oracle pins to TRUE: Σλ = trace(C) and
+    *    Σλ² = ‖C‖²_F (Jacobi preserves both to ~1e-13 relative; a broken
+    *    eigensolve flips them), λ₁ ≥ maxᵢCᵢᵢ (Rayleigh quotient on eᵢ),
+    *    λ_min ≥ −tol (PSD), per-row descending order and monotone
+    *    cum_ratio.
+    *
+    * A drifting eigensolve flips a flag and fails the driver's hash
+    * compare — the same mechanism that turned approx_stats from rows-only
+    * into a checked query.
+    */
+  def pcaChecked(gram: DataFrame, topK: Int = 8): DataFrame = {
+    val spark = gram.sparkSession
+    val rows = gram.select(col("i"), col("j"), col("n"), col("sum_i"),
+      col("sum_j"), col("gram")).collect()
+    require(rows.nonEmpty, "empty gram input")
+    val d = rows.iterator.map(_.getInt(1)).max
+    val nL = rows.head.getLong(2)
+    val n = nL.toDouble
+    val a = Array.ofDim[Double](d, d)
+    var traceQ = BigDecimal(0)
+    var frobQ = BigDecimal(0)
+    rows.foreach { r =>
+      val (i, j) = (r.getInt(0) - 1, r.getInt(1) - 1)
+      val c = r.getLong(5) / n - (r.getLong(3) / n) * (r.getLong(4) / n)
+      a(i)(j) = c; a(j)(i) = c
+      // exact integer-units covariance entry: G_ij·n − sum_i·sum_j
+      val cq = BigDecimal(r.getLong(5)) * BigDecimal(nL) -
+        BigDecimal(r.getLong(3)) * BigDecimal(r.getLong(4))
+      if (i == j) traceQ += cq
+      frobQ += cq * cq * (if (i == j) 1 else 2)
+    }
+    val eigAll = jacobiEigenvalues(a).sorted(Ordering[Double].reverse)
+    val traceC = (traceQ / (BigDecimal(nL) * BigDecimal(nL))).toDouble
+    val frobC = (frobQ / (BigDecimal(nL).pow(4))).toDouble
+    val maxDiag = (0 until d).map(i => a(i)(i)).max
+    val tol = 1e-9 * math.max(1.0, math.abs(traceC))
+    val sumOk = math.abs(eigAll.sum - traceC) <= tol
+    val frobOk = math.abs(eigAll.map(e => e * e).sum - frobC) <=
+      1e-9 * math.max(1.0, traceC * traceC)
+    val topOk = eigAll.head >= maxDiag - tol
+    val psdOk = eigAll.last >= -tol
+    val trace = eigAll.sum
+    val k = math.min(topK, d)
+    val out = (0 until k).map { p =>
+      val cum = eigAll.take(p + 1).sum / trace
+      val prevCum = if (p == 0) 0.0 else eigAll.take(p).sum / trace
+      (p + 1, nL, d, traceQ.bigDecimal.toBigInteger.toString,
+        frobQ.bigDecimal.toBigInteger.toString,
+        sumOk, frobOk, topOk, psdOk,
+        p == 0 || eigAll(p) <= eigAll(p - 1) + tol,
+        cum >= prevCum - 1e-12 && cum <= 1.0 + 1e-9)
+    }
+    import spark.implicits._
+    // companions ride as exact digit STRINGS: DuckDB's pandas bridge
+    // degrades DECIMAL(38,0) to float64 (silent precision loss at ~1e21),
+    // while VARCHAR survives both bridges losslessly
+    out.toDF("pc", "n", "d", "trace_q", "frob_q", "sum_eq_trace_ok",
+      "frob_eq_sumsq_ok", "top_ge_maxdiag_ok", "psd_ok", "descending_ok",
+      "cum_monotone_ok")
+  }
+
   /** Cyclic Jacobi for a symmetric matrix: rotate out each off-diagonal
     * element in fixed (p,q) order until the off-diagonal Frobenius mass
     * drops below 1e-12·trace² or 50 sweeps pass. O(d³) per sweep — driver
@@ -998,6 +1069,12 @@ object Similarity {
             d = d.filter(col("__id") =!= next.getLong(0))
               .withColumn("__dm",
                 least(col("__dm"), l2Sq(col("__v"), lits(center))))
+            // every round adds a filter + least() to the lineage: at
+            // k ≈ 256 the un-truncated plan tree is O(k) deep and Catalyst
+            // analysis cost compounds per round. A periodic eager
+            // localCheckpoint pins the survivor frame (rows only shrink,
+            // and __dm is 8 bytes) and resets the plan to a leaf.
+            if ((r - 1) % 16 == 0) d = d.localCheckpoint(true)
             r += 1
         }
       }

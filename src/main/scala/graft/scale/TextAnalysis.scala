@@ -1219,9 +1219,12 @@ object TextAnalysis {
         coalesce(col("t_cnt"), lit(0L)).as("t_cnt"))
     val totals = lm.agg(sum(col("r_cnt")).as("r_tot"),
       sum(col("t_cnt")).as("t_tot"))
-    // four lns of exact integers (each < 2^53 even at 100 TB token mass),
-    // summed in fixed left-to-right order: both engines see identical
-    // doubles, and nothing overflows the way a long×long product would
+    // four lns of exact integers (each < 2^53 even at 100 TB token mass):
+    // each per-token __lr is bit-identical across engines. The per-doc
+    // sum(__lr) accumulates in partition/row order, so its pre-rounding
+    // double is NOT bit-fixed — the repo's actual cross-engine contract is
+    // that 6-decimal rounding (below) absorbs reassociation noise, the
+    // same contract every ln/exp query here relies on
     val scored = tok.join(broadcast(lm), Seq("__b"))
       .crossJoin(broadcast(totals))
       .withColumn("__lr",

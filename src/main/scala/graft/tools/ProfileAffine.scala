@@ -17,6 +17,7 @@ object ProfileAffine {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def noop(df: org.apache.spark.sql.DataFrame): Long = {

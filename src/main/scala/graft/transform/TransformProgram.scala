@@ -348,7 +348,9 @@ object TransformProgram {
       val (la2, lo2) = (rad(g(3)), rad(g(4)))
       val h = pow(sin((la2 - la1) / 2), 2) +
         cos(la1) * cos(la2) * pow(sin((lo2 - lo1) / 2), 2)
-      val km = asin(sqrt(h)) * lit(12742.0176) // 2R, R = 6371.0088
+      // clamp h to [0,1]: FP rounding can push near-antipodal pairs a hair
+      // above 1, where sqrt > 1 makes asin NaN (mirrored in eval + oracle)
+      val km = asin(sqrt(least(lit(1.0), h))) * lit(12742.0176) // 2R, R = 6371.0088
       coalesce(when(length(g(1)) > 0,
         round(km, decimals).cast("string")), lit(""))
     }
@@ -361,7 +363,10 @@ object TransformProgram {
         val h = math.pow(math.sin((la2 - la1) / 2), 2) +
           math.cos(la1) * math.cos(la2) *
             math.pow(math.sin((lo2 - lo1) / 2), 2)
-        val km = math.asin(math.sqrt(h)) * 12742.0176
+        // same clamp as toColumn: h slightly above 1 would make asin NaN
+        // and BigDecimal.valueOf(NaN) throw where the column path emits a
+        // string — clamping keeps both paths identical
+        val km = math.asin(math.sqrt(math.min(1.0, h))) * 12742.0176
         java.math.BigDecimal.valueOf(km)
           .setScale(decimals, java.math.RoundingMode.HALF_UP)
           .doubleValue().toString

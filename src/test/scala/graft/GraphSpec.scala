@@ -163,4 +163,19 @@ class GraphSpec extends SparkSpec {
     // k=1 keeps everything (no sub-1-degree node exists)
     assert(Graph.kCore(e, 1).count() == 6L)
   }
+
+  test("kCore: throws at the round cap instead of returning a supergraph") {
+    // A path graph is the worst case for peeling: at k=2 each round only
+    // removes the two current endpoints, so a path of n nodes needs ~n/2
+    // rounds. 30 nodes with maxRounds=5 therefore CANNOT converge — the
+    // guard must throw rather than return the partially-peeled middle.
+    val path = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalStateException] {
+      Graph.kCore(path, 2, maxRounds = 5).count()
+    }
+    assert(ex.getMessage.contains("fixpoint"))
+    // with enough rounds the same graph converges cleanly (to empty: a
+    // path has no 2-core)
+    assert(Graph.kCore(path, 2, maxRounds = 20).count() == 0L)
+  }
 }

@@ -76,16 +76,21 @@ class PlanSpec extends SparkSpec {
       s"nested-loop pair join:\n$plan")
   }
 
-  test("em_similarity_ppjoin_part: no fixed-block self-join, no all-pairs") {
-    val df = SparkEntry.queries("em_similarity_ppjoin_part")(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    // candidate generation must key on tokens, never on the old
-    // (p_brand, p_size) blocking columns, and never degenerate to a
-    // cartesian/nested-loop pair enumeration
-    assert(!plan.contains("p_brand"), s"blocking key leaked into plan:\n$plan")
-    assert(!plan.contains("p_size"), s"blocking key leaked into plan:\n$plan")
-    assert(!plan.contains("CartesianProduct"), s"all-pairs join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"all-pairs join:\n$plan")
+  test("EM queries: no fixed-block self-join, no all-pairs — anywhere") {
+    // r3/r5 verdict closure: ALL live EM queries (not just the ppjoin
+    // variant) must generate candidates via the prefix-filter index, never
+    // the old (p_brand, p_size) blocking self-join, and never degenerate
+    // to a cartesian/nested-loop pair enumeration
+    for (q <- Seq("em_similarity_part", "em_end_to_end_part",
+        "em_similarity_ppjoin_part")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("p_brand"), s"$q: blocking key leaked:\n$plan")
+      assert(!plan.contains("p_size"), s"$q: blocking key leaked:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$q: all-pairs join:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$q: all-pairs join:\n$plan")
+    }
   }
 
   test("sessionize window and aggregation share one user_id exchange") {

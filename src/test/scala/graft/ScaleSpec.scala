@@ -1200,6 +1200,37 @@ class ScaleSpec extends SparkSpec {
     assert(all.map(_.getInt(0)).toSeq == (1 to pts.length))
   }
 
+  test("kcenterSelect at k >= 64: bounded lineage, greedy order intact") {
+    // exercises the periodic localCheckpoint (fires every 16 rounds): the
+    // selection must stay exactly the brute-force greedy chain across the
+    // checkpoint boundaries, with all 70 points eventually selected
+    val pts = (0L until 70L).map(i =>
+      (i, Seq(((i * 37) % 101).toFloat, ((i * 53) % 97).toFloat)))
+    val got = Similarity
+      .kcenterSelect(pts.toDF("vec_id", "embedding"), "vec_id", "embedding",
+        64)
+      .orderBy($"sel_round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == 64)
+    val q = pts.map { case (id, v) =>
+      id -> v.map(x => math.round(x * 1000.0)).toArray
+    }.toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def normSq(id: Long): Long = q(id).map(x => x * x).sum
+    val seed = q.keys.toSeq.sortBy(id => (-normSq(id), id)).head
+    var selected = Vector((1, seed, normSq(seed)))
+    var rest = q.keySet - seed
+    for (r <- 2 to 64) {
+      val dm = rest.map(id =>
+        id -> selected.map(s => d2(q(id), q(s._2))).min).toMap
+      val pick = rest.toSeq.sortBy(id => (-dm(id), id)).head
+      selected :+= ((r, pick, dm(pick)))
+      rest -= pick
+    }
+    assert(got == selected)
+  }
+
   test("gramMatrix: matches brute force and is partition-invariant") {
     val pts = Seq(
       (0L, Seq(1.0f, 2.0f, -3.0f)), (1L, Seq(0.5f, -1.5f, 2.5f)),
@@ -1251,6 +1282,36 @@ class ScaleSpec extends SparkSpec {
       g / n - (si / n) * (sj / n)
     }.sum
     assert(math.abs(evs.sum - trace) < 1e-6 * math.max(1.0, trace))
+  }
+
+  test("pcaChecked: exact companions match brute force; every contract " +
+    "flag true") {
+    val pts = (0 until 40).map { k =>
+      val t = (k - 19.5) / 4.0
+      (k.toLong, Seq((t + 0.001 * k).toFloat, (t - 0.001 * k).toFloat,
+        (0.01 * (k % 5 - 2)).toFloat))
+    }
+    val gram = Similarity.gramMatrix(
+      pts.toDF("vec_id", "embedding"), "embedding")
+    val out = Similarity.pcaChecked(gram, 3).orderBy($"pc").collect()
+    assert(out.length == 3)
+    // every flag must hold on a well-conditioned covariance
+    for (r <- out; f <- Seq("sum_eq_trace_ok", "frob_eq_sumsq_ok",
+        "top_ge_maxdiag_ok", "psd_ok", "descending_ok", "cum_monotone_ok"))
+      assert(r.getAs[Boolean](f), s"flag $f false on pc ${r.getInt(0)}")
+    // companions replayed from the quantized points in exact BigDecimal
+    val q = pts.map(_._2.map(x => BigDecimal(math.round(x * 1000.0))))
+    val n = BigDecimal(q.length)
+    def gq(i: Int, j: Int) = q.map(v => v(i) * v(j)).sum
+    def sq(i: Int) = q.map(v => v(i)).sum
+    def cq(i: Int, j: Int) = gq(i, j) * n - sq(i) * sq(j)
+    val trace = (0 until 3).map(i => cq(i, i)).sum
+    val frob = (for (i <- 0 until 3; j <- 0 until 3) yield {
+      val c = cq(i, j); c * c
+    }).sum
+    assert(BigDecimal(out.head.getString(3)) == trace, "trace_q")
+    assert(BigDecimal(out.head.getString(4)) == frob, "frob_q")
+    assert(out.head.getLong(1) == 40L && out.head.getInt(2) == 3)
   }
 
   test("gramMatrix: empty input yields zero rows, not fabricated indices") {
