@@ -149,8 +149,13 @@ object ScaleCheck {
         (d: DataFrame) => Similarity.semDedup(d, "vec_id", "embedding", 0.3),
         embeddings, "vec_id", Some("embedding")),
       ("unigram_logprob",
+        // UNsalted copies (like bpe_train): salting grew the VOCABULARY N×,
+        // so the r3-r5 ratios measured the replica trick (an N×-wider LM
+        // join dictionary no real corpus produces), not the operator. A
+        // real corpus at N× mass keeps ~the same vocabulary with N× the
+        // frequencies — exactly what unsalted replication models.
         (d: DataFrame) => TextAnalysis.unigramLogProb(d, "doc_id", "text"),
-        docs, "doc_id", Some("text")),
+        docs, "doc_id", None),
       ("zorder_stats",
         (d: DataFrame) => graft.io.ZOrder.fileStats(
           d.withColumn("x", col("o_custkey") % 1024)

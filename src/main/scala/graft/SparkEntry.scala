@@ -1420,10 +1420,10 @@ object SparkEntry {
 
     // ---- media near-dup: perceptual-signature multi-band Hamming LSH -------
     // The LAION-style image-dedup shape over the fabricated media table:
-    // 60-bit signature (codec-seam stub = md5 prefix; real deployments put
-    // a DCT pHash here) → 4×15-bit band bucket join (complete for
-    // hamming ≤ 3 by pigeonhole, linear candidate mass) → exact
-    // bit_count(xor) verify.
+    // REAL 60-bit DCT pHash (integer 8×8 DCT-II + median threshold,
+    // Multimodal.dctPhash; only the pixel DECODE is the codec-seam stub)
+    // → 4×15-bit band bucket join (complete for hamming ≤ 3 by
+    // pigeonhole, linear candidate mass) → exact bit_count(xor) verify.
     "phash_pairs_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       // deterministic duplicate injection (every 97th doc re-ingested under
@@ -1484,6 +1484,36 @@ object SparkEntry {
         .runToMemory(s, sk, name,
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy(col("event_type"))
+    }),
+
+    // ---- rolling-window HLL over the event STREAM --------------------------
+    // The streaming twin of rolling_hll_events: the stream maintains the
+    // per-(event_type, hour, bucket) register maxes as Complete-mode
+    // aggregation state (one long per register — bounded, merge-order-free,
+    // so the result is micro-batch-schedule-independent), and the
+    // trailing-4h window union runs as sketch algebra over that tiny state
+    // table after the stream drains. The oracle replays the identical
+    // register table + rollup from the batch view of the same rows.
+    "streaming_rolling_hll_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val ev = stream
+        .withColumn("__es", graft.scale.Events.epochSeconds(stream))
+        .withColumn("hour", expr("__es DIV 3600"))
+        .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
+          col("user_id").cast("string").cast("binary"), 15))
+      val regs = graft.scale.Sketches
+        .hllRegisterRows(ev, Seq("event_type"), col("hour"), col("__h"))
+        .groupBy(col("event_type"), col("tb"), col("bucket"))
+        .agg(max(col("rho")).as("rho"))
+      val name = "stream_rhll_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val state = graft.streaming.Streams.runToMemory(s, regs, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Sketches.hllRollupWindows(state, Seq("event_type"), 4)
+        .withColumnRenamed("tb", "hour")
+        .orderBy(col("event_type"), col("hour"))
     }),
 
     // ---- CMS as STREAMING aggregation state --------------------------------
@@ -2919,6 +2949,60 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true))
+  }
+
+  /** DCT-pHash oracle: replays [[graft.scale.Multimodal.dctPhash]] over
+    * the stub-decoded grid entirely in SQL — the grid is four chained
+    * VARCHAR md5s (hex-pair bytes), the DCT multiplies the IDENTICAL
+    * quantized cosine table (interpolated from the Scala constant, so the
+    * two engines cannot drift), the 60 AC coefficients threshold at their
+    * lower median (list_sort[30] = 30th smallest), and the banding /
+    * hamming verify matches the Spark plan bit for bit. All arithmetic is
+    * exact integers: pixel ≤ 255, table entry ≤ 1024, coefficient ≤
+    * 1.7e10 — nothing approaches BIGINT range.
+    */
+  private def phashOracleSql: String = {
+    val table = graft.scale.Multimodal.cosQ.mkString(", ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000000, text FROM documents
+       |  WHERE doc_id % 97 = 0),
+       |px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), k ->
+       |      CAST(('0x' || substring(
+       |        md5(text || ':' || CAST(k // 16 AS VARCHAR)),
+       |        (k % 16) * 2 + 1, 2)) AS BIGINT)) AS p
+       |  FROM corpus),
+       |cf AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, 61), j ->
+       |      list_sum(list_transform(range(0, 64), k ->
+       |        p[k + 1] * ct.t[(j // 8) * 8 + (k // 8) + 1]
+       |                 * ct.t[(j % 8) * 8 + (k % 8) + 1]))) AS cs
+       |  FROM px CROSS JOIN (SELECT [$table] AS t) ct),
+       |sig AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(range(1, 61), i ->
+       |      CASE WHEN cs[i] > list_sort(cs)[30]
+       |        THEN CAST(1 AS BIGINT) << (i - 1)
+       |        ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sig
+       |  FROM cf),
+       |b AS (
+       |  SELECT doc_id, sig, d.band,
+       |    (sig >> (d.band * 15)) & 32767 AS bkey
+       |  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) d),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+       |    a.sig AS sig_a, bb.sig AS sig_b
+       |  FROM b a JOIN b bb
+       |    ON a.band = bb.band AND a.bkey = bb.bkey
+       |      AND a.doc_id < bb.doc_id)
+       |SELECT id_a, id_b,
+       |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** Mechanically unrolled k-core peeling oracle: per round, a (degree,
@@ -4648,6 +4732,45 @@ object SparkEntry {
         |FROM s JOIN ex USING (event_type, hour)
         |ORDER BY event_type, hour""".stripMargin,
 
+    // streaming rolling HLL == batch rolling HLL (register max is
+    // merge-order-free, so the Complete-mode state equals the batch
+    // register table): the rolling_hll_events replay minus its exact
+    // recount companion
+    "streaming_rolling_hll_events" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    epoch_us(ts) // 1000000 // 3600 AS hour,
+        |    CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+        |      AS BIGINT) AS hv
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, hour, hv % 64 AS bucket,
+        |    MAX(CASE WHEN hv // 64 = 0 THEN 55
+        |      ELSE 55 - length(format('{:b}', hv // 64)) END) AS rho
+        |  FROM h GROUP BY 1, 2, 3),
+        |a AS (SELECT DISTINCT event_type, hour FROM r),
+        |roll AS (
+        |  SELECT a.event_type, a.hour, r.bucket, MAX(r.rho) AS rho
+        |  FROM a JOIN r ON r.event_type = a.event_type
+        |    AND r.hour > a.hour - 4 AND r.hour <= a.hour
+        |  GROUP BY 1, 2, 3),
+        |s AS (
+        |  SELECT event_type, hour,
+        |    CAST(64 - COUNT(*) AS BIGINT) AS n_zero_regs,
+        |    CAST(SUM(CAST(1 AS BIGINT) << (56 - rho))
+        |      + (64 - COUNT(*)) * 72057594037927936 AS BIGINT)
+        |      AS harmonic_num,
+        |    CAST(SUM((bucket + 1) * rho) AS BIGINT) AS regs_digest
+        |  FROM roll GROUP BY 1, 2)
+        |SELECT event_type, hour, n_zero_regs, harmonic_num, regs_digest,
+        |  CAST(CASE WHEN n_zero_regs > 0 AND
+        |      2.0925986477216114E20
+        |        / CAST(harmonic_num AS DOUBLE) <= 160.0
+        |    THEN ROUND(64.0 * LN(64.0 / CAST(n_zero_regs AS DOUBLE)))
+        |    ELSE ROUND(2.0925986477216114E20
+        |      / CAST(harmonic_num AS DOUBLE)) END AS BIGINT) AS hll_est
+        |FROM s ORDER BY event_type, hour""".stripMargin,
+
     // KMV set ops: the A/B sketches are the k smallest hashes of each
     // slice's user set; a union-sketch member's slice membership is its
     // per-user flag (rank-in-slice ≤ rank-in-union ≤ k, so sketch
@@ -4750,33 +4873,13 @@ object SparkEntry {
         |      // nu END AS BIGINT) AS est_intersect
         |FROM est ORDER BY 1, 2""".stripMargin,
 
-    // pHash pairs: payload = utf-8 text bytes, so the 60-bit stub signature
-    // is the same md5-prefix DuckDB computes over the text; bands are bit
-    // slices (>> then mask), verify is bit_count(xor)
-    "phash_pairs_docs" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 1000000000, text FROM documents
-        |  WHERE doc_id % 97 = 0),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS sig
-        |  FROM corpus),
-        |b AS (
-        |  SELECT doc_id, sig, d.band,
-        |    (sig >> (d.band * 15)) & 32767 AS bkey
-        |  FROM sig CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) d),
-        |cand AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
-        |    a.sig AS sig_a, bb.sig AS sig_b
-        |  FROM b a JOIN b bb
-        |    ON a.band = bb.band AND a.bkey = bb.bkey
-        |      AND a.doc_id < bb.doc_id)
-        |SELECT id_a, id_b,
-        |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
-        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
-        |ORDER BY 1, 2""".stripMargin,
+    // pHash pairs: full replay of the DCT perceptual hash — payload =
+    // utf-8 text bytes, so the stub decode's md5-chained 8×8 grid is
+    // VARCHAR md5 over (text || ':chunk'); the DCT is exact integer
+    // arithmetic against the SAME quantized cosine table the Spark side
+    // uses (interpolated below); bands are bit slices, verify is
+    // bit_count(xor)
+    "phash_pairs_docs" -> phashOracleSql,
 
     // streaming KMV == batch KMV (merge-order invariance): same replay as
     // kmv_distinct_events, without the exact companion column

@@ -827,9 +827,10 @@ object Dedup {
     * of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499) re-shaped for a distributed engine: two
     * documents are substring-duplicates iff they share a character k-gram
-    * window. The inverted window-hash index generates candidate pairs
-    * exactly like [[ngramJaccardPairs]]: count-first df-cut, bounded
-    * posting lists, map-side pair expansion. Where the suffix array finds
+    * window. The inverted window-hash index generates candidate pairs like
+    * [[ngramJaccardPairs]], but with the df-cut fused INTO the posting
+    * aggregation ([[cappedPostingAggregator]]): bounded per-key state, one
+    * shuffle, map-side pair expansion. Where the suffix array finds
     * the LONGEST shared substring, the k-gram index finds every qualifying
     * share — the same dedup decision at threshold k, embarrassingly
     * parallel, no global sort.
@@ -878,58 +879,91 @@ object Dedup {
       maxDf: Int = 100,
       anchored: Boolean = true): DataFrame = {
     val n = length(col(textCol))
-    // Anchored mode extracts the window STRINGS in one compiled-regex scan
-    // per document: a zero-width match at every word start (`(?<![^ ])` =
-    // start-of-string or after a space) whose lookahead CAPTURES the next
-    // exactly-k characters. Anchors within k-1 of the end can't fill the
-    // capture, so they drop — the same bound as the position formulation's
-    // `i <= n-k+1`; sub-k docs take the whole text as their position-1
-    // window via the `when` branch. Profiled against exploding all
-    // character positions and filtering (carries the doc text through
-    // 1.25M explode rows) and against a per-doc HOF position aggregate
-    // (interpreted, quadratic in tokens): the regex scan is linear,
-    // codegen-adjacent, and produced the identical window set ~40% faster.
-    // The window hash runs in a codegen projection over the anchor rows;
-    // its key is the first 8 BYTES of the md5 (unhex of the hex prefix —
-    // no hex→decimal string parse): distinct + df-cut + postings shuffles
-    // carry 8-byte keys; 64-bit collisions are negligible below ~2^32
-    // distinct windows per corpus. (A collision usually just ADDS a
+    // Anchored mode: the fused AnchoredWindowHashExpr kernel — one char
+    // scan per document emitting the 8-byte window KEYS directly, so the
+    // explode carries longs, never 48-char window strings, and the regex
+    // form this replaced (lookbehind test + k-char capture alloc at every
+    // position — 85% of this operator's runtime when profiled at sf0.1·8)
+    // drops out of the plan entirely. Window-set semantics unchanged
+    // (property-tested against the regex + md5PrefixLong composition): a
+    // zero-width anchor at start-of-string or after a space, taking the
+    // next exactly-k chars (anchors within k-1 of the end can't fill and
+    // drop — the position formulation's `i <= n-k+1` bound); sub-k docs
+    // take the whole text as their one window. The key is the first 8
+    // BYTES of the md5; 64-bit collisions are negligible below ~2^32
+    // distinct windows per corpus (a collision usually just ADDS a
     // spurious candidate pair; the one drop path — two real windows
     // merging past the maxDf cut — needs a collision between two
-    // already-high-df windows, ~2^-64 each.)
-    val sel =
+    // already-high-df windows, ~2^-64 each).
+    val hashed =
       if (anchored)
         df.select(col(idCol),
-          explode(when(n < k, array(col(textCol)))
-            .otherwise(regexp_extract_all(col(textCol),
-              lit("(?<![^ ])(?=([\\s\\S]{" + k + "}))"), lit(1))))
-            .as("__w"))
+          explode(HashExprs.anchoredWindowHashes(col(textCol), k)).as("h"))
       else
         df.select(col(idCol), col(textCol),
             explode(sequence(lit(1), greatest(n - (k - 1), lit(1)))).as("__i"))
           .select(col(idCol),
-            col(textCol).substr(col("__i"), lit(k)).as("__w"))
-    val w = sel
-      .select(col(idCol),
-        // signed-long reading of the first 8 digest bytes (grouping key
-        // only — bijective with the 8-byte binary prefix)
-        HashExprs.md5PrefixLong(col("__w").cast("binary"), 16).as("h"))
-      // one (id, hash) relation, three consumers (df-cut, keep-join,
-      // postings) — materialize once, as ngramJaccardPairs does
-      .distinct()
-      .localCheckpoint(true)
-    val keep = w.groupBy(col("h")).agg(count(lit(1)).as("df_cnt"))
-      .filter(col("df_cnt") >= 2 && col("df_cnt") <= maxDf)
-      .select("h")
-    val postings = w.join(keep, Seq("h"))
-      .groupBy(col("h"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+            HashExprs.md5PrefixLong(
+              col(textCol).substr(col("__i"), lit(k)).cast("binary"), 16)
+              .as("h"))
+    // ONE keyed aggregation with BOUNDED state replaces the r3-r5
+    // distinct → checkpoint → count → keep-join → postings chain (three
+    // |windows|-mass exchanges + an eager materialization): the capped
+    // posting aggregator collects at most maxDf+1 DISTINCT doc ids per
+    // window hash and collapses to a constant-width overflow sentinel past
+    // that, so a mega-hot k-gram (header/license boilerplate repeated in
+    // millions of docs) crosses the exchange as ONE ≤(maxDf+1)-long
+    // partial per map partition instead of a posting row per occurrence —
+    // the df-cut applied DURING aggregation rather than after a counting
+    // pass. Overflow is merge-order-free (a window overflows iff its true
+    // distinct df exceeds the cap), so the final keep filter
+    // (2 ≤ df ≤ maxDf) sees identical sets under any partitioning.
+    val agg = udaf(cappedPostingAggregator(maxDf),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val postings = hashed
+      .groupBy(col("h")).agg(agg(col(idCol)).as("p"))
+      .filter(!col("p.overflow") &&
+        size(col("p.ids")).between(2, maxDf))
+      .select(sort_array(col("p.ids")).as("ids"))
     postings
       .select(explode(col("ids")).as("id_a"), col("ids"))
       .select(col("id_a"), explode(col("ids")).as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
   }
+
+  /** Posting-list buffer with a hard distinct-id cap: `overflow` marks a
+    * window whose true df exceeded the cap (its ids are dropped — it can
+    * only be cut downstream, so carrying them is pure shuffle mass).
+    */
+  case class CappedPostingBuf(overflow: Boolean, ids: Array[Long])
+
+  /** Typed max-(maxDf+1)-distinct-id collector. Linear containment scan
+    * per input row is bounded at maxDf+1 longs (≈ 100) — cheaper than any
+    * per-row hashing for lists this short.
+    */
+  def cappedPostingAggregator(maxDf: Int): org.apache.spark.sql.expressions
+      .Aggregator[Long, CappedPostingBuf, CappedPostingBuf] =
+    new org.apache.spark.sql.expressions
+        .Aggregator[Long, CappedPostingBuf, CappedPostingBuf] {
+      private val cap = maxDf + 1
+      private val over = CappedPostingBuf(overflow = true,
+        Array.emptyLongArray)
+      def zero: CappedPostingBuf =
+        CappedPostingBuf(overflow = false, Array.emptyLongArray)
+      def reduce(b: CappedPostingBuf, id: Long): CappedPostingBuf =
+        if (b.overflow || b.ids.contains(id)) b
+        else if (b.ids.length >= cap) over
+        else CappedPostingBuf(overflow = false, b.ids :+ id)
+      def merge(a: CappedPostingBuf, c: CappedPostingBuf): CappedPostingBuf =
+        if (a.overflow || c.overflow) over
+        else c.ids.foldLeft(a)(reduce)
+      def finish(b: CappedPostingBuf): CappedPostingBuf = b
+      def bufferEncoder: org.apache.spark.sql.Encoder[CappedPostingBuf] =
+        org.apache.spark.sql.Encoders.product[CappedPostingBuf]
+      def outputEncoder: org.apache.spark.sql.Encoder[CappedPostingBuf] =
+        org.apache.spark.sql.Encoders.product[CappedPostingBuf]
+    }
 
   /** Incremental (batch-vs-corpus) dedup — the shape a continuously-
     * ingesting pipeline actually runs: dedup the NEW batch against the

@@ -78,6 +78,70 @@ case class Md5PrefixLongExpr(child: Expression, hexChars: Int)
       newChild: Expression): Md5PrefixLongExpr = copy(child = newChild)
 }
 
+/** Kernel behind [[AnchoredWindowHashExpr]]: one char scan per document,
+  * one md5 per word-start-anchored k-char window — the fused form of
+  * `regexp_extract_all(text, "(?<![^ ])(?=([\s\S]{k}))", 1)` → explode →
+  * `md5PrefixLong(window, 16)`. The regex engine pays a lookbehind test
+  * and a k-char capture allocation at every position; this loop tests one
+  * char and hashes only at anchors (profiled ~7× cheaper at sf0.1·8 —
+  * the regex scan was 85% of substringDupPairs' runtime).
+  */
+object AnchoredWindows {
+  def hashes(text: String, k: Int): Array[Long] = {
+    val len = text.length
+    if (len < k)
+      return Array(Md5Prefix.eval(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16))
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    out.sizeHint(len / 6 + 1)
+    var i = 0
+    while (i <= len - k) {
+      if (i == 0 || text.charAt(i - 1) == ' ')
+        out += Md5Prefix.eval(text.substring(i, i + k)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8), 16)
+      i += 1
+    }
+    out.result()
+  }
+}
+
+/** Codegen'd anchored-window hash array: emits, per document, the
+  * [[Md5Prefix]]-16 key of every word-start-anchored k-char window (the
+  * whole text as the single window for sub-k docs) — exactly the window
+  * set [[graft.scale.Dedup.substringDupPairs]] documents, with the window
+  * STRINGS never materialized into the plan: the explode downstream
+  * carries 8-byte longs, not 48-char strings. Agreement with the composed
+  * regex + md5PrefixLong form is property-tested (PropertiesSpec).
+  */
+case class AnchoredWindowHashExpr(child: Expression, k: Int)
+    extends UnaryExpression {
+  require(k >= 1, s"window length must be positive, got $k")
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"anchored_window_hashes expects string input, got ${other.simpleString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      AnchoredWindows.hashes(input.toString, k))
+
+  override protected def doGenCode(
+      ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"new org.apache.spark.sql.catalyst.util.GenericArrayData(" +
+        s"graft.scale.AnchoredWindows.hashes($c.toString(), $k))")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): AnchoredWindowHashExpr = copy(child = newChild)
+}
+
 object HashExprs {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
@@ -88,4 +152,11 @@ object HashExprs {
   def md5PrefixLong(c: Column, hexChars: Int): Column =
     ColumnBridge.column(
       Md5PrefixLongExpr(ColumnBridge.expression(c), hexChars))
+
+  /** Array of [[Md5Prefix]]-16 window keys for every word-start-anchored
+    * k-char window of a string column (see [[AnchoredWindowHashExpr]]).
+    */
+  def anchoredWindowHashes(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      AnchoredWindowHashExpr(ColumnBridge.expression(c), k))
 }

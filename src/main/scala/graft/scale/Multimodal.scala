@@ -101,6 +101,90 @@ object Multimodal {
       md.update(frame.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       md.digest()(0) & 0xff
     }
+
+    /** STUB — the decode seam for [[Multimodal.phashPairs]]: payload → 8×8
+      * grayscale grid (64 unsigned bytes) as four chained md5 digests
+      * md5(payload ++ ":0" … ":3"). A real deployment decodes pixels and
+      * box-filters down to 8×8 here; everything DOWNSTREAM of this grid
+      * (the DCT perceptual hash) is the real algorithm. The ":chunk"
+      * suffix is a decimal string so the DuckDB oracle replays the grid
+      * with VARCHAR md5 over the text payload.
+      */
+    def grayGrid(payload: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](64)
+      var chunk = 0
+      while (chunk < 4) {
+        val md = MessageDigest.getInstance("MD5")
+        md.update(payload)
+        md.update((":" + chunk)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val dg = md.digest()
+        var i = 0
+        while (i < 16) { out(chunk * 16 + i) = dg(i) & 0xff; i += 1 }
+        chunk += 1
+      }
+      out
+    }
+  }
+
+  /** Quantized 8-point DCT-II cosine table: cosQ(u·8 + r) =
+    * round(cos((2r+1)·u·π/16) · 1024). StrictMath (fdlibm) keeps the table
+    * bit-identical on every JVM; the integers are interpolated verbatim
+    * into the DuckDB oracle, so both engines multiply the SAME table.
+    */
+  private[graft] val cosQ: Array[Int] = {
+    val t = new Array[Int](64)
+    var u = 0
+    while (u < 8) {
+      var r = 0
+      while (r < 8) {
+        t(u * 8 + r) = math.round(
+          StrictMath.cos((2 * r + 1) * u * math.Pi / 16.0) * 1024.0).toInt
+        r += 1
+      }
+      u += 1
+    }
+    t
+  }
+
+  /** REAL perceptual hash over a decoded 8×8 grid — the pHash construction
+    * (DCT + median threshold), exact-integer so any engine replays it:
+    * 2D DCT-II coefficients C(u,v) = Σ p(r,c)·cosQ(u,r)·cosQ(v,c) (exact
+    * Longs: ≤ 64·255·1024² ≈ 1.7e10), the 60 AC coefficients in row-major
+    * (u,v) order j = 1..60 (skipping DC, which only encodes brightness),
+    * thresholded at their LOWER MEDIAN (30th smallest — deterministic on
+    * ties): bit i = [C_{i+1} > median]. Near-identical grids move each
+    * coefficient by O(perturbation·1024²) ≪ typical coefficient spread, so
+    * few bits flip — unlike a cryptographic hash, Hamming distance tracks
+    * visual distance, which is what makes the multi-band LSH a NEAR-dup
+    * finder rather than an exact-dup finder.
+    */
+  def dctPhash(grid: Array[Int]): Long = {
+    require(grid.length == 64, s"need an 8x8 grid, got ${grid.length}")
+    val c = new Array[Long](61)
+    var j = 1
+    while (j <= 60) {
+      val u = j / 8
+      val v = j % 8
+      var s = 0L
+      var k = 0
+      while (k < 64) {
+        s += grid(k).toLong * cosQ(u * 8 + k / 8) * cosQ(v * 8 + k % 8)
+        k += 1
+      }
+      c(j) = s
+      j += 1
+    }
+    val sorted = java.util.Arrays.copyOfRange(c, 1, 61)
+    java.util.Arrays.sort(sorted)
+    val med = sorted(29)
+    var sig = 0L
+    var i = 0
+    while (i < 60) {
+      if (c(i + 1) > med) sig |= 1L << i
+      i += 1
+    }
+    sig
   }
 
   /** Decode + feature-extract stage: per partition, one codec instance, rows
@@ -161,26 +245,41 @@ object Multimodal {
     decoded.withColumn("features", slice(col("features"), 1, newWidth))
 
   /** Media near-dup pairs by perceptual-signature LSH — the image-dedup
-    * shape of a LAION-style corpus clean. The SIGNATURE is the codec-seam
-    * stub (md5-prefix of the payload; a real deployment computes a
-    * DCT/pHash over decoded pixels, same 60-bit output), but the pipeline
-    * around it is the real algorithm: split the signature into `bands`
-    * disjoint bit-bands and bucket-join on (band, band bits) — by
-    * pigeonhole, EVERY pair within Hamming distance < `bands` shares at
-    * least one exact band, so candidate generation is complete for
-    * `maxHamming ≤ bands - 1` and stays linear in corpus size (a pair
-    * never forms unless it collides on 15 exact bits); then one codegen'd
+    * shape of a LAION-style corpus clean. The signature is a REAL DCT
+    * pHash ([[dctPhash]]: integer 8×8 DCT-II + median threshold) over the
+    * decoded grid; only the DECODE remains the codec seam
+    * ([[StubCodec.grayGrid]] — md5-derived fake pixels, swapped for real
+    * decoding in deployment). The pipeline is the real algorithm
+    * end-to-end: split the 60-bit signature into `bands` disjoint
+    * bit-bands and bucket-join on (band, band bits) — by pigeonhole,
+    * EVERY pair within Hamming distance < `bands` shares at least one
+    * exact band, so candidate generation is complete for `maxHamming ≤
+    * bands - 1` and stays linear in corpus size (a pair never forms
+    * unless it collides on 15 exact bits); then one codegen'd
     * `bit_count(xor)` verifies the true distance. Multi-band is strictly
     * stronger than [[Dedup.simhashPairs]]'s single top-bit block (which
     * misses near-dups differing in the prefix) — kept separate because the
     * text simhash documents that tradeoff deliberately.
     */
   def phashPairs(media: DataFrame, idCol: String = "doc_id",
-      maxHamming: Int = 3, bands: Int = 4): DataFrame =
-    phashPairsFromSigs(
-      media.select(col(idCol),
-        HashExprs.md5PrefixLong(col("payload"), 15).as("sig")),
-      idCol, maxHamming, bands)
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    val sigSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(sigSchema)
+    // decode + hash per partition (the batched-UDF shape, like
+    // decodeFeatures): one pass over payload bytes, 8-byte sig out —
+    // signature mass is corpus-row-scale regardless of blob sizes
+    val sigs = media.select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          Row(r.getLong(0), dctPhash(StubCodec.grayGrid(payload)))
+        }
+      }(enc)
+    phashPairsFromSigs(sigs, idCol, maxHamming, bands)
+  }
 
   /** The banding + verify core over precomputed (id, 60-bit sig) rows —
     * separated so the completeness property (every pair with hamming <

@@ -415,21 +415,44 @@ object Sketches {
   def hllRollingDistinct(df: DataFrame, groupCols: Seq[String],
       timeBucket: Column, hashCol: Column, trailing: Int = 4,
       p: Int = 6): DataFrame = {
-    require(trailing >= 1, s"trailing >= 1, got $trailing")
+    val regs = hllRegisterRows(df, groupCols, timeBucket, hashCol, p)
+      .groupBy(groupCols.map(col) :+ col("tb") :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+    hllRollupWindows(regs, groupCols, trailing, p)
+  }
+
+  /** The per-row (group, tb, bucket, rho) projection the rolling build
+    * aggregates with max(rho) — split out so a STREAMING groupBy can run
+    * the identical expressions with the state store holding the register
+    * maxes (one long per (group, tb, bucket): bounded, merge-order-free
+    * state — the streaming twin of the batch register table).
+    */
+  def hllRegisterRows(df: DataFrame, groupCols: Seq[String],
+      timeBucket: Column, hashCol: Column, p: Int = 6): DataFrame = {
     require(groupCols.nonEmpty,
-      "hllRollingDistinct needs at least one group column (the anchor " +
+      "rolling HLL needs at least one group column (the anchor " +
         "join keys on it); wrap a constant column for a global rollup")
     val m = 1 << p
     val wBits = 60 - p
     val gcols = groupCols.map(col)
-    val regs = df
-      .select(gcols :+ timeBucket.as("tb") :+ hashCol.as("__h"): _*)
+    df.select(gcols :+ timeBucket.as("tb") :+ hashCol.as("__h"): _*)
       .withColumn("bucket", pmod(col("__h"), lit(m.toLong)))
       .withColumn("__w", expr(s"__h DIV $m"))
       .withColumn("rho", when(col("__w") === 0L, lit(wBits + 1))
         .otherwise(lit(wBits + 1) - length(bin(col("__w")))))
-      .groupBy(gcols :+ col("tb") :+ col("bucket"): _*)
-      .agg(max(col("rho")).as("rho"))
+      .select(gcols ++ Seq(col("tb"), col("bucket"), col("rho")): _*)
+  }
+
+  /** Trailing-window union + summary over a (group, tb, bucket, rho)
+    * register table — sketch algebra only, never a data-mass term; shared
+    * by the batch build and the streaming state replay.
+    */
+  def hllRollupWindows(regs: DataFrame, groupCols: Seq[String],
+      trailing: Int = 4, p: Int = 6): DataFrame = {
+    require(trailing >= 1, s"trailing >= 1, got $trailing")
+    val m = 1 << p
+    val wBits = 60 - p
+    val gcols = groupCols.map(col)
     val anchors = regs.select(gcols :+ col("tb"): _*).distinct()
       .select(gcols.map(c => c.as("a_" + c.toString)) :+
         col("tb").as("a_tb"): _*)

@@ -82,6 +82,35 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 3)
   }
 
+  test("dctPhash: planted near-dup GRIDS land at small hamming, " +
+    "different grids far — recovered through the banding pipeline") {
+    // a deterministic "image": smooth gradient + texture, values 0..255
+    def base(k: Int): Int = {
+      val (r, c) = (k / 8, k % 8)
+      (r * 20 + c * 10 + ((r * c * 7) % 31)) % 256
+    }
+    val gridA = Array.tabulate(64)(base)
+    // near-dup: tiny luminance wobble on three pixels (a re-encode /
+    // slight crop artifact) — DCT coefficients move by ≤ 3·1024² each,
+    // far less than the coefficient spread, so few median bits flip
+    val gridB = gridA.clone()
+    gridB(9) += 2; gridB(27) -= 1; gridB(40) += 1
+    // different image: inverted gradient
+    val gridC = Array.tabulate(64)(k => 255 - base(k))
+    val (sa, sb, sc) = (Multimodal.dctPhash(gridA),
+      Multimodal.dctPhash(gridB), Multimodal.dctPhash(gridC))
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(sa, sb) <= 3, s"near-dup grids at hamming ${ham(sa, sb)}")
+    assert(ham(sa, sc) > 3, s"distinct grids at hamming ${ham(sa, sc)}")
+    // and the pair survives the real banding + verify pipeline
+    val pairs = Multimodal.phashPairsFromSigs(
+      Seq(1L -> sa, 2L -> sb, 3L -> sc).toDF("doc_id", "sig"),
+      "doc_id", 3, 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup pair not recovered")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
   test("phashPairs finds exact-payload duplicates at hamming 0") {
     val dup = Seq(
       (10L, "same bytes"), (11L, "same bytes"), (12L, "other bytes"))

@@ -141,6 +141,32 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("AnchoredWindows kernel equals the regex + md5-prefix composition") {
+    // the reference semantics the kernel fused away: zero-width word-start
+    // anchors, exactly-k capture, whole text for sub-k docs
+    def viaRegex(text: String, k: Int): Seq[Long] = {
+      val wins =
+        if (text.length < k) Seq(text)
+        else {
+          val m = java.util.regex.Pattern
+            .compile("(?<![^ ])(?=([\\s\\S]{" + k + "}))").matcher(text)
+          val b = Seq.newBuilder[String]
+          while (m.find()) b += m.group(1)
+          b.result()
+        }
+      wins.map(w => graft.scale.Md5Prefix.eval(
+        w.getBytes(java.nio.charset.StandardCharsets.UTF_8), 16))
+    }
+    val gText = Gen.listOf(Gen.frequency(
+      4 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('\n', '\t', 'é', '.'))).map(_.mkString)
+    val gK = Gen.chooseNum(1, 12)
+    forAll(Gen.zip(gText, gK), 300) { case (text, k) =>
+      assert(graft.scale.AnchoredWindows.hashes(text, k).toSeq ===
+        viaRegex(text, k), s"k=$k text=${text.take(60)}")
+    }
+  }
+
   test("ProgramDsl round-trips arbitrary programs (DSL v1 arg domain)") {
     import TransformProgram._
     import graft.transform.ProgramDsl

@@ -671,6 +671,24 @@ class ScaleSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 2L), (4L, 5L)), s"unexpected pairs: ${got.toSeq}")
   }
 
+  test("substringDupPairs: hot window past maxDf is cut, partition-" +
+    "invariant (capped posting overflow is merge-order-free)") {
+    // 7 docs share one k-length window (df 7 > maxDf 5 → boilerplate, cut);
+    // two of them also share a SECOND, rare window → only that pair emits
+    val hot = "common boilerplate header shared by absolutely every doc"
+    val rare = "rare span appearing in exactly two documents here yes"
+    assert(hot.length >= 48 && rare.length >= 48)
+    val rows = (1L to 5L).map(i => (i, s"$hot tail$i")) ++
+      Seq((6L, s"$hot $rare"), (7L, s"$rare $hot"))
+    for (p <- Seq(1, 5)) {
+      val got = Dedup.substringDupPairs(
+        rows.toDF("doc_id", "text").repartition(p),
+        "doc_id", "text", 48, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((6L, 7L)), s"partitions=$p got $got")
+    }
+  }
+
   test("substringDupPairs anchoring is alignment-invariant (the case a " +
       "blind stride misses)") {
     // The shared span sits at DIFFERENT offsets in the two docs (7 vs 31 —

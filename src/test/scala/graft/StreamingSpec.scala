@@ -97,6 +97,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamAgg === batchAgg)
   }
 
+  test("streaming rolling-HLL state equals the batch register rollup") {
+    // the Complete-mode max-agg state must reproduce the batch register
+    // table exactly, so the windowed sketch columns agree row for row
+    val stream = SparkEntry.queries("streaming_rolling_hll_events")(spark, sf)
+      .select($"event_type", $"hour", $"n_zero_regs", $"harmonic_num",
+        $"regs_digest", $"hll_est")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val batch = SparkEntry.queries("rolling_hll_events")(spark, sf)
+      .select($"event_type", $"hour", $"n_zero_regs", $"harmonic_num",
+        $"regs_digest", $"hll_est")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("stream-stream interval join: window bounds inclusive, outside-window dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
