@@ -249,6 +249,15 @@ object ScaleCheck {
             graft.tasks.Wrangler.emTokens(col("p_name")).as("toks")),
           "id", "toks", 0.5),
         part, "p_partkey", Some("p_name")),
+      ("em_ppjoin_03",
+        // the live em_similarity_part/em_end_to_end_part candidate path:
+        // same generator at the LOWER 0.3 candidate threshold (longer
+        // prefixes, bigger posting lists, ~15× the answer mass at sf0.1)
+        (d: DataFrame) => Dedup.ppjoinPairs(
+          d.select(col("p_partkey").as("id"),
+            graft.tasks.Wrangler.emTokens(col("p_name")).as("toks")),
+          "id", "toks", 0.3),
+        part, "p_partkey", Some("p_name")),
       ("bpe_train",
         // UNsalted copies: the N× corpus has the SAME vocabulary (N× word
         // frequencies), so this measures the scale claim directly — only

@@ -610,25 +610,61 @@ object SparkEntry {
       val p = t(s, dir, "part")
         .select(col("p_partkey").as("id"), col("p_name"),
           Wrangler.emTokens(col("p_name")).as("toks"))
-      val pairs = Dedup.ppjoinPairs(p, "id", "toks", 0.3)
-      val names = p.select(col("id"), col("p_name"))
-      val joined = pairs
-        .join(names.select(col("id").as("id_a"), col("p_name").as("name_a")),
+      // Name-level collapse: candidate generation (Dedup.ppjoinPairs) and
+      // BOTH similarity scores run on the name DICTIONARY (names repeat
+      // massively — 64 distinct at sf0.1); part-id pairs then materialize
+      // by pure member-list expansion (two explodes) with the scores
+      // already attached. The expanded relation — 46.9M rows at sf0.1,
+      // the true answer mass at threshold 0.3 — is never joined,
+      // shuffled, or distinct'd: profiled, every join/distinct touching
+      // it cost 5-10 s each, while bare expansion is ~4 s. Correct
+      // because a pair's jaccard AND lev_sim are functions of its two
+      // NAMES: same-name pairs are the diagonal branch (both scores 1.0),
+      // cross-name pairs carry their name pair's scores.
+      val members = p.groupBy(col("p_name"))
+        .agg(sort_array(collect_list(col("id"))).as("ids"),
+          min(col("id")).as("nid"),
+          // toks is a function of p_name — first() is deterministic here
+          first(col("toks")).as("toks"))
+      // ... and so are round(jaccard) and the Yes/No decision — ALL
+      // per-pair expressions evaluate once per NAME pair (448 rows at
+      // sf0.1); the pair-mass stage is two explodes + least/greatest over
+      // finished columns (profiled: evaluating round+CASE per expanded
+      // row instead cost ~12 s of the query).
+      val npRaw = Dedup.ppjoinPairs(
+        members.select(col("nid"), col("toks")), "nid", "toks", 0.3)
+      val withLev = npRaw
+        .join(members.select(col("nid").as("id_a"), col("p_name").as("__na")),
           Seq("id_a"))
-        .join(names.select(col("id").as("id_b"), col("p_name").as("name_b")),
+        .join(members.select(col("nid").as("id_b"), col("p_name").as("__nb")),
           Seq("id_b"))
-      // Levenshtein once per DISTINCT name pair (dictionary-scale →
-      // broadcast), not once per matched id pair — same trick as the
-      // ppjoin variant below. No presentation sort: output is
-      // pair-mass-sized and the oracle comparison sorts rows itself.
-      val nameSim = joined.select(col("name_a"), col("name_b")).distinct()
-        .withColumn("lev_sim",
-          round(Wrangler.levenshteinSim(col("name_a"), col("name_b")), 6))
-      joined
-        .join(broadcast(nameSim), Seq("name_a", "name_b"))
-        .select(col("id_a"), col("id_b"),
-          round(col("jaccard"), 6).as("jaccard_sim"), col("lev_sim"),
+        .select(col("id_a").as("nid_a"), col("id_b").as("nid_b"),
+          round(col("jaccard"), 6).as("jaccard_sim"),
+          round(Wrangler.levenshteinSim(col("__na"), col("__nb")), 6)
+            .as("lev_sim"),
           when(col("jaccard") >= 0.5, "Yes").otherwise("No").as("pred"))
+      val cross = withLev
+        .join(broadcast(members.select(col("nid").as("nid_a"),
+          col("ids").as("ids_a"))), Seq("nid_a"))
+        .join(broadcast(members.select(col("nid").as("nid_b"),
+          col("ids").as("ids_b"))), Seq("nid_b"))
+        .select(explode(col("ids_a")).as("ia"), col("ids_b"),
+          col("jaccard_sim"), col("lev_sim"), col("pred"))
+        .select(col("ia"), explode(col("ids_b")).as("ib"),
+          col("jaccard_sim"), col("lev_sim"), col("pred"))
+        .select(least(col("ia"), col("ib")).as("id_a"),
+          greatest(col("ia"), col("ib")).as("id_b"),
+          col("jaccard_sim"), col("lev_sim"), col("pred"))
+      val intra = members
+        .filter(size(col("ids")) > 1)
+        .select(col("ids"))
+        .select(explode(col("ids")).as("id_a"), col("ids"))
+        .select(col("id_a"), explode(col("ids")).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          lit(1.0).as("jaccard_sim"), lit(1.0).as("lev_sim"),
+          lit("Yes").as("pred"))
+      cross.unionByName(intra)
     }),
 
     // ---- J3+G4 EM task end-to-end: PPJoin candidates → similarity
@@ -643,16 +679,22 @@ object SparkEntry {
       val pairs = Dedup.ppjoinPairs(
         p.select(col("id"), col("toks")), "id", "toks", 0.3)
       val types = p.select(col("id"), col("p_type"))
+      // reduce the pair mass to its (pred, gold) class distribution FIRST
+      // (codegen hash-agg, map-side partials), then run the tolerant-
+      // equality confusion expression once per CLASS — at 46.9M pairs the
+      // per-row regex normalization inside confusionMetrics was ~10 s of
+      // the query (profiled); the weighted form is mass-independent
       val lab = pairs
-        .join(types.select(col("id").as("id_a"), col("p_type").as("type_a")),
-          Seq("id_a"))
-        .join(types.select(col("id").as("id_b"), col("p_type").as("type_b")),
-          Seq("id_b"))
-        .withColumn("pred",
-          when(col("jaccard") >= 0.5, "yes").otherwise("no"))
-        .withColumn("gold",
-          when(col("type_a") === col("type_b"), "yes").otherwise("no"))
-      Metrics.confusionMetrics(lab, "pred", "gold")
+        .join(broadcast(types.select(col("id").as("id_a"),
+          col("p_type").as("type_a"))), Seq("id_a"))
+        .join(broadcast(types.select(col("id").as("id_b"),
+          col("p_type").as("type_b"))), Seq("id_b"))
+        .select(
+          when(col("jaccard") >= 0.5, "yes").otherwise("no").as("pred"),
+          when(col("type_a") === col("type_b"), "yes").otherwise("no")
+            .as("gold"))
+        .groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("__w"))
+      Metrics.confusionMetricsWeighted(lab, "pred", "gold", "__w")
     }),
 
     // ---- J3 scale path: PPJoin prefix-filter EM candidate generation -------

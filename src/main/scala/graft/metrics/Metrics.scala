@@ -155,6 +155,47 @@ object Metrics {
           .otherwise(lit(0.0)), 6))
   }
 
+  /** [[confusionMetrics]] over a PRE-AGGREGATED (pred, gold, weight)
+    * class-distribution table — the 100 TB shape for massive pair
+    * relations: the caller reduces its rows to distinct (pred, gold)
+    * classes with counts (one codegen hash-agg with map-side partials),
+    * and the tolerant-equality expression — regex extraction per
+    * evaluation, the cost term at pair mass — runs once per CLASS instead
+    * of once per row. Identical output to row-level [[confusionMetrics]]
+    * because crc depends only on the (pred, gold) values.
+    */
+  def confusionMetricsWeighted(
+      classes: DataFrame,
+      predCol: String,
+      goldCol: String,
+      weightCol: String,
+      tol: Double = 0.021,
+      truncating: Boolean = true): DataFrame = {
+    val crc = tolerantEquals(col(predCol), col(goldCol), tol, truncating)
+    val g = normalize(col(goldCol))
+    val w = col(weightCol)
+    val cnt = (p: Column) => sum(when(p, w).otherwise(0L))
+    classes.agg(
+        sum(w).as("total"),
+        cnt(crc).as("crc"),
+        cnt(g === "yes" && crc).as("tp"),
+        cnt(g === "yes" && !crc).as("fn"),
+        cnt(g === "no" && crc).as("tn"),
+        cnt(g === "no" && !crc).as("fp"))
+      .withColumn("prec", round(
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fp")), 6))
+      .withColumn("rec", round(
+        col("tp").cast("double") / greatest(lit(1L), col("tp") + col("fn")), 6))
+      .withColumn("acc", round(col("crc").cast("double") / col("total"), 6))
+      .withColumn("f1_legacy", round(
+        lit(2.0) * col("prec") * col("rec") /
+          greatest(lit(1.0), col("prec") + col("rec")), 6))
+      .withColumn("f1", round(
+        when(col("prec") + col("rec") > 0.0,
+          lit(2.0) * col("prec") * col("rec") / (col("prec") + col("rec")))
+          .otherwise(lit(0.0)), 6))
+  }
+
   /** Pearson correlation per group from EXACT decimal co-moment sums.
     * Spark's built-in `corr` streams floating co-moments whose merge order
     * depends on partitioning — the last ulps are not reproducible across
