@@ -674,27 +674,64 @@ object SparkEntry {
     // pred thresholds at 0.5 within it.
     "em_end_to_end_part" -> ((s, dir) => {
       val p = t(s, dir, "part")
-        .select(col("p_partkey").as("id"),
+        .select(col("p_partkey").as("id"), col("p_name"),
           Wrangler.emTokens(col("p_name")).as("toks"), col("p_type"))
-      val pairs = Dedup.ppjoinPairs(
-        p.select(col("id"), col("toks")), "id", "toks", 0.3)
-      val types = p.select(col("id"), col("p_type"))
-      // reduce the pair mass to its (pred, gold) class distribution FIRST
-      // (codegen hash-agg, map-side partials), then run the tolerant-
-      // equality confusion expression once per CLASS — at 46.9M pairs the
-      // per-row regex normalization inside confusionMetrics was ~10 s of
-      // the query (profiled); the weighted form is mass-independent
-      val lab = pairs
-        .join(broadcast(types.select(col("id").as("id_a"),
-          col("p_type").as("type_a"))), Seq("id_a"))
-        .join(broadcast(types.select(col("id").as("id_b"),
-          col("p_type").as("type_b"))), Seq("id_b"))
-        .select(
-          when(col("jaccard") >= 0.5, "yes").otherwise("no").as("pred"),
-          when(col("type_a") === col("type_b"), "yes").otherwise("no")
-            .as("gold"))
-        .groupBy(col("pred"), col("gold")).agg(count(lit(1)).as("__w"))
-      Metrics.confusionMetricsWeighted(lab, "pred", "gold", "__w")
+      // Dictionary-scale evaluation: the (pred, gold) CLASS COUNTS of the
+      // all-pairs ≥ 0.3 relation are computed WITHOUT materializing a
+      // single pair. pred is a function of the name pair (jaccard over
+      // token sets); gold counts come from per-name TYPE HISTOGRAMS —
+      // for a cross-name pair, gold-yes = Σ_t cnt_a(t)·cnt_b(t) (a
+      // histogram dot product over the tiny (name, type) table), and for
+      // the same-name diagonal, gold-yes = Σ_t C(cnt_t, 2). The pair mass
+      // (46.9M rows at sf0.1, unbounded at 100 TB under hot names) never
+      // exists anywhere in the plan; the tolerant-equality confusion
+      // expression then runs once per (pred, gold) class
+      // (Metrics.confusionMetricsWeighted) — identical output to the
+      // row-level form, exact integers throughout.
+      val names = p.groupBy(col("p_name"))
+        .agg(min(col("id")).as("nid"), first(col("toks")).as("toks"),
+          count(lit(1)).as("n"))
+      val hist = p.groupBy(col("p_name"), col("p_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .join(names.select(col("p_name"), col("nid")), Seq("p_name"))
+        .select(col("nid"), col("p_type"), col("cnt"))
+      val np = Dedup
+        .ppjoinPairs(names.select(col("nid"), col("toks")),
+          "nid", "toks", 0.3)
+        .select(col("id_a").as("nid_a"), col("id_b").as("nid_b"),
+          when(col("jaccard") >= 0.5, "yes").otherwise("no").as("pred"))
+      val gy = np.select(col("nid_a"), col("nid_b"))
+        .join(hist.select(col("nid").as("nid_a"), col("p_type"),
+          col("cnt").as("__ca")), Seq("nid_a"))
+        .join(hist.select(col("nid").as("nid_b"), col("p_type"),
+          col("cnt").as("__cb")), Seq("nid_b", "p_type"))
+        .groupBy(col("nid_a"), col("nid_b"))
+        .agg(sum(col("__ca") * col("__cb")).as("gold_yes"))
+      val sizes = names.select(col("nid"), col("n"))
+      val crossCls = np
+        .join(sizes.select(col("nid").as("nid_a"), col("n").as("__na")),
+          Seq("nid_a"))
+        .join(sizes.select(col("nid").as("nid_b"), col("n").as("__nb")),
+          Seq("nid_b"))
+        .join(gy, Seq("nid_a", "nid_b"), "left")
+        .select(col("pred"),
+          coalesce(col("gold_yes"), lit(0L)).as("gold_yes"),
+          (col("__na") * col("__nb") - coalesce(col("gold_yes"), lit(0L)))
+            .as("gold_no"))
+      val intraCls = hist
+        .groupBy(col("nid"))
+        .agg(sum(expr("cnt * (cnt - 1) DIV 2")).as("gold_yes"))
+        .join(sizes, Seq("nid"))
+        .select(lit("yes").as("pred"), col("gold_yes"),
+          (expr("n * (n - 1) DIV 2") - col("gold_yes")).as("gold_no"))
+      val classes = crossCls.unionByName(intraCls)
+        .select(col("pred"), explode(array(
+          struct(lit("yes").as("gold"), col("gold_yes").as("w")),
+          struct(lit("no").as("gold"), col("gold_no").as("w"))))
+          .as("g"))
+        .select(col("pred"), col("g.gold").as("gold"), col("g.w").as("w"))
+        .groupBy(col("pred"), col("gold")).agg(sum(col("w")).as("__w"))
+      Metrics.confusionMetricsWeighted(classes, "pred", "gold", "__w")
     }),
 
     // ---- J3 scale path: PPJoin prefix-filter EM candidate generation -------

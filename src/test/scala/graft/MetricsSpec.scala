@@ -113,6 +113,22 @@ class MetricsSpec extends SparkSpec {
     assert(math.abs(m.getAs[Double]("f1_legacy") - m.getAs[Double]("f1")) < 1e-6)
   }
 
+  test("confusionMetricsWeighted over the class distribution equals the " +
+    "row-level form") {
+    val rows = Seq(
+      ("yes", "yes"), ("no", "yes"), ("no", "no"), ("yes", "no"),
+      ("yes", "yes"), ("no", "no"), ("no", "no"), ("yes", "yes"))
+    val df = rows.toDF("pred", "gold")
+    val classes = df.groupBy($"pred", $"gold").agg(count(lit(1)).as("__w"))
+    val a = Metrics.confusionMetrics(df, "pred", "gold").collect()(0)
+    val b = Metrics
+      .confusionMetricsWeighted(classes, "pred", "gold", "__w").collect()(0)
+    assert(a.schema.fieldNames.toSeq === b.schema.fieldNames.toSeq)
+    a.schema.fieldNames.foreach { f =>
+      assert(a.getAs[Any](f) === b.getAs[Any](f), s"field $f diverges")
+    }
+  }
+
   test("legacy F1 deflates when prec+rec < 1 (utils.py:127 quirk)") {
     val df = Seq(("yes", "yes"), ("yes", "no"), ("yes", "no"),
       ("no", "yes"), ("no", "yes")).toDF("pred", "gold")
