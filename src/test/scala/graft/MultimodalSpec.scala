@@ -111,6 +111,23 @@ class MultimodalSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("dctPhash is invariant under global brightness shift (the DC " +
+    "coefficient carries luminance; all 60 AC terms cancel it)") {
+    // a defining perceptual-hash property a cryptographic hash cannot
+    // have: adding a constant to every pixel moves ONLY C(0,0) — for
+    // every u>0 the cosQ(u,·) row sums to (quantized) zero — so the
+    // signature is bit-identical. Exact here because Σ_r cosQ(u·8+r) = 0
+    // holds exactly for the symmetric quantized table.
+    def base(k: Int): Int = (k * 37 % 83) + ((k * k) % 41)
+    val g1 = Array.tabulate(64)(base)
+    val g2 = g1.map(_ + 57)
+    assert(Multimodal.dctPhash(g1) == Multimodal.dctPhash(g2))
+    // sanity: the quantized cosine rows do cancel constants exactly
+    for (u <- 1 until 8)
+      assert((0 until 8).map(r => Multimodal.cosQ(u * 8 + r)).sum == 0,
+        s"row $u of the cosine table does not cancel constants")
+  }
+
   test("phashPairs finds exact-payload duplicates at hamming 0") {
     val dup = Seq(
       (10L, "same bytes"), (11L, "same bytes"), (12L, "other bytes"))
