@@ -330,7 +330,47 @@ object ScaleCheck {
             .withColumn("__h", graft.scale.HashExprs.md5PrefixLong(
               col("__w").cast("binary"), 15)),
           "source", col("__h")),
-        docs, "doc_id", Some("text")))
+        docs, "doc_id", Some("text")),
+      ("containment_pairs",
+        // same inverted-index frame as jaccard_pairs (salted copies keep
+        // shingle spaces disjoint → pair mass linear in N)
+        (d: DataFrame) => Dedup.ngramContainmentPairs(
+          d, "doc_id", "text", 3, 0.6, 100),
+        docs, "doc_id", Some("text")),
+      ("auc_scores",
+        // corpus work is ONE hash-agg to (lang, score); the θ-join runs
+        // over the bounded distinct-score table, so time tracks the scan
+        (d: DataFrame) => graft.metrics.Metrics.aucExact(
+          d.select(col("doc_id"), col("lang"),
+            array_contains(TextAnalysis.tokens(col("text")), "spark")
+              .cast("long").as("label"))
+            .join(TextAnalysis.hashedLinearScore(d, "doc_id", "text")
+              .select(col("doc_id"), col("w_sum")), Seq("doc_id")),
+          "w_sum", "label", Seq("lang")),
+        docs, "doc_id", None),
+      ("domain_divergence",
+        // one explode+hash-agg sees corpus mass; the vocab×|D| grid joins
+        // on the token key. Unsalted: the vocabulary must stay SHARED
+        // across copies (like bpe_train) or the grid grows with the
+        // replica trick rather than the data
+        (d: DataFrame) => TextAnalysis.domainDivergence(d, "source", "text"),
+        docs, "doc_id", None),
+      ("geo_radius",
+        // fixed query set, corpus densified N×: candidate and answer mass
+        // grow linearly with true spatial density, never corpus²
+        (d: DataFrame) => {
+          val p = d.select(
+            col("p_partkey"),
+            (((col("p_partkey") * 13) % 1200).cast("double") / 20.0 - 30.0)
+              .as("lat"),
+            (((col("p_partkey") * 7) % 7200).cast("double") / 20.0 - 180.0)
+              .as("lon"))
+          graft.scale.Geo.gridRadiusJoin(
+            p.filter(col("p_partkey") % 50 === 0 &&
+              col("p_partkey") < 10000000L),
+            p, "p_partkey", "lat", "lon", 100.0, 1.5)
+        },
+        part, "p_partkey", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

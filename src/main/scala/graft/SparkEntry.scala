@@ -8,7 +8,7 @@ import graft.io.{Readers, Tables}
 import graft.metrics.Metrics
 import graft.plans.{Joins, SerializeResplitRule}
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Dedup, Events, Geo, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.serialize.Serialize
 import graft.tasks.Wrangler
 import graft.transform.TransformProgram
@@ -3007,7 +3007,110 @@ object SparkEntry {
     "hard_negatives_embeddings" -> ((s, dir) =>
       Similarity.hardNegatives(
           t(s, dir, "embeddings"), "vec_id", "embedding", "label")
-        .orderBy(col("vec_id")))
+        .orderBy(col("vec_id"))),
+
+    // ---- exact per-language ROC-AUC of the quality gate --------------------
+    // Mann–Whitney U over the AGGREGATED (lang, score) table — scores are
+    // the exact-long w_sum of the hashed linear gate, label = the same
+    // text-derived target the classifier-training queries use, so this is
+    // the evaluation step of that family. No per-pair materialization.
+    "auc_scores_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val labeled = docs
+        .select(col("doc_id"), col("lang"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("long").as("label"))
+        .join(TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("w_sum")), Seq("doc_id"))
+      Metrics.aucExact(labeled, "w_sum", "label", Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- exact-k weighted sample without replacement (A-ES reservoir) ------
+    "weighted_reservoir_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+        .withColumn("w", greatest(col("n_tokens"), lit(1L)))
+      Samplers.weightedReservoir(d, "doc_id", "w", 40)
+        .select(col("sel_rank"), col("doc_id"), col("n_tokens"), col("res_key"))
+    }),
+
+    // ---- curriculum schedule: difficulty buckets drained round-robin -------
+    "curriculum_order_docs" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .withColumn("bucket",
+          least(floor(col("n_chars") / 200), lit(5L)).cast("long"))
+      Samplers.curriculumInterleave(d, "doc_id", "bucket", 120)
+        .select(col("position"), col("round_idx"), col("bucket"), col("doc_id"))
+    }),
+
+    // ---- doc-in-doc containment near-dup pairs (asymmetric Jaccard) --------
+    "containment_dup_docs" -> ((s, dir) =>
+      Dedup.ngramContainmentPairs(
+          t(s, dir, "documents"), "doc_id", "text", 3, 0.6, 100)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- per-source distribution drift: entropy / KL / JS vs corpus --------
+    "domain_divergence_docs" -> ((s, dir) =>
+      TextAnalysis.domainDivergence(t(s, dir, "documents"), "source", "text")
+        .orderBy(col("domain"))),
+
+    // ---- MMR diverse retrieval (relevance/redundancy greedy, λ = 1/2) ------
+    "mmr_select_embeddings" -> ((s, dir) =>
+      Similarity.mmrSelect(t(s, dir, "embeddings"), "vec_id", "embedding",
+          0L, 8)
+        .orderBy(col("sel_round"))),
+
+    // ---- winnowing (MOSS) fingerprint match pairs --------------------------
+    "winnow_matches_docs" -> ((s, dir) =>
+      Dedup.winnowMatches(t(s, dir, "documents"), "doc_id", "text",
+          3, 4, 2L, 100)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- recency-weighted activity: EWMA over each user's last 8 events ----
+    "ewma_events" -> ((s, dir) =>
+      Events.ewmaRecent(t(s, dir, "events"), 8)
+        .orderBy(col("user_id"))),
+
+    // ---- streaming top-k heavy hitters (Complete-mode count state) ---------
+    // The streaming twin of heavy_hitters_events: per-key counts as
+    // streaming aggregation state (one long per key in the state store),
+    // the top-k + share read runs over the drained state table.
+    "streaming_topk_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = stream.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+      val name = "stream_topk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val state = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      val tot = state.agg(sum(col("n")).as("__tot"))
+      state.crossJoin(broadcast(tot))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("n").desc, col("user_id"))))
+        .select(col("rk"), col("user_id"), col("n"),
+          round(col("n").cast("double") / col("__tot"), 6).as("share"))
+    }),
+
+    // ---- grid-blocked geo radius join (spatial neighbor search) ------------
+    // Deterministic lattice coordinates derived from p_partkey (0.05°
+    // steps, lat ∈ [-30, 30) so the 1.5° cell spans ≥ 100 km on both axes
+    // everywhere); queries = every 50th part. The oracle brute-forces the
+    // same predicate over all pairs, so a grid cell-coverage bug (a missed
+    // cross-cell neighbor) is a correctness failure, not just a perf one.
+    "geo_radius_part" -> ((s, dir) => {
+      val p = t(s, dir, "part").select(
+        col("p_partkey"),
+        (((col("p_partkey") * 13) % 1200).cast("double") / 20.0 - 30.0).as("lat"),
+        (((col("p_partkey") * 7) % 7200).cast("double") / 20.0 - 180.0).as("lon"))
+      Geo.gridRadiusJoin(p.filter(col("p_partkey") % 50 === 0), p,
+          "p_partkey", "lat", "lon", 100.0, 1.5)
+        .orderBy(col("query_id"), col("point_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -3021,6 +3124,7 @@ object SparkEntry {
       // returns at all, a 20-round replay is ≥ convergence depth and the
       // extra rounds are identity — the oracle can never silently diverge
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)) +
+      ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)) +
       ("bpe_train_docs" -> bpeTrainOracle(8)) +
       ("bpe_encode_docs" -> bpeEncodeOracle(8)) +
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)) +
@@ -3122,6 +3226,47 @@ object SparkEntry {
     * comparison is exact; ties fall to ascending vec_id like the Spark
     * side.
     */
+  /** Mechanically unrolled greedy MMR oracle (same idiom as
+    * [[kcenterOracleSql]]): round 1 picks by pure relevance (min d2 to the
+    * query), later rounds argmax the exact-long marginal score dm − dq,
+    * ties on ascending vec_id.
+    */
+  private def mmrOracleSql(queryId: Long, k: Int): String = {
+    def dist(a: String, b: String): String =
+      s"list_sum(list_transform(range(1, 65), i -> " +
+        s"($a.v[i] - $b.v[i]) * ($a.v[i] - $b.v[i])))"
+    val ctes = scala.collection.mutable.ArrayBuffer[String]()
+    ctes += """qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+      |  FROM embeddings)""".stripMargin
+    ctes += s"q0 AS (SELECT v FROM qv WHERE vec_id = $queryId)"
+    ctes += s"""cand AS (
+      |  SELECT q.vec_id, q.v, ${dist("q", "z")} AS dq
+      |  FROM qv q, q0 z WHERE q.vec_id <> $queryId)""".stripMargin
+    ctes += "c1 AS (\n  SELECT vec_id, v, dq FROM cand" +
+      "\n  ORDER BY dq, vec_id LIMIT 1)"
+    ctes += s"""d1 AS (
+      |  SELECT c.vec_id, c.v, c.dq, ${dist("c", "s")} AS dm
+      |  FROM cand c, c1 s WHERE c.vec_id <> s.vec_id)""".stripMargin
+    for (r <- 2 to k) {
+      ctes += s"c$r AS (\n  SELECT vec_id, v, dq, dm FROM d${r - 1}" +
+        s"\n  ORDER BY (dm - dq) DESC, vec_id LIMIT 1)"
+      if (r < k)
+        ctes += s"d$r AS (\n  SELECT d.vec_id, d.v, d.dq," +
+          s" LEAST(d.dm, ${dist("d", "s")}) AS dm" +
+          s"\n  FROM d${r - 1} d, c$r s WHERE d.vec_id <> s.vec_id)"
+    }
+    val sel = (s"SELECT 1 AS sel_round, vec_id AS sel_id," +
+      s" CAST(dq AS BIGINT) AS d2_query, CAST(NULL AS BIGINT) AS d2_sel" +
+      s" FROM c1") +: (2 to k).map(r =>
+      s"SELECT $r AS sel_round, vec_id AS sel_id," +
+        s" CAST(dq AS BIGINT) AS d2_query, CAST(dm AS BIGINT) AS d2_sel" +
+        s" FROM c$r")
+    "WITH " + ctes.mkString(",\n") + "\n" +
+      sel.mkString("\nUNION ALL\n") + "\nORDER BY sel_round"
+  }
+
   private def kcenterOracleSql(k: Int): String = {
     def dist(a: String, b: String): String =
       s"list_sum(list_transform(range(1, 65), i -> " +
@@ -7235,6 +7380,239 @@ object SparkEntry {
         |    ORDER BY d2, neg_id, neg_label) AS rk
         |  FROM pairs)
         |SELECT vec_id, label, neg_id, neg_label, CAST(d2 AS BIGINT) AS d2
-        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin
+        |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    // exact Mann–Whitney AUC from the aggregated (lang, score) table; the
+    // θ-join LEFT JOIN accumulates strictly-below negative mass per score
+    "auc_scores_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks),
+        |sc AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s FROM w GROUP BY 1),
+        |lab AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN list_contains(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> len(x) > 0),
+        |      'spark') THEN 1 ELSE 0 END AS label
+        |  FROM documents),
+        |agg AS (
+        |  SELECT l.lang, sc.s,
+        |    CAST(SUM(l.label) AS BIGINT) AS np,
+        |    CAST(SUM(1 - l.label) AS BIGINT) AS nn
+        |  FROM lab l JOIN sc USING (doc_id) GROUP BY 1, 2),
+        |wb AS (
+        |  SELECT a.lang, a.s, a.np, a.nn,
+        |    CAST(COALESCE(SUM(b.nn), 0) AS BIGINT) AS nb
+        |  FROM agg a LEFT JOIN agg b ON b.lang = a.lang AND b.s < a.s
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, CAST(SUM(np) AS BIGINT) AS n_pos,
+        |  CAST(SUM(nn) AS BIGINT) AS n_neg,
+        |  CAST(SUM(np * (2 * nb + nn)) AS BIGINT) AS u2,
+        |  CASE WHEN SUM(np) > 0 AND SUM(nn) > 0 THEN
+        |    ROUND(CAST(SUM(np * (2 * nb + nn)) AS DOUBLE)
+        |      / (2.0 * SUM(np) * SUM(nn)), 6) END AS auc
+        |FROM wb GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // A-ES reservoir: key = ln(u)/w with u the salted md5 dyadic rational,
+    // top-40 by 9-decimal-rounded key (doc_id tiebreak)
+    "weighted_reservoir_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, n_tokens,
+        |    ROUND(ln((CAST(('0x' || substr(md5('res:' ||
+        |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+        |        / 4294967296.0)
+        |      / GREATEST(n_tokens, 1), 9) AS res_key
+        |  FROM d),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY res_key DESC, doc_id)
+        |      AS sel_rank, doc_id, n_tokens, res_key
+        |  FROM k)
+        |SELECT sel_rank, doc_id, n_tokens, res_key FROM r
+        |WHERE sel_rank <= 40 ORDER BY sel_rank""".stripMargin,
+
+    "curriculum_order_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    LEAST(CAST(floor(n_chars / 200.0) AS BIGINT), 5) AS bucket
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, bucket,
+        |    ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY
+        |      CAST(('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)),
+        |        1, 8)) AS BIGINT), doc_id) AS round_idx
+        |  FROM d),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY round_idx, bucket, doc_id)
+        |      AS position, round_idx, bucket, doc_id
+        |  FROM w)
+        |SELECT position, round_idx, bucket, doc_id FROM r
+        |WHERE position <= 120 ORDER BY position""".stripMargin,
+
+    // containment: same df-cut shingle universe as jaccard_pairs_docs,
+    // asymmetric n_common/|A| and n_common/|B|, keep if either ≥ 0.6
+    "containment_dup_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+        |f AS (SELECT s.* FROM sh s JOIN keep k ON s.sh = k.sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT id_a, id_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / sa.sz, 6) AS cont_ab,
+        |  ROUND(CAST(n_common AS DOUBLE) / sb.sz, 6) AS cont_ba
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE GREATEST(CAST(n_common AS DOUBLE) / sa.sz,
+        |  CAST(n_common AS DOUBLE) / sb.sz) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // smoothed unigram entropy / KL / JS per source over the vocabulary-
+    // complete grid; every ln takes exact-integer-derived args
+    "domain_divergence_docs" ->
+      """WITH tok AS (
+        |  SELECT source AS domain, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |ndt AS (
+        |  SELECT domain, token, CAST(COUNT(*) AS BIGINT) AS n_dt
+        |  FROM tok GROUP BY 1, 2),
+        |vocab AS (SELECT token, CAST(SUM(n_dt) AS BIGINT) AS n_t
+        |  FROM ndt GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_t) AS BIGINT) AS n_corpus,
+        |  CAST(COUNT(*) AS BIGINT) AS v_size FROM vocab),
+        |dt AS (SELECT domain, CAST(SUM(n_dt) AS BIGINT) AS n_dom
+        |  FROM ndt GROUP BY 1),
+        |nd AS (SELECT source AS domain, COUNT(*) AS n_docs
+        |  FROM documents GROUP BY 1),
+        |grid AS (
+        |  SELECT d.domain, v.token, v.n_t, d.n_dom, t.n_corpus, t.v_size,
+        |    COALESCE(n.n_dt, 0) AS c_d
+        |  FROM vocab v CROSS JOIN dt d
+        |  LEFT JOIN ndt n ON n.domain = d.domain AND n.token = v.token
+        |  CROSS JOIN tot t),
+        |cell AS (
+        |  SELECT domain, n_dom, v_size,
+        |    CAST(c_d + 1 AS DOUBLE) / CAST(n_dom + v_size AS DOUBLE) AS p,
+        |    CAST(n_t + 1 AS DOUBLE) / CAST(n_corpus + v_size AS DOUBLE) AS q,
+        |    ln(c_d + 1) - ln(n_dom + v_size) AS lp,
+        |    ln(n_t + 1) - ln(n_corpus + v_size) AS lq
+        |  FROM grid),
+        |c2 AS (SELECT *, ln(p + q) - ln(2.0) AS lm FROM cell),
+        |agg AS (
+        |  SELECT domain, MAX(n_dom) AS n_tokens, MAX(v_size) AS vocab_size,
+        |    ROUND(-SUM(p * lp), 6) AS entropy,
+        |    ROUND(SUM(p * (lp - lq)), 6) AS kl_vs_corpus,
+        |    ROUND(SUM((p * (lp - lm) + q * (lq - lm)) / 2.0), 6) AS js_vs_corpus
+        |  FROM c2 GROUP BY 1)
+        |SELECT a.domain, nd.n_docs, a.n_tokens, a.vocab_size, a.entropy,
+        |  a.kl_vs_corpus, a.js_vs_corpus
+        |FROM agg a JOIN nd USING (domain) ORDER BY a.domain""".stripMargin,
+
+    // winnowing: windowed MIN over the positional gram hashes, full
+    // windows only; fingerprint = the distinct minima SET per doc
+    "winnow_matches_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substring(md5(concat(t[i],
+        |      COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], ''))),
+        |      1, 15)) AS BIGINT) AS h
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |wm AS (
+        |  SELECT doc_id, h,
+        |    MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+        |    COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt,
+        |    COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM grams),
+        |fps AS (SELECT DISTINCT doc_id, wmin AS h FROM wm
+        |  WHERE cnt = LEAST(4, n)),
+        |keep AS (SELECT h FROM fps GROUP BY h HAVING COUNT(*) <= 100),
+        |f AS (SELECT fps.* FROM fps JOIN keep USING (h)),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |  FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared
+        |FROM p WHERE n_shared >= 2 ORDER BY id_a, id_b""".stripMargin,
+
+    // EWMA weights are exact longs 2^(7-age); only the numerator sum is FP
+    "ewma_events" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts) DESC, event_id DESC) - 1 AS age
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, value, age,
+        |    CAST(1 AS BIGINT) << CAST(7 - age AS INT) AS w
+        |  FROM r WHERE age < 8)
+        |SELECT user_id, COUNT(*) AS n_used,
+        |  ROUND(SUM(value * w) / CAST(SUM(w) AS BIGINT), 6) AS ewma,
+        |  MAX(CASE WHEN age = 0 THEN value END) AS last_value
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "streaming_topk_events" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY n DESC, user_id) AS rk,
+        |    user_id, n
+        |  FROM c)
+        |SELECT rk, user_id, CAST(n AS BIGINT) AS n,
+        |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS share
+        |FROM r, tot WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    // brute-force radius predicate over ALL pairs — a grid coverage bug in
+    // the Spark plan (missed cross-cell neighbor) fails this oracle
+    "geo_radius_part" ->
+      """WITH pts AS (
+        |  SELECT p_partkey,
+        |    CAST((p_partkey * 13) % 1200 AS DOUBLE) / 20.0 - 30.0 AS lat,
+        |    CAST((p_partkey * 7) % 7200 AS DOUBLE) / 20.0 - 180.0 AS lon
+        |  FROM part),
+        |q AS (SELECT * FROM pts WHERE p_partkey % 50 = 0),
+        |d AS (
+        |  SELECT q.p_partkey AS query_id, p.p_partkey AS point_id,
+        |    sin(((p.lat - q.lat) * (pi() / 180.0)) / 2.0) AS s_lat,
+        |    sin(((p.lon - q.lon) * (pi() / 180.0)) / 2.0) AS s_lon,
+        |    cos(q.lat * (pi() / 180.0)) AS c1,
+        |    cos(p.lat * (pi() / 180.0)) AS c2
+        |  FROM q JOIN pts p ON p.p_partkey <> q.p_partkey),
+        |h AS (
+        |  SELECT query_id, point_id,
+        |    ROUND(asin(sqrt(least(1.0,
+        |      s_lat * s_lat + c1 * c2 * (s_lon * s_lon)))) * 12742.0176, 3)
+        |      AS dist_km
+        |  FROM d)
+        |SELECT query_id, point_id, dist_km FROM h
+        |WHERE dist_km <= 100.0
+        |ORDER BY query_id, point_id""".stripMargin
   )
 }

@@ -298,6 +298,59 @@ object Metrics {
     df.agg((count(lit(1)) - count_distinct(col(keyCol))).as("n_violations"))
       .select(lit(ruleName).as("rule"), col("n_violations"))
 
+  /** Exact ROC-AUC per group via the Mann–Whitney U statistic, computed
+    * entirely from the AGGREGATED score table — the classifier-evaluation
+    * step of a quality-gate pipeline (grade the learned gate without
+    * materializing per-pair comparisons).
+    *
+    * Scale shape: one hash-aggregate collapses the corpus to
+    * (group, score, n_pos, n_neg); the tie-corrected rank sum then needs,
+    * per distinct score, the negative mass STRICTLY BELOW it — computed as
+    * a broadcast θ-join over the aggregated table, whose cardinality is
+    * bounded by the score RANGE (an integer score over bounded-length
+    * documents), not the corpus size. Nothing touches the data plane
+    * twice; no global window; no pair materialization over rows.
+    *
+    * Exactness: with P positives and N negatives,
+    *   U = Σ_s n_pos(s)·(neg_below(s) + n_neg(s)/2)
+    * so 2U = Σ_s n_pos(s)·(2·neg_below(s) + n_neg(s)) stays an exact long
+    * (u2 below), and AUC = u2 / (2·P·N) is emitted 6-decimal-rounded.
+    * Groups with no positives or no negatives yield NULL auc (undefined).
+    *
+    * Requires `scoreCol` non-null and `labelCol` ∈ {0,1} (cast to long).
+    */
+  def aucExact(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val gcols = groupCols.map(col)
+    val aggKeys = gcols :+ col(scoreCol).as("__s")
+    val agg = df
+      .groupBy(aggKeys: _*)
+      .agg(sum(col(labelCol).cast("long")).as("__np"),
+        sum(lit(1L) - col(labelCol).cast("long")).as("__nn"))
+    val rightCols =
+      groupCols.map(c => col(c).as(s"__r_$c")) ++
+        Seq(col("__s").as("__s2"), col("__nn").as("__nn2"))
+    val right = broadcast(agg.select(rightCols: _*))
+    val joinCond = groupCols
+      .map(c => col(c) === col(s"__r_$c"))
+      .foldLeft(col("__s2") < col("__s"))(_ && _)
+    val withBelow = agg.join(right, joinCond, "left")
+      .groupBy((gcols ++ Seq(col("__s"), col("__np"), col("__nn"))): _*)
+      .agg(coalesce(sum(col("__nn2")), lit(0L)).as("__nb"))
+    withBelow
+      .groupBy(gcols: _*)
+      .agg(sum(col("__np")).as("n_pos"),
+        sum(col("__nn")).as("n_neg"),
+        sum(col("__np") * (lit(2L) * col("__nb") + col("__nn"))).as("u2"))
+      .select((gcols ++ Seq(col("n_pos"), col("n_neg"), col("u2"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          round(col("u2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

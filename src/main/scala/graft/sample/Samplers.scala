@@ -355,4 +355,61 @@ object Samplers {
     */
   def weightedBernoulli(df: DataFrame, keyCol: String, weightCol: String): DataFrame =
     df.filter(uniformDraw(col(keyCol)) < col(weightCol))
+
+  /** Weighted sampling WITHOUT replacement, exact k: the one-pass reservoir
+    * of Efraimidis & Spirakis (IPL 2006, algorithm A-ES). Each row draws a
+    * deterministic uniform u ∈ (0,1) from a salted md5 of its key and gets
+    * reservoir key ln(u)/w — taking the k LARGEST keys is distributionally
+    * identical to sequential weighted draws without replacement (the
+    * classic u^(1/w) order, in log space so big weights can't underflow).
+    *
+    * Complements [[weightedBernoulli]] (random SIZE, independent keeps):
+    * this is the "give me exactly k docs, quality-proportional" curation
+    * call. Scale shape: one map-side projection + TakeOrderedAndProject —
+    * no shuffle beyond the k-row reduction, no global sort, no state.
+    *
+    * Determinism: u is a dyadic rational from the salted hash (never 0, so
+    * ln is finite); the emitted `res_key` is 9-decimal-rounded and ordered
+    * with the row key as tiebreak, so rank boundaries cannot sit inside
+    * cross-engine libm noise. Requires strictly positive weights.
+    */
+  def weightedReservoir(
+      df: DataFrame, keyCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "weightedReservoir requires k > 0")
+    val u = (hashDraw32(concat(lit("res:"), col(keyCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val keyed = df
+      .withColumn("res_key", round(log(u) / col(weightCol), 9))
+    keyed
+      .orderBy(col("res_key").desc, col(keyCol))
+      .limit(k)
+      .withColumn("sel_rank", row_number().over(
+        Window.orderBy(col("res_key").desc, col(keyCol))))
+  }
+
+  /** Curriculum interleave: order training docs easy→hard WITHOUT starving
+    * any difficulty level — drain the difficulty buckets round-robin
+    * (round r emits each bucket's r-th doc, easiest bucket first), with a
+    * seeded shuffle inside each bucket. This is the schedule a curriculum
+    * or temperature-mixing loader consumes; emitting `(position, …)` keys
+    * makes the schedule itself a checkable relation.
+    *
+    * Scale shape: the only window is PARTITIONED BY the bucket (parallel
+    * across buckets — never a single-partition global window over the data
+    * plane); the global (round, bucket) order is imposed by
+    * TakeOrderedAndProject for the `take`-row head. The tiny post-limit
+    * row_number that names final positions runs over ≤ `take` rows.
+    */
+  def curriculumInterleave(
+      df: DataFrame, keyCol: String, bucketCol: String, take: Int): DataFrame = {
+    require(take > 0, "curriculumInterleave requires take > 0")
+    val shuffleKey = hashDraw32(concat(lit("cur:"), col(keyCol).cast("string")))
+    val w = Window.partitionBy(col(bucketCol))
+      .orderBy(shuffleKey, col(keyCol))
+    df.withColumn("round_idx", row_number().over(w))
+      .orderBy(col("round_idx"), col(bucketCol), col(keyCol))
+      .limit(take)
+      .withColumn("position", row_number().over(
+        Window.orderBy(col("round_idx"), col(bucketCol), col(keyCol))))
+  }
 }

@@ -683,6 +683,117 @@ object Dedup {
       .select("id_a", "id_b", "n_common", "jaccard")
   }
 
+  /** n-gram CONTAINMENT near-dup pairs: the asymmetric companion to
+    * [[ngramJaccardPairs]]. Jaccard misses the "small doc swallowed by a
+    * big doc" case — a 30-shingle snippet fully quoted inside a
+    * 3000-shingle page scores J ≈ 0.01 but containment C(A→B) =
+    * |A∩B| / |A| = 1.0. That doc-in-doc signal is what quote/boilerplate
+    * contamination screens key on (the measure behind Broder's
+    * containment sketches). Emits both directions per unordered pair
+    * (`cont_ab` = share of A's shingles inside B, `cont_ba` symmetric) and
+    * keeps the pair when EITHER direction clears `threshold`.
+    *
+    * Plan shape is the Jaccard one unchanged (count-first df-cut, bounded
+    * posting lists, map-side pair expansion — every shuffle keys on the
+    * shingle or the id, nothing all-pairs); only the final scalar math
+    * differs, so the scale story is identical. Sizes are post-df-cut for
+    * the same reason documented there: numerator and denominator must
+    * count the same shingle universe.
+    */
+  def ngramContainmentPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Int = 100): DataFrame = {
+    val sh = df.select(col(idCol),
+      explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
+      .localCheckpoint(true)
+    val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf)
+      .select("sh")
+    val kept = sh.join(keep, Seq("sh"))
+    val sizes = kept.groupBy(idCol).agg(count(lit(1)).as("sz"))
+    val postings = kept
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val common = postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), Seq("id_b"))
+      .withColumn("cont_ab", col("n_common").cast("double") / col("sz_a"))
+      .withColumn("cont_ba", col("n_common").cast("double") / col("sz_b"))
+      .filter(greatest(col("cont_ab"), col("cont_ba")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        round(col("cont_ab"), 6).as("cont_ab"),
+        round(col("cont_ba"), 6).as("cont_ba"))
+  }
+
+  /** Winnowing fingerprint match detection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD '03 — the MOSS algorithm): per document, hash the POSITIONAL
+    * k-gram sequence, slide a window of `w` consecutive hashes, and keep
+    * each window's MINIMUM hash; the distinct kept hashes are the doc's
+    * fingerprint set. Guarantees: any shared run of w + k − 1 tokens
+    * between two docs yields at least one shared fingerprint (detection),
+    * while only ~2/(w+1) of the grams survive (compression) — the
+    * sampling-with-guarantees middle ground between full-gram Jaccard
+    * ([[ngramJaccardPairs]], exact but heavy) and MinHash (probabilistic).
+    *
+    * Determinism: hash = 60-bit md5 prefix of the gram; the fingerprint is
+    * the SET of window minima (the positional tie-break of the paper's
+    * "rightmost minimum" rule only affects positions, which the set
+    * discards), so the SQL replay is a plain windowed MIN.
+    *
+    * Scale shape: the windowed MIN partitions BY DOCUMENT (parallel across
+    * docs, frames bounded at w rows); fingerprint posting lists get the
+    * same count-first df-cut + bounded expansion as the Jaccard index.
+    * Emits (id_a, id_b, n_shared) for pairs sharing ≥ `minShared`
+    * fingerprints.
+    */
+  def winnowMatches(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleSize: Int = 3,
+      window: Int = 4,
+      minShared: Long = 2L,
+      maxDf: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol),
+        posexplode(Shingles.positionalShingles(col(textCol), shingleSize))
+          .as(Seq("pos", "gram")))
+      .withColumn("h", HashExprs.md5PrefixLong(col("gram").cast("binary"), 15))
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, window - 1)
+    val part = Window.partitionBy(col(idCol))
+    // keep only FULL windows (or the single short-doc window): a doc with
+    // n grams has n − w + 1 full windows; trailing starts see < w rows
+    val fps = grams
+      .withColumn("wmin", min(col("h")).over(frame))
+      .withColumn("cnt", count(col("h")).over(frame))
+      .withColumn("n", count(col("h")).over(part))
+      .filter(col("cnt") === least(lit(window.toLong), col("n")))
+      .select(col(idCol), col("wmin").as("h"))
+      .distinct()
+    val keep = fps.groupBy(col("h")).agg(count(lit(1)).as("df_cnt"))
+      .filter(col("df_cnt") <= maxDf)
+      .select("h")
+    val kept = fps.join(keep, Seq("h"))
+    val postings = kept.groupBy(col("h"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    postings
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Exact prefix-filter similarity self-join over precomputed token-set
     * arrays — the AllPairs/PPJoin candidate generator (Bayardo et al. WWW'07;
     * Xiao et al. WWW'08) as a Spark plan. This is the scale-safe entity-

@@ -278,6 +278,41 @@ object Events {
       expr("ts DIV 1000 - (CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END)")
     else unix_micros(col("ts").cast(TimestampType))
 
+  /** Exponentially-weighted moving average of each user's LAST `lastN`
+    * event values — the recency-weighted activity score behind engagement
+    * ranking and churn features, where a plain mean over-credits stale
+    * history. α is fixed at 1/2 and the weights are carried as the exact
+    * INTEGER 2^(lastN−1−age) (a long shift, no libm pow anywhere): the
+    * weight ratio is identical to 2^−age, the denominator sum is an exact
+    * long, and the only FP freedom left is the numerator's summation
+    * order, absorbed by the repo's 6-decimal rounding contract.
+    *
+    * ewma = Σ value·2^(N−1−age) / Σ 2^(N−1−age) over the newest `lastN`
+    * events (age 0 = newest; ties on ts break by event_id,
+    * newest-id-first to match the rank that selects the window).
+    *
+    * Scale: one window partitioned BY USER (bounded frame, parallel across
+    * users) to rank recency, then a keyed hash-agg — no global window, no
+    * state.
+    */
+  def ewmaRecent(events: DataFrame, lastN: Int = 8): DataFrame = {
+    require(lastN >= 1 && lastN <= 62, s"ewmaRecent needs 1 <= lastN <= 62")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("__us").desc, col("event_id").desc)
+    events
+      .withColumn("__us", epochMicros(events))
+      .withColumn("__age", row_number().over(w) - 1)
+      .filter(col("__age") < lastN)
+      .withColumn("__w", expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST(${lastN - 1} - __age AS INT))"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_used"),
+        round(sum(col("value") * col("__w")) / sum(col("__w")), 6)
+          .as("ewma"),
+        max(when(col("__age") === 0, col("value"))).as("last_value"))
+  }
+
   /** Per-group linear trend: the least-squares slope of the DAILY value
     * total against the epoch day, one row per event_type — "is this
     * activity growing and how fast", the metric behind alerting and

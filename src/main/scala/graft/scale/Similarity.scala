@@ -1083,6 +1083,79 @@ object Similarity {
     } finally qv.unpersist()
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR '98) diverse
+    * retrieval: greedily pick `k` items trading RELEVANCE to a query
+    * against REDUNDANCY with the already-picked set — the RAG context
+    * packer's "don't hand the model five copies of the same passage" step,
+    * and the relevance-aware sibling of [[kcenterSelect]] (which ignores
+    * the query entirely).
+    *
+    * Deterministic exact-integer form: relevance is −L2² to the query
+    * vector and redundancy is −min L2² to the selected set (both exact
+    * longs over [[quantize]]d components), so the λ = 1/2 marginal score
+    * scaled ×2 is `min_sel_d2 − d2_query` — an exact long, argmax
+    * tie-broken on ascending id, replayable in SQL round for round.
+    *
+    * Execution shape is [[kcenterSelect]]'s: k linear map-only passes,
+    * each broadcasting ONE new center literal, a 1-row TakeOrdered per
+    * round, periodic localCheckpoint so the lineage stays bounded. The
+    * data plane never collects.
+    *
+    * Output: (sel_round, sel_id, d2_query, d2_sel) — d2_sel is the chosen
+    * row's min distance to the prior picks (NULL for round 1, where
+    * selection is by pure relevance).
+    */
+  def mmrSelect(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, k: Int = 8): DataFrame = {
+    require(k >= 1, s"MMR needs k >= 1, got $k")
+    val spark = df.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val qv = df.select(col(idCol).cast("long").as("__id"),
+        quantize(col(vecCol)).as("__v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def lits(c: Array[Long]): Column = typedLit(c.toSeq)
+    try {
+      val qvec = qv.filter(col("__id") === queryId)
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          s"mmrSelect: query id $queryId not present"))
+        .getSeq[Long](1).toArray
+      val cands = qv.filter(col("__id") =!= queryId)
+        .withColumn("__dq", l2Sq(col("__v"), lits(qvec)))
+      val seed = cands
+        .orderBy(col("__dq"), col("__id"))
+        .select(col("__id"), col("__v"), col("__dq"))
+        .limit(1).collect().headOption
+        .getOrElse(throw new IllegalArgumentException(
+          "mmrSelect: no candidates besides the query"))
+      var picked =
+        List((1, seed.getLong(0), seed.getLong(2), Option.empty[Long]))
+      var center = seed.getSeq[Long](1).toArray
+      var d = cands.filter(col("__id") =!= seed.getLong(0))
+        .withColumn("__dm", l2Sq(col("__v"), lits(center)))
+      var r = 2
+      var exhausted = false
+      while (r <= k && !exhausted) {
+        d.orderBy((col("__dm") - col("__dq")).desc, col("__id"))
+          .select(col("__id"), col("__v"), col("__dq"), col("__dm"))
+          .limit(1).collect().headOption match {
+          case None => exhausted = true
+          case Some(next) =>
+            picked ::= ((r, next.getLong(0), next.getLong(2),
+              Some(next.getLong(3))))
+            center = next.getSeq[Long](1).toArray
+            d = d.filter(col("__id") =!= next.getLong(0))
+              .withColumn("__dm",
+                least(col("__dm"), l2Sq(col("__v"), lits(center))))
+            if ((r - 1) % 16 == 0) d = d.localCheckpoint(true)
+            r += 1
+        }
+      }
+      import spark.implicits._
+      picked.reverse.toDF("sel_round", "sel_id", "d2_query", "d2_sel")
+    } finally qv.unpersist()
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = approx.select(col("query_id"), col("cand_id"))
       .join(exact.select(col("query_id"), col("cand_id"))

@@ -1305,6 +1305,66 @@ object TextAnalysis {
         col("loss_corpus"), col("loss_self"),
         round(col("excess"), 6).as("excess"), col("weight"))
   }
+
+  /** Per-domain distribution drift vs the corpus: smoothed unigram entropy,
+    * KL(P_domain ‖ P_corpus), and Jensen–Shannon divergence — the
+    * data-mixture monitoring panel (is a source drifting from the blend?
+    * how much does each domain's token distribution deviate?). DoReMi
+    * reads cross-entropy off the same counts; this emits the
+    * divergence-family view a pipeline dashboards per snapshot.
+    *
+    * Distributions are add-1 smoothed over the CORPUS vocabulary V, so
+    * every domain is supported on the same event set and KL is finite:
+    *   p_d(t) = (c_d(t)+1)/(N_d+V),  q(t) = (c(t)+1)/(N+V).
+    *
+    * Scale shape: one hash-agg to the (domain, token) table; the
+    * vocabulary-complete grid is vocab ⋈ broadcast(domain totals) — |V|·|D|
+    * rows where |D| is the (small) domain count, keyed on the token, never
+    * on the corpus; per-domain reduction ends on |D| rows. Every ln takes
+    * exact-integer-derived rationals; sums carry the repo's 6-decimal
+    * rounding contract (reassociation noise absorbed by rounding).
+    */
+  def domainDivergence(
+      df: DataFrame, domainCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(domainCol).as("domain"),
+      explode(tokens(col(textCol))).as("token"))
+    val ndt = tok.groupBy(col("domain"), col("token"))
+      .agg(count(lit(1)).as("n_dt"))
+    val vocab = ndt.groupBy(col("token")).agg(sum(col("n_dt")).as("n_t"))
+    val totals = vocab.agg(sum(col("n_t")).as("n_corpus"),
+      count(lit(1)).as("v_size"))
+    val domTotals = ndt.groupBy(col("domain"))
+      .agg(sum(col("n_dt")).as("n_dom"))
+    val nDocs = df.groupBy(col(domainCol).as("domain"))
+      .agg(count(lit(1)).as("n_docs"))
+    // vocabulary-complete grid: every (domain, token) cell, zero-filled
+    val grid = vocab.crossJoin(broadcast(domTotals))
+      .join(ndt, Seq("domain", "token"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("c_d", coalesce(col("n_dt"), lit(0L)))
+    // smoothed masses: p = (c_d+1)/(n_dom+V), q = (n_t+1)/(n_corpus+V)
+    val cell = grid
+      .withColumn("p", (col("c_d") + 1).cast("double") /
+        (col("n_dom") + col("v_size")).cast("double"))
+      .withColumn("q", (col("n_t") + 1).cast("double") /
+        (col("n_corpus") + col("v_size")).cast("double"))
+      .withColumn("lp", log(col("c_d") + 1) - log(col("n_dom") + col("v_size")))
+      .withColumn("lq", log(col("n_t") + 1) - log(col("n_corpus") + col("v_size")))
+      .withColumn("lm", log(col("p") + col("q")) - log(lit(2.0)))
+    cell.groupBy(col("domain"))
+      .agg(
+        max(col("n_dom")).as("n_tokens"),
+        max(col("v_size")).as("vocab_size"),
+        round(-sum(col("p") * col("lp")), 6).as("entropy"),
+        round(sum(col("p") * (col("lp") - col("lq"))), 6).as("kl_vs_corpus"),
+        round(sum(
+          (col("p") * (col("lp") - col("lm")) +
+            col("q") * (col("lq") - col("lm"))) / 2.0), 6).as("js_vs_corpus"))
+      .join(nDocs, Seq("domain"))
+      .select(col("domain"), col("n_docs"), col("n_tokens"),
+        col("vocab_size"), col("entropy"), col("kl_vs_corpus"),
+        col("js_vs_corpus"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */
@@ -1330,6 +1390,22 @@ object Shingles {
             i => concat_ws(" ",
               (0 until k).map(j =>
                 when(i + j <= n, element_at(t, (i + j).cast("int")))): _*)))
+      }),
+      1)
+
+  /** [[wordShingles]] WITHOUT the distinct: the full positional k-gram
+    * sequence (element i = the shingle starting at token i), for operators
+    * that need document ORDER — winnowing windows, positional diffing.
+    * Short docs (< k tokens) yield the single whole-list shingle.
+    */
+  def positionalShingles(text: Column, k: Int): Column =
+    element_at(
+      transform(array(tokens(text)), t => {
+        val n = size(t)
+        transform(sequence(lit(1), greatest(n - (k - 1), lit(1))),
+          i => concat_ws(" ",
+            (0 until k).map(j =>
+              when(i + j <= n, element_at(t, (i + j).cast("int")))): _*))
       }),
       1)
 }

@@ -199,6 +199,35 @@ class MetricsSpec extends SparkSpec {
     assert(got == Seq(("dup_k", 2L), ("nonpositive_v", 2L), ("null_k", 1L)))
   }
 
+  test("aucExact: perfect separation, reversal, and random-chance scores") {
+    // positives strictly above negatives -> AUC 1; reversed -> 0; all tied -> 0.5
+    val perfect = Seq((10L, 1L), (9L, 1L), (2L, 0L), (1L, 0L)).toDF("s", "y")
+    val rp = Metrics.aucExact(perfect, "s", "y").collect()(0)
+    assert(rp.getAs[Long]("n_pos") == 2L && rp.getAs[Long]("n_neg") == 2L)
+    assert(rp.getAs[Double]("auc") == 1.0)
+    val reversed = Seq((1L, 1L), (2L, 1L), (9L, 0L), (10L, 0L)).toDF("s", "y")
+    assert(Metrics.aucExact(reversed, "s", "y")
+      .collect()(0).getAs[Double]("auc") == 0.0)
+    val tied = Seq((5L, 1L), (5L, 1L), (5L, 0L), (5L, 0L)).toDF("s", "y")
+    assert(Metrics.aucExact(tied, "s", "y")
+      .collect()(0).getAs[Double]("auc") == 0.5)
+  }
+
+  test("aucExact: hand-computed ties + per-group split + degenerate group") {
+    // group a: pos scores (3, 2), neg scores (2, 1).
+    // pairs: (3>2)=1, (3>1)=1, (2=2)=0.5, (2>1)=1 -> U=3.5, P*N=4, AUC=0.875
+    // group b: only positives -> undefined AUC (null)
+    val df = Seq(
+      ("a", 3L, 1L), ("a", 2L, 1L), ("a", 2L, 0L), ("a", 1L, 0L),
+      ("b", 7L, 1L), ("b", 4L, 1L)).toDF("g", "s", "y")
+    val rows = Metrics.aucExact(df, "s", "y", Seq("g"))
+      .orderBy("g").collect()
+    assert(rows(0).getAs[Long]("u2") == 7L)   // 2U = 7
+    assert(rows(0).getAs[Double]("auc") == 0.875)
+    assert(rows(1).getAs[Long]("n_neg") == 0L)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("auc")))
+  }
+
   test("medianAbsoluteDeviation: known medians on a small group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0))
       .toDF("g", "v")

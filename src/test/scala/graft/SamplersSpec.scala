@@ -166,4 +166,51 @@ class SamplersSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(q.subsetOf(half.select("id").as[Long].collect().toSet))
   }
+
+  test("weightedReservoir: exact k, deterministic, weight-sensitive") {
+    // 5 heavy docs (w=1000) among 95 light (w=1): A-ES keys ln(u)/w pull
+    // the heavy ids toward rank 1 — all five must land in the top 10
+    val df = (1L to 100L).toDF("id")
+      .withColumn("w", when(col("id") <= 5, lit(1000.0)).otherwise(lit(1.0)))
+    val got = Samplers.weightedReservoir(df, "id", "w", 10)
+    val rows = got.select("sel_rank", "id").as[(Int, Long)].collect()
+      .sortBy(_._1)
+    assert(rows.length == 10)
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    val heavyInTop = rows.filter(_._2 <= 5L)
+    assert(heavyInTop.length == 5,
+      s"expected all 5 heavy ids in top 10, got ${heavyInTop.length}")
+    // deterministic under repartitioning
+    val again = Samplers.weightedReservoir(df.repartition(7), "id", "w", 10)
+      .select("sel_rank", "id").as[(Int, Long)].collect()
+    assert(again.sortBy(_._1).sameElements(rows.sortBy(_._1)))
+    // uniform weights degrade to the pure salted-hash order (rank by u)
+    val uni = Samplers.weightedReservoir(
+      df.withColumn("w", lit(1.0)), "id", "w", 100)
+      .select("res_key").as[Double].collect()
+    assert(uni.length == 100 && uni.toSet.size > 90) // keys distinct, finite
+    assert(uni.forall(k => k < 0.0 && !k.isNaN && !k.isInfinite))
+  }
+
+  test("curriculumInterleave: round-robin bucket drain, bounded window") {
+    // buckets 0,1,2 with 4,3,2 members: schedule must drain round-robin
+    val df = Seq(
+      (1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L),
+      (5L, 1L), (6L, 1L), (7L, 1L),
+      (8L, 2L), (9L, 2L)).toDF("id", "bucket")
+    val got = Samplers.curriculumInterleave(df, "id", "bucket", 9)
+      .select("position", "round_idx", "bucket", "id")
+      .as[(Int, Int, Long, Long)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (1 to 9))
+    // round 1 = one doc from each bucket in bucket order; bucket never
+    // repeats within a round; every doc appears exactly once
+    val round1 = got.filter(_._2 == 1).map(_._3).toSeq
+    assert(round1 == Seq(0L, 1L, 2L))
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.length == rows.length)
+    }
+    assert(got.map(_._4).distinct.length == 9)
+    // positions are (round, bucket)-lexicographic
+    assert(got.sortBy(r => (r._2, r._3)).map(_._1).toSeq == (1 to 9))
+  }
 }

@@ -311,6 +311,60 @@ class ScaleSpec extends SparkSpec {
     assert(got == Set((1L, 1L, 2L), (1L, 2L, 1L), (2L, 1L, 1L)))
   }
 
+  test("ewmaRecent: hand-computed dyadic weights, window cap, tie order") {
+    val base = 1700000000L
+    // user 1: values 1,2,3 oldest→newest; weights (newest first) 4,2,1
+    // scaled: ewma = (3·4 + 2·2 + 1·1) / 7 = 17/7
+    val ev = Seq(
+      (1L, 1L, base, 1.0), (2L, 1L, base + 10, 2.0),
+      (3L, 1L, base + 20, 3.0),
+      // user 2: four events, lastN=3 must DROP the oldest (value 9)
+      (4L, 2L, base, 9.0), (5L, 2L, base + 1, 1.0),
+      (6L, 2L, base + 2, 1.0), (7L, 2L, base + 3, 1.0))
+      .map { case (e, u, ep, v) => (e, u, ep * 1000000000L, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Events.ewmaRecent(ev, 3)
+      .orderBy("user_id")
+      .select("user_id", "n_used", "ewma", "last_value")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(got(0) == ((1L, 3L,
+      BigDecimal(17.0 / 7.0).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble, 3.0)))
+    assert(got(1) == ((2L, 3L, 1.0, 1.0)))   // all-equal survivors → 1.0
+  }
+
+  test("winnowMatches: shared run of w+k-1 tokens is always detected") {
+    // detection guarantee: any shared token run of length >= w + k - 1
+    // (= 6 for w=4, k=3) yields >= 1 shared fingerprint. Two docs share a
+    // 12-token run (>= 2 guaranteed windows) embedded in distinct noise.
+    val run = (1 to 12).map(i => s"shared$i").mkString(" ")
+    val a = s"preamble alpha beta $run tail omega"
+    val b = s"$run closing words entirely different here"
+    val c = "no overlap with anything else at all in this text"
+    val df = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+    val got = Dedup.winnowMatches(df, "doc_id", "text", 3, 4, 1L, 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"got $got")
+  }
+
+  test("mmrSelect: relevance first, then redundancy-penalized picks") {
+    // query 0 at origin; 1 = very close; 2 = clone of 1 (redundant);
+    // 3 = moderately far but diverse. MMR must pick 1 (pure relevance),
+    // then prefer 3 over the clone 2 despite 2's better relevance.
+    def v(x: Double, y: Double): Seq[Float] =
+      (Seq(x, y) ++ Seq.fill(62)(0.0)).map(_.toFloat)
+    val df = Seq(
+      (0L, v(0, 0)), (1L, v(0.1, 0)), (2L, v(0.1, 0.001)),
+      (3L, v(0, 0.4))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(df, "vec_id", "embedding", 0L, 3)
+      .orderBy("sel_round")
+      .select("sel_round", "sel_id").as[(Int, Long)].collect().toSeq
+    assert(got == Seq((1, 1L), (2, 3L), (3, 2L)), s"got $got")
+    // k larger than the pool: selects everything then stops
+    val all = Similarity.mmrSelect(df, "vec_id", "embedding", 0L, 10)
+    assert(all.count() == 3)
+  }
+
   test("sessionizeNative agrees with lag-based session counts") {
     val events = graft.io.Tables.load(spark, sf, "events")
     val lagBased = Events.sessionize(events, 1800L).count()
@@ -1381,5 +1435,56 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => r.getLong(1) ->
         ((r.getInt(0), r.getLong(2), r.getDouble(3)))).toMap
     assert(again == out, "selection must be deterministic")
+  }
+
+  test("ngramContainmentPairs finds doc-in-doc that Jaccard misses") {
+    // doc 11 is a verbatim quote inside the much larger doc 10:
+    // containment(11→10) = 1.0, but Jaccard ≈ |small| / |big| is tiny
+    val big = ((1 to 60).map(i => s"w$i") ++
+      Seq("alpha", "beta", "gamma", "delta", "epsilon")).mkString(" ")
+    val quote = "alpha beta gamma delta epsilon"
+    val corpus = Seq((10L, big), (11L, quote),
+      (12L, "totally unrelated content here nothing shared at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.ngramContainmentPairs(corpus, "doc_id", "text", 3, 0.9, 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Double]("cont_ab"), r.getAs[Double]("cont_ba")))
+    assert(got.length == 1)
+    val (a, b, contAb, contBa) = got.head
+    assert((a, b) == (10L, 11L))
+    assert(contBa == 1.0, s"quote fully contained, got $contBa")
+    assert(contAb < 0.1, "asymmetry: big doc is NOT contained in the quote")
+    // the symmetric Jaccard measure does not surface this pair at 0.5
+    val jac = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5, 100)
+    assert(jac.count() == 0)
+  }
+
+  test("domainDivergence: identical domains → near-zero KL/JS, skewed → positive") {
+    // identical token multisets per domain: the only residual divergence is
+    // the add-1 smoothing denominators (N_d+V vs N+V), bounded ≪ 0.01 here
+    val same = Seq(
+      ("a", "x y z x y"), ("b", "x y z x y"),
+      ("a", "p q r"), ("b", "p q r")).toDF("source", "text")
+    val rs = TextAnalysis.domainDivergence(same, "source", "text")
+      .orderBy("domain").collect()
+    assert(rs.length == 2)
+    rs.foreach { r =>
+      val kl = r.getAs[Double]("kl_vs_corpus")
+      val js = r.getAs[Double]("js_vs_corpus")
+      assert(kl >= 0.0 && kl < 0.01, s"kl=$kl")
+      assert(js >= 0.0 && js < 0.01, s"js=$js")
+      assert(r.getAs[Double]("entropy") > 0.0)
+      assert(r.getAs[Long]("n_docs") == 2L)
+    }
+    val skew = Seq(
+      ("a", "x x x x x x x x"), ("b", "y y y y y y y y"))
+      .toDF("source", "text")
+    val rk = TextAnalysis.domainDivergence(skew, "source", "text")
+      .orderBy("domain").collect()
+    rk.foreach { r =>
+      assert(r.getAs[Double]("kl_vs_corpus") > 0.1)
+      assert(r.getAs[Double]("js_vs_corpus") > 0.1)
+      assert(r.getAs[Long]("vocab_size") == 2L)
+    }
   }
 }

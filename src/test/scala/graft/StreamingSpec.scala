@@ -111,6 +111,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming top-k heavy hitters equals the batch count ranking") {
+    val stream = SparkEntry.queries("streaming_topk_events")(spark, sf)
+      .select($"rk", $"user_id", $"n", $"share")
+      .as[(Int, Long, Long, Double)].collect().toSet
+    import graft.io.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val batchCounts = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+    val tot = batchCounts.agg(sum($"n")).as[Long].head()
+    val batch = batchCounts
+      .orderBy($"n".desc, $"user_id").limit(20)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"n".desc, $"user_id")))
+      .select($"rk", $"user_id", $"n",
+        round($"n".cast("double") / tot, 6).as("share"))
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("stream-stream interval join: window bounds inclusive, outside-window dropped") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
