@@ -19,6 +19,16 @@ object TestSpark {
 }
 
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = TestSpark.spark
+  // getOrCreate sets the thread-local active session only on the FIRST
+  // thread to force the shared lazy val; suites running on other pool
+  // threads would otherwise plan with getActiveSession = None, and any
+  // plan constructed outside withActive (e.g. eager localCheckpoint's
+  // resetMetrics over GenerateExec) NPEs on SparkPlan.session. Pin the
+  // active session on whichever thread runs this suite.
+  lazy val spark: SparkSession = {
+    val s = TestSpark.spark
+    SparkSession.setActiveSession(s)
+    s
+  }
   val sf: String = "/root/testdata/sf0.001"
 }
