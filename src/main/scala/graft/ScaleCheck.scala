@@ -370,7 +370,55 @@ object ScaleCheck {
               col("p_partkey") < 10000000L),
             p, "p_partkey", "lat", "lon", 100.0, 1.5)
         },
-        part, "p_partkey", None))
+        part, "p_partkey", None),
+      ("ranking_eval",
+        // fixed query set (base copy only), candidate corpus N×: the
+        // broadcast-side stays constant, the scored mass grows linearly,
+        // per-query windows stay k-bounded
+        (d: DataFrame) => {
+          val q = d.filter(col("vec_id") % 20 === 0 &&
+            col("vec_id") < 10000000L)
+          val ranked = Similarity.bruteForceTopK(
+              q, d, "vec_id", "embedding", 10)
+            .join(d.select(col("vec_id").as("query_id"),
+              col("label").as("qlabel")), Seq("query_id"))
+            .join(d.select(col("vec_id").as("cand_id"),
+              col("label").as("clabel")), Seq("cand_id"))
+            .withColumn("rel", (col("qlabel") === col("clabel")).cast("long"))
+          graft.metrics.Metrics.rankingMetrics(
+            ranked, "query_id", "rk", "rel", Seq("qlabel"), 10)
+        },
+        embeddings, "vec_id", Some("embedding")),
+      ("oph_pairs",
+        // ONE md5 per shingle; salted copies share no shingles, so band
+        // buckets and verified-pair mass replicate instead of squaring
+        (d: DataFrame) => Dedup.ophMinhashPairs(
+          d, "doc_id", "text", 16, 4, 3, 0.5),
+        docs, "doc_id", Some("text")),
+      ("interval_overlap",
+        // fixed query set, corpus temporally densified N×: per-chunk mass
+        // is the true density, answer mass grows linearly with it
+        (d: DataFrame) => {
+          val o = d.select(col("o_orderkey"),
+              datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+                .cast("long").as("sd"))
+            .withColumn("ed", col("sd") + col("o_orderkey") % 20)
+          Events.intervalOverlapJoin(
+            o.filter(col("o_orderkey") % 499 === 0 &&
+              col("o_orderkey") < 10000000L),
+            o, "o_orderkey", "o_orderkey", "sd", "ed", 16L)
+            .filter(col("l_id") =!= col("r_id"))
+        },
+        orders, "o_orderkey", None),
+      ("percentiles",
+        // two passes: a histogram hash-agg (bucket-bounded exchange) and a
+        // narrowed re-read of only the target buckets — both linear scans
+        (d: DataFrame) => graft.metrics.Metrics.exactPercentiles(
+          d.withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "cents", Seq(500000L, 900000L, 990000L), Seq("l_returnflag"), 12),
+        lineitem, "l_orderkey", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -3110,6 +3110,63 @@ object SparkEntry {
       Geo.gridRadiusJoin(p.filter(col("p_partkey") % 50 === 0), p,
           "p_partkey", "lat", "lon", 100.0, 1.5)
         .orderBy(col("query_id"), col("point_id"))
+    }),
+
+    // ---- retrieval eval: macro MRR / MAP / P@10 / nDCG@10 per label --------
+    // Grades the brute-force retriever against label-match relevance: the
+    // ranked lists are exact top-10 cosine, rel = (query label == candidate
+    // label), macro-averaged per query label. All per-query statistics in
+    // integer micro-units (see Metrics.rankingMetrics) so the macro sums
+    // are associative and the oracle replays them exactly.
+    "ranking_eval_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ranked = Similarity.bruteForceTopK(
+          e.filter(col("vec_id") % 20 === 0), e, "vec_id", "embedding", 10)
+        .join(e.select(col("vec_id").as("query_id"), col("label").as("qlabel")),
+          Seq("query_id"))
+        .join(e.select(col("vec_id").as("cand_id"), col("label").as("clabel")),
+          Seq("cand_id"))
+        .withColumn("rel", (col("qlabel") === col("clabel")).cast("long"))
+      Metrics.rankingMetrics(ranked, "query_id", "rk", "rel", Seq("qlabel"), 10)
+        .withColumnRenamed("qlabel", "label")
+        .orderBy(col("label"))
+    }),
+
+    // ---- one-permutation MinHash near-dup pairs (exact-verified) -----------
+    // ONE md5 per shingle (vs numHashes in the classic family): hash space
+    // split into 16 bins, per-bin minima banded 4-wide, candidates exact-
+    // verified by distinct-shingle Jaccard >= 0.5 over the pair list only.
+    "oph_pairs_docs" -> ((s, dir) =>
+      Dedup.ophMinhashPairs(t(s, dir, "documents"), "doc_id", "text",
+          16, 4, 3, 0.5)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- interval overlap join (temporal θ-join as a chunked equi-join) ----
+    // Orders become intervals [orderdate, +(key mod 20) days]; queries =
+    // every 499th order joined against the full corpus. The oracle brute-
+    // forces the range predicate over all pairs, so a missed cross-chunk
+    // neighbor is a correctness failure, not just a perf one.
+    "interval_overlap_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+            .cast("long").as("sd"))
+        .withColumn("ed", col("sd") + col("o_orderkey") % 20)
+      Events.intervalOverlapJoin(o.filter(col("o_orderkey") % 499 === 0), o,
+          "o_orderkey", "o_orderkey", "sd", "ed", 16L)
+        .filter(col("l_id") =!= col("r_id"))
+        .orderBy(col("l_id"), col("r_id"))
+    }),
+
+    // ---- exact per-group percentiles by distributed selection --------------
+    // p50/p90/p99 of the line-item price in exact cents, per return flag —
+    // located via a bucket histogram + a narrowed second pass, never a
+    // global sort (see Metrics.exactPercentiles).
+    "percentiles_lineitem" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").withColumn("cents",
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      Metrics.exactPercentiles(l, "cents",
+          Seq(500000L, 900000L, 990000L), Seq("l_returnflag"), 12)
+        .orderBy(col("l_returnflag"), col("q"))
     })
   )
 
@@ -3131,7 +3188,147 @@ object SparkEntry {
       ("classifier_train_docs" ->
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
-        classifierTrainOracle(8, calibration = true))
+        classifierTrainOracle(8, calibration = true)) +
+      ("ranking_eval_embeddings" -> rankingEvalOracle(10, 20)) +
+      ("percentiles_lineitem" -> percentilesOracle(
+        Seq(500000L, 900000L, 990000L))) +
+      ("oph_pairs_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id,
+          |    concat(t[i], COALESCE(' ' || t[i+1], ''),
+          |      COALESCE(' ' || t[i+2], '')) AS sh
+          |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+          |hb AS (
+          |  SELECT doc_id, sh, md5(sh) AS h,
+          |    CAST(('0x' || substr(md5(sh), 1, 6)) AS BIGINT) % 16 AS bucket
+          |  FROM sh),
+          |sig AS (
+          |  SELECT doc_id, bucket, MIN(h) AS mh FROM hb GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT doc_id, bucket // 4 AS band,
+          |    string_agg(bucket || ':' || mh, '|' ORDER BY bucket)
+          |      AS band_key
+          |  FROM sig GROUP BY doc_id, bucket // 4),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |    AND a.doc_id < b.doc_id),
+          |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+          |common AS (
+          |  SELECT c.id_a, c.id_b, COUNT(*) AS n_common
+          |  FROM cand c
+          |  JOIN sh a ON a.doc_id = c.id_a
+          |  JOIN sh b ON b.doc_id = c.id_b AND b.sh = a.sh
+          |  GROUP BY c.id_a, c.id_b)
+          |SELECT id_a, id_b, CAST(n_common AS BIGINT) AS n_common,
+          |  ROUND(CAST(n_common AS DOUBLE)
+          |    / (sa.sz + sb.sz - n_common), 6) AS jaccard
+          |FROM common
+          |JOIN sizes sa ON sa.doc_id = id_a
+          |JOIN sizes sb ON sb.doc_id = id_b
+          |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+          |ORDER BY id_a, id_b""".stripMargin) +
+      ("interval_overlap_orders" ->
+        """WITH iv AS (
+          |  SELECT o_orderkey AS id,
+          |    CAST(date_diff('day', DATE '1970-01-01',
+          |      CAST(o_orderdate AS DATE)) AS BIGINT) AS s
+          |  FROM orders),
+          |iv2 AS (SELECT id, s, s + id % 20 AS e FROM iv)
+          |SELECT a.id AS l_id, b.id AS r_id,
+          |  CAST(LEAST(a.e, b.e) - GREATEST(a.s, b.s) AS BIGINT)
+          |    AS overlap_units
+          |FROM iv2 a JOIN iv2 b
+          |  ON a.id % 499 = 0 AND a.id <> b.id
+          |  AND a.s <= b.e AND b.s <= a.e
+          |ORDER BY l_id, r_id""".stripMargin)
+  }
+
+  /** Ranking-eval oracle: replays the brute-force quantized-cosine top-k,
+    * label-match relevance, and the micro-unit metric arithmetic of
+    * [[graft.metrics.Metrics.rankingMetrics]]. The DCG discount table is
+    * interpolated FROM the Scala constants (`Metrics.discountMicro`), so
+    * both engines share the identical integers and no libm difference can
+    * surface; `//` mirrors Spark's `div` (floor division, all operands
+    * non-negative).
+    */
+  private def rankingEvalOracle(k: Int, qMod: Int): String = {
+    val disc = graft.metrics.Metrics.discountMicro(k)
+    val ideal = graft.metrics.Metrics.idealDcgMicro(k)
+    val discCase = disc.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    val idealCase = ideal.zipWithIndex
+      .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }.mkString(" ")
+    s"""WITH qv AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT q.vec_id AS qid, q.label AS qlabel, c.vec_id AS cid,
+       |    CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+       |    list_dot_product(q.v, c.v)
+       |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+       |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id % $qMod = 0),
+       |topk AS (
+       |  SELECT qid, qlabel, rel, rk FROM (
+       |    SELECT qid, qlabel, rel,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cs DESC, cid) AS rk
+       |    FROM pairs) WHERE rk <= $k),
+       |cums AS (
+       |  SELECT qid, qlabel, rel, rk,
+       |    SUM(rel) OVER (PARTITION BY qid ORDER BY rk) AS cum
+       |  FROM topk),
+       |perq AS (
+       |  SELECT qid, qlabel,
+       |    CAST(SUM(rel) AS BIGINT) AS nrel,
+       |    MIN(CASE WHEN rel = 1 THEN rk END) AS firstr,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN
+       |      (CASE rk $discCase ELSE 0 END) ELSE 0 END) AS BIGINT) AS dcgm,
+       |    CAST(SUM(CASE WHEN rel = 1 THEN (cum * 1000000) // rk
+       |      ELSE 0 END) AS BIGINT) AS apnum
+       |  FROM cums GROUP BY qid, qlabel),
+       |m AS (
+       |  SELECT qlabel,
+       |    CASE WHEN firstr IS NULL THEN 0 ELSE 1000000 // firstr END AS rrm,
+       |    (nrel * 1000000) // $k AS pm,
+       |    CASE WHEN nrel = 0 THEN 0 ELSE apnum // nrel END AS apm,
+       |    CASE WHEN nrel = 0 THEN 0 ELSE (dcgm * 1000000)
+       |      // (CASE LEAST(nrel, $k) $idealCase ELSE 1 END) END AS ndcgm
+       |  FROM perq)
+       |SELECT qlabel AS label, CAST(COUNT(*) AS BIGINT) AS n_queries,
+       |  round((SUM(rrm) // COUNT(*)) / 1000000.0, 6) AS mrr,
+       |  round((SUM(apm) // COUNT(*)) / 1000000.0, 6) AS map,
+       |  round((SUM(pm) // COUNT(*)) / 1000000.0, 6) AS p_at_$k,
+       |  round((SUM(ndcgm) // COUNT(*)) / 1000000.0, 6) AS ndcg_at_$k
+       |FROM m GROUP BY qlabel ORDER BY qlabel""".stripMargin
+  }
+
+  /** Exact-percentile oracle: the DEFINITION (rank = ceil(n·q) in integer
+    * arithmetic, value = rank-th smallest) via a plain window — DuckDB can
+    * afford the full per-group sort the Spark side exists to avoid.
+    */
+  private def percentilesOracle(qMicro: Seq[Long]): String = {
+    val vals = qMicro.map(q => s"($q)").mkString(", ")
+    s"""WITH b AS (
+       |  SELECT l_returnflag,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+       |  FROM lineitem),
+       |r AS (
+       |  SELECT l_returnflag, v,
+       |    ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v) AS rn,
+       |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+       |  FROM b),
+       |q AS (SELECT qm FROM (VALUES $vals) t(qm))
+       |SELECT l_returnflag, round(qm / 1000000.0, 6) AS q, v AS value
+       |FROM r JOIN q ON rn = (n * qm + 999999) // 1000000
+       |ORDER BY l_returnflag, q""".stripMargin
   }
 
   /** DCT-pHash oracle: replays [[graft.scale.Multimodal.dctPhash]] over

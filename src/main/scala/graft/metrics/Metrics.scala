@@ -351,6 +351,160 @@ object Metrics {
             (lit(2.0) * col("n_pos") * col("n_neg")), 6)).as("auc"))): _*)
   }
 
+  /** Per-rank DCG discount 1/log2(rank+1) in integer micro-units, and its
+    * running sum (the ideal-DCG lookup). Integerizing the discounts makes
+    * every DCG sum an exact long — associative, partition-order-free, and
+    * replayable bit-for-bit by an oracle that interpolates THESE constants
+    * (the generated SQL embeds the same values, so a libm log2 ULP
+    * difference between JVMs/engines can never surface).
+    */
+  def discountMicro(k: Int): Array[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))).toArray
+
+  def idealDcgMicro(k: Int): Array[Long] =
+    discountMicro(k).scanLeft(0L)(_ + _).tail
+
+  /** Ranking-evaluation metrics at cutoff `k` over a ranked candidate table
+    * — the retrieval-eval step of an embedding pipeline (grade an ANN /
+    * retrieval system against labeled relevance). Input rows:
+    * (groupCols…, queryCol, rankCol 1-based within query, relCol ∈ {0,1});
+    * the list per query is the system's top-k (all metrics are the @k
+    * variants over the provided list). Emits per group the macro averages
+    * over its queries: MRR, MAP, precision@k, nDCG@k, each 6-decimal.
+    *
+    * Exactness: every per-query statistic is computed in integer
+    * micro-units with floor division — reciprocal rank (1e6 div first_rel),
+    * precision (rel_k·1e6 div k), AP (Σ over relevant rows of
+    * (cum_rel·1e6 div rank), div n_rel), nDCG (dcg·1e6 div idcg with the
+    * [[discountMicro]] table) — so per-query values are exact longs, the
+    * macro SUM is associative (no float reassociation across partitions),
+    * and the macro mean floor-divides in micro-units BEFORE the one double
+    * division by 1e6 — the rounded value is ~exactly a 6-decimal number,
+    * never at a half-boundary where decimal-string (Spark) and binary
+    * (DuckDB) rounding of the same double disagree.
+    *
+    * Scale shape: one window partitioned BY QUERY (frames bounded at k
+    * rows, parallel across queries), one hash-aggregate per query, one per
+    * group — no global window, no pair mass, nothing collected.
+    */
+  def rankingMetrics(
+      ranked: DataFrame,
+      queryCol: String,
+      rankCol: String,
+      relCol: String,
+      groupCols: Seq[String] = Seq.empty,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val disc = discountMicro(k)
+    val ideal = idealDcgMicro(k)
+    val discArr = array(disc.map(lit): _*)
+    val idealArr = array(ideal.map(lit): _*)
+    val gcols = groupCols.map(col)
+    val rows = ranked
+      .select((gcols ++ Seq(col(queryCol).as("__q"),
+        col(rankCol).cast("long").as("__rk"),
+        col(relCol).cast("long").as("__rel"))): _*)
+      .withColumn("__cum", sum(col("__rel")).over(
+        Window.partitionBy(col("__q")).orderBy(col("__rk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perq = rows
+      .groupBy((gcols :+ col("__q")): _*)
+      .agg(
+        sum(col("__rel")).as("__nrel"),
+        min(when(col("__rel") === 1L, col("__rk"))).as("__first"),
+        sum(when(col("__rel") === 1L && col("__rk") <= k,
+          element_at(discArr, col("__rk").cast("int"))).otherwise(0L))
+          .as("__dcgm"),
+        sum(when(col("__rel") === 1L,
+          expr("(__cum * 1000000) div __rk")).otherwise(0L)).as("__apnum"))
+      .withColumn("__rrm",
+        when(col("__first").isNotNull, expr("1000000 div __first"))
+          .otherwise(0L))
+      .withColumn("__pm", expr(s"(__nrel * 1000000) div $k"))
+      .withColumn("__apm",
+        when(col("__nrel") > 0L, expr("__apnum div __nrel")).otherwise(0L))
+      .withColumn("__idcgm",
+        when(col("__nrel") > 0L,
+          element_at(idealArr, least(col("__nrel"), lit(k.toLong)).cast("int")))
+          .otherwise(0L))
+      .withColumn("__ndcgm",
+        when(col("__idcgm") > 0L, expr("(__dcgm * 1000000) div __idcgm"))
+          .otherwise(0L))
+    // Macro mean in integer micro-units too: sum_micro div n, THEN one
+    // double division by 1e6. A plain sum/(n·1e6) can land exactly on a
+    // 6th-decimal half-boundary (e.g. 2071042/4e6 = .5177605), where
+    // Spark's round (BigDecimal.valueOf → shortest decimal repr → HALF_UP)
+    // and an engine rounding the raw binary double disagree; a floored
+    // integer mean is ~exactly a 6-decimal value, never at a boundary.
+    def mean(c: String): Column =
+      round(expr(s"sum($c) div count(1)").cast("double") / 1e6, 6)
+    perq.groupBy(gcols: _*)
+      .agg(
+        count(lit(1L)).as("n_queries"),
+        mean("__rrm").as("mrr"),
+        mean("__apm").as("map"),
+        mean("__pm").as(s"p_at_$k"),
+        mean("__ndcgm").as(s"ndcg_at_$k"))
+  }
+
+  /** Exact per-group percentiles of a non-negative integer column WITHOUT a
+    * global sort — the distributed-selection shape that survives 100 TB,
+    * where "sort the column and index into it" cannot.
+    *
+    * Two passes: (1) a hash-aggregate histogram over value buckets
+    * (`value >> bucketShift` — at most range/2^shift rows cross the
+    * exchange per group), a per-group window over that SMALL table locates,
+    * for each requested quantile, the bucket holding the target order
+    * statistic and the offset within it; (2) only rows landing in a target
+    * bucket (≈ n/buckets of the data) are re-read, and a window partitioned
+    * by (group, quantile) picks the offset-th smallest. The value of the
+    * offset-th smallest under duplicate values is well-defined regardless
+    * of tie order, so row_number over ties cannot diverge.
+    *
+    * Quantiles are passed in micro-units (`qMicro`, e.g. 500000 = p50);
+    * the target rank is ceil(n·q) computed entirely in integer arithmetic
+    * (type-1 / lower quantile: smallest v with |{x ≤ v}| ≥ ceil(n·q)) —
+    * no double multiply whose rounding could shift the rank by one.
+    */
+  def exactPercentiles(
+      df: DataFrame,
+      valCol: String,
+      qMicro: Seq[Long],
+      groupCols: Seq[String] = Seq.empty,
+      bucketShift: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val base = df.select((gcols ++ Seq(
+      col(valCol).cast("long").as("__v"))): _*)
+      .withColumn("__b", shiftright(col("__v"), bucketShift))
+    val wcum = Window.partitionBy(gcols: _*).orderBy(col("__b"))
+    val wall = Window.partitionBy(gcols: _*)
+    val hist = base.groupBy((gcols :+ col("__b")): _*)
+      .agg(count(lit(1L)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", sum(col("__cnt")).over(wall))
+    val qs = qMicro.map(q => struct(lit(q).as("__qm")))
+    val targets = hist
+      .withColumn("__q", explode(array(qs: _*)))
+      .select((gcols ++ Seq(col("__b"), col("__cnt"), col("__cum"),
+        col("__q.__qm").as("__qm"),
+        expr("(__n * __q.__qm + 999999) div 1000000").as("__rank"))): _*)
+      .filter(col("__rank") > col("__cum") - col("__cnt") &&
+        col("__rank") <= col("__cum"))
+      .select((gcols ++ Seq(col("__b"), col("__qm"),
+        (col("__rank") - (col("__cum") - col("__cnt"))).as("__off"))): _*)
+    val joinKeys = groupCols :+ "__b"
+    val wpick = Window
+      .partitionBy((gcols :+ col("__qm")): _*).orderBy(col("__v"))
+    base.join(broadcast(targets), joinKeys)
+      .withColumn("__rn", row_number().over(wpick))
+      .filter(col("__rn") === col("__off"))
+      .select((gcols ++ Seq(
+        round(col("__qm").cast("double") / 1e6, 6).as("q"),
+        col("__v").as("value"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -383,4 +383,51 @@ object Events {
         round(col("n").cast("double") / sum(col("n")).over(byPrev), 6))
       .select(col("prev_type"), col("next_type"), col("n"), col("prob"))
   }
+
+  /** Interval overlap join — the temporal θ-join ("which intervals
+    * intersect?") behind campaign attribution, downtime blame, and
+    * session-vs-window joins. A naive formulation is a cartesian with a
+    * range predicate; this one is an EQUI-join on time chunks:
+    *
+    * each interval [s, e] (integer units, s ≤ e) explodes into the chunks
+    * `s div chunk .. e div chunk` it touches; candidates meet on equal
+    * chunk ids; the exact predicate filters; and the pair is kept ONLY in
+    * the chunk containing max(s_a, s_b) — the intersection's start, which
+    * both sides provably cover — so every true pair is emitted exactly
+    * once with no `distinct` over the pair mass.
+    *
+    * Scale shape: replication factor is interval_span/chunk (bounded when
+    * `chunk` tracks the typical span); the only shuffle keys on the chunk
+    * id, so co-occurring intervals meet locally and nothing is all-pairs.
+    * Per-chunk mass is the TRUE temporal density — a skewed hot window is
+    * a data property (AQE skew-split applies), not a plan defect.
+    *
+    * Emits (left id, right id, overlap_units = min(e)-max(s), inclusive
+    * bounds) for every intersecting pair.
+    */
+  def intervalOverlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftIdCol: String,
+      rightIdCol: String,
+      startCol: String,
+      endCol: String,
+      chunk: Long): DataFrame = {
+    require(chunk > 0, "chunk must be positive")
+    def chunked(df: DataFrame, idCol: String, p: String): DataFrame =
+      df.select(col(idCol).as(s"${p}_id"),
+          col(startCol).cast("long").as(s"${p}_s"),
+          col(endCol).cast("long").as(s"${p}_e"))
+        .withColumn("__chunk", explode(sequence(
+          expr(s"${p}_s div $chunk"), expr(s"${p}_e div $chunk"))))
+    val l = chunked(left, leftIdCol, "l")
+    val r = chunked(right, rightIdCol, "r")
+    l.join(r, Seq("__chunk"))
+      .filter(col("l_s") <= col("r_e") && col("r_s") <= col("l_e"))
+      .filter(col("__chunk") ===
+        expr(s"greatest(l_s, r_s) div $chunk"))
+      .select(col("l_id"), col("r_id"),
+        (least(col("l_e"), col("r_e")) -
+          greatest(col("l_s"), col("r_s"))).as("overlap_units"))
+  }
 }

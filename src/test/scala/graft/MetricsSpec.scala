@@ -228,6 +228,45 @@ class MetricsSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("auc")))
   }
 
+  test("rankingMetrics: hand-computed MRR/MAP/P@k/nDCG on two queries") {
+    // q1 rel at ranks 1,3  -> rr = 1; ap = (1/1 + 2/3)/2 = 5/6;
+    //   p@5 = 2/5; dcg = disc(1)+disc(3); idcg = disc(1)+disc(2)
+    // q2 no relevant       -> all zeros
+    val rows = (1 to 5).map(r => ("g", "q1", r.toLong,
+        if (r == 1 || r == 3) 1L else 0L)) ++
+      (1 to 5).map(r => ("g", "q2", r.toLong, 0L))
+    val df = rows.toDF("g", "q", "rk", "rel")
+    val got = Metrics.rankingMetrics(df, "q", "rk", "rel", Seq("g"), 5)
+      .collect()(0)
+    assert(got.getAs[Long]("n_queries") == 2L)
+    // micro-unit ground truth, replicated here from first principles
+    val disc = Metrics.discountMicro(5)
+    val apMicro = (1000000L / 1 + 2000000L / 3) / 2   // per-query fold
+    val ndcgMicro = (disc(0) + disc(2)) * 1000000L / (disc(0) + disc(1))
+    assert(got.getAs[Double]("mrr") == (1000000L / 2) / 1e6)
+    assert(got.getAs[Double]("map") ==
+      math.floor((apMicro / 2).toDouble) / 1e6)
+    assert(got.getAs[Double]("p_at_5") == (2000000L / 5 / 2) / 1e6)
+    assert(got.getAs[Double]("ndcg_at_5") == (ndcgMicro / 2) / 1e6)
+  }
+
+  test("exactPercentiles: ties, cross-bucket targets, and multiple groups") {
+    // group a: values 0..99 plus a heavy tie block at 50
+    val vals = ((0L until 100L) ++ Seq.fill(50)(50L)).map(("a", _)) ++
+      (0L until 10L).map(("b", _))
+    val df = vals.toDF("g", "v")
+    val got = Metrics.exactPercentiles(df, "v",
+        Seq(500000L, 900000L), Seq("g"), bucketShift = 4)
+      .orderBy(col("g"), col("q")).collect()
+    // group a: n=150; p50 rank=75 -> sorted(0..49, 50×51, 51..99)[75]=50
+    //          p90 rank=135 -> value 84 (135-101 = 34th of 51..99 -> 84)
+    assert(got(0).getAs[Double]("q") == 0.5 && got(0).getAs[Long]("value") == 50L)
+    assert(got(1).getAs[Double]("q") == 0.9 && got(1).getAs[Long]("value") == 84L)
+    // group b: n=10; p50 rank=5 -> value 4; p90 rank=9 -> value 8
+    assert(got(2).getAs[Long]("value") == 4L)
+    assert(got(3).getAs[Long]("value") == 8L)
+  }
+
   test("medianAbsoluteDeviation: known medians on a small group") {
     val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 100.0))
       .toDF("g", "v")

@@ -1487,4 +1487,63 @@ class ScaleSpec extends SparkSpec {
       assert(r.getAs[Long]("vocab_size") == 2L)
     }
   }
+
+  test("ophMinhashPairs: precision is exact, identical docs always pair") {
+    import spark.implicits._
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val near = (1 to 38).map(i => s"w$i").mkString(" ") + " x1 x2"
+    val corpus = Seq(
+      (1L, base), (2L, base),              // identical -> always a candidate
+      (3L, near),                          // near-dup of 1/2
+      (4L, (100 to 140).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text")
+    val got = Dedup.ophMinhashPairs(corpus, "doc_id", "text", 16, 4, 3, 0.5)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // identical docs share every bin minimum -> every band collides
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._4 == 1.0))
+    // precision: every emitted pair must clear the EXACT-jaccard threshold
+    val full = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", 3, 0.5,
+        Int.MaxValue)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(p => (p._1, p._2)).toSet
+    assert(got.map(p => (p._1, p._2)).toSet.subsetOf(full))
+    // the unrelated doc never pairs
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("ophSignatures: one row per non-empty bin, minima stable") {
+    val df = Seq((1L, (1 to 60).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val sig = Dedup.ophSignatures(df, "doc_id", "text", 8, 3).collect()
+    assert(sig.length <= 8 && sig.length >= 1)
+    val buckets = sig.map(_.getAs[Long]("bucket")).toSet
+    assert(buckets.forall(b => b >= 0 && b < 8))
+    val again = Dedup.ophSignatures(df, "doc_id", "text", 8, 3).collect()
+    assert(sig.map(_.toString).sorted.sameElements(
+      again.map(_.toString).sorted))
+  }
+
+  test("intervalOverlapJoin matches brute force incl. cross-chunk pairs") {
+    import spark.implicits._
+    // chunk = 10: pairs spanning a chunk boundary (5-15 vs 12-30), touching
+    // endpoints (overlap 0), containment, long multi-chunk intervals, and
+    // a disjoint decoy — every true pair exactly once
+    val iv = Seq(
+      (1L, 5L, 15L), (2L, 12L, 30L), (3L, 15L, 18L), (4L, 31L, 40L),
+      (5L, 0L, 100L), (6L, 55L, 55L), (7L, 101L, 110L)).toDF("id", "s", "e")
+    val got = Events.intervalOverlapJoin(iv, iv, "id", "id", "s", "e", 10L)
+      .filter(col("l_id") < col("r_id"))
+      .orderBy("l_id", "r_id")
+      .as[(Long, Long, Long)].collect().toSeq
+    val rows = Seq((1L, 5L, 15L), (2L, 12L, 30L), (3L, 15L, 18L),
+      (4L, 31L, 40L), (5L, 0L, 100L), (6L, 55L, 55L), (7L, 101L, 110L))
+    val brute = for {
+      (a, as, ae) <- rows; (b, bs, be) <- rows
+      if a < b && as <= be && bs <= ae
+    } yield (a, b, math.min(ae, be) - math.max(as, bs))
+    assert(got == brute.sorted)
+    assert(got.contains((1L, 2L, 3L)), "cross-chunk pair present once")
+    assert(got.contains((2L, 3L, 3L)) && got.count(_ == (2L, 3L, 3L)) == 1)
+  }
 }
