@@ -220,6 +220,30 @@ object ScaleCheck {
           graft.scale.Graph.kCore(edges, 4)
         },
         lineitem, "l_orderkey", None),
+      ("ppr",
+        // disjoint-replica re-keying (as kcore): each copy carries its own
+        // seed nodes, so per-round propagation mass scales N× while the
+        // reachable frontier per seed stays constant
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.personalizedPageRankMicro(edges,
+            edges.select(col("src").as("node")).filter(col("node") % 50 === 0),
+            3)
+        },
+        lineitem, "l_orderkey", None),
+      ("matryoshka_recall",
+        // fixed query set (base copy), candidate corpus N×, 4 truncation
+        // dims: scored mass grows linearly per dim, windows stay k-bounded
+        (d: DataFrame) => Similarity.matryoshkaRecall(
+          d.filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L),
+          d, "vec_id", "embedding", Seq(8, 16, 32, 64), 10),
+        embeddings, "vec_id", Some("embedding")),
       ("incremental_dedup",
         // id shift is ≡ 0 mod 10 → each copy keeps its 80/20 corpus/incoming
         // split; salted tokens keep copies' shingle spaces disjoint

@@ -2833,6 +2833,33 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
     }),
 
+    // ---- personalized PageRank from a supplier seed set --------------------
+    // Random walk with restart on the same supplier↔customer trade graph:
+    // teleport mass lands only on every-50th supplier, so scores rank
+    // nodes by proximity to the seed set (TrustRank-style source
+    // weighting). Exact-integer rounds; only reachable nodes emitted.
+    "ppr_trade_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + 10000000L).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val sources = pairs.select(col("sk").as("node"))
+        .filter(col("node") % 50 === 0).distinct()
+      Graph.personalizedPageRankMicro(edges, sources, 3)
+        .select(
+          when(col("node") >= 10000000L, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          when(col("node") >= 10000000L, col("node") - 10000000L)
+            .otherwise(col("node")).as("node_id"),
+          col("score_micro"))
+        .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
+    }),
+
     // ---- graph: degree-ordered triangle counting ---------------------------
     // Co-purchase graph: parts joined by appearing in the same order with
     // high quantity (l_quantity >= 35 keeps the graph sparse — a raw
@@ -3132,6 +3159,18 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- Matryoshka truncation sweep: recall@10 per prefix dimension -------
+    // How much retrieval quality survives truncating embeddings to their
+    // first 8/16/32/64 components — the serving-cost curve for MRL-style
+    // embeddings. dim=64 is the full vector (recall 1.0 by construction,
+    // an in-data sanity row).
+    "matryoshka_recall_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(e.filter(col("vec_id") % 20 === 0), e,
+          "vec_id", "embedding", Seq(8, 16, 32, 64), 10)
+        .orderBy(col("dim"))
+    }),
+
     // ---- one-permutation MinHash near-dup pairs (exact-verified) -----------
     // ONE md5 per shingle (vs numHashes in the classic family): hash space
     // split into 16 bins, per-bin minima banded 4-wide, candidates exact-
@@ -3189,6 +3228,9 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true)) +
+      ("ppr_trade_orders" -> pprOracleSql(3)) +
+      ("matryoshka_recall_embeddings" ->
+        matryoshkaOracle(Seq(8, 16, 32, 64), 10, 20)) +
       ("ranking_eval_embeddings" -> rankingEvalOracle(10, 20)) +
       ("percentiles_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))) +
@@ -3248,6 +3290,99 @@ object SparkEntry {
           |  ON a.id % 499 = 0 AND a.id <> b.id
           |  AND a.s <= b.e AND b.s <= a.e
           |ORDER BY l_id, r_id""".stripMargin)
+  }
+
+  /** Personalized-PageRank oracle: the [[graft.scale.Graph
+    * .personalizedPageRankMicro]] rounds unrolled to fixed depth, teleport
+    * base folded into the node table (sources = every 50th supplier).
+    */
+  private def pprOracleSql(iterations: Int): String = {
+    val rounds = (1 to iterations).map { i =>
+      val prev = if (i == 1) "s0" else s"i${i - 1}"
+      s"""i$i AS (
+         |  SELECT n.node, n.base, CAST(n.base +
+         |    (85 * COALESCE(SUM(c.contrib), 0)) // 100 AS BIGINT) AS score
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst, CAST(s.score // d.outdeg AS BIGINT) AS contrib
+         |    FROM edges e JOIN $prev s ON e.src = s.node
+         |    JOIN deg d ON e.src = d.src
+         |    WHERE s.score > 0) c ON c.dst = n.node
+         |  GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT l_suppkey AS sk, o_custkey + 10000000 AS ck
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (
+       |  SELECT sk AS src, ck AS dst FROM pairs
+       |  UNION ALL SELECT ck AS src, sk AS dst FROM pairs),
+       |srcs AS (SELECT DISTINCT sk AS node FROM pairs WHERE sk % 50 = 0),
+       |nodes AS (
+       |  SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN 0 ELSE 150000 END AS base
+       |  FROM (SELECT DISTINCT src AS node FROM edges) n
+       |  LEFT JOIN srcs s ON s.node = n.node),
+       |deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+       |s0 AS (
+       |  SELECT node, CAST(CASE WHEN base > 0 THEN 1000000 ELSE 0 END
+       |    AS BIGINT) AS score FROM nodes),
+       |$rounds
+       |SELECT CASE WHEN node >= 10000000 THEN 'customer'
+       |    ELSE 'supplier' END AS node_type,
+       |  CAST(CASE WHEN node >= 10000000 THEN node - 10000000
+       |    ELSE node END AS BIGINT) AS node_id,
+       |  score AS score_micro
+       |FROM i$iterations WHERE score > 0
+       |ORDER BY score_micro DESC, node_type, node_id""".stripMargin
+  }
+
+  /** Matryoshka-recall oracle: per truncation dim, the sliced-vector
+    * quantized-cosine top-k joined against full-dim ground truth, recall
+    * in integer micro-units (mirrors [[graft.scale.Similarity
+    * .matryoshkaRecall]]'s floor-division discipline).
+    */
+  private def matryoshkaOracle(dims: Seq[Int], k: Int, qMod: Int): String = {
+    val vcols = dims.map(d =>
+      s"""list_transform(embedding[1:$d],
+         |      x -> round(CAST(x AS DOUBLE) * 1000)) AS v$d""".stripMargin)
+      .mkString(",\n    ")
+    val full = dims.max
+    val blocks = dims.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dim,
+         |  CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  round((SUM(rm) // COUNT(*)) / 1000000.0, 6) AS recall_at_$k
+         |FROM (
+         |  SELECT a.query_id,
+         |    (SUM(CASE WHEN e.cand_id IS NULL THEN 0 ELSE 1 END)
+         |      * 1000000) // $k AS rm
+         |  FROM (
+         |    SELECT query_id, cand_id FROM (
+         |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |        ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |          list_dot_product(q.v$d, c.v$d)
+         |            / sqrt(list_dot_product(q.v$d, q.v$d)
+         |                   * list_dot_product(c.v$d, c.v$d)) DESC,
+         |          c.vec_id) AS rk
+         |      FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+         |      WHERE q.vec_id % $qMod = 0) WHERE rk <= $k) a
+         |  LEFT JOIN exact e
+         |    ON e.query_id = a.query_id AND e.cand_id = a.cand_id
+         |  GROUP BY a.query_id)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH qv AS (
+       |  SELECT vec_id,
+       |    $vcols
+       |  FROM embeddings),
+       |exact AS (
+       |  SELECT query_id, cand_id FROM (
+       |    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_dot_product(q.v$full, c.v$full)
+       |          / sqrt(list_dot_product(q.v$full, q.v$full)
+       |                 * list_dot_product(c.v$full, c.v$full)) DESC,
+       |        c.vec_id) AS rk
+       |    FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+       |    WHERE q.vec_id % $qMod = 0) WHERE rk <= $k)
+       |SELECT * FROM ($blocks) ORDER BY dim""".stripMargin
   }
 
   /** Ranking-eval oracle: replays the brute-force quantized-cosine top-k,

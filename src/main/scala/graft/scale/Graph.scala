@@ -86,6 +86,58 @@ object Graph {
     scores
   }
 
+  /** Personalized PageRank (random walk with restart): the teleport mass
+    * lands ONLY on the `sources` set, so scores measure proximity TO the
+    * sources — the "expand a trusted seed set" primitive behind TrustRank-
+    * style source weighting and seed-based corpus expansion.
+    *
+    * Same exact-integer scheme as [[pageRankMicro]] with a per-node
+    * teleport base: sources start at 1e6 and restart at 150000 each round;
+    * non-sources start (and restart) at 0 and receive only propagated
+    * mass — so a node's score is nonzero iff it is within `iterations`
+    * hops of a source, and the output keeps exactly those rows.
+    *
+    * Scale shape: the source flag is one broadcast of the (small) seed
+    * set folded into the node table once; per-round cost is identical to
+    * [[pageRankMicro]] (one keyed join + hash-agg over the edge relation,
+    * checkpointed (long, long, long) score table).
+    */
+  def personalizedPageRankMicro(
+      edges: DataFrame,
+      sources: DataFrame,
+      iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.localCheckpoint(true)
+    val src = sources.select(col("node")).distinct()
+      .withColumn("__base", lit(150000L))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .join(broadcast(src), Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("__base"), lit(0L)).as("base"))
+      .localCheckpoint(true)
+    val degEdges = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+        Seq("src"))
+      .localCheckpoint(true)
+    var scores = nodes.select(col("node"),
+      when(col("base") > 0L, lit(1000000L)).otherwise(lit(0L)).as("score"))
+    for (_ <- 1 to iterations) {
+      val inSum = degEdges
+        .join(scores.filter(col("score") > 0L), col("src") === col("node"))
+        .select(col("dst"), expr("score div outdeg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("in_sum"))
+      scores = nodes
+        .join(inSum, col("node") === col("dst"), "left_outer")
+        .selectExpr("node",
+          "CAST(base + (85 * coalesce(in_sum, CAST(0 AS BIGINT))) div 100" +
+            " AS BIGINT) AS score")
+        .localCheckpoint(true)
+    }
+    scores.filter(col("score") > 0L)
+      .select(col("node"), col("score").as("score_micro"))
+  }
+
   /** Write an edge list as a src-bucketed table — the "pre-bucket edges by
     * src" layout for [[pageRankMicroBucketed]]: each bucket holds one src
     * hash range, sorted, so downstream per-src aggregations and joins read

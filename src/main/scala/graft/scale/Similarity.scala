@@ -1176,4 +1176,47 @@ object Similarity {
           least(lit(k.toLong), col("__n_exact")), 6)
           .as("recall"))
   }
+
+  /** Matryoshka truncation sweep: recall@k of top-k retrieval over the
+    * FIRST `d` embedding components against full-dimension ground truth,
+    * for each `d` in `dims` — the "how many dims can we drop?" curve that
+    * decides index cost at serving time (MRL embeddings are trained so
+    * prefixes stay usable; this measures whether yours are).
+    *
+    * Per dim: one brute-force quantized-cosine top-k over the sliced
+    * vectors (same broadcast-queries shape as [[bruteForceTopK]], scored
+    * mass ∝ dims × corpus), joined to the full-dim top-k; per-query hit
+    * counts integerize to micro-units ((hits·1e6) div k) so the per-dim
+    * macro mean is an associative long sum + one floor division —
+    * engine-replayable exactly (same discipline as
+    * [[graft.metrics.Metrics.rankingMetrics]]).
+    */
+  def matryoshkaRecall(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dims: Seq[Int],
+      k: Int): DataFrame = {
+    def sliced(df: DataFrame, d: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+    val exact = bruteForceTopK(queries, candidates, idCol, vecCol, k)
+      .select(col("query_id"), col("cand_id")).localCheckpoint(true)
+    dims.map { d =>
+      val approx = bruteForceTopK(
+        sliced(queries, d), sliced(candidates, d), idCol, vecCol, k)
+      val perq = approx.select(col("query_id"), col("cand_id"))
+        .join(exact.withColumn("__hit", lit(1L)),
+          Seq("query_id", "cand_id"), "left_outer")
+        .groupBy(col("query_id"))
+        .agg(expr(s"(sum(coalesce(__hit, 0)) * 1000000) div $k")
+          .as("__rm"))
+      perq.agg(
+          count(lit(1L)).as("n_queries"),
+          round(expr("sum(__rm) div count(1)").cast("double") / 1e6, 6)
+            .as(s"recall_at_$k"))
+        .select(lit(d.toLong).as("dim"), col("n_queries"),
+          col(s"recall_at_$k"))
+    }.reduce(_ unionByName _)
+  }
 }

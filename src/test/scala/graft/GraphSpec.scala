@@ -178,4 +178,23 @@ class GraphSpec extends SparkSpec {
     // path has no 2-core)
     assert(Graph.kCore(path, 2, maxRounds = 20).count() == 0L)
   }
+
+  test("personalizedPageRankMicro: hand-computed path, reachability bound") {
+    // directed path 1 -> 2 -> 3 -> 4, source {1}, out-degree 1 everywhere:
+    //   init:  s1 = 1e6, rest 0
+    //   i1:    s1 = 150000;           s2 = 85*1e6   //100 = 850000
+    //   i2:    s1 = 150000;           s2 = 85*150000//100 = 127500;
+    //          s3 = 85*850000//100 = 722500
+    // nodes beyond `iterations` hops (node 4 at 2 rounds) emit nothing
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val src = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.personalizedPageRankMicro(e, src, 2)
+      .orderBy($"node").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == Seq(1L -> 150000L, 2L -> 127500L, 3L -> 722500L))
+    // same graph, plain pagerank: every node gets the 150000 teleport
+    // floor — the personalized variant must NOT (that is the point)
+    val plain = Graph.pageRankMicro(e, 2).orderBy($"node").collect()
+    assert(plain.forall(_.getLong(1) >= 150000L))
+  }
 }

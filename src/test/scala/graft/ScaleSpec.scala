@@ -1488,6 +1488,21 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("matryoshkaRecall: full dim is exact, truncation misses the flip") {
+    import spark.implicits._
+    // query (1,1); cand 1 = (1, .001), cand 2 = (.1, 2).
+    // full-dim top-1 = cand 2 (cos .742 vs .708); at dim 1 both collapse
+    // to cosine 1.0 and the id tie-break picks cand 1 -> recall 0.
+    val vecs = Seq(
+      (0L, Array(1f, 1f)), (1L, Array(1f, 0.001f)), (2L, Array(0.1f, 2f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaRecall(
+        vecs.filter(col("vec_id") === 0L), vecs,
+        "vec_id", "embedding", Seq(1, 2), 1)
+      .orderBy("dim").as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 0.0), (2L, 1L, 1.0)))
+  }
+
   test("ophMinhashPairs: precision is exact, identical docs always pair") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
