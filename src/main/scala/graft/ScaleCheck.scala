@@ -413,6 +413,11 @@ object ScaleCheck {
             ranked, "query_id", "rk", "rel", Seq("qlabel"), 10)
         },
         embeddings, "vec_id", Some("embedding")),
+      ("chunk_docs",
+        // pure generate+project, no exchange: ratio should track the scan
+        (d: DataFrame) => TextAnalysis.chunkDocuments(
+          d, "doc_id", "text", 64, 48),
+        docs, "doc_id", None),
       ("oph_pairs",
         // ONE md5 per shingle; salted copies share no shingles, so band
         // buckets and verified-pair mass replicate instead of squaring

@@ -3159,6 +3159,14 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- RAG chunking: sliding token windows, narrow hash rows -------------
+    // 64-token windows, stride 48 (16-token overlap); the chunk table
+    // carries offsets + md5 content identity, never the chunk text.
+    "chunk_docs" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+          64, 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- Matryoshka truncation sweep: recall@10 per prefix dimension -------
     // How much retrieval quality survives truncating embeddings to their
     // first 8/16/32/64 components — the serving-cost curve for MRL-style
@@ -3228,6 +3236,22 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true)) +
+      ("chunk_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |    CAST(i * 48 AS BIGINT) AS chunk_start,
+          |    t[(i*48 + 1):(i*48 + 64)] AS ck
+          |  FROM toks, UNNEST(range(0,
+          |    1 + (GREATEST(0, len(t) - 64) + 47) // 48)) AS u(i))
+          |SELECT doc_id, chunk_idx, chunk_start,
+          |  CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
+          |  md5(array_to_string(ck, ' ')) AS chunk_md5
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) +
       ("ppr_trade_orders" -> pprOracleSql(3)) +
       ("matryoshka_recall_embeddings" ->
         matryoshkaOracle(Seq(8, 16, 32, 64), 10, 20)) +

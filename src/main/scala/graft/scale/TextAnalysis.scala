@@ -1365,6 +1365,44 @@ object TextAnalysis {
         col("vocab_size"), col("entropy"), col("kl_vs_corpus"),
         col("js_vs_corpus"))
   }
+
+  /** Sliding-window document chunking — the RAG/context-packing splitter:
+    * token windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), last window truncated, every document emitting at
+    * least one chunk. Rows are (id, chunk_idx, chunk_start, n_chunk_tokens,
+    * chunk_md5) — the chunk TEXT itself stays out of the result (narrow
+    * rows; the md5 is the content identity downstream dedup/indexing
+    * keys on, same rationale as the fingerprint queries).
+    *
+    * Chunk count: 1 + ceil(max(0, n − window) / stride), computed with
+    * non-negative integer arithmetic only (a signed floor-vs-truncate `div`
+    * on n < window would diverge between engines).
+    *
+    * Scale shape: generate + slice + hash stay in ONE codegen stage — the
+    * token array is duplicated per chunk only inside the stage's row
+    * buffer and never crosses an exchange; the shuffled output is the
+    * narrow hash row. Output mass ≈ input × window/stride.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      "need 1 <= stride <= window")
+    df.select(col(idCol), tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")).cast("long"))
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        expr(s"(greatest(0L, __n - $window) + ${stride - 1}) div $stride"))))
+      .withColumn("chunk_start", col("chunk_idx") * stride)
+      .select(col(idCol), col("chunk_idx"), col("chunk_start"),
+        size(slice(col("__t"), (col("chunk_start") + 1).cast("int"),
+          lit(window))).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__t"),
+          (col("chunk_start") + 1).cast("int"), lit(window)))
+          .cast("binary")).as("chunk_md5"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

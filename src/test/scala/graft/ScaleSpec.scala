@@ -1488,6 +1488,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("chunkDocuments: window/stride boundaries, truncation, short docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),   // 5 tokens, window 3 stride 2 -> chunks at 0, 2
+      (2L, "x y"),         // shorter than the window -> one whole chunk
+      (3L, "a b c")        // exactly one window
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(df, "doc_id", "text", 3, 2)
+      .orderBy("doc_id", "chunk_idx")
+      .select("doc_id", "chunk_idx", "chunk_start", "n_chunk_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, 3L), (1L, 1L, 2L, 3L),
+      (2L, 0L, 0L, 2L),
+      (3L, 0L, 0L, 3L)))
+    // identical token windows hash identically (chunk "a b c" of docs 1, 3)
+    val hashes = TextAnalysis.chunkDocuments(df, "doc_id", "text", 3, 2)
+      .filter(col("chunk_idx") === 0L && col("doc_id").isin(1L, 3L))
+      .select("chunk_md5").distinct().count()
+    assert(hashes == 1L)
+  }
+
   test("matryoshkaRecall: full dim is exact, truncation misses the flip") {
     import spark.implicits._
     // query (1,1); cand 1 = (1, .001), cand 2 = (.1, 2).
