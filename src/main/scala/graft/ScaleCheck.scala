@@ -413,6 +413,17 @@ object ScaleCheck {
             ranked, "query_id", "rk", "rel", Seq("qlabel"), 10)
         },
         embeddings, "vec_id", Some("embedding")),
+      ("pmi_pairs",
+        // unsalted (shared vocabulary, like domain_divergence): counts
+        // scale N×, the vocab²-bounded bigram table does not
+        (d: DataFrame) => TextAnalysis.pmiTopPairs(d, "text", 5L, 50),
+        docs, "doc_id", None),
+      ("phrase_search",
+        // unsalted so the phrase keeps existing in every copy; postings
+        // are pruned to the 3 phrase tokens before any exchange
+        (d: DataFrame) => TextAnalysis.phraseSearch(
+          d, "doc_id", "text", "slow hash batch"),
+        docs, "doc_id", None),
       ("chunk_docs",
         // pure generate+project, no exchange: ratio should track the scan
         (d: DataFrame) => TextAnalysis.chunkDocuments(

@@ -3159,6 +3159,19 @@ object SparkEntry {
         .orderBy(col("label"))
     }),
 
+    // ---- collocation mining: top bigram PMI (count-floored) ----------------
+    "pmi_pairs_docs" -> ((s, dir) =>
+      TextAnalysis.pmiTopPairs(t(s, dir, "documents"), "text", 5L, 50)),
+
+    // ---- positional-index phrase search ------------------------------------
+    // Exact token-sequence search via anchor voting over a single-pass
+    // positional posting list ("slow hash batch" is a recurring corpus
+    // trigram at every sf).
+    "phrase_search_docs" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(t(s, dir, "documents"), "doc_id", "text",
+          "slow hash batch")
+        .orderBy(col("doc_id"))),
+
     // ---- RAG chunking: sliding token windows, narrow hash rows -------------
     // 64-token windows, stride 48 (16-token overlap); the chunk table
     // carries offsets + md5 content identity, never the chunk text.
@@ -3236,6 +3249,50 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true)) +
+      ("pmi_pairs_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |bi AS (
+          |  SELECT t[i] AS w1, t[i+1] AS w2
+          |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+          |bic AS (
+          |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+          |  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+          |uni AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+          |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(len(t)) AS BIGINT) AS T,
+          |    CAST(SUM(GREATEST(len(t) - 1, 0)) AS BIGINT) AS B
+          |  FROM toks)
+          |SELECT w1 || ' ' || w2 AS bg, cnt, u1.c AS c1, u2.c AS c2,
+          |  round(ln((CAST(cnt AS DOUBLE) * T * T)
+          |    / (CAST(B AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
+          |FROM bic JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, tot
+          |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin) +
+      ("phrase_search_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |pos AS (
+          |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS w
+          |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+          |hits AS (
+          |  SELECT a0.doc_id, a0.p AS anchor
+          |  FROM pos a0
+          |  JOIN pos a1 ON a1.doc_id = a0.doc_id AND a1.p = a0.p + 1
+          |    AND a1.w = 'hash'
+          |  JOIN pos a2 ON a2.doc_id = a0.doc_id AND a2.p = a0.p + 2
+          |    AND a2.w = 'batch'
+          |  WHERE a0.w = 'slow')
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+          |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
       ("chunk_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,

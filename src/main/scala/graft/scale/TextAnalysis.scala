@@ -1366,6 +1366,91 @@ object TextAnalysis {
         col("js_vs_corpus"))
   }
 
+  /** Top-k bigram PMI — collocation mining: pointwise mutual information
+    * log(p(w1 w2) / (p(w1)·p(w2))) over corpus bigram/unigram counts,
+    * count-floored at `minCount` (PMI without a floor surfaces hapax
+    * noise). The standard first pass of phrase-vocabulary induction
+    * (word2vec-style phrase joining).
+    *
+    * Scale shape: bigrams via the codegen'd zipped-slice explode (same
+    * kernel as [[bigramStats]]); two keyed joins attach unigram masses by
+    * WORD (no broadcast of the vocabulary — it can be huge); the two
+    * 1-row totals cross the plan as broadcast scalars. PMI is one
+    * fixed-order double expression over exact longs, so both engines
+    * compute the identical value (left-assoc products, one ln).
+    */
+  def pmiTopPairs(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 5L,
+      k: Int = 50): DataFrame = {
+    val t = tokens(col(textCol))
+    val n1 = greatest(size(t) - 1, lit(0))
+    val pair = arrays_zip(slice(t, lit(1), n1).as("w1"),
+      slice(t, lit(2), n1).as("w2"))
+    val bi = df.select(explode(pair).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val uni = df.select(explode(t).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tots = df.select(
+      sum(size(t)).as("__T"),
+      sum(greatest(size(t) - 1, lit(0))).as("__B"))
+    bi
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(tots))
+      .withColumn("pmi", round(
+        log((col("cnt").cast("double") * col("__T") * col("__T")) /
+          (col("__B").cast("double") * col("c1") * col("c2"))), 6))
+      .select(concat_ws(" ", col("w1"), col("w2")).as("bg"),
+        col("cnt"), col("c1"), col("c2"), col("pmi"))
+      .orderBy(col("pmi").desc, col("bg"))
+      .limit(k)
+  }
+
+  /** Positional-index phrase search: which documents contain the exact
+    * token sequence, how often, and where first. The inverted-index
+    * phrase-query plan: ONE pass positional postings restricted to the
+    * phrase's tokens, each occurrence voting for the anchor position
+    * (pos − offset) of every phrase slot it could fill; an anchor with all
+    * |phrase| distinct slots is a match. Handles repeated words in the
+    * phrase (each occurrence emits one vote per slot it matches).
+    *
+    * Scale shape: the token filter prunes the explode output before
+    * anything shuffles; the only exchanges key on (doc, anchor) then doc.
+    * No m-way self-join, no text reconstruction.
+    */
+  def phraseSearch(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrase: String): DataFrame = {
+    val ph = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(ph.nonEmpty, "phrase must contain at least one token")
+    val m = ph.length
+    val offsetsFor = ph.distinct.map(w =>
+      w -> ph.zipWithIndex.collect { case (`w`, i) => i })
+    val offArr = offsetsFor.foldLeft(lit(null).cast("array<int>")) {
+      case (acc, (w, offs)) =>
+        when(col("__w") === w, array(offs.map(lit): _*)).otherwise(acc)
+    }
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+      .filter(col("__w").isin(ph.distinct: _*))
+      .withColumn("__off", explode(offArr))
+      .select(col(idCol), (col("__p") - col("__off")).as("__anchor"),
+        col("__off"))
+      .filter(col("__anchor") >= 0)
+      .groupBy(col(idCol), col("__anchor"))
+      .agg(count_distinct(col("__off")).as("__slots"))
+      .filter(col("__slots") === m)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__anchor")).cast("long").as("first_pos"))
+  }
+
   /** Sliding-window document chunking — the RAG/context-packing splitter:
     * token windows of `window` tokens advancing by `stride` (overlap =
     * window − stride), last window truncated, every document emitting at

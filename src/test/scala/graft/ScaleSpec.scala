@@ -1488,6 +1488,37 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("pmiTopPairs: hand-computed PMI, count floor, tie order") {
+    import spark.implicits._
+    // corpus: "x y x y" + "z z". T=6 (x:2, y:2, z:2), B=4 bigrams.
+    // pmi(x y) = ln(2*36/(4*4)) = ln(4.5); pmi(y x) = pmi(z z) = ln(2.25)
+    val df = Seq("x y x y", "z z").toDF("text")
+    val got = TextAnalysis.pmiTopPairs(df, "text", 1L, 10)
+      .select("bg", "cnt", "pmi")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("x y", 2L, math.rint(math.log(4.5) * 1e6) / 1e6),
+      ("y x", 1L, math.rint(math.log(2.25) * 1e6) / 1e6),
+      ("z z", 1L, math.rint(math.log(2.25) * 1e6) / 1e6)))
+    // the count floor drops everything here
+    assert(TextAnalysis.pmiTopPairs(df, "text", 3L, 10).count() == 0L)
+  }
+
+  test("phraseSearch: multi-match, no-match, and repeated-word phrases") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c a b c"),  // two matches of "a b c" at 0 and 3
+      (2L, "b c a"),        // rotation: not a match
+      (3L, "a a a")         // "a a" matches at 0 and 1
+    ).toDF("doc_id", "text")
+    val abc = TextAnalysis.phraseSearch(df, "doc_id", "text", "a b c")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(abc == Seq((1L, 2L, 0L)))
+    val aa = TextAnalysis.phraseSearch(df, "doc_id", "text", "a a")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(aa == Seq((3L, 2L, 0L)))
+  }
+
   test("chunkDocuments: window/stride boundaries, truncation, short docs") {
     import spark.implicits._
     val df = Seq(
