@@ -301,6 +301,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- leakage-safe k-fold cross-validation assignment -------------------
+    // Every near-dup cluster lands whole in one of 5 folds (salted hash of
+    // the cluster representative) — no fold validates on a near-duplicate
+    // of another fold's training data, and membership is content-stable
+    // under corpus growth.
+    "kfold_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.kFoldSplit(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id", 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: n-gram Jaccard near-dup pairs -----------------------------
     "jaccard_pairs_docs" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(
@@ -3249,6 +3261,42 @@ object SparkEntry {
         classifierTrainOracle(8, calibration = false)) +
       ("classifier_calibration_trained_docs" ->
         classifierTrainOracle(8, calibration = true)) +
+      ("kfold_docs" ->
+        """WITH RECURSIVE toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |sh AS (
+          |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''),
+          |    COALESCE(' ' || t[i+2], '')) AS sh
+          |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+          |mh AS (
+          |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+          |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+          |  GROUP BY doc_id, s),
+          |bands AS (
+          |  SELECT doc_id, s // 2 AS band,
+          |    STRING_AGG(h, '' ORDER BY s) AS band_key
+          |  FROM mh GROUP BY doc_id, s // 2),
+          |prs AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.band_key = b.band_key
+          |  WHERE a.doc_id < b.doc_id),
+          |e AS (
+          |  SELECT id_a AS src, id_b AS dst FROM prs
+          |  UNION SELECT id_b, id_a FROM prs),
+          |reach(a, b) AS (
+          |  SELECT doc_id, doc_id FROM documents
+          |  UNION
+          |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+          |cl AS (
+          |  SELECT a AS doc_id, MIN(b) AS cluster_rep FROM reach GROUP BY a)
+          |SELECT doc_id, cluster_rep,
+          |  CAST(('0x' || substr(md5('fold:' || CAST(cluster_rep AS VARCHAR)),
+          |    1, 8)) AS BIGINT) % 5 AS fold
+          |FROM cl ORDER BY doc_id""".stripMargin) +
       ("pmi_pairs_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,

@@ -458,6 +458,27 @@ object Dedup {
         when(graft.sample.Samplers.uniformDraw(col("cluster_rep")) < testFrac,
           "test").otherwise("train"))
 
+  /** Leakage-safe k-fold assignment — [[leakageSafeSplit]]'s
+    * cross-validation sibling: every member of a near-dup cluster lands in
+    * the SAME fold (fold = salted-hash of the cluster representative mod
+    * k), so no fold's validation set shares a near-duplicate with its
+    * training folds. Hash-based (not round-robin) so fold membership is a
+    * pure function of content — stable under corpus growth, re-sharding,
+    * and incremental appends, which positional assignment is not.
+    */
+  def kFoldSplit(
+      nodes: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, "need at least 2 folds")
+    duplicateClusters(nodes, pairs, idCol)
+      .withColumn("fold",
+        HashExprs.md5PrefixLong(
+          concat(lit("fold:"), col("cluster_rep").cast("string"))
+            .cast("binary"), 8) % k)
+  }
+
   /** Connected components via alternating large-star/small-star contraction
     * (Kiveris/Lattanzi/Mirrokni/Rastogi/Vassilvitskii, "Connected
     * Components in MapReduce and Beyond", SOCC'14) — the extreme-diameter

@@ -1488,6 +1488,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("kFoldSplit: clusters stay whole, folds in range, content-stable") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u v w"), (2L, "p q r s t u v w"),   // near-dup pair
+      (3L, "a b c d e f g h"), (4L, "z y x w v u t s"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3)
+    val got = Dedup.kFoldSplit(docs, pairs, "doc_id", 5)
+      .select("doc_id", "cluster_rep", "fold")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._3).forall(f => f >= 0 && f < 5))
+    // duplicates share a cluster -> share a fold
+    val byDoc = got.map(r => r._1 -> r._3).toMap
+    assert(byDoc(1L) == byDoc(2L))
+    // fold is a function of cluster_rep only: re-running with extra
+    // unrelated docs must not move existing assignments
+    val more = docs.unionByName(
+      Seq((9L, "completely different words here now")).toDF("doc_id", "text"))
+    val again = Dedup.kFoldSplit(more,
+        Dedup.minhashLsh(more, "doc_id", "text", 8, 2, 3), "doc_id", 5)
+      .select("doc_id", "fold").as[(Long, Long)].collect().toMap
+    got.foreach { case (id, _, f) => assert(again(id) == f) }
+  }
+
   test("pmiTopPairs: hand-computed PMI, count floor, tie order") {
     import spark.implicits._
     // corpus: "x y x y" + "z z". T=6 (x:2, y:2, z:2), B=4 bigrams.
