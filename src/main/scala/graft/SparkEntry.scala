@@ -3239,7 +3239,45 @@ object SparkEntry {
       Metrics.exactPercentiles(l, "cents",
           Seq(500000L, 900000L, 990000L), Seq("l_returnflag"), 12)
         .orderBy(col("l_returnflag"), col("q"))
-    })
+    }),
+
+    // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
+    // Every part pair within Levenshtein distance 2 of each other's name,
+    // with the exact distance. The oracle brute-forces the distance
+    // predicate over all distinct-name pairs (collapse to distinct names is
+    // an algebraic identity — the distance depends only on the strings), so
+    // a q-gram filter that over-prunes is a correctness failure.
+    "edit_pairs_part" -> ((s, dir) =>
+      Dedup.editDistancePairs(t(s, dir, "part"), "p_partkey", "p_name", 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // ---- corpus-frequency boilerplate scrub (C4 line-dedup rule) ----------
+    // Chunks occurring in >= 3 distinct docs are template noise; EVERY
+    // occurrence is removed (passage_dedup_docs keeps first occurrences —
+    // this is the complementary df rule).
+    "boilerplate_docs" -> ((s, dir) =>
+      Dedup.boilerplateScrub(t(s, dir, "documents"), "doc_id", "text", 5, 3)
+        .orderBy(col("doc_id"))),
+
+    // ---- exact two-sample KS drift (distributed prefix sum, no sort) ------
+    // Did the price distribution move between the even- and odd-key halves?
+    // The supremum is exact (cross-multiplied integer form); prefix sums
+    // run bucket-local with window-free base offsets from the bucket table.
+    "ks_drift_orders" -> ((s, dir) =>
+      Metrics.ksDrift(t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("side", col("o_orderkey") % 2 === 0),
+        "cents", "side")),
+
+    // ---- chi-square token drift (which tokens moved between corpora) ------
+    // English vs non-English halves of the corpus: the top-25 tokens by the
+    // 2x2 chi-square — the drift panel that NAMES the movers, complementing
+    // domain_divergence's distribution-level scores.
+    "token_drift_docs" -> ((s, dir) =>
+      TextAnalysis.tokenDrift(t(s, dir, "documents")
+          .withColumn("side", col("lang") === "en"),
+        "text", "side", 25))
   )
 
   def oracleSql: Map[String, String] = {
@@ -8074,6 +8112,116 @@ object SparkEntry {
         |  FROM d)
         |SELECT query_id, point_id, dist_km FROM h
         |WHERE dist_km <= 100.0
-        |ORDER BY query_id, point_id""".stripMargin
+        |ORDER BY query_id, point_id""".stripMargin,
+
+    // brute force over all DISTINCT-name pairs (distance depends only on
+    // the strings), expanded back to id pairs — a prefix-filter false
+    // negative in the Spark plan fails this oracle
+    "edit_pairs_part" ->
+      """WITH d AS (SELECT DISTINCT p_name FROM part),
+        |np AS (
+        |  SELECT a.p_name AS na, b.p_name AS nb,
+        |    CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |  FROM d a JOIN d b ON a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 2)
+        |SELECT LEAST(x.p_partkey, y.p_partkey) AS id_a,
+        |  GREATEST(x.p_partkey, y.p_partkey) AS id_b, np.dist
+        |FROM np JOIN part x ON x.p_name = np.na
+        |JOIN part y ON y.p_name = np.nb
+        |UNION ALL
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  CAST(0 AS INTEGER) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_name = b.p_name AND a.p_partkey < b.p_partkey
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "boilerplate_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(t[(i*5+1):(i*5+5)], ' ') AS chunk
+        |  FROM toks,
+        |    UNNEST(range(0, greatest(CAST(ceil(len(t)/5.0) AS INT), 1))) AS u(i)),
+        |hot AS (
+        |  SELECT md5(chunk) AS h FROM ch
+        |  GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 3),
+        |kept AS (
+        |  SELECT * FROM ch WHERE md5(chunk) NOT IN (SELECT h FROM hot)),
+        |surv AS (
+        |  SELECT doc_id, COUNT(*) AS n_kept,
+        |    string_agg(chunk, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM ch GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_chunks,
+        |  COALESCE(s.n_kept, 0) AS n_kept,
+        |  COALESCE(s.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN surv s ON t.doc_id = s.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // single-node replay of the exact KS supremum: one plain window prefix
+    // sum (the bucketed two-pass structure is a distribution detail — the
+    // statistic is bucket-independent)
+    "ks_drift_orders" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS v, (o_orderkey % 2 = 0) AS s
+        |  FROM orders),
+        |tot AS (
+        |  SELECT COUNT(*) FILTER (NOT s) AS n_a,
+        |    COUNT(*) FILTER (s) AS n_b FROM v),
+        |g AS (
+        |  SELECT v, COUNT(*) FILTER (NOT s) AS ca,
+        |    COUNT(*) FILTER (s) AS cb
+        |  FROM v GROUP BY v),
+        |c AS (
+        |  SELECT v, SUM(ca) OVER (ORDER BY v) AS cuma,
+        |    SUM(cb) OVER (ORDER BY v) AS cumb FROM g),
+        |d AS (
+        |  SELECT v, abs(cuma * n_b - cumb * n_a) AS diff FROM c, tot),
+        |m AS (SELECT MAX(diff) AS ks_num FROM d)
+        |SELECT t.n_a, t.n_b, CAST(m.ks_num AS VARCHAR) AS ks_num,
+        |  MIN(d.v) AS at_value,
+        |  ROUND(CAST(m.ks_num AS DOUBLE) /
+        |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
+        |FROM d, m, tot t WHERE d.diff = m.ks_num
+        |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    "token_drift_docs" ->
+      """WITH toks AS (
+        |  SELECT (lang = 'en') AS s,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, COUNT(*) FILTER (NOT s) AS k_a,
+        |    COUNT(*) FILTER (s) AS k_b
+        |  FROM toks GROUP BY token),
+        |tot AS (SELECT SUM(k_a) AS na, SUM(k_b) AS nb FROM counts),
+        |chi AS (
+        |  SELECT token, k_a, k_b,
+        |    CASE WHEN (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) *
+        |        CAST(k_a + k_b AS DOUBLE) *
+        |        CAST(na + nb - k_a - k_b AS DOUBLE)) > 0
+        |      THEN ROUND(
+        |        ((CAST(k_a AS DOUBLE) * CAST(nb - k_b AS DOUBLE)
+        |            - CAST(na - k_a AS DOUBLE) * CAST(k_b AS DOUBLE))
+        |          * (CAST(k_a AS DOUBLE) * CAST(nb - k_b AS DOUBLE)
+        |            - CAST(na - k_a AS DOUBLE) * CAST(k_b AS DOUBLE))
+        |          * CAST(na + nb AS DOUBLE))
+        |        / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+        |          * CAST(k_a + k_b AS DOUBLE)
+        |          * CAST(na + nb - k_a - k_b AS DOUBLE)), 6)
+        |      ELSE 0.0 END AS chi2
+        |  FROM counts, tot),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY chi2 DESC, token) AS rk,
+        |    token, k_a, k_b, chi2
+        |  FROM chi)
+        |SELECT rk, token, k_a, k_b, chi2 FROM r WHERE rk <= 25
+        |ORDER BY rk""".stripMargin
   )
 }

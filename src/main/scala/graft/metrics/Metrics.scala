@@ -505,6 +505,73 @@ object Metrics {
         col("__v").as("value"))): _*)
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift statistic — the corpus-
+    * snapshot QA check: did the distribution of a numeric column move
+    * between two samples (old vs new crawl, side A vs side B)?
+    * KS = max over observed values v of |F_A(v) − F_B(v)|, computed
+    * EXACTLY (no binning approximation in the statistic itself) via the
+    * cross-multiplied integer form |cumA·n_B − cumB·n_A|, so two engines
+    * can agree bit-for-bit.
+    *
+    * Distributed shape — the supremum needs a full prefix sum over sorted
+    * values, but never a global sort: values bucket by their high bits
+    * (same scheme as [[exactPercentiles]]); per-bucket totals roll into
+    * base offsets through a window over the BUCKET table (value-range/2^s
+    * rows, dictionary-scale); the per-value cumulative then runs inside
+    * each bucket only (bounded partitions). Products are DECIMAL(38,0) —
+    * petabyte-scale row counts cannot overflow them.
+    *
+    * One output row: sample sizes, the exact integer numerator, the
+    * smallest value attaining the supremum, and the 6-decimal statistic.
+    */
+  def ksDrift(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      bucketShift: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(valCol).cast("long").as("__v"),
+        col(sideCol).cast("boolean").as("__s"))
+      .withColumn("__b", shiftright(col("__v"), bucketShift))
+    val vals = base.groupBy(col("__b"), col("__v"))
+      .agg(sum(when(col("__s"), 0L).otherwise(1L)).as("__ca"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__cb"))
+      .localCheckpoint(true)
+    val wb = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val buckets = vals.groupBy(col("__b"))
+      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+      .select(col("__b"),
+        coalesce(sum(col("__ta")).over(wb), lit(0L)).as("__basea"),
+        coalesce(sum(col("__tb")).over(wb), lit(0L)).as("__baseb"))
+    val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = base.agg(
+      sum(when(col("__s"), 0L).otherwise(1L)).as("n_a"),
+      sum(when(col("__s"), 1L).otherwise(0L)).as("n_b"))
+    val diffs = vals.join(broadcast(buckets), Seq("__b"))
+      .withColumn("__cuma", col("__basea") + sum(col("__ca")).over(wv))
+      .withColumn("__cumb", col("__baseb") + sum(col("__cb")).over(wv))
+      .crossJoin(broadcast(tot))
+      .withColumn("__diff",
+        abs(col("__cuma").cast("decimal(38,0)") * col("n_b") -
+          col("__cumb").cast("decimal(38,0)") * col("n_a"))
+          .cast("decimal(38,0)"))
+    val mx = diffs.agg(max(col("__diff")).as("ks_num"))
+    diffs.crossJoin(broadcast(mx))
+      .filter(col("__diff") === col("ks_num"))
+      .groupBy(col("n_a"), col("n_b"), col("ks_num"))
+      .agg(min(col("__v")).as("at_value"))
+      // the exact numerator travels as a STRING: DECIMAL(38,0) survives
+      // petabyte counts in the engine, but pandas narrows wide decimals to
+      // float64 on the oracle bridge — digits compare exactly, floats don't
+      .select(col("n_a"), col("n_b"),
+        col("ks_num").cast("string").as("ks_num"), col("at_value"),
+        round(col("ks_num").cast("double") /
+          (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("ks"))
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -661,6 +661,54 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Corpus-frequency boilerplate scrub — the C4/RefinedWeb line-dedup
+    * rule: any text chunk that occurs in >= `maxDf` DISTINCT documents is
+    * boilerplate (headers, licenses, navigation), and EVERY occurrence is
+    * removed — including the first. The complement of [[passageDedup]]
+    * (which keeps first occurrences): first-occurrence dedup de-weights
+    * duplicated content; the df-rule deletes content whose corpus
+    * frequency itself marks it as template noise.
+    *
+    * Output per document: total chunk count, kept chunk count, and the
+    * reassembled clean text (kept chunks in original order).
+    *
+    * Scale: one chunk explode, a 16-byte-key hash aggregate for the df
+    * count (countDistinct over doc ids — map-side partial), and a
+    * left-anti join of the chunk table against the hot set. The hot set is
+    * boilerplate-scale (tiny by definition — chunks crossing the df
+    * threshold), so AQE turns the anti join into a broadcast; nothing is
+    * ever quadratic and full text crosses no exchange (chunks group by
+    * their md5).
+    */
+  def boilerplateScrub(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int = 5,
+      maxDf: Int = 3): DataFrame = {
+    val chunks = df.select(col(idCol),
+        posexplode(TextAnalysis.wordChunks(col(textCol), chunkWords))
+          .as(Seq("pos", "chunk")))
+      .withColumn("h", md5(col("chunk").cast("binary")))
+      .localCheckpoint(true)
+    val hot = chunks.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= maxDf)
+      .select(col("h"))
+    val kept = chunks.join(hot, Seq("h"), "left_anti")
+    val survivors = kept.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("chunk")))),
+          p => p.getField("chunk"))).as("clean_text"))
+    val totals = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+    totals.join(survivors, Seq(idCol), "left")
+      .select(col(idCol), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any word
     * k-shingle with a held-out evaluation set (the n-gram-overlap rule used
     * to scrub pretraining corpora against eval benchmarks). The eval side's
@@ -1237,6 +1285,134 @@ object Dedup {
         col("__e").isNotNull.as("dup_exact"),
         col("__n").isNotNull.as("dup_near"),
         (col("__e").isNull && col("__n").isNull).as("kept"))
+  }
+
+  /** Edit-distance similarity self-join: every unordered id pair whose
+    * strings are within Levenshtein distance `tau`, with the exact distance.
+    * Ed-Join-style candidate generation (Xiao, Wang, Lin — VLDB'08): padded
+    * positional q-grams, a rarest-first prefix inverted index, and exact
+    * verification — never an all-pairs join.
+    *
+    * Soundness chain (every filter prunes only provably-non-matching
+    * pairs; the oracle brute-forces the distance predicate, so a missed
+    * candidate is a correctness failure):
+    *  - one edit operation rewrites at most q padded q-gram windows, so
+    *    ed(x,y) <= tau implies |S_x \ S_y| <= q*tau over the DISTINCT gram
+    *    sets (destroying a set element needs every occurrence destroyed);
+    *    hence |S_x ∩ S_y| >= max(|S_x|,|S_y|) - q*tau  (count filter);
+    *  - prefix filter: with all grams ranked rarest-first globally, any
+    *    qualifying pair shares a gram within each side's first
+    *    |S| - alpha + 1 <= q*tau + 1 grams — so indexing the first
+    *    q*tau + 1 (a superset of the true prefix) keeps completeness;
+    *  - length filter: ed >= |len_x - len_y|;
+    *  - degenerate "short" strings with |S| <= q*tau (shorter than ~q*tau
+    *    chars, or single-char runs) can match while sharing NO gram
+    *    (alpha <= 0) — they bypass the index through a broadcast self-join
+    *    over their (dictionary-scale, degenerate-class) distinct pool,
+    *    guarded by the no-common-gram predicate so no pair is emitted by
+    *    both paths.
+    *
+    * Scale: identical strings collapse to one super-node before any index
+    * work (the filter cascade runs over DISTINCT strings; members re-expand
+    * at output mass), the index shuffles once on gram keys, every candidate
+    * is verified inline at its first-common-gram generation row (exactly-
+    * once emission, no distinct over pair mass), and Levenshtein runs once
+    * per distinct STRING pair, never per id pair.
+    */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      strCol: String,
+      tau: Int,
+      q: Int = 2): DataFrame = {
+    require(tau >= 1, s"tau must be >= 1, got $tau")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val groups = df
+      .select(col(idCol).as("id"), col(strCol).as("s"))
+      .na.drop(Seq("id", "s"))
+      .groupBy(col("s"))
+      .agg(min(col("id")).as("gid"), collect_list(col("id")).as("members"))
+      .localCheckpoint(true)
+    // within a group every pair is the same string: distance 0 <= tau
+    val intra = groups
+      .filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members"))
+      .select(col("ia"), explode(col("members")).as("ib"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        lit(0).as("dist"))
+    // distinct padded positional q-grams per distinct string; padding
+    // (q-1 sentinel chars each side) gives every string — including the
+    // empty one — at least one gram and makes the per-edit damage bound q
+    val padded = concat(lit("\u0001" * (q - 1)), col("s"),
+      lit("\u0002" * (q - 1)))
+    val gsets = groups.select(col("gid"), col("s"),
+      array_distinct(transform(
+        sequence(lit(1), length(padded) - (q - 1)),
+        i => padded.substr(i, lit(q)))).as("gs"))
+    val tok = gsets.select(col("gid"), explode(col("gs")).as("g"))
+    // dense integer gram ids ranked rarest-first: numeric order IS the
+    // prefix-filter order (dictionary-scale sort, same as ppjoinPairs)
+    val dim = tok.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
+      .select(col("g"),
+        row_number().over(Window.orderBy(col("dfc"), col("g"))).as("tid"))
+    val ordered = tok.join(dim, Seq("g"))
+      .groupBy(col("gid"))
+      .agg(sort_array(collect_list(col("tid"))).as("ts"))
+      .join(gsets.select(col("gid"), col("s")), Seq("gid"))
+      .withColumn("sz", size(col("ts")))
+      .withColumn("len", length(col("s")))
+      .localCheckpoint(true)
+    // index the first q*tau+1 gram ids of EVERY string (shorts contribute
+    // their whole set), carrying the full ordered array for inline
+    // count-filter + exactly-once checks at pair expansion
+    val postings = ordered
+      .select(col("gid"), col("s"), col("sz"), col("len"), col("ts"),
+        explode(slice(col("ts"), 1, q * tau + 1)).as("tid"))
+      .groupBy(col("tid"))
+      .agg(collect_list(
+        struct(col("gid"), col("s"), col("sz"), col("len"), col("ts")))
+        .as("es"))
+    val viaIndex = postings
+      .select(col("tid"), explode(col("es")).as("a"), col("es"))
+      .select(col("tid"), col("a"), explode(col("es")).as("b"))
+      .filter(col("a.gid") < col("b.gid"))
+      .filter(abs(col("a.len") - col("b.len")) <= tau)
+      .withColumn("ia", array_intersect(col("a.ts"), col("b.ts")))
+      .filter(size(col("ia")) >=
+        greatest(col("a.sz"), col("b.sz")) - q * tau)
+      // exactly-once: only the pair's rarest common gram emits
+      .filter(col("tid") === array_min(col("ia")))
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    // degenerate pool: |S| <= q*tau strings may match with zero shared
+    // grams; dictionary-scale by construction (essentially strings shorter
+    // than ~q*tau chars) → broadcast self-join, disjoint from the index
+    // path via the no-common-gram guard
+    val shorts = ordered.filter(col("sz") <= q * tau)
+      .select(col("gid"), col("s"), col("len"), col("ts"))
+    val viaShort = shorts.as("a")
+      .join(broadcast(shorts.as("b")),
+        col("a.gid") < col("b.gid") &&
+          abs(col("a.len") - col("b.len")) <= tau &&
+          size(array_intersect(col("a.ts"), col("b.ts"))) === 0)
+      .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+    val verified = viaIndex.unionByName(viaShort)
+      .withColumn("dist", levenshtein(col("sa"), col("sb")))
+      .filter(col("dist") <= tau)
+      .select(col("gid_a"), col("gid_b"), col("dist"))
+    // cross-group expansion at output mass
+    val cross = verified
+      .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
+        Seq("gid_a"))
+      .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
+        Seq("gid_b"))
+      .select(explode(col("ma")).as("ia"), col("mb"), col("dist"))
+      .select(col("ia"), explode(col("mb")).as("ib"), col("dist"))
+      .select(least(col("ia"), col("ib")).as("id_a"),
+        greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
+    intra.unionByName(cross)
   }
 
   /** How much extra duplication does normalization expose? One row:

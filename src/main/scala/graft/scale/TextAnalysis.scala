@@ -1306,6 +1306,61 @@ object TextAnalysis {
         round(col("excess"), 6).as("excess"), col("weight"))
   }
 
+  /** Chi-square token drift — which tokens moved most between two corpus
+    * snapshots (side A vs side B)? Per token, the 2×2 contingency test
+    * [k_A, N_A−k_A; k_B, N_B−k_B]:
+    *   χ² = N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d)),  N = N_A + N_B,
+    * the keyword-extraction / drift-monitoring statistic (Dunning-style
+    * corpus comparison via its χ² cousin). Complements
+    * [[domainDivergence]]: that scores DISTRIBUTIONS, this names the
+    * individual tokens responsible.
+    *
+    * Determinism: all four cells are exact integer token counts; χ² is
+    * ONE fixed-order double expression rounded to 6 decimals; rank order
+    * is (χ² desc, token asc) so rounding ties break textually. Tokens
+    * whose complement column is empty (a single-token corpus) would zero a
+    * marginal — χ² is pinned to 0 there instead of NaN.
+    *
+    * Scale: one explode → one (token) hash-aggregate with map-side
+    * partials (conditional sums share one pass), a 1-row totals broadcast,
+    * and a TakeOrderedAndProject for the top-k — never a global sort.
+    */
+  def tokenDrift(
+      df: DataFrame,
+      textCol: String,
+      sideCol: String,
+      topK: Int): DataFrame = {
+    val tok = df.select(col(sideCol).cast("boolean").as("__s"),
+      explode(tokens(col(textCol))).as("token"))
+    val counts = tok.groupBy(col("token"))
+      .agg(sum(when(col("__s"), 0L).otherwise(1L)).as("k_a"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("k_b"))
+      .localCheckpoint(true)
+    val tot = counts.agg(sum(col("k_a")).as("__na"),
+      sum(col("k_b")).as("__nb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("chi2", {
+        val a = col("k_a").cast("double")
+        val b = (col("__na") - col("k_a")).cast("double")
+        val c = col("k_b").cast("double")
+        val d = (col("__nb") - col("k_b")).cast("double")
+        val n = (col("__na") + col("__nb")).cast("double")
+        val colB = (col("__na") + col("__nb") - col("k_a") - col("k_b"))
+          .cast("double")
+        val num = (a * d - b * c) * (a * d - b * c) * n
+        val den = col("__na").cast("double") * col("__nb").cast("double") *
+          (col("k_a") + col("k_b")).cast("double") * colB
+        when(den > 0.0, round(num / den, 6)).otherwise(lit(0.0))
+      })
+      .select(col("token"), col("k_a"), col("k_b"), col("chi2"))
+      .orderBy(col("chi2").desc, col("token"))
+      .limit(topK)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("chi2").desc, col("token")))
+          .cast("long"))
+      .select(col("rk"), col("token"), col("k_a"), col("k_b"), col("chi2"))
+  }
+
   /** Per-domain distribution drift vs the corpus: smoothed unigram entropy,
     * KL(P_domain ‖ P_corpus), and Jensen–Shannon divergence — the
     * data-mixture monitoring panel (is a source drifting from the blend?

@@ -277,4 +277,40 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Double]("median") == 2.5)
     assert(r.getAs[Double]("mad") == 1.0)
   }
+
+  test("ksDrift: hand-computed supremum, incl. cross-bucket prefix sums") {
+    // A = {1,2,3,4}, B = {3,4,5,6}: the ECDF gap peaks at v=2
+    // (F_A=2/4, F_B=0) -> num = |2*4 - 0*4| = 8, ks = 0.5.
+    // bucketShift=1 puts values in buckets {0,1,2,3}, so the supremum's
+    // cumulative counts cross bucket boundaries — exercising the base
+    // offsets, not just the within-bucket window.
+    val df = (Seq(1L, 2L, 3L, 4L).map((_, false)) ++
+      Seq(3L, 4L, 5L, 6L).map((_, true))).toDF("v", "side")
+    val r = Metrics.ksDrift(df, "v", "side", 1).collect()(0)
+    assert(r.getAs[Long]("n_a") == 4L && r.getAs[Long]("n_b") == 4L)
+    assert(r.getAs[String]("ks_num") == "8")
+    assert(r.getAs[Long]("at_value") == 2L)
+    assert(r.getAs[Double]("ks") == 0.5)
+    // identical samples -> zero drift, argmax = smallest observed value
+    val same = (Seq(10L, 20L).map((_, false)) ++
+      Seq(10L, 20L).map((_, true))).toDF("v", "side")
+    val z = Metrics.ksDrift(same, "v", "side", 1).collect()(0)
+    assert(z.getAs[String]("ks_num") == "0" &&
+      z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
+  }
+
+  test("tokenDrift: hand-computed 2x2 chi-square and tie order") {
+    import graft.scale.TextAnalysis
+    // side A: "x x y", side B: "y z z"
+    // x: [2,1;0,3] -> chi2 = 6^2*6/(3*3*2*4) = 3.0; z symmetric -> 3.0;
+    // y: ad=bc -> 0. Tie at 3.0 breaks on token asc: x before z.
+    val df = Seq(("x x y", false), ("y z z", true)).toDF("text", "side")
+    val got = TextAnalysis.tokenDrift(df, "text", "side", 3)
+      .orderBy("rk").collect()
+    assert(got.map(_.getAs[String]("token")).toSeq == Seq("x", "z", "y"))
+    assert(got(0).getAs[Double]("chi2") == 3.0)
+    assert(got(1).getAs[Double]("chi2") == 3.0)
+    assert(got(2).getAs[Double]("chi2") == 0.0)
+    assert(got(0).getAs[Long]("k_a") == 2L && got(0).getAs[Long]("k_b") == 0L)
+  }
 }

@@ -1638,4 +1638,66 @@ class ScaleSpec extends SparkSpec {
     assert(got.contains((1L, 2L, 3L)), "cross-chunk pair present once")
     assert(got.contains((2L, 3L, 3L)) && got.count(_ == (2L, 3L, 3L)) == 1)
   }
+
+  test("editDistancePairs matches brute force, incl. degenerate shorts") {
+    import spark.implicits._
+    // covers: exact dups (1,2), one-substitution (1,3), distance-2 (1,4),
+    // above-threshold decoys (5), degenerate shorts sharing NO q-gram
+    // ("ab" vs "cd": ed=2 with zero common grams — the index alone would
+    // miss it), short-vs-long length-filter kills, and a single-char-run
+    // string whose distinct gram count is tiny despite its length
+    val rows = Seq(
+      (1L, "spark"), (2L, "spark"), (3L, "snark"), (4L, "sharks"),
+      (5L, "flink"), (6L, "ab"), (7L, "cd"), (8L, "abc"),
+      (9L, "aaaaaaaa"), (10L, "aaaaaaa"), (11L, ""))
+    val df = rows.toDF("id", "s")
+    for (tau <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", tau)
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val brute = for {
+        (a, sa) <- rows; (b, sb) <- rows
+        if a < b
+        d = levDist(sa, sb) if d <= tau
+      } yield (a, b, d)
+      assert(got == brute.sorted, s"tau=$tau")
+      if (tau == 2) {
+        assert(got.contains((6L, 7L, 2)), "no-shared-gram short pair found")
+        assert(got.contains((9L, 10L, 1)), "single-char-run pair found")
+      }
+    }
+  }
+
+  private def levDist(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("boilerplateScrub removes EVERY occurrence of hot chunks") {
+    import spark.implicits._
+    // chunkWords=2: "license header text" style boilerplate in 3 docs must
+    // vanish from all three (incl. the first occurrence — the contract
+    // passageDedup does NOT have); a 2-doc chunk survives at maxDf=3
+    val df = Seq(
+      (1L, "copyright acme alpha beta"),
+      (2L, "copyright acme gamma delta"),
+      (3L, "copyright acme epsilon zeta"),
+      (4L, "shared tail unique one"),
+      (5L, "shared tail unique two"),
+      (6L, "copyright acme")).toDF("doc_id", "text")
+    val got = Dedup.boilerplateScrub(df, "doc_id", "text", 2, 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, "alpha beta"),
+      (2L, 2L, 1L, "gamma delta"),
+      (3L, 2L, 1L, "epsilon zeta"),
+      (4L, 2L, 2L, "shared tail unique one"),
+      (5L, 2L, 2L, "shared tail unique two"),
+      (6L, 1L, 0L, "")))   // fully-boilerplate doc -> empty clean text
+  }
 }
