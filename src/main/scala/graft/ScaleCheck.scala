@@ -458,7 +458,43 @@ object ScaleCheck {
             (col("l_extendedprice").cast("decimal(18,2)") * 100)
               .cast("long")),
           "cents", Seq(500000L, 900000L, 990000L), Seq("l_returnflag"), 12),
-        lineitem, "l_orderkey", None))
+        lineitem, "l_orderkey", None),
+      ("edit_pairs",
+        // copies must sit FARTHER than tau from each other or the true
+        // answer mass itself squares (the token salt "c1"/"c2" differs by
+        // ONE char per word — within ed 2 of its twin, so every name
+        // matched 7 counterpart copies and the measured 19× was answer
+        // mass, not the index). A 3-char copy tag derived from the id
+        // keyspace keeps copies >= 3 edits apart: dictionary grows N×,
+        // within-copy structure (and so per-copy answer mass) is constant
+        (d: DataFrame) => Dedup.editDistancePairs(
+          d.withColumn("p_name", concat(
+            expr("repeat(concat('s', p_partkey DIV 10000000), 3)"),
+            col("p_name"))),
+          "p_partkey", "p_name", 2),
+        part, "p_partkey", None),
+      ("boilerplate",
+        // salted tokens keep chunk spaces disjoint → each copy carries its
+        // own boilerplate structure; the df hash-agg and anti join are
+        // what's timed
+        (d: DataFrame) => Dedup.boilerplateScrub(d, "doc_id", "text", 5, 3),
+        docs, "doc_id", Some("text")),
+      ("ks_drift",
+        // unsalted: the distinct-value table stays fixed while counts grow
+        // N× — the real snapshot-drift shape; prefix sums stay
+        // bucket-local at any mass
+        (d: DataFrame) => graft.metrics.Metrics.ksDrift(
+          d.withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("side", col("o_orderkey") % 2 === 0),
+          "cents", "side"),
+        orders, "o_orderkey", None),
+      ("token_drift",
+        // unsalted (shared vocabulary, like domain_divergence): one corpus
+        // hash-agg scales N×, the per-token chi-square table does not
+        (d: DataFrame) => TextAnalysis.tokenDrift(
+          d.withColumn("side", col("lang") === "en"), "text", "side", 25),
+        docs, "doc_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -1036,14 +1036,13 @@ object Dedup {
       .withColumn("plen",
         (col("sz") - ceil(lit(threshold) * col("sz") - EPS) + 1).cast("int"))
       .localCheckpoint(true)
-    // Within a group every pair matches exactly: J = 1.0 >= any t.
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(col("members"))
-      .select(explode(col("members")).as("id_a"), col("members"))
-      .select(col("id_a"), explode(col("members")).as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", lit(1.0))
+    // Within a group every pair matches exactly (J = 1.0 >= any t) —
+    // folded in as group-level SELF-pairs below, so the member expansion
+    // runs as ONE fused pipeline. Profiled on editDistancePairs (same
+    // shape): a Union above the pair-mass expansion breaks whole-stage
+    // codegen at the union boundary and the per-row copy tax dominated the
+    // operator at 8× — unioning at the dictionary-scale pair table instead
+    // keeps the expansion fused.
     // Posting lists over PREFIX tokens only (rare by construction), one
     // entry per DISTINCT set. Each entry carries its ordered tid array, so
     // verification happens INLINE at pair expansion — no candidate
@@ -1086,19 +1085,26 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("a.gid").as("gid_a"), col("b.gid").as("gid_b"),
         col("jaccard"))
-    // Cross-group expansion: every member of a matched group pair matches
-    // with the group-level score. Output mass only — nothing quadratic in
-    // corpus size beyond the true answer.
-    val cross = gpairs
+    val selfPairs = groups.filter(size(col("members")) > 1)
+      .select(col("gid").as("gid_a"), col("gid").as("gid_b"),
+        lit(1.0).as("jaccard"))
+    // Group-pair expansion: every member combination of a matched group
+    // pair matches with the group-level score. Output mass only — nothing
+    // quadratic in corpus size beyond the true answer. Cross pairs draw
+    // (ia, ib) from disjoint member lists (exactly once, canonicalized by
+    // least/greatest); self pairs keep ia < ib.
+    gpairs.unionByName(selfPairs)
       .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
         Seq("gid_a"))
       .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
         Seq("gid_b"))
-      .select(explode(col("ma")).as("ia"), col("mb"), col("jaccard"))
-      .select(col("ia"), explode(col("mb")).as("ib"), col("jaccard"))
+      .select(col("gid_a"), col("gid_b"), col("jaccard"),
+        explode(col("ma")).as("ia"), col("mb"))
+      .select(col("gid_a"), col("gid_b"), col("jaccard"), col("ia"),
+        explode(col("mb")).as("ib"))
+      .filter(col("gid_a") =!= col("gid_b") || col("ia") < col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
-    intra.unionByName(cross)
   }
 
   /** Cross-document exact-substring duplication — the ExactSubstr decision
@@ -1333,14 +1339,6 @@ object Dedup {
       .groupBy(col("s"))
       .agg(min(col("id")).as("gid"), collect_list(col("id")).as("members"))
       .localCheckpoint(true)
-    // within a group every pair is the same string: distance 0 <= tau
-    val intra = groups
-      .filter(size(col("members")) > 1)
-      .select(explode(col("members")).as("ia"), col("members"))
-      .select(col("ia"), explode(col("members")).as("ib"))
-      .filter(col("ia") < col("ib"))
-      .select(col("ia").as("id_a"), col("ib").as("id_b"),
-        lit(0).as("dist"))
     // distinct padded positional q-grams per distinct string; padding
     // (q-1 sentinel chars each side) gives every string — including the
     // empty one — at least one gram and makes the per-edit damage bound q
@@ -1402,17 +1400,30 @@ object Dedup {
       .withColumn("dist", levenshtein(col("sa"), col("sb")))
       .filter(col("dist") <= tau)
       .select(col("gid_a"), col("gid_b"), col("dist"))
-    // cross-group expansion at output mass
-    val cross = verified
+    // within a group every pair is the same string (distance 0): folded in
+    // as verified SELF-pairs so the member expansion below is ONE fused
+    // pipeline. Profiled: a Union placed above the pair-mass expansion
+    // breaks whole-stage codegen fusion at the union boundary, and the
+    // per-row copy tax dominated the whole operator at 8× (60 s → 2 s
+    // when the union moved to the dictionary-scale verified table).
+    val selfPairs = groups.filter(size(col("members")) > 1)
+      .select(col("gid").as("gid_a"), col("gid").as("gid_b"),
+        lit(0).as("dist"))
+    // expansion at output mass: for cross pairs each (ia, ib) combination
+    // appears exactly once (disjoint member lists) and least/greatest
+    // canonicalizes; for self pairs ia < ib keeps each unordered pair once
+    verified.unionByName(selfPairs)
       .join(groups.select(col("gid").as("gid_a"), col("members").as("ma")),
         Seq("gid_a"))
       .join(groups.select(col("gid").as("gid_b"), col("members").as("mb")),
         Seq("gid_b"))
-      .select(explode(col("ma")).as("ia"), col("mb"), col("dist"))
-      .select(col("ia"), explode(col("mb")).as("ib"), col("dist"))
+      .select(col("gid_a"), col("gid_b"), col("dist"),
+        explode(col("ma")).as("ia"), col("mb"))
+      .select(col("gid_a"), col("gid_b"), col("dist"), col("ia"),
+        explode(col("mb")).as("ib"))
+      .filter(col("gid_a") =!= col("gid_b") || col("ia") < col("ib"))
       .select(least(col("ia"), col("ib")).as("id_a"),
         greatest(col("ia"), col("ib")).as("id_b"), col("dist"))
-    intra.unionByName(cross)
   }
 
   /** How much extra duplication does normalization expose? One row:
