@@ -494,7 +494,27 @@ object ScaleCheck {
         // hash-agg scales N×, the per-token chi-square table does not
         (d: DataFrame) => TextAnalysis.tokenDrift(
           d.withColumn("side", col("lang") === "en"), "text", "side", 25),
-        docs, "doc_id", None))
+        docs, "doc_id", None),
+      ("kaplan_meier",
+        // id shift gives N× users; the per-user hash-agg is the only
+        // corpus-mass stage, the curve stays distinct-duration-scale
+        (d: DataFrame) => Events.kaplanMeier(d,
+          col("event_type") === "purchase" && col("value") >= 150.0),
+        events, "user_id", None),
+      ("link_prediction",
+        // disjoint-replica re-keying (as kcore): N independent copies of
+        // the wedge structure — same degrees, N× the wedge mass
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.linkPrediction(edges, 64, 50)
+        },
+        lineitem, "l_orderkey", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

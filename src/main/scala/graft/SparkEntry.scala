@@ -3277,7 +3277,33 @@ object SparkEntry {
     "token_drift_docs" -> ((s, dir) =>
       TextAnalysis.tokenDrift(t(s, dir, "documents")
           .withColumn("side", col("lang") === "en"),
-        "text", "side", 25))
+        "text", "side", 25)),
+
+    // ---- Kaplan-Meier time-to-conversion curve ----------------------------
+    // Time from each user's first event to their first high-value purchase
+    // (value >= 150); users who never convert are right-censored at their
+    // last event. Risk sets, events, censored counts, and the
+    // product-limit estimator per whole-day duration.
+    "kaplan_meier_events" -> ((s, dir) =>
+      Events.kaplanMeier(t(s, dir, "events"),
+          col("event_type") === "purchase" && col("value") >= 150.0)
+        .orderBy(col("dur"))),
+
+    // ---- common-neighbor link prediction on the co-order graph ------------
+    // Top-50 NON-adjacent part pairs by neighborhood Jaccard. Middle nodes
+    // above deg 64 are excluded from wedge generation by declared
+    // semantics (hub wedges cost deg^2 and carry no similarity signal);
+    // the oracle replicates the cap exactly.
+    "link_prediction_lineitem" -> ((s, dir) => {
+      val hi = t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 35.0)
+        .select(col("l_orderkey").as("k"), col("l_partkey"))
+      val edges = hi
+        .join(hi.select(col("k"), col("l_partkey").as("p2")), Seq("k"))
+        .filter(col("l_partkey") =!= col("p2"))
+        .select(col("l_partkey").as("src"), col("p2").as("dst"))
+      Graph.linkPrediction(edges, 64, 50).orderBy(col("rk"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -8222,6 +8248,76 @@ object SparkEntry {
         |    token, k_a, k_b, chi2
         |  FROM chi)
         |SELECT rk, token, k_a, k_b, chi2 FROM r WHERE rk <= 25
+        |ORDER BY rk""".stripMargin,
+
+    "kaplan_meier_events" ->
+      """WITH sec AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 1000000 AS s
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, MIN(s) AS f, MAX(s) AS l,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 150
+        |      THEN s END) AS c
+        |  FROM sec GROUP BY user_id),
+        |u AS (
+        |  SELECT CASE WHEN c IS NOT NULL THEN (c - f) // 86400
+        |    ELSE (l - f) // 86400 END AS dur,
+        |    (c IS NOT NULL) AS ev
+        |  FROM pu),
+        |bd AS (
+        |  SELECT dur, COUNT(*) FILTER (ev) AS n_event,
+        |    COUNT(*) FILTER (NOT ev) AS n_censored
+        |  FROM u GROUP BY dur),
+        |tot AS (SELECT COUNT(*) AS n FROM u),
+        |r AS (
+        |  SELECT dur, n_event, n_censored,
+        |    CAST(n - COALESCE(SUM(n_event + n_censored) OVER
+        |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM bd, tot),
+        |sv AS (
+        |  SELECT dur, n_risk, n_event, n_censored,
+        |    SUM(CASE WHEN n_event < n_risk THEN
+        |        LN(CAST(n_risk - n_event AS DOUBLE) /
+        |          CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER
+        |      (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS lnsum
+        |  FROM r)
+        |SELECT dur, n_risk, n_event, n_censored,
+        |  CASE WHEN n_event = n_risk THEN 0.0
+        |    ELSE ROUND(EXP(lnsum), 6) END AS survival
+        |FROM sv ORDER BY dur""".stripMargin,
+
+    "link_prediction_lineitem" ->
+      """WITH hi AS (
+        |  SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
+        |  WHERE l_quantity >= 35),
+        |e AS (
+        |  SELECT DISTINCT LEAST(a.p, b.p) AS a, GREATEST(a.p, b.p) AS b
+        |  FROM hi a JOIN hi b ON a.k = b.k AND a.p <> b.p),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+        |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+        |mid AS (
+        |  SELECT s.a AS m, s.b AS x FROM sym s
+        |  JOIN deg d ON d.a = s.a AND d.deg <= 64),
+        |cn AS (
+        |  SELECT w1.x AS x, w2.x AS y, COUNT(*) AS cn
+        |  FROM mid w1 JOIN mid w2 ON w1.m = w2.m AND w1.x < w2.x
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT cn.* FROM cn ANTI JOIN e ON cn.x = e.a AND cn.y = e.b),
+        |sc AS (
+        |  SELECT c.x, c.y, c.cn, dx.deg AS deg_x, dy.deg AS deg_y,
+        |    ROUND(CAST(c.cn AS DOUBLE) /
+        |      CAST(dx.deg + dy.deg - c.cn AS DOUBLE), 6) AS jaccard
+        |  FROM cand c JOIN deg dx ON dx.a = c.x JOIN deg dy ON dy.a = c.y),
+        |r AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY jaccard DESC, x, y) AS rk,
+        |    x, y, cn, deg_x, deg_y, jaccard
+        |  FROM sc)
+        |SELECT rk, x, y, cn, deg_x, deg_y, jaccard FROM r WHERE rk <= 50
         |ORDER BY rk""".stripMargin
   )
 }

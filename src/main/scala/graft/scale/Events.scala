@@ -430,4 +430,65 @@ object Events {
         (least(col("l_e"), col("r_e")) -
           greatest(col("l_s"), col("r_s"))).as("overlap_units"))
   }
+
+  /** Kaplan–Meier time-to-event curve — the survival-analysis view of
+    * conversion/churn: per user, the whole-day duration from their FIRST
+    * event to their first event satisfying `eventPred` (converted,
+    * event = true); users who never convert are right-CENSORED at their
+    * last observed event — the distinction a naive conversion-rate curve
+    * gets wrong (a user observed 2 days who hasn't converted says nothing
+    * about day-10 conversion; dropping them biases the curve down, while
+    * counting them as non-converters biases it up — KM handles exactly
+    * this). For each duration d: risk set n(d) = users still under
+    * observation at d, events e(d), and the product-limit estimator
+    * S(d) = Π_{d' ≤ d} (1 − e(d')/n(d')).
+    *
+    * Determinism: risk sets and event counts are exact longs via one
+    * cumulative window over the DISTINCT-duration table (day-range-
+    * bounded, dictionary-scale); the product runs as exp∘Σln in ascending
+    * duration order (the window's running order, identical in both
+    * engines) with the repo's 6-decimal rounding absorbing libm ulp
+    * noise. The only zero factor possible is a final row where the whole
+    * remaining risk set converts — pinned to 0.0 explicitly (DuckDB
+    * refuses ln(0), and both engines would otherwise ride on -inf
+    * semantics).
+    *
+    * Scale: one (user) hash-agg over the corpus (the conditional min
+    * shares the pass), then everything is distinct-duration-scale. Linear
+    * at any corpus.
+    */
+  def kaplanMeier(events: DataFrame, eventPred: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sec = epochSeconds(events)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(min(sec).as("__first"), max(sec).as("__last"),
+        min(when(eventPred, sec)).as("__conv"))
+    val users = perUser
+      .select(
+        when(col("__conv").isNotNull,
+          expr("(__conv - __first) DIV 86400"))
+          .otherwise(expr("(__last - __first) DIV 86400")).as("dur"),
+        col("__conv").isNotNull.as("__ev"))
+    val byDur = users.groupBy(col("dur"))
+      .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("n_event"),
+        sum(when(col("__ev"), 0L).otherwise(1L)).as("n_censored"))
+    val tot = users.agg(count(lit(1)).as("__n"))
+    val wprev = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wcum = Window.orderBy(col("dur"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDur.crossJoin(broadcast(tot))
+      .withColumn("n_risk", col("__n") -
+        coalesce(sum(col("n_event") + col("n_censored")).over(wprev),
+          lit(0L)))
+      .withColumn("__lnf",
+        when(col("n_event") < col("n_risk"),
+          log((col("n_risk") - col("n_event")).cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("survival",
+        when(col("n_event") === col("n_risk"), lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wcum)), 6)))
+      .select(col("dur"), col("n_risk"), col("n_event"),
+        col("n_censored"), col("survival"))
+  }
 }

@@ -325,4 +325,58 @@ object Graph {
           "refusing to return a supergraph of the true k-core; raise maxRounds")
     degrees(und).select(col("node"), col("deg").as("core_deg"))
   }
+
+  /** Common-neighbor link prediction: score NON-adjacent node pairs by the
+    * overlap of their neighborhoods — cn = |Γ(x) ∩ Γ(y)| and the Jaccard
+    * score cn / (|Γ(x)| + |Γ(y)| − cn) — and return the top-k candidate
+    * links. The entity-resolution / recommendation primitive over the
+    * same co-occurrence graphs the other Graph ops walk.
+    *
+    * Wedge generation is the classic 2-path self-join on the middle node,
+    * whose mass is Σ deg(m)² — quadratic in hub degree. Middle nodes with
+    * deg > `maxDeg` are EXCLUDED from wedge generation (the df-cut rule
+    * the dedup posting indexes use): an ultra-hub is adjacent to
+    * everything, so "shares this neighbor" carries no similarity signal,
+    * while costing the entire deg² blowup. The cap is part of the
+    * operator's declared semantics (cn counts only sub-cap middles; the
+    * oracle replicates it exactly) — degrees in the DENOMINATOR stay
+    * full. Pair mass after the cap is true-candidate mass, never corpus².
+    *
+    * Determinism: counts are exact longs; the score is one rounded
+    * division; ranking ties break on (x, y).
+    */
+  def linkPrediction(
+      edges: DataFrame,
+      maxDeg: Int,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val mid = sym
+      .join(deg.filter(col("deg") <= maxDeg).select(col("a")), Seq("a"))
+      .select(col("a").as("m"), col("b").as("x"))
+    val cn = mid.join(mid.select(col("m"), col("x").as("y")), Seq("m"))
+      .filter(col("x") < col("y"))
+      .groupBy(col("x"), col("y"))
+      .agg(count(lit(1)).as("cn"))
+    cn.join(e.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"), "left_anti")
+      .join(deg.select(col("a").as("x"), col("deg").as("deg_x")), Seq("x"))
+      .join(deg.select(col("a").as("y"), col("deg").as("deg_y")), Seq("y"))
+      .withColumn("jaccard", round(col("cn").cast("double") /
+        (col("deg_x") + col("deg_y") - col("cn")).cast("double"), 6))
+      .orderBy(col("jaccard").desc, col("x"), col("y"))
+      .limit(topK)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("jaccard").desc, col("x"), col("y")))
+        .cast("long"))
+      .select(col("rk"), col("x"), col("y"), col("cn"),
+        col("deg_x"), col("deg_y"), col("jaccard"))
+  }
 }

@@ -197,4 +197,24 @@ class GraphSpec extends SparkSpec {
     val plain = Graph.pageRankMicro(e, 2).orderBy($"node").collect()
     assert(plain.forall(_.getLong(1) >= 150000L))
   }
+
+  test("linkPrediction: hand-computed Jaccard scores and the hub cap") {
+    // square 1-2-3-4 plus hub 9 adjacent to all four; messy input
+    // (duplicates, both directions) exercises canonicalization
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (1L, 2L),
+      (9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    // no cap binding (maxDeg 10): cn(1,3) = {2,4,9} = 3, deg 3 each ->
+    // jaccard 3/(3+3-3) = 1.0; (2,4) symmetric; only those two non-edges
+    val free = Graph.linkPrediction(sq, 10, 10)
+      .select("rk", "x", "y", "cn", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(free == Seq((1L, 1L, 3L, 3L, 1.0), (2L, 2L, 4L, 3L, 1.0)))
+    // cap 3 excludes the deg-4 hub from wedge generation: cn drops to 2
+    // ({2,4} / {1,3}) while DENOMINATOR degrees stay full (3) -> 0.5
+    val capped = Graph.linkPrediction(sq, 3, 10)
+      .select("rk", "x", "y", "cn", "jaccard")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(capped == Seq((1L, 1L, 3L, 2L, 0.5), (2L, 2L, 4L, 2L, 0.5)))
+  }
 }

@@ -1677,6 +1677,38 @@ class ScaleSpec extends SparkSpec {
     d(a.length)(b.length)
   }
 
+  test("kaplanMeier: hand-computed product-limit curve with censoring") {
+    import spark.implicits._
+    val day = 86400L
+    val base = 1700000000L
+    // u3 converts day 0; u1, u4 convert day 2; u2 never converts,
+    // censored at day 4. Hand KM: S(0) = 3/4; S(2) = 3/4 * 1/3 = 0.25;
+    // S(4) = 0.25 (no event at the censored duration).
+    val ev = Seq(
+      (1L, base, "view"), (1L, base + 2 * day, "buy"),
+      (2L, base, "view"), (2L, base + 4 * day, "view"),
+      (3L, base, "buy"),
+      (4L, base, "view"), (4L, base + 2 * day, "buy"),
+      (4L, base + 9 * day, "view")   // events after conversion are ignored
+    ).map { case (u, ep, t) => (u, ep * 1000000000L, t) }
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.kaplanMeier(ev, col("event_type") === "buy")
+      .orderBy("dur")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 4L, 1L, 0L, 0.75),
+      (2L, 3L, 2L, 0L, 0.25),
+      (4L, 1L, 0L, 1L, 0.25)))
+    // all-convert final row: the zero factor is pinned, not ln(0)'d
+    val all = Seq((1L, base, "buy"), (2L, base, "view"),
+      (2L, base + day, "buy"))
+      .map { case (u, ep, t) => (u, ep * 1000000000L, t) }
+      .toDF("user_id", "ts", "event_type")
+    val g2 = Events.kaplanMeier(all, col("event_type") === "buy")
+      .orderBy("dur").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
+  }
+
   test("boilerplateScrub removes EVERY occurrence of hot chunks") {
     import spark.implicits._
     // chunkWords=2: "license header text" style boilerplate in 3 docs must
