@@ -495,6 +495,11 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.tokenDrift(
           d.withColumn("side", col("lang") === "en"), "text", "side", 25),
         docs, "doc_id", None),
+      ("rfm",
+        // id shift gives N× users; per-user hash-agg + three
+        // distributed-selection breakpoint passes, all linear scans
+        (d: DataFrame) => Events.rfmSegments(d),
+        events, "user_id", None),
       ("kaplan_meier",
         // id shift gives N× users; the per-user hash-agg is the only
         // corpus-mass stage, the curve stays distinct-duration-scale

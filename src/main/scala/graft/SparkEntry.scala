@@ -3303,7 +3303,15 @@ object SparkEntry {
         .filter(col("l_partkey") =!= col("p2"))
         .select(col("l_partkey").as("src"), col("p2").as("dst"))
       Graph.linkPrediction(edges, 64, 50).orderBy(col("rk"))
-    })
+    }),
+
+    // ---- RFM user segmentation (breakpoint quintiles, no global sort) -----
+    // Recency/frequency/monetary per user, scored 1-5 against corpus-wide
+    // type-1 quintile breakpoints from the distributed-selection
+    // percentile machinery — never a global NTILE sort.
+    "rfm_events" -> ((s, dir) =>
+      Events.rfmSegments(t(s, dir, "events"))
+        .orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -8318,6 +8326,72 @@ object SparkEntry {
         |    x, y, cn, deg_x, deg_y, jaccard
         |  FROM sc)
         |SELECT rk, x, y, cn, deg_x, deg_y, jaccard FROM r WHERE rk <= 50
-        |ORDER BY rk""".stripMargin
+        |ORDER BY rk""".stripMargin,
+
+    // type-1 quantile breakpoints replayed with the Spark side's exact
+    // integer rank (n*q + 999999) // 1000000 — no float ceil at boundaries
+    "rfm_events" ->
+      """WITH sec AS (
+        |  SELECT user_id, value, epoch_us(ts) // 1000000 AS s FROM events),
+        |pu AS (
+        |  SELECT user_id, MAX(s) AS l, COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS monetary_cents
+        |  FROM sec GROUP BY user_id),
+        |en AS (SELECT MAX(l) AS endd FROM pu),
+        |u AS (
+        |  SELECT user_id, (endd - l) // 86400 AS recency_days, frequency,
+        |    monetary_cents
+        |  FROM pu, en),
+        |nn AS (SELECT COUNT(*) AS n FROM u),
+        |rr AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+        |  FROM (SELECT recency_days AS v FROM u)),
+        |rb AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = (n*200000+999999)//1000000 THEN v END) AS r20,
+        |    MAX(CASE WHEN rn = (n*400000+999999)//1000000 THEN v END) AS r40,
+        |    MAX(CASE WHEN rn = (n*600000+999999)//1000000 THEN v END) AS r60,
+        |    MAX(CASE WHEN rn = (n*800000+999999)//1000000 THEN v END) AS r80
+        |  FROM rr, nn),
+        |ff AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+        |  FROM (SELECT frequency AS v FROM u)),
+        |fb AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = (n*200000+999999)//1000000 THEN v END) AS f20,
+        |    MAX(CASE WHEN rn = (n*400000+999999)//1000000 THEN v END) AS f40,
+        |    MAX(CASE WHEN rn = (n*600000+999999)//1000000 THEN v END) AS f60,
+        |    MAX(CASE WHEN rn = (n*800000+999999)//1000000 THEN v END) AS f80
+        |  FROM ff, nn),
+        |mm AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn
+        |  FROM (SELECT monetary_cents AS v FROM u)),
+        |mb AS (
+        |  SELECT
+        |    MAX(CASE WHEN rn = (n*200000+999999)//1000000 THEN v END) AS m20,
+        |    MAX(CASE WHEN rn = (n*400000+999999)//1000000 THEN v END) AS m40,
+        |    MAX(CASE WHEN rn = (n*600000+999999)//1000000 THEN v END) AS m60,
+        |    MAX(CASE WHEN rn = (n*800000+999999)//1000000 THEN v END) AS m80
+        |  FROM mm, nn),
+        |sc AS (
+        |  SELECT u.*,
+        |    CAST(1 + CAST(recency_days < r20 AS INT)
+        |      + CAST(recency_days < r40 AS INT)
+        |      + CAST(recency_days < r60 AS INT)
+        |      + CAST(recency_days < r80 AS INT) AS BIGINT) AS r_score,
+        |    CAST(1 + CAST(frequency > f20 AS INT)
+        |      + CAST(frequency > f40 AS INT)
+        |      + CAST(frequency > f60 AS INT)
+        |      + CAST(frequency > f80 AS INT) AS BIGINT) AS f_score,
+        |    CAST(1 + CAST(monetary_cents > m20 AS INT)
+        |      + CAST(monetary_cents > m40 AS INT)
+        |      + CAST(monetary_cents > m60 AS INT)
+        |      + CAST(monetary_cents > m80 AS INT) AS BIGINT) AS m_score
+        |  FROM u, rb, fb, mb)
+        |SELECT user_id, recency_days, frequency, monetary_cents,
+        |  r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM sc ORDER BY user_id""".stripMargin
   )
 }

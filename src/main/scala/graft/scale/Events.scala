@@ -431,6 +431,65 @@ object Events {
           greatest(col("l_s"), col("r_s"))).as("overlap_units"))
   }
 
+  /** RFM segmentation — the classic user-value decomposition: per user,
+    * Recency (whole days since their last event, vs the corpus's last
+    * event), Frequency (event count), Monetary (exact value cents), each
+    * scored 1–5 against the corpus-wide quintile BREAKPOINTS, plus the
+    * 3-digit segment code (r·100 + f·10 + m; 555 = best).
+    *
+    * Scores are value-vs-breakpoint, not exact-equal-count ntiles: a
+    * global NTILE needs a full sort of the user table, while breakpoints
+    * come from [[graft.metrics.Metrics.exactPercentiles]]'s distributed
+    * selection (type-1 quantiles at 20/40/60/80%, exact integer ranks) and
+    * broadcast as ONE row — the 100 TB-safe formulation, and the tie
+    * semantics (equal metric ⇒ equal score) is arguably the right one for
+    * segmentation anyway. F/M score = 1 + #(breakpoints strictly below the
+    * value); R score = 1 + #(breakpoints strictly above), so fresher
+    * users score higher. All comparisons are exact longs.
+    */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    import graft.metrics.Metrics
+    val sec = epochSeconds(events)
+    val perUser = events.groupBy(col("user_id"))
+      .agg(max(sec).as("__last"), count(lit(1)).as("frequency"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("monetary_cents"))
+    val end = perUser.agg(max(col("__last")).as("__end"))
+    val users = perUser.crossJoin(broadcast(end))
+      .select(col("user_id"),
+        expr("(__end - __last) DIV 86400").as("recency_days"),
+        col("frequency"), col("monetary_cents"))
+      .localCheckpoint(true)
+    val qs = Seq(200000L, 400000L, 600000L, 800000L)
+    def bpRow(valCol: String, prefix: String): DataFrame =
+      Metrics.exactPercentiles(users, valCol, qs)
+        .agg(
+          max(when(col("q") === 0.2, col("value"))).as(s"${prefix}20"),
+          max(when(col("q") === 0.4, col("value"))).as(s"${prefix}40"),
+          max(when(col("q") === 0.6, col("value"))).as(s"${prefix}60"),
+          max(when(col("q") === 0.8, col("value"))).as(s"${prefix}80"))
+    def above(v: Column, prefix: String): Column =
+      (lit(1) + qs.indices.map(i =>
+        when(v > col(s"$prefix${(i + 1) * 20}"), 1).otherwise(0))
+        .reduce(_ + _)).cast("long")
+    def below(v: Column, prefix: String): Column =
+      (lit(1) + qs.indices.map(i =>
+        when(v < col(s"$prefix${(i + 1) * 20}"), 1).otherwise(0))
+        .reduce(_ + _)).cast("long")
+    users
+      .crossJoin(broadcast(bpRow("recency_days", "r")))
+      .crossJoin(broadcast(bpRow("frequency", "f")))
+      .crossJoin(broadcast(bpRow("monetary_cents", "m")))
+      .withColumn("r_score", below(col("recency_days"), "r"))
+      .withColumn("f_score", above(col("frequency"), "f"))
+      .withColumn("m_score", above(col("monetary_cents"), "m"))
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), col("r_score"), col("f_score"),
+        col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("segment"))
+  }
+
   /** Kaplan–Meier time-to-event curve — the survival-analysis view of
     * conversion/churn: per user, the whole-day duration from their FIRST
     * event to their first event satisfying `eventPred` (converted,

@@ -1709,6 +1709,31 @@ class ScaleSpec extends SparkSpec {
     assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("rfmSegments: hand-computed quintile breakpoints and scores") {
+    import spark.implicits._
+    val day = 86400L
+    val base = 1700000000L
+    // u_k: k events of $1.00 each, last on day k-1 -> frequency k,
+    // monetary 100k cents, recency (4 - (k-1)) days. n=5 type-1
+    // breakpoints are the 1st..4th smallest of each metric, so
+    // f_score = m_score = k, and r_scores land (u1..u5) = 1,1,2,3,4.
+    val ev = (1 to 5).flatMap { k =>
+      (1 to k).map(j => (k.toLong,
+        (base + (k - 1) * day - j) * 1000000000L, 1.0))
+    }.toDF("user_id", "ts", "value")
+    val got = Events.rfmSegments(ev).orderBy("user_id")
+      .select("user_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", "segment")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 1L, 100L, 1L, 1L, 1L, 111L),
+      (2L, 3L, 2L, 200L, 1L, 2L, 2L, 122L),
+      (3L, 2L, 3L, 300L, 2L, 3L, 3L, 233L),
+      (4L, 1L, 4L, 400L, 3L, 4L, 4L, 344L),
+      (5L, 0L, 5L, 500L, 4L, 5L, 5L, 455L)))
+  }
+
   test("boilerplateScrub removes EVERY occurrence of hot chunks") {
     import spark.implicits._
     // chunkWords=2: "license header text" style boilerplate in 3 docs must
