@@ -495,6 +495,16 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.tokenDrift(
           d.withColumn("side", col("lang") === "en"), "text", "side", 25),
         docs, "doc_id", None),
+      ("knn_clusters",
+        // rotated copies decorrelate (see replicate) and the id shift is
+        // centroidMod-aligned, so every copy contributes its own IVF
+        // cells: cell SIZE stays bounded while cell count grows — the
+        // corpus-scale self-kNN generator (a brute/bq shortlist would be
+        // N² on a self-join); clustering is edge-mass CC on top
+        (d: DataFrame) => Similarity.mutualKnnClusters(d,
+          Similarity.ivfTopK(d, d, "vec_id", "embedding", 3, 100),
+          "vec_id"),
+        embeddings, "vec_id", Some("embedding")),
       ("rfm",
         // id shift gives N× users; per-user hash-agg + three
         // distributed-selection breakpoint passes, all linear scans

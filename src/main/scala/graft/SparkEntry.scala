@@ -3311,7 +3311,19 @@ object SparkEntry {
     // percentile machinery — never a global NTILE sort.
     "rfm_events" -> ((s, dir) =>
       Events.rfmSegments(t(s, dir, "events"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // ---- mutual-kNN clustering over embeddings ----------------------------
+    // Reciprocated top-3 cosine edges -> connected components: the
+    // graph-clustering view of the corpus (semantic topic grouping). The
+    // kNN generator is pluggable; brute force here keeps the oracle exact.
+    "knn_clusters_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") % 2 === 0)
+      Similarity.mutualKnnClusters(e,
+          Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3),
+          "vec_id")
+        .orderBy(col("vec_id"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -8392,6 +8404,46 @@ object SparkEntry {
         |SELECT user_id, recency_days, frequency, monetary_cents,
         |  r_score, f_score, m_score,
         |  r_score * 100 + f_score * 10 + m_score AS segment
-        |FROM sc ORDER BY user_id""".stripMargin
+        |FROM sc ORDER BY user_id""".stripMargin,
+
+    // exact brute-force kNN (same quantized cosine as ann_topk), mutual
+    // filter, recursive-reachability components (the CC oracle contract:
+    // describe components, not the algorithm)
+    "knn_clusters_embeddings" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+        |      AS v
+        |  FROM embeddings WHERE vec_id % 2 = 0),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v)
+        |        * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id),
+        |knn AS (
+        |  SELECT query_id, cand_id FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cs DESC, cand_id) AS rk
+        |    FROM pairs) WHERE rk <= 3),
+        |mut AS (
+        |  SELECT a.query_id AS id_a, a.cand_id AS id_b
+        |  FROM knn a JOIN knn b
+        |    ON b.query_id = a.cand_id AND b.cand_id = a.query_id
+        |  WHERE a.query_id < a.cand_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM mut
+        |  UNION SELECT id_b, id_a FROM mut),
+        |reach(a, b) AS (
+        |  SELECT vec_id, vec_id FROM embeddings WHERE vec_id % 2 = 0
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+        |cl AS (SELECT a AS vec_id, MIN(b) AS cluster_rep FROM reach
+        |  GROUP BY a),
+        |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM cl
+        |  GROUP BY cluster_rep)
+        |SELECT cl.vec_id, cl.cluster_rep, sz.cluster_size
+        |FROM cl JOIN sz USING (cluster_rep) ORDER BY cl.vec_id""".stripMargin
   )
 }

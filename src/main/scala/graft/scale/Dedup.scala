@@ -337,6 +337,16 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // Same loud-failure contract as connectedComponentsStar/kCore: a cap
+    // exit means labels may still be mid-propagation — one true component
+    // silently split across several reps (surfaced for real by a 425-node
+    // diameter-heavy mutual-kNN component that needed round 11 of 10).
+    // With pointer jumping the round count is O(log diameter), so the cap
+    // signals something structural, not slow data.
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters: no label fixpoint after $maxIters rounds — " +
+          "refusing to emit possibly-split cluster labels; raise maxIters")
     labels.select(col("node").as(idCol), col("lab").as("cluster_rep"))
   }
 

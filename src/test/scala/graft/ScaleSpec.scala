@@ -1709,6 +1709,25 @@ class ScaleSpec extends SparkSpec {
     assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("mutualKnnClusters: reciprocation filters the outlier") {
+    import spark.implicits._
+    // two tight direction clusters + an outlier whose top-2 point INTO
+    // cluster A without reciprocation -> it must stay a singleton
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.00)), (2L, Seq(1.0, 0.01)), (3L, Seq(1.0, 0.02)),
+      (4L, Seq(0.0, 1.0)), (5L, Seq(0.01, 1.0)),
+      (6L, Seq(1.0, 0.5))
+    ).toDF("vec_id", "embedding")
+    val knn = graft.scale.Similarity.bruteForceTopK(
+      vecs, vecs, "vec_id", "embedding", 2)
+    val got = graft.scale.Similarity.mutualKnnClusters(vecs, knn, "vec_id")
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L),
+      (6L, 6L, 1L)))
+  }
+
   test("rfmSegments: hand-computed quintile breakpoints and scores") {
     import spark.implicits._
     val day = 86400L
