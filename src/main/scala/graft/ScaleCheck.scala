@@ -505,6 +505,18 @@ object ScaleCheck {
           Similarity.ivfTopK(d, d, "vec_id", "embedding", 3, 100),
           "vec_id"),
         embeddings, "vec_id", Some("embedding")),
+      ("ab_test",
+        // one conditional hash-agg; |groups| rows out at any mass
+        (d: DataFrame) => graft.metrics.Metrics.welchTTest(
+          d.withColumn("side", col("user_id") % 2 === 0),
+          "value", "side", Seq("event_type")),
+        events, "user_id", None),
+      ("embedding_drift",
+        // one explode + (dim) hash-agg with map-side partials; d rows out
+        (d: DataFrame) => Similarity.embeddingDrift(
+          d.withColumn("side", col("vec_id") % 2 === 0),
+          "embedding", "side"),
+        embeddings, "vec_id", None),
       ("rfm",
         // id shift gives N× users; per-user hash-agg + three
         // distributed-selection breakpoint passes, all linear scans

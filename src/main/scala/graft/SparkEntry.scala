@@ -3323,7 +3323,26 @@ object SparkEntry {
           Similarity.bruteForceTopK(e, e, "vec_id", "embedding", 3),
           "vec_id")
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // ---- Welch two-sample t-test per event type ---------------------------
+    // Did the mean event value move between the even- and odd-user halves?
+    // Exact decimal moments in one conditional hash-agg; t and
+    // Welch-Satterthwaite dof as fixed-order doubles.
+    "ab_test_events" -> ((s, dir) =>
+      Metrics.welchTTest(t(s, dir, "events")
+          .withColumn("side", col("user_id") % 2 === 0),
+        "value", "side", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
+    // ---- embedding-space drift per dimension ------------------------------
+    // WHERE in the embedding space do the two corpus halves diverge? Exact
+    // quantized sums per (dim, side), mean shift per dimension.
+    "embedding_drift_embeddings" -> ((s, dir) =>
+      Similarity.embeddingDrift(t(s, dir, "embeddings")
+          .withColumn("side", col("vec_id") % 2 === 0),
+        "embedding", "side")
+        .orderBy(col("dim")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -8444,6 +8463,62 @@ object SparkEntry {
         |sz AS (SELECT cluster_rep, COUNT(*) AS cluster_size FROM cl
         |  GROUP BY cluster_rep)
         |SELECT cl.vec_id, cl.cluster_rep, sz.cluster_size
-        |FROM cl JOIN sz USING (cluster_rep) ORDER BY cl.vec_id""".stripMargin
+        |FROM cl JOIN sz USING (cluster_rep) ORDER BY cl.vec_id""".stripMargin,
+
+    "ab_test_events" ->
+      """WITH s AS (
+        |  SELECT event_type, (user_id % 2 = 0) AS side,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    COUNT(*) FILTER (NOT side) AS n_a,
+        |    COUNT(*) FILTER (side) AS n_b,
+        |    CAST(SUM(v) FILTER (NOT side) AS DOUBLE) AS sa,
+        |    CAST(SUM(v) FILTER (side) AS DOUBLE) AS sb,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+        |      AS DOUBLE) AS qa,
+        |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+        |      AS DOUBLE) AS qb
+        |  FROM s GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n_a, n_b, sa, sb, qa, qb,
+        |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+        |  FROM g),
+        |v AS (
+        |  SELECT *,
+        |    ((qa - sa * sa / na) / (na - 1.0)) / na AS sea,
+        |    ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS seb
+        |  FROM d)
+        |SELECT event_type, n_a, n_b,
+        |  ROUND(sa / na, 6) AS mean_a,
+        |  ROUND(sb / nb, 6) AS mean_b,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    ROUND((sa / na - sb / nb) / sqrt(sea + seb), 6) END AS t_stat,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN
+        |    ROUND((sea + seb) * (sea + seb) /
+        |      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
+        |    END AS dof
+        |FROM v ORDER BY event_type""".stripMargin,
+
+    "embedding_drift_embeddings" ->
+      """WITH q AS (
+        |  SELECT (vec_id % 2 = 0) AS s, i AS dim,
+        |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+        |      AS qv
+        |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+        |g AS (
+        |  SELECT CAST(dim AS BIGINT) AS dim,
+        |    COUNT(*) FILTER (NOT s) AS n_a,
+        |    COUNT(*) FILTER (s) AS n_b,
+        |    CAST(COALESCE(SUM(qv) FILTER (NOT s), 0) AS BIGINT) AS sum_a_q,
+        |    CAST(COALESCE(SUM(qv) FILTER (s), 0) AS BIGINT) AS sum_b_q
+        |  FROM q GROUP BY dim)
+        |SELECT dim, n_a, n_b, sum_a_q, sum_b_q,
+        |  ROUND(CAST(sum_a_q AS DOUBLE) / n_a, 6) AS mean_a_q,
+        |  ROUND(CAST(sum_b_q AS DOUBLE) / n_b, 6) AS mean_b_q,
+        |  ROUND(CAST(sum_b_q AS DOUBLE) / n_b
+        |    - CAST(sum_a_q AS DOUBLE) / n_a, 6) AS shift_q
+        |FROM g ORDER BY dim""".stripMargin
   )
 }

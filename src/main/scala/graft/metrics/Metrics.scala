@@ -572,6 +572,55 @@ object Metrics {
           .as("ks"))
   }
 
+  /** Per-group Welch two-sample t-test — the A/B significance panel: for
+    * each group, sample sizes, means, and the unequal-variance t statistic
+    * with its Welch–Satterthwaite degrees of freedom. The companion to
+    * [[ksDrift]] (KS asks "did the distribution move?", Welch asks "did
+    * the MEAN move, and is the gap larger than the noise?").
+    *
+    * Determinism: all moments come from exact DECIMAL sums in ONE
+    * conditional hash-aggregate (Σv and Σv² per side share the pass —
+    * the trial_stats convention); the t/dof formulas are fixed-order
+    * double expressions rounded to 6 decimals. Groups where either side
+    * has n < 2 emit NULL t/dof (no variance estimate exists).
+    *
+    * Scale: one map-side-combined hash-aggregate, |groups| output rows.
+    */
+  def welchTTest(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val dec = col(valCol).cast("decimal(18,2)")
+    val sq = (dec * dec).cast("decimal(38,4)")
+    val side = col(sideCol).cast("boolean")
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(side, 0L).otherwise(1L)).as("n_a"),
+      sum(when(side, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!side, dec)).cast("double").as("__sa"),
+      sum(when(side, dec)).cast("double").as("__sb"),
+      sum(when(!side, sq)).cast("double").as("__qa"),
+      sum(when(side, sq)).cast("double").as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val va = (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__qb") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val sea = va / na
+    val seb = vb / nb
+    g.withColumn("mean_a", round(col("__sa") / na, 6))
+      .withColumn("mean_b", round(col("__sb") / nb, 6))
+      .withColumn("t_stat",
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          round((col("__sa") / na - col("__sb") / nb) /
+            sqrt(sea + seb), 6)))
+      .withColumn("dof",
+        when(col("n_a") >= 2 && col("n_b") >= 2,
+          round((sea + seb) * (sea + seb) /
+            (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("t_stat"), col("dof"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

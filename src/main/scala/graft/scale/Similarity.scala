@@ -1196,6 +1196,38 @@ object Similarity {
       .select(col(idCol), col("cluster_rep"), col("cluster_size"))
   }
 
+  /** Embedding-space drift between two corpus sides (old vs new snapshot,
+    * model A vs model B): per dimension, exact quantized sums and counts
+    * for each side, the side means, and the mean shift — the ML-ops panel
+    * that localizes WHERE in the embedding space two corpora diverge
+    * (complementing [[graft.metrics.Metrics.ksDrift]], which scores one
+    * scalar distribution, and semDedup, which acts on individual pairs).
+    *
+    * Determinism: sums are exact longs over the ×1000-quantized values
+    * (the repo's vector convention); means and shift are single rounded
+    * divisions of exact integers. One explode → one (dim) hash-aggregate
+    * with map-side partials; d output rows at any corpus size.
+    */
+  def embeddingDrift(
+      df: DataFrame,
+      vecCol: String,
+      sideCol: String): DataFrame = {
+    val q = df.select(col(sideCol).cast("boolean").as("__s"),
+      posexplode(quantize(col(vecCol))).as(Seq("__p", "__q")))
+    q.groupBy((col("__p") + 1).as("dim"))
+      .agg(
+        sum(when(col("__s"), 0L).otherwise(1L)).as("n_a"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_b"),
+        sum(when(!col("__s"), col("__q")).otherwise(0L)).as("sum_a_q"),
+        sum(when(col("__s"), col("__q")).otherwise(0L)).as("sum_b_q"))
+      .select(col("dim").cast("long").as("dim"), col("n_a"), col("n_b"),
+        col("sum_a_q"), col("sum_b_q"),
+        round(col("sum_a_q").cast("double") / col("n_a"), 6).as("mean_a_q"),
+        round(col("sum_b_q").cast("double") / col("n_b"), 6).as("mean_b_q"),
+        round(col("sum_b_q").cast("double") / col("n_b") -
+          col("sum_a_q").cast("double") / col("n_a"), 6).as("shift_q"))
+  }
+
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = approx.select(col("query_id"), col("cand_id"))
       .join(exact.select(col("query_id"), col("cand_id"))

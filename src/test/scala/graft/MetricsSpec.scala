@@ -299,6 +299,27 @@ class MetricsSpec extends SparkSpec {
       z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
   }
 
+  test("welchTTest: hand-computed t and Welch-Satterthwaite dof") {
+    // group x: A={1,2,3} (mean 2, var 1), B={2,4,6} (mean 4, var 4)
+    // sea=1/3, seb=4/3 -> t = -2/sqrt(5/3) = -1.549193,
+    // dof = (5/3)^2 / ((1/9)/2 + (16/9)/2) = 450/153 = 2.941176
+    // group y: B side has n=1 -> t/dof NULL, means still emitted
+    val df = (Seq(1.0, 2.0, 3.0).map(v => ("x", false, v)) ++
+      Seq(2.0, 4.0, 6.0).map(v => ("x", true, v)) ++
+      Seq(("y", false, 5.0), ("y", false, 7.0), ("y", true, 9.0)))
+      .toDF("g", "side", "value")
+    val got = Metrics.welchTTest(df, "value", "side", Seq("g"))
+      .orderBy("g").collect()
+    val x = got(0)
+    assert(x.getAs[Long]("n_a") == 3L && x.getAs[Long]("n_b") == 3L)
+    assert(x.getAs[Double]("mean_a") == 2.0 && x.getAs[Double]("mean_b") == 4.0)
+    assert(x.getAs[Double]("t_stat") == -1.549193)
+    assert(x.getAs[Double]("dof") == 2.941176)
+    val y = got(1)
+    assert(y.getAs[Double]("mean_b") == 9.0)
+    assert(y.isNullAt(y.fieldIndex("t_stat")) && y.isNullAt(y.fieldIndex("dof")))
+  }
+
   test("tokenDrift: hand-computed 2x2 chi-square and tie order") {
     import graft.scale.TextAnalysis
     // side A: "x x y", side B: "y z z"

@@ -1709,6 +1709,20 @@ class ScaleSpec extends SparkSpec {
     assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("embeddingDrift: exact quantized per-dimension sums and shift") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, -2.0), false), (2L, Seq(2.0, 0.5), true)
+    ).toDF("vec_id", "embedding", "side")
+    val got = graft.scale.Similarity.embeddingDrift(df, "embedding", "side")
+      .orderBy("dim")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 1L, 1000L, 2000L, 1000.0, 2000.0, 1000.0),
+      (2L, 1L, 1L, -2000L, 500L, -2000.0, 500.0, 2500.0)))
+  }
+
   test("mutualKnnClusters: reciprocation filters the outlier") {
     import spark.implicits._
     // two tight direction clusters + an outlier whose top-2 point INTO
