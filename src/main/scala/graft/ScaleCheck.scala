@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.plans.Joins
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, Similarity, TextAnalysis}
+import graft.scale.{Baskets, Dedup, Events, Similarity, TextAnalysis}
 
 /** Scaling sanity harness: times the shuffle-heavy operators at 1× and N×
   * the sf0.1 corpus (N× = union with key-shifted copies, so dup/cluster
@@ -505,6 +505,24 @@ object ScaleCheck {
           Similarity.ivfTopK(d, d, "vec_id", "embedding", 3, 100),
           "vec_id"),
         embeddings, "vec_id", Some("embedding")),
+      ("basket_pairs",
+        // disjoint-replica re-keying (as kcore): items re-key per copy so
+        // baskets replicate instead of merging; pair mass = per-basket
+        // C(size,2), linear in transactions
+        (d: DataFrame) => {
+          val w = 10000000L
+          Baskets.frequentPairs(
+            d.select(col("l_orderkey").as("txn"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("item")),
+            "txn", "item", 2)
+        },
+        lineitem, "l_orderkey", None),
+      ("abc_analysis",
+        // unsalted: the item dictionary stays fixed, revenues sum N× —
+        // one corpus hash-agg + a dictionary-scale window
+        (d: DataFrame) => Baskets.abcAnalysis(
+          d, "l_partkey", "l_extendedprice"),
+        lineitem, "l_orderkey", None),
       ("ab_test",
         // one conditional hash-agg; |groups| rows out at any mass
         (d: DataFrame) => graft.metrics.Metrics.welchTTest(

@@ -8,7 +8,7 @@ import graft.io.{Readers, Tables}
 import graft.metrics.Metrics
 import graft.plans.{Joins, SerializeResplitRule}
 import graft.sample.Samplers
-import graft.scale.{Dedup, Events, Geo, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.scale.{Baskets, Dedup, Events, Geo, Graph, Multimodal, Similarity, TextAnalysis}
 import graft.serialize.Serialize
 import graft.tasks.Wrangler
 import graft.transform.TransformProgram
@@ -3342,7 +3342,25 @@ object SparkEntry {
       Similarity.embeddingDrift(t(s, dir, "embeddings")
           .withColumn("side", col("vec_id") % 2 === 0),
         "embedding", "side")
-        .orderBy(col("dim")))
+        .orderBy(col("dim"))),
+
+    // ---- market-basket frequent pairs (A-priori level 2) ------------------
+    // Part pairs co-ordered in >= 2 orders, with support and exact
+    // cross-multiplied lift; pair mass is per-basket C(size,2), never
+    // corpus^2.
+    "basket_pairs_lineitem" -> ((s, dir) =>
+      Baskets.frequentPairs(t(s, dir, "lineitem"),
+          "l_orderkey", "l_partkey", 2)
+        .orderBy(col("item_a"), col("item_b"))),
+
+    // ---- ABC / Pareto revenue classification ------------------------------
+    // Parts ranked by exact revenue cents; A while the cumulative share
+    // stays within 80%, B within 95%, C beyond — boundaries decided by
+    // integer cross-multiplication, never a float share.
+    "abc_analysis_lineitem" -> ((s, dir) =>
+      Baskets.abcAnalysis(t(s, dir, "lineitem"),
+          "l_partkey", "l_extendedprice")
+        .orderBy(col("rank")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -8519,6 +8537,48 @@ object SparkEntry {
         |  ROUND(CAST(sum_b_q AS DOUBLE) / n_b, 6) AS mean_b_q,
         |  ROUND(CAST(sum_b_q AS DOUBLE) / n_b
         |    - CAST(sum_a_q AS DOUBLE) / n_a, 6) AS shift_q
-        |FROM g ORDER BY dim""".stripMargin
+        |FROM g ORDER BY dim""".stripMargin,
+
+    "basket_pairs_lineitem" ->
+      """WITH ti AS (
+        |  SELECT DISTINCT l_orderkey AS txn, l_partkey AS item
+        |  FROM lineitem),
+        |n AS (SELECT COUNT(DISTINCT txn) AS nt FROM ti),
+        |ic AS (SELECT item, COUNT(*) AS cnt FROM ti GROUP BY item),
+        |p AS (
+        |  SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_ab
+        |  FROM ti a JOIN ti b ON a.txn = b.txn AND a.item < b.item
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  ia.cnt AS n_a, ib.cnt AS n_b,
+        |  ROUND(CAST(p.n_ab AS DOUBLE) / nt, 6) AS support,
+        |  ROUND(CAST(p.n_ab * nt AS DOUBLE)
+        |    / CAST(ia.cnt * ib.cnt AS DOUBLE), 6) AS lift
+        |FROM p JOIN ic ia ON ia.item = p.item_a
+        |JOIN ic ib ON ib.item = p.item_b, n
+        |ORDER BY item_a, item_b""".stripMargin,
+
+    "abc_analysis_lineitem" ->
+      """WITH rev AS (
+        |  SELECT l_partkey AS item,
+        |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT)) AS BIGINT) AS revenue_cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t FROM rev),
+        |r AS (
+        |  SELECT item, revenue_cents,
+        |    ROW_NUMBER() OVER
+        |      (ORDER BY revenue_cents DESC, item) AS rank,
+        |    CAST(SUM(revenue_cents) OVER
+        |      (ORDER BY revenue_cents DESC, item
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_cents
+        |  FROM rev)
+        |SELECT item, revenue_cents, rank, cum_cents,
+        |  ROUND(CAST(cum_cents AS DOUBLE) / t, 6) AS cum_share,
+        |  CASE WHEN cum_cents * 100 <= t * 80 THEN 'A'
+        |    WHEN cum_cents * 100 <= t * 95 THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM r, tot ORDER BY rank""".stripMargin
   )
 }

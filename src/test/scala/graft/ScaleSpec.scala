@@ -1709,6 +1709,39 @@ class ScaleSpec extends SparkSpec {
     assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("frequentPairs: hand-computed support and lift") {
+    import spark.implicits._
+    // t1{a,b,c} t2{a,b} t3{a,c} t4{d}; duplicate (t1,a) row exercises the
+    // distinct; minCount=2 keeps (a,b) and (a,c), drops (b,c)
+    val tx = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "c"),
+      (2L, "a"), (2L, "b"), (3L, "a"), (3L, "c"), (4L, "d"))
+      .toDF("txn", "item")
+    val got = graft.scale.Baskets.frequentPairs(tx, "txn", "item", 2)
+      .orderBy("item_a", "item_b")
+      .as[(String, String, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2L, 0.5, 1.333333),
+      ("a", "c", 2L, 3L, 2L, 0.5, 1.333333)))
+  }
+
+  test("abcAnalysis: integer-exact class boundaries") {
+    import spark.implicits._
+    // revenues 70/15/10/5 dollars: cum shares 0.70 (A), 0.85 (B),
+    // 0.95 (B — exact 95% boundary decided by integer cross-multiply),
+    // 1.00 (C)
+    val df = Seq(("a", 70.0), ("b", 15.0), ("c", 10.0), ("d", 5.0))
+      .toDF("item", "price")
+    val got = graft.scale.Baskets.abcAnalysis(df, "item", "price")
+      .orderBy("rank")
+      .as[(String, Long, Long, Long, Double, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 7000L, 1L, 7000L, 0.7, "A"),
+      ("b", 1500L, 2L, 8500L, 0.85, "B"),
+      ("c", 1000L, 3L, 9500L, 0.95, "B"),
+      ("d", 500L, 4L, 10000L, 1.0, "C")))
+  }
+
   test("embeddingDrift: exact quantized per-dimension sums and shift") {
     import spark.implicits._
     val df = Seq(
