@@ -3353,6 +3353,27 @@ object SparkEntry {
           "l_orderkey", "l_partkey", 2)
         .orderBy(col("item_a"), col("item_b"))),
 
+    // ---- STREAMING Welch A/B panel ----------------------------------------
+    // The six conditional decimal moments are associative sums — legal
+    // Complete-mode streaming state; the t/dof algebra runs over the
+    // drained |groups|-row state table. Oracle = the batch ab_test SQL
+    // (the state IS the batch aggregate, micro-batch-order-free).
+    "streaming_ab_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val moments = Metrics.welchMoments(
+        stream.withColumn("side", col("user_id") % 2 === 0),
+        "value", "side", Seq("event_type"))
+      val name = "stream_ab_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams
+        .runToMemory(s, moments, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.welchFromMoments(drained, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- ABC / Pareto revenue classification ------------------------------
     // Parts ranked by exact revenue cents; A while the cumulative share
     // stays within 80%, B within 95%, C beyond — boundaries decided by
@@ -3369,6 +3390,9 @@ object SparkEntry {
     // propagation CC — the oracle describes the RESULT (recursive
     // reachability), not the algorithm, so the SQL is shared verbatim
     m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
+      // the streaming panel's Complete-mode state IS the batch moment
+      // aggregate (associative sums, micro-batch-order-free) — same SQL
+      ("streaming_ab_events" -> m("ab_test_events")) +
       // unrolled to kCore's OWN maxRounds (20): kCore now throws if peeling
       // has not converged within that cap, so whenever the Spark side
       // returns at all, a 20-round replay is ≥ convergence depth and the

@@ -590,17 +590,37 @@ object Metrics {
       df: DataFrame,
       valCol: String,
       sideCol: String,
+      groupCols: Seq[String]): DataFrame =
+    welchFromMoments(
+      welchMoments(df, valCol, sideCol, groupCols), groupCols)
+
+  /** The conditional exact-decimal moment aggregate feeding
+    * [[welchFromMoments]] — split out because the six sums are
+    * associative/commutative, i.e. legal Structured Streaming
+    * Complete-mode state: a stream maintains THIS, and the t/dof algebra
+    * runs over the drained (|groups|-row) state table.
+    */
+  def welchMoments(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
       groupCols: Seq[String]): DataFrame = {
     val dec = col(valCol).cast("decimal(18,2)")
     val sq = (dec * dec).cast("decimal(38,4)")
     val side = col(sideCol).cast("boolean")
-    val g = df.groupBy(groupCols.map(col): _*).agg(
+    df.groupBy(groupCols.map(col): _*).agg(
       sum(when(side, 0L).otherwise(1L)).as("n_a"),
       sum(when(side, 1L).otherwise(0L)).as("n_b"),
       sum(when(!side, dec)).cast("double").as("__sa"),
       sum(when(side, dec)).cast("double").as("__sb"),
       sum(when(!side, sq)).cast("double").as("__qa"),
       sum(when(side, sq)).cast("double").as("__qb"))
+  }
+
+  /** Welch t/dof algebra over a [[welchMoments]] table. */
+  def welchFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val va = (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1.0)

@@ -175,6 +175,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.sum > 0, "anti-join dropped everything")
   }
 
+  test("streaming Welch A/B state equals the batch panel") {
+    val stream = SparkEntry.queries("streaming_ab_events")(spark, sf)
+      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+        $"t_stat", $"dof")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    import graft.io.Tables
+    val batch = graft.metrics.Metrics.welchTTest(
+        Tables.load(spark, sf, "events")
+          .withColumn("side", $"user_id" % 2 === 0),
+        "value", "side", Seq("event_type"))
+      .select($"event_type", $"n_a", $"n_b", $"mean_a", $"mean_b",
+        $"t_stat", $"dof")
+      .as[(String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSet
+    assert(stream === batch)
+  }
+
   test("cappedSessions closes on gap and on event cap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[SessionEvent]
