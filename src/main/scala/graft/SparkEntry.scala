@@ -1768,7 +1768,10 @@ object SparkEntry {
         .orderBy(col("fold"))),
 
     // ---- exact interpolated percentiles per group (sort-based agg) ---------
-    "percentiles_lineitem" -> ((s, dir) =>
+    // (renamed from percentiles_lineitem, which wave 2's
+    // distributed-selection query silently shadowed in the Map — a
+    // duplicate key keeps only the last entry)
+    "percentile_interp_lineitem" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -6470,7 +6473,7 @@ object SparkEntry {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM f GROUP BY fold ORDER BY fold""".stripMargin,
 
-    "percentiles_lineitem" ->
+    "percentile_interp_lineitem" ->
       """SELECT l_returnflag,
         |  ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
         |  ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
