@@ -496,4 +496,58 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(event_type"),
       s"expected one keyed exchange:\n$plan")
   }
+
+  test("editDistancePairs: no cartesian product; the short-pool fallback " +
+    "is the only nested-loop and it is broadcast") {
+    val part = Tables.load(spark, sf, "part")
+    val df = graft.scale.Dedup.editDistancePairs(
+      part, "p_partkey", "p_name", 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"edit-distance join must never go cartesian:\n$plan")
+    // the |S| <= q*tau degenerate pool may plan as a BroadcastNestedLoop
+    // (non-equi condition over a broadcast side) — anything else must not
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"only the short-pool fallback may nested-loop:\n$plan")
+  }
+
+  test("welchTTest: one conditional hash-aggregate, no join/window") {
+    val ev = Tables.load(spark, sf, "events")
+    val df = graft.metrics.Metrics.welchTTest(
+      ev.withColumn("side", col("user_id") % 2 === 0),
+      "value", "side", Seq("event_type"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"A/B moments must be agg-only:\n$plan")
+    assert(plan.contains("Exchange hashpartitioning(event_type"),
+      s"expected one keyed exchange:\n$plan")
+  }
+
+  test("rfmSegments: breakpoints ride broadcast exchanges, never a " +
+    "user-mass sort") {
+    val ev = Tables.load(spark, sf, "events")
+    val df = graft.scale.Events.rfmSegments(ev)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"breakpoint rows must broadcast:\n$plan")
+    assert(!plan.contains("GlobalLimit") || !plan.contains("Sort global=true"),
+      s"no global user sort expected:\n$plan")
+  }
+
+  test("frequentPairs: pair generation is an equi-join on the txn key, " +
+    "never cartesian") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val df = graft.scale.Baskets.frequentPairs(
+      li, "l_orderkey", "l_partkey", 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"basket pairs must never go cartesian:\n$plan")
+    // the 1-row transaction-total broadcast plans as one BNLJ Cross —
+    // scalar plumbing, not pair mass; the pair join itself must be an
+    // equi hash join
+    assert(plan.sliding("BroadcastNestedLoopJoin".length)
+      .count(_ == "BroadcastNestedLoopJoin") <= 1,
+      s"only the scalar total may nested-loop:\n$plan")
+  }
 }
