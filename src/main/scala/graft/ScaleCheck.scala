@@ -523,6 +523,15 @@ object ScaleCheck {
         (d: DataFrame) => Baskets.abcAnalysis(
           d, "l_partkey", "l_extendedprice"),
         lineitem, "l_orderkey", None),
+      ("heaps_law",
+        // unsalted (shared vocabulary): token mass scales N×, the
+        // first-occurrence table stays vocabulary-bounded
+        (d: DataFrame) => TextAnalysis.heapsLaw(d, "doc_id", "text", 50),
+        docs, "doc_id", None),
+      ("user_entropy",
+        // id shift gives N× users; two hash-aggs, user-mass output
+        (d: DataFrame) => Events.userEntropy(d),
+        events, "user_id", None),
       ("ab_test",
         // one conditional hash-agg; |groups| rows out at any mass
         (d: DataFrame) => graft.metrics.Metrics.welchTTest(

@@ -3384,7 +3384,34 @@ object SparkEntry {
     "abc_analysis_lineitem" -> ((s, dir) =>
       Baskets.abcAnalysis(t(s, dir, "lineitem"),
           "l_partkey", "l_extendedprice")
-        .orderBy(col("rank")))
+        .orderBy(col("rank"))),
+
+    // ---- language-ID confusion matrix (prediction quality panel) ----------
+    // The n-gram lang-ID's predictions vs the labeled lang column: per
+    // (true, predicted) cell count + within-class recall share.
+    "langid_confusion_docs" -> ((s, dir) => {
+      val p = TextAnalysis.languageId(t(s, dir, "documents"), "text")
+      val m = p.groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+      m.join(tot, Seq("lang"))
+        .select(col("lang"), col("pred_lang"), col("n"),
+          round(col("n").cast("double") / col("__t"), 6)
+            .as("recall_share"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // ---- Heaps'-law vocabulary-growth curve --------------------------------
+    // Cumulative distinct types vs cumulative tokens over doc-order
+    // buckets — the dedup-health / tokenizer-budget curve.
+    "heaps_law_docs" -> ((s, dir) =>
+      TextAnalysis.heapsLaw(t(s, dir, "documents"), "doc_id", "text", 50)
+        .orderBy(col("bucket"))),
+
+    // ---- per-user behavioral entropy ---------------------------------------
+    "user_entropy_events" -> ((s, dir) =>
+      Events.userEntropy(t(s, dir, "events"))
+        .orderBy(col("user_id")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -8606,6 +8633,78 @@ object SparkEntry {
         |  CASE WHEN cum_cents * 100 <= t * 80 THEN 'A'
         |    WHEN cum_cents * 100 <= t * 95 THEN 'B'
         |    ELSE 'C' END AS abc_class
-        |FROM r, tot ORDER BY rank""".stripMargin
+        |FROM r, tot ORDER BY rank""".stripMargin,
+
+    // the lang_id_docs prediction CTE, aggregated to the confusion matrix
+    "langid_confusion_docs" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(t, x -> x IN ('the','a','and','of','order','fast','small'))) AS s_en,
+        |    len(list_filter(t, x -> x IN ('el','la','los','de','que','por'))) AS s_es,
+        |    len(list_filter(t, x -> x IN ('der','die','das','und','nicht'))) AS s_de,
+        |    len(list_filter(t, x -> x IN ('le','la','les','et','que','pour'))) AS s_fr,
+        |    len(list_filter(t, x -> x IN ('de5','shi4','bu4'))) AS s_zh
+        |  FROM q),
+        |g AS (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS gmax FROM sc),
+        |p AS (
+        |  SELECT lang,
+        |    CASE WHEN gmax = 0 THEN 'unknown'
+        |      WHEN s_zh = gmax THEN 'zh'
+        |      WHEN s_fr = gmax THEN 'fr'
+        |      WHEN s_es = gmax THEN 'es'
+        |      WHEN s_en = gmax THEN 'en'
+        |      ELSE 'de' END AS pred_lang
+        |  FROM g),
+        |m AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        |tt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS t FROM m GROUP BY lang)
+        |SELECT m.lang, m.pred_lang, m.n,
+        |  ROUND(CAST(m.n AS DOUBLE) / tt.t, 6) AS recall_share
+        |FROM m JOIN tt ON tt.lang = m.lang
+        |ORDER BY m.lang, m.pred_lang""".stripMargin,
+
+    "heaps_law_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, unnest(t) AS token FROM toks),
+        |pb AS (
+        |  SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS ntok,
+        |    COUNT(DISTINCT doc_id) AS n_docs
+        |  FROM occ GROUP BY 1),
+        |ft AS (
+        |  SELECT token, MIN(doc_id) // 50 AS fb FROM occ GROUP BY token),
+        |nv AS (SELECT fb AS bucket, CAST(COUNT(*) AS BIGINT) AS vnew
+        |  FROM ft GROUP BY fb)
+        |SELECT pb.bucket, pb.n_docs,
+        |  CAST(SUM(pb.ntok) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tokens_cum,
+        |  CAST(SUM(COALESCE(nv.vnew, 0)) OVER (ORDER BY pb.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_cum
+        |FROM pb LEFT JOIN nv ON nv.bucket = pb.bucket
+        |ORDER BY pb.bucket""".stripMargin,
+
+    "user_entropy_events" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_events,
+        |    COUNT(*) AS n_types,
+        |    SUM(CAST(c AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS clnc
+        |  FROM c GROUP BY user_id)
+        |SELECT user_id, n_events, n_types,
+        |  ROUND(LN(CAST(n_events AS DOUBLE))
+        |    - clnc / CAST(n_events AS DOUBLE), 6) AS entropy
+        |FROM u ORDER BY user_id""".stripMargin
   )
 }

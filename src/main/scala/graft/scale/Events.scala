@@ -431,6 +431,27 @@ object Events {
           greatest(col("l_s"), col("r_s"))).as("overlap_units"))
   }
 
+  /** Per-user behavioral entropy: Shannon entropy of each user's
+    * event-type distribution — the diversity feature behind bot/engagement
+    * scoring (a one-action bot scores 0; a uniform k-type user scores
+    * ln k). Computed as ln(n) − (Σ c·ln c)/n from EXACT integer type
+    * counts, so the only float freedom is the ≤ |types| per-user
+    * summation order, absorbed by the repo's 6-decimal rounding contract.
+    * Two hash-aggregates ((user, type) then user), user-mass output.
+    */
+  def userEntropy(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("__c")).as("n_events"),
+        count(lit(1)).as("n_types"),
+        sum(col("__c").cast("double") * log(col("__c").cast("double")))
+          .as("__clnc"))
+      .select(col("user_id"), col("n_events"), col("n_types"),
+        round(log(col("n_events").cast("double")) -
+          col("__clnc") / col("n_events").cast("double"), 6)
+          .as("entropy"))
+
   /** RFM segmentation — the classic user-value decomposition: per user,
     * Recency (whole days since their last event, vs the corpus's last
     * event), Frequency (event count), Monetary (exact value cents), each

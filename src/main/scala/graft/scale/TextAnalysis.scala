@@ -402,6 +402,43 @@ object TextAnalysis {
     * TakeOrderedAndProject (driver-bounded at R rows); the regression
     * runs on R rows. No global sort, no wide window.
     */
+  /** Heaps'-law vocabulary-growth curve: cumulative distinct-type count
+    * vs cumulative token count over the corpus in document order (doc-id
+    * buckets of `bucketDocs`). THE corpus-health curve behind tokenizer
+    * budgeting and dedup QA — a deduplicated corpus grows vocabulary along
+    * V ≈ k·N^β (β ≈ 0.5); a duplicate-heavy one flattens early.
+    *
+    * Exactness: "new types in bucket b" = tokens whose FIRST occurrence
+    * (min doc id, then integer-div bucket) lands in b — one (token)
+    * hash-aggregate; token mass per bucket is a second aggregate over the
+    * same explode. Cumulative sums run over the BUCKET table
+    * (corpus/bucketDocs rows, dictionary-scale window). All exact longs.
+    */
+  def heapsLaw(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketDocs: Int = 50): DataFrame = {
+    val tok = df.select(col(idCol).as("__id"),
+      explode(tokens(col(textCol))).as("token"))
+      .localCheckpoint(true)
+    val perBucket = tok
+      .groupBy(expr(s"__id DIV $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("__ntok"),
+        countDistinct(col("__id")).as("__ndoc"))
+    val newTypes = tok.groupBy(col("token"))
+      .agg(min(col("__id")).as("__first"))
+      .groupBy(expr(s"__first DIV $bucketDocs").as("bucket"))
+      .agg(count(lit(1)).as("__vnew"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("__vn", coalesce(col("__vnew"), lit(0L)))
+      .select(col("bucket"), col("__ndoc").as("n_docs"),
+        sum(col("__ntok")).over(w).as("tokens_cum"),
+        sum(col("__vn")).over(w).as("vocab_cum"))
+  }
+
   def zipfFit(df: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
     val top = df.select(explode(tokens(col(textCol))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))

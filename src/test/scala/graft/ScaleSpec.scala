@@ -1709,6 +1709,30 @@ class ScaleSpec extends SparkSpec {
     assert(g2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("heapsLaw: first-occurrence vocabulary accounting per bucket") {
+    import spark.implicits._
+    // bucketDocs=2: bucket 0 = docs {0,1}, bucket 1 = doc {2};
+    // types a,b,c first appear in bucket 0, d in bucket 1
+    val df = Seq((0L, "a b"), (1L, "a c"), (2L, "b d d"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.heapsLaw(df, "doc_id", "text", 2)
+      .orderBy("bucket").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 2L, 4L, 3L), (1L, 1L, 7L, 4L)))
+  }
+
+  test("userEntropy: ln-exact uniform and degenerate cases") {
+    import spark.implicits._
+    // user 1: {a:2, b:2} -> ln(4) - (4 ln 2)/4 = ln 2; user 2: one type -> 0
+    val ev = Seq((1L, "a"), (1L, "a"), (1L, "b"), (1L, "b"),
+      (2L, "a"), (2L, "a"), (2L, "a")).toDF("user_id", "event_type")
+    val got = Events.userEntropy(ev).orderBy("user_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 2L, BigDecimal(math.log(2)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble),
+      (2L, 3L, 1L, 0.0)))
+  }
+
   test("frequentPairs: hand-computed support and lift") {
     import spark.implicits._
     // t1{a,b,c} t2{a,b} t3{a,c} t4{d}; duplicate (t1,a) row exercises the
