@@ -532,6 +532,17 @@ object ScaleCheck {
         // id shift gives N× users; two hash-aggs, user-mass output
         (d: DataFrame) => Events.userEntropy(d),
         events, "user_id", None),
+      ("proportion_test",
+        // one per-user hash-agg then one per-arm conditional hash-agg
+        (d: DataFrame) => graft.metrics.Metrics.proportionZTest(
+          d.groupBy(col("user_id"))
+            .agg(max(when(col("event_type") === "purchase" &&
+              col("value") >= 150.0, 1L).otherwise(0L)).as("__s"))
+            .select((col("user_id") % 3).as("arm"),
+              (col("user_id") % 2 === 0).as("side"),
+              (col("__s") === 1L).as("success")),
+          "success", "side", Seq("arm")),
+        events, "user_id", None),
       ("ab_test",
         // one conditional hash-agg; |groups| rows out at any mass
         (d: DataFrame) => graft.metrics.Metrics.welchTTest(

@@ -3411,7 +3411,33 @@ object SparkEntry {
     // ---- per-user behavioral entropy ---------------------------------------
     "user_entropy_events" -> ((s, dir) =>
       Events.userEntropy(t(s, dir, "events"))
-        .orderBy(col("user_id")))
+        .orderBy(col("user_id"))),
+
+    // ---- stratified Kaplan-Meier (one curve per assignment arm) -----------
+    // Cohort = the user's assignment arm (user_id mod 3; the corpus's
+    // acquisition weeks are degenerate — every user starts on day 0, so
+    // an arm stratifier is the honest spread); windows partition by
+    // cohort so strata never interleave.
+    "kaplan_meier_cohort_events" -> ((s, dir) =>
+      Events.kaplanMeier(t(s, dir, "events"),
+          col("event_type") === "purchase" && col("value") >= 150.0,
+          Some(col("user_id") % 3))
+        .orderBy(col("cohort"), col("dur"))),
+
+    // ---- two-proportion z-test per arm (conversion-rate A/B) --------------
+    // Unit = user, success = any purchase >= 150, side = even/odd user,
+    // stratified by arm — the proportions half of the A/B panel
+    // (ab_test_events covers means).
+    "proportion_test_events" -> ((s, dir) => {
+      val units = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 150.0, 1L).otherwise(0L)).as("__s"))
+        .select((col("user_id") % 3).as("arm"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("__s") === 1L).as("success"))
+      Metrics.proportionZTest(units, "success", "side", Seq("arm"))
+        .orderBy(col("arm"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -8705,6 +8731,82 @@ object SparkEntry {
         |SELECT user_id, n_events, n_types,
         |  ROUND(LN(CAST(n_events AS DOUBLE))
         |    - clnc / CAST(n_events AS DOUBLE), 6) AS entropy
-        |FROM u ORDER BY user_id""".stripMargin
+        |FROM u ORDER BY user_id""".stripMargin,
+
+    "kaplan_meier_cohort_events" ->
+      """WITH sec AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 1000000 AS s
+        |  FROM events),
+        |pu AS (
+        |  SELECT user_id, MIN(s) AS f, MAX(s) AS l,
+        |    user_id % 3 AS cohort,
+        |    MIN(CASE WHEN event_type = 'purchase' AND value >= 150
+        |      THEN s END) AS c
+        |  FROM sec GROUP BY user_id),
+        |u AS (
+        |  SELECT cohort,
+        |    CASE WHEN c IS NOT NULL THEN (c - f) // 86400
+        |      ELSE (l - f) // 86400 END AS dur,
+        |    (c IS NOT NULL) AS ev
+        |  FROM pu),
+        |bd AS (
+        |  SELECT cohort, dur, COUNT(*) FILTER (ev) AS n_event,
+        |    COUNT(*) FILTER (NOT ev) AS n_censored
+        |  FROM u GROUP BY cohort, dur),
+        |tot AS (SELECT cohort, COUNT(*) AS n FROM u GROUP BY cohort),
+        |r AS (
+        |  SELECT bd.cohort, dur, n_event, n_censored,
+        |    CAST(n - COALESCE(SUM(n_event + n_censored) OVER
+        |      (PARTITION BY bd.cohort ORDER BY dur
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM bd JOIN tot ON tot.cohort = bd.cohort),
+        |sv AS (
+        |  SELECT cohort, dur, n_risk, n_event, n_censored,
+        |    SUM(CASE WHEN n_event < n_risk THEN
+        |        LN(CAST(n_risk - n_event AS DOUBLE) /
+        |          CAST(n_risk AS DOUBLE))
+        |      ELSE 0.0 END) OVER
+        |      (PARTITION BY cohort ORDER BY dur
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum
+        |  FROM r)
+        |SELECT cohort, dur, n_risk, n_event, n_censored,
+        |  CASE WHEN n_event = n_risk THEN 0.0
+        |    ELSE ROUND(EXP(lnsum), 6) END AS survival
+        |FROM sv ORDER BY cohort, dur""".stripMargin,
+
+    "proportion_test_events" ->
+      """WITH sec AS (
+        |  SELECT user_id, event_type, value,
+        |    epoch_us(ts) // 1000000 AS s
+        |  FROM events),
+        |u AS (
+        |  SELECT user_id, user_id % 3 AS arm,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 150
+        |      THEN 1 ELSE 0 END) AS sc
+        |  FROM sec GROUP BY user_id),
+        |g AS (
+        |  SELECT arm,
+        |    COUNT(*) FILTER (user_id % 2 <> 0) AS n_a,
+        |    COUNT(*) FILTER (user_id % 2 = 0) AS n_b,
+        |    COUNT(*) FILTER (user_id % 2 <> 0 AND sc = 1) AS k_a,
+        |    COUNT(*) FILTER (user_id % 2 = 0 AND sc = 1) AS k_b
+        |  FROM u GROUP BY arm),
+        |d AS (
+        |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+        |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+        |    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+        |    CAST(k_a + k_b AS DOUBLE) /
+        |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+        |  FROM g),
+        |v AS (
+        |  SELECT *, pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) AS vv FROM d)
+        |SELECT arm, n_a, n_b, k_a, k_b,
+        |  CASE WHEN n_a >= 1 THEN ROUND(pa, 6) END AS p_a,
+        |  CASE WHEN n_b >= 1 THEN ROUND(pb, 6) END AS p_b,
+        |  CASE WHEN n_a >= 1 AND n_b >= 1 AND vv > 0.0
+        |    THEN ROUND((pa - pb) / sqrt(vv), 6) END AS z
+        |FROM v ORDER BY arm""".stripMargin
   )
 }

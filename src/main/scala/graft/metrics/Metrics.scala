@@ -641,6 +641,46 @@ object Metrics {
         col("mean_a"), col("mean_b"), col("t_stat"), col("dof"))): _*)
   }
 
+  /** Two-proportion z-test per group — the conversion-rate half of the
+    * A/B panel ([[welchTTest]] covers means): for each group, the share
+    * of side-A vs side-B UNITS satisfying the success predicate, and the
+    * pooled-variance z statistic
+    *   z = (p_a − p_b) / √(p̂(1−p̂)(1/n_a + 1/n_b)),  p̂ pooled.
+    * `df` must be one row per (unit, group) with a boolean success column
+    * — the caller aggregates to units first (e.g. "user converted in this
+    * group") so n counts units, not events.
+    *
+    * All counts exact longs from one conditional hash-aggregate; z is a
+    * fixed-order double rounded to 6; NULL when either side is empty or
+    * the pooled variance is 0 (all-success/all-failure).
+    */
+  def proportionZTest(
+      df: DataFrame,
+      successCol: String,
+      sideCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    val succ = col(successCol).cast("boolean")
+    val g = df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(side, 0L).otherwise(1L)).as("n_a"),
+      sum(when(side, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!side && succ, 1L).otherwise(0L)).as("k_a"),
+      sum(when(side && succ, 1L).otherwise(0L)).as("k_b"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / na
+    val pb = col("k_b").cast("double") / nb
+    val pp = (col("k_a") + col("k_b")).cast("double") / (na + nb)
+    val vv = pp * (lit(1.0) - pp) * (lit(1.0) / na + lit(1.0) / nb)
+    g.withColumn("p_a", when(col("n_a") >= 1, round(pa, 6)))
+      .withColumn("p_b", when(col("n_b") >= 1, round(pb, 6)))
+      .withColumn("z",
+        when(col("n_a") >= 1 && col("n_b") >= 1 && vv > 0.0,
+          round((pa - pb) / sqrt(vv), 6)))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("k_a"), col("k_b"), col("p_a"), col("p_b"), col("z"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

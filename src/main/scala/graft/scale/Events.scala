@@ -537,27 +537,34 @@ object Events {
     * shares the pass), then everything is distinct-duration-scale. Linear
     * at any corpus.
     */
-  def kaplanMeier(events: DataFrame, eventPred: Column): DataFrame = {
+  def kaplanMeier(
+      events: DataFrame,
+      eventPred: Column,
+      cohort: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sec = epochSeconds(events)
+    // cohort is any per-event expression whose per-user MIN defines the
+    // user's stratum (e.g. week of first event) — one curve per cohort,
+    // windows partitioned so the per-stratum products never interleave
     val perUser = events.groupBy(col("user_id"))
       .agg(min(sec).as("__first"), max(sec).as("__last"),
-        min(when(eventPred, sec)).as("__conv"))
+        min(when(eventPred, sec)).as("__conv"),
+        min(cohort.getOrElse(lit(0L))).as("cohort"))
     val users = perUser
-      .select(
+      .select(col("cohort"),
         when(col("__conv").isNotNull,
           expr("(__conv - __first) DIV 86400"))
           .otherwise(expr("(__last - __first) DIV 86400")).as("dur"),
         col("__conv").isNotNull.as("__ev"))
-    val byDur = users.groupBy(col("dur"))
+    val byDur = users.groupBy(col("cohort"), col("dur"))
       .agg(sum(when(col("__ev"), 1L).otherwise(0L)).as("n_event"),
         sum(when(col("__ev"), 0L).otherwise(1L)).as("n_censored"))
-    val tot = users.agg(count(lit(1)).as("__n"))
-    val wprev = Window.orderBy(col("dur"))
+    val tot = users.groupBy(col("cohort")).agg(count(lit(1)).as("__n"))
+    val wprev = Window.partitionBy(col("cohort")).orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wcum = Window.orderBy(col("dur"))
+    val wcum = Window.partitionBy(col("cohort")).orderBy(col("dur"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byDur.crossJoin(broadcast(tot))
+    val curve = byDur.join(broadcast(tot), Seq("cohort"))
       .withColumn("n_risk", col("__n") -
         coalesce(sum(col("n_event") + col("n_censored")).over(wprev),
           lit(0L)))
@@ -568,7 +575,11 @@ object Events {
       .withColumn("survival",
         when(col("n_event") === col("n_risk"), lit(0.0))
           .otherwise(round(exp(sum(col("__lnf")).over(wcum)), 6)))
-      .select(col("dur"), col("n_risk"), col("n_event"),
+    if (cohort.isDefined)
+      curve.select(col("cohort"), col("dur"), col("n_risk"),
+        col("n_event"), col("n_censored"), col("survival"))
+    else
+      curve.select(col("dur"), col("n_risk"), col("n_event"),
         col("n_censored"), col("survival"))
   }
 }

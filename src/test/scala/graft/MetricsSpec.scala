@@ -320,6 +320,23 @@ class MetricsSpec extends SparkSpec {
     assert(y.isNullAt(y.fieldIndex("t_stat")) && y.isNullAt(y.fieldIndex("dof")))
   }
 
+  test("proportionZTest: hand-computed pooled z and degenerate NULL") {
+    // group g: A 2/4 vs B 1/4 -> pooled 3/8, vv = .375*.625*.5,
+    // z = 0.25/sqrt(vv) = 0.730297; group h: all success -> vv 0 -> NULL z
+    val df = (Seq(true, true, false, false).map(s => ("g", false, s)) ++
+      Seq(true, false, false, false).map(s => ("g", true, s)) ++
+      Seq(("h", false, true), ("h", true, true)))
+      .toDF("grp", "side", "success")
+    val got = Metrics.proportionZTest(df, "success", "side", Seq("grp"))
+      .orderBy("grp").collect()
+    val g = got(0)
+    assert(g.getAs[Long]("n_a") == 4L && g.getAs[Long]("k_a") == 2L)
+    assert(g.getAs[Double]("p_a") == 0.5 && g.getAs[Double]("p_b") == 0.25)
+    assert(g.getAs[Double]("z") == 0.730297)
+    val h = got(1)
+    assert(h.getAs[Double]("p_a") == 1.0 && h.isNullAt(h.fieldIndex("z")))
+  }
+
   test("tokenDrift: hand-computed 2x2 chi-square and tie order") {
     import graft.scale.TextAnalysis
     // side A: "x x y", side B: "y z z"

@@ -1699,6 +1699,15 @@ class ScaleSpec extends SparkSpec {
       (0L, 4L, 1L, 0L, 0.75),
       (2L, 3L, 2L, 0L, 0.25),
       (4L, 1L, 0L, 1L, 0.25)))
+    // stratified: arms {1,2} vs {3,4} get independent curves
+    val strat = Events.kaplanMeier(ev, col("event_type") === "buy",
+        Some(when(col("user_id") <= 2, 0L).otherwise(1L)))
+      .orderBy("cohort", "dur")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(strat == Seq(
+      (0L, 2L, 2L, 1L, 0L, 0.5), (0L, 4L, 1L, 0L, 1L, 0.5),
+      (1L, 0L, 2L, 1L, 0L, 0.5), (1L, 2L, 1L, 1L, 0L, 0.0)))
+
     // all-convert final row: the zero factor is pinned, not ln(0)'d
     val all = Seq((1L, base, "buy"), (2L, base, "view"),
       (2L, base + day, "buy"))
