@@ -26,6 +26,21 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Map builder that REFUSES duplicate keys. A `Map(...)` literal silently
+    * keeps the LAST binding on key collision — which really happened: a
+    * reused "percentiles_lineitem" key shadowed the interpolated-percentile
+    * query out of the oracle gate for part of a round, and the gate cannot
+    * see a query that vanished from the map. Collisions fail loudly at
+    * first registry access instead (every Verify/Bench/spec run hits this).
+    */
+  private[graft] def distinctKeys[V](what: String, pairs: Seq[(String, V)])
+      : Map[String, V] = {
+    val dups = pairs.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"duplicate $what keys (silent shadowing): ${dups.toSeq.sorted.mkString(", ")}")
+    pairs.toMap
+  }
+
   /** Money-safe exact sum: cast to decimal, sum exactly, emit double. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(18,2)")).cast("double")
@@ -85,7 +100,8 @@ object SparkEntry {
       s"((((x >> $i) & 1) << ${2 * i}) | (((y >> $i) & 1) << ${2 * i + 1}))")
       .mkString(" | ")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    distinctKeys("queries", Seq(
     // ---- flagship scan+agg+sort -------------------------------------------
     "q1_pricing_summary" -> ((s, dir) => pricingSummary(s, dir)),
 
@@ -2875,6 +2891,57 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
     }),
 
+    // ---- multi-source BFS hop distance on the trade graph ------------------
+    // How many trade hops separate every node from the every-50th-supplier
+    // seed set (the PPR query's seeds) — frontier BFS, min-hop semantics,
+    // expansion capped at 4 rounds BY CONTRACT (the oracle replays the
+    // same fixed depth; an early empty-frontier exit cannot change it).
+    "bfs_hops_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + 10000000L).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val seeds = pairs.select(col("sk").as("node"))
+        .filter(col("node") % 50 === 0).distinct()
+      Graph.bfsHops(edges, seeds, 4)
+        .select(
+          when(col("node") >= 10000000L, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          when(col("node") >= 10000000L, col("node") - 10000000L)
+            .otherwise(col("node")).as("node_id"),
+          col("hops"))
+        .orderBy(col("node_type"), col("node_id"))
+    }),
+
+    // ---- modularity of the nation partition on the trade graph -------------
+    // Is trade assortative by nation? Newman modularity of the
+    // nation-of-endpoint partition over the supplier↔customer graph —
+    // per-community in-edge mass vs the degree-preserving random
+    // expectation ([[Graph.modularity]]; Q = SUM(q_contrib)).
+    "modularity_trade_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + 10000000L).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      val comm = t(s, dir, "supplier")
+        .select(col("s_suppkey").cast("long").as("node"),
+          col("s_nationkey").cast("long").as("community"))
+        .unionByName(t(s, dir, "customer")
+          .select((col("c_custkey") + 10000000L).as("node"),
+            col("c_nationkey").cast("long").as("community")))
+      Graph.modularity(edges, comm).orderBy(col("community"))
+    }),
+
     // ---- graph: degree-ordered triangle counting ---------------------------
     // Co-purchase graph: parts joined by appearing in the same order with
     // high quantity (l_quantity >= 35 keeps the graph sparse — a raw
@@ -3129,11 +3196,11 @@ object SparkEntry {
       val state = graft.streaming.Streams.runToMemory(s, counts, name,
         org.apache.spark.sql.streaming.OutputMode.Complete())
       val tot = state.agg(sum(col("n")).as("__tot"))
-      state.crossJoin(broadcast(tot))
-        .orderBy(col("n").desc, col("user_id"))
-        .limit(20)
-        .withColumn("rk", row_number().over(
-          Window.orderBy(col("n").desc, col("user_id"))))
+      graft.core.Bounded.withRank(
+          state.crossJoin(broadcast(tot))
+            .orderBy(col("n").desc, col("user_id"))
+            .limit(20),
+          Seq("n" -> true, "user_id" -> false), "rk")
         .select(col("rk"), col("user_id"), col("n"),
           round(col("n").cast("double") / col("__tot"), 6).as("share"))
     }),
@@ -3437,31 +3504,109 @@ object SparkEntry {
           (col("__s") === 1L).as("success"))
       Metrics.proportionZTest(units, "success", "side", Seq("arm"))
         .orderBy(col("arm"))
+    }),
+
+    // ---- STREAMING two-proportion panel ------------------------------------
+    // Event-level twin of the proportions test (chained user-level
+    // aggregation is not legal streaming state): the four conditional
+    // count moments are associative sums — Complete-mode state — and the
+    // z algebra runs over the drained |arms|-row table. Unit = event,
+    // success = qualifying purchase, side = even/odd user, group = arm.
+    "streaming_proportion_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val units = stream.select((col("user_id") % 3).as("arm"),
+        (col("user_id") % 2 === 0).as("side"),
+        (col("event_type") === "purchase" && col("value") >= 150.0)
+          .as("success"))
+      val moments =
+        Metrics.proportionMoments(units, "success", "side", Seq("arm"))
+      val name = "stream_prop_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.proportionFromMoments(drained, Seq("arm"))
+        .orderBy(col("arm"))
+    }),
+
+    // ---- STREAMING per-dimension embedding drift ---------------------------
+    // The drift panel's third streaming twin (after Welch and the
+    // proportions test): a stateless posexplode feeds one per-dim
+    // conditional-sum aggregate — Complete-mode state, d rows — and the
+    // mean/shift algebra runs over the drained table. Oracle = the batch
+    // embedding_drift SQL verbatim (state IS the batch aggregate).
+    "streaming_embedding_drift_embeddings" -> ((s, dir) => {
+      val batch = t(s, dir, "embeddings")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/embeddings*.parquet")
+      val moments = Similarity.embeddingDriftMoments(
+        stream.withColumn("side", col("vec_id") % 2 === 0),
+        "embedding", "side")
+      val name = "stream_edrift_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Similarity.embeddingDriftFromMoments(drained)
+        .orderBy(col("dim"))
     })
-  )
+  ))
 
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
     // the star-contraction CC produces the same components as the
     // propagation CC — the oracle describes the RESULT (recursive
     // reachability), not the algorithm, so the SQL is shared verbatim
-    m + ("dup_clusters_star_docs" -> m("dup_clusters_docs")) +
+    distinctKeys("oracleSql", m.toSeq ++ Seq(
+      ("dup_clusters_star_docs" -> m("dup_clusters_docs")),
       // the streaming panel's Complete-mode state IS the batch moment
       // aggregate (associative sums, micro-batch-order-free) — same SQL
-      ("streaming_ab_events" -> m("ab_test_events")) +
+      ("streaming_ab_events" -> m("ab_test_events")),
+      ("streaming_embedding_drift_embeddings" ->
+        m("embedding_drift_embeddings")),
+      // event-level proportions twin — no user-level pre-aggregation
+      // (chained streaming aggs are illegal), so its oracle is its own
+      ("streaming_proportion_events" ->
+        """WITH u AS (
+          |  SELECT user_id % 3 AS arm,
+          |    (user_id % 2 = 0) AS side,
+          |    (event_type = 'purchase' AND value >= 150.0) AS success
+          |  FROM events),
+          |g AS (
+          |  SELECT arm,
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    COUNT(*) FILTER (NOT side AND success) AS k_a,
+          |    COUNT(*) FILTER (side AND success) AS k_b
+          |  FROM u GROUP BY arm),
+          |d AS (
+          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+          |    CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+          |    CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+          |    CAST(k_a + k_b AS DOUBLE) /
+          |      (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+          |  FROM g),
+          |v AS (
+          |  SELECT *, pp * (1.0 - pp) * (1.0 / na + 1.0 / nb) AS vv FROM d)
+          |SELECT arm, n_a, n_b, k_a, k_b,
+          |  CASE WHEN n_a >= 1 THEN ROUND(pa, 6) END AS p_a,
+          |  CASE WHEN n_b >= 1 THEN ROUND(pb, 6) END AS p_b,
+          |  CASE WHEN n_a >= 1 AND n_b >= 1 AND vv > 0.0
+          |    THEN ROUND((pa - pb) / sqrt(vv), 6) END AS z
+          |FROM v ORDER BY arm""".stripMargin),
       // unrolled to kCore's OWN maxRounds (20): kCore now throws if peeling
       // has not converged within that cap, so whenever the Spark side
       // returns at all, a 20-round replay is ≥ convergence depth and the
       // extra rounds are identity — the oracle can never silently diverge
-      ("kcore_lineitem" -> kcoreOracleSql(4, 20)) +
-      ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)) +
-      ("bpe_train_docs" -> bpeTrainOracle(8)) +
-      ("bpe_encode_docs" -> bpeEncodeOracle(8)) +
-      ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)) +
+      ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
+      ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)),
+      ("bpe_train_docs" -> bpeTrainOracle(8)),
+      ("bpe_encode_docs" -> bpeEncodeOracle(8)),
+      ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
       ("classifier_train_docs" ->
-        classifierTrainOracle(8, calibration = false)) +
+        classifierTrainOracle(8, calibration = false)),
       ("classifier_calibration_trained_docs" ->
-        classifierTrainOracle(8, calibration = true)) +
+        classifierTrainOracle(8, calibration = true)),
       ("kfold_docs" ->
         """WITH RECURSIVE toks AS (
           |  SELECT doc_id,
@@ -3497,7 +3642,7 @@ object SparkEntry {
           |SELECT doc_id, cluster_rep,
           |  CAST(('0x' || substr(md5('fold:' || CAST(cluster_rep AS VARCHAR)),
           |    1, 8)) AS BIGINT) % 5 AS fold
-          |FROM cl ORDER BY doc_id""".stripMargin) +
+          |FROM cl ORDER BY doc_id""".stripMargin),
       ("pmi_pairs_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -3521,7 +3666,7 @@ object SparkEntry {
           |  round(ln((CAST(cnt AS DOUBLE) * T * T)
           |    / (CAST(B AS DOUBLE) * u1.c * u2.c)), 6) AS pmi
           |FROM bic JOIN uni u1 ON u1.w = w1 JOIN uni u2 ON u2.w = w2, tot
-          |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin) +
+          |ORDER BY pmi DESC, bg LIMIT 50""".stripMargin),
       ("phrase_search_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -3541,7 +3686,7 @@ object SparkEntry {
           |  WHERE a0.w = 'slow')
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
           |  CAST(MIN(anchor) AS BIGINT) AS first_pos
-          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+          |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       ("chunk_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -3557,13 +3702,13 @@ object SparkEntry {
           |SELECT doc_id, chunk_idx, chunk_start,
           |  CAST(len(ck) AS BIGINT) AS n_chunk_tokens,
           |  md5(array_to_string(ck, ' ')) AS chunk_md5
-          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin) +
-      ("ppr_trade_orders" -> pprOracleSql(3)) +
+          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin),
+      ("ppr_trade_orders" -> pprOracleSql(3)),
       ("matryoshka_recall_embeddings" ->
-        matryoshkaOracle(Seq(8, 16, 32, 64), 10, 20)) +
-      ("ranking_eval_embeddings" -> rankingEvalOracle(10, 20)) +
+        matryoshkaOracle(Seq(8, 16, 32, 64), 10, 20)),
+      ("ranking_eval_embeddings" -> rankingEvalOracle(10, 20)),
       ("percentiles_lineitem" -> percentilesOracle(
-        Seq(500000L, 900000L, 990000L))) +
+        Seq(500000L, 900000L, 990000L))),
       ("oph_pairs_docs" ->
         """WITH toks AS (
           |  SELECT doc_id,
@@ -3605,7 +3750,7 @@ object SparkEntry {
           |JOIN sizes sa ON sa.doc_id = id_a
           |JOIN sizes sb ON sb.doc_id = id_b
           |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
-          |ORDER BY id_a, id_b""".stripMargin) +
+          |ORDER BY id_a, id_b""".stripMargin),
       ("interval_overlap_orders" ->
         """WITH iv AS (
           |  SELECT o_orderkey AS id,
@@ -3619,7 +3764,7 @@ object SparkEntry {
           |FROM iv2 a JOIN iv2 b
           |  ON a.id % 499 = 0 AND a.id <> b.id
           |  AND a.s <= b.e AND b.s <= a.e
-          |ORDER BY l_id, r_id""".stripMargin)
+          |ORDER BY l_id, r_id""".stripMargin)))
   }
 
   /** Personalized-PageRank oracle: the [[graft.scale.Graph
@@ -4196,7 +4341,8 @@ object SparkEntry {
     s"$head$perN\nSELECT * FROM (\n$unions\n) ORDER BY doc_id, n"
   }
 
-  private def baseOracleSql: Map[String, String] = Map(
+  private def baseOracleSql: Map[String, String] =
+    distinctKeys("baseOracleSql", Seq(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
@@ -7639,6 +7785,63 @@ object SparkEntry {
         |FROM i3
         |ORDER BY score_micro DESC, node_type, node_id""".stripMargin,
 
+    "bfs_hops_orders" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey + 10000000 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT sk AS src, ck AS dst FROM pairs
+        |  UNION ALL SELECT ck AS src, sk AS dst FROM pairs),
+        |walk(node, hop) AS (
+        |  SELECT DISTINCT sk AS node, 0 AS hop FROM pairs WHERE sk % 50 = 0
+        |  UNION
+        |  SELECT e.dst AS node, w.hop + 1 AS hop
+        |  FROM walk w JOIN edges e ON e.src = w.node
+        |  WHERE w.hop < 4)
+        |SELECT CASE WHEN node >= 10000000 THEN 'customer'
+        |    ELSE 'supplier' END AS node_type,
+        |  CAST(CASE WHEN node >= 10000000 THEN node - 10000000
+        |    ELSE node END AS BIGINT) AS node_id,
+        |  CAST(MIN(hop) AS BIGINT) AS hops
+        |FROM walk
+        |GROUP BY 1, 2
+        |ORDER BY node_type, node_id""".stripMargin,
+
+    "modularity_trade_orders" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey + 10000000 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT sk AS src, ck AS dst FROM pairs
+        |  UNION ALL SELECT ck AS src, sk AS dst FROM pairs),
+        |comm AS (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS node,
+        |    CAST(s_nationkey AS BIGINT) AS community FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 10000000 AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS community FROM customer),
+        |e AS (
+        |  SELECT cs.community AS cs, cd.community AS cd
+        |  FROM edges
+        |  JOIN comm cs ON cs.node = edges.src
+        |  JOIN comm cd ON cd.node = edges.dst),
+        |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS te FROM e),
+        |inc AS (
+        |  SELECT cs AS community, COUNT(*) AS in_edges FROM e
+        |  WHERE cs = cd GROUP BY 1),
+        |degc AS (SELECT cs AS community, COUNT(*) AS deg_sum FROM e GROUP BY 1),
+        |nc AS (SELECT community, COUNT(*) AS n_nodes FROM comm GROUP BY 1)
+        |SELECT nc.community, nc.n_nodes,
+        |  CAST(COALESCE(inc.in_edges, 0) AS BIGINT) AS in_edges,
+        |  CAST(COALESCE(degc.deg_sum, 0) AS BIGINT) AS deg_sum,
+        |  ROUND(COALESCE(inc.in_edges, 0) / tot.te
+        |    - (COALESCE(degc.deg_sum, 0) / tot.te)
+        |      * (COALESCE(degc.deg_sum, 0) / tot.te), 6) AS q_contrib
+        |FROM nc
+        |LEFT JOIN degc ON degc.community = nc.community
+        |LEFT JOIN inc ON inc.community = nc.community, tot
+        |ORDER BY nc.community""".stripMargin,
+
     "triangle_count_lineitem" ->
       """WITH hi AS (
         |  SELECT l_orderkey AS k, l_partkey AS p FROM lineitem
@@ -8808,5 +9011,5 @@ object SparkEntry {
         |  CASE WHEN n_a >= 1 AND n_b >= 1 AND vv > 0.0
         |    THEN ROUND((pa - pb) / sqrt(vv), 6) END AS z
         |FROM v ORDER BY arm""".stripMargin
-  )
+  ))
 }

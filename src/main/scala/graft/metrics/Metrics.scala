@@ -477,13 +477,26 @@ object Metrics {
     val base = df.select((gcols ++ Seq(
       col(valCol).cast("long").as("__v"))): _*)
       .withColumn("__b", shiftright(col("__v"), bucketShift))
-    val wcum = Window.partitionBy(gcols: _*).orderBy(col("__b"))
-    val wall = Window.partitionBy(gcols: _*)
-    val hist = base.groupBy((gcols :+ col("__b")): _*)
+    val hist0 = base.groupBy((gcols :+ col("__b")): _*)
       .agg(count(lit(1L)).as("__cnt"))
-      .withColumn("__cum", sum(col("__cnt")).over(
-        wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("__n", sum(col("__cnt")).over(wall))
+    // grouped: per-group windows are partitioned (parallel across groups).
+    // UNGROUPED: the bucket histogram's prefix sum runs through the
+    // range-partitioned scaffold instead of a global window — the bucket
+    // table is value-domain-scale and must never funnel through one task.
+    val hist =
+      if (groupCols.isEmpty) {
+        val tot = hist0.agg(sum(col("__cnt")).as("__n"))
+        graft.sample.Samplers
+          .globalCumSum(hist0, Seq("__b"), "__cnt", cumCol = "__cum")
+          .crossJoin(broadcast(tot))
+      } else {
+        val wcum = Window.partitionBy(gcols: _*).orderBy(col("__b"))
+        val wall = Window.partitionBy(gcols: _*)
+        hist0
+          .withColumn("__cum", sum(col("__cnt")).over(
+            wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("__n", sum(col("__cnt")).over(wall))
+      }
     val qs = qMicro.map(q => struct(lit(q).as("__qm")))
     val targets = hist
       .withColumn("__q", explode(array(qs: _*)))
@@ -537,13 +550,16 @@ object Metrics {
       .agg(sum(when(col("__s"), 0L).otherwise(1L)).as("__ca"),
         sum(when(col("__s"), 1L).otherwise(0L)).as("__cb"))
       .localCheckpoint(true)
-    val wb = Window.orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val buckets = vals.groupBy(col("__b"))
-      .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb"))
+    // exclusive prefix totals per bucket WITHOUT any global window:
+    // inclusive running totals from the range-partitioned scaffold,
+    // minus the bucket's own total (first bucket → base 0)
+    val buckets = graft.sample.Samplers.globalCumSums(
+        vals.groupBy(col("__b"))
+          .agg(sum(col("__ca")).as("__ta"), sum(col("__cb")).as("__tb")),
+        Seq("__b"), Seq("__ta", "__tb"), Seq("__cta", "__ctb"))
       .select(col("__b"),
-        coalesce(sum(col("__ta")).over(wb), lit(0L)).as("__basea"),
-        coalesce(sum(col("__tb")).over(wb), lit(0L)).as("__baseb"))
+        (col("__cta") - col("__ta")).as("__basea"),
+        (col("__ctb") - col("__tb")).as("__baseb"))
     val wv = Window.partitionBy(col("__b")).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = base.agg(
@@ -658,14 +674,38 @@ object Metrics {
       df: DataFrame,
       successCol: String,
       sideCol: String,
+      groupCols: Seq[String]): DataFrame =
+    proportionFromMoments(
+      proportionMoments(df, successCol, sideCol, groupCols), groupCols)
+
+  /** The associative half of [[proportionZTest]] — four exact conditional
+    * long sums per group. Batch aggregate = legal Complete-mode streaming
+    * state (micro-batch-order-free), the same split as
+    * [[welchMoments]]/[[welchFromMoments]]: the streaming twin drains this
+    * state table and runs [[proportionFromMoments]] over it, sharing the
+    * batch oracle verbatim.
+    */
+  def proportionMoments(
+      df: DataFrame,
+      successCol: String,
+      sideCol: String,
       groupCols: Seq[String]): DataFrame = {
     val side = col(sideCol).cast("boolean")
     val succ = col(successCol).cast("boolean")
-    val g = df.groupBy(groupCols.map(col): _*).agg(
+    df.groupBy(groupCols.map(col): _*).agg(
       sum(when(side, 0L).otherwise(1L)).as("n_a"),
       sum(when(side, 1L).otherwise(0L)).as("n_b"),
       sum(when(!side && succ, 1L).otherwise(0L)).as("k_a"),
       sum(when(side && succ, 1L).otherwise(0L)).as("k_b"))
+  }
+
+  /** The z algebra over a drained [[proportionMoments]] table — fixed-order
+    * double expressions rounded to 6, NULL on empty sides / zero pooled
+    * variance.
+    */
+  def proportionFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val pa = col("k_a").cast("double") / na

@@ -159,26 +159,49 @@ object Samplers {
       orderCols: Seq[String],
       numPartitions: Int,
       partitionAgg: Column): (DataFrame, Column, Long) = {
+    val (ranged, exprs, totals) =
+      rangedWithOffsetsMulti(df, orderCols, numPartitions, Seq(partitionAgg))
+    (ranged, exprs.head, totals.head)
+  }
+
+  /** The scaffold generalized to SEVERAL partition measures in the one
+    * measure job — rank + running sum need (count, sum) offsets from the
+    * same partitioning, and measuring twice would range-shuffle (and
+    * localCheckpoint) the frame twice.
+    */
+  private def rangedWithOffsetsMulti(
+      df: DataFrame,
+      orderCols: Seq[String],
+      numPartitions: Int,
+      partitionAggs: Seq[Column]): (DataFrame, Seq[Column], Seq[Long]) = {
     val ranged = df
       .repartitionByRange(numPartitions, orderCols.map(col): _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint(true)
-    val sizes = ranged.groupBy("__pid")
-      .agg(coalesce(partitionAgg, lit(0L)).as("__s"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val offsets = (0 until numPartitions).scanLeft(0L) {
-      (acc, p) => acc + sizes.getOrElse(p, 0L)
+    val aggCols = partitionAggs.zipWithIndex.map { case (a, i) =>
+      coalesce(a, lit(0L)).as(s"__s$i")
     }
-    // ONE map literal + element_at, not an O(P) chained `when`: a chained
-    // conditional is fine at 32 partitions but blows up codegen (and plan
-    // size) at ~10⁴ partitions; a literal map is a single constant whatever
-    // P is, and the lookup is a hash probe.
-    val offsetMap = (0 until numPartitions).map(p => p -> offsets(p)).toMap
-    val offsetExpr = coalesce(
-      element_at(typedLit(offsetMap), col("__pid")), lit(0L))
-    // offsets.last = the grand total of partitionAgg — already computed,
-    // so callers never need a separate full-table pass for it
-    (ranged, offsetExpr, offsets.last)
+    val sizes = ranged.groupBy("__pid")
+      .agg(aggCols.head, aggCols.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) ->
+        partitionAggs.indices.map(i => r.getLong(i + 1)))
+      .toMap
+    val built = partitionAggs.indices.map { i =>
+      val offsets = (0 until numPartitions).scanLeft(0L) {
+        (acc, p) => acc + sizes.get(p).map(_(i)).getOrElse(0L)
+      }
+      // ONE map literal + element_at, not an O(P) chained `when`: a chained
+      // conditional is fine at 32 partitions but blows up codegen (and plan
+      // size) at ~10⁴ partitions; a literal map is a single constant
+      // whatever P is, and the lookup is a hash probe.
+      val offsetMap = (0 until numPartitions).map(p => p -> offsets(p)).toMap
+      // offsets.last = the grand total of the measure — already computed,
+      // so callers never need a separate full-table pass for it
+      (coalesce(element_at(typedLit(offsetMap), col("__pid")), lit(0L)),
+        offsets.last)
+    }
+    (ranged, built.map(_._1), built.map(_._2))
   }
 
   def globalRowNumber(
@@ -218,18 +241,59 @@ object Samplers {
       orderCols: Seq[String],
       valueCol: String,
       numPartitions: Int = 32,
-      cumCol: String = "__cum"): DataFrame = {
-    // coalesce in rangedWithOffsets guards the all-NULL-partition case
-    // (sum over nulls) — offset 0, not a driver NPE
-    val (ranged, offsetExpr, _) = rangedWithOffsets(
-      df, orderCols, numPartitions, sum(col(valueCol).cast("long")))
+      cumCol: String = "__cum"): DataFrame =
+    globalCumSums(df, orderCols, Seq(valueCol), Seq(cumCol), numPartitions)
+
+  /** [[globalCumSum]] over SEVERAL value columns in one scaffold pass —
+    * cumCols(i) = inclusive running total of valueCols(i) in `orderCols`
+    * order. One range shuffle and one measure job however many columns
+    * accumulate (the coalesce in the scaffold guards all-NULL partitions:
+    * offset 0, not a driver NPE).
+    */
+  def globalCumSums(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCols: Seq[String],
+      cumCols: Seq[String],
+      numPartitions: Int = 32): DataFrame = {
+    require(valueCols.size == cumCols.size, "one cum name per value column")
+    val (ranged, offsetExprs, _) = rangedWithOffsetsMulti(
+      df, orderCols, numPartitions,
+      valueCols.map(v => sum(col(v).cast("long"))))
     val w = Window.partitionBy(col("__pid"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn(cumCol,
-        sum(col(valueCol).cast("long")).over(w) + offsetExpr)
+    valueCols.zip(cumCols).zipWithIndex.foldLeft(ranged) {
+      case (acc, ((v, c), i)) =>
+        acc.withColumn(c, sum(col(v).cast("long")).over(w) + offsetExprs(i))
+    }.drop("__pid")
+  }
+
+  /** Global rank AND inclusive running sum over a total order, both from
+    * ONE range-partition pass ([[globalRowNumber]] + [[globalCumSum]] fused
+    * — the Pareto/cumulative-share shape needs both, and separate calls
+    * would range-shuffle the frame twice). No single-partition window;
+    * also returns the grand total of `valueCol` (free from the measure
+    * job), saving callers the extra full pass.
+    */
+  def globalRankCumSum(
+      df: DataFrame,
+      orderCols: Seq[String],
+      valueCol: String,
+      numPartitions: Int = 32,
+      rnCol: String = "__rn",
+      cumCol: String = "__cum"): (DataFrame, Long) = {
+    val (ranged, offs, totals) = rangedWithOffsetsMulti(
+      df, orderCols, numPartitions,
+      Seq(count(lit(1)), sum(col(valueCol).cast("long"))))
+    val wr = Window.partitionBy(col("__pid"))
+      .orderBy(orderCols.map(col): _*)
+    val ws = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = ranged
+      .withColumn(rnCol, row_number().over(wr).cast("long") + offs(0))
+      .withColumn(cumCol, sum(col(valueCol).cast("long")).over(ws) + offs(1))
       .drop("__pid")
+    (out, totals(1))
   }
 
   /** A5 at scale: first floor(frac·n) rows in `orderCols` order, computed
@@ -380,11 +444,9 @@ object Samplers {
       .cast("double") + lit(0.5)) / lit(4294967296.0)
     val keyed = df
       .withColumn("res_key", round(log(u) / col(weightCol), 9))
-    keyed
-      .orderBy(col("res_key").desc, col(keyCol))
-      .limit(k)
-      .withColumn("sel_rank", row_number().over(
-        Window.orderBy(col("res_key").desc, col(keyCol))))
+    graft.core.Bounded.withRank(
+      keyed.orderBy(col("res_key").desc, col(keyCol)).limit(k),
+      Seq("res_key" -> true, keyCol -> false), "sel_rank")
   }
 
   /** Curriculum interleave: order training docs easy→hard WITHOUT starving
@@ -406,10 +468,11 @@ object Samplers {
     val shuffleKey = hashDraw32(concat(lit("cur:"), col(keyCol).cast("string")))
     val w = Window.partitionBy(col(bucketCol))
       .orderBy(shuffleKey, col(keyCol))
-    df.withColumn("round_idx", row_number().over(w))
-      .orderBy(col("round_idx"), col(bucketCol), col(keyCol))
-      .limit(take)
-      .withColumn("position", row_number().over(
-        Window.orderBy(col("round_idx"), col(bucketCol), col(keyCol))))
+    graft.core.Bounded.withRank(
+      df.withColumn("round_idx", row_number().over(w))
+        .orderBy(col("round_idx"), col(bucketCol), col(keyCol))
+        .limit(take),
+      Seq("round_idx" -> false, bucketCol -> false, keyCol -> false),
+      "position")
   }
 }

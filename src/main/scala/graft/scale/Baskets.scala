@@ -1,7 +1,6 @@
 package graft.scale
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Transaction-level analytics: market-basket association mining and
@@ -61,11 +60,14 @@ object Baskets {
     * cross-multiplication (cum·100 <= total·80) — no float share ever
     * decides a class.
     *
-    * Scale note: the ranking window runs over the ITEM dictionary (one
-    * row per item after the revenue hash-aggregate), not the transaction
-    * corpus — the same dictionary-scale global-sort budget the dedup
-    * token dictionaries already spend. The corpus-mass work is one
-    * map-side-combined aggregate.
+    * Scale note: rank and running total come from
+    * [[graft.sample.Samplers.globalRankCumSum]] — range-partition on
+    * (revenue desc, item), per-partition windows, broadcast offsets — so
+    * even a 10⁸-10⁹-row item/SKU dictionary never funnels through a
+    * single-partition window (the corpus-mass work is one map-side-
+    * combined aggregate either way). The grand total rides out of the
+    * scaffold's measure job for free — no separate total pass, no
+    * crossJoin.
     */
   def abcAnalysis(
       df: DataFrame,
@@ -74,18 +76,21 @@ object Baskets {
     val rev = df.groupBy(col(itemCol).as("item"))
       .agg(sum((col(revenueCol).cast("decimal(18,2)") * 100).cast("long"))
         .as("revenue_cents"))
-    val w = Window.orderBy(col("revenue_cents").desc, col("item"))
-    val tot = rev.agg(sum(col("revenue_cents")).as("__tot"))
-    rev.crossJoin(broadcast(tot))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .withColumn("cum_cents",
-        sum(col("revenue_cents")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // negate for descending revenue under the scaffold's ascending sort;
+      // NULL revenue (all-null input group) keeps its old desc-NULLS-LAST
+      // position via the MaxValue sentinel, ties still break on item asc
+      .withColumn("__negrev",
+        coalesce(-col("revenue_cents"), lit(Long.MaxValue)))
+    val (ranked, total) = graft.sample.Samplers.globalRankCumSum(
+      rev, Seq("__negrev", "item"), "revenue_cents",
+      rnCol = "rank", cumCol = "cum_cents")
+    val tot = lit(total)
+    ranked
       .withColumn("cum_share",
-        round(col("cum_cents").cast("double") / col("__tot"), 6))
+        round(col("cum_cents").cast("double") / tot, 6))
       .withColumn("abc_class",
-        when(col("cum_cents") * 100 <= col("__tot") * 80, "A")
-          .when(col("cum_cents") * 100 <= col("__tot") * 95, "B")
+        when(col("cum_cents") * 100 <= tot * 80, "A")
+          .when(col("cum_cents") * 100 <= tot * 95, "B")
           .otherwise("C"))
       .select(col("item"), col("revenue_cents"), col("rank"),
         col("cum_cents"), col("cum_share"), col("abc_class"))

@@ -1024,11 +1024,13 @@ object Dedup {
     // Dense integer token ids ranked rarest-first (df asc, token asc), so
     // NUMERIC tid order IS the global prefix-filter order: ordered arrays
     // are plain sorted int arrays (small, codegen-friendly intersects) and
-    // "first common token" = array_min of the intersection. The dictionary
-    // is distinct-token-scale (same assumption as the vocab/BPE operators),
-    // not corpus-scale — the one global sort here is over the dictionary.
-    val dim = dfCnt.select(col("tok"),
-      row_number().over(Window.orderBy(col("df_cnt"), col("tok"))).as("tid"))
+    // "first common token" = array_min of the intersection. The prefix
+    // filter needs only a df-consistent TOTAL ORDER, not a single-task
+    // ranking — assigned via the range-partitioned globalRowNumber
+    // scaffold, so even a billion-token dictionary ranks in parallel.
+    val dim = graft.sample.Samplers
+      .globalRowNumber(dfCnt, Seq("df_cnt", "tok"), rnCol = "tid")
+      .select(col("tok"), col("tid").cast("int").as("tid"))
     val ordered = tok.join(dim, Seq("tok"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("toks_o"))
@@ -1360,10 +1362,12 @@ object Dedup {
         i => padded.substr(i, lit(q)))).as("gs"))
     val tok = gsets.select(col("gid"), explode(col("gs")).as("g"))
     // dense integer gram ids ranked rarest-first: numeric order IS the
-    // prefix-filter order (dictionary-scale sort, same as ppjoinPairs)
-    val dim = tok.groupBy(col("g")).agg(count(lit(1)).as("dfc"))
-      .select(col("g"),
-        row_number().over(Window.orderBy(col("dfc"), col("g"))).as("tid"))
+    // prefix-filter order; range-partitioned rank (same scaffold as
+    // ppjoinPairs) keeps a billion-gram dictionary off a single task
+    val dim = graft.sample.Samplers
+      .globalRowNumber(tok.groupBy(col("g")).agg(count(lit(1)).as("dfc")),
+        Seq("dfc", "g"), rnCol = "tid")
+      .select(col("g"), col("tid").cast("int").as("tid"))
     val ordered = tok.join(dim, Seq("g"))
       .groupBy(col("gid"))
       .agg(sort_array(collect_list(col("tid"))).as("ts"))

@@ -365,7 +365,7 @@ object Graph {
       .filter(col("x") < col("y"))
       .groupBy(col("x"), col("y"))
       .agg(count(lit(1)).as("cn"))
-    cn.join(e.select(col("a").as("x"), col("b").as("y")),
+    val top = cn.join(e.select(col("a").as("x"), col("b").as("y")),
         Seq("x", "y"), "left_anti")
       .join(deg.select(col("a").as("x"), col("deg").as("deg_x")), Seq("x"))
       .join(deg.select(col("a").as("y"), col("deg").as("deg_y")), Seq("y"))
@@ -373,10 +373,113 @@ object Graph {
         (col("deg_x") + col("deg_y") - col("cn")).cast("double"), 6))
       .orderBy(col("jaccard").desc, col("x"), col("y"))
       .limit(topK)
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("jaccard").desc, col("x"), col("y")))
-        .cast("long"))
+    graft.core.Bounded.withRank(top,
+        Seq("jaccard" -> true, "x" -> false, "y" -> false), "rk")
+      .withColumn("rk", col("rk").cast("long"))
       .select(col("rk"), col("x"), col("y"), col("cn"),
         col("deg_x"), col("deg_y"), col("jaccard"))
+  }
+
+  /** Multi-source BFS: minimum hop count from a seed set, frontier
+    * expansion bounded by `maxHops` rounds. The reachability primitive the
+    * family was missing — "how far is every node from the trusted seeds"
+    * (crawl-frontier depth, trust propagation radius, blast-radius
+    * analysis on a lineage graph). Reference scope: like the rest of the
+    * Graph family, a north-star extension (the reference engine has no
+    * graph operator).
+    *
+    * Scale shape: each round is one equi-join of the CURRENT FRONTIER
+    * (not the full visited set) with the edge list + one distinct + one
+    * anti-join against visited — the standard frontier BFS, so total work
+    * is O(edges touched), not rounds×edges. Frontier and visited frames
+    * are localCheckpoint'd per round (iterative-lineage rule). Rounds are
+    * data-bounded: expansion stops early when a frontier empties, and the
+    * early exit cannot change the answer (every later round is identity),
+    * so a fixed-depth `maxHops` oracle replay agrees by construction —
+    * unlike the capped-fixpoint ops (kCore/CC) there is no silent-cap
+    * hazard here: stopping at `maxHops` IS the declared semantics.
+    *
+    * @return (node, hops) for every node within `maxHops` of a seed;
+    *         seeds themselves at hops 0. Unreachable nodes are absent.
+    */
+  def bfsHops(
+      edges: DataFrame,
+      sources: DataFrame,
+      maxHops: Int): DataFrame = {
+    require(maxHops >= 1, s"bad maxHops $maxHops")
+    val e = edges.localCheckpoint(true)
+    var visited = sources.select(col("node")).distinct()
+      .withColumn("hops", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited.select(col("node"))
+    var h = 1
+    var done = false
+    while (!done && h <= maxHops) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+        h += 1
+      }
+    }
+    visited
+  }
+
+  /** Newman modularity of a node partition, per community: how much more
+    * intra-community edge mass the partition captures than a random graph
+    * with the same degrees would — THE quality score for the cluster
+    * assignments the rest of the stack produces (dup clusters, mutual-kNN
+    * clusters, domain groupings). Q = Σ_c [ in_c/E − (deg_c/E)² ] with E
+    * the DIRECTED edge count (2m for an undirected graph passed as both
+    * directions, the family's edge convention); this returns the
+    * per-community contribution so callers see which communities are
+    * assortative, and Q itself is the sum of `q_contrib`.
+    *
+    * Scale shape: two broadcast-joins of the (small) community map onto
+    * the edge list, two hash-aggregates keyed on community, one 1-row
+    * broadcast total — no window, no pair mass, corpus-linear. Counts are
+    * exact longs; `q_contrib` is one fixed-shape double expression over
+    * two longs rounded to 6 (deterministic on any partitioning, SQL-
+    * replayable).
+    *
+    * @param edges       (src, dst); undirected graphs pass both directions
+    * @param communities (node, community) — every edge endpoint must map
+    */
+  def modularity(
+      edges: DataFrame,
+      communities: DataFrame): DataFrame = {
+    val comm = communities.select(col("node"), col("community")).distinct()
+    val e = edges
+      .join(comm.select(col("node").as("src"), col("community").as("__cs")),
+        Seq("src"))
+      .join(comm.select(col("node").as("dst"), col("community").as("__cd")),
+        Seq("dst"))
+      .localCheckpoint(true)
+    val tot = e.agg(count(lit(1)).as("__e"))
+    val inC = e.filter(col("__cs") === col("__cd"))
+      .groupBy(col("__cs").as("community"))
+      .agg(count(lit(1)).as("in_edges"))
+    val degC = e.groupBy(col("__cs").as("community"))
+      .agg(count(lit(1)).as("deg_sum"))
+    val nodesC = comm.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"))
+    nodesC
+      .join(degC, Seq("community"), "left")
+      .join(inC, Seq("community"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("community"),
+        col("n_nodes"),
+        coalesce(col("in_edges"), lit(0L)).as("in_edges"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        round(
+          coalesce(col("in_edges"), lit(0L)).cast("double") / col("__e") -
+            (coalesce(col("deg_sum"), lit(0L)).cast("double") / col("__e")) *
+              (coalesce(col("deg_sum"), lit(0L)).cast("double") / col("__e")),
+          6).as("q_contrib"))
   }
 }

@@ -102,13 +102,15 @@ object Multimodal {
       md.digest()(0) & 0xff
     }
 
-    /** STUB — the decode seam for [[Multimodal.phashPairs]]: payload → 8×8
+    /** STUB grid — now only the NON-IMAGE fallback branch of
+      * [[Codec.gridOrStub]] (real payloads decode for real:
+      * [[Codec.decodeGray]] + [[Codec.grayGrid8]]): payload → 8×8
       * grayscale grid (64 unsigned bytes) as four chained md5 digests
-      * md5(payload ++ ":0" … ":3"). A real deployment decodes pixels and
-      * box-filters down to 8×8 here; everything DOWNSTREAM of this grid
-      * (the DCT perceptual hash) is the real algorithm. The ":chunk"
-      * suffix is a decimal string so the DuckDB oracle replays the grid
-      * with VARCHAR md5 over the text payload.
+      * md5(payload ++ ":0" … ":3"). Deterministic fake pixels keep the
+      * text-corpus pHash queries oracle-replayable — the ":chunk" suffix
+      * is a decimal string so DuckDB replays the grid with VARCHAR md5
+      * over the text payload. Everything DOWNSTREAM of the grid (the DCT
+      * perceptual hash) is the real algorithm in both branches.
       */
     def grayGrid(payload: Array[Byte]): Array[Int] = {
       val out = new Array[Int](64)
@@ -247,10 +249,13 @@ object Multimodal {
   /** Media near-dup pairs by perceptual-signature LSH — the image-dedup
     * shape of a LAION-style corpus clean. The signature is a REAL DCT
     * pHash ([[dctPhash]]: integer 8×8 DCT-II + median threshold) over the
-    * decoded grid; only the DECODE remains the codec seam
-    * ([[StubCodec.grayGrid]] — md5-derived fake pixels, swapped for real
-    * decoding in deployment). The pipeline is the real algorithm
-    * end-to-end: split the 60-bit signature into `bands` disjoint
+    * decoded grid, and the decode itself is now real for recognized
+    * image payloads ([[Codec.decodeGray]]: PPM/PGM parsed pure-JVM,
+    * PNG/BMP/GIF via javax.imageio, box-filtered to 8×8); unrecognized
+    * payloads (e.g. the text corpora the oracle queries run on) fall back
+    * to [[StubCodec.grayGrid]]'s md5 grid, which keeps those queries
+    * deterministic and DuckDB-replayable. The pipeline is the real
+    * algorithm end-to-end: split the 60-bit signature into `bands` disjoint
     * bit-bands and bucket-join on (band, band bits) — by pigeonhole,
     * EVERY pair within Hamming distance < `bands` shares at least one
     * exact band, so candidate generation is complete for `maxHamming ≤
@@ -275,7 +280,7 @@ object Multimodal {
         rows.map { r =>
           val payload = Option(r.getAs[Array[Byte]]("payload"))
             .getOrElse(Array.emptyByteArray)
-          Row(r.getLong(0), dctPhash(StubCodec.grayGrid(payload)))
+          Row(r.getLong(0), dctPhash(Codec.gridOrStub(payload)))
         }
       }(enc)
     phashPairsFromSigs(sigs, idCol, maxHamming, bands)

@@ -1211,6 +1211,18 @@ object Similarity {
   def embeddingDrift(
       df: DataFrame,
       vecCol: String,
+      sideCol: String): DataFrame =
+    embeddingDriftFromMoments(embeddingDriftMoments(df, vecCol, sideCol))
+
+  /** The associative half of [[embeddingDrift]] — per-dimension exact
+    * conditional counts and quantized sums. A stateless explode feeding
+    * one hash-aggregate: batch aggregate = legal Complete-mode streaming
+    * state (the welch/proportion moments split), so the streaming twin
+    * drains this d-row table and shares the batch oracle verbatim.
+    */
+  def embeddingDriftMoments(
+      df: DataFrame,
+      vecCol: String,
       sideCol: String): DataFrame = {
     val q = df.select(col(sideCol).cast("boolean").as("__s"),
       posexplode(quantize(col(vecCol))).as(Seq("__p", "__q")))
@@ -1220,13 +1232,18 @@ object Similarity {
         sum(when(col("__s"), 1L).otherwise(0L)).as("n_b"),
         sum(when(!col("__s"), col("__q")).otherwise(0L)).as("sum_a_q"),
         sum(when(col("__s"), col("__q")).otherwise(0L)).as("sum_b_q"))
-      .select(col("dim").cast("long").as("dim"), col("n_a"), col("n_b"),
+  }
+
+  /** Means and shift over a drained [[embeddingDriftMoments]] table —
+    * single rounded divisions of exact integers.
+    */
+  def embeddingDriftFromMoments(g: DataFrame): DataFrame =
+    g.select(col("dim").cast("long").as("dim"), col("n_a"), col("n_b"),
         col("sum_a_q"), col("sum_b_q"),
         round(col("sum_a_q").cast("double") / col("n_a"), 6).as("mean_a_q"),
         round(col("sum_b_q").cast("double") / col("n_b"), 6).as("mean_b_q"),
         round(col("sum_b_q").cast("double") / col("n_b") -
           col("sum_a_q").cast("double") / col("n_a"), 6).as("shift_q"))
-  }
 
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
     val hits = approx.select(col("query_id"), col("cand_id"))

@@ -430,13 +430,15 @@ object TextAnalysis {
       .agg(min(col("__id")).as("__first"))
       .groupBy(expr(s"__first DIV $bucketDocs").as("bucket"))
       .agg(count(lit(1)).as("__vnew"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(newTypes, Seq("bucket"), "left")
-      .withColumn("__vn", coalesce(col("__vnew"), lit(0L)))
+    // running totals via the range-partitioned scaffold — the bucket
+    // table grows linearly with the corpus (docs / bucketDocs rows), so
+    // it must never funnel through a single-partition window
+    graft.sample.Samplers.globalCumSums(
+        perBucket.join(newTypes, Seq("bucket"), "left")
+          .withColumn("__vn", coalesce(col("__vnew"), lit(0L))),
+        Seq("bucket"), Seq("__ntok", "__vn"), Seq("tokens_cum", "vocab_cum"))
       .select(col("bucket"), col("__ndoc").as("n_docs"),
-        sum(col("__ntok")).over(w).as("tokens_cum"),
-        sum(col("__vn")).over(w).as("vocab_cum"))
+        col("tokens_cum"), col("vocab_cum"))
   }
 
   def zipfFit(df: DataFrame, textCol: String, topR: Int = 100): DataFrame = {
@@ -1236,8 +1238,8 @@ object TextAnalysis {
     * reorder the pick (ties fall back to doc_id).
     *
     * Reference anchor: selection-style corpus filtering is the reference's
-    * data-curation concern (sampling family, e.g. sample_data.py); this is
-    * the published importance-resampling form of it at corpus scale.
+    * data-curation concern (the sampling family in utils/data_utils.py:20-61);
+    * this is the published importance-resampling form of it at corpus scale.
     */
   def dsirSelect(df: DataFrame, idCol: String, textCol: String,
       isTarget: Column, buckets: Int = 1024, topK: Int = 50): DataFrame = {
@@ -1276,12 +1278,9 @@ object TextAnalysis {
       .withColumn("__key", col("__logw") - log(-log(col("__u"))))
       .withColumn("logw", round(col("__logw"), 6))
       .withColumn("gumbel_key", round(col("__key"), 6))
-    gumbel
-      .orderBy(col("gumbel_key").desc, col(idCol))
-      .limit(topK)
-      .withColumn("sel_rank", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("gumbel_key").desc, col(idCol))))
+    graft.core.Bounded.withRank(
+        gumbel.orderBy(col("gumbel_key").desc, col(idCol)).limit(topK),
+        Seq("gumbel_key" -> true, idCol -> false), "sel_rank")
       .select(col("sel_rank"), col(idCol), col("n_tokens"),
         col("logw"), col("gumbel_key"))
   }
@@ -1375,7 +1374,7 @@ object TextAnalysis {
       .localCheckpoint(true)
     val tot = counts.agg(sum(col("k_a")).as("__na"),
       sum(col("k_b")).as("__nb"))
-    counts.crossJoin(broadcast(tot))
+    val top = counts.crossJoin(broadcast(tot))
       .withColumn("chi2", {
         val a = col("k_a").cast("double")
         val b = (col("__na") - col("k_a")).cast("double")
@@ -1392,9 +1391,9 @@ object TextAnalysis {
       .select(col("token"), col("k_a"), col("k_b"), col("chi2"))
       .orderBy(col("chi2").desc, col("token"))
       .limit(topK)
-      .withColumn("rk",
-        row_number().over(Window.orderBy(col("chi2").desc, col("token")))
-          .cast("long"))
+    graft.core.Bounded.withRank(top,
+        Seq("chi2" -> true, "token" -> false), "rk")
+      .withColumn("rk", col("rk").cast("long"))
       .select(col("rk"), col("token"), col("k_a"), col("k_b"), col("chi2"))
   }
 

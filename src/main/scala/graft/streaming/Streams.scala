@@ -152,6 +152,19 @@ object Streams {
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the collected result table (test/dev harness; production would
     * `writeStream.format("parquet").option("checkpointLocation", …)`).
+    *
+    * COMPLETE-MODE CONTRACT: in `OutputMode.Complete` every micro-batch
+    * re-emits the ENTIRE state table, so both the state and the per-batch
+    * output scale with the GROUPING-KEY CARDINALITY, not the stream
+    * length. Only point Complete-mode aggregations at bounded key
+    * domains — dictionary-scale groups like arms, event types, embedding
+    * dimensions, or sketch registers (the repo's streaming moment/sketch
+    * twins all do). A user- or doc-keyed Complete aggregation (e.g. the
+    * per-user counts feeding the streaming top-k) is only safe when the
+    * key domain itself is bounded, as on the test corpora; for unbounded
+    * keys switch to watermarked Append-mode aggregation (state pruned by
+    * event time) or Update mode with explicit state timeouts.
+    * StreamingSpec's bounded-groups test pins this assumption.
     */
   def runToMemory(
       spark: SparkSession,

@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.functions._
 
-import graft.scale.Multimodal
+import graft.scale.{Codec, Multimodal}
 
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
@@ -137,5 +137,91 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got(0).getLong(0) == 10L && got(0).getLong(1) == 11L
       && got(0).getInt(2) == 0)
+  }
+
+  private def resourceBytes(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/graft/$name")
+    assert(in != null, s"missing test resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("Codec.decodeGray parses the checked-in P6 fixture exactly") {
+    val bytes = resourceBytes("fixture_gradient_32x32.ppm")
+    val Some((w, h, px)) = Codec.decodeGray(bytes)
+    assert(w == 32 && h == 32 && px.length == 32 * 32)
+    // corner pixels recomputed by hand from the generator formula:
+    // (0,0) r=0 g=0 b=255 (on the diagonal stripe) -> luma (114*255+500)/1000
+    assert(px(0) == (114 * 255 + 500) / 1000)
+    // (31,31): r=255 g=255 b=255 -> 255
+    assert(px(32 * 32 - 1) == 255)
+    // a P5 re-encode of the decoded grays parses back identically
+    val hdr = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+    val p5 = hdr ++ px.map(_.toByte)
+    assert(Codec.decodeGray(p5).exists { case (w2, h2, px2) =>
+      w2 == w && h2 == h && px2.sameElements(px) })
+  }
+
+  test("Codec: PNG (javax.imageio branch) decodes to the same grays " +
+      "as the PPM parser") {
+    val Some((w, h, px)) = Codec.decodeGray(
+      resourceBytes("fixture_gradient_32x32.ppm"))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = px(y * w + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", bos))
+    val Some((w2, h2, px2)) = Codec.decodeGray(bos.toByteArray)
+    assert(w2 == w && h2 == h)
+    // gray-in → luma weights sum to 1000 → gray-out, bit-exact
+    assert(px2.sameElements(px))
+  }
+
+  test("non-image payloads fall back to the md5 stub grid (oracle parity)") {
+    val text = "just some document text".getBytes("UTF-8")
+    assert(Codec.gridOrStub(text)
+      .sameElements(Multimodal.StubCodec.grayGrid(text)))
+    // a payload that merely STARTS like a PPM but has the wrong raster
+    // length must not decode either
+    val fake = "P6 9 9 255 not-actually-pixels".getBytes("US-ASCII")
+    assert(Codec.decodeGray(fake).isEmpty)
+    assert(Codec.gridOrStub(fake)
+      .sameElements(Multimodal.StubCodec.grayGrid(fake)))
+  }
+
+  test("REAL decode path end-to-end: the fixture image and its planted " +
+      "near-duplicate survive decode → DCT → banding; unrelated does not") {
+    val base = resourceBytes("fixture_gradient_32x32.ppm")
+    val near = resourceBytes("fixture_gradient_32x32_neardup.ppm")
+    assert(!base.sameElements(near))
+    // an unrelated image: the fixture mirrored horizontally — same pixel
+    // population, completely different spatial structure
+    val Some((w, h, px)) = Codec.decodeGray(base)
+    val mirrored = {
+      val hdr = s"P5\n$w $h\n255\n".getBytes("US-ASCII")
+      val mpx = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        mpx(y * w + x) = px(y * w + (w - 1 - x)).toByte
+      hdr ++ mpx
+    }
+    val media = Seq(
+      (1L, base), (2L, near), (3L, mirrored))
+      .toDF("doc_id", "payload")
+    val got = Multimodal.phashPairs(media, maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)),
+      "planted near-duplicate image not recovered through the real decode")
+    assert(!got.contains((1L, 3L)) && !got.contains((2L, 3L)),
+      "mirrored image must not collide with the original")
+  }
+
+  test("grayGrid8 box filter: constant image -> constant grid; " +
+      "tiny frames replicate edges") {
+    val const = Array.fill(16 * 16)(77)
+    assert(Codec.grayGrid8(16, 16, const).forall(_ == 77))
+    val one = Codec.grayGrid8(1, 1, Array(42))
+    assert(one.length == 64 && one.forall(_ == 42))
   }
 }

@@ -316,6 +316,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
   }
 
+  test("abcAnalysis ranks through the range-partitioned scaffold — " +
+      "no single-partition window over the item dictionary") {
+    val df = SparkEntry.queries("abc_analysis_lineitem")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"ABC ranking must not funnel the item dictionary to one task:\n$plan")
+  }
+
   test("topn per group partitions its window by the group key (never global)") {
     val df = SparkEntry.queries("topn_per_group_docs")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
@@ -470,17 +478,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dsirSelect: LM tables broadcast onto the token stream; selection " +
-    "is TakeOrdered, never a global sort") {
+    "is TakeOrdered, never a global sort; ranking is window-free") {
     val docs = Tables.load(spark, sf, "documents")
     val df = graft.scale.TextAnalysis.dsirSelect(
       docs, "doc_id", "text", col("lang") === "en")
     val plan = df.queryExecution.executedPlan.toString
+    // the topK sorted-limit subtree runs EAGERLY inside Bounded.withRank's
+    // localCheckpoint, so TakeOrderedAndProject is invisible here; what
+    // the visible plan must show is the bounded-rank shape — broadcast
+    // joins over the ≤topK checkpointed rows, no window, no global sort
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"),
-      s"LM join must broadcast:\n$plan")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"selection must be top-k:\n$plan")
+      s"bounded rank must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"post-limit ranking must be window-free:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"unexpected SMJ:\n$plan")
+    // the selection itself stays bounded by topK whatever the corpus
+    val sel = graft.scale.TextAnalysis.dsirSelect(
+      docs, "doc_id", "text", col("lang") === "en", topK = 7)
+    assert(sel.count() <= 7)
   }
 
   test("hllDistinct: one aggregation exchange on the group key, " +

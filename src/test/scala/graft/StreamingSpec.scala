@@ -119,11 +119,9 @@ class StreamingSpec extends SparkSpec {
     val ev = Tables.load(spark, sf, "events")
     val batchCounts = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
     val tot = batchCounts.agg(sum($"n")).as[Long].head()
-    val batch = batchCounts
-      .orderBy($"n".desc, $"user_id").limit(20)
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"n".desc, $"user_id")))
+    val batch = graft.core.Bounded.withRank(
+        batchCounts.orderBy($"n".desc, $"user_id").limit(20),
+        Seq("n" -> true, "user_id" -> false), "rk")
       .select($"rk", $"user_id", $"n",
         round($"n".cast("double") / tot, 6).as("share"))
       .as[(Int, Long, Long, Double)].collect().toSet
@@ -191,6 +189,60 @@ class StreamingSpec extends SparkSpec {
       .as[(String, Long, Long, Double, Double, Double, Double)]
       .collect().toSet
     assert(stream === batch)
+  }
+
+  test("streaming two-proportion state equals the batch panel") {
+    val stream = SparkEntry.queries("streaming_proportion_events")(spark, sf)
+      .select($"arm", $"n_a", $"n_b", $"k_a", $"k_b", $"p_a", $"p_b", $"z")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    import graft.io.Tables
+    val units = Tables.load(spark, sf, "events")
+      .select(($"user_id" % 3).as("arm"), ($"user_id" % 2 === 0).as("side"),
+        ($"event_type" === "purchase" && $"value" >= 150.0).as("success"))
+    val batch = graft.metrics.Metrics
+      .proportionZTest(units, "success", "side", Seq("arm"))
+      .select($"arm", $"n_a", $"n_b", $"k_a", $"k_b", $"p_a", $"p_b", $"z")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(stream === batch)
+  }
+
+  test("streaming embedding drift state equals the batch panel") {
+    val stream =
+      SparkEntry.queries("streaming_embedding_drift_embeddings")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+        .collect().toSet
+    import graft.io.Tables
+    val batch = graft.scale.Similarity.embeddingDrift(
+        Tables.load(spark, sf, "embeddings")
+          .withColumn("side", $"vec_id" % 2 === 0),
+        "embedding", "side")
+      .as[(Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("Complete-mode bounded-groups contract: every Complete streaming " +
+      "query's key domain is dictionary-scale on the corpus") {
+    // pins the contract documented on Streams.runToMemory: Complete mode
+    // re-emits |groups| rows per micro-batch, so grouping domains must be
+    // bounded — arms, event types, embedding dims, sketch registers, and
+    // (for the top-k) a user population far below event mass
+    import graft.io.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val nEvents = ev.count()
+    val arms = 3L // user_id % 3 — bounded by construction
+    val eventTypes = ev.select($"event_type").distinct().count()
+    val users = ev.select($"user_id").distinct().count()
+    val dims = Tables.load(spark, sf, "embeddings")
+      .select(size($"embedding")).as[Int].head().toLong
+    assert(arms <= 3 && eventTypes < 100 && dims < 4096,
+      "fixed-domain groups must stay dictionary-scale")
+    assert(users * 10 <= nEvents,
+      s"user-keyed Complete state ($users users) must sit far below " +
+        s"event mass ($nEvents events) — unbounded keys need Append mode")
   }
 
   test("cappedSessions closes on gap and on event cap") {
