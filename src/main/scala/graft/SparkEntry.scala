@@ -2942,6 +2942,61 @@ object SparkEntry {
       Graph.modularity(edges, comm).orderBy(col("community"))
     }),
 
+    // ---- EM blocking: sorted-neighborhood candidates -----------------------
+    // The fixed-pair-budget blocking scheme beside PPJoin: sort parts by
+    // lowercased name, window 8 — candidate mass is n·7 by construction.
+    // Each candidate pair scores the usual token-jaccard decision.
+    "em_snm_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").cast("long").as("id"),
+          lower(col("p_name")).as("key"), col("p_name"))
+      val names = p.select(col("id"), col("p_name"))
+      Dedup.snmPairs(p.select(col("id"), col("key")), "id", "key", 8)
+        .join(names.select(col("id").as("id_a"), col("p_name").as("__na")),
+          Seq("id_a"))
+        .join(names.select(col("id").as("id_b"), col("p_name").as("__nb")),
+          Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("rank_dist"),
+          round(Wrangler.tokenJaccard(col("__na"), col("__nb")), 6)
+            .as("jaccard_sim"))
+        .withColumn("pred",
+          when(col("jaccard_sim") >= 0.5, "Yes").otherwise("No"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- text: multi-phrase dictionary tagging -----------------------------
+    // FlashText-shape taxonomy tagging: eight query-plan phrases (1-3
+    // tokens) matched corpus-wide in ONE tokenize + broadcast join pass.
+    "keyword_tags_docs" -> ((s, dir) =>
+      TextAnalysis.tagKeywords(t(s, dir, "documents"), "doc_id", "text",
+          Seq("hash join", "table scan", "sort merge join", "slow query",
+            "data stream", "vector", "fast filter", "group agg"))
+        .orderBy(col("doc_id"), col("phrase"))),
+
+    // ---- profiling: approximate functional dependencies --------------------
+    // g3 violation mass for three candidate column rules on orders — the
+    // schema-rule profiling that precedes cell-level error detection.
+    "fd_violations_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      Metrics.fdViolations(o, Seq(
+          ("custkey->priority", Seq("o_custkey"), "o_orderpriority"),
+          ("orderdate->status", Seq("o_orderdate"), "o_orderstatus"),
+          ("clerk->priority", Seq("o_clerk"), "o_orderpriority")))
+        .orderBy(col("fd"))
+    }),
+
+    // ---- embeddings: margin-based bitext mining ----------------------------
+    // Artetxe-Schwenk ratio-margin pairing of the even-id side against the
+    // odd-id side, k=4 neighborhoods — the parallel-corpus mining shape.
+    "bitext_margin_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMarginMine(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 4)
+        .orderBy(col("src_id"))
+    }),
+
     // ---- graph: degree-ordered triangle counting ---------------------------
     // Co-purchase graph: parts joined by appearing in the same order with
     // high quantity (l_quantity >= 35 keeps the graph sparse — a raw

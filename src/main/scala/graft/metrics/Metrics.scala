@@ -735,4 +735,46 @@ object Metrics {
       .selectExpr(s"stack(${cols.size}, $stacked) AS " +
         "(column_name, n_null, n_distinct, min_val, max_val)")
   }
+
+  /** Approximate functional-dependency profiling: for each candidate FD
+    * `lhs → rhs`, the g3 violation measure (Kivinen & Mannila 1995, the
+    * measure TANE mines against) — the minimum fraction of rows to delete
+    * so the FD holds exactly. The schema-level companion to the cell-level
+    * error detection the wrangler pipeline runs (reference scope:
+    * fast_ai_wrangler's error-detection task flags cell outliers; FD
+    * profiling tells you WHICH column rules the data almost satisfies, the
+    * standard data-cleaning precursor).
+    *
+    * Per FD: one hash-aggregate on (lhs, rhs), one on lhs (sum + max of
+    * the value counts), one global fold — corpus-linear, partial-agg
+    * friendly, no window/join. A group violates iff it holds >1 distinct
+    * rhs value; its violation mass is (group size − majority-value count).
+    * NULL is an ordinary value on both sides (SQL GROUP BY semantics, so
+    * any engine replays it).
+    *
+    * @param fds (name, lhs columns, rhs column) per candidate dependency
+    * @return one row per FD: n_groups, n_rows, violating_groups,
+    *         violations, g3 = violations / n_rows (round 6)
+    */
+  def fdViolations(
+      df: DataFrame,
+      fds: Seq[(String, Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "no candidate FDs given")
+    fds.map { case (name, lhs, rhs) =>
+      val per = df.groupBy((lhs :+ rhs).map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+      val grp = per.groupBy(lhs.map(col): _*)
+        .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__keep"))
+      grp.agg(
+          count(lit(1)).as("n_groups"),
+          sum(col("__n")).as("n_rows"),
+          sum(when(col("__n") > col("__keep"), 1L).otherwise(0L))
+            .as("violating_groups"),
+          sum(col("__n") - col("__keep")).as("violations"))
+        .select(lit(name).as("fd"), col("n_groups"), col("n_rows"),
+          col("violating_groups"), col("violations"),
+          round(col("violations").cast("double") / col("n_rows"), 6)
+            .as("g3"))
+    }.reduce(_ unionByName _)
+  }
 }

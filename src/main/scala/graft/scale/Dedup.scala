@@ -1119,6 +1119,62 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("id_b"), col("jaccard"))
   }
 
+  /** Sorted-Neighborhood Method candidate pairs (Hernández & Stolfo,
+    * SIGMOD'95) — the OTHER classic entity-resolution blocking scheme
+    * beside prefix filtering ([[ppjoinPairs]]): records sort by a
+    * domain-chosen blocking key and every pair within a sliding window of
+    * `window` consecutive positions becomes a candidate. Where PPJoin's
+    * candidate mass tracks token-overlap mass, SNM's is EXACTLY n·(window−1)
+    * − corpus-linear BY CONSTRUCTION whatever the data looks like — the
+    * right tool when a good lexicographic key exists (names, addresses)
+    * and the pair budget must be fixed up front.
+    *
+    * Scale shape: the global sort rank comes from the range-partitioned
+    * [[graft.sample.Samplers.globalRowNumber]] scaffold (no single-task
+    * window); neighbors join via the step-bucket trick — left rows
+    * replicate to buckets ⌊r/step⌋ and ⌊r/step⌋+1 (step = window−1), right
+    * rows live in bucket ⌊r/step⌋ alone, so any pair within `step` ranks
+    * shares exactly ONE bucket key and the join is a plain equi-join with
+    * 2× replication, never a range θ-join or a cross product.
+    *
+    * Determinism: ties in the blocking key order break on `idCol`, so the
+    * rank — and therefore the candidate set — is a pure function of the
+    * data (SQL-replayable with a ROW_NUMBER window).
+    *
+    * Reference behavior: fast_ai_wrangler's EM pipeline scores candidate
+    * pairs from a pre-blocked pair file (data_utils.py:71-88); SNM is one
+    * of the standard generators producing such files.
+    *
+    * @return (id_a, id_b, rank_dist) — id_a/id_b in blocking-key order
+    *         (a precedes b in the sort), rank_dist in [1, window−1].
+    */
+  def snmPairs(
+      df: DataFrame,
+      idCol: String,
+      keyCol: String,
+      window: Int): DataFrame = {
+    require(window >= 2, s"SNM needs a window of at least 2, got $window")
+    val step = window - 1
+    val ranked = graft.sample.Samplers
+      .globalRowNumber(
+        df.select(col(idCol).as("id"), col(keyCol).as("__k")),
+        Seq("__k", "id"), rnCol = "__r")
+      .select(col("id"), col("__k"), col("__r"))
+      .localCheckpoint(true)
+    // integer bucket id (exact at any rank — float division would round
+    // past 2^53 and silently misbucket)
+    val bucket = expr(s"__r div $step")
+    val left = ranked.select(col("id").as("id_a"), col("__r").as("__ra"),
+        explode(array(bucket, bucket + 1L)).as("__b"))
+    val right = ranked.select(col("id").as("id_b"), col("__r").as("__rb"),
+      bucket.as("__b"))
+    left.join(right, Seq("__b"))
+      .filter(col("__rb") > col("__ra") &&
+        col("__rb") - col("__ra") <= step)
+      .select(col("id_a"), col("id_b"),
+        (col("__rb") - col("__ra")).as("rank_dist"))
+  }
+
   /** Cross-document exact-substring duplication — the ExactSubstr decision
     * of Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
     * Better", arXiv:2107.06499) re-shaped for a distributed engine: two

@@ -103,6 +103,74 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
+    * LASER/CCMatrix parallel-corpus miner): for every source vector, the
+    * best target by RATIO MARGIN — cosine normalized by the mean cosine of
+    * each side's k nearest neighbors — rather than raw cosine, which
+    * over-selects hub vectors that are close to everything. The
+    * translation-pair mining shape of a multilingual training-data
+    * pipeline.
+    *
+    * score(x,y) = cos(x,y) / ( (avgₖ(x, tgt) + avgₖ(y, src)) / 2 )
+    *
+    * Determinism: cosines quantize to exact micro-longs (round·1e6 of the
+    * integer-dot cosine), neighbor sums are associative long sums, and the
+    * margin is one fixed-shape division of longs rounded to 6 — NULL when
+    * the denominator is ≤ 0 (degenerate all-negative neighborhoods), which
+    * sorts last under the explicit nulls-last rank. Ties break on target
+    * id.
+    *
+    * This is the BASELINE all-pairs scorer (source side broadcast, pair
+    * mass |src|·|tgt| — the same contract as [[bruteForceTopK]]); at
+    * corpus scale, generate candidates with [[ivfTopK]]'s cell probe and
+    * feed only those pairs through the same margin algebra. Both per-side
+    * neighbor aggregations key on an id — no global window anywhere.
+    *
+    * @return (src_id, tgt_id, cos_sim, margin) — one row per source, its
+    *         argmax-margin target.
+    */
+  def bitextMarginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"bad neighborhood size $k")
+    import org.apache.spark.sql.expressions.Window
+    val s = src.select(col(idCol).as("src_id"), quantize(col(vecCol)).as("sv"))
+    val c = tgt.select(col(idCol).as("tgt_id"), quantize(col(vecCol)).as("tv"))
+    // vectors pruned immediately after scoring (bruteForceTopK's rule)
+    val pairs = c.crossJoin(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosineQuantized(col("sv"), col("tv")) * 1e6).cast("long")
+          .as("__c"))
+      .localCheckpoint(true)
+    def sideAvg(key: String, out: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("__c").desc, col(if (key == "src_id") "tgt_id"
+          else "src_id"))
+      pairs.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .groupBy(col(key))
+        .agg(sum(col("__c")).as(s"__s$out"), count(lit(1)).as(s"__n$out"))
+    }
+    val denom = (col("__sa") * col("__nb") + col("__sb") * col("__na"))
+    val scored = pairs
+      .join(sideAvg("src_id", "a"), Seq("src_id"))
+      .join(sideAvg("tgt_id", "b"), Seq("tgt_id"))
+      .withColumn("margin",
+        when(denom > 0L,
+          round((lit(2.0) * col("__c") * col("__na") * col("__nb")) /
+            denom.cast("double"), 6)))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc_nulls_last, col("tgt_id"))
+    scored.withColumn("__best", row_number().over(w))
+      .filter(col("__best") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("__c").cast("double") / 1e6, 6).as("cos_sim"),
+        col("margin"))
+  }
+
   /** IVF scale path. Centroids are chosen deterministically as the vectors
     * with `idCol % centroidMod == 0` (a real deployment would k-means them;
     * the index structure — assign, invert, probe — is what matters here).

@@ -1542,6 +1542,52 @@ object TextAnalysis {
         min(col("__anchor")).cast("long").as("first_pos"))
   }
 
+  /** Multi-phrase dictionary tagging — [[phraseSearch]] generalized from
+    * one phrase to a DICTIONARY of phrases in a single pass (the
+    * FlashText/Aho-Corasick shape: taxonomy tagging, topic routing,
+    * blocklist screening over a training corpus). One tokenize + ONE
+    * broadcast equi-join on the token + one two-level aggregate serves
+    * every phrase simultaneously — running [[phraseSearch]] per phrase
+    * would re-tokenize and re-shuffle the corpus |dict| times.
+    *
+    * Mechanics: the dictionary explodes to (phrase, slot-index, token)
+    * rows; a corpus token matching any dictionary token proposes the
+    * anchor position `pos − idx`, and an anchor where every slot of a
+    * phrase is proposed (count-distinct = phrase length) is a match —
+    * exactly [[phraseSearch]]'s anchor algebra, keyed by phrase. Corpus
+    * tokens matching NO dictionary token drop out at the (broadcast) join,
+    * so the aggregate state is dictionary-hit-scale, not corpus-scale.
+    *
+    * @return (id, phrase, n_matches, first_pos) — docs × phrases with at
+    *         least one match.
+    */
+  def tagKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "empty phrase dictionary")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dict = phrases.flatMap { p =>
+      val ts = p.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      require(ts.nonEmpty, s"phrase '$p' has no tokens")
+      ts.zipWithIndex.map { case (w, i) => (p, i, w, ts.length) }
+    }.toDF("phrase", "__idx", "__tok", "__plen")
+    df.select(col(idCol),
+        posexplode(tokens(col(textCol))).as(Seq("__p", "__w")))
+      .join(broadcast(dict), col("__w") === col("__tok"))
+      .select(col(idCol), col("phrase"), col("__plen"),
+        (col("__p") - col("__idx")).as("__anchor"), col("__idx"))
+      .filter(col("__anchor") >= 0)
+      .groupBy(col(idCol), col("phrase"), col("__plen"), col("__anchor"))
+      .agg(count_distinct(col("__idx")).as("__slots"))
+      .filter(col("__slots") === col("__plen"))
+      .groupBy(col(idCol), col("phrase"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("__anchor")).cast("long").as("first_pos"))
+  }
+
   /** Sliding-window document chunking — the RAG/context-packing splitter:
     * token windows of `window` tokens advancing by `stride` (overlap =
     * window − stride), last window truncated, every document emitting at
