@@ -2981,7 +2981,7 @@ object SparkEntry {
       Metrics.fdViolations(o, Seq(
           ("custkey->priority", Seq("o_custkey"), "o_orderpriority"),
           ("orderdate->status", Seq("o_orderdate"), "o_orderstatus"),
-          ("clerk->priority", Seq("o_clerk"), "o_orderpriority")))
+          ("priority->status", Seq("o_orderpriority"), "o_orderstatus")))
         .orderBy(col("fd"))
     }),
 
@@ -7896,6 +7896,153 @@ object SparkEntry {
         |LEFT JOIN degc ON degc.community = nc.community
         |LEFT JOIN inc ON inc.community = nc.community, tot
         |ORDER BY nc.community""".stripMargin,
+
+    // SNM replay: the rank is a plain ROW_NUMBER over (key, id) — the
+    // bucket join is pure plumbing, so the oracle states the semantics
+    // directly as a rank-distance self-join.
+    "em_snm_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS k, p_name,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |r AS (
+        |  SELECT id, toks,
+        |    ROW_NUMBER() OVER (ORDER BY k, id) AS rn
+        |  FROM p),
+        |pairs AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(b.rn - a.rn AS BIGINT) AS rank_dist,
+        |    ROUND(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))), 6)
+        |      AS jaccard_sim
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 7)
+        |SELECT id_a, id_b, rank_dist, jaccard_sim,
+        |  CASE WHEN jaccard_sim >= 0.5 THEN 'Yes' ELSE 'No' END AS pred
+        |FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // FlashText replay: phrase_search_docs' anchor algebra generalized to
+    // a dictionary relation — slot-index join, count-distinct gate.
+    "keyword_tags_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS p, t[i] AS w
+        |  FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)),
+        |dict(phrase, idx, tok, plen) AS (VALUES
+        |  ('hash join', 0, 'hash', 2), ('hash join', 1, 'join', 2),
+        |  ('table scan', 0, 'table', 2), ('table scan', 1, 'scan', 2),
+        |  ('sort merge join', 0, 'sort', 3),
+        |  ('sort merge join', 1, 'merge', 3),
+        |  ('sort merge join', 2, 'join', 3),
+        |  ('slow query', 0, 'slow', 2), ('slow query', 1, 'query', 2),
+        |  ('data stream', 0, 'data', 2), ('data stream', 1, 'stream', 2),
+        |  ('vector', 0, 'vector', 1),
+        |  ('fast filter', 0, 'fast', 2), ('fast filter', 1, 'filter', 2),
+        |  ('group agg', 0, 'group', 2), ('group agg', 1, 'agg', 2)),
+        |anch AS (
+        |  SELECT pos.doc_id, dict.phrase, dict.plen,
+        |    pos.p - dict.idx AS anchor,
+        |    COUNT(DISTINCT dict.idx) AS slots
+        |  FROM pos JOIN dict ON pos.w = dict.tok
+        |  WHERE pos.p - dict.idx >= 0
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |  CAST(MIN(anchor) AS BIGINT) AS first_pos
+        |FROM anch WHERE slots = plen
+        |GROUP BY doc_id, phrase ORDER BY doc_id, phrase""".stripMargin,
+
+    // g3 replay: per-(lhs,rhs) counts, per-lhs sum+max, one fold per FD —
+    // NULL grouped as an ordinary value (SQL GROUP BY semantics).
+    "fd_violations_orders" ->
+      """WITH
+        |g1 AS (
+        |  SELECT SUM(c) AS n, MAX(c) AS keep FROM (
+        |    SELECT o_custkey, o_orderpriority, COUNT(*) AS c
+        |    FROM orders GROUP BY 1, 2) GROUP BY o_custkey),
+        |g2 AS (
+        |  SELECT SUM(c) AS n, MAX(c) AS keep FROM (
+        |    SELECT o_orderdate, o_orderstatus, COUNT(*) AS c
+        |    FROM orders GROUP BY 1, 2) GROUP BY o_orderdate),
+        |g3t AS (
+        |  SELECT SUM(c) AS n, MAX(c) AS keep FROM (
+        |    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+        |    FROM orders GROUP BY 1, 2) GROUP BY o_orderpriority),
+        |f AS (
+        |  SELECT 'custkey->priority' AS fd,
+        |    CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |    CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN n > keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS violating_groups,
+        |    CAST(SUM(n - keep) AS BIGINT) AS violations,
+        |    ROUND(CAST(SUM(n - keep) AS DOUBLE) / SUM(n), 6) AS g3
+        |  FROM g1
+        |  UNION ALL
+        |  SELECT 'orderdate->status',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n > keep THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(n - keep) AS BIGINT),
+        |    ROUND(CAST(SUM(n - keep) AS DOUBLE) / SUM(n), 6)
+        |  FROM g2
+        |  UNION ALL
+        |  SELECT 'priority->status',
+        |    CAST(COUNT(*) AS BIGINT), CAST(SUM(n) AS BIGINT),
+        |    CAST(SUM(CASE WHEN n > keep THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(SUM(n - keep) AS BIGINT),
+        |    ROUND(CAST(SUM(n - keep) AS DOUBLE) / SUM(n), 6)
+        |  FROM g3t)
+        |SELECT * FROM f ORDER BY fd""".stripMargin,
+
+    // Margin replay: exact micro-long cosine, top-4 neighborhoods per
+    // side, ratio margin, argmax per source — every number integer
+    // algebra until the final rounded divisions.
+    "bitext_margin_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+        |    CAST(round(CAST(list_dot_product(s.v, t.v) AS DOUBLE)
+        |      / sqrt(CAST(list_dot_product(s.v, s.v) AS DOUBLE)
+        |             * CAST(list_dot_product(t.v, t.v) AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS c
+        |  FROM qv s JOIN qv t
+        |    ON s.vec_id % 2 = 0 AND t.vec_id % 2 = 1),
+        |sa AS (
+        |  SELECT src_id, CAST(SUM(c) AS BIGINT) AS s_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n_a FROM (
+        |    SELECT src_id, c, ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY c DESC, tgt_id) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY src_id),
+        |sb AS (
+        |  SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS s_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_b FROM (
+        |    SELECT tgt_id, c, ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |      ORDER BY c DESC, src_id) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY tgt_id),
+        |scored AS (
+        |  SELECT p.src_id, p.tgt_id, p.c,
+        |    CASE WHEN sa.s_a * sb.n_b + sb.s_b * sa.n_a > 0
+        |      THEN ROUND(2.0 * p.c * sa.n_a * sb.n_b
+        |        / CAST(sa.s_a * sb.n_b + sb.s_b * sa.n_a AS DOUBLE), 6)
+        |    END AS margin
+        |  FROM pairs p
+        |  JOIN sa ON sa.src_id = p.src_id
+        |  JOIN sb ON sb.tgt_id = p.tgt_id),
+        |best AS (
+        |  SELECT src_id, tgt_id, c, margin,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY margin DESC NULLS LAST, tgt_id) AS b
+        |  FROM scored)
+        |SELECT src_id, tgt_id, ROUND(CAST(c AS DOUBLE) / 1e6, 6) AS cos_sim,
+        |  margin
+        |FROM best WHERE b = 1 ORDER BY src_id""".stripMargin,
 
     "triangle_count_lineitem" ->
       """WITH hi AS (

@@ -217,4 +217,50 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(capped == Seq((1L, 1L, 3L, 2L, 0.5), (2L, 2L, 4L, 2L, 0.5)))
   }
+
+  test("bfsHops: hand-computed hop counts on the path graph") {
+    val seeds = Seq(1L).toDF("node")
+    val got = Graph.bfsHops(pathEdges, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // maxHops caps the radius: node 4 (3 hops away) is absent at 2
+    val capped = Graph.bfsHops(pathEdges, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(capped == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsHops: multi-source minimum, unreachable absent, partition-invariant") {
+    // second component 7—8 is unreachable from the path seeds
+    val e = pathEdges.union(Seq((7L, 8L), (8L, 7L)).toDF("src", "dst"))
+    val seeds = Seq(1L, 4L).toDF("node")  // both endpoints seeded
+    val expect = Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 1L)
+    val a = Graph.bfsHops(e.repartition(1), seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.bfsHops(e.repartition(7), seeds, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == expect && b == expect)
+  }
+
+  test("modularity: hand-computed contributions on the split path graph") {
+    // communities {1,2} and {3,4}; E = 6 directed edges.
+    // c0: in = 2 ((1,2),(2,1)); deg_sum = 3 ((1,2),(2,1),(2,3))
+    //   q = 2/6 − (3/6)² = 1/3 − 1/4 = 0.083333 — same for c1 by symmetry
+    val comm = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L))
+      .toDF("node", "community")
+    val got = Graph.modularity(pathEdges, comm)
+      .orderBy("community")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 2L, 3L, 0.083333), (1L, 2L, 2L, 3L, 0.083333)))
+  }
+
+  test("modularity: single community scores 0; Q sums over contributions") {
+    // everything in one community: in = E, deg = E -> Q = 1 − 1 = 0
+    val one = Seq(1L, 2L, 3L, 4L).map((_, 0L)).toDF("node", "community")
+    val got = Graph.modularity(pathEdges, one).collect()
+    assert(got.length == 1)
+    assert(got.head.getDouble(4) == 0.0)
+    assert(got.head.getLong(2) == 6L && got.head.getLong(3) == 6L)
+  }
 }

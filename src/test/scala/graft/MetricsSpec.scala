@@ -351,4 +351,39 @@ class MetricsSpec extends SparkSpec {
     assert(got(2).getAs[Double]("chi2") == 0.0)
     assert(got(0).getAs[Long]("k_a") == 2L && got(0).getAs[Long]("k_b") == 0L)
   }
+
+  test("fdViolations: hand-computed g3, NULL as an ordinary value") {
+    // lhs->rhs over 8 rows.
+    //  group a:    rhs {1:2, 2:1}   n=3 keep=2 -> 1 violation
+    //  group b:    rhs {null:2}     n=2 keep=2 -> 0 (null is A value)
+    //  group null: rhs {1:1, 2:2}   n=3 keep=2 -> 1 (null lhs groups)
+    val df = Seq(
+      (Some("a"), Some(1)), (Some("a"), Some(1)), (Some("a"), Some(2)),
+      (Some("b"), None), (Some("b"), None),
+      (None, Some(1)), (None, Some(2)), (None, Some(2))
+    ).toDF("lhs", "rhs")
+    val got = Metrics.fdViolations(df, Seq(("lhs->rhs", Seq("lhs"), "rhs")))
+      .collect().head
+    assert(got.getString(0) == "lhs->rhs")
+    assert(got.getLong(1) == 3L)       // n_groups
+    assert(got.getLong(2) == 8L)       // n_rows
+    assert(got.getLong(3) == 2L)       // violating_groups
+    assert(got.getLong(4) == 2L)       // violations
+    assert(got.getDouble(5) == 0.25)   // g3 = 2/8
+  }
+
+  test("fdViolations: exact FD yields zero mass; multi-column lhs") {
+    val df = Seq(
+      ("x", 1, "p"), ("x", 1, "p"), ("x", 2, "q"), ("y", 1, "r"))
+      .toDF("c1", "c2", "c3")
+    val got = Metrics.fdViolations(df, Seq(
+        ("pair->c3", Seq("c1", "c2"), "c3"),   // (c1,c2) determines c3
+        ("c1->c3", Seq("c1"), "c3")))          // x maps to {p:2, q:1}
+      .orderBy("fd")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getLong(4),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("c1->c3", 1L, 1L, 0.25),
+      ("pair->c3", 0L, 0L, 0.0)))
+  }
 }

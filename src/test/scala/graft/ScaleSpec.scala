@@ -1856,4 +1856,126 @@ class ScaleSpec extends SparkSpec {
       (5L, 2L, 2L, "shared tail unique two"),
       (6L, 1L, 0L, "")))   // fully-boilerplate doc -> empty clean text
   }
+
+  test("snmPairs equals all-pairs-within-window brute force, ties on key") {
+    // ties on key "a" and "c": rank must break on id, so the candidate
+    // set is a pure function of the data
+    val rows = Seq(
+      (10L, "b"), (11L, "a"), (12L, "a"), (13L, "c"),
+      (14L, "a"), (15L, "b"), (16L, "d"), (17L, "a"), (18L, "c"))
+    val df = rows.toDF("id", "key")
+    for (w <- Seq(2, 3, 5)) {
+      val got = Dedup.snmPairs(df, "id", "key", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val ranked = rows.sortBy { case (id, k) => (k, id) }.zipWithIndex
+      val expected = (for {
+        ((ia, _), ra) <- ranked; ((ib, _), rb) <- ranked
+        if rb > ra && rb - ra <= w - 1
+      } yield (ia, ib, (rb - ra).toLong)).toSet
+      assert(got == expected, s"window $w")
+      assert(got.size == expected.size)
+    }
+  }
+
+  test("snmPairs is partition-invariant and has exact candidate mass") {
+    val df = (1L to 40L).map(i => (i, s"k${(i * 7) % 40}%02d"))
+      .toDF("id", "key")
+    val a = Dedup.snmPairs(df.repartition(1), "id", "key", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Dedup.snmPairs(df.repartition(7), "id", "key", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    // n·(window−1) − capped tail: Σ_{d=1..7} (40−d) pairs
+    assert(a.size == (1 to 7).map(40 - _).sum)
+  }
+
+  test("tagKeywords: overlapping/repeated phrases match phraseSearch per phrase") {
+    val td = Seq(
+      (1L, "hash join hash join done"),     // repeated phrase -> 2 matches
+      (2L, "a a a b"),                      // self-overlapping "a a" -> 2
+      (3L, "sort merge join and hash join"),// two phrases in one doc
+      (4L, "join hash"),                    // reversed order -> no match
+      (5L, "vector")                        // single-token phrase
+    ).toDF("doc_id", "text")
+    val phrases = Seq("hash join", "a a", "sort merge join", "vector")
+    val got = TextAnalysis.tagKeywords(td, "doc_id", "text", phrases)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val expected = phrases.flatMap { p =>
+      TextAnalysis.phraseSearch(td, "doc_id", "text", p)
+        .collect().map(r => (r.getLong(0), p, r.getLong(1), r.getLong(2)))
+    }.toSet
+    assert(got == expected)
+    // hand-checked anchors
+    assert(got((1L, "hash join", 2L, 0L)))
+    assert(got((2L, "a a", 2L, 0L)))       // anchors 0 and 1 overlap
+    assert(got((3L, "sort merge join", 1L, 0L)))
+    assert(got((3L, "hash join", 1L, 4L)))
+    assert(got((5L, "vector", 1L, 0L)))
+    assert(!got.exists(_._1 == 4L))        // reversed tokens never match
+  }
+
+  test("bitextMarginMine: margin demotes the hub target; exact vs reference") {
+    // hub target h sits between both sources: raw cosine prefers it for
+    // BOTH, but its own top-k neighborhood average is high, so the ratio
+    // margin demotes it in favor of each source's specific target — the
+    // Artetxe-Schwenk case plain cosine gets wrong.
+    val src = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)))
+    val tgt = Seq(
+      (1L, Array(0.65f, 0.0f, 0.76f)),     // specific match for 0
+      (3L, Array(0.0f, 0.65f, 0.76f)),     // specific match for 2
+      (5L, Array(0.69f, 0.69f, 0.2f)))     // hub: cos ~0.693 to both
+    val srcDF = src.toDF("id", "vec")
+    val tgtDF = tgt.toDF("id", "vec")
+    val got = Similarity.bitextMarginMine(srcDF, tgtDF, "id", "vec", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSet
+
+    // exact Long/micro reference replaying the documented algebra
+    def quant(v: Array[Float]): Array[Long] =
+      v.map(x => math.round(x.toDouble * 1000))
+    def micro(a: Array[Long], b: Array[Long]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      math.round(dot.toDouble / math.sqrt((na * nb).toDouble) * 1e6)
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val sq = src.map { case (i, v) => (i, quant(v)) }
+    val tq = tgt.map { case (i, v) => (i, quant(v)) }
+    val pairs = for { (si, sv) <- sq; (ti, tv) <- tq }
+      yield (si, ti, micro(sv, tv))
+    def sideAvg(bySrc: Boolean): Map[Long, (Long, Long)] =
+      pairs.groupBy(p => if (bySrc) p._1 else p._2).map { case (k, ps) =>
+        val top = ps.sortBy(p => (-p._3, if (bySrc) p._2 else p._1)).take(2)
+        k -> (top.map(_._3).sum, top.size.toLong)
+      }
+    val sa = sideAvg(bySrc = true)
+    val sb = sideAvg(bySrc = false)
+    val expected = pairs.groupBy(_._1).map { case (si, ps) =>
+      val scored = ps.map { case (_, ti, c) =>
+        val (ssum, sn) = sa(si); val (tsum, tn) = sb(ti)
+        val denom = ssum * tn + tsum * sn
+        val margin = if (denom > 0)
+          Some(r6(2.0 * c * sn * tn / denom.toDouble)) else None
+        (ti, c, margin)
+      }
+      val best = scored.minBy { case (ti, _, m) =>
+        (m.isEmpty, m.map(-_).getOrElse(0.0), ti) }
+      (si, best._1, r6(best._2.toDouble / 1e6), best._3.get)
+    }.toSet
+    assert(got == expected)
+    // the demotion itself: raw cosine argmax is the hub (5) for both
+    // sources; margin picks the specific targets instead
+    val rawBest = pairs.groupBy(_._1).map { case (si, ps) =>
+      si -> ps.maxBy(p => (p._3, -p._2))._2 }
+    assert(rawBest == Map(0L -> 5L, 2L -> 5L))
+    assert(got.map(p => p._1 -> p._2).toMap == Map(0L -> 1L, 2L -> 3L))
+  }
 }
