@@ -60,7 +60,13 @@ object Bench {
     // cost a round of analysis each time; medians kill the phantom.
     val passes =
       math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // local iteration aid (never set by the driver): bench only the named
+    // queries — the tool for adjudicating a single query's movement
+    // against a control commit on identical host state
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n))).sorted
     val samples = names.map(n => n ->
       scala.collection.mutable.ArrayBuffer[Double]()).toMap
     for (_ <- 1 to passes; n <- names) samples(n) += run(n)

@@ -30,6 +30,15 @@ object Bounded {
     require(keys.nonEmpty, "withRank needs at least one order key")
     val base = df.localCheckpoint(true)
     val names = keys.map(_._1)
+    // Enforce the non-null precondition loudly: the final equi-join would
+    // silently DROP null-keyed rows (the windows this replaced ranked
+    // them), so a future nullable call site must fail, not shrink. The
+    // frame is bounded + already checkpointed — the extra count is free.
+    val nullKeyRows = base
+      .filter(names.map(col(_).isNull).reduce(_ || _)).count()
+    require(nullKeyRows == 0L,
+      s"withRank: $nullKeyRows rows carry NULL in key columns " +
+        s"(${names.mkString(", ")}) — rank keys must be non-null")
     val marked = base
       .select(names.map(n => col(n).as(s"__r_$n")): _*)
       .withColumn("__mark", lit(1))

@@ -29,7 +29,9 @@ object Codec {
 
   /** Sniff + decode to (width, height, grayscale 0-255 row-major). */
   def decodeGray(payload: Array[Byte]): Option[(Int, Int, Array[Int])] = {
-    if (payload == null || payload.length < 16) None
+    // 12 bytes is the smallest parseable frame ("P5\n1 1\n255\n" + 1
+    // raster byte); anything shorter cannot carry a header + raster
+    if (payload == null || payload.length < 12) None
     else if (payload(0) == 'P' &&
       (payload(1) == '5' || payload(1) == '6') && isSpace(payload(2)))
       decodePnm(payload)
@@ -90,6 +92,8 @@ object Codec {
     * maxval must be <= 255 (1 byte/sample) and the raster length must
     * match the header EXACTLY — a text payload that merely starts with
     * "P6 " can never satisfy that, so false positives cannot decode.
+    * Samples are rescaled to the full 0-255 range when maxval < 255
+    * (round(v·255/mx)) — a legal maxval-15 PGM must not decode near-black.
     */
   private def decodePnm(p: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     val color = p(1) == '6'
@@ -117,15 +121,20 @@ object Codec {
     val n = (w * h).toInt
     if (p.length - i != w * h * ch) return None
     val out = new Array[Int](n)
+    val m = mx.toInt
+    // rescale a 0..mx sample to 0..255 (identity when mx == 255);
+    // out-of-gamut samples (raw byte > declared maxval) clamp to white
+    def full(v: Int): Int =
+      if (m == 255) v else math.min(255, (v * 255 + m / 2) / m)
     var k = 0
     while (k < n) {
       out(k) =
         if (color) {
-          val r = p(i + 3 * k) & 0xff
-          val g = p(i + 3 * k + 1) & 0xff
-          val b = p(i + 3 * k + 2) & 0xff
+          val r = full(p(i + 3 * k) & 0xff)
+          val g = full(p(i + 3 * k + 1) & 0xff)
+          val b = full(p(i + 3 * k + 2) & 0xff)
           (299 * r + 587 * g + 114 * b + 500) / 1000
-        } else p(i + k) & 0xff
+        } else full(p(i + k) & 0xff)
       k += 1
     }
     Some((w.toInt, h.toInt, out))

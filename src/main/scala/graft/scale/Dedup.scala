@@ -1028,9 +1028,15 @@ object Dedup {
     // filter needs only a df-consistent TOTAL ORDER, not a single-task
     // ranking — assigned via the range-partitioned globalRowNumber
     // scaffold, so even a billion-token dictionary ranks in parallel.
-    val dim = graft.sample.Samplers
-      .globalRowNumber(dfCnt, Seq("df_cnt", "tok"), rnCol = "tid")
-      .select(col("tok"), col("tid").cast("int").as("tid"))
+    // checked int narrowing: past 2^31 distinct tokens the cast would wrap
+    // silently and corrupt the prefix-filter order — fail loudly instead
+    // (the total is free: the scaffold's partition-size job already sums it)
+    val (dimRanked, nTokens) = graft.sample.Samplers
+      .globalRowNumberWithTotal(dfCnt, Seq("df_cnt", "tok"), rnCol = "tid")
+    require(nTokens <= Int.MaxValue,
+      s"ppjoin token dictionary has $nTokens entries — int tids would wrap; " +
+        "widen tid to long before running a corpus this large")
+    val dim = dimRanked.select(col("tok"), col("tid").cast("int").as("tid"))
     val ordered = tok.join(dim, Seq("tok"))
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("tid"))).as("toks_o"))
@@ -1140,6 +1146,15 @@ object Dedup {
     * Determinism: ties in the blocking key order break on `idCol`, so the
     * rank — and therefore the candidate set — is a pure function of the
     * data (SQL-replayable with a ROW_NUMBER window).
+    *
+    * Storage contract: the ranked (id, key, rank) projection is
+    * `localCheckpoint(true)` — EAGER, corpus-linear executor storage for
+    * the narrow 3-column frame (MEMORY_AND_DISK, so it spills rather than
+    * OOMs). Both join sides read it; without the checkpoint the whole
+    * rank scaffold (partition-size job + range exchange + per-partition
+    * window) would execute twice, and the two recomputations could in
+    * principle disagree under speculative re-partitioning — same cadence
+    * rationale as k-center's per-round checkpoint.
     *
     * Reference behavior: fast_ai_wrangler's EM pipeline scores candidate
     * pairs from a pre-blocked pair file (data_utils.py:71-88); SNM is one
@@ -1420,10 +1435,14 @@ object Dedup {
     // dense integer gram ids ranked rarest-first: numeric order IS the
     // prefix-filter order; range-partitioned rank (same scaffold as
     // ppjoinPairs) keeps a billion-gram dictionary off a single task
-    val dim = graft.sample.Samplers
-      .globalRowNumber(tok.groupBy(col("g")).agg(count(lit(1)).as("dfc")),
+    // checked int narrowing, same contract as ppjoinPairs' tid
+    val (gDim, nGrams) = graft.sample.Samplers
+      .globalRowNumberWithTotal(
+        tok.groupBy(col("g")).agg(count(lit(1)).as("dfc")),
         Seq("dfc", "g"), rnCol = "tid")
-      .select(col("g"), col("tid").cast("int").as("tid"))
+    require(nGrams <= Int.MaxValue,
+      s"edit-join gram dictionary has $nGrams entries — int tids would wrap")
+    val dim = gDim.select(col("g"), col("tid").cast("int").as("tid"))
     val ordered = tok.join(dim, Seq("g"))
       .groupBy(col("gid"))
       .agg(sort_array(collect_list(col("tid"))).as("ts"))

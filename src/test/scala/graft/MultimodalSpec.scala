@@ -179,6 +179,24 @@ class MultimodalSpec extends SparkSpec {
     assert(px2.sameElements(px))
   }
 
+  test("Codec: maxval < 255 rescales to full range; 1x1 minimal PGM parses") {
+    // legal maxval-15 PGM: samples 0..15 must decode to 0..255, not
+    // near-black (15 -> 255, 7 -> round(7*255/15) = 119, 0 -> 0)
+    val hdr = "P5\n4 1\n15\n".getBytes("US-ASCII")
+    val pgm = hdr ++ Array[Byte](0, 7, 15, 15)
+    val Some((w, h, px)) = Codec.decodeGray(pgm)
+    assert(w == 4 && h == 1)
+    assert(px.toSeq == Seq(0, (7 * 255 + 7) / 15, 255, 255))
+    // color path rescales per channel before the luma mix
+    val ppm = "P6\n1 1\n3\n".getBytes("US-ASCII") ++ Array[Byte](3, 3, 3)
+    assert(Codec.decodeGray(ppm).exists(_._3.sameElements(Array(255))))
+    // the smallest real PNM (12 bytes) decodes — no arbitrary 16-byte floor
+    val tiny = "P5\n1 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](42)
+    assert(tiny.length == 12)
+    assert(Codec.decodeGray(tiny).exists { case (w2, h2, p2) =>
+      w2 == 1 && h2 == 1 && p2.sameElements(Array(42)) })
+  }
+
   test("non-image payloads fall back to the md5 stub grid (oracle parity)") {
     val text = "just some document text".getBytes("UTF-8")
     assert(Codec.gridOrStub(text)
