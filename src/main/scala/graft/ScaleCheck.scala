@@ -579,6 +579,76 @@ object ScaleCheck {
             .select(col("p").as("src"), col("p2").as("dst"))
           graft.scale.Graph.linkPrediction(edges, 64, 50)
         },
+        lineitem, "l_orderkey", None),
+      ("em_snm",
+        // candidate mass is n·(window−1) BY CONSTRUCTION — the flattest
+        // possible pair generator; what's timed is the rank scaffold +
+        // step-bucket equi-join at N× rows
+        (d: DataFrame) => Dedup.snmPairs(
+          d.select(col("p_partkey").as("id"), lower(col("p_name")).as("key")),
+          "id", "key", 8),
+        part, "p_partkey", None),
+      ("bitext_ivf",
+        // rotated copies decorrelate and the 1e7 id shift is ≡ 0 mod 50,
+        // so each copy seeds its own centroids: cell COUNT grows N×, cell
+        // size stays bounded → candidate pair mass linear (the brute
+        // bitext query is the documented |src|·|tgt| baseline and is
+        // deliberately NOT a scalecheck case)
+        (d: DataFrame) => Similarity.bitextMarginIvf(
+          d.filter(col("vec_id") % 2 === 0),
+          d.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 4, 3, 50, 1),
+        embeddings, "vec_id", Some("embedding")),
+      ("keyword_tags",
+        // unsalted so the dictionary phrases keep existing in every copy
+        // (phrase_search's rule); corpus tokens matching no dictionary
+        // token drop at the broadcast join, so aggregate state is
+        // hit-scale, not corpus-scale
+        (d: DataFrame) => TextAnalysis.tagKeywords(d, "doc_id", "text",
+          Seq("hash join", "table scan", "sort merge join", "slow query",
+            "data stream", "vector", "fast filter", "group agg")),
+        docs, "doc_id", None),
+      ("fd_violations",
+        // unsalted: the (lhs, rhs) group dictionary stays fixed while
+        // counts grow N× — two partial-agg-friendly hash-aggs + a fold
+        // per FD, the flattest profiling shape
+        (d: DataFrame) => graft.metrics.Metrics.fdViolations(d, Seq(
+          ("custkey->priority", Seq("o_custkey"), "o_orderpriority"),
+          ("orderdate->status", Seq("o_orderdate"), "o_orderstatus"),
+          ("priority->status", Seq("o_orderpriority"), "o_orderstatus"))),
+        orders, "o_orderkey", None),
+      ("bfs_hops",
+        // disjoint-replica re-keying (as kcore): each copy carries its own
+        // mod-50 seeds, so per-round frontier mass scales N× while hop
+        // rounds stay constant
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.bfsHops(edges,
+            edges.select(col("src").as("node"))
+              .filter(col("node") % 50 === 0), 3)
+        },
+        lineitem, "l_orderkey", None),
+      ("modularity",
+        // disjoint-replica re-keying; community map is node-mass keyed on
+        // node, the two community hash-aggs are edge-mass — all linear
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.modularity(edges,
+            edges.select(col("src").as("node")).distinct()
+              .withColumn("community", col("node") % 25))
+        },
         lineitem, "l_orderkey", None))
 
     // warm-up

@@ -2997,6 +2997,22 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // ---- embeddings: bitext mining, IVF cell-probe scale path --------------
+    // The 100 TB variant of the brute query above: candidates from the
+    // shared-centroid cell join (mod-50 rem-1 picks 10 tgt-side
+    // centroids, sources probe their top 3 cells), margins over
+    // candidates only — ~30% of brute's pair mass here, |src|·|tgt|·
+    // nprobe/cells in general. Brute stays beside it as the documented
+    // exact baseline — the ann_topk/ivf_topk convention.
+    "bitext_margin_ivf_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Similarity.bitextMarginIvf(
+          e.filter(col("vec_id") % 2 === 0),
+          e.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", 4, 3, 50, 1)
+        .orderBy(col("src_id"))
+    }),
+
     // ---- graph: degree-ordered triangle counting ---------------------------
     // Co-purchase graph: parts joined by appearing in the same order with
     // high quantity (l_quantity >= 35 keeps the graph sparse — a raw
@@ -8042,6 +8058,75 @@ object SparkEntry {
         |  FROM scored)
         |SELECT src_id, tgt_id, ROUND(CAST(c AS DOUBLE) / 1e6, 6) AS cos_sim,
         |  margin
+        |FROM best WHERE b = 1 ORDER BY src_id""".stripMargin,
+
+    // IVF bitext replay: shared-centroid assignment (ivf_topk's shape),
+    // cell equi-join candidates, then the same margin algebra as the
+    // brute oracle above — margins computed within the candidate set.
+    "bitext_margin_ivf_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv
+        |  WHERE vec_id % 2 = 1 AND vec_id % 50 = 1),
+        |sass AS (
+        |  SELECT vec_id AS src_id, centroid_id, v FROM (
+        |    SELECT q.vec_id, c.centroid_id, q.v,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CAST(list_dot_product(q.v, c.centv) AS DOUBLE)
+        |          / sqrt(CAST(list_dot_product(q.v, q.v) AS DOUBLE)
+        |                 * CAST(list_dot_product(c.centv, c.centv) AS DOUBLE))
+        |          DESC, c.centroid_id) AS crk
+        |    FROM qv q CROSS JOIN cents c WHERE q.vec_id % 2 = 0)
+        |  WHERE crk <= 3),
+        |tass AS (
+        |  SELECT vec_id AS tgt_id, centroid_id, v FROM (
+        |    SELECT q.vec_id, c.centroid_id, q.v,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        CAST(list_dot_product(q.v, c.centv) AS DOUBLE)
+        |          / sqrt(CAST(list_dot_product(q.v, q.v) AS DOUBLE)
+        |                 * CAST(list_dot_product(c.centv, c.centv) AS DOUBLE))
+        |          DESC, c.centroid_id) AS crk
+        |    FROM qv q CROSS JOIN cents c WHERE q.vec_id % 2 = 1)
+        |  WHERE crk = 1),
+        |pairs AS (
+        |  SELECT s.src_id, t.tgt_id, s.centroid_id,
+        |    CAST(round(CAST(list_dot_product(s.v, t.v) AS DOUBLE)
+        |      / sqrt(CAST(list_dot_product(s.v, s.v) AS DOUBLE)
+        |             * CAST(list_dot_product(t.v, t.v) AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS c
+        |  FROM sass s JOIN tass t ON s.centroid_id = t.centroid_id),
+        |sa AS (
+        |  SELECT src_id, CAST(SUM(c) AS BIGINT) AS s_a,
+        |    CAST(COUNT(*) AS BIGINT) AS n_a FROM (
+        |    SELECT src_id, c, ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY c DESC, tgt_id) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY src_id),
+        |sb AS (
+        |  SELECT tgt_id, CAST(SUM(c) AS BIGINT) AS s_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_b FROM (
+        |    SELECT tgt_id, c, ROW_NUMBER() OVER (PARTITION BY tgt_id
+        |      ORDER BY c DESC, src_id) AS rk FROM pairs)
+        |  WHERE rk <= 4 GROUP BY tgt_id),
+        |scored AS (
+        |  SELECT p.src_id, p.centroid_id, p.tgt_id, p.c,
+        |    CASE WHEN sa.s_a * sb.n_b + sb.s_b * sa.n_a > 0
+        |      THEN ROUND(2.0 * p.c * sa.n_a * sb.n_b
+        |        / CAST(sa.s_a * sb.n_b + sb.s_b * sa.n_a AS DOUBLE), 6)
+        |    END AS margin
+        |  FROM pairs p
+        |  JOIN sa ON sa.src_id = p.src_id
+        |  JOIN sb ON sb.tgt_id = p.tgt_id),
+        |best AS (
+        |  SELECT src_id, centroid_id, tgt_id, c, margin,
+        |    ROW_NUMBER() OVER (PARTITION BY src_id
+        |      ORDER BY margin DESC NULLS LAST, tgt_id) AS b
+        |  FROM scored)
+        |SELECT src_id, centroid_id, tgt_id,
+        |  ROUND(CAST(c AS DOUBLE) / 1e6, 6) AS cos_sim, margin
         |FROM best WHERE b = 1 ORDER BY src_id""".stripMargin,
 
     "triangle_count_lineitem" ->
