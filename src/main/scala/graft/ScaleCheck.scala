@@ -649,7 +649,23 @@ object ScaleCheck {
             edges.select(col("src").as("node")).distinct()
               .withColumn("community", col("node") % 25))
         },
-        lineitem, "l_orderkey", None))
+        lineitem, "l_orderkey", None),
+      ("char_entropy",
+        // per-doc alphabets are tiny, so the (id, char) partials collapse
+        // hard map-side; both aggs key on the doc — pure linear scans
+        (d: DataFrame) => TextAnalysis.charEntropy(d, "doc_id", "text"),
+        docs, "doc_id", None),
+      ("bigram_perplexity",
+        // unsalted (shared vocabulary, like pmi_pairs): the count tables
+        // stay vocab²-bounded while the scored bigram stream grows N×
+        (d: DataFrame) => TextAnalysis.bigramPerplexity(d, "doc_id", "text"),
+        docs, "doc_id", None),
+      ("unimax_mix",
+        // ONE corpus hash-agg; the waterfall runs on the 5-row language
+        // dictionary — time should track the token-count scan alone
+        (d: DataFrame) => TextAnalysis.unimaxAllocate(d, "lang", "text",
+          600000L, 3),
+        docs, "doc_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -3078,6 +3078,29 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- corpus quality: per-doc character entropy (gibberish filter) ------
+    // Shannon entropy over exact per-char counts — base64/binary payloads
+    // approach the 6-bit ceiling, template spam approaches 0.
+    "char_entropy_docs" -> ((s, dir) =>
+      TextAnalysis.charEntropy(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- corpus quality: bigram-LM perplexity per doc ----------------------
+    // Add-one-smoothed corpus bigram model, transductive scoring — the
+    // KenLM-shaped CCNet bucket signal one rung above unigram_logprob.
+    "bigram_perplexity_docs" -> ((s, dir) =>
+      TextAnalysis.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
+    // ---- mixing: UniMax budget allocation across languages -----------------
+    // 60k-token budget, 3-epoch cap per language: low-resource langs hit
+    // the cap, the rest split the remainder evenly (exact integer
+    // waterfall — see TextAnalysis.unimaxAllocate).
+    "unimax_mix_docs" -> ((s, dir) =>
+      TextAnalysis.unimaxAllocate(t(s, dir, "documents"), "lang", "text",
+          60000L, 3)
+        .orderBy(col("domain"))),
+
     // ---- DSIR importance-resampling data selection -------------------------
     // Target = English docs; every doc scored by the hashed-unigram
     // importance ratio and sampled without replacement via deterministic
@@ -8228,6 +8251,81 @@ object SparkEntry {
         |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "char_entropy_docs" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(string_split(text, '')) AS c
+        |  FROM documents),
+        |cc AS (
+        |  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ch WHERE len(c) > 0 GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+        |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+        |    SUM(CAST(n AS DOUBLE) * log2(CAST(n AS DOUBLE))) AS clc
+        |  FROM cc GROUP BY 1)
+        |SELECT doc_id, n_chars, n_distinct_chars,
+        |  ROUND(log2(CAST(n_chars AS DOUBLE)) - clc / n_chars, 6)
+        |    AS entropy_bits
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "bigram_perplexity_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bi AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)),
+        |bf AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        |  FROM bi GROUP BY 1, 2),
+        |uf AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uf),
+        |sc AS (
+        |  SELECT b.doc_id,
+        |    ln(CAST(bf.c12 + 1 AS DOUBLE) / (uf.c1 + v.v)) AS lp
+        |  FROM bi b
+        |  JOIN bf ON bf.w1 = b.w1 AND bf.w2 = b.w2
+        |  JOIN uf ON uf.w1 = b.w1, v)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(-AVG(lp), 6) AS cross_entropy,
+        |  ROUND(exp(-AVG(lp)), 6) AS perplexity
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // UniMax waterfall replay: capped iff cap·(D−rk+1) ≤ B − below (a
+    // prefix of the capacity sort); the first uncapped rank fixes the
+    // level; leftover mod tokens go one each to the first uncapped ranks.
+    "unimax_mix_docs" ->
+      """WITH dom AS (
+        |  SELECT lang AS domain,
+        |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT domain, n_tokens, n_tokens * 3 AS cap_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens * 3, domain) AS rk,
+        |    COUNT(*) OVER () AS d,
+        |    COALESCE(SUM(n_tokens * 3) OVER (ORDER BY n_tokens * 3, domain
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+        |  FROM dom),
+        |f AS (
+        |  SELECT *, cap_tokens * (d - rk + 1) <= 60000 - below AS capped
+        |  FROM r),
+        |lvl AS (SELECT MIN(rk) AS m, MIN(below) AS sb FROM f WHERE NOT capped),
+        |alloc AS (
+        |  SELECT f.domain, f.n_tokens, f.cap_tokens,
+        |    CASE WHEN f.capped OR lvl.m IS NULL THEN f.cap_tokens
+        |      ELSE (60000 - lvl.sb) // (f.d - lvl.m + 1)
+        |        + CASE WHEN f.rk - lvl.m <
+        |            (60000 - lvl.sb) % (f.d - lvl.m + 1)
+        |          THEN 1 ELSE 0 END
+        |    END AS alloc_tokens
+        |  FROM f, lvl)
+        |SELECT domain, n_tokens, cap_tokens,
+        |  CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+        |  ROUND(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) AS epochs
+        |FROM alloc ORDER BY domain""".stripMargin,
 
     // DSIR: hashed-unigram bucket LMs with add-1 smoothing; per-token log
     // ratio as four fixed-order lns of exact integers; Gumbel key from the

@@ -1625,6 +1625,151 @@ object TextAnalysis {
           (col("chunk_start") + 1).cast("int"), lit(window)))
           .cast("binary")).as("chunk_md5"))
   }
+
+  /** Per-document character-level Shannon entropy — the CCNet-family
+    * gibberish filter ([[qualityFeatures]]' missing member): encrypted /
+    * base64 / binary-ish payloads sit near the 6-bit ceiling, natural
+    * language near 4.2 bits, template spam ("aaaa…") near 0. Works on
+    * code points (Spark `split("")` and the oracle's `string_split('')`
+    * agree on the corpus contract).
+    *
+    * H = log2(n) − (Σ c·log2 c)/n over exact per-char counts c — the
+    * only float steps are the two log2 calls and the final division,
+    * rounded to 6 (the [[unigramLogProb]] determinism convention).
+    *
+    * Scale shape: one explode (|chars| rows) → hash-agg keyed (id, char)
+    * with map-side partials (per-doc alphabets are small, so partials
+    * collapse hard) → hash-agg keyed id. No join, no window — linear.
+    * Empty documents have no rows (no chars → entropy undefined).
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), explode(split(col(textCol), "")).as("__ch"))
+      .filter(length(col("__ch")) > 0)
+      .groupBy(col(idCol), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("__c").cast("double") * log2(col("__c").cast("double")))
+          .as("__clc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct_chars"),
+        round(log2(col("n_chars").cast("double")) -
+          col("__clc") / col("n_chars"), 6).as("entropy_bits"))
+
+  /** Per-document perplexity under an add-one-smoothed corpus BIGRAM LM —
+    * the KenLM-shaped quality signal one rung above [[unigramLogProb]]
+    * (perplexity filtering à la CCNet buckets documents by LM surprise;
+    * a bigram model already separates fluent text from shuffled tokens,
+    * which a unigram model cannot). Transductive by design: the corpus
+    * being scored is the corpus the counts come from, like
+    * [[corpusFrequencyScore]].
+    *
+    * p(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), V = distinct-unigram count:
+    * all-integer numerators/denominators, so the only float steps are the
+    * per-bigram ln and the final mean/exp, rounded to 6.
+    *
+    * Scale shape: bigram relation = one explode + self-shifted zip (the
+    * [[bigramStats]] pair generator); counts are two hash-aggs (the
+    * bigram table is vocab²-bounded, the PMI-family contract); scoring
+    * joins doc bigrams to the count tables ON THE BIGRAM KEY — corpus
+    * mass flows through keyed equi-joins only. Docs with < 2 tokens have
+    * no bigrams and are absent.
+    */
+  def bigramPerplexity(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), tokens(col(textCol)).as("__t"))
+    val bi = toks
+      .select(col(idCol), posexplode(slice(col("__t"), lit(1),
+        greatest(size(col("__t")) - 1, lit(0)))).as(Seq("__i", "w1")),
+        col("__t"))
+      .select(col(idCol), col("w1"),
+        element_at(col("__t"), col("__i") + 2).as("w2"))
+    val uniFreq = df
+      .select(explode(tokens(col(textCol))).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+    val vocab = uniFreq.agg(count(lit(1)).as("__v"))
+    val biFreq = bi.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__c12"))
+    bi.join(biFreq, Seq("w1", "w2"))
+      .join(uniFreq, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("__lp", log((col("__c12") + 1).cast("double") /
+        (col("__c1") + col("__v")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-avg(col("__lp")), 6).as("cross_entropy"),
+        round(exp(-avg(col("__lp"))), 6).as("perplexity"))
+  }
+
+  /** UniMax budget allocation (Chung et al., ICLR 2023): split a total
+    * token budget across domains as UNIFORMLY as possible subject to a
+    * per-domain epoch cap — the principled fix for temperature sampling's
+    * low-resource over-repetition ([[temperatureMix]]'s neighbor; UniMax
+    * never repeats a domain more than `maxEpochs` times, temperature
+    * can). Exact integer waterfall: domains sorted by capacity ascending,
+    * every domain whose cap fits under the current uniform water level
+    * takes its cap; the remaining budget splits evenly over the rest,
+    * with the `mod` leftover given one token each to the first uncapped
+    * domains in sort order — every allocation an exact long, fully
+    * SQL-replayable.
+    *
+    * Scale shape: ONE corpus hash-agg (domain → token sum); everything
+    * after runs on the dictionary-scale domain table through
+    * [[graft.core.Bounded.withRank]] + a broadcast cumulative self-join —
+    * no corpus-mass sort, no global window.
+    *
+    * @return (domain, n_tokens, cap_tokens, alloc_tokens, epochs) —
+    *         epochs = alloc/n_tokens rounded 6, ≤ maxEpochs always.
+    */
+  def unimaxAllocate(
+      df: DataFrame,
+      domainCol: String,
+      textCol: String,
+      budget: Long,
+      maxEpochs: Int): DataFrame = {
+    require(budget > 0L, s"bad budget $budget")
+    require(maxEpochs >= 1, s"bad epoch cap $maxEpochs")
+    val dom = df
+      .groupBy(col(domainCol).as("domain"))
+      .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
+      .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
+    val ranked = graft.core.Bounded.withRank(dom,
+      Seq(("cap_tokens", false), ("domain", false)), "__rk")
+    // S_{i-1} (cap mass strictly below rank i) and D via one broadcast
+    // self-join on the bounded domain table
+    val marked = ranked.select(col("__rk").as("__rj"),
+      col("cap_tokens").as("__cj"))
+    val cum = ranked
+      .join(broadcast(marked), col("__rj") < col("__rk"), "left")
+      .groupBy(col("domain"), col("n_tokens"), col("cap_tokens"),
+        col("__rk"))
+      .agg(coalesce(sum(col("__cj")), lit(0L)).as("__below"))
+    val d = dom.agg(count(lit(1)).as("__d"))
+    // rank i is CAPPED iff cap_i·(D−i+1) ≤ B − S_{i−1} (its cap fits the
+    // uniform share of what's left); monotone in i, so "capped" is a
+    // prefix of the sort — the first uncapped rank m fixes the level
+    val flagged = cum.crossJoin(broadcast(d))
+      .withColumn("__capped",
+        col("cap_tokens") * (col("__d") - col("__rk") + 1) <=
+          lit(budget) - col("__below"))
+    val level = flagged.filter(!col("__capped"))
+      .groupBy()
+      .agg(min(col("__rk")).as("__m"), min(col("__below")).as("__sb"))
+    // no uncapped domain → level frame is empty → left join keeps nulls
+    // and every domain takes its cap (budget exceeds total capacity)
+    flagged.join(broadcast(level), col("__rk") >= col("__m"), "left")
+      .withColumn("__nunc", col("__d") - col("__m") + 1)
+      .withColumn("__r", lit(budget) - col("__sb"))
+      .withColumn("alloc_tokens",
+        when(col("__capped") || col("__m").isNull, col("cap_tokens"))
+          .otherwise(expr("__r div __nunc") +
+            when(col("__rk") - col("__m") < col("__r") % col("__nunc"), 1L)
+              .otherwise(0L)))
+      .select(col("domain"), col("n_tokens"), col("cap_tokens"),
+        col("alloc_tokens"),
+        round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
+          .as("epochs"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

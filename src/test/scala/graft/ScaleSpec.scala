@@ -2051,4 +2051,64 @@ class ScaleSpec extends SparkSpec {
     assert(ivf.size == brute.size)
     assert(recall >= 0.9, s"clustered recall should be near-exact: $recall")
   }
+
+  test("charEntropy: hand-computed bits (0 / 1 / 2), spaces are chars") {
+    val td = Seq(
+      (1L, "aaaa"),       // single symbol -> 0 bits
+      (2L, "abab"),       // two equiprobable -> 1 bit
+      (3L, "abcd"),       // four equiprobable -> 2 bits
+      (4L, "ab ab")       // space participates: {a:2, b:2, ' ':1}
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.charEntropy(td, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got(0) == ((1L, 4L, 1L, 0.0)))
+    assert(got(1) == ((2L, 4L, 2L, 1.0)))
+    assert(got(2) == ((3L, 4L, 4L, 2.0)))
+    // H = log2(5) - (2·1 + 2·1 + 0)/5 = 2.321928 - 0.8 = 1.521928
+    assert(got(3) == ((4L, 5L, 3L, 1.521928)))
+  }
+
+  test("bigramPerplexity: hand-computed add-one model; short docs absent") {
+    // corpus bigrams: (a,b)=2, (b,a)=1, (a,a)=1; unigrams a=4, b=2 AND
+    // solo=1 (a bigram-less doc still contributes vocabulary) -> V=3
+    // p(b|a)=(2+1)/(4+3)=3/7; p(a|b)=(1+1)/(2+3)=2/5; p(a|a)=(1+1)/(4+3)=2/7
+    val td = Seq(
+      (1L, "a b a b"),   // ce = (2·ln(7/3)+ln(5/2))/3 = 0.870295
+      (2L, "a a"),       // ce = ln(7/2) = 1.252763, ppl exactly 3.5
+      (3L, "solo")       // one token, no bigram -> absent from output
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramPerplexity(td, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 2)
+    assert(got(0) == ((1L, 3L, 0.870295, 2.387616)))
+    assert(got(1) == ((2L, 1L, 1.252763, 3.5)))
+  }
+
+  test("unimaxAllocate: hand-computed waterfall across budget regimes") {
+    val td = Seq(
+      ("d1", "t1 t2"),                     // 2 tokens, cap 4 at e=2
+      ("d2", "t1 t2 t3 t4"),               // 4 tokens, cap 8
+      ("d3", "a b c d e f g h i j")        // 10 tokens, cap 20
+    ).toDF("dom", "text")
+    def got(b: Long) = TextAnalysis.unimaxAllocate(td, "dom", "text", b, 2)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // mid budget: d1 capped (4·3 ≤ 18), d2/d3 split the remaining 14 evenly
+    assert(got(18L) == Seq(("d1", 2L, 4L, 4L, 2.0),
+      ("d2", 4L, 8L, 7L, 1.75), ("d3", 10L, 20L, 7L, 0.7)))
+    // budget above total capacity: everyone takes their cap
+    assert(got(100L) == Seq(("d1", 2L, 4L, 4L, 2.0),
+      ("d2", 4L, 8L, 8L, 2.0), ("d3", 10L, 20L, 20L, 2.0)))
+    // tiny budget: nobody capped, 5 = 1+1+1 base with 2 mod-leftovers
+    // going to the first ranks of the capacity sort (d1, d2)
+    assert(got(5L) == Seq(("d1", 2L, 4L, 2L, 1.0),
+      ("d2", 4L, 8L, 2L, 0.5), ("d3", 10L, 20L, 1L, 0.1)))
+    // invariant: Σ alloc = min(budget, Σ cap)
+    assert(got(18L).map(_._4).sum == 18L)
+    assert(got(100L).map(_._4).sum == 32L)
+    assert(got(5L).map(_._4).sum == 5L)
+  }
 }
