@@ -665,7 +665,48 @@ object ScaleCheck {
         // dictionary — time should track the token-count scan alone
         (d: DataFrame) => TextAnalysis.unimaxAllocate(d, "lang", "text",
           600000L, 3),
-        docs, "doc_id", None))
+        docs, "doc_id", None),
+      ("lpa",
+        // disjoint-replica re-keying (as kcore): rounds constant, per-
+        // round message mass = edge mass — 3 keyed shuffles at N×
+        (d: DataFrame) => {
+          val w = 10000000L
+          val hi = d.filter(col("l_quantity") >= 35.0)
+            .select(col("l_orderkey").as("k"),
+              expr(s"l_partkey + (l_orderkey DIV $w) * $w").as("p"))
+          val edges = hi.join(hi.select(col("k"), col("p").as("p2")), Seq("k"))
+            .filter(col("p") =!= col("p2"))
+            .select(col("p").as("src"), col("p2").as("dst"))
+          graft.scale.Graph.labelPropagation(edges, 3)
+        },
+        lineitem, "l_orderkey", None),
+      ("em_fs",
+        // SNM candidates (n·7 mass) + one 1-row stats broadcast + a
+        // linear scoring scan — the whole decision layer stays linear
+        (d: DataFrame) => {
+          val attrs = d.select(col("p_partkey").as("id"), col("p_name"),
+            col("p_brand"), col("p_type"), col("p_size"))
+          val pairs = Dedup.snmPairs(
+              d.select(col("p_partkey").as("id"),
+                lower(col("p_name")).as("key")), "id", "key", 8)
+            .join(attrs.select(col("id").as("id_a"),
+              col("p_name").as("__na"), col("p_brand").as("__ba"),
+              col("p_type").as("__ta"), col("p_size").as("__sa")),
+              Seq("id_a"))
+            .join(attrs.select(col("id").as("id_b"),
+              col("p_name").as("__nb"), col("p_brand").as("__bb"),
+              col("p_type").as("__tb"), col("p_size").as("__sb")),
+              Seq("id_b"))
+            .select(col("id_a"), col("id_b"),
+              (col("__ba") === col("__bb")).as("brand_eq"),
+              (abs(col("__sa") - col("__sb")) <= 1).as("size_close"),
+              (graft.tasks.Wrangler.tokenJaccard(col("__na"), col("__nb"))
+                >= 0.5).as("name_sim"),
+              (col("__ta") === col("__tb")).as("gold"))
+          Dedup.fellegiSunterScore(pairs,
+            Seq("brand_eq", "size_close", "name_sim"), "gold")
+        },
+        part, "p_partkey", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -26,6 +26,32 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared candidate relation of the two Fellegi-Sunter queries: SNM
+    * blocking (lowercased name, window 8) over part, each pair carrying
+    * its field-agreement booleans + the p_type gold label.
+    */
+  private def fsPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part")
+    val attrs = p.select(col("p_partkey").cast("long").as("id"),
+      col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+    Dedup.snmPairs(
+        p.select(col("p_partkey").cast("long").as("id"),
+          lower(col("p_name")).as("key")),
+        "id", "key", 8)
+      .join(attrs.select(col("id").as("id_a"), col("p_name").as("__na"),
+        col("p_brand").as("__ba"), col("p_type").as("__ta"),
+        col("p_size").as("__sa")), Seq("id_a"))
+      .join(attrs.select(col("id").as("id_b"), col("p_name").as("__nb"),
+        col("p_brand").as("__bb"), col("p_type").as("__tb"),
+        col("p_size").as("__sb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (col("__ba") === col("__bb")).as("brand_eq"),
+        (abs(col("__sa") - col("__sb")) <= 1).as("size_close"),
+        (Wrangler.tokenJaccard(col("__na"), col("__nb")) >= 0.5)
+          .as("name_sim"),
+        (col("__ta") === col("__tb")).as("gold"))
+  }
+
   /** Map builder that REFUSES duplicate keys. A `Map(...)` literal silently
     * keeps the LAST binding on key collision — which really happened: a
     * reused "percentiles_lineitem" key shadowed the interpolated-percentile
@@ -2940,6 +2966,42 @@ object SparkEntry {
           .select((col("c_custkey") + 10000000L).as("node"),
             col("c_nationkey").cast("long").as("community")))
       Graph.modularity(edges, comm).orderBy(col("community"))
+    }),
+
+    // ---- graph: label-propagation community detection ----------------------
+    // The community PRODUCER beside modularity's scorer, on the same
+    // supplier↔customer trade graph: 3 synchronous rounds, most-frequent
+    // in-neighbor label, ties to the smallest — deterministic, so the
+    // oracle unrolls the rounds exactly (the pagerank convention).
+    "lpa_communities_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("sk"),
+          (col("o_custkey") + 10000000L).as("ck"))
+        .distinct()
+      val edges = pairs.select(col("sk").as("src"), col("ck").as("dst"))
+        .union(pairs.select(col("ck").as("src"), col("sk").as("dst")))
+      Graph.labelPropagation(edges, 3).orderBy(col("node"))
+    }),
+
+    // ---- EM: Fellegi-Sunter scoring over SNM candidates --------------------
+    // The principled record-linkage decision layer on the blocking
+    // family: brand equality / size-within-1 / name-Jaccard agreement
+    // fields, p_type equality as gold, add-1/add-2 smoothed m/u weights.
+    "em_fs_part" -> ((s, dir) => {
+      Dedup.fellegiSunterScore(fsPairs(s, dir),
+          Seq("brand_eq", "size_close", "name_sim"), "gold")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- EM: the Fellegi-Sunter weight table itself ------------------------
+    // Which comparison fields discriminate: per-field m/u and the
+    // agree/disagree log-weights from the same candidate relation.
+    "em_fs_weights_part" -> ((s, dir) => {
+      Dedup.fellegiSunterWeights(fsPairs(s, dir),
+          Seq("brand_eq", "size_close", "name_sim"), "gold")
+        .orderBy(col("field"))
     }),
 
     // ---- EM blocking: sorted-neighborhood candidates -----------------------
@@ -7935,6 +7997,178 @@ object SparkEntry {
         |LEFT JOIN degc ON degc.community = nc.community
         |LEFT JOIN inc ON inc.community = nc.community, tot
         |ORDER BY nc.community""".stripMargin,
+
+    // LPA replay: 3 rounds unrolled exactly (the pagerank convention) —
+    // per round a (dst, label) count, mode pick by (count desc, label),
+    // message-less nodes keep their label.
+    "lpa_communities_orders" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS sk, o_custkey + 10000000 AS ck
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |edges AS (
+        |  SELECT sk AS src, ck AS dst FROM pairs
+        |  UNION ALL SELECT ck AS src, sk AS dst FROM pairs),
+        |n AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT src AS node FROM edges
+        |    UNION ALL SELECT dst AS node FROM edges)),
+        |l0 AS (SELECT node, CAST(node AS BIGINT) AS label FROM n),
+        |m1 AS (
+        |  SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |  FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+        |p1 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rk
+        |    FROM m1) WHERE rk = 1),
+        |l1 AS (
+        |  SELECT l0.node, COALESCE(p1.label, l0.label) AS label
+        |  FROM l0 LEFT JOIN p1 USING (node)),
+        |m2 AS (
+        |  SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |  FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rk
+        |    FROM m2) WHERE rk = 1),
+        |l2 AS (
+        |  SELECT l1.node, COALESCE(p2.label, l1.label) AS label
+        |  FROM l1 LEFT JOIN p2 USING (node)),
+        |m3 AS (
+        |  SELECT e.dst AS node, l.label, COUNT(*) AS c
+        |  FROM edges e JOIN l2 l ON l.node = e.src GROUP BY 1, 2),
+        |p3 AS (
+        |  SELECT node, label FROM (
+        |    SELECT node, label,
+        |      ROW_NUMBER() OVER (PARTITION BY node
+        |        ORDER BY c DESC, label) AS rk
+        |    FROM m3) WHERE rk = 1),
+        |l3 AS (
+        |  SELECT l2.node, COALESCE(p3.label, l2.label) AS label
+        |  FROM l2 LEFT JOIN p3 USING (node))
+        |SELECT node, label FROM l3 ORDER BY node""".stripMargin,
+
+    // Fellegi-Sunter replay: SNM candidates (rank-distance self-join),
+    // conditional-sum stats, smoothed m/u ratios, the same fixed-shape
+    // div-div-div-ln per field; decision on the UNROUNDED sum.
+    "em_fs_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS k, p_brand, p_type,
+        |    p_size,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |r AS (
+        |  SELECT id, p_brand, p_type, p_size, toks,
+        |    ROW_NUMBER() OVER (ORDER BY k, id) AS rn
+        |  FROM p),
+        |pr AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.p_brand = b.p_brand AS brand_eq,
+        |    abs(a.p_size - b.p_size) <= 1 AS size_close,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |      AS name_sim,
+        |    a.p_type = b.p_type AS gold
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 7),
+        |st AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(SUM(CASE WHEN gold AND brand_eq THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(SUM(CASE WHEN NOT gold AND brand_eq THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(SUM(CASE WHEN gold AND size_close THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(SUM(CASE WHEN NOT gold AND size_close THEN 1 ELSE 0 END) AS BIGINT) AS au2,
+        |    CAST(SUM(CASE WHEN gold AND name_sim THEN 1 ELSE 0 END) AS BIGINT) AS am3,
+        |    CAST(SUM(CASE WHEN NOT gold AND name_sim THEN 1 ELSE 0 END) AS BIGINT) AS au3
+        |  FROM pr),
+        |sc AS (
+        |  SELECT pr.*,
+        |    (CASE WHEN brand_eq
+        |       THEN ln((CAST(am1 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(au1 + 1 AS DOUBLE) / (nu + 2)))
+        |       ELSE ln((CAST(nm - am1 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(nu - au1 + 1 AS DOUBLE) / (nu + 2))) END
+        |     + CASE WHEN size_close
+        |       THEN ln((CAST(am2 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(au2 + 1 AS DOUBLE) / (nu + 2)))
+        |       ELSE ln((CAST(nm - am2 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(nu - au2 + 1 AS DOUBLE) / (nu + 2))) END
+        |     + CASE WHEN name_sim
+        |       THEN ln((CAST(am3 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(au3 + 1 AS DOUBLE) / (nu + 2)))
+        |       ELSE ln((CAST(nm - am3 + 1 AS DOUBLE) / (nm + 2))
+        |               / (CAST(nu - au3 + 1 AS DOUBLE) / (nu + 2))) END)
+        |      AS s
+        |  FROM pr, st)
+        |SELECT id_a, id_b, brand_eq, size_close, name_sim, gold,
+        |  ROUND(s, 6) AS score, s > 0 AS decision
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
+
+    "em_fs_weights_part" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, lower(p_name) AS k, p_brand, p_type,
+        |    p_size,
+        |    list_distinct(list_filter(
+        |      string_split_regex(lower(p_name), '\s+|;\s*'),
+        |      x -> len(x) > 0)) AS toks
+        |  FROM part),
+        |r AS (
+        |  SELECT id, p_brand, p_type, p_size, toks,
+        |    ROW_NUMBER() OVER (ORDER BY k, id) AS rn
+        |  FROM p),
+        |pr AS (
+        |  SELECT a.p_brand = b.p_brand AS brand_eq,
+        |    abs(a.p_size - b.p_size) <= 1 AS size_close,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5
+        |      AS name_sim,
+        |    a.p_type = b.p_type AS gold
+        |  FROM r a JOIN r b ON b.rn > a.rn AND b.rn - a.rn <= 7),
+        |st AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS nm,
+        |    CAST(SUM(CASE WHEN NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS nu,
+        |    CAST(SUM(CASE WHEN gold AND brand_eq THEN 1 ELSE 0 END) AS BIGINT) AS am1,
+        |    CAST(SUM(CASE WHEN NOT gold AND brand_eq THEN 1 ELSE 0 END) AS BIGINT) AS au1,
+        |    CAST(SUM(CASE WHEN gold AND size_close THEN 1 ELSE 0 END) AS BIGINT) AS am2,
+        |    CAST(SUM(CASE WHEN NOT gold AND size_close THEN 1 ELSE 0 END) AS BIGINT) AS au2,
+        |    CAST(SUM(CASE WHEN gold AND name_sim THEN 1 ELSE 0 END) AS BIGINT) AS am3,
+        |    CAST(SUM(CASE WHEN NOT gold AND name_sim THEN 1 ELSE 0 END) AS BIGINT) AS au3
+        |  FROM pr)
+        |SELECT * FROM (
+        |  SELECT 'brand_eq' AS field, nm AS n_match, nu AS n_unmatch,
+        |    am1 AS agree_match, au1 AS agree_unmatch,
+        |    ROUND(CAST(am1 + 1 AS DOUBLE) / (nm + 2), 6) AS m,
+        |    ROUND(CAST(au1 + 1 AS DOUBLE) / (nu + 2), 6) AS u,
+        |    ROUND(ln((CAST(am1 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(au1 + 1 AS DOUBLE) / (nu + 2))), 6) AS w_agree,
+        |    ROUND(ln((CAST(nm - am1 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(nu - au1 + 1 AS DOUBLE) / (nu + 2))), 6) AS w_disagree
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'size_close', nm, nu, am2, au2,
+        |    ROUND(CAST(am2 + 1 AS DOUBLE) / (nm + 2), 6),
+        |    ROUND(CAST(au2 + 1 AS DOUBLE) / (nu + 2), 6),
+        |    ROUND(ln((CAST(am2 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(au2 + 1 AS DOUBLE) / (nu + 2))), 6),
+        |    ROUND(ln((CAST(nm - am2 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(nu - au2 + 1 AS DOUBLE) / (nu + 2))), 6)
+        |  FROM st
+        |  UNION ALL
+        |  SELECT 'name_sim', nm, nu, am3, au3,
+        |    ROUND(CAST(am3 + 1 AS DOUBLE) / (nm + 2), 6),
+        |    ROUND(CAST(au3 + 1 AS DOUBLE) / (nu + 2), 6),
+        |    ROUND(ln((CAST(am3 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(au3 + 1 AS DOUBLE) / (nu + 2))), 6),
+        |    ROUND(ln((CAST(nm - am3 + 1 AS DOUBLE) / (nm + 2))
+        |      / (CAST(nu - au3 + 1 AS DOUBLE) / (nu + 2))), 6)
+        |  FROM st)
+        |ORDER BY field""".stripMargin,
 
     // SNM replay: the rank is a plain ROW_NUMBER over (key, id) — the
     // bucket join is pure plumbing, so the oracle states the semantics

@@ -1536,4 +1536,92 @@ object Dedup {
         (col("n_docs") - col("__raw")).as("n_raw_dups"),
         (col("n_docs") - col("__norm")).as("n_norm_dups"),
         (col("__raw") - col("__norm")).as("gain"))
+
+  /** Fellegi-Sunter record-linkage field weights (Fellegi & Sunter, JASA
+    * 1969) — the principled scoring layer on top of the blocking
+    * generators ([[snmPairs]]/[[ppjoinPairs]]): per comparison field i,
+    * m_i = P(agree | match) and u_i = P(agree | non-match), estimated
+    * from a labeled candidate-pair relation with add-1/add-2 Laplace
+    * smoothing (so no weight is ever ±∞ and every ln sees a ratio of
+    * exact positive integers). Agreement weight w_a = ln(m/u), disagree
+    * w_d = ln((1−m)/(1−u)) — high-discrimination fields (brand) earn
+    * large |w|, noisy fields small.
+    *
+    * Scale shape: ONE conditional hash-agg over the pair relation →
+    * a |fields|-row output. No join, no window.
+    *
+    * @param pairs  candidate pairs carrying boolean agreement columns
+    * @param fields agreement column names
+    * @param goldCol boolean ground-truth match column
+    * @return per field: (field, n_match, n_unmatch, agree_match,
+    *         agree_unmatch, m, u, w_agree, w_disagree), rounded 6
+    */
+  def fellegiSunterWeights(
+      pairs: DataFrame,
+      fields: Seq[String],
+      goldCol: String): DataFrame = {
+    require(fields.nonEmpty, "no comparison fields")
+    val aggs =
+      Seq(sum(when(col(goldCol), 1L).otherwise(0L)).as("__nm"),
+        sum(when(!col(goldCol), 1L).otherwise(0L)).as("__nu")) ++
+        fields.flatMap { f => Seq(
+          sum(when(col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__am_$f"),
+          sum(when(!col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__au_$f"))
+        }
+    val stats = pairs.agg(aggs.head, aggs.tail: _*)
+    fields.map { f =>
+      val m = (col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2)
+      val u = (col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2)
+      val md = (col("__nm") - col(s"__am_$f") + 1).cast("double") /
+        (col("__nm") + 2)
+      val ud = (col("__nu") - col(s"__au_$f") + 1).cast("double") /
+        (col("__nu") + 2)
+      stats.select(lit(f).as("field"),
+        col("__nm").as("n_match"), col("__nu").as("n_unmatch"),
+        col(s"__am_$f").as("agree_match"),
+        col(s"__au_$f").as("agree_unmatch"),
+        round(m, 6).as("m"), round(u, 6).as("u"),
+        round(log(m / u), 6).as("w_agree"),
+        round(log(md / ud), 6).as("w_disagree"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[fellegiSunterWeights]] applied back to the pair relation: every
+    * pair scores Σ_i (agrees_i ? w_agree_i : w_disagree_i); decision =
+    * score > 0 (the λ=0 threshold; callers tune by filtering on score).
+    * The 1-row stats frame broadcasts — the pair stream is touched
+    * exactly twice (weight estimation, scoring), both as linear scans.
+    *
+    * @return pairs + (score, decision) — score rounded 6 AFTER summing
+    *         the unrounded per-field lns (one fixed-shape double
+    *         expression, SQL-replayable).
+    */
+  def fellegiSunterScore(
+      pairs: DataFrame,
+      fields: Seq[String],
+      goldCol: String): DataFrame = {
+    require(fields.nonEmpty, "no comparison fields")
+    val aggs =
+      Seq(sum(when(col(goldCol), 1L).otherwise(0L)).as("__nm"),
+        sum(when(!col(goldCol), 1L).otherwise(0L)).as("__nu")) ++
+        fields.flatMap { f => Seq(
+          sum(when(col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__am_$f"),
+          sum(when(!col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__au_$f"))
+        }
+    val stats = pairs.agg(aggs.head, aggs.tail: _*)
+    val score = fields.map { f =>
+      val m = (col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2)
+      val u = (col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2)
+      val md = (col("__nm") - col(s"__am_$f") + 1).cast("double") /
+        (col("__nm") + 2)
+      val ud = (col("__nu") - col(s"__au_$f") + 1).cast("double") /
+        (col("__nu") + 2)
+      when(col(f), log(m / u)).otherwise(log(md / ud))
+    }.reduce(_ + _)
+    pairs.crossJoin(broadcast(stats))
+      .withColumn("score", round(score, 6))
+      .withColumn("decision", score > 0.0)
+      .drop(Seq("__nm", "__nu") ++
+        fields.flatMap(f => Seq(s"__am_$f", s"__au_$f")): _*)
+  }
 }

@@ -482,4 +482,47 @@ object Graph {
               (coalesce(col("deg_sum"), lit(0L)).cast("double") / col("__e")),
           6).as("q_contrib"))
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — the community
+    * PRODUCER beside [[modularity]]'s scorer: labels start as node ids;
+    * each round every node adopts the most frequent label among its
+    * in-neighbors, ties broken on the SMALLEST label — fully
+    * deterministic, so `rounds` unrolled SQL replays it exactly (the
+    * [[pageRankMicro]] oracle convention). Fixed `rounds` IS the declared
+    * semantics: synchronous LPA can oscillate on bipartite structure, so
+    * there is no silent-convergence cap to hide (the kCore lesson).
+    *
+    * Scale shape: per round ONE label join keyed on src + one (dst,
+    * label) hash-agg + one arg-max hash-agg (max of a (count, −label)
+    * struct — no window) + a left join back for message-less nodes.
+    * Labels are localCheckpoint'd per round (iterative-lineage rule).
+    * Undirected graphs pass both edge directions, the family convention.
+    *
+    * @return (node, label) — label = the propagated community id.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"bad round count $rounds")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    var labels = nodes.withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var r = 0
+    while (r < rounds) {
+      val pick = e
+        .join(labels.select(col("node").as("src"), col("label")), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("node"))
+        .agg(max(struct(col("__c"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("node"), (-col("__m.__nl")).as("__new"))
+      labels = labels
+        .join(pick, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__new"), col("label")).as("label"))
+        .localCheckpoint(true)
+      r += 1
+    }
+    labels
+  }
 }

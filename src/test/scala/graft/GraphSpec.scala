@@ -255,6 +255,30 @@ class GraphSpec extends SparkSpec {
       (0L, 2L, 2L, 3L, 0.083333), (1L, 2L, 2L, 3L, 0.083333)))
   }
 
+  test("labelPropagation: two bridged triangles collapse to two communities") {
+    // triangles {1,2,3} and {4,5,6}, bridge 3—4; 3 synchronous rounds
+    // hand-traced: r1 adopts min neighbor ids, r2 consolidates, r3 lands
+    // {1,2,3}→1 and {4,5,6}→3 (node 4 pulled across by the converged
+    // B-side majority) — deterministic, mode ties to the smallest label
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val edges = tri.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // partition invariance (the mode pick must not depend on layout)
+    val b = Graph.labelPropagation(edges.repartition(7), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == got)
+    // round-1 state is the hand-computed min-neighbor map
+    val r1 = Graph.labelPropagation(edges, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L,
+      5L -> 4L, 6L -> 4L))
+  }
+
   test("modularity: single community scores 0; Q sums over contributions") {
     // everything in one community: in = E, deg = E -> Q = 1 − 1 = 0
     val one = Seq(1L, 2L, 3L, 4L).map((_, 0L)).toDF("node", "community")

@@ -2111,4 +2111,38 @@ class ScaleSpec extends SparkSpec {
     assert(got(100L).map(_._4).sum == 32L)
     assert(got(5L).map(_._4).sum == 5L)
   }
+
+  test("fellegiSunter: hand-computed smoothed weights; uninformative " +
+      "field earns near-zero weight; score = sum of field lns") {
+    // 10 candidate pairs: nm=4 gold matches, nu=6 non-matches.
+    // field f: agrees on 3 matches, 1 non-match (discriminative);
+    // field g: agrees on ALL pairs (uninformative).
+    //   m_f=(3+1)/6=2/3  u_f=(1+1)/8=1/4  w_a=ln(8/3)=0.980829
+    //   w_d=ln((2/6)/(6/8))=-0.810930
+    //   m_g=5/6 u_g=7/8  w_a=ln(20/21)=-0.048790 (≈0, as it should)
+    val pairs = (Seq.fill(3)((true, true)) ++ Seq((true, false)) ++
+      Seq((false, true)) ++ Seq.fill(5)((false, false)))
+      .zipWithIndex
+      .map { case ((gold, f), i) => (i.toLong, i.toLong + 100L, f, true, gold) }
+      .toDF("id_a", "id_b", "f", "g", "gold")
+    val w = Dedup.fellegiSunterWeights(pairs, Seq("f", "g"), "gold")
+      .orderBy("field").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8)))
+    assert(w(0) == (("f", 4L, 6L, 3L, 1L, 0.666667, 0.25,
+      0.980829, -0.81093)))
+    assert(w(1) == (("g", 4L, 6L, 4L, 6L, 0.833333, 0.875,
+      -0.04879, 0.287682)))
+    val s = Dedup.fellegiSunterScore(pairs, Seq("f", "g"), "gold")
+      .select("id_a", "f", "score", "decision").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq.sortBy(_._1)
+    // f-agree pairs: 0.980829 + (-0.048790) = 0.932039 -> linked;
+    // f-disagree: -0.810930 - 0.048790 = -0.859720 -> not linked
+    s.foreach { case (_, f, score, dec) =>
+      if (f) { assert(score == 0.932039); assert(dec) }
+      else { assert(score == -0.85972); assert(!dec) }
+    }
+  }
 }
