@@ -566,4 +566,68 @@ class PlanSpec extends SparkSpec {
       .count(_ == "BroadcastNestedLoopJoin") <= 1,
       s"only the scalar total may nested-loop:\n$plan")
   }
+
+  test("snmPairs: step-bucket equi-join, no range theta-join, no global " +
+      "window on the data plane") {
+    val p = Tables.load(spark, sf, "part")
+      .select(col("p_partkey").as("id"), lower(col("p_name")).as("key"))
+    val plan = graft.scale.Dedup.snmPairs(p, "id", "key", 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"rank pairing went " +
+      s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"rank pairing went theta:\n$plan")
+  }
+
+  test("bitextMarginIvf: centroid assignment broadcasts; candidate join " +
+      "keys on the cell — never |src|x|tgt|") {
+    val e = Tables.load(spark, sf, "embeddings")
+    val df = graft.scale.Similarity.bitextMarginIvf(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1),
+      "vec_id", "embedding", 4, 3, 50, 1)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"all-pairs bitext:\n$plan")
+    // the only nested-loops allowed are the two centroid broadcasts
+    // (bounded table) — the src x tgt pair join must be a hash join
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("SortMergeJoin"),
+      s"cell join must be an equi-join:\n$plan")
+  }
+
+  test("labelPropagation: rounds are keyed joins + hash-aggs — no window, " +
+      "no cartesian") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") >= 35.0)
+      .select(col("l_orderkey").as("k"), col("l_partkey"))
+    val edges = li.join(li.select(col("k"), col("l_partkey").as("p2")),
+        Seq("k"))
+      .filter(col("l_partkey") =!= col("p2"))
+      .select(col("l_partkey").as("src"), col("p2").as("dst"))
+    val plan = graft.scale.Graph.labelPropagation(edges, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"label join cartesian:\n$plan")
+    assert(!plan.contains("Window"), s"mode pick must be an aggregate, " +
+      s"not a window:\n$plan")
+  }
+
+  test("fellegiSunterScore: stats ride ONE 1-row broadcast; the pair " +
+      "stream never re-shuffles") {
+    val pairs = Tables.load(spark, sf, "part")
+      .select(col("p_partkey").as("id_a"),
+        (col("p_partkey") + 1).as("id_b"),
+        (col("p_size") % 2 === 0).as("f"),
+        (col("p_size") % 3 === 0).as("g"),
+        (col("p_size") % 5 === 0).as("gold"))
+    val plan = graft.scale.Dedup.fellegiSunterScore(
+        pairs, Seq("f", "g"), "gold")
+      .queryExecution.executedPlan.toString
+    // the only join in the whole scoring layer is the scalar broadcast
+    assert(plan.sliding("Join".length).count(_ == "Join") ==
+      plan.sliding("BroadcastNestedLoopJoin".length)
+        .count(_ == "BroadcastNestedLoopJoin"),
+      s"scoring must not add non-broadcast joins:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair stream re-shuffled:\n$plan")
+  }
 }
