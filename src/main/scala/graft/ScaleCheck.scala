@@ -706,7 +706,16 @@ object ScaleCheck {
           Dedup.fellegiSunterScore(pairs,
             Seq("brand_eq", "size_close", "name_sim"), "gold")
         },
-        part, "p_partkey", None))
+        part, "p_partkey", None),
+      ("mad_outliers",
+        // two bucket-histogram selection passes + one conditional
+        // hash-agg; no group ever materializes in an agg buffer (the
+        // interpolated medianAbsoluteDeviation form would)
+        (d: DataFrame) => graft.metrics.Metrics.madOutliers(
+          d.withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long")),
+          "cents", Seq("event_type"), 3),
+        events, "user_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -3140,6 +3140,18 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- QA: robust median/MAD outlier panel per event type ----------------
+    // Hampel's rule (|x − median| > 3·MAD) with both medians by
+    // distributed selection — the robust complement to anomaly_zscore
+    // (a fat-finger row shifts mean AND σ and hides itself; it cannot
+    // shift the median/MAD pair).
+    "mad_outliers_events" -> ((s, dir) =>
+      graft.metrics.Metrics.madOutliers(
+          t(s, dir, "events").withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long")),
+          "cents", Seq("event_type"), 3)
+        .orderBy(col("event_type"))),
+
     // ---- corpus quality: per-doc character entropy (gibberish filter) ------
     // Shannon entropy over exact per-char counts — base64/binary payloads
     // approach the 6-bit ceiling, template spam approaches 0.
@@ -8485,6 +8497,43 @@ object SparkEntry {
         |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // MAD replay: the exactPercentiles rank convention — type-1 order
+    // statistic at rank (n·500000 + 999999) div 1e6 = ceil(n/2) — for
+    // both medians; all comparisons exact longs.
+    "mad_outliers_events" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |medr AS (
+        |  SELECT event_type, v,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |med AS (
+        |  SELECT event_type, v AS med FROM medr
+        |  WHERE rn = (n * 500000 + 999999) // 1000000),
+        |d AS (
+        |  SELECT b.event_type, b.v, abs(b.v - med.med) AS adv, med.med
+        |  FROM b JOIN med USING (event_type)),
+        |madr AS (
+        |  SELECT event_type, adv,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |mad AS (
+        |  SELECT event_type, adv AS mad FROM madr
+        |  WHERE rn = (n * 500000 + 999999) // 1000000)
+        |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MAX(d.med) AS BIGINT) AS median,
+        |  CAST(MAX(mad.mad) AS BIGINT) AS mad,
+        |  CAST(SUM(CASE WHEN d.adv > mad.mad * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  ROUND(CAST(SUM(CASE WHEN d.adv > mad.mad * 3 THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / COUNT(*), 6) AS outlier_frac
+        |FROM d JOIN mad USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "char_entropy_docs" ->
       """WITH ch AS (

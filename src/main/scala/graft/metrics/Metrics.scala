@@ -518,6 +518,55 @@ object Metrics {
         col("__v").as("value"))): _*)
   }
 
+  /** Robust per-group outlier panel: median / MAD (median absolute
+    * deviation) by DISTRIBUTED SELECTION and the |x − med| > k·MAD flag —
+    * the robust complement to the mean/σ z-score (one fat-finger row
+    * shifts mean AND σ and hides itself; the median/MAD pair has a 50%
+    * breakdown point — Hampel's rule, the data-cleaning standard).
+    * [[medianAbsoluteDeviation]] is the interpolated small-group form
+    * (its `percentile` agg buffers each group inside one aggregation
+    * buffer); THIS is the 100 TB path — no group ever materializes, and
+    * it adds the flag counts.
+    *
+    * Three linear passes, never a global sort: (1) per-group median via
+    * [[exactPercentiles]]' bucket-histogram selection (type-1 rank
+    * ceil(n/2) — both medians exact LONGS, so every comparison is integer
+    * math); (2) the same machinery over |x − median|; (3) one conditional
+    * hash-agg counting flags. The median/MAD tables are group-dictionary
+    * scale and ride broadcast joins.
+    *
+    * @param k flag threshold: |x − median| > k·MAD (k=3 ≈ Hampel)
+    * @return per group: (group…, n, median, mad, n_outliers,
+    *         outlier_frac) — frac rounded 6
+    */
+  def madOutliers(
+      df: DataFrame,
+      valCol: String,
+      groupCols: Seq[String],
+      k: Int = 3,
+      bucketShift: Int = 12): DataFrame = {
+    require(k >= 1, s"bad MAD multiplier $k")
+    val gcols = groupCols.map(col)
+    val med = exactPercentiles(df, valCol, Seq(500000L), groupCols,
+        bucketShift)
+      .select((gcols :+ col("value").as("__med")): _*)
+    val dev = df.select((gcols :+ col(valCol).cast("long").as("__v")): _*)
+      .join(broadcast(med), groupCols)
+      .withColumn("__adv", abs(col("__v") - col("__med")))
+    val mad = exactPercentiles(dev, "__adv", Seq(500000L), groupCols,
+        bucketShift)
+      .select((gcols :+ col("value").as("__mad")): _*)
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__adv") > col("__mad") * k, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic — the corpus-
     * snapshot QA check: did the distribution of a numeric column move
     * between two samples (old vs new crawl, side A vs side B)?

@@ -372,6 +372,25 @@ class MetricsSpec extends SparkSpec {
     assert(got.getDouble(5) == 0.25)   // g3 = 2/8
   }
 
+  test("madOutliers: hand-computed Hampel panel; the outlier cannot hide " +
+      "itself; even-n type-1 medians") {
+    // group a: [1,2,3,4,100] -> median (rank ceil(5/2)=3) = 3;
+    //   |x-3| = [2,1,0,1,97] -> MAD = 1; flags: 97 > 3·1 -> exactly the
+    //   planted row (the mean/σ rule on this data flags NOTHING: mean=22,
+    //   σ≈39, z(100)≈2 < 3 — the robustness point)
+    // group b: [1,2,3,4] -> type-1 median = 2; |x-2|=[1,0,1,2] -> MAD=1;
+    //   no flag (max dev 2 ≤ 3)
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("a", _)) ++
+      Seq(1L, 2L, 3L, 4L).map(("b", _))).toDF("g", "v")
+    val got = Metrics.madOutliers(df, "v", Seq("g"), 3)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 5L, 3L, 1L, 1L, 0.2),
+      ("b", 4L, 2L, 1L, 0L, 0.0)))
+  }
+
   test("fdViolations: exact FD yields zero mass; multi-column lhs") {
     val df = Seq(
       ("x", 1, "p"), ("x", 1, "p"), ("x", 2, "q"), ("y", 1, "r"))
