@@ -684,24 +684,25 @@ object ScaleCheck {
         // SNM candidates (n·7 mass) + one 1-row stats broadcast + a
         // linear scoring scan — the whole decision layer stays linear
         (d: DataFrame) => {
-          val attrs = d.select(col("p_partkey").as("id"), col("p_name"),
+          val attrs = d.select(col("p_partkey").as("id"),
+            graft.tasks.Wrangler.emTokens(col("p_name")).as("toks"),
             col("p_brand"), col("p_type"), col("p_size"))
           val pairs = Dedup.snmPairs(
               d.select(col("p_partkey").as("id"),
                 lower(col("p_name")).as("key")), "id", "key", 8)
             .join(attrs.select(col("id").as("id_a"),
-              col("p_name").as("__na"), col("p_brand").as("__ba"),
+              col("toks").as("__ka"), col("p_brand").as("__ba"),
               col("p_type").as("__ta"), col("p_size").as("__sa")),
               Seq("id_a"))
             .join(attrs.select(col("id").as("id_b"),
-              col("p_name").as("__nb"), col("p_brand").as("__bb"),
+              col("toks").as("__kb"), col("p_brand").as("__bb"),
               col("p_type").as("__tb"), col("p_size").as("__sb")),
               Seq("id_b"))
             .select(col("id_a"), col("id_b"),
               (col("__ba") === col("__bb")).as("brand_eq"),
               (abs(col("__sa") - col("__sb")) <= 1).as("size_close"),
-              (graft.tasks.Wrangler.tokenJaccard(col("__na"), col("__nb"))
-                >= 0.5).as("name_sim"),
+              (graft.tasks.Wrangler.tokenJaccardArrays(
+                col("__ka"), col("__kb")) >= 0.5).as("name_sim"),
               (col("__ta") === col("__tb")).as("gold"))
           Dedup.fellegiSunterScore(pairs,
             Seq("brand_eq", "size_close", "name_sim"), "gold")

@@ -32,22 +32,26 @@ object SparkEntry {
     */
   private def fsPairs(s: SparkSession, dir: String): DataFrame = {
     val p = t(s, dir, "part")
+    // tokens materialized ONCE per row before the pair join (emTokens'
+    // documented rule) — per-pair tokenization re-splits each name
+    // window−1 times
     val attrs = p.select(col("p_partkey").cast("long").as("id"),
-      col("p_name"), col("p_brand"), col("p_type"), col("p_size"))
+      Wrangler.emTokens(col("p_name")).as("toks"),
+      col("p_brand"), col("p_type"), col("p_size"))
     Dedup.snmPairs(
         p.select(col("p_partkey").cast("long").as("id"),
           lower(col("p_name")).as("key")),
         "id", "key", 8)
-      .join(attrs.select(col("id").as("id_a"), col("p_name").as("__na"),
+      .join(attrs.select(col("id").as("id_a"), col("toks").as("__ka"),
         col("p_brand").as("__ba"), col("p_type").as("__ta"),
         col("p_size").as("__sa")), Seq("id_a"))
-      .join(attrs.select(col("id").as("id_b"), col("p_name").as("__nb"),
+      .join(attrs.select(col("id").as("id_b"), col("toks").as("__kb"),
         col("p_brand").as("__bb"), col("p_type").as("__tb"),
         col("p_size").as("__sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (col("__ba") === col("__bb")).as("brand_eq"),
         (abs(col("__sa") - col("__sb")) <= 1).as("size_close"),
-        (Wrangler.tokenJaccard(col("__na"), col("__nb")) >= 0.5)
+        (Wrangler.tokenJaccardArrays(col("__ka"), col("__kb")) >= 0.5)
           .as("name_sim"),
         (col("__ta") === col("__tb")).as("gold"))
   }
@@ -3011,15 +3015,16 @@ object SparkEntry {
     "em_snm_part" -> ((s, dir) => {
       val p = t(s, dir, "part")
         .select(col("p_partkey").cast("long").as("id"),
-          lower(col("p_name")).as("key"), col("p_name"))
-      val names = p.select(col("id"), col("p_name"))
+          lower(col("p_name")).as("key"),
+          Wrangler.emTokens(col("p_name")).as("toks"))
+      val names = p.select(col("id"), col("toks"))
       Dedup.snmPairs(p.select(col("id"), col("key")), "id", "key", 8)
-        .join(names.select(col("id").as("id_a"), col("p_name").as("__na")),
+        .join(names.select(col("id").as("id_a"), col("toks").as("__ka")),
           Seq("id_a"))
-        .join(names.select(col("id").as("id_b"), col("p_name").as("__nb")),
+        .join(names.select(col("id").as("id_b"), col("toks").as("__kb")),
           Seq("id_b"))
         .select(col("id_a"), col("id_b"), col("rank_dist"),
-          round(Wrangler.tokenJaccard(col("__na"), col("__nb")), 6)
+          round(Wrangler.tokenJaccardArrays(col("__ka"), col("__kb")), 6)
             .as("jaccard_sim"))
         .withColumn("pred",
           when(col("jaccard_sim") >= 0.5, "Yes").otherwise("No"))
@@ -3139,6 +3144,27 @@ object SparkEntry {
     "unigram_logprob_docs" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
+
+    // ---- STREAMING g3 FD drift -------------------------------------------
+    // fd_violations' streaming twin (the welch/proportion/drift
+    // convention): the per-(fd, lhs, rhs) count table — the ONLY
+    // corpus-mass state — runs as one Complete-mode aggregation over the
+    // union of key-serialized projections; the per-lhs fold runs over
+    // the drained state. Oracle = the batch fd_violations SQL verbatim.
+    "streaming_fd_violations_orders" -> ((s, dir) => {
+      val batch = t(s, dir, "orders")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/orders*.parquet")
+      val counts = graft.metrics.Metrics.fdCounts(stream, Seq(
+        ("custkey->priority", Seq("o_custkey"), "o_orderpriority"),
+        ("orderdate->status", Seq("o_orderdate"), "o_orderstatus"),
+        ("priority->status", Seq("o_orderpriority"), "o_orderstatus")))
+      val name = "stream_fd_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.fdFromCounts(drained).orderBy(col("fd"))
+    }),
 
     // ---- QA: robust median/MAD outlier panel per event type ----------------
     // Hampel's rule (|x − median| > 3·MAD) with both medians by
@@ -3732,6 +3758,9 @@ object SparkEntry {
       ("streaming_ab_events" -> m("ab_test_events")),
       ("streaming_embedding_drift_embeddings" ->
         m("embedding_drift_embeddings")),
+      // the g3 fold over the drained count state = the batch fdViolations
+      // algebra (spec-pinned composition) — same SQL
+      ("streaming_fd_violations_orders" -> m("fd_violations_orders")),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->

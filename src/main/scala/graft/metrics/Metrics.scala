@@ -826,4 +826,48 @@ object Metrics {
             .as("g3"))
     }.reduce(_ unionByName _)
   }
+
+  /** [[fdViolations]] split for the STREAMING twin: the only corpus-mass
+    * state — per-(fd, lhs-key, rhs-key) counts — as ONE associative
+    * aggregation over the union of per-FD key projections, so it runs
+    * unchanged as Complete-mode streaming state (the welchMoments /
+    * proportionMoments convention). Keys serialize null-safely:
+    * \u0001-joined, each value "v"-prefixed and NULL as a \u0002 marker,
+    * so the string "null" and the value NULL stay distinct groups — any
+    * injective encoding yields the same counts, which is all the fold
+    * reads.
+    */
+  def fdCounts(
+      df: DataFrame,
+      fds: Seq[(String, Seq[String], String)]): DataFrame = {
+    require(fds.nonEmpty, "no candidate FDs given")
+    def key(cols: Seq[String]): Column = concat_ws("\u0001",
+      cols.map(c => when(col(c).isNull, lit("\u0002N"))
+        .otherwise(concat(lit("v"), col(c).cast("string")))): _*)
+    fds.map { case (name, lhs, rhs) =>
+      df.select(lit(name).as("fd"), key(lhs).as("__lk"),
+        key(Seq(rhs)).as("__rk"))
+    }.reduce(_ unionByName _)
+      .groupBy(col("fd"), col("__lk"), col("__rk"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The per-lhs fold over [[fdCounts]]' (drained) state — the identical
+    * algebra [[fdViolations]] fuses inline, so
+    * fdFromCounts ∘ fdCounts = fdViolations on any frame (spec-pinned),
+    * and the streaming twin shares the batch oracle verbatim.
+    */
+  def fdFromCounts(counts: DataFrame): DataFrame =
+    counts.groupBy(col("fd"), col("__lk"))
+      .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__keep"))
+      .groupBy(col("fd"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(col("__n")).as("n_rows"),
+        sum(when(col("__n") > col("__keep"), 1L).otherwise(0L))
+          .as("violating_groups"),
+        sum(col("__n") - col("__keep")).as("violations"))
+      .select(col("fd"), col("n_groups"), col("n_rows"),
+        col("violating_groups"), col("violations"),
+        round(col("violations").cast("double") / col("n_rows"), 6)
+          .as("g3"))
 }

@@ -391,6 +391,30 @@ class MetricsSpec extends SparkSpec {
       ("b", 4L, 2L, 1L, 0L, 0.0)))
   }
 
+  test("fdCounts/fdFromCounts composition equals fdViolations — incl. " +
+      "NULL keys and the null-vs-'null'-string distinction") {
+    // adversarial fixture: a real NULL and the literal string "null" in
+    // the same column must land in DIFFERENT groups (the  marker),
+    // and multi-column lhs keys must not collide across the separator
+    val df = Seq(
+      (Some("a"), Some("x"), Some(1)), (Some("a"), Some("x"), Some(2)),
+      (Some("null"), None, None), (None, Some("x"), None),
+      (None, Some("x"), Some(1)), (Some("a"), None, Some(1))
+    ).toDF("c1", "c2", "c3")
+    val fds = Seq(
+      ("c1->c3", Seq("c1"), "c3"),
+      ("pair->c3", Seq("c1", "c2"), "c3"))
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("fd").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(canon(Metrics.fdFromCounts(Metrics.fdCounts(df, fds))) ==
+      canon(Metrics.fdViolations(df, fds)))
+    // and the state relation really is one row per (fd, lhs, rhs) class
+    val st = Metrics.fdCounts(df, fds)
+    assert(st.count() ==
+      st.select("fd", "__lk", "__rk").distinct().count())
+  }
+
   test("fdViolations: exact FD yields zero mass; multi-column lhs") {
     val df = Seq(
       ("x", 1, "p"), ("x", 1, "p"), ("x", 2, "q"), ("y", 1, "r"))
