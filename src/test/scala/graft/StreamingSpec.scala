@@ -208,6 +208,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming g3 FD state equals the batch profiler") {
+    import graft.io.Tables
+    val fds = Seq(
+      ("custkey->priority", Seq("o_custkey"), "o_orderpriority"),
+      ("orderdate->status", Seq("o_orderdate"), "o_orderstatus"),
+      ("priority->status", Seq("o_orderpriority"), "o_orderstatus"))
+    val stream = SparkEntry.queries("streaming_fd_violations_orders")(
+        spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.metrics.Metrics.fdViolations(
+        Tables.load(spark, sf, "orders"), fds)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("streaming embedding drift state equals the batch panel") {
     val stream =
       SparkEntry.queries("streaming_embedding_drift_embeddings")(spark, sf)
