@@ -708,6 +708,15 @@ object ScaleCheck {
             Seq("brand_eq", "size_close", "name_sim"), "gold")
         },
         part, "p_partkey", None),
+      ("benford",
+        // one 2-way explode + two hash-aggs over the 9-digit dictionary —
+        // tracks the scan
+        (d: DataFrame) => graft.metrics.Metrics.benfordDigits(
+          d.select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("price_cents")),
+          Seq("o_custkey", "price_cents")),
+        orders, "o_orderkey", None),
       ("mad_outliers",
         // two bucket-histogram selection passes + one conditional
         // hash-agg; no group ever materializes in an agg buffer (the

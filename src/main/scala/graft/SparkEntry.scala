@@ -3145,6 +3145,18 @@ object SparkEntry {
       TextAnalysis.unigramLogProb(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- QA: Benford first-digit panel over orders -------------------------
+    // The numeric-column forensics screen: price cents vs the Benford
+    // curve, plus the (deliberately) uniform custkey column — which the
+    // panel flags hard, exactly its purpose on synthetic/fabricated data.
+    "benford_orders" -> ((s, dir) =>
+      graft.metrics.Metrics.benfordDigits(
+          t(s, dir, "orders").select(col("o_custkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+              .as("price_cents")),
+          Seq("o_custkey", "price_cents"))
+        .orderBy(col("column"), col("digit"))),
+
     // ---- STREAMING g3 FD drift -------------------------------------------
     // fd_violations' streaming twin (the welch/proportion/drift
     // convention): the per-(fd, lhs, rhs) count table — the ONLY
@@ -8526,6 +8538,31 @@ object SparkEntry {
         |  ROUND(AVG(ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_logprob
         |FROM tok JOIN freq USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Benford replay: exact string digit extraction, the same ln-ratio
+    // expectation expression verbatim, chi-square contributions on the
+    // unrounded expectation.
+    "benford_orders" ->
+      """WITH base AS (
+        |  SELECT 'o_custkey' AS col, o_custkey AS v FROM orders
+        |  UNION ALL
+        |  SELECT 'price_cents',
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  FROM orders),
+        |f AS (
+        |  SELECT col, CAST(substr(CAST(abs(v) AS VARCHAR), 1, 1) AS INT)
+        |    AS digit
+        |  FROM base WHERE v IS NOT NULL AND v <> 0),
+        |c AS (
+        |  SELECT col, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM f GROUP BY 1, 2),
+        |t AS (SELECT col, CAST(SUM(n_obs) AS BIGINT) AS n FROM c GROUP BY 1)
+        |SELECT c.col AS "column", c.digit, c.n_obs,
+        |  ROUND(CAST(c.n_obs AS DOUBLE) / t.n, 6) AS frac,
+        |  ROUND(ln(1 + 1.0 / c.digit) / ln(10), 6) AS benford,
+        |  ROUND(power(c.n_obs - t.n * (ln(1 + 1.0 / c.digit) / ln(10)), 2)
+        |    / (t.n * (ln(1 + 1.0 / c.digit) / ln(10))), 6) AS chi2_contrib
+        |FROM c JOIN t USING (col) ORDER BY 1, 2""".stripMargin,
 
     // MAD replay: the exactPercentiles rank convention — type-1 order
     // statistic at rank (n·500000 + 999999) div 1e6 = ceil(n/2) — for

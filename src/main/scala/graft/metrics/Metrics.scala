@@ -827,6 +827,50 @@ object Metrics {
     }.reduce(_ unionByName _)
   }
 
+  /** Benford first-significant-digit panel — the classic numeric-column
+    * QA/forensics screen (Benford 1938; Nigrini's audit standard):
+    * naturally-generated magnitudes follow P(d) = log10(1 + 1/d), while
+    * fabricated, uniform-synthetic, or truncated columns do not. Per
+    * (column, digit): observed count/fraction, the Benford expectation,
+    * and the chi-square contribution — Σ contrib per column is the test
+    * statistic.
+    *
+    * Digit extraction is exact string math on LONG-cast values (first
+    * char of the base-10 magnitude — no float log10 whose boundary
+    * rounding could misbin 999.999…), zeros and NULLs excluded. One
+    * explode (|cols| rows per input row) + two hash-aggs + a broadcast
+    * totals join — linear, no window.
+    *
+    * @param df  pre-projected frame: every column in `cols` must cast to
+    *            long losslessly (callers convert money to cents first)
+    * @return (column, digit, n_obs, frac, benford, chi2_contrib)
+    */
+  def benfordDigits(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val rows = df.select(explode(array(cols.map(c =>
+        struct(lit(c).as("column"), col(c).cast("long").as("__v"))): _*))
+        .as("s"))
+      .select(col("s.column").as("column"), col("s.__v").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") =!= 0L)
+      .withColumn("digit",
+        substring(abs(col("__v")).cast("string"), 1, 1).cast("int"))
+    val counts = rows.groupBy(col("column"), col("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val totals = counts.groupBy(col("column")).agg(sum("n_obs").as("__n"))
+    // expected fraction as the ln-ratio form (mirrored verbatim by the
+    // oracle so both engines share the double to the last bit that the
+    // 6-decimal round could ever see)
+    val e = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+    counts.join(broadcast(totals), Seq("column"))
+      .withColumn("frac",
+        round(col("n_obs").cast("double") / col("__n"), 6))
+      .withColumn("benford", round(e, 6))
+      .withColumn("chi2_contrib", round(
+        pow(col("n_obs") - col("__n") * e, 2) / (col("__n") * e), 6))
+      .select(col("column"), col("digit"), col("n_obs"), col("frac"),
+        col("benford"), col("chi2_contrib"))
+  }
+
   /** [[fdViolations]] split for the STREAMING twin: the only corpus-mass
     * state — per-(fd, lhs-key, rhs-key) counts — as ONE associative
     * aggregation over the union of per-FD key projections, so it runs

@@ -391,6 +391,26 @@ class MetricsSpec extends SparkSpec {
       ("b", 4L, 2L, 1L, 0L, 0.0)))
   }
 
+  test("benfordDigits: exact digit binning (zero/NULL out, negatives by " +
+      "magnitude), hand-computed chi-square contributions") {
+    // col a: [10, 1, 19, 2, 0]  -> digits 1,1,1,2 (zero excluded), n=4
+    //   P(1)=log10(2)=0.30103: chi(1) = (3-4·0.30103)²/(4·0.30103)
+    // col b: [-200, 3, null]    -> digits 2,3 (magnitude; null excluded)
+    val df = Seq(
+      (Some(10L), Some(-200L)), (Some(1L), Some(3L)),
+      (Some(19L), None), (Some(2L), None), (Some(0L), None)
+    ).toDF("a", "b")
+    val got = Metrics.benfordDigits(df, Seq("a", "b"))
+      .orderBy("column", "digit").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 1, 3L, 0.75, 0.30103, 2.678458),
+      ("a", 2, 1L, 0.25, 0.176091, 0.124083),
+      ("b", 2, 1L, 0.5, 0.176091, 1.191619),
+      ("b", 3, 1L, 0.5, 0.124939, 2.251839)))
+  }
+
   test("fdCounts/fdFromCounts composition equals fdViolations — incl. " +
       "NULL keys and the null-vs-'null'-string distinction") {
     // adversarial fixture: a real NULL and the literal string "null" in
