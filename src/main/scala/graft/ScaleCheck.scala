@@ -156,6 +156,14 @@ object ScaleCheck {
         // frequencies — exactly what unsalted replication models.
         (d: DataFrame) => TextAnalysis.unigramLogProb(d, "doc_id", "text"),
         docs, "doc_id", None),
+      ("unigram_lm_train",
+        // UNsalted copies (the unigram_logprob/bpe_train rationale): the
+        // corpus collapses to its word dictionary once, so N× corpus mass
+        // with ~the same vocabulary should leave the EM rounds' cost flat
+        // and the ratio ≈ the collapse scan alone
+        (d: DataFrame) => TextAnalysis.unigramLmTrain(d, "text", 3, 40, 2,
+          0.25, 24),
+        docs, "doc_id", None),
       ("zorder_stats",
         (d: DataFrame) => graft.io.ZOrder.fileStats(
           d.withColumn("x", col("o_custkey") % 1024)
@@ -725,7 +733,24 @@ object ScaleCheck {
           d.withColumn("cents",
             (col("value").cast("decimal(18,2)") * 100).cast("long")),
           "cents", Seq("event_type"), 3),
-        events, "user_id", None))
+        events, "user_id", None),
+      ("curation_ledger",
+        // the five pipeline stages plus one accounting anti-join per
+        // stage; the roll-up output is ≤6 rows however large the corpus
+        (d: DataFrame) => graft.scale.Curation.ledgerMass(
+          graft.scale.Curation.ledger(d, "doc_id", "text", "source",
+            20, 20, Map("src0" -> 0.25, "src1" -> 0.125), 200L)),
+        docs, "doc_id", Some("text")),
+      ("clip_align",
+        // keyed 1:1 join + fixed-shape cosine — tracks the scan, no pair
+        // explosion
+        (d: DataFrame) => graft.scale.Multimodal.alignmentScore(
+          d.filter(col("vec_id") % 2 === 0)
+            .select(expr("vec_id div 2").as("pair_id"), col("embedding")),
+          d.filter(col("vec_id") % 2 === 1)
+            .select(expr("vec_id div 2").as("pair_id"), col("embedding")),
+          "pair_id", "embedding", 280000L),
+        embeddings, "vec_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

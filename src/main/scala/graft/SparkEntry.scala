@@ -1938,6 +1938,16 @@ object SparkEntry {
       TextAnalysis.bpeMergeStats(t(s, dir, "documents"), "text", 20)),
 
     // ---- full iterative BPE trainer: 8 merge rounds over the vocab ---------
+    // ---- tokenizer training: unigram-LM (SentencePiece) EM-pruning --------
+    // Kudo ACL'18 beside the BPE trainer: seed substring vocab, 2 hard-EM
+    // rounds of optimal-path counting (exact micro-long max-plus Viterbi,
+    // tie-inclusive) with 25% multi-char pruning per round; single chars
+    // never pruned (see TextAnalysis.unigramLmTrain).
+    "unigram_lm_train_docs" -> ((s, dir) =>
+      TextAnalysis.unigramLmTrain(t(s, dir, "documents"), "text",
+          3, 40, 2, 0.25, 24)
+        .orderBy(col("piece"))),
+
     "bpe_train_docs" -> ((s, dir) =>
       TextAnalysis.bpeTrain(t(s, dir, "documents"), "text", 8)
         .orderBy(col("round"))),
@@ -2105,6 +2115,25 @@ object SparkEntry {
           countDistinct(col("source")).as("n_sources"))
         .orderBy(col("shard_id"))
     }),
+
+    // ---- curation drop-reason ledger (the pipeline's audit artifact) -------
+    // Per-document provenance through the five-stage DAG above: which
+    // gate dropped each doc and why — every doc in exactly one (stage,
+    // reason) class. The audit table every real 100 TB curation run
+    // ships beside the kept corpus; the composite itself discards it.
+    "curation_ledger_docs" -> ((s, dir) =>
+      graft.scale.Curation.ledger(t(s, dir, "documents"), "doc_id", "text",
+          "source", 20, 20, Map("src0" -> 0.25, "src1" -> 0.125), 200L)
+        .orderBy(col("doc_id"))),
+
+    // ---- curation ledger: per-stage mass roll-up ---------------------------
+    // The report table: documents and token mass per (stage, reason).
+    "curation_ledger_mass_docs" -> ((s, dir) =>
+      graft.scale.Curation.ledgerMass(
+          graft.scale.Curation.ledger(t(s, dir, "documents"), "doc_id",
+            "text", "source", 20, 20,
+            Map("src0" -> 0.25, "src1" -> 0.125), 200L))
+        .orderBy(col("stage_idx"), col("reason"))),
 
     // ---- domain up-sampling with replacement to exact quotas ---------------
     "domain_upsample_docs" -> ((s, dir) => {
@@ -3080,6 +3109,22 @@ object SparkEntry {
         .orderBy(col("src_id"))
     }),
 
+    // ---- multimodal: CLIP-score cross-modal alignment filter ---------------
+    // The LAION curation gate: even-id embeddings play the caption side,
+    // their odd-id successors the image side (pair_id = vec_id div 2);
+    // keep iff micro-long cosine >= 0.28 — a keyed 1:1 join, no pair
+    // explosion (see Multimodal.alignmentScore).
+    "clip_align_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Multimodal.alignmentScore(
+          e.filter(col("vec_id") % 2 === 0)
+            .select(expr("vec_id div 2").as("pair_id"), col("embedding")),
+          e.filter(col("vec_id") % 2 === 1)
+            .select(expr("vec_id div 2").as("pair_id"), col("embedding")),
+          "pair_id", "embedding", 280000L)
+        .orderBy(col("pair_id"))
+    }),
+
     // ---- graph: degree-ordered triangle counting ---------------------------
     // Co-purchase graph: parts joined by appearing in the same order with
     // high quantity (l_quantity >= 35 keeps the graph sparse — a raw
@@ -3176,6 +3221,29 @@ object SparkEntry {
       val drained = graft.streaming.Streams.runToMemory(s, counts, name,
         org.apache.spark.sql.streaming.OutputMode.Complete())
       graft.metrics.Metrics.fdFromCounts(drained).orderBy(col("fd"))
+    }),
+
+    // ---- STREAMING Benford first-digit forensics ---------------------------
+    // benford_orders' streaming twin (the fd/welch/proportion
+    // convention): the per-(column, first-digit) counts — the ONLY
+    // corpus-mass state, associative — run as one Complete-mode
+    // aggregation; the panel fold (totals, digit scaffold, chi-square)
+    // runs over the drained state. Oracle = the batch SQL verbatim.
+    "streaming_benford_orders" -> ((s, dir) => {
+      val batch = t(s, dir, "orders")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/orders*.parquet")
+        .select(col("o_custkey"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            .as("price_cents"))
+      val counts = graft.metrics.Metrics.benfordCounts(stream,
+        Seq("o_custkey", "price_cents"))
+      val name = "stream_benford_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.benfordFromCounts(drained)
+        .orderBy(col("column"), col("digit"))
     }),
 
     // ---- QA: robust median/MAD outlier panel per event type ----------------
@@ -3758,6 +3826,189 @@ object SparkEntry {
     })
   ))
 
+  /** Oracle generator for [[TextAnalysis.unigramLmTrain]] at
+    * maxPieceLen=3, seedSize=40, pruneFrac=0.25, maxWordLen=24: the
+    * forward/backward max-plus Viterbi DPs replay as UNROLLED chained
+    * CTEs — one level per word position (24 = the trainer's word-length
+    * cap), each carrying the last 3 best scores, all MATERIALIZED.
+    * Deliberately NOT `WITH RECURSIVE`: DuckDB 1.0.0 evaluates the
+    * recursive form by re-inlining each round's whole upstream chain per
+    * recursive row (1550 s at sf0.01), and adding MATERIALIZED to ANY
+    * sibling CTE of the recursive members silently changes the result
+    * (every occ count collapses to 0). The unrolled plain-CTE form is
+    * both correct and ~1 s. All arithmetic is exact longs except the
+    * shared micro-rounded ln score expression.
+    */
+  private def unigramLmOracle(rounds: Int): String = {
+    val NEG = "CAST(-1125899906842624 AS BIGINT)"
+    val MaxLen = 24
+    def sc(rel: String, cnt: String, tv: String): String =
+      s"CAST(round(ln(CAST($cnt + 1 AS DOUBLE) / " +
+        s"CAST($tv.tot + $tv.v AS DOUBLE)) * 1e6) AS BIGINT)"
+    def dp(name: String, r: Int, fromEnd: Boolean): String = {
+      val start = (k: Int) =>
+        if (fromEnd) s"len(f.w) - f.j"
+        else s"f.j + ${2 - k}"
+      val base =
+        s"""$name${r}_0 AS MATERIALIZED (
+           |  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS b0,
+           |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2
+           |  FROM words)""".stripMargin
+      val levels = (1 to MaxLen).map { j =>
+        val joins = (1 to 3).map { k =>
+          s"  LEFT JOIN sm$r s$k ON f.j >= ${k - 1} " +
+            s"AND s$k.p = substr(f.w, ${start(k)}, $k)"
+        }
+        val cands = (1 to 3).map { k =>
+          val b = k match { case 1 => "f.b0" case 2 => "f.b1"
+            case _ => "f.b2" }
+          val c = s"COALESCE($b + s$k.sc, $NEG)"
+          if (k == 1) c
+          else s"CASE WHEN f.j >= ${k - 1} THEN $c ELSE $NEG END"
+        }
+        s"""$name${r}_$j AS MATERIALIZED (
+           |  SELECT f.w, f.j + 1 AS j, greatest(${cands.mkString(",\n    ")}) AS b0,
+           |    f.b0 AS b1, f.b1 AS b2
+           |  FROM $name${r}_${j - 1} f
+           |${joins.mkString("\n")}
+           |  WHERE f.j < len(f.w))""".stripMargin
+      }
+      val union = (0 to MaxLen)
+        .map(j => s"SELECT * FROM $name${r}_$j").mkString("\n  UNION ALL ")
+      ((base +: levels) :+ s"$name$r AS MATERIALIZED (\n  $union)")
+        .mkString(",\n")
+    }
+    val perRound = (0 until rounds).map { r =>
+      s"""tv$r AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM p$r),
+         |sm$r AS MATERIALIZED (
+         |  SELECT pp.p, ${sc("pp", "pp.cnt", "t")} AS sc
+         |  FROM p$r pp, tv$r t),
+         |${dp("fwd", r, fromEnd = false)},
+         |${dp("bwd", r, fromEnd = true)},
+         |occ$r AS MATERIALIZED (
+         |  SELECT sm.p AS p, CAST(SUM(wd.freq) AS BIGINT) AS cnt
+         |  FROM words wd,
+         |    UNNEST(range(0, len(wd.w))) AS pi(i),
+         |    UNNEST(range(1, 4)) AS pk(k),
+         |    fwd$r fi, bwd$r bi, fwd$r fn, sm$r sm
+         |  WHERE pk.k <= len(wd.w) - pi.i
+         |    AND fi.w = wd.w AND fi.j = pi.i
+         |    AND bi.w = wd.w AND bi.j = len(wd.w) - (pi.i + pk.k)
+         |    AND fn.w = wd.w AND fn.j = len(wd.w)
+         |    AND sm.p = substr(wd.w, CAST(pi.i + 1 AS INT), CAST(pk.k AS INT))
+         |    AND fi.b0 + sm.sc + bi.b0 = fn.b0
+         |  GROUP BY 1),
+         |pc$r AS MATERIALIZED (
+         |  SELECT p0.p, COALESCE(o.cnt, 0) AS cnt
+         |  FROM (SELECT p FROM p$r) p0 LEFT JOIN occ$r o USING (p)),
+         |pm$r AS MATERIALIZED (
+         |  SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt, p) AS rk,
+         |    COUNT(*) OVER () AS nm
+         |  FROM pc$r WHERE len(p) >= 2),
+         |p${r + 1} AS MATERIALIZED (
+         |  SELECT p, cnt FROM pc$r WHERE len(p) = 1
+         |  UNION ALL
+         |  SELECT p, cnt FROM pm$r
+         |  WHERE rk > CAST(FLOOR(0.25 * nm) AS BIGINT))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w FROM documents)
+       |  WHERE len(w) <= 24 AND len(w) >= 1 GROUP BY w),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS p,
+       |    CAST(SUM(freq) AS BIGINT) AS cnt
+       |  FROM words,
+       |    UNNEST(range(1, len(w) + 1)) AS a(i),
+       |    UNNEST(range(1, 4)) AS b(k)
+       |  WHERE k <= len(w) - i + 1
+       |  GROUP BY 1),
+       |p0 AS MATERIALIZED (
+       |  SELECT p, cnt FROM subs WHERE len(p) = 1
+       |  UNION ALL
+       |  SELECT p, cnt FROM (
+       |    SELECT p, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, p) AS rk
+       |    FROM subs WHERE len(p) >= 2) WHERE rk <= 40),
+       |$perRound,
+       |tv$rounds AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
+       |  CAST(COUNT(*) AS BIGINT) AS v FROM p$rounds)
+       |SELECT pr.p AS piece, pr.cnt AS n_count,
+       |  ${sc("pr", "pr.cnt", "t")} AS logp_micro
+       |FROM p$rounds pr, tv$rounds t ORDER BY piece""".stripMargin
+  }
+
+  /** Shared CTE prefix of the curation-ledger oracles: the
+    * curation_pipeline_docs replay chain with per-stage drop attribution
+    * (`led` = one row per input document in its unique (stage, reason)
+    * class — the same algebra [[graft.scale.Curation.ledger]] runs).
+    */
+  private val curationLedgerCte: String =
+    """WITH tok AS (
+      |  SELECT doc_id, source, text,
+      |    list_filter(string_split_regex(lower(text), '\s+'),
+      |      x -> len(x) > 0) AS t
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n_tokens
+      |  FROM tok),
+      |q AS (SELECT * FROM b WHERE n_tokens >= 20),
+      |r AS (
+      |  SELECT *, ROW_NUMBER() OVER (
+      |    PARTITION BY md5(array_to_string(t, ' '))
+      |    ORDER BY doc_id) AS rn
+      |  FROM q),
+      |d AS (SELECT * FROM r WHERE rn = 1),
+      |corp AS (SELECT * FROM d WHERE doc_id % 20 <> 0),
+      |evsh AS (
+      |  SELECT DISTINCT concat(t[i], COALESCE(' ' || t[i+1], ''),
+      |    COALESCE(' ' || t[i+2], '')) AS sh
+      |  FROM tok, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)
+      |  WHERE doc_id % 20 = 0),
+      |csh AS (
+      |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''),
+      |    COALESCE(' ' || t[i+2], '')) AS sh
+      |  FROM corp, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+      |bad AS (SELECT DISTINCT c.doc_id FROM csh c JOIN evsh USING (sh)),
+      |clean AS (
+      |  SELECT * FROM corp
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+      |u2 AS (SELECT COUNT(DISTINCT CASE WHEN source NOT IN ('src0', 'src1')
+      |  THEN source END) AS n_unw FROM clean),
+      |r2 AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM clean),
+      |mixed AS (
+      |  SELECT r2.doc_id, r2.source, r2.n_tokens FROM r2, u2
+      |  WHERE r2.rnk <= CASE WHEN r2.source = 'src0'
+      |      THEN CAST(FLOOR(CAST(0.25 AS DOUBLE) * 200.0) AS BIGINT)
+      |    WHEN r2.source = 'src1'
+      |      THEN CAST(FLOOR(CAST(0.125 AS DOUBLE) * 200.0) AS BIGINT)
+      |    ELSE CAST(FLOOR((CAST(0.625 AS DOUBLE) /
+      |      GREATEST(CAST(u2.n_unw AS DOUBLE), CAST(1.0 AS DOUBLE)))
+      |      * 200.0) AS BIGINT) END),
+      |led AS (
+      |  SELECT doc_id, CAST(1 AS INT) AS stage_idx, 'quality' AS stage,
+      |    'too_short' AS reason, n_tokens
+      |  FROM b WHERE n_tokens < 20
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'dedup', 'exact_duplicate', n_tokens
+      |  FROM r WHERE rn > 1
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'decontaminate', 'eval_holdout', n_tokens
+      |  FROM d WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 3, 'decontaminate', 'contaminated', n_tokens
+      |  FROM corp WHERE doc_id IN (SELECT doc_id FROM bad)
+      |  UNION ALL
+      |  SELECT doc_id, 4, 'mix', 'over_quota', n_tokens
+      |  FROM clean WHERE doc_id NOT IN (SELECT doc_id FROM mixed)
+      |  UNION ALL
+      |  SELECT doc_id, 5, 'kept', 'kept', n_tokens FROM mixed)""".stripMargin
+
+
   def oracleSql: Map[String, String] = {
     val m = baseOracleSql
     // the star-contraction CC produces the same components as the
@@ -3773,6 +4024,9 @@ object SparkEntry {
       // the g3 fold over the drained count state = the batch fdViolations
       // algebra (spec-pinned composition) — same SQL
       ("streaming_fd_violations_orders" -> m("fd_violations_orders")),
+      // the Benford fold over the drained digit-count state = the batch
+      // panel algebra (spec-pinned composition) — same SQL
+      ("streaming_benford_orders" -> m("benford_orders")),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->
@@ -3810,6 +4064,8 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)),
       ("bpe_train_docs" -> bpeTrainOracle(8)),
+      // the unigram-LM trainer replay: recursive-CTE Viterbi DPs
+      ("unigram_lm_train_docs" -> unigramLmOracle(2)),
       ("bpe_encode_docs" -> bpeEncodeOracle(8)),
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
       ("classifier_train_docs" ->
@@ -7571,6 +7827,20 @@ object SparkEntry {
         |  COUNT(DISTINCT source) AS n_sources
         |FROM packed GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the ledger replays the pipeline's own CTE chain, emitting the stage
+    // attribution instead of the shard stats — every doc exactly one row
+    "curation_ledger_docs" -> (curationLedgerCte +
+      """
+        |SELECT doc_id, stage_idx, stage, reason, n_tokens
+        |FROM led ORDER BY doc_id""".stripMargin),
+
+    "curation_ledger_mass_docs" -> (curationLedgerCte +
+      """
+        |SELECT stage_idx, stage, reason,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM led GROUP BY 1, 2, 3 ORDER BY stage_idx, reason""".stripMargin),
+
     "domain_upsample_docs" ->
       """WITH r AS (
         |  SELECT source, doc_id,
@@ -8556,13 +8826,39 @@ object SparkEntry {
         |c AS (
         |  SELECT col, digit, CAST(COUNT(*) AS BIGINT) AS n_obs
         |  FROM f GROUP BY 1, 2),
-        |t AS (SELECT col, CAST(SUM(n_obs) AS BIGINT) AS n FROM c GROUP BY 1)
-        |SELECT c.col AS "column", c.digit, c.n_obs,
-        |  ROUND(CAST(c.n_obs AS DOUBLE) / t.n, 6) AS frac,
-        |  ROUND(ln(1 + 1.0 / c.digit) / ln(10), 6) AS benford,
-        |  ROUND(power(c.n_obs - t.n * (ln(1 + 1.0 / c.digit) / ln(10)), 2)
-        |    / (t.n * (ln(1 + 1.0 / c.digit) / ln(10))), 6) AS chi2_contrib
-        |FROM c JOIN t USING (col) ORDER BY 1, 2""".stripMargin,
+        |t AS (SELECT col, CAST(SUM(n_obs) AS BIGINT) AS n FROM c GROUP BY 1),
+        |sc AS (
+        |  SELECT t.col, t.n, CAST(d.digit AS INT) AS digit,
+        |    COALESCE(c.n_obs, 0) AS n_obs
+        |  FROM t CROSS JOIN (SELECT unnest(range(1, 10)) AS digit) d
+        |  LEFT JOIN c ON c.col = t.col AND c.digit = d.digit)
+        |SELECT sc.col AS "column", sc.digit, CAST(sc.n_obs AS BIGINT) AS n_obs,
+        |  ROUND(CAST(sc.n_obs AS DOUBLE) / sc.n, 6) AS frac,
+        |  ROUND(ln(1 + 1.0 / sc.digit) / ln(10), 6) AS benford,
+        |  ROUND(power(sc.n_obs - sc.n * (ln(1 + 1.0 / sc.digit) / ln(10)), 2)
+        |    / (sc.n * (ln(1 + 1.0 / sc.digit) / ln(10))), 6) AS chi2_contrib
+        |FROM sc ORDER BY 1, 2""".stripMargin,
+
+    // CLIP-align replay: the bitext micro-long cosine convention — exact
+    // integer dots on round(x*1000) vectors, one double division, one
+    // round to micro — so the threshold decision cannot flap
+    "clip_align_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |t AS (SELECT vec_id // 2 AS pair_id, v FROM qv WHERE vec_id % 2 = 0),
+        |i AS (SELECT vec_id // 2 AS pair_id, v FROM qv WHERE vec_id % 2 = 1),
+        |sc AS (
+        |  SELECT t.pair_id,
+        |    CAST(round(CAST(list_dot_product(t.v, i.v) AS DOUBLE)
+        |      / sqrt(CAST(list_dot_product(t.v, t.v) AS DOUBLE)
+        |             * CAST(list_dot_product(i.v, i.v) AS DOUBLE))
+        |      * 1e6) AS BIGINT) AS cos_micro
+        |  FROM t JOIN i USING (pair_id))
+        |SELECT pair_id, cos_micro, cos_micro >= 280000 AS aligned
+        |FROM sc ORDER BY pair_id""".stripMargin,
 
     // MAD replay: the exactPercentiles rank convention — type-1 order
     // statistic at rank (n·500000 + 999999) div 1e6 = ceil(n/2) — for
@@ -8571,7 +8867,7 @@ object SparkEntry {
       """WITH b AS (
         |  SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
-        |  FROM events),
+        |  FROM events WHERE value IS NOT NULL),
         |medr AS (
         |  SELECT event_type, v,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
@@ -8647,7 +8943,7 @@ object SparkEntry {
     // level; leftover mod tokens go one each to the first uncapped ranks.
     "unimax_mix_docs" ->
       """WITH dom AS (
-        |  SELECT lang AS domain,
+        |  SELECT COALESCE(lang, chr(2) || 'NULL') AS domain,
         |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0))) AS BIGINT) AS n_tokens
         |  FROM documents GROUP BY 1),

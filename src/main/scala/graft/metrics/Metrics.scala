@@ -537,7 +537,8 @@ object Metrics {
     *
     * @param k flag threshold: |x − median| > k·MAD (k=3 ≈ Hampel)
     * @return per group: (group…, n, median, mad, n_outliers,
-    *         outlier_frac) — frac rounded 6
+    *         outlier_frac) — frac rounded 6. NULL values of `valCol` are
+    *         excluded from n, both medians, and the flags.
     */
   def madOutliers(
       df: DataFrame,
@@ -547,10 +548,15 @@ object Metrics {
       bucketShift: Int = 12): DataFrame = {
     require(k >= 1, s"bad MAD multiplier $k")
     val gcols = groupCols.map(col)
-    val med = exactPercentiles(df, valCol, Seq(500000L), groupCols,
+    // NULL values are dropped up front (round-9 fix): they would form a
+    // shiftright-null bucket that sorts differently across engines
+    // (Spark nulls-first vs SQL nulls-last), shifting the selected median
+    // rank, and they would inflate n while never flagging as outliers.
+    val base = df.filter(col(valCol).isNotNull)
+    val med = exactPercentiles(base, valCol, Seq(500000L), groupCols,
         bucketShift)
       .select((gcols :+ col("value").as("__med")): _*)
-    val dev = df.select((gcols :+ col(valCol).cast("long").as("__v")): _*)
+    val dev = base.select((gcols :+ col(valCol).cast("long").as("__v")): _*)
       .join(broadcast(med), groupCols)
       .withColumn("__adv", abs(col("__v") - col("__med")))
     val mad = exactPercentiles(dev, "__adv", Seq(500000L), groupCols,
@@ -794,12 +800,17 @@ object Metrics {
     * profiling tells you WHICH column rules the data almost satisfies, the
     * standard data-cleaning precursor).
     *
-    * Per FD: one hash-aggregate on (lhs, rhs), one on lhs (sum + max of
-    * the value counts), one global fold — corpus-linear, partial-agg
-    * friendly, no window/join. A group violates iff it holds >1 distinct
-    * rhs value; its violation mass is (group size − majority-value count).
-    * NULL is an ordinary value on both sides (SQL GROUP BY semantics, so
-    * any engine replays it).
+    * ONE corpus scan for ALL candidate FDs: each row explodes into |fds|
+    * (fd, lhs-key, rhs-key) structs (the [[benfordDigits]] shape), then
+    * one hash-aggregate on (fd, lhs, rhs), one on (fd, lhs) (sum + max of
+    * the value counts), one per-fd fold — corpus-linear, partial-agg
+    * friendly, no window/join. A real profiling run declares DOZENS of
+    * candidate rules; |fds| scans vs one is the whole job at 100 TB
+    * (the round-8 per-FD `unionByName`-of-projections form paid exactly
+    * that). A group violates iff it holds >1 distinct rhs value; its
+    * violation mass is (group size − majority-value count). NULL is an
+    * ordinary value on both sides (the [[fdCounts]] key encoding keeps it
+    * distinct from the string "null", matching SQL GROUP BY semantics).
     *
     * @param fds (name, lhs columns, rhs column) per candidate dependency
     * @return one row per FD: n_groups, n_rows, violating_groups,
@@ -807,25 +818,8 @@ object Metrics {
     */
   def fdViolations(
       df: DataFrame,
-      fds: Seq[(String, Seq[String], String)]): DataFrame = {
-    require(fds.nonEmpty, "no candidate FDs given")
-    fds.map { case (name, lhs, rhs) =>
-      val per = df.groupBy((lhs :+ rhs).map(col): _*)
-        .agg(count(lit(1)).as("__c"))
-      val grp = per.groupBy(lhs.map(col): _*)
-        .agg(sum(col("__c")).as("__n"), max(col("__c")).as("__keep"))
-      grp.agg(
-          count(lit(1)).as("n_groups"),
-          sum(col("__n")).as("n_rows"),
-          sum(when(col("__n") > col("__keep"), 1L).otherwise(0L))
-            .as("violating_groups"),
-          sum(col("__n") - col("__keep")).as("violations"))
-        .select(lit(name).as("fd"), col("n_groups"), col("n_rows"),
-          col("violating_groups"), col("violations"),
-          round(col("violations").cast("double") / col("n_rows"), 6)
-            .as("g3"))
-    }.reduce(_ unionByName _)
-  }
+      fds: Seq[(String, Seq[String], String)]): DataFrame =
+    fdFromCounts(fdCounts(df, fds))
 
   /** Benford first-significant-digit panel — the classic numeric-column
     * QA/forensics screen (Benford 1938; Nigrini's audit standard):
@@ -839,29 +833,63 @@ object Metrics {
     * char of the base-10 magnitude — no float log10 whose boundary
     * rounding could misbin 999.999…), zeros and NULLs excluded. One
     * explode (|cols| rows per input row) + two hash-aggs + a broadcast
-    * totals join — linear, no window.
+    * totals join — linear, no window. Every (column, digit ∈ 1–9) cell is
+    * emitted even at n_obs = 0 (a literal digit scaffold left-joins the
+    * observed counts): a column that entirely AVOIDS a digit is the
+    * strongest fabrication signal the panel exists to catch, and its
+    * chi-square contribution is the full n·e — omitting the row would
+    * understate the per-column statistic exactly then (round-9 fix).
     *
     * @param df  pre-projected frame: every column in `cols` must cast to
     *            long losslessly (callers convert money to cents first)
     * @return (column, digit, n_obs, frac, benford, chi2_contrib)
     */
-  def benfordDigits(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def benfordDigits(df: DataFrame, cols: Seq[String]): DataFrame =
+    benfordFromCounts(benfordCounts(df, cols))
+
+  /** [[benfordDigits]]' state half: the per-(column, first-digit)
+    * observation counts — ONE associative aggregation over one scan, so
+    * it runs unchanged as Complete-mode STREAMING state (the fdCounts /
+    * welchMoments convention). Columns with no qualifying value in a
+    * batch simply have no rows yet; [[benfordFromCounts]] scaffolds the
+    * missing digits of OBSERVED columns at fold time.
+    */
+  def benfordCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "no columns to profile")
-    val rows = df.select(explode(array(cols.map(c =>
+    df.select(explode(array(cols.map(c =>
         struct(lit(c).as("column"), col(c).cast("long").as("__v"))): _*))
         .as("s"))
       .select(col("s.column").as("column"), col("s.__v").as("__v"))
       .filter(col("__v").isNotNull && col("__v") =!= 0L)
       .withColumn("digit",
         substring(abs(col("__v")).cast("string"), 1, 1).cast("int"))
-    val counts = rows.groupBy(col("column"), col("digit"))
+      .groupBy(col("column"), col("digit"))
       .agg(count(lit(1)).as("n_obs"))
-    val totals = counts.groupBy(col("column")).agg(sum("n_obs").as("__n"))
+  }
+
+  /** The panel fold over [[benfordCounts]]' (drained) state: per-column
+    * totals, a literal 1–9 digit scaffold (so zero-occurrence digits
+    * surface with chi2_contrib = n·e), expectation and chi-square — all
+    * dictionary-scale (9·|cols| rows). The state frame is referenced
+    * exactly ONCE (digits collapse into a per-column map, the scaffold
+    * explodes against it) — a totals-join-back shape would re-execute the
+    * counts subtree and its corpus scan twice. benfordFromCounts ∘
+    * benfordCounts = benfordDigits by construction, so the streaming twin
+    * shares the batch oracle verbatim.
+    */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
     // expected fraction as the ln-ratio form (mirrored verbatim by the
     // oracle so both engines share the double to the last bit that the
     // 6-decimal round could ever see)
     val e = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
-    counts.join(broadcast(totals), Seq("column"))
+    counts.groupBy(col("column"))
+      .agg(sum("n_obs").as("__n"),
+        map_from_entries(collect_list(struct(col("digit"), col("n_obs"))))
+          .as("__m"))
+      .select(col("column"), col("__n"), col("__m"),
+        explode(sequence(lit(1), lit(9))).as("digit"))
+      .withColumn("n_obs",
+        coalesce(element_at(col("__m"), col("digit")), lit(0L)))
       .withColumn("frac",
         round(col("n_obs").cast("double") / col("__n"), 6))
       .withColumn("benford", round(e, 6))
@@ -873,25 +901,35 @@ object Metrics {
 
   /** [[fdViolations]] split for the STREAMING twin: the only corpus-mass
     * state — per-(fd, lhs-key, rhs-key) counts — as ONE associative
-    * aggregation over the union of per-FD key projections, so it runs
-    * unchanged as Complete-mode streaming state (the welchMoments /
-    * proportionMoments convention). Keys serialize null-safely:
-    * \u0001-joined, each value "v"-prefixed and NULL as a \u0002 marker,
-    * so the string "null" and the value NULL stay distinct groups — any
-    * injective encoding yields the same counts, which is all the fold
-    * reads.
+    * aggregation over ONE scan of the input — each row explodes into
+    * |fds| (fd, lhs-key, rhs-key) structs (the [[benfordDigits]] shape) —
+    * so it runs unchanged as Complete-mode streaming state (the
+    * welchMoments / proportionMoments convention), and a profiling run
+    * declaring dozens of candidate rules still reads the corpus once.
+    * Keys serialize null-safely AND injectively: \u0001-joined, each
+    * value "v"-prefixed with NULL as a \u0002N marker, and the
+    * separator/marker chars ESCAPED inside values (\u0002 → \u0002e,
+    * \u0001 → \u0002s) — so multi-column keys cannot collide even when
+    * values contain the control chars, and the string "null" and the
+    * value NULL stay distinct groups. Any injective encoding yields the
+    * same counts, which is all the fold reads.
     */
   def fdCounts(
       df: DataFrame,
       fds: Seq[(String, Seq[String], String)]): DataFrame = {
     require(fds.nonEmpty, "no candidate FDs given")
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c.cast("string"),
+        "\u0002", "\u0002e"), "\u0001", "\u0002s")
     def key(cols: Seq[String]): Column = concat_ws("\u0001",
       cols.map(c => when(col(c).isNull, lit("\u0002N"))
-        .otherwise(concat(lit("v"), col(c).cast("string")))): _*)
-    fds.map { case (name, lhs, rhs) =>
-      df.select(lit(name).as("fd"), key(lhs).as("__lk"),
-        key(Seq(rhs)).as("__rk"))
-    }.reduce(_ unionByName _)
+        .otherwise(concat(lit("v"), esc(col(c))))): _*)
+    df.select(explode(array(fds.map { case (name, lhs, rhs) =>
+        struct(lit(name).as("fd"), key(lhs).as("__lk"),
+          key(Seq(rhs)).as("__rk"))
+      }: _*)).as("s"))
+      .select(col("s.fd").as("fd"), col("s.__lk").as("__lk"),
+        col("s.__rk").as("__rk"))
       .groupBy(col("fd"), col("__lk"), col("__rk"))
       .agg(count(lit(1)).as("__c"))
   }

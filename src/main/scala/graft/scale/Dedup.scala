@@ -1556,7 +1556,13 @@ object Dedup {
     * @return per field: (field, n_match, n_unmatch, agree_match,
     *         agree_unmatch, m, u, w_agree, w_disagree), rounded 6
     */
-  def fellegiSunterWeights(
+  /** The shared conditional hash-agg both FS entry points fold over: one
+    * row of (match/non-match totals, per-field agreement counts) — the
+    * sufficient statistics of the model. Extracted round 9 so
+    * [[fellegiSunterScore]] stops re-aggregating what
+    * [[fellegiSunterWeights]] already computes.
+    */
+  private def fsStats(
       pairs: DataFrame,
       fields: Seq[String],
       goldCol: String): DataFrame = {
@@ -1568,14 +1574,26 @@ object Dedup {
           sum(when(col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__am_$f"),
           sum(when(!col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__au_$f"))
         }
-    val stats = pairs.agg(aggs.head, aggs.tail: _*)
+    pairs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The add-1/add-2 smoothed (m, u, 1−m, 1−u) ratio columns for field
+    * `f` over an [[fsStats]] row — every ln argument a ratio of exact
+    * positive integers.
+    */
+  private def fsRatios(f: String): (Column, Column, Column, Column) = (
+    (col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2),
+    (col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2),
+    (col("__nm") - col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2),
+    (col("__nu") - col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2))
+
+  def fellegiSunterWeights(
+      pairs: DataFrame,
+      fields: Seq[String],
+      goldCol: String): DataFrame = {
+    val stats = fsStats(pairs, fields, goldCol)
     fields.map { f =>
-      val m = (col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2)
-      val u = (col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2)
-      val md = (col("__nm") - col(s"__am_$f") + 1).cast("double") /
-        (col("__nm") + 2)
-      val ud = (col("__nu") - col(s"__au_$f") + 1).cast("double") /
-        (col("__nu") + 2)
+      val (m, u, md, ud) = fsRatios(f)
       stats.select(lit(f).as("field"),
         col("__nm").as("n_match"), col("__nu").as("n_unmatch"),
         col(s"__am_$f").as("agree_match"),
@@ -1600,22 +1618,9 @@ object Dedup {
       pairs: DataFrame,
       fields: Seq[String],
       goldCol: String): DataFrame = {
-    require(fields.nonEmpty, "no comparison fields")
-    val aggs =
-      Seq(sum(when(col(goldCol), 1L).otherwise(0L)).as("__nm"),
-        sum(when(!col(goldCol), 1L).otherwise(0L)).as("__nu")) ++
-        fields.flatMap { f => Seq(
-          sum(when(col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__am_$f"),
-          sum(when(!col(goldCol) && col(f), 1L).otherwise(0L)).as(s"__au_$f"))
-        }
-    val stats = pairs.agg(aggs.head, aggs.tail: _*)
+    val stats = fsStats(pairs, fields, goldCol)
     val score = fields.map { f =>
-      val m = (col(s"__am_$f") + 1).cast("double") / (col("__nm") + 2)
-      val u = (col(s"__au_$f") + 1).cast("double") / (col("__nu") + 2)
-      val md = (col("__nm") - col(s"__am_$f") + 1).cast("double") /
-        (col("__nm") + 2)
-      val ud = (col("__nu") - col(s"__au_$f") + 1).cast("double") /
-        (col("__nu") + 2)
+      val (m, u, md, ud) = fsRatios(f)
       when(col(f), log(m / u)).otherwise(log(md / ud))
     }.reduce(_ + _)
     pairs.crossJoin(broadcast(stats))

@@ -315,4 +315,47 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Cross-modal alignment-score filter — the CLIP-score curation step
+    * (Radford et al. 2021; the LAION-400M/5B pipeline, Schuhmann et al.
+    * 2021, keeps an image-text pair iff the cosine of its CLIP embeddings
+    * clears a threshold). The embedding MODEL is upstream (the codec-seam
+    * rule: payload → embedding is the stubbed/exogenous step); the
+    * engine's job is the pairing and the filter over two embedding
+    * columns, and that is all-Spark: a keyed 1:1 equi-join of the text
+    * side against the image side plus one fixed-shape cosine expression.
+    *
+    * Determinism: cosines quantize to exact micro-longs over
+    * [[Similarity.quantize]]d vectors — integer dots, one double division,
+    * one round — the bitext/ann convention, so any engine replays the
+    * keep/drop decision bit-for-bit (no float-boundary flapping on the
+    * threshold).
+    *
+    * Scale shape: shuffle on the pair key only (corpus-linear, no pair
+    * explosion, nothing broadcasts with the corpus); at 100 TB both sides
+    * bucket by the pair key and the join co-locates.
+    *
+    * @param text  rows of (`keyCol`, `vecCol`) — the caption/text side
+    * @param image rows of (`keyCol`, `vecCol`) — the image side
+    * @param thresholdMicro keep iff cos_micro ≥ this (e.g. 280000 ≈ the
+    *                       LAION 0.28 CLIP-score gate)
+    * @return (`keyCol`, cos_micro, aligned) — one row per paired key
+    */
+  def alignmentScore(
+      text: DataFrame,
+      image: DataFrame,
+      keyCol: String,
+      vecCol: String,
+      thresholdMicro: Long): DataFrame = {
+    val t = text.select(col(keyCol),
+      Similarity.quantize(col(vecCol)).as("__tv"))
+    val i = image.select(col(keyCol),
+      Similarity.quantize(col(vecCol)).as("__iv"))
+    t.join(i, Seq(keyCol))
+      .withColumn("cos_micro",
+        round(Similarity.cosineQuantized(col("__tv"), col("__iv")) * 1e6)
+          .cast("long"))
+      .select(col(keyCol), col("cos_micro"),
+        (col("cos_micro") >= thresholdMicro).as("aligned"))
+  }
 }

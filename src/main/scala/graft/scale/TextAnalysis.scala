@@ -1729,8 +1729,15 @@ object TextAnalysis {
       maxEpochs: Int): DataFrame = {
     require(budget > 0L, s"bad budget $budget")
     require(maxEpochs >= 1, s"bad epoch cap $maxEpochs")
+    // NULL domains group under the \u0002NULL sentinel (the fdCounts
+    // marker convention — \u0002 cannot appear in a sane domain label) and
+    // compete for budget like any domain: unlabeled slices are real corpus
+    // mass a mixing plan must account for, and without the coalesce the
+    // null-domain group would trip Bounded.withRank's non-null require and
+    // abort the whole allocation (round-9 fix).
     val dom = df
-      .groupBy(col(domainCol).as("domain"))
+      .groupBy(coalesce(col(domainCol).cast("string"), lit("\u0002NULL"))
+        .as("domain"))
       .agg(sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"))
       .withColumn("cap_tokens", col("n_tokens") * maxEpochs)
     val ranked = graft.core.Bounded.withRank(dom,
@@ -1769,6 +1776,144 @@ object TextAnalysis {
         col("alloc_tokens"),
         round(col("alloc_tokens").cast("double") / col("n_tokens"), 6)
           .as("epochs"))
+  }
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the EM-pruning
+    * subword learner of Kudo, "Subword Regularization" (ACL 2018), the
+    * second of the two standard tokenizer trainers beside [[bpeTrain]].
+    * Seed a large candidate-piece vocabulary, alternate (E) count piece
+    * usage under the current model's best segmentations with (M)
+    * re-estimated piece probabilities, and PRUNE the least-useful pieces
+    * each round.
+    *
+    * Deterministic variant, declared precisely so any engine can replay
+    * it bit-for-bit:
+    *  - Seed: every single character (always retained — the segmentation
+    *    fallback, as in SentencePiece) plus the top `seedSize` multi-char
+    *    substrings of length ≤ `maxPieceLen` by corpus occurrence count
+    *    (count desc, piece asc).
+    *  - Scores are EXACT micro-longs: sc(p) = round(ln((cnt_p + 1) /
+    *    (total + V)) · 1e6) — add-one smoothing, every ln a ratio of
+    *    positive integers (the bigram-LM convention), so the max-plus DP
+    *    below is pure integer arithmetic.
+    *  - E-step (hard-EM on optimal paths): per word, forward and backward
+    *    max-plus Viterbi over positions; a piece occurrence (i, k) counts
+    *    (weighted by word freq) iff fwd(i) + sc + bwd(i+k) = fwd(n), i.e.
+    *    iff it lies on AT LEAST ONE optimal segmentation — tie-inclusive
+    *    counting is the deterministic closure of Viterbi counting (no
+    *    backtrace, no tiebreak rule to replicate).
+    *  - M-step + prune: counts become the new model; the
+    *    floor(pruneFrac·|multi|) multi-char pieces with the smallest
+    *    (count, piece) are dropped; single chars never are.
+    *  - `rounds` is the declared semantics (fixed EM depth, the
+    *    [[bpeTrain]] / labelPropagation convention).
+    *
+    * Scale shape: the corpus collapses to its word dictionary ONCE (the
+    * only corpus-mass job — the [[bpeTrain]] collapse discipline); every
+    * round after runs on |vocab| words × word_len × `maxPieceLen`
+    * explode mass, independent of corpus size. The piece model
+    * (dictionary-scale) rides ONE broadcast map column into the DP
+    * higher-order functions — no driver loop over words, no window over
+    * anything corpus-sized; pruning ranks via [[graft.core.Bounded]] on
+    * the piece table. Words longer than `maxWordLen` are excluded from
+    * ESTIMATION (the SentencePiece length-guard: unbroken URL/base64
+    * junk would dominate DP cost while contributing no reusable pieces;
+    * they still segment at apply time via the single-char fallback).
+    *
+    * @return the trained model: (piece, n_count, logp_micro) — expected
+    *         count after the final E-step and the micro-long log-prob
+    *         re-estimated from it.
+    */
+  def unigramLmTrain(
+      df: DataFrame,
+      textCol: String,
+      maxPieceLen: Int = 3,
+      seedSize: Int = 40,
+      rounds: Int = 2,
+      pruneFrac: Double = 0.25,
+      maxWordLen: Int = 24): DataFrame = {
+    require(maxPieceLen >= 2, s"bad piece length $maxPieceLen")
+    require(rounds >= 1, s"bad round count $rounds")
+    require(pruneFrac >= 0.0 && pruneFrac < 1.0, s"bad prune $pruneFrac")
+    val NEG = "-1125899906842624" // -2^50: -inf that cannot overflow a sum
+
+    // the one corpus-mass job: corpus -> word dictionary
+    val words = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen && length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint(true)
+
+    // seed counts: all substrings up to maxPieceLen, occurrence-weighted
+    val subs = words.select(col("freq"), explode(expr(
+        s"flatten(transform(sequence(1, length(w)), i -> " +
+          s"transform(sequence(1, least($maxPieceLen, length(w) - i + 1)), " +
+          s"k -> substr(w, i, k))))")).as("p"))
+      .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+    var pieces = subs.filter(length(col("p")) === 1)
+      .unionByName(subs.filter(length(col("p")) >= 2)
+        .orderBy(col("cnt").desc, col("p")).limit(seedSize))
+      .localCheckpoint(true)
+
+    // micro-long add-one score column over a piece table + its totals
+    def scoresOf(p: DataFrame): DataFrame = {
+      val tot = p.agg(sum(col("cnt")).as("__tot"),
+        count(lit(1)).as("__v"))
+      p.crossJoin(broadcast(tot))
+        .withColumn("sc", round(log((col("cnt") + 1).cast("double") /
+          (col("__tot") + col("__v")).cast("double")) * 1e6).cast("long"))
+        .select(col("p"), col("cnt"), col("sc"))
+    }
+
+    // max-plus candidate: acc(idx) + sc(substr(start, k)), guarded
+    def dpStep(idxFromEnd: Boolean): String = {
+      val cands = (1 to maxPieceLen).map { k =>
+        val start = if (idxFromEnd) s"length(w) - j + 1" else s"j - $k + 1"
+        s"CASE WHEN j >= $k THEN coalesce(element_at(acc, j - $k + 1) + " +
+          s"element_at(__m, substr(w, $start, $k)), ${NEG}L) " +
+          s"ELSE ${NEG}L END"
+      }
+      s"aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)), " +
+        s"(acc, j) -> concat(acc, array(greatest(${cands.mkString(", ")}))))"
+    }
+
+    var r = 0
+    while (r < rounds) {
+      val smap = scoresOf(pieces)
+        .agg(map_from_entries(collect_list(struct(col("p"), col("sc"))))
+          .as("__m"))
+      // fwd(j) at array slot j+1; bwd(j) at slot length(w)-j+1
+      val dp = words.crossJoin(broadcast(smap))
+        .withColumn("fwd", expr(dpStep(idxFromEnd = false)))
+        .withColumn("bwd", expr(dpStep(idxFromEnd = true)))
+      val occ = dp.select(col("freq"), explode(expr(
+          s"""filter(flatten(transform(sequence(0, length(w) - 1), i ->
+             |  transform(sequence(1, least($maxPieceLen, length(w) - i)),
+             |    k -> CASE WHEN
+             |      element_at(__m, substr(w, i + 1, k)) IS NOT NULL AND
+             |      element_at(fwd, i + 1) +
+             |        element_at(__m, substr(w, i + 1, k)) +
+             |        element_at(bwd, length(w) - (i + k) + 1) =
+             |        element_at(fwd, length(w) + 1)
+             |    THEN substr(w, i + 1, k) END))),
+             |  x -> x IS NOT NULL)""".stripMargin)).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+      val counted = pieces.select(col("p")).join(occ, Seq("p"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      val multi = counted.filter(length(col("p")) >= 2)
+      val nM = multi.agg(count(lit(1)).as("__nm"))
+      val kept = graft.core.Bounded
+        .withRank(multi, Seq(("cnt", false), ("p", false)), "__rk")
+        .crossJoin(broadcast(nM))
+        .filter(col("__rk") >
+          floor(lit(pruneFrac) * col("__nm")).cast("long"))
+        .select(col("p"), col("cnt"))
+      pieces = counted.filter(length(col("p")) === 1)
+        .unionByName(kept)
+        .localCheckpoint(true)
+      r += 1
+    }
+    scoresOf(pieces).select(col("p").as("piece"),
+      col("cnt").as("n_count"), col("sc").as("logp_micro"))
   }
 }
 

@@ -392,9 +392,13 @@ class MetricsSpec extends SparkSpec {
   }
 
   test("benfordDigits: exact digit binning (zero/NULL out, negatives by " +
-      "magnitude), hand-computed chi-square contributions") {
+      "magnitude), hand-computed chi-square contributions, and the full " +
+      "1-9 scaffold — a digit a column entirely avoids contributes n·e") {
     // col a: [10, 1, 19, 2, 0]  -> digits 1,1,1,2 (zero excluded), n=4
     //   P(1)=log10(2)=0.30103: chi(1) = (3-4·0.30103)²/(4·0.30103)
+    //   digits 3-9 never occur -> n_obs=0 rows with chi = 4·P(d): the
+    //   avoided-digit fabrication signal the round-8 panel silently
+    //   dropped (its per-column Σ chi2 was understated by 2.09 here)
     // col b: [-200, 3, null]    -> digits 2,3 (magnitude; null excluded)
     val df = Seq(
       (Some(10L), Some(-200L)), (Some(1L), Some(3L)),
@@ -407,14 +411,49 @@ class MetricsSpec extends SparkSpec {
     assert(got.toSeq == Seq(
       ("a", 1, 3L, 0.75, 0.30103, 2.678458),
       ("a", 2, 1L, 0.25, 0.176091, 0.124083),
+      ("a", 3, 0L, 0.0, 0.124939, 0.499755),
+      ("a", 4, 0L, 0.0, 0.09691, 0.38764),
+      ("a", 5, 0L, 0.0, 0.079181, 0.316725),
+      ("a", 6, 0L, 0.0, 0.066947, 0.267787),
+      ("a", 7, 0L, 0.0, 0.057992, 0.231968),
+      ("a", 8, 0L, 0.0, 0.051153, 0.20461),
+      ("a", 9, 0L, 0.0, 0.045757, 0.18303),
+      ("b", 1, 0L, 0.0, 0.30103, 0.60206),
       ("b", 2, 1L, 0.5, 0.176091, 1.191619),
-      ("b", 3, 1L, 0.5, 0.124939, 2.251839)))
+      ("b", 3, 1L, 0.5, 0.124939, 2.251839),
+      ("b", 4, 0L, 0.0, 0.09691, 0.19382),
+      ("b", 5, 0L, 0.0, 0.079181, 0.158362),
+      ("b", 6, 0L, 0.0, 0.066947, 0.133894),
+      ("b", 7, 0L, 0.0, 0.057992, 0.115984),
+      ("b", 8, 0L, 0.0, 0.051153, 0.102305),
+      ("b", 9, 0L, 0.0, 0.045757, 0.091515)))
+    // benfordFromCounts ∘ benfordCounts = benfordDigits (the streaming
+    // twin's composition contract, the fdCounts convention)
+    assert(Metrics.benfordFromCounts(Metrics.benfordCounts(df,
+        Seq("a", "b")))
+      .orderBy("column", "digit").collect().toSeq ==
+      Metrics.benfordDigits(df, Seq("a", "b"))
+        .orderBy("column", "digit").collect().toSeq)
+  }
+
+  test("madOutliers: NULL values are excluded from n, both medians, and " +
+      "the flags") {
+    // with the 3 nulls counted, group a's median rank would shift and n
+    // would inflate to 8 while the nulls never flag; the round-9 contract
+    // drops them up front — identical output to the null-free fixture
+    val withNulls = (Seq(1L, 2L, 3L, 4L, 100L).map(v => ("a", Some(v))) ++
+      Seq[(String, Option[Long])](("a", None), ("a", None), ("a", None)))
+      .toDF("g", "v")
+    val got = Metrics.madOutliers(withNulls, "v", Seq("g"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(("a", 5L, 3L, 1L, 1L, 0.2)))
   }
 
   test("fdCounts/fdFromCounts composition equals fdViolations — incl. " +
       "NULL keys and the null-vs-'null'-string distinction") {
     // adversarial fixture: a real NULL and the literal string "null" in
-    // the same column must land in DIFFERENT groups (the  marker),
+    // the same column must land in DIFFERENT groups (the \u0002 marker),
     // and multi-column lhs keys must not collide across the separator
     val df = Seq(
       (Some("a"), Some("x"), Some(1)), (Some("a"), Some("x"), Some(2)),
@@ -433,6 +472,28 @@ class MetricsSpec extends SparkSpec {
     val st = Metrics.fdCounts(df, fds)
     assert(st.count() ==
       st.select("fd", "__lk", "__rk").distinct().count())
+  }
+
+  test("fdCounts key encoding is injective on separator-poisoned values: " +
+      "('a\\u0001vb','c') and ('a','b\\u0001vc') stay distinct groups") {
+    // the round-8 encoding concatenated unescaped values, so these two
+    // 2-column lhs tuples both serialized to va\u0001vb\u0001vc and
+    // merged; with value-level escaping they cannot collide
+    val df = Seq(
+      ("a\u0001vb", "c", 1), ("a\u0001vb", "c", 2),
+      ("a", "b\u0001vc", 1), ("a", "b\u0001vc", 1)
+    ).toDF("c1", "c2", "c3")
+    val fds = Seq(("pair->c3", Seq("c1", "c2"), "c3"))
+    // two lhs groups of 2 rows: group 1 holds rhs {1, 2} (1 violation),
+    // group 2 holds rhs {1: 2} (none) -> merged they would read as one
+    // 4-row group with keep=2 -> 2 violations
+    val got = Metrics.fdViolations(df, fds).collect().head
+    assert(got.getLong(1) == 2L)     // n_groups
+    assert(got.getLong(2) == 4L)     // n_rows
+    assert(got.getLong(3) == 1L)     // violating_groups
+    assert(got.getLong(4) == 1L)     // violations
+    // and the raw state shows 3 distinct (lhs, rhs) classes
+    assert(Metrics.fdCounts(df, fds).count() == 3L)
   }
 
   test("fdViolations: exact FD yields zero mass; multi-column lhs") {

@@ -630,4 +630,29 @@ class PlanSpec extends SparkSpec {
       !plan.contains("CartesianProduct"),
       s"pair stream re-shuffled:\n$plan")
   }
+
+  test("fdViolations reads the input relation ONCE for all candidate FDs " +
+      "(explode fan-out, not per-FD scans)") {
+    // round-8 shape was a unionByName of per-FD projections = |fds| full
+    // corpus scans; a real profiling run declares dozens of rules, so the
+    // scan count is the whole job at 100 TB
+    val df = SparkEntry.queries("fd_violations_orders")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly one scan, saw $scans:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"expected the explode fan-out:\n$plan")
+  }
+
+  test("benfordDigits: ONE corpus scan, join-free fold (the digit " +
+      "scaffold explodes against a per-column map, no totals join-back)") {
+    val df = SparkEntry.queries("benford_orders")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly one scan, saw $scans:\n$plan")
+    assert(!plan.contains("Join"),
+      s"the fold must not join (a join-back re-scans the corpus):\n$plan")
+  }
 }

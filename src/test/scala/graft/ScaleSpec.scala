@@ -2112,6 +2112,28 @@ class ScaleSpec extends SparkSpec {
     assert(got(5L).map(_._4).sum == 5L)
   }
 
+  test("unimaxAllocate: NULL domains group under the \\u0002NULL sentinel " +
+      "and compete for budget — one null row must not abort the run") {
+    // round 8 hard-failed here: the null-domain group tripped
+    // Bounded.withRank's non-null require and aborted the allocation
+    val td = Seq(
+      (Some("d1"), "t1 t2"),               // 2 tokens, cap 4
+      (None, "x y z"),                     // 3 unlabeled tokens, cap 6
+      (None, "w"),                         //  +1 -> sentinel: 4, cap 8
+      (Some("d2"), "a b c d e f")          // 6 tokens, cap 12
+    ).toDF("dom", "text")
+    val got = TextAnalysis.unimaxAllocate(td, "dom", "text", 14L, 2)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // capacity sort: d1(4), sentinel(8), d2(12); B=14: d1 capped
+    // (4·3 ≤ 14), remaining 10 splits 5/5 over sentinel and d2;
+    // output sort: the \u0002 sentinel collates before ASCII letters
+    assert(got == Seq(("\u0002NULL", 4L, 8L, 5L),
+      ("d1", 2L, 4L, 4L), ("d2", 6L, 12L, 5L)))
+    assert(got.map(_._4).sum == 14L)
+  }
+
   test("fellegiSunter: hand-computed smoothed weights; uninformative " +
       "field earns near-zero weight; score = sum of field lns") {
     // 10 candidate pairs: nm=4 gold matches, nu=6 non-matches.
@@ -2144,5 +2166,98 @@ class ScaleSpec extends SparkSpec {
       if (f) { assert(score == 0.932039); assert(dec) }
       else { assert(score == -0.85972); assert(!dec) }
     }
+  }
+
+  test("Curation.ledger: every doc lands in exactly one hand-traced " +
+      "(stage, reason) class; precedence is pipeline order") {
+    // minTokens=3, evalMod=2 (evens are the benchmark slice),
+    // weights A->0.5, mixTarget=2 -> quota 1 for A, residual 0.5 -> 1
+    // for the single unweighted domain B.
+    //   1 "x"            -> 1 token -> too_short (gate order: even ids
+    //                       that are short still ledger as too_short)
+    //   3 "aa bb cc"     -> min-id of its fingerprint, odd -> corpus;
+    //                       shares shingle "aa bb cc" with eval doc 4
+    //                       -> contaminated
+    //   4 "aa bb cc"     -> same fingerprint as 3, higher id -> dup
+    //   5 "gg hh ii"     -> clean B; md5 rank 2 of B > quota 1 -> over
+    //   6 "dd ee ff"     -> unique, even -> eval_holdout
+    //   7 "jj kk ll"     -> clean B; md5("7") < md5("5") -> rank 1, kept
+    //   9 "mm nn oo"     -> only clean A doc -> kept
+    val docs = Seq(
+      (1L, "A", "x"), (3L, "A", "aa bb cc"), (4L, "A", "aa bb cc"),
+      (5L, "B", "gg hh ii"), (6L, "B", "dd ee ff"),
+      (7L, "B", "jj kk ll"), (9L, "A", "mm nn oo")
+    ).toDF("doc_id", "source", "text")
+    def led = graft.scale.Curation.ledger(docs, "doc_id", "text", "source",
+      3, 2, Map("A" -> 0.5), 2L)
+    val got = led.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 1, "quality", "too_short", 1L),
+      (3L, 3, "decontaminate", "contaminated", 3L),
+      (4L, 2, "dedup", "exact_duplicate", 3L),
+      (5L, 4, "mix", "over_quota", 3L),
+      (6L, 3, "decontaminate", "eval_holdout", 3L),
+      (7L, 5, "kept", "kept", 3L),
+      (9L, 5, "kept", "kept", 3L)))
+    // the partition property: one ledger row per input doc, no more
+    assert(led.count() == docs.count())
+    assert(led.select("doc_id").distinct().count() == docs.count())
+    val mass = graft.scale.Curation.ledgerMass(led)
+      .orderBy("stage_idx", "reason").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(mass == Seq(
+      (1, "quality", "too_short", 1L, 1L),
+      (2, "dedup", "exact_duplicate", 1L, 3L),
+      (3, "decontaminate", "contaminated", 1L, 3L),
+      (3, "decontaminate", "eval_holdout", 1L, 3L),
+      (4, "mix", "over_quota", 1L, 3L),
+      (5, "kept", "kept", 2L, 6L)))
+  }
+
+  test("Multimodal.alignmentScore: hand-computed micro-cosines — " +
+      "identical/orthogonal/opposed pairs and the threshold gate") {
+    val txt = Seq(
+      (0L, Array(1.0f, 0.0f)),   // vs (1,0)  -> cos  1.0
+      (1L, Array(1.0f, 0.0f)),   // vs (0,1)  -> cos  0.0
+      (2L, Array(1.0f, 0.0f)),   // vs (-1,0) -> cos -1.0
+      (3L, Array(3.0f, 4.0f))    // vs (4,3)  -> cos 24/25 = 0.96
+    ).toDF("pair_id", "embedding")
+    val img = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(-1.0f, 0.0f)), (3L, Array(4.0f, 3.0f)),
+      (9L, Array(1.0f, 1.0f))    // unpaired image: inner join drops it
+    ).toDF("pair_id", "embedding")
+    val got = graft.scale.Multimodal.alignmentScore(
+        txt, img, "pair_id", "embedding", 280000L)
+      .orderBy("pair_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(got == Seq(
+      (0L, 1000000L, true), (1L, 0L, false),
+      (2L, -1000000L, false), (3L, 960000L, true)))
+  }
+
+  test("unigramLmTrain: hand-traced tiny corpus — substring seed top-k, " +
+      "optimal-path counting, pruning; single chars never pruned") {
+    // words: abab x3, ab x1, cd x1 (L=2, seed 2 multis, 1 round, prune 50%)
+    //   seed counts: a=7 b=7 c=1 d=1 | ab=7 ba=3 cd=1 -> multis kept: ab, ba
+    //   scores (tot=26, V=6): sc(a)=sc(b)=sc(ab)=round(ln(8/32)e6),
+    //     sc(ba)=ln(4/32), sc(c)=sc(d)=ln(2/32)
+    //   Viterbi "abab": ab+ab strictly beats any path through a/b/ba ->
+    //     only the two ab occurrences count (3 each); "ab" adds 1 -> ab=7,
+    //     a=b=ba=0; "cd" has no cd piece -> c=1, d=1
+    //   prune: multi {ab:7, ba:0}, drop floor(0.5*2)=1 smallest -> ba out
+    //   final scores over {a:0,b:0,c:1,d:1,ab:7}: tot=9, V=5:
+    //     sc(ab)=round(ln(8/14)e6)=-559616, sc(a)=ln(1/14)->-2639057,
+    //     sc(c)=ln(2/14)->-1945910
+    val docs = Seq("abab ab", "abab abab cd").toDF("text")
+    val got = TextAnalysis.unigramLmTrain(docs, "text", 2, 2, 1, 0.5, 24)
+      .orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("a", 0L, -2639057L), ("ab", 7L, -559616L), ("b", 0L, -2639057L),
+      ("c", 1L, -1945910L), ("d", 1L, -1945910L)))
   }
 }

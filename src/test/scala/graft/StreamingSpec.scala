@@ -223,6 +223,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming Benford state equals the batch panel") {
+    import graft.io.Tables
+    val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
+      .as[(String, Int, Long, Double, Double, Double)].collect().toSet
+    val batch = graft.metrics.Metrics.benfordDigits(
+        Tables.load(spark, sf, "orders")
+          .select($"o_custkey",
+            ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long")
+              .as("price_cents")),
+        Seq("o_custkey", "price_cents"))
+      .as[(String, Int, Long, Double, Double, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 18) // 2 columns × the full 1-9 digit scaffold
+  }
+
   test("streaming embedding drift state equals the batch panel") {
     val stream =
       SparkEntry.queries("streaming_embedding_drift_embeddings")(spark, sf)
