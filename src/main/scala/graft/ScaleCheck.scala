@@ -98,6 +98,15 @@ object ScaleCheck {
       ("passage_dedup",
         (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
         docs, "doc_id", Some("text")),
+      ("decontaminate_fuzzy",
+        // eval side stays benchmark-scale (the unreplicated % 20 slice of
+        // the ORIGINAL corpus) while the corpus side replicates — the real
+        // deployment shape; candidate mass tracks corpus band collisions
+        (d: DataFrame) => Dedup.decontaminateFuzzy(
+          d.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", 8, 2, 3, 600000L),
+        docs, "doc_id", Some("text")),
       ("corpus_freq",
         (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
         docs, "doc_id", None),

@@ -1274,6 +1274,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: FUZZY (MinHash-LSH) decontamination -------------------------
+    "decontaminate_fuzzy_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminateFuzzy(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0),
+          "doc_id", "text", 8, 2, 3, 600000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- scale: repetition quality signal (top-bigram fraction) ------------
     "repetition_docs" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
@@ -3613,6 +3623,15 @@ object SparkEntry {
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
           .withColumn("side", col("o_orderkey") % 2 === 0),
         "cents", "side")),
+
+    // ---- PSI drift panel (where the distribution mass moved) ---------------
+    "psi_drift_orders" -> ((s, dir) =>
+      Metrics.psiDrift(t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("side", col("o_orderkey") % 2 === 0),
+        "cents", "side", 10)
+        .orderBy(col("bin"))),
 
     // ---- chi-square token drift (which tokens moved between corpora) ------
     // English vs non-English halves of the corpus: the top-25 tokens by the
@@ -7004,6 +7023,48 @@ object SparkEntry {
         |LEFT JOIN hits h ON d.doc_id = h.doc_id
         |ORDER BY d.doc_id""".stripMargin,
 
+    // same mh/bands replay as minhash_pairs_docs, bipartite corpus×eval
+    // candidate join, est = component-agreement fraction in exact micros
+    "decontaminate_fuzzy_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+        |  FROM bands c JOIN bands e
+        |    ON c.band = e.band AND c.band_key = e.band_key
+        |  WHERE c.doc_id % 20 <> 0 AND e.doc_id % 20 = 0),
+        |agr AS (
+        |  SELECT cd.cid, cd.eid,
+        |    CAST(SUM(CASE WHEN cm.h = em.h THEN 1 ELSE 0 END) * 1000000 // 8
+        |      AS BIGINT) AS est
+        |  FROM cand cd
+        |  JOIN mh cm ON cm.doc_id = cd.cid
+        |  JOIN mh em ON em.doc_id = cd.eid AND em.s = cm.s
+        |  GROUP BY cd.cid, cd.eid),
+        |best AS (
+        |  SELECT cid, eid, est, ROW_NUMBER() OVER (
+        |    PARTITION BY cid ORDER BY est DESC, eid) AS rk
+        |  FROM agr)
+        |SELECT d.doc_id, b.eid AS match_id,
+        |  COALESCE(b.est, 0) AS est_jaccard_micro,
+        |  COALESCE(b.est, 0) >= 600000 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
+        |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.cid = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "repetition_docs" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -9585,6 +9646,48 @@ object SparkEntry {
         |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM d, m, tot t WHERE d.diff = m.ks_num
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    // reference deciles via the exactPercentiles rank convention
+    // (rank = (n*q + 999999) // 1e6); smoothing/float expressions mirror
+    // psiDrift verbatim (the benford bit-parity rule)
+    "psi_drift_orders" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS v, (o_orderkey % 2 = 0) AS s
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |refr AS (
+        |  SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn,
+        |    COUNT(*) OVER () AS n
+        |  FROM b WHERE NOT s),
+        |edges AS (
+        |  SELECT u.i AS i, r.v AS e
+        |  FROM UNNEST(range(1, 10)) AS u(i) JOIN refr r
+        |    ON r.rn = (r.n * (u.i * 100000) + 999999) // 1000000),
+        |binned AS (
+        |  SELECT b.v, b.s,
+        |    (SELECT COUNT(*) FROM edges e WHERE b.v > e.e) AS bin
+        |  FROM b),
+        |cnt AS (
+        |  SELECT bin, CAST(COUNT(*) FILTER (NOT s) AS BIGINT) AS n_ref,
+        |    CAST(COUNT(*) FILTER (s) AS BIGINT) AS n_cur
+        |  FROM binned GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n_ref) AS BIGINT) AS nr,
+        |    CAST(SUM(n_cur) AS BIGINT) AS nc FROM cnt),
+        |f AS (
+        |  SELECT u.i AS bin, COALESCE(c.n_ref, 0) AS n_ref,
+        |    COALESCE(c.n_cur, 0) AS n_cur, t.nr, t.nc
+        |  FROM UNNEST(range(0, 10)) AS u(i)
+        |  LEFT JOIN cnt c ON c.bin = u.i CROSS JOIN tot t)
+        |SELECT bin, n_ref, n_cur,
+        |  ROUND(CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE), 6) AS frac_ref,
+        |  ROUND(CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE), 6) AS frac_cur,
+        |  ROUND((CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE)
+        |       - CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))
+        |    * (ln(CAST(n_cur + 1 AS DOUBLE) / CAST(nc + 10 AS DOUBLE))
+        |       - ln(CAST(n_ref + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE))),
+        |    6) AS psi_contrib
+        |FROM f ORDER BY bin""".stripMargin,
 
     "token_drift_docs" ->
       """WITH toks AS (

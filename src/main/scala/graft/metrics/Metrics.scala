@@ -643,6 +643,84 @@ object Metrics {
           .as("ks"))
   }
 
+  /** Population Stability Index drift panel — the model-monitoring
+    * standard beside [[ksDrift]] (KS detects ANY distributional move and
+    * saturates on huge samples; PSI localizes WHERE the mass moved and is
+    * the credit-risk/ML-ops reporting convention, rule-of-thumb 0.1/0.25
+    * action bands on the total). Reference-side (sideCol = false) exact
+    * quantile edges define `bins` equal-population bins; both sides bin
+    * against those edges; per bin, PSI's contribution is
+    * (p_cur − p_ref)·ln(p_cur/p_ref) with add-one/add-`bins` Laplace
+    * smoothing (the classic form divides by zero the moment a bin empties
+    * — exactly the strong-drift case the panel exists to flag; smoothing
+    * keeps every contribution finite and deterministic). `frac_*` report
+    * the RAW unsmoothed fractions; Σ psi_contrib is the statistic.
+    *
+    * Determinism: edges are exact longs from [[exactPercentiles]] (type-1
+    * rank ceil(n·q), no interpolation); bin assignment is pure integer
+    * comparison (value > edge, duplicates among edges kept — an edge tie
+    * just leaves its bin empty on both engines); the only floats are the
+    * final mirrored ratio/ln expressions over exact integers (the
+    * [[benfordDigits]] convention). Every bin 0..bins−1 is emitted even at
+    * zero counts — the scaffold lesson of benford's zero-digit fix.
+    *
+    * Scale shape: two linear selection passes over the reference side
+    * (bucket histogram + rank pick, never a global sort), ONE pass over
+    * the full input for the bin counts (edges ride a 1-row broadcast),
+    * and a dictionary-scale fold (bins rows). NULL values are excluded
+    * up front on both sides (the [[madOutliers]] rule).
+    *
+    * @param sideCol boolean column: false = reference, true = current
+    * @return (bin, n_ref, n_cur, frac_ref, frac_cur, psi_contrib) — one
+    *         row per bin, fracs and contribution rounded 6
+    */
+  def psiDrift(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      bins: Int = 10,
+      bucketShift: Int = 12): DataFrame = {
+    require(bins >= 2, s"bad bin count $bins")
+    val base = df
+      .select(col(valCol).cast("long").as("__v"),
+        col(sideCol).cast("boolean").as("__s"))
+      .filter(col("__v").isNotNull)
+    val edges = exactPercentiles(base.filter(!col("__s")), "__v",
+        (1 until bins).map(i => i * 1000000L / bins), Seq.empty, bucketShift)
+      .agg(array_sort(collect_list(struct(col("q"), col("value"))))
+        .as("__qe"))
+      // HOF on ONE bins-length array on a 1-row frame — not the hot path
+      .select(transform(col("__qe"), e => e.getField("value")).as("__e"))
+    val bin = (1 until bins)
+      .map(i => when(col("__v") > element_at(col("__e"), i), 1).otherwise(0))
+      .reduce(_ + _)
+    val counts = base.crossJoin(broadcast(edges))
+      .select(bin.as("bin"), col("__s"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("__s"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_cur"))
+    val pr = (col("n_ref") + 1).cast("double") /
+      (col("__nr") + bins).cast("double")
+    val pc = (col("n_cur") + 1).cast("double") /
+      (col("__nc") + bins).cast("double")
+    counts
+      .agg(sum(col("n_ref")).as("__nr"), sum(col("n_cur")).as("__nc"),
+        map_from_entries(collect_list(struct(col("bin"),
+          struct(col("n_ref"), col("n_cur"))))).as("__m"))
+      .select(col("__nr"), col("__nc"), col("__m"),
+        explode(sequence(lit(0), lit(bins - 1))).as("bin"))
+      .withColumn("n_ref", coalesce(
+        element_at(col("__m"), col("bin")).getField("n_ref"), lit(0L)))
+      .withColumn("n_cur", coalesce(
+        element_at(col("__m"), col("bin")).getField("n_cur"), lit(0L)))
+      .select(col("bin").cast("long").as("bin"), col("n_ref"), col("n_cur"),
+        round(col("n_ref").cast("double") / col("__nr").cast("double"), 6)
+          .as("frac_ref"),
+        round(col("n_cur").cast("double") / col("__nc").cast("double"), 6)
+          .as("frac_cur"),
+        round((pc - pr) * (log(pc) - log(pr)), 6).as("psi_contrib"))
+  }
+
   /** Per-group Welch two-sample t-test — the A/B significance panel: for
     * each group, sample sizes, means, and the unequal-variance t statistic
     * with its Welch–Satterthwaite degrees of freedom. The companion to

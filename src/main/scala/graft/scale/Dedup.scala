@@ -804,6 +804,83 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0L).as("contaminated"))
   }
 
+  /** FUZZY decontamination: flag corpus documents whose MinHash-estimated
+    * Jaccard similarity to ANY eval document clears a threshold — the
+    * near-duplicate eval-overlap gate the frontier training reports run
+    * beside exact-shingle decontamination (GPT-3's 13-gram dedup, Llama 2's
+    * "contaminated if ≥ X% token overlap" appendix; exact matching misses a
+    * benchmark item lightly paraphrased or partially quoted, which is the
+    * common leak mode in web corpora).
+    *
+    * Shape: [[minhashSignatures]] on BOTH sides (same md5 min-wise family
+    * as the dedup path, so any engine replays it), [[lshBands]] on both, a
+    * bipartite band-key equi-join generates (corpus, eval) candidates, and
+    * the candidate pair's signatures estimate Jaccard as the fraction of
+    * agreeing components — exact integers end to end (est_micro =
+    * agree·1e6 div numHashes).
+    *
+    * Scale shape: the eval side is benchmark-scale and BROADCASTS (its
+    * bands and its signature map); the corpus side is one explode + one
+    * hash-agg + one broadcast join — corpus-linear, no shuffle keyed on
+    * anything wider than the doc id, no corpus×eval pair mass (banding
+    * gates candidate generation exactly as in the dedup path). Recall is
+    * the LSH family's: a paraphrase below the band-collision curve is
+    * missed by design and tuned by (numHashes, rowsPerBand).
+    *
+    * @return one row per corpus doc: (idCol, match_id — the est-max
+    *         tie-min eval witness or NULL, est_jaccard_micro, contaminated)
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3,
+      thresholdMicro: Long = 600000L): DataFrame = {
+    require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
+      s"bad threshold $thresholdMicro")
+    val corpSig =
+      minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize)
+    val evalSigRaw =
+      minhashSignatures(evalSet, idCol, textCol, numHashes, shingleSize)
+        .select(col(idCol).as("__eid"), col("minhash"))
+    val evalSig = evalSigRaw
+      .select(col("__eid"), col("minhash").as("__emh"))
+    val corpBands = lshBands(corpSig, idCol, numHashes, rowsPerBand)
+    val evalBands = lshBands(evalSigRaw, "__eid", numHashes, rowsPerBand)
+    val cand = corpBands
+      .join(broadcast(evalBands), Seq("band", "band_key"))
+      .select(col(idCol), col("__eid")).distinct()
+    // component agreement as a codegen'd sum of comparisons (a zip_with/
+    // aggregate lambda would evaluate interpreted — the repo-wide HOF rule)
+    val agree = (0 until numHashes)
+      .map(i => when(element_at(col("minhash"), i + 1) ===
+        element_at(col("__emh"), i + 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val best = cand
+      .join(corpSig, Seq(idCol))
+      .join(broadcast(evalSig), Seq("__eid"))
+      .select(col(idCol), col("__eid"), agree.as("__agree"))
+      // integer div (Spark's `/` on longs is DOUBLE division; a float
+      // quotient at the threshold boundary is exactly the flap the
+      // micro-units convention exists to prevent)
+      .select(col(idCol), col("__eid"),
+        expr(s"__agree * CAST(1000000 AS BIGINT) div $numHashes")
+          .as("__est"))
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__est"), (-col("__eid")).as("__ne"))).as("__m"))
+      .select(col(idCol), (-col("__m.__ne")).as("match_id"),
+        col("__m.__est").as("est_jaccard_micro"))
+    corpus.select(col(idCol))
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("match_id"),
+        coalesce(col("est_jaccard_micro"), lit(0L)).as("est_jaccard_micro"),
+        (coalesce(col("est_jaccard_micro"), lit(0L)) >= thresholdMicro)
+          .as("contaminated"))
+  }
+
   /** n-gram Jaccard near-dup via inverted shingle index: explode distinct
     * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
     * blocking — they generate candidate pairs quadratically while carrying no

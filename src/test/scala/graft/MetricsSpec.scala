@@ -372,6 +372,40 @@ class MetricsSpec extends SparkSpec {
     assert(got.getDouble(5) == 0.25)   // g3 = 2/8
   }
 
+  test("psiDrift: hand-computed 2-bin panel — reference median edge, " +
+      "Laplace-smoothed contributions, empty current bin kept") {
+    // ref = [1,2,3,4]: rank ceil(4·0.5)=2 -> edge 2; bins: v<=2 | v>2
+    //   ref counts (2, 2), nr=4; cur = [3,3,4]: counts (0, 3), nc=3
+    // frac_ref (0.5, 0.5); frac_cur (0, 1)
+    // smoothed p (add-1 / add-2): pr=(3/6, 3/6), pc=(1/5, 4/5)
+    //   contrib0 = (0.2-0.5)·ln(0.2/0.5) = 0.3·ln 2.5  = 0.274887
+    //   contrib1 = (0.8-0.5)·ln(0.8/0.5) = 0.3·ln 1.6  = 0.141001
+    val df = (Seq(1L, 2L, 3L, 4L).map((_, false)) ++
+      Seq(3L, 3L, 4L).map((_, true))).toDF("v", "s")
+    val got = Metrics.psiDrift(df, "v", "s", 2)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 2L, 0L, 0.5, 0.0, 0.274887),
+      (1L, 2L, 3L, 0.5, 1.0, 0.141001)))
+  }
+
+  test("psiDrift: identical sides produce (near-)zero contributions and " +
+      "NULLs are excluded") {
+    val vals = (1L to 40L) ++ Seq.empty
+    val df = (vals.map(v => (Some(v), false)) ++
+      vals.map(v => (Some(v), true)) ++
+      Seq((Option.empty[Long], false), (Option.empty[Long], true)))
+      .toDF("v", "s")
+    val got = Metrics.psiDrift(df, "v", "s", 10).collect()
+    assert(got.length == 10)
+    assert(got.map(_.getLong(1)).sum == 40L)   // NULL rows not counted
+    assert(got.map(_.getLong(2)).sum == 40L)
+    // same counts both sides with equal n -> smoothed p identical -> 0.0
+    got.foreach(r => assert(r.getDouble(5) == 0.0))
+  }
+
   test("madOutliers: hand-computed Hampel panel; the outlier cannot hide " +
       "itself; even-n type-1 medians") {
     // group a: [1,2,3,4,100] -> median (rank ceil(5/2)=3) = 3;

@@ -92,6 +92,33 @@ class ScaleSpec extends SparkSpec {
     assert(got.head._2 === 6L)   // doc 2 shares 6 of 7 trigrams with doc 1
   }
 
+  test("decontaminateFuzzy: exact eval copy estimates 1.0, disjoint vocab " +
+      "never collides, any band match implies >= rowsPerBand agreement") {
+    val eval_ = docs.filter($"doc_id" === 4)   // exact copy of doc 1
+    val corpus = docs.filter($"doc_id" =!= 4)
+    val got = Dedup.decontaminateFuzzy(corpus, eval_, "doc_id", "text",
+        8, 2, 3, 600000L)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getBoolean(3)))
+      .toSeq
+    assert(got.map(_._1) === Seq(1L, 2L, 3L, 5L))
+    // doc 1 IS the eval doc: all 8 components agree
+    assert(got.head === ((1L, Some(4L), 1000000L, true)))
+    // disjoint vocabulary shares no shingle, so no band can collide
+    assert(got.last === ((5L, None, 0L, false)))
+    // structural invariants: a band collision (rowsPerBand=2 of 8) implies
+    // >= 2/8 component agreement; no-candidate docs report exactly 0/NULL
+    got.foreach { case (_, m, est, c) =>
+      assert(est >= 0L && est <= 1000000L)
+      assert(m.isDefined === (est > 0L))
+      if (m.isDefined) assert(est >= 250000L, s"band hit below 2/8: $est")
+      assert(c === (est >= 600000L))
+    }
+  }
+
   test("repetitionScore: top-bigram fraction on a degenerate doc") {
     val rep = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
       .toDF("doc_id", "text")
