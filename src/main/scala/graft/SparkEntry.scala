@@ -1284,6 +1284,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: script / writing-system ID ---------------------------------
+    // deterministic multi-script garnish per doc_id residue (the pii_scrub
+    // synthetic-span precedent) so every class exercises at any sf
+    "script_id_docs" -> ((s, dir) =>
+      TextAnalysis.scriptId(t(s, dir, "documents")
+          .withColumn("tx", concat(col("text"),
+            when(col("doc_id") % 5 === 1, lit(" привет мир"))
+              .when(col("doc_id") % 5 === 2, lit(" 你好 世界"))
+              .when(col("doc_id") % 5 === 3, lit(" αβγ δε"))
+              .when(col("doc_id") % 5 === 4, lit(" 0123 456789"))
+              .otherwise(lit("")))),
+        "doc_id", "tx")
+        .orderBy(col("doc_id"))),
+
     // ---- scale: repetition quality signal (top-bigram fraction) ------------
     "repetition_docs" -> ((s, dir) =>
       TextAnalysis.repetitionScore(t(s, dir, "documents"), "doc_id", "text")
@@ -1970,6 +1984,12 @@ object SparkEntry {
     "bpe_encode_docs" -> ((s, dir) =>
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "source", "text", 8)
         .orderBy(col("source"))),
+
+    // ---- tokenizer fertility / multilingual-fairness panel ------------------
+    "tokenizer_fertility_docs" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(
+          t(s, dir, "documents"), "lang", "text", 8)
+        .orderBy(col("lang"))),
 
     // ---- overlapping passage windows (retrieval chunking, stride<size) -----
     "passage_windows_docs" -> ((s, dir) =>
@@ -3624,6 +3644,15 @@ object SparkEntry {
           .withColumn("side", col("o_orderkey") % 2 === 0),
         "cents", "side")),
 
+    // ---- k-anonymity quasi-identifier risk panel ----------------------------
+    "k_anonymity_customer" -> ((s, dir) =>
+      Metrics.kAnonymity(t(s, dir, "customer")
+          .withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), Seq(2, 5, 10))
+        .orderBy(col("k"))),
+
     // ---- PSI drift panel (where the distribution mass moved) ---------------
     "psi_drift_orders" -> ((s, dir) =>
       Metrics.psiDrift(t(s, dir, "orders")
@@ -4086,6 +4115,7 @@ object SparkEntry {
       // the unigram-LM trainer replay: recursive-CTE Viterbi DPs
       ("unigram_lm_train_docs" -> unigramLmOracle(2)),
       ("bpe_encode_docs" -> bpeEncodeOracle(8)),
+      ("tokenizer_fertility_docs" -> tokenizerFertilityOracle(8)),
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
       ("classifier_train_docs" ->
         classifierTrainOracle(8, calibration = false)),
@@ -4743,7 +4773,11 @@ object SparkEntry {
     * per-source mass is one join of exploded words against it — the exact
     * SQL mirror of [[TextAnalysis.bpeEncode]].
     */
-  private def bpeEncodeOracle(rounds: Int): String = {
+  /** Shared CTE chain of the BPE-application oracles: trained merges →
+    * word→token-count dict → per-`groupCol` encode counts (`enc(g,
+    * n_words, n_tokens, n_chars)`).
+    */
+  private def bpeEncCtes(rounds: Int, groupCol: String): String = {
     val head =
       """WITH v1 AS (
         |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s,
@@ -4778,18 +4812,41 @@ object SparkEntry {
          |      AS BIGINT) AS nt
          |  FROM v${rounds + 1}),
          |wd AS (
-         |  SELECT source,
+         |  SELECT $groupCol AS g,
          |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
          |      x -> len(x) > 0)) AS w
-         |  FROM documents)
-         |SELECT wd.source, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(d.nt) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(len(wd.w)) AS BIGINT) AS n_chars
-         |FROM wd JOIN dict d ON wd.w = d.w
-         |WHERE NOT contains(wd.w, chr(1))
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |  FROM documents),
+         |enc AS (
+         |  SELECT wd.g, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(d.nt) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(len(wd.w)) AS BIGINT) AS n_chars
+         |  FROM wd JOIN dict d ON wd.w = d.w
+         |  WHERE NOT contains(wd.w, chr(1))
+         |  GROUP BY 1)""".stripMargin
     s"$head$roundCtes$tail"
   }
+
+  private def bpeEncodeOracle(rounds: Int): String =
+    s"""${bpeEncCtes(rounds, "source")}
+       |SELECT g AS source, n_words, n_tokens, n_chars
+       |FROM enc ORDER BY 1""".stripMargin
+
+  // ratio/relative-fertility float expressions mirror
+  // TextAnalysis.tokenizerFertility verbatim (the benford bit-parity rule)
+  private def tokenizerFertilityOracle(rounds: Int): String =
+    s"""${bpeEncCtes(rounds, "lang")},
+       |tot AS (
+       |  SELECT CAST(SUM(n_words) AS BIGINT) AS tw,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tt FROM enc)
+       |SELECT g AS lang, n_words, n_tokens, n_chars,
+       |  ROUND(CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE), 6)
+       |    AS fertility,
+       |  ROUND(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+       |    AS chars_per_token,
+       |  ROUND((CAST(n_tokens AS DOUBLE) / CAST(n_words AS DOUBLE))
+       |    / (CAST(tt AS DOUBLE) / CAST(tw AS DOUBLE)), 6)
+       |    AS fertility_rel
+       |FROM enc, tot ORDER BY lang""".stripMargin
 
   /** Per-order n-gram CTEs (the `repetition_docs` ragged-edge idiom
     * generalized: concat t[i] with COALESCE'd successors, so docs shorter
@@ -7064,6 +7121,55 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.cid = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // explicit codepoint ranges mirror ScriptRanges; argmax tiebreak =
+    // (count DESC, name DESC), the array_max-over-structs semantics
+    "script_id_docs" -> {
+      val ranges = Seq(
+        "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+        "devanagari" -> "[\\x{0900}-\\x{097F}]",
+        "cjk" -> "[\\x{4E00}-\\x{9FFF}\\x{3040}-\\x{30FF}]",
+        "hangul" -> "[\\x{AC00}-\\x{D7AF}\\x{1100}-\\x{11FF}]",
+        "digit" -> "[0-9]")
+      val cnts = ranges.map { case (n, re) =>
+        s"len(tx) - len(regexp_replace(tx, '$re', '', 'g')) AS n_$n"
+      }.mkString(",\n    ")
+      val unions = ranges.map { case (n, _) =>
+        s"SELECT doc_id, n_$n AS s, '$n' AS l FROM c"
+      }.mkString("\n  UNION ALL ")
+      val outCols = ranges.map { case (n, _) => s"c.n_$n" }.mkString(", ")
+      s"""WITH base AS (
+         |  SELECT doc_id, text ||
+         |    CASE doc_id % 5
+         |      WHEN 1 THEN ' привет мир'
+         |      WHEN 2 THEN ' 你好 世界'
+         |      WHEN 3 THEN ' αβγ δε'
+         |      WHEN 4 THEN ' 0123 456789'
+         |      ELSE '' END AS tx
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, len(tx) AS n_chars,
+         |    $cnts
+         |  FROM base),
+         |u AS (
+         |  $unions),
+         |rk AS (
+         |  SELECT doc_id, s, l,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |      ORDER BY s DESC, l DESC) AS rk,
+         |    SUM(s) OVER (PARTITION BY doc_id) AS tot
+         |  FROM u)
+         |SELECT c.doc_id, c.n_chars, $outCols,
+         |  CASE WHEN r.s > 0 THEN r.l ELSE 'unknown' END AS script,
+         |  ROUND(CASE WHEN r.tot > 0 THEN CAST(r.s AS DOUBLE) / r.tot
+         |    ELSE 0.0 END, 6) AS script_frac
+         |FROM c JOIN rk r ON c.doc_id = r.doc_id AND r.rk = 1
+         |ORDER BY c.doc_id""".stripMargin
+    },
 
     "repetition_docs" ->
       """WITH toks AS (
@@ -9646,6 +9752,33 @@ object SparkEntry {
         |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM d, m, tot t WHERE d.diff = m.ks_num
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    // classes replay as a plain GROUP BY on the raw quasi columns (the md5
+    // fingerprint is a shuffle-width detail, not a semantic)
+    "k_anonymity_customer" ->
+      """WITH q AS (
+        |  SELECT c_nationkey AS a, c_mktsegment AS b,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000
+        |      AS c
+        |  FROM customer),
+        |cls AS (
+        |  SELECT a, b, c, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM q GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |    CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |    CAST(MIN(sz) AS BIGINT) AS min_class_size
+        |  FROM cls)
+        |SELECT CAST(u.k AS BIGINT) AS k, t.n_classes, t.n_rows,
+        |  t.min_class_size,
+        |  CAST(COUNT(*) FILTER (cls.sz < u.k) AS BIGINT) AS risk_classes,
+        |  CAST(COALESCE(SUM(sz) FILTER (cls.sz < u.k), 0) AS BIGINT)
+        |    AS risk_rows,
+        |  ROUND(CAST(COALESCE(SUM(sz) FILTER (cls.sz < u.k), 0) AS DOUBLE)
+        |    / CAST(t.n_rows AS DOUBLE), 6) AS risk_frac
+        |FROM cls, UNNEST([2, 5, 10]) AS u(k), tot t
+        |GROUP BY u.k, t.n_classes, t.n_rows, t.min_class_size
+        |ORDER BY k""".stripMargin,
 
     // reference deciles via the exactPercentiles rank convention
     // (rank = (n*q + 999999) // 1e6); smoothing/float expressions mirror

@@ -643,6 +643,51 @@ object Metrics {
           .as("ks"))
   }
 
+  /** k-anonymity risk panel over a quasi-identifier column set (Sweeney
+    * 2002) — the privacy/governance QA screen a corpus with user-derived
+    * tabular data ships before release: rows whose quasi-identifier
+    * combination is shared by fewer than k individuals are re-identifiable
+    * by linkage. Per requested k: how many equivalence classes and rows sit
+    * below it; globally: the dataset's achieved k-anonymity (the minimum
+    * class size).
+    *
+    * Scale shape: ONE hash-aggregate keyed on a 32-byte md5 fingerprint of
+    * the quasi struct (the [[graft.scale.Dedup.exact]] discipline — the
+    * exchange never carries raw quasi values), then a |ks|-way explode over
+    * the CLASS table (dictionary-scale) and a 1-row broadcast of the
+    * totals. NULL quasi values are ordinary values (to_json's null-field
+    * omission keeps the encoding injective for a fixed column set).
+    *
+    * @param ks thresholds to report, e.g. Seq(2, 5, 10)
+    * @return one row per k: (k, n_classes, n_rows, min_class_size,
+    *         risk_classes, risk_rows, risk_frac) — frac rounded 6
+    */
+  def kAnonymity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      ks: Seq[Int]): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"bad k list $ks")
+    val cls = df
+      .groupBy(md5(to_json(struct(quasiCols.map(col): _*))).as("__cls"))
+      .agg(count(lit(1)).as("__sz"))
+    val tot = cls.agg(count(lit(1)).as("n_classes"),
+      sum(col("__sz")).as("n_rows"), min(col("__sz")).as("min_class_size"))
+    cls
+      .select(explode(array(ks.map(k => lit(k)): _*)).as("k"), col("__sz"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("__sz") < col("k"), 1L).otherwise(0L))
+          .as("risk_classes"),
+        sum(when(col("__sz") < col("k"), col("__sz")).otherwise(0L))
+          .as("risk_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("n_classes"),
+        col("n_rows"), col("min_class_size"), col("risk_classes"),
+        col("risk_rows"),
+        round(col("risk_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_frac"))
+  }
+
   /** Population Stability Index drift panel — the model-monitoring
     * standard beside [[ksDrift]] (KS detects ANY distributional move and
     * saturates on huge samples; PSI localizes WHERE the mass moved and is

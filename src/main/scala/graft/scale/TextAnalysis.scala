@@ -92,6 +92,61 @@ object TextAnalysis {
     df.withColumn("pred_lang", pred)
   }
 
+  /** Writing-system classes as EXPLICIT BMP codepoint ranges — no \p{...}
+    * property classes, whose tables differ across regex engines/Unicode
+    * versions; a literal range means the same characters in Java regex and
+    * RE2, so the oracle replays exactly. Supplementary-plane characters
+    * fall outside every range (they count toward n_chars only — as UTF-16
+    * units on the Spark side, the engine-wide char-op convention shared
+    * with the char-entropy op).
+    */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\u00C0-\u024F]",
+    "cyrillic" -> "[\u0400-\u04FF]",
+    "greek" -> "[\u0370-\u03FF]",
+    "arabic" -> "[\u0600-\u06FF]",
+    "hebrew" -> "[\u0590-\u05FF]",
+    "devanagari" -> "[\u0900-\u097F]",
+    "cjk" -> "[\u4E00-\u9FFF\u3040-\u30FF]",
+    "hangul" -> "[\uAC00-\uD7AF\u1100-\u11FF]",
+    "digit" -> "[0-9]")
+
+  /** Script / writing-system identification — the multilingual-curation
+    * complement to [[languageId]] (marker stopwords separate languages
+    * WITHIN a script; mixing Cyrillic into a Latin corpus, or detecting
+    * mojibake/transliteration spam, needs the character level). Per doc:
+    * per-script character counts, the dominant script (argmax, ties to the
+    * lexicographically larger name — the [[languageId]] tiebreak), and its
+    * share of all script-classified characters; no script hit → "unknown".
+    *
+    * Scale shape: PURE MAP — one length + |scripts| codegen'd
+    * regexp_replace strip-counts per row, no explode, no shuffle, no agg;
+    * the ideal 100 TB profile (reads each document once, emits one row).
+    */
+  def scriptId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = ScriptRanges.map { case (n, re) =>
+      (length(col(textCol)) -
+        length(regexp_replace(col(textCol), re, ""))).cast("long")
+        .as(s"n_$n")
+    }
+    val tot = ScriptRanges.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    val best = array_max(array(ScriptRanges.map { case (n, _) =>
+      struct(col(s"n_$n").as("s"), lit(n).as("l"))
+    }: _*))
+    df.select(col(idCol) +:
+        length(col(textCol)).cast("long").as("n_chars") +: counts: _*)
+      .withColumn("__tot", tot)
+      .withColumn("__best", best)
+      .withColumn("script",
+        when(col("__best.s") > 0L, col("__best.l")).otherwise("unknown"))
+      .withColumn("script_frac",
+        round(when(col("__tot") > 0L,
+          col("__best.s").cast("double") / col("__tot").cast("double"))
+          .otherwise(lit(0.0)), 6))
+      .drop("__tot", "__best")
+  }
+
   /** Fixed-size word chunks ("passages"): tokens grouped k at a time, last
     * chunk ragged. Chunk count = floor((n-1)/k)+1 (one empty chunk for an
     * empty doc, so no document is dropped). Same singleton-array lambda
@@ -708,6 +763,39 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"),
         sum(col("__nt")).as("n_tokens"),
         sum(length(col("__w")).cast("long")).as("n_chars"))
+  }
+
+  /** Tokenizer fertility / fairness panel — the standard multilingual
+    * tokenizer evaluation (fertility = tokens per word; a domain or
+    * language whose fertility runs far above the corpus mean pays more
+    * context budget per sentence — the "tokenizer premium" the NLLB/
+    * multilingual-LM literature tracks): encode the corpus with the
+    * trained BPE merges ([[bpeEncode]]'s dictionary join, corpus work =
+    * one split + one equi-join) and report, per group, token mass plus
+    * fertility, chars-per-token, and fertility RELATIVE to the whole
+    * corpus (1.0 = average; the fairness number).
+    *
+    * Scale shape: [[bpeEncode]]'s (vocab-bound trainer + one corpus join +
+    * one hash-agg) plus a 1-row broadcast of corpus totals — nothing new
+    * shuffles.
+    */
+  def tokenizerFertility(
+      df: DataFrame,
+      groupCol: String,
+      textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val enc = bpeEncode(df, groupCol, textCol, rounds)
+    val tot = enc.agg(sum(col("n_words")).as("__tw"),
+      sum(col("n_tokens")).as("__tt"))
+    val fert = col("n_tokens").cast("double") / col("n_words").cast("double")
+    enc.crossJoin(broadcast(tot))
+      .select(col(groupCol), col("n_words"), col("n_tokens"), col("n_chars"),
+        round(fert, 6).as("fertility"),
+        round(col("n_chars").cast("double") /
+          col("n_tokens").cast("double"), 6).as("chars_per_token"),
+        round(fert /
+          (col("__tt").cast("double") / col("__tw").cast("double")), 6)
+          .as("fertility_rel"))
   }
 
   /** Raw (non-distinct) word n-grams — same bound-lambda idiom and

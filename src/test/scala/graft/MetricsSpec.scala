@@ -372,6 +372,25 @@ class MetricsSpec extends SparkSpec {
     assert(got.getDouble(5) == 0.25)   // g3 = 2/8
   }
 
+  test("kAnonymity: hand-computed class sizes (1, 3, 10) across k = 2/5/10; " +
+      "NULL quasi value is its own class") {
+    val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(10)("c"))
+      .map(Option(_)).toDF("g")
+    val got = Metrics.kAnonymity(df, Seq("g"), Seq(2, 5, 10))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (2L, 3L, 14L, 1L, 1L, 1L, 0.071429),
+      (5L, 3L, 14L, 1L, 2L, 4L, 0.285714),
+      (10L, 3L, 14L, 1L, 2L, 4L, 0.285714)))
+    // a NULL quasi value groups as its own equivalence class
+    val withNull = df.union(Seq(Option.empty[String]).toDF("g"))
+    val n = Metrics.kAnonymity(withNull, Seq("g"), Seq(2))
+      .collect().head
+    assert(n.getLong(1) == 4L && n.getLong(4) == 2L && n.getLong(5) == 2L)
+  }
+
   test("psiDrift: hand-computed 2-bin panel — reference median edge, " +
       "Laplace-smoothed contributions, empty current bin kept") {
     // ref = [1,2,3,4]: rank ceil(4·0.5)=2 -> edge 2; bins: v<=2 | v>2

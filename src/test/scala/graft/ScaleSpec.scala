@@ -119,6 +119,30 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("scriptId: hand-computed mixed-script counts, argmax tiebreak to " +
+      "the larger name, empty/no-script docs report unknown") {
+    val df = Seq(
+      (1L, "Привет world 123"),       // cyr 6, lat 5, dig 3 -> cyrillic
+      (2L, "ab зы"),                  // lat 2, cyr 2 -> tie: latin > cyrillic
+      (3L, ""),                       // no chars -> unknown, frac 0
+      (4L, "... !!!"),                // punct only -> unknown, n_chars 7
+      (5L, "你好 123 456")            // cjk 2, dig 6 -> digit wins on count
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptId(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_chars", "n_latin", "n_cyrillic", "n_cjk",
+        "n_digit", "script", "script_frac")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      (1L, 16L, 5L, 6L, 0L, 3L, "cyrillic", 0.428571),  // 6/14
+      (2L, 5L, 2L, 2L, 0L, 0L, "latin", 0.5),           // 2/4, tiebreak
+      (3L, 0L, 0L, 0L, 0L, 0L, "unknown", 0.0),
+      (4L, 7L, 0L, 0L, 0L, 0L, "unknown", 0.0),
+      (5L, 10L, 0L, 0L, 2L, 6L, "digit", 0.75)))        // 6/8
+  }
+
   test("repetitionScore: top-bigram fraction on a degenerate doc") {
     val rep = Seq((1L, "spam spam spam spam"), (2L, "all words differ here"))
       .toDF("doc_id", "text")
@@ -688,6 +712,27 @@ class ScaleSpec extends SparkSpec {
     // b: 5 words; tokens 4·4 + 1·5 = 21; chars 4·6 + 1·6 = 30
     assert(got == Seq(("a", 5L, 12L, 19L), ("b", 5L, 21L, 30L)),
       s"unexpected encode summary: $got")
+  }
+
+  test("tokenizerFertility: hand-computed ratios on the Sennrich corpus — " +
+      "group b pays a 1.25x premium over group a") {
+    // same fixture/merges as the bpeEncode spec: a = (5 w, 12 t, 19 c),
+    // b = (5 w, 21 t, 30 c); corpus = (10 w, 33 t)
+    // fertility a = 2.4, b = 4.2; corpus mean = 3.3
+    // rel a = 2.4/3.3 = 0.727273, b = 4.2/3.3 = 1.272727
+    // chars/token a = 19/12 = 1.583333, b = 30/21 = 1.428571
+    val d = Seq(
+      (1L, "a", "low low low lower lower"),
+      (2L, "b", "newest newest newest newest widest"))
+      .toDF("doc_id", "source", "text")
+    val got = TextAnalysis.tokenizerFertility(d, "source", "text", 3)
+      .orderBy($"source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("a", 5L, 12L, 19L, 2.4, 1.583333, 0.727273),
+      ("b", 5L, 21L, 30L, 4.2, 1.428571, 1.272727)),
+      s"unexpected fertility panel: $got")
   }
 
   test("ivfPqTopK: ADC equals exact L2² when candidates ARE codebook entries") {
