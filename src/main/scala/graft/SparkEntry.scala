@@ -3653,6 +3653,25 @@ object SparkEntry {
         Seq("c_nationkey", "c_mktsegment", "bal_band"), Seq(2, 5, 10))
         .orderBy(col("k"))),
 
+    // ---- STREAMING k-anonymity (re-identification risk of the accumulated
+    // stream; class-size state, Complete mode, panel fold on drain) ----------
+    "streaming_k_anonymity_customer" -> ((s, dir) => {
+      val batch = t(s, dir, "customer")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/customer*.parquet")
+        .withColumn("bal_band",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100000"))
+      val counts = Metrics.kAnonymityCounts(stream,
+        Seq("c_nationkey", "c_mktsegment", "bal_band"))
+      val name = "stream_kanon_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.kAnonymityFromCounts(drained, Seq(2, 5, 10))
+        .orderBy(col("k"))
+    }),
+
     // ---- PSI drift panel (where the distribution mass moved) ---------------
     "psi_drift_orders" -> ((s, dir) =>
       Metrics.psiDrift(t(s, dir, "orders")
@@ -4075,6 +4094,9 @@ object SparkEntry {
       // the Benford fold over the drained digit-count state = the batch
       // panel algebra (spec-pinned composition) — same SQL
       ("streaming_benford_orders" -> m("benford_orders")),
+      // k-anonymity twin: class-count state + drained fold ≡ the batch
+      // panel, so the oracle is the batch SQL verbatim
+      ("streaming_k_anonymity_customer" -> m("k_anonymity_customer")),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->

@@ -665,12 +665,28 @@ object Metrics {
   def kAnonymity(
       df: DataFrame,
       quasiCols: Seq[String],
-      ks: Seq[Int]): DataFrame = {
+      ks: Seq[Int]): DataFrame =
+    kAnonymityFromCounts(kAnonymityCounts(df, quasiCols), ks)
+
+  /** [[kAnonymity]]'s state half: per-equivalence-class sizes keyed on
+    * the md5 quasi fingerprint — ONE associative aggregation over one
+    * scan, so it runs unchanged as Complete-mode STREAMING state (the
+    * fdCounts / benfordCounts convention): the live-ingest deployment is
+    * exactly this, re-identification risk of the data accumulated so far.
+    */
+  def kAnonymityCounts(df: DataFrame, quasiCols: Seq[String]): DataFrame = {
     require(quasiCols.nonEmpty, "no quasi-identifier columns")
-    require(ks.nonEmpty && ks.forall(_ >= 2), s"bad k list $ks")
-    val cls = df
-      .groupBy(md5(to_json(struct(quasiCols.map(col): _*))).as("__cls"))
+    df.groupBy(md5(to_json(struct(quasiCols.map(col): _*))).as("__cls"))
       .agg(count(lit(1)).as("__sz"))
+  }
+
+  /** The panel fold over [[kAnonymityCounts]]' (drained) class table —
+    * all class-dictionary scale. kAnonymityFromCounts ∘ kAnonymityCounts
+    * = [[kAnonymity]] by construction, so the streaming twin shares the
+    * batch oracle verbatim.
+    */
+  def kAnonymityFromCounts(cls: DataFrame, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 2), s"bad k list $ks")
     val tot = cls.agg(count(lit(1)).as("n_classes"),
       sum(col("__sz")).as("n_rows"), min(col("__sz")).as("min_class_size"))
     cls

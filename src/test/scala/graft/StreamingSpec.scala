@@ -223,6 +223,22 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming k-anonymity state equals the batch panel") {
+    import graft.io.Tables
+    val stream =
+      SparkEntry.queries("streaming_k_anonymity_customer")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.metrics.Metrics.kAnonymity(
+        Tables.load(spark, sf, "customer")
+          .withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), Seq(2, 5, 10))
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 3)
+  }
+
   test("streaming Benford state equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
