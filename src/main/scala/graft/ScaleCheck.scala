@@ -98,6 +98,34 @@ object ScaleCheck {
       ("passage_dedup",
         (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
         docs, "doc_id", Some("text")),
+      ("psi_drift",
+        // two reference selection passes + one binning pass, edges ride a
+        // 1-row broadcast — linear end to end
+        (d: DataFrame) => graft.metrics.Metrics.psiDrift(
+          d.withColumn("cents",
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("side", col("user_id") % 2 === 0),
+          "cents", "side", 10),
+        events, "user_id", None),
+      ("k_anonymity",
+        // one fingerprint hash-agg; the per-k fold is class-dictionary scale
+        (d: DataFrame) => graft.metrics.Metrics.kAnonymity(
+          d.withColumn("band",
+            expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+          Seq("o_orderpriority", "o_orderstatus", "band"), Seq(2, 5, 10)),
+        orders, "o_orderkey", None),
+      ("script_id",
+        // pure map (9 regexp strip-counts per row, no shuffle) — the ratio
+        // IS the scan ratio
+        (d: DataFrame) => TextAnalysis.scriptId(d, "doc_id", "text"),
+        docs, "doc_id", Some("text")),
+      ("tokenizer_fertility",
+        // UNsalted copies (the bpe_train collapse rationale): corpus mass
+        // collapses to the word dictionary once; rounds stay vocab-bound
+        (d: DataFrame) => TextAnalysis.tokenizerFertility(
+          d, "lang", "text", 8),
+        docs, "doc_id", None),
       ("decontaminate_fuzzy",
         // eval side stays benchmark-scale (the unreplicated % 20 slice of
         // the ORIGINAL corpus) while the corpus side replicates — the real
