@@ -3672,6 +3672,35 @@ object SparkEntry {
         .orderBy(col("k"))
     }),
 
+    // ---- STREAMING PSI drift (frozen reference edges, live binning) --------
+    // the production monitoring shape: reference decile edges are pinned
+    // from the blessed snapshot (a bins-1-long bounded collect — control
+    // plane), the stream bins both sides as Complete-mode state, the panel
+    // folds on drain; ≡ the batch panel, oracle shared verbatim
+    "streaming_psi_drift_orders" -> ((s, dir) => {
+      val batch = t(s, dir, "orders")
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("side", col("o_orderkey") % 2 === 0)
+      val edges = Metrics.exactPercentiles(
+          batch.filter(!col("side")).select(col("cents"))
+            .filter(col("cents").isNotNull),
+          "cents", (1 until 10).map(i => i * 100000L))
+        .orderBy(col("q")).select(col("value"))
+        .collect().map(_.getLong(0)).toSeq
+      val stream = s.readStream.schema(t(s, dir, "orders").schema)
+        .parquet(s"$dir/orders*.parquet")
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("side", col("o_orderkey") % 2 === 0)
+      val counts = Metrics.psiBinCounts(stream, "cents", "side", edges)
+      val name = "stream_psi_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.psiFromCounts(drained, 10).orderBy(col("bin"))
+    }),
+
     // ---- PSI drift panel (where the distribution mass moved) ---------------
     "psi_drift_orders" -> ((s, dir) =>
       Metrics.psiDrift(t(s, dir, "orders")
@@ -4097,6 +4126,8 @@ object SparkEntry {
       // k-anonymity twin: class-count state + drained fold ≡ the batch
       // panel, so the oracle is the batch SQL verbatim
       ("streaming_k_anonymity_customer" -> m("k_anonymity_customer")),
+      // PSI twin: frozen-edge bin counts + drained fold ≡ the batch panel
+      ("streaming_psi_drift_orders" -> m("psi_drift_orders")),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->

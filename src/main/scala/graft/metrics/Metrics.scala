@@ -760,6 +760,42 @@ object Metrics {
       .groupBy(col("bin"))
       .agg(sum(when(!col("__s"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(col("__s"), 1L).otherwise(0L)).as("n_cur"))
+    psiFromCounts(counts, bins)
+  }
+
+  /** [[psiDrift]]'s state half for the STREAMING twin: per-bin ref/cur
+    * counts against FROZEN edge literals — one associative aggregation
+    * (bins rows of state), so it runs unchanged as Complete-mode streaming
+    * state. Frozen edges are not a compromise: production drift monitors
+    * pin the reference quantile edges when the reference snapshot is
+    * blessed and bin live traffic against them. The batch path derives
+    * the same edges in-plan; with `edges` = those values,
+    * [[psiFromCounts]] ∘ psiBinCounts = [[psiDrift]] (spec-pinned).
+    */
+  def psiBinCounts(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      edges: Seq[Long]): DataFrame = {
+    require(edges.nonEmpty, "no bin edges")
+    val base = df
+      .select(col(valCol).cast("long").as("__v"),
+        col(sideCol).cast("boolean").as("__s"))
+      .filter(col("__v").isNotNull)
+    val bin = edges.map(e => when(col("__v") > e, 1).otherwise(0))
+      .reduce(_ + _)
+    base.select(bin.as("bin"), col("__s"))
+      .groupBy(col("bin"))
+      .agg(sum(when(!col("__s"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("n_cur"))
+  }
+
+  /** The panel fold over the (drained) per-bin counts: totals, the full
+    * 0..bins−1 scaffold, smoothing, contribution — all dictionary-scale,
+    * the counts frame referenced exactly once (map collapse + scaffold
+    * explode, no join-back).
+    */
+  def psiFromCounts(counts: DataFrame, bins: Int): DataFrame = {
     val pr = (col("n_ref") + 1).cast("double") /
       (col("__nr") + bins).cast("double")
     val pc = (col("n_cur") + 1).cast("double") /

@@ -223,6 +223,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming PSI state (frozen reference edges) equals the batch panel") {
+    import graft.io.Tables
+    val stream = SparkEntry.queries("streaming_psi_drift_orders")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    val batch = graft.metrics.Metrics.psiDrift(
+        Tables.load(spark, sf, "orders")
+          .withColumn("cents",
+            ($"o_totalprice".cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("side", $"o_orderkey" % 2 === 0),
+        "cents", "side", 10)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 10)   // the full bin scaffold
+  }
+
   test("streaming k-anonymity state equals the batch panel") {
     import graft.io.Tables
     val stream =
