@@ -3615,6 +3615,26 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- STREAMING exact percentiles (value-dictionary state) --------------
+    // per-(group, value) counts as Complete-mode state; the type-1 rank
+    // pick replays on the drained dictionary — exact, shares the batch
+    // oracle verbatim
+    "streaming_percentiles_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      val counts = Metrics.valueCounts(stream, "cents", Seq("l_returnflag"))
+      val name = "stream_pct_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.percentilesFromCounts(drained,
+          Seq(500000L, 900000L, 990000L), Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -4128,6 +4148,11 @@ object SparkEntry {
       ("streaming_k_anonymity_customer" -> m("k_anonymity_customer")),
       // PSI twin: frozen-edge bin counts + drained fold ≡ the batch panel
       ("streaming_psi_drift_orders" -> m("psi_drift_orders")),
+      // exact-percentile twin: value-dictionary state + rank-pick fold —
+      // same generated SQL as percentiles_lineitem (defined below in this
+      // block, so not reachable through m())
+      ("streaming_percentiles_lineitem" -> percentilesOracle(
+        Seq(500000L, 900000L, 990000L))),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->

@@ -518,6 +518,57 @@ object Metrics {
         col("__v").as("value"))): _*)
   }
 
+  /** [[exactPercentiles]]' state half for the STREAMING twin: per-(group,
+    * value) counts — ONE associative aggregation, so it runs unchanged as
+    * Complete-mode streaming state. State scale is the per-group VALUE
+    * DICTIONARY — declared precondition: suited to bounded-domain metrics
+    * (cents, counts, durations), not open-ended measures; the batch
+    * two-pass selection has no such bound and remains the batch path.
+    * NULL values keep their row (a null-valued group contributes to n and
+    * sorts first — [[exactPercentiles]]' own semantics, preserved so the
+    * composition is exact).
+    */
+  def valueCounts(
+      df: DataFrame,
+      valCol: String,
+      groupCols: Seq[String] = Seq.empty): DataFrame =
+    df.select((groupCols.map(col) :+
+        col(valCol).cast("long").as("__v")): _*)
+      .groupBy((groupCols.map(col) :+ col("__v")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+
+  /** Exact type-1 rank selection replayed from [[valueCounts]]' (drained)
+    * state: per-group running totals over the value dictionary (fold-side
+    * scale), the SAME rank arithmetic as [[exactPercentiles]]
+    * (rank = (n·q + 999999) div 1e6), picking the value whose cumulative
+    * count first reaches the rank. percentilesFromCounts ∘ valueCounts =
+    * exactPercentiles (spec-pinned), so the streaming twin shares the
+    * batch oracle verbatim.
+    */
+  def percentilesFromCounts(
+      counts: DataFrame,
+      qMicro: Seq[Long],
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wcum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(gcols: _*)
+    val qs = qMicro.map(q => struct(lit(q).as("__qm")))
+    counts
+      .withColumn("__cum", sum(col("__cnt")).over(wcum))
+      .withColumn("__n", sum(col("__cnt")).over(wall))
+      .withColumn("__q", explode(array(qs: _*)))
+      .select((gcols ++ Seq(col("__v"), col("__cnt"), col("__cum"),
+        col("__q.__qm").as("__qm"),
+        expr("(__n * __q.__qm + 999999) div 1000000").as("__rank"))): _*)
+      .filter(col("__rank") > col("__cum") - col("__cnt") &&
+        col("__rank") <= col("__cum"))
+      .select((gcols ++ Seq(
+        round(col("__qm").cast("double") / 1e6, 6).as("q"),
+        col("__v").as("value"))): _*)
+  }
+
   /** Robust per-group outlier panel: median / MAD (median absolute
     * deviation) by DISTRIBUTED SELECTION and the |x − med| > k·MAD flag —
     * the robust complement to the mean/σ z-score (one fat-finger row

@@ -223,6 +223,31 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming exact-percentile state equals the batch two-pass " +
+      "selection (composition pinned incl. duplicate-heavy groups)") {
+    import graft.io.Tables
+    // composition identity on a duplicate-heavy hand fixture: the
+    // dictionary fold must pick the SAME type-1 ranks as the two-pass
+    val df = (Seq.fill(6)(("a", 10L)) ++ Seq(("a", 20L), ("a", 30L)) ++
+      Seq(("b", 5L), ("b", 7L))).toDF("g", "v")
+    val viaCounts = graft.metrics.Metrics.percentilesFromCounts(
+        graft.metrics.Metrics.valueCounts(df, "v", Seq("g")),
+        Seq(500000L, 900000L), Seq("g"))
+      .as[(String, Double, Long)].collect().toSet
+    val direct = graft.metrics.Metrics.exactPercentiles(df, "v",
+        Seq(500000L, 900000L), Seq("g"))
+      .as[(String, Double, Long)].collect().toSet
+    assert(viaCounts === direct)
+    assert(viaCounts === Set(("a", 0.5, 10L), ("a", 0.9, 30L),
+      ("b", 0.5, 5L), ("b", 0.9, 7L)))
+    val stream =
+      SparkEntry.queries("streaming_percentiles_lineitem")(spark, sf)
+        .as[(String, Double, Long)].collect().toSet
+    val batch = SparkEntry.queries("percentiles_lineitem")(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("streaming PSI state (frozen reference edges) equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_psi_drift_orders")(spark, sf)
