@@ -3635,6 +3635,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- Spearman rank correlation (monotone association) ------------------
+    "spearman_lineitem" -> ((s, dir) =>
+      Metrics.spearmanCorr(t(s, dir, "lineitem")
+          .withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long"))
+          .withColumn("qty", col("l_quantity").cast("long")),
+        "cents", "qty")),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -9802,6 +9811,44 @@ object SparkEntry {
         |  COALESCE(s.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN surv s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // doubled average ranks (2·cum_before + cnt + 1) keep fractional tie
+    // ranks integral; moment expression mirrors spearmanCorr verbatim
+    "spearman_lineitem" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |      AS BIGINT) AS a,
+        |    CAST(l_quantity AS BIGINT) AS q
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+        |ca AS (SELECT a AS v, COUNT(*) AS c FROM b GROUP BY 1),
+        |ra AS (
+        |  SELECT v, 2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS r FROM ca),
+        |cb AS (SELECT q AS v, COUNT(*) AS c FROM b GROUP BY 1),
+        |rb AS (
+        |  SELECT v, 2 * (SUM(c) OVER (ORDER BY v)) - c + 1 AS r FROM cb),
+        |j AS (
+        |  SELECT CAST(ra.r AS DECIMAL(38,0)) AS x,
+        |    CAST(rb.r AS DECIMAL(38,0)) AS y
+        |  FROM b JOIN ra ON b.a = ra.v JOIN rb ON b.q = rb.v),
+        |s AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+        |    SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM j)
+        |SELECT n,
+        |  CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) > 0.0
+        |  THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+        |  END AS rho
+        |FROM s""".stripMargin,
 
     // single-node replay of the exact KS supremum: one plain window prefix
     // sum (the bucketed two-pass structure is a distribution detail — the

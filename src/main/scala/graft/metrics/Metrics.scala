@@ -624,6 +624,60 @@ object Metrics {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Exact Spearman rank correlation between two numeric columns — the
+    * monotone-association QA check (Pearson sees only LINEAR association;
+    * quality signals are routinely monotone-but-curved, and Spearman on
+    * ranks is the standard "do these two signals agree on ordering"
+    * number for signal-vs-signal validation).
+    *
+    * Exact-integer scheme: fractional average ranks (the standard tie
+    * treatment) stay integers by DOUBLING — r2(v) = 2·cum_before(v) +
+    * cnt(v) + 1 — and correlation is scale-invariant, so Spearman over r2
+    * equals Spearman over the textbook ranks. All sums accumulate as
+    * DECIMAL(38,0) (the [[ksDrift]] overflow rule); the only floats are
+    * the final mirrored moment expression.
+    *
+    * Scale shape: per column, one value-count hash-agg + a prefix sum
+    * through the range-partitioned scaffold (never a global window) +
+    * one equi-join of the corpus against its value-dictionary rank table;
+    * then ONE moment aggregation. NULL pairs are excluded (either side).
+    *
+    * @return one row: (n, rho) — rho rounded 6; NULL when either column
+    *         is constant (zero rank variance)
+    */
+  def spearmanCorr(
+      df: DataFrame,
+      colA: String,
+      colB: String): DataFrame = {
+    val base = df.select(col(colA).cast("long").as("__a"),
+        col(colB).cast("long").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+      .localCheckpoint(true)   // feeds both rank dictionaries + the join
+    def rank2(c: String): DataFrame =
+      graft.sample.Samplers.globalCumSum(
+          base.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__c")),
+          Seq("__v"), "__c", cumCol = "__cum")
+        .select(col("__v"),
+          (lit(2L) * col("__cum") - col("__c") + 1L).as(s"__r$c"))
+    val ranked = base
+      .join(rank2("__a").withColumnRenamed("__v", "__a"), Seq("__a"))
+      .join(rank2("__b").withColumnRenamed("__v", "__b"), Seq("__b"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(d(col("__r__a"))).as("__sx"),
+      sum(d(col("__r__b"))).as("__sy"),
+      sum(d(col("__r__a")) * d(col("__r__a"))).as("__sxx"),
+      sum(d(col("__r__b")) * d(col("__r__b"))).as("__syy"),
+      sum(d(col("__r__a")) * d(col("__r__b"))).as("__sxy"))
+    val dd = (c: String) => col(c).cast("double")
+    val num = dd("n") * dd("__sxy") - dd("__sx") * dd("__sy")
+    val den = sqrt((dd("n") * dd("__sxx") - dd("__sx") * dd("__sx")) *
+      (dd("n") * dd("__syy") - dd("__sy") * dd("__sy")))
+    s.select(col("n"),
+      when(den > 0.0, round(num / den, 6)).as("rho"))
+  }
+
   /** Exact two-sample Kolmogorov–Smirnov drift statistic — the corpus-
     * snapshot QA check: did the distribution of a numeric column move
     * between two samples (old vs new crawl, side A vs side B)?

@@ -372,6 +372,24 @@ class MetricsSpec extends SparkSpec {
     assert(got.getDouble(5) == 0.25)   // g3 = 2/8
   }
 
+  test("spearmanCorr: hand-computed tie-averaged ranks; perfect monotone " +
+      "= 1.0; constant column = NULL rho") {
+    // a=[1,2,2,3], b=[10,20,20,5]: doubled avg ranks x=[2,5,5,8],
+    // y=[4,7,7,2]; n=4 sx=sy=20 sxx=syy=118 sxy=94
+    // rho = (4·94−400)/√((472−400)(472−400)) = −24/72 = −1/3
+    val df = Seq((1L, 10L), (2L, 20L), (2L, 20L), (3L, 5L)).toDF("a", "b")
+    val got = Metrics.spearmanCorr(df, "a", "b").collect().head
+    assert(got.getLong(0) == 4L && got.getDouble(1) == -0.333333)
+    // monotone (nonlinear) map: ranks identical -> exactly 1.0
+    val mono = Seq((1L, 1L), (2L, 8L), (3L, 27L), (10L, 1000L))
+      .toDF("a", "b")
+    assert(Metrics.spearmanCorr(mono, "a", "b")
+      .collect().head.getDouble(1) == 1.0)
+    // zero rank variance -> NULL, not NaN
+    val const = Seq((1L, 7L), (2L, 7L), (3L, 7L)).toDF("a", "b")
+    assert(Metrics.spearmanCorr(const, "a", "b").collect().head.isNullAt(1))
+  }
+
   test("kAnonymity: hand-computed class sizes (1, 3, 10) across k = 2/5/10; " +
       "NULL quasi value is its own class") {
     val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(10)("c"))

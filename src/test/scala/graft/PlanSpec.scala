@@ -655,4 +655,27 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"),
       s"the fold must not join (a join-back re-scans the corpus):\n$plan")
   }
+
+  test("scriptId is PURE MAP: no exchange, no join, no aggregate before " +
+      "the per-doc rows exist") {
+    // the ideal 100 TB profile — each document read once, one row out;
+    // any Exchange here would mean the regexp counting got re-planned
+    // through a shuffle
+    val df = graft.scale.TextAnalysis.scriptId(
+      graft.io.Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"script_id shuffled:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"),
+      s"script_id grew a join/agg:\n$plan")
+  }
+
+  test("decontaminateFuzzy broadcasts the eval side everywhere it meets " +
+      "the corpus (bands and signatures); the corpus never broadcasts") {
+    val df = SparkEntry.queries("decontaminate_fuzzy_docs")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"eval side not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair generation degenerated to a cross product:\n$plan")
+  }
 }
