@@ -433,6 +433,17 @@ object SparkEntry {
     // l2Sq kernel), deterministic ties → lowest centroid; centroid update as
     // exact integer sums per (centroid, dim) → rounded mean. The
     // k-means/IVF training loop's single step, DuckDB-checkable.
+    // ---- cluster-balanced (√-mass quota) selection --------------------------
+    "cluster_balanced_embeddings" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+      val cents = vecs.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("centroid_id"),
+          Similarity.quantize(col("embedding")).as("centv"))
+      Similarity.clusterBalancedSelect(vecs, cents,
+          "vec_id", "embedding", 300L)
+        .orderBy(col("cluster"), col("sel_rank"))
+    }),
+
     "kmeans_assign_embeddings" -> ((s, dir) => {
       val vecs = t(s, dir, "embeddings")
         .select(col("vec_id").as("__id"),
@@ -5470,6 +5481,41 @@ object SparkEntry {
         |      FROM exact GROUP BY query_id) qs
         |LEFT JOIN g ON qs.query_id = g.query_id
         |ORDER BY qs.query_id""".stripMargin,
+
+    // kmeans_assign's argmin replay + temperature_mix's √-quota/md5-pick
+    // replay with the cluster as the domain
+    "cluster_balanced_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS centroid_id, v AS centv FROM qv WHERE vec_id < 4),
+        |d AS (
+        |  SELECT q.vec_id, c.centroid_id,
+        |    (SELECT SUM((q.v[i] - c.centv[i]) * (q.v[i] - c.centv[i]))
+        |     FROM UNNEST(range(1, len(q.v) + 1)) AS u(i)) AS d2
+        |  FROM qv q CROSS JOIN cents c),
+        |a AS (
+        |  SELECT vec_id, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, centroid_id) AS rk
+        |  FROM d),
+        |asg AS (SELECT vec_id, centroid_id AS cluster FROM a WHERE rk = 1),
+        |c2 AS (SELECT cluster, COUNT(*) AS n FROM asg GROUP BY 1),
+        |w AS (
+        |  SELECT cluster, CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1e6) AS BIGINT)
+        |    AS wq
+        |  FROM c2),
+        |tot AS (SELECT CAST(SUM(wq) AS BIGINT) AS tw FROM w),
+        |qt AS (SELECT cluster, (300 * wq) // tw AS quota FROM w CROSS JOIN tot),
+        |r AS (
+        |  SELECT cluster, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster
+        |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rnk
+        |  FROM asg)
+        |SELECT r.vec_id, r.cluster, CAST(r.rnk AS BIGINT) AS sel_rank
+        |FROM r JOIN qt ON r.cluster = qt.cluster AND r.rnk <= qt.quota
+        |ORDER BY r.cluster, sel_rank""".stripMargin,
 
     "kmeans_assign_embeddings" ->
       """WITH qv AS (

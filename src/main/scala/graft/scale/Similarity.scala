@@ -300,6 +300,50 @@ object Similarity {
     * Each iteration: one broadcast crossJoin assignment + one posexplode +
     * hash-agg mean — shuffle keyed on (centroid, dim), never on pairs.
     */
+  /** Cluster-balanced (diversity-preserving) selection — the taxonomy/
+    * cluster-quota sampling step of embedding-driven curation (the
+    * SemDeDup-family pipelines cluster the corpus, then sample per
+    * cluster so head clusters stop drowning the tail; τ = 0.5 is the
+    * √-mass allocation of the multilingual-sampling literature): assign
+    * every vector to its nearest centroid, then apply
+    * [[graft.scale.TextAnalysis.temperatureMix]]'s n^τ quota +
+    * md5-uniform ranked pick with the CLUSTER as the domain.
+    *
+    * Determinism: 1e-3-quantized integer distances, min-struct argmin
+    * (ties to the smallest centroid id), micro-quantized √ weights with
+    * DECIMAL(38,0) quota arithmetic, md5 draw — every piece an existing
+    * green convention.
+    *
+    * Scale shape: centroid table broadcasts (dictionary-scale); the
+    * argmin is ONE hash-agg over |corpus|·k rows; quotas are
+    * cluster-dictionary scale; the pick is a window PARTITIONED by
+    * cluster (never global).
+    *
+    * @param centroids (centroid_id, centv) with centv already
+    *                  [[quantize]]d — a trained [[kmeansCentroids]]
+    *                  codebook drops in
+    * @return selected rows: (idCol, cluster, sel_rank)
+    */
+  def clusterBalancedSelect(
+      vecs: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String,
+      budget: Long,
+      tau: Double = 0.5): DataFrame = {
+    require(budget > 0L, s"bad budget $budget")
+    val q = vecs.select(col(idCol), quantize(col(vecCol)).as("__v"))
+    val assigned = q.crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        l2Sq(col("__v"), col("centv")).as("__d2"))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("__d2"), col("centroid_id"))).as("__m"))
+      .select(col(idCol), col("__m.centroid_id").as("cluster"))
+    graft.scale.TextAnalysis
+      .temperatureMix(assigned, "cluster", idCol, budget, tau)
+      .select(col(idCol), col("cluster"), col("__rank").as("sel_rank"))
+  }
+
   def kmeansCentroids(
       df: DataFrame,
       idCol: String,

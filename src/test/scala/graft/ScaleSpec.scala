@@ -735,6 +735,29 @@ class ScaleSpec extends SparkSpec {
       s"unexpected fertility panel: $got")
   }
 
+  test("clusterBalancedSelect: hand-traced assignment, sqrt-mass quotas, " +
+      "selection counts bounded by quota") {
+    // 6 points on a line, centroids at 0 and 100: ids 1-4 near c0 (mass
+    // 4), ids 5-6 near c1 (mass 2). budget 3, tau .5:
+    //   wq = (2000000, 1414213), tw = 3414213
+    //   quota0 = 3·2000000 div tw = 1; quota1 = 3·1414213 div tw = 1
+    val vecs = Seq(
+      (1L, Seq(0.001f)), (2L, Seq(0.002f)), (3L, Seq(0.003f)),
+      (4L, Seq(0.004f)), (5L, Seq(0.1f)), (6L, Seq(0.099f))
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0L)), (1L, Seq(100L)))
+      .toDF("centroid_id", "centv")
+    val got = Similarity.clusterBalancedSelect(vecs, cents,
+        "vec_id", "embedding", 3L)
+      .orderBy("cluster", "sel_rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.length == 2)
+    assert(got.map(_._2) == Seq(0L, 1L))          // one pick per cluster
+    assert(got.forall(_._3 == 1L))                // both at rank 1
+    assert(Set(1L, 2L, 3L, 4L).contains(got(0)._1))   // from c0's members
+    assert(Set(5L, 6L).contains(got(1)._1))           // from c1's members
+  }
+
   test("ivfPqTopK: ADC equals exact L2² when candidates ARE codebook entries") {
     // ids 0..3 all sit in the PQ codebook (pqK=4), so each candidate's codes
     // reconstruct the candidate exactly and the asymmetric distance collapses
