@@ -98,6 +98,25 @@ object ScaleCheck {
       ("passage_dedup",
         (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
         docs, "doc_id", Some("text")),
+      ("spearman",
+        // two value-dictionary rank tables via the range-partitioned
+        // prefix-sum scaffold + one keyed join back + one moment agg
+        (d: DataFrame) => graft.metrics.Metrics.spearmanCorr(
+          d.withColumn("cents",
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long"))
+            .withColumn("qty", col("l_quantity").cast("long")),
+          "cents", "qty"),
+        lineitem, "l_orderkey", None),
+      ("cluster_balanced",
+        // broadcast codebook argmin hash-agg + dictionary-scale quotas +
+        // per-cluster partitioned pick
+        (d: DataFrame) => graft.scale.Similarity.clusterBalancedSelect(
+          d, embeddings.filter(col("vec_id") < 4)
+            .select(col("vec_id").as("centroid_id"),
+              graft.scale.Similarity.quantize(col("embedding")).as("centv")),
+          "vec_id", "embedding", 300L),
+        embeddings, "vec_id", None),
       ("psi_drift",
         // two reference selection passes + one binning pass, edges ride a
         // 1-row broadcast — linear end to end

@@ -1295,6 +1295,11 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- scale: Flesch readability panel ------------------------------------
+    "readability_docs" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))),
+
     // ---- scale: script / writing-system ID ---------------------------------
     // deterministic multi-script garnish per doc_id residue (the pii_scrub
     // synthetic-span precedent) so every class exercises at any sf
@@ -7254,6 +7259,33 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.cid = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // vowel-group syllables (floor 1), [.!?]+ sentence runs (floor 1),
+    // formula floats mirror TextAnalysis.readability verbatim
+    "readability_docs" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS ns,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id, unnest(t) AS w FROM base),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1))
+        |      AS BIGINT) AS n_syll
+        |  FROM w GROUP BY 1)
+        |SELECT b.doc_id, CAST(b.ns AS BIGINT) AS n_sentences,
+        |  COALESCE(a.n_words, 0) AS n_words,
+        |  COALESCE(a.n_syll, 0) AS n_syllables,
+        |  CASE WHEN COALESCE(a.n_words, 0) > 0
+        |    THEN ROUND(206.835
+        |      - 1.015 * (CAST(a.n_words AS DOUBLE) / CAST(b.ns AS DOUBLE))
+        |      - 84.6 * (CAST(a.n_syll AS DOUBLE)
+        |        / CAST(a.n_words AS DOUBLE)), 6)
+        |  END AS flesch
+        |FROM base b LEFT JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
 
     // explicit codepoint ranges mirror ScriptRanges; argmax tiebreak =
     // (count DESC, name DESC), the array_max-over-structs semantics

@@ -765,6 +765,45 @@ object TextAnalysis {
         sum(length(col("__w")).cast("long")).as("n_chars"))
   }
 
+  /** Flesch reading-ease panel — the classic readability quality signal
+    * beside the length/punct/stopword ratios (CCNet/Dolma-style pipelines
+    * gate on readability-adjacent heuristics; Flesch 1948 is the
+    * reporting standard). Declared deterministic heuristics so any engine
+    * replays exactly:
+    *   - words: whitespace tokens (the engine-wide tokenizer)
+    *   - syllables(word): count of [aeiouy]+ vowel GROUPS in the
+    *     lowercased word, floor 1 — the standard cheap approximation
+    *   - sentences: count of [.!?]+ runs in the raw text, floor 1
+    *   - flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syll/words),
+    *     NULL for word-less docs (not NaN), rounded 6; all inputs exact
+    *     integers, the formula the only float (mirrored verbatim).
+    *
+    * Scale shape: one map-side sentence count carried through ONE explode
+    * + ONE per-doc hash-aggregate (corpus-token-scale, map-side partials)
+    * — no join, no window.
+    */
+  def readability(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val base = df.select(col(idCol),
+      greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+        .cast("long").as("__ns"),
+      explode_outer(tokens(col(textCol))).as("__w"))
+    val agg = base.groupBy(col(idCol))
+      .agg(max(col("__ns")).as("n_sentences"),
+        sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("n_words"),
+        sum(when(col("__w").isNotNull,
+          greatest(regexp_count(col("__w"), lit("[aeiouy]+")), lit(1))
+            .cast("long")).otherwise(0L)).as("n_syllables"))
+    agg.select(col(idCol), col("n_sentences"), col("n_words"),
+      col("n_syllables"),
+      when(col("n_words") > 0L,
+        round(lit(206.835)
+          - lit(1.015) * (col("n_words").cast("double") /
+            col("n_sentences").cast("double"))
+          - lit(84.6) * (col("n_syllables").cast("double") /
+            col("n_words").cast("double")), 6)).as("flesch"))
+  }
+
   /** Tokenizer fertility / fairness panel — the standard multilingual
     * tokenizer evaluation (fertility = tokens per word; a domain or
     * language whose fertility runs far above the corpus mean pays more

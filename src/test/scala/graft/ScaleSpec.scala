@@ -119,6 +119,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("readability: hand-computed Flesch on known sentences; empty doc " +
+      "reports NULL flesch, not NaN") {
+    // doc 1: "the cat sat. it sat!" -> 2 sentences, 5 words,
+    //   syllables: the(1) cat(1) sat(1) it(1) sat(1) = 5
+    //   flesch = 206.835 - 1.015·(5/2) - 84.6·(5/5) = 119.6975
+    // doc 2: "beautiful ideas sleep furiously" -> 1 sentence (floor), 4
+    //   words; vowel groups: beau|i|u(3) i|ea(2) ee(1)+sl..p? sleep=1,
+    //   furiously: u|iou|y(3) -> 9 syllables
+    //   flesch = 206.835 - 1.015·4 - 84.6·(9/4) = 12.425
+    val df = Seq(
+      (1L, "the cat sat. it sat!"),
+      (2L, "beautiful ideas sleep furiously"),
+      (3L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 5L, 5L, Some(119.6975)),
+      (2L, 1L, 4L, 9L, Some(12.425)),
+      (3L, 1L, 0L, 0L, None)))
+  }
+
   test("scriptId: hand-computed mixed-script counts, argmax tiebreak to " +
       "the larger name, empty/no-script docs report unknown") {
     val df = Seq(
