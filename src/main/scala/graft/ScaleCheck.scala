@@ -98,6 +98,10 @@ object ScaleCheck {
       ("passage_dedup",
         (d: DataFrame) => Dedup.passageDedup(d, "doc_id", "text", 10),
         docs, "doc_id", Some("text")),
+      ("readability",
+        // one explode + one per-doc hash-agg, map-side sentence count
+        (d: DataFrame) => TextAnalysis.readability(d, "doc_id", "text"),
+        docs, "doc_id", Some("text")),
       ("spearman",
         // two value-dictionary rank tables via the range-partitioned
         // prefix-sum scaffold + one keyed join back + one moment agg
