@@ -794,6 +794,54 @@ object ScaleCheck {
             (col("value").cast("decimal(18,2)") * 100).cast("long")),
           "cents", Seq("event_type"), 3),
         events, "user_id", None),
+      ("assoc_panel",
+        // one 3-way explode + one cell hash-agg; marginals/fold run on
+        // the pinned cell dictionary — tracks the scan
+        (d: DataFrame) => graft.metrics.Metrics.assocPanel(
+          d.withColumn("mon", month(col("o_orderdate")))
+            .withColumn("band",
+              expr("cast(cast(o_totalprice as decimal(18,2)) * 100 " +
+                "as bigint) div 5000000")),
+          Seq(("priority_month", "o_orderpriority", "mon"),
+            ("status_band", "o_orderstatus", "band"),
+            ("status_priority", "o_orderstatus", "o_orderpriority"))),
+        orders, "o_orderkey", None),
+      ("cohens_kappa",
+        // one corpus hash-agg to the (group, a, b) cell dictionary; the
+        // pe join and fold run at dictionary scale
+        (d: DataFrame) => graft.metrics.Metrics.cohensKappa(
+          d.withColumn("cents",
+              (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("rater_a",
+              when(col("cents") >= 15000, "hi")
+                .when(col("cents") >= 5000, "mid").otherwise("lo"))
+            .withColumn("pert",
+              col("cents") + (col("event_id") % 21 - 10) * 100)
+            .withColumn("rater_b",
+              when(col("pert") >= 15000, "hi")
+                .when(col("pert") >= 5000, "mid").otherwise("lo")),
+          "rater_a", "rater_b", Seq("event_type")),
+        events, "event_id", None),
+      ("skew_profile",
+        // one corpus hash-agg to key masses, one to the mass histogram;
+        // gini/top10/percentiles run on the pinned histogram
+        (d: DataFrame) => graft.metrics.Metrics.skewProfile(
+          d, Seq("user_id"), 32),
+        events, "event_id", None),
+      ("hits",
+        // two exact-integer rounds: per round two keyed joins + two
+        // hash-aggs; edges/nodes pinned once, one end normalization
+        (d: DataFrame) => {
+          val pairs = d.select(col("l_suppkey").as("src"),
+            (col("l_orderkey") % 100000L + 10000000L).as("dst"))
+          graft.scale.Graph.hits(pairs, 2)
+        },
+        lineitem, "l_orderkey", None),
+      ("join_cardinality",
+        // two key-histogram hash-aggs + one dictionary join + 1-row fold
+        (d: DataFrame) => graft.scale.Skew.joinCardinality(
+          d, "l_partkey", d, "l_partkey"),
+        lineitem, "l_orderkey", None),
       ("curation_ledger",
         // the five pipeline stages plus one accounting anti-join per
         // stage; the roll-up output is ≤6 rows however large the corpus

@@ -1747,6 +1747,29 @@ object SparkEntry {
     "trend_fit_events" -> ((s, dir) =>
       Events.trendFit(t(s, dir, "events")).orderBy(col("event_type"))),
 
+    // ---- STREAMING daily-trend twin (per-(type, day) cent totals as
+    // Complete-mode state; the regression fold replays on drain) ------------
+    "streaming_trend_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val daily = Events.trendDaily(stream)
+      val name = "stream_trend_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, daily, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.trendFromDaily(drained).orderBy(col("event_type"))
+    }),
+
+    // ---- exact join-cardinality pricing (the pre-join advisor) -------------
+    // The l_partkey SELF-join priced without running it: Σ c² from one
+    // histogram — the number that decides whether basket-pair generation
+    // needs a cap/salt before the shuffle.
+    "join_cardinality_lineitem" -> ((s, dir) =>
+      graft.scale.Skew.joinCardinality(
+        t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "lineitem"), "l_partkey")),
+
     // ---- behavior model: first-order Markov transition matrix --------------
     "markov_transitions_events" -> ((s, dir) =>
       Events.markovTransitions(t(s, dir, "events"))
@@ -2969,6 +2992,28 @@ object SparkEntry {
         .orderBy(col("score_micro").desc, col("node_type"), col("node_id"))
     }),
 
+    // ---- HITS hubs & authorities on the directed trade graph ---------------
+    // supplier → customer edges only (the directed bipartite form — the
+    // symmetric union would collapse hub ≡ authority): two exact-integer
+    // rounds, one L1 normalization at the end. Suppliers carry hub mass
+    // (portfolio weight), customers authority (co-purchasing pull).
+    "hits_trade_orders" -> ((s, dir) => {
+      val pairs = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").as("src"),
+          (col("o_custkey") + 10000000L).as("dst"))
+      Graph.hits(pairs, 2)
+        .select(
+          when(col("node") >= 10000000L, lit("customer"))
+            .otherwise(lit("supplier")).as("node_type"),
+          when(col("node") >= 10000000L, col("node") - 10000000L)
+            .otherwise(col("node")).as("node_id"),
+          col("authority"), col("hub"))
+        .orderBy(col("node_type"), col("node_id"))
+    }),
+
     // ---- personalized PageRank from a supplier seed set --------------------
     // Random walk with restart on the same supplier↔customer trade graph:
     // teleport mass lands only on every-50th supplier, so scores rank
@@ -3303,6 +3348,92 @@ object SparkEntry {
             (col("value").cast("decimal(18,2)") * 100).cast("long")),
           "cents", Seq("event_type"), 3)
         .orderBy(col("event_type"))),
+
+    // ---- STREAMING robust median/MAD outlier panel --------------------------
+    // per-(group, value) counts as Complete-mode state (the exact-
+    // percentile twin's state shape); median, MAD, and the Hampel flags
+    // replay on the drained value dictionary — exact, shares the batch
+    // oracle verbatim. NULLs are filtered BEFORE the state agg (the batch
+    // operator's non-null contract).
+    "streaming_mad_outliers_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .filter(col("cents").isNotNull)
+      val counts = graft.metrics.Metrics.valueCounts(stream, "cents",
+        Seq("event_type"))
+      val name = "stream_mad_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.madFromCounts(drained, Seq("event_type"), 3)
+        .orderBy(col("event_type"))
+    }),
+
+    // ---- categorical-association panel (chi2 / Cramér's V / MI) ------------
+    // Which metadata columns are redundant vs independent: three declared
+    // pairs share ONE corpus scan (the fdCounts explode shape); zero cells
+    // are closed-form, cell contributions sum as exact decimals.
+    "assoc_panel_orders" -> ((s, dir) =>
+      graft.metrics.Metrics.assocPanel(t(s, dir, "orders")
+          .withColumn("mon", month(col("o_orderdate")))
+          .withColumn("band",
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)" +
+              " div 5000000")),
+        Seq(("priority_month", "o_orderpriority", "mon"),
+          ("status_band", "o_orderstatus", "band"),
+          ("status_priority", "o_orderstatus", "o_orderpriority")))
+        .orderBy(col("pair"))),
+
+    // ---- STREAMING association panel (cell-count state, panel fold) --------
+    "streaming_assoc_orders" -> ((s, dir) => {
+      val batch = t(s, dir, "orders")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/orders*.parquet")
+        .withColumn("mon", month(col("o_orderdate")))
+        .withColumn("band",
+          expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)" +
+            " div 5000000"))
+      val counts = graft.metrics.Metrics.assocCounts(stream,
+        Seq(("priority_month", "o_orderpriority", "mon"),
+          ("status_band", "o_orderstatus", "band"),
+          ("status_priority", "o_orderstatus", "o_orderpriority")))
+      val name = "stream_assoc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.assocFromCounts(drained).orderBy(col("pair"))
+    }),
+
+    // ---- Cohen's kappa inter-annotator agreement ---------------------------
+    // Two deterministic "annotators" of the same value-band property (the
+    // second reads a ±$10 perturbed value) — chance-corrected agreement
+    // per event type; the exact cross-multiplied (diag·n − S)/(n² − S).
+    "cohens_kappa_events" -> ((s, dir) =>
+      graft.metrics.Metrics.cohensKappa(t(s, dir, "events")
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("rater_a",
+            when(col("cents") >= 15000, "hi")
+              .when(col("cents") >= 5000, "mid").otherwise("lo"))
+          .withColumn("pert",
+            col("cents") + (col("event_id") % 21 - 10) * 100)
+          .withColumn("rater_b",
+            when(col("pert") >= 15000, "hi")
+              .when(col("pert") >= 5000, "mid").otherwise("lo")),
+        "rater_a", "rater_b", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
+    // ---- join-key skew profiler (pre-flight shuffle advisor) ---------------
+    // The key-mass distribution of user_id — the column every sessionize/
+    // RFM/attribution job shuffles on: max/top-10 share, exact p50/p99 key
+    // mass, Gini concentration, and the salt factor that levels the
+    // hottest key against an average partition at 32-way parallelism.
+    "skew_profile_events" -> ((s, dir) =>
+      graft.metrics.Metrics.skewProfile(t(s, dir, "events"),
+        Seq("user_id"), 32)),
 
     // ---- corpus quality: per-doc character entropy (gibberish filter) ------
     // Shannon entropy over exact per-char counts — base64/binary payloads
@@ -4173,6 +4304,14 @@ object SparkEntry {
       ("streaming_k_anonymity_customer" -> m("k_anonymity_customer")),
       // PSI twin: frozen-edge bin counts + drained fold ≡ the batch panel
       ("streaming_psi_drift_orders" -> m("psi_drift_orders")),
+      // MAD twin: value-dictionary state + median/MAD rank-pick fold ≡
+      // the batch panel (madFromCounts ∘ valueCounts spec-pinned)
+      ("streaming_mad_outliers_events" -> m("mad_outliers_events")),
+      // association twin: cell-count state + panel fold ≡ the batch panel
+      ("streaming_assoc_orders" -> m("assoc_panel_orders")),
+      // daily-trend twin: per-(type, day) cent-total state + regression
+      // fold ≡ the batch fit (trendFromDaily ∘ trendDaily spec-pinned)
+      ("streaming_trend_events" -> m("trend_fit_events")),
       // exact-percentile twin: value-dictionary state + rank-pick fold —
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
@@ -9228,6 +9367,193 @@ object SparkEntry {
         |    AS DOUBLE) / COUNT(*), 6) AS outlier_frac
         |FROM d JOIN mad USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // cell contributions are ONE fixed-order double expression mirrored
+    // verbatim from the Scala side, summed exactly as DECIMAL(38,12) —
+    // partial-agg order cannot move the 6th decimal
+    "assoc_panel_orders" ->
+      """WITH src AS (
+        |  SELECT
+        |    CASE WHEN o_orderstatus IS NULL THEN 'N'
+        |      ELSE 'v' || o_orderstatus END AS k_st,
+        |    CASE WHEN o_orderpriority IS NULL THEN 'N'
+        |      ELSE 'v' || o_orderpriority END AS k_pr,
+        |    CASE WHEN o_orderdate IS NULL THEN 'N'
+        |      ELSE 'v' || CAST(month(o_orderdate) AS VARCHAR) END AS k_mon,
+        |    CASE WHEN o_totalprice IS NULL THEN 'N'
+        |      ELSE 'v' || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+        |        * 100 AS BIGINT) // 5000000 AS VARCHAR) END AS k_band
+        |  FROM orders),
+        |cells AS (
+        |  SELECT pair, ak, bk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT 'priority_month' AS pair, k_pr AS ak, k_mon AS bk
+        |    FROM src
+        |    UNION ALL SELECT 'status_band', k_st, k_band FROM src
+        |    UNION ALL SELECT 'status_priority', k_st, k_pr FROM src)
+        |  GROUP BY 1, 2, 3),
+        |ra AS (SELECT pair, ak, CAST(SUM(c) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |cb AS (SELECT pair, bk, CAST(SUM(c) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT pair, CAST(SUM(ra) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS r_levels FROM ra GROUP BY 1),
+        |totc AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS c_levels
+        |  FROM cb GROUP BY 1),
+        |j AS (
+        |  SELECT cells.pair, n, r_levels, c_levels,
+        |    CAST(c AS DOUBLE) AS od, CAST(n AS DOUBLE) AS nd,
+        |    CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE) AS rcd
+        |  FROM cells JOIN ra USING (pair, ak) JOIN cb USING (pair, bk)
+        |  JOIN tot USING (pair) JOIN totc USING (pair)),
+        |terms AS (
+        |  SELECT pair, n, r_levels, c_levels,
+        |    SUM(CAST((od * nd - rcd) * (od * nd - rcd) / (nd * rcd)
+        |      - rcd / nd AS DECIMAL(38,12))) AS chid,
+        |    SUM(CAST((od / nd) * ((ln(od * nd) - ln(rcd)) / ln(2))
+        |      AS DECIMAL(38,12))) AS mid
+        |  FROM j GROUP BY 1, 2, 3, 4)
+        |SELECT pair, n, r_levels, c_levels,
+        |  (r_levels - 1) * (c_levels - 1) AS dof,
+        |  ROUND(CAST(chid AS DOUBLE) + CAST(n AS DOUBLE), 6) AS chi2,
+        |  CASE WHEN LEAST(r_levels, c_levels) > 1 THEN
+        |    ROUND(sqrt((CAST(chid AS DOUBLE) + CAST(n AS DOUBLE))
+        |      / CAST(n * (LEAST(r_levels, c_levels) - 1) AS DOUBLE)), 6)
+        |  END AS cramers_v,
+        |  ROUND(CAST(mid AS DOUBLE), 6) AS mi_bits
+        |FROM terms ORDER BY pair""".stripMargin,
+
+    // kappa cross-multiplies to exact integers: (diag·n − S)/(n² − S)
+    "cohens_kappa_events" ->
+      """WITH src AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type,
+        |    CASE WHEN cents >= 15000 THEN 'vhi'
+        |      WHEN cents >= 5000 THEN 'vmid' ELSE 'vlo' END AS a,
+        |    CASE WHEN cents + (event_id % 21 - 10) * 100 >= 15000 THEN 'vhi'
+        |      WHEN cents + (event_id % 21 - 10) * 100 >= 5000 THEN 'vmid'
+        |      ELSE 'vlo' END AS b
+        |  FROM src),
+        |cells AS (SELECT event_type, a, b, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3),
+        |ra AS (SELECT event_type, a AS k, CAST(SUM(c) AS BIGINT) AS ra
+        |  FROM cells GROUP BY 1, 2),
+        |cb AS (SELECT event_type, b AS k, CAST(SUM(c) AS BIGINT) AS cb
+        |  FROM cells GROUP BY 1, 2),
+        |pe AS (SELECT event_type, SUM(CAST(ra AS HUGEINT) * cb) AS sumrc
+        |  FROM ra JOIN cb USING (event_type, k) GROUP BY 1),
+        |base AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+        |  FROM cells GROUP BY 1),
+        |f AS (SELECT base.event_type, n, diag,
+        |  COALESCE(sumrc, 0) AS s
+        |  FROM base LEFT JOIN pe USING (event_type))
+        |SELECT event_type, n,
+        |  ROUND(CAST(diag AS DOUBLE) / n, 6) AS po,
+        |  ROUND(CAST(s AS DOUBLE)
+        |    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS pe,
+        |  CASE WHEN CAST(n AS HUGEINT) * n > s THEN
+        |    ROUND(CAST(CAST(diag AS HUGEINT) * n - s AS DOUBLE)
+        |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM f ORDER BY event_type""".stripMargin,
+
+    // two unrolled exact-integer HITS rounds (h0 = 1 -> a1 = indegree),
+    // one L1 normalization at the end
+    "hits_trade_orders" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_suppkey AS src, o_custkey + 10000000 AS dst
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nodes AS (SELECT src AS node FROM pairs
+        |  UNION SELECT dst FROM pairs),
+        |a1 AS (SELECT dst, CAST(COUNT(*) AS HUGEINT) AS a
+        |  FROM pairs GROUP BY dst),
+        |h1 AS (SELECT src, CAST(SUM(a) AS HUGEINT) AS h
+        |  FROM pairs JOIN a1 USING (dst) GROUP BY src),
+        |a2s AS (SELECT dst, CAST(SUM(h) AS HUGEINT) AS a
+        |  FROM pairs JOIN h1 USING (src) GROUP BY dst),
+        |h2s AS (SELECT src, CAST(SUM(a) AS HUGEINT) AS h
+        |  FROM pairs JOIN a2s USING (dst) GROUP BY src),
+        |a2 AS (SELECT node, COALESCE(a, 0) AS a
+        |  FROM nodes LEFT JOIN a2s ON node = dst),
+        |h2 AS (SELECT node, COALESCE(h, 0) AS h
+        |  FROM nodes LEFT JOIN h2s ON node = src),
+        |tot AS (SELECT (SELECT SUM(a) FROM a2) AS ta,
+        |  (SELECT SUM(h) FROM h2) AS th)
+        |SELECT
+        |  CASE WHEN node >= 10000000 THEN 'customer'
+        |    ELSE 'supplier' END AS node_type,
+        |  CASE WHEN node >= 10000000 THEN node - 10000000
+        |    ELSE node END AS node_id,
+        |  ROUND(CAST(a AS DOUBLE) / CAST(ta AS DOUBLE), 6) AS authority,
+        |  ROUND(CAST(h AS DOUBLE) / CAST(th AS DOUBLE), 6) AS hub
+        |FROM a2 JOIN h2 USING (node), tot
+        |ORDER BY node_type, node_id""".stripMargin,
+
+    // Σ_k cA(k)·cB(k) from the key histograms — the join priced without
+    // the join; NULL keys count in table sizes but never join
+    "join_cardinality_lineitem" ->
+      """WITH ca AS (
+        |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cb AS (
+        |  SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |la AS (SELECT CAST(SUM(c) AS BIGINT) AS n_left,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys_left FROM ca),
+        |lb AS (SELECT CAST(SUM(c) AS BIGINT) AS n_right,
+        |  CAST(COUNT(*) AS BIGINT) AS n_keys_right FROM cb),
+        |j AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys_common,
+        |  CAST(SUM(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS join_rows,
+        |  CAST(MAX(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT)
+        |    AS max_key_rows
+        |  FROM ca JOIN cb USING (k))
+        |SELECT n_left, n_right, n_keys_left, n_keys_right, n_keys_common,
+        |  join_rows, max_key_rows,
+        |  ROUND(CAST(max_key_rows AS DOUBLE) / CAST(join_rows AS DOUBLE),
+        |    6) AS max_key_share,
+        |  ROUND(CAST(join_rows AS DOUBLE) / CAST(n_left AS DOUBLE), 6)
+        |    AS fanout_left
+        |FROM j, la, lb""".stripMargin,
+
+    // gini over runs of equal masses: 2·Σ i·x = Σ m·(2·c·below + c·(c+1));
+    // exact integers end-to-end, one float division per output stat
+    "skew_profile_events" ->
+      """WITH km AS (
+        |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM events GROUP BY user_id),
+        |mc AS (SELECT m, CAST(COUNT(*) AS BIGINT) AS c FROM km GROUP BY m),
+        |cum AS (SELECT m, c,
+        |  CAST(SUM(c) OVER (ORDER BY m) AS BIGINT) AS ck FROM mc),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS k,
+        |  CAST(SUM(m * c) AS BIGINT) AS t,
+        |  CAST(MAX(m) AS BIGINT) AS mx FROM mc),
+        |agg AS (SELECT
+        |    SUM(CAST(m AS HUGEINT) * (2 * c * (ck - c) + c * (c + 1)))
+        |      AS g2,
+        |    SUM(CAST(m AS HUGEINT)
+        |      * GREATEST(0, LEAST(c, 10 - (k - ck)))) AS top10
+        |  FROM cum, tot),
+        |pct AS (SELECT
+        |    MAX(CASE WHEN (k * 500000 + 999999) // 1000000 > ck - c
+        |      AND (k * 500000 + 999999) // 1000000 <= ck THEN m END)
+        |      AS p50,
+        |    MAX(CASE WHEN (k * 990000 + 999999) // 1000000 > ck - c
+        |      AND (k * 990000 + 999999) // 1000000 <= ck THEN m END)
+        |      AS p99
+        |  FROM cum, tot)
+        |SELECT t AS n_rows, k AS n_keys, mx AS max_mass,
+        |  ROUND(CAST(mx AS DOUBLE) / CAST(t AS DOUBLE), 6) AS max_share,
+        |  ROUND(CAST(top10 AS DOUBLE) / CAST(t AS DOUBLE), 6)
+        |    AS top10_share,
+        |  p50 AS p50_mass, p99 AS p99_mass,
+        |  ROUND(CAST(g2 - (k + 1) * CAST(t AS HUGEINT) AS DOUBLE)
+        |    / CAST(CAST(k AS HUGEINT) * t AS DOUBLE), 6) AS gini,
+        |  (mx * 32 + t - 1) // t AS salt_factor
+        |FROM tot, agg, pct""".stripMargin,
 
     "char_entropy_docs" ->
       """WITH ch AS (

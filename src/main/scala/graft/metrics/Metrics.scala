@@ -1232,4 +1232,294 @@ object Metrics {
         col("violating_groups"), col("violations"),
         round(col("violations").cast("double") / col("n_rows"), 6)
           .as("g3"))
+
+  /** [[madOutliers]] replayed from [[valueCounts]]' (drained) per-(group,
+    * value) state — the robust-outlier panel's STREAMING fold half: median
+    * and MAD by the [[percentilesFromCounts]] rank pick (the identical
+    * type-1 arithmetic [[exactPercentiles]] selects with), the deviation
+    * distribution DERIVED from the value dictionary (|v − median| carries
+    * the value's count; two values can fold onto one deviation, so the
+    * deviation dictionary re-aggregates), and the Hampel flag counts read
+    * off the deviation dictionary. Every frame here is fold-side
+    * dictionary scale — the per-(group, value) counts are the only
+    * corpus-mass object and they live in the streaming state store.
+    * madFromCounts ∘ [[valueCounts]] = [[madOutliers]] (spec-pinned), so
+    * the streaming twin shares the batch oracle verbatim. Callers filter
+    * NULL values BEFORE the state aggregation (the batch operator's
+    * non-null contract).
+    */
+  def madFromCounts(
+      counts: DataFrame,
+      groupCols: Seq[String],
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"bad MAD multiplier $k")
+    val gcols = groupCols.map(col)
+    // pin the dictionary once: it feeds the median branch AND the
+    // deviation join (without this the state subtree executes per branch,
+    // and a memory-sink view cannot even self-join)
+    val c = counts.localCheckpoint(true)
+    val med = percentilesFromCounts(c, Seq(500000L), groupCols)
+      .select((gcols :+ col("value").as("__med")): _*)
+    val dev = c.join(broadcast(med), groupCols)
+      .select((gcols ++ Seq(abs(col("__v") - col("__med")).as("__adv"),
+        col("__cnt"), col("__med"))): _*)
+    val devCounts = dev
+      .groupBy((gcols :+ col("__adv").as("__v")): _*)
+      .agg(sum(col("__cnt")).as("__cnt"))
+    val mad = percentilesFromCounts(devCounts, Seq(500000L), groupCols)
+      .select((gcols :+ col("value").as("__mad")): _*)
+    dev.join(broadcast(mad), groupCols)
+      .groupBy(gcols: _*)
+      .agg(sum(col("__cnt")).as("n"),
+        max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"),
+        sum(when(col("__adv") > col("__mad") * k, col("__cnt"))
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n"), 6))
+  }
+
+  /** Single-column categorical key with NULL kept distinct from the
+    * string "null" — the [[fdCounts]] marker convention without the
+    * separator machinery (one value, nothing to escape): NULL → N,
+    * value v → "v" + v.
+    */
+  private def catKey(c: Column): Column =
+    when(c.isNull, lit("N"))
+      .otherwise(concat(lit("v"), c.cast("string")))
+
+  /** Categorical-association panel: for each declared column PAIR, the
+    * full contingency-table battery — chi-square statistic, degrees of
+    * freedom, Cramér's V, and mutual information in bits — the schema-
+    * profiling step that tells a curation run which metadata columns are
+    * redundant (V ≈ 1: drop one), which are independent (V ≈ 0: both
+    * carry signal), and how many bits one predicts of the other (the MI
+    * a stratified-sampling or leakage audit reads).
+    *
+    * ONE corpus scan for ALL pairs: each row explodes into |pairs|
+    * (pair, a-key, b-key) structs — the [[fdCounts]] shape — then one
+    * hash-aggregate to cell counts; marginals, totals, and the statistics
+    * run on the cell dictionary. Zero cells are handled in CLOSED FORM,
+    * no scaffold: Σ over all R×C cells of the expected mass e equals n,
+    * so χ² = Σ_observed((o·n − ra·cb)²/(n·ra·cb) − ra·cb/n) + n, and
+    * zero cells contribute exactly nothing to MI. Levels are OBSERVED
+    * distinct values per side (an unobserved category is indistinguishable
+    * from a nonexistent one).
+    *
+    * Determinism across engines: each cell's contribution is one
+    * fixed-order double expression (mirrored verbatim by the oracle, the
+    * [[benfordFromCounts]] ln-ratio discipline), then cast to
+    * DECIMAL(38,12) and summed EXACTLY — decimal addition is associative,
+    * so partial-aggregation order cannot move the 6th decimal the way a
+    * raw double Σ could.
+    *
+    * @param pairs (name, columnA, columnB) per declared pair
+    * @return per pair: (pair, n, r_levels, c_levels, dof, chi2,
+    *         cramers_v, mi_bits) — cramers_v NULL when either side has a
+    *         single level (no association is defined), rounds to 6
+    */
+  def assocPanel(
+      df: DataFrame,
+      pairs: Seq[(String, String, String)]): DataFrame =
+    assocFromCounts(assocCounts(df, pairs))
+
+  /** [[assocPanel]]'s state half: per-(pair, a, b) cell counts as ONE
+    * associative aggregation over ONE scan of the input — legal
+    * Complete-mode streaming state (the fdCounts / benfordCounts
+    * convention), so the streaming twin shares the batch oracle verbatim.
+    */
+  def assocCounts(
+      df: DataFrame,
+      pairs: Seq[(String, String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "no column pairs given")
+    df.select(explode(array(pairs.map { case (name, a, b) =>
+        struct(lit(name).as("pair"), catKey(col(a)).as("__ak"),
+          catKey(col(b)).as("__bk"))
+      }: _*)).as("s"))
+      .select(col("s.pair").as("pair"), col("s.__ak").as("__ak"),
+        col("s.__bk").as("__bk"))
+      .groupBy(col("pair"), col("__ak"), col("__bk"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The panel fold over [[assocCounts]]' (drained) cell state: marginals
+    * and totals by two dictionary-scale hash-aggs, broadcast back onto the
+    * cells, one decimal-summed pass for χ² and MI. assocFromCounts ∘
+    * assocCounts = [[assocPanel]] by construction.
+    */
+  def assocFromCounts(counts: DataFrame): DataFrame = {
+    // pin the cell dictionary once: it feeds both marginals and the final
+    // join (without this the corpus-scan state subtree executes 3×, and a
+    // memory-sink view cannot even self-join)
+    val c = counts.localCheckpoint(true)
+    val ra = c.groupBy(col("pair"), col("__ak"))
+      .agg(sum(col("__c")).as("__ra"))
+    val cb = c.groupBy(col("pair"), col("__bk"))
+      .agg(sum(col("__c")).as("__cb"))
+    val tot = ra.groupBy(col("pair"))
+      .agg(sum(col("__ra")).as("__n"), count(lit(1)).as("r_levels"))
+      .join(cb.groupBy(col("pair")).agg(count(lit(1)).as("c_levels")),
+        Seq("pair"))
+    // per-cell doubles in one FIXED order (mirrored verbatim by the
+    // oracle), summed exactly as DECIMAL(38,12)
+    val o = col("__c").cast("double")
+    val nn = col("__n").cast("double")
+    val rc = col("__ra").cast("double") * col("__cb").cast("double")
+    val on = o * nn
+    val chiCell = (on - rc) * (on - rc) / (nn * rc) - rc / nn
+    val miCell = (o / nn) * ((log(on) - log(rc)) / log(lit(2.0)))
+    val minSide = least(col("r_levels"), col("c_levels"))
+    c
+      .join(broadcast(ra), Seq("pair", "__ak"))
+      .join(broadcast(cb), Seq("pair", "__bk"))
+      .join(broadcast(tot), Seq("pair"))
+      .groupBy(col("pair"))
+      .agg(max(col("__n")).as("n"),
+        max(col("r_levels")).as("r_levels"),
+        max(col("c_levels")).as("c_levels"),
+        sum(chiCell.cast("decimal(38,12)")).as("__chi"),
+        sum(miCell.cast("decimal(38,12)")).as("__mi"))
+      .select(col("pair"), col("n"), col("r_levels"), col("c_levels"),
+        ((col("r_levels") - 1) * (col("c_levels") - 1)).as("dof"),
+        round(col("__chi").cast("double") + col("n").cast("double"), 6)
+          .as("chi2"),
+        when(minSide > 1, round(sqrt(
+          (col("__chi").cast("double") + col("n").cast("double")) /
+            (col("n") * (minSide - 1)).cast("double")), 6))
+          .as("cramers_v"),
+        round(col("__mi").cast("double"), 6).as("mi_bits"))
+  }
+
+  /** Cohen's kappa inter-annotator agreement — the label-quality gate for
+    * any human- or model-annotated training set: observed agreement
+    * corrected for the agreement two INDEPENDENT raters with these
+    * marginals would reach by chance (two raters who both say "good" 95%
+    * of the time agree 90.5% by luck alone; raw agreement is a vanity
+    * number exactly when classes are imbalanced).
+    *
+    * Exact integer algebra end-to-end: with diag = Σ_k c_kk and
+    * S = Σ_k ra_k·cb_k, kappa = (po − pe)/(1 − pe) cross-multiplies to
+    * (diag·n − S)/(n² − S) — both sides DECIMAL(38,0), one float division
+    * at the end (NULL when n² = S, i.e. chance agreement is total and
+    * kappa is undefined). NULL labels are categories (the [[fdCounts]]
+    * marker, distinct from the string "null").
+    *
+    * Scale shape: ONE corpus hash-agg to the (group, a, b) cell
+    * dictionary; marginals, the pe join (on the shared category space),
+    * and the fold all run at dictionary scale.
+    *
+    * @return per group: (group…, n, po, pe, kappa) — rounded 6
+    */
+  def cohensKappa(
+      df: DataFrame,
+      colA: String,
+      colB: String,
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val gcols = groupCols.map(col)
+    val cells = df
+      .select((gcols ++ Seq(catKey(col(colA)).as("__ak"),
+        catKey(col(colB)).as("__bk"))): _*)
+      .groupBy((gcols ++ Seq(col("__ak"), col("__bk"))): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true) // dictionary-scale; feeds base + both marginals
+    val ra = cells.groupBy((gcols :+ col("__ak").as("__k")): _*)
+      .agg(sum(col("__c")).as("__ra"))
+    val cb = cells.groupBy((gcols :+ col("__bk").as("__k")): _*)
+      .agg(sum(col("__c")).as("__cb"))
+    // inner join: a category one rater never uses contributes ra·cb = 0
+    val pe = ra.join(cb, groupCols :+ "__k")
+      .groupBy(gcols: _*)
+      .agg(sum(col("__ra").cast("decimal(38,0)") * col("__cb"))
+        .as("__sumrc"))
+    val base = cells.groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__ak") === col("__bk"), col("__c")).otherwise(0L))
+          .as("__diag"))
+    val joined =
+      if (groupCols.isEmpty) base.crossJoin(broadcast(pe))
+      // left: disjoint rater vocabularies → empty pe group → S = 0
+      else base.join(broadcast(pe), groupCols, "left")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val s = coalesce(col("__sumrc"), lit(0L).cast("decimal(38,0)"))
+    val n2 = d(col("n")) * d(col("n"))
+    joined.select((gcols ++ Seq(col("n"),
+      round(col("__diag").cast("double") / col("n"), 6).as("po"),
+      round(s.cast("double") /
+        (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
+      when(n2 > s, round((d(col("__diag")) * d(col("n")) - s).cast("double") /
+        (n2 - s).cast("double"), 6)).as("kappa"))): _*)
+  }
+
+  /** Join/groupBy-key skew profiler — the pre-flight shuffle advisor a
+    * 100 TB run consults BEFORE committing to a partitioning: the key-mass
+    * distribution (max share, top-10 share, exact median/p99 key mass, the
+    * Gini concentration index) and the salt factor that would level the
+    * hottest key against an average partition's load
+    * (ceil(max_mass · partitions / n_rows) — the subkey count AQE-style
+    * salting needs so no reducer holds more than ~an average share).
+    *
+    * Two collapses before any non-linear step: corpus → per-key mass (ONE
+    * hash-agg, key-dictionary scale) → mass histogram (counts-of-counts,
+    * typically tiny). Gini runs EXACTLY on the histogram: over runs of c
+    * keys sharing mass m starting above s keys, 2·Σ i·x_i =
+    * Σ m·(2·c·s + c·(c+1)) in DECIMAL(38,0) via the range-partitioned
+    * prefix-sum scaffold (never a corpus-scale window); ties need no
+    * tie-break — any ordering of equal values yields the same sum. The
+    * top-10 mass reads off the same cumulative (take min(c, 10 − keys
+    * above) from each run), and p50/p99 key mass reuse
+    * [[percentilesFromCounts]]' type-1 rank pick.
+    *
+    * NULL keys group like SQL GROUP BY (one NULL key); a join would drop
+    * them, so a fat NULL group showing up here is itself a finding.
+    *
+    * @param partitions the shuffle parallelism the salt factor is sized
+    *                   against (spark.sql.shuffle.partitions of the target
+    *                   job)
+    * @return ONE row: (n_rows, n_keys, max_mass, max_share, top10_share,
+    *         p50_mass, p99_mass, gini, salt_factor) — shares rounded 6
+    */
+  def skewProfile(
+      df: DataFrame,
+      keyCols: Seq[String],
+      partitions: Int): DataFrame = {
+    require(keyCols.nonEmpty, "no key columns given")
+    require(partitions >= 1, s"bad partition count $partitions")
+    val mass = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__m"))
+    val mc = mass.groupBy(col("__m").as("__v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint(true) // histogram scale; feeds cum + pct + totals
+    val cum = graft.sample.Samplers.globalCumSum(mc, Seq("__v"), "__cnt",
+      cumCol = "__ck")
+    val t0 = mc.agg(sum(col("__cnt")).as("__k"),
+      sum(col("__v").cast("decimal(38,0)") * col("__cnt")).as("__t"),
+      max(col("__v")).as("max_mass"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val below = col("__ck") - col("__cnt")
+    val take = greatest(lit(0L),
+      least(col("__cnt"), lit(10L) - (col("__k") - col("__ck"))))
+    val t1 = cum.crossJoin(broadcast(t0))
+      .agg(max(col("__k")).as("n_keys"),
+        max(col("__t")).as("__t"),
+        max(col("max_mass")).as("max_mass"),
+        sum(d(col("__v")) * (lit(2) * d(col("__cnt")) * d(below) +
+          d(col("__cnt")) * (d(col("__cnt")) + 1))).as("__g2"),
+        sum(d(col("__v")) * d(take)).as("__top10"))
+    val pct = percentilesFromCounts(mc, Seq(500000L, 990000L))
+      .agg(max(when(col("q") === 0.5, col("value"))).as("p50_mass"),
+        max(when(col("q") === 0.99, col("value"))).as("p99_mass"))
+    t1.crossJoin(broadcast(pct))
+      .withColumn("n_rows", col("__t").cast("long"))
+      .select(col("n_rows"), col("n_keys"), col("max_mass"),
+        round(col("max_mass").cast("double") / col("n_rows").cast("double"),
+          6).as("max_share"),
+        round(col("__top10").cast("double") / col("n_rows").cast("double"),
+          6).as("top10_share"),
+        col("p50_mass"), col("p99_mass"),
+        round((col("__g2") - (d(col("n_keys")) + 1) * col("__t"))
+          .cast("double") /
+          (d(col("n_keys")) * col("__t")).cast("double"), 6).as("gini"),
+        expr(s"(max_mass * $partitions + n_rows - 1) div n_rows")
+          .as("salt_factor"))
+  }
 }

@@ -327,13 +327,28 @@ object Events {
     * Scale: two hash-aggs — (type, day) then (type) — both keyed, no
     * window, no collect.
     */
-  def trendFit(events: DataFrame): DataFrame = {
-    val daily = events
-      .withColumn("__sec", epochSeconds(events))
-      .selectExpr("event_type", "__sec DIV 86400 AS day", "value")
-      .groupBy(col("event_type"), col("day"))
-      .agg((sum(col("value").cast("decimal(18,2)")) * 100)
-        .cast("long").as("yc"))
+  def trendFit(events: DataFrame): DataFrame =
+    trendFromDaily(trendDaily(events))
+
+  /** [[trendFit]]'s state half: exact per-(type, epoch-day) cent totals —
+    * ONE associative aggregation (decimal sums) over one scan, so it runs
+    * unchanged as Complete-mode STREAMING state (the valueCounts /
+    * welchMoments convention). The state is |types|·|days| rows —
+    * dictionary-scale by construction.
+    */
+  def trendDaily(events: DataFrame): DataFrame = events
+    .withColumn("__sec", epochSeconds(events))
+    .selectExpr("event_type", "__sec DIV 86400 AS day", "value")
+    .groupBy(col("event_type"), col("day"))
+    .agg((sum(col("value").cast("decimal(18,2)")) * 100)
+      .cast("long").as("yc"))
+
+  /** The regression fold over [[trendDaily]]'s (drained) state — the
+    * identical moment algebra [[trendFit]] composes, so
+    * trendFromDaily ∘ trendDaily = trendFit (spec-pinned) and the
+    * streaming twin shares the batch oracle verbatim.
+    */
+  def trendFromDaily(daily: DataFrame): DataFrame =
     daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("day")).as("sx"), sum(col("yc")).as("sy"),
@@ -348,7 +363,6 @@ object Events {
           (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
             / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
             / 100.0), 6).as("slope_per_day"))
-  }
 
   /** First-order Markov transition matrix over per-user event streams:
     * for each (previous event_type → event_type) step, its count and the

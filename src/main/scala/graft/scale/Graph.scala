@@ -535,4 +535,72 @@ object Graph {
     }
     labels
   }
+
+  /** HITS hubs-and-authorities (Kleinberg, JACM 1999) over a DIRECTED
+    * edge list, a fixed number of unrolled mutual-reinforcement rounds:
+    * authority(i) ← Σ_{u→i} hub(u), then hub(u) ← Σ_{u→i} authority(i).
+    * The link-analysis complement to [[pageRankMicro]]: PageRank measures
+    * one centrality; HITS separates "points at good things" (hub) from
+    * "is pointed at by good pointers" (authority) — on a bipartite trade
+    * graph the round-2 authority is exactly co-purchasing mass.
+    *
+    * Exactness: with hub⁰ = 1 everywhere and NO mid-round normalization,
+    * every intermediate score is a path count — exact DECIMAL(38,0)
+    * integers through all rounds. For a fixed round count this is scale-
+    * equivalent to the textbook per-round L1 normalization (each round's
+    * normalization is a global constant), so normalizing ONCE at the end
+    * yields the same shares; the closing two divisions are the only float
+    * ops, rounded 6. Declared semantics: fixed `rounds` of the exact
+    * update, not convergence iteration (the [[labelPropagation]]
+    * fixed-rounds convention — no silent cap pretending to be a fixpoint).
+    *
+    * Scale shape: per round, two keyed equi-joins (edges ⋈ scores) + two
+    * hash-aggs + two left joins back onto the node table — every exchange
+    * keyed on node ids, nothing broadcasts with the corpus; edges and
+    * nodes pinned once (the [[pageRankMicro]] rationale); each round's
+    * score table is referenced exactly once by the next, so no per-round
+    * checkpoint (the scoreLoop rule).
+    *
+    * @return (node, authority, hub) — both L1-normalized shares, round 6
+    */
+  def hits(edges: DataFrame, rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"bad round count $rounds")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    val d0 = lit(0L).cast("decimal(38,0)")
+    var hub = nodes.withColumn("h", lit(1L).cast("decimal(38,0)"))
+    var auth = nodes.withColumn("a", d0)
+    var r = 0
+    while (r < rounds) {
+      val aSum = e
+        .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("h")).as("__a"))
+      auth = nodes.join(aSum, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__a"), d0).as("a"))
+      val hSum = e
+        .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(sum(col("a")).as("__h"))
+      hub = nodes.join(hSum, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__h"), d0).as("h"))
+      r += 1
+    }
+    // final scores feed the totals AND the output join — pin once (node-
+    // dictionary scale) instead of re-executing the round chain per branch
+    auth = auth.localCheckpoint(true)
+    hub = hub.localCheckpoint(true)
+    val tot = auth.agg(sum(col("a")).as("__ta"))
+      .crossJoin(hub.agg(sum(col("h")).as("__th")))
+    auth.join(hub, Seq("node"))
+      .crossJoin(broadcast(tot))
+      .select(col("node"),
+        round(col("a").cast("double") / col("__ta").cast("double"), 6)
+          .as("authority"),
+        round(col("h").cast("double") / col("__th").cast("double"), 6)
+          .as("hub"))
+  }
 }

@@ -112,4 +112,56 @@ object Skew {
       .orderBy(col("cnt").desc +: keyCols.map(col): _*)
       .limit(n)
   }
+
+  /** Exact equi-join cardinality — the planner advisor that prices a join
+    * BEFORE running it: |A ⋈_k B| = Σ_k cA(k)·cB(k) computed from the two
+    * key histograms (two hash-aggs + one key-dictionary join), never the
+    * join itself. The first number every 100 TB join review asks for —
+    * especially self-joins, where one hot key turns Σ c² quadratic; the
+    * output therefore also names the worst key's mass (max cA·cB), its
+    * share of the join, and the left-side fanout. The companion to
+    * [[graft.metrics.Metrics.skewProfile]] (that profiles ONE relation's
+    * key; this prices the meeting of two).
+    *
+    * Semantics: NULL keys are counted in n_left/n_right (table sizes) but
+    * never join (SQL equi-join semantics — the histogram join drops the
+    * NULL group on both sides). Products accumulate as DECIMAL(38,0):
+    * exact at any scale the join itself could not even materialize.
+    *
+    * @return ONE row: (n_left, n_right, n_keys_left, n_keys_right,
+    *         n_keys_common, join_rows, max_key_rows, max_key_share,
+    *         fanout_left) — shares/fanout rounded 6, NULL when join_rows
+    *         is 0
+    */
+  def joinCardinality(
+      left: DataFrame,
+      leftKey: String,
+      right: DataFrame,
+      rightKey: String): DataFrame = {
+    // each histogram feeds its totals AND the dictionary join — pin once
+    // so each input is scanned exactly once
+    val ca = left.groupBy(col(leftKey).as("__k"))
+      .agg(count(lit(1)).as("__ca")).localCheckpoint(true)
+    val cb = right.groupBy(col(rightKey).as("__k"))
+      .agg(count(lit(1)).as("__cb")).localCheckpoint(true)
+    val la = ca.agg(sum(col("__ca")).as("n_left"),
+      count(lit(1)).as("n_keys_left"))
+    val lb = cb.agg(sum(col("__cb")).as("n_right"),
+      count(lit(1)).as("n_keys_right"))
+    val prod = col("__ca").cast("decimal(38,0)") * col("__cb")
+    val j = ca.join(cb, Seq("__k"))
+      .agg(count(lit(1)).as("n_keys_common"),
+        sum(prod).as("__rows"), max(prod).as("__maxk"))
+    j.crossJoin(broadcast(la)).crossJoin(broadcast(lb))
+      .select(col("n_left"), col("n_right"),
+        col("n_keys_left"), col("n_keys_right"), col("n_keys_common"),
+        coalesce(col("__rows").cast("long"), lit(0L)).as("join_rows"),
+        coalesce(col("__maxk").cast("long"), lit(0L)).as("max_key_rows"),
+        when(col("__rows") > 0,
+          round(col("__maxk").cast("double") / col("__rows").cast("double"),
+            6)).as("max_key_share"),
+        when(col("__rows") > 0,
+          round(col("__rows").cast("double") / col("n_left").cast("double"),
+            6)).as("fanout_left"))
+  }
 }

@@ -279,6 +279,25 @@ class GraphSpec extends SparkSpec {
       5L -> 4L, 6L -> 4L))
   }
 
+  test("hits: hand-computed two-round path counts, end normalization; " +
+      "sources carry hub mass, sinks authority") {
+    // s1→c1, s1→c2, s2→c2 (directed bipartite, node ids 1,2 / 11,12):
+    //   a1 = indegree: c1=1, c2=2; h1: s1 = 1+2 = 3, s2 = 2
+    //   a2: c1 = 3, c2 = 3+2 = 5; h2: s1 = 3+5 = 8, s2 = 5
+    //   Σa = 8, Σh = 13 -> authority c1 = 0.375, c2 = 0.625;
+    //   hub s1 = 8/13 = 0.615385, s2 = 5/13 = 0.384615; all else 0
+    val edges = Seq((1L, 11L), (1L, 12L), (2L, 12L)).toDF("src", "dst")
+    val got = Graph.hits(edges, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got == Map(
+      1L -> ((0.0, 0.615385)), 2L -> ((0.0, 0.384615)),
+      11L -> ((0.375, 0.0)), 12L -> ((0.625, 0.0))))
+    // partition invariance (exact integers — no float accumulation order)
+    val b = Graph.hits(edges.repartition(5), 2).collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(b == got)
+  }
+
   test("modularity: single community scores 0; Q sums over contributions") {
     // everything in one community: in = E, deg = E -> Q = 1 − 1 = 0
     val one = Seq(1L, 2L, 3L, 4L).map((_, 0L)).toDF("node", "community")

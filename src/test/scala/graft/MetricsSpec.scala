@@ -581,4 +581,115 @@ class MetricsSpec extends SparkSpec {
       ("c1->c3", 1L, 1L, 0.25),
       ("pair->c3", 0L, 0L, 0.0)))
   }
+
+  test("madFromCounts ∘ valueCounts = madOutliers — incl. two values " +
+      "folding onto ONE deviation (the dictionary must re-aggregate)") {
+    // group a: [1,1,1,5,9,9] -> rank ceil(6/2)=3 -> median 1;
+    //   devs [0,0,0,4,8,8] -> MAD 0; flags: adv > 0 -> 3 -> frac 0.5
+    // group b: [3,5,7,7] -> type-1 median 5; devs [2,0,2,2]: values 3
+    //   AND 7 both land on deviation 2 — the deviation dictionary holds
+    //   {0:1, 2:3}, rank 2 -> MAD 2; no flag (max dev 2 ≤ 6)
+    val df = (Seq(1L, 1L, 1L, 5L, 9L, 9L).map(("a", _)) ++
+      Seq(3L, 5L, 7L, 7L).map(("b", _))).toDF("g", "v")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g").collect().map(r => (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    val viaCounts = canon(Metrics.madFromCounts(
+      Metrics.valueCounts(df, "v", Seq("g")), Seq("g"), 3))
+    assert(viaCounts == Seq(
+      ("a", 6L, 1L, 0L, 3L, 0.5),
+      ("b", 4L, 5L, 2L, 0L, 0.0)))
+    assert(viaCounts == canon(Metrics.madOutliers(df, "v", Seq("g"), 3)))
+  }
+
+  test("cohensKappa: hand-computed chance-corrected agreement; NULL and " +
+      "the string 'null' are distinct categories") {
+    // a: [x,x,y,y,x,y,NULL,NULL], b: [x,y,y,x,x,y,'null',NULL]
+    // diag = 5 (both (x,x) twice, (y,y) twice, (NULL,NULL) once — the
+    // (NULL,'null') row must NOT count), n = 8 -> po = 0.625
+    // marginals: a{x:3,y:3,N:2}, b{x:3,y:3,null:1,N:1} ->
+    // S = 3·3 + 3·3 + 2·1 = 20 -> pe = 20/64 = 0.3125
+    // kappa = (5·8 − 20)/(64 − 20) = 20/44 = 0.454545
+    val df = Seq(
+      (Some("x"), Some("x")), (Some("x"), Some("y")),
+      (Some("y"), Some("y")), (Some("y"), Some("x")),
+      (Some("x"), Some("x")), (Some("y"), Some("y")),
+      (None, Some("null")), (None, None)
+    ).toDF("a", "b")
+    val got = Metrics.cohensKappa(df, "a", "b").collect().head
+    assert((got.getLong(0), got.getDouble(1), got.getDouble(2),
+      got.getDouble(3)) == ((8L, 0.625, 0.3125, 0.454545)))
+  }
+
+  test("cohensKappa: kappa is NULL when chance agreement is total " +
+      "(both raters constant)") {
+    val df = Seq(("k", "k"), ("k", "k")).toDF("a", "b")
+    val got = Metrics.cohensKappa(df, "a", "b").collect().head
+    assert(got.getLong(0) == 2L && got.getDouble(1) == 1.0 &&
+      got.getDouble(2) == 1.0 && got.isNullAt(3))
+  }
+
+  test("assocPanel: hand-computed chi2 / Cramér's V / MI on dependent, " +
+      "independent, and zero-cell tables — one scan for all pairs") {
+    // pair dep  (x, y1): perfect 2×2 dependence -> chi2 = n = 4, V = 1,
+    //   MI = 1 bit
+    // pair ind  (x, y2): uniform 2×2 independence -> chi2 = 0, V = 0,
+    //   MI = 0
+    // pair zero (x, y3): cells (a,1):3 (a,2):1 (b,2):2 — the (b,1) zero
+    //   cell enters via the closed form: chi2 = 0.5+0.5+1+1 = 3,
+    //   V = sqrt(3/6) = 0.707107, MI = 0.5·log2(1.5) − 1/6 + 1/3
+    val df = Seq(
+      ("a", 1, 1), ("a", 1, 2), ("b", 2, 1), ("b", 2, 2),
+      ("a", 1, 1), ("a", 1, 2), ("b", 2, 1), ("b", 2, 2)
+    ).toDF("x", "y1", "y2")
+    val dfz = Seq(("a", 1), ("a", 1), ("a", 1), ("a", 2), ("b", 2),
+      ("b", 2)).toDF("x", "y")
+    val got = Metrics.assocPanel(df, Seq(
+        ("dep", "x", "y1"), ("ind", "x", "y2")))
+      .orderBy("pair").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+    assert(got.toSeq == Seq(
+      ("dep", 8L, 2L, 2L, 1L, 8.0, 1.0, 1.0),
+      ("ind", 8L, 2L, 2L, 1L, 0.0, 0.0, 0.0)))
+    val z = Metrics.assocPanel(dfz, Seq(("zero", "x", "y"))).collect().head
+    assert((z.getLong(1), z.getLong(2), z.getLong(3), z.getLong(4)) ==
+      ((6L, 2L, 2L, 1L)))
+    assert(z.getDouble(5) == 3.0)
+    assert(z.getDouble(6) == 0.707107)
+    assert(z.getDouble(7) == 0.459148)
+  }
+
+  test("assocPanel: single-level side -> chi2 0, Cramér's V NULL, MI 0; " +
+      "NULL is a category distinct from the string 'null'") {
+    val one = Seq(("k", 1), ("k", 2), ("k", 2)).toDF("x", "y")
+    val g1 = Metrics.assocPanel(one, Seq(("p", "x", "y"))).collect().head
+    assert(g1.getLong(2) == 1L && g1.getLong(4) == 0L &&
+      g1.getDouble(5) == 0.0 && g1.isNullAt(6) && g1.getDouble(7) == 0.0)
+    val nn = Seq((Some("null"), 1), (None, 2), (None, 2))
+      .toDF("x", "y")
+    val g2 = Metrics.assocPanel(nn, Seq(("p", "x", "y"))).collect().head
+    assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
+  }
+
+  test("skewProfile: hand-computed mass histogram — gini over runs, " +
+      "top-10 take, type-1 percentile picks, ceil salt factor") {
+    // 12 keys: ten of mass 1, two of mass 5 -> n_rows 20
+    // top10 = 5 + 5 + 8·1 = 18 -> 0.9; p50: rank 6 of ascending masses
+    // -> 1; p99: rank 12 -> 5; gini: 2Σi·x = 2(55 + 11·5 + 12·5) = 340,
+    // (K+1)T = 260, KT = 240 -> 80/240 = 0.333333
+    // salt at 8 partitions: ceil(5·8/20) = 2
+    val rows = (1L to 10L).map(k => (k, 1)) ++ Seq((11L, 5), (12L, 5))
+    val df = rows.toDF("k", "m")
+      .withColumn("i", explode(sequence(lit(1), col("m"))))
+      .select("k", "i")
+    val got = Metrics.skewProfile(df, Seq("k"), 8).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+      ((20L, 12L, 5L)))
+    assert(got.getDouble(3) == 0.25)
+    assert(got.getDouble(4) == 0.9)
+    assert((got.getLong(5), got.getLong(6)) == ((1L, 5L)))
+    assert(got.getDouble(7) == 0.333333)
+    assert(got.getLong(8) == 2L)
+  }
 }

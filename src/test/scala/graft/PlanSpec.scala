@@ -645,6 +645,24 @@ class PlanSpec extends SparkSpec {
       s"expected the explode fan-out:\n$plan")
   }
 
+  test("assocCounts reads the input relation ONCE for all declared " +
+      "pairs (explode fan-out, not per-pair scans)") {
+    // the fold side (assocFromCounts) pins this state eagerly, so the
+    // one-scan property of the whole panel lives in the counts subtree
+    val counts = graft.metrics.Metrics.assocCounts(
+      graft.io.Tables.load(spark, sf, "orders")
+        .withColumn("mon", month(col("o_orderdate"))),
+      Seq(("priority_month", "o_orderpriority", "mon"),
+        ("status_priority", "o_orderstatus", "o_orderpriority"),
+        ("status_month", "o_orderstatus", "mon")))
+    val plan = counts.queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly one scan, saw $scans:\n$plan")
+    assert(plan.contains("Generate explode") || plan.contains("explode"),
+      s"expected the explode fan-out:\n$plan")
+  }
+
   test("benfordDigits: ONE corpus scan, join-free fold (the digit " +
       "scaffold explodes against a per-column map, no totals join-back)") {
     val df = SparkEntry.queries("benford_orders")(spark, sf)

@@ -1027,6 +1027,25 @@ class ScaleSpec extends SparkSpec {
       s"unexpected hitters: $got")
   }
 
+  test("joinCardinality: exact Σ cA·cB from the histograms; NULL keys " +
+      "count in table sizes but never join") {
+    // left keys [k1,k1,k2,NULL], right [k1,k2,k2,k3]:
+    //   common {k1: 2·1, k2: 1·2} -> join_rows 4, max_key_rows 2,
+    //   share 0.5; fanout_left = 4/4 = 1.0
+    val l = Seq(Some("k1"), Some("k1"), Some("k2"), None)
+      .toDF("k")
+    val r = Seq("k1", "k2", "k2", "k3").map(Tuple1(_)).toDF("k")
+    val got = graft.scale.Skew.joinCardinality(l, "k", r, "k")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5), got.getLong(6)) ==
+      ((4L, 4L, 3L, 3L, 2L, 4L, 2L)))
+    assert(got.getDouble(7) == 0.5 && got.getDouble(8) == 1.0)
+    // the advisor's number IS the real join's size (NULLs drop there too)
+    assert(l.join(r.withColumnRenamed("k", "k2"),
+      col("k") === col("k2")).count() == 4L)
+  }
+
   test("ragRetrieve: passage containing the query terms ranks first, " +
       "term-free docs never appear") {
     val d = Seq(

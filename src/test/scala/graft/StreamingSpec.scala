@@ -279,6 +279,57 @@ class StreamingSpec extends SparkSpec {
     assert(stream.size == 3)
   }
 
+  test("streaming MAD-outlier state equals the batch panel") {
+    import graft.io.Tables
+    val stream =
+      SparkEntry.queries("streaming_mad_outliers_events")(spark, sf)
+        .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = graft.metrics.Metrics.madOutliers(
+        Tables.load(spark, sf, "events")
+          .withColumn("cents",
+            ($"value".cast("decimal(18,2)") * 100).cast("long")),
+        "cents", Seq("event_type"), 3)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.nonEmpty)
+  }
+
+  test("streaming association-panel state equals the batch panel") {
+    import graft.io.Tables
+    val stream = SparkEntry.queries("streaming_assoc_orders")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    val batch = graft.metrics.Metrics.assocPanel(
+        Tables.load(spark, sf, "orders")
+          .withColumn("mon", month($"o_orderdate"))
+          .withColumn("band",
+            expr("cast(cast(o_totalprice as decimal(18,2)) * 100 as " +
+              "bigint) div 5000000")),
+        Seq(("priority_month", "o_orderpriority", "mon"),
+          ("status_band", "o_orderstatus", "band"),
+          ("status_priority", "o_orderstatus", "o_orderpriority")))
+      .as[(String, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 3)
+  }
+
+  test("streaming daily-trend state equals the batch fit " +
+      "(trendFromDaily ∘ trendDaily = trendFit, composition pinned)") {
+    import graft.io.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val viaDaily = graft.scale.Events.trendFromDaily(
+        graft.scale.Events.trendDaily(ev))
+      .as[(String, Long, Option[Double])].collect().toSet
+    val direct = graft.scale.Events.trendFit(ev)
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(viaDaily === direct)
+    val stream = SparkEntry.queries("streaming_trend_events")(spark, sf)
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(stream === direct)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming Benford state equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
