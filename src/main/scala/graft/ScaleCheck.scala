@@ -828,6 +828,18 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("cusum_changepoint",
+        // one corpus hash-agg to the (type, day) dictionary; cumsum +
+        // argmax run over the dictionary only
+        (d: DataFrame) => graft.scale.Events.cusumChangepoint(d),
+        events, "event_id", None),
+      ("key_candidates",
+        // one 3-way explode + tuple-class hash-agg + per-combo fold
+        (d: DataFrame) => graft.metrics.Metrics.keyCandidates(d, Seq(
+          ("orderkey", Seq("o_orderkey")),
+          ("custkey", Seq("o_custkey")),
+          ("cust_date", Seq("o_custkey", "o_orderdate")))),
+        orders, "o_orderkey", None),
       ("hits",
         // two exact-integer rounds: per round two keyed joins + two
         // hash-aggs; edges/nodes pinned once, one end normalization

@@ -1761,6 +1761,25 @@ object SparkEntry {
       Events.trendFromDaily(drained).orderBy(col("event_type"))
     }),
 
+    // ---- CUSUM changepoint localization (WHEN did the level shift) ---------
+    // psi/ks say "the distribution moved", trend says "how fast" — CUSUM
+    // names the day: max-|Sₖ| over exact scaled mean-centered cumsums of
+    // the per-type daily cent totals, earliest-day tiebreak.
+    "cusum_changepoint_events" -> ((s, dir) =>
+      Events.cusumChangepoint(t(s, dir, "events"))
+        .orderBy(col("event_type"))),
+
+    // ---- candidate-key discovery (uniqueness profiling) --------------------
+    // Which combos can key a join/partition/dedup: one scan for all four
+    // declared candidates (the fd explode shape), exact duplicate masses.
+    "key_candidates_orders" -> ((s, dir) =>
+      graft.metrics.Metrics.keyCandidates(t(s, dir, "orders"), Seq(
+          ("orderkey", Seq("o_orderkey")),
+          ("custkey", Seq("o_custkey")),
+          ("cust_date", Seq("o_custkey", "o_orderdate")),
+          ("status_priority", Seq("o_orderstatus", "o_orderpriority"))))
+        .orderBy(col("combo"))),
+
     // ---- exact join-cardinality pricing (the pre-join advisor) -------------
     // The l_partkey SELF-join priced without running it: Σ c² from one
     // histogram — the number that decides whether basket-pair generation
@@ -9460,6 +9479,65 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // Sₖ = n·cumₖ − k·T exact integers; peak pick tie-breaks earliest day
+    "cusum_changepoint_events" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, yc,
+        |    CAST(SUM(yc) OVER (PARTITION BY event_type ORDER BY day)
+        |      AS BIGINT) AS cum,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS k,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n,
+        |    CAST(SUM(yc) OVER (PARTITION BY event_type) AS BIGINT) AS t
+        |  FROM d),
+        |s AS (
+        |  SELECT event_type, day, cum, k, n, t,
+        |    abs(CAST(n AS HUGEINT) * cum - CAST(k AS HUGEINT) * t)
+        |      AS sabs
+        |  FROM c),
+        |best AS (
+        |  SELECT event_type, day, cum, k, n, t,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |      ORDER BY sabs DESC, day) AS rk, sabs
+        |  FROM s)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days, day AS cp_day,
+        |  ROUND(CAST(sabs AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS cusum_peak,
+        |  ROUND(CAST(cum AS DOUBLE) / CAST(k AS DOUBLE), 6)
+        |    AS mean_before,
+        |  CASE WHEN n > k THEN
+        |    ROUND(CAST(t - cum AS DOUBLE) / CAST(n - k AS DOUBLE), 6)
+        |  END AS mean_after
+        |FROM best WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    // one scan for all combos; GROUP BY is null-safe in both engines, so
+    // the SQL groups raw tuples while Spark groups the injective encoding
+    "key_candidates_orders" ->
+      """WITH u AS (
+        |  SELECT 'orderkey' AS combo, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY o_orderkey
+        |  UNION ALL
+        |  SELECT 'custkey', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'cust_date', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders GROUP BY o_custkey, o_orderdate
+        |  UNION ALL
+        |  SELECT 'status_priority', CAST(COUNT(*) AS BIGINT)
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |SELECT combo, CAST(SUM(c) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |  CAST(SUM(c - 1) AS BIGINT) AS duplicates,
+        |  CAST(MAX(c) AS BIGINT) AS max_group,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+        |    AS uniqueness,
+        |  MAX(c) = 1 AS is_key
+        |FROM u GROUP BY combo ORDER BY combo""".stripMargin,
 
     // two unrolled exact-integer HITS rounds (h0 = 1 -> a1 = indegree),
     // one L1 normalization at the end

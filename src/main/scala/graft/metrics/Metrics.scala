@@ -1281,11 +1281,11 @@ object Metrics {
 
   /** Single-column categorical key with NULL kept distinct from the
     * string "null" — the [[fdCounts]] marker convention without the
-    * separator machinery (one value, nothing to escape): NULL → N,
+    * separator machinery (one value, nothing to escape): NULL → \u0002N,
     * value v → "v" + v.
     */
   private def catKey(c: Column): Column =
-    when(c.isNull, lit("N"))
+    when(c.isNull, lit("\u0002N"))
       .otherwise(concat(lit("v"), c.cast("string")))
 
   /** Categorical-association panel: for each declared column PAIR, the
@@ -1521,5 +1521,51 @@ object Metrics {
           (d(col("n_keys")) * col("__t")).cast("double"), 6).as("gini"),
         expr(s"(max_mass * $partitions + n_rows - 1) div n_rows")
           .as("salt_factor"))
+  }
+
+  /** Candidate-key discovery — the uniqueness profile that decides which
+    * column combos can serve as join/partition/dedup keys: for each
+    * declared combo, row count, distinct-tuple count, duplicate mass, the
+    * largest duplicate class, and the exact uniqueness ratio (TANE-family
+    * key mining's measure; `is_key` iff every tuple is unique). The
+    * planning companion to [[fdViolations]] (keys are the FDs with an
+    * empty rhs) and [[skewProfile]] (a failed key's max_group is the skew
+    * you would shuffle on).
+    *
+    * ONE corpus scan for ALL combos: each row explodes into |combos|
+    * (combo, tuple-key) structs — the [[fdCounts]] shape and its injective
+    * null-safe key encoding (NULL distinct from "null", separator-poison
+    * safe) — then one hash-agg to tuple classes, one per-combo fold.
+    *
+    * @param combos (name, columns) per candidate key
+    * @return per combo: (combo, n_rows, n_distinct, duplicates,
+    *         max_group, uniqueness — round 6, is_key)
+    */
+  def keyCandidates(
+      df: DataFrame,
+      combos: Seq[(String, Seq[String])]): DataFrame = {
+    require(combos.nonEmpty, "no candidate keys given")
+    def esc(c: Column): Column =
+      regexp_replace(regexp_replace(c.cast("string"),
+        "\u0002", "\u0002e"), "\u0001", "\u0002s")
+    def key(cols: Seq[String]): Column = concat_ws("\u0001",
+      cols.map(c => when(col(c).isNull, lit("\u0002N"))
+        .otherwise(concat(lit("v"), esc(col(c))))): _*)
+    df.select(explode(array(combos.map { case (name, cols) =>
+        struct(lit(name).as("combo"), key(cols).as("__k"))
+      }: _*)).as("s"))
+      .select(col("s.combo").as("combo"), col("s.__k").as("__k"))
+      .groupBy(col("combo"), col("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("combo"))
+      .agg(sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("__c") - 1).as("duplicates"),
+        max(col("__c")).as("max_group"))
+      .select(col("combo"), col("n_rows"), col("n_distinct"),
+        col("duplicates"), col("max_group"),
+        round(col("n_distinct").cast("double") /
+          col("n_rows").cast("double"), 6).as("uniqueness"),
+        (col("max_group") === 1L).as("is_key"))
   }
 }

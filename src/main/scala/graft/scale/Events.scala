@@ -596,4 +596,58 @@ object Events {
       curve.select(col("dur"), col("n_risk"), col("n_event"),
         col("n_censored"), col("survival"))
   }
+
+  /** CUSUM changepoint localization over the per-type DAILY value series —
+    * the drift panel's missing axis: [[graft.metrics.Metrics.psiDrift]] /
+    * ksDrift ask "did the distribution move", trend_fit asks "how fast is
+    * it moving"; CUSUM answers WHEN the level shifted (Page 1954; the
+    * max-|CUSUM| argmax is the classic single-changepoint estimator —
+    * alert triage reads it as "split the series here").
+    *
+    * Exact integer scheme: with daily cent totals y₁..yₙ (observed days,
+    * day-ascending) and T = Σy, the mean-centered cumulative sum scaled
+    * by n stays integral: Sₖ = n·(Σ_{i≤k} yᵢ) − k·T (DECIMAL(38,0)).
+    * The peak pick max(|Sₖ|) tie-breaks to the EARLIEST day via a
+    * max-struct (no window re-sort), so the changepoint is engine-exact;
+    * the emitted magnitude/means are the only float ops, rounded 6.
+    *
+    * Scale shape: ONE corpus hash-agg to the (type, day) dictionary
+    * ([[trendDaily]]); the cumulative/argmax run as windows over that
+    * dictionary-scale state only — never a corpus-mass sort.
+    *
+    * @return per type: (event_type, n_days, cp_day — last day of the
+    *         "before" regime, cusum_peak — max|Sₖ|/n in cents,
+    *         mean_before, mean_after — cents/day; after-means NULL when
+    *         the peak sits on the final day (constant series))
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = trendDaily(events)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(col("event_type"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    daily
+      .withColumn("__cum", sum(col("yc")).over(w))
+      .withColumn("__k", count(lit(1)).over(w))
+      .withColumn("__n", count(lit(1)).over(wall))
+      .withColumn("__t", sum(col("yc")).over(wall))
+      .withColumn("__s",
+        d(col("__n")) * d(col("__cum")) - d(col("__k")) * d(col("__t")))
+      .withColumn("__abs", abs(col("__s")))
+      .groupBy(col("event_type"))
+      .agg(max(col("__n")).as("n_days"),
+        max(col("__t")).as("__tt"),
+        max(struct(col("__abs"), (-col("day")).as("__nd"),
+          col("__cum").as("__c"), col("__k").as("__kk"))).as("__m"))
+      .select(col("event_type"), col("n_days"),
+        (-col("__m.__nd")).as("cp_day"),
+        round(col("__m.__abs").cast("double") /
+          col("n_days").cast("double"), 6).as("cusum_peak"),
+        round(col("__m.__c").cast("double") /
+          col("__m.__kk").cast("double"), 6).as("mean_before"),
+        when(col("n_days") > col("__m.__kk"),
+          round((col("__tt") - col("__m.__c")).cast("double") /
+            (col("n_days") - col("__m.__kk")).cast("double"), 6))
+          .as("mean_after"))
+  }
 }

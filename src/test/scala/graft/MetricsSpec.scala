@@ -672,6 +672,23 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("keyCandidates: exact duplicate masses per combo; NULL and the " +
+      "string 'null' stay distinct tuples; composite key detected") {
+    val df = Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("b")), (3L, Some("c")),
+      (4L, None), (4L, Some("null"))
+    ).toDF("id", "g")
+    val got = graft.metrics.Metrics.keyCandidates(df, Seq(
+        ("id", Seq("id")), ("g", Seq("g")), ("pair", Seq("id", "g"))))
+      .orderBy("combo").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getBoolean(6)))
+    assert(got.toSeq == Seq(
+      ("g", 6L, 5L, 1L, 2L, 0.833333, false),
+      ("id", 6L, 4L, 2L, 2L, 0.666667, false),
+      ("pair", 6L, 6L, 0L, 1L, 1.0, true)))
+  }
+
   test("skewProfile: hand-computed mass histogram — gini over runs, " +
       "top-10 take, type-1 percentile picks, ceil salt factor") {
     // 12 keys: ten of mass 1, two of mass 5 -> n_rows 20

@@ -1349,6 +1349,31 @@ class ScaleSpec extends SparkSpec {
     assert(r.isNullAt(2), s"expected NULL slope for one-day group, got $r")
   }
 
+  test("cusumChangepoint: hand-computed step localization; constant " +
+      "series pins the earliest day with zero peak") {
+    // daily cents [100, 100, 500, 500], T = 1200, n = 4:
+    // S_k = 4·cum_k − k·1200 = [−800, −1600, −800, 0] → peak |S| = 1600
+    // at k = 2 (epoch day 1): before mean 100, after mean 500
+    val day = 86400L * 1000000000L
+    val ev = Seq((0L * day, "x", 1.0), (1L * day, "x", 1.0),
+      (2L * day, "x", 5.0), (3L * day, "x", 5.0))
+      .toDF("ts", "event_type", "value")
+    val r = Events.cusumChangepoint(ev).collect()(0)
+    assert((r.getString(0), r.getLong(1), r.getLong(2)) == (("x", 4L, 1L)))
+    assert(r.getDouble(3) == 400.0)
+    assert(r.getDouble(4) == 100.0 && r.getDouble(5) == 500.0)
+    // constant series: every S_k = 0 → earliest-day tiebreak, means equal
+    val flat = Seq((0L * day, "y", 2.0), (1L * day, "y", 2.0))
+      .toDF("ts", "event_type", "value")
+    val f = Events.cusumChangepoint(flat).collect()(0)
+    assert(f.getLong(2) == 0L && f.getDouble(3) == 0.0)
+    assert(f.getDouble(4) == 200.0 && f.getDouble(5) == 200.0)
+    // single-day group: peak on the final day → mean_after NULL
+    val one = Seq((0L, "z", 3.0)).toDF("ts", "event_type", "value")
+    val o = Events.cusumChangepoint(one).collect()(0)
+    assert(o.getLong(1) == 1L && o.isNullAt(5))
+  }
+
   test("paddingWaste: real tokens strategy-invariant; sorting never worse") {
     val docs = graft.io.Tables.load(spark, sf, "documents")
     val got = TextAnalysis.paddingWaste(docs, "doc_id", "text", 32)
