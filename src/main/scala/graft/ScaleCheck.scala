@@ -70,6 +70,7 @@ object ScaleCheck {
     val orders = Tables.load(spark, sfDir, "orders")
     val embeddings = Tables.load(spark, sfDir, "embeddings")
     val part = Tables.load(spark, sfDir, "part")
+    val customer = Tables.load(spark, sfDir, "customer")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -828,6 +829,13 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("survivorship",
+        // one cell explode + two dictionary aggs + one cluster-keyed join
+        (d: DataFrame) => Dedup.survivorship(
+          d.withColumn("cluster", expr("c_custkey div 3")),
+          "cluster",
+          Seq(("c_name", "longest"), ("c_mktsegment", "mode"))),
+        customer, "c_custkey", None),
       ("cusum_changepoint",
         // one corpus hash-agg to the (type, day) dictionary; cumsum +
         // argmax run over the dictionary only

@@ -1769,6 +1769,31 @@ object SparkEntry {
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
 
+    // ---- golden-record survivorship (the merge AFTER entity resolution) ----
+    // Deterministic demo clusters (custkey div 3 as the resolved dup
+    // groups): per cluster, name survives by LONGEST, segment by MODE —
+    // field-level composition where dedup_keep_best keeps whole rows.
+    "survivorship_customer" -> ((s, dir) =>
+      Dedup.survivorship(t(s, dir, "customer")
+          .withColumn("cluster", expr("c_custkey div 3")),
+        "cluster",
+        Seq(("c_name", "longest"), ("c_mktsegment", "mode")))
+        .orderBy(col("cluster"), col("field"))),
+
+    // ---- STREAMING CUSUM changepoint monitor (same daily-total state as
+    // the trend twin; the peak-pick fold replays on drain) -------------------
+    "streaming_cusum_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val daily = Events.trendDaily(stream)
+      val name = "stream_cusum_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, daily, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.cusumFromDaily(drained).orderBy(col("event_type"))
+    }),
+
     // ---- candidate-key discovery (uniqueness profiling) --------------------
     // Which combos can key a join/partition/dedup: one scan for all four
     // declared candidates (the fd explode shape), exact duplicate masses.
@@ -4331,6 +4356,8 @@ object SparkEntry {
       // daily-trend twin: per-(type, day) cent-total state + regression
       // fold ≡ the batch fit (trendFromDaily ∘ trendDaily spec-pinned)
       ("streaming_trend_events" -> m("trend_fit_events")),
+      // CUSUM twin: the SAME daily-total state, peak-pick fold on drain
+      ("streaming_cusum_events" -> m("cusum_changepoint_events")),
       // exact-percentile twin: value-dictionary state + rank-pick fold —
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
@@ -9479,6 +9506,36 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // mode tie → smallest value, longest tie → largest value (declared)
+    "survivorship_customer" ->
+      """WITH base AS (
+        |  SELECT c_custkey // 3 AS cluster, c_name, c_mktsegment
+        |  FROM customer),
+        |mem AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members
+        |  FROM base GROUP BY 1),
+        |cells AS (
+        |  SELECT cluster, field, rule, v, COUNT(*) AS c FROM (
+        |    SELECT cluster, 'c_name' AS field, 'longest' AS rule,
+        |      CAST(c_name AS VARCHAR) AS v FROM base
+        |    UNION ALL
+        |    SELECT cluster, 'c_mktsegment', 'mode', c_mktsegment
+        |    FROM base) u
+        |  WHERE v IS NOT NULL GROUP BY 1, 2, 3, 4),
+        |pm AS (SELECT cluster, field, rule, v,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster, field
+        |      ORDER BY c DESC, v ASC) AS rk
+        |  FROM cells WHERE rule = 'mode'),
+        |pl AS (SELECT cluster, field, rule, v,
+        |    ROW_NUMBER() OVER (PARTITION BY cluster, field
+        |      ORDER BY len(v) DESC, v DESC) AS rk
+        |  FROM cells WHERE rule = 'longest')
+        |SELECT p.cluster, n_members, field, rule, survivor FROM (
+        |  SELECT cluster, field, rule, v AS survivor FROM pm WHERE rk = 1
+        |  UNION ALL
+        |  SELECT cluster, field, rule, v FROM pl WHERE rk = 1) p
+        |JOIN mem ON mem.cluster = p.cluster
+        |ORDER BY p.cluster, field""".stripMargin,
 
     // Sₖ = n·cumₖ − k·T exact integers; peak pick tie-breaks earliest day
     "cusum_changepoint_events" ->

@@ -1706,4 +1706,63 @@ object Dedup {
       .drop(Seq("__nm", "__nu") ++
         fields.flatMap(f => Seq(s"__am_$f", s"__au_$f")): _*)
   }
+
+  /** Golden-record survivorship — the merge step AFTER entity resolution:
+    * given records carrying a duplicate-cluster id (from
+    * [[duplicateClusters]] / [[connectedComponentsStar]] or any blocking +
+    * linkage decision), pick each FIELD's surviving value per cluster.
+    * [[dedupKeepBest]] keeps one whole ROW; survivorship composes the
+    * golden record field-by-field — the MDM standard when no single
+    * source row is complete.
+    *
+    * Rules (engine-deterministic, NULLs never survive when any non-null
+    * exists): "mode" = most frequent value, ties → lexicographically
+    * SMALLEST (min over (−count, value)); "longest" = longest value,
+    * ties → lexicographically LARGEST (max over (length, value)). Values
+    * compare as strings (field picks are attribute-level; row-level
+    * recency selection is [[dedupKeepBest]]'s job).
+    *
+    * Scale shape: ONE corpus scan explodes all declared fields into
+    * (cluster, field, value) cells — the fdCounts discipline — one
+    * hash-agg to the cell dictionary, one pick agg, one cluster-keyed
+    * join for member counts (the second and last scan). Long output —
+    * one row per (cluster, field) — keeps the schema static.
+    *
+    * @param rules (field, "mode" | "longest") per surviving attribute
+    * @return (cluster, n_members, field, rule, survivor); survivor NULL
+    *         only when the field is NULL across the whole cluster (the
+    *         (cluster, field) row is then absent)
+    */
+  def survivorship(
+      df: DataFrame,
+      clusterCol: String,
+      rules: Seq[(String, String)]): DataFrame = {
+    require(rules.nonEmpty, "no survivorship rules given")
+    require(rules.forall(r => r._2 == "mode" || r._2 == "longest"),
+      s"unknown rule in $rules")
+    val cells = df.select(col(clusterCol).as("cluster"),
+        explode(array(rules.map { case (f, rule) =>
+          struct(lit(f).as("field"), lit(rule).as("rule"),
+            col(f).cast("string").as("v"))
+        }: _*)).as("s"))
+      .select(col("cluster"), col("s.field").as("field"),
+        col("s.rule").as("rule"), col("s.v").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("cluster"), col("field"), col("rule"), col("v"))
+      .agg(count(lit(1)).as("__c"))
+    val members = df.groupBy(col(clusterCol).as("cluster"))
+      .agg(count(lit(1)).as("n_members"))
+    cells.groupBy(col("cluster"), col("field"), col("rule"))
+      .agg(
+        min(when(col("rule") === "mode",
+          struct((-col("__c")).as("__nc"), col("v")))).as("__pm"),
+        max(when(col("rule") === "longest",
+          struct(length(col("v")).as("__len"), col("v")))).as("__pl"))
+      .select(col("cluster"), col("field"), col("rule"),
+        when(col("rule") === "mode", col("__pm.v"))
+          .otherwise(col("__pl.v")).as("survivor"))
+      .join(members, Seq("cluster"))
+      .select(col("cluster"), col("n_members"), col("field"),
+        col("rule"), col("survivor"))
+  }
 }

@@ -620,8 +620,16 @@ object Events {
     *         mean_before, mean_after — cents/day; after-means NULL when
     *         the peak sits on the final day (constant series))
     */
-  def cusumChangepoint(events: DataFrame): DataFrame = {
-    val daily = trendDaily(events)
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    cusumFromDaily(trendDaily(events))
+
+  /** The changepoint fold over [[trendDaily]]'s (drained) state — the
+    * same state the trend twin holds, so the STREAMING changepoint
+    * monitor is free: cusumFromDaily ∘ trendDaily = [[cusumChangepoint]]
+    * (spec-pinned), oracle shared verbatim. All windows run over the
+    * (type, day) dictionary only.
+    */
+  def cusumFromDaily(daily: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy(col("event_type"))

@@ -555,10 +555,13 @@ object Graph {
     * fixed-rounds convention — no silent cap pretending to be a fixpoint).
     *
     * Scale shape: per round, two keyed equi-joins (edges ⋈ scores) + two
-    * hash-aggs + two left joins back onto the node table — every exchange
-    * keyed on node ids, nothing broadcasts with the corpus; edges and
-    * nodes pinned once (the [[pageRankMicro]] rationale); each round's
-    * score table is referenced exactly once by the next, so no per-round
+    * hash-aggs — every exchange keyed on node ids, nothing broadcasts
+    * with the corpus; edges and nodes pinned once (the [[pageRankMicro]]
+    * rationale). Score tables stay SPARSE through the rounds (a node
+    * absent from a partial table holds 0, and zeros contribute nothing to
+    * either sum — hub⁰ = 1 only matters for nodes WITH out-edges); the
+    * full node scaffold left-joins once, on the output. Each round's
+    * table is referenced exactly once by the next — no per-round
     * checkpoint (the scoreLoop rule).
     *
     * @return (node, authority, hub) — both L1-normalized shares, round 6
@@ -569,24 +572,26 @@ object Graph {
       .localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
     val d0 = lit(0L).cast("decimal(38,0)")
-    var hub = nodes.withColumn("h", lit(1L).cast("decimal(38,0)"))
-    var auth = nodes.withColumn("a", d0)
-    var r = 0
+    // round 1's authority update collapses algebraically: with hub⁰ = 1
+    // everywhere, Σ_{u→i} hub⁰(u) is just the indegree — one hash-agg,
+    // no init table, no join
+    var auth = e.groupBy(col("dst").as("node"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("a"))
+    var hub = e
+      .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
+      .groupBy(col("src").as("node"))
+      .agg(sum(col("a")).as("h"))
+    var r = 1
     while (r < rounds) {
-      val aSum = e
+      auth = e
         .join(hub.select(col("node").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst").as("node"))
-        .agg(sum(col("h")).as("__a"))
-      auth = nodes.join(aSum, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__a"), d0).as("a"))
-      val hSum = e
+        .agg(sum(col("h")).as("a"))
+      hub = e
         .join(auth.select(col("node").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src").as("node"))
-        .agg(sum(col("a")).as("__h"))
-      hub = nodes.join(hSum, Seq("node"), "left")
-        .select(col("node"), coalesce(col("__h"), d0).as("h"))
+        .agg(sum(col("a")).as("h"))
       r += 1
     }
     // final scores feed the totals AND the output join — pin once (node-
@@ -595,12 +600,14 @@ object Graph {
     hub = hub.localCheckpoint(true)
     val tot = auth.agg(sum(col("a")).as("__ta"))
       .crossJoin(hub.agg(sum(col("h")).as("__th")))
-    auth.join(hub, Seq("node"))
+    nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
       .crossJoin(broadcast(tot))
       .select(col("node"),
-        round(col("a").cast("double") / col("__ta").cast("double"), 6)
-          .as("authority"),
-        round(col("h").cast("double") / col("__th").cast("double"), 6)
-          .as("hub"))
+        round(coalesce(col("a"), d0).cast("double") /
+          col("__ta").cast("double"), 6).as("authority"),
+        round(coalesce(col("h"), d0).cast("double") /
+          col("__th").cast("double"), 6).as("hub"))
   }
 }

@@ -1349,6 +1349,31 @@ class ScaleSpec extends SparkSpec {
     assert(r.isNullAt(2), s"expected NULL slope for one-day group, got $r")
   }
 
+  test("survivorship: longest/mode field picks with declared tiebreaks; " +
+      "NULLs never survive when any non-null exists") {
+    val df = Seq(
+      (1L, Some("Bob"), Some("A")), (1L, Some("Alexander"), Some("B")),
+      (1L, Some("Al"), Some("B")),
+      (2L, Some("xx"), Some("C")), (2L, Some("yy"), Some("D")),
+      (3L, None, Some("E")), (3L, Some("Z"), None)
+    ).toDF("cl", "name", "seg")
+    val got = Dedup.survivorship(df, "cl",
+        Seq(("name", "longest"), ("seg", "mode")))
+      .orderBy("cluster", "field").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+    assert(got.toSeq == Seq(
+      // cluster 1: longest name wins; seg mode B (2 of 3)
+      (1L, 3L, "name", "longest", "Alexander"),
+      (1L, 3L, "seg", "mode", "B"),
+      // cluster 2 ties: longest tie -> LARGEST value; mode tie -> SMALLEST
+      (2L, 2L, "name", "longest", "yy"),
+      (2L, 2L, "seg", "mode", "C"),
+      // cluster 3: NULLs skipped per field
+      (3L, 2L, "name", "longest", "Z"),
+      (3L, 2L, "seg", "mode", "E")))
+  }
+
   test("cusumChangepoint: hand-computed step localization; constant " +
       "series pins the earliest day with zero peak") {
     // daily cents [100, 100, 500, 500], T = 1200, n = 4:

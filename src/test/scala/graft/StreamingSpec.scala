@@ -330,6 +330,25 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming CUSUM state equals the batch changepoint " +
+      "(cusumFromDaily ∘ trendDaily pinned on the shared daily state)") {
+    import graft.io.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val viaDaily = graft.scale.Events.cusumFromDaily(
+        graft.scale.Events.trendDaily(ev))
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().toSet
+    val direct = graft.scale.Events.cusumChangepoint(ev)
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().toSet
+    assert(viaDaily === direct)
+    val stream = SparkEntry.queries("streaming_cusum_events")(spark, sf)
+      .as[(String, Long, Long, Double, Double, Option[Double])]
+      .collect().toSet
+    assert(stream === direct)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming Benford state equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
