@@ -829,6 +829,13 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("ri_profile",
+        // per edge: two key-dictionary hash-aggs + one full-outer
+        // dictionary join; corpora never meet row-to-row
+        (d: DataFrame) => graft.metrics.Metrics.riProfile(Seq(
+          ("orderkey->orders", d, "l_orderkey",
+            orders, "o_orderkey"))),
+        lineitem, "l_orderkey", None),
       ("survivorship",
         // one cell explode + two dictionary aggs + one cluster-keyed join
         (d: DataFrame) => Dedup.survivorship(

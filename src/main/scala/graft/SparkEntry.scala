@@ -1769,6 +1769,40 @@ object SparkEntry {
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
 
+    // ---- referential-integrity profile (the silent-join-loss audit) --------
+    // Two real FK edges plus one deliberately broken edge (active-customer
+    // subset as parent, every-11th FK nulled) so orphan and null-FK
+    // accounting is exercised, not just asserted zero.
+    "ri_profile_orders" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer")
+      val nullable = ord.withColumn("ck",
+        when(col("o_custkey") % 11 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
+      graft.metrics.Metrics.riProfile(Seq(
+          ("orderkey->orders", li, "l_orderkey", ord, "o_orderkey"),
+          ("custkey->customer", ord, "o_custkey", cust, "c_custkey"),
+          ("nullable->active_customer", nullable, "ck",
+            cust.filter(col("c_custkey") % 7 =!= 0), "c_custkey")))
+        .orderBy(col("fk"))
+    }),
+
+    // ---- STREAMING per-user behavioral entropy ------------------------------
+    // (user, type) count state (the k-anonymity class-size precedent);
+    // the entropy fold replays on drain — shares the batch oracle.
+    "streaming_user_entropy_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = Events.userTypeCounts(stream)
+      val name = "stream_uent_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.entropyFromCounts(drained).orderBy(col("user_id"))
+    }),
+
     // ---- golden-record survivorship (the merge AFTER entity resolution) ----
     // Deterministic demo clusters (custkey div 3 as the resolved dup
     // groups): per cluster, name survives by LONGEST, segment by MODE —
@@ -4358,6 +4392,8 @@ object SparkEntry {
       ("streaming_trend_events" -> m("trend_fit_events")),
       // CUSUM twin: the SAME daily-total state, peak-pick fold on drain
       ("streaming_cusum_events" -> m("cusum_changepoint_events")),
+      // user-entropy twin: (user, type) count state + entropy fold
+      ("streaming_user_entropy_events" -> m("user_entropy_events")),
       // exact-percentile twin: value-dictionary state + rank-pick fold —
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
@@ -9506,6 +9542,66 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // orphan = non-null child key missing from the parent key set;
+    // NULL FKs legal (excluded from the rate's denominator)
+    "ri_profile_orders" ->
+      """WITH e1c AS (
+        |  SELECT l_orderkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM lineitem GROUP BY 1),
+        |e1p AS (SELECT DISTINCT o_orderkey AS k FROM orders
+        |  WHERE o_orderkey IS NOT NULL),
+        |e2c AS (
+        |  SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |e2p AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey IS NOT NULL),
+        |e3c AS (
+        |  SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL
+        |    ELSE o_custkey END AS k, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM orders GROUP BY 1),
+        |e3p AS (SELECT DISTINCT c_custkey AS k FROM customer
+        |  WHERE c_custkey % 7 <> 0 AND c_custkey IS NOT NULL),
+        |panel AS (
+        |  SELECT 'orderkey->orders' AS fk, ch.k, ch.c,
+        |    CASE WHEN p.k IS NULL THEN 0 ELSE 1 END AS hit
+        |  FROM e1c ch LEFT JOIN e1p p ON ch.k = p.k
+        |  UNION ALL
+        |  SELECT 'orderkey->orders', p.k, NULL, 1
+        |  FROM e1p p WHERE p.k NOT IN (SELECT k FROM e1c WHERE k IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'custkey->customer', ch.k, ch.c,
+        |    CASE WHEN p.k IS NULL THEN 0 ELSE 1 END
+        |  FROM e2c ch LEFT JOIN e2p p ON ch.k = p.k
+        |  UNION ALL
+        |  SELECT 'custkey->customer', p.k, NULL, 1
+        |  FROM e2p p WHERE p.k NOT IN (SELECT k FROM e2c WHERE k IS NOT NULL)
+        |  UNION ALL
+        |  SELECT 'nullable->active_customer', ch.k, ch.c,
+        |    CASE WHEN p.k IS NULL THEN 0 ELSE 1 END
+        |  FROM e3c ch LEFT JOIN e3p p ON ch.k = p.k
+        |  UNION ALL
+        |  SELECT 'nullable->active_customer', p.k, NULL, 1
+        |  FROM e3p p WHERE p.k NOT IN (SELECT k FROM e3c WHERE k IS NOT NULL))
+        |SELECT fk,
+        |  CAST(SUM(COALESCE(c, 0)) AS BIGINT) AS n_child,
+        |  CAST(SUM(CASE WHEN k IS NULL THEN c ELSE 0 END) AS BIGINT)
+        |    AS null_fk_rows,
+        |  CAST(SUM(CASE WHEN k IS NOT NULL AND hit = 0 THEN c ELSE 0 END)
+        |    AS BIGINT) AS orphan_rows,
+        |  CAST(SUM(CASE WHEN k IS NOT NULL AND hit = 0 AND c IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS orphan_keys,
+        |  CASE WHEN SUM(COALESCE(c, 0))
+        |      - SUM(CASE WHEN k IS NULL THEN c ELSE 0 END) > 0 THEN
+        |    ROUND(CAST(SUM(CASE WHEN k IS NOT NULL AND hit = 0 THEN c
+        |        ELSE 0 END) AS DOUBLE)
+        |      / CAST(SUM(COALESCE(c, 0))
+        |        - SUM(CASE WHEN k IS NULL THEN c ELSE 0 END) AS DOUBLE), 6)
+        |  END AS orphan_rate,
+        |  CAST(SUM(hit) AS BIGINT) AS parent_keys,
+        |  CAST(SUM(CASE WHEN hit = 1 AND c IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS unreferenced_parent_keys
+        |FROM panel GROUP BY fk ORDER BY fk""".stripMargin,
 
     // mode tie → smallest value, longest tie → largest value (declared)
     "survivorship_customer" ->

@@ -1541,6 +1541,57 @@ object Metrics {
     * @return per combo: (combo, n_rows, n_distinct, duplicates,
     *         max_group, uniqueness — round 6, is_key)
     */
+  /** Referential-integrity profiler — the cross-table companion to
+    * [[keyCandidates]]: for each declared FK edge, how many child rows
+    * point at a missing parent (orphans — the joins that silently drop
+    * rows), how many carry a NULL FK (legal in SQL, excluded from orphan
+    * mass), and how many parent keys nothing references (the dead
+    * dimension rows a pruning pass could drop). The pre-flight audit for
+    * any star-schema pipeline: a nonzero orphan rate means every inner
+    * join downstream is quietly deleting data.
+    *
+    * Per edge: one hash-agg per side to the key dictionaries, ONE
+    * full-outer dictionary join — child/parent corpora are scanned once
+    * each and never meet row-to-row. Edges union at the 1-row panel
+    * level (control-plane union, the constraints convention).
+    *
+    * @param fks (name, child, childKey, parent, parentKey) per edge
+    * @return per edge: (fk, n_child, null_fk_rows, orphan_rows,
+    *         orphan_keys, orphan_rate — of non-null child rows, round 6,
+    *         NULL when no non-null child rows, parent_keys,
+    *         unreferenced_parent_keys)
+    */
+  def riProfile(
+      fks: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    fks.map { case (name, child, childKey, parent, parentKey) =>
+      val ch = child.groupBy(col(childKey).as("__k"))
+        .agg(count(lit(1)).as("__c"))
+      val pk = parent.select(col(parentKey).as("__k"))
+        .filter(col("__k").isNotNull).distinct()
+        .withColumn("__p", lit(1))
+      ch.join(pk, Seq("__k"), "full_outer")
+        .agg(
+          sum(when(col("__c").isNotNull, col("__c")).otherwise(0L))
+            .as("n_child"),
+          sum(when(col("__k").isNull, col("__c")).otherwise(0L))
+            .as("null_fk_rows"),
+          sum(when(col("__k").isNotNull && col("__p").isNull, col("__c"))
+            .otherwise(0L)).as("orphan_rows"),
+          sum(when(col("__k").isNotNull && col("__p").isNull, 1L)
+            .otherwise(0L)).as("orphan_keys"),
+          sum(when(col("__p").isNotNull, 1L).otherwise(0L))
+            .as("parent_keys"),
+          sum(when(col("__p").isNotNull && col("__c").isNull, 1L)
+            .otherwise(0L)).as("unreferenced_parent_keys"))
+        .select(lit(name).as("fk"), col("n_child"), col("null_fk_rows"),
+          col("orphan_rows"), col("orphan_keys"),
+          when(col("n_child") - col("null_fk_rows") > 0,
+            round(col("orphan_rows").cast("double") /
+              (col("n_child") - col("null_fk_rows")).cast("double"), 6))
+            .as("orphan_rate"),
+          col("parent_keys"), col("unreferenced_parent_keys"))
+    }.reduce(_ unionByName _)
+
   def keyCandidates(
       df: DataFrame,
       combos: Seq[(String, Seq[String])]): DataFrame = {

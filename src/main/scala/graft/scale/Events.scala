@@ -454,8 +454,24 @@ object Events {
     * Two hash-aggregates ((user, type) then user), user-mass output.
     */
   def userEntropy(events: DataFrame): DataFrame =
+    entropyFromCounts(userTypeCounts(events))
+
+  /** [[userEntropy]]'s state half: exact per-(user, type) counts — ONE
+    * associative aggregation over one scan, legal Complete-mode STREAMING
+    * state (the kAnonymityCounts class-size precedent: user×type keys,
+    * user-dictionary scale).
+    */
+  def userTypeCounts(events: DataFrame): DataFrame =
     events.groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("__c"))
+
+  /** The entropy fold over [[userTypeCounts]]' (drained) state — the
+    * identical algebra [[userEntropy]] composes, so
+    * entropyFromCounts ∘ userTypeCounts = userEntropy (spec-pinned) and
+    * the streaming twin shares the batch oracle verbatim.
+    */
+  def entropyFromCounts(counts: DataFrame): DataFrame =
+    counts
       .groupBy(col("user_id"))
       .agg(sum(col("__c")).as("n_events"),
         count(lit(1)).as("n_types"),

@@ -672,6 +672,26 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("riProfile: orphans, NULL FKs, and unreferenced parents counted " +
+      "exactly; NULL FK excluded from the orphan-rate denominator") {
+    // child keys [1,1,2,3,NULL], parent keys [1,2,4]:
+    // orphans = the key-3 row (1 row, 1 key), null_fk = 1,
+    // rate = 1/(5−1) = 0.25, parents 3 with key 4 unreferenced
+    val child = Seq(Some(1L), Some(1L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val parent = Seq(1L, 2L, 4L).map(Tuple1(_)).toDF("p")
+    val got = Metrics.riProfile(Seq(("e", child, "k", parent, "p")))
+      .collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2),
+      got.getLong(3), got.getLong(4), got.getDouble(5), got.getLong(6),
+      got.getLong(7)) == (("e", 5L, 1L, 1L, 1L, 0.25, 3L, 1L)))
+    // all-NULL child FK -> rate undefined (NULL), not 0/0
+    val allNull = Seq[Option[Long]](None, None).toDF("k")
+    val g2 = Metrics.riProfile(Seq(("n", allNull, "k", parent, "p")))
+      .collect().head
+    assert(g2.getLong(2) == 2L && g2.isNullAt(5))
+  }
+
   test("keyCandidates: exact duplicate masses per combo; NULL and the " +
       "string 'null' stay distinct tuples; composite key detected") {
     val df = Seq(

@@ -349,6 +349,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming user-entropy state equals the batch feature " +
+      "(entropyFromCounts ∘ userTypeCounts pinned)") {
+    import graft.io.Tables
+    val ev = Tables.load(spark, sf, "events")
+    val direct = graft.scale.Events.userEntropy(ev)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val stream =
+      SparkEntry.queries("streaming_user_entropy_events")(spark, sf)
+        .as[(Long, Long, Long, Double)].collect().toSet
+    assert(stream === direct)
+    assert(stream.nonEmpty)
+  }
+
   test("streaming Benford state equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
