@@ -829,6 +829,20 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("woe_iv",
+        // one conditional hash-agg to the bin dictionary + 1-row totals
+        (d: DataFrame) => graft.metrics.Metrics.woeIv(
+          d.withColumn("label",
+              col("event_type") === "purchase" && col("value") >= 150.0)
+            .withColumn("bin",
+              expr("cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+                " div 5000")),
+          "label", "bin"),
+        events, "event_id", None),
+      ("seasonality",
+        // one hash-agg to the (type, hour) dictionary + totals fold
+        (d: DataFrame) => graft.scale.Events.seasonalityIndex(d),
+        events, "event_id", None),
       ("ri_profile",
         // per edge: two key-dictionary hash-aggs + one full-outer
         // dictionary join; corpora never meet row-to-row

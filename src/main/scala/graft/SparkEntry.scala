@@ -1769,6 +1769,46 @@ object SparkEntry {
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
 
+    // ---- blocking-quality eval (pair completeness / reduction ratio) -------
+    // (brand, size)-equality blocking scored against a same-(type, size)
+    // gold standard: what the blocker recalls vs what it prunes of the
+    // n(n-1)/2 comparison space.
+    "blocking_quality_part" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey").as("id"), col("p_brand"),
+          col("p_type"), col("p_size"))
+      val cand = p.select(col("id").as("id_a"), col("p_brand"),
+          col("p_size"))
+        .join(p.select(col("id").as("id_b"), col("p_brand"),
+          col("p_size")), Seq("p_brand", "p_size"))
+        .filter(col("id_a") < col("id_b"))
+      val gold = p.select(col("id").as("id_a"), col("p_type"),
+          col("p_size"))
+        .join(p.select(col("id").as("id_b"), col("p_type"),
+          col("p_size")), Seq("p_type", "p_size"))
+        .filter(col("id_a") < col("id_b"))
+      Dedup.blockingQuality(cand, gold, p)
+    }),
+
+    // ---- WOE / information-value feature panel ------------------------------
+    // Value-band bins scored against the high-value-purchase label —
+    // which bins separate, and the leakage smell if one separates too
+    // well. NULL value rows form the missing-value bin.
+    "woe_iv_events" -> ((s, dir) =>
+      graft.metrics.Metrics.woeIv(t(s, dir, "events")
+          .withColumn("label",
+            col("event_type") === "purchase" && col("value") >= 150.0)
+          .withColumn("bin",
+            expr("cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+              " div 5000")),
+        "label", "bin")
+        .orderBy(col("bin"))),
+
+    // ---- hour-of-day seasonality index --------------------------------------
+    "seasonality_events" -> ((s, dir) =>
+      Events.seasonalityIndex(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("hour"))),
+
     // ---- referential-integrity profile (the silent-join-loss audit) --------
     // Two real FK edges plus one deliberately broken edge (active-customer
     // subset as parent, every-11th FK nulled) so orphan and null-FK
@@ -9542,6 +9582,80 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    "blocking_quality_part" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM part),
+        |cand AS (
+        |  SELECT DISTINCT a.p_partkey AS i, b.p_partkey AS j
+        |  FROM part a JOIN part b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey),
+        |gold AS (
+        |  SELECT DISTINCT a.p_partkey AS i, b.p_partkey AS j
+        |  FROM part a JOIN part b
+        |    ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey),
+        |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold),
+        |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+        |  FROM cand JOIN gold USING (i, j))
+        |SELECT nr AS n_records, n_cand, n_gold, n_hit,
+        |  CASE WHEN n_gold > 0 THEN
+        |    ROUND(CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE), 6)
+        |  END AS pair_completeness,
+        |  CASE WHEN nr > 1 THEN
+        |    ROUND(1.0 - CAST(n_cand AS DOUBLE)
+        |      / CAST(CAST(nr AS HUGEINT) * (nr - 1) / 2 AS DOUBLE), 6)
+        |  END AS reduction_ratio
+        |FROM n, c, g, h""".stripMargin,
+
+    // Laplace-smoothed adjusted WOE; fractions mirrored verbatim
+    "woe_iv_events" ->
+      """WITH b AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    // 5000 AS bin,
+        |    (event_type = 'purchase' AND value >= 150.0) AS y
+        |  FROM events),
+        |cells AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM b GROUP BY bin),
+        |tot AS (SELECT CAST(SUM(n_pos) AS BIGINT) AS p,
+        |  CAST(SUM(n_neg) AS BIGINT) AS q,
+        |  CAST(COUNT(*) AS BIGINT) AS k FROM cells),
+        |f AS (
+        |  SELECT bin, n, n_pos, n_neg,
+        |    (CAST(n_pos AS DOUBLE) + 0.5)
+        |      / (CAST(p AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS gf,
+        |    (CAST(n_neg AS DOUBLE) + 0.5)
+        |      / (CAST(q AS DOUBLE) + 0.5 * CAST(k AS DOUBLE)) AS bf
+        |  FROM cells, tot)
+        |SELECT bin, n, n_pos, n_neg,
+        |  ROUND(ln(gf / bf), 6) AS woe,
+        |  ROUND((gf - bf) * ln(gf / bf), 6) AS iv_contrib
+        |FROM f ORDER BY bin""".stripMargin,
+
+    // index = Σ_h·n_t / (n_h·Σ_t) — exact integer ratio, one division
+    "seasonality_events" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    ((CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 3600) % 24
+        |      AS hour,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS sc
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT event_type, CAST(SUM(n) AS BIGINT) AS nt,
+        |    CAST(SUM(sc) AS BIGINT) AS st
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, hour, n,
+        |  ROUND(CAST(sc AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_cents,
+        |  ROUND(CAST(CAST(sc AS HUGEINT) * nt AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * st AS DOUBLE), 6) AS season_index
+        |FROM h JOIN t USING (event_type)
+        |ORDER BY event_type, hour""".stripMargin,
 
     // orphan = non-null child key missing from the parent key set;
     // NULL FKs legal (excluded from the rate's denominator)

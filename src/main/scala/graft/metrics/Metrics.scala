@@ -1541,6 +1541,46 @@ object Metrics {
     * @return per combo: (combo, n_rows, n_distinct, duplicates,
     *         max_group, uniqueness — round 6, is_key)
     */
+  /** Weight-of-evidence / information-value panel (Siddiqi's credit-
+    * scoring standard) — the feature-evaluation step before training any
+    * quality classifier: per bin of a candidate feature, how strongly the
+    * bin separates positives from negatives (WOE, log-odds vs the
+    * marginal) and its contribution to the feature's total IV
+    * (Σ iv_contrib; < 0.02 = useless feature, > 0.5 = suspiciously
+    * strong — the leakage smell). The supervised companion to
+    * [[assocPanel]]'s unsupervised MI.
+    *
+    * Laplace-smoothed (+0.5 per cell, +0.5·|bins| per margin) so empty
+    * sides stay finite — the standard adjusted WOE. Counts are exact
+    * longs from ONE conditional hash-agg; the smoothed fractions are one
+    * mirrored fixed-order double expression each, rounded 6. A NULL bin
+    * is a real bin (the missing-value bucket carries signal in every
+    * credit model).
+    *
+    * @return per bin: (bin, n, n_pos, n_neg, woe, iv_contrib)
+    */
+  def woeIv(df: DataFrame, labelCol: String, binCol: String): DataFrame = {
+    val cells = df
+      .select(col(binCol).as("bin"),
+        col(labelCol).cast("boolean").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__y") || col("__y").isNull, 1L).otherwise(0L))
+          .as("n_neg"))
+      .localCheckpoint(true) // bin dictionary; feeds totals + output
+    val tot = cells.agg(sum(col("n_pos")).as("__p"),
+      sum(col("n_neg")).as("__q"), count(lit(1)).as("__k"))
+    val gf = (col("n_pos").cast("double") + 0.5) /
+      (col("__p").cast("double") + lit(0.5) * col("__k").cast("double"))
+    val bf = (col("n_neg").cast("double") + 0.5) /
+      (col("__q").cast("double") + lit(0.5) * col("__k").cast("double"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"), col("n_pos"), col("n_neg"),
+        round(log(gf / bf), 6).as("woe"),
+        round((gf - bf) * log(gf / bf), 6).as("iv_contrib"))
+  }
+
   /** Referential-integrity profiler — the cross-table companion to
     * [[keyCandidates]]: for each declared FK edge, how many child rows
     * point at a missing parent (orphans — the joins that silently drop

@@ -1733,6 +1733,56 @@ object Dedup {
     *         only when the field is NULL across the whole cluster (the
     *         (cluster, field) row is then absent)
     */
+  /** Blocking-quality evaluation (Christen's pair completeness /
+    * reduction ratio) — the two numbers that justify ANY blocking scheme
+    * before a 100 TB linkage run: PC = recalled fraction of true-match
+    * pairs (what the blocker loses forever), RR = fraction of the n(n−1)/2
+    * comparison space pruned (what the blocker saves). The ER-side
+    * analog of [[minhashAccuracy]].
+    *
+    * Inputs are pair RELATIONS (id_a, id_b) from any generator
+    * ([[snmPairs]], [[ppjoinPairs]], a key-equality join); both are
+    * normalized to unordered distinct pairs here, so double-emitted or
+    * swapped candidates cannot inflate PC or deflate RR. The record count
+    * enters as a 1-row aggregate of `records` — no driver-side action.
+    *
+    * Scale: two distinct-aggs on pair keys + one pair-keyed equi-join;
+    * the comparison-space denominator is DECIMAL(38,0) (n(n−1)/2
+    * overflows a long past ~4.3e9 records).
+    *
+    * @return ONE row: (n_records, n_cand, n_gold, n_hit,
+    *         pair_completeness, reduction_ratio) — both rates round 6
+    */
+  def blockingQuality(
+      candidates: DataFrame,
+      gold: DataFrame,
+      records: DataFrame): DataFrame = {
+    def norm(df: DataFrame): DataFrame = df.select(
+        least(col("id_a"), col("id_b")).as("__i"),
+        greatest(col("id_a"), col("id_b")).as("__j"))
+      .filter(col("__i") =!= col("__j"))
+      .distinct()
+      .localCheckpoint(true) // feeds its count AND the hit join
+    val c = norm(candidates)
+    val g = norm(gold)
+    val hits = c.join(g, Seq("__i", "__j"))
+      .agg(count(lit(1)).as("n_hit"))
+    val counts = c.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(g.agg(count(lit(1)).as("n_gold")))
+      .crossJoin(records.agg(count(lit(1)).as("n_records")))
+    val d = (cc: Column) => cc.cast("decimal(38,0)")
+    val space = d(col("n_records")) * (d(col("n_records")) - 1) / 2
+    counts.crossJoin(broadcast(hits))
+      .select(col("n_records"), col("n_cand"), col("n_gold"),
+        col("n_hit"),
+        when(col("n_gold") > 0,
+          round(col("n_hit").cast("double") /
+            col("n_gold").cast("double"), 6)).as("pair_completeness"),
+        when(col("n_records") > 1,
+          round(lit(1.0) - col("n_cand").cast("double") /
+            space.cast("double"), 6)).as("reduction_ratio"))
+  }
+
   def survivorship(
       df: DataFrame,
       clusterCol: String,

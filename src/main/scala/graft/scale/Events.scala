@@ -482,6 +482,40 @@ object Events {
           col("__clnc") / col("n_events").cast("double"), 6)
           .as("entropy"))
 
+  /** Hour-of-day seasonality index — the capacity/anomaly-baseline panel:
+    * per (event_type, UTC hour), event count, mean value, and the index
+    * vs the type's overall mean (1.0 = flat; a 2.3 at hour 9 is the
+    * morning peak an alerting threshold must not fire on). The
+    * decomposition [[trendFit]]'s residuals implicitly assume away.
+    *
+    * Determinism: the index is a ratio of two rational means —
+    * (Σ_h/n_h)/(Σ_t/n_t) = Σ_h·n_t / (n_h·Σ_t) — computed from exact
+    * integer cent sums in DECIMAL(38,0), one float division, round 6.
+    *
+    * Scale: one hash-agg to the (type, hour) dictionary (≤ 24·|types|
+    * rows), totals folded back per type — dictionary-scale join only.
+    */
+  def seasonalityIndex(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("__sec", epochSeconds(events))
+      .selectExpr("event_type", "(__sec div 3600) % 24 AS hour", "value")
+      .groupBy(col("event_type"), col("hour"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .as("__sc"))
+      .localCheckpoint(true) // dictionary; feeds totals + the output join
+    val tot = hourly.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("__nt"), sum(col("__sc")).as("__st"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    hourly.join(broadcast(tot), Seq("event_type"))
+      .select(col("event_type"), col("hour"), col("n"),
+        round(col("__sc").cast("double") / col("n").cast("double"), 6)
+          .as("mean_cents"),
+        round((d(col("__sc")) * d(col("__nt"))).cast("double") /
+          (d(col("n")) * d(col("__st"))).cast("double"), 6)
+          .as("season_index"))
+  }
+
   /** RFM segmentation — the classic user-value decomposition: per user,
     * Recency (whole days since their last event, vs the corpus's last
     * event), Frequency (event count), Monetary (exact value cents), each

@@ -672,6 +672,20 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("woeIv: hand-computed Laplace-smoothed WOE and IV contributions") {
+    // bin a: 3 pos / 1 neg, bin b: 1 pos / 3 neg; P = Q = 4, K = 2:
+    // gf_a = 3.5/5 = 0.7, bf_a = 1.5/5 = 0.3 -> woe = ln(7/3) = 0.847298,
+    // iv = 0.4·ln(7/3) = 0.338919; bin b is the mirror image
+    val df = (Seq.fill(3)(("a", true)) ++ Seq(("a", false)) ++
+      Seq(("b", true)) ++ Seq.fill(3)(("b", false))).toDF("bin", "y")
+    val got = Metrics.woeIv(df, "y", "bin").orderBy("bin").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", 4L, 3L, 1L, 0.847298, 0.338919),
+      ("b", 4L, 1L, 3L, -0.847298, 0.338919)))
+  }
+
   test("riProfile: orphans, NULL FKs, and unreferenced parents counted " +
       "exactly; NULL FK excluded from the orphan-rate denominator") {
     // child keys [1,1,2,3,NULL], parent keys [1,2,4]:

@@ -1374,6 +1374,33 @@ class ScaleSpec extends SparkSpec {
       (3L, 2L, "seg", "mode", "E")))
   }
 
+  test("blockingQuality: swapped/duplicate candidate pairs normalize; " +
+      "hand-computed PC and RR") {
+    // records 1..5; gold {12, 34, 25}; raw candidates {12, 21, 35, 43}
+    // normalize to {12, 35, 34} -> hits {12, 34} -> PC 2/3, RR 1 - 3/10
+    val cand = Seq((1L, 2L), (2L, 1L), (3L, 5L), (4L, 3L))
+      .toDF("id_a", "id_b")
+    val gold = Seq((1L, 2L), (3L, 4L), (2L, 5L)).toDF("id_a", "id_b")
+    val recs = (1L to 5L).map(Tuple1(_)).toDF("id")
+    val got = Dedup.blockingQuality(cand, gold, recs).collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2),
+      got.getLong(3)) == ((5L, 3L, 3L, 2L)))
+    assert(got.getDouble(4) == 0.666667 && got.getDouble(5) == 0.7)
+  }
+
+  test("seasonalityIndex: exact integer mean ratios per hour") {
+    // type x: hour 0 holds [1.00, 3.00] (mean 200c), hour 1 holds [4.00]
+    // (mean 400c); overall mean 800/3 -> idx0 = 400·3/(2·800) = 0.75,
+    // idx1 = 400·3/(1·800) = 1.5
+    val h = 3600L * 1000000000L
+    val ev = Seq((0L, "x", 1.0), (100L * 1000000000L, "x", 3.0),
+      (h, "x", 4.0)).toDF("ts", "event_type", "value")
+    val got = Events.seasonalityIndex(ev).orderBy("hour").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq((0L, 2L, 200.0, 0.75), (1L, 1L, 400.0, 1.5)))
+  }
+
   test("cusumChangepoint: hand-computed step localization; constant " +
       "series pins the earliest day with zero peak") {
     // daily cents [100, 100, 500, 500], T = 1200, n = 4:
