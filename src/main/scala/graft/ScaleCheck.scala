@@ -829,6 +829,20 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("corr_matrix",
+        // one 4-way explode + one decimal-moment hash-agg
+        (d: DataFrame) => graft.metrics.Metrics.corrMatrix(d, Seq(
+          ("qty_price", "l_quantity", "l_extendedprice"),
+          ("qty_discount", "l_quantity", "l_discount"),
+          ("price_tax", "l_extendedprice", "l_tax"),
+          ("discount_tax", "l_discount", "l_tax"))),
+        lineitem, "l_orderkey", None),
+      ("conformance",
+        // one 2-way explode (regex inside the struct) + one hash-agg
+        (d: DataFrame) => graft.metrics.Metrics.conformanceProfile(d, Seq(
+          ("name_format", "c_name", "^Customer#[0-9]+$"),
+          ("name_digits_only", "c_name", "^[0-9]+$"))),
+        customer, "c_custkey", None),
       ("woe_iv",
         // one conditional hash-agg to the bin dictionary + 1-row totals
         (d: DataFrame) => graft.metrics.Metrics.woeIv(

@@ -1769,6 +1769,26 @@ object SparkEntry {
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
 
+    // ---- format-conformance profile (regex validity panel) -----------------
+    // Two real contracts plus one deliberately failing rule so violation
+    // accounting is exercised non-zero; anchored portable patterns only.
+    "conformance_customer" -> ((s, dir) =>
+      graft.metrics.Metrics.conformanceProfile(t(s, dir, "customer"), Seq(
+          ("name_format", "c_name", "^Customer#[0-9]+$"),
+          ("segment_enum", "c_mktsegment",
+            "^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$"),
+          ("name_digits_only", "c_name", "^[0-9]+$")))
+        .orderBy(col("rule"))),
+
+    // ---- multi-pair Pearson panel (one scan for the numeric matrix) --------
+    "corr_matrix_lineitem" -> ((s, dir) =>
+      graft.metrics.Metrics.corrMatrix(t(s, dir, "lineitem"), Seq(
+          ("qty_price", "l_quantity", "l_extendedprice"),
+          ("qty_discount", "l_quantity", "l_discount"),
+          ("price_tax", "l_extendedprice", "l_tax"),
+          ("discount_tax", "l_discount", "l_tax")))
+        .orderBy(col("pair"))),
+
     // ---- blocking-quality eval (pair completeness / reduction ratio) -------
     // (brand, size)-equality blocking scored against a same-(type, size)
     // gold standard: what the blocker recalls vs what it prunes of the
@@ -9582,6 +9602,72 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // anchored patterns keep rlike/regexp_matches on the shared subset
+    "conformance_customer" ->
+      """WITH u AS (
+        |  SELECT 'name_format' AS rule, c_name IS NULL AS nl,
+        |    regexp_matches(CAST(c_name AS VARCHAR),
+        |      '^Customer#[0-9]+$') AS ok
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'segment_enum', c_mktsegment IS NULL,
+        |    regexp_matches(CAST(c_mktsegment AS VARCHAR),
+        |      '^(AUTOMOBILE|BUILDING|FURNITURE|HOUSEHOLD|MACHINERY)$')
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'name_digits_only', c_name IS NULL,
+        |    regexp_matches(CAST(c_name AS VARCHAR), '^[0-9]+$')
+        |  FROM customer)
+        |SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN nl THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CASE WHEN NOT nl AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_match,
+        |  CAST(COUNT(*) - SUM(CASE WHEN nl THEN 1 ELSE 0 END)
+        |    - SUM(CASE WHEN NOT nl AND ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_violation,
+        |  CASE WHEN COUNT(*) - SUM(CASE WHEN nl THEN 1 ELSE 0 END) > 0
+        |    THEN ROUND(CAST(COUNT(*)
+        |        - SUM(CASE WHEN nl THEN 1 ELSE 0 END)
+        |        - SUM(CASE WHEN NOT nl AND ok THEN 1 ELSE 0 END)
+        |        AS DOUBLE)
+        |      / CAST(COUNT(*) - SUM(CASE WHEN nl THEN 1 ELSE 0 END)
+        |        AS DOUBLE), 6)
+        |  END AS violation_rate
+        |FROM u GROUP BY rule ORDER BY rule""".stripMargin,
+
+    // per-pair NULL exclusion, exact decimal moments, the corr_lineitem
+    // formula mirrored per pair
+    "corr_matrix_lineitem" ->
+      """WITH u AS (
+        |  SELECT 'qty_price' AS pair,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y FROM lineitem
+        |  UNION ALL SELECT 'qty_discount',
+        |    CAST(l_quantity AS DECIMAL(18,2)),
+        |    CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'price_tax',
+        |    CAST(l_extendedprice AS DECIMAL(18,2)),
+        |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem
+        |  UNION ALL SELECT 'discount_tax',
+        |    CAST(l_discount AS DECIMAL(18,2)),
+        |    CAST(l_tax AS DECIMAL(18,2)) FROM lineitem),
+        |s AS (
+        |  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS DOUBLE) AS sx,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        |  FROM u WHERE x IS NOT NULL AND y IS NOT NULL GROUP BY pair)
+        |SELECT pair, n,
+        |  CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx > 0
+        |      AND CAST(n AS DOUBLE) * syy - sy * sy > 0 THEN
+        |    ROUND((CAST(n AS DOUBLE) * sxy - sx * sy) /
+        |      (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx) *
+        |       SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+        |  END AS pearson
+        |FROM s ORDER BY pair""".stripMargin,
 
     "blocking_quality_part" ->
       """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM part),

@@ -1541,6 +1541,90 @@ object Metrics {
     * @return per combo: (combo, n_rows, n_distinct, duplicates,
     *         max_group, uniqueness — round 6, is_key)
     */
+  /** Format-conformance profiler — the regex-validity panel behind schema
+    * contracts: for each declared (rule, column, pattern), how many rows
+    * are NULL, match, or violate. The drift alarm for stringly-typed
+    * feeds (an upstream format change shows up here before it corrupts a
+    * parse downstream). ONE corpus scan for ALL rules (the fd explode
+    * shape); the match evaluates inside the explode struct, so each rule
+    * costs one regex per row, no per-rule pass.
+    *
+    * Patterns must be ANCHORED (`^...$`): both Spark's `rlike` and the
+    * oracle's `regexp_matches` are find-anywhere, and anchoring is also
+    * what keeps the two regex dialects on their common portable subset.
+    *
+    * @param rules (name, column, anchored Java-compatible regex)
+    * @return per rule: (rule, n_rows, n_null, n_match, n_violation,
+    *         violation_rate — of non-null rows, round 6, NULL when the
+    *         column is all-NULL)
+    */
+  def conformanceProfile(
+      df: DataFrame,
+      rules: Seq[(String, String, String)]): DataFrame = {
+    require(rules.nonEmpty, "no conformance rules given")
+    df.select(explode(array(rules.map { case (name, c, pattern) =>
+        struct(lit(name).as("rule"), col(c).isNull.as("__nl"),
+          col(c).cast("string").rlike(pattern).as("__ok"))
+      }: _*)).as("s"))
+      .select(col("s.rule").as("rule"), col("s.__nl").as("__nl"),
+        col("s.__ok").as("__ok"))
+      .groupBy(col("rule"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__nl"), 1L).otherwise(0L)).as("n_null"),
+        sum(when(!col("__nl") && col("__ok"), 1L).otherwise(0L))
+          .as("n_match"))
+      .select(col("rule"), col("n_rows"), col("n_null"), col("n_match"),
+        (col("n_rows") - col("n_null") - col("n_match"))
+          .as("n_violation"),
+        when(col("n_rows") - col("n_null") > 0,
+          round((col("n_rows") - col("n_null") - col("n_match"))
+            .cast("double") /
+            (col("n_rows") - col("n_null")).cast("double"), 6))
+          .as("violation_rate"))
+  }
+
+  /** Multi-pair Pearson panel — [[exactCorrelation]] generalized the way
+    * [[assocPanel]] generalizes the single chi-square: ALL declared
+    * numeric column pairs share ONE corpus scan (per-row explode into
+    * pair structs), each pair's moments accumulating as exact decimals
+    * (the [[exactCorrelation]] scheme — the n·Σxx − (Σx)² cancellation
+    * happens on exact sums, never floats). Rows where either side is
+    * NULL are excluded per pair. Zero-variance pairs emit NULL (not NaN).
+    *
+    * @param pairs (name, xColumn, yColumn) per declared pair
+    * @return per pair: (pair, n, pearson — round 6)
+    */
+  def corrMatrix(
+      df: DataFrame,
+      pairs: Seq[(String, String, String)]): DataFrame = {
+    require(pairs.nonEmpty, "no column pairs given")
+    val cells = df.select(explode(array(pairs.map { case (name, xc, yc) =>
+        struct(lit(name).as("pair"),
+          col(xc).cast("decimal(18,2)").as("__x"),
+          col(yc).cast("decimal(18,2)").as("__y"))
+      }: _*)).as("s"))
+      .select(col("s.pair").as("pair"), col("s.__x").as("__x"),
+        col("s.__y").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val nD = col("n").cast("double")
+    val varx = nD * col("sxx") - col("sx") * col("sx")
+    val vary = nD * col("syy") - col("sy") * col("sy")
+    cells.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).cast("double").as("sx"),
+        sum(col("__y")).cast("double").as("sy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,4)"))
+          .cast("double").as("sxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,4)"))
+          .cast("double").as("syy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,4)"))
+          .cast("double").as("sxy"))
+      .select(col("pair"), col("n"),
+        when(varx > 0.0 && vary > 0.0,
+          round((nD * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(varx) * sqrt(vary)), 6)).as("pearson"))
+  }
+
   /** Weight-of-evidence / information-value panel (Siddiqi's credit-
     * scoring standard) — the feature-evaluation step before training any
     * quality classifier: per bin of a candidate feature, how strongly the

@@ -672,6 +672,40 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("conformanceProfile: match/violation/NULL accounting per rule in " +
+      "one scan; all-NULL column yields NULL rate") {
+    val df = Seq(
+      (Some("Customer#1"), Option.empty[String]),
+      (Some("Customer#22"), None), (Some("bogus"), None), (None, None)
+    ).toDF("name", "dead")
+    val got = Metrics.conformanceProfile(df, Seq(
+        ("name_format", "name", "^Customer#[0-9]+$"),
+        ("dead_any", "dead", "^.*$")))
+      .orderBy("rule").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+    assert(got.toSeq == Seq(
+      ("dead_any", 4L, 4L, 0L, 0L, None),
+      ("name_format", 4L, 1L, 2L, 1L, Some(0.333333))))
+  }
+
+  test("corrMatrix: one scan for all pairs — perfect ±1, zero-variance " +
+      "NULL, per-pair NULL exclusion") {
+    val df = Seq(
+      (1.0, Some(2.0), 3.0, 5.0), (2.0, Some(4.0), 2.0, 5.0),
+      (3.0, Some(6.0), 1.0, 5.0), (4.0, None, 0.0, 5.0)
+    ).toDF("x", "y", "z", "w")
+    val got = Metrics.corrMatrix(df, Seq(
+        ("a_xy", "x", "y"), ("b_xz", "x", "z"), ("c_xw", "x", "w")))
+      .orderBy("pair").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.toSeq == Seq(
+      ("a_xy", 3L, Some(1.0)),    // NULL-y row excluded for this pair only
+      ("b_xz", 4L, Some(-1.0)),
+      ("c_xw", 4L, None)))        // zero variance -> NULL, never NaN
+  }
+
   test("woeIv: hand-computed Laplace-smoothed WOE and IV contributions") {
     // bin a: 3 pos / 1 neg, bin b: 1 pos / 3 neg; P = Q = 4, K = 2:
     // gf_a = 3.5/5 = 0.7, bf_a = 1.5/5 = 0.3 -> woe = ln(7/3) = 0.847298,
