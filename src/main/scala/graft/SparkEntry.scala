@@ -1769,6 +1769,86 @@ object SparkEntry {
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
 
+    // ---- l-diversity panel (homogeneity-attack screen) ----------------------
+    // Quasi (nation, segment) classes scored by the diversity of their
+    // sensitive balance band — k-anonymous classes can still leak when
+    // every member shares the sensitive value.
+    "l_diversity_customer" -> ((s, dir) =>
+      graft.metrics.Metrics.lDiversity(t(s, dir, "customer")
+          .withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5))
+        .orderBy(col("l"))),
+
+    // ---- STREAMING l-diversity ((class, sensitive) cell state) -------------
+    "streaming_l_diversity_customer" -> ((s, dir) => {
+      val batch = t(s, dir, "customer")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/customer*.parquet")
+        .withColumn("bal_band",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100000"))
+      val counts = graft.metrics.Metrics.lDiversityCounts(stream,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band")
+      val name = "stream_ldiv_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.lDiversityFromCounts(drained, Seq(2, 3, 5))
+        .orderBy(col("l"))
+    }),
+
+    // ---- STREAMING seasonality index ((type, hour) count state) -------------
+    "streaming_seasonality_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val hourly = Events.hourlyCounts(stream)
+      val name = "stream_season_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, hourly, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.seasonalityFromHourly(drained)
+        .orderBy(col("event_type"), col("hour"))
+    }),
+
+    // ---- STREAMING WOE/IV panel (bin-count state) ---------------------------
+    "streaming_woe_iv_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("label",
+          col("event_type") === "purchase" && col("value") >= 150.0)
+        .withColumn("bin",
+          expr("cast(cast(value as decimal(18,2)) * 100 as bigint)" +
+            " div 5000"))
+      val counts = graft.metrics.Metrics.woeBinCounts(stream, "label",
+        "bin")
+      val name = "stream_woe_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.woeFromCounts(drained).orderBy(col("bin"))
+    }),
+
+    // ---- STREAMING Pearson panel (exact decimal-moment state) ---------------
+    "streaming_corr_matrix_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+      val moments = graft.metrics.Metrics.corrMoments(stream, Seq(
+        ("qty_price", "l_quantity", "l_extendedprice"),
+        ("qty_discount", "l_quantity", "l_discount"),
+        ("price_tax", "l_extendedprice", "l_tax"),
+        ("discount_tax", "l_discount", "l_tax")))
+      val name = "stream_corr_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.corrFromMoments(drained).orderBy(col("pair"))
+    }),
+
     // ---- format-conformance profile (regex validity panel) -----------------
     // Two real contracts plus one deliberately failing rule so violation
     // accounting is exercised non-zero; anchored portable patterns only.
@@ -4454,6 +4534,14 @@ object SparkEntry {
       ("streaming_cusum_events" -> m("cusum_changepoint_events")),
       // user-entropy twin: (user, type) count state + entropy fold
       ("streaming_user_entropy_events" -> m("user_entropy_events")),
+      // l-diversity twin: (class, sensitive) cell state + panel fold
+      ("streaming_l_diversity_customer" -> m("l_diversity_customer")),
+      // seasonality twin: (type, hour) count state + index fold
+      ("streaming_seasonality_events" -> m("seasonality_events")),
+      // WOE twin: bin-count state + smoothed fold
+      ("streaming_woe_iv_events" -> m("woe_iv_events")),
+      // Pearson twin: exact decimal-moment state + fold (cast after sums)
+      ("streaming_corr_matrix_lineitem" -> m("corr_matrix_lineitem")),
       // exact-percentile twin: value-dictionary state + rank-pick fold —
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
@@ -9602,6 +9690,35 @@ object SparkEntry {
         |      / CAST(CAST(n AS HUGEINT) * n - s AS DOUBLE), 6)
         |  END AS kappa
         |FROM f ORDER BY event_type""".stripMargin,
+
+    // the md5 class/sensitive fingerprints are internal — the oracle
+    // groups raw tuples (GROUP BY is null-safe in both engines)
+    "l_diversity_customer" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 100000 AS band
+        |  FROM customer),
+        |cls AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(COUNT(DISTINCT band) AS BIGINT) AS l,
+        |    CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM b GROUP BY 1, 2),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  CAST(MIN(l) AS BIGINT) AS min_diversity FROM cls),
+        |panel AS (
+        |  SELECT u.lv AS l,
+        |    CAST(SUM(CASE WHEN cls.l < u.lv THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS risk_classes,
+        |    CAST(SUM(CASE WHEN cls.l < u.lv THEN sz ELSE 0 END) AS BIGINT)
+        |      AS risk_rows
+        |  FROM cls, UNNEST([2, 3, 5]) AS u(lv) GROUP BY 1)
+        |SELECT CAST(l AS BIGINT) AS l, n_classes, n_rows, min_diversity,
+        |  risk_classes, risk_rows,
+        |  ROUND(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS risk_frac
+        |FROM panel, tot ORDER BY l""".stripMargin,
 
     // anchored patterns keep rlike/regexp_matches on the shared subset
     "conformance_customer" ->

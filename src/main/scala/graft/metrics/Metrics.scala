@@ -809,6 +809,65 @@ object Metrics {
           col("n_rows").cast("double"), 6).as("risk_frac"))
   }
 
+  /** l-diversity panel (Machanavajjhala 2006) — the re-identification
+    * screen one rung past [[kAnonymity]]: a class can be k-anonymous yet
+    * leak everything when all k members share the SENSITIVE value
+    * (homogeneity attack). Per l: classes whose sensitive-value diversity
+    * falls below l and the row mass at risk.
+    *
+    * @return per l: (l, n_classes, n_rows, min_diversity, risk_classes,
+    *         risk_rows, risk_frac — round 6)
+    */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      ls: Seq[Int]): DataFrame =
+    lDiversityFromCounts(lDiversityCounts(df, quasiCols, sensitiveCol), ls)
+
+  /** [[lDiversity]]'s state half: per-(class, sensitive-value) counts on
+    * md5 fingerprints — ONE associative aggregation over one scan (the
+    * [[kAnonymityCounts]] convention), legal Complete-mode streaming
+    * state.
+    */
+  def lDiversityCounts(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    df.groupBy(md5(to_json(struct(quasiCols.map(col): _*))).as("__cls"),
+        md5(to_json(struct(col(sensitiveCol)))).as("__sv"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The panel fold over [[lDiversityCounts]]' (drained) cell table —
+    * class-dictionary scale throughout. lDiversityFromCounts ∘
+    * lDiversityCounts = [[lDiversity]] by construction, so the streaming
+    * twin shares the batch oracle verbatim.
+    */
+  def lDiversityFromCounts(cells: DataFrame, ls: Seq[Int]): DataFrame = {
+    require(ls.nonEmpty && ls.forall(_ >= 2), s"bad l list $ls")
+    val cls = cells.groupBy(col("__cls"))
+      .agg(count(lit(1)).as("__l"), sum(col("__c")).as("__sz"))
+      .localCheckpoint(true) // class dictionary; feeds totals + the panel
+    val tot = cls.agg(count(lit(1)).as("n_classes"),
+      sum(col("__sz")).as("n_rows"), min(col("__l")).as("min_diversity"))
+    cls
+      .select(explode(array(ls.map(l => lit(l)): _*)).as("l"),
+        col("__l"), col("__sz"))
+      .groupBy(col("l"))
+      .agg(sum(when(col("__l") < col("l"), 1L).otherwise(0L))
+          .as("risk_classes"),
+        sum(when(col("__l") < col("l"), col("__sz")).otherwise(0L))
+          .as("risk_rows"))
+      .crossJoin(broadcast(tot))
+      .select(col("l").cast("long").as("l"), col("n_classes"),
+        col("n_rows"), col("min_diversity"), col("risk_classes"),
+        col("risk_rows"),
+        round(col("risk_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_frac"))
+  }
+
   /** Population Stability Index drift panel — the model-monitoring
     * standard beside [[ksDrift]] (KS detects ANY distributional move and
     * saturates on huge samples; PSI localizes WHERE the mass moved and is
@@ -1596,9 +1655,18 @@ object Metrics {
     */
   def corrMatrix(
       df: DataFrame,
+      pairs: Seq[(String, String, String)]): DataFrame =
+    corrFromMoments(corrMoments(df, pairs))
+
+  /** [[corrMatrix]]'s state half: per-pair EXACT decimal moments from one
+    * scan — decimal sums are associative, so this runs unchanged as
+    * Complete-mode streaming state (|pairs| keys).
+    */
+  def corrMoments(
+      df: DataFrame,
       pairs: Seq[(String, String, String)]): DataFrame = {
     require(pairs.nonEmpty, "no column pairs given")
-    val cells = df.select(explode(array(pairs.map { case (name, xc, yc) =>
+    df.select(explode(array(pairs.map { case (name, xc, yc) =>
         struct(lit(name).as("pair"),
           col(xc).cast("decimal(18,2)").as("__x"),
           col(yc).cast("decimal(18,2)").as("__y"))
@@ -1606,19 +1674,31 @@ object Metrics {
       .select(col("s.pair").as("pair"), col("s.__x").as("__x"),
         col("s.__y").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .groupBy(col("pair"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__dsx"),
+        sum(col("__y")).as("__dsy"),
+        sum((col("__x") * col("__x")).cast("decimal(38,4)")).as("__dsxx"),
+        sum((col("__y") * col("__y")).cast("decimal(38,4)")).as("__dsyy"),
+        sum((col("__x") * col("__y")).cast("decimal(38,4)")).as("__dsxy"))
+  }
+
+  /** The Pearson fold over [[corrMoments]]' (drained) exact-decimal
+    * state — corrFromMoments ∘ corrMoments = [[corrMatrix]], so the
+    * streaming twin shares the batch oracle verbatim (the cast to double
+    * happens here, AFTER the exact sums, in both paths).
+    */
+  def corrFromMoments(moments: DataFrame): DataFrame = {
     val nD = col("n").cast("double")
     val varx = nD * col("sxx") - col("sx") * col("sx")
     val vary = nD * col("syy") - col("sy") * col("sy")
-    cells.groupBy(col("pair"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("__x")).cast("double").as("sx"),
-        sum(col("__y")).cast("double").as("sy"),
-        sum((col("__x") * col("__x")).cast("decimal(38,4)"))
-          .cast("double").as("sxx"),
-        sum((col("__y") * col("__y")).cast("decimal(38,4)"))
-          .cast("double").as("syy"),
-        sum((col("__x") * col("__y")).cast("decimal(38,4)"))
-          .cast("double").as("sxy"))
+    moments
+      .select(col("pair"), col("n"),
+        col("__dsx").cast("double").as("sx"),
+        col("__dsy").cast("double").as("sy"),
+        col("__dsxx").cast("double").as("sxx"),
+        col("__dsyy").cast("double").as("syy"),
+        col("__dsxy").cast("double").as("sxy"))
       .select(col("pair"), col("n"),
         when(varx > 0.0 && vary > 0.0,
           round((nD * col("sxy") - col("sx") * col("sy")) /
@@ -1643,15 +1723,29 @@ object Metrics {
     *
     * @return per bin: (bin, n, n_pos, n_neg, woe, iv_contrib)
     */
-  def woeIv(df: DataFrame, labelCol: String, binCol: String): DataFrame = {
-    val cells = df
-      .select(col(binCol).as("bin"),
-        col(labelCol).cast("boolean").as("__y"))
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(when(!col("__y") || col("__y").isNull, 1L).otherwise(0L))
-          .as("n_neg"))
+  def woeIv(df: DataFrame, labelCol: String, binCol: String): DataFrame =
+    woeFromCounts(woeBinCounts(df, labelCol, binCol))
+
+  /** [[woeIv]]'s state half: per-bin positive/negative counts — ONE
+    * conditional associative aggregation, legal Complete-mode streaming
+    * state (bin-dictionary keys).
+    */
+  def woeBinCounts(
+      df: DataFrame, labelCol: String, binCol: String): DataFrame = df
+    .select(col(binCol).as("bin"),
+      col(labelCol).cast("boolean").as("__y"))
+    .groupBy(col("bin"))
+    .agg(count(lit(1)).as("n"),
+      sum(when(col("__y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(!col("__y") || col("__y").isNull, 1L).otherwise(0L))
+        .as("n_neg"))
+
+  /** The smoothed-WOE fold over [[woeBinCounts]]' (drained) state —
+    * woeFromCounts ∘ woeBinCounts = [[woeIv]], so the streaming twin
+    * shares the batch oracle verbatim.
+    */
+  def woeFromCounts(cells0: DataFrame): DataFrame = {
+    val cells = cells0
       .localCheckpoint(true) // bin dictionary; feeds totals + output
     val tot = cells.agg(sum(col("n_pos")).as("__p"),
       sum(col("n_neg")).as("__q"), count(lit(1)).as("__k"))

@@ -495,14 +495,27 @@ object Events {
     * Scale: one hash-agg to the (type, hour) dictionary (≤ 24·|types|
     * rows), totals folded back per type — dictionary-scale join only.
     */
-  def seasonalityIndex(events: DataFrame): DataFrame = {
-    val hourly = events
-      .withColumn("__sec", epochSeconds(events))
-      .selectExpr("event_type", "(__sec div 3600) % 24 AS hour", "value")
-      .groupBy(col("event_type"), col("hour"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
-          .as("__sc"))
+  def seasonalityIndex(events: DataFrame): DataFrame =
+    seasonalityFromHourly(hourlyCounts(events))
+
+  /** [[seasonalityIndex]]'s state half: per-(type, UTC hour) counts and
+    * exact cent sums — ONE associative aggregation, legal Complete-mode
+    * streaming state (≤ 24·|types| keys).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame = events
+    .withColumn("__sec", epochSeconds(events))
+    .selectExpr("event_type", "(__sec div 3600) % 24 AS hour", "value")
+    .groupBy(col("event_type"), col("hour"))
+    .agg(count(lit(1)).as("n"),
+      sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .as("__sc"))
+
+  /** The index fold over [[hourlyCounts]]' (drained) state —
+    * seasonalityFromHourly ∘ hourlyCounts = [[seasonalityIndex]], so the
+    * streaming twin shares the batch oracle verbatim.
+    */
+  def seasonalityFromHourly(hourly0: DataFrame): DataFrame = {
+    val hourly = hourly0
       .localCheckpoint(true) // dictionary; feeds totals + the output join
     val tot = hourly.groupBy(col("event_type"))
       .agg(sum(col("n")).as("__nt"), sum(col("__sc")).as("__st"))

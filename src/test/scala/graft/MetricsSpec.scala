@@ -672,6 +672,27 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("lDiversity: homogeneous classes flagged below every l; " +
+      "hand-computed risk masses") {
+    // class A: sensitive [1,1,1] (l=1), B: [1,2] (l=2), C: [1,2,3] (l=3)
+    // l=2 -> {A}: 1 class / 3 rows; l=3 -> {A,B}: 2 classes / 5 rows
+    val df = (Seq(1L, 1L, 1L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _)) ++
+      Seq(1L, 2L, 3L).map(("C", _))).toDF("q", "s")
+    val got = Metrics.lDiversity(df, Seq("q"), "s", Seq(2, 3))
+      .orderBy("l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (2L, 3L, 8L, 1L, 1L, 3L, 0.375),
+      (3L, 3L, 8L, 1L, 2L, 5L, 0.625)))
+    // composition: fold over the cell state = the one-shot panel
+    assert(Metrics.lDiversityFromCounts(
+        Metrics.lDiversityCounts(df, Seq("q"), "s"), Seq(2, 3))
+      .orderBy("l").collect().toSeq ==
+      Metrics.lDiversity(df, Seq("q"), "s", Seq(2, 3))
+        .orderBy("l").collect().toSeq)
+  }
+
   test("conformanceProfile: match/violation/NULL accounting per rule in " +
       "one scan; all-NULL column yields NULL rate") {
     val df = Seq(

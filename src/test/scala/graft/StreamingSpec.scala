@@ -362,6 +362,38 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty)
   }
 
+  test("streaming l-diversity state equals the batch panel") {
+    val stream =
+      SparkEntry.queries("streaming_l_diversity_customer")(spark, sf)
+        .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("l_diversity_customer")(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 3)
+  }
+
+  test("streaming seasonality / WOE / Pearson panel states equal their " +
+      "batch folds") {
+    val s1 = SparkEntry.queries("streaming_seasonality_events")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val b1 = SparkEntry.queries("seasonality_events")(spark, sf)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    assert(s1 === b1 && s1.nonEmpty)
+    val s2 = SparkEntry.queries("streaming_woe_iv_events")(spark, sf)
+      .as[(Option[Long], Long, Long, Long, Double, Double)]
+      .collect().toSet
+    val b2 = SparkEntry.queries("woe_iv_events")(spark, sf)
+      .as[(Option[Long], Long, Long, Long, Double, Double)]
+      .collect().toSet
+    assert(s2 === b2 && s2.nonEmpty)
+    val s3 =
+      SparkEntry.queries("streaming_corr_matrix_lineitem")(spark, sf)
+        .as[(String, Long, Option[Double])].collect().toSet
+    val b3 = SparkEntry.queries("corr_matrix_lineitem")(spark, sf)
+      .as[(String, Long, Option[Double])].collect().toSet
+    assert(s3 === b3 && s3.size == 4)
+  }
+
   test("streaming Benford state equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_benford_orders")(spark, sf)
