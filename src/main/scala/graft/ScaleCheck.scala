@@ -829,6 +829,11 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("dbscan",
+        // block-bounded pair mass + degree hash-agg + core-only CC
+        (d: DataFrame) => Similarity.dbscanClusters(
+          d, "vec_id", "embedding", 0.15, 3),
+        embeddings, "vec_id", Some("embedding")),
       ("corr_matrix",
         // one 4-way explode + one decimal-moment hash-agg
         (d: DataFrame) => graft.metrics.Metrics.corrMatrix(d, Seq(

@@ -471,6 +471,14 @@ object SparkEntry {
           t(s, dir, "embeddings"), "vec_id", "embedding", 0.4, 8)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- scale: DBSCAN density clusters over embedding cosine ---------------
+    // Cores/borders/noise over the sign-LSH-blocked eps-graph; cluster
+    // labels = min member id via the CC machinery.
+    "dbscan_embeddings" -> ((s, dir) =>
+      Similarity.dbscanClusters(
+          t(s, dir, "embeddings"), "vec_id", "embedding", 0.15, 3)
+        .orderBy(col("id"))),
+
     // ---- scale: event sessionization (gap-based) ---------------------------
     "sessionize_events" -> ((s, dir) =>
       Events.sessionize(t(s, dir, "events"), 1800L)
@@ -5934,6 +5942,49 @@ object SparkEntry {
         |    ON a.block = b.block AND a.vec_id < b.vec_id)
         |SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
         |FROM pairs WHERE cs >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // the near-dup blocking replicated at eps 0.15; core = deg >= 3;
+    // CC label = min reachable core id; border = min core-neighbor label
+    "dbscan_embeddings" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+        |      AS v
+        |  FROM embeddings),
+        |blocked AS (
+        |  SELECT vec_id, v,
+        |    array_to_string(list_transform([1,2,3,4,5,6,7,8],
+        |      i -> CASE WHEN v[i] >= 0 THEN '1' ELSE '0' END), '')
+        |      AS block
+        |  FROM qv),
+        |prs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM blocked a JOIN blocked b
+        |    ON a.block = b.block AND a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v)
+        |    / sqrt(list_dot_product(a.v, a.v)
+        |      * list_dot_product(b.v, b.v)) >= 0.15),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION ALL SELECT id_b, id_a FROM prs),
+        |core AS (
+        |  SELECT src AS id FROM e GROUP BY src HAVING COUNT(*) >= 3),
+        |ce AS (
+        |  SELECT e.src, e.dst FROM e
+        |  JOIN core c1 ON e.src = c1.id JOIN core c2 ON e.dst = c2.id),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM core
+        |  UNION
+        |  SELECT r.a, ce.dst FROM reach r JOIN ce ON r.b = ce.src),
+        |cl AS (SELECT a AS id, MIN(b) AS cluster FROM reach GROUP BY a),
+        |border AS (
+        |  SELECT e.src AS id, MIN(cl.cluster) AS cluster
+        |  FROM e JOIN core c2 ON e.dst = c2.id JOIN cl ON cl.id = e.dst
+        |  WHERE e.src NOT IN (SELECT id FROM core)
+        |  GROUP BY e.src)
+        |SELECT id, cluster, 'core' AS role FROM cl
+        |UNION ALL SELECT id, cluster, 'border' FROM border
+        |ORDER BY id""".stripMargin,
 
     "sessionize_events" ->
       """WITH e AS (

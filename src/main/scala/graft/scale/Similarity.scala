@@ -1498,4 +1498,73 @@ object Similarity {
           col(s"recall_at_$k"))
     }.reduce(_ unionByName _)
   }
+
+  /** Density-based clustering (DBSCAN, Ester 1996) over embedding cosine
+    * similarity — the clustering the k-means family cannot do: cluster
+    * count emerges from density, irregular shapes survive, and sparse
+    * points become NOISE instead of polluting a nearest centroid. The
+    * corpus-curation read: dense semantic regions = topical cores worth
+    * stratifying over; noise = the outliers a coverage-preserving
+    * selection must not drop blindly.
+    *
+    * DECLARED semantics (the [[cosineNearDupPairs]] convention): the
+    * ε-neighborhood graph is restricted to sign-LSH block candidates —
+    * same `signDims`-bit block, exact integer-quantized cosine ≥ eps —
+    * and the oracle replicates that blocking exactly. A point is CORE
+    * iff it has ≥ minPts such neighbors (self excluded); clusters are
+    * connected components over core–core edges (labels = min member id
+    * via [[graft.scale.Dedup.duplicateClusters]]); a BORDER point is a
+    * non-core with ≥1 core neighbor, assigned its min core-neighbor
+    * cluster (ties deterministic); everything else is noise and absent
+    * from the output.
+    *
+    * Scale shape: pair mass is block-bounded (never corpus²); degree is
+    * one hash-agg over the pair list; the CC runs on the core–core
+    * subgraph only; border assignment is one keyed join + min-agg.
+    *
+    * @return (id, cluster, role ∈ {core, border}) — noise omitted
+    */
+  def dbscanClusters(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      eps: Double,
+      minPts: Int,
+      signDims: Int = 8): DataFrame = {
+    require(minPts >= 1, s"bad minPts $minPts")
+    val pairs = cosineNearDupPairs(df, idCol, vecCol, eps, signDims)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // feeds degree, the CC edges, border join
+    val both = pairs
+      .unionByName(pairs.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b")))
+    val core = both.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("__deg"))
+      .filter(col("__deg") >= minPts)
+      .select(col("id"))
+      .localCheckpoint(true) // feeds two edge filters + the CC node set
+    // bounded control-plane guard (duplicateClusters itself runs per-round
+    // driver actions): an all-noise corpus has no core set and no output
+    if (core.isEmpty)
+      return core.select(col("id"), col("id").as("cluster"),
+        lit("core").as("role")).limit(0)
+    val ccEdges = pairs
+      .join(core.select(col("id").as("id_a")), Seq("id_a"))
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+    val coreClusters = graft.scale.Dedup.duplicateClusters(
+        core.select(col("id").as(idCol)), ccEdges, idCol)
+      .select(col(idCol).as("id"), col("cluster_rep").as("cluster"))
+      .localCheckpoint(true) // feeds the core output + border assignment
+    val border = both
+      .join(core.select(col("id").as("id_b")), Seq("id_b"))
+      .join(coreClusters.select(col("id").as("id_b"), col("cluster")),
+        Seq("id_b"))
+      .join(core.select(col("id").as("id_a"),
+        lit(1).as("__isc")), Seq("id_a"), "left")
+      .filter(col("__isc").isNull)
+      .groupBy(col("id_a").as("id"))
+      .agg(min(col("cluster")).as("cluster"))
+    coreClusters.withColumn("role", lit("core"))
+      .unionByName(border.withColumn("role", lit("border")))
+  }
 }

@@ -663,6 +663,24 @@ class PlanSpec extends SparkSpec {
       s"expected the explode fan-out:\n$plan")
   }
 
+  test("conformanceProfile and corrMoments read the input ONCE for all " +
+      "declared rules/pairs (explode fan-out)") {
+    val conf = graft.metrics.Metrics.conformanceProfile(
+      graft.io.Tables.load(spark, sf, "customer"),
+      Seq(("a", "c_name", "^Customer#[0-9]+$"),
+        ("b", "c_mktsegment", "^[A-Z]+$")))
+    val p1 = conf.queryExecution.executedPlan.toString
+    assert(p1.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") == 1, s"conformance scans:\n$p1")
+    val mom = graft.metrics.Metrics.corrMoments(
+      graft.io.Tables.load(spark, sf, "lineitem"),
+      Seq(("a", "l_quantity", "l_extendedprice"),
+        ("b", "l_discount", "l_tax")))
+    val p2 = mom.queryExecution.executedPlan.toString
+    assert(p2.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet") == 1, s"corrMoments scans:\n$p2")
+  }
+
   test("benfordDigits: ONE corpus scan, join-free fold (the digit " +
       "scaffold explodes against a per-column map, no totals join-back)") {
     val df = SparkEntry.queries("benford_orders")(spark, sf)

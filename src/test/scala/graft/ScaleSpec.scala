@@ -1794,6 +1794,32 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0.0), (2L, 1L, 1.0)))
   }
 
+  test("dbscanClusters: chain cores/borders, two components, noise " +
+      "omitted; labels = min member id") {
+    import spark.implicits._
+    def pad(xs: Float*): Array[Float] =
+      (xs ++ Seq.fill(8 - xs.length)(0f)).toArray
+    // chain a1—a2—a3 at ~15° steps, eps 0.95: only adjacent pairs are
+    // eps-neighbors -> degrees 1,2,1 -> with minPts 2 the middle point is
+    // the lone core, the ends are its borders, cluster label = core id 2
+    // dense block b5..b8 (pairwise ~1): all core, label = min id 5
+    // id 9 points the other way (different sign block) -> noise, absent
+    val vecs = Seq(
+      (1L, pad(1f, 0f)), (2L, pad(0.966f, 0.259f)),
+      (3L, pad(0.866f, 0.5f)),
+      (5L, pad(0f, 1f)), (6L, pad(0f, 0.999f, 0.01f)),
+      (7L, pad(0f, 0.998f, 0.02f)), (8L, pad(0f, 0.997f, 0.03f)),
+      (9L, pad(-1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.dbscanClusters(vecs, "vec_id", "embedding",
+        0.95, 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 2L, "border"), (2L, 2L, "core"), (3L, 2L, "border"),
+      (5L, 5L, "core"), (6L, 5L, "core"), (7L, 5L, "core"),
+      (8L, 5L, "core")))
+  }
+
   test("ophMinhashPairs: precision is exact, identical docs always pair") {
     import spark.implicits._
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
