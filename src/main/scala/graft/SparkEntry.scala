@@ -317,6 +317,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- dedup impact report: component-size distribution -------------------
+    // How the duplicate mass is shaped: many pairs vs few giant templates
+    // decide whether keep-one dedup or boilerplate scrubbing is the fix.
+    "component_sizes_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val sizes = Dedup.duplicateClusters(docs,
+          Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id")
+        .groupBy(col("cluster_rep"))
+        .agg(count(lit(1)).as("sz"))
+        .localCheckpoint(true) // cluster dictionary; feeds totals + panel
+      val tot = sizes.agg(sum(col("sz")).as("__n"))
+      sizes.groupBy(col("sz").as("size"))
+        .agg(count(lit(1)).as("n_components"))
+        .crossJoin(broadcast(tot))
+        .select(col("size"), col("n_components"),
+          (col("size") * col("n_components")).as("n_docs"),
+          round((col("size") * col("n_components")).cast("double") /
+            col("__n").cast("double"), 6).as("doc_share"))
+        .orderBy(col("size"))
+    }),
+
     // ---- scale: same clusters via large-star/small-star contraction --------
     // The extreme-diameter CC path (Kiveris et al. SOCC'14) over the same
     // LSH pairs — identical output contract, so it shares the recursive-SQL
@@ -1776,6 +1797,22 @@ object SparkEntry {
     "cusum_changepoint_events" -> ((s, dir) =>
       Events.cusumChangepoint(t(s, dir, "events"))
         .orderBy(col("event_type"))),
+
+    // ---- STREAMING join-key skew monitor (per-key class-size state — the
+    // k-anonymity state relation; the histogram/gini fold replays on
+    // drain) — watch the hot key grow as ingest accumulates ------------------
+    "streaming_skew_profile_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val cls = graft.metrics.Metrics.kAnonymityCounts(stream,
+        Seq("user_id"))
+      val name = "stream_skew_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, cls, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.skewFromSizes(drained, 32)
+    }),
 
     // ---- l-diversity panel (homogeneity-attack screen) ----------------------
     // Quasi (nation, segment) classes scored by the diversity of their
@@ -4550,6 +4587,8 @@ object SparkEntry {
       ("streaming_woe_iv_events" -> m("woe_iv_events")),
       // Pearson twin: exact decimal-moment state + fold (cast after sums)
       ("streaming_corr_matrix_lineitem" -> m("corr_matrix_lineitem")),
+      // skew twin: the k-anonymity class-size state + histogram fold
+      ("streaming_skew_profile_events" -> m("skew_profile_events")),
       // exact-percentile twin: value-dictionary state + rank-pick fold —
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
@@ -5596,6 +5635,44 @@ object SparkEntry {
         |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
         |SELECT a AS doc_id, MIN(b) AS cluster_rep
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    // the dup_clusters CC rolled up to the component-size distribution
+    "component_sizes_docs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+        |cl AS (SELECT a AS doc_id, MIN(b) AS rep FROM reach GROUP BY a),
+        |szs AS (SELECT rep, CAST(COUNT(*) AS BIGINT) AS sz
+        |  FROM cl GROUP BY rep),
+        |tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS n FROM szs)
+        |SELECT sz AS size, CAST(COUNT(*) AS BIGINT) AS n_components,
+        |  CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        |  ROUND(CAST(sz * COUNT(*) AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |    AS doc_share
+        |FROM szs, tot GROUP BY sz, n ORDER BY size""".stripMargin,
 
     // same component construction as dup_clusters_docs; split = md5-uniform
     // draw on the cluster representative (the kfold/uniformDraw convention)

@@ -1542,10 +1542,19 @@ object Metrics {
       keyCols: Seq[String],
       partitions: Int): DataFrame = {
     require(keyCols.nonEmpty, "no key columns given")
+    skewFromSizes(kAnonymityCounts(df, keyCols), partitions)
+  }
+
+  /** The skew fold over [[kAnonymityCounts]]' (drained) per-key class
+    * sizes — the SAME state relation the k-anonymity twin holds, so the
+    * STREAMING skew monitor is free: skewFromSizes ∘ kAnonymityCounts =
+    * [[skewProfile]] (the key fingerprint is injective, so the mass
+    * multiset is identical), and the twin shares the batch oracle
+    * verbatim. Everything below the first collapse is histogram-scale.
+    */
+  def skewFromSizes(cls: DataFrame, partitions: Int): DataFrame = {
     require(partitions >= 1, s"bad partition count $partitions")
-    val mass = df.groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("__m"))
-    val mc = mass.groupBy(col("__m").as("__v"))
+    val mc = cls.groupBy(col("__sz").as("__v"))
       .agg(count(lit(1)).as("__cnt"))
       .localCheckpoint(true) // histogram scale; feeds cum + pct + totals
     val cum = graft.sample.Samplers.globalCumSum(mc, Seq("__v"), "__cnt",

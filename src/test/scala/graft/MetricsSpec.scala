@@ -672,6 +672,34 @@ class MetricsSpec extends SparkSpec {
     assert(g2.getLong(2) == 2L) // NULL and "null" stay separate levels
   }
 
+  test("panel invariants hold on seeded random data: skew bounds, kappa " +
+      "range, chi2/V/MI bounds") {
+    val rnd = new scala.util.Random(42)
+    val rows = Seq.fill(400)((rnd.nextInt(40).toLong,
+      s"c${rnd.nextInt(5)}", s"r${rnd.nextInt(4)}"))
+    val df = rows.toDF("k", "a", "b")
+    val sp = Metrics.skewProfile(df, Seq("k"), 16).collect().head
+    val (nRows, nKeys, maxMass) =
+      (sp.getLong(0), sp.getLong(1), sp.getLong(2))
+    assert(nRows == 400L && nKeys <= 40L && maxMass <= nRows)
+    assert(sp.getDouble(3) >= 1.0 / nKeys - 1e-9)        // max_share
+    assert(sp.getDouble(4) >= sp.getDouble(3) - 1e-9)    // top10 >= max
+    assert(sp.getLong(5) <= sp.getLong(6) &&
+      sp.getLong(6) <= maxMass)                          // p50 <= p99
+    assert(sp.getDouble(7) >= 0.0 && sp.getDouble(7) < 1.0) // gini
+    assert(sp.getLong(8) >= 1L)                          // salt
+    val ck = Metrics.cohensKappa(df, "a", "b").collect().head
+    assert(ck.getDouble(1) >= 0.0 && ck.getDouble(1) <= 1.0)
+    assert(ck.getDouble(2) >= 0.0 && ck.getDouble(2) <= 1.0)
+    assert(ck.isNullAt(3) || ck.getDouble(3) <= 1.0)
+    val ap = Metrics.assocPanel(df, Seq(("ab", "a", "b"))).collect().head
+    assert(ap.getDouble(5) >= -1e-6)                     // chi2
+    assert(ap.getDouble(6) >= -1e-6 && ap.getDouble(6) <= 1.0 + 1e-6)
+    val miCap = math.min(math.log(ap.getLong(2).toDouble),
+      math.log(ap.getLong(3).toDouble)) / math.log(2.0)
+    assert(ap.getDouble(7) >= -1e-6 && ap.getDouble(7) <= miCap + 1e-6)
+  }
+
   test("lDiversity: homogeneous classes flagged below every l; " +
       "hand-computed risk masses") {
     // class A: sensitive [1,1,1] (l=1), B: [1,2] (l=2), C: [1,2,3] (l=3)

@@ -372,6 +372,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream.size == 3)
   }
 
+  test("streaming skew-profile state equals the batch advisor " +
+      "(skewFromSizes over the k-anonymity class-size state)") {
+    val stream =
+      SparkEntry.queries("streaming_skew_profile_events")(spark, sf)
+        .as[(Long, Long, Long, Double, Double, Long, Long, Double, Long)]
+        .collect().toSet
+    val batch = SparkEntry.queries("skew_profile_events")(spark, sf)
+      .as[(Long, Long, Long, Double, Double, Long, Long, Double, Long)]
+      .collect().toSet
+    assert(stream === batch)
+    assert(stream.size == 1)
+  }
+
   test("streaming seasonality / WOE / Pearson panel states equal their " +
       "batch folds") {
     val s1 = SparkEntry.queries("streaming_seasonality_events")(spark, sf)
