@@ -862,6 +862,13 @@ object ScaleCheck {
         // one hash-agg to the (type, hour) dictionary + totals fold
         (d: DataFrame) => graft.scale.Events.seasonalityIndex(d),
         events, "event_id", None),
+      ("joinability",
+        // per table: explode + distinct (column-dictionary mass); one
+        // value-keyed join with |colsA|·|colsB|-bounded fan-out
+        (d: DataFrame) => graft.metrics.Metrics.joinability(
+          d, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+          orders, Seq("o_orderkey", "o_custkey")),
+        lineitem, "l_orderkey", None),
       ("ri_profile",
         // per edge: two key-dictionary hash-aggs + one full-outer
         // dictionary join; corpora never meet row-to-row

@@ -1954,6 +1954,18 @@ object SparkEntry {
       Events.seasonalityIndex(t(s, dir, "events"))
         .orderBy(col("event_type"), col("hour"))),
 
+    // ---- joinability discovery (which column pairs CAN join) ---------------
+    // Value-overlap between orders and customer columns — the FK edge
+    // riProfile audits is the one this report discovers.
+    "joinability_orders_customer" -> ((s, dir) =>
+      graft.metrics.Metrics.joinability(
+          t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_orderpriority"),
+          t(s, dir, "customer"),
+          Seq("c_custkey", "c_nationkey", "c_mktsegment"))
+        .orderBy(col("col_a"), col("col_b"))),
+
     // ---- referential-integrity profile (the silent-join-loss audit) --------
     // Two real FK edges plus one deliberately broken edge (active-customer
     // subset as parent, every-11th FK nulled) so orphan and null-FK
@@ -9987,6 +9999,43 @@ object SparkEntry {
         |    / CAST(CAST(n AS HUGEINT) * st AS DOUBLE), 6) AS season_index
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, hour""".stripMargin,
+
+    // values compare as strings (cross-type joinability is the point);
+    // only pairs with >=1 shared value appear
+    "joinability_orders_customer" ->
+      """WITH va AS (
+        |  SELECT DISTINCT col_a, v FROM (
+        |    SELECT 'o_orderkey' AS col_a,
+        |      CAST(o_orderkey AS VARCHAR) AS v FROM orders
+        |    UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR)
+        |    FROM orders
+        |    UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+        |    UNION ALL SELECT 'o_orderpriority', o_orderpriority
+        |    FROM orders) u WHERE v IS NOT NULL),
+        |vb AS (
+        |  SELECT DISTINCT col_b, v FROM (
+        |    SELECT 'c_custkey' AS col_b,
+        |      CAST(c_custkey AS VARCHAR) AS v FROM customer
+        |    UNION ALL SELECT 'c_nationkey', CAST(c_nationkey AS VARCHAR)
+        |    FROM customer
+        |    UNION ALL SELECT 'c_mktsegment', c_mktsegment
+        |    FROM customer) u WHERE v IS NOT NULL),
+        |na AS (SELECT col_a, CAST(COUNT(*) AS BIGINT) AS n_a
+        |  FROM va GROUP BY 1),
+        |nb AS (SELECT col_b, CAST(COUNT(*) AS BIGINT) AS n_b
+        |  FROM vb GROUP BY 1),
+        |j AS (
+        |  SELECT col_a, col_b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM va JOIN vb USING (v) GROUP BY 1, 2)
+        |SELECT col_a, col_b, n_a, n_b, n_common,
+        |  ROUND(CAST(n_common AS DOUBLE) / CAST(n_a AS DOUBLE), 6)
+        |    AS containment_a,
+        |  ROUND(CAST(n_common AS DOUBLE) / CAST(n_b AS DOUBLE), 6)
+        |    AS containment_b,
+        |  ROUND(CAST(n_common AS DOUBLE)
+        |    / CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+        |FROM j JOIN na USING (col_a) JOIN nb USING (col_b)
+        |ORDER BY col_a, col_b""".stripMargin,
 
     // orphan = non-null child key missing from the parent key set;
     // NULL FKs legal (excluded from the rate's denominator)

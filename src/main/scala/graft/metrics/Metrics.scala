@@ -1591,6 +1591,60 @@ object Metrics {
           .as("salt_factor"))
   }
 
+  /** Joinability / FK-candidate discovery (the Aurum-style profiler) —
+    * the DISCOVERY complement to [[riProfile]] (which audits DECLARED
+    * edges): for every column pair between two tables, the exact
+    * value-set overlap — containment both ways and Jaccard. A high
+    * child→parent containment is the "this joins cleanly" signal; the
+    * pair list is how you find the edge to declare in the first place.
+    *
+    * Semantics: values compare as STRINGS (cross-type joinability — an
+    * int 5 and a string "5" do join after a cast, which is what the
+    * profiler must surface); NULLs never join and are excluded; only
+    * pairs sharing ≥1 value appear (it is a candidate report).
+    *
+    * Scale shape: per table, one explode to (column, value) + one
+    * DISTINCT (column-dictionary mass); one value-keyed equi-join whose
+    * per-value fan-out is bounded by |colsA|·|colsB|; dictionary-scale
+    * rollups. Corpora never meet row-to-row.
+    *
+    * @return per overlapping pair: (col_a, col_b, n_a, n_b, n_common,
+    *         containment_a — |∩|/n_a, containment_b, jaccard) round 6
+    */
+  def joinability(
+      left: DataFrame,
+      leftCols: Seq[String],
+      right: DataFrame,
+      rightCols: Seq[String]): DataFrame = {
+    require(leftCols.nonEmpty && rightCols.nonEmpty, "no columns given")
+    def dict(df: DataFrame, cols: Seq[String], side: String): DataFrame =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(c).as(side), col(c).cast("string").as("__v"))): _*))
+          .as("s"))
+        .select(col(s"s.$side").as(side), col("s.__v").as("__v"))
+        .filter(col("__v").isNotNull)
+        .distinct()
+        .localCheckpoint(true) // feeds its per-column count + the join
+    val va = dict(left, leftCols, "col_a")
+    val vb = dict(right, rightCols, "col_b")
+    val na = va.groupBy(col("col_a")).agg(count(lit(1)).as("n_a"))
+    val nb = vb.groupBy(col("col_b")).agg(count(lit(1)).as("n_b"))
+    va.join(vb, Seq("__v"))
+      .groupBy(col("col_a"), col("col_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(na), Seq("col_a"))
+      .join(broadcast(nb), Seq("col_b"))
+      .select(col("col_a"), col("col_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") / col("n_a").cast("double"),
+          6).as("containment_a"),
+        round(col("n_common").cast("double") / col("n_b").cast("double"),
+          6).as("containment_b"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Candidate-key discovery — the uniqueness profile that decides which
     * column combos can serve as join/partition/dedup keys: for each
     * declared combo, row count, distinct-tuple count, duplicate mass, the

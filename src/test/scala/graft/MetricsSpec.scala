@@ -769,6 +769,23 @@ class MetricsSpec extends SparkSpec {
       ("b", 4L, 1L, 3L, -0.847298, 0.338919)))
   }
 
+  test("joinability: exact value-set overlaps, string-compared across " +
+      "types, NULLs never join, zero-overlap pairs absent") {
+    val l = Seq((Some(1L), "x"), (Some(2L), "y"), (Some(3L), "x"),
+      (None, "y")).toDF("id", "tag")
+    // right-side ids are STRINGS — the int 2 and the string "2" must join
+    val r = Seq(("2", "y"), ("3", "z"), ("4", "y")).toDF("rid", "tag2")
+    val got = Metrics.joinability(l, Seq("id", "tag"), r,
+        Seq("rid", "tag2"))
+      .orderBy("col_a", "col_b").collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6),
+        x.getDouble(7)))
+    assert(got.toSeq == Seq(
+      ("id", "rid", 3L, 3L, 2L, 0.666667, 0.666667, 0.5),
+      ("tag", "tag2", 2L, 2L, 1L, 0.5, 0.5, 0.333333)))
+  }
+
   test("riProfile: orphans, NULL FKs, and unreferenced parents counted " +
       "exactly; NULL FK excluded from the orphan-rate denominator") {
     // child keys [1,1,2,3,NULL], parent keys [1,2,4]:
