@@ -1954,6 +1954,13 @@ object SparkEntry {
       Events.seasonalityIndex(t(s, dir, "events"))
         .orderBy(col("event_type"), col("hour"))),
 
+    // ---- effective sample size of selection weights -------------------------
+    // Kish ESS over length-proportional weights — the degenerate-weights
+    // alarm a DSIR/temperature reweighting run reads before training.
+    "ess_weights_docs" -> ((s, dir) =>
+      graft.metrics.Metrics.effectiveSampleSize(
+        t(s, dir, "documents"), "n_chars")),
+
     // ---- joinability discovery (which column pairs CAN join) ---------------
     // Value-overlap between orders and customer columns — the FK edge
     // riProfile audits is the one this report discovers.
@@ -9999,6 +10006,25 @@ object SparkEntry {
         |    / CAST(CAST(n AS HUGEINT) * st AS DOUBLE), 6) AS season_index
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, hour""".stripMargin,
+
+    "ess_weights_docs" ->
+      """WITH b AS (
+        |  SELECT CAST(n_chars AS HUGEINT) AS w FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(w) AS sw, SUM(w * w) AS sww, MAX(w) AS mx FROM b)
+        |SELECT n, CAST(sw AS BIGINT) AS sum_w,
+        |  CASE WHEN sww > 0 THEN
+        |    ROUND((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+        |      / CAST(sww AS DOUBLE), 6) END AS ess,
+        |  CASE WHEN sww > 0 THEN
+        |    ROUND((CAST(sw AS DOUBLE) * CAST(sw AS DOUBLE))
+        |      / CAST(sww AS DOUBLE) / CAST(n AS DOUBLE), 6)
+        |  END AS ess_frac,
+        |  CASE WHEN sw > 0 THEN
+        |    ROUND(CAST(mx AS DOUBLE) / CAST(sw AS DOUBLE), 6)
+        |  END AS max_w_share
+        |FROM s""".stripMargin,
 
     // values compare as strings (cross-type joinability is the point);
     // only pairs with >=1 shared value appear

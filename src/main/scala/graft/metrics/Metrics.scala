@@ -1591,6 +1591,40 @@ object Metrics {
           .as("salt_factor"))
   }
 
+  /** Effective sample size of an importance-weight column — the
+    * degenerate-weights alarm for every weighted-selection scheme
+    * ([[graft.scale.TextAnalysis]]'s DSIR/DoReMi/temperature weights):
+    * ESS = (Σw)²/Σw² (Kish). ESS ≈ n means the weights are nearly
+    * uniform (the reweighting does nothing); ESS ≪ n means a handful of
+    * rows dominate — the selection is really sampling a tiny corpus and
+    * variance explodes. max_w_share names how bad the worst row is.
+    *
+    * Exactness: weights enter as integer micro-units (the caller's
+    * contract — the repo's weight producers are exact integers or
+    * micro-quantized); Σw and Σw² accumulate as DECIMAL(38,0), so the
+    * two closing divisions are the only float ops (round 6).
+    *
+    * @return ONE row: (n, sum_w, ess, ess_frac, max_w_share)
+    */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame = {
+    val w = col(weightCol).cast("decimal(38,0)")
+    df.filter(col(weightCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(w).as("__sw"), sum(w * w).as("__sww"),
+        max(w).as("__mx"))
+      .select(col("n"), col("__sw").cast("long").as("sum_w"),
+        when(col("__sww") > 0, round(
+          (col("__sw").cast("double") * col("__sw").cast("double")) /
+            col("__sww").cast("double"), 6)).as("ess"),
+        when(col("__sww") > 0, round(
+          (col("__sw").cast("double") * col("__sw").cast("double")) /
+            col("__sww").cast("double") / col("n").cast("double"), 6))
+          .as("ess_frac"),
+        when(col("__sw") > 0, round(
+          col("__mx").cast("double") / col("__sw").cast("double"), 6))
+          .as("max_w_share"))
+  }
+
   /** Joinability / FK-candidate discovery (the Aurum-style profiler) —
     * the DISCOVERY complement to [[riProfile]] (which audits DECLARED
     * edges): for every column pair between two tables, the exact

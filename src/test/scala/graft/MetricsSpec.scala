@@ -769,6 +769,53 @@ class MetricsSpec extends SparkSpec {
       ("b", 4L, 1L, 3L, -0.847298, 0.338919)))
   }
 
+  test("effectiveSampleSize: uniform weights -> ESS = n; one dominant " +
+      "weight collapses it (hand-computed Kish)") {
+    val uni = Seq(5L, 5L, 5L, 5L).map(Tuple1(_)).toDF("w")
+    val u = Metrics.effectiveSampleSize(uni, "w").collect().head
+    assert(u.getLong(0) == 4L && u.getDouble(2) == 4.0 &&
+      u.getDouble(3) == 1.0 && u.getDouble(4) == 0.25)
+    // weights [97, 1, 1, 1]: sw = 100, sww = 9412 -> ESS = 10000/9412
+    val dom = Seq(97L, 1L, 1L, 1L).map(Tuple1(_)).toDF("w")
+    val d = Metrics.effectiveSampleSize(dom, "w").collect().head
+    assert(d.getDouble(2) == 1.062473 && d.getDouble(4) == 0.97)
+  }
+
+  test("round-9 panels are total on EMPTY input: no throw, sane shapes") {
+    val e0 = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("a",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("b",
+            org.apache.spark.sql.types.StringType))))
+    // cell-dictionary ops collapse to zero rows
+    assert(Metrics.assocPanel(e0, Seq(("p", "a", "b"))).count() == 0L)
+    assert(Metrics.keyCandidates(e0, Seq(("k", Seq("k")))).count() == 0L)
+    assert(Metrics.conformanceProfile(e0,
+      Seq(("r", "a", "^x$"))).count() == 0L)
+    assert(Metrics.corrMatrix(e0, Seq(("p", "k", "k"))).count() == 0L)
+    assert(Metrics.woeIv(e0, "a", "b").count() == 0L)
+    assert(Metrics.lDiversity(e0, Seq("a"), "b", Seq(2)).count() == 0L)
+    assert(Metrics.joinability(e0, Seq("a"), e0, Seq("b")).count() == 0L)
+    // 1-row reports stay 1-row with NULL/zero stats, never a throw
+    assert(Metrics.effectiveSampleSize(e0, "k").count() == 1L)
+    assert(Metrics.cohensKappa(e0, "a", "b").count() == 1L)
+    assert(graft.scale.Skew.joinCardinality(e0, "k", e0, "k")
+      .count() == 1L)
+    assert(Metrics.riProfile(Seq(("e", e0, "k", e0, "k"))).count() == 1L)
+    assert(graft.scale.Dedup.survivorship(e0, "k",
+      Seq(("a", "mode"))).count() == 0L)
+    assert(graft.scale.Dedup.blockingQuality(
+      e0.select(col("k").as("id_a"), col("k").as("id_b")),
+      e0.select(col("k").as("id_a"), col("k").as("id_b")), e0)
+      .count() == 1L)
+    assert(Metrics.skewProfile(e0, Seq("k"), 8).count() <= 1L)
+  }
+
   test("joinability: exact value-set overlaps, string-compared across " +
       "types, NULLs never join, zero-overlap pairs absent") {
     val l = Seq((Some(1L), "x"), (Some(2L), "y"), (Some(3L), "x"),
