@@ -449,6 +449,19 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- index quality beyond recall: rank-biased overlap -------------------
+    // Same exact-vs-IVF comparison as ann_recall, but depth-weighted:
+    // right neighbors in the wrong ORDER score below a nailed head.
+    "rbo_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.rankBiasedOverlap(
+          Similarity.bruteForceTopK(q, e, "vec_id", "embedding", 10),
+          Similarity.ivfTopK(q, e, "vec_id", "embedding", 10, 100),
+          10)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- scale: one Lloyd iteration, oracle-exact (quantized L2 argmin) ----
     // Assignment by exact-integer squared L2 over quantized vectors (native
     // l2Sq kernel), deterministic ties → lowest centroid; centroid update as
@@ -6633,6 +6646,75 @@ object SparkEntry {
         |  c.ts AS asof_ts, c.value AS asof_value
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND c.ts <= p.pts
         |ORDER BY p.event_id""".stripMargin,
+
+    // exact and IVF rankings composed, per-item depth fold, decimal-
+    // summed p^(d-1)/d terms, scaffold-folded weight mass
+    "rbo_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |ex AS (
+        |  SELECT query_id, cand_id, rk FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cs DESC, cand_id) AS rk
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        list_dot_product(q.v, c.v)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |            * list_dot_product(c.v, c.v)) AS cs
+        |      FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        |      WHERE q.vec_id < 5))
+        |  WHERE rk <= 10),
+        |cents AS (
+        |  SELECT vec_id AS centroid_id, v AS centv FROM qv
+        |  WHERE vec_id % 100 = 0),
+        |asn AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT q.vec_id, c.centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        |        list_dot_product(q.v, c.centv)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |                 * list_dot_product(c.centv, c.centv)) DESC,
+        |        c.centroid_id) AS crk
+        |    FROM qv q, cents c)
+        |  WHERE crk = 1),
+        |ap AS (
+        |  SELECT query_id, cand_id, rk FROM (
+        |    SELECT query_id, cand_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cs DESC, cand_id) AS rk
+        |    FROM (
+        |      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+        |        list_dot_product(q.v, c.v)
+        |          / sqrt(list_dot_product(q.v, q.v)
+        |            * list_dot_product(c.v, c.v)) AS cs
+        |      FROM qv q
+        |      JOIN asn a1 ON q.vec_id = a1.vec_id AND q.vec_id < 5
+        |      JOIN asn a2 ON a2.centroid_id = a1.centroid_id
+        |      JOIN qv c ON c.vec_id = a2.vec_id AND c.vec_id <> q.vec_id))
+        |  WHERE rk <= 10),
+        |common AS (
+        |  SELECT ex.query_id, ex.cand_id,
+        |    GREATEST(ex.rk, ap.rk) AS m
+        |  FROM ex JOIN ap USING (query_id, cand_id)),
+        |num AS (
+        |  SELECT query_id,
+        |    CAST(COUNT(DISTINCT cand_id) AS BIGINT) AS n_common,
+        |    SUM(CAST(pow(0.9, d - 1) / d AS DECIMAL(38,12))) AS nm
+        |  FROM common, UNNEST(range(1, 11)) AS u(d)
+        |  WHERE d >= m GROUP BY query_id),
+        |den AS (
+        |  SELECT SUM(CAST(pow(0.9, d - 1) AS DECIMAL(38,12))) AS dn
+        |  FROM UNNEST(range(1, 11)) AS u(d))
+        |SELECT q.query_id,
+        |  COALESCE(n_common, 0) AS n_common,
+        |  ROUND(CAST(COALESCE(nm, 0) AS DOUBLE) / CAST(dn AS DOUBLE), 6)
+        |    AS rbo
+        |FROM (SELECT DISTINCT query_id FROM ex) q
+        |LEFT JOIN num USING (query_id), den
+        |ORDER BY query_id""".stripMargin,
 
     "ivf_topk_embeddings" ->
       """WITH qv AS (

@@ -1499,6 +1499,63 @@ object Similarity {
     }.reduce(_ unionByName _)
   }
 
+  /** Truncated rank-biased overlap (Webber et al., TOIS 2010) between
+    * two per-query rankings — the index-quality metric [[recallAtK]]
+    * cannot see: recall@k treats the top-k as a SET; RBO weights
+    * agreement by depth (p^(d−1)), so an index that returns the right
+    * ten neighbors in the wrong order scores below one that nails the
+    * head. The standard "is the ANN index good where it matters" number.
+    *
+    * Definition (truncated, normalized): with A_d = |S_d ∩ T_d| / d the
+    * agreement at depth d, rbo = Σ_{d≤k} p^(d−1)·A_d / Σ_{d≤k} p^(d−1) —
+    * 1.0 for identical prefixes, 0.0 for disjoint lists. An item common
+    * to both lists with ranks (ra, rb) enters every intersection from
+    * depth max(ra, rb), so the numerator folds per item with NO per-depth
+    * set materialization. Per-term doubles cast to DECIMAL(38,12) and
+    * summed exactly (the assocPanel discipline — a 1-ulp pow difference
+    * dies at the 12th decimal, and partial-agg order cannot move the
+    * result); the weight-mass denominator folds from a literal scaffold
+    * through the same cast, never a driver-side float constant.
+    *
+    * Inputs are ranking relations (query_id, cand_id, rk) — the
+    * [[bruteForceTopK]] / [[ivfTopK]] shape.
+    *
+    * @return per query: (query_id, n_common, rbo — round 6; queries with
+    *         no common item emit 0.0)
+    */
+  def rankBiasedOverlap(
+      exact: DataFrame,
+      approx: DataFrame,
+      k: Int,
+      p: Double = 0.9): DataFrame = {
+    require(k >= 1, s"bad depth $k")
+    require(p > 0.0 && p < 1.0, s"bad persistence $p")
+    val a = exact.filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk").as("__ra"))
+    val b = approx.filter(col("rk") <= k)
+      .select(col("query_id"), col("cand_id"), col("rk").as("__rb"))
+    val num = a.join(b, Seq("query_id", "cand_id"))
+      .withColumn("__m",
+        greatest(col("__ra"), col("__rb")).cast("int"))
+      .withColumn("__d", explode(sequence(col("__m"), lit(k))))
+      .groupBy(col("query_id"))
+      .agg(count_distinct(col("cand_id")).as("n_common"),
+        sum((pow(lit(p), col("__d") - 1) / col("__d"))
+          .cast("decimal(38,12)")).as("__num"))
+    val den = exact.sparkSession.range(1)
+      .select(explode(sequence(lit(1), lit(k))).as("__d"))
+      .agg(sum(pow(lit(p), col("__d") - 1).cast("decimal(38,12)"))
+        .as("__den"))
+    exact.select(col("query_id")).distinct()
+      .join(num, Seq("query_id"), "left")
+      .crossJoin(broadcast(den))
+      .select(col("query_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        round(coalesce(col("__num"),
+          lit(0).cast("decimal(38,12)")).cast("double") /
+          col("__den").cast("double"), 6).as("rbo"))
+  }
+
   /** Density-based clustering (DBSCAN, Ester 1996) over embedding cosine
     * similarity — the clustering the k-means family cannot do: cluster
     * count emerges from density, irregular shapes survive, and sparse

@@ -1794,6 +1794,25 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0.0), (2L, 1L, 1.0)))
   }
 
+  test("rankBiasedOverlap: identical lists 1.0, disjoint 0.0, reversed " +
+      "order hand-computed (depth-weighted, not set recall)") {
+    import spark.implicits._
+    def rel(rows: Seq[(Long, String, Int)]) =
+      rows.toDF("query_id", "cand_id", "rk")
+    val ex = rel(Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "a", 1), (2L, "b", 2), (2L, "c", 3),
+      (3L, "a", 1), (3L, "b", 2), (3L, "c", 3)))
+    val ap = rel(Seq((1L, "a", 1), (1L, "b", 2), (1L, "c", 3),
+      (2L, "x", 1), (2L, "y", 2), (2L, "z", 3),
+      (3L, "c", 1), (3L, "b", 2), (3L, "a", 3)))
+    val got = Similarity.rankBiasedOverlap(ex, ap, 3)
+      .orderBy("query_id").as[(Long, Long, Double)].collect().toSeq
+    // q3: X = [0, 1, 3] -> num = 0.9·(1/2) + 0.81·1 = 1.26,
+    // den = 2.71 -> 0.464945; set recall would call q3 perfect
+    assert(got == Seq((1L, 3L, 1.0), (2L, 0L, 0.0),
+      (3L, 3L, 0.464945)))
+  }
+
   test("dbscanClusters: chain cores/borders, two components, noise " +
       "omitted; labels = min member id") {
     import spark.implicits._
