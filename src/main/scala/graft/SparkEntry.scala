@@ -1967,6 +1967,17 @@ object SparkEntry {
       Events.seasonalityIndex(t(s, dir, "events"))
         .orderBy(col("event_type"), col("hour"))),
 
+    // ---- Neyman optimal allocation (survey-sampling design) -----------------
+    // 1000 samples split across order-priority strata by N_h·σ_h —
+    // big AND variable strata deserve samples; largest-remainder
+    // integerization with declared tiebreaks.
+    "neyman_alloc_orders" -> ((s, dir) =>
+      graft.sample.Samplers.neymanAllocation(t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+        "o_orderpriority", "cents", 1000L)
+        .orderBy(col("stratum"))),
+
     // ---- effective sample size of selection weights -------------------------
     // Kish ESS over length-proportional weights — the degenerate-weights
     // alarm a DSIR/temperature reweighting run reads before training.
@@ -10088,6 +10099,48 @@ object SparkEntry {
         |    / CAST(CAST(n AS HUGEINT) * st AS DOUBLE), 6) AS season_index
         |FROM h JOIN t USING (event_type)
         |ORDER BY event_type, hour""".stripMargin,
+
+    // mirrored doubles throughout; weight mass as exact DECIMAL(38,6);
+    // largest-remainder ranks tie-broken on the stratum key
+    "neyman_alloc_orders" ->
+      """WITH b AS (
+        |  SELECT o_orderpriority AS stratum,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |s AS (
+        |  SELECT COALESCE(CAST(stratum AS VARCHAR), 'NULL') AS stratum,
+        |    CAST(COUNT(*) AS BIGINT) AS n_h,
+        |    SUM(CAST(v AS HUGEINT)) AS sv,
+        |    SUM(CAST(v AS HUGEINT) * v) AS svv
+        |  FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT stratum, n_h,
+        |    sqrt(GREATEST(
+        |      CAST(CAST(n_h AS HUGEINT) * svv - sv * sv AS DOUBLE)
+        |        / (CAST(n_h AS DOUBLE) * CAST(n_h AS DOUBLE)), 0.0))
+        |      AS sd
+        |  FROM s),
+        |ww AS (SELECT *, CAST(n_h AS DOUBLE) * sd AS wt FROM w),
+        |tot AS (SELECT SUM(CAST(wt AS DECIMAL(38,6))) AS sw FROM ww),
+        |r AS (
+        |  SELECT stratum, n_h, sd,
+        |    CASE WHEN sw > 0 THEN 1000.0 * wt / CAST(sw AS DOUBLE)
+        |      ELSE 0.0 END AS share, sw
+        |  FROM ww, tot),
+        |f AS (
+        |  SELECT *, CAST(FLOOR(share) AS BIGINT) AS fl,
+        |    share - FLOOR(share) AS frac
+        |  FROM r),
+        |rk AS (
+        |  SELECT *, ROW_NUMBER() OVER (ORDER BY frac DESC, stratum ASC)
+        |    AS rnk, (SELECT 1000 - SUM(fl) FROM f) AS l
+        |  FROM f)
+        |SELECT stratum, n_h, ROUND(sd, 6) AS sd,
+        |  CAST(fl + CASE WHEN sw > 0 AND rnk <= l THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc,
+        |  fl + CASE WHEN sw > 0 AND rnk <= l THEN 1 ELSE 0 END > n_h
+        |    AS over_allocated
+        |FROM rk ORDER BY stratum""".stripMargin,
 
     "ess_weights_docs" ->
       """WITH b AS (

@@ -475,4 +475,74 @@ object Samplers {
       Seq("round_idx" -> false, bucketCol -> false, keyCol -> false),
       "position")
   }
+
+  /** Neyman optimal allocation (Neyman 1934, the survey-sampling design
+    * standard): split a sample budget across strata proportionally to
+    * N_h·σ_h — big AND variable strata deserve samples; a huge constant
+    * stratum deserves almost none. The statistically-weighted sibling of
+    * [[graft.scale.TextAnalysis.unimaxAllocate]]'s uniform waterfall and
+    * the design step BEFORE [[stratifiedDeterministic]] draws.
+    *
+    * Determinism: per-stratum moments are exact DECIMAL sums; σ_h (the
+    * population sd, n divisor) and the real-valued shares are mirrored
+    * fixed-order doubles; integerization is LARGEST REMAINDER — floors
+    * plus one extra to the L largest fractional parts (ties to the
+    * smaller stratum key via [[graft.core.Bounded.withRank]], never a
+    * float-only order). Zero-variance strata get weight 0 (the Neyman
+    * optimum — sampling a constant teaches nothing); if ALL strata are
+    * constant the weights degenerate and every alloc is 0 (declared —
+    * callers wanting a floor compose one).
+    *
+    * Scale: one corpus hash-agg to the stratum dictionary; everything
+    * after is dictionary-scale (the unimax convention).
+    *
+    * @param valCol exact integer value column (cents convention)
+    * @return (stratum, n_h, sd, alloc, over_allocated) — sd round 6;
+    *         over_allocated flags alloc > n_h (a with-replacement design
+    *         signal)
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      strataCol: String,
+      valCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0L, s"bad budget $budget")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val strata = df
+      .select(coalesce(col(strataCol).cast("string"), lit("NULL"))
+        .as("stratum"), col(valCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_h"),
+        sum(d(col("__v"))).as("__s"),
+        sum(d(col("__v")) * d(col("__v"))).as("__ss"))
+      .withColumn("__var",
+        (d(col("n_h")) * col("__ss") - col("__s") * col("__s"))
+          .cast("double") /
+          (col("n_h").cast("double") * col("n_h").cast("double")))
+      .withColumn("__sd", sqrt(greatest(col("__var"), lit(0.0))))
+      .withColumn("__w", col("n_h").cast("double") * col("__sd"))
+    // weight mass sums as DECIMAL(38,6) — a raw double Σ across strata
+    // would be partial-aggregation-order-dependent (the assocPanel rule)
+    val tot = strata.agg(sum(col("__w").cast("decimal(38,6)"))
+      .as("__sw"))
+    val real = strata.crossJoin(broadcast(tot))
+      .withColumn("__share",
+        when(col("__sw") > 0, lit(budget.toDouble) * col("__w") /
+          col("__sw").cast("double")).otherwise(lit(0.0)))
+      .withColumn("__floor", floor(col("__share")).cast("long"))
+      .withColumn("__frac", col("__share") - col("__floor"))
+    val ranked = graft.core.Bounded.withRank(real,
+      Seq(("__frac", true), ("stratum", false)), "__rk")
+    val left = ranked.agg((lit(budget) - sum(col("__floor"))).as("__l"))
+    // degenerate all-constant case: weights 0 → no leftover distribution
+    // (every alloc stays 0), per the declared semantics
+    val extra = when(col("__sw") > 0 && col("__rk") <= col("__l"), 1L)
+      .otherwise(0L)
+    ranked.crossJoin(broadcast(left))
+      .select(col("stratum"), col("n_h"),
+        round(col("__sd"), 6).as("sd"),
+        (col("__floor") + extra).as("alloc"),
+        (col("__floor") + extra > col("n_h")).as("over_allocated"))
+  }
 }

@@ -213,4 +213,29 @@ class SamplersSpec extends SparkSpec {
     // positions are (round, bucket)-lexicographic
     assert(got.sortBy(r => (r._2, r._3)).map(_._1).toSeq == (1 to 9))
   }
+
+  test("neymanAllocation: N_h*sd weighting, largest-remainder, zero-" +
+      "variance strata get zero, over-allocation flagged") {
+    import spark.implicits._
+    // A: [0, 200] -> sd 100, w 200; B: [100]x3 -> sd 0, w 0;
+    // C: [0, 100] -> sd 50, w 100. Budget 10: shares A 6.67 / C 3.33 ->
+    // floors 6/3, leftover 1 to A (largest frac) -> 7/0/3; A and C
+    // over-allocate past their populations (with-replacement signal)
+    val df = (Seq(0L, 200L).map(("A", _)) ++
+      Seq(100L, 100L, 100L).map(("B", _)) ++
+      Seq(0L, 100L).map(("C", _))).toDF("g", "v")
+    val got = graft.sample.Samplers.neymanAllocation(df, "g", "v", 10L)
+      .orderBy("stratum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 100.0, 7L, true),
+      ("B", 3L, 0.0, 0L, false),
+      ("C", 2L, 50.0, 3L, true)))
+    // all-constant degenerate: every alloc 0, nothing distributed
+    val flat = Seq(("X", 5L), ("X", 5L), ("Y", 5L)).toDF("g", "v")
+    val z = graft.sample.Samplers.neymanAllocation(flat, "g", "v", 4L)
+      .collect().map(_.getLong(3)).sum
+    assert(z == 0L)
+  }
 }
