@@ -862,6 +862,64 @@ object ScaleCheck {
         // one hash-agg to the (type, hour) dictionary + totals fold
         (d: DataFrame) => graft.scale.Events.seasonalityIndex(d),
         events, "event_id", None),
+      ("l_diversity",
+        // one (class, sensitive) cell hash-agg + class-dictionary fold
+        (d: DataFrame) => graft.metrics.Metrics.lDiversity(
+          d.withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5)),
+        customer, "c_custkey", None),
+      ("blocking_quality",
+        // two pair-distinct aggs + one pair-keyed hit join; pair mass is
+        // the blockers', not the operator's. Blocking keys carry the
+        // copy index (the saltTextCol principle): without it the copies
+        // SHARE brand/size keys and candidate mass grows quadratically
+        // in N — a fixture artifact, not the measured scaling (12.0 →
+        // measured below with per-copy keys)
+        (d: DataFrame) => {
+          val p = d.select(col("p_partkey").as("id"),
+            concat(col("p_brand"), lit("#"),
+              expr("p_partkey div 10000000")).as("p_brand"),
+            concat(col("p_type"), lit("#"),
+              expr("p_partkey div 10000000")).as("p_type"),
+            col("p_size"))
+          val cand = p.select(col("id").as("id_a"), col("p_brand"),
+              col("p_size"))
+            .join(p.select(col("id").as("id_b"), col("p_brand"),
+              col("p_size")), Seq("p_brand", "p_size"))
+            .filter(col("id_a") < col("id_b"))
+          val gold = p.select(col("id").as("id_a"), col("p_type"),
+              col("p_size"))
+            .join(p.select(col("id").as("id_b"), col("p_type"),
+              col("p_size")), Seq("p_type", "p_size"))
+            .filter(col("id_a") < col("id_b"))
+          Dedup.blockingQuality(cand, gold, p)
+        },
+        part, "p_partkey", None),
+      ("ess",
+        // one decimal-moment aggregate
+        (d: DataFrame) => graft.metrics.Metrics.effectiveSampleSize(
+          d, "n_chars"),
+        docs, "doc_id", None),
+      ("neyman",
+        // one corpus hash-agg to the stratum dictionary + withRank
+        (d: DataFrame) => graft.sample.Samplers.neymanAllocation(
+          d.withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "o_orderpriority", "cents", 1000L),
+        orders, "o_orderkey", None),
+      ("rbo",
+        // candidate side scales 8x; the brute ranking is the documented
+        // exact baseline, the IVF side cell-probes
+        (d: DataFrame) => {
+          val q = d.filter(col("vec_id") < 5)
+          Similarity.rankBiasedOverlap(
+            Similarity.bruteForceTopK(q, d, "vec_id", "embedding", 10),
+            Similarity.ivfTopK(q, d, "vec_id", "embedding", 10, 100), 10)
+        },
+        embeddings, "vec_id", Some("embedding")),
       ("joinability",
         // per table: explode + distinct (column-dictionary mass); one
         // value-keyed join with |colsA|·|colsB|-bounded fan-out
