@@ -388,6 +388,15 @@ object SparkEntry {
           round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- LSH tuning advisor: expected recall of (b=4, r=2) on THIS
+    // corpus's near-dup pair population, per similarity decile -------------
+    "lsh_tuning_docs" -> ((s, dir) =>
+      Dedup.lshRecallEstimate(
+          Dedup.ngramJaccardPairs(
+            t(s, dir, "documents"), "doc_id", "text", 3, 0.2, 100),
+          4, 2)
+        .orderBy(col("bucket"))),
+
     // ---- scale: SimHash near-dup pairs (oracle: DuckDB '0x..' hex cast) ---
     "simhash_pairs_docs" -> ((s, dir) =>
       Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", 20, 8)
@@ -5777,6 +5786,41 @@ object SparkEntry {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the jaccard pair population folded through the (b, r) S-curve
+    "lsh_tuning_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |keep AS (
+        |  SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= 100),
+        |f AS (SELECT s.* FROM sh s JOIN keep k ON s.sh = k.sh),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM f GROUP BY doc_id),
+        |common AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+        |  FROM f a JOIN f b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |prs AS (
+        |  SELECT ROUND(CAST(n_common AS DOUBLE)
+        |    / (sa.sz + sb.sz - n_common), 6) AS s
+        |  FROM common
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_common AS DOUBLE)
+        |    / (sa.sz + sb.sz - n_common) >= 0.2),
+        |pd AS (
+        |  SELECT CAST(FLOOR(s * 10) AS BIGINT) AS bucket,
+        |    CAST(1.0 - pow(1.0 - pow(s, 2), 4) AS DECIMAL(38,12)) AS p
+        |  FROM prs)
+        |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(SUM(p) AS DOUBLE), 6) AS expected_detected,
+        |  ROUND(CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+        |    AS expected_recall
+        |FROM pd GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // SimHash: 60-bit sig from the first 15 md5 hex chars per token
     // (DuckDB parses '0x…' string casts to BIGINT — same value Spark gets

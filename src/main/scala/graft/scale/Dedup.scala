@@ -1753,6 +1753,43 @@ object Dedup {
     * @return ONE row: (n_records, n_cand, n_gold, n_hit,
     *         pair_completeness, reduction_ratio) — both rates round 6
     */
+  /** LSH configuration advisor: the expected recall of a (bands, rows)
+    * MinHash-LSH config ON THIS CORPUS's observed near-dup pair
+    * population — the number that picks b/r before a 100 TB dedup run.
+    * For a pair with Jaccard s, the classic detection probability is
+    * P(s) = 1 − (1 − s^rows)^bands; folding it over the exact pair
+    * similarities ([[ngramJaccardPairs]]' relation) per similarity decile
+    * shows WHERE the S-curve loses pairs (the textbook curve alone says
+    * nothing about how much mass sits in the miss region).
+    *
+    * Determinism: s enters pre-rounded to 6 decimals (the pair relation's
+    * emitted value); P(s) is one mirrored fixed-order double per pair,
+    * summed as DECIMAL(38,12) (the assocPanel rule).
+    *
+    * @param pairs (…, jaccard) — a near-dup pair relation with exact
+    *              similarities (already thresholded by its generator;
+    *              this estimates recall of the ≥ threshold population)
+    * @return per decile bucket: (bucket — floor(s·10), n_pairs,
+    *         expected_detected, expected_recall — round 6)
+    */
+  def lshRecallEstimate(
+      pairs: DataFrame,
+      bands: Int,
+      rows: Int): DataFrame = {
+    require(bands >= 1 && rows >= 1, s"bad config ($bands, $rows)")
+    val s = round(col("jaccard"), 6)
+    val p = lit(1.0) - pow(lit(1.0) - pow(s, rows), bands)
+    pairs
+      .select(floor(s * 10).cast("long").as("bucket"),
+        p.cast("decimal(38,12)").as("__p"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__p")).as("__sp"))
+      .select(col("bucket"), col("n_pairs"),
+        round(col("__sp").cast("double"), 6).as("expected_detected"),
+        round(col("__sp").cast("double") / col("n_pairs").cast("double"),
+          6).as("expected_recall"))
+  }
+
   def blockingQuality(
       candidates: DataFrame,
       gold: DataFrame,

@@ -1794,6 +1794,21 @@ class ScaleSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 0.0), (2L, 1L, 1.0)))
   }
 
+  test("lshRecallEstimate: hand-computed S-curve fold per decile") {
+    import spark.implicits._
+    // P(s) = 1 − (1 − s²)⁴ at (b=4, r=2):
+    // bucket 2 holds s ∈ {0.2, 0.25}: 0.150653 + 0.227524 → 0.378177,
+    // recall 0.189089; bucket 9 holds 0.95 → 0.99991
+    val pairs = Seq((1L, 2L, 0.2), (3L, 4L, 0.25), (5L, 6L, 0.95))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.lshRecallEstimate(pairs, 4, 2)
+      .orderBy("bucket").as[(Long, Long, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (2L, 2L, 0.378177, 0.189089),
+      (9L, 1L, 0.99991, 0.99991)))
+  }
+
   test("rankBiasedOverlap: identical lists 1.0, disjoint 0.0, reversed " +
       "order hand-computed (depth-weighted, not set recall)") {
     import spark.implicits._
