@@ -870,6 +870,15 @@ object ScaleCheck {
               " div 100000")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5)),
         customer, "c_custkey", None),
+      ("t_closeness",
+        // one (class, value) cell hash-agg + dictionary-scale scaffold fold
+        (d: DataFrame) => graft.metrics.Metrics.tCloseness(
+          d.withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band",
+          Seq(150000L, 250000L, 500000L)),
+        customer, "c_custkey", None),
       ("blocking_quality",
         // two pair-distinct aggs + one pair-keyed hit join; pair mass is
         // the blockers', not the operator's. Blocking keys carry the

@@ -1866,6 +1866,40 @@ object SparkEntry {
         .orderBy(col("l"))
     }),
 
+    // ---- t-closeness panel (skewness-attack screen) -------------------------
+    // The third privacy rung: per (nation, segment) class, the ordered EMD
+    // between its balance-band distribution and the table's — l-diverse
+    // classes still leak when their sensitive DISTRIBUTION skews far from
+    // the global one. Exact-integer cumulative differences, cross-
+    // multiplied threshold tests (t = 0.15 / 0.25 / 0.5).
+    "t_closeness_customer" -> ((s, dir) =>
+      graft.metrics.Metrics.tCloseness(t(s, dir, "customer")
+          .withColumn("bal_band",
+            expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+              " div 100000")),
+        Seq("c_nationkey", "c_mktsegment"), "bal_band",
+        Seq(150000L, 250000L, 500000L))
+        .orderBy(col("t"))),
+
+    // ---- STREAMING t-closeness ((class, ordered sensitive) cell state) -----
+    "streaming_t_closeness_customer" -> ((s, dir) => {
+      val batch = t(s, dir, "customer")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/customer*.parquet")
+        .withColumn("bal_band",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100000"))
+      val counts = graft.metrics.Metrics.tClosenessCounts(stream,
+        Seq("c_nationkey", "c_mktsegment"), "bal_band")
+      val name = "stream_tclose_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.metrics.Metrics.tClosenessFromCounts(drained,
+          Seq(150000L, 250000L, 500000L))
+        .orderBy(col("t"))
+    }),
+
     // ---- STREAMING seasonality index ((type, hour) count state) -------------
     "streaming_seasonality_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -4633,6 +4667,8 @@ object SparkEntry {
       ("streaming_user_entropy_events" -> m("user_entropy_events")),
       // l-diversity twin: (class, sensitive) cell state + panel fold
       ("streaming_l_diversity_customer" -> m("l_diversity_customer")),
+      // t-closeness twin: (class, ordered sensitive) cell state + EMD fold
+      ("streaming_t_closeness_customer" -> m("t_closeness_customer")),
       // seasonality twin: (type, hour) count state + index fold
       ("streaming_seasonality_events" -> m("seasonality_events")),
       // WOE twin: bin-count state + smoothed fold
@@ -10003,6 +10039,64 @@ object SparkEntry {
         |  ROUND(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
         |    AS risk_frac
         |FROM panel, tot ORDER BY l""".stripMargin,
+
+    // ordered EMD replayed in HUGEINT: the cumulative-difference sum over
+    // the class x value scaffold, thresholds in cross-multiplied integer
+    // form (the Spark side's exact arithmetic, mirrored)
+    "t_closeness_customer" ->
+      """WITH b AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      // 100000 AS sv
+        |  FROM customer),
+        |cells AS (
+        |  SELECT c_nationkey, c_mktsegment, sv,
+        |    CAST(COUNT(*) AS HUGEINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |gd AS (SELECT sv, CAST(SUM(c) AS HUGEINT) AS g
+        |  FROM cells GROUP BY 1),
+        |gtot AS (SELECT CAST(SUM(g) AS HUGEINT) AS n,
+        |  CAST(COUNT(*) AS HUGEINT) AS m FROM gd),
+        |cls AS (SELECT c_nationkey, c_mktsegment,
+        |  CAST(SUM(c) AS HUGEINT) AS sz FROM cells GROUP BY 1, 2),
+        |scaf AS (
+        |  SELECT cls.c_nationkey, cls.c_mktsegment, gd.sv, gd.g,
+        |    cls.sz, COALESCE(cells.c, 0) AS c
+        |  FROM cls CROSS JOIN gd
+        |  LEFT JOIN cells
+        |    ON cells.c_nationkey IS NOT DISTINCT FROM cls.c_nationkey
+        |    AND cells.c_mktsegment IS NOT DISTINCT FROM cls.c_mktsegment
+        |    AND cells.sv IS NOT DISTINCT FROM gd.sv),
+        |cum AS (
+        |  SELECT c_nationkey, c_mktsegment, sz,
+        |    SUM(c * n - g * sz) OVER (
+        |      PARTITION BY c_nationkey, c_mktsegment ORDER BY sv) AS d
+        |  FROM scaf, gtot),
+        |emd AS (
+        |  SELECT c_nationkey, c_mktsegment, MAX(sz) AS sz,
+        |    SUM(ABS(d)) AS num
+        |  FROM cum GROUP BY 1, 2),
+        |emd2 AS (
+        |  SELECT sz, num,
+        |    sz * n * (CASE WHEN m > 1 THEN m - 1 ELSE 1 END) AS den
+        |  FROM emd, gtot),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+        |  CAST(SUM(sz) AS BIGINT) AS n_rows,
+        |  ROUND(MAX(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)), 6)
+        |    AS max_emd FROM emd2),
+        |panel AS (
+        |  SELECT u.tm,
+        |    CAST(SUM(CASE WHEN num * 1000000 > u.tm * den
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS risk_classes,
+        |    CAST(SUM(CASE WHEN num * 1000000 > u.tm * den
+        |      THEN sz ELSE 0 END) AS BIGINT) AS risk_rows
+        |  FROM emd2, UNNEST([150000, 250000, 500000]) AS u(tm)
+        |  GROUP BY 1)
+        |SELECT ROUND(CAST(tm AS DOUBLE) / 1e6, 6) AS t, n_classes,
+        |  n_rows, max_emd, risk_classes, risk_rows,
+        |  ROUND(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS risk_frac
+        |FROM panel, tot ORDER BY t""".stripMargin,
 
     // anchored patterns keep rlike/regexp_matches on the shared subset
     "conformance_customer" ->

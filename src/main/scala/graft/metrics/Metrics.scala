@@ -868,6 +868,145 @@ object Metrics {
           col("n_rows").cast("double"), 6).as("risk_frac"))
   }
 
+  /** t-closeness panel (Li et al. ICDE'07) — the third rung of the
+    * privacy ladder after [[kAnonymity]] and [[lDiversity]]: a class can
+    * be l-diverse yet still leak when its sensitive-value DISTRIBUTION
+    * skews far from the table's (skewness attack — "diverse, but 90%
+    * positive"). Per class, the Earth Mover's Distance between the
+    * class's distribution over an ORDERED sensitive attribute and the
+    * global one; per threshold t, the classes (and row mass) whose EMD
+    * exceeds t.
+    *
+    * Ordered EMD with unit ground distance over m ordered values is the
+    * mean absolute cumulative difference (Li'07 §4.2):
+    * EMD = Σ_{i=1}^{m−1} |Σ_{j≤i} (p_j − q_j)| / (m−1). House
+    * exact-integer discipline: with class cell counts c_j (size sz) and
+    * global counts g_j (size n), p_j − q_j = (c_j·n − g_j·sz)/(sz·n), so
+    * the cumulative differences D_i = Σ_{j≤i}(c_j·n − g_j·sz) are exact
+    * integers (decimal-summed — sz·n alone is ~10¹⁰ at sf0.1) and the
+    * threshold test is the cross-multiplied integer comparison
+    * Σ|D_i| · tMicro' vs tMicro · sz·n·(m−1) — no float enters until the
+    * reported emd is rounded.
+    *
+    * Scale shape: ONE cell hash-aggregate over the corpus
+    * ([[tClosenessCounts]]), then everything folds on dictionaries: the
+    * global value dictionary (m rows, 1-row-broadcast totals), the class
+    * dictionary, and the class × value scaffold (|classes|·m rows — both
+    * factors dictionary-scale by construction; classes missing a value
+    * still contribute p_j = 0 mass, which the scaffold makes explicit).
+    * NULL sensitive values are ordinary domain values (sort first, the
+    * [[exactPercentiles]] null rule).
+    *
+    * @param tsMicro thresholds in micro-units (150000 = t 0.15)
+    * @return per t: (t, n_classes, n_rows, max_emd, risk_classes,
+    *         risk_rows, risk_frac) — t/max_emd/risk_frac rounded 6
+    */
+  def tCloseness(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      tsMicro: Seq[Long]): DataFrame =
+    tClosenessFromCounts(tClosenessCounts(df, quasiCols, sensitiveCol),
+      tsMicro)
+
+  /** [[tCloseness]]' state half: per-(class fingerprint, ordered
+    * sensitive value) counts — ONE associative aggregation over one scan
+    * (the [[lDiversityCounts]] convention, except the sensitive value
+    * stays a raw LONG: EMD needs its order, so it must not be
+    * fingerprinted). Legal Complete-mode streaming state at
+    * (class × value)-dictionary scale.
+    */
+  def tClosenessCounts(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "no quasi-identifier columns")
+    df.groupBy(md5(to_json(struct(quasiCols.map(col): _*))).as("__cls"),
+        col(sensitiveCol).cast("long").as("__sv"))
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The panel fold over [[tClosenessCounts]]' (drained) cell table —
+    * dictionary-scale throughout. tClosenessFromCounts ∘ tClosenessCounts
+    * = [[tCloseness]] by construction, so the streaming twin shares the
+    * batch oracle verbatim.
+    */
+  def tClosenessFromCounts(
+      cells: DataFrame,
+      tsMicro: Seq[Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(tsMicro.nonEmpty && tsMicro.forall(t => t > 0 && t < 1000000L),
+      s"bad t list $tsMicro")
+    val dec = "decimal(38,0)"
+    // the cell table is referenced three times below (value dictionary,
+    // class dictionary, cell lookup) — pin it once; it is
+    // (class × value)-dictionary scale
+    val cellsP = cells.localCheckpoint(true)
+    // global value dictionary: per-value mass g, corpus n, domain size m
+    val gdict = cellsP.groupBy(col("__sv"))
+      .agg(sum(col("__c")).cast(dec).as("__g"))
+    val gtot = gdict.agg(sum(col("__g")).cast(dec).as("__n"),
+      count(lit(1)).as("__m"))
+    // class dictionary
+    val cls = cellsP.groupBy(col("__cls"))
+      .agg(sum(col("__c")).cast(dec).as("__sz"))
+    // class × value scaffold (explicit zero cells), cumulative integer
+    // difference D_i per class in sensitive-value order
+    val wcum = Window.partitionBy(col("__cls")).orderBy(col("__sv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // scaffold ⟕ cells on a null-safe serialized value key (the
+    // welch/proportion convention — a NULL sensitive value is an ordinary
+    // domain value and must carry its cell mass through the equi-join);
+    // renamed join keys keep the three cell-derived branches' attribute
+    // ids disjoint (self-join disambiguation)
+    val cellsK = cellsP.select(col("__cls").as("__cls2"),
+      coalesce(col("__sv").cast("string"), lit("∅")).as("__k2"),
+      col("__c"))
+    val emd = cls.crossJoin(broadcast(gdict))
+      .withColumn("__k",
+        coalesce(col("__sv").cast("string"), lit("∅")))
+      .join(cellsK, col("__cls") === col("__cls2") &&
+        col("__k") === col("__k2"), "left")
+      .drop("__cls2", "__k2")
+      .na.fill(0L, Seq("__c"))
+      .crossJoin(broadcast(gtot))
+      .withColumn("__d", sum((col("__c").cast(dec) * col("__n") -
+        col("__g") * col("__sz")).cast(dec)).over(wcum))
+      .groupBy(col("__cls"))
+      // D_m ≡ 0 exactly (both sides sum to sz·n), so summing ALL |D_i|
+      // equals the i < m sum the formula names
+      .agg(sum(abs(col("__d"))).cast(dec).as("__num"),
+        first(col("__sz")).as("__sz"), first(col("__n")).as("__n"),
+        first(col("__m")).as("__m"))
+      // denominator sz·n·(m−1); m = 1 means a single-valued domain —
+      // every class matches the global distribution exactly (num ≡ 0)
+      .withColumn("__den",
+        (col("__sz") * col("__n") *
+          greatest(col("__m") - 1, lit(1)).cast(dec)).cast(dec))
+      .localCheckpoint(true) // class dictionary; feeds totals + the panel
+    val tot = emd.agg(count(lit(1)).as("n_classes"),
+      sum(col("__sz")).cast("long").as("n_rows"),
+      round(max(col("__num").cast("double") /
+        col("__den").cast("double")), 6).as("max_emd"))
+    emd
+      .select(explode(array(tsMicro.map(t => lit(t)): _*)).as("__t"),
+        col("__num"), col("__den"), col("__sz"))
+      // emd > t  ⇔  num · 1e6 > tMicro · den  (exact integer form)
+      .withColumn("__risk",
+        col("__num") * lit(1000000L).cast("decimal(38,0)") >
+          col("__t").cast("decimal(38,0)") * col("__den"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__risk"), 1L).otherwise(0L)).as("risk_classes"),
+        sum(when(col("__risk"), col("__sz").cast("long")).otherwise(0L))
+          .as("risk_rows"))
+      .crossJoin(broadcast(tot))
+      .select(round(col("__t").cast("double") / 1e6, 6).as("t"),
+        col("n_classes"), col("n_rows"), col("max_emd"),
+        col("risk_classes"), col("risk_rows"),
+        round(col("risk_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("risk_frac"))
+  }
+
   /** Population Stability Index drift panel — the model-monitoring
     * standard beside [[ksDrift]] (KS detects ANY distributional move and
     * saturates on huge samples; PSI localizes WHERE the mass moved and is

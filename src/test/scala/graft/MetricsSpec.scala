@@ -721,6 +721,39 @@ class MetricsSpec extends SparkSpec {
         .orderBy("l").collect().toSeq)
   }
 
+  test("tCloseness: hand-computed ordered EMDs (0.375 / 0.125 / 22/48) " +
+      "and per-t risk masses; composition equals the one-shot panel") {
+    // global over s: g(1)=4, g(2)=2, g(3)=2, n=8, m=3
+    // A [1,1,1]: D = 12, 6, 0  -> num 18, den 3*8*2 = 48, emd 0.375
+    // B [1,2]:   D = 0, 4, 0   -> num 4,  den 32,       emd 0.125
+    // C [2,3,3]: D = -12,-10,0 -> num 22, den 48,       emd 0.458333
+    val df = (Seq(1L, 1L, 1L).map(("A", _)) ++ Seq(1L, 2L).map(("B", _)) ++
+      Seq(2L, 3L, 3L).map(("C", _))).toDF("q", "s")
+    val got = Metrics.tCloseness(df, Seq("q"), "s", Seq(150000L, 400000L))
+      .orderBy("t").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq == Seq(
+      (0.15, 3L, 8L, 0.458333, 2L, 6L, 0.75),    // A + C exceed 0.15
+      (0.4, 3L, 8L, 0.458333, 1L, 3L, 0.375)))   // only C exceeds 0.4
+    // composition: fold over the cell state = the one-shot panel
+    assert(Metrics.tClosenessFromCounts(
+        Metrics.tClosenessCounts(df, Seq("q"), "s"), Seq(150000L, 400000L))
+      .orderBy("t").collect().toSeq ==
+      Metrics.tCloseness(df, Seq("q"), "s", Seq(150000L, 400000L))
+        .orderBy("t").collect().toSeq)
+  }
+
+  test("tCloseness: NULL sensitive values carry their cell mass (classes " +
+      "identical to the global distribution score EMD 0)") {
+    val df = Seq(("A", Some(1L)), ("A", None), ("B", Some(1L)), ("B", None))
+      .toDF("q", "s")
+    val got = Metrics.tCloseness(df, Seq("q"), "s", Seq(150000L))
+      .collect().map(r => (r.getDouble(3), r.getLong(4))).toSeq
+    // a dropped null cell would read c(null)=0 -> spurious positive EMD
+    assert(got == Seq((0.0, 0L)))
+  }
+
   test("conformanceProfile: match/violation/NULL accounting per rule in " +
       "one scan; all-NULL column yields NULL rate") {
     val df = Seq(
