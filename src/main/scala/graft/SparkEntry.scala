@@ -4111,10 +4111,51 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- STREAMING exact percentiles, BOUNDED state (two-pass) -------------
+    // exactPercentiles' two-pass selection with each pass's aggregation as
+    // Complete-mode streaming state: pass 1 accumulates the high-bit
+    // BUCKET histogram (O(range/2^12) state per group — no value
+    // dictionary), its drained fold names each quantile's target (bucket,
+    // offset); pass 2 re-streams the source narrowed to target buckets
+    // (a stream-static broadcast join; ≈ n/2^12 of the mass, the same
+    // fraction the batch second pass re-reads) and accumulates value
+    // counts only there. Exact, unbounded-domain safe — the state bound
+    // is the batch operator's own, not a domain precondition.
+    "streaming_percentiles_bounded_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      val qs = Seq(500000L, 900000L, 990000L)
+      val b1 = Metrics.bucketCounts(stream, "cents", Seq("l_returnflag"), 12)
+      val n1 = "stream_pctb1_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val hist = graft.streaming.Streams.runToMemory(s, b1, n1,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      // |groups|·|quantiles| rows; referenced twice (bucket filter + pick)
+      val targets = Metrics.percentileTargets(hist, qs, Seq("l_returnflag"))
+        .localCheckpoint(true)
+      val tb = targets.select(col("l_returnflag"), col("__b")).distinct()
+      val narrowed = stream
+        .withColumn("__b", shiftright(col("cents"), 12))
+        .join(broadcast(tb), Seq("l_returnflag", "__b"))
+      val v2 = Metrics.valueCounts(narrowed, "cents", Seq("l_returnflag"))
+      val n2 = "stream_pctb2_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val picks = graft.streaming.Streams.runToMemory(s, v2, n2,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.percentilesFromNarrowedCounts(picks, targets,
+          Seq("l_returnflag"), 12)
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     // ---- STREAMING exact percentiles (value-dictionary state) --------------
     // per-(group, value) counts as Complete-mode state; the type-1 rank
-    // pick replays on the drained dictionary — exact, shares the batch
-    // oracle verbatim
+    // pick replays on the drained dictionary — exact and single-pass, for
+    // bounded-domain metrics (cents, counts, durations) where the value
+    // dictionary is itself dictionary-scale; the two-pass BOUNDED twin
+    // above is the unbounded-domain deployment
     "streaming_percentiles_lineitem" -> ((s, dir) => {
       val batch = t(s, dir, "lineitem")
       val stream = s.readStream.schema(batch.schema)
@@ -4681,6 +4722,10 @@ object SparkEntry {
       // same generated SQL as percentiles_lineitem (defined below in this
       // block, so not reachable through m())
       ("streaming_percentiles_lineitem" -> percentilesOracle(
+        Seq(500000L, 900000L, 990000L))),
+      // bounded-state twin: bucket-histogram state + narrowed second pass
+      // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
+      ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own

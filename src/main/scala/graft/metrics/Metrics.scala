@@ -569,6 +569,87 @@ object Metrics {
         col("__v").as("value"))): _*)
   }
 
+  /** BOUNDED-state streaming percentiles, pass 1 of 2: per-(group,
+    * high-bit bucket) counts — [[exactPercentiles]]' histogram half as
+    * Complete-mode streaming state. State is O(values-range / 2^shift)
+    * per group (the BUCKET dictionary, not the value dictionary), which
+    * removes [[valueCounts]]' bounded-domain precondition: an unbounded-
+    * domain 100 TB stream holds 2^(64−shift) buckets at absolute worst
+    * and range/2^shift in practice — the same guarantee the batch
+    * two-pass selection runs on.
+    */
+  def bucketCounts(
+      df: DataFrame,
+      valCol: String,
+      groupCols: Seq[String] = Seq.empty,
+      bucketShift: Int = 12): DataFrame =
+    df.select((groupCols.map(col) :+
+        shiftright(col(valCol).cast("long"), bucketShift).as("__b")): _*)
+      .groupBy((groupCols.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+
+  /** The narrowing fold over [[bucketCounts]]' (drained) bucket table:
+    * for each quantile, the bucket holding its type-1 target rank and the
+    * offset within that bucket — [[exactPercentiles]]' target block
+    * replayed on the dictionary (same integer rank arithmetic). Output is
+    * (group…, __b, __qm, __off), |groups|·|quantiles| rows.
+    */
+  def percentileTargets(
+      bcounts: DataFrame,
+      qMicro: Seq[Long],
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wcum = Window.partitionBy(gcols: _*).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy(gcols: _*)
+    val qs = qMicro.map(q => struct(lit(q).as("__qm")))
+    bcounts
+      .withColumn("__cum", sum(col("__cnt")).over(wcum))
+      .withColumn("__n", sum(col("__cnt")).over(wall))
+      .withColumn("__q", explode(array(qs: _*)))
+      .select((gcols ++ Seq(col("__b"), col("__cnt"), col("__cum"),
+        col("__q.__qm").as("__qm"),
+        expr("(__n * __q.__qm + 999999) div 1000000").as("__rank"))): _*)
+      .filter(col("__rank") > col("__cum") - col("__cnt") &&
+        col("__rank") <= col("__cum"))
+      .select((gcols ++ Seq(col("__b"), col("__qm"),
+        (col("__rank") - (col("__cum") - col("__cnt"))).as("__off"))): _*)
+  }
+
+  /** BOUNDED-state streaming percentiles, final fold: the offset-th
+    * smallest value inside each target bucket, picked from pass 2's
+    * NARROWED value counts (a [[valueCounts]] aggregation over only the
+    * rows whose bucket is a target — ≈ n/2^shift of the stream, the same
+    * mass the batch second pass re-reads). The pick replays
+    * [[percentilesFromCounts]]' cumulative-count convention inside the
+    * bucket. percentilesFromNarrowedCounts ∘ (narrowed valueCounts ×
+    * percentileTargets ∘ bucketCounts) = [[exactPercentiles]]
+    * (spec-pinned), so the streaming twin shares the batch oracle
+    * verbatim. Bucket joins are plain equi-joins — a NULL bucket (NULL
+    * values) drops out of the pick exactly as in the batch second pass.
+    */
+  def percentilesFromNarrowedCounts(
+      vcounts: DataFrame,
+      targets: DataFrame,
+      groupCols: Seq[String] = Seq.empty,
+      bucketShift: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val wpick = Window
+      .partitionBy((gcols :+ col("__qm")): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vcounts
+      .withColumn("__b", shiftright(col("__v"), bucketShift))
+      .join(broadcast(targets), groupCols :+ "__b")
+      .withColumn("__cum", sum(col("__cnt")).over(wpick))
+      .filter(col("__off") > col("__cum") - col("__cnt") &&
+        col("__off") <= col("__cum"))
+      .select((gcols ++ Seq(
+        round(col("__qm").cast("double") / 1e6, 6).as("q"),
+        col("__v").as("value"))): _*)
+  }
+
   /** Robust per-group outlier panel: median / MAD (median absolute
     * deviation) by DISTRIBUTED SELECTION and the |x − med| > k·MAD flag —
     * the robust complement to the mean/σ z-score (one fat-finger row

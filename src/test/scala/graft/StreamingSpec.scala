@@ -248,6 +248,43 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("bounded-state streaming percentiles: bucket-histogram narrowing " +
+      "composition equals the batch two-pass; twin equals batch on the " +
+      "corpus") {
+    // narrow shift (1) forces multi-bucket histograms and duplicate-heavy
+    // target buckets on the hand fixture
+    val df = (Seq.fill(6)(("a", 10L)) ++ Seq(("a", 20L), ("a", 30L)) ++
+      Seq(("b", 5L), ("b", 7L))).toDF("g", "v")
+    val qs = Seq(500000L, 900000L)
+    val targets = graft.metrics.Metrics.percentileTargets(
+      graft.metrics.Metrics.bucketCounts(df, "v", Seq("g"), 1), qs, Seq("g"))
+    // the narrowed pass only ever sees target-bucket rows; feeding the FULL
+    // value counts is a superset, which the target join must ignore
+    val viaNarrowed = graft.metrics.Metrics.percentilesFromNarrowedCounts(
+        graft.metrics.Metrics.valueCounts(df, "v", Seq("g")), targets,
+        Seq("g"), 1)
+      .as[(String, Double, Long)].collect().toSet
+    val direct = graft.metrics.Metrics.exactPercentiles(df, "v", qs,
+        Seq("g"), 1)
+      .as[(String, Double, Long)].collect().toSet
+    assert(viaNarrowed === direct)
+    assert(viaNarrowed === Set(("a", 0.5, 10L), ("a", 0.9, 30L),
+      ("b", 0.5, 5L), ("b", 0.9, 7L)))
+    // state bound: pass-1 state is the BUCKET dictionary, strictly coarser
+    // than the value dictionary the single-pass twin holds
+    val nBuckets = graft.metrics.Metrics.bucketCounts(
+      df, "v", Seq("g"), 1).count()
+    val nValues = graft.metrics.Metrics.valueCounts(
+      df, "v", Seq("g")).count()
+    assert(nBuckets <= nValues)
+    val stream = SparkEntry.queries(
+        "streaming_percentiles_bounded_lineitem")(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    val batch = SparkEntry.queries("percentiles_lineitem")(spark, sf)
+      .as[(String, Double, Long)].collect().toSet
+    assert(stream === batch)
+  }
+
   test("streaming PSI state (frozen reference edges) equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_psi_drift_orders")(spark, sf)
