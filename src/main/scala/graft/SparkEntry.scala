@@ -1409,6 +1409,35 @@ object SparkEntry {
         .orderBy(col("hour_epoch"), col("event_type"))
     }),
 
+    // ---- APPEND-mode hourly agg: watermark-evicted event-time windows ------
+    // The state-retention story a continuous 100 TB ingest needs: Complete
+    // mode re-emits (and retains) every window forever; HERE the 1-hour
+    // watermark finalizes each window once event time passes its end,
+    // emits it exactly once, and EVICTS its state — steady-state memory is
+    // the open-window frontier, not the stream's history. Only closed
+    // windows appear: window end ≤ watermark = ms-truncated max event
+    // time − 1 h (the trailing open windows are withheld by design; the
+    // oracle applies the same integer cutoff).
+    "streaming_hourly_append_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream
+        .withColumn("__ts", Events.tsAsTimestamp(stream))
+        .withWatermark("__ts", "1 hour")
+        .groupBy(window(col("__ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").cast("long").as("hour_epoch"),
+          col("event_type"), col("n_events"), col("sum_value"))
+      val name = "stream_happend_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams.runToMemory(s, agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
     // ---- streaming gap-based session windows in the CHECKED surface --------
     // session_window semantics are HALF-OPEN at µs precision: a new
     // session opens iff the inter-event gap is >= 30 min (the batch
@@ -8116,6 +8145,25 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Append-mode twin: only windows CLOSED by the watermark are emitted.
+    // The cutoff replays Spark's integer watermark arithmetic exactly:
+    // watermark µs = ((max event µs) // 1000 − 3600000) · 1000 (event-time
+    // stats are ms-truncated), a window emits iff its end ≤ watermark.
+    "streaming_hourly_append_events" ->
+      """WITH e AS (
+        |  SELECT EPOCH_NS(ts) // 1000 AS us, event_type, value
+        |  FROM events),
+        |wm AS (
+        |  SELECT ((MAX(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+        |w AS (
+        |  SELECT us // 3600000000 AS h, event_type,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM e GROUP BY 1, 2)
+        |SELECT h * 3600 AS hour_epoch, event_type, n_events, sum_value
+        |FROM w, wm WHERE (h + 1) * 3600000000 <= wm_us
+        |ORDER BY 1, 2""".stripMargin,
 
     "pivot_events" ->
       """SELECT user_id % 10 AS user_bucket,

@@ -34,6 +34,45 @@ class StreamingSpec extends SparkSpec {
       (3600L, "click", 1L, 4.0)))
   }
 
+  test("Append-mode hourly agg: watermark emits exactly the closed " +
+      "windows and EVICTS their state (final state = open frontier)") {
+    import graft.io.Tables
+    import graft.scale.Events
+    val batch = Tables.load(spark, sf, "events")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(s"$sf/events*.parquet")
+    val agg = stream
+      .withColumn("__ts", Events.tsAsTimestamp(stream))
+      .withWatermark("__ts", "1 hour")
+      .groupBy(window($"__ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"window.start".cast("long").as("h"), $"event_type",
+        $"n_events")
+    val q = agg.writeStream.format("memory").queryName("happend_spec")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    // final state rows = windows NOT yet closed (the open frontier) —
+    // closed windows were emitted once and their state evicted
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val emitted = spark.table("happend_spec")
+      .as[(Long, String, Long)].collect().toSet
+    // batch ground truth + the same integer watermark cutoff
+    val all = Events.hourlyAgg(batch)
+      .select($"hour_epoch", $"event_type", $"n_events")
+      .as[(Long, String, Long)].collect().toSet
+    val maxUs = batch
+      .select(max(unix_micros(Events.tsAsTimestamp(batch)))).as[Long].head()
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000L
+    val closed = all.filter { case (h, _, _) => (h + 3600L) * 1000000L <= wmUs }
+    assert(emitted === closed)
+    assert(emitted.nonEmpty && emitted.size < all.size,
+      "the open-window frontier must be withheld")
+    assert(stateRows == (all.size - emitted.size).toLong,
+      s"state must hold ONLY the open frontier " +
+        s"(state=$stateRows, open=${all.size - emitted.size})")
+  }
+
   test("dedupWithinWatermark drops repeated keys") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
