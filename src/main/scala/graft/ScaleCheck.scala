@@ -159,6 +159,17 @@ object ScaleCheck {
           docs.filter(col("doc_id") % 20 === 0),
           "doc_id", "text", 8, 2, 3, 600000L),
         docs, "doc_id", Some("text")),
+      ("contamination_report",
+        // the decontaminate_fuzzy shape + a benchmark-label broadcast and
+        // two dictionary folds — candidate mass tracks corpus band
+        // collisions exactly as the single-benchmark path
+        (d: DataFrame) => Dedup.contaminationReport(
+          d.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0)
+            .withColumn("benchmark",
+              concat(lit("bench_"), (col("doc_id") % 3).cast("string"))),
+          "doc_id", "text", "benchmark", "n_chars", 8, 2, 3, 600000L),
+        docs, "doc_id", Some("text")),
       ("corpus_freq",
         (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
         docs, "doc_id", None),

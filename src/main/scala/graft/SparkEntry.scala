@@ -1346,6 +1346,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- per-benchmark contamination report (the release-audit table) -------
+    // Three synthetic benchmarks carved from the eval slice; one band-
+    // gated MinHash pass audits all of them, char mass as the reported
+    // overlap weight.
+    "contamination_report_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.contaminationReport(
+          docs.filter(col("doc_id") % 20 =!= 0),
+          docs.filter(col("doc_id") % 20 === 0)
+            .withColumn("benchmark",
+              concat(lit("bench_"), (col("doc_id") % 3).cast("string"))),
+          "doc_id", "text", "benchmark", "n_chars", 8, 2, 3, 600000L)
+        .orderBy(col("benchmark"))
+    }),
+
     // ---- scale: Flesch readability panel ------------------------------------
     "readability_docs" -> ((s, dir) =>
       TextAnalysis.readability(t(s, dir, "documents"), "doc_id", "text")
@@ -8022,6 +8037,69 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id % 20 <> 0) d
         |LEFT JOIN (SELECT * FROM best WHERE rk = 1) b ON b.cid = d.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+
+    // same mh/bands/agr replay as decontaminate_fuzzy_docs; benchmark
+    // labels join the eval side, per-(benchmark, doc) best estimate,
+    // zero-overlap benchmarks scaffolded via the eval-dictionary left join
+    "contamination_report_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |cand AS (
+        |  SELECT DISTINCT c.doc_id AS cid, e.doc_id AS eid
+        |  FROM bands c JOIN bands e
+        |    ON c.band = e.band AND c.band_key = e.band_key
+        |  WHERE c.doc_id % 20 <> 0 AND e.doc_id % 20 = 0),
+        |agr AS (
+        |  SELECT cd.cid, cd.eid,
+        |    CAST(SUM(CASE WHEN cm.h = em.h THEN 1 ELSE 0 END) * 1000000 // 8
+        |      AS BIGINT) AS est
+        |  FROM cand cd
+        |  JOIN mh cm ON cm.doc_id = cd.cid
+        |  JOIN mh em ON em.doc_id = cd.eid AND em.s = cm.s
+        |  GROUP BY cd.cid, cd.eid),
+        |bench AS (
+        |  SELECT doc_id AS eid,
+        |    'bench_' || CAST(doc_id % 3 AS VARCHAR) AS benchmark
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |corp AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS mass
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |ctot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nc,
+        |  CAST(SUM(mass) AS BIGINT) AS mc FROM corp),
+        |flags AS (
+        |  SELECT b.benchmark, a.cid, MAX(a.est) AS best
+        |  FROM agr a JOIN bench b ON a.eid = b.eid
+        |  GROUP BY 1, 2),
+        |hit AS (
+        |  SELECT benchmark, CAST(COUNT(*) AS BIGINT) AS n_contaminated,
+        |    CAST(SUM(c.mass) AS BIGINT) AS mass_contaminated
+        |  FROM flags f JOIN corp c ON c.doc_id = f.cid
+        |  WHERE f.best >= 600000 GROUP BY 1),
+        |evtot AS (
+        |  SELECT benchmark, CAST(COUNT(*) AS BIGINT) AS n_eval
+        |  FROM bench GROUP BY 1)
+        |SELECT e.benchmark, e.n_eval,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  COALESCE(h.mass_contaminated, 0) AS mass_contaminated,
+        |  ROUND(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE)
+        |    / CAST(nc AS DOUBLE), 6) AS frac_docs,
+        |  ROUND(CAST(COALESCE(h.mass_contaminated, 0) AS DOUBLE)
+        |    / CAST(mc AS DOUBLE), 6) AS frac_mass
+        |FROM evtot e LEFT JOIN hit h USING (benchmark), ctot
+        |ORDER BY e.benchmark""".stripMargin,
 
     // vowel-group syllables (floor 1), [.!?]+ sentence runs (floor 1),
     // formula floats mirror TextAnalysis.readability verbatim

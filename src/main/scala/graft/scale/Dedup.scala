@@ -881,6 +881,92 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** Per-benchmark contamination report — the release-audit table
+    * (Dolma / FineWeb convention): [[decontaminateFuzzy]] flags docs
+    * against ONE eval slice; a real release audits N benchmarks at once
+    * and reports each benchmark's overlap mass against the corpus. Same
+    * band-gated MinHash machinery (the eval side — ALL benchmarks
+    * together — broadcasts; the corpus side is one explode + hash-agg +
+    * broadcast join, corpus-linear, no corpus×eval pair mass); the
+    * benchmark label rides the eval broadcast, so auditing N benchmarks
+    * costs ONE pass, not N.
+    *
+    * Every benchmark emits a row even at zero overlap (the scaffold
+    * lesson); a corpus doc contaminated against k benchmarks counts in
+    * each of the k rows (the release question is per-benchmark, not
+    * exclusive).
+    *
+    * @param benchCol benchmark label column of `evalSet`
+    * @param massCol  corpus mass column (tokens/chars) to report
+    * @return per benchmark: (benchmark, n_eval, n_contaminated,
+    *         mass_contaminated, frac_docs, frac_mass) — fracs over the
+    *         corpus totals, rounded 6
+    */
+  def contaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      benchCol: String,
+      massCol: String,
+      numHashes: Int = 8,
+      rowsPerBand: Int = 2,
+      shingleSize: Int = 3,
+      thresholdMicro: Long = 600000L): DataFrame = {
+    require(thresholdMicro >= 0L && thresholdMicro <= 1000000L,
+      s"bad threshold $thresholdMicro")
+    val corpSig =
+      minhashSignatures(corpus, idCol, textCol, numHashes, shingleSize)
+    val evalSigRaw =
+      minhashSignatures(evalSet, idCol, textCol, numHashes, shingleSize)
+        .select(col(idCol).as("__eid"), col("minhash"))
+    val evalSig = evalSigRaw
+      .select(col("__eid"), col("minhash").as("__emh"))
+    val corpBands = lshBands(corpSig, idCol, numHashes, rowsPerBand)
+    val evalBands = lshBands(evalSigRaw, "__eid", numHashes, rowsPerBand)
+    val cand = corpBands
+      .join(broadcast(evalBands), Seq("band", "band_key"))
+      .select(col(idCol), col("__eid")).distinct()
+    val agree = (0 until numHashes)
+      .map(i => when(element_at(col("minhash"), i + 1) ===
+        element_at(col("__emh"), i + 1), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val est = cand
+      .join(corpSig, Seq(idCol))
+      .join(broadcast(evalSig), Seq("__eid"))
+      .select(col(idCol), col("__eid"), agree.as("__agree"))
+      .select(col(idCol), col("__eid"),
+        expr(s"__agree * CAST(1000000 AS BIGINT) div $numHashes")
+          .as("__est"))
+    // benchmark labels ride the (benchmark-scale) eval broadcast; per
+    // (benchmark, corpus doc) keep the best witness estimate, then flag
+    val bench = evalSet
+      .select(col(idCol).as("__eid"), col(benchCol).as("benchmark"))
+    val flagged = est.join(broadcast(bench), Seq("__eid"))
+      .groupBy(col("benchmark"), col(idCol))
+      .agg(max(col("__est")).as("__best"))
+      .filter(col("__best") >= thresholdMicro)
+    val mass = corpus
+      .select(col(idCol), col(massCol).cast("long").as("__mass"))
+    val hit = flagged.join(mass, Seq(idCol))
+      .groupBy(col("benchmark"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        sum(col("__mass")).as("mass_contaminated"))
+    val ctot = mass.agg(count(lit(1)).as("__nc"),
+      sum(col("__mass")).as("__mc"))
+    evalSet.groupBy(col(benchCol).as("benchmark"))
+      .agg(count(lit(1)).as("n_eval"))
+      .join(hit, Seq("benchmark"), "left")
+      .na.fill(0L, Seq("n_contaminated", "mass_contaminated"))
+      .crossJoin(broadcast(ctot))
+      .select(col("benchmark"), col("n_eval"), col("n_contaminated"),
+        col("mass_contaminated"),
+        round(col("n_contaminated").cast("double") /
+          col("__nc").cast("double"), 6).as("frac_docs"),
+        round(col("mass_contaminated").cast("double") /
+          col("__mc").cast("double"), 6).as("frac_mass"))
+  }
+
   /** n-gram Jaccard near-dup via inverted shingle index: explode distinct
     * shingles, drop shingles with document frequency > `maxDf` (stop-shingle
     * blocking — they generate candidate pairs quadratically while carrying no

@@ -81,6 +81,42 @@ class ScaleSpec extends SparkSpec {
     assert(got(0)._4 === "the quick brown fox jumps over the lazy dog")
   }
 
+  test("contaminationReport: per-benchmark rows equal the single-benchmark " +
+      "fuzzy decontamination; zero-overlap benchmarks still scaffold") {
+    val withMass = docs.withColumn("n_chars", length($"text").cast("long"))
+    val corpus = withMass.filter($"doc_id" =!= 3 && $"doc_id" =!= 4)
+    // b0 = exact copy of corpus doc 1 (must flag it); b1 = content only
+    // the eval side has (zero corpus overlap -> scaffold row)
+    val eval_ = withMass.filter($"doc_id" === 3 || $"doc_id" === 4)
+      .withColumn("benchmark",
+        when($"doc_id" === 4, "b0").otherwise("b1"))
+    val got = Dedup.contaminationReport(corpus, eval_, "doc_id", "text",
+        "benchmark", "n_chars", 8, 2, 3, 600000L)
+      .orderBy("benchmark").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    // ground truth per benchmark: the single-benchmark operator's flags
+    def truth(benchId: Long): (Long, Long) = {
+      val f = Dedup.decontaminateFuzzy(corpus,
+          withMass.filter($"doc_id" === benchId), "doc_id", "text",
+          8, 2, 3, 600000L)
+        .filter($"contaminated")
+        .join(corpus.select($"doc_id", $"n_chars"), Seq("doc_id"))
+      (f.count(),
+        f.agg(coalesce(sum($"n_chars"), lit(0L))).as[Long].head())
+    }
+    val (n0, m0) = truth(4L)
+    val (n1, m1) = truth(3L)
+    assert(n0 >= 1L, "the exact eval copy must contaminate doc 1")
+    assert((n1, m1) === ((0L, 0L)))
+    val mc = corpus.agg(sum($"n_chars")).as[Long].head()
+    def fr(x: Long, d: Long) = math.rint(x.toDouble / d * 1e6) / 1e6
+    assert(got === Seq(
+      ("b0", 1L, n0, m0, fr(n0, 3L), fr(m0, mc)),
+      ("b1", 1L, 0L, 0L, 0.0, 0.0)))
+  }
+
   test("decontaminate flags corpus docs sharing shingles with the eval set") {
     val eval_ = docs.filter($"doc_id" === 1)
     val corpus = docs.filter($"doc_id" =!= 1)
