@@ -344,6 +344,19 @@ object ScaleCheck {
         (d: DataFrame) => Similarity.ivfPqTopK(d.filter(col("vec_id") < 5),
           d, "vec_id", "embedding", 10),
         embeddings, "vec_id", Some("embedding")),
+      ("opq_permute",
+        // permutation stats are one posexplode hash-agg to the d-row
+        // dictionary; the rotation itself is a codegen'd transform riding
+        // the scan — both linear, the rank window sees d rows only
+        (d: DataFrame) => {
+          val perm = Similarity.opqPermutation(d, "embedding", 4, 64)
+          Similarity.ivfPqTopK(
+            Similarity.opqApply(d.filter(col("vec_id") < 5),
+              "embedding", perm, 64),
+            Similarity.opqApply(d, "embedding", perm, 64),
+            "vec_id", "embedding", 10)
+        },
+        embeddings, "vec_id", Some("embedding")),
       ("em_ppjoin",
         // salted tokens make copies' token spaces disjoint → prefix posting
         // lists and true pair mass both scale linearly, which is exactly the

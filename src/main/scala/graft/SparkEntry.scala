@@ -1149,6 +1149,29 @@ object SparkEntry {
         .orderBy(col("query_id"))
     }),
 
+    // ---- scale: OPQ (variance-balanced allocation) vs plain IVF-PQ ---------
+    // Both indexes graded on the SAME shortlist budget against the same
+    // exact-L2 ground truth (permutation preserves L2, so the truth is
+    // shared); the snake-dealt layout spreads the variance budget across
+    // subspaces where the contiguous split concentrates it.
+    "opq_recall_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Similarity.bruteForceTopKL2(q, e, "vec_id", "embedding", 10)
+      val perm = Similarity.opqPermutation(e, "embedding", 4, 64)
+      val er = Similarity.opqApply(e, "embedding", perm, 64)
+      val qr = er.filter(col("vec_id") < 5)
+      val pq = Similarity.recallAtK(exact,
+          Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 10), 10)
+        .select(col("query_id"), col("n_hit").as("n_hit_pq"),
+          col("recall").as("recall_pq"))
+      val opq = Similarity.recallAtK(exact,
+          Similarity.ivfPqTopK(qr, er, "vec_id", "embedding", 10), 10)
+        .select(col("query_id"), col("n_hit").as("n_hit_opq"),
+          col("recall").as("recall_opq"))
+      pq.join(opq, Seq("query_id")).orderBy(col("query_id"))
+    }),
+
     // ---- canonical-representative dedup (keep best per group) -------------
     "dedup_keep_best_docs" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
@@ -7084,6 +7107,127 @@ object SparkEntry {
         |    AS recall
         |FROM ex_n LEFT JOIN hits ON hits.qid = ex_n.qid
         |ORDER BY query_id""".stripMargin,
+
+    // ivfpq_recall's full ADC replay instantiated TWICE — once over the
+    // raw vectors, once over the variance-ranked snake-permuted ones
+    // (perm replays opqPermutation's exact-integer rank arithmetic);
+    // exact-L2 ground truth is shared (permutation preserves L2)
+    "opq_recall_embeddings" -> {
+      // the IVF-PQ pipeline over vector CTE `src`, CTE names suffixed `s`
+      def pipe(src: String, s: String): String =
+        s"""cents$s AS (SELECT vec_id AS cell, v AS centv FROM $src WHERE vec_id % 100 = 0),
+           |ccell$s AS (
+           |  SELECT vec_id, cell, v FROM (
+           |    SELECT c.vec_id, ct.cell, c.v,
+           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+           |        (SELECT SUM((c.v[i]-ct.centv[i])*(c.v[i]-ct.centv[i]))
+           |         FROM UNNEST(range(1, 65)) AS u(i)), ct.cell) AS rk
+           |    FROM $src c CROSS JOIN cents$s ct)
+           |  WHERE rk = 1),
+           |book$s AS (
+           |  SELECT b.vec_id AS code, sb.sub,
+           |    list_slice(b.v, sb.sub*16+1, sb.sub*16+16) AS bsv
+           |  FROM $src b CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb
+           |  WHERE b.vec_id < 16),
+           |csub$s AS (
+           |  SELECT cc.vec_id, cc.cell, sb.sub,
+           |    list_slice(cc.v, sb.sub*16+1, sb.sub*16+16) AS sv
+           |  FROM ccell$s cc CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb),
+           |codes$s AS (
+           |  SELECT vec_id, cell, sub, code FROM (
+           |    SELECT c.vec_id, c.cell, c.sub, k.code,
+           |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.sub ORDER BY
+           |        (SELECT SUM((c.sv[i]-k.bsv[i])*(c.sv[i]-k.bsv[i]))
+           |         FROM UNNEST(range(1, 17)) AS u(i)), k.code) AS rk
+           |    FROM csub$s c JOIN book$s k ON k.sub = c.sub)
+           |  WHERE rk = 1),
+           |qs$s AS (SELECT vec_id AS qid, v FROM $src WHERE vec_id < 5),
+           |probes$s AS (
+           |  SELECT qid, cell FROM (
+           |    SELECT q.qid, ct.cell,
+           |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+           |        (SELECT SUM((q.v[i]-ct.centv[i])*(q.v[i]-ct.centv[i]))
+           |         FROM UNNEST(range(1, 65)) AS u(i)), ct.cell) AS rk
+           |    FROM qs$s q CROSS JOIN cents$s ct)
+           |  WHERE rk <= 2),
+           |qsub$s AS (
+           |  SELECT qid, sb.sub, list_slice(v, sb.sub*16+1, sb.sub*16+16) AS qsv
+           |  FROM qs$s CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb),
+           |dtab$s AS (
+           |  SELECT q.qid, k.sub, k.code,
+           |    (SELECT SUM((q.qsv[i]-k.bsv[i])*(q.qsv[i]-k.bsv[i]))
+           |     FROM UNNEST(range(1, 17)) AS u(i)) AS d2
+           |  FROM qsub$s q JOIN book$s k ON k.sub = q.sub),
+           |adc$s AS (
+           |  SELECT p.qid, cd.vec_id AS cand, CAST(SUM(d.d2) AS BIGINT) AS adc
+           |  FROM probes$s p
+           |  JOIN codes$s cd ON cd.cell = p.cell
+           |  JOIN dtab$s d ON d.qid = p.qid AND d.sub = cd.sub AND d.code = cd.code
+           |  WHERE cd.vec_id <> p.qid
+           |  GROUP BY 1, 2),
+           |approx$s AS (
+           |  SELECT qid, cand FROM (
+           |    SELECT qid, cand,
+           |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cand) AS rk
+           |    FROM adc$s)
+           |  WHERE rk <= 10),
+           |hits$s AS (
+           |  SELECT a.qid, COUNT(*) AS n_approx,
+           |    CAST(SUM(CASE WHEN e.cand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_hit
+           |  FROM approx$s a
+           |  LEFT JOIN exact e ON e.qid = a.qid AND e.cand = a.cand
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |st AS (
+         |  SELECT i AS olddim, CAST(COUNT(*) AS HUGEINT) AS n,
+         |    CAST(SUM(x) AS HUGEINT) AS s,
+         |    CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ss
+         |  FROM (SELECT v[i] AS x, i
+         |        FROM qv, UNNEST(range(1, 65)) AS u(i))
+         |  GROUP BY 1),
+         |pr AS (
+         |  SELECT olddim, CAST(ROW_NUMBER() OVER (
+         |    ORDER BY (n * ss - s * s) DESC, olddim) - 1 AS BIGINT) AS r0
+         |  FROM st),
+         |perm AS (
+         |  SELECT olddim,
+         |    (CASE WHEN (r0 // 4) % 2 = 0 THEN r0 % 4
+         |          ELSE 3 - (r0 % 4) END) * 16 + (r0 // 4) + 1 AS newpos
+         |  FROM pr),
+         |rv AS (
+         |  SELECT vec_id, list(x ORDER BY newpos) AS v
+         |  FROM (SELECT q.vec_id, p.newpos, q.v[p.olddim] AS x
+         |        FROM qv q, perm p)
+         |  GROUP BY 1),
+         |exact AS (
+         |  SELECT qid, cand FROM (
+         |    SELECT q.vec_id AS qid, c.vec_id AS cand,
+         |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+         |        (SELECT SUM((q.v[i]-c.v[i])*(q.v[i]-c.v[i]))
+         |         FROM UNNEST(range(1, 65)) AS u(i)), c.vec_id) AS rk
+         |    FROM qv q CROSS JOIN qv c
+         |    WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+         |  WHERE rk <= 10),
+         |ex_n AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+         |${pipe("qv", "_p")},
+         |${pipe("rv", "_o")}
+         |SELECT ex_n.qid AS query_id,
+         |  CAST(COALESCE(hp.n_hit, 0) AS BIGINT) AS n_hit_pq,
+         |  ROUND(CAST(COALESCE(hp.n_hit, 0) AS DOUBLE)
+         |    / LEAST(10, n_exact), 6) AS recall_pq,
+         |  CAST(COALESCE(ho.n_hit, 0) AS BIGINT) AS n_hit_opq,
+         |  ROUND(CAST(COALESCE(ho.n_hit, 0) AS DOUBLE)
+         |    / LEAST(10, n_exact), 6) AS recall_opq
+         |FROM ex_n
+         |LEFT JOIN hits_p hp ON hp.qid = ex_n.qid
+         |LEFT JOIN hits_o ho ON ho.qid = ex_n.qid
+         |ORDER BY query_id""".stripMargin
+    },
 
     "salted_agg_events" ->
       """SELECT event_type, COUNT(*) AS n,

@@ -653,6 +653,77 @@ object Similarity {
         round(sum(col("d2")).cast("double") / count(lit(1)), 6).as("avg_d2"))
   }
 
+  /** Variance-balanced OPQ dimension allocation — the permutation-
+    * restricted parametric OPQ (Ge et al. CVPR'13: optimized product
+    * quantization splits the space so every subspace carries a balanced
+    * variance budget; contiguous splits concentrate it). Dimensions are
+    * ranked by EXACT integer variance numerator n·Σx² − (Σx)² over the
+    * quantized components and dealt to the m subspaces in snake order
+    * (0,1,…,m−1,m−1,…,1,0,…), so each subspace receives one dimension
+    * from every variance stratum.
+    *
+    * Design decision vs full OPQ: the eigenbasis rotation half is
+    * iterative float math ([[pcaFromGram]]'s documented
+    * non-replayability); a permutation IS an orthogonal transform, keeps
+    * the entire downstream index exact-integer and SQL-replayable (the
+    * house determinism contract), and captures the allocation half of
+    * OPQ's gain. Scale shape: one posexplode + d-row hash-agg; the rank
+    * window runs over d rows (dictionary scale — a global window is fine
+    * at d ≤ 4096).
+    *
+    * @return (olddim, newpos), 1-based, `dims` rows: component olddim
+    *         moves to newpos; (newpos−1) div (dims/m) is its subspace
+    */
+  def opqPermutation(
+      embeddings: DataFrame, vecCol: String, m: Int,
+      dims: Int = 64): DataFrame = {
+    require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
+    val sub = dims / m
+    val dec = "decimal(38,0)"
+    val stats = embeddings
+      .select(posexplode(quantize(col(vecCol))).as(Seq("p", "x")))
+      .groupBy((col("p") + 1).as("olddim"))
+      .agg(count(lit(1)).cast(dec).as("n"),
+        sum(col("x")).cast(dec).as("s"),
+        sum(col("x").cast(dec) * col("x")).cast(dec).as("ss"))
+    stats
+      .withColumn("var_num", col("n") * col("ss") - col("s") * col("s"))
+      .withColumn("r0", row_number().over(Window.orderBy(
+        col("var_num").desc, col("olddim"))).cast("long") - 1)
+      .withColumn("rnd", expr(s"r0 div $m"))
+      .withColumn("pos", expr(s"r0 % $m"))
+      .withColumn("subsp", when(col("rnd") % 2 === 0, col("pos"))
+        .otherwise(lit(m - 1) - col("pos")))
+      .select(col("olddim").cast("int").as("olddim"),
+        (col("subsp") * sub + col("rnd") + 1).cast("int").as("newpos"))
+  }
+
+  /** Apply an [[opqPermutation]] to the raw vector column:
+    * out[newpos] = v[olddim]. The permutation is d rows — control plane;
+    * it collects to the driver (the [[pcaFromGram]] d² precedent) and
+    * inlines as an array literal, so the rotation is ONE codegen'd
+    * transform riding the corpus scan — no join, no shuffle. Permutation
+    * commutes with quantization and preserves full-vector L2, so IVF cell
+    * assignment and exact ground truth are unchanged; only the PQ
+    * subspace split sees the new layout.
+    */
+  def opqApply(
+      df: DataFrame, vecCol: String, perm: DataFrame,
+      dims: Int = 64): DataFrame = {
+    val rows = perm.select(col("olddim"), col("newpos")).collect()
+    require(rows.length == dims, s"permutation must cover $dims dims")
+    val inv = new Array[Int](dims + 1)
+    rows.foreach { r =>
+      val (o, np) = (r.getInt(0), r.getInt(1))
+      require(np >= 1 && np <= dims && inv(np) == 0,
+        s"not a permutation at newpos $np")
+      inv(np) = o
+    }
+    val invLit = typedLit((1 to dims).map(inv))
+    df.withColumn(vecCol, transform(sequence(lit(1), lit(dims)),
+      i => element_at(col(vecCol), element_at(invLit, i.cast("int")))))
+  }
+
   /** SQ8 scalar quantization of the embedding corpus: per-dimension
     * [min, max] ranges, 8-bit codes, and the resulting reconstruction
     * error — the standard 4× memory compression that makes a 100 TB vector

@@ -841,6 +841,55 @@ class ScaleSpec extends SparkSpec {
       s"ADC ranking diverged from exact L2: $got vs $exact")
   }
 
+  test("OPQ variance-balanced permutation: planted contiguous-variance " +
+      "clusters — snake allocation recalls what the contiguous split " +
+      "collapses") {
+    // Two clusters separated ONLY in the first two (contiguous!) dims:
+    // A = (0, 1, jit), B = (1, 0, jit). The pqK=2 codebook holds the
+    // corners (0,0) and (1,1), equidistant from BOTH clusters in the
+    // contiguous (dim1, dim2) subspace -> plain PQ collapses the clusters
+    // (tiebreak code 0 for all) and ranks by jitter alone. The snake deal
+    // sends dim1 and dim2 to DIFFERENT subspaces, each paired with a dead
+    // dim, so each codebook separates its cluster and ADC recalls the
+    // true neighbors. Jitter is adversarial: B's jitters hug the A
+    // query's (and vice versa), so PQ's jitter-only ranking crosses over.
+    def v(d1: Float, d2: Float, j: Float) =
+      Seq(d1, d2, j, 0f, 0f, 0f, 0f, 0f)
+    val e = Seq(
+      (0L, v(0f, 0f, 0f)),      // codebook corner / sole IVF centroid
+      (1L, v(1f, 1f, 0.009f)),  // codebook corner
+      (2L, v(0f, 1f, 0.005f)),  // A query
+      (3L, v(1f, 0f, 0.005f)),  // B query
+      (4L, v(0f, 1f, 0.020f)), (6L, v(0f, 1f, 0.030f)),
+      (8L, v(0f, 1f, 0.040f)),  // A members
+      (5L, v(1f, 0f, 0.004f)), (7L, v(1f, 0f, 0.006f)),
+      (9L, v(1f, 0f, 0.003f))   // B members
+    ).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 2 || $"vec_id" === 3)
+    val exact = Similarity.bruteForceTopKL2(q, e, "vec_id", "embedding", 3)
+    assert(exact.select("query_id", "cand_id")
+      .as[(Long, Long)].collect().toSet ===
+      Set((2L, 4L), (2L, 6L), (2L, 8L), (3L, 5L), (3L, 7L), (3L, 9L)))
+    val perm = Similarity.opqPermutation(e, "embedding", 4, 8)
+    // a bijection of 1..8; the two high-variance dims land in distinct
+    // subspaces (snake: variance ranks 0 and 1 -> subspaces 0 and 1)
+    val pm = perm.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    assert(pm.values.toSeq.sorted === (1 to 8))
+    assert((pm(1) - 1) / 2 === 0 && (pm(2) - 1) / 2 === 1)
+    val rot = Similarity.opqApply(e, "embedding", perm, 8)
+    def recalls(cands: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(exact,
+          Similarity.ivfPqTopK(
+            cands.filter($"vec_id" === 2 || $"vec_id" === 3), cands,
+            "vec_id", "embedding", 3, 1000, 1, 4, 2, 8), 3)
+        .select("query_id", "recall").as[(Long, Double)].collect().toMap
+    val rPq = recalls(e)
+    val rOpq = recalls(rot)
+    assert(rOpq === Map(2L -> 1.0, 3L -> 1.0))
+    Seq(2L, 3L).foreach(id => assert(rOpq(id) > rPq(id),
+      s"query $id: opq ${rOpq(id)} must beat pq ${rPq(id)}"))
+  }
+
   test("semDedup drops smaller-id-neighbor vectors within a cluster only") {
     // ids 0 and 3 are centroids (mod 3). 0,1,2 are near-identical (cluster
     // of centroid 0); 3,4 are near-identical (cluster of 3); 5 is alone in
