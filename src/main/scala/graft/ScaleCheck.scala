@@ -894,6 +894,18 @@ object ScaleCheck {
               " div 100000")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5)),
         customer, "c_custkey", None),
+      ("sample_quantiles",
+        // dictionary count + hash pre-cut (≈4k rows per group reach the
+        // rank window) + one graded corpus pass — linear, O(k) sample state
+        (d: DataFrame) => graft.sample.Samplers.sampleQuantiles(
+          d.withColumn("rid", concat(col("l_orderkey").cast("string"),
+              lit("-"), col("l_linenumber").cast("string")))
+            .withColumn("cents",
+              (col("l_extendedprice").cast("decimal(18,2)") * 100)
+                .cast("long")),
+          "rid", "cents", Seq(250000L, 500000L, 900000L),
+          Seq("l_returnflag"), 1000, 50000L),
+        lineitem, "l_orderkey", None),
       ("t_closeness",
         // one (class, value) cell hash-agg + dictionary-scale scaffold fold
         (d: DataFrame) => graft.metrics.Metrics.tCloseness(

@@ -4239,6 +4239,21 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- bounded-state sample quantiles with exact rank-error grade --------
+    // O(k)-state estimator beside the exact two-pass selection: per return
+    // flag, type-1 quantiles of the k=1000-row deterministic md5 bottom-k
+    // sample, each estimate graded with its exact corpus rank.
+    "sample_quantiles_lineitem" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .withColumn("rid", concat(col("l_orderkey").cast("string"),
+          lit("-"), col("l_linenumber").cast("string")))
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      graft.sample.Samplers.sampleQuantiles(l, "rid", "cents",
+          Seq(250000L, 500000L, 900000L), Seq("l_returnflag"), 1000, 50000L)
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     // ---- Spearman rank correlation (monotone association) ------------------
     "spearman_lineitem" -> ((s, dir) =>
       Metrics.spearmanCorr(t(s, dir, "lineitem")
@@ -10354,6 +10369,64 @@ object SparkEntry {
         |  ROUND(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
         |    AS risk_frac
         |FROM panel, tot ORDER BY l""".stripMargin,
+
+    // md5 bottom-k sample + type-1 sample quantiles + exact rank grade,
+    // all replayed: the draw is the md5PrefixLong convention, the cut and
+    // every rank is integer arithmetic
+    "sample_quantiles_lineitem" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR) AS id,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem),
+        |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1),
+        |drawn AS (
+        |  SELECT b.g, b.id, b.v, c.n,
+        |    CAST(('0x' || substr(md5('sq:' || b.id), 1, 8)) AS BIGINT)
+        |      AS draw
+        |  FROM base b JOIN cnt c USING (g)),
+        |capped AS (
+        |  SELECT * FROM drawn WHERE draw < (17179869184 * 1000) // n),
+        |samp AS (
+        |  SELECT g, v FROM (
+        |    SELECT g, v,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY draw, id) AS rn
+        |    FROM capped) WHERE rn <= 1000),
+        |vc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM samp GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS ks
+        |  FROM vc),
+        |est AS (
+        |  SELECT g, u.qm, v AS est FROM cum,
+        |    UNNEST([250000, 500000, 900000]) AS u(qm)
+        |  WHERE (ks * u.qm + 999999) // 1000000 > cum - c
+        |    AND (ks * u.qm + 999999) // 1000000 <= cum),
+        |tr AS (
+        |  SELECT b.g, e.qm, MAX(e.est) AS est,
+        |    CAST(SUM(CASE WHEN b.v <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS true_rank
+        |  FROM base b JOIN est e ON b.g = e.g
+        |  GROUP BY 1, 2),
+        |ks2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_sample
+        |  FROM samp GROUP BY 1)
+        |SELECT t.g AS l_returnflag,
+        |  ROUND(CAST(t.qm AS DOUBLE) / 1e6, 6) AS q,
+        |  c.n, k.k_sample, t.est AS est_value,
+        |  (c.n * t.qm + 999999) // 1000000 AS target_rank,
+        |  t.true_rank,
+        |  CAST((t.true_rank - (c.n * t.qm + 999999) // 1000000) * 1000000
+        |    // c.n AS BIGINT) AS rank_err_micro,
+        |  abs(t.true_rank - (c.n * t.qm + 999999) // 1000000) * 1000000
+        |    <= 50000 * c.n AS within_bound
+        |FROM tr t JOIN cnt c USING (g) JOIN ks2 k USING (g)
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     // ordered EMD replayed in HUGEINT: the cumulative-difference sum over
     // the class x value scaffold, thresholds in cross-multiplied integer

@@ -238,4 +238,39 @@ class SamplersSpec extends SparkSpec {
       .collect().map(_.getLong(3)).sum
     assert(z == 0L)
   }
+
+  test("sampleQuantiles: k >= n degenerates to the exact percentiles " +
+      "(zero-state-advantage identity); k < n stays in bound and is " +
+      "partitioning-invariant") {
+    import graft.metrics.Metrics
+    val df = (1 to 40).map(i => (("g", i.toLong, i.toLong))) // ids 1..40
+      .toDF("g", "id", "v")
+    // k >= n: the sample IS the corpus -> estimates equal the exact
+    // type-1 quantiles, and k_sample = n
+    val full = Samplers.sampleQuantiles(df, "id", "v",
+        Seq(500000L, 900000L), Seq("g"), 100, 1000000L)
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val exact = Metrics.exactPercentiles(df, "v",
+        Seq(500000L, 900000L), Seq("g"))
+      .orderBy("q").collect().map(r => (r.getDouble(1), r.getLong(2)))
+    assert(full.map(x => (x._1, x._4)).toSeq === exact.toSeq)
+    assert(full.forall { case (_, n, ks, _) => n == 40L && ks == 40L })
+    // k < n on a bigger uniform fixture: exact k rows survive the pre-cut,
+    // estimates stay inside a generous +-15% rank band, and the result is
+    // a pure function of the DATA (repartitioning changes nothing)
+    val big = (1 to 5000).map(i => (("g", i.toLong, i.toLong)))
+      .toDF("g", "id", "v")
+    val s1 = Samplers.sampleQuantiles(big, "id", "v",
+        Seq(500000L), Seq("g"), 200, 150000L)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getBoolean(8))).toSeq
+    assert(s1.head._1 === 200L)            // k_sample = k
+    assert(s1.head._4, s"rank error out of band: $s1")
+    val s2 = Samplers.sampleQuantiles(big.repartition(13), "id", "v",
+        Seq(500000L), Seq("g"), 200, 150000L)
+      .collect().map(r => (r.getLong(3), r.getLong(4), r.getLong(6),
+        r.getBoolean(8))).toSeq
+    assert(s1 === s2)
+  }
 }
