@@ -894,6 +894,14 @@ object ScaleCheck {
               " div 100000")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5)),
         customer, "c_custkey", None),
+      ("priority_sample",
+        // projection + TakeOrderedAndProject head + one corpus aggregate
+        // — the weightedReservoir shape plus the exact-total companion
+        (d: DataFrame) => graft.sample.Samplers.prioritySample(
+          d.withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+          "o_orderkey", "cents", 500),
+        orders, "o_orderkey", None),
       ("sample_quantiles",
         // dictionary count + hash pre-cut (≈4k rows per group reach the
         // rank window) + one graded corpus pass — linear, O(k) sample state

@@ -4239,6 +4239,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- priority sampling (DLT) with unbiased-total estimator -------------
+    // k=500 orders weighted by price; τ-threshold contributions sum to an
+    // unbiased estimate of the exact corpus total carried alongside.
+    "priority_sample_orders" -> ((s, dir) =>
+      graft.sample.Samplers.prioritySample(
+          t(s, dir, "orders").withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+          "o_orderkey", "cents", 500)
+        .orderBy(col("sel_rank"))),
+
     // ---- bounded-state sample quantiles with exact rank-error grade --------
     // O(k)-state estimator beside the exact two-pass selection: per return
     // flag, type-1 quantiles of the k=1000-row deterministic md5 bottom-k
@@ -10369,6 +10379,41 @@ object SparkEntry {
         |  ROUND(CAST(risk_rows AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
         |    AS risk_frac
         |FROM panel, tot ORDER BY l""".stripMargin,
+
+    // DLT priorities replayed as exact integers (w·2^32 // (md5 draw + 1)),
+    // global rank, τ from row k+1, HUGEINT contribution sums
+    "priority_sample_orders" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM orders WHERE o_totalprice IS NOT NULL),
+        |pr AS (
+        |  SELECT id, w,
+        |    (w * 4294967296) //
+        |      (CAST(('0x' || substr(md5('ps:' || CAST(id AS VARCHAR)),
+        |        1, 8)) AS BIGINT) + 1) AS p
+        |  FROM base),
+        |top AS (
+        |  SELECT id, w, p, ROW_NUMBER() OVER (ORDER BY p DESC, id) AS rk
+        |  FROM pr),
+        |tau AS (SELECT COALESCE(MAX(CASE WHEN rk = 501 THEN p END), 0)
+        |  AS tau FROM top),
+        |ex AS (SELECT CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS exact
+        |  FROM base),
+        |sel AS (
+        |  SELECT t.rk, t.id, t.w, t.p,
+        |    GREATEST(CAST(t.w AS HUGEINT), CAST(tau AS HUGEINT)) AS c
+        |  FROM top t, tau WHERE t.rk <= 500),
+        |es AS (SELECT CAST(SUM(c) AS HUGEINT) AS estn FROM sel)
+        |SELECT s.rk AS sel_rank, s.id AS o_orderkey, s.w AS weight,
+        |  s.p AS priority,
+        |  CAST(s.c AS VARCHAR) AS contrib,
+        |  CAST(es.estn AS VARCHAR) AS est_total,
+        |  CAST(ex.exact AS BIGINT) AS exact_total,
+        |  CAST((es.estn - ex.exact) * 1000000 // ex.exact AS BIGINT)
+        |    AS rel_err_micro
+        |FROM sel s, es, ex
+        |ORDER BY sel_rank""".stripMargin,
 
     // md5 bottom-k sample + type-1 sample quantiles + exact rank grade,
     // all replayed: the draw is the md5PrefixLong convention, the cut and

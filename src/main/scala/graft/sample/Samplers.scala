@@ -501,6 +501,70 @@ object Samplers {
     *         over_allocated flags alloc > n_h (a with-replacement design
     *         signal)
     */
+  /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
+    * sampling WITHOUT replacement whose k-row sample carries an UNBIASED
+    * estimator of any subset-sum — the "audit the corpus total from k
+    * rows" primitive. Each row gets priority p = w/u (u uniform); the
+    * top-k by priority are kept; with τ = the (k+1)-th priority, each
+    * kept row's contribution max(w, τ) sums to an unbiased estimate of
+    * Σw (items with w ≥ τ enter surely and count as themselves; the rest
+    * enter with probability w/τ and count as τ).
+    *
+    * Complements [[weightedReservoir]] (A-ES draws a REPRESENTATIVE
+    * sample; DLT priorities minimize subset-sum variance — within a
+    * factor of the optimal k-sparse estimator). Determinism: u is the
+    * salted [[hashDraw32]] draw shifted to [1, 2^32]; priorities are the
+    * exact integers (w·2^32) div u (ties by id), so selection, τ, and
+    * every contribution replay exactly in SQL. Weights must be positive
+    * and < 2^31 (guarded loudly — the scaled priority must fit a long).
+    *
+    * Scale shape: one projection + TakeOrderedAndProject for the (k+1)
+    * head — no shuffle beyond the k-row reduction (the weightedReservoir
+    * shape); the exact-total companion is one corpus aggregate.
+    *
+    * @return k rows: (sel_rank, id…, weight, priority, contrib =
+    *         max(w, τ), est_total = Σ contrib, exact_total,
+    *         rel_err_micro) — est/exact repeated per row so the relation
+    *         is self-contained; contrib/est travel as STRINGS (the
+    *         ksDrift wide-decimal bridge rule: τ can reach w·2^32)
+    */
+  def prioritySample(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"bad sample size $k")
+    val dec = "decimal(38,0)"
+    val lim = Int.MaxValue.toLong
+    val base = df.select(col(idCol).as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .filter(col("__w").isNotNull)
+      .withColumn("__w", when(col("__w") > 0 && col("__w") < lim, col("__w"))
+        .otherwise(raise_error(concat(lit("prioritySample: weight out of " +
+          "(0, 2^31): "), col("__w").cast("string")))))
+    val u = hashDraw32(concat(lit("ps:"), col("__id").cast("string"))) + 1L
+    val prio = base.withColumn("__u", u)
+      .withColumn("__p", expr("__w * CAST(4294967296 AS BIGINT) div __u"))
+    val top = graft.core.Bounded.withRank(
+      prio.orderBy(col("__p").desc, col("__id")).limit(k + 1),
+      Seq("__p" -> true, "__id" -> false), "sel_rank")
+    // τ = the (k+1)-th priority; absent (n ≤ k) → 0 → est ≡ exact. The
+    // integer priority (w·2^32) div u IS w/u_norm — already weight units.
+    val tau = top.filter(col("sel_rank") === k + 1)
+      .agg(coalesce(max(col("__p")), lit(0L)).as("__tau"))
+    val exact = base.agg(sum(col("__w").cast(dec)).as("__exact"))
+    val sel = top.filter(col("sel_rank") <= k)
+      .crossJoin(broadcast(tau))
+      .withColumn("__c",
+        greatest(col("__w").cast(dec), col("__tau").cast(dec)))
+    val est = sel.agg(sum(col("__c")).as("__estn"))
+    sel.crossJoin(broadcast(est)).crossJoin(broadcast(exact))
+      .select(col("sel_rank"), col("__id").as(idCol),
+        col("__w").as("weight"), col("__p").as("priority"),
+        col("__c").cast("string").as("contrib"),
+        col("__estn").cast("string").as("est_total"),
+        col("__exact").cast("long").as("exact_total"),
+        expr("CAST((__estn - __exact) * 1000000 div __exact AS BIGINT)")
+          .as("rel_err_micro"))
+  }
+
   /** Sample-based per-group quantile ESTIMATION with an exact rank-error
     * grade — the bounded-state third member of the quantile family:
     * [[graft.metrics.Metrics.exactPercentiles]] is exact in two linear

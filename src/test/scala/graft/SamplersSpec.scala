@@ -239,6 +239,35 @@ class SamplersSpec extends SparkSpec {
     assert(z == 0L)
   }
 
+  test("prioritySample: n <= k degenerates to the exact total (tau = 0); " +
+      "contributions never undercut weights; partitioning-invariant") {
+    val df = (1L to 30L).map(i => (i, i * 10L)).toDF("id", "w")
+    // n <= k: every row selected, tau = 0, est == exact == 4650
+    val full = Samplers.prioritySample(df, "id", "w", 50)
+      .select("weight", "contrib", "est_total", "exact_total",
+        "rel_err_micro")
+      .collect().map(r => (r.getLong(0), r.getString(1).toLong,
+        r.getString(2).toLong, r.getLong(3), r.getLong(4)))
+    assert(full.length === 30)
+    assert(full.forall { case (w, c, est, ex, err) =>
+      c == w && est == 4650L && ex == 4650L && err == 0L })
+    // k < n: contributions >= own weight (tau floors the small entrants),
+    // the estimate lands within a 25% band of the exact total on this
+    // fixed-salt fixture, and repartitioning changes nothing
+    val big = (1L to 500L).map(i => (i, (i % 97) + 1L)).toDF("id", "w")
+    val s1 = Samplers.prioritySample(big, "id", "w", 100)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(4).toLong, r.getLong(7))).toSeq
+    assert(s1.length === 100)
+    s1.foreach { case (_, _, w, c, _) => assert(c >= w) }
+    assert(math.abs(s1.head._5) <= 250000L,
+      s"estimate out of band: ${s1.head._5}")
+    val s2 = Samplers.prioritySample(big.repartition(11), "id", "w", 100)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getString(4).toLong, r.getLong(7))).toSeq
+    assert(s1 === s2)
+  }
+
   test("sampleQuantiles: k >= n degenerates to the exact percentiles " +
       "(zero-state-advantage identity); k < n stays in bound and is " +
       "partitioning-invariant") {
