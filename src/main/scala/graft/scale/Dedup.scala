@@ -956,7 +956,8 @@ object Dedup {
       sum(col("__mass")).as("__mc"))
     evalSet.groupBy(col(benchCol).as("benchmark"))
       .agg(count(lit(1)).as("n_eval"))
-      .join(hit, Seq("benchmark"), "left")
+      // benchmark-dictionary fold: broadcast, never a sort-merge exchange
+      .join(broadcast(hit), Seq("benchmark"), "left")
       .na.fill(0L, Seq("n_contaminated", "mass_contaminated"))
       .crossJoin(broadcast(ctot))
       .select(col("benchmark"), col("n_eval"), col("n_contaminated"),

@@ -692,6 +692,69 @@ class PlanSpec extends SparkSpec {
       s"the fold must not join (a join-back re-scans the corpus):\n$plan")
   }
 
+  test("tClosenessCounts is ONE corpus scan (the cell hash-agg); the fold " +
+      "runs on dictionaries") {
+    val counts = graft.metrics.Metrics.tClosenessCounts(
+      graft.io.Tables.load(spark, sf, "customer")
+        .withColumn("bal_band",
+          expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 100000")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band")
+    val plan = counts.queryExecution.executedPlan.toString
+    val scans = plan.sliding("Scan parquet".length)
+      .count(_ == "Scan parquet")
+    assert(scans == 1, s"expected exactly one scan, saw $scans:\n$plan")
+  }
+
+  test("contaminationReport: the eval side (bands, signatures, benchmark " +
+      "labels) rides broadcasts — no shuffle keyed wider than the doc id") {
+    val docs = graft.io.Tables.load(spark, sf, "documents")
+    val rep = graft.scale.Dedup.contaminationReport(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0)
+        .withColumn("benchmark",
+          concat(lit("b"), (col("doc_id") % 3).cast("string"))),
+      "doc_id", "text", "benchmark", "n_chars", 8, 2, 3, 600000L)
+    val plan = rep.queryExecution.executedPlan.toString
+    // band join + signature join + benchmark-label join: all broadcast
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastNestedLoopJoin"), s"no broadcast:\n$plan")
+    // the benchmark-dictionary fold must never sort-merge (the corpus-id
+    // keyed mass join MAY — that one is keyed on the doc id by design)
+    assert(!plan.contains("SortMergeJoin [benchmark"),
+      s"benchmark fold must broadcast, not sort-merge:\n$plan")
+  }
+
+  test("sampleQuantiles: the rank window runs on the hash PRE-CUT, never " +
+      "the corpus (filter precedes the window sort)") {
+    val df = SparkEntry.queries("sample_quantiles_lineitem")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // the window's child subtree must contain the 4k/n draw filter
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx >= 0, s"no window stage:\n$plan")
+    assert(plan.indexOf("17179869184") >= 0,
+      s"the pre-cut threshold is missing from the plan:\n$plan")
+  }
+
+  test("prioritySample: the (k+1) head is TakeOrderedAndProject, not a " +
+      "global sort") {
+    // withRank eagerly materializes the head (its checkpoint), so the
+    // query's final plan no longer shows it — assert on the head subtree
+    // the operator constructs (same API calls)
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey").as("__id"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("__w"))
+    val u = graft.sample.Samplers.hashDraw32(
+      concat(lit("ps:"), col("__id").cast("string"))) + 1L
+    val head = o.withColumn("__u", u)
+      .withColumn("__p", expr("__w * CAST(4294967296 AS BIGINT) div __u"))
+      .orderBy(col("__p").desc, col("__id")).limit(501)
+    val plan = head.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject:\n$plan")
+  }
+
   test("scriptId is PURE MAP: no exchange, no join, no aggregate before " +
       "the per-doc rows exist") {
     // the ideal 100 TB profile — each document read once, one row out;
