@@ -344,6 +344,12 @@ object ScaleCheck {
         (d: DataFrame) => Similarity.ivfPqTopK(d.filter(col("vec_id") < 5),
           d, "vec_id", "embedding", 10),
         embeddings, "vec_id", Some("embedding")),
+      ("ivfpq_residual",
+        // the ivfpq_topk shape + one zip_with residual per row riding the
+        // scan; the ADC table grows to |q|·nProbe maps — still broadcast
+        (d: DataFrame) => Similarity.ivfPqResidualTopK(
+          d.filter(col("vec_id") < 5), d, "vec_id", "embedding", 10),
+        embeddings, "vec_id", Some("embedding")),
       ("opq_permute",
         // permutation stats are one posexplode hash-agg to the d-row
         // dictionary; the rotation itself is a codegen'd transform riding

@@ -1172,6 +1172,20 @@ object SparkEntry {
       pq.join(opq, Seq("query_id")).orderBy(col("query_id"))
     }),
 
+    // ---- scale: RESIDUAL-encoding IVF-PQ recall (IVFADC proper) ------------
+    // The codebook describes within-cell displacement instead of re-
+    // describing each cell's centroid offset — the real billion-scale
+    // index layout; graded against the same exact-L2 ground truth.
+    "ivfpq_residual_recall_embeddings" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      Similarity.recallAtK(
+          Similarity.bruteForceTopKL2(q, e, "vec_id", "embedding", 10),
+          Similarity.ivfPqResidualTopK(q, e, "vec_id", "embedding", 10),
+          10)
+        .orderBy(col("query_id"))
+    }),
+
     // ---- canonical-representative dedup (keep best per group) -------------
     "dedup_keep_best_docs" -> ((s, dir) => {
       val w = Window.partitionBy(col("source"))
@@ -7100,6 +7114,101 @@ object SparkEntry {
         |  FROM probes p
         |  JOIN codes cd ON cd.cell = p.cell
         |  JOIN dtab d ON d.qid = p.qid AND d.sub = cd.sub AND d.code = cd.code
+        |  WHERE cd.vec_id <> p.qid
+        |  GROUP BY 1, 2),
+        |approx AS (
+        |  SELECT qid, cand FROM (
+        |    SELECT qid, cand,
+        |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc, cand) AS rk
+        |    FROM adc)
+        |  WHERE rk <= 10),
+        |exact AS (
+        |  SELECT qid, cand FROM (
+        |    SELECT q.qid, c.vec_id AS cand,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |        (SELECT SUM((q.v[i]-c.v[i])*(q.v[i]-c.v[i]))
+        |         FROM UNNEST(range(1, 65)) AS u(i)), c.vec_id) AS rk
+        |    FROM qs q CROSS JOIN qv c
+        |    WHERE c.vec_id <> q.qid)
+        |  WHERE rk <= 10),
+        |hits AS (
+        |  SELECT a.qid, COUNT(*) AS n_approx,
+        |    CAST(SUM(CASE WHEN e.cand IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_hit
+        |  FROM approx a
+        |  LEFT JOIN exact e ON e.qid = a.qid AND e.cand = a.cand
+        |  GROUP BY 1),
+        |ex_n AS (SELECT qid, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+        |SELECT ex_n.qid AS query_id,
+        |  CAST(COALESCE(n_approx, 0) AS BIGINT) AS n_approx,
+        |  CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_hit,
+        |  ROUND(CAST(COALESCE(n_hit, 0) AS DOUBLE) / LEAST(10, n_exact), 6)
+        |    AS recall
+        |FROM ex_n LEFT JOIN hits ON hits.qid = ex_n.qid
+        |ORDER BY query_id""".stripMargin,
+
+    // the ivfpq_recall replay with residual encoding: ccell/probes keep
+    // the centroid and subtract it (integer lists), the codebook holds
+    // residual subvectors of ids < 16, and the ADC table keys on
+    // (query, probed cell)
+    "ivfpq_residual_recall_embeddings" ->
+      """WITH qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cents AS (SELECT vec_id AS cell, v AS centv FROM qv WHERE vec_id % 100 = 0),
+        |ccell AS (
+        |  SELECT vec_id, cell, rv FROM (
+        |    SELECT c.vec_id, ct.cell,
+        |      list_transform(range(1, 65), i -> c.v[i] - ct.centv[i]) AS rv,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id ORDER BY
+        |        (SELECT SUM((c.v[i]-ct.centv[i])*(c.v[i]-ct.centv[i]))
+        |         FROM UNNEST(range(1, 65)) AS u(i)), ct.cell) AS rk
+        |    FROM qv c CROSS JOIN cents ct)
+        |  WHERE rk = 1),
+        |book AS (
+        |  SELECT b.vec_id AS code, sb.sub,
+        |    list_slice(b.rv, sb.sub*16+1, sb.sub*16+16) AS bsv
+        |  FROM ccell b CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb
+        |  WHERE b.vec_id < 16),
+        |csub AS (
+        |  SELECT cc.vec_id, cc.cell, sb.sub,
+        |    list_slice(cc.rv, sb.sub*16+1, sb.sub*16+16) AS sv
+        |  FROM ccell cc CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb),
+        |codes AS (
+        |  SELECT vec_id, cell, sub, code FROM (
+        |    SELECT c.vec_id, c.cell, c.sub, k.code,
+        |      ROW_NUMBER() OVER (PARTITION BY c.vec_id, c.sub ORDER BY
+        |        (SELECT SUM((c.sv[i]-k.bsv[i])*(c.sv[i]-k.bsv[i]))
+        |         FROM UNNEST(range(1, 17)) AS u(i)), k.code) AS rk
+        |    FROM csub c JOIN book k ON k.sub = c.sub)
+        |  WHERE rk = 1),
+        |qs AS (SELECT vec_id AS qid, v FROM qv WHERE vec_id < 5),
+        |probes AS (
+        |  SELECT qid, cell, rq FROM (
+        |    SELECT q.qid, ct.cell,
+        |      list_transform(range(1, 65), i -> q.v[i] - ct.centv[i]) AS rq,
+        |      ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+        |        (SELECT SUM((q.v[i]-ct.centv[i])*(q.v[i]-ct.centv[i]))
+        |         FROM UNNEST(range(1, 65)) AS u(i)), ct.cell) AS rk
+        |    FROM qs q CROSS JOIN cents ct)
+        |  WHERE rk <= 2),
+        |qsub AS (
+        |  SELECT qid, cell, sb.sub,
+        |    list_slice(rq, sb.sub*16+1, sb.sub*16+16) AS qsv
+        |  FROM probes CROSS JOIN (SELECT UNNEST(range(0, 4)) AS sub) sb),
+        |dtab AS (
+        |  SELECT q.qid, q.cell, k.sub, k.code,
+        |    (SELECT SUM((q.qsv[i]-k.bsv[i])*(q.qsv[i]-k.bsv[i]))
+        |     FROM UNNEST(range(1, 17)) AS u(i)) AS d2
+        |  FROM qsub q JOIN book k ON k.sub = q.sub),
+        |adc AS (
+        |  SELECT p.qid, cd.vec_id AS cand, CAST(SUM(d.d2) AS BIGINT) AS adc
+        |  FROM probes p
+        |  JOIN codes cd ON cd.cell = p.cell
+        |  JOIN dtab d ON d.qid = p.qid AND d.cell = p.cell
+        |    AND d.sub = cd.sub AND d.code = cd.code
         |  WHERE cd.vec_id <> p.qid
         |  GROUP BY 1, 2),
         |approx AS (

@@ -570,6 +570,117 @@ object Similarity {
         col("adc"))
   }
 
+  /** RESIDUAL-encoding IVF-PQ (IVFADC proper, Jégou et al. TPAMI 2011
+    * §IV.A): [[ivfPqTopK]] encodes RAW vectors, which wastes the entire
+    * codebook budget re-describing each cell's centroid offset; the real
+    * index quantizes the residual x − c(x) against the assigned coarse
+    * centroid, so the m·pqK codebook describes only within-cell
+    * displacement — the structure that makes billion-scale recall work
+    * when cells are far apart. The query side forms a PER-PROBED-CELL
+    * residual q − c (so the ADC table is per (query, cell)), and
+    * ADC = Σ_sub ‖rq_sub − book[code]_sub‖² approximates ‖q − x‖²
+    * exactly when the candidate's residual is in the codebook.
+    *
+    * Same deterministic family conventions as [[ivfPqTopK]] (cells =
+    * id % centroidMod == 0, codebook = residuals of ids < pqK, quantized
+    * integer vectors, argmin ties on the lower id) — residuals of
+    * quantized integers are integers, so the whole search still replays
+    * in DuckDB. Residual formation is one `zip_with` per row riding the
+    * scan (corpus-linear, not a per-element aggregation — the HOF rule's
+    * carve-out, the [[opqApply]] precedent).
+    *
+    * Plan shape: identical to [[ivfPqTopK]] except the ADC table keys on
+    * (query, probed cell) — |q|·nProbe maps instead of |q|, still a
+    * broadcast-scale relation.
+    */
+  def ivfPqResidualTopK(
+      queries: DataFrame,
+      candidates: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      centroidMod: Int = 100,
+      nProbe: Int = 2,
+      m: Int = 4,
+      pqK: Int = 16,
+      dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dims % m == 0, s"m must divide $dims: $m")
+    val sub = dims / m
+    val KEY = 1048576L
+    val cents = candidates.filter(col(idCol) % centroidMod === 0)
+      .select(col(idCol).as("cell"), quantize(col(vecCol)).as("centv"))
+    val cand = candidates.select(col(idCol).as("cand_id"),
+      quantize(col(vecCol)).as("cv"))
+    val wc = Window.partitionBy(col("cand_id"))
+      .orderBy(col("__d2"), col("cell"))
+    // nearest cell, centroid KEPT for the residual
+    val candCell = cand.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("cv"), col("centv")))
+      .withColumn("__rk", row_number().over(wc))
+      .filter(col("__rk") === 1)
+      .select(col("cand_id"), col("cell"),
+        zip_with(col("cv"), col("centv"), (x, y) => x - y).as("rv"))
+    // codebook = RESIDUAL subvectors of ids < pqK (w.r.t. their own cells)
+    val book = candCell.filter(col("cand_id") < pqK)
+      .select(col("cand_id").as("code"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .select(col("code"), col("sub"),
+        slice(col("rv"), col("sub") * sub + 1, lit(sub)).as("bsv"))
+    val wcode = Window.partitionBy(col("cand_id"), col("sub"))
+      .orderBy(col("__d2"), col("code"))
+    val codes = candCell
+      .select(col("cand_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rv"))
+      .select(col("cand_id"), col("cell"), col("sub"),
+        slice(col("rv"), col("sub") * sub + 1, lit(sub)).as("csv"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("__d2", l2Sq(col("csv"), col("bsv")))
+      .withColumn("__rk", row_number().over(wcode))
+      .filter(col("__rk") === 1)
+      .groupBy(col("cand_id"), col("cell"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("code"))))
+        .as("__sc"))
+      .select(col("cand_id"), col("cell"),
+        expr("transform(__sc, p -> p.code)").as("codes"))
+    val q = queries.select(col(idCol).as("query_id"),
+      quantize(col(vecCol)).as("qv"))
+    val wp = Window.partitionBy(col("query_id"))
+      .orderBy(col("__d2"), col("cell"))
+    // probes keep the centroid: the query residual is PER PROBED CELL
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("qv"), col("centv")))
+      .withColumn("__rk", row_number().over(wp))
+      .filter(col("__rk") <= nProbe)
+      .select(col("query_id"), col("cell"),
+        zip_with(col("qv"), col("centv"), (x, y) => x - y).as("rq"))
+    // per-(query, cell) ADC table over the residual codebook
+    val dtab = probes
+      .select(col("query_id"), col("cell"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"), col("rq"))
+      .select(col("query_id"), col("cell"), col("sub"),
+        slice(col("rq"), col("sub") * sub + 1, lit(sub)).as("qsv"))
+      .join(broadcast(book), Seq("sub"))
+      .withColumn("__d2", l2Sq(col("qsv"), col("bsv")))
+      .groupBy(col("query_id"), col("cell"))
+      .agg(map_from_entries(collect_list(struct(
+        (col("sub").cast("long") * KEY + col("code")).as("k"),
+        col("__d2").as("v")))).as("dtab"))
+    val wk = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc"), col("cand_id"))
+    probes.select(col("query_id"), col("cell")).join(codes, Seq("cell"))
+      .filter(col("query_id") =!= col("cand_id"))
+      .join(dtab, Seq("query_id", "cell"))
+      .withColumn("adc", expr(
+        s"aggregate(sequence(0, ${m - 1}), 0L, (acc, s) -> " +
+          s"acc + element_at(dtab, CAST(s AS BIGINT) * $KEY + " +
+          "element_at(codes, s + 1)))"))
+      .withColumn("rk", row_number().over(wk))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("cell"), col("cand_id"), col("rk"),
+        col("adc"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a threshold, blocked by an
     * LSH-ish signature: the sign pattern of selected components (a random-
     * hyperplane sketch with axis-aligned planes — deterministic). Pairs are

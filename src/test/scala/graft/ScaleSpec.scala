@@ -890,6 +890,40 @@ class ScaleSpec extends SparkSpec {
       s"query $id: opq ${rOpq(id)} must beat pq ${rPq(id)}"))
   }
 
+  test("ivfPqResidualTopK: far-apart cells — residual codebook separates " +
+      "within-cell neighbors that raw encoding collapses") {
+    // Two cells at distance ~8M in quantized units; all within-cell
+    // displacement lives in dim 1. The raw codebook (ids 0,1 — both near
+    // cell 0) gives every cell-1 candidate the SAME codes, so raw ADC
+    // ties and ranks by id — admitting the farthest member (id 6, δ=9)
+    // and dropping a true neighbor. The residual codebook {0-vec, (9,0…)}
+    // encodes the displacements themselves and recalls exactly.
+    def v(base: Float, d: Float) =
+      Seq(base + d, base, base, base, base, base, base, base)
+    val e = Seq(
+      (0L, v(0f, 0f)),        // cell-0 centroid (centroidMod 5)
+      (1L, v(0f, 0.009f)),    // cell-0 member; codebook id
+      (5L, v(1f, 0f)),        // cell-1 centroid
+      (6L, v(1f, 0.009f)),    // cell-1 far member
+      (7L, v(1f, 0.001f)),
+      (8L, v(1f, 0.002f)),    // query
+      (9L, v(1f, 0f))         // centroid copy
+    ).toDF("vec_id", "embedding")
+    val q = e.filter($"vec_id" === 8)
+    val exact = Similarity.bruteForceTopKL2(q, e, "vec_id", "embedding", 3)
+    assert(exact.select("cand_id").as[Long].collect().toSet ===
+      Set(7L, 5L, 9L))
+    def recall(topk: org.apache.spark.sql.DataFrame) =
+      Similarity.recallAtK(exact, topk, 3)
+        .select("recall").as[Double].head()
+    val raw = recall(Similarity.ivfPqTopK(q, e, "vec_id", "embedding", 3,
+      5, 1, 4, 2, 8))
+    val res = recall(Similarity.ivfPqResidualTopK(q, e, "vec_id",
+      "embedding", 3, 5, 1, 4, 2, 8))
+    assert(res === 1.0)
+    assert(raw < res, s"residual ($res) must beat raw ($raw)")
+  }
+
   test("semDedup drops smaller-id-neighbor vectors within a cluster only") {
     // ids 0 and 3 are centroids (mod 3). 0,1,2 are near-identical (cluster
     // of centroid 0); 3,4 are near-identical (cluster of 3); 5 is alone in
