@@ -900,6 +900,11 @@ object ScaleCheck {
               " div 100000")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band", Seq(2, 3, 5)),
         customer, "c_custkey", None),
+      ("acf",
+        // one corpus hash-agg to the (type, day) dictionary; scaffold,
+        // lag explode, and self-join all live on that dictionary
+        (d: DataFrame) => Events.acf(d, 7),
+        events, "event_id", None),
       ("priority_sample",
         // projection + TakeOrderedAndProject head + one corpus aggregate
         // — the weightedReservoir shape plus the exact-total companion

@@ -1893,6 +1893,29 @@ object SparkEntry {
       Events.trendFromDaily(drained).orderBy(col("event_type"))
     }),
 
+    // ---- daily autocorrelation (periodicity signature, lags 1..7) ----------
+    // trend asks "is it drifting?", seasonality "which hours?", ACF "does
+    // today predict d days ahead?" — gap-filled so quiet days are zero
+    // observations, not spliced-out gaps.
+    "acf_events" -> ((s, dir) =>
+      Events.acf(t(s, dir, "events"), 7)
+        .orderBy(col("event_type"), col("lag"))),
+
+    // ---- STREAMING ACF (the SAME per-(type, day) state as the trend and
+    // CUSUM twins — one more fold over already-proven state) ----------------
+    "streaming_acf_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val daily = Events.trendDaily(stream)
+      val name = "stream_acf_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, daily, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.acfFromDaily(drained, 7)
+        .orderBy(col("event_type"), col("lag"))
+    }),
+
     // ---- CUSUM changepoint localization (WHEN did the level shift) ---------
     // psi/ks say "the distribution moved", trend says "how fast" — CUSUM
     // names the day: max-|Sₖ| over exact scaled mean-centered cumsums of
@@ -4810,6 +4833,8 @@ object SparkEntry {
       ("streaming_trend_events" -> m("trend_fit_events")),
       // CUSUM twin: the SAME daily-total state, peak-pick fold on drain
       ("streaming_cusum_events" -> m("cusum_changepoint_events")),
+      // ACF twin: the SAME daily-total state, gap-fill + lag fold on drain
+      ("streaming_acf_events" -> m("acf_events")),
       // user-entropy twin: (user, type) count state + entropy fold
       ("streaming_user_entropy_events" -> m("user_entropy_events")),
       // l-diversity twin: (class, sensitive) cell state + panel fold
@@ -7965,6 +7990,45 @@ object SparkEntry {
         |  ROUND(CAST(SUM(mx * c) - SUM(sm) AS DOUBLE)
         |    / CAST(SUM(mx * c) AS DOUBLE), 6) AS waste_frac
         |FROM bs GROUP BY strategy ORDER BY strategy""".stripMargin,
+
+    // gap-filled daily series (generate_series per type), lag self-join,
+    // exact HUGEINT moments, the fixed-order sqrt ratio mirrored
+    "acf_events" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM d GROUP BY 1),
+        |scaf AS (
+        |  SELECT s.event_type, u.day
+        |  FROM span s, UNNEST(range(s.d0, s.d1 + 1)) AS u(day)),
+        |filled AS (
+        |  SELECT sc.event_type, sc.day, COALESCE(d.yc, 0) AS yc
+        |  FROM scaf sc
+        |  LEFT JOIN d ON d.event_type = sc.event_type AND d.day = sc.day),
+        |pairs AS (
+        |  SELECT a.event_type, l.lag,
+        |    CAST(a.yc AS HUGEINT) AS x, CAST(b.yc AS HUGEINT) AS y
+        |  FROM filled a
+        |  JOIN (SELECT UNNEST(range(1, 8)) AS lag) l ON TRUE
+        |  JOIN filled b ON b.event_type = a.event_type
+        |    AND b.day = a.day + l.lag),
+        |m AS (
+        |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM pairs GROUP BY 1, 2)
+        |SELECT event_type, CAST(lag AS BIGINT) AS lag, n_pairs,
+        |  CASE WHEN n_pairs * sxx - sx * sx > 0
+        |        AND n_pairs * syy - sy * sy > 0 THEN
+        |    ROUND(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |      / (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin,
 
     "trend_fit_events" ->
       """WITH d AS (

@@ -380,6 +380,68 @@ object Events {
     * window-free second agg on prev_type fanned back with a broadcast-size
     * join-free window over the tiny aggregated table.
     */
+  /** Autocorrelation function of the daily value series, lags 1..maxLag —
+    * the periodicity detector beside [[trendFit]] (trend asks "is it
+    * drifting?", [[seasonalityIndex]] asks "which hours are hot?", ACF
+    * asks "does today predict d days ahead?" — the weekly-cycle /
+    * batch-cadence signature a pipeline-health monitor watches). Pearson r
+    * between (y_d, y_{d+ℓ}) over the GAP-FILLED series (a quiet day is a
+    * zero observation, not a missing one — skipping gaps would splice
+    * non-adjacent days together and fake correlation).
+    *
+    * Determinism: exact decimal moment sums in one hash-agg per (type,
+    * lag); the only floats are the final fixed-order ratio (mirrored by
+    * the oracle), NULL when either side's variance is zero. Scale: one
+    * corpus hash-agg to the (type, day) dictionary, the day scaffold and
+    * lag explode live on that dictionary, the self-join keys on
+    * (type, day).
+    */
+  def acf(events: DataFrame, maxLag: Int = 7): DataFrame =
+    acfFromDaily(trendDaily(events), maxLag)
+
+  /** The ACF fold over [[trendDaily]]'s (drained) state — the SAME
+    * per-(type, day) cent totals the trend/CUSUM twins hold, so the
+    * streaming twin is one more fold over already-proven state.
+    * acfFromDaily ∘ trendDaily = [[acf]] by construction.
+    */
+  def acfFromDaily(daily0: DataFrame, maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 1, s"bad maxLag $maxLag")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // pin the day dictionary once: it feeds the span agg AND the scaffold
+    // join (and a memory-sink view cannot self-join — the madFromCounts
+    // rationale)
+    val daily = daily0.localCheckpoint(true)
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val filled = span
+      .select(col("event_type"),
+        explode(sequence(col("__d0"), col("__d1"))).as("day"))
+      .join(daily, Seq("event_type", "day"), "left")
+      .na.fill(0L, Seq("yc"))
+      .localCheckpoint(true) // day dictionary; feeds both lag-join sides
+    val lagged = filled
+      .withColumn("lag", explode(sequence(lit(1), lit(maxLag))))
+      .withColumn("__dj", col("day") + col("lag"))
+    val right = filled.select(col("event_type"),
+      col("day").as("__dj"), col("yc").as("__y2"))
+    val da = col("n_pairs") * col("__sxx") - col("__sx") * col("__sx")
+    val db = col("n_pairs") * col("__syy") - col("__sy") * col("__sy")
+    lagged.join(right, Seq("event_type", "__dj"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(d(col("yc"))).as("__sx"), sum(d(col("__y2"))).as("__sy"),
+        sum(d(col("yc")) * d(col("__y2"))).as("__sxy"),
+        sum(d(col("yc")) * d(col("yc"))).as("__sxx"),
+        sum(d(col("__y2")) * d(col("__y2"))).as("__syy"))
+      .select(col("event_type"), col("lag").cast("long").as("lag"),
+        col("n_pairs"),
+        when(da > 0 && db > 0,
+          round((col("n_pairs") * col("__sxy") -
+              col("__sx") * col("__sy")).cast("double") /
+            (sqrt(da.cast("double")) * sqrt(db.cast("double"))), 6))
+          .as("acf"))
+  }
+
   def markovTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))

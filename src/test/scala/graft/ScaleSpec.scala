@@ -1461,6 +1461,35 @@ class ScaleSpec extends SparkSpec {
     assert(r.getDouble(2) === 1.0)
   }
 
+  test("acf: alternating daily series scores exactly -1 at lag 1 and +1 " +
+      "at lag 2; constant series yields NULL; gaps fill as zero days; " +
+      "fold over the trendDaily state equals the one-shot panel") {
+    val day = 86400L * 1000000000L
+    // period-2 series 1,3,1,3,1,3 -> hand moments: lag1 r = -240000 /
+    // (sqrt(240000) * sqrt(240000)) = -1; lag2 r = +1 (4 identical pairs)
+    val ev = (0 to 5).map(i =>
+        (i * day, "x", if (i % 2 == 0) 1.0 else 3.0))
+      .toDF("ts", "event_type", "value")
+    val got = Events.acf(ev, 2).orderBy("lag").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 5L, -1.0), (2L, 4L, 1.0)))
+    // zero variance -> NULL acf, never NaN
+    val const = (0 to 3).map(i => (i * day, "y", 2.0))
+      .toDF("ts", "event_type", "value")
+    assert(Events.acf(const, 1).collect().forall(_.isNullAt(3)))
+    // a missing day is a ZERO observation: days {0,1,2,4} fill day 3,
+    // so lag-1 spans 4 pairs (not 3 spliced ones)
+    val gap = Seq(0, 1, 2, 4).map(i => (i * day, "z", 1.0))
+      .toDF("ts", "event_type", "value")
+    val g1 = Events.acf(gap, 1).head()
+    assert(g1.getLong(2) === 4L)
+    assert(!g1.isNullAt(3))
+    // composition: fold over the drained-state relation = the panel
+    assert(Events.acfFromDaily(Events.trendDaily(ev), 2)
+      .orderBy("lag").collect().toSeq ===
+      Events.acf(ev, 2).orderBy("lag").collect().toSeq)
+  }
+
   test("trendFit: a single-day group yields NULL slope, not NaN") {
     val ev = Seq((0L, "x", 1.0), (1000L, "x", 2.0))
       .toDF("ts", "event_type", "value")  // both events on epoch day 0
