@@ -170,6 +170,13 @@ object ScaleCheck {
               concat(lit("bench_"), (col("doc_id") % 3).cast("string"))),
           "doc_id", "text", "benchmark", "n_chars", 8, 2, 3, 600000L),
         docs, "doc_id", Some("text")),
+      ("blocklist",
+        // one token explode + broadcast dictionary join + per-doc hash-agg
+        (d: DataFrame) => TextAnalysis.blocklistFilter(d, "doc_id", "text",
+          docs.sparkSession.createDataFrame(
+            Seq(Tuple1("slow"), Tuple1("broken"), Tuple1("spam"),
+              Tuple1("junk"))).toDF("term"), 100000L),
+        docs, "doc_id", None),
       ("corpus_freq",
         (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
         docs, "doc_id", None),

@@ -4320,6 +4320,18 @@ object SparkEntry {
       Dedup.editDistancePairs(t(s, dir, "part"), "p_partkey", "p_name", 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- blocklist scrub report (C4/Dolma bad-words stage) -----------------
+    // The blocklist rides a relation (broadcast token equi-join, never a
+    // 10^4-term alternation regex); flag docs where >10% of tokens hit.
+    "blocklist_docs" -> ((s, dir) => {
+      import s.implicits._
+      val terms = Seq("slow", "broken", "spam", "junk")
+        .toDF("term")
+      TextAnalysis.blocklistFilter(t(s, dir, "documents"),
+          "doc_id", "text", terms, 100000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- corpus-frequency boilerplate scrub (C4 line-dedup rule) ----------
     // Chunks occurring in >= 3 distinct docs are template noise; EVERY
     // occurrence is removed (passage_dedup_docs keeps first occurrences —
@@ -8316,6 +8328,34 @@ object SparkEntry {
         |  COALESCE(s.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN surv s ON t.doc_id = s.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // house tokens convention; hits via a list containment over the
+    // 4-term dictionary; every doc scaffolds (zero-hit rows included)
+    "blocklist_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS t
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN t IN ('slow', 'broken', 'spam', 'junk')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |    CAST(COUNT(DISTINCT CASE WHEN t IN
+        |      ('slow', 'broken', 'spam', 'junk') THEN t END) AS BIGINT)
+        |      AS n_terms
+        |  FROM toks GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(h.n_tokens, 0) AS n_tokens,
+        |  COALESCE(h.n_hits, 0) AS n_hits,
+        |  COALESCE(h.n_terms, 0) AS n_terms,
+        |  CASE WHEN COALESCE(h.n_tokens, 0) > 0 THEN
+        |    ROUND(CAST(h.n_hits AS DOUBLE) / CAST(h.n_tokens AS DOUBLE), 6)
+        |  END AS hit_frac,
+        |  COALESCE(h.n_hits, 0) > 0 AND
+        |    COALESCE(h.n_hits, 0) * 1000000 >
+        |      100000 * COALESCE(h.n_tokens, 0) AS flagged
+        |FROM (SELECT doc_id FROM documents) d
+        |LEFT JOIN h USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "decontaminate_docs" ->
       """WITH toks AS (

@@ -18,6 +18,57 @@ object TextAnalysis {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
+  /** Blocklist scrub report — the C4/Dolma "bad words" stage: per doc,
+    * how many tokens hit the blocklist, how many DISTINCT blocklist terms
+    * appear, and the hit fraction against a declared removal threshold.
+    * The blocklist is a RELATION, not a regex: real lists run to 10⁴+
+    * terms, where one alternation regex is quadratic-compile noise but a
+    * token equi-join is one broadcast (or, for huge lists, an ordinary
+    * keyed join — same plan shape, Spark picks by size). Token identity
+    * is the house lowercase-whitespace [[tokens]] convention.
+    *
+    * Every doc emits a row (zero-hit docs report 0/0/0/false — the
+    * scaffold rule); empty docs report n_tokens 0 and NULL hit_frac.
+    *
+    * @param fracMicro flag threshold in micro-units of the token count
+    *        (e.g. 100000 = flag when >10% of tokens are blocklisted);
+    *        docs with ANY hit and n_hits·1e6 > fracMicro·n_tokens flag
+    * @return per doc: (idCol, n_tokens, n_hits, n_terms, hit_frac r6,
+    *         flagged)
+    */
+  def blocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: DataFrame,
+      fracMicro: Long = 100000L): DataFrame = {
+    require(fracMicro >= 0L && fracMicro <= 1000000L,
+      s"bad threshold $fracMicro")
+    val toks = df.select(col(idCol),
+      explode(tokens(col(textCol))).as("__t"))
+    val dict = terms.select(lower(col(terms.columns.head)).as("__t"),
+      lit(1).as("__hit")).distinct()
+    val hits = toks.join(broadcast(dict), Seq("__t"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        // distinct blocklist terms seen — bounded by the blocklist size
+        size(array_distinct(collect_list(when(col("__hit").isNotNull,
+          col("__t"))))).as("n_terms"))
+    df.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .na.fill(0L, Seq("n_tokens", "n_hits"))
+      .na.fill(0, Seq("n_terms"))
+      .select(col(idCol), col("n_tokens"), col("n_hits"),
+        col("n_terms").cast("long").as("n_terms"),
+        when(col("n_tokens") > 0,
+          round(col("n_hits").cast("double") /
+            col("n_tokens").cast("double"), 6)).as("hit_frac"),
+        (col("n_hits") > 0 &&
+          col("n_hits") * 1000000L > lit(fracMicro) * col("n_tokens"))
+          .as("flagged"))
+  }
+
   /** Regex word tokens — the "BPE-ish" variant: alnum runs. */
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))

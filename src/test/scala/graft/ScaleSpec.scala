@@ -117,6 +117,24 @@ class ScaleSpec extends SparkSpec {
       ("b1", 1L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("blocklistFilter: hand-computed hit counts/fractions, zero-hit and " +
+      "empty-doc scaffold rows, >10% flag boundary") {
+    val withEmpty = docs.unionByName(Seq((6L, "")).toDF("doc_id", "text"))
+    val terms = Seq("lazy", "cat", "unused").toDF("term")
+    val got = TextAnalysis.blocklistFilter(withEmpty, "doc_id", "text",
+        terms, 100000L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (1L, 9L, 1L, 1L, Some(0.111111), true),   // "lazy" 1/9 > 10%
+      (2L, 9L, 2L, 2L, Some(0.222222), true),   // "lazy" + "cat"
+      (3L, 6L, 0L, 0L, Some(0.0), false),
+      (4L, 9L, 1L, 1L, Some(0.111111), true),
+      (5L, 6L, 0L, 0L, Some(0.0), false),
+      (6L, 0L, 0L, 0L, None, false)))           // empty doc: NULL frac
+  }
+
   test("decontaminate flags corpus docs sharing shingles with the eval set") {
     val eval_ = docs.filter($"doc_id" === 1)
     val corpus = docs.filter($"doc_id" =!= 1)
