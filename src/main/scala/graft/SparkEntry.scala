@@ -1519,6 +1519,34 @@ object SparkEntry {
         .orderBy(col("user_id"), col("start_us"))
     }),
 
+    // ---- APPEND-mode session windows: watermark-evicted sessions -----------
+    // The session-shaped eviction story beside the hourly Append twin: a
+    // session closes (emits once, state evicted) when the watermark
+    // passes its end = last event + gap; the trailing open sessions are
+    // withheld by design and the oracle applies the same integer cutoff.
+    "streaming_session_append_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val agg = stream
+        .withColumn("__ts", Events.tsAsTimestamp(stream))
+        .withWatermark("__ts", "1 hour")
+        .groupBy(session_window(col("__ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("session_window.start")).as("start_us"),
+          unix_micros(col("session_window.end")).as("end_us"),
+          col("n_events"), col("sum_value"))
+      val name = "stream_sessapp_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      graft.streaming.Streams
+        .runToMemory(s, agg, name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy(col("user_id"), col("start_us"))
+    }),
+
     // ---- streaming sliding windows in the CHECKED surface ------------------
     "streaming_sliding_agg_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -6439,6 +6467,36 @@ object SparkEntry {
         |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // the Complete-mode session oracle + the watermark cutoff: only
+    // sessions whose end precedes the ms-truncated watermark emit
+    "streaming_session_append_events" ->
+      """WITH e AS (
+        |  SELECT user_id, value, CAST(EPOCH_US(ts) AS BIGINT) AS us
+        |  FROM events),
+        |wm AS (
+        |  SELECT ((MAX(us) // 1000) - 3600000) * 1000 AS wm_us FROM e),
+        |l AS (
+        |  SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us) AS prev
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR us - prev >= 1800000000
+        |    THEN 1 ELSE 0 END AS ns
+        |  FROM l),
+        |s AS (
+        |  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY us
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM f),
+        |g AS (
+        |  SELECT user_id,
+        |    MIN(us) AS start_us,
+        |    MAX(us) + 1800000000 AS end_us,
+        |    COUNT(*) AS n_events,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT user_id, start_us, end_us, n_events, sum_value
+        |FROM g, wm WHERE end_us <= wm_us
         |ORDER BY user_id, start_us""".stripMargin,
 
     // same math as sliding_agg_events — the streaming form must match it

@@ -73,6 +73,47 @@ class StreamingSpec extends SparkSpec {
         s"(state=$stateRows, open=${all.size - emitted.size})")
   }
 
+  test("Append-mode session windows: watermark emits exactly the closed " +
+      "sessions and evicts their state") {
+    import graft.io.Tables
+    import graft.scale.Events
+    val batch = Tables.load(spark, sf, "events")
+    val stream = spark.readStream.schema(batch.schema)
+      .parquet(s"$sf/events*.parquet")
+    val agg = stream
+      .withColumn("__ts", Events.tsAsTimestamp(stream))
+      .withWatermark("__ts", "1 hour")
+      .groupBy(session_window($"__ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", unix_micros($"session_window.end").as("end_us"),
+        $"n_events")
+    val q = agg.writeStream.format("memory").queryName("sessapp_spec")
+      .outputMode(OutputMode.Append).start()
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    q.stop()
+    val emitted = spark.table("sessapp_spec")
+      .as[(Long, Long, Long)].collect().toSet
+    // ground truth: the Complete-mode twin (all sessions) + the cutoff
+    val all = Streams.runToMemory(spark,
+        stream.withColumn("__ts", Events.tsAsTimestamp(stream))
+          .groupBy(session_window($"__ts", "30 minutes"), $"user_id")
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id",
+            unix_micros($"session_window.end").as("end_us"), $"n_events"),
+        "sessapp_all", OutputMode.Complete)
+      .as[(Long, Long, Long)].collect().toSet
+    val maxUs = batch
+      .select(max(unix_micros(Events.tsAsTimestamp(batch)))).as[Long].head()
+    val wmUs = (maxUs / 1000 - 3600000L) * 1000L
+    val closed = all.filter(_._2 <= wmUs)
+    assert(emitted === closed)
+    assert(emitted.nonEmpty && emitted.size < all.size)
+    assert(stateRows == (all.size - emitted.size).toLong,
+      s"state must hold only open sessions " +
+        s"(state=$stateRows, open=${all.size - emitted.size})")
+  }
+
   test("dedupWithinWatermark drops repeated keys") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
