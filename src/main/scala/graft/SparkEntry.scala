@@ -3853,6 +3853,65 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ---- BOUNDED-state streaming MAD (five bounded passes) -----------------
+    // Closes the value-dictionary precondition class entirely: median and
+    // MAD each run the two-pass bucket narrowing (bucket-histogram state,
+    // then a stream-static narrowed pass), and the flag pass holds one
+    // counter row per group — five bounded-state streaming queries where
+    // the single-pass twin holds the whole value dictionary. Exact: every
+    // piece's composition with the batch selection is spec-pinned.
+    "streaming_mad_bounded_events" -> ((s, dir) => {
+      import graft.metrics.Metrics
+      val batch = t(s, dir, "events")
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+        .withColumn("cents",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+        .filter(col("cents").isNotNull)
+      val g = Seq("event_type")
+      def drain(df: DataFrame, p: String) =
+        graft.streaming.Streams.runToMemory(s, df,
+          p + java.util.UUID.randomUUID.toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      // median: bucket-histogram state + narrowed value-count state
+      val hist1 = drain(Metrics.bucketCounts(stream, "cents", g, 12), "smb1_")
+      val t1 = Metrics.percentileTargets(hist1, Seq(500000L), g)
+        .localCheckpoint(true)
+      val n1 = stream.withColumn("__b", shiftright(col("cents"), 12))
+        .join(broadcast(t1.select(col("event_type"), col("__b")).distinct()),
+          Seq("event_type", "__b"))
+      val med = Metrics.percentilesFromNarrowedCounts(
+          drain(Metrics.valueCounts(n1, "cents", g), "smb2_"), t1, g, 12)
+        .select(col("event_type"), col("value").as("__med"))
+        .localCheckpoint(true)
+      // MAD: the same two bounded passes over |x − median|
+      def devStream = stream.join(broadcast(med), g)
+        .withColumn("__adv", abs(col("cents") - col("__med")))
+      val hist2 = drain(Metrics.bucketCounts(devStream, "__adv", g, 12),
+        "smb3_")
+      val t2 = Metrics.percentileTargets(hist2, Seq(500000L), g)
+        .localCheckpoint(true)
+      val n2 = devStream.withColumn("__b", shiftright(col("__adv"), 12))
+        .join(broadcast(t2.select(col("event_type"), col("__b")).distinct()),
+          Seq("event_type", "__b"))
+      val mad = Metrics.percentilesFromNarrowedCounts(
+          drain(Metrics.valueCounts(n2, "__adv", g), "smb4_"), t2, g, 12)
+        .select(col("event_type"), col("value").as("__mad"))
+        .localCheckpoint(true)
+      // flags: ONE counter row per group as state
+      val mm = med.join(mad, g).localCheckpoint(true)
+      val flags = stream.join(broadcast(mm), g)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("__med")).as("median"), max(col("__mad")).as("mad"),
+          sum(when(abs(col("cents") - col("__med")) > col("__mad") * 3, 1L)
+            .otherwise(0L)).as("n_outliers"))
+      drain(flags, "smb5_")
+        .withColumn("outlier_frac",
+          round(col("n_outliers").cast("double") / col("n"), 6))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- categorical-association panel (chi2 / Cramér's V / MI) ------------
     // Which metadata columns are redundant vs independent: three declared
     // pairs share ONE corpus scan (the fdCounts explode shape); zero cells
@@ -4866,6 +4925,8 @@ object SparkEntry {
       // MAD twin: value-dictionary state + median/MAD rank-pick fold ≡
       // the batch panel (madFromCounts ∘ valueCounts spec-pinned)
       ("streaming_mad_outliers_events" -> m("mad_outliers_events")),
+      // BOUNDED MAD twin: five bounded-state passes ≡ the same batch panel
+      ("streaming_mad_bounded_events" -> m("mad_outliers_events")),
       // association twin: cell-count state + panel fold ≡ the batch panel
       ("streaming_assoc_orders" -> m("assoc_panel_orders")),
       // daily-trend twin: per-(type, day) cent-total state + regression

@@ -365,6 +365,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("bounded-state streaming MAD (five bounded passes) equals the " +
+      "batch panel and the value-dictionary twin") {
+    val bounded = SparkEntry.queries("streaming_mad_bounded_events")(
+        spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = SparkEntry.queries("mad_outliers_events")(spark, sf)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(bounded === batch)
+  }
+
   test("streaming PSI state (frozen reference edges) equals the batch panel") {
     import graft.io.Tables
     val stream = SparkEntry.queries("streaming_psi_drift_orders")(spark, sf)
