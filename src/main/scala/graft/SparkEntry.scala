@@ -4388,6 +4388,52 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- STREAMING sample quantiles (bottom-k aggregator state) ------------
+    // The live-stream form of the O(k) estimator: a typed bottom-k
+    // aggregator holds the k smallest (draw, id) triples per group as
+    // Complete-mode state (k rows, period — no cut needed: the buffer IS
+    // the bound), the est fold runs on the drained sample, and the grade
+    // runs as a second bounded pass (|groups|·|q| counter rows).
+    "streaming_sample_quantiles_lineitem" -> ((s, dir) => {
+      import graft.sample.Samplers
+      val batch = t(s, dir, "lineitem")
+      def stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("rid", concat(col("l_orderkey").cast("string"),
+          lit("-"), col("l_linenumber").cast("string")))
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+        .filter(col("cents").isNotNull)
+      val g = Seq("l_returnflag")
+      val qs = Seq(250000L, 500000L, 900000L)
+      def drain(df: DataFrame, p: String) =
+        graft.streaming.Streams.runToMemory(s, df,
+          p + java.util.UUID.randomUUID.toString.replace("-", ""),
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      val bk = udaf(Samplers.bottomKSampleAggregator(1000),
+        org.apache.spark.sql.Encoders.product[(Long, String, Long)])
+      val sampled = stream
+        .withColumn("__draw",
+          Samplers.hashDraw32(concat(lit("sq:"), col("rid"))))
+        .groupBy(col("l_returnflag"))
+        .agg(bk(col("__draw"), col("rid"), col("cents")).as("__s"))
+      val sample = drain(sampled, "ssq1_")
+        .select(col("l_returnflag"), explode(col("__s.vals")).as("__v"))
+        .localCheckpoint(true) // feeds kcnt + the sample value counts
+      val kcnt = sample.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("__k"))
+      val est = Samplers.sampleQuantileEsts(
+          sample.groupBy(col("l_returnflag"), col("__v"))
+            .agg(count(lit(1)).as("__cnt")),
+          qs, g)
+        .localCheckpoint(true) // |groups|·|q| rows; feeds the grade pass
+      val graded = drain(Samplers.gradeEstimates(
+        stream.select(col("l_returnflag"), col("cents").as("__v")),
+        est, g), "ssq2_")
+      Samplers.sampleQuantilesReport(graded, kcnt, g, 50000L)
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
+
     // ---- Spearman rank correlation (monotone association) ------------------
     "spearman_lineitem" -> ((s, dir) =>
       Metrics.spearmanCorr(t(s, dir, "lineitem")
@@ -10746,6 +10792,62 @@ object SparkEntry {
         |    AS rel_err_micro
         |FROM sel s, es, ex
         |ORDER BY sel_rank""".stripMargin,
+
+    // the aggregator holds the TRUE bottom-k (no threshold cut), so the
+    // replay ranks over all draws directly; everything else is the batch
+    // sample-quantile replay verbatim
+    "streaming_sample_quantiles_lineitem" ->
+      """WITH base AS (
+        |  SELECT l_returnflag AS g,
+        |    CAST(l_orderkey AS VARCHAR) || '-' ||
+        |      CAST(l_linenumber AS VARCHAR) AS id,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS v
+        |  FROM lineitem),
+        |cnt AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM base GROUP BY 1),
+        |drawn AS (
+        |  SELECT g, id, v,
+        |    CAST(('0x' || substr(md5('sq:' || id), 1, 8)) AS BIGINT)
+        |      AS draw
+        |  FROM base),
+        |samp AS (
+        |  SELECT g, v FROM (
+        |    SELECT g, v,
+        |      ROW_NUMBER() OVER (PARTITION BY g ORDER BY draw, id) AS rn
+        |    FROM drawn) WHERE rn <= 1000),
+        |vc AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM samp GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT g, v, c,
+        |    SUM(c) OVER (PARTITION BY g ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cum,
+        |    SUM(c) OVER (PARTITION BY g) AS ks
+        |  FROM vc),
+        |est AS (
+        |  SELECT g, u.qm, v AS est FROM cum,
+        |    UNNEST([250000, 500000, 900000]) AS u(qm)
+        |  WHERE (ks * u.qm + 999999) // 1000000 > cum - c
+        |    AND (ks * u.qm + 999999) // 1000000 <= cum),
+        |tr AS (
+        |  SELECT b.g, e.qm, MAX(e.est) AS est,
+        |    CAST(SUM(CASE WHEN b.v <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS true_rank
+        |  FROM base b JOIN est e ON b.g = e.g
+        |  GROUP BY 1, 2),
+        |ks2 AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS k_sample
+        |  FROM samp GROUP BY 1)
+        |SELECT t.g AS l_returnflag,
+        |  ROUND(CAST(t.qm AS DOUBLE) / 1e6, 6) AS q,
+        |  c.n, k.k_sample, t.est AS est_value,
+        |  (c.n * t.qm + 999999) // 1000000 AS target_rank,
+        |  t.true_rank,
+        |  CAST((t.true_rank - (c.n * t.qm + 999999) // 1000000) * 1000000
+        |    // c.n AS BIGINT) AS rank_err_micro,
+        |  abs(t.true_rank - (c.n * t.qm + 999999) // 1000000) * 1000000
+        |    <= 50000 * c.n AS within_bound
+        |FROM tr t JOIN cnt c USING (g) JOIN ks2 k USING (g)
+        |ORDER BY l_returnflag, q""".stripMargin,
 
     // md5 bottom-k sample + type-1 sample quantiles + exact rank grade,
     // all replayed: the draw is the md5PrefixLong convention, the cut and

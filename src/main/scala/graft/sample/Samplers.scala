@@ -1,7 +1,7 @@
 package graft.sample
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** Sampling / split operators (SURVEY.md §2.4, A1-A6 + T1).
@@ -501,6 +501,80 @@ object Samplers {
     *         over_allocated flags alloc > n_h (a with-replacement design
     *         signal)
     */
+  /** Bounded buffer of the k lexicographically-smallest (draw, id)
+    * triples with their carried values — the STREAMING state behind
+    * [[sampleQuantiles]]' bottom-k sample (the [[graft.scale.Sketches]]
+    * KMV buffer discipline, with the id tiebreak because 32-bit draws DO
+    * collide at corpus scale). Arrays stay sorted by (draw, id); reduce
+    * early-exits O(log k) once the buffer is full and the incoming triple
+    * sorts after the current max, so steady-state cost is the ~k·ln(n/k)
+    * true insertions, not n·k copies.
+    */
+  final case class BkBuf(
+      draws: Array[Long], ids: Array[String], vals: Array[Long])
+  final case class BkSample(vals: Array[Long])
+
+  def bottomKSampleAggregator(
+      k: Int): Aggregator[(Long, String, Long), BkBuf, BkSample] = {
+    require(k > 0, s"bad sample size $k")
+    def cmp(d1: Long, i1: String, d2: Long, i2: String): Int = {
+      val c = java.lang.Long.compare(d1, d2)
+      if (c != 0) c else i1.compareTo(i2)
+    }
+    def insert(b: BkBuf, d0: Long, i0: String, v0: Long): BkBuf = {
+      val n = b.draws.length
+      if (n == k && cmp(d0, i0, b.draws(n - 1), b.ids(n - 1)) >= 0) return b
+      var lo = 0; var hi = n
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (cmp(b.draws(mid), b.ids(mid), d0, i0) < 0) lo = mid + 1
+        else hi = mid
+      }
+      val m = math.min(n + 1, k)
+      val d = new Array[Long](m)
+      val s = new Array[String](m)
+      val v = new Array[Long](m)
+      System.arraycopy(b.draws, 0, d, 0, lo)
+      System.arraycopy(b.ids, 0, s, 0, lo)
+      System.arraycopy(b.vals, 0, v, 0, lo)
+      d(lo) = d0; s(lo) = i0; v(lo) = v0
+      val tail = m - lo - 1
+      if (tail > 0) {
+        System.arraycopy(b.draws, lo, d, lo + 1, tail)
+        System.arraycopy(b.ids, lo, s, lo + 1, tail)
+        System.arraycopy(b.vals, lo, v, lo + 1, tail)
+      }
+      BkBuf(d, s, v)
+    }
+    new Aggregator[(Long, String, Long), BkBuf, BkSample] {
+      override def zero: BkBuf =
+        BkBuf(Array.emptyLongArray, Array.empty, Array.emptyLongArray)
+      override def reduce(b: BkBuf, x: (Long, String, Long)): BkBuf =
+        insert(b, x._1, x._2, x._3)
+      override def merge(a: BkBuf, b: BkBuf): BkBuf = {
+        val m = math.min(a.draws.length + b.draws.length, k)
+        val d = new Array[Long](m)
+        val s = new Array[String](m)
+        val v = new Array[Long](m)
+        var i = 0; var j = 0; var o = 0
+        while (o < m) {
+          val takeA = j >= b.draws.length || (i < a.draws.length &&
+            cmp(a.draws(i), a.ids(i), b.draws(j), b.ids(j)) <= 0)
+          if (takeA) { d(o) = a.draws(i); s(o) = a.ids(i); v(o) = a.vals(i)
+            i += 1 }
+          else { d(o) = b.draws(j); s(o) = b.ids(j); v(o) = b.vals(j)
+            j += 1 }
+          o += 1
+        }
+        BkBuf(d, s, v)
+      }
+      override def finish(b: BkBuf): BkSample = BkSample(b.vals)
+      override def bufferEncoder: Encoder[BkBuf] = Encoders.product[BkBuf]
+      override def outputEncoder: Encoder[BkSample] =
+        Encoders.product[BkSample]
+    }
+  }
+
   /** Priority sampling (Duffield–Lund–Thorup, JACM 2007): weighted
     * sampling WITHOUT replacement whose k-row sample carries an UNBIASED
     * estimator of any subset-sum — the "audit the corpus total from k
@@ -605,8 +679,6 @@ object Samplers {
       boundMicro: Long = 50000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k > 0, s"bad sample size $k")
-    require(qMicro.nonEmpty && qMicro.forall(q => q > 0 && q <= 1000000L),
-      s"bad quantiles $qMicro")
     val gcols = groupCols.map(col)
     val base = df
       .select((gcols ++ Seq(col(idCol).cast("string").as("__id"),
@@ -626,13 +698,31 @@ object Samplers {
       .withColumn("__rn", row_number().over(wk))
       .filter(col("__rn") <= k)
     val kcnt = sample.groupBy(gcols: _*).agg(count(lit(1)).as("__k"))
-    // type-1 quantile pick over the SAMPLE's value dictionary, qm kept
+    val est = sampleQuantileEsts(
+      sample.groupBy((gcols :+ col("__v")): _*)
+        .agg(count(lit(1)).as("__cnt")),
+      qMicro, groupCols)
+    sampleQuantilesReport(gradeEstimates(base, est, groupCols), kcnt,
+      groupCols, boundMicro)
+  }
+
+  /** [[sampleQuantiles]]' estimate fold: type-1 quantile picks over a
+    * SAMPLE's value counts, qm kept for downstream grading — shared by
+    * the batch path and the streaming bottom-k twin.
+    */
+  def sampleQuantileEsts(
+      sampleCounts: DataFrame,
+      qMicro: Seq[Long],
+      groupCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qMicro.nonEmpty && qMicro.forall(q => q > 0 && q <= 1000000L),
+      s"bad quantiles $qMicro")
+    val gcols = groupCols.map(col)
     val wcum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wall = Window.partitionBy(gcols: _*)
     val qs = qMicro.map(q => struct(lit(q).as("__qm")))
-    val est = sample
-      .groupBy((gcols :+ col("__v")): _*).agg(count(lit(1)).as("__cnt"))
+    sampleCounts
       .withColumn("__cum", sum(col("__cnt")).over(wcum))
       .withColumn("__ks", sum(col("__cnt")).over(wall))
       .withColumn("__q", explode(array(qs: _*)))
@@ -642,14 +732,37 @@ object Samplers {
       .filter(col("__rank") > col("__cum") - col("__cnt") &&
         col("__rank") <= col("__cum"))
       .select((gcols ++ Seq(col("__qm"), col("__v").as("__est"))): _*)
-    // grade: ONE corpus pass, |groups|·|q| estimate dictionary broadcast
-    val graded = base.join(broadcast(est), groupCols)
-      .groupBy((gcols :+ col("__qm")): _*)
-      .agg(first(col("__est")).as("__est"),
+  }
+
+  /** The grading aggregation: ONE pass over the corpus (batch frame or
+    * stream — it is a single stream-static-join + aggregation, so it runs
+    * unchanged as Complete-mode state), counting each estimate's exact
+    * rank; also carries the per-group row count n.
+    */
+  def gradeEstimates(
+      base: DataFrame,
+      est: DataFrame,
+      groupCols: Seq[String]): DataFrame =
+    base.join(broadcast(est), groupCols)
+      // __est is functionally determined by (group, qm) — grouping on it
+      // (instead of a first() pick) keeps the agg deterministic AND legal
+      // as Complete-mode streaming state
+      .groupBy((groupCols.map(col) ++ Seq(col("__qm"), col("__est"))): _*)
+      .agg(count(lit(1)).as("__n"),
         sum(when(col("__v") <= col("__est"), 1L).otherwise(0L))
           .as("true_rank"))
+
+  /** Final assembly over the (drained) grade relation — target ranks,
+    * signed micro error, the acceptance flag. Shared verbatim by the
+    * batch path and the streaming twin.
+    */
+  def sampleQuantilesReport(
+      graded: DataFrame,
+      kcnt: DataFrame,
+      groupCols: Seq[String],
+      boundMicro: Long): DataFrame = {
+    val gcols = groupCols.map(col)
     graded
-      .join(broadcast(counts), groupCols)
       .join(broadcast(kcnt), groupCols)
       .withColumn("target_rank", expr("(__n * __qm + 999999) div 1000000"))
       .withColumn("rank_err_micro",

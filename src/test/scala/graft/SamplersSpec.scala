@@ -268,6 +268,32 @@ class SamplersSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("bottomKSampleAggregator: buffer bounded at k, merge-order " +
+      "invariant, id tiebreak on colliding draws; streaming twin equals " +
+      "the batch estimator on the corpus") {
+    val agg = Samplers.bottomKSampleAggregator(3)
+    val items = Seq((5L, "a", 50L), (1L, "b", 10L), (3L, "c", 30L),
+      (1L, "a", 11L), (9L, "z", 90L))
+    def red(xs: Seq[(Long, String, Long)]) =
+      xs.foldLeft(agg.zero)(agg.reduce)
+    val m1 = agg.finish(agg.merge(red(items.take(2)), red(items.drop(2))))
+    val m2 = agg.finish(agg.merge(red(items.reverse.take(3)),
+      red(items.reverse.drop(3))))
+    // bottom-3 by (draw, id): (1,a,11), (1,b,10), (3,c,30) — the draw-1
+    // collision resolves by id, and value 90/50 never enter
+    assert(m1.vals.toSeq === Seq(11L, 10L, 30L))
+    assert(m2.vals.toSeq === m1.vals.toSeq)
+    assert(red(items).draws.length === 3)
+    // twin (true bottom-k state) equals the batch path (threshold cut +
+    // rank) on the corpus: the cut's 4x slack kept the true bottom-k
+    val twin = SparkEntry.queries(
+        "streaming_sample_quantiles_lineitem")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = SparkEntry.queries("sample_quantiles_lineitem")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(twin === batch)
+  }
+
   test("sampleQuantiles: k >= n degenerates to the exact percentiles " +
       "(zero-state-advantage identity); k < n stays in bound and is " +
       "partitioning-invariant") {
