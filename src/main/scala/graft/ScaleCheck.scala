@@ -912,6 +912,43 @@ object ScaleCheck {
         // lag explode, and self-join all live on that dictionary
         (d: DataFrame) => Events.acf(d, 7),
         events, "event_id", None),
+      ("fleiss_kappa",
+        // ONE corpus hash-agg to the joint rating-profile dictionary
+        // (<= 27 rows for 3 raters x 3 cats); the kappa fold never
+        // touches corpus mass
+        (d: DataFrame) => graft.metrics.Metrics.fleissKappa(
+          d.withColumn("r1",
+            when(col("n_chars") < 200, "lo")
+              .when(col("n_chars") < 800, "mid").otherwise("hi"))
+            .withColumn("r2",
+              when(col("doc_id") % 3 === 0, "lo")
+                .when(col("doc_id") % 3 === 1, "mid").otherwise("hi"))
+            .withColumn("r3",
+              when(col("n_chars") % 7 < 3, "lo")
+                .when(col("n_chars") % 7 < 5, "mid").otherwise("hi")),
+          Seq("r1", "r2", "r3")),
+        docs, "doc_id", Some("text")),
+      ("stupid_backoff",
+        // count tables are vocab-bounded hash-aggs; scoring mass flows
+        // through keyed equi-joins only — the bigramPerplexity contract
+        // with one more level
+        (d: DataFrame) => TextAnalysis.stupidBackoffScore(
+          d, "doc_id", "text", col("doc_id") % 5 =!= 0),
+        docs, "doc_id", Some("text")),
+      ("mann_kendall",
+        // one corpus hash-agg to the same (type, day) dictionary; the
+        // pair θ-join, tie fold and median pick never touch corpus mass
+        (d: DataFrame) => Events.mannKendall(d),
+        events, "event_id", None),
+      ("mann_whitney",
+        // unsalted (shared value dictionary, the ks_drift shape): the
+        // corpus hash-agg scales N×, the rank fold does not
+        (d: DataFrame) => graft.metrics.Metrics.mannWhitneyU(
+          d.withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("side", col("event_type") === "purchase"),
+          "cents", "side"),
+        events, "event_id", None),
       ("priority_sample",
         // projection + TakeOrderedAndProject head + one corpus aggregate
         // — the weightedReservoir shape plus the exact-total companion

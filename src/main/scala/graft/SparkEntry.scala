@@ -26,6 +26,27 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Three deterministic quality "judges" over documents — the demo
+    * rater ensemble the Fleiss-kappa panel grades: length class,
+    * token-count class, lexical-diversity class (exact cross-multiplied
+    * thresholds, no float ratios), all on the shared lo/mid/hi scale.
+    */
+  private def qualityRaters(df: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    df.withColumn("__nt", size(toks))
+      .withColumn("__nd", size(array_distinct(toks)))
+      .withColumn("r_len",
+        when(col("n_chars") < 200, "lo")
+          .when(col("n_chars") < 800, "mid").otherwise("hi"))
+      .withColumn("r_tok",
+        when(col("__nt") < 40, "lo")
+          .when(col("__nt") < 160, "mid").otherwise("hi"))
+      .withColumn("r_div",
+        when(col("__nd") * 10 < col("__nt") * 5, "lo")
+          .when(col("__nd") * 10 < col("__nt") * 8, "mid")
+          .otherwise("hi"))
+  }
+
   /** Shared candidate relation of the two Fellegi-Sunter queries: SNM
     * blocking (lowercased name, window 8) over part, each pair carrying
     * its field-agreement booleans + the p_type gold label.
@@ -3989,6 +4010,38 @@ object SparkEntry {
       TextAnalysis.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- corpus quality: stupid-backoff trigram LM (split form) ------------
+    // Counts from the doc_id%5!=0 train slice; held-out docs score through
+    // the tri -> bi -> add-1-unigram backoff chain with per-level hit
+    // counts (novel phrasing vs novel vocabulary, as exact integers).
+    "stupid_backoff_docs" -> ((s, dir) =>
+      TextAnalysis.stupidBackoffScore(t(s, dir, "documents"),
+          "doc_id", "text", col("doc_id") % 5 =!= 0)
+        .orderBy(col("doc_id"))),
+
+    // ---- multi-rater agreement: Fleiss' kappa over 3 quality judges --------
+    // The LLM-judge-ensemble acceptance gate: does the panel agree beyond
+    // the chance implied by pooled category prevalence? Exact profile-
+    // dictionary fold; kappa_num/den travel as exact decimal strings.
+    "fleiss_kappa_docs" -> ((s, dir) =>
+      Metrics.fleissKappa(qualityRaters(t(s, dir, "documents")),
+        Seq("r_len", "r_tok", "r_div"))),
+
+    // ---- STREAMING Fleiss' kappa (rating-profile counts as Complete-mode
+    // state — the kAnonymityCounts shape; the kappa fold replays on drain) ---
+    "streaming_fleiss_kappa_docs" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val prof = Metrics.fleissProfileCounts(qualityRaters(stream),
+        Seq("r_len", "r_tok", "r_div"))
+      val name = "stream_fleiss_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, prof, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.fleissFromProfiles(drained, 3)
+    }),
+
     // ---- mixing: UniMax budget allocation across languages -----------------
     // 60k-token budget, 3-epoch cap per language: low-resource langs hit
     // the cap, the rest split the remainder evenly (exact integer
@@ -4483,6 +4536,39 @@ object SparkEntry {
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
           .withColumn("side", col("o_orderkey") % 2 === 0),
         "cents", "side")),
+
+    // ---- exact Mann-Whitney U rank-sum (nonparametric two-sample drift) ----
+    // Does purchase-event value stochastically dominate the rest? Doubled
+    // midranks keep U exact; auc IS P(purchase > other) + half-ties; the
+    // whole statistic lives on the value dictionary (no corpus join-back).
+    "mann_whitney_events" -> ((s, dir) =>
+      Metrics.mannWhitneyU(t(s, dir, "events")
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("side", col("event_type") === "purchase"),
+        "cents", "side")),
+
+    // ---- Mann-Kendall trend test + Theil-Sen slope (per event type) --------
+    // The outlier-immune member of the trend panel: S/var18 exact longs on
+    // the daily dictionary, Sen slope = median pairwise slope via explicit
+    // middle-rank picks. Same trendDaily state the trend/CUSUM/ACF share.
+    "mann_kendall_events" -> ((s, dir) =>
+      Events.mannKendall(t(s, dir, "events"))
+        .orderBy(col("event_type"))),
+
+    // ---- STREAMING Mann-Kendall (same daily-total state as the trend/
+    // CUSUM/ACF twins; the rank fold replays on drain) ------------------------
+    "streaming_mann_kendall_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val daily = Events.trendDaily(stream)
+      val name = "stream_mk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, daily, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Events.mannKendallFromDaily(drained).orderBy(col("event_type"))
+    }),
 
     // ---- k-anonymity quasi-identifier risk panel ----------------------------
     "k_anonymity_customer" -> ((s, dir) =>
@@ -4980,6 +5066,10 @@ object SparkEntry {
       ("streaming_trend_events" -> m("trend_fit_events")),
       // CUSUM twin: the SAME daily-total state, peak-pick fold on drain
       ("streaming_cusum_events" -> m("cusum_changepoint_events")),
+      // Mann-Kendall twin: the SAME daily-total state, rank fold on drain
+      ("streaming_mann_kendall_events" -> m("mann_kendall_events")),
+      // Fleiss twin: rating-profile count state + kappa fold on drain
+      ("streaming_fleiss_kappa_docs" -> m("fleiss_kappa_docs")),
       // ACF twin: the SAME daily-total state, gap-fill + lag fold on drain
       ("streaming_acf_events" -> m("acf_events")),
       // user-entropy twin: (user, type) count state + entropy fold
@@ -11487,6 +11577,116 @@ object SparkEntry {
         |  ROUND(exp(-AVG(lp)), 6) AS perplexity
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
+    // backoff levels replay as CASE over left-join hits; a trigram hit
+    // implies its (w1,w2) bigram, a (w2,w3) hit implies the w2 unigram —
+    // the chain never divides by NULL
+    "stupid_backoff_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t,
+        |    (doc_id % 5 <> 0) AS train
+        |  FROM documents),
+        |uf AS (
+        |  SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM toks WHERE train) GROUP BY 1),
+        |bf AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c2
+        |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        |  WHERE train GROUP BY 1, 2),
+        |tf AS (
+        |  SELECT t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3,
+        |    CAST(COUNT(*) AS BIGINT) AS c3
+        |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |  WHERE train GROUP BY 1, 2, 3),
+        |tot AS (
+        |  SELECT CAST(SUM(c1) AS BIGINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM uf),
+        |sc AS (
+        |  SELECT s.doc_id, tf.c3, b12.c2 AS c12, b23.c2 AS c23,
+        |    u2.c1 AS cu2, u3.c1 AS cu3, tot.n, tot.v
+        |  FROM (SELECT doc_id, t[i] AS w1, t[i+1] AS w2, t[i+2] AS w3
+        |    FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        |    WHERE NOT train) s
+        |  LEFT JOIN tf ON tf.w1 = s.w1 AND tf.w2 = s.w2 AND tf.w3 = s.w3
+        |  LEFT JOIN bf b12 ON b12.w1 = s.w1 AND b12.w2 = s.w2
+        |  LEFT JOIN bf b23 ON b23.w1 = s.w2 AND b23.w2 = s.w3
+        |  LEFT JOIN uf u2 ON u2.w1 = s.w2
+        |  LEFT JOIN uf u3 ON u3.w1 = s.w3, tot),
+        |lp AS (
+        |  SELECT doc_id, c3, c23,
+        |    CASE WHEN c3 IS NOT NULL THEN
+        |        ln(CAST(c3 AS DOUBLE) / CAST(c12 AS DOUBLE))
+        |      WHEN c23 IS NOT NULL THEN
+        |        ln(0.4 * CAST(c23 AS DOUBLE) / CAST(cu2 AS DOUBLE))
+        |      ELSE ln(0.4 * 0.4 * CAST(COALESCE(cu3, 0) + 1 AS DOUBLE)
+        |        / CAST(n + v AS DOUBLE)) END AS lp
+        |  FROM sc)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+        |  CAST(SUM(CASE WHEN c3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_tri_hits,
+        |  CAST(SUM(CASE WHEN c3 IS NULL AND c23 IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+        |  CAST(SUM(CASE WHEN c3 IS NULL AND c23 IS NULL THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
+        |  ROUND(-AVG(lp), 6) AS cross_entropy
+        |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the rating-profile dictionary replays as one GROUP BY over the three
+    // CASE raters; A = sum c*(3 + 2*#equal-pairs); exact num/den as strings
+    "fleiss_kappa_docs" ->
+      """WITH base AS (
+        |  SELECT n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS nt,
+        |    len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0))) AS nd
+        |  FROM documents),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 200 THEN 'lo'
+        |      WHEN n_chars < 800 THEN 'mid' ELSE 'hi' END AS r0,
+        |    CASE WHEN nt < 40 THEN 'lo'
+        |      WHEN nt < 160 THEN 'mid' ELSE 'hi' END AS r1,
+        |    CASE WHEN nd * 10 < nt * 5 THEN 'lo'
+        |      WHEN nd * 10 < nt * 8 THEN 'mid' ELSE 'hi' END AS r2
+        |  FROM base),
+        |prof AS (
+        |  SELECT r0, r1, r2, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM r GROUP BY 1, 2, 3),
+        |a AS (
+        |  SELECT CAST(SUM(c) AS BIGINT) AS n_subjects,
+        |    SUM(CAST(c AS HUGEINT) * (3 + 2 * (CAST(r0 = r1 AS INT) +
+        |      CAST(r0 = r2 AS INT) + CAST(r1 = r2 AS INT)))) AS a
+        |  FROM prof),
+        |cj AS (
+        |  SELECT k, CAST(SUM(c) AS BIGINT) AS cj FROM (
+        |    SELECT r0 AS k, c FROM prof
+        |    UNION ALL SELECT r1, c FROM prof
+        |    UNION ALL SELECT r2, c FROM prof)
+        |  GROUP BY 1),
+        |ss AS (SELECT SUM(CAST(cj AS HUGEINT) * cj) AS s FROM cj),
+        |f AS (
+        |  SELECT n_subjects, CAST(n_subjects AS HUGEINT) * 3 AS t,
+        |    a.a, ss.s
+        |  FROM a, ss),
+        |g AS (
+        |  SELECT n_subjects, t, a, s,
+        |    t * (a - t) - s * 2 AS kappa_num,
+        |    (t * t - s) * 2 AS kappa_den
+        |  FROM f)
+        |SELECT n_subjects, CAST(3 AS BIGINT) AS n_raters,
+        |  ROUND(CAST(a - t AS DOUBLE) / (CAST(t AS DOUBLE) * 2.0), 6)
+        |    AS po,
+        |  ROUND(CAST(s AS DOUBLE) /
+        |    (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)), 6) AS pe,
+        |  CAST(kappa_num AS VARCHAR) AS kappa_num,
+        |  CAST(kappa_den AS VARCHAR) AS kappa_den,
+        |  CASE WHEN kappa_den <> 0 THEN
+        |    ROUND(CAST(kappa_num AS DOUBLE) / CAST(kappa_den AS DOUBLE), 6)
+        |  END AS kappa
+        |FROM g""".stripMargin,
+
     // UniMax waterfall replay: capped iff cap·(D−rk+1) ≤ B − below (a
     // prefix of the capacity sort); the first uncapped rank fixes the
     // level; leftover mod tokens go one each to the first uncapped ranks.
@@ -12172,6 +12372,105 @@ object SparkEntry {
         |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM d, m, tot t WHERE d.diff = m.ks_num
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    // doubled midranks via one cumulative over the value dictionary; the
+    // exact integers travel as strings (the ks_drift pandas-bridge rule)
+    "mann_whitney_events" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v,
+        |    (event_type = 'purchase') AS s
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |g AS (
+        |  SELECT v, CAST(COUNT(*) AS HUGEINT) AS c,
+        |    CAST(COUNT(*) FILTER (NOT s) AS HUGEINT) AS ca
+        |  FROM v GROUP BY v),
+        |r AS (
+        |  SELECT v, c, ca, 2 * SUM(c) OVER (ORDER BY v) - c + 1 AS r2
+        |  FROM g),
+        |m AS (
+        |  SELECT CAST(SUM(ca) AS BIGINT) AS n_a,
+        |    CAST(SUM(c - ca) AS BIGINT) AS n_b,
+        |    SUM(ca * r2) AS ra2, SUM(c * c * c - c) AS tie_t
+        |  FROM r),
+        |u AS (
+        |  SELECT n_a, n_b, tie_t,
+        |    ra2 - CAST(n_a AS HUGEINT) * (CAST(n_a AS HUGEINT) + 1) AS u2,
+        |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS nn
+        |  FROM m),
+        |w AS (
+        |  SELECT n_a, n_b, tie_t, u2, nn,
+        |    CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 3.0 *
+        |      ((nn + 1.0) - CAST(tie_t AS DOUBLE) / (nn * (nn - 1.0)))
+        |      AS var2
+        |  FROM u)
+        |SELECT n_a, n_b, CAST(u2 AS VARCHAR) AS u2_a,
+        |  CAST(tie_t AS VARCHAR) AS tie_t,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    ROUND(CAST(u2 AS DOUBLE) /
+        |      (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6)
+        |  END AS auc,
+        |  CASE WHEN var2 > 0 THEN
+        |    ROUND((CAST(u2 AS DOUBLE) -
+        |      CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) / sqrt(var2), 6)
+        |  END AS z
+        |FROM w""".stripMargin,
+
+    // the pair θ-join, tie fold and explicit middle-rank median all live
+    // on the (type, day) dictionary — same panel the trend/ACF oracles use
+    "mann_kendall_events" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.event_type, a.day AS di, a.yc AS yi,
+        |    b.day AS dj, b.yc AS yj,
+        |    CAST(b.yc - a.yc AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+        |      / 100.0 AS slope
+        |  FROM d a
+        |  JOIN d b ON b.event_type = a.event_type AND a.day < b.day),
+        |s AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |    CAST(SUM(CASE WHEN yj > yi THEN 1 WHEN yj < yi THEN -1
+        |      ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM p GROUP BY 1),
+        |rk AS (
+        |  SELECT event_type, slope, ROW_NUMBER() OVER (
+        |    PARTITION BY event_type ORDER BY slope, di, dj) AS rn
+        |  FROM p),
+        |sen AS (
+        |  SELECT r.event_type, ROUND(AVG(r.slope), 6) AS sen_slope
+        |  FROM rk r JOIN s ON s.event_type = r.event_type
+        |  WHERE r.rn = (s.n_pairs + 1) // 2 OR r.rn = s.n_pairs // 2 + 1
+        |  GROUP BY 1),
+        |t AS (
+        |  SELECT event_type, yc, CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM d GROUP BY 1, 2),
+        |ti AS (
+        |  SELECT event_type, CAST(SUM(t) AS BIGINT) AS n,
+        |    CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie18
+        |  FROM t GROUP BY 1),
+        |vr AS (
+        |  SELECT event_type, n,
+        |    n * (n - 1) * (2 * n + 5) - tie18 AS var18
+        |  FROM ti)
+        |SELECT s.event_type, vr.n AS n_days, s.n_pairs, s.s_stat,
+        |  vr.var18,
+        |  ROUND(CAST(s.s_stat AS DOUBLE) / CAST(s.n_pairs AS DOUBLE), 6)
+        |    AS tau,
+        |  CASE WHEN vr.var18 > 0 THEN
+        |    ROUND((CASE WHEN s.s_stat > 0 THEN
+        |        CAST(s.s_stat AS DOUBLE) - 1.0
+        |      WHEN s.s_stat < 0 THEN CAST(s.s_stat AS DOUBLE) + 1.0
+        |      ELSE 0.0 END) / sqrt(CAST(vr.var18 AS DOUBLE) / 18.0), 6)
+        |  END AS z,
+        |  sen.sen_slope
+        |FROM s
+        |JOIN vr USING (event_type)
+        |JOIN sen USING (event_type)
+        |ORDER BY event_type""".stripMargin,
 
     // classes replay as a plain GROUP BY on the raw quasi columns (the md5
     // fingerprint is a shuffle-width detail, not a semantic)

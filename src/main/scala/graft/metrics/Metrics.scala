@@ -829,6 +829,69 @@ object Metrics {
           .as("ks"))
   }
 
+  /** Exact Mann–Whitney U rank-sum test — [[ksDrift]]'s sibling in the
+    * two-sample drift panel: KS asks "where does the CDF gap peak?",
+    * Mann–Whitney asks "does one side stochastically dominate?" (the
+    * standard nonparametric A/B answer when the metric is heavy-tailed
+    * and a t-test's mean is the wrong summary). Also the exact
+    * common-language effect size: U/(n_a·n_b) IS P(A > B) + ½P(A = B) —
+    * the ROC-AUC of the value against the side label.
+    *
+    * Exact-integer scheme: fractional midranks stay integers by DOUBLING
+    * (the [[spearmanCorr]] r2 trick): r2(v) = 2·cum(v) − cnt(v) + 1, so
+    * u2 = 2·U_A = Σ_v cntA(v)·r2(v) − n_a(n_a+1) is an exact
+    * DECIMAL(38,0), as is the tie term T = Σ_t (t³ − t) (petabyte-safe
+    * up to ~4·10¹² rows per tied value). The only floats are the final
+    * mirrored z (tie-corrected variance, no continuity correction — the
+    * large-sample form) and the effect size, rounded 6. A degenerate
+    * input (one side empty, or every value tied) emits NULL z.
+    *
+    * Scale shape: ONE value-count hash-agg, one prefix sum through the
+    * range-partitioned scaffold ([[graft.sample.Samplers.globalCumSum]],
+    * never a global window), then ONE fold — unlike Spearman there is no
+    * join back to the corpus: every statistic lives on the value
+    * dictionary. Side A = rows where `sideCol` is false ([[ksDrift]]'s
+    * orientation). NULL values or sides are excluded.
+    */
+  def mannWhitneyU(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val vals = df.select(col(valCol).cast("long").as("__v"),
+        col(sideCol).cast("boolean").as("__s"))
+      .filter(col("__v").isNotNull && col("__s").isNotNull)
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__s"), 0L).otherwise(1L)).as("__ca"))
+    val ranked = graft.sample.Samplers.globalCumSum(
+        vals, Seq("__v"), "__c", cumCol = "__cum")
+      .withColumn("__r2", lit(2L) * col("__cum") - col("__c") + 1L)
+    val s = ranked.agg(
+      sum(col("__ca")).as("n_a"),
+      sum(col("__c") - col("__ca")).as("n_b"),
+      sum(d(col("__ca")) * d(col("__r2"))).as("__ra2"),
+      sum(d(col("__c")) * d(col("__c")) * d(col("__c")) - d(col("__c")))
+        .as("tie_t"))
+    val dd = (c: String) => col(c).cast("double")
+    val n = dd("n_a") + dd("n_b")
+    val varU2 = dd("n_a") * dd("n_b") / 3.0 *
+      ((n + 1.0) - dd("tie_t") / (n * (n - 1.0)))
+    s.withColumn("u2_a",
+        (col("__ra2") - d(col("n_a")) * d(col("n_a") + 1L))
+          .cast("decimal(38,0)"))
+      .select(col("n_a"), col("n_b"),
+        // exact integers travel as STRINGS (the ksDrift pandas-bridge rule)
+        col("u2_a").cast("string").as("u2_a"),
+        col("tie_t").cast("string").as("tie_t"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(dd("u2_a") / (lit(2.0) * dd("n_a") * dd("n_b")), 6))
+          .as("auc"),
+        when(varU2 > 0.0,
+          round((dd("u2_a") - dd("n_a") * dd("n_b")) / sqrt(varU2), 6))
+          .as("z"))
+  }
+
   /** k-anonymity risk panel over a quasi-identifier column set (Sweeney
     * 2002) — the privacy/governance QA screen a corpus with user-derived
     * tabular data ships before release: rows whose quasi-identifier
@@ -1727,6 +1790,87 @@ object Metrics {
         (col("n").cast("double") * col("n").cast("double")), 6).as("pe"),
       when(n2 > s, round((d(col("__diag")) * d(col("n")) - s).cast("double") /
         (n2 - s).cast("double"), 6)).as("kappa"))): _*)
+  }
+
+  /** Fleiss' kappa (Fleiss, Psych. Bull. 1971) — chance-corrected
+    * agreement among m ≥ 2 raters. [[cohensKappa]] is the two-rater
+    * form; Fleiss is the LLM-JUDGE-ENSEMBLE form: m deterministic judges
+    * each assign one category per subject, and the panel asks how far
+    * their agreement beats the chance implied by the POOLED category
+    * prevalence — the acceptance gate before trusting a judge ensemble's
+    * majority vote as a label source.
+    *
+    * Exact-integer scheme: with N subjects, T = N·m total ratings,
+    * A = Σ_i Σ_j n_ij² (per-subject category-count squares — for fixed m
+    * a pure expression: m + 2·#agreeing-pairs), S = Σ_j C_j² over the
+    * pooled category totals: P̄o = (A−T)/(T(m−1)), P̄e = S/T², and
+    * κ = (T(A−T) − (m−1)·S) / ((m−1)·(T² − S)). Numerator and
+    * denominator are exact DECIMAL(38,0) and travel as strings (the
+    * [[ksDrift]] bridge rule); the only floats are the final mirrored
+    * ratios, rounded 6. κ is NULL when every rating lands in one
+    * category (zero chance-corrected range).
+    *
+    * Scale shape: ONE corpus hash-agg to the joint rating-PROFILE
+    * dictionary (≤ |cats|^m rows — [[cohensKappa]]'s cells discipline
+    * with m keys); the A fold is row-wise on that dictionary, C_j is one
+    * explode over it. NULL ratings are ordinary categories ([[catKey]]).
+    */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame =
+    fleissFromProfiles(fleissProfileCounts(df, raterCols), raterCols.size)
+
+  /** [[fleissKappa]]'s state half: per-rating-profile counts — ONE
+    * associative aggregation over one scan (the kAnonymityCounts
+    * convention), so it runs unchanged as Complete-mode STREAMING state;
+    * the panel fold replays on the drained dictionary.
+    */
+  def fleissProfileCounts(df: DataFrame, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2, "fleissKappa needs at least 2 raters")
+    val rs = raterCols.indices.map(i => s"__r$i")
+    df.select(raterCols.zip(rs).map { case (c, r) =>
+        catKey(col(c)).as(r) }: _*)
+      .groupBy(rs.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+  }
+
+  /** The κ fold over [[fleissProfileCounts]]' (drained) state —
+    * fleissFromProfiles ∘ fleissProfileCounts = [[fleissKappa]] by
+    * construction (spec-pinned), so the streaming twin shares the batch
+    * oracle verbatim. `m` = number of rater columns in the state.
+    */
+  def fleissFromProfiles(prof0: DataFrame, m: Int): DataFrame = {
+    val rs = (0 until m).map(i => s"__r$i")
+    // dictionary-scale; feeds the A fold AND the category explode
+    val prof = prof0.localCheckpoint(true)
+    val eqPairs = (for { i <- 0 until m; j <- (i + 1) until m } yield
+      when(col(rs(i)) === col(rs(j)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val a = prof.agg(
+      sum(col("__c")).as("n_subjects"),
+      sum(d(col("__c")) * d(eqPairs * 2L + m.toLong)).as("__a"))
+    val s = prof
+      .select(explode(array(rs.map(col): _*)).as("__k"), col("__c"))
+      .groupBy(col("__k")).agg(sum(col("__c")).as("__cj"))
+      .agg(sum(d(col("__cj")) * d(col("__cj"))).as("__s"))
+    val dd = (c: Column) => c.cast("double")
+    a.crossJoin(broadcast(s))
+      .withColumn("__t", d(col("n_subjects")) * m.toLong)
+      .withColumn("kappa_num",
+        (col("__t") * (col("__a") - col("__t")) -
+          col("__s") * (m - 1).toLong).cast("decimal(38,0)"))
+      .withColumn("kappa_den",
+        ((col("__t") * col("__t") - col("__s")) * (m - 1).toLong)
+          .cast("decimal(38,0)"))
+      .select(col("n_subjects"), lit(m.toLong).as("n_raters"),
+        round(dd(col("__a") - col("__t")) /
+          (dd(col("__t")) * lit((m - 1).toDouble)), 6).as("po"),
+        round(dd(col("__s")) / (dd(col("__t")) * dd(col("__t"))), 6)
+          .as("pe"),
+        col("kappa_num").cast("string").as("kappa_num"),
+        col("kappa_den").cast("string").as("kappa_den"),
+        when(col("kappa_den") =!= 0,
+          round(dd(col("kappa_num")) / dd(col("kappa_den")), 6))
+          .as("kappa"))
   }
 
   /** Join/groupBy-key skew profiler — the pre-flight shuffle advisor a

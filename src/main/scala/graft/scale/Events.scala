@@ -442,6 +442,97 @@ object Events {
           .as("acf"))
   }
 
+  /** Mann–Kendall trend test + Theil–Sen slope over the daily value
+    * series, per event type — the NONPARAMETRIC member of the trend
+    * panel. [[trendFit]] answers "what is the least-squares slope?",
+    * which one outlier day can own; Mann–Kendall (Mann 1945, Kendall
+    * 1975) asks "do later days beat earlier days more often than
+    * chance?" (a pure rank statement, outlier-immune) and Theil–Sen
+    * (Sen 1968) prices the drift as the MEDIAN pairwise slope — the
+    * standard pair for monitoring corpus-ingest volume drift where
+    * one backfill day would wreck a regression.
+    *
+    * Exact-integer scheme: S = #concordant − #discordant and the
+    * tie-corrected variance numerator var18 = n(n−1)(2n+5) −
+    * Σ_t t(t−1)(2t+5) are exact longs on the daily panel; the only
+    * floats are each pair's slope (one mirrored double division) and
+    * the final z/tau ratios, rounded 6. The Sen median is the textbook
+    * average of the two middle slopes (equal for odd pair counts),
+    * picked by explicit row-number positions — no engine-specific
+    * quantile semantics. z carries the standard ±1 continuity
+    * correction; a tie-degenerate series (var18 = 0) emits NULL z.
+    *
+    * Scale shape: ONE corpus hash-agg to the (type, day) dictionary
+    * ([[trendDaily]] — the state the trend/CUSUM/ACF twins already
+    * hold), then everything — the pair θ-join, the tie fold, the
+    * median pick — runs on that dictionary (|days|² pairs per type,
+    * bounded by the calendar, never by corpus mass).
+    */
+  def mannKendall(events: DataFrame): DataFrame =
+    mannKendallFromDaily(trendDaily(events))
+
+  /** The Mann–Kendall / Theil–Sen fold over [[trendDaily]]'s (drained)
+    * state — mannKendallFromDaily ∘ trendDaily = [[mannKendall]] by
+    * construction (spec-pinned), so the streaming twin shares the batch
+    * oracle verbatim.
+    */
+  def mannKendallFromDaily(daily0: DataFrame): DataFrame = {
+    // the panel feeds both pair sides, the tie fold and the day count —
+    // four consumers, so the pin is load-bearing (the acfFromDaily rule)
+    val daily = daily0.localCheckpoint(true)
+    val pairs = daily
+      .select(col("event_type"), col("day").as("__di"),
+        col("yc").as("__yi"))
+      .join(daily.select(col("event_type"), col("day").as("__dj"),
+        col("yc").as("__yj")), Seq("event_type"))
+      .filter(col("__di") < col("__dj"))
+      // slope in VALUE units/day (yc is cents): both divisions double,
+      // fixed order, mirrored by the oracle bit-for-bit
+      .withColumn("__slope",
+        (col("__yj") - col("__yi")).cast("double") /
+          (col("__dj") - col("__di")).cast("double") / 100.0)
+      .localCheckpoint(true) // feeds the S fold AND the median pick
+    val sStat = pairs.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("__yj") > col("__yi"), 1L)
+          .when(col("__yj") < col("__yi"), -1L).otherwise(0L))
+          .as("s_stat"))
+    // Sen median: explicit lower/upper middle positions over a total
+    // order (slope ties broken by the pair's day coordinates)
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("__slope"), col("__di"), col("__dj"))
+    val sen = pairs
+      .withColumn("__rn", row_number().over(w))
+      .join(sStat.select(col("event_type"), col("n_pairs").as("__m")),
+        Seq("event_type"))
+      .filter(col("__rn") === expr("(__m + 1) div 2") ||
+        col("__rn") === expr("__m div 2 + 1"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("__slope")), 6).as("sen_slope"))
+    val ties = daily.groupBy(col("event_type"), col("yc"))
+      .agg(count(lit(1)).as("__t"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("__nd"), sum(col("__t")).as("__n"),
+        sum(col("__t") * (col("__t") - 1) * (col("__t") * 2 + 5))
+          .as("__tie18"))
+    val zNum = when(col("s_stat") > 0, col("s_stat").cast("double") - 1.0)
+      .when(col("s_stat") < 0, col("s_stat").cast("double") + 1.0)
+      .otherwise(0.0)
+    sStat.join(ties, Seq("event_type"))
+      .withColumn("var18",
+        col("__n") * (col("__n") - 1) * (col("__n") * 2 + 5) -
+          col("__tie18"))
+      .join(sen, Seq("event_type"))
+      .select(col("event_type"), col("__n").as("n_days"), col("n_pairs"),
+        col("s_stat"), col("var18"),
+        round(col("s_stat").cast("double") /
+          col("n_pairs").cast("double"), 6).as("tau"),
+        when(col("var18") > 0,
+          round(zNum / sqrt(col("var18").cast("double") / 18.0), 6))
+          .as("z"),
+        col("sen_slope"))
+  }
+
   def markovTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))

@@ -1879,6 +1879,92 @@ object TextAnalysis {
         round(exp(-avg(col("__lp"))), 6).as("perplexity"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP 2007 §3) —
+    * the web-scale fluency score CCNet-shaped pipelines attach before
+    * perplexity filtering: n-gram counts come from a TRAIN slice and
+    * held-out docs score against them with the non-normalized backoff
+    * chain S(w3|w1w2) = c(w1w2w3)/c(w1w2); else α·c(w2w3)/c(w2); else
+    * α²·(c(w3)+1)/(N+V). The unigram floor is add-1-smoothed (the
+    * [[bigramPerplexity]] convention) so an unseen word scores finitely
+    * where Brants' raw c/N would ln(0). [[bigramPerplexity]] is
+    * transductive (scores its own counts, backoff never fires); this is
+    * the SPLIT form — backoff fires exactly on truly unseen n-grams.
+    *
+    * All numerators/denominators are exact longs; the only floats are
+    * the per-trigram α-weighted ratio + ln (mirrored by the oracle) and
+    * the final mean, rounded 6. Docs with < 3 tokens have no trigrams
+    * and are absent. Per-doc backoff-level counts ride along as exact
+    * integers — the observable that says WHY a doc scored low (novel
+    * phrasing backs off to bigrams; novel vocabulary to the floor).
+    *
+    * Scale shape: count tables are three hash-aggs over the train slice
+    * (vocab-bounded — the PMI-family contract); scoring joins held-out
+    * trigrams to the tables ON THEIR KEYS, so corpus mass flows through
+    * keyed equi-joins only; totals are a 1-row broadcast. A trigram hit
+    * implies its (w1,w2) bigram exists, a (w2,w3) bigram hit implies the
+    * w2 unigram exists — the backoff CASE never divides by NULL.
+    */
+  def stupidBackoffScore(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      trainPred: Column,
+      alpha: Double = 0.4): DataFrame = {
+    // feeds the three count tables AND the scored side
+    val base = df.select(col(idCol), tokens(col(textCol)).as("__t"),
+        trainPred.as("__train"))
+      .localCheckpoint(true)
+    val train = base.filter(col("__train"))
+    def ngrams(src: DataFrame, n: Int, keep: Seq[Column]): DataFrame = {
+      val g = src.select((keep :+ posexplode(slice(col("__t"), lit(1),
+          greatest(size(col("__t")) - (n - 1), lit(0))))
+        .as(Seq("__i", "w1"))) :+ col("__t"): _*)
+      (2 to n).foldLeft(g) { (acc, k) =>
+        acc.withColumn(s"w$k", element_at(col("__t"), col("__i") + k))
+      }.drop("__t", "__i")
+    }
+    val uni = train.select(explode(col("__t")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("__c1"))
+      .localCheckpoint(true) // totals + two scoring joins
+    val bi = ngrams(train, 2, Seq.empty)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("__c2"))
+      .localCheckpoint(true) // two scoring joins (as c12 and c23)
+    val tri = ngrams(train, 3, Seq.empty)
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("__c3"))
+    val tot = uni.agg(sum(col("__c1")).as("__n"),
+      count(lit(1)).as("__v"))
+    val a = lit(alpha)
+    val lp = when(col("__c3").isNotNull,
+        log(col("__c3").cast("double") / col("__c12").cast("double")))
+      .when(col("__c23").isNotNull,
+        log(a * col("__c23").cast("double") /
+          col("__cu2").cast("double")))
+      .otherwise(log(a * a *
+        (coalesce(col("__cu3"), lit(0L)) + 1L).cast("double") /
+        (col("__n") + col("__v")).cast("double")))
+    ngrams(base.filter(!col("__train")), 3, Seq(col(idCol)))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(bi.select(col("w1"), col("w2"), col("__c2").as("__c12")),
+        Seq("w1", "w2"), "left")
+      .join(bi.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("__c2").as("__c23")), Seq("w2", "w3"), "left")
+      .join(uni.select(col("w1").as("w2"), col("__c1").as("__cu2")),
+        Seq("w2"), "left")
+      .join(uni.select(col("w1").as("w3"), col("__c1").as("__cu3")),
+        Seq("w3"), "left")
+      .crossJoin(broadcast(tot))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("__c3").isNotNull, 1L).otherwise(0L))
+          .as("n_tri_hits"),
+        sum(when(col("__c3").isNull && col("__c23").isNotNull, 1L)
+          .otherwise(0L)).as("n_bi_backoffs"),
+        sum(when(col("__c3").isNull && col("__c23").isNull, 1L)
+          .otherwise(0L)).as("n_uni_backoffs"),
+        round(-avg(lp), 6).as("cross_entropy"))
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR 2023): split a total
     * token budget across domains as UNIFORMLY as possible subject to a
     * per-domain epoch cap — the principled fix for temperature sampling's

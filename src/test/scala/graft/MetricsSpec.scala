@@ -299,6 +299,69 @@ class MetricsSpec extends SparkSpec {
       z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
   }
 
+  test("fleissKappa: hand-computed 4-subject panel; perfect agreement, " +
+      "uniform disagreement, degenerate single category; fold = panel") {
+    // subjects (0,0,0),(0,0,1),(1,2,0),(2,2,2): A = 9+5+3+9 = 26, T = 12,
+    // C = (6,2,4) -> S = 56; po = 14/24, pe = 56/144,
+    // num = 12*14 - 2*56 = 56, den = 2*(144-56) = 176 -> kappa = 7/22
+    val df = Seq((0, 0, 0), (0, 0, 1), (1, 2, 0), (2, 2, 2))
+      .toDF("a", "b", "c")
+    val r = Metrics.fleissKappa(df, Seq("a", "b", "c")).collect()(0)
+    assert(r.getAs[Long]("n_subjects") == 4L &&
+      r.getAs[Long]("n_raters") == 3L)
+    assert(r.getAs[Double]("po") == 0.583333)
+    assert(r.getAs[Double]("pe") == 0.388889)
+    assert(r.getAs[String]("kappa_num") == "56" &&
+      r.getAs[String]("kappa_den") == "176")
+    assert(r.getAs[Double]("kappa") == 0.318182)
+    // raters always agree across 2 categories: kappa = 1 exactly
+    val perfect = Seq((0, 0, 0), (1, 1, 1)).toDF("a", "b", "c")
+    assert(Metrics.fleissKappa(perfect, Seq("a", "b", "c"))
+      .collect()(0).getAs[Double]("kappa") == 1.0)
+    // every subject rated (0,1,2): po = 0, kappa = -1/2
+    val disagree = Seq((0, 1, 2), (0, 1, 2)).toDF("a", "b", "c")
+    val d = Metrics.fleissKappa(disagree, Seq("a", "b", "c")).collect()(0)
+    assert(d.getAs[Double]("po") == 0.0 &&
+      d.getAs[Double]("kappa") == -0.5)
+    // single category everywhere: zero chance-corrected range -> NULL
+    val mono = Seq((7, 7, 7), (7, 7, 7)).toDF("a", "b", "c")
+    val m = Metrics.fleissKappa(mono, Seq("a", "b", "c")).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("kappa")))
+    // composition: fold over the drained profile state = the panel
+    assert(Metrics.fleissFromProfiles(
+        Metrics.fleissProfileCounts(df, Seq("a", "b", "c")), 3)
+      .collect().toSeq ===
+      Metrics.fleissKappa(df, Seq("a", "b", "c")).collect().toSeq)
+  }
+
+  test("mannWhitneyU: hand-computed doubled midranks with a tie; " +
+      "degenerate inputs yield NULL z, never NaN") {
+    // A = {1,2,3}, B = {2,4}: value 2 ties across sides (midrank 2.5,
+    // r2 = 5), so 2R_A = 2 + 5 + 8 = 15, u2 = 15 - 3*4 = 3 (U_A = 1.5 =
+    // one win (3>2) + half a tie), auc = 3/12 = 0.25, tie_t = 2^3-2 = 6,
+    // var(2U) = 6/3 * (6 - 6/20) = 11.4, z = (3-6)/sqrt(11.4)
+    val df = (Seq(1L, 2L, 3L).map((_, false)) ++
+      Seq(2L, 4L).map((_, true))).toDF("v", "side")
+    val r = Metrics.mannWhitneyU(df, "v", "side").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[String]("u2_a") == "3")
+    assert(r.getAs[String]("tie_t") == "6")
+    assert(r.getAs[Double]("auc") == 0.25)
+    assert(r.getAs[Double]("z") == -0.888523)
+    // every value tied across sides: exact no-dominance (auc = 1/2),
+    // zero variance -> NULL z
+    val tied = (Seq(5L, 5L).map((_, false)) ++ Seq(5L).map((_, true)))
+      .toDF("v", "side")
+    val t = Metrics.mannWhitneyU(tied, "v", "side").collect()(0)
+    assert(t.getAs[String]("u2_a") == "2" && t.getAs[Double]("auc") == 0.5)
+    assert(t.isNullAt(t.fieldIndex("z")))
+    // one side empty: u2 = 0 exactly, effect size and z undefined
+    val empty = Seq((1L, false), (2L, false)).toDF("v", "side")
+    val e = Metrics.mannWhitneyU(empty, "v", "side").collect()(0)
+    assert(e.getAs[Long]("n_b") == 0L && e.getAs[String]("u2_a") == "0")
+    assert(e.isNullAt(e.fieldIndex("auc")) && e.isNullAt(e.fieldIndex("z")))
+  }
+
   test("welchTTest: hand-computed t and Welch-Satterthwaite dof") {
     // group x: A={1,2,3} (mean 2, var 1), B={2,4,6} (mean 4, var 4)
     // sea=1/3, seb=4/3 -> t = -2/sqrt(5/3) = -1.549193,

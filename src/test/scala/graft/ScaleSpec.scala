@@ -1508,6 +1508,43 @@ class ScaleSpec extends SparkSpec {
       Events.acf(ev, 2).orderBy("lag").collect().toSeq)
   }
 
+  test("mannKendall: hand-computed S/var18/tau/z/Sen with a tie; " +
+      "monotone and constant series; fold over trendDaily state = panel") {
+    val day = 86400L * 1000000000L
+    // daily values 1,2,3,2,5: 8 concordant, 1 discordant, 1 tied pair ->
+    // S = 7 over 10 pairs (tau = 0.7); value 2 ties (t=2 -> tie18 = 18),
+    // var18 = 5*4*15 - 18 = 282, z = 6/sqrt(282/18); pairwise slopes
+    // sorted = [-1, 0, 1/3, 1,1,1,1,1,1, 3] -> both middles 1.0
+    val ev = Seq(1.0, 2.0, 3.0, 2.0, 5.0).zipWithIndex.map {
+      case (v, i) => (i * day, "x", v)
+    }.toDF("ts", "event_type", "value")
+    val r = Events.mannKendall(ev).collect()(0)
+    assert(r.getAs[Long]("n_days") == 5L && r.getAs[Long]("n_pairs") == 10L)
+    assert(r.getAs[Long]("s_stat") == 7L && r.getAs[Long]("var18") == 282L)
+    assert(r.getAs[Double]("tau") == 0.7)
+    assert(r.getAs[Double]("z") == 1.515873)
+    assert(r.getAs[Double]("sen_slope") == 1.0)
+    // strictly increasing: perfect concordance, tau = 1, no tie term
+    val mono = Seq((0L, "m", 1.0), (day, "m", 2.0), (2 * day, "m", 3.0))
+      .toDF("ts", "event_type", "value")
+    val m = Events.mannKendall(mono).collect()(0)
+    assert(m.getAs[Long]("s_stat") == 3L && m.getAs[Long]("var18") == 66L)
+    assert(m.getAs[Double]("tau") == 1.0 &&
+      m.getAs[Double]("z") == 1.044466)
+    assert(m.getAs[Double]("sen_slope") == 1.0)
+    // constant series: the tie term consumes the whole variance -> NULL z
+    val const = (0 to 2).map(i => (i * day, "c", 2.0))
+      .toDF("ts", "event_type", "value")
+    val c = Events.mannKendall(const).collect()(0)
+    assert(c.getAs[Long]("s_stat") == 0L && c.getAs[Long]("var18") == 0L)
+    assert(c.isNullAt(c.fieldIndex("z")))
+    assert(c.getAs[Double]("tau") == 0.0 &&
+      c.getAs[Double]("sen_slope") == 0.0)
+    // composition: fold over the drained-state relation = the panel
+    assert(Events.mannKendallFromDaily(Events.trendDaily(ev))
+      .collect().toSeq === Events.mannKendall(ev).collect().toSeq)
+  }
+
   test("trendFit: a single-day group yields NULL slope, not NaN") {
     val ev = Seq((0L, "x", 1.0), (1000L, "x", 2.0))
       .toDF("ts", "event_type", "value")  // both events on epoch day 0
@@ -2524,6 +2561,28 @@ class ScaleSpec extends SparkSpec {
     assert(got.length == 2)
     assert(got(0) == ((1L, 3L, 0.870295, 2.387616)))
     assert(got(1) == ((2L, 1L, 1.252763, 3.5)))
+  }
+
+  test("stupidBackoffScore: hand-computed backoff chain hits every level; " +
+      "train docs and short docs absent") {
+    // train "a b c a b d": uni a=2,b=2,c=1,d=1 (N=6, V=4);
+    // bi ab=2, bc=1, ca=1, bd=1; tri abc, bca, cab, abd (each 1)
+    val td = Seq(
+      (1L, "a b c a b d"),  // train slice
+      (10L, "a b c x"),     // tri (a,b,c): ln(1/2); (b,c,x): unseen w3 x
+                            //   -> unigram floor ln(0.4*0.4*1/(6+4))
+      (20L, "x b c"),       // tri (x,b,c) misses, (b,c) trains -> bi level
+                            //   ln(0.4*1/2)
+      (30L, "y z")          // < 3 tokens -> absent
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.stupidBackoffScore(td, "doc_id", "text",
+        col("doc_id") < 10)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      (10L, 2L, 1L, 0L, 1L, 2.414157),
+      (20L, 1L, 0L, 1L, 0L, 1.609438)))
   }
 
   test("unimaxAllocate: hand-computed waterfall across budget regimes") {
