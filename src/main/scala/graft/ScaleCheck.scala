@@ -912,6 +912,30 @@ object ScaleCheck {
         // lag explode, and self-join all live on that dictionary
         (d: DataFrame) => Events.acf(d, 7),
         events, "event_id", None),
+      ("bcubed",
+        // ONE corpus hash-agg to the (pred, gold) contingency dictionary;
+        // marginal folds on the dictionary (pred/gold derived cheaply so
+        // the row times the EVAL fold, not a clustering run)
+        (d: DataFrame) => Dedup.bCubed(
+          d.withColumn("p", expr("doc_id div 3"))
+            .withColumn("g", expr("doc_id div 5")),
+          "doc_id", "p", "g"),
+        docs, "doc_id", Some("text")),
+      ("rrf_hybrid",
+        // each ranker is its own top-k machinery (corpus scan + TakeOrdered
+        // / broadcast-query pair scan); fusion touches <= sum-of-k rows
+        (d: DataFrame) => {
+          val lex = TextAnalysis.bm25TopK(d, "doc_id", "text",
+              Seq("join", "vector", "stream"), 50)
+            .select(col("doc_id"), col("score"))
+          val vec = Similarity.bruteForceTopK(
+              embeddings.filter(col("vec_id") === 0), embeddings,
+              "vec_id", "embedding", 50)
+            .select(col("cand_id").as("doc_id"), col("cos_sim").as("score"))
+          Similarity.rrfFuse(Seq(("lex", lex), ("vec", vec)),
+            "doc_id", "score")
+        },
+        docs, "doc_id", Some("text")),
       ("fleiss_kappa",
         // ONE corpus hash-agg to the joint rating-profile dictionary
         // (<= 27 rows for 3 raters x 3 cats); the kappa fold never

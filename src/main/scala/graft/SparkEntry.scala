@@ -2722,6 +2722,38 @@ object SparkEntry {
       TextAnalysis.bm25TopK(t(s, dir, "documents"), "doc_id", "text",
         Seq("join", "vector", "stream"), 20)),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion (BM25 + embedding) ------
+    // The production hybrid-search default: fuse the lexical top-50 and
+    // the cosine top-50 (query = vec 0) by sum 1/(60+rank) — ranks cross
+    // lists, scores never do, so no calibration step exists to get wrong.
+    "rrf_hybrid_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val lex = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          Seq("join", "vector", "stream"), 50)
+        .select(col("doc_id"), col("score"))
+      val vec = Similarity.bruteForceTopK(e.filter(col("vec_id") === 0), e,
+          "vec_id", "embedding", 50)
+        .select(col("cand_id").as("doc_id"), col("cos_sim").as("score"))
+      Similarity.rrfFuse(Seq(("lex", lex), ("vec", vec)), "doc_id", "score")
+        .orderBy(col("rk"))
+    }),
+
+    // ---- entity-resolution eval: B-cubed vs the exact-dup gold -------------
+    // Grade the MinHash-LSH clustering per ITEM against byte-identical
+    // text as gold: precision drops when LSH merges non-copies, recall
+    // when true copies land in different clusters.
+    "bcubed_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = Dedup.duplicateClusters(docs,
+        Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id")
+      Dedup.bCubed(
+        docs.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("gold"))
+          .join(pred, Seq("doc_id")),
+        "doc_id", "cluster_rep", "gold")
+    }),
+
     // ---- RAG composite: passage chunks → passage-grain BM25 → top-k --------
     "rag_retrieve_docs" -> ((s, dir) =>
       TextAnalysis.ragRetrieve(t(s, dir, "documents"), "doc_id", "text",
@@ -9740,6 +9772,141 @@ object SparkEntry {
         |  FROM s)
         |SELECT doc_id, dl, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    // both rankers replay verbatim (BM25 rational-idf top-50, quantized
+    // cosine top-50 for query vec 0), then rank -> fuse -> rounded top-20;
+    // selection by unrounded score, fusion ranks on the ROUNDED score —
+    // both mirrored exactly
+    "rrf_hybrid_docs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0) AS t
+        |  FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(t, x -> x = 'join')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(t, x -> x = 'stream')) AS BIGINT) AS tf2
+        |  FROM tok),
+        |g AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(dl) AS BIGINT) AS total_dl,
+        |    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+        |    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+        |    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, dl, tf0, tf1, tf2, n_docs, df0, df1, df2,
+        |    CAST(total_dl AS DOUBLE) / n_docs AS avgdl
+        |  FROM d, g),
+        |sc AS (
+        |  SELECT doc_id, ROUND(
+        |    ((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (CAST(df0 AS DOUBLE) + 0.5))
+        |      * (CAST(tf0 AS DOUBLE) * 2.25) / (CAST(tf0 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |    + ((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (CAST(df1 AS DOUBLE) + 0.5))
+        |      * (CAST(tf1 AS DOUBLE) * 2.25) / (CAST(tf1 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |    + ((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (CAST(df2 AS DOUBLE) + 0.5))
+        |      * (CAST(tf2 AS DOUBLE) * 2.25) / (CAST(tf2 AS DOUBLE)
+        |        + 1.25 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))), 6)
+        |    AS score
+        |  FROM s),
+        |lex AS (SELECT doc_id, score FROM sc WHERE score > 0
+        |  ORDER BY score DESC, doc_id LIMIT 50),
+        |lexr AS (SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+        |  FROM lex),
+        |qv AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000)) AS v
+        |  FROM embeddings),
+        |vp AS (
+        |  SELECT c.vec_id AS doc_id,
+        |    list_dot_product(q.v, c.v)
+        |      / sqrt(list_dot_product(q.v, q.v) * list_dot_product(c.v, c.v)) AS cs
+        |  FROM qv q JOIN qv c ON c.vec_id <> q.vec_id
+        |  WHERE q.vec_id = 0),
+        |vec0 AS (SELECT doc_id, ROUND(cs, 6) AS score FROM vp
+        |  ORDER BY cs DESC, doc_id LIMIT 50),
+        |vecr AS (SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS r
+        |  FROM vec0),
+        |u AS (SELECT doc_id, 'lex' AS l, r FROM lexr
+        |  UNION ALL SELECT doc_id, 'vec', r FROM vecr),
+        |f AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+        |    MAX(CASE WHEN l = 'lex' THEN r END) AS rank_lex,
+        |    MAX(CASE WHEN l = 'vec' THEN r END) AS rank_vec
+        |  FROM u GROUP BY doc_id),
+        |f2 AS (
+        |  SELECT doc_id, n_lists, rank_lex, rank_vec,
+        |    ROUND(COALESCE(1.0 / (60.0 + CAST(rank_lex AS DOUBLE)), 0.0)
+        |      + COALESCE(1.0 / (60.0 + CAST(rank_vec AS DOUBLE)), 0.0), 6)
+        |      AS rrf
+        |  FROM f),
+        |top AS (SELECT * FROM f2 ORDER BY rrf DESC, doc_id LIMIT 20)
+        |SELECT doc_id, n_lists, rank_lex, rank_vec, rrf,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
+        |FROM top ORDER BY rk""".stripMargin,
+
+    // the predicted partition replays as the dup_clusters recursive
+    // reachability; gold = byte-identical text; B-cubed folds on the
+    // (pred, gold) contingency dictionary
+    "bcubed_docs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+        |cl AS (SELECT a AS doc_id, MIN(b) AS p FROM reach GROUP BY a),
+        |j AS (SELECT cl.doc_id, cl.p, d.text AS gl
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |cells AS (SELECT p, gl, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |ps AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pred_clusters,
+        |    CAST(SUM(np) AS BIGINT) AS n_items,
+        |    SUM(CAST(sp AS DOUBLE) / CAST(np AS DOUBLE)) AS psum
+        |  FROM (SELECT p, SUM(n) AS np, SUM(CAST(n AS HUGEINT) * n) AS sp
+        |    FROM cells GROUP BY p)),
+        |gs AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_gold_classes,
+        |    SUM(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS rsum
+        |  FROM (SELECT gl, SUM(n) AS ng, SUM(CAST(n AS HUGEINT) * n) AS sg
+        |    FROM cells GROUP BY gl))
+        |SELECT n_items, n_pred_clusters, n_gold_classes,
+        |  ROUND(psum / CAST(n_items AS DOUBLE), 6) AS "precision",
+        |  ROUND(rsum / CAST(n_items AS DOUBLE), 6) AS recall,
+        |  CASE WHEN psum / CAST(n_items AS DOUBLE)
+        |      + rsum / CAST(n_items AS DOUBLE) > 0 THEN
+        |    ROUND(2.0 * (psum / CAST(n_items AS DOUBLE))
+        |      * (rsum / CAST(n_items AS DOUBLE))
+        |      / (psum / CAST(n_items AS DOUBLE)
+        |        + rsum / CAST(n_items AS DOUBLE)), 6)
+        |  END AS f1
+        |FROM ps, gs""".stripMargin,
 
     // passage windows (size 8, stride 4) then the same BM25 form at passage
     // grain — corpus stats computed over passages, like a passage index

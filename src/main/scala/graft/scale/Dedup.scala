@@ -1877,6 +1877,65 @@ object Dedup {
           6).as("expected_recall"))
   }
 
+  /** B-cubed clustering evaluation (Bagga & Baldwin, LREC 1998; Amigó et
+    * al., IR 2009) — the per-ITEM precision/recall grading a final
+    * entity-resolution / dedup clustering against a gold partition.
+    * [[blockingQuality]] grades the CANDIDATE stage (pair completeness /
+    * reduction ratio); B³ grades the produced clusters, weighting items
+    * rather than pairs — the Amigó axioms' pick, robust to the size skew
+    * where pairwise-F is quadratically owned by the biggest cluster.
+    *
+    * Per item i: P(i) = |pred(i) ∩ gold(i)|/|pred(i)|, averaged — which
+    * collapses to Σ_cells n²/|pred| over the (pred, gold) contingency
+    * table; recall mirrors over |gold|; F1 harmonic on the unrounded
+    * means. Cell counts and marginals are exact longs/decimals; the only
+    * floats are one fixed-shape ratio per dictionary cell and the final
+    * mirrored means, rounded 6.
+    *
+    * Scale shape: ONE corpus hash-agg to the (pred, gold) contingency
+    * dictionary; both marginal folds and the ratio sums run on it —
+    * corpus mass never reaches a pair join or a window. NULL labels are
+    * ordinary labels (sentinel-keyed so the marginal joins keep them).
+    *
+    * @return one row: (n_items, n_pred_clusters, n_gold_classes,
+    *         precision, recall, f1) — rounded 6
+    */
+  def bCubed(
+      df: DataFrame,
+      idCol: String,
+      predCol: String,
+      goldCol: String): DataFrame = {
+    def key(c: Column): Column =
+      coalesce(c.cast("string"), lit("\u0002N"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val cells = df
+      .select(key(col(predCol)).as("__p"), key(col(goldCol)).as("__g"))
+      .groupBy(col("__p"), col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // dictionary-scale; feeds both marginal folds
+    val pSide = cells.groupBy(col("__p"))
+      .agg(sum(col("__n")).as("__np"),
+        sum(d(col("__n")) * d(col("__n"))).as("__sp"))
+      .agg(count(lit(1)).as("n_pred_clusters"),
+        sum(col("__np")).as("__nitems"),
+        sum(col("__sp").cast("double") / col("__np").cast("double"))
+          .as("__psum"))
+    val gSide = cells.groupBy(col("__g"))
+      .agg(sum(col("__n")).as("__ng"),
+        sum(d(col("__n")) * d(col("__n"))).as("__sg"))
+      .agg(count(lit(1)).as("n_gold_classes"),
+        sum(col("__sg").cast("double") / col("__ng").cast("double"))
+          .as("__rsum"))
+    val nd = col("__nitems").cast("double")
+    val p = col("__psum") / nd
+    val r = col("__rsum") / nd
+    pSide.crossJoin(broadcast(gSide))
+      .select(col("__nitems").as("n_items"), col("n_pred_clusters"),
+        col("n_gold_classes"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        when(p + r > 0.0, round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
+  }
+
   def blockingQuality(
       candidates: DataFrame,
       gold: DataFrame,

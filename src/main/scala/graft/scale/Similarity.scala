@@ -103,6 +103,60 @@ object Similarity {
         round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009) —
+    * THE hybrid-retrieval combiner: fuse k ranked lists (lexical BM25,
+    * embedding cosine, …) by Σ 1/(k0 + rank) per document, which needs
+    * no score calibration across rankers (only ranks cross lists — the
+    * reason RRF beats score interpolation out of the box and is the
+    * default hybrid mode in production search stacks).
+    *
+    * Determinism: per-list ranks come from [[graft.core.Bounded.withRank]]
+    * over (score desc, id) — every input list is top-k BOUNDED by
+    * construction (a `limit` output), so no global window anywhere; the
+    * fused score folds the per-list rank COLUMNS in declared list order
+    * (a fixed-shape double expression, not a row-order-dependent sum),
+    * rounds to 6, and the final top-N ranks on the ROUNDED value with id
+    * tie-break — both engines sort the same keys.
+    *
+    * Scale shape: the expensive part is producing the input lists (each
+    * ranker's own top-k machinery); fusion itself touches ≤ Σ|list| rows
+    * — driver-free, dictionary-scale, one union + one hash-agg.
+    *
+    * @param lists (label, ranked list) pairs; each list carries idCol +
+    *              scoreCol and is already bounded (top-k) — rank i is
+    *              1-based within its list
+    * @return topN rows: (id, n_lists, rank_<label>…, rrf, rk) — rank
+    *         columns NULL where a list misses the doc
+    */
+  def rrfFuse(
+      lists: Seq[(String, DataFrame)],
+      idCol: String,
+      scoreCol: String,
+      k0: Int = 60,
+      topN: Int = 20): DataFrame = {
+    require(lists.size >= 2, "rrfFuse needs at least two ranked lists")
+    val ranked = lists.map { case (label, df) =>
+      graft.core.Bounded.withRank(
+          df.select(col(idCol), col(scoreCol)),
+          Seq((scoreCol, true), (idCol, false)), "__r")
+        .select(col(idCol), lit(label).as("__l"), col("__r"))
+    }.reduce(_ unionByName _)
+    val perList = lists.map { case (label, _) =>
+      max(when(col("__l") === label, col("__r"))).as(s"rank_$label")
+    }
+    val fused = lists.map { case (label, _) =>
+      coalesce(lit(1.0) /
+        (lit(k0.toDouble) + col(s"rank_$label").cast("double")), lit(0.0))
+    }.reduce(_ + _)
+    val aggCols = count(lit(1)).as("n_lists") +: perList
+    val agg = ranked.groupBy(col(idCol))
+      .agg(aggCols.head, aggCols.tail: _*)
+      .withColumn("rrf", round(fused, 6))
+    graft.core.Bounded.withRank(
+      agg.orderBy(col("rrf").desc, col(idCol)).limit(topN),
+      Seq(("rrf", true), (idCol, false)), "rk")
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk, ACL'19 — the
     * LASER/CCMatrix parallel-corpus miner): for every source vector, the
     * best target by RATIO MARGIN — cosine normalized by the mean cosine of

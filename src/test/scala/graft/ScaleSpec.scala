@@ -1577,6 +1577,57 @@ class ScaleSpec extends SparkSpec {
       (3L, 2L, "seg", "mode", "E")))
   }
 
+  test("bCubed: hand-computed contingency; perfect clustering scores 1; " +
+      "all-singletons trade precision 1 for recall 1/n") {
+    // pred {1,2,3}{4,5} vs gold {1,2}{3,4,5}: cells (c1,g1)=2, (c1,g2)=1,
+    // (c2,g2)=2 -> P = (4/3 + 1/3 + 2)/5 = 11/15 = R (symmetric here)
+    val df = Seq((1L, "c1", "g1"), (2L, "c1", "g1"), (3L, "c1", "g2"),
+      (4L, "c2", "g2"), (5L, "c2", "g2")).toDF("id", "p", "g")
+    val r = Dedup.bCubed(df, "id", "p", "g").collect()(0)
+    assert(r.getAs[Long]("n_items") == 5L &&
+      r.getAs[Long]("n_pred_clusters") == 2L &&
+      r.getAs[Long]("n_gold_classes") == 2L)
+    assert(r.getAs[Double]("precision") == 0.733333)
+    assert(r.getAs[Double]("recall") == 0.733333)
+    assert(r.getAs[Double]("f1") == 0.733333)
+    // pred == gold -> exactly 1 everywhere
+    val perfect = Dedup.bCubed(df.withColumn("p2", col("g")),
+      "id", "p2", "g").collect()(0)
+    assert(perfect.getAs[Double]("precision") == 1.0 &&
+      perfect.getAs[Double]("recall") == 1.0 &&
+      perfect.getAs[Double]("f1") == 1.0)
+    // singletons vs one gold class: P = 1, R = 1/3, F1 = 1/2
+    val single = Seq((1L, "a", "g"), (2L, "b", "g"), (3L, "c", "g"))
+      .toDF("id", "p", "g")
+    val s = Dedup.bCubed(single, "id", "p", "g").collect()(0)
+    assert(s.getAs[Double]("precision") == 1.0 &&
+      s.getAs[Double]("recall") == 0.333333 &&
+      s.getAs[Double]("f1") == 0.5)
+  }
+
+  test("rrfFuse: hand-computed fusion of two overlapping top-3 lists; " +
+      "missing-list ranks NULL; rounded-score ranking with id tiebreak") {
+    // A: 1>.9, 2>.8, 3>.7; B: 2>.95, 3>.85, 4>.75
+    // rrf: d2 = 1/62+1/61, d3 = 1/63+1/62, d1 = 1/61, d4 = 1/63
+    val a = Seq((1L, 0.9), (2L, 0.8), (3L, 0.7)).toDF("id", "score")
+    val b = Seq((2L, 0.95), (3L, 0.85), (4L, 0.75)).toDF("id", "score")
+    val got = Similarity.rrfFuse(Seq(("a", a), ("b", b)), "id", "score")
+      .orderBy("rk").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("n_lists"),
+        r.getAs[Double]("rrf"), r.getAs[Int]("rk")))
+    assert(got.toSeq === Seq((2L, 2L, 0.032522, 1), (3L, 2L, 0.032002, 2),
+      (1L, 1L, 0.016393, 3), (4L, 1L, 0.015873, 4)))
+    val d1 = Similarity.rrfFuse(Seq(("a", a), ("b", b)), "id", "score")
+      .filter(col("id") === 1L).collect()(0)
+    assert(d1.getAs[Int]("rank_a") == 1 &&
+      d1.isNullAt(d1.fieldIndex("rank_b")))
+    // equal scores rank by id: 9 before 10 at the same score
+    val tie = Seq((10L, 0.5), (9L, 0.5)).toDF("id", "score")
+    val t = Similarity.rrfFuse(Seq(("x", tie), ("y", tie)), "id", "score")
+      .orderBy("rk").collect().map(_.getAs[Long]("id"))
+    assert(t.toSeq === Seq(9L, 10L))
+  }
+
   test("blockingQuality: swapped/duplicate candidate pairs normalize; " +
       "hand-computed PC and RR") {
     // records 1..5; gold {12, 34, 25}; raw candidates {12, 21, 35, 43}
