@@ -959,6 +959,28 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.stupidBackoffScore(
           d, "doc_id", "text", col("doc_id") % 5 =!= 0),
         docs, "doc_id", Some("text")),
+      ("krippendorff",
+        // same ONE-hash-agg profile-dictionary shape as fleiss_kappa;
+        // the missing-tolerant fold adds no corpus-mass step
+        (d: DataFrame) => graft.metrics.Metrics.krippendorffAlpha(
+          d.withColumn("r1",
+            when(col("n_chars") < 200, "lo")
+              .when(col("n_chars") < 800, "mid").otherwise("hi"))
+            .withColumn("r2",
+              when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+                .when(col("doc_id") % 3 === 0, "lo")
+                .when(col("doc_id") % 3 === 1, "mid").otherwise("hi"))
+            .withColumn("r3",
+              when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+                .when(col("n_chars") % 5 < 2, "lo")
+                .when(col("n_chars") % 5 < 4, "mid").otherwise("hi")),
+          Seq("r1", "r2", "r3")),
+        docs, "doc_id", Some("text")),
+      ("locf_fill",
+        // one corpus hash-agg to the (type, day) dictionary; spine,
+        // max-day pick and value join all dictionary-scale
+        (d: DataFrame) => Events.locfDaily(d),
+        events, "event_id", None),
       ("mann_kendall",
         // one corpus hash-agg to the same (type, day) dictionary; the
         // pair θ-join, tie fold and median pick never touch corpus mass

@@ -4074,6 +4074,29 @@ object SparkEntry {
       Metrics.fleissFromProfiles(drained, 3)
     }),
 
+    // ---- multi-rater agreement under MISSINGNESS: Krippendorff's alpha ----
+    // Two judges abstain on deterministic slices (%11 / %7 — the timeout/
+    // sampling shape); units keep whatever ratings remain, <2 drop. Same
+    // profile state as Fleiss, the missing-tolerant fold.
+    "krippendorff_docs" -> ((s, dir) =>
+      Metrics.krippendorffAlpha(
+        qualityRaters(t(s, dir, "documents"))
+          .withColumn("r_tok",
+            when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+              .otherwise(col("r_tok")))
+          .withColumn("r_div",
+            when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+              .otherwise(col("r_div"))),
+        Seq("r_len", "r_tok", "r_div"))),
+
+    // ---- LOCF daily resample (carry the level, account the staleness) -----
+    // gap_fill zero-fills (additive series); LOCF carries the last level
+    // via an exact max-day theta-join on the trendDaily dictionary — no
+    // window ordering, no IGNORE NULLS engine semantics.
+    "locf_fill_events" -> ((s, dir) =>
+      Events.locfDaily(t(s, dir, "events"))
+        .orderBy(col("event_type"), col("day"))),
+
     // ---- mixing: UniMax budget allocation across languages -----------------
     // 60k-token budget, 3-epoch cap per language: low-resource langs hit
     // the cap, the rest split the remainder evenly (exact integer
@@ -11797,6 +11820,99 @@ object SparkEntry {
         |    ELSE 0 END) AS BIGINT) AS n_uni_backoffs,
         |  ROUND(-AVG(lp), 6) AS cross_entropy
         |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // unit-wise m_u/disagreement expressions, L = lcm(1..m-1) = 2 scales
+    // the coincidence fractions to exact integers; <2-rating units drop
+    "krippendorff_docs" ->
+      """WITH base AS (
+        |  SELECT doc_id, n_chars,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS nt,
+        |    len(list_distinct(list_filter(
+        |      string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0))) AS nd
+        |  FROM documents),
+        |r AS (
+        |  SELECT
+        |    CASE WHEN n_chars < 200 THEN 'lo'
+        |      WHEN n_chars < 800 THEN 'mid' ELSE 'hi' END AS r0,
+        |    CASE WHEN doc_id % 11 = 0 THEN NULL
+        |      WHEN nt < 40 THEN 'lo'
+        |      WHEN nt < 160 THEN 'mid' ELSE 'hi' END AS r1,
+        |    CASE WHEN doc_id % 7 = 0 THEN NULL
+        |      WHEN nd * 10 < nt * 5 THEN 'lo'
+        |      WHEN nd * 10 < nt * 8 THEN 'mid' ELSE 'hi' END AS r2
+        |  FROM base),
+        |u AS (
+        |  SELECT r0, r1, r2,
+        |    CAST(r0 IS NOT NULL AS INT) + CAST(r1 IS NOT NULL AS INT)
+        |      + CAST(r2 IS NOT NULL AS INT) AS mu,
+        |    CASE WHEN r0 IS NOT NULL AND r1 IS NOT NULL AND r0 <> r1
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN r0 IS NOT NULL AND r2 IS NOT NULL AND r0 <> r2
+        |      THEN 1 ELSE 0 END
+        |    + CASE WHEN r1 IS NOT NULL AND r2 IS NOT NULL AND r1 <> r2
+        |      THEN 1 ELSE 0 END AS dis
+        |  FROM r),
+        |inc AS (SELECT * FROM u WHERE mu >= 2),
+        |so AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+        |    SUM(CAST(2 * dis AS HUGEINT) * (2 // (mu - 1))) AS so
+        |  FROM inc),
+        |marg AS (
+        |  SELECT CAST(SUM(nc) AS BIGINT) AS n_ratings,
+        |    SUM(CAST(nc AS HUGEINT) * nc) AS snc2
+        |  FROM (SELECT k, CAST(COUNT(*) AS BIGINT) AS nc FROM (
+        |      SELECT r0 AS k FROM inc WHERE r0 IS NOT NULL
+        |      UNION ALL SELECT r1 FROM inc WHERE r1 IS NOT NULL
+        |      UNION ALL SELECT r2 FROM inc WHERE r2 IS NOT NULL)
+        |    GROUP BY k)),
+        |f AS (
+        |  SELECT n_units, n_ratings, so,
+        |    CAST(n_ratings AS HUGEINT) * n_ratings - snc2 AS se
+        |  FROM so, marg),
+        |g AS (
+        |  SELECT n_units, n_ratings, so, se,
+        |    se * 2 - (CAST(n_ratings AS HUGEINT) - 1) * so AS alpha_num,
+        |    se * 2 AS alpha_den
+        |  FROM f)
+        |SELECT n_units, n_ratings,
+        |  ROUND(CAST(so AS DOUBLE) / (2.0 * CAST(n_ratings AS DOUBLE)), 6)
+        |    AS d_o,
+        |  ROUND(CAST(se AS DOUBLE) / (CAST(n_ratings AS DOUBLE)
+        |    * (CAST(n_ratings AS DOUBLE) - 1.0)), 6) AS d_e,
+        |  CAST(alpha_num AS VARCHAR) AS alpha_num,
+        |  CAST(alpha_den AS VARCHAR) AS alpha_den,
+        |  CASE WHEN alpha_den <> 0 THEN
+        |    ROUND(CAST(alpha_num AS DOUBLE) / CAST(alpha_den AS DOUBLE), 6)
+        |  END AS alpha
+        |FROM g""".stripMargin,
+
+    // the spine replays as the acf scaffold; the carried value is the
+    // exact max-observed-day pick, engine-neutral
+    "locf_fill_events" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |    (CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS yc
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+        |  FROM d GROUP BY 1),
+        |scaf AS (
+        |  SELECT s.event_type, u.day
+        |  FROM span s, UNNEST(range(s.d0, s.d1 + 1)) AS u(day)),
+        |lastd AS (
+        |  SELECT sc.event_type, sc.day, MAX(d.day) AS lastday
+        |  FROM scaf sc
+        |  JOIN d ON d.event_type = sc.event_type AND d.day <= sc.day
+        |  GROUP BY 1, 2)
+        |SELECT l.event_type, l.day, d.yc,
+        |  (l.day = l.lastday) AS observed,
+        |  l.day - l.lastday AS staleness
+        |FROM lastd l
+        |JOIN d ON d.event_type = l.event_type AND d.day = l.lastday
+        |ORDER BY l.event_type, l.day""".stripMargin,
 
     // the rating-profile dictionary replays as one GROUP BY over the three
     // CASE raters; A = sum c*(3 + 2*#equal-pairs); exact num/den as strings

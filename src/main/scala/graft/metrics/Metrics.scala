@@ -1873,6 +1873,90 @@ object Metrics {
           .as("kappa"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 1970; the
+    * content-analysis standard) — [[fleissKappa]]'s MISSING-TOLERANT
+    * sibling: Fleiss needs every rater to rate every subject; real judge
+    * ensembles time out, abstain, and get sampled, and α is the
+    * agreement coefficient defined for exactly that — units keep
+    * whatever ratings they have, units with fewer than two are dropped,
+    * and both observed and expected disagreement come from the
+    * coincidence matrix the remaining ratings span.
+    *
+    * Exact-integer scheme: per unit u with m_u ≥ 2 ratings, the
+    * coincidence contribution is 1/(m_u−1) per ordered rating pair —
+    * fractional, so everything scales by L = lcm(1..m−1):
+    * S'_o = Σ_u 2·(#disagreeing unordered pairs)·(L/(m_u−1)) is an exact
+    * integer, category marginals n_c are plain rating counts, and
+    * α = 1 − (n−1)·S_o/S_e (S_e = n² − Σ_c n_c²) becomes
+    * num = S_e·L − (n−1)·S'_o over den = S_e·L — both exact
+    * DECIMAL(38,0), travelling as strings (the [[ksDrift]] rule). The
+    * only floats are the mirrored D_o/D_e/α ratios, rounded 6. α is
+    * NULL when S_e = 0 (every kept rating in one category).
+    *
+    * Scale shape: the SAME joint rating-profile dictionary
+    * [[fleissProfileCounts]] produces (ONE corpus hash-agg; the missing
+    * sentinel is just another profile key) — so the streaming twin
+    * shares Fleiss' state; the m_u/disagreement folds are row-wise
+    * expressions on that dictionary, the marginals one explode over it.
+    */
+  def krippendorffAlpha(df: DataFrame, raterCols: Seq[String]): DataFrame =
+    krippendorffFromProfiles(fleissProfileCounts(df, raterCols),
+      raterCols.size)
+
+  /** The α fold over [[fleissProfileCounts]]' (drained) state —
+    * krippendorffFromProfiles ∘ fleissProfileCounts =
+    * [[krippendorffAlpha]] by construction (spec-pinned). NULL ratings
+    * arrive as the catKey sentinel and are treated as MISSING here
+    * (Fleiss' fold treats them as a category — the two panels answer
+    * different questions from the same state).
+    */
+  def krippendorffFromProfiles(prof0: DataFrame, m: Int): DataFrame = {
+    val rs = (0 until m).map(i => s"__r$i")
+    val L = (1 until m).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+      .toLong
+    val prof = prof0.localCheckpoint(true) // feeds the S_o fold + explode
+    val miss = (r: String) => col(r) === lit("\u0002N")
+    val mu = rs.map(r => when(miss(r), 0L).otherwise(1L)).reduce(_ + _)
+    val disagree = (for { i <- 0 until m; j <- (i + 1) until m } yield
+      when(!miss(rs(i)) && !miss(rs(j)) && col(rs(i)) =!= col(rs(j)), 1L)
+        .otherwise(0L)).reduce(_ + _)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val included = prof.withColumn("__mu", mu).filter(col("__mu") >= 2L)
+      .localCheckpoint(true) // S_o fold + marginal explode
+    val so = included.agg(
+      count(lit(1)).as("__nprof"),
+      sum(col("__c")).as("n_units"),
+      sum(d(col("__c")) * d(disagree * 2L) *
+        d(expr(s"${L}L div (__mu - 1)"))).as("__so"))
+    val marg = included
+      .select(explode(array(rs.map(col): _*)).as("__k"), col("__c"),
+        col("__mu"))
+      .filter(col("__k") =!= lit("\u0002N"))
+      .groupBy(col("__k")).agg(sum(col("__c")).as("__nc"))
+      .agg(sum(col("__nc")).as("n_ratings"),
+        sum(d(col("__nc")) * d(col("__nc"))).as("__snc2"))
+    val dd = (c: Column) => c.cast("double")
+    so.crossJoin(broadcast(marg))
+      .withColumn("__se",
+        (d(col("n_ratings")) * d(col("n_ratings")) - col("__snc2"))
+          .cast("decimal(38,0)"))
+      .withColumn("alpha_num",
+        (col("__se") * L - (d(col("n_ratings")) - 1L) * col("__so"))
+          .cast("decimal(38,0)"))
+      .withColumn("alpha_den", (col("__se") * L).cast("decimal(38,0)"))
+      .select(col("n_units"), col("n_ratings"),
+        round(dd(col("__so")) / (lit(L.toDouble) * dd(col("n_ratings"))),
+          6).as("d_o"),
+        round(dd(col("__se")) /
+          (dd(col("n_ratings")) * (dd(col("n_ratings")) - 1.0)), 6)
+          .as("d_e"),
+        col("alpha_num").cast("string").as("alpha_num"),
+        col("alpha_den").cast("string").as("alpha_den"),
+        when(col("alpha_den") =!= 0,
+          round(dd(col("alpha_num")) / dd(col("alpha_den")), 6))
+          .as("alpha"))
+  }
+
   /** Join/groupBy-key skew profiler — the pre-flight shuffle advisor a
     * 100 TB run consults BEFORE committing to a partitioning: the key-mass
     * distribution (max share, top-10 share, exact median/p99 key mass, the

@@ -533,6 +533,48 @@ object Events {
         col("sen_slope"))
   }
 
+  /** LOCF gap-fill — last-observation-carried-forward daily resample
+    * with staleness accounting. The zero-fill spine (gap_fill /
+    * [[acfFromDaily]]'s filled series) treats a quiet day as zero MASS —
+    * right for additive series; LOCF treats it as a stale OBSERVATION —
+    * right for level-like series (inventory, model version, price),
+    * where the consumer needs the last known level AND how stale it is.
+    *
+    * Determinism: pure integer relational algebra — the carried value is
+    * picked by an exact max-day θ-join, no window ordering, no IGNORE
+    * NULLS engine semantics to disagree on. Scale: the spine, the
+    * last-observed pick and the value join all live on the (type, day)
+    * dictionary ([[trendDaily]]'s state — the trend/CUSUM/ACF/MK twin
+    * family); the θ-join is |days|² per type, bounded by the calendar.
+    *
+    * @return (event_type, day, yc, observed, staleness) — yc the carried
+    *         cent total, staleness = days since the carried observation
+    */
+  def locfDaily(events: DataFrame): DataFrame =
+    locfFromDaily(trendDaily(events))
+
+  /** The LOCF fold over [[trendDaily]]'s (drained) state —
+    * locfFromDaily ∘ trendDaily = [[locfDaily]] (spec-pinned).
+    */
+  def locfFromDaily(daily0: DataFrame): DataFrame = {
+    val daily = daily0.localCheckpoint(true) // span + obs-day + value join
+    val span = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("__d0"), max(col("day")).as("__d1"))
+    val spine = span.select(col("event_type"),
+      explode(sequence(col("__d0"), col("__d1"))).as("day"))
+    spine
+      .join(daily.select(col("event_type"), col("day").as("__od")),
+        Seq("event_type"))
+      .filter(col("__od") <= col("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(max(col("__od")).as("__last"))
+      .join(daily.select(col("event_type"), col("day").as("__last"),
+        col("yc")), Seq("event_type", "__last"))
+      .select(col("event_type"), col("day"), col("yc"),
+        (col("day") === col("__last")).as("observed"),
+        (col("day") - col("__last")).as("staleness"))
+  }
+
   def markovTransitions(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("__us"), col("event_id"))

@@ -334,6 +334,43 @@ class MetricsSpec extends SparkSpec {
       Metrics.fleissKappa(df, Seq("a", "b", "c")).collect().toSeq)
   }
 
+  test("krippendorffAlpha: hand-computed coincidence algebra with " +
+      "missing ratings; <2-rating units drop; perfect agreement = 1; " +
+      "single-category degenerate NULL; same state as Fleiss") {
+    // u1 (a,a,a), u2 (a,b,-), u3 (b,b,b), u4 (a,-,-): u4 drops (mu=1);
+    // n_c = (a:4, b:4), n = 8, S_e = 64-32 = 32; S_o = 2/(2-1) = 2
+    // (L=2 -> S'_o = 4); alpha = (32*2 - 7*4)/(32*2) = 36/64 = 0.5625
+    val df = Seq[(Option[String], Option[String], Option[String])](
+      (Some("a"), Some("a"), Some("a")),
+      (Some("a"), Some("b"), None),
+      (Some("b"), Some("b"), Some("b")),
+      (Some("a"), None, None)).toDF("x", "y", "z")
+    val r = Metrics.krippendorffAlpha(df, Seq("x", "y", "z")).collect()(0)
+    assert(r.getAs[Long]("n_units") == 3L &&
+      r.getAs[Long]("n_ratings") == 8L)
+    assert(r.getAs[Double]("d_o") == 0.25)
+    assert(r.getAs[Double]("d_e") == 0.571429)
+    assert(r.getAs[String]("alpha_num") == "36" &&
+      r.getAs[String]("alpha_den") == "64")
+    assert(r.getAs[Double]("alpha") == 0.5625)
+    // agreement across 2 categories with a missing slot: alpha = 1
+    val perfect = Seq[(Option[String], Option[String], Option[String])](
+      (Some("a"), Some("a"), None),
+      (Some("b"), Some("b"), Some("b"))).toDF("x", "y", "z")
+    assert(Metrics.krippendorffAlpha(perfect, Seq("x", "y", "z"))
+      .collect()(0).getAs[Double]("alpha") == 1.0)
+    // every kept rating in one category: S_e = 0 -> NULL alpha
+    val mono = Seq[(Option[String], Option[String], Option[String])](
+      (Some("a"), Some("a"), None)).toDF("x", "y", "z")
+    val m = Metrics.krippendorffAlpha(mono, Seq("x", "y", "z")).collect()(0)
+    assert(m.isNullAt(m.fieldIndex("alpha")))
+    // composition over the SHARED Fleiss profile state
+    assert(Metrics.krippendorffFromProfiles(
+        Metrics.fleissProfileCounts(df, Seq("x", "y", "z")), 3)
+      .collect().toSeq ===
+      Metrics.krippendorffAlpha(df, Seq("x", "y", "z")).collect().toSeq)
+  }
+
   test("mannWhitneyU: hand-computed doubled midranks with a tie; " +
       "degenerate inputs yield NULL z, never NaN") {
     // A = {1,2,3}, B = {2,4}: value 2 ties across sides (midrank 2.5,

@@ -1545,6 +1545,26 @@ class ScaleSpec extends SparkSpec {
       .collect().toSeq === Events.mannKendall(ev).collect().toSeq)
   }
 
+  test("locfDaily: gap days carry the last level with exact staleness; " +
+      "observed days have staleness 0; fold over trendDaily state = panel") {
+    val day = 86400L * 1000000000L
+    // days {0,1,2,4} values 10,20,30,50 -> day 3 carries 30 (staleness 1)
+    val ev = Seq((0L, 10.0), (1L, 20.0), (2L, 30.0), (4L, 50.0)).map {
+      case (d, v) => (d * day, "x", v)
+    }.toDF("ts", "event_type", "value")
+    val got = Events.locfDaily(ev).orderBy("day").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getBoolean(3),
+        r.getLong(4)))
+    assert(got.toSeq === Seq(
+      (0L, 1000L, true, 0L), (1L, 2000L, true, 0L),
+      (2L, 3000L, true, 0L), (3L, 3000L, false, 1L),
+      (4L, 5000L, true, 0L)))
+    // composition: fold over the drained-state relation = the panel
+    assert(Events.locfFromDaily(Events.trendDaily(ev))
+      .orderBy("day").collect().toSeq ===
+      Events.locfDaily(ev).orderBy("day").collect().toSeq)
+  }
+
   test("trendFit: a single-day group yields NULL slope, not NaN") {
     val ev = Seq((0L, "x", 1.0), (1000L, "x", 2.0))
       .toDF("ts", "event_type", "value")  // both events on epoch day 0
