@@ -959,6 +959,12 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.stupidBackoffScore(
           d, "doc_id", "text", col("doc_id") % 5 =!= 0),
         docs, "doc_id", Some("text")),
+      ("audio_stats",
+        // one decode pass, stats per-row, no shuffle at all — the curve
+        // should track the scan
+        (d: DataFrame) => graft.scale.Multimodal.audioStats(
+          graft.scale.Multimodal.fromDocuments(d)),
+        docs, "doc_id", Some("text")),
       ("krippendorff",
         // same ONE-hash-agg profile-dictionary shape as fleiss_kappa;
         // the missing-tolerant fold adds no corpus-mass step

@@ -1126,6 +1126,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- audio screening panel over the codec seam -------------------------
+    // Real RIFF/PCM16 payloads decode for real (incl. stereo downmix);
+    // the text corpus flows through the md5 stub waveform. mapPartitions
+    // emits exact integers only; RMS/silence are mirrored expressions.
+    "audio_stats_docs" -> ((s, dir) =>
+      Multimodal.audioStats(
+        Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // ---- as-of join (union-sort, single shuffle): purchase ← last click ----
     // Times are epoch-µs: DuckDB timestamps are µs-precision, so the oracle
     // can only see µs — both engines compare/emit the same truncation.
@@ -7223,6 +7232,36 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS f2,
         |  CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS f3
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the md5 stub waveform replays like the pHash grid (VARCHAR md5 over
+    // the text payload, ':a<chunk>' salts); the folds are the real algebra
+    "audio_stats_docs" ->
+      """WITH aud AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 256), k ->
+        |      CAST(('0x' || substring(
+        |        md5(text || ':a' || CAST(k // 16 AS VARCHAR)),
+        |        (k % 16) * 2 + 1, 2)) AS BIGINT) - 128) AS s
+        |  FROM aud),
+        |st AS (
+        |  SELECT doc_id,
+        |    CAST(len(s) AS INT) AS n_samples,
+        |    CAST(list_max(list_transform(s, x -> abs(x))) AS INT) AS peak,
+        |    CAST(list_sum(list_transform(range(1, 256), i ->
+        |      CASE WHEN s[i] * s[i + 1] < 0 THEN 1 ELSE 0 END)) AS INT)
+        |      AS zero_crossings,
+        |    list_sum(list_transform(s, x -> x * x)) AS sumsq,
+        |    list_sum(list_transform(s, x ->
+        |      CASE WHEN abs(x) <= 4 THEN 1 ELSE 0 END)) AS nsil
+        |  FROM sm)
+        |SELECT doc_id, n_samples, peak, zero_crossings,
+        |  ROUND(sqrt(CAST(sumsq AS DOUBLE) / CAST(n_samples AS DOUBLE)), 6)
+        |    AS rms,
+        |  ROUND(CAST(nsil AS DOUBLE) / CAST(n_samples AS DOUBLE), 6)
+        |    AS silence_frac
+        |FROM st ORDER BY doc_id""".stripMargin,
 
     "asof_purchase_click_events" ->
       """WITH p AS (

@@ -79,6 +79,83 @@ object Codec {
       case None             => Multimodal.StubCodec.grayGrid(payload)
     }
 
+  /** Sample-count ceiling for audio (2^24 samples ≈ 64 MB of int ≈ 6 min
+    * at 44.1 kHz): larger payloads are refused, not decoded — the
+    * caller's stub fallback keeps the row flowing (the MaxPixels rule).
+    */
+  private val MaxSamples = 1L << 24
+
+  /** REAL PCM WAV decode — self-contained RIFF parse (pure JVM, no
+    * codec libraries): 'RIFF'/'WAVE' magic, 'fmt ' chunk (format 1 =
+    * uncompressed PCM, 16-bit only), 'data' chunk as little-endian
+    * int16 frames. Multi-channel audio downmixes to mono by TRUNCATING
+    * integer mean (sum / channels, Java semantics) — exact integers, so
+    * any engine replays the downstream stats. Chunks are word-aligned
+    * (odd sizes pad one byte) per the RIFF spec; unknown chunks skip.
+    * Anything unparseable (or over [[MaxSamples]]) returns None.
+    *
+    * @return (sample_rate, mono samples in [-32768, 32767])
+    */
+  def decodePcmWav(p: Array[Byte]): Option[(Int, Array[Int])] = {
+    if (p == null || p.length < 44 ||
+      p(0) != 'R' || p(1) != 'I' || p(2) != 'F' || p(3) != 'F' ||
+      p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+      return None
+    def le16(o: Int): Int = (p(o) & 0xff) | ((p(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long =
+      (p(o) & 0xffL) | ((p(o + 1) & 0xffL) << 8) |
+        ((p(o + 2) & 0xffL) << 16) | ((p(o + 3) & 0xffL) << 24)
+    var off = 12L
+    var rate = 0L
+    var ch = 0
+    var bits = 0
+    var dataOff = -1L
+    var dataLen = 0L
+    while (off + 8 <= p.length && (dataOff < 0 || rate == 0)) {
+      val o = off.toInt
+      val id = new String(p, o, 4, "US-ASCII")
+      val sz = le32(o + 4)
+      if (id == "fmt " && off + 8 + 16 <= p.length) {
+        if (le16(o + 8) != 1) return None // compressed WAV: not our seam
+        ch = le16(o + 10)
+        rate = le32(o + 12)
+        bits = le16(o + 22)
+      } else if (id == "data") {
+        dataOff = off + 8
+        dataLen = math.min(sz, p.length - dataOff)
+      }
+      off += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || ch <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / (2L * ch)
+    if (n > MaxSamples) return None
+    val out = new Array[Int](n.toInt)
+    var i = 0
+    while (i < out.length) {
+      var s = 0
+      var c = 0
+      while (c < ch) {
+        val v = le16((dataOff + (i.toLong * ch + c) * 2).toInt)
+        s += (if (v >= 0x8000) v - 0x10000 else v)
+        c += 1
+      }
+      out(i) = s / ch
+      i += 1
+    }
+    Some((rate.toInt, out))
+  }
+
+  /** The audio half of the codec seam ([[gridOrStub]]'s rule): real WAV
+    * bytes decode for real; anything else falls back to
+    * [[Multimodal.StubCodec.audioSamples]]' md5-derived waveform, which
+    * keeps text-corpus audio queries deterministic and DuckDB-replayable.
+    */
+  def samplesOrStub(payload: Array[Byte]): Array[Int] =
+    decodePcmWav(payload) match {
+      case Some((_, s)) => s
+      case None         => Multimodal.StubCodec.audioSamples(payload)
+    }
+
   private def isSpace(b: Byte): Boolean =
     b == ' ' || b == '\n' || b == '\r' || b == '\t'
 

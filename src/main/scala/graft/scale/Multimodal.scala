@@ -112,6 +112,32 @@ object Multimodal {
       * over the text payload. Everything DOWNSTREAM of the grid (the DCT
       * perceptual hash) is the real algorithm in both branches.
       */
+    /** STUB waveform — the NON-WAV fallback branch of
+      * [[Codec.samplesOrStub]] (real RIFF/PCM payloads decode for real:
+      * [[Codec.decodePcmWav]]): payload → 256 centered samples in
+      * [-128, 127] as sixteen chained md5 digests md5(payload ++ ":a0"
+      * … ":a15"), each byte minus 128. The ":a<chunk>" suffix is a
+      * decimal string (the grayGrid convention) so the DuckDB oracle
+      * replays the waveform with VARCHAR md5 over the text payload.
+      * Everything DOWNSTREAM (RMS / zero-crossings / silence) is the
+      * real algorithm in both branches.
+      */
+    def audioSamples(payload: Array[Byte]): Array[Int] = {
+      val out = new Array[Int](256)
+      var chunk = 0
+      while (chunk < 16) {
+        val md = MessageDigest.getInstance("MD5")
+        md.update(payload)
+        md.update((":a" + chunk)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val dg = md.digest()
+        var i = 0
+        while (i < 16) { out(chunk * 16 + i) = (dg(i) & 0xff) - 128; i += 1 }
+        chunk += 1
+      }
+      out
+    }
+
     def grayGrid(payload: Array[Byte]): Array[Int] = {
       val out = new Array[Int](64)
       var chunk = 0
@@ -213,6 +239,69 @@ object Multimodal {
             StubCodec.channelStats(payload, nChannels).toSeq)
         }
       }(enc)
+  }
+
+  /** Audio statistics over the codec seam — per audio row: sample count,
+    * peak amplitude, zero-crossing count (the classic voiced/unvoiced /
+    * noise discriminator), RMS level and silence fraction — the
+    * screening panel an audio-corpus curation pass runs before paying
+    * for transcription (drop silent/clipped/degenerate clips first).
+    *
+    * REAL decode path: RIFF/PCM16 payloads parse for real
+    * ([[Codec.decodePcmWav]], incl. truncating-mean stereo downmix);
+    * everything else flows through the md5 stub waveform
+    * ([[StubCodec.audioSamples]]) so text-corpus queries stay
+    * oracle-replayable. The mapPartitions stage emits EXACT INTEGERS
+    * only (n, peak, crossings, Σs², silent count); the two floats (RMS,
+    * silence fraction) are Catalyst expressions on those integers,
+    * mirrored by the oracle (IEEE sqrt/div are correctly rounded — both
+    * engines agree bit-for-bit).
+    *
+    * Scale shape: one decode pass (the [[decodeFeatures]] contract —
+    * pair with [[repartitionBySize]] for skewed blob sizes), no shuffle
+    * at all: the stats are per-row.
+    */
+  def audioStats(df: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_samples", IntegerType, nullable = false),
+      StructField("peak", IntegerType, nullable = false),
+      StructField("zero_crossings", IntegerType, nullable = false),
+      StructField("__sumsq", LongType, nullable = false),
+      StructField("__n_silent", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.filter(col("meta.kind") === "audio")
+      .select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val s = Codec.samplesOrStub(payload)
+          var peak = 0
+          var zc = 0
+          var silent = 0
+          var sumsq = 0L
+          var i = 0
+          while (i < s.length) {
+            val v = s(i)
+            val a = math.abs(v)
+            if (a > peak) peak = a
+            if (a <= 4) silent += 1
+            sumsq += v.toLong * v
+            if (i + 1 < s.length && v.toLong * s(i + 1) < 0) zc += 1
+            i += 1
+          }
+          Row(r.getLong(0), s.length, peak, zc, sumsq, silent)
+        }
+      }(enc)
+      .select(col(idCol), col("n_samples"), col("peak"),
+        col("zero_crossings"),
+        when(col("n_samples") > 0,
+          round(sqrt(col("__sumsq").cast("double") /
+            col("n_samples").cast("double")), 6)).as("rms"),
+        when(col("n_samples") > 0,
+          round(col("__n_silent").cast("double") /
+            col("n_samples").cast("double"), 6)).as("silence_frac"))
   }
 
   /** Frame sampling for video rows: emit every `stride`-th frame index with

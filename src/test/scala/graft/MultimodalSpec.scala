@@ -242,4 +242,59 @@ class MultimodalSpec extends SparkSpec {
     val one = Codec.grayGrid8(1, 1, Array(42))
     assert(one.length == 64 && one.forall(_ == 42))
   }
+
+  /** Minimal RIFF/PCM16 builder: frames = rows of `ch` channel values. */
+  private def wavBytes(rate: Int, ch: Int,
+      frames: Seq[Seq[Int]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >> 16) & 0xffff) }
+    def tag(s: String): Unit = bos.write(s.getBytes("US-ASCII"))
+    val dataLen = frames.size * ch * 2
+    tag("RIFF"); le32(36 + dataLen); tag("WAVE")
+    tag("fmt "); le32(16); le16(1); le16(ch); le32(rate)
+    le32(rate * ch * 2); le16(ch * 2); le16(16)
+    tag("data"); le32(dataLen)
+    frames.foreach(_.foreach(v => le16(if (v < 0) v + 0x10000 else v)))
+    bos.toByteArray
+  }
+
+  test("decodePcmWav: real mono/stereo PCM parses with truncating " +
+      "downmix; compressed/garbage payloads refuse to the stub") {
+    val mono = wavBytes(8000, 1, Seq(100, -100, 50, 0, -50).map(Seq(_)))
+    val Some((rate, s)) = Codec.decodePcmWav(mono)
+    assert(rate == 8000 && s.toSeq == Seq(100, -100, 50, 0, -50))
+    // stereo downmix: truncating integer mean, toward zero on negatives
+    val st = wavBytes(16000, 2, Seq(Seq(100, 50), Seq(-99, -50)))
+    assert(Codec.decodePcmWav(st).get._2.toSeq == Seq(75, -74))
+    // non-PCM format code refuses; truncated header refuses
+    val bad = wavBytes(8000, 1, Seq(Seq(1)))
+    bad(20) = 2 // format = ADPCM
+    assert(Codec.decodePcmWav(bad).isEmpty)
+    assert(Codec.decodePcmWav("hello, not audio".getBytes("UTF-8")).isEmpty)
+    // the seam: non-WAV payloads flow to the md5 stub waveform
+    val stub = Codec.samplesOrStub("hello".getBytes("UTF-8"))
+    assert(stub.length == 256 && stub.forall(v => v >= -128 && v <= 127))
+    assert(stub.toSeq == Multimodal.StubCodec
+      .audioSamples("hello".getBytes("UTF-8")).toSeq)
+  }
+
+  test("audioStats: hand-computed panel over a real WAV; peak/crossings/" +
+      "silence exact, RMS = sqrt(sumsq/n) mirrored") {
+    // samples 100,-100,50,0,-50: peak 100; crossings: (100,-100) and
+    // (-100,50) — zero products don't cross; sumsq = 25000 ->
+    // rms = sqrt(5000) = 70.710678; |0| <= 4 -> silence 1/5
+    val df = Seq((1L, wavBytes(8000, 1,
+        Seq(100, -100, 50, 0, -50).map(Seq(_)))))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio").as("kind")))
+    val r = Multimodal.audioStats(df).collect()(0)
+    assert(r.getAs[Int]("n_samples") == 5 && r.getAs[Int]("peak") == 100)
+    assert(r.getAs[Int]("zero_crossings") == 2)
+    assert(r.getAs[Double]("rms") == 70.710678)
+    assert(r.getAs[Double]("silence_frac") == 0.2)
+    // non-audio kinds are out of scope for the panel
+    val img = df.withColumn("meta", struct(lit("image").as("kind")))
+    assert(Multimodal.audioStats(img).count() == 0L)
+  }
 }
