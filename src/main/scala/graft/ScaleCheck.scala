@@ -959,6 +959,17 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.stupidBackoffScore(
           d, "doc_id", "text", col("doc_id") % 5 =!= 0),
         docs, "doc_id", Some("text")),
+      ("audio_dup",
+        // signature mass is corpus-row-scale; the banded join's candidate
+        // mass is collision-bounded, never all-pairs
+        (d: DataFrame) => graft.scale.Multimodal.audioDupPairs(
+          graft.scale.Multimodal.fromDocuments(d)),
+        docs, "doc_id", Some("text")),
+      ("shot_bounds",
+        // one decode pass, per-row frame walk, no shuffle
+        (d: DataFrame) => graft.scale.Multimodal.shotBoundaries(
+          graft.scale.Multimodal.fromDocuments(d)),
+        docs, "doc_id", Some("text")),
       ("audio_stats",
         // one decode pass, stats per-row, no shuffle at all — the curve
         // should track the scan

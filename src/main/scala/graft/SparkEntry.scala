@@ -1803,6 +1803,27 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- audio near-dup pairs (energy-delta fingerprint, banded) ----------
+    // Re-ingested clips (every 97th doc, id shifted by a multiple of 3 so
+    // the kind survives) collide at hamming 0; banding is complete for
+    // hamming <= 3, verify is exact bit_count.
+    "audio_dup_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val echo = docs.filter(col("doc_id") % 97 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999999L))
+      val media = Multimodal.fromDocuments(docs.unionByName(echo))
+      Multimodal.audioDupPairs(media)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- video shot-boundary screening -------------------------------------
+    // Frame-difference detector over the seam signatures; per-row state
+    // bounded by n_frames, no frame explosion, no shuffle.
+    "shot_bounds_docs" -> ((s, dir) =>
+      Multimodal.shotBoundaries(
+        Multimodal.fromDocuments(t(s, dir, "documents")))
+        .orderBy(col("doc_id"))),
+
     // ---- KMV sketch as STREAMING aggregation state -------------------------
     // The bounded-distinct-count production shape: the typed KMV aggregator
     // runs inside a streaming groupBy, so the state store holds ≤64 longs
@@ -7232,6 +7253,65 @@ object SparkEntry {
         |  CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS f2,
         |  CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS f3
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // stub waveform -> frame energies -> delta-sign bits -> banded join;
+    // the clone shift is a multiple of 3 so kinds survive the re-ingest
+    "audio_dup_docs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 999999999, text FROM documents
+        |  WHERE doc_id % 97 = 0),
+        |aud AS (SELECT doc_id, text FROM corpus WHERE doc_id % 3 = 1),
+        |sm AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 256), k ->
+        |      CAST(('0x' || substring(
+        |        md5(text || ':a' || CAST(k // 16 AS VARCHAR)),
+        |        (k % 16) * 2 + 1, 2)) AS BIGINT) - 128) AS s
+        |  FROM aud),
+        |en AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 32), f ->
+        |      list_sum(list_transform(range(1, 9), i ->
+        |        CAST(s[f * 8 + i] AS BIGINT) * s[f * 8 + i]))) AS e
+        |  FROM sm),
+        |sg AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(0, 31), b ->
+        |      CASE WHEN e[b + 2] > e[b + 1]
+        |        THEN CAST(1 AS BIGINT) << b ELSE 0 END)) AS BIGINT) AS sig
+        |  FROM en),
+        |b AS (
+        |  SELECT doc_id, sig, d.band, (sig >> (d.band * 8)) & 255 AS bkey
+        |  FROM sg CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS band) d),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b,
+        |    a.sig AS sig_a, bb.sig AS sig_b
+        |  FROM b a JOIN b bb
+        |    ON a.band = bb.band AND a.bkey = bb.bkey
+        |      AND a.doc_id < bb.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        |ORDER BY 1, 2""".stripMargin,
+
+    // per-video signature walk replays as a list fold; 1 + boundary count
+    "shot_bounds_docs" ->
+      """WITH vid AS (
+        |  SELECT doc_id, text, CAST(doc_id % 30 + 1 AS INT) AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |sg AS (
+        |  SELECT doc_id, n_frames,
+        |    list_transform(range(0, n_frames), f ->
+        |      CAST(('0x' || substring(md5(text || CAST(f AS VARCHAR)),
+        |        1, 2)) AS INT)) AS sig
+        |  FROM vid)
+        |SELECT doc_id, n_frames,
+        |  CAST(1 + COALESCE(list_sum(list_transform(range(1, n_frames),
+        |    f -> CASE WHEN abs(sig[f + 1] - sig[f]) > 64
+        |      THEN 1 ELSE 0 END)), 0) AS INT) AS n_shots
+        |FROM sg ORDER BY doc_id""".stripMargin,
 
     // the md5 stub waveform replays like the pHash grid (VARCHAR md5 over
     // the text payload, ':a<chunk>' salts); the folds are the real algebra

@@ -304,6 +304,108 @@ object Multimodal {
             col("n_samples").cast("double"), 6)).as("silence_frac"))
   }
 
+  /** Audio near-dup fingerprint — the energy-delta-sign signature (the
+    * Haitsma-Kalker / Shazam-family construction, reduced to one band):
+    * the first 256 seam samples frame into 32 windows of 8, each window's
+    * energy Σs² is an exact long, and bit f = [e_{f+1} > e_f] — 31 bits
+    * of LOUDNESS SHAPE, invariant to level scaling and robust to small
+    * perturbations (a near-copy moves each energy a little; a bit only
+    * flips where adjacent energies nearly tie). Zero-padded past the
+    * clip's end; signatures are corpus-row-scale whatever the blob sizes.
+    *
+    * Pairing reuses the pHash multi-band machinery
+    * ([[bandedHammingPairs]], 32-bit sigs → 4×8-bit bands, complete for
+    * hamming ≤ 3 by pigeonhole, exact bit_count verify) — candidate mass
+    * stays linear, never all-pairs.
+    */
+  def audioFingerprint(media: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val sigSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    val enc = RowEncoder.encoderFor(sigSchema)
+    media.filter(col("meta.kind") === "audio")
+      .select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val s = Codec.samplesOrStub(payload)
+          val e = new Array[Long](32)
+          var f = 0
+          while (f < 32) {
+            var acc = 0L
+            var i = 0
+            while (i < 8) {
+              val k = f * 8 + i
+              val v = if (k < s.length) s(k).toLong else 0L
+              acc += v * v
+              i += 1
+            }
+            e(f) = acc
+            f += 1
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 31) {
+            if (e(b + 1) > e(b)) sig |= 1L << b
+            b += 1
+          }
+          Row(r.getLong(0), sig)
+        }
+      }(enc)
+  }
+
+  /** Audio near-dup pairs over [[audioFingerprint]] signatures — banded
+    * Hamming join, complete for `maxHamming < bands`.
+    */
+  def audioDupPairs(media: DataFrame, idCol: String = "doc_id",
+      maxHamming: Int = 3, bands: Int = 4): DataFrame =
+    bandedHammingPairs(audioFingerprint(media, idCol), idCol, 32,
+      maxHamming, bands)
+
+  /** Shot-boundary detection over the video frame-signature sequence —
+    * the screening pass a video-corpus curation step runs before paying
+    * for per-shot embedding: a boundary is a frame whose signature jumps
+    * more than `threshold` from its predecessor (the classic
+    * frame-difference detector; the SIGNATURE is the codec seam — the
+    * md5 stub here, a real frame histogram/embedding in deployment —
+    * while the thresholded-delta algebra downstream is the real
+    * algorithm). Shots = boundaries + 1.
+    *
+    * Scale shape: one decode pass, per-row state bounded by n_frames —
+    * no shuffle, no frame explosion (the per-frame relation never
+    * materializes; [[sampleFrames]] is the op that wants frames as rows).
+    */
+  def shotBoundaries(media: DataFrame, idCol: String = "doc_id",
+      threshold: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false),
+      StructField("n_shots", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("meta.kind") === "video")
+      .select(col(idCol), col("payload"),
+        col("meta.n_frames").as("n_frames"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val n = r.getInt(2)
+          var prev = -1
+          var bounds = 0
+          var f = 0
+          while (f < n) {
+            val sig = StubCodec.frameSignature(payload, f)
+            if (f > 0 && math.abs(sig - prev) > threshold) bounds += 1
+            prev = sig
+            f += 1
+          }
+          Row(r.getLong(0), n, if (n == 0) 0 else bounds + 1)
+        }
+      }(enc)
+  }
+
   /** Frame sampling for video rows: emit every `stride`-th frame index with
     * its (stubbed) signature. Row-multiplying stage — explode on a bounded
     * per-row frame count, so output scales with Σ n_frames/stride.
@@ -381,8 +483,15 @@ object Multimodal {
     * hash function cannot produce on demand.
     */
   def phashPairsFromSigs(sigs: DataFrame, idCol: String,
+      maxHamming: Int, bands: Int): DataFrame =
+    bandedHammingPairs(sigs, idCol, 60, maxHamming, bands)
+
+  /** [[phashPairsFromSigs]] generalized over the signature WIDTH, so the
+    * audio fingerprint (32-bit) and the pHash (60-bit) share one banding
+    * + verify core.
+    */
+  def bandedHammingPairs(sigs: DataFrame, idCol: String, bits: Int,
       maxHamming: Int, bands: Int): DataFrame = {
-    val bits = 60
     require(bands >= 1 && bits % bands == 0, s"bands must divide $bits")
     val w = bits / bands
     require(maxHamming < bands,

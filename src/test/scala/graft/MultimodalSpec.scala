@@ -279,6 +279,54 @@ class MultimodalSpec extends SparkSpec {
       .audioSamples("hello".getBytes("UTF-8")).toSeq)
   }
 
+  test("audioFingerprint: energy-delta bits over a real WAV with known " +
+      "frame energies; zero-padding past the clip; banded pairing at 32 " +
+      "bits is complete for planted near signatures") {
+    // frames of 8: loud(100) / silent / loud / silent -> energies
+    // 80000, 0, 80000, 0, then zero padding: only bit 1 (e2 > e1) sets
+    val frames = Seq.fill(8)(100) ++ Seq.fill(8)(0) ++
+      Seq.fill(8)(100) ++ Seq.fill(8)(0)
+    val df = Seq((1L, wavBytes(8000, 1, frames.map(Seq(_)))))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("audio").as("kind")))
+    val sig = Multimodal.audioFingerprint(df).collect()(0).getLong(1)
+    assert(sig == 2L, s"expected bit 1 only, got $sig")
+    // planted signatures: hamming 1 pairs, hamming 16 does not
+    val sigs = Seq((1L, 0L), (2L, 1L), (3L, 0x0F0F0F0FL))
+      .toDF("doc_id", "sig")
+    val pairs = Multimodal.bandedHammingPairs(sigs, "doc_id", 32, 3, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("shotBoundaries: matches a direct signature walk; single-frame " +
+      "video is one shot") {
+    val media = Multimodal.fromDocuments(
+      Seq((2L, "some video payload"), (5L, "another clip"))
+        .toDF("doc_id", "text"))
+    val got = Multimodal.shotBoundaries(media).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    val expected = Seq((2L, "some video payload"), (5L, "another clip"))
+      .map { case (id, text) =>
+        val payload = text.getBytes("UTF-8")
+        val n = (id % 30 + 1).toInt
+        val sigs = (0 until n)
+          .map(Multimodal.StubCodec.frameSignature(payload, _))
+        val bounds = sigs.sliding(2)
+          .count(w => w.size == 2 && math.abs(w(1) - w(0)) > 64)
+        (id, (n, bounds + 1))
+      }.toMap
+    assert(got == expected)
+    // a 1-frame video (doc_id 30 -> n_frames 1, kind video needs id%3==0?
+    // fromDocuments: kind video iff doc_id % 3 == 2 -> use 32: 32%30+1=3
+    // frames; instead pin n_frames=1 via a direct meta struct
+    val one = Seq((9L, "x".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("video").as("kind"),
+        lit(1).as("n_frames")))
+    assert(Multimodal.shotBoundaries(one).collect()(0).getInt(2) == 1)
+  }
+
   test("audioStats: hand-computed panel over a real WAV; peak/crossings/" +
       "silence exact, RMS = sqrt(sumsq/n) mirrored") {
     // samples 100,-100,50,0,-50: peak 100; crossings: (100,-100) and
