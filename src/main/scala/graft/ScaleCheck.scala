@@ -1003,6 +1003,24 @@ object ScaleCheck {
         // pair θ-join, tie fold and median pick never touch corpus mass
         (d: DataFrame) => Events.mannKendall(d),
         events, "event_id", None),
+      ("qq_drift",
+        // unsalted: bucket histograms per side are value-domain-scale;
+        // the rank picks never sort the corpus
+        (d: DataFrame) => graft.metrics.Metrics.qqDrift(
+          d.withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+            .withColumn("side", col("o_orderkey") % 2 === 0),
+          "cents", "side",
+          Seq(100000L, 500000L, 900000L, 990000L)),
+        orders, "o_orderkey", None),
+      ("power_advisor",
+        // ONE moment hash-agg; the delta scaffold explodes on the
+        // group dictionary
+        (d: DataFrame) => graft.metrics.Metrics.powerAdvisor(
+          d.withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long")),
+          "cents", Seq("event_type"), Seq(0.01, 0.02, 0.05)),
+        events, "event_id", None),
       ("mann_whitney",
         // unsalted (shared value dictionary, the ks_drift shape): the
         // corpus hash-agg scales N×, the rank fold does not

@@ -4655,6 +4655,28 @@ object SparkEntry {
       Events.mannKendallFromDaily(drained).orderBy(col("event_type"))
     }),
 
+    // ---- QQ drift table: exact quantile pairs across the two halves -------
+    // The incident-doc view of the drift triad (KS locates the sup, PSI
+    // bins the mass, QQ shows the levels). Type-1 selection per side.
+    "qq_drift_orders" -> ((s, dir) =>
+      Metrics.qqDrift(t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("side", col("o_orderkey") % 2 === 0),
+        "cents", "side",
+        Seq(100000L, 250000L, 500000L, 750000L, 900000L, 990000L))
+        .orderBy(col("q"))),
+
+    // ---- two-arm experiment power advisor ----------------------------------
+    // "How many users per arm before this A/B can detect a 1/2/5% move"
+    // priced from the metric's measured variance — one moment hash-agg.
+    "power_advisor_events" -> ((s, dir) =>
+      Metrics.powerAdvisor(t(s, dir, "events")
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long")),
+        "cents", Seq("event_type"), Seq(0.01, 0.02, 0.05))
+        .orderBy(col("event_type"), col("mde"))),
+
     // ---- k-anonymity quasi-identifier risk panel ----------------------------
     "k_anonymity_customer" -> ((s, dir) =>
       Metrics.kAnonymity(t(s, dir, "customer")
@@ -12774,6 +12796,58 @@ object SparkEntry {
         |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM d, m, tot t WHERE d.diff = m.ks_num
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    // per-side type-1 rank picks with the exactPercentiles rank rule
+    "qq_drift_orders" ->
+      """WITH v AS (
+        |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |    AS v, (o_orderkey % 2 = 0) AS s
+        |  FROM orders),
+        |n AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |q AS (SELECT UNNEST([100000, 250000, 500000, 750000, 900000,
+        |  990000]) AS qm),
+        |r AS (SELECT n.s, q.qm,
+        |  (n.n * q.qm + 999999) // 1000000 AS rk FROM n, q),
+        |w AS (SELECT s, v,
+        |  ROW_NUMBER() OVER (PARTITION BY s ORDER BY v) AS rn FROM v),
+        |sel AS (
+        |  SELECT r.s, r.qm, MIN(w.v) AS value
+        |  FROM r JOIN w ON w.s = r.s AND w.rn = r.rk
+        |  GROUP BY 1, 2)
+        |SELECT ROUND(CAST(a.qm AS DOUBLE) / 1e6, 6) AS q,
+        |  a.value AS value_a, b.value AS value_b,
+        |  b.value - a.value AS diff
+        |FROM (SELECT * FROM sel WHERE NOT s) a
+        |JOIN (SELECT * FROM sel WHERE s) b USING (qm)
+        |ORDER BY q""".stripMargin,
+
+    // moment hash-agg + delta scaffold; the z constants are literals in
+    // both engines so the pre-ceil double is identical
+    "power_advisor_events" ->
+      """WITH v AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(CAST(x AS HUGEINT)) AS sx,
+        |    SUM(CAST(x AS HUGEINT) * x) AS sxx
+        |  FROM v GROUP BY 1),
+        |e AS (SELECT m.*, UNNEST([0.01, 0.02, 0.05]) AS mde FROM m),
+        |c AS (
+        |  SELECT event_type, n, mde,
+        |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_,
+        |    CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_
+        |  FROM e)
+        |SELECT event_type, n, ROUND(mean_, 6) AS mean,
+        |  CASE WHEN n > 1 THEN ROUND(var_, 6) END AS variance, mde,
+        |  CASE WHEN n > 1 AND mean_ <> 0.0 THEN
+        |    CAST(CEIL(2.0 * var_ * ((1.959964 + 0.841621)
+        |      * (1.959964 + 0.841621))
+        |      / ((mde * mean_) * (mde * mean_))) AS BIGINT)
+        |  END AS n_per_arm
+        |FROM c ORDER BY event_type, mde""".stripMargin,
 
     // doubled midranks via one cumulative over the value dictionary; the
     // exact integers travel as strings (the ks_drift pandas-bridge rule)

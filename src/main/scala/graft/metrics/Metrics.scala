@@ -892,6 +892,84 @@ object Metrics {
           .as("z"))
   }
 
+  /** QQ drift table — side-by-side EXACT quantiles of a numeric column
+    * across two samples, at declared probability levels. The third view
+    * of the drift triad: [[ksDrift]] locates the supremum CDF gap,
+    * PSI bins the mass shift, QQ answers "what does each distribution
+    * actually look like at p = 0.1 … 0.99" — the table an on-call reader
+    * pastes into an incident doc. Exact type-1 selection via
+    * [[exactPercentiles]] grouped by side (bucket histograms + per-side
+    * windows — value-domain-scale, never a corpus sort); the only float
+    * is the probability label itself.
+    *
+    * @return one row per level: (q, value_a, value_b, diff) — side A =
+    *         sideCol false (the [[ksDrift]] orientation)
+    */
+  def qqDrift(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      qMicro: Seq[Long]): DataFrame = {
+    val base = df.select(col(valCol).cast("long").as("__v"),
+        col(sideCol).cast("boolean").as("__s"))
+      .filter(col("__v").isNotNull && col("__s").isNotNull)
+    val p = exactPercentiles(base, "__v", qMicro, Seq("__s"))
+      .localCheckpoint(true) // both side filters read it
+    p.filter(!col("__s"))
+      .select(col("q"), col("value").as("value_a"))
+      .join(p.filter(col("__s"))
+        .select(col("q"), col("value").as("value_b")), Seq("q"), "full")
+      .withColumn("diff", col("value_b") - col("value_a"))
+  }
+
+  /** Two-arm experiment power advisor — the "how long must this A/B
+    * run" planning table, sized from the metric's MEASURED variance (the
+    * [[graft.scale.Skew.joinCardinality]] advisor discipline: price the
+    * job from one aggregate before paying for it). Per group and
+    * relative minimum-detectable-effect δ: the classic two-sample
+    * normal-approximation size n/arm = 2σ²(z_{α/2}+z_β)²/(δμ)², at
+    * α = 0.05 two-sided and power 0.8 — the z constants are literals
+    * mirrored into the oracle, so both engines compute the identical
+    * double before the ceil.
+    *
+    * Exact scheme: (n, Σx, Σx²) accumulate as DECIMAL(38,0) on cent
+    * values; the sample-variance numerator n·Σx² − (Σx)² and denominator
+    * n(n−1) are exact; mean/variance/size are the only floats, mirrored
+    * fixed-shape. Groups with n < 2 or mean 0 emit NULL size.
+    *
+    * Scale shape: ONE corpus hash-agg to the group moment table; the
+    * δ scaffold explodes on that dictionary.
+    */
+  def powerAdvisor(
+      df: DataFrame,
+      valCol: String,
+      groupCols: Seq[String],
+      mdes: Seq[Double]): DataFrame = {
+    require(mdes.nonEmpty, "powerAdvisor needs at least one effect size")
+    val gcols = groupCols.map(col)
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val m = df
+      .select((gcols :+ col(valCol).cast("long").as("__x")): _*)
+      .filter(col("__x").isNotNull)
+      .groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(d(col("__x"))).as("__sx"),
+        sum(d(col("__x")) * d(col("__x"))).as("__sxx"))
+    val dd = (c: Column) => c.cast("double")
+    val mean = dd(col("__sx")) / dd(col("n"))
+    val variance = dd(d(col("n")) * col("__sxx") -
+      col("__sx") * col("__sx")) / (dd(col("n")) * (dd(col("n")) - 1.0))
+    val k = (lit(1.959964) + lit(0.841621)) * (lit(1.959964) + lit(0.841621))
+    m.withColumn("mde", explode(array(mdes.map(lit(_)): _*)))
+      .select((gcols ++ Seq(col("n"), round(mean, 6).as("mean"),
+        when(col("n") > 1, round(variance, 6)).as("variance"),
+        col("mde"),
+        when(col("n") > 1 && mean =!= 0.0,
+          ceil(lit(2.0) * variance * k /
+            ((col("mde") * mean) * (col("mde") * mean))))
+          .as("n_per_arm"))): _*)
+  }
+
   /** k-anonymity risk panel over a quasi-identifier column set (Sweeney
     * 2002) — the privacy/governance QA screen a corpus with user-derived
     * tabular data ships before release: rows whose quasi-identifier

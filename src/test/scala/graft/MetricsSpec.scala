@@ -299,6 +299,39 @@ class MetricsSpec extends SparkSpec {
       z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
   }
 
+  test("qqDrift: exact type-1 quantile pairs across sides") {
+    // A = 1..10, B = 11..20: median rank ceil(5) -> 5 vs 15; p99 rank
+    // ceil(9.9) = 10 -> 10 vs 20
+    val df = ((1L to 10L).map((_, false)) ++ (11L to 20L).map((_, true)))
+      .toDF("v", "side")
+    val got = Metrics.qqDrift(df, "v", "side", Seq(500000L, 990000L))
+      .orderBy("q").collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((0.5, 5L, 15L, 10L), (0.99, 10L, 20L, 10L)))
+  }
+
+  test("powerAdvisor: hand-computed size from measured variance; " +
+      "degenerate groups emit NULL, never NaN") {
+    // g: 10,20,30 -> mean 20, var 100; n/arm at 10% rel MDE =
+    // ceil(2*100*(1.959964+0.841621)^2 / 4) = 393
+    val df = Seq(("g", 10L), ("g", 20L), ("g", 30L),
+      ("one", 7L), ("zero", -5L), ("zero", 5L)).toDF("grp", "x")
+    val rows = Metrics.powerAdvisor(df, "x", Seq("grp"), Seq(0.1))
+      .collect().map(r => (r.getString(0), r)).toMap
+    val g = rows("g")
+    assert(g.getAs[Long]("n") == 3L && g.getAs[Double]("mean") == 20.0)
+    assert(g.getAs[Double]("variance") == 100.0)
+    assert(g.getAs[Long]("n_per_arm") == 393L)
+    // a single-row group cannot price variance
+    val one = rows("one")
+    assert(one.isNullAt(one.fieldIndex("variance")) &&
+      one.isNullAt(one.fieldIndex("n_per_arm")))
+    // a zero-mean metric has no relative effect to detect
+    val zero = rows("zero")
+    assert(zero.getAs[Double]("variance") == 50.0 &&
+      zero.isNullAt(zero.fieldIndex("n_per_arm")))
+  }
+
   test("fleissKappa: hand-computed 4-subject panel; perfect agreement, " +
       "uniform disagreement, degenerate single category; fold = panel") {
     // subjects (0,0,0),(0,0,1),(1,2,0),(2,2,2): A = 9+5+3+9 = 26, T = 12,
