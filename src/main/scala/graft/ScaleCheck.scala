@@ -1003,6 +1003,19 @@ object ScaleCheck {
         // pair θ-join, tie fold and median pick never touch corpus mass
         (d: DataFrame) => Events.mannKendall(d),
         events, "event_id", None),
+      ("brier_panel",
+        // ONE corpus hash-agg to the 10-bin dictionary; Murphy folds on
+        // <= nBins rows
+        (d: DataFrame) => {
+          val scored = TextAnalysis.hashedLinearScore(d, "doc_id", "text")
+            .join(d.select(col("doc_id"),
+              (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+            .withColumn("pnum",
+              col("w_sum") + lit(1000L) * col("n_tokens"))
+            .withColumn("pden", lit(2000L) * col("n_tokens"))
+          graft.metrics.Metrics.brierPanel(scored, "pnum", "pden", "y", 10)
+        },
+        docs, "doc_id", Some("text")),
       ("qq_drift",
         // unsalted: bucket histograms per side are value-domain-scale;
         // the rank picks never sort the corpus

@@ -1274,6 +1274,21 @@ object SparkEntry {
         .select(col("n_rows"), col("checksum_small"), col("checksum_packed"))
     }),
 
+    // ---- ML eval: Brier decomposition + ECE/MCE of the hashed classifier ---
+    // The scalar report card over the calibration curve: probability =
+    // exact rational (w_sum + 1000n)/(2000n); Murphy terms fold on the
+    // 10-bin dictionary.
+    "brier_panel_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Metrics.brierPanel(
+        TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+          .withColumn("pnum", col("w_sum") + lit(1000L) * col("n_tokens"))
+          .withColumn("pden", lit(2000L) * col("n_tokens")),
+        "pnum", "pden", "y", 10)
+    }),
+
     // ---- ML eval: calibration curve of the hashed linear classifier --------
     // Decile-ish bins by EXACT integer math on (w_sum, n_tokens) — never
     // float bin edges, and the +1000·n offset keeps the dividend
@@ -8396,6 +8411,71 @@ object SparkEntry {
         |SELECT CAST(n_rows AS BIGINT) AS n_rows,
         |  checksum AS checksum_small, checksum AS checksum_packed
         |FROM cs""".stripMargin,
+
+    // the classifier replay (calibration_docs' CTEs) + the Murphy folds
+    // over the 10-bin dictionary, every shape mirrored
+    "brier_panel_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w) AS BIGINT) AS w_sum
+        |  FROM w GROUP BY doc_id),
+        |lab AS (
+        |  SELECT s.w_sum + 1000 * s.n_tokens AS pn,
+        |    2000 * s.n_tokens AS pd,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+        |  WHERE 2000 * s.n_tokens > 0),
+        |pb AS (
+        |  SELECT LEAST((pn * 10) // pd, 9) AS bin,
+        |    CAST(pn AS DOUBLE) / CAST(pd AS DOUBLE) AS p, y
+        |  FROM lab),
+        |bins AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+        |    CAST(SUM(y) AS BIGINT) AS yb, SUM(p) AS pbs,
+        |    SUM((p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))) AS sq
+        |  FROM pb GROUP BY bin),
+        |tot AS (
+        |  SELECT CAST(SUM(nb) AS BIGINT) AS n,
+        |    CAST(SUM(yb) AS BIGINT) AS ysum, SUM(sq) AS sqsum
+        |  FROM bins),
+        |f AS (
+        |  SELECT t.n, t.ysum, t.sqsum,
+        |    SUM(CAST(b.nb AS DOUBLE)
+        |      * (b.pbs / CAST(b.nb AS DOUBLE)
+        |        - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))
+        |      * (b.pbs / CAST(b.nb AS DOUBLE)
+        |        - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))) AS relsum,
+        |    SUM(CAST(b.nb AS DOUBLE)
+        |      * (CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE)
+        |        - CAST(t.ysum AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |      * (CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE)
+        |        - CAST(t.ysum AS DOUBLE) / CAST(t.n AS DOUBLE))) AS ressum,
+        |    SUM(CAST(b.nb AS DOUBLE)
+        |      * abs(b.pbs / CAST(b.nb AS DOUBLE)
+        |        - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))) AS ecesum,
+        |    MAX(abs(b.pbs / CAST(b.nb AS DOUBLE)
+        |      - CAST(b.yb AS DOUBLE) / CAST(b.nb AS DOUBLE))) AS mce
+        |  FROM bins b, tot t GROUP BY t.n, t.ysum, t.sqsum)
+        |SELECT n,
+        |  ROUND(sqsum / CAST(n AS DOUBLE), 6) AS brier,
+        |  ROUND(relsum / CAST(n AS DOUBLE), 6) AS reliability,
+        |  ROUND(ressum / CAST(n AS DOUBLE), 6) AS resolution,
+        |  ROUND((CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE))
+        |    * (1.0 - CAST(ysum AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+        |    AS uncertainty,
+        |  ROUND(ecesum / CAST(n AS DOUBLE), 6) AS ece,
+        |  ROUND(mce, 6) AS mce
+        |FROM f""".stripMargin,
 
     "calibration_docs" ->
       """WITH toks AS (

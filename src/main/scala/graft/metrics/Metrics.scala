@@ -892,6 +892,77 @@ object Metrics {
           .as("z"))
   }
 
+  /** Brier-score decomposition + calibration-error panel (Murphy 1973;
+    * Naeini/Guo ECE) — the one-row report card for a probabilistic
+    * quality classifier: BRIER (mean squared error of the probability),
+    * its Murphy decomposition over score bins — RELIABILITY (how far the
+    * bin's mean prediction sits from its observed rate — the part
+    * recalibration can remove), RESOLUTION (how much the bins separate
+    * the base rate — the part that is real signal), UNCERTAINTY
+    * (ȳ(1−ȳ), the no-skill floor) — plus ECE/MCE (the bin-weighted mean
+    * / max |confidence − accuracy| gaps the model-card convention
+    * reports). The calibration-curve query shows the curve; this panel
+    * is its scalar summary.
+    *
+    * Determinism: the probability arrives as an exact RATIONAL
+    * (pNum/pDen — e.g. hashedLinearScore's integer weight sums), so the
+    * bin id is exact integer math ((pNum·bins) div pDen, top edge
+    * clamped); the per-row double p and every fold are fixed-shape
+    * mirrored expressions, rounded 6. Rows with pDen ≤ 0 or NULL y are
+    * excluded.
+    *
+    * Scale shape: ONE corpus hash-agg to the bin dictionary (plus the
+    * corpus-level moment sums riding the same aggregate via grouping on
+    * the bin id); every decomposition term folds on ≤ nBins rows.
+    */
+  def brierPanel(
+      df: DataFrame,
+      pNumCol: String,
+      pDenCol: String,
+      yCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1, s"bad nBins $nBins")
+    val dd = (c: Column) => c.cast("double")
+    val base = df.select(col(pNumCol).cast("long").as("__pn"),
+        col(pDenCol).cast("long").as("__pd"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__pd") > 0L && col("__y").isNotNull)
+      .withColumn("__p", dd(col("__pn")) / dd(col("__pd")))
+      .withColumn("__bin",
+        least(expr(s"(__pn * $nBins) div __pd"), lit(nBins - 1L)))
+    val bins = base.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__y")).as("__yb"),
+        sum(col("__p")).as("__pb"),
+        sum((col("__p") - dd(col("__y"))) *
+          (col("__p") - dd(col("__y")))).as("__sq"))
+      .localCheckpoint(true) // the total fold + the per-bin folds
+    val tot = bins.agg(sum(col("__nb")).as("n"),
+      sum(col("__yb")).as("__ysum"), sum(col("__sq")).as("__sqsum"))
+    val ybar = dd(col("__ysum")) / dd(col("n"))
+    val gap = col("__pb") / dd(col("__nb")) - dd(col("__yb")) / dd(col("__nb"))
+    val binFolds = bins.crossJoin(broadcast(tot))
+      .select(col("n"), col("__ysum"), col("__sqsum"),
+        (dd(col("__nb")) * gap * gap).as("__rel"),
+        (dd(col("__nb")) *
+          (dd(col("__yb")) / dd(col("__nb")) - ybar) *
+          (dd(col("__yb")) / dd(col("__nb")) - ybar)).as("__res"),
+        (dd(col("__nb")) * abs(gap)).as("__ece"),
+        abs(gap).as("__gap"))
+      .groupBy(col("n"), col("__ysum"), col("__sqsum"))
+      .agg(sum(col("__rel")).as("__relsum"),
+        sum(col("__res")).as("__ressum"),
+        sum(col("__ece")).as("__ecesum"),
+        max(col("__gap")).as("__mce"))
+    binFolds.select(col("n"),
+      round(col("__sqsum") / dd(col("n")), 6).as("brier"),
+      round(col("__relsum") / dd(col("n")), 6).as("reliability"),
+      round(col("__ressum") / dd(col("n")), 6).as("resolution"),
+      round(ybar * (lit(1.0) - ybar), 6).as("uncertainty"),
+      round(col("__ecesum") / dd(col("n")), 6).as("ece"),
+      round(col("__mce"), 6).as("mce"))
+  }
+
   /** QQ drift table — side-by-side EXACT quantiles of a numeric column
     * across two samples, at declared probability levels. The third view
     * of the drift triad: [[ksDrift]] locates the supremum CDF gap,

@@ -299,6 +299,31 @@ class MetricsSpec extends SparkSpec {
       z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
   }
 
+  test("brierPanel: hand-computed Murphy decomposition; the identity " +
+      "brier = rel - res + unc holds on singleton bins; top edge clamps") {
+    // p = .25/.75/1/0 with y = 0/1/1/0: brier = 2*(0.0625)/4 = 0.03125,
+    // rel = 0.03125, res = 0.25, unc = 0.25 (identity checks out),
+    // ece = 0.125, mce = 0.25; p = 1 clamps into bin 9
+    val df = Seq((1L, 4L, 0L), (3L, 4L, 1L), (1L, 1L, 1L), (0L, 1L, 0L))
+      .toDF("pn", "pd", "y")
+    val r = Metrics.brierPanel(df, "pn", "pd", "y", 10).collect()(0)
+    assert(r.getAs[Long]("n") == 4L)
+    assert(r.getAs[Double]("brier") == 0.03125)
+    assert(r.getAs[Double]("reliability") == 0.03125)
+    assert(r.getAs[Double]("resolution") == 0.25)
+    assert(r.getAs[Double]("uncertainty") == 0.25)
+    assert(r.getAs[Double]("ece") == 0.125)
+    assert(r.getAs[Double]("mce") == 0.25)
+    // perfectly calibrated constant predictor: rel = res = 0,
+    // brier = unc
+    val flat = Seq((1L, 2L, 1L), (1L, 2L, 0L)).toDF("pn", "pd", "y")
+    val f = Metrics.brierPanel(flat, "pn", "pd", "y", 10).collect()(0)
+    assert(f.getAs[Double]("brier") == 0.25 &&
+      f.getAs[Double]("reliability") == 0.0 &&
+      f.getAs[Double]("resolution") == 0.0 &&
+      f.getAs[Double]("uncertainty") == 0.25)
+  }
+
   test("qqDrift: exact type-1 quantile pairs across sides") {
     // A = 1..10, B = 11..20: median rank ceil(5) -> 5 vs 15; p99 rank
     // ceil(9.9) = 10 -> 10 vs 20
