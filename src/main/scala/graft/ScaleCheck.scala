@@ -1003,6 +1003,14 @@ object ScaleCheck {
         // pair θ-join, tie fold and median pick never touch corpus mass
         (d: DataFrame) => Events.mannKendall(d),
         events, "event_id", None),
+      ("bootstrap_ci",
+        // 2B associative sums in ONE aggregation over one pass — the
+        // replicate table is B rows whatever the corpus mass
+        (d: DataFrame) => graft.sample.Samplers.poissonBootstrap(
+          d.withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+          "o_orderkey", "cents", 32),
+        orders, "o_orderkey", None),
       ("brier_panel",
         // ONE corpus hash-agg to the 10-bin dictionary; Murphy folds on
         // <= nBins rows

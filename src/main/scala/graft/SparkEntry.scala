@@ -4670,6 +4670,16 @@ object SparkEntry {
       Events.mannKendallFromDaily(drained).orderBy(col("event_type"))
     }),
 
+    // ---- ONE-SCAN Poisson bootstrap: SE + envelope for the corpus mean ----
+    // All 32 replicates accumulate as 64 associative sums in a single
+    // pass (the bootstrap that distributes); every multiplicity is an
+    // md5 draw through the literal Poisson(1) CDF ladder.
+    "bootstrap_ci_orders" -> ((s, dir) =>
+      Samplers.poissonBootstrap(t(s, dir, "orders")
+          .withColumn("cents",
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
+        "o_orderkey", "cents", 32)),
+
     // ---- QQ drift table: exact quantile pairs across the two halves -------
     // The incident-doc view of the drift triad (KS locates the sup, PSI
     // bins the mass, QQ shows the levels). Type-1 selection per side.
@@ -5607,6 +5617,55 @@ object SparkEntry {
     * exact integers: pixel ≤ 255, table entry ≤ 1024, coefficient ≤
     * 1.7e10 — nothing approaches BIGINT range.
     */
+  /** Mechanically generated Poisson-bootstrap replay: per replicate b,
+    * the weight CASE ladder over the SAME [[graft.sample.Samplers
+    * .PoissonCdf]] literals (interpolated as decimal text), the 2B sums
+    * in one materialized aggregate, replicates unrolled by UNION ALL in
+    * replicate order so the double folds accumulate in the same order
+    * the engine's explode emits.
+    */
+  private def bootstrapOracleSql(reps: Int): String = {
+    val cdf = graft.sample.Samplers.PoissonCdf16
+    def w(b: Int): String = {
+      val u = "((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)" +
+        s" || ':c${b / 3}'), 1, 15)) AS BIGINT) >> ${(b % 3) * 16})" +
+        " & 65535)"
+      cdf.zipWithIndex.foldRight("8") { case ((t, k), acc) =>
+        s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+      }
+    }
+    val sums = (0 until reps).map { b =>
+      s"SUM(${w(b)}) AS nb$b, SUM(CAST(x AS HUGEINT) * ${w(b)}) AS ws$b"
+    }.mkString(",\n    ")
+    val union = (0 until reps).map { b =>
+      s"SELECT n, sx, nb$b AS nb, ws$b AS ws FROM a"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH v AS (
+       |  SELECT o_orderkey,
+       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+       |  FROM orders),
+       |a AS MATERIALIZED (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+       |    $sums
+       |  FROM v),
+       |r AS (
+       |  $union),
+       |m AS (
+       |  SELECT n, sx, CAST(ws AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
+       |    CAST(ROUND(CAST(ws AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6)
+       |      AS HUGEINT) AS q
+       |  FROM r WHERE nb > 0)
+       |SELECT n,
+       |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       |  CAST(COUNT(*) AS BIGINT) AS reps,
+       |  ROUND(sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(q * q)
+       |    - SUM(q) * SUM(q) AS DOUBLE)
+       |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)))
+       |    / 1e6, 6) AS boot_se,
+       |  ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
+       |FROM m GROUP BY n, sx""".stripMargin
+  }
+
   private def phashOracleSql: String = {
     val table = graft.scale.Multimodal.cosQ.mkString(", ")
     s"""WITH corpus AS (
@@ -12876,6 +12935,8 @@ object SparkEntry {
         |    (CAST(t.n_a AS DOUBLE) * CAST(t.n_b AS DOUBLE)), 6) AS ks
         |FROM d, m, tot t WHERE d.diff = m.ks_num
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
+
+    "bootstrap_ci_orders" -> bootstrapOracleSql(32),
 
     // per-side type-1 rank picks with the exactPercentiles rank rule
     "qq_drift_orders" ->

@@ -602,6 +602,106 @@ object Samplers {
     *         is self-contained; contrib/est travel as STRINGS (the
     *         ksDrift wide-decimal bridge rule: τ can reach w·2^32)
     */
+  /** Poisson(1) CDF thresholds for the bootstrap's inverse-CDF draw,
+    * quantized to 16-bit integers (floor(cdf·65536)) — shared LITERALS
+    * (the cosQ discipline): the oracle interpolates the same integers,
+    * so both engines threshold identically, and the comparison is pure
+    * integer math (no float-boundary flapping possible). 16-bit
+    * resolution merges the k = 7 and k = 8 cells (P ≈ 1e-5 mass maps to
+    * 7/8 as the ladder lands) — a documented quantization of the
+    * resampling distribution, not of the data.
+    */
+  private[graft] val PoissonCdf16: Seq[Int] =
+    Seq(24109, 48218, 60273, 64291, 65296, 65497, 65530, 65535)
+
+  /** ONE-SCAN Poisson bootstrap (Chamandy et al., Google 2012 — "the
+    * bootstrap that distributes"): standard error and envelope for a
+    * corpus mean WITHOUT resampling shuffles. Efron resampling needs the
+    * whole dataset per replicate; the Poisson trick gives every row an
+    * independent Poisson(1) multiplicity per replicate, so ALL B
+    * replicates accumulate as 2B associative sums in a single
+    * aggregation over a single pass — the only way a bootstrap survives
+    * 100 TB.
+    *
+    * Determinism AND digest economy: each replicate's draw is a 16-BIT
+    * window of a shared 60-bit digest long — replicate b reads bits
+    * 16·(b%3) of md5PrefixLong(id ":c" b/3), so 32 replicates cost 11
+    * digests per row, not 32, and the window extraction is codegen'd
+    * long bit math — pushed through the Poisson(1) inverse CDF as an
+    * integer CASE ladder over [[PoissonCdf16]]; any engine replays
+    * every multiplicity exactly, and Σw, Σw·x are exact longs/decimals.
+    * The replicate means are the only floats; the envelope (min/max) and
+    * the moment-form SE fold over the B-row replicate table in replicate
+    * order, rounded 6. Replicates that draw an empty resample (never at
+    * real n) drop.
+    *
+    * @return one row: (n, mean, reps, boot_se, ci_lo, ci_hi) — ci is the
+    *         full bootstrap envelope across `reps` replicate means
+    */
+  def poissonBootstrap(
+      df: DataFrame,
+      idCol: String,
+      valCol: String,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"bad reps $reps")
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    // 3 independent 16-bit windows per 60-bit digest long: 32 replicates
+    // cost ceil(32/3) = 11 digests per row, and the window extraction is
+    // codegen'd long bit math (no hex-string churn)
+    val nDigests = (reps + 2) / 3
+    def digestCol(c: Int): Column =
+      graft.scale.HashExprs.md5PrefixLong(
+        concat(col(idCol).cast("string"), lit(":c" + c)).cast("binary"), 15)
+    def weight(b: Int): Column = {
+      val u16 = shiftright(col(s"__h${b / 3}"), (b % 3) * 16)
+        .bitwiseAND(lit(65535L))
+      PoissonCdf16.zipWithIndex.foldRight(lit(8L): Column) {
+        case ((t, k), acc) => when(u16 < t, k.toLong).otherwise(acc)
+      }
+    }
+    val base = df.select(col(idCol),
+        col(valCol).cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+      .select((col(idCol) +: col("__x") +:
+        (0 until nDigests).map(c => digestCol(c).as(s"__h$c"))): _*)
+      .select((col("__x") +:
+        (0 until reps).map(b => weight(b).as(s"__w$b"))): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum(d(col("__x"))).as("__sx")) ++
+      (0 until reps).flatMap { b =>
+        Seq(sum(col(s"__w$b")).as(s"__nb$b"),
+          sum(d(col("__x")) * col(s"__w$b")).as(s"__ws$b"))
+      }
+    val agg = base.agg(aggs.head, aggs.tail: _*)
+    val reprows = agg.select(col("n"), col("__sx"),
+        explode(array((0 until reps).map(b => struct(
+          col(s"__nb$b").as("nb"), col(s"__ws$b").as("ws"))): _*)).as("r"))
+      .select(col("n"), col("__sx"),
+        col("r.nb").as("nb"), col("r.ws").as("ws"))
+      .filter(col("nb") > 0L)
+      .withColumn("__m", col("ws").cast("double") / col("nb").cast("double"))
+      // the SE fold sums ACROSS replicates — raw doubles there would be
+      // engine-summation-order sensitive exactly at rounding boundaries
+      // (observed live), so replicate means quantize to exact micro-longs
+      // first: the variance numerator is then exact DECIMAL algebra and
+      // the only float is one final sqrt/scale, order-free
+      .withColumn("__q", round(col("__m") * 1e6, 0).cast("decimal(38,0)"))
+    val rd = col("reps").cast("double")
+    reprows.groupBy(col("n"), col("__sx"))
+      .agg(count(lit(1)).as("reps"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__q") * col("__q")).as("__sqq"),
+        min(col("__m")).as("__lo"), max(col("__m")).as("__hi"))
+      .select(col("n"),
+        round(col("__sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean"),
+        col("reps"),
+        round(sqrt(
+          (d(col("reps")) * col("__sqq") - col("__sq") * col("__sq"))
+            .cast("double") / (rd * (rd - 1.0))) / 1e6, 6).as("boot_se"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
+
   def prioritySample(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"bad sample size $k")

@@ -239,6 +239,46 @@ class SamplersSpec extends SparkSpec {
     assert(z == 0L)
   }
 
+  test("poissonBootstrap: replicate weights replay the md5 CDF ladder " +
+      "exactly; envelope brackets the exact mean; constant data has " +
+      "zero SE") {
+    // independent JVM re-derivation of every (row, replicate) weight:
+    // replicate b reads 16-bit window b%3 of the 60-bit digest long of
+    // md5(id ":c" b/3)
+    def weightOf(id: Long, b: Int): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:c${b / 3}".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val u16 = (h >> ((b % 3) * 16)) & 65535L
+      val k = Samplers.PoissonCdf16.indexWhere(u16 < _)
+      if (k < 0) 8L else k.toLong
+    }
+    val rows = (1L to 40L).map(i => (i, i * 10L))
+    val df = rows.toDF("id", "x")
+    val r = Samplers.poissonBootstrap(df, "id", "x", 8).collect()(0)
+    assert(r.getAs[Long]("n") == 40L && r.getAs[Long]("reps") == 8L)
+    assert(r.getAs[Double]("mean") == 205.0)
+    // expected replicate means from the re-derived weights
+    val ms = (0 until 8).map { b =>
+      val ws = rows.map { case (id, x) => weightOf(id, b) * x }.sum
+      val nb = rows.map { case (id, _) => weightOf(id, b) }.sum
+      ws.toDouble / nb.toDouble
+    }
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getAs[Double]("ci_lo") == r6(ms.min))
+    assert(r.getAs[Double]("ci_hi") == r6(ms.max))
+    assert(r.getAs[Double]("ci_lo") <= 205.0 &&
+      r.getAs[Double]("ci_hi") >= 205.0,
+      "bootstrap envelope must bracket the exact mean on smooth data")
+    // a constant metric is immune to resampling: SE exactly 0
+    val const = (1L to 30L).map((_, 7L)).toDF("id", "x")
+    val c = Samplers.poissonBootstrap(const, "id", "x", 8).collect()(0)
+    assert(c.getAs[Double]("boot_se") == 0.0 &&
+      c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+  }
+
   test("prioritySample: n <= k degenerates to the exact total (tau = 0); " +
       "contributions never undercut weights; partitioning-invariant") {
     val df = (1L to 30L).map(i => (i, i * 10L)).toDF("id", "w")
