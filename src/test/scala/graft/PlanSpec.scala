@@ -692,6 +692,46 @@ class PlanSpec extends SparkSpec {
       s"the fold must not join (a join-back re-scans the corpus):\n$plan")
   }
 
+  test("round-10 wave ops hold their scan discipline: fleiss profile " +
+      "state, power advisor, and the Poisson bootstrap are ONE corpus " +
+      "scan; per-row multimodal stats plan NO exchange at all") {
+    def scans(df: org.apache.spark.sql.DataFrame): Int = {
+      val p = df.queryExecution.executedPlan.toString
+      p.sliding("Scan parquet".length).count(_ == "Scan parquet")
+    }
+    val docs = Tables.load(spark, sf, "documents")
+    val prof = graft.metrics.Metrics.fleissProfileCounts(
+      docs.withColumn("r1", col("lang"))
+        .withColumn("r2", col("source"))
+        .withColumn("r3", (col("n_chars") % 3).cast("string")),
+      Seq("r1", "r2", "r3"))
+    assert(scans(prof) == 1, s"fleiss state:\n${prof.queryExecution}")
+    val orders = Tables.load(spark, sf, "orders")
+      .withColumn("cents",
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+    val pow = graft.metrics.Metrics.powerAdvisor(orders, "cents",
+      Seq("o_orderstatus"), Seq(0.01, 0.05))
+    assert(scans(pow) == 1, s"power advisor:\n${pow.queryExecution}")
+    // all B replicates in one aggregation over one pass — the operator's
+    // whole claim; a per-replicate scan or join would show here
+    val boot = graft.sample.Samplers.poissonBootstrap(orders,
+      "o_orderkey", "cents", 8)
+    val bootPlan = boot.queryExecution.executedPlan.toString
+    assert(scans(boot) == 1, s"bootstrap scans:\n$bootPlan")
+    assert(!bootPlan.contains("Join"), s"bootstrap must not join:\n$bootPlan")
+    // per-row decode stats: no shuffle anywhere in the plan
+    val stats = graft.scale.Multimodal.audioStats(
+      graft.scale.Multimodal.fromDocuments(docs))
+    val sp = stats.queryExecution.executedPlan.toString
+    assert(!sp.contains("Exchange"),
+      s"audioStats must be shuffle-free:\n$sp")
+    val shots = graft.scale.Multimodal.shotBoundaries(
+      graft.scale.Multimodal.fromDocuments(docs))
+    val hp = shots.queryExecution.executedPlan.toString
+    assert(!hp.contains("Exchange"),
+      s"shotBoundaries must be shuffle-free:\n$hp")
+  }
+
   test("tClosenessCounts is ONE corpus scan (the cell hash-agg); the fold " +
       "runs on dictionaries") {
     val counts = graft.metrics.Metrics.tClosenessCounts(
