@@ -4680,6 +4680,39 @@ object SparkEntry {
             (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")),
         "o_orderkey", "cents", 32)),
 
+    // ---- Poisson bootstrap for a RATIO metric (value share) ---------------
+    // Revenue share of purchase events with its bootstrap envelope: both
+    // numerator and denominator resample together per replicate — the
+    // per-row-ratio bootstrap would weight rows equally, this one does
+    // not.
+    "bootstrap_ratio_events" -> ((s, dir) =>
+      Samplers.poissonBootstrapRatio(t(s, dir, "events")
+          .withColumn("cents",
+            (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .withColumn("pnum",
+            when(col("event_type") === "purchase", col("cents"))
+              .otherwise(0L)),
+        "event_id", "pnum", "cents", 32)),
+
+    // ---- STREAMING bootstrap: the 2B-sum state as Complete-mode agg --------
+    // A continuously-maintained CI over the ingest: every state column is
+    // an associative sum; the summary fold replays on drain.
+    "streaming_bootstrap_ci_orders" -> ((s, dir) => {
+      val batch = t(s, dir, "orders")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/orders*.parquet")
+        .withColumn("cents",
+          (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long"))
+        .withColumn("__den1", lit(1L))
+      val sums = Samplers.bootstrapRatioSums(stream, "o_orderkey",
+        "cents", "__den1", 32)
+      val name = "stream_boot_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, sums, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Samplers.bootstrapFromSums(drained, 32, "mean")
+    }),
+
     // ---- QQ drift table: exact quantile pairs across the two halves -------
     // The incident-doc view of the drift triad (KS locates the sup, PSI
     // bins the mass, QQ shows the levels). Type-1 selection per side.
@@ -5202,6 +5235,8 @@ object SparkEntry {
       ("streaming_mann_kendall_events" -> m("mann_kendall_events")),
       // Fleiss twin: rating-profile count state + kappa fold on drain
       ("streaming_fleiss_kappa_docs" -> m("fleiss_kappa_docs")),
+      // bootstrap twin: the 2B-sum state is associative, fold on drain
+      ("streaming_bootstrap_ci_orders" -> m("bootstrap_ci_orders")),
       // ACF twin: the SAME daily-total state, gap-fill + lag fold on drain
       ("streaming_acf_events" -> m("acf_events")),
       // user-entropy twin: (user, type) count state + entropy fold
@@ -5624,10 +5659,29 @@ object SparkEntry {
     * replicate order so the double folds accumulate in the same order
     * the engine's explode emits.
     */
-  private def bootstrapOracleSql(reps: Int): String = {
+  private def bootstrapOracleSql(reps: Int): String =
+    bootstrapOracleSqlFor(reps, "orders", "o_orderkey",
+      "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)",
+      "CAST(1 AS BIGINT)", "mean")
+
+  private def bootstrapRatioOracleSql(reps: Int): String =
+    bootstrapOracleSqlFor(reps, "events", "event_id",
+      "CASE WHEN event_type = 'purchase' THEN " +
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+        "ELSE CAST(0 AS BIGINT) END",
+      "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)", "ratio")
+
+  /** The bootstrap replay, parameterized over table / id / numerator /
+    * denominator expressions (the mean form is den = 1): same integer
+    * CDF ladder, same window arithmetic, replicates unrolled by UNION
+    * ALL against the one materialized aggregate.
+    */
+  private def bootstrapOracleSqlFor(reps: Int, table: String,
+      idExpr: String, numExpr: String, denExpr: String,
+      label: String): String = {
     val cdf = graft.sample.Samplers.PoissonCdf16
     def w(b: Int): String = {
-      val u = "((CAST(('0x' || substring(md5(CAST(o_orderkey AS VARCHAR)" +
+      val u = s"((CAST(('0x' || substring(md5(CAST(id AS VARCHAR)" +
         s" || ':c${b / 3}'), 1, 15)) AS BIGINT) >> ${(b % 3) * 16})" +
         " & 65535)"
       cdf.zipWithIndex.foldRight("8") { case ((t, k), acc) =>
@@ -5635,35 +5689,37 @@ object SparkEntry {
       }
     }
     val sums = (0 until reps).map { b =>
-      s"SUM(${w(b)}) AS nb$b, SUM(CAST(x AS HUGEINT) * ${w(b)}) AS ws$b"
+      s"SUM(CAST(xn AS HUGEINT) * ${w(b)}) AS wn$b, " +
+        s"SUM(CAST(xd AS HUGEINT) * ${w(b)}) AS wd$b"
     }.mkString(",\n    ")
     val union = (0 until reps).map { b =>
-      s"SELECT n, sx, nb$b AS nb, ws$b AS ws FROM a"
+      s"SELECT n, sn, sd, wn$b AS wn, wd$b AS wd FROM a"
     }.mkString("\n  UNION ALL ")
     s"""WITH v AS (
-       |  SELECT o_orderkey,
-       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
-       |  FROM orders),
+       |  SELECT $idExpr AS id, $numExpr AS xn, $denExpr AS xd
+       |  FROM $table
+       |  WHERE $numExpr IS NOT NULL AND $denExpr IS NOT NULL),
        |a AS MATERIALIZED (
-       |  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(CAST(x AS HUGEINT)) AS sx,
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    SUM(CAST(xn AS HUGEINT)) AS sn, SUM(CAST(xd AS HUGEINT)) AS sd,
        |    $sums
        |  FROM v),
        |r AS (
        |  $union),
        |m AS (
-       |  SELECT n, sx, CAST(ws AS DOUBLE) / CAST(nb AS DOUBLE) AS m,
-       |    CAST(ROUND(CAST(ws AS DOUBLE) / CAST(nb AS DOUBLE) * 1e6)
+       |  SELECT n, sn, sd, CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE) AS m,
+       |    CAST(ROUND(CAST(wn AS DOUBLE) / CAST(wd AS DOUBLE) * 1e6)
        |      AS HUGEINT) AS q
-       |  FROM r WHERE nb > 0)
+       |  FROM r WHERE wd > 0)
        |SELECT n,
-       |  ROUND(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean,
+       |  ROUND(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6) AS $label,
        |  CAST(COUNT(*) AS BIGINT) AS reps,
        |  ROUND(sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(q * q)
        |    - SUM(q) * SUM(q) AS DOUBLE)
        |    / (CAST(COUNT(*) AS DOUBLE) * (CAST(COUNT(*) AS DOUBLE) - 1.0)))
        |    / 1e6, 6) AS boot_se,
        |  ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
-       |FROM m GROUP BY n, sx""".stripMargin
+       |FROM m GROUP BY n, sn, sd""".stripMargin
   }
 
   private def phashOracleSql: String = {
@@ -12937,6 +12993,7 @@ object SparkEntry {
         |GROUP BY t.n_a, t.n_b, m.ks_num""".stripMargin,
 
     "bootstrap_ci_orders" -> bootstrapOracleSql(32),
+    "bootstrap_ratio_events" -> bootstrapRatioOracleSql(32),
 
     // per-side type-1 rank picks with the exactPercentiles rank rule
     "qq_drift_orders" ->

@@ -642,7 +642,41 @@ object Samplers {
       df: DataFrame,
       idCol: String,
       valCol: String,
-      reps: Int = 32): DataFrame = {
+      reps: Int = 32): DataFrame =
+    bootstrapFromSums(
+      bootstrapRatioSums(df.withColumn("__den1", lit(1L)),
+        idCol, valCol, "__den1", reps), reps, "mean")
+
+  /** [[poissonBootstrap]] generalized to a RATIO OF SUMS — the shape of
+    * every rate metric (CTR, revenue share, dedup rate): replicate b's
+    * statistic is (Σ w·num)/(Σ w·den), which a per-row bootstrap gets
+    * right where bootstrapping pre-divided row ratios would weight rows
+    * equally regardless of denominator mass. Same one-scan 2B-sum
+    * machinery; `poissonBootstrap` IS this op with den ≡ 1.
+    */
+  def poissonBootstrapRatio(
+      df: DataFrame,
+      idCol: String,
+      numCol: String,
+      denCol: String,
+      reps: Int = 32): DataFrame =
+    bootstrapFromSums(
+      bootstrapRatioSums(df, idCol, numCol, denCol, reps), reps, "ratio")
+
+  /** The bootstrap's state half: ONE aggregation row carrying n, the
+    * exact overall sums, and the 2B per-replicate weighted sums — every
+    * column an associative sum, so it runs unchanged as Complete-mode
+    * STREAMING state (the valueCounts convention): the live-ingest
+    * deployment maintains a continuously-updated bootstrap CI.
+    * bootstrapFromSums ∘ bootstrapRatioSums = the batch op (spec-pinned),
+    * so the streaming twin shares the batch oracle verbatim.
+    */
+  def bootstrapRatioSums(
+      df: DataFrame,
+      idCol: String,
+      numCol: String,
+      denCol: String,
+      reps: Int): DataFrame = {
     require(reps >= 2 && reps <= 64, s"bad reps $reps")
     val d = (c: Column) => c.cast("decimal(38,0)")
     // 3 independent 16-bit windows per 60-bit digest long: 32 replicates
@@ -660,40 +694,51 @@ object Samplers {
       }
     }
     val base = df.select(col(idCol),
-        col(valCol).cast("long").as("__x"))
-      .filter(col("__x").isNotNull)
-      .select((col(idCol) +: col("__x") +:
+        col(numCol).cast("long").as("__xn"),
+        col(denCol).cast("long").as("__xd"))
+      .filter(col("__xn").isNotNull && col("__xd").isNotNull)
+      .select((col(idCol) +: col("__xn") +: col("__xd") +:
         (0 until nDigests).map(c => digestCol(c).as(s"__h$c"))): _*)
-      .select((col("__x") +:
+      .select((col("__xn") +: col("__xd") +:
         (0 until reps).map(b => weight(b).as(s"__w$b"))): _*)
-    val aggs = Seq(count(lit(1)).as("n"), sum(d(col("__x"))).as("__sx")) ++
+    val aggs = Seq(count(lit(1)).as("n"),
+      sum(d(col("__xn"))).as("__sn"), sum(d(col("__xd"))).as("__sd")) ++
       (0 until reps).flatMap { b =>
-        Seq(sum(col(s"__w$b")).as(s"__nb$b"),
-          sum(d(col("__x")) * col(s"__w$b")).as(s"__ws$b"))
+        Seq(sum(d(col("__xn")) * col(s"__w$b")).as(s"__wn$b"),
+          sum(d(col("__xd")) * col(s"__w$b")).as(s"__wd$b"))
       }
-    val agg = base.agg(aggs.head, aggs.tail: _*)
-    val reprows = agg.select(col("n"), col("__sx"),
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The summary fold over [[bootstrapRatioSums]]' (drained) state row:
+    * replicate statistics, the micro-quantized order-free SE, and the
+    * envelope. `label` names the point-estimate column ("mean"/"ratio").
+    */
+  def bootstrapFromSums(
+      agg: DataFrame, reps: Int, label: String): DataFrame = {
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    val reprows = agg.select(col("n"), col("__sn"), col("__sd"),
         explode(array((0 until reps).map(b => struct(
-          col(s"__nb$b").as("nb"), col(s"__ws$b").as("ws"))): _*)).as("r"))
-      .select(col("n"), col("__sx"),
-        col("r.nb").as("nb"), col("r.ws").as("ws"))
-      .filter(col("nb") > 0L)
-      .withColumn("__m", col("ws").cast("double") / col("nb").cast("double"))
+          col(s"__wn$b").as("wn"), col(s"__wd$b").as("wd"))): _*)).as("r"))
+      .select(col("n"), col("__sn"), col("__sd"),
+        col("r.wn").as("wn"), col("r.wd").as("wd"))
+      .filter(col("wd") > 0L)
+      .withColumn("__m", col("wn").cast("double") / col("wd").cast("double"))
       // the SE fold sums ACROSS replicates — raw doubles there would be
       // engine-summation-order sensitive exactly at rounding boundaries
-      // (observed live), so replicate means quantize to exact micro-longs
-      // first: the variance numerator is then exact DECIMAL algebra and
-      // the only float is one final sqrt/scale, order-free
+      // (observed live), so replicate statistics quantize to exact
+      // micro-longs first: the variance numerator is exact DECIMAL
+      // algebra and the only float is one final sqrt/scale, order-free
       .withColumn("__q", round(col("__m") * 1e6, 0).cast("decimal(38,0)"))
     val rd = col("reps").cast("double")
-    reprows.groupBy(col("n"), col("__sx"))
+    reprows.groupBy(col("n"), col("__sn"), col("__sd"))
       .agg(count(lit(1)).as("reps"),
         sum(col("__q")).as("__sq"),
         sum(col("__q") * col("__q")).as("__sqq"),
         min(col("__m")).as("__lo"), max(col("__m")).as("__hi"))
       .select(col("n"),
-        round(col("__sx").cast("double") / col("n").cast("double"), 6)
-          .as("mean"),
+        round(col("__sn").cast("double") / col("__sd").cast("double"), 6)
+          .as(label),
         col("reps"),
         round(sqrt(
           (d(col("reps")) * col("__sqq") - col("__sq") * col("__sq"))

@@ -277,6 +277,33 @@ class SamplersSpec extends SparkSpec {
     val c = Samplers.poissonBootstrap(const, "id", "x", 8).collect()(0)
     assert(c.getAs[Double]("boot_se") == 0.0 &&
       c.getAs[Double]("ci_lo") == 7.0 && c.getAs[Double]("ci_hi") == 7.0)
+    // RATIO form: replicate statistic is (sum w*num)/(sum w*den) — the
+    // re-derived weights price it exactly; a constant per-row ratio is
+    // resampling-immune (num = 3*den everywhere -> every replicate 3.0)
+    val rrows = (1L to 40L).map(i => (i, i * 10L, i * 3L))
+    val rr = Samplers.poissonBootstrapRatio(
+      rrows.toDF("id", "num", "den"), "id", "num", "den", 8).collect()(0)
+    val rms = (0 until 8).map { b =>
+      val wn = rrows.map { case (id, n2, _) => weightOf(id, b) * n2 }.sum
+      val wd = rrows.map { case (id, _, dn) => weightOf(id, b) * dn }.sum
+      wn.toDouble / wd.toDouble
+    }
+    assert(rr.getAs[Double]("ratio") == r6(
+      rrows.map(_._2).sum.toDouble / rrows.map(_._3).sum.toDouble))
+    assert(rr.getAs[Double]("ci_lo") == r6(rms.min) &&
+      rr.getAs[Double]("ci_hi") == r6(rms.max))
+    val prop = (1L to 30L).map(i => (i, i * 3L, i)).toDF("id", "n2", "d2")
+    val p = Samplers.poissonBootstrapRatio(prop, "id", "n2", "d2", 8)
+      .collect()(0)
+    assert(p.getAs[Double]("ratio") == 3.0 &&
+      p.getAs[Double]("boot_se") == 0.0 &&
+      p.getAs[Double]("ci_lo") == 3.0 && p.getAs[Double]("ci_hi") == 3.0)
+    // composition: fold over the (drained) state = the batch op
+    assert(Samplers.bootstrapFromSums(Samplers.bootstrapRatioSums(
+        rrows.toDF("id", "num", "den"), "id", "num", "den", 8), 8, "ratio")
+      .collect().toSeq ===
+      Samplers.poissonBootstrapRatio(rrows.toDF("id", "num", "den"),
+        "id", "num", "den", 8).collect().toSeq)
   }
 
   test("prioritySample: n <= k degenerates to the exact total (tau = 0); " +
