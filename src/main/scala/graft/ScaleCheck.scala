@@ -912,6 +912,14 @@ object ScaleCheck {
         // lag explode, and self-join all live on that dictionary
         (d: DataFrame) => Events.acf(d, 7),
         events, "event_id", None),
+      ("ari",
+        // identical contingency shape to bcubed; the pair counting is
+        // algebra on the dictionary, never pairs
+        (d: DataFrame) => Dedup.adjustedRandIndex(
+          d.withColumn("p", expr("doc_id div 3"))
+            .withColumn("g", expr("doc_id div 5")),
+          "doc_id", "p", "g"),
+        docs, "doc_id", Some("text")),
       ("bcubed",
         // ONE corpus hash-agg to the (pred, gold) contingency dictionary;
         // marginal folds on the dictionary (pred/gold derived cheaply so

@@ -2799,6 +2799,20 @@ object SparkEntry {
         "doc_id", "cluster_rep", "gold")
     }),
 
+    // ---- entity-resolution eval #2: Adjusted Rand Index --------------------
+    // The pair-counting, chance-corrected axis beside bcubed's per-item
+    // axis — same contingency dictionary, exact pair-count sums.
+    "ari_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pred = Dedup.duplicateClusters(docs,
+        Dedup.minhashLsh(docs, "doc_id", "text", 8, 2, 3), "doc_id")
+      Dedup.adjustedRandIndex(
+        docs.select(col("doc_id"),
+            md5(col("text").cast("binary")).as("gold"))
+          .join(pred, Seq("doc_id")),
+        "doc_id", "cluster_rep", "gold")
+    }),
+
     // ---- RAG composite: passage chunks → passage-grain BM25 → top-k --------
     "rag_retrieve_docs" -> ((s, dir) =>
       TextAnalysis.ragRetrieve(t(s, dir, "documents"), "doc_id", "text",
@@ -10208,6 +10222,71 @@ object SparkEntry {
         |SELECT doc_id, n_lists, rank_lex, rank_vec, rrf,
         |  CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rk
         |FROM top ORDER BY rk""".stripMargin,
+
+    // same recursive predicted partition as bcubed; ARI's pair counts
+    // fold exactly on the contingency, the final ratio in doubles
+    "ari_docs" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, concat(t[i], COALESCE(' ' || t[i+1], ''), COALESCE(' ' || t[i+2], '')) AS sh
+        |  FROM toks, UNNEST(range(1, greatest(len(t) - 1, 2))) AS u(i)),
+        |mh AS (
+        |  SELECT doc_id, s, MIN(md5(s::VARCHAR || ':' || sh)) AS h
+        |  FROM sh, UNNEST(range(0, 8)) AS su(s)
+        |  GROUP BY doc_id, s),
+        |bands AS (
+        |  SELECT doc_id, s // 2 AS band, STRING_AGG(h, '' ORDER BY s) AS band_key
+        |  FROM mh GROUP BY doc_id, s // 2),
+        |prs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |  WHERE a.doc_id < b.doc_id),
+        |e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM prs
+        |  UNION SELECT id_b, id_a FROM prs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src),
+        |cl AS (SELECT a AS doc_id, MIN(b) AS p FROM reach GROUP BY a),
+        |j AS (SELECT cl.doc_id, cl.p, d.text AS gl
+        |  FROM cl JOIN documents d USING (doc_id)),
+        |cells AS (SELECT p, gl, CAST(COUNT(*) AS HUGEINT) AS n
+        |  FROM j GROUP BY 1, 2),
+        |sij AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS n_items,
+        |    SUM(n * (n - 1) // 2) AS sij
+        |  FROM cells),
+        |sa AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_pred_clusters,
+        |    SUM(a * (a - 1) // 2) AS sa
+        |  FROM (SELECT p, SUM(n) AS a FROM cells GROUP BY p)),
+        |sb AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_gold_classes,
+        |    SUM(b * (b - 1) // 2) AS sb
+        |  FROM (SELECT gl, SUM(n) AS b FROM cells GROUP BY gl)),
+        |f AS (
+        |  SELECT n_items, n_pred_clusters, n_gold_classes, sij, sa, sb,
+        |    CAST(n_items AS HUGEINT) * (n_items - 1) // 2 AS t
+        |  FROM sij, sa, sb)
+        |SELECT n_items, n_pred_clusters, n_gold_classes,
+        |  CAST(sij AS VARCHAR) AS s_pairs_both,
+        |  CAST(sa AS VARCHAR) AS s_pairs_pred,
+        |  CAST(sb AS VARCHAR) AS s_pairs_gold,
+        |  CASE WHEN CAST(t AS DOUBLE) * (CAST(sa AS DOUBLE)
+        |      + CAST(sb AS DOUBLE))
+        |      - 2.0 * CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) <> 0.0 THEN
+        |    ROUND((2.0 * CAST(t AS DOUBLE) * CAST(sij AS DOUBLE)
+        |      - 2.0 * CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+        |      / (CAST(t AS DOUBLE) * (CAST(sa AS DOUBLE)
+        |        + CAST(sb AS DOUBLE))
+        |        - 2.0 * CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)), 6)
+        |  END AS ari
+        |FROM f""".stripMargin,
 
     // the predicted partition replays as the dup_clusters recursive
     // reachability; gold = byte-identical text; B-cubed folds on the

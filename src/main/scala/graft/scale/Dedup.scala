@@ -1936,6 +1936,63 @@ object Dedup {
         when(p + r > 0.0, round(lit(2.0) * p * r / (p + r), 6)).as("f1"))
   }
 
+  /** Adjusted Rand Index (Hubert & Arabie 1985) — [[bCubed]]'s
+    * pair-counting sibling: B³ grades per ITEM, ARI grades per PAIR
+    * (all-in-same-cluster agreement), chance-corrected so random
+    * clusterings score ~0 whatever the cluster-size profile — the
+    * standard second axis of a clustering-eval report (a method can
+    * look good on one and bad on the other; report both).
+    *
+    * Exact scheme: the pair counts S_ij = Σ C(n_ij, 2), S_a, S_b and
+    * T = C(n, 2) are exact DECIMAL(38,0) from the same (pred, gold)
+    * contingency hash-agg B³ uses (they travel as strings);
+    * ARI = (2·T·S_ij − 2·S_a·S_b) / (T·(S_a+S_b) − 2·S_a·S_b) — that
+    * cross-multiplication can exceed DECIMAL(38) at extreme corpus
+    * sizes (T² ≈ 10⁵⁰ at 10¹³ rows), so the FINAL ratio computes in
+    * doubles over the exact inputs, fixed-shape mirrored, rounded 6 —
+    * the one declared float step. NULL when the denominator is 0 (both
+    * partitions degenerate, max = expected).
+    *
+    * Scale shape: identical to [[bCubed]] — ONE corpus hash-agg to the
+    * contingency dictionary, marginal folds on it, nothing pair-scale
+    * ever materializes (the "pair counting" is algebra, not pairs).
+    */
+  def adjustedRandIndex(
+      df: DataFrame,
+      idCol: String,
+      predCol: String,
+      goldCol: String): DataFrame = {
+    def key(c: Column): Column =
+      coalesce(c.cast("string"), lit("\u0002N"))
+    val d = (c: Column) => c.cast("decimal(38,0)")
+    def c2(c: Column): Column =
+      (d(c) * (d(c) - 1) / 2).cast("decimal(38,0)")
+    val cells = df
+      .select(key(col(predCol)).as("__p"), key(col(goldCol)).as("__g"))
+      .groupBy(col("__p"), col("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // feeds S_ij + both marginal folds
+    val sij = cells.agg(sum(col("__n")).as("n_items"),
+      sum(c2(col("__n"))).as("__sij"))
+    val sa = cells.groupBy(col("__p")).agg(sum(col("__n")).as("__a"))
+      .agg(count(lit(1)).as("n_pred_clusters"), sum(c2(col("__a"))).as("__sa"))
+    val sb = cells.groupBy(col("__g")).agg(sum(col("__n")).as("__b"))
+      .agg(count(lit(1)).as("n_gold_classes"), sum(c2(col("__b"))).as("__sb"))
+    val dd = (c: Column) => c.cast("double")
+    val joined = sij.crossJoin(broadcast(sa)).crossJoin(broadcast(sb))
+      .withColumn("__t", c2(col("n_items")))
+    val num = lit(2.0) * dd(col("__t")) * dd(col("__sij")) -
+      lit(2.0) * dd(col("__sa")) * dd(col("__sb"))
+    val den = dd(col("__t")) * (dd(col("__sa")) + dd(col("__sb"))) -
+      lit(2.0) * dd(col("__sa")) * dd(col("__sb"))
+    joined.select(col("n_items"), col("n_pred_clusters"),
+      col("n_gold_classes"),
+      col("__sij").cast("string").as("s_pairs_both"),
+      col("__sa").cast("string").as("s_pairs_pred"),
+      col("__sb").cast("string").as("s_pairs_gold"),
+      when(den =!= 0.0, round(num / den, 6)).as("ari"))
+  }
+
   def blockingQuality(
       candidates: DataFrame,
       gold: DataFrame,

@@ -1625,6 +1625,32 @@ class ScaleSpec extends SparkSpec {
       s.getAs[Double]("f1") == 0.5)
   }
 
+  test("adjustedRandIndex: hand-computed pair counts on the bCubed " +
+      "fixture; identical partitions score 1; singletons-vs-one score 0") {
+    // pred {1,2,3}{4,5} vs gold {1,2}{3,4,5}: Sij = 1+1 = 2, Sa = 3+1,
+    // Sb = 1+3, T = 10 -> ari = (40-32)/(80-32) = 1/6
+    val df = Seq((1L, "c1", "g1"), (2L, "c1", "g1"), (3L, "c1", "g2"),
+      (4L, "c2", "g2"), (5L, "c2", "g2")).toDF("id", "p", "g")
+    val r = Dedup.adjustedRandIndex(df, "id", "p", "g").collect()(0)
+    assert(r.getAs[Long]("n_items") == 5L)
+    assert(r.getAs[String]("s_pairs_both") == "2" &&
+      r.getAs[String]("s_pairs_pred") == "4" &&
+      r.getAs[String]("s_pairs_gold") == "4")
+    assert(r.getAs[Double]("ari") == 0.166667)
+    // pred == gold: chance-corrected perfect agreement
+    assert(Dedup.adjustedRandIndex(df.withColumn("p2", col("g")),
+      "id", "p2", "g").collect()(0).getAs[Double]("ari") == 1.0)
+    // all-singletons vs one class: Sij = Sa = 0 -> ari exactly 0
+    val single = Seq((1L, "a", "g"), (2L, "b", "g"), (3L, "c", "g"))
+      .toDF("id", "p", "g")
+    assert(Dedup.adjustedRandIndex(single, "id", "p", "g")
+      .collect()(0).getAs[Double]("ari") == 0.0)
+    // both partitions all-singletons: max = expected -> NULL, never NaN
+    val deg = Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "p", "g")
+    val dg = Dedup.adjustedRandIndex(deg, "id", "p", "g").collect()(0)
+    assert(dg.isNullAt(dg.fieldIndex("ari")))
+  }
+
   test("rrfFuse: hand-computed fusion of two overlapping top-3 lists; " +
       "missing-list ranks NULL; rounded-score ranking with id tiebreak") {
     // A: 1>.9, 2>.8, 3>.7; B: 2>.95, 3>.85, 4>.75
