@@ -299,6 +299,47 @@ class MetricsSpec extends SparkSpec {
       z.getAs[Long]("at_value") == 10L && z.getAs[Double]("ks") == 0.0)
   }
 
+  test("round-10 panels are partition-invariant: every statistic " +
+      "identical under adversarial repartitioning (the structural guard " +
+      "against summation-order dependence)") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 200L).map { i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(3).toLong,
+        s"c${rnd.nextInt(4)}", s"g${rnd.nextInt(3)}")
+    }
+    def check(name: String)(op: DataFrame => DataFrame): Unit = {
+      val base = rows.toDF("id", "x", "y", "p", "g")
+      val a = op(base.repartition(1)).collect().toSeq
+      val b = op(base.repartition(13, col("id"))).collect().toSeq
+      assert(a === b, s"$name is partition-sensitive")
+    }
+    check("mannWhitneyU")(df => Metrics.mannWhitneyU(
+      df.withColumn("s", col("y") === 0), "x", "s"))
+    check("fleissKappa")(df => Metrics.fleissKappa(
+      df.withColumn("r1", col("x") % 3).withColumn("r2", col("y"))
+        .withColumn("r3", col("id") % 3), Seq("r1", "r2", "r3")))
+    check("krippendorffAlpha")(df => Metrics.krippendorffAlpha(
+      df.withColumn("r1", col("x") % 3)
+        .withColumn("r2", when(col("id") % 7 === 0,
+          lit(null).cast("long")).otherwise(col("y")))
+        .withColumn("r3", col("id") % 3), Seq("r1", "r2", "r3")))
+    check("powerAdvisor")(df =>
+      Metrics.powerAdvisor(df, "x", Seq("g"), Seq(0.05)).orderBy("g"))
+    check("brierPanel")(df => Metrics.brierPanel(
+      df.withColumn("pn", col("x")).withColumn("pd", lit(50L))
+        .withColumn("lbl", (col("y") === 0).cast("long")),
+      "pn", "pd", "lbl", 10))
+    check("bCubed")(df => graft.scale.Dedup.bCubed(df, "id", "p", "g"))
+    check("adjustedRandIndex")(df =>
+      graft.scale.Dedup.adjustedRandIndex(df, "id", "p", "g"))
+    check("poissonBootstrap")(df =>
+      graft.sample.Samplers.poissonBootstrap(df, "id", "x", 8))
+    check("qqDrift")(df => Metrics.qqDrift(
+      df.withColumn("s", col("y") === 0), "x", "s",
+      Seq(250000L, 500000L, 750000L)).orderBy("q"))
+  }
+
   test("brierPanel: hand-computed Murphy decomposition; the identity " +
       "brier = rel - res + unc holds on singleton bins; top edge clamps") {
     // p = .25/.75/1/0 with y = 0/1/1/0: brier = 2*(0.0625)/4 = 0.03125,
