@@ -598,6 +598,12 @@ object Metrics {
       bcounts: DataFrame,
       qMicro: Seq[Long],
       groupCols: Seq[String] = Seq.empty): DataFrame = {
+    // ungrouped would build an UNPARTITIONED window over the bucket
+    // table — route that case through exactPercentiles' globalCumSum
+    // scaffold instead of funneling it through one task
+    require(groupCols.nonEmpty,
+      "percentileTargets needs groupCols; ungrouped callers must use " +
+        "exactPercentiles' globalCumSum branch")
     import org.apache.spark.sql.expressions.Window
     val gcols = groupCols.map(col)
     val wcum = Window.partitionBy(gcols: _*).orderBy(col("__b"))
@@ -927,6 +933,14 @@ object Metrics {
         col(pDenCol).cast("long").as("__pd"),
         col(yCol).cast("long").as("__y"))
       .filter(col("__pd") > 0L && col("__y").isNotNull)
+      // loud precondition (house style): a probability outside [0,1]
+      // (pn < 0 or pn > pd) would otherwise mint negative/extra bins
+      // that silently distort the ECE/reliability weights
+      .withColumn("__pn",
+        when(col("__pn") >= 0L && col("__pn") <= col("__pd"), col("__pn"))
+          .otherwise(raise_error(concat(lit("brierPanel: probability " +
+            "outside [0,1]: pn="), col("__pn").cast("string"),
+            lit(" pd="), col("__pd").cast("string")))))
       .withColumn("__p", dd(col("__pn")) / dd(col("__pd")))
       .withColumn("__bin",
         least(expr(s"(__pn * $nBins) div __pd"), lit(nBins - 1L)))
@@ -986,10 +1000,12 @@ object Metrics {
       .filter(col("__v").isNotNull && col("__s").isNotNull)
     val p = exactPercentiles(base, "__v", qMicro, Seq("__s"))
       .localCheckpoint(true) // both side filters read it
+    // INNER join to mirror the oracle: a degenerate one-sided input
+    // (zero rows on a side) yields zero QQ rows, never NULL-padded ones
     p.filter(!col("__s"))
       .select(col("q"), col("value").as("value_a"))
       .join(p.filter(col("__s"))
-        .select(col("q"), col("value").as("value_b")), Seq("q"), "full")
+        .select(col("q"), col("value").as("value_b")), Seq("q"))
       .withColumn("diff", col("value_b") - col("value_a"))
   }
 

@@ -517,9 +517,25 @@ object Samplers {
   def bottomKSampleAggregator(
       k: Int): Aggregator[(Long, String, Long), BkBuf, BkSample] = {
     require(k > 0, s"bad sample size $k")
+    // tiebreak compares UTF-8 BYTES, not UTF-16 code units: Spark's
+    // binary string ordering (and the DuckDB oracle replay) sort
+    // supplementary-plane characters by their UTF-8 encoding, and
+    // String.compareTo would diverge from both for such ids
+    def cmpUtf8(a: String, b: String): Int = {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      java.lang.Integer.compare(x.length, y.length)
+    }
     def cmp(d1: Long, i1: String, d2: Long, i2: String): Int = {
       val c = java.lang.Long.compare(d1, d2)
-      if (c != 0) c else i1.compareTo(i2)
+      if (c != 0) c else cmpUtf8(i1, i2)
     }
     def insert(b: BkBuf, d0: Long, i0: String, v0: Long): BkBuf = {
       val n = b.draws.length
@@ -862,6 +878,10 @@ object Samplers {
     import org.apache.spark.sql.expressions.Window
     require(qMicro.nonEmpty && qMicro.forall(q => q > 0 && q <= 1000000L),
       s"bad quantiles $qMicro")
+    // ungrouped would build an UNPARTITIONED window; all callers pass a
+    // group key — a future ungrouped path must add a globalCumSum branch
+    require(groupCols.nonEmpty,
+      "sampleQuantileEsts needs groupCols (unpartitioned window otherwise)")
     val gcols = groupCols.map(col)
     val wcum = Window.partitionBy(gcols: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -878,10 +878,17 @@ object Similarity {
     val rows = perm.select(col("olddim"), col("newpos")).collect()
     require(rows.length == dims, s"permutation must cover $dims dims")
     val inv = new Array[Int](dims + 1)
+    val seenOld = new Array[Boolean](dims + 1)
     rows.foreach { r =>
       val (o, np) = (r.getInt(0), r.getInt(1))
       require(np >= 1 && np <= dims && inv(np) == 0,
         s"not a permutation at newpos $np")
+      // a repeated olddim (with distinct newpos) would pass the newpos
+      // check yet apply a NON-permutation, silently breaking the
+      // documented L2-preservation invariant — fail loudly instead
+      require(o >= 1 && o <= dims && !seenOld(o),
+        s"not a permutation at olddim $o")
+      seenOld(o) = true
       inv(np) = o
     }
     val invLit = typedLit((1 to dims).map(inv))
