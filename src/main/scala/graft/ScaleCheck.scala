@@ -150,6 +150,15 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.tokenizerFertility(
           d, "lang", "text", 8),
         docs, "doc_id", None),
+      ("unigram_encode",
+        // the bpe_encode collapse discipline: held-out corpus -> (source,
+        // word) dictionary in one hash-agg; the Viterbi DP runs per
+        // DISTINCT word against a broadcast piece map (UNsalted copies —
+        // the word dictionary stays vocab-bound)
+        (d: DataFrame) => TextAnalysis.unigramEncode(
+          d.filter(col("doc_id") % 5 =!= 0),
+          d.filter(col("doc_id") % 5 === 0), "source", "text", 3, 40, 2),
+        docs, "doc_id", None),
       ("decontaminate_fuzzy",
         // eval side stays benchmark-scale (the unreplicated % 20 slice of
         // the ORIGINAL corpus) while the corpus side replicates — the real
@@ -1163,6 +1172,22 @@ object ScaleCheck {
         // one corpus hash-agg to the (type, day) dictionary; cumsum +
         // argmax run over the dictionary only
         (d: DataFrame) => graft.scale.Events.cusumChangepoint(d),
+        events, "event_id", None),
+      ("bradley_terry",
+        // one corpus hash-agg to the <=N^2 pair dictionary; the 3 MM
+        // rounds join/agg that dictionary only (key-shifted copies add
+        // matches between the SAME 12 players — dictionary stays fixed)
+        (d: DataFrame) => graft.scale.Preference.bradleyTerryMicro(
+          d.select(expr("event_id % 12").as("pa"),
+              expr("(event_id div 12) % 12").as("pb"),
+              expr("user_id % 10").as("ock"))
+            .withColumn("oc",
+              when(col("ock") === 0, lit(2))
+                .when(col("ock") <= 6,
+                  when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+                .otherwise(
+                  when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+          "pa", "pb", "oc", 3),
         events, "event_id", None),
       ("key_candidates",
         // one 3-way explode + tuple-class hash-agg + per-combo fold

@@ -2571,6 +2571,20 @@ object SparkEntry {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "source", "text", 8)
         .orderBy(col("source"))),
 
+    // ---- unigram-LM Viterbi ENCODE (the SentencePiece serving path) --------
+    // Train the unigram vocab on the %5<>0 split, segment the HELD-OUT
+    // %5=0 docs by max-plus Viterbi (ties -> fewest pieces; unseen chars
+    // at the add-one <unk> mass), report per-source token mass — closes
+    // the train/encode asymmetry with bpe_encode_docs.
+    "unigram_encode_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.unigramEncode(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "source", "text", 3, 40, 2)
+        .orderBy(col("source"))
+    }),
+
     // ---- tokenizer fertility / multilingual-fairness panel ------------------
     "tokenizer_fertility_docs" -> ((s, dir) =>
       TextAnalysis.tokenizerFertility(
@@ -4148,6 +4162,28 @@ object SparkEntry {
               .otherwise(col("r_div"))),
         Seq("r_len", "r_tok", "r_div"))),
 
+    // ---- preference fitting: Bradley-Terry MM rounds + Elo-style report ----
+    // Arena-style matches fabricated from events: players a = event_id % 12,
+    // b = (event_id div 12) % 12 (a = b dropped), outcome keyed on
+    // user_id % 10 — 0 tie, 1..6 the LOWER index wins, 7..9 the higher, so
+    // player 0 is strongest and the fit recovers a skill gradient. Three
+    // exact-integer MM rounds over the (lo, hi) pair dictionary
+    // (Preference.bradleyTerryMicro); elo the only (rounded) float.
+    "bradley_terry_events" -> ((s, dir) =>
+      graft.scale.Preference.bradleyTerryMicro(
+        t(s, dir, "events")
+          .select(expr("event_id % 12").as("pa"),
+            expr("(event_id div 12) % 12").as("pb"),
+            expr("user_id % 10").as("ock"))
+          .withColumn("oc",
+            when(col("ock") === 0, lit(2))
+              .when(col("ock") <= 6,
+                when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+              .otherwise(
+                when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+        "pa", "pb", "oc", 3)
+        .orderBy(col("strength_micro").desc, col("player"))),
+
     // ---- LOCF daily resample (carry the level, account the staleness) -----
     // gap_fill zero-fills (additive series); LOCF carries the last level
     // via an exact max-day theta-join on the trendDaily dictionary — no
@@ -5040,7 +5076,12 @@ object SparkEntry {
     * both correct and ~1 s. All arithmetic is exact longs except the
     * shared micro-rounded ln score expression.
     */
-  private def unigramLmOracle(rounds: Int): String = {
+  /** The unigram-LM trainer replay up to the final piece table: every CTE
+    * through `p$rounds` / `tv$rounds`, with `docWhere` filtering the
+    * training corpus (empty = all documents). Shared by the trainer oracle
+    * and the encode oracle (which trains on the %5<>0 split).
+    */
+  private def unigramTrainCtes(rounds: Int, docWhere: String): String = {
     val NEG = "CAST(-1125899906842624 AS BIGINT)"
     val MaxLen = 24
     def sc(rel: String, cnt: String, tv: String): String =
@@ -5116,7 +5157,7 @@ object SparkEntry {
     s"""WITH words AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
-       |      x -> len(x) > 0)) AS w FROM documents)
+       |      x -> len(x) > 0)) AS w FROM documents $docWhere)
        |  WHERE len(w) <= 24 AND len(w) >= 1 GROUP BY w),
        |subs AS MATERIALIZED (
        |  SELECT substr(w, CAST(i AS INT), CAST(k AS INT)) AS p,
@@ -5134,10 +5175,72 @@ object SparkEntry {
        |    FROM subs WHERE len(p) >= 2) WHERE rk <= 40),
        |$perRound,
        |tv$rounds AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS tot,
-       |  CAST(COUNT(*) AS BIGINT) AS v FROM p$rounds)
+       |  CAST(COUNT(*) AS BIGINT) AS v FROM p$rounds)""".stripMargin
+  }
+
+  private def unigramLmOracle(rounds: Int): String =
+    s"""${unigramTrainCtes(rounds, "")}
        |SELECT pr.p AS piece, pr.cnt AS n_count,
-       |  ${sc("pr", "pr.cnt", "t")} AS logp_micro
+       |  CAST(round(ln(CAST(pr.cnt + 1 AS DOUBLE) /
+       |    CAST(t.tot + t.v AS DOUBLE)) * 1e6) AS BIGINT) AS logp_micro
        |FROM p$rounds pr, tv$rounds t ORDER BY piece""".stripMargin
+
+  /** Unigram-LM Viterbi ENCODE replay: the trainer CTEs on the %5<>0 split,
+    * a combined (score·1024 − 1) step table with the add-one <unk> mass for
+    * unseen characters, an unrolled forward max-plus DP over the held-out
+    * word dictionary (the trainer's level idiom, forward only), and the
+    * per-source token-mass fold — mirrors
+    * [[graft.scale.TextAnalysis.unigramEncode]] term for term.
+    */
+  private def unigramEncodeOracle(rounds: Int): String = {
+    val NEG = "CAST(-1125899906842624 AS BIGINT)"
+    val MaxLen = 24
+    val levels = (1 to MaxLen).map { j =>
+      s"""e_$j AS MATERIALIZED (
+         |  SELECT f.w, f.j + 1 AS j, greatest(
+         |    f.b0 + COALESCE(s1.step, u.step),
+         |    CASE WHEN f.j >= 1 THEN COALESCE(f.b1 + s2.step, $NEG)
+         |      ELSE $NEG END,
+         |    CASE WHEN f.j >= 2 THEN COALESCE(f.b2 + s3.step, $NEG)
+         |      ELSE $NEG END) AS b0,
+         |    f.b0 AS b1, f.b1 AS b2
+         |  FROM e_${j - 1} f
+         |  LEFT JOIN sme s1 ON s1.p = substr(f.w, f.j + 1, 1)
+         |  LEFT JOIN sme s2 ON f.j >= 1 AND s2.p = substr(f.w, f.j, 2)
+         |  LEFT JOIN sme s3 ON f.j >= 2 AND s3.p = substr(f.w, f.j - 1, 3)
+         |  CROSS JOIN unkv u
+         |  WHERE f.j < len(f.w))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 to MaxLen).map(j => s"SELECT * FROM e_$j")
+      .mkString("\n  UNION ALL ")
+    s"""${unigramTrainCtes(rounds, "WHERE doc_id % 5 <> 0")},
+       |sme AS MATERIALIZED (
+       |  SELECT pp.p, CAST(round(ln(CAST(pp.cnt + 1 AS DOUBLE) /
+       |    CAST(t.tot + t.v AS DOUBLE)) * 1e6) AS BIGINT) * 1024 - 1 AS step
+       |  FROM p$rounds pp, tv$rounds t),
+       |unkv AS MATERIALIZED (
+       |  SELECT CAST(round(ln(1.0 / CAST(tot + v AS DOUBLE)) * 1e6)
+       |    AS BIGINT) * 1024 - 1 AS step
+       |  FROM tv$rounds),
+       |hw AS MATERIALIZED (
+       |  SELECT g, w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |    SELECT source AS g,
+       |      unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |        x -> len(x) > 0)) AS w
+       |    FROM documents WHERE doc_id % 5 = 0)
+       |  WHERE len(w) <= 24 AND len(w) >= 1 GROUP BY 1, 2),
+       |e_0 AS MATERIALIZED (
+       |  SELECT w, 0 AS j, CAST(0 AS BIGINT) AS b0,
+       |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2
+       |  FROM (SELECT DISTINCT w FROM hw)),
+       |$levels,
+       |eb AS MATERIALIZED (
+       |  SELECT w, (-b0) % 1024 AS toks FROM (
+       |  $union) WHERE j = len(w))
+       |SELECT hw.g AS source, CAST(SUM(hw.cnt) AS BIGINT) AS n_words,
+       |  CAST(SUM(hw.cnt * eb.toks) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(hw.cnt * len(hw.w)) AS BIGINT) AS n_chars
+       |FROM hw JOIN eb USING (w) GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
   /** Shared CTE prefix of the curation-ledger oracles: the
@@ -5311,10 +5414,14 @@ object SparkEntry {
       // returns at all, a 20-round replay is ≥ convergence depth and the
       // extra rounds are identity — the oracle can never silently diverge
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
+      // Bradley-Terry: MM rounds unrolled (the pagerank convention)
+      ("bradley_terry_events" -> bradleyTerryOracle(3)),
       ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)),
       ("bpe_train_docs" -> bpeTrainOracle(8)),
       // the unigram-LM trainer replay: recursive-CTE Viterbi DPs
       ("unigram_lm_train_docs" -> unigramLmOracle(2)),
+      // the encode half: train CTEs on the %5<>0 split + forward Viterbi
+      ("unigram_encode_docs" -> unigramEncodeOracle(2)),
       ("bpe_encode_docs" -> bpeEncodeOracle(8)),
       ("tokenizer_fertility_docs" -> tokenizerFertilityOracle(8)),
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
@@ -6151,6 +6258,61 @@ object SparkEntry {
     val unions = (minN to maxN).map(n => s"SELECT * FROM a$n")
       .mkString("\nUNION ALL\n")
     s"$head$perN\nSELECT * FROM (\n$unions\n) ORDER BY doc_id, n"
+  }
+
+  /** Bradley-Terry MM replay: the pagerank unrolled-round convention over
+    * the (lo, hi) pair dictionary — each round one tt join, one denominator
+    * union-agg, the floored Praw pick, and the mean-1e6 renormalization,
+    * all in DuckDB `//` integer division (mirrors
+    * [[graft.scale.Preference.bradleyTerryMicro]] term for term).
+    */
+  private def bradleyTerryOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""t$r AS (
+         |  SELECT player, CAST(SUM(tt) AS BIGINT) AS t FROM (
+         |    SELECT pr.lo AS player,
+         |      (pr.n2 * 1000000000000) // (sl.p + sh.p) AS tt
+         |    FROM pr JOIN s${r - 1} sl ON sl.player = pr.lo
+         |    JOIN s${r - 1} sh ON sh.player = pr.hi
+         |    UNION ALL
+         |    SELECT pr.hi, (pr.n2 * 1000000000000) // (sl.p + sh.p)
+         |    FROM pr JOIN s${r - 1} sl ON sl.player = pr.lo
+         |    JOIN s${r - 1} sh ON sh.player = pr.hi)
+         |  GROUP BY 1),
+         |r$r AS (
+         |  SELECT pp.player, GREATEST(
+         |    (pp.wins2 * 1000000) // GREATEST(t$r.t // 1000000, 1), 1) AS praw
+         |  FROM pp JOIN t$r USING (player)),
+         |s$r AS (
+         |  SELECT player, GREATEST(
+         |    (praw * 1000000) // GREATEST(nn.s // nn.n, 1), 1) AS p
+         |  FROM r$r, (SELECT CAST(SUM(praw) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM r$r) nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH m AS (
+       |  SELECT event_id % 12 AS pa, (event_id // 12) % 12 AS pb,
+       |    user_id % 10 AS ock
+       |  FROM events WHERE event_id % 12 <> (event_id // 12) % 12),
+       |pr AS (
+       |  SELECT LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
+       |    CAST(2 * COUNT(*) AS BIGINT) AS n2,
+       |    CAST(SUM(CASE WHEN ock = 0 THEN 1
+       |      WHEN ock <= 6 THEN 2 ELSE 0 END) AS BIGINT) AS w2lo
+       |  FROM m GROUP BY 1, 2),
+       |pp AS (
+       |  SELECT player, CAST(SUM(n2) AS BIGINT) AS games2,
+       |    CAST(SUM(w2) AS BIGINT) AS wins2
+       |  FROM (
+       |    SELECT lo AS player, n2, w2lo AS w2 FROM pr
+       |    UNION ALL SELECT hi, n2, n2 - w2lo FROM pr)
+       |  GROUP BY 1),
+       |s0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM pp),
+       |$perRound
+       |SELECT pp.player, pp.games2, pp.wins2, s$rounds.p AS strength_micro,
+       |  ROUND(1500.0 + 400.0 * ln(CAST(s$rounds.p AS DOUBLE) / 1e6)
+       |    / ln(10.0), 6) AS elo
+       |FROM pp JOIN s$rounds USING (player)
+       |ORDER BY strength_micro DESC, player""".stripMargin
   }
 
   private def baseOracleSql: Map[String, String] =

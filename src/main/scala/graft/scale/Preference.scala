@@ -1,0 +1,128 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference-data fitting: Bradley-Terry strengths from pairwise
+  * comparison outcomes — the core curation op for RLHF / arena-style
+  * datasets, where a ranking must be FIT from (winner, loser) records
+  * before any training or filtering decision can use it. Complements the
+  * judge-ensemble agreement family (Fleiss/Krippendorff/B-cubed/ARI),
+  * which grades raters but cannot rank the rated items.
+  *
+  * Reference scope: the reference engine (`/root/reference/
+  * fast_ai_wrangler/`, pandas+LLM data wrangling) has no preference
+  * operator; this is a scale-path extension in the judge-ensemble family.
+  *
+  * Algorithm: the MM (minorize-maximize) iteration of Hunter, "MM
+  * algorithms for generalized Bradley-Terry models" (Annals of
+  * Statistics 32(1), 2004):
+  *   p_i ← W_i / Σ_j n_ij / (p_i + p_j)
+  * with W_i = wins of i, n_ij = games between i and j, followed by a
+  * mean-1 renormalization each round. Ties count half a win to each side
+  * (the standard halved-tie convention), carried as ×2 integer counts so
+  * every tally stays an exact long.
+  *
+  * Determinism (the repo's money rule, SURVEY §5.3): strengths are EXACT
+  * long micro-units (1e6 = mean strength) and every round is integer
+  * arithmetic only —
+  *   tt_ij  = (n2_ij · 1e12)  div (P_i + P_j)         (pair term)
+  *   T_i    = Σ_j tt_ij                               (long sum)
+  *   Praw_i = max((W2_i · 1e6) div max(T_i div 1e6, 1), 1)
+  *   P_i    = max((Praw_i · 1e6) div max(S div N, 1), 1),  S = Σ Praw
+  * The T div 1e6 / S div N pre-divisions keep every product under 2e18
+  * (no long overflow at any corpus size with N·1e6-normalized strengths);
+  * the max(…, 1) floors make zero-win players (the degenerate one-sided
+  * pair) well-defined without a division by zero — they pin to the
+  * smallest positive strength instead of collapsing the next round's
+  * p_i + p_j term. Associative long sums + per-row integer ops ⇒
+  * bit-identical on any partitioning and replayable in any 64-bit engine
+  * (the pageRankMicro unrolled-round oracle pattern, Graph.scala).
+  *
+  * Scale shape: ONE corpus-mass hash-aggregation collapses the match
+  * stream to the (lo, hi) pair-count dictionary (≤ N² rows, N = player
+  * count — arena leaderboards have N in the hundreds); the k MM rounds
+  * are joins and hash-aggs over that dictionary only. No corpus join-back,
+  * no window, no driver-side data-plane state.
+  */
+object Preference {
+
+  private val Micro = 1000000L
+
+  /** Bradley-Terry strengths in exact micro-units + an Elo-style report.
+    *
+    * @param matches one row per comparison: (playerA, playerB, outcome)
+    *                with outcome 0 = A wins, 1 = B wins, 2 = tie.
+    * @param rounds  fixed unrolled MM iteration count.
+    * @return (player, games2, wins2, strength_micro, elo) — games2/wins2
+    *         in ×2 tie-halved units; strength_micro the exact fitted
+    *         strength (mean ≈ 1e6); elo = round(1500 + 400·log10(
+    *         strength_micro/1e6), 6), the conventional 400-point-decade
+    *         display scale anchored at 1500 (the only float, a rounded
+    *         deterministic function of an exact long).
+    */
+  def bradleyTerryMicro(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one MM round")
+    // the one corpus-mass job: match stream -> unordered-pair dictionary
+    // (w2_lo = 2 per lo win + 1 per tie; n2 = 2 per game)
+    val lo = least(col(playerA), col(playerB))
+    val hi = greatest(col(playerA), col(playerB))
+    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
+      (col(outcomeCol) === 1 && col(playerB) === lo)
+    val pairs = matches
+      .filter(col(playerA) =!= col(playerB))
+      .select(lo.as("lo"), hi.as("hi"),
+        when(col(outcomeCol) === 2, lit(1L))
+          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l"))
+      .groupBy(col("lo"), col("hi"))
+      .agg((count(lit(1)) * 2).as("n2"),
+        sum(col("w2l")).as("w2lo"))
+      .localCheckpoint(true)
+    val perPlayer = pairs
+      .select(col("lo").as("player"), col("n2"), col("w2lo").as("w2"))
+      .unionByName(pairs.select(col("hi").as("player"), col("n2"),
+        (col("n2") - col("w2lo")).as("w2")))
+      .groupBy(col("player"))
+      .agg(sum(col("n2")).as("games2"), sum(col("w2")).as("wins2"))
+      .localCheckpoint(true)
+
+    var scores = perPlayer.select(col("player"), lit(Micro).as("p"))
+    for (_ <- 1 to rounds) {
+      val tt = pairs
+        .join(scores.select(col("player").as("lo"), col("p").as("plo")),
+          Seq("lo"))
+        .join(scores.select(col("player").as("hi"), col("p").as("phi")),
+          Seq("hi"))
+        .withColumn("tt",
+          expr("(n2 * 1000000000000L) div (plo + phi)"))
+      val denom = tt.select(col("lo").as("player"), col("tt"))
+        .unionByName(tt.select(col("hi").as("player"), col("tt")))
+        .groupBy(col("player")).agg(sum(col("tt")).as("t"))
+      val praw = perPlayer.join(denom, Seq("player"))
+        .withColumn("praw", expr(
+          "greatest((wins2 * 1000000L) div greatest(t div 1000000L, 1L), 1L)"))
+      val norm = praw.agg(sum(col("praw")).as("__s"),
+        count(lit(1)).as("__n"))
+      scores = praw.crossJoin(broadcast(norm))
+        .withColumn("p", expr(
+          "greatest((praw * 1000000L) div greatest(__s div __n, 1L), 1L)"))
+        .select(col("player"), col("p"))
+        // scores is referenced TWICE by the next round (the lo and hi
+        // strength joins) — without the eager cut the round-k lineage
+        // re-executes 2^k times (measured 24 s → ~4 s at sf0.1). The
+        // checkpointed relation is N rows (the player dictionary).
+        .localCheckpoint(true)
+    }
+    perPlayer.join(scores, Seq("player"))
+      .select(col("player"), col("games2"), col("wins2"),
+        col("p").as("strength_micro"),
+        round(lit(1500.0) +
+          lit(400.0) * log(col("p").cast("double") / 1e6) / log(lit(10.0)),
+          6).as("elo"))
+  }
+}

@@ -2179,6 +2179,81 @@ object TextAnalysis {
     scoresOf(pieces).select(col("p").as("piece"),
       col("cnt").as("n_count"), col("sc").as("logp_micro"))
   }
+
+  /** Unigram-LM Viterbi ENCODE — the serving half the trainer above was
+    * missing (SentencePiece's EncodeAsPieces): apply a trained piece
+    * vocabulary to held-out documents by max-plus Viterbi segmentation and
+    * report per-group token mass, closing the train→encode asymmetry with
+    * [[bpeEncode]] (bpe had both halves; unigram only train).
+    *
+    * Segmentation objective: maximize total piece log-probability; ties
+    * broken toward FEWER pieces. Both objectives ride ONE long per DP
+    * cell — step(piece) = logp_micro·1024 − 1, so greatest() compares
+    * (score, −count) lexicographically: scores differ by ≥ 1 micro-unit ⇒
+    * 1024·Δscore dominates the ≤ maxWordLen(24) < 1024 count term. The
+    * optimal piece count unpacks as (−best) mod 1024 (best < 0 always:
+    * every step is a negative log). Characters absent from the vocabulary
+    * (held-out docs see unseen chars; the trainer keeps only TRAIN chars)
+    * score at the add-one unseen mass ln(1/(tot+v)) — the <unk> piece —
+    * so every word segments and nothing is silently dropped.
+    *
+    * Scale shape: the trainer's discipline — held-out corpus collapses to
+    * the (group, word) dictionary in ONE hash-agg; the Viterbi DP runs
+    * once per DISTINCT word against a broadcast piece map; one join back
+    * to the dictionary and one per-group fold. No corpus-mass DP, no
+    * window, no driver-side state.
+    */
+  def unigramEncode(
+      train: DataFrame,
+      encode: DataFrame,
+      groupCol: String,
+      textCol: String,
+      maxPieceLen: Int = 3,
+      seedSize: Int = 40,
+      rounds: Int = 2,
+      pruneFrac: Double = 0.25,
+      maxWordLen: Int = 24): DataFrame = {
+    val NEG = "-1125899906842624"
+    // trained vocab — referenced twice (score map + unk mass): eager cut
+    val pieces = unigramLmTrain(train, textCol, maxPieceLen, seedSize,
+      rounds, pruneFrac, maxWordLen).localCheckpoint(true)
+    val tv = pieces.agg(sum(col("n_count")).as("__tot"),
+      count(lit(1)).as("__v"))
+    val smap = pieces
+      .agg(map_from_entries(collect_list(struct(col("piece"),
+        (col("logp_micro") * 1024 - 1).as("step")))).as("__m"))
+    val consts = smap.crossJoin(tv)
+      .withColumn("__unk",
+        round(log(lit(1.0) / (col("__tot") + col("__v")).cast("double"))
+          * 1e6).cast("long") * 1024 - 1)
+    val hw = encode
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) <= maxWordLen && length(col("w")) >= 1)
+      .groupBy(col("g"), col("w")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val cands = (1 to maxPieceLen).map { k =>
+      val sub = s"substr(w, j - $k + 1, $k)"
+      if (k == 1)
+        s"element_at(acc, j) + coalesce(element_at(__m, $sub), __unk)"
+      else
+        s"CASE WHEN j >= $k THEN coalesce(element_at(acc, j - $k + 1) + " +
+          s"element_at(__m, $sub), ${NEG}L) ELSE ${NEG}L END"
+    }
+    val dp = hw.select(col("w")).distinct()
+      .crossJoin(broadcast(consts))
+      .withColumn("best", expr(
+        s"element_at(aggregate(sequence(1, length(w)), " +
+          s"array(CAST(0 AS BIGINT)), (acc, j) -> concat(acc, " +
+          s"array(greatest(${cands.mkString(", ")})))), length(w) + 1)"))
+      .select(col("w"), expr("(-best) % 1024").as("toks"))
+    hw.join(dp, Seq("w"))
+      .groupBy(col("g"))
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("toks")).as("n_tokens"),
+        sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"))
+      .select(col("g").as(groupCol), col("n_words"), col("n_tokens"),
+        col("n_chars"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */

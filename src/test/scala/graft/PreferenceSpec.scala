@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.scale.Preference
+
+/** Bradley-Terry MM fit — hand-computed fixtures (exact integer algebra,
+  * 3 rounds, micro-units).
+  */
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fit(ms: Seq[(Long, Long, Int)]) =
+    Preference.bradleyTerryMicro(
+      ms.toDF("pa", "pb", "oc"), "pa", "pb", "oc", 3)
+
+  test("transitive triple recovers the skill order, exact micro values") {
+    // 0 beats 1 x3 (+1 tie), 1 beats 2 x3, one upset: 2 beats 0 once.
+    val ms = Seq.fill(3)((0L, 1L, 0)) ++ Seq.fill(3)((1L, 2L, 0)) ++
+      Seq((0L, 2L, 1), (0L, 1L, 2))
+    val got = fit(ms).orderBy($"player")
+      .select($"player", $"games2", $"wins2", $"strength_micro")
+      .collect().toSeq
+    // hand-walked: ties halve (x2 units), three MM rounds with the
+    // T div 1e6 / S div N pre-divisions and max(..,1) floors
+    assert(got === Seq(
+      Row(0L, 10L, 7L, 1666666L),
+      Row(1L, 14L, 7L, 952380L),
+      Row(2L, 8L, 2L, 380952L)))
+  }
+
+  test("all-tie pair fits equal strengths at the 1e6 mean") {
+    val got = fit(Seq((5L, 9L, 2), (9L, 5L, 2), (5L, 9L, 2)))
+      .select($"player", $"strength_micro", $"elo").collect()
+    assert(got.map(_.getLong(1)).toSet === Set(1000000L))
+    assert(got.map(_.getDouble(2)).toSet === Set(1500.0))
+  }
+
+  test("degenerate one-sided pair: loser floors at 1, no division blowup") {
+    val got = fit(Seq.fill(4)((1L, 2L, 0))).orderBy($"player")
+      .select($"player", $"wins2", $"strength_micro").collect().toSeq
+    // winner takes (almost) the whole 2e6 mass; loser pinned at the
+    // smallest positive strength — well-defined, never zero
+    assert(got.map(_.getLong(1)) === Seq(8L, 0L))
+    val Seq(w, l) = got.map(_.getLong(2)).toSeq
+    assert(l >= 1L && w > 1900000L && w > l)
+  }
+
+  test("self-matches are dropped; elo is the rounded 400/decade display") {
+    val ms = Seq((3L, 3L, 0), (1L, 2L, 0), (2L, 1L, 1))
+    val got = fit(ms).orderBy($"player").collect().toSeq
+    assert(got.map(_.getLong(0)) === Seq(1L, 2L))
+    val elo = got.head.getDouble(4)
+    val p = got.head.getLong(3)
+    assert(math.abs(elo -
+      BigDecimal(1500.0 + 400.0 * math.log10(p / 1e6))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
+
+  test("partition-invariant: 7-way repartition fits identical strengths") {
+    val ms = (0 until 60).map { i =>
+      ((i % 5).toLong, ((i / 5) % 5).toLong, i % 3)
+    }.filter { case (a, b, _) => a != b }
+    val base = fit(ms).orderBy($"player").collect().toSeq
+    val re = Preference.bradleyTerryMicro(
+      ms.toDF("pa", "pb", "oc").repartition(7), "pa", "pb", "oc", 3)
+      .orderBy($"player").collect().toSeq
+    assert(base === re)
+  }
+}

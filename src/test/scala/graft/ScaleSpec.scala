@@ -2856,4 +2856,24 @@ class ScaleSpec extends SparkSpec {
       ("a", 0L, -2639057L), ("ab", 7L, -559616L), ("b", 0L, -2639057L),
       ("c", 1L, -1945910L), ("d", 1L, -1945910L)))
   }
+
+  test("unigramEncode: Viterbi segmentation with the trainer's fixture " +
+      "vocab — score-optimal paths, <unk> chars, long-word drop") {
+    // train = the unigramLmTrain fixture above -> vocab {a,b,c,d,ab} with
+    // sc(ab)=-559616, sc(a)=sc(b)=-2639057, sc(c)=sc(d)=-1945910;
+    // tot=9, V=5 -> unk = round(ln(1/14)*1e6) = -2639057
+    val train = Seq("abab ab", "abab abab cd").toDF("text")
+    // held-out: g1 "abab" = ab+ab (2 toks; beats 4 single chars),
+    //   "xb" = <unk>+b (2), "cd" = c+d (2; no cd piece survives seeding);
+    //   the 25-char word exceeds maxWordLen and drops from EVERY tally
+    val enc = Seq(
+      ("g1", "abab xb cd " + "a" * 25),
+      ("g2", "ab ab")).toDF("source", "text")
+    val got = TextAnalysis.unigramEncode(train, enc, "source", "text",
+        2, 2, 1, 0.5, 24)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(("g1", 3L, 6L, 8L), ("g2", 2L, 2L, 4L)))
+  }
 }
