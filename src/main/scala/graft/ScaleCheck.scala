@@ -1173,6 +1173,16 @@ object ScaleCheck {
         // argmax run over the dictionary only
         (d: DataFrame) => graft.scale.Events.cusumChangepoint(d),
         events, "event_id", None),
+      ("kll_quantiles",
+        // one corpus hash-agg to the value dictionary; compaction + picks
+        // run at dictionary scale (key-shifted copies multiply counts,
+        // not distinct values — n grows, the dictionary doesn't)
+        (d: DataFrame) => graft.scale.Sketches.kllQuantiles(
+          d.withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "cents", 1024, Seq((1, 100), (50, 100), (99, 100))),
+        lineitem, "l_orderkey", None),
       ("bradley_terry",
         // one corpus hash-agg to the <=N^2 pair dictionary; the 3 MM
         // rounds join/agg that dictionary only (key-shifted copies add

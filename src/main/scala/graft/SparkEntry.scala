@@ -23,6 +23,11 @@ import graft.transform.TransformProgram
   */
 object SparkEntry {
 
+  /** The standard quantile probe set of the KLL sketch queries. */
+  private val kllProbes: Seq[(Int, Int)] =
+    Seq((1, 100), (5, 100), (10, 100), (25, 100), (50, 100), (75, 100),
+      (90, 100), (95, 100), (99, 100))
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
@@ -4566,6 +4571,40 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("q"))
     }),
 
+    // ---- deterministic KLL-shaped quantile sketch (guaranteed rank err) ----
+    // md5-bit tournament compaction over the value dictionary: k=1024 ->
+    // L = ceil(log2(n/k)) levels, every pick's |surv_rank - target| is
+    // emitted exact beside its 2^L - 1 worst-case guarantee (adversarial-
+    // input deterministic, unlike the sampling-error sample_quantiles).
+    "kll_quantiles_lineitem" -> ((s, dir) =>
+      graft.scale.Sketches.kllQuantiles(
+          t(s, dir, "lineitem").withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "cents", 1024, kllProbes)
+        .orderBy(col("q_num"))),
+
+    // ---- STREAMING KLL sketch (value-dictionary Complete-mode state) -------
+    // The pre-compaction state is the associative (value, count) monoid —
+    // micro-batch-order-free — and the deterministic compaction + picks
+    // fold on the drained dictionary (the streaming_percentiles shape;
+    // same bounded-domain caveat, same batch oracle verbatim).
+    "streaming_kll_quantiles_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      val counts = stream.groupBy(col("cents").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val name = "stream_kll_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Sketches.kllFromCounts(drained, 1024, kllProbes)
+        .orderBy(col("q_num"))
+    }),
+
     // ---- priority sampling (DLT) with unbiased-total estimator -------------
     // k=500 orders weighted by price; τ-threshold contributions sum to an
     // unbiased estimate of the exact corpus total carried alongside.
@@ -5416,6 +5455,11 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
+      // deterministic KLL sketch: dictionary + tournament-descent fold
+      ("kll_quantiles_lineitem" -> kllOracle),
+      // KLL twin: the (value, count) Complete-mode state is the batch
+      // dictionary (associative monoid) — same SQL verbatim
+      ("streaming_kll_quantiles_lineitem" -> kllOracle),
       ("mmr_select_embeddings" -> mmrOracleSql(0L, 8)),
       ("bpe_train_docs" -> bpeTrainOracle(8)),
       // the unigram-LM trainer replay: recursive-CTE Viterbi DPs
@@ -6313,6 +6357,56 @@ object SparkEntry {
        |    / ln(10.0), 6) AS elo
        |FROM pp JOIN s$rounds USING (player)
        |ORDER BY strength_micro DESC, player""".stripMargin
+  }
+
+  /** Deterministic KLL sketch replay: value dictionary + cumulative count,
+    * the md5-bit tournament descent as a list_reduce fold, the bounded
+    * block explode landing each survivor rank in its covering dictionary
+    * row, and the capped type-1 picks — mirrors
+    * [[graft.scale.Sketches.kllFromCounts]] term for term (k = 1024).
+    */
+  private def kllOracle: String = {
+    val probes = kllProbes.map { case (n, d) => s"($n,$d)" }.mkString(",")
+    s"""WITH vc AS (
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |    AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1),
+       |cm AS (SELECT v, c,
+       |  CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM vc),
+       |m2 AS (
+       |  SELECT n, lev, CAST(1 AS BIGINT) << lev AS p2 FROM (
+       |    SELECT n, (SELECT MIN(l) FROM range(0, 41) t(l)
+       |      WHERE m.n <= 1024 * (CAST(1 AS BIGINT) << l)) AS lev
+       |    FROM (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vc) m)),
+       |sv AS (
+       |  SELECT s.b, s.r, s.v FROM (
+       |    SELECT cm.v, cm.c, cm.cum, u.b,
+       |      list_reduce(
+       |        list_prepend(u.b, list_reverse(
+       |          list_filter(range(1, 41), i -> i <= m2.lev))),
+       |        (acc, l) -> acc * 2 +
+       |          CAST(('0x' || substr(md5(CAST(l AS VARCHAR) || ':' ||
+       |            CAST(acc AS VARCHAR)), 1, 1)) AS BIGINT) % 2) AS r
+       |    FROM cm, m2,
+       |      UNNEST(range((cm.cum - cm.c) // m2.p2,
+       |        (cm.cum - 1) // m2.p2 + 1)) AS u(b)) s
+       |  WHERE s.r >= s.cum - s.c AND s.r < s.cum),
+       |mx AS (SELECT MAX(b) AS maxb FROM sv),
+       |pk AS (
+       |  SELECT q_num, q_den, m2.n, CAST(m2.lev AS BIGINT) AS levels,
+       |    m2.p2, (q_num * m2.n + q_den - 1) // q_den - 1 AS t,
+       |    ((q_num * m2.n + q_den - 1) // q_den - 1) // m2.p2 > mx.maxb
+       |      AS capped,
+       |    LEAST(((q_num * m2.n + q_den - 1) // q_den - 1) // m2.p2,
+       |      mx.maxb) AS b
+       |  FROM (VALUES $probes) q(q_num, q_den), m2, mx)
+       |SELECT pk.q_num, pk.q_den, pk.n, pk.levels, pk.t AS target_rank,
+       |  sv.r AS surv_rank, sv.v AS est_value,
+       |  CAST(abs(sv.r - pk.t) AS BIGINT) AS rank_err,
+       |  CAST(CASE WHEN pk.capped THEN 2 * pk.p2 - 1 ELSE pk.p2 - 1 END
+       |    AS BIGINT) AS err_bound
+       |FROM pk JOIN sv USING (b)
+       |ORDER BY q_num""".stripMargin
   }
 
   private def baseOracleSql: Map[String, String] =

@@ -477,4 +477,116 @@ object Sketches {
       .select(gcols ++ Seq(col("tb"), col("n_zero_regs"),
         col("harmonic_num"), col("regs_digest"), col("hll_est")): _*)
   }
+
+  // ---------------------------------------------------------------------
+  // Deterministic KLL-shaped quantile sketch
+  // ---------------------------------------------------------------------
+
+  /** Quantile sketch with a GUARANTEED (not probabilistic) rank-error
+    * bound — the deterministic sibling of `percentile_approx`'s KLL
+    * (Karnin–Lang–Liberty, FOCS 2016), in the repo's exactly-replayable
+    * style beside the KMV/CMS/HLL family above.
+    *
+    * Construction (the KLL compactor made canonical): sort the multiset;
+    * pair adjacent items; per pair promote ONE survivor chosen by an md5
+    * digest bit; repeat L times, where L is the smallest level count with
+    * n ≤ k·2^L. The classic compactor analysis gives every level-ℓ
+    * compaction ≤ 2^ℓ rank perturbation, so after L levels any rank
+    * estimate is off by at most Σ 2^ℓ = 2^L − 1 < 2n/k — a WORST-CASE
+    * bound that holds for adversarial (e.g. fully sorted) input, because
+    * the digest bits depend only on (level, block index), never on values.
+    *
+    * The closed form this file computes: unrolling the tournament, the
+    * level-L survivor of block B (original sorted ranks [B·2^L,
+    * (B+1)·2^L)) sits at rank fold(B) = descend ℓ = L..1 with
+    * B ← 2·B + bit(ℓ, B), bit = md5("ℓ:B") first-hex-digit parity. Ranks
+    * are block-monotone, so the survivor SET is a pure function of
+    * (n, k) — and the whole sketch reduces to order statistics of the
+    * VALUE DICTIONARY: one corpus-mass hash-agg to (value, count), a
+    * dictionary-scale cumulative sum, and one bounded explode that lands
+    * each survivor rank in its covering dictionary row. No global
+    * per-item sort, no window over the corpus, no driver state.
+    *
+    * Mergeability / streaming: the pre-compaction state is the value
+    * dictionary — an associative count monoid, so partials merge by
+    * union-sum and the compaction replays on the merged dictionary (the
+    * streaming twin holds it as Complete-mode state; the
+    * streaming_percentiles bounded-domain caveat applies verbatim).
+    *
+    * Quantile picks: target rank t(p) = ceil(p·n) − 1 (type-1, integer
+    * (num·n + den − 1) div den − 1 — no float p·n), answered by the
+    * survivor of block t div 2^L (capped at the last populated block:
+    * the final PARTIAL block may have drawn a rank ≥ n). Emitted rank
+    * error |survivor_rank − t| is exact; its guarantee is 2^L − 1
+    * uncapped, 2^{L+1} − 1 capped.
+    */
+  def kllQuantiles(
+      df: DataFrame,
+      valueCol: String,
+      k: Int,
+      quantiles: Seq[(Int, Int)]): DataFrame =
+    kllFromCounts(
+      df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")),
+      k, quantiles)
+
+  /** The compaction + pick fold over a (v, c) value dictionary — shared by
+    * the batch build and the drained Complete-mode streaming state.
+    */
+  def kllFromCounts(
+      vc: DataFrame,
+      k: Int,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(k >= 1, s"capacity k >= 1, got $k")
+    require(quantiles.nonEmpty, "need at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 1 && num <= den, s"bad quantile $num/$den") }
+    val spark = vc.sparkSession
+    // dictionary-scale cumulative count (range-partitioned scaffold —
+    // the exactPercentiles discipline, no single-task window)
+    val cum = graft.sample.Samplers.globalCumSum(vc, Seq("v"), "c")
+      .localCheckpoint(true)
+    val meta = cum.agg(sum(col("c")).as("n"))
+      .withColumn("lev", expr(
+        s"array_min(filter(sequence(0, 40), " +
+          s"l -> n <= $k * shiftleft(CAST(1 AS BIGINT), l)))"))
+      .withColumn("p2", expr("shiftleft(CAST(1 AS BIGINT), lev)"))
+    // md5-bit tournament descent, evaluated ONCE PER BLOCK (≈ n/2^L ≤ k
+    // rows — the interpreted md5 lambda never touches the dictionary;
+    // evaluating it per dictionary row instead measured ~7 s at a 583k
+    // near-unique dictionary, vs sub-second this way)
+    val ranks = meta
+      .select(col("lev"),
+        explode(expr("sequence(CAST(0 AS BIGINT), (n + p2 - 1) div p2 - 1)"))
+          .as("b"))
+      .withColumn("r", expr(
+        "aggregate(reverse(filter(sequence(1, 40), i -> i <= lev)), " +
+          "CAST(b AS BIGINT), (acc, l) -> acc * 2 + " +
+          "CAST(conv(substr(md5(CAST(CAST(l AS STRING) || ':' || " +
+          "CAST(acc AS STRING) AS BINARY)), 1, 1), 16, 10) AS BIGINT) % 2)"))
+      .select(col("b"), col("r"))
+    // each dictionary row covers ranks [cum-c, cum): explode its candidate
+    // blocks (codegen'd, ≤ |dict| + n/2^L rows), broadcast-equi-join the
+    // per-block ranks, keep the rank that lands inside the row
+    val surv = cum.crossJoin(broadcast(meta))
+      .withColumn("b", explode(expr(
+        "sequence((__cum - c) div p2, (__cum - 1) div p2)")))
+      .join(broadcast(ranks), Seq("b"))
+      .filter(col("r") >= col("__cum") - col("c") && col("r") < col("__cum"))
+      .select(col("b"), col("r"), col("v"))
+      .localCheckpoint(true)
+    val maxb = surv.agg(max(col("b")).as("maxb"))
+    import spark.implicits._
+    val picks = quantiles.toDF("q_num", "q_den")
+      .crossJoin(broadcast(meta)).crossJoin(broadcast(maxb))
+      .withColumn("t", expr("(q_num * n + q_den - 1) div q_den - 1"))
+      .withColumn("capped", expr("t div p2 > maxb"))
+      .withColumn("b", expr("least(t div p2, maxb)"))
+    picks.join(surv, Seq("b"))
+      .select(col("q_num"), col("q_den"), col("n"),
+        col("lev").cast("long").as("levels"), col("t").as("target_rank"),
+        col("r").as("surv_rank"), col("v").as("est_value"),
+        abs(col("r") - col("t")).as("rank_err"),
+        expr("CASE WHEN capped THEN 2 * p2 - 1 ELSE p2 - 1 END")
+          .as("err_bound"))
+  }
 }

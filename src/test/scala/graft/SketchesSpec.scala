@@ -319,6 +319,96 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  // ---- deterministic KLL-shaped quantile sketch --------------------------
+
+  /** JVM replica of the md5-bit tournament descent (the oracle fold). */
+  private def kllDescent(block: Long, lev: Int): Long = {
+    var acc = block
+    var l = lev
+    while (l >= 1) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$l:$acc".getBytes("UTF-8"))
+      val bit = ((d(0) >> 4) & 0xf) % 2
+      acc = acc * 2 + bit
+      l -= 1
+    }
+    acc
+  }
+
+  test("kllQuantiles: adversarial sorted stream — one survivor per block " +
+      "at the md5-descent rank, every pick inside the 2^L - 1 guarantee") {
+    import spark.implicits._
+    // n = 32 distinct ascending values (the sorted stream that defeats
+    // naive reservoir estimates), k = 4 -> L = 3, blocks of 8
+    val df = (0L until 32L).toDF("x")
+    val qs = Seq((25, 100), (50, 100), (75, 100), (99, 100))
+    val got = graft.scale.Sketches.kllQuantiles(df, "x", 4, qs)
+      .orderBy("q_num").collect()
+    assert(got.forall(_.getLong(3) == 3L)) // levels
+    got.foreach { r =>
+      val (t, sr, v, err, bound) = (r.getLong(4), r.getLong(5),
+        r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(sr == v) // value IS its rank on 0..31
+      assert(sr == kllDescent(t / 8, 3)) // the designed survivor rank
+      assert(err == math.abs(sr - t) && err <= bound && bound == 7L)
+    }
+  }
+
+  test("kllQuantiles: n <= k degenerates to exact type-1 quantiles " +
+      "(L = 0, zero rank error)") {
+    import spark.implicits._
+    val df = Seq(10L, 20L, 30L, 40L, 50L).toDF("x")
+    val got = graft.scale.Sketches
+      .kllQuantiles(df, "x", 8, Seq((20, 100), (50, 100), (90, 100)))
+      .orderBy("q_num").collect()
+    assert(got.map(r => (r.getLong(4), r.getLong(6), r.getLong(7)))
+      .toSeq === Seq((0L, 10L, 0L), (2L, 30L, 0L), (4L, 50L, 0L)))
+  }
+
+  test("kllQuantiles: guarantee holds across n (partial-block caps " +
+      "included) and duplicate-heavy dictionaries") {
+    import spark.implicits._
+    for (n <- Seq(17L, 33L, 41L, 63L, 100L)) {
+      val df = (0L until n).toDF("x")
+      graft.scale.Sketches
+        .kllQuantiles(df, "x", 4, Seq((1, 100), (50, 100), (99, 100)))
+        .collect().foreach { r =>
+          assert(r.getLong(7) <= r.getLong(8),
+            s"n=$n err ${r.getLong(7)} > bound ${r.getLong(8)}") }
+    }
+    // 3-row dictionary, 128 items: the sketch sees only (value, count)
+    val dup = Seq.fill(100)(5L) ++ Seq.fill(27)(9L) ++ Seq(2L)
+    val got = graft.scale.Sketches
+      .kllQuantiles(dup.toDF("x"), "x", 4, Seq((50, 100), (99, 100)))
+      .orderBy("q_num").collect()
+    assert(got.map(_.getLong(6)).toSeq === Seq(5L, 9L))
+    assert(got.forall(r => r.getLong(7) <= r.getLong(8)))
+  }
+
+  test("kllQuantiles: partition-invariant, and dictionary partials merge " +
+      "by union-sum to the whole-corpus sketch") {
+    import spark.implicits._
+    val vals = (0 until 300).map(i => (i * 7 % 61).toLong)
+    val df = vals.toDF("x")
+    val base = graft.scale.Sketches
+      .kllQuantiles(df, "x", 16, Seq((10, 100), (50, 100), (90, 100)))
+      .orderBy("q_num").collect().toSeq
+    val re = graft.scale.Sketches
+      .kllQuantiles(df.repartition(7), "x", 16,
+        Seq((10, 100), (50, 100), (90, 100)))
+      .orderBy("q_num").collect().toSeq
+    assert(base === re)
+    // merge = union-sum of two disjoint-half dictionaries, then recompact
+    val (h1, h2) = (vals.take(150), vals.drop(150))
+    val merged = h1.toDF("v").groupBy("v").count()
+      .unionByName(h2.toDF("v").groupBy("v").count())
+      .groupBy("v").agg(sum("count").as("c"))
+    val fromMerge = graft.scale.Sketches
+      .kllFromCounts(merged, 16, Seq((10, 100), (50, 100), (90, 100)))
+      .orderBy("q_num").collect().toSeq
+    assert(base === fromMerge)
+  }
+
   test("streaming HLL state merges across micro-batches to the batch answer") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
