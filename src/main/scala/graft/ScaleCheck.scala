@@ -150,6 +150,11 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.tokenizerFertility(
           d, "lang", "text", 8),
         docs, "doc_id", None),
+      ("sequence_pack",
+        // one token-count scan + one hash-agg to the <=log2(C)+1 bucket
+        // dictionary; the packing itself is the closed form (no sort)
+        (d: DataFrame) => TextAnalysis.bfdPack(d, "text", 256),
+        docs, "doc_id", None),
       ("unigram_encode",
         // the bpe_encode collapse discipline: held-out corpus -> (source,
         // word) dictionary in one hash-agg; the Viterbi DP runs per

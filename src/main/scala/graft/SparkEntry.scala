@@ -1355,6 +1355,16 @@ object SparkEntry {
         .select(col("doc_id"), col("n_tokens"), col("shard_id"))
         .orderBy(col("doc_id"))),
 
+    // ---- BFD sequence packing into fixed context windows -------------------
+    // Whole-document packing with power-of-two length buckets: best-fit-
+    // decreasing is optimal for divisor-chain sizes (Coffman-Garey-Johnson
+    // 1987) and collapses to bins = ceil(volume/C) — exact rounding +
+    // tail waste, vs the doc-splitting greedy (shard_pack) and the batch
+    // padding account (padding_waste).
+    "sequence_pack_docs" -> ((s, dir) =>
+      TextAnalysis.bfdPack(t(s, dir, "documents"), "text", 256)
+        .orderBy(col("kind"), col("bucket_len"))),
+
     // ---- shard release manifest (per-shard stats + content checksums) ------
     "shard_manifest_docs" -> ((s, dir) =>
       TextAnalysis.shardManifest(t(s, dir, "documents"), "doc_id", "text",
@@ -5455,6 +5465,37 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
+      // BFD sequence packing: the divisible-sizes closed form
+      ("sequence_pack_docs" ->
+        """WITH tk AS (
+          |  SELECT LEAST(CAST(len(list_filter(string_split_regex(
+          |    lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT), 256) AS tl
+          |  FROM documents),
+          |bk AS (
+          |  SELECT tl, CAST(1 AS BIGINT) << list_min(list_filter(
+          |    range(0, 9), j -> tl <= CAST(1 AS BIGINT) << j)) AS bl
+          |  FROM tk WHERE tl >= 1),
+          |agg AS (
+          |  SELECT bl AS bucket_len, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |    CAST(SUM(tl) AS BIGINT) AS sum_tokens,
+          |    CAST(COUNT(*) * bl AS BIGINT) AS bucket_tokens
+          |  FROM bk GROUP BY 1),
+          |tot AS (
+          |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+          |    CAST(SUM(sum_tokens) AS BIGINT) AS sum_tokens,
+          |    CAST(SUM(bucket_tokens) AS BIGINT) AS bucket_tokens
+          |  FROM agg)
+          |SELECT 'bucket' AS kind, bucket_len, n_docs, sum_tokens,
+          |  bucket_tokens, bucket_tokens - sum_tokens AS round_waste,
+          |  CAST(NULL AS BIGINT) AS n_bins,
+          |  CAST(NULL AS BIGINT) AS tail_waste
+          |FROM agg
+          |UNION ALL
+          |SELECT 'total', NULL, n_docs, sum_tokens, bucket_tokens,
+          |  bucket_tokens - sum_tokens, (bucket_tokens + 255) // 256,
+          |  ((bucket_tokens + 255) // 256) * 256 - bucket_tokens
+          |FROM tot
+          |ORDER BY kind, bucket_len""".stripMargin),
       // deterministic KLL sketch: dictionary + tournament-descent fold
       ("kll_quantiles_lineitem" -> kllOracle),
       // KLL twin: the (value, count) Complete-mode state is the batch

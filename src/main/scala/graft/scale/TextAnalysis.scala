@@ -377,6 +377,69 @@ object TextAnalysis {
       sum(graft.sample.Samplers.hashDraw32(repr)).as("content_checksum"))
   }
 
+  /** Best-fit-decreasing sequence packing into fixed context windows —
+    * the training-efficiency op beside the greedy packers
+    * ([[packIntoShards]] = arrival-order cumsum that splits documents;
+    * [[paddingWaste]] = batch padding accounting): pack WHOLE documents
+    * into `contextLen`-token windows with exact waste accounting.
+    *
+    * Lengths are bucketed UP to powers of two (truncated at contextLen,
+    * which must itself be a power of two). With divisor-chain item sizes,
+    * best-fit-decreasing is OPTIMAL for the bucketed instance (Coffman,
+    * Garey & Johnson, "Bin packing with divisible item sizes", J.
+    * Complexity 3(4) 1987) and collapses to a CLOSED FORM: processing
+    * sizes descending, at most one bin is ever partially filled (every
+    * open remainder is a multiple of the current size, and best-fit
+    * drains it before opening a bin), so
+    *   bins = ceil(Σ bucketed / contextLen)
+    * exactly — no sequential simulation, no global sort. The two waste
+    * terms are separated exactly: per-bucket rounding waste
+    * (Σ bucketed − Σ true) and the single tail (bins·C − Σ bucketed).
+    *
+    * Scale shape: one token-count scan + ONE hash-aggregate to the
+    * ≤ log2(contextLen)+1 bucket dictionary; the totals are a fold of
+    * that dictionary. Zero-token documents occupy no window and are
+    * dropped from every tally.
+    *
+    * Output: one row per bucket (kind='bucket'; n_bins/tail_waste NULL)
+    * plus the kind='total' roll-up carrying the bin count and tail.
+    */
+  def bfdPack(
+      df: DataFrame,
+      textCol: String,
+      contextLen: Int = 2048): DataFrame = {
+    require(contextLen >= 1 && (contextLen & (contextLen - 1)) == 0,
+      s"contextLen must be a power of two, got $contextLen")
+    val maxJ = java.lang.Integer.numberOfTrailingZeros(contextLen)
+    val bk = df
+      .select(least(tokenCount(col(textCol)).cast("long"),
+        lit(contextLen.toLong)).as("tl"))
+      .filter(col("tl") >= 1)
+      .withColumn("bl", expr(
+        s"shiftleft(CAST(1 AS BIGINT), array_min(filter(sequence(0, " +
+          s"$maxJ), j -> tl <= shiftleft(CAST(1 AS BIGINT), j))))"))
+    val agg = bk.groupBy(col("bl").as("bucket_len"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tl")).as("sum_tokens"))
+      .withColumn("bucket_tokens", col("n_docs") * col("bucket_len"))
+      .localCheckpoint(true)
+    val tot = agg.agg(sum(col("n_docs")).as("n_docs"),
+      sum(col("sum_tokens")).as("sum_tokens"),
+      sum(col("bucket_tokens")).as("bucket_tokens"))
+    val c = contextLen.toLong
+    agg.select(lit("bucket").as("kind"), col("bucket_len"), col("n_docs"),
+        col("sum_tokens"), col("bucket_tokens"),
+        (col("bucket_tokens") - col("sum_tokens")).as("round_waste"),
+        lit(null).cast("long").as("n_bins"),
+        lit(null).cast("long").as("tail_waste"))
+      .unionByName(tot.select(lit("total").as("kind"),
+        lit(null).cast("long").as("bucket_len"), col("n_docs"),
+        col("sum_tokens"), col("bucket_tokens"),
+        (col("bucket_tokens") - col("sum_tokens")).as("round_waste"),
+        expr(s"(bucket_tokens + ${c - 1}) div $c").as("n_bins"),
+        (expr(s"(bucket_tokens + ${c - 1}) div $c") * c -
+          col("bucket_tokens")).as("tail_waste")))
+  }
+
   /** Corpus-level bigram conditional statistics: for each bigram "w1 w2",
     * its corpus count and P(w2|w1) = count(w1 w2)/count(w1 ·) as an exact
     * integer ratio — the co-occurrence table behind language-model-ish

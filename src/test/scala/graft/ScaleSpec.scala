@@ -2857,6 +2857,70 @@ class ScaleSpec extends SparkSpec {
       ("c", 1L, -1945910L), ("d", 1L, -1945910L)))
   }
 
+  private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+
+  /** Real sequential best-fit-decreasing over item sizes (test replica). */
+  private def bfdBins(sizes: Seq[Long], c: Long): Int = {
+    val bins = scala.collection.mutable.ArrayBuffer.empty[Long] // remaining
+    sizes.sorted.reverse.foreach { s =>
+      val fit = bins.zipWithIndex.filter(_._1 >= s)
+      if (fit.isEmpty) bins += (c - s)
+      else { val (_, i) = fit.minBy(_._1); bins(i) -= s }
+    }
+    bins.size
+  }
+
+  /** Arrival-order next-fit (the naive greedy the BFD op improves on). */
+  private def nextFitBins(sizes: Seq[Long], c: Long): Int = {
+    var bins = 0; var rem = 0L
+    sizes.foreach { s =>
+      if (bins == 0 || rem < s) { bins += 1; rem = c - s } else rem -= s
+    }
+    bins
+  }
+
+  test("bfdPack: hand fixture — bucket rows, closed-form bins = real BFD, " +
+      "and BFD beats arrival next-fit") {
+    // token counts [5,3,3,2,1,1], C=8 -> buckets [8,4,4,2,1,1]
+    val lens = Seq(5, 3, 3, 2, 1, 1)
+    val d = lens.map(words).toDF("text")
+    val got = TextAnalysis.bfdPack(d, "text", 8)
+      .orderBy("kind", "bucket_len").collect()
+      .map(r => (r.getString(0), Option(r.get(1)), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), Option(r.get(6)),
+        Option(r.get(7)))).toSeq
+    assert(got === Seq(
+      ("bucket", Some(1L), 2L, 2L, 2L, 0L, None, None),
+      ("bucket", Some(2L), 1L, 2L, 2L, 0L, None, None),
+      ("bucket", Some(4L), 2L, 6L, 8L, 2L, None, None),
+      ("bucket", Some(8L), 1L, 5L, 8L, 3L, None, None),
+      ("total", None, 6L, 15L, 20L, 5L, Some(3L), Some(4L))))
+    // the closed form IS best-fit-decreasing on the bucketed instance...
+    assert(bfdBins(Seq(8L, 4L, 4L, 2L, 1L, 1L), 8L) == 3)
+    // ...and beats the arrival-order greedy on this arrival
+    assert(nextFitBins(Seq(1L, 8L, 4L, 2L, 4L, 1L), 8L) == 4)
+  }
+
+  test("bfdPack: closed-form bins equal a real sequential BFD on a " +
+      "pseudo-random corpus; truncation and zero-token drop") {
+    val lens = (0 until 60).map(i => i * 37 % 97 + 1)
+    val d = lens.map(words).toDF("text")
+    val total = TextAnalysis.bfdPack(d, "text", 64)
+      .filter(col("kind") === "total").collect().head
+    val bucketed = lens.map { n =>
+      val t = math.min(n, 64)
+      var b = 1L; while (b < t) b <<= 1; b
+    }
+    assert(total.getLong(6) == bfdBins(bucketed.map(identity), 64L).toLong)
+    assert(total.getLong(4) == bucketed.sum)
+    // empty doc drops; 300-token doc truncates into the C bucket
+    val e = TextAnalysis.bfdPack(
+      Seq("", words(300)).toDF("text"), "text", 256)
+      .orderBy("kind").collect()
+    assert(e.length == 2 && e(0).getLong(2) == 1L &&
+      e(0).get(1) == 256L && e(0).getLong(3) == 256L)
+  }
+
   test("unigramEncode: Viterbi segmentation with the trainer's fixture " +
       "vocab — score-optimal paths, <unk> chars, long-word drop") {
     // train = the unigramLmTrain fixture above -> vocab {a,b,c,d,ab} with
