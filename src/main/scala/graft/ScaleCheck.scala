@@ -150,6 +150,18 @@ object ScaleCheck {
         (d: DataFrame) => TextAnalysis.tokenizerFertility(
           d, "lang", "text", 8),
         docs, "doc_id", None),
+      ("video_dup",
+        // shot-key sets -> banded MinHash buckets -> exact-Jaccard verify;
+        // salted copies keep dup structure per replica, candidate mass
+        // tracks band collisions (never all-pairs)
+        (d: DataFrame) => {
+          val base = d.select(col("doc_id"), col("text"))
+          val echo = base.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(999999999L))
+          graft.scale.Multimodal.videoDupPairs(
+            graft.scale.Multimodal.fromDocuments(base.unionByName(echo)))
+        },
+        docs, "doc_id", Some("text")),
       ("sequence_pack",
         // one token-count scan + one hash-agg to the <=log2(C)+1 bucket
         // dictionary; the packing itself is the closed form (no sort)

@@ -1846,6 +1846,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- video near-dup pairs (shot-signature sets, MinHash + exact J) ----
+    // Re-ingested clips (every 13th doc — 13 = 1 mod 3 so the video kind
+    // survives; id +999999999 shifts n_frames mod 30, so the echo is a
+    // RE-CUT of the same clip): shot-key sets -> 8-draw MinHash, 4 bands
+    // of 2 -> exact set-Jaccard verify at the integer 2|∩| >= |∪| gate.
+    "video_dup_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val echo = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999999L))
+      val media = Multimodal.fromDocuments(docs.unionByName(echo))
+      Multimodal.videoDupPairs(media)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- video shot-boundary screening -------------------------------------
     // Frame-difference detector over the seam signatures; per-row state
     // bounded by n_frames, no frame explosion, no shuffle.
@@ -5465,6 +5479,66 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
+      // video near-dup: shot segmentation (lag + cumulative breaks) ->
+      // shot-key MinHash bands -> exact set-Jaccard verify
+      ("video_dup_docs" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 999999999, text FROM documents
+          |  WHERE doc_id % 13 = 0),
+          |vid AS (
+          |  SELECT doc_id, text, CAST(doc_id % 30 + 1 AS INT) AS n_frames
+          |  FROM corpus WHERE doc_id % 3 = 2),
+          |fr AS (
+          |  SELECT doc_id, CAST(f AS INT) AS f,
+          |    CAST(('0x' || substring(md5(text || CAST(f AS VARCHAR)),
+          |      1, 2)) AS INT) AS sig
+          |  FROM vid, UNNEST(range(0, n_frames)) AS u(f)),
+          |bd AS (
+          |  SELECT doc_id, f, sig,
+          |    CASE WHEN f > 0 AND abs(sig - lag(sig) OVER w) > 64
+          |      THEN 1 ELSE 0 END AS brk
+          |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+          |sh AS (
+          |  SELECT doc_id, f, sig, SUM(brk) OVER
+          |    (PARTITION BY doc_id ORDER BY f) AS shot_id
+          |  FROM bd),
+          |ks0 AS (
+          |  SELECT doc_id, STRING_AGG(CAST(sig AS VARCHAR), '-'
+          |    ORDER BY f) AS shot_key
+          |  FROM sh GROUP BY doc_id, shot_id),
+          |ks AS (SELECT DISTINCT doc_id, shot_key FROM ks0),
+          |mh AS (
+          |  SELECT doc_id, s,
+          |    MIN(md5(CAST(s AS VARCHAR) || ':' || shot_key)) AS h
+          |  FROM ks, UNNEST(range(0, 8)) AS su(s)
+          |  GROUP BY 1, 2),
+          |bands AS (
+          |  SELECT doc_id, s // 2 AS band,
+          |    MIN(CASE WHEN s % 2 = 0 THEN h END) ||
+          |    MIN(CASE WHEN s % 2 = 1 THEN h END) AS bkey
+          |  FROM mh GROUP BY doc_id, s // 2),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.bkey = b.bkey
+          |      AND a.doc_id < b.doc_id),
+          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM ks GROUP BY 1),
+          |iv AS (
+          |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+          |  FROM cand c JOIN ks ka ON ka.doc_id = c.id_a
+          |  JOIN ks kb ON kb.doc_id = c.id_b
+          |    AND kb.shot_key = ka.shot_key
+          |  GROUP BY 1, 2)
+          |SELECT iv.id_a, iv.id_b, sa.n AS n_a, sb.n AS n_b, iv.n_common,
+          |  ROUND(CAST(iv.n_common AS DOUBLE) /
+          |    CAST(sa.n + sb.n - iv.n_common AS DOUBLE), 6) AS jaccard
+          |FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+          |JOIN sz sb ON sb.doc_id = iv.id_b
+          |WHERE iv.n_common * 2 >= sa.n + sb.n - iv.n_common
+          |ORDER BY 1, 2""".stripMargin),
       // BFD sequence packing: the divisible-sizes closed form
       ("sequence_pack_docs" ->
         """WITH tk AS (

@@ -514,6 +514,108 @@ object Multimodal {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Per-video SHOT-SIGNATURE sets — the clip-level identity
+    * [[shotBoundaries]] stops short of: each shot (maximal frame run
+    * between boundary jumps) keyed by its frame-signature sequence joined
+    * with '-'. A re-encoded or re-cut ingest of the same clip shares its
+    * complete interior shots (frame signatures depend only on payload +
+    * frame index), so shot-key SET similarity is the video analog of the
+    * audio energy-delta fingerprint. Same decode discipline as
+    * shotBoundaries: one pass, per-row state bounded by n_frames, output
+    * one row per DISTINCT shot key.
+    */
+  def videoShotKeys(media: DataFrame, idCol: String = "doc_id",
+      threshold: Int = 64): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("shot_key", StringType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("meta.kind") === "video")
+      .select(col(idCol), col("payload"),
+        col("meta.n_frames").as("n_frames"))
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val id = r.getLong(0)
+          val n = r.getInt(2)
+          val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+          var sb = new StringBuilder
+          var prev = -1
+          var f = 0
+          while (f < n) {
+            val sig = StubCodec.frameSignature(payload, f)
+            if (f > 0 && math.abs(sig - prev) > threshold) {
+              keys += sb.toString; sb = new StringBuilder
+            }
+            if (sb.nonEmpty) sb.append('-')
+            sb.append(sig)
+            prev = sig
+            f += 1
+          }
+          if (n > 0) keys += sb.toString
+          keys.iterator.map(k => Row(id, k))
+        }
+      }(enc)
+  }
+
+  /** Video-level near-duplicate pairs: MinHash-LSH over the
+    * [[videoShotKeys]] sets (8 draws, 4 bands of 2 — the repo's document
+    * MinHash convention with shot keys as the shingles), candidates
+    * verified by EXACT set Jaccard, kept iff jaccard ≥ 1/2 (the integer
+    * test 2·|∩| ≥ |∪| — no float on the threshold). Catches the
+    * re-ingested / re-cut clip: a truncated copy shares every interior
+    * shot, only the cut-point shot key differs.
+    *
+    * Scale shape: corpus → shot-key rows (one decode pass) → 8 md5 draws
+    * + band buckets (hash-aggs) → band-bucket equi-join (linear candidate
+    * mass, never all-pairs) → per-candidate exact intersection via one
+    * keyed join. LSH recall is the standard 1−(1−J²)^4 curve, replayed
+    * EXACTLY by the oracle (same draws, same bands).
+    */
+  def videoDupPairs(media: DataFrame, idCol: String = "doc_id",
+      threshold: Int = 64): DataFrame = {
+    // reused three times (draws, sizes, intersection): eager cut
+    val keys = videoShotKeys(media, idCol, threshold).localCheckpoint(true)
+    val mh = keys
+      .select(col(idCol), explode(lit((0 until 8).toArray)).as("s"),
+        col("shot_key"))
+      .withColumn("h", md5(concat(col("s").cast("string"), lit(":"),
+        col("shot_key")).cast("binary")))
+      .groupBy(col(idCol), col("s")).agg(min(col("h")).as("h"))
+    // rows-per-band = 2: band key = even-draw min || odd-draw min
+    val bands = mh.withColumn("band", expr("s div 2"))
+      .groupBy(col(idCol), col("band"))
+      .agg(concat(min(when(col("s") % 2 === 0, col("h"))),
+        min(when(col("s") % 2 === 1, col("h")))).as("bkey"))
+    val cand = bands.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+      .join(bands.select(col("band"), col("bkey"), col(idCol).as("id_b")),
+        Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = keys.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(keys.select(col(idCol).as("id_a"), col("shot_key")),
+        Seq("id_a"))
+      .join(keys.select(col(idCol).as("id_b"), col("shot_key")),
+        Seq("id_b", "shot_key"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    cand.join(inter, Seq("id_a", "id_b"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .filter(col("n_common") * 2 >= col("n_a") + col("n_b") - col("n_common"))
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+  }
+
   /** Cross-modal alignment-score filter — the CLIP-score curation step
     * (Radford et al. 2021; the LAION-400M/5B pipeline, Schuhmann et al.
     * 2021, keeps an image-text pair iff the cosine of its CLIP embeddings

@@ -345,4 +345,46 @@ class MultimodalSpec extends SparkSpec {
     val img = df.withColumn("meta", struct(lit("image").as("kind")))
     assert(Multimodal.audioStats(img).count() == 0L)
   }
+
+  test("videoShotKeys: segmentation matches a JVM frame-walk replica; " +
+      "repeated shot keys dedup to one row") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val mm = Multimodal.fromDocuments(Seq((26L, text)).toDF("doc_id", "text"))
+    val got = Multimodal.videoShotKeys(mm).collect()
+      .map(_.getString(1)).toSet
+    // replica: md5(payload ++ frame-index-string) first byte, break > 64
+    val sigs = (0 until 27).map { f =>
+      MessageDigest.getInstance("MD5")
+        .digest((text + f.toString).getBytes("UTF-8"))(0) & 0xff
+    }
+    val keys = scala.collection.mutable.LinkedHashSet.empty[String]
+    var cur = List.empty[Int]
+    sigs.zipWithIndex.foreach { case (s, f) =>
+      if (f > 0 && math.abs(s - cur.head) > 64) {
+        keys += cur.reverse.mkString("-"); cur = Nil
+      }
+      cur = s :: cur
+    }
+    keys += cur.reverse.mkString("-")
+    assert(got === keys.toSet)
+  }
+
+  test("videoDupPairs: planted re-cut clip recovered with exact set " +
+      "Jaccard; low-overlap stub and foreign clip stay out") {
+    val fox = "the quick brown fox jumps over the lazy dog"
+    // 26 -> 27 frames, 29 -> the 30-frame re-cut (17 of 19 shots shared),
+    // 11 -> a 12-frame stub of the same clip (6/19 — below the 1/2 gate),
+    // 23 -> an unrelated clip
+    val mm = Multimodal.fromDocuments(Seq(
+      (26L, fox), (29L, fox), (11L, fox),
+      (23L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text"))
+    val got = Multimodal.videoDupPairs(mm).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((26L, 29L, 17L, 19L, 17L)))
+    assert(r.getDouble(5) === BigDecimal(17.0 / 19.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
