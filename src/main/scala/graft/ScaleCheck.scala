@@ -1216,6 +1216,21 @@ object ScaleCheck {
                   when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
           "pa", "pb", "oc", 3),
         events, "event_id", None),
+      ("copeland",
+        // the bradley_terry first-agg shape minus the MM rounds: one
+        // corpus hash-agg to the pair dictionary + two dictionary folds
+        (d: DataFrame) => graft.scale.Preference.copelandPanel(
+          d.select(expr("event_id % 12").as("pa"),
+              expr("(event_id div 12) % 12").as("pb"),
+              expr("user_id % 10").as("ock"))
+            .withColumn("oc",
+              when(col("ock") === 0, lit(2))
+                .when(col("ock") <= 6,
+                  when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+                .otherwise(
+                  when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+          "pa", "pb", "oc"),
+        events, "event_id", None),
       ("key_candidates",
         // one 3-way explode + tuple-class hash-agg + per-combo fold
         (d: DataFrame) => graft.metrics.Metrics.keyCandidates(d, Seq(

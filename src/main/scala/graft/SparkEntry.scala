@@ -4213,6 +4213,25 @@ object SparkEntry {
         "pa", "pb", "oc", 3)
         .orderBy(col("strength_micro").desc, col("player"))),
 
+    // ---- Condorcet / Copeland head-to-head panel ---------------------------
+    // The non-parametric companion to the BT fit on the SAME matches:
+    // majority graph per pair, Copeland score = h2h wins - losses,
+    // is_condorcet flags a player beating every opponent faced.
+    "copeland_events" -> ((s, dir) =>
+      graft.scale.Preference.copelandPanel(
+        t(s, dir, "events")
+          .select(expr("event_id % 12").as("pa"),
+            expr("(event_id div 12) % 12").as("pb"),
+            expr("user_id % 10").as("ock"))
+          .withColumn("oc",
+            when(col("ock") === 0, lit(2))
+              .when(col("ock") <= 6,
+                when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+              .otherwise(
+                when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+        "pa", "pb", "oc")
+        .orderBy(col("copeland").desc, col("player"))),
+
     // ---- LOCF daily resample (carry the level, account the staleness) -----
     // gap_fill zero-fills (additive series); LOCF carries the last level
     // via an exact max-day theta-join on the trendDaily dictionary — no
@@ -5479,6 +5498,8 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
+      // Copeland/Condorcet: majority-graph fold on the same dictionary
+      ("copeland_events" -> copelandOracle),
       // video near-dup: shot segmentation (lag + cumulative breaks) ->
       // shot-key MinHash bands -> exact set-Jaccard verify
       ("video_dup_docs" ->
@@ -6425,6 +6446,43 @@ object SparkEntry {
     * all in DuckDB `//` integer division (mirrors
     * [[graft.scale.Preference.bradleyTerryMicro]] term for term).
     */
+  /** The arena-match fabrication + (lo, hi) pair-count dictionary shared
+    * by the Bradley-Terry and Copeland oracles.
+    */
+  private val btPairCtes: String =
+    """WITH m AS (
+      |  SELECT event_id % 12 AS pa, (event_id // 12) % 12 AS pb,
+      |    user_id % 10 AS ock
+      |  FROM events WHERE event_id % 12 <> (event_id // 12) % 12),
+      |pr AS (
+      |  SELECT LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
+      |    CAST(2 * COUNT(*) AS BIGINT) AS n2,
+      |    CAST(SUM(CASE WHEN ock = 0 THEN 1
+      |      WHEN ock <= 6 THEN 2 ELSE 0 END) AS BIGINT) AS w2lo
+      |  FROM m GROUP BY 1, 2)""".stripMargin
+
+  /** Copeland / Condorcet panel replay over the shared pair dictionary. */
+  private def copelandOracle: String =
+    s"""$btPairCtes,
+       |sides AS (
+       |  SELECT lo AS player,
+       |    CASE WHEN w2lo * 2 > n2 THEN 1 ELSE 0 END AS w,
+       |    CASE WHEN w2lo * 2 = n2 THEN 1 ELSE 0 END AS t
+       |  FROM pr
+       |  UNION ALL
+       |  SELECT hi,
+       |    CASE WHEN (n2 - w2lo) * 2 > n2 THEN 1 ELSE 0 END,
+       |    CASE WHEN w2lo * 2 = n2 THEN 1 ELSE 0 END
+       |  FROM pr)
+       |SELECT player, CAST(COUNT(*) AS BIGINT) AS n_opponents,
+       |  CAST(SUM(w) AS BIGINT) AS h2h_wins,
+       |  CAST(SUM(t) AS BIGINT) AS h2h_ties,
+       |  CAST(COUNT(*) - SUM(w) - SUM(t) AS BIGINT) AS h2h_losses,
+       |  CAST(SUM(w) * 2 + SUM(t) - COUNT(*) AS BIGINT) AS copeland,
+       |  SUM(w) = COUNT(*) AS is_condorcet
+       |FROM sides GROUP BY player
+       |ORDER BY copeland DESC, player""".stripMargin
+
   private def bradleyTerryOracle(rounds: Int): String = {
     val perRound = (1 to rounds).map { r =>
       s"""t$r AS (
@@ -6448,16 +6506,7 @@ object SparkEntry {
          |  FROM r$r, (SELECT CAST(SUM(praw) AS BIGINT) AS s,
          |    CAST(COUNT(*) AS BIGINT) AS n FROM r$r) nn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH m AS (
-       |  SELECT event_id % 12 AS pa, (event_id // 12) % 12 AS pb,
-       |    user_id % 10 AS ock
-       |  FROM events WHERE event_id % 12 <> (event_id // 12) % 12),
-       |pr AS (
-       |  SELECT LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
-       |    CAST(2 * COUNT(*) AS BIGINT) AS n2,
-       |    CAST(SUM(CASE WHEN ock = 0 THEN 1
-       |      WHEN ock <= 6 THEN 2 ELSE 0 END) AS BIGINT) AS w2lo
-       |  FROM m GROUP BY 1, 2),
+    s"""$btPairCtes,
        |pp AS (
        |  SELECT player, CAST(SUM(n2) AS BIGINT) AS games2,
        |    CAST(SUM(w2) AS BIGINT) AS wins2

@@ -125,4 +125,50 @@ object Preference {
           lit(400.0) * log(col("p").cast("double") / 1e6) / log(lit(10.0)),
           6).as("elo"))
   }
+
+  /** Condorcet / Copeland head-to-head panel — the non-parametric
+    * companion to [[bradleyTerryMicro]]: instead of FITTING strengths it
+    * reads the pairwise majority graph directly. Per player: contested
+    * head-to-heads, majority wins / ties / losses, the Copeland score
+    * (wins − losses — Copeland 1951, the standard tournament ranking),
+    * and whether the player is the CONDORCET WINNER (beats every
+    * opponent faced by strict majority). BT can rank A over B without A
+    * ever beating B (transitive mass); the Condorcet view is the sanity
+    * check arena reports publish beside the fitted ladder.
+    *
+    * Exact integers end to end: a head-to-head is won iff
+    * 2·w2lo > n2 in the ×2 tie-halved units (strict majority; the exact
+    * half case is a tie). Same scale shape as the MM fit: ONE corpus
+    * hash-agg to the pair dictionary, then dictionary-scale folds.
+    */
+  def copelandPanel(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String): DataFrame = {
+    val lo = least(col(playerA), col(playerB))
+    val hi = greatest(col(playerA), col(playerB))
+    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
+      (col(outcomeCol) === 1 && col(playerB) === lo)
+    val pairs = matches
+      .filter(col(playerA) =!= col(playerB))
+      .select(lo.as("lo"), hi.as("hi"),
+        when(col(outcomeCol) === 2, lit(1L))
+          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l"))
+      .groupBy(col("lo"), col("hi"))
+      .agg((count(lit(1)) * 2).as("n2"), sum(col("w2l")).as("w2lo"))
+    val sides = pairs.select(col("lo").as("player"),
+        (col("w2lo") * 2 > col("n2")).cast("long").as("w"),
+        (col("w2lo") * 2 === col("n2")).cast("long").as("t"))
+      .unionByName(pairs.select(col("hi").as("player"),
+        ((col("n2") - col("w2lo")) * 2 > col("n2")).cast("long").as("w"),
+        (col("w2lo") * 2 === col("n2")).cast("long").as("t")))
+    sides.groupBy(col("player"))
+      .agg(count(lit(1)).as("n_opponents"),
+        sum(col("w")).as("h2h_wins"), sum(col("t")).as("h2h_ties"),
+        (count(lit(1)) - sum(col("w")) - sum(col("t"))).as("h2h_losses"),
+        (sum(col("w")) * 2 + sum(col("t")) - count(lit(1)))
+          .as("copeland"),
+        (sum(col("w")) === count(lit(1))).as("is_condorcet"))
+  }
 }

@@ -58,6 +58,28 @@ class PreferenceSpec extends SparkSpec {
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
   }
 
+  test("copelandPanel: majority graph, tie-halved wins, Condorcet flag") {
+    // A beats B 2-1, B beats C 2-0, A-C split 1-1 (head-to-head tie)
+    val ms = Seq((0L, 1L, 0), (0L, 1L, 0), (1L, 0L, 0),
+      (1L, 2L, 0), (1L, 2L, 0), (2L, 0L, 0), (0L, 2L, 0))
+    val got = Preference.copelandPanel(ms.toDF("pa", "pb", "oc"),
+        "pa", "pb", "oc")
+      .orderBy($"player").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got === Seq(
+      (0L, 2L, 1L, 1L, 0L, 1L, false), // beats B, ties C
+      (1L, 2L, 1L, 0L, 1L, 0L, false), // beats C, loses A
+      (2L, 2L, 0L, 1L, 1L, -1L, false)))
+    // a strict Condorcet winner: A majority-beats BOTH opponents — one
+    // decisive win plus two ties IS a majority in x2 units (8 > 6)
+    val ms2 = Seq((0L, 1L, 0), (0L, 1L, 2), (0L, 1L, 2), (0L, 2L, 0))
+    val got2 = Preference.copelandPanel(ms2.toDF("pa", "pb", "oc"),
+        "pa", "pb", "oc")
+      .filter($"player" === 0L).collect().head
+    assert(got2.getLong(2) == 2L && got2.getBoolean(6))
+  }
+
   test("partition-invariant: 7-way repartition fits identical strengths") {
     val ms = (0 until 60).map { i =>
       ((i % 5).toLong, ((i / 5) % 5).toLong, i % 3)
