@@ -103,6 +103,17 @@ object ScaleCheck {
         // one explode + one per-doc hash-agg, map-side sentence count
         (d: DataFrame) => TextAnalysis.readability(d, "doc_id", "text"),
         docs, "doc_id", Some("text")),
+      ("kendall_tau",
+        // one contingency hash-agg; C/D mass is the |dict|^2-per-group
+        // self-join (bands fixed, so the dictionary does not grow with
+        // the corpus — only the first agg does)
+        (d: DataFrame) => graft.metrics.Metrics.kendallTauB(
+          d.withColumn("price_band",
+              expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+                "AS BIGINT) div 1000000"))
+            .withColumn("qty", col("l_quantity").cast("long")),
+          "price_band", "qty", Seq("l_returnflag")),
+        lineitem, "l_orderkey", None),
       ("spearman",
         // two value-dictionary rank tables via the range-partitioned
         // prefix-sum scaffold + one keyed join back + one moment agg
@@ -203,6 +214,11 @@ object ScaleCheck {
             Seq(Tuple1("slow"), Tuple1("broken"), Tuple1("spam"),
               Tuple1("junk"))).toDF("term"), 100000L),
         docs, "doc_id", None),
+      ("vocab_richness",
+        // one explode + token hash-agg + 1-row fold; salted copies grow
+        // the vocabulary ~Nx (the realistic crawl-growth case)
+        (d: DataFrame) => TextAnalysis.vocabRichness(d, "text"),
+        docs, "doc_id", Some("text")),
       ("corpus_freq",
         (d: DataFrame) => TextAnalysis.corpusFrequencyScore(d, "doc_id", "text"),
         docs, "doc_id", None),

@@ -4728,6 +4728,19 @@ object SparkEntry {
           .withColumn("qty", col("l_quantity").cast("long")),
         "cents", "qty")),
 
+    // ---- Kendall tau-b concordance between two banded metrics --------------
+    // Price band (cents div 1e6) vs quantity per return flag: exact C/D
+    // pair masses over the contingency dictionary self-join, marginal tie
+    // correction, the mirrored tau the only float.
+    "kendall_tau_lineitem" -> ((s, dir) =>
+      Metrics.kendallTauB(t(s, dir, "lineitem")
+          .withColumn("price_band",
+            expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 " +
+              "AS BIGINT) div 1000000"))
+          .withColumn("qty", col("l_quantity").cast("long")),
+        "price_band", "qty", Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -5067,6 +5080,14 @@ object SparkEntry {
     "heaps_law_docs" -> ((s, dir) =>
       TextAnalysis.heapsLaw(t(s, dir, "documents"), "doc_id", "text", 50)
         .orderBy(col("bucket"))),
+
+    // ---- vocabulary richness: Chao1 + Good-Turing unseen mass -------------
+    // Species-richness view of the token distribution: singleton/doubleton
+    // tail -> chao1 lower bound on total vocabulary and the Good-Turing
+    // probability the next token is new — exact micro-longs from the
+    // frequency-of-frequencies dictionary.
+    "vocab_richness_docs" -> ((s, dir) =>
+      TextAnalysis.vocabRichness(t(s, dir, "documents"), "text")),
 
     // ---- per-user behavioral entropy ---------------------------------------
     "user_entropy_events" -> ((s, dir) =>
@@ -5500,6 +5521,65 @@ object SparkEntry {
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
       // Copeland/Condorcet: majority-graph fold on the same dictionary
       ("copeland_events" -> copelandOracle),
+      // Kendall tau-b: contingency-dictionary self-join + tie margins
+      ("kendall_tau_lineitem" ->
+        """WITH ct AS (
+          |  SELECT l_returnflag AS g,
+          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+          |      AS BIGINT) // 1000000 AS x,
+          |    CAST(l_quantity AS BIGINT) AS y,
+          |    CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM lineitem GROUP BY 1, 2, 3),
+          |cd AS (
+          |  SELECT a.g,
+          |    CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+          |      AS BIGINT) AS conc,
+          |    CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+          |      AS BIGINT) AS disc
+          |  FROM ct a JOIN ct b ON a.g = b.g AND b.x > a.x
+          |  GROUP BY 1),
+          |tx AS (
+          |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_x FROM (
+          |    SELECT g, x, CAST(SUM(n) AS BIGINT) AS m FROM ct
+          |    GROUP BY 1, 2) GROUP BY 1),
+          |ty AS (
+          |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_y FROM (
+          |    SELECT g, y, CAST(SUM(n) AS BIGINT) AS m FROM ct
+          |    GROUP BY 1, 2) GROUP BY 1),
+          |nn AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n FROM ct GROUP BY 1)
+          |SELECT nn.g AS l_returnflag, nn.n,
+          |  COALESCE(cd.conc, 0) AS concordant,
+          |  COALESCE(cd.disc, 0) AS discordant,
+          |  tx.t_x, ty.t_y, n * (n - 1) // 2 AS n0,
+          |  CASE WHEN n * (n - 1) // 2 > tx.t_x
+          |      AND n * (n - 1) // 2 > ty.t_y THEN
+          |    ROUND(CAST(COALESCE(cd.conc, 0) - COALESCE(cd.disc, 0)
+          |        AS DOUBLE) /
+          |      sqrt(CAST(n * (n - 1) // 2 - tx.t_x AS DOUBLE) *
+          |        CAST(n * (n - 1) // 2 - ty.t_y AS DOUBLE)), 6) END
+          |    AS tau_b
+          |FROM nn JOIN tx USING (g) JOIN ty USING (g)
+          |LEFT JOIN cd USING (g)
+          |ORDER BY 1""".stripMargin),
+      // vocab richness: frequency-of-frequencies fold, floored micro
+      ("vocab_richness_docs" ->
+        """WITH tok AS (
+          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+          |    SELECT unnest(list_filter(string_split_regex(lower(text),
+          |      '\s+'), x -> len(x) > 0)) AS w
+          |    FROM documents) GROUP BY 1),
+          |ag AS (
+          |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+          |    CAST(COUNT(*) AS BIGINT) AS vocab,
+          |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+          |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+          |  FROM tok)
+          |SELECT n_tokens, vocab, f1, f2,
+          |  vocab * 1000000 + (f1 * (f1 - 1)) // (2 * (f2 + 1)) * 1000000
+          |    + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000
+          |      // (2 * (f2 + 1)) AS chao1_micro,
+          |  (f1 * 1000000) // n_tokens AS gt_unseen_micro
+          |FROM ag""".stripMargin),
       // video near-dup: shot segmentation (lag + cumulative breaks) ->
       // shot-key MinHash bands -> exact set-Jaccard verify
       ("video_dup_docs" ->

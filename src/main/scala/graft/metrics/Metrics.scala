@@ -711,6 +711,72 @@ object Metrics {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Kendall τ-b between two BANDED integer metrics, per group — the
+    * concordance view beside [[spearmanCorr]]'s rank correlation: τ-b
+    * counts concordant vs discordant PAIRS with the standard tie
+    * correction (Kendall 1945),
+    *   τ-b = (C − D) / sqrt((n0 − T_x)(n0 − T_y)),
+    * n0 = n(n−1)/2, T_x/T_y = pairs tied on each margin. Robust to any
+    * monotone banding and the usual choice when both axes are coarse
+    * ordinal scales (quality tiers, price bands, star ratings).
+    *
+    * Exactness + scale: ONE corpus hash-agg to the (group, x, y)
+    * contingency dictionary; C and D are exact long sums over the
+    * dictionary ⋈ dictionary self-join keyed on the group (the declared
+    * BANDED-inputs precondition — the pair mass is |dict|² per group, so
+    * callers band continuous metrics first; the corpus itself is never
+    * self-joined). Ties come from the two marginal dictionaries. The
+    * only float is the final mirrored τ expression; NULL when a margin
+    * is constant (zero denominator).
+    */
+  def kendallTauB(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty,
+      "kendallTauB is grouped; pass a literal group for the global form")
+    val g = groupCols.map(col)
+    val ct = df
+      .groupBy(g :+ col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(true) // referenced by cd (twice), margins, totals
+    val bSide = ct.select(groupCols.map(c => col(c).as(s"__gb_$c")) ++
+      Seq(col("__x").as("__xb"), col("__y").as("__yb"),
+        col("__n").as("__nb")): _*)
+    val cd = ct.join(bSide,
+        groupCols.map(c => col(c) === col(s"__gb_$c")).reduce(_ && _) &&
+          col("__xb") > col("__x"))
+      .groupBy(g: _*)
+      .agg(sum(when(col("__yb") > col("__y"), col("__n") * col("__nb"))
+          .otherwise(0L)).as("conc"),
+        sum(when(col("__yb") < col("__y"), col("__n") * col("__nb"))
+          .otherwise(0L)).as("disc"))
+    def tiePairs(axis: String, out: String) = ct
+      .groupBy(g :+ col(axis): _*).agg(sum(col("__n")).as("__m"))
+      .groupBy(g: _*)
+      .agg(sum(expr("__m * (__m - 1) div 2")).as(out))
+    val tx = tiePairs("__x", "t_x")
+    val ty = tiePairs("__y", "t_y")
+    val nn = ct.groupBy(g: _*).agg(sum(col("__n")).as("n"))
+    nn.join(tx, groupCols).join(ty, groupCols)
+      .join(cd, groupCols, "left")
+      .select(g ++ Seq(col("n"),
+        coalesce(col("conc"), lit(0L)).as("concordant"),
+        coalesce(col("disc"), lit(0L)).as("discordant"),
+        col("t_x"), col("t_y"),
+        expr("n * (n - 1) div 2").as("n0"),
+        when(expr("n * (n - 1) div 2") > col("t_x") &&
+            expr("n * (n - 1) div 2") > col("t_y"),
+          round((coalesce(col("conc"), lit(0L)) -
+              coalesce(col("disc"), lit(0L))).cast("double") /
+            sqrt((expr("n * (n - 1) div 2") - col("t_x")).cast("double") *
+              (expr("n * (n - 1) div 2") - col("t_y")).cast("double")), 6))
+          .as("tau_b")): _*)
+  }
+
+
   /** Exact Spearman rank correlation between two numeric columns — the
     * monotone-association QA check (Pearson sees only LINEAR association;
     * quality signals are routinely monotone-but-curved, and Spearman on

@@ -554,6 +554,40 @@ object TextAnalysis {
     waste("length_sorted", byLen).union(waste("arrival", byId))
   }
 
+  /** Vocabulary-richness panel from the frequency-of-frequencies
+    * dictionary — the species-richness view beside [[heapsLaw]]'s growth
+    * curve: how much vocabulary the corpus has NOT yet seen.
+    *   - chao1 (Chao 1984, bias-corrected form): V + f1(f1−1)/(2(f2+1)),
+    *     the lower-bound estimate of total vocabulary including unseen
+    *     types (f1 = singleton types, f2 = doubleton; the +1 keeps the
+    *     f2 = 0 corpus well-defined).
+    *   - Good-Turing unseen mass (Good 1953): f1/N — the probability the
+    *     next token is a NEW type, the classic smoothing mass.
+    * A duplicate-heavy corpus collapses f1 (chao1 ≈ V, unseen mass ≈ 0);
+    * a healthy crawl keeps a fat singleton tail — a one-row distributional
+    * gate beside the per-doc quality scores.
+    *
+    * Exact integers: both estimates emitted as floored micro-longs; the
+    * chao1 extra term computes quotient and remainder separately so
+    * nothing overflows below f1 ≈ 3e9 singleton types (documented domain;
+    * at that vocabulary the corpus is past 100 TB).
+    *
+    * Scale: one explode + token hash-agg (map-side combine) + one 1-row
+    * fold. No join, no window.
+    */
+  def vocabRichness(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum((col("c") === 1).cast("long")).as("f1"),
+        sum((col("c") === 2).cast("long")).as("f2"))
+      .select(col("n_tokens"), col("vocab"), col("f1"), col("f2"),
+        expr("vocab * 1000000L + (f1 * (f1 - 1)) div (2 * (f2 + 1)) " +
+          "* 1000000L + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000L " +
+          "div (2 * (f2 + 1))").as("chao1_micro"),
+        expr("(f1 * 1000000L) div n_tokens").as("gt_unseen_micro"))
+
   /** Zipf-law fit over the corpus token-frequency distribution: the
     * least-squares slope of ln(freq) against ln(rank) over the top-R
     * terms. Natural text sits near slope −1; a corpus that drifts far off

@@ -589,6 +589,33 @@ class MetricsSpec extends SparkSpec {
     assert(Metrics.spearmanCorr(const, "a", "b").collect().head.isNullAt(1))
   }
 
+  test("kendallTauB: hand-counted concordant/discordant pairs with tie " +
+      "margins; perfect orders = ±1; constant margin = NULL") {
+    // (1,1),(2,2),(3,3): C=3 D=0 no ties -> tau = 1
+    val up = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L))
+      .toDF("grp", "x", "y")
+    val g1 = Metrics.kendallTauB(up, "x", "y", Seq("grp")).collect().head
+    assert((g1.getLong(2), g1.getLong(3), g1.getDouble(7)) ===
+      ((3L, 0L, 1.0)))
+    // reversed -> -1
+    val down = Seq(("g", 1L, 3L), ("g", 2L, 2L), ("g", 3L, 1L))
+      .toDF("grp", "x", "y")
+    assert(Metrics.kendallTauB(down, "x", "y", Seq("grp"))
+      .collect().head.getDouble(7) == -1.0)
+    // ties on both margins: x=[1,1,2] y=[1,2,2] -> C=1 D=0 Tx=Ty=1 n0=3
+    // tau-b = 1/sqrt(2*2) = 0.5
+    val tied = Seq(("g", 1L, 1L), ("g", 1L, 2L), ("g", 2L, 2L))
+      .toDF("grp", "x", "y")
+    val g3 = Metrics.kendallTauB(tied, "x", "y", Seq("grp")).collect().head
+    assert((g3.getLong(1), g3.getLong(2), g3.getLong(3), g3.getLong(4),
+      g3.getLong(5), g3.getLong(6), g3.getDouble(7)) ===
+      ((3L, 1L, 0L, 1L, 1L, 3L, 0.5)))
+    // constant x margin: zero denominator -> NULL tau, counts intact
+    val const = Seq(("g", 5L, 1L), ("g", 5L, 2L)).toDF("grp", "x", "y")
+    val g4 = Metrics.kendallTauB(const, "x", "y", Seq("grp")).collect().head
+    assert(g4.isNullAt(7) && g4.getLong(2) == 0L)
+  }
+
   test("kAnonymity: hand-computed class sizes (1, 3, 10) across k = 2/5/10; " +
       "NULL quasi value is its own class") {
     val df = (Seq.fill(1)("a") ++ Seq.fill(3)("b") ++ Seq.fill(10)("c"))

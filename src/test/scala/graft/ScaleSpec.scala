@@ -2857,6 +2857,22 @@ class ScaleSpec extends SparkSpec {
       ("c", 1L, -1945910L), ("d", 1L, -1945910L)))
   }
 
+  test("vocabRichness: Chao1 and Good-Turing from hand-counted " +
+      "frequency-of-frequencies; f2 = 0 stays defined") {
+    // counts a:2 b:1 c:2 d:1 -> N=6 V=4 f1=2 f2=2
+    // chao1 = 4 + 2*1/(2*3) -> floor micro 4_333_333; GT = 2/6 -> 333_333
+    val got = TextAnalysis.vocabRichness(
+      Seq("a a b c", "c d").toDF("text"), "text").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3),
+      got.getLong(4), got.getLong(5)) ===
+      ((6L, 4L, 2L, 2L, 4333333L, 333333L)))
+    // all-singleton corpus: bias-corrected denominator (f2+1) keeps the
+    // estimate finite: chao1 = 2 + 2*1/2 = 3, unseen mass = 1
+    val g2 = TextAnalysis.vocabRichness(
+      Seq("a b").toDF("text"), "text").collect().head
+    assert((g2.getLong(4), g2.getLong(5)) === ((3000000L, 1000000L)))
+  }
+
   private def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
 
   /** Real sequential best-fit-decreasing over item sizes (test replica). */
