@@ -173,6 +173,12 @@ object ScaleCheck {
             graft.scale.Multimodal.fromDocuments(base.unionByName(echo)))
         },
         docs, "doc_id", Some("text")),
+      ("sequence_pack_manifest",
+        // token-count scan + the range-partitioned prefix-sum scaffold
+        // (the one global exchange) + projection
+        (d: DataFrame) => TextAnalysis.bfdPackManifest(
+          d, "doc_id", "text", 256),
+        docs, "doc_id", None),
       ("sequence_pack",
         // one token-count scan + one hash-agg to the <=log2(C)+1 bucket
         // dictionary; the packing itself is the closed form (no sort)

@@ -23,6 +23,21 @@ import graft.transform.TransformProgram
   */
 object SparkEntry {
 
+  /** Arena-match fabrication shared by the preference queries (batch and
+    * streaming): players from event_id, outcome keyed on user_id % 10
+    * (0 tie, 1..6 lower index wins, 7..9 higher).
+    */
+  private def arenaMatches(df: DataFrame): DataFrame =
+    df.select(expr("event_id % 12").as("pa"),
+        expr("(event_id div 12) % 12").as("pb"),
+        expr("user_id % 10").as("ock"))
+      .withColumn("oc",
+        when(col("ock") === 0, lit(2))
+          .when(col("ock") <= 6,
+            when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+          .otherwise(
+            when(col("pa") > col("pb"), lit(0)).otherwise(lit(1))))
+
   /** The standard quantile probe set of the KLL sketch queries. */
   private val kllProbes: Seq[(Int, Int)] =
     Seq((1, 100), (5, 100), (10, 100), (25, 100), (50, 100), (75, 100),
@@ -1364,6 +1379,15 @@ object SparkEntry {
     "sequence_pack_docs" -> ((s, dir) =>
       TextAnalysis.bfdPack(t(s, dir, "documents"), "text", 256)
         .orderBy(col("kind"), col("bucket_len"))),
+
+    // ---- BFD packing MANIFEST (the doc -> window assignment) ---------------
+    // Contiguous volume layout in (bucket desc, id) order realizes the
+    // same BFD packing per-document: divisor-chain buckets mean no doc
+    // ever straddles a C-cut (see TextAnalysis.bfdPackManifest proof).
+    "sequence_pack_manifest_docs" -> ((s, dir) =>
+      TextAnalysis.bfdPackManifest(t(s, dir, "documents"), "doc_id",
+          "text", 256)
+        .orderBy(col("doc_id"))),
 
     // ---- shard release manifest (per-shard stats + content checksums) ------
     "shard_manifest_docs" -> ((s, dir) =>
@@ -4200,18 +4224,25 @@ object SparkEntry {
     // (Preference.bradleyTerryMicro); elo the only (rounded) float.
     "bradley_terry_events" -> ((s, dir) =>
       graft.scale.Preference.bradleyTerryMicro(
-        t(s, dir, "events")
-          .select(expr("event_id % 12").as("pa"),
-            expr("(event_id div 12) % 12").as("pb"),
-            expr("user_id % 10").as("ock"))
-          .withColumn("oc",
-            when(col("ock") === 0, lit(2))
-              .when(col("ock") <= 6,
-                when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
-              .otherwise(
-                when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
-        "pa", "pb", "oc", 3)
+        arenaMatches(t(s, dir, "events")), "pa", "pb", "oc", 3)
         .orderBy(col("strength_micro").desc, col("player"))),
+
+    // ---- STREAMING Bradley-Terry (pair-count dictionary as Complete-mode
+    // state; the MM fold replays on drain — fromPairs ∘ pairCounts is the
+    // batch fit by construction, so the oracle is the batch SQL verbatim) --
+    "streaming_bradley_terry_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = graft.scale.Preference.pairCounts(
+        arenaMatches(stream), "pa", "pb", "oc")
+      val name = "stream_bt_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Preference.bradleyTerryFromPairs(drained, 3)
+        .orderBy(col("strength_micro").desc, col("player"))
+    }),
 
     // ---- Condorcet / Copeland head-to-head panel ---------------------------
     // The non-parametric companion to the BT fit on the SAME matches:
@@ -4219,18 +4250,23 @@ object SparkEntry {
     // is_condorcet flags a player beating every opponent faced.
     "copeland_events" -> ((s, dir) =>
       graft.scale.Preference.copelandPanel(
-        t(s, dir, "events")
-          .select(expr("event_id % 12").as("pa"),
-            expr("(event_id div 12) % 12").as("pb"),
-            expr("user_id % 10").as("ock"))
-          .withColumn("oc",
-            when(col("ock") === 0, lit(2))
-              .when(col("ock") <= 6,
-                when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
-              .otherwise(
-                when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
-        "pa", "pb", "oc")
+        arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")
         .orderBy(col("copeland").desc, col("player"))),
+
+    // ---- STREAMING Copeland (the SAME pair-count state, majority fold) ----
+    "streaming_copeland_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = graft.scale.Preference.pairCounts(
+        arenaMatches(stream), "pa", "pb", "oc")
+      val name = "stream_cope_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Preference.copelandFromPairs(drained)
+        .orderBy(col("copeland").desc, col("player"))
+    }),
 
     // ---- LOCF daily resample (carry the level, account the staleness) -----
     // gap_fill zero-fills (additive series); LOCF carries the last level
@@ -5521,6 +5557,11 @@ object SparkEntry {
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
       // Copeland/Condorcet: majority-graph fold on the same dictionary
       ("copeland_events" -> copelandOracle),
+      // preference twins: the pair-count dictionary is associative
+      // Complete-mode state; the drained folds ARE the batch operators
+      // (fromPairs ∘ pairCounts spec-pinned) — batch SQL verbatim
+      ("streaming_bradley_terry_events" -> bradleyTerryOracle(3)),
+      ("streaming_copeland_events" -> copelandOracle),
       // Kendall tau-b: contingency-dictionary self-join + tie margins
       ("kendall_tau_lineitem" ->
         """WITH ct AS (
@@ -5640,6 +5681,25 @@ object SparkEntry {
           |JOIN sz sb ON sb.doc_id = iv.id_b
           |WHERE iv.n_common * 2 >= sa.n + sb.n - iv.n_common
           |ORDER BY 1, 2""".stripMargin),
+      // BFD manifest: cumulative volume in (bucket desc, id) order
+      ("sequence_pack_manifest_docs" ->
+        """WITH tk AS (
+          |  SELECT doc_id, LEAST(CAST(len(list_filter(string_split_regex(
+          |    lower(text), '\s+'), x -> len(x) > 0)) AS BIGINT), 256)
+          |    AS tl
+          |  FROM documents),
+          |bk AS (
+          |  SELECT doc_id, tl, CAST(1 AS BIGINT) << list_min(list_filter(
+          |    range(0, 9), j -> tl <= CAST(1 AS BIGINT) << j)) AS bl
+          |  FROM tk WHERE tl >= 1),
+          |cm AS (
+          |  SELECT doc_id, tl, bl,
+          |    CAST(SUM(bl) OVER (ORDER BY bl DESC, doc_id) AS BIGINT) - bl
+          |      AS v
+          |  FROM bk)
+          |SELECT doc_id, tl AS n_tokens, bl AS bucket_len,
+          |  v // 256 AS window_id, v % 256 AS window_off
+          |FROM cm ORDER BY doc_id""".stripMargin),
       // BFD sequence packing: the divisible-sizes closed form
       ("sequence_pack_docs" ->
         """WITH tk AS (

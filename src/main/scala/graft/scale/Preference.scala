@@ -49,6 +49,31 @@ object Preference {
 
   private val Micro = 1000000L
 
+  /** The one corpus-mass job shared by every preference operator: match
+    * stream -> unordered-pair dictionary (lo, hi, n2, w2lo) in ×2
+    * tie-halved units (w2lo = 2 per lo win + 1 per tie; n2 = 2 per
+    * game). Associative counts — the Complete-mode streaming state of
+    * the preference twins.
+    */
+  def pairCounts(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String): DataFrame = {
+    val lo = least(col(playerA), col(playerB))
+    val hi = greatest(col(playerA), col(playerB))
+    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
+      (col(outcomeCol) === 1 && col(playerB) === lo)
+    matches
+      .filter(col(playerA) =!= col(playerB))
+      .select(lo.as("lo"), hi.as("hi"),
+        when(col(outcomeCol) === 2, lit(1L))
+          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l"))
+      .groupBy(col("lo"), col("hi"))
+      .agg((count(lit(1)) * 2).as("n2"),
+        sum(col("w2l")).as("w2lo"))
+  }
+
   /** Bradley-Terry strengths in exact micro-units + an Elo-style report.
     *
     * @param matches one row per comparison: (playerA, playerB, outcome)
@@ -66,23 +91,19 @@ object Preference {
       playerA: String,
       playerB: String,
       outcomeCol: String,
+      rounds: Int = 3): DataFrame =
+    bradleyTerryFromPairs(
+      pairCounts(matches, playerA, playerB, outcomeCol), rounds)
+
+  /** The MM rounds over a drained/batch (lo, hi, n2, w2lo) dictionary —
+    * bradleyTerryFromPairs ∘ pairCounts = bradleyTerryMicro by
+    * construction (spec-pinned composition, the streaming-twin rule).
+    */
+  def bradleyTerryFromPairs(
+      pairs0: DataFrame,
       rounds: Int = 3): DataFrame = {
     require(rounds >= 1, "need at least one MM round")
-    // the one corpus-mass job: match stream -> unordered-pair dictionary
-    // (w2_lo = 2 per lo win + 1 per tie; n2 = 2 per game)
-    val lo = least(col(playerA), col(playerB))
-    val hi = greatest(col(playerA), col(playerB))
-    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
-      (col(outcomeCol) === 1 && col(playerB) === lo)
-    val pairs = matches
-      .filter(col(playerA) =!= col(playerB))
-      .select(lo.as("lo"), hi.as("hi"),
-        when(col(outcomeCol) === 2, lit(1L))
-          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l"))
-      .groupBy(col("lo"), col("hi"))
-      .agg((count(lit(1)) * 2).as("n2"),
-        sum(col("w2l")).as("w2lo"))
-      .localCheckpoint(true)
+    val pairs = pairs0.localCheckpoint(true)
     val perPlayer = pairs
       .select(col("lo").as("player"), col("n2"), col("w2lo").as("w2"))
       .unionByName(pairs.select(col("hi").as("player"), col("n2"),
@@ -145,18 +166,13 @@ object Preference {
       matches: DataFrame,
       playerA: String,
       playerB: String,
-      outcomeCol: String): DataFrame = {
-    val lo = least(col(playerA), col(playerB))
-    val hi = greatest(col(playerA), col(playerB))
-    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
-      (col(outcomeCol) === 1 && col(playerB) === lo)
-    val pairs = matches
-      .filter(col(playerA) =!= col(playerB))
-      .select(lo.as("lo"), hi.as("hi"),
-        when(col(outcomeCol) === 2, lit(1L))
-          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l"))
-      .groupBy(col("lo"), col("hi"))
-      .agg((count(lit(1)) * 2).as("n2"), sum(col("w2l")).as("w2lo"))
+      outcomeCol: String): DataFrame =
+    copelandFromPairs(pairCounts(matches, playerA, playerB, outcomeCol))
+
+  /** The majority-graph fold over a drained/batch pair dictionary —
+    * copelandFromPairs ∘ pairCounts = copelandPanel by construction.
+    */
+  def copelandFromPairs(pairs: DataFrame): DataFrame = {
     val sides = pairs.select(col("lo").as("player"),
         (col("w2lo") * 2 > col("n2")).cast("long").as("w"),
         (col("w2lo") * 2 === col("n2")).cast("long").as("t"))

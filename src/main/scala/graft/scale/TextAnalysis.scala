@@ -440,6 +440,48 @@ object TextAnalysis {
           col("bucket_tokens")).as("tail_waste")))
   }
 
+  /** The per-document ASSIGNMENT behind [[bfdPack]] — the manifest a
+    * trainer actually consumes: (doc, window_id, offset) for the same
+    * best-fit-decreasing packing, computed distributively.
+    *
+    * Why this equals BFD exactly: lay the bucketed documents out
+    * contiguously in (bucket_len DESC, id) order and cut every
+    * `contextLen` volume units. Every prior document's bucket is a
+    * larger-or-equal power of two, so each document's start offset v is
+    * a multiple of its own bucket_len; contextLen is too, hence
+    * v mod C ≤ C − bucket_len and NO document straddles a cut — the
+    * layout realizes bins = ceil(volume/C), which [[bfdPack]] proves is
+    * the BFD bin count. window_id = v div C, offset = v mod C.
+    *
+    * Scale shape: one token-count scan + the range-partitioned prefix-sum
+    * scaffold ([[graft.sample.Samplers.globalCumSum]] — no single-task
+    * window), then pure projection. The one global exchange is the
+    * (bucket desc, id) range partition.
+    */
+  def bfdPackManifest(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      contextLen: Int = 2048): DataFrame = {
+    require(contextLen >= 1 && (contextLen & (contextLen - 1)) == 0,
+      s"contextLen must be a power of two, got $contextLen")
+    val maxJ = java.lang.Integer.numberOfTrailingZeros(contextLen)
+    val c = contextLen.toLong
+    val bk = df
+      .select(col(idCol), least(tokenCount(col(textCol)).cast("long"),
+        lit(c)).as("n_tokens"))
+      .filter(col("n_tokens") >= 1)
+      .withColumn("bucket_len", expr(
+        s"shiftleft(CAST(1 AS BIGINT), array_min(filter(sequence(0, " +
+          s"$maxJ), j -> n_tokens <= shiftleft(CAST(1 AS BIGINT), j))))"))
+      .withColumn("__nbl", -col("bucket_len"))
+    graft.sample.Samplers
+      .globalCumSum(bk, Seq("__nbl", idCol), "bucket_len")
+      .select(col(idCol), col("n_tokens"), col("bucket_len"),
+        expr(s"(__cum - bucket_len) div $c").as("window_id"),
+        expr(s"(__cum - bucket_len) % $c").as("window_off"))
+  }
+
   /** Corpus-level bigram conditional statistics: for each bigram "w1 w2",
     * its corpus count and P(w2|w1) = count(w1 w2)/count(w1 ·) as an exact
     * integer ratio — the co-occurrence table behind language-model-ish

@@ -2937,6 +2937,34 @@ class ScaleSpec extends SparkSpec {
       e(0).get(1) == 256L && e(0).getLong(3) == 256L)
   }
 
+  test("bfdPackManifest: hand fixture assignment; no straddle, window " +
+      "count equals the closed-form bins") {
+    // the bfdPack fixture: lens [5,3,3,2,1,1], C=8, ids 0..5 ->
+    // layout (bucket desc, id): 8|4 4|2 1 1 -> windows 0,1,1,2,2,2
+    val lens = Seq(5, 3, 3, 2, 1, 1)
+    val d = lens.zipWithIndex.map { case (n, i) => (i.toLong, words(n)) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bfdPackManifest(d, "doc_id", "text", 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got === Seq(
+      (0L, 5L, 8L, 0L, 0L), (1L, 3L, 4L, 1L, 0L), (2L, 3L, 4L, 1L, 4L),
+      (3L, 2L, 2L, 2L, 0L), (4L, 1L, 1L, 2L, 2L), (5L, 1L, 1L, 2L, 3L)))
+    // pseudo-random corpus: every doc fits inside its cut (no straddle),
+    // per-window volume <= C, and the window count IS the bfdPack bins
+    val lens2 = (0 until 60).map(i => i * 37 % 97 + 1)
+    val d2 = lens2.zipWithIndex.map { case (n, i) => (i.toLong, words(n)) }
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.bfdPackManifest(d2, "doc_id", "text", 64).collect()
+    assert(m.forall(r => r.getLong(4) + r.getLong(2) <= 64L))
+    val perWin = m.groupBy(_.getLong(3)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perWin.values.forall(_ <= 64L))
+    val bins = TextAnalysis.bfdPack(d2, "text", 64)
+      .filter(col("kind") === "total").collect().head.getLong(6)
+    assert(m.map(_.getLong(3)).max + 1 == bins)
+  }
+
   test("unigramEncode: Viterbi segmentation with the trainer's fixture " +
       "vocab — score-optimal paths, <unk> chars, long-word drop") {
     // train = the unigramLmTrain fixture above -> vocab {a,b,c,d,ab} with
