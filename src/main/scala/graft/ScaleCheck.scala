@@ -1222,6 +1222,32 @@ object ScaleCheck {
               .cast("long")),
           "cents", 1024, Seq((1, 100), (50, 100), (99, 100))),
         lineitem, "l_orderkey", None),
+      ("kll_quantiles_by",
+        // per-group dictionary window + per-(group, block) fold; the
+        // group count is fixed, so only the first hash-agg scales
+        (d: DataFrame) => graft.scale.Sketches.kllQuantilesBy(
+          d.withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "cents", Seq("l_returnflag"), 1024,
+          Seq((1, 100), (50, 100), (99, 100))),
+        lineitem, "l_orderkey", None),
+      ("video_dup_clusters",
+        // videoDupPairs edges + pointer-jumped CC over the video nodes;
+        // edge mass is dup-rate-bounded, rounds O(log diameter)
+        (d: DataFrame) => {
+          val base = d.select(col("doc_id"), col("text"))
+          val echo = base.filter(col("doc_id") % 13 === 0)
+            .withColumn("doc_id", col("doc_id") + lit(999999999L))
+          val media = graft.scale.Multimodal
+            .fromDocuments(base.unionByName(echo))
+          graft.scale.Dedup.duplicateClusters(
+            media.filter(col("meta.kind") === "video").select(col("doc_id")),
+            graft.scale.Multimodal.videoDupPairs(media)
+              .select(col("id_a"), col("id_b")),
+            "doc_id")
+        },
+        docs, "doc_id", Some("text")),
       ("bradley_terry",
         // one corpus hash-agg to the <=N^2 pair dictionary; the 3 MM
         // rounds join/agg that dictionary only (key-shifted copies add

@@ -1884,6 +1884,23 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- video near-dup CLUSTERS (pairs -> connected components) ----------
+    // Closes the video loop the way the text side does (minhash ->
+    // dup_clusters): videoDupPairs edges + every video as a node ->
+    // pointer-jumped label propagation -> (doc_id, cluster_rep).
+    "video_dup_clusters_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val echo = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999999L))
+      val media = Multimodal.fromDocuments(docs.unionByName(echo))
+      val pairs = Multimodal.videoDupPairs(media)
+        .select(col("id_a"), col("id_b"))
+      val nodes = media.filter(col("meta.kind") === "video")
+        .select(col("doc_id"))
+      Dedup.duplicateClusters(nodes, pairs, "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- video shot-boundary screening -------------------------------------
     // Frame-difference detector over the seam signatures; per-row state
     // bounded by n_frames, no frame explosion, no shuffle.
@@ -4663,6 +4680,15 @@ object SparkEntry {
           "cents", 1024, kllProbes)
         .orderBy(col("q_num"))),
 
+    // ---- per-group KLL sketch (the grouped form of the family) -------------
+    "kll_quantiles_by_flag_lineitem" -> ((s, dir) =>
+      graft.scale.Sketches.kllQuantilesBy(
+          t(s, dir, "lineitem").withColumn("cents",
+            (col("l_extendedprice").cast("decimal(18,2)") * 100)
+              .cast("long")),
+          "cents", Seq("l_returnflag"), 1024, kllProbes)
+        .orderBy(col("l_returnflag"), col("q_num"))),
+
     // ---- STREAMING KLL sketch (value-dictionary Complete-mode state) -------
     // The pre-compaction state is the associative (value, count) monoid —
     // micro-batch-order-free — and the deterministic compaction + picks
@@ -5624,63 +5650,23 @@ object SparkEntry {
       // video near-dup: shot segmentation (lag + cumulative breaks) ->
       // shot-key MinHash bands -> exact set-Jaccard verify
       ("video_dup_docs" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 999999999, text FROM documents
-          |  WHERE doc_id % 13 = 0),
-          |vid AS (
-          |  SELECT doc_id, text, CAST(doc_id % 30 + 1 AS INT) AS n_frames
-          |  FROM corpus WHERE doc_id % 3 = 2),
-          |fr AS (
-          |  SELECT doc_id, CAST(f AS INT) AS f,
-          |    CAST(('0x' || substring(md5(text || CAST(f AS VARCHAR)),
-          |      1, 2)) AS INT) AS sig
-          |  FROM vid, UNNEST(range(0, n_frames)) AS u(f)),
-          |bd AS (
-          |  SELECT doc_id, f, sig,
-          |    CASE WHEN f > 0 AND abs(sig - lag(sig) OVER w) > 64
-          |      THEN 1 ELSE 0 END AS brk
-          |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
-          |sh AS (
-          |  SELECT doc_id, f, sig, SUM(brk) OVER
-          |    (PARTITION BY doc_id ORDER BY f) AS shot_id
-          |  FROM bd),
-          |ks0 AS (
-          |  SELECT doc_id, STRING_AGG(CAST(sig AS VARCHAR), '-'
-          |    ORDER BY f) AS shot_key
-          |  FROM sh GROUP BY doc_id, shot_id),
-          |ks AS (SELECT DISTINCT doc_id, shot_key FROM ks0),
-          |mh AS (
-          |  SELECT doc_id, s,
-          |    MIN(md5(CAST(s AS VARCHAR) || ':' || shot_key)) AS h
-          |  FROM ks, UNNEST(range(0, 8)) AS su(s)
-          |  GROUP BY 1, 2),
-          |bands AS (
-          |  SELECT doc_id, s // 2 AS band,
-          |    MIN(CASE WHEN s % 2 = 0 THEN h END) ||
-          |    MIN(CASE WHEN s % 2 = 1 THEN h END) AS bkey
-          |  FROM mh GROUP BY doc_id, s // 2),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.bkey = b.bkey
-          |      AND a.doc_id < b.doc_id),
-          |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
-          |  FROM ks GROUP BY 1),
-          |iv AS (
-          |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
-          |  FROM cand c JOIN ks ka ON ka.doc_id = c.id_a
-          |  JOIN ks kb ON kb.doc_id = c.id_b
-          |    AND kb.shot_key = ka.shot_key
-          |  GROUP BY 1, 2)
-          |SELECT iv.id_a, iv.id_b, sa.n AS n_a, sb.n AS n_b, iv.n_common,
-          |  ROUND(CAST(iv.n_common AS DOUBLE) /
-          |    CAST(sa.n + sb.n - iv.n_common AS DOUBLE), 6) AS jaccard
-          |FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
-          |JOIN sz sb ON sb.doc_id = iv.id_b
-          |WHERE iv.n_common * 2 >= sa.n + sb.n - iv.n_common
-          |ORDER BY 1, 2""".stripMargin),
+        s"""$videoDupCtes
+          |SELECT id_a, id_b, n_a, n_b, n_common,
+          |  ROUND(CAST(n_common AS DOUBLE) /
+          |    CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
+          |FROM gp ORDER BY 1, 2""".stripMargin),
+      // video clusters: the gated pairs + the dup_clusters reach pattern
+      ("video_dup_clusters_docs" ->
+        s"""$videoDupCtes,
+          |e AS (
+          |  SELECT id_a AS src, id_b AS dst FROM gp
+          |  UNION SELECT id_b, id_a FROM gp),
+          |reach(a, b) AS (
+          |  SELECT doc_id, doc_id FROM vid
+          |  UNION
+          |  SELECT r.a, e2.dst FROM reach r JOIN e e2 ON r.b = e2.src)
+          |SELECT a AS doc_id, MIN(b) AS cluster_rep
+          |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
       // BFD manifest: cumulative volume in (bucket desc, id) order
       ("sequence_pack_manifest_docs" ->
         """WITH tk AS (
@@ -5733,6 +5719,7 @@ object SparkEntry {
           |ORDER BY kind, bucket_len""".stripMargin),
       // deterministic KLL sketch: dictionary + tournament-descent fold
       ("kll_quantiles_lineitem" -> kllOracle),
+      ("kll_quantiles_by_flag_lineitem" -> kllByOracle),
       // KLL twin: the (value, count) Complete-mode state is the batch
       // dictionary (associative monoid) — same SQL verbatim
       ("streaming_kll_quantiles_lineitem" -> kllOracle),
@@ -6712,6 +6699,123 @@ object SparkEntry {
        |FROM pk JOIN sv USING (b)
        |ORDER BY q_num""".stripMargin
   }
+
+  /** Per-group KLL replay: [[kllOracle]] with every stage PARTITIONED by
+    * the group and the tournament fold evaluated once per (group, block).
+    */
+  private def kllByOracle: String = {
+    val probes = kllProbes.map { case (n, d) => s"($n,$d)" }.mkString(",")
+    s"""WITH vc AS (
+       |  SELECT l_returnflag AS g,
+       |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+       |      AS BIGINT) AS v, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |cm AS (SELECT g, v, c,
+       |  CAST(SUM(c) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum
+       |  FROM vc),
+       |m2 AS (
+       |  SELECT g, n, lev, CAST(1 AS BIGINT) << lev AS p2 FROM (
+       |    SELECT g, n, (SELECT MIN(l) FROM range(0, 41) t(l)
+       |      WHERE m.n <= 1024 * (CAST(1 AS BIGINT) << l)) AS lev
+       |    FROM (SELECT g, CAST(SUM(c) AS BIGINT) AS n FROM vc
+       |      GROUP BY 1) m)),
+       |rk AS (
+       |  SELECT g, b,
+       |    list_reduce(
+       |      list_prepend(b, list_reverse(
+       |        list_filter(range(1, 41), i -> i <= lev))),
+       |      (acc, l) -> acc * 2 +
+       |        CAST(('0x' || substr(md5(CAST(l AS VARCHAR) || ':' ||
+       |          CAST(acc AS VARCHAR)), 1, 1)) AS BIGINT) % 2) AS r
+       |  FROM (SELECT m2.g, m2.lev, u.b FROM m2,
+       |    UNNEST(range(0, (m2.n + m2.p2 - 1) // m2.p2)) AS u(b))),
+       |sv AS (
+       |  SELECT c0.g, c0.b, rk.r, c0.v FROM (
+       |    SELECT cm.g, cm.v, cm.c, cm.cum, u.b
+       |    FROM cm JOIN m2 USING (g),
+       |      UNNEST(range((cm.cum - cm.c) // m2.p2,
+       |        (cm.cum - 1) // m2.p2 + 1)) AS u(b)) c0
+       |  JOIN rk ON rk.g = c0.g AND rk.b = c0.b
+       |  WHERE rk.r >= c0.cum - c0.c AND rk.r < c0.cum),
+       |mx AS (SELECT g, MAX(b) AS maxb FROM sv GROUP BY 1),
+       |pk AS (
+       |  SELECT q_num, q_den, m2.g, m2.n, CAST(m2.lev AS BIGINT) AS levels,
+       |    m2.p2, (q_num * m2.n + q_den - 1) // q_den - 1 AS t,
+       |    ((q_num * m2.n + q_den - 1) // q_den - 1) // m2.p2 > mx.maxb
+       |      AS capped,
+       |    LEAST(((q_num * m2.n + q_den - 1) // q_den - 1) // m2.p2,
+       |      mx.maxb) AS b
+       |  FROM (VALUES $probes) q(q_num, q_den), m2 JOIN mx USING (g))
+       |SELECT pk.g AS l_returnflag, pk.q_num, pk.q_den, pk.n, pk.levels,
+       |  pk.t AS target_rank, sv.r AS surv_rank, sv.v AS est_value,
+       |  CAST(abs(sv.r - pk.t) AS BIGINT) AS rank_err,
+       |  CAST(CASE WHEN pk.capped THEN 2 * pk.p2 - 1 ELSE pk.p2 - 1 END
+       |    AS BIGINT) AS err_bound
+       |FROM pk JOIN sv ON sv.g = pk.g AND sv.b = pk.b
+       |ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Shared CTE chain of the video near-dup oracles: echoed corpus ->
+    * frame signatures -> shot segmentation -> shot-key MinHash bands ->
+    * exact-Jaccard-gated pairs (`gp`). WITH RECURSIVE so the clusters
+    * oracle can append its reachability CTE.
+    */
+  private val videoDupCtes: String =
+    """WITH RECURSIVE corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 999999999, text FROM documents
+      |  WHERE doc_id % 13 = 0),
+      |vid AS (
+      |  SELECT doc_id, text, CAST(doc_id % 30 + 1 AS INT) AS n_frames
+      |  FROM corpus WHERE doc_id % 3 = 2),
+      |fr AS (
+      |  SELECT doc_id, CAST(f AS INT) AS f,
+      |    CAST(('0x' || substring(md5(text || CAST(f AS VARCHAR)),
+      |      1, 2)) AS INT) AS sig
+      |  FROM vid, UNNEST(range(0, n_frames)) AS u(f)),
+      |bd AS (
+      |  SELECT doc_id, f, sig,
+      |    CASE WHEN f > 0 AND abs(sig - lag(sig) OVER w) > 64
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY f)),
+      |sh AS (
+      |  SELECT doc_id, f, sig, SUM(brk) OVER
+      |    (PARTITION BY doc_id ORDER BY f) AS shot_id
+      |  FROM bd),
+      |ks0 AS (
+      |  SELECT doc_id, STRING_AGG(CAST(sig AS VARCHAR), '-'
+      |    ORDER BY f) AS shot_key
+      |  FROM sh GROUP BY doc_id, shot_id),
+      |ks AS (SELECT DISTINCT doc_id, shot_key FROM ks0),
+      |mh AS (
+      |  SELECT doc_id, s,
+      |    MIN(md5(CAST(s AS VARCHAR) || ':' || shot_key)) AS h
+      |  FROM ks, UNNEST(range(0, 8)) AS su(s)
+      |  GROUP BY 1, 2),
+      |bands AS (
+      |  SELECT doc_id, s // 2 AS band,
+      |    MIN(CASE WHEN s % 2 = 0 THEN h END) ||
+      |    MIN(CASE WHEN s % 2 = 1 THEN h END) AS bkey
+      |  FROM mh GROUP BY doc_id, s // 2),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey
+      |      AND a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM ks GROUP BY 1),
+      |iv AS (
+      |  SELECT c.id_a, c.id_b, CAST(COUNT(*) AS BIGINT) AS n_common
+      |  FROM cand c JOIN ks ka ON ka.doc_id = c.id_a
+      |  JOIN ks kb ON kb.doc_id = c.id_b
+      |    AND kb.shot_key = ka.shot_key
+      |  GROUP BY 1, 2),
+      |gp AS (
+      |  SELECT iv.id_a, iv.id_b, sa.n AS n_a, sb.n AS n_b, iv.n_common
+      |  FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
+      |  JOIN sz sb ON sb.doc_id = iv.id_b
+      |  WHERE iv.n_common * 2 >= sa.n + sb.n - iv.n_common)""".stripMargin
 
   private def baseOracleSql: Map[String, String] =
     distinctKeys("baseOracleSql", Seq(

@@ -529,6 +529,89 @@ object Sketches {
       df.groupBy(col(valueCol).as("v")).agg(count(lit(1)).as("c")),
       k, quantiles)
 
+  /** The md5-bit tournament descent (rank of the block-`b` survivor) as a
+    * SQL expression — shared by the global and grouped sketch builds.
+    */
+  private def kllFoldExpr(b: String): String =
+    s"aggregate(reverse(filter(sequence(1, 40), i -> i <= lev)), " +
+      s"CAST($b AS BIGINT), (acc, l) -> acc * 2 + " +
+      s"CAST(conv(substr(md5(CAST(CAST(l AS STRING) || ':' || " +
+      s"CAST(acc AS STRING) AS BINARY)), 1, 1), 16, 10) AS BIGINT) % 2)"
+
+  /** PER-GROUP [[kllQuantiles]] — the grouped form the percentile family
+    * has everywhere else (exactPercentiles, sampleQuantiles). Same
+    * canonical compaction per group; the cumulative count runs as a
+    * window PARTITIONED by the group (per-group-dictionary scale — the
+    * percentileTargets discipline, hence the loud nonEmpty precondition;
+    * the ungrouped form routes through the range-partitioned scaffold
+    * instead).
+    */
+  def kllQuantilesBy(
+      df: DataFrame,
+      valueCol: String,
+      groupCols: Seq[String],
+      k: Int,
+      quantiles: Seq[(Int, Int)]): DataFrame =
+    kllFromCountsBy(
+      df.groupBy(groupCols.map(col) :+ col(valueCol).as("v"): _*)
+        .agg(count(lit(1)).as("c")),
+      groupCols, k, quantiles)
+
+  /** The grouped compaction + pick fold over a (groups…, v, c) dictionary —
+    * shared by the batch build and a Complete-mode streaming state.
+    */
+  def kllFromCountsBy(
+      vc: DataFrame,
+      groupCols: Seq[String],
+      k: Int,
+      quantiles: Seq[(Int, Int)]): DataFrame = {
+    require(k >= 1, s"capacity k >= 1, got $k")
+    require(groupCols.nonEmpty,
+      "kllFromCountsBy is grouped; use kllFromCounts for the global form")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 1 && num <= den, s"bad quantile $num/$den") }
+    val spark = vc.sparkSession
+    val g = groupCols.map(col)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(g: _*).orderBy(col("v"))
+    val cum = vc.withColumn("__cum", sum(col("c")).over(w))
+      .localCheckpoint(true)
+    val meta = cum.groupBy(g: _*).agg(sum(col("c")).as("n"))
+      .withColumn("lev", expr(
+        s"array_min(filter(sequence(0, 40), " +
+          s"l -> n <= $k * shiftleft(CAST(1 AS BIGINT), l)))"))
+      .withColumn("p2", expr("shiftleft(CAST(1 AS BIGINT), lev)"))
+      .localCheckpoint(true)
+    val ranks = meta
+      .select(g ++ Seq(col("lev"),
+        explode(expr(
+          "sequence(CAST(0 AS BIGINT), (n + p2 - 1) div p2 - 1)"))
+          .as("b")): _*)
+      .withColumn("r", expr(kllFoldExpr("b")))
+      .select(g ++ Seq(col("b"), col("r")): _*)
+    val surv = cum.join(broadcast(meta), groupCols)
+      .withColumn("b", explode(expr(
+        "sequence((__cum - c) div p2, (__cum - 1) div p2)")))
+      .join(broadcast(ranks), groupCols :+ "b")
+      .filter(col("r") >= col("__cum") - col("c") && col("r") < col("__cum"))
+      .select(g ++ Seq(col("b"), col("r"), col("v")): _*)
+      .localCheckpoint(true)
+    val maxb = surv.groupBy(g: _*).agg(max(col("b")).as("maxb"))
+    import spark.implicits._
+    val picks = quantiles.toDF("q_num", "q_den")
+      .crossJoin(broadcast(meta)).join(broadcast(maxb), groupCols)
+      .withColumn("t", expr("(q_num * n + q_den - 1) div q_den - 1"))
+      .withColumn("capped", expr("t div p2 > maxb"))
+      .withColumn("b", expr("least(t div p2, maxb)"))
+    picks.join(surv, groupCols :+ "b")
+      .select(g ++ Seq(col("q_num"), col("q_den"), col("n"),
+        col("lev").cast("long").as("levels"), col("t").as("target_rank"),
+        col("r").as("surv_rank"), col("v").as("est_value"),
+        abs(col("r") - col("t")).as("rank_err"),
+        expr("CASE WHEN capped THEN 2 * p2 - 1 ELSE p2 - 1 END")
+          .as("err_bound")): _*)
+  }
+
   /** The compaction + pick fold over a (v, c) value dictionary — shared by
     * the batch build and the drained Complete-mode streaming state.
     */
@@ -558,11 +641,7 @@ object Sketches {
       .select(col("lev"),
         explode(expr("sequence(CAST(0 AS BIGINT), (n + p2 - 1) div p2 - 1)"))
           .as("b"))
-      .withColumn("r", expr(
-        "aggregate(reverse(filter(sequence(1, 40), i -> i <= lev)), " +
-          "CAST(b AS BIGINT), (acc, l) -> acc * 2 + " +
-          "CAST(conv(substr(md5(CAST(CAST(l AS STRING) || ':' || " +
-          "CAST(acc AS STRING) AS BINARY)), 1, 1), 16, 10) AS BIGINT) % 2)"))
+      .withColumn("r", expr(kllFoldExpr("b")))
       .select(col("b"), col("r"))
     // each dictionary row covers ranks [cum-c, cum): explode its candidate
     // blocks (codegen'd, ≤ |dict| + n/2^L rows), broadcast-equi-join the

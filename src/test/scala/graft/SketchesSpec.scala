@@ -385,6 +385,25 @@ class SketchesSpec extends SparkSpec {
     assert(got.forall(r => r.getLong(7) <= r.getLong(8)))
   }
 
+  test("kllQuantilesBy: each group's sketch equals the global sketch of " +
+      "that group's slice (reduction to the proven ungrouped form)") {
+    import spark.implicits._
+    val qs = Seq((10, 100), (50, 100), (90, 100))
+    val rows = (0 until 200).map(i =>
+      (if (i % 2 == 0) "a" else "b", (i * 13 % 97).toLong))
+    val df = rows.toDF("g", "x")
+    val by = graft.scale.Sketches
+      .kllQuantilesBy(df, "x", Seq("g"), 8, qs)
+    for (grp <- Seq("a", "b")) {
+      val slice = graft.scale.Sketches
+        .kllQuantiles(df.filter($"g" === grp), "x", 8, qs)
+        .orderBy("q_num").collect().toSeq
+      val grouped = by.filter($"g" === grp).drop("g")
+        .orderBy("q_num").collect().toSeq
+      assert(grouped === slice, s"group $grp diverged")
+    }
+  }
+
   test("kllQuantiles: partition-invariant, and dictionary partials merge " +
       "by union-sum to the whole-corpus sketch") {
     import spark.implicits._
