@@ -28,7 +28,8 @@ object SparkEntry {
     * (0 tie, 1..6 lower index wins, 7..9 higher).
     */
   private def arenaMatches(df: DataFrame): DataFrame =
-    df.select(expr("event_id % 12").as("pa"),
+    df.select(col("event_id").as("mid"),
+        expr("event_id % 12").as("pa"),
         expr("(event_id div 12) % 12").as("pb"),
         expr("user_id % 10").as("ock"))
       .withColumn("oc",
@@ -4244,6 +4245,16 @@ object SparkEntry {
         arenaMatches(t(s, dir, "events")), "pa", "pb", "oc", 3)
         .orderBy(col("strength_micro").desc, col("player"))),
 
+    // ---- BOOTSTRAPPED Bradley-Terry (per-player SE + envelope) -------------
+    // The leaderboard op with uncertainty: 32 Poisson(1) match-resampled
+    // keyed MM fits in ONE dictionary-scale job (the one-scan bootstrap
+    // composed with the rep-keyed fit), moment SE + exact envelope per
+    // player beside the point fit.
+    "bootstrap_bradley_terry_events" -> ((s, dir) =>
+      graft.scale.Preference.bradleyTerryBootstrap(
+        arenaMatches(t(s, dir, "events")), "pa", "pb", "oc", "mid", 32, 3)
+        .orderBy(col("strength_micro").desc, col("player"))),
+
     // ---- STREAMING Bradley-Terry (pair-count dictionary as Complete-mode
     // state; the MM fold replays on drain — fromPairs ∘ pairCounts is the
     // batch fit by construction, so the oracle is the batch SQL verbatim) --
@@ -5588,6 +5599,8 @@ object SparkEntry {
       // (fromPairs ∘ pairCounts spec-pinned) — batch SQL verbatim
       ("streaming_bradley_terry_events" -> bradleyTerryOracle(3)),
       ("streaming_copeland_events" -> copelandOracle),
+      // bootstrap BT: long-format Poisson weights, rep-keyed MM chain
+      ("bootstrap_bradley_terry_events" -> bradleyTerryBootOracle(32, 3)),
       // Kendall tau-b: contingency-dictionary self-join + tie margins
       ("kendall_tau_lineitem" ->
         """WITH ct AS (
@@ -6578,8 +6591,8 @@ object SparkEntry {
     */
   private val btPairCtes: String =
     """WITH m AS (
-      |  SELECT event_id % 12 AS pa, (event_id // 12) % 12 AS pb,
-      |    user_id % 10 AS ock
+      |  SELECT event_id AS mid, event_id % 12 AS pa,
+      |    (event_id // 12) % 12 AS pb, user_id % 10 AS ock
       |  FROM events WHERE event_id % 12 <> (event_id // 12) % 12),
       |pr AS (
       |  SELECT LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
@@ -6587,6 +6600,101 @@ object SparkEntry {
       |    CAST(SUM(CASE WHEN ock = 0 THEN 1
       |      WHEN ock <= 6 THEN 2 ELSE 0 END) AS BIGINT) AS w2lo
       |  FROM m GROUP BY 1, 2)""".stripMargin
+
+  /** Bootstrapped Bradley-Terry replay: per-(match, replicate) Poisson
+    * weights through the shared 16-bit CDF ladder (long format — the
+    * replicate is DATA, so the MM rounds run once, grouped by rep), the
+    * keyed MM chain, the per-player moment SE + envelope fold, and the
+    * plain point fit joined on — mirrors
+    * [[graft.scale.Preference.bradleyTerryBootstrap]] term for term.
+    */
+  private def bradleyTerryBootOracle(reps: Int, rounds: Int): String = {
+    val cdf = graft.sample.Samplers.PoissonCdf16
+    val u = "((CAST(('0x' || substring(md5(CAST(mid AS VARCHAR) || " +
+      "':c' || CAST(b.b // 3 AS VARCHAR)), 1, 15)) AS BIGINT) >> " +
+      "((b.b % 3) * 16)) & 65535)"
+    val ladder = cdf.zipWithIndex.foldRight("8") { case ((t, k), acc) =>
+      s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+    }
+    val perRound = (1 to rounds).map { r =>
+      s"""wt$r AS (
+         |  SELECT rep, player, CAST(SUM(tt) AS BIGINT) AS t FROM (
+         |    SELECT wp.rep, wp.lo AS player,
+         |      (wp.n2 * 1000000000000) // (sl.p + sh.p) AS tt
+         |    FROM wp JOIN ws${r - 1} sl
+         |      ON sl.rep = wp.rep AND sl.player = wp.lo
+         |    JOIN ws${r - 1} sh
+         |      ON sh.rep = wp.rep AND sh.player = wp.hi
+         |    UNION ALL
+         |    SELECT wp.rep, wp.hi, (wp.n2 * 1000000000000) // (sl.p + sh.p)
+         |    FROM wp JOIN ws${r - 1} sl
+         |      ON sl.rep = wp.rep AND sl.player = wp.lo
+         |    JOIN ws${r - 1} sh
+         |      ON sh.rep = wp.rep AND sh.player = wp.hi)
+         |  GROUP BY 1, 2),
+         |wr$r AS (
+         |  SELECT wpp.rep, wpp.player, GREATEST(
+         |    (wpp.wins2 * 1000000) // GREATEST(wt$r.t // 1000000, 1), 1)
+         |    AS praw
+         |  FROM wpp JOIN wt$r
+         |    ON wt$r.rep = wpp.rep AND wt$r.player = wpp.player),
+         |ws$r AS (
+         |  SELECT wr$r.rep, wr$r.player, GREATEST(
+         |    (wr$r.praw * 1000000) // GREATEST(nn$r.s // nn$r.n, 1), 1)
+         |    AS p
+         |  FROM wr$r JOIN (SELECT rep, CAST(SUM(praw) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM wr$r GROUP BY 1) nn$r
+         |    ON nn$r.rep = wr$r.rep)""".stripMargin
+    }.mkString(",\n")
+    s"""$btPairCtes,
+       |mw AS (
+       |  SELECT LEAST(pa, pb) AS lo, GREATEST(pa, pb) AS hi,
+       |    CASE WHEN ock = 0 THEN 1 WHEN ock <= 6 THEN 2 ELSE 0 END
+       |      AS w2l,
+       |    b.b AS rep, $ladder AS w
+       |  FROM m, UNNEST(range(0, $reps)) AS b(b)),
+       |wp AS (
+       |  SELECT rep, lo, hi, CAST(SUM(2 * w) AS BIGINT) AS n2,
+       |    CAST(SUM(w2l * w) AS BIGINT) AS w2lo
+       |  FROM mw GROUP BY 1, 2, 3 HAVING SUM(w) > 0),
+       |wpp AS (
+       |  SELECT rep, player, CAST(SUM(n2) AS BIGINT) AS games2,
+       |    CAST(SUM(w2) AS BIGINT) AS wins2
+       |  FROM (
+       |    SELECT rep, lo AS player, n2, w2lo AS w2 FROM wp
+       |    UNION ALL SELECT rep, hi, n2, n2 - w2lo FROM wp)
+       |  GROUP BY 1, 2),
+       |ws0 AS (SELECT rep, player, CAST(1000000 AS BIGINT) AS p FROM wpp),
+       |$perRound,
+       |se AS (
+       |  SELECT player, CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |    CAST(SUM(p) AS BIGINT) AS sq, CAST(SUM(p * p) AS BIGINT) AS sqq,
+       |    CAST(MIN(p) AS BIGINT) AS ci_lo_micro,
+       |    CAST(MAX(p) AS BIGINT) AS ci_hi_micro
+       |  FROM ws$rounds GROUP BY 1),
+       |pp AS (
+       |  SELECT player, CAST(SUM(n2) AS BIGINT) AS games2,
+       |    CAST(SUM(w2) AS BIGINT) AS wins2
+       |  FROM (
+       |    SELECT lo AS player, n2, w2lo AS w2 FROM pr
+       |    UNION ALL SELECT hi, n2, n2 - w2lo FROM pr)
+       |  GROUP BY 1),
+       |s0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM pp),
+       |${btMmRoundsSql(rounds)}
+       |SELECT pp.player, pp.games2, pp.wins2, s$rounds.p AS strength_micro,
+       |  ROUND(1500.0 + 400.0 * ln(CAST(s$rounds.p AS DOUBLE) / 1e6)
+       |    / ln(10.0), 6) AS elo,
+       |  se.n_reps,
+       |  CASE WHEN se.n_reps > 1 THEN
+       |    ROUND(sqrt(CAST(se.n_reps * se.sqq - se.sq * se.sq AS DOUBLE)
+       |      / (CAST(se.n_reps AS DOUBLE)
+       |        * (CAST(se.n_reps AS DOUBLE) - 1.0))) / 1e6, 6) END
+       |    AS boot_se,
+       |  se.ci_lo_micro, se.ci_hi_micro
+       |FROM pp JOIN s$rounds USING (player)
+       |LEFT JOIN se USING (player)
+       |ORDER BY strength_micro DESC, player""".stripMargin
+  }
 
   /** Copeland / Condorcet panel replay over the shared pair dictionary. */
   private def copelandOracle: String =
@@ -6610,8 +6718,11 @@ object SparkEntry {
        |FROM sides GROUP BY player
        |ORDER BY copeland DESC, player""".stripMargin
 
-  private def bradleyTerryOracle(rounds: Int): String = {
-    val perRound = (1 to rounds).map { r =>
+  /** The ungrouped MM-round CTEs (t/r/s) shared by the plain and
+    * bootstrap Bradley-Terry oracles.
+    */
+  private def btMmRoundsSql(rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""t$r AS (
          |  SELECT player, CAST(SUM(tt) AS BIGINT) AS t FROM (
          |    SELECT pr.lo AS player,
@@ -6633,6 +6744,8 @@ object SparkEntry {
          |  FROM r$r, (SELECT CAST(SUM(praw) AS BIGINT) AS s,
          |    CAST(COUNT(*) AS BIGINT) AS n FROM r$r) nn)""".stripMargin
     }.mkString(",\n")
+
+  private def bradleyTerryOracle(rounds: Int): String =
     s"""$btPairCtes,
        |pp AS (
        |  SELECT player, CAST(SUM(n2) AS BIGINT) AS games2,
@@ -6642,13 +6755,12 @@ object SparkEntry {
        |    UNION ALL SELECT hi, n2, n2 - w2lo FROM pr)
        |  GROUP BY 1),
        |s0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM pp),
-       |$perRound
+       |${btMmRoundsSql(rounds)}
        |SELECT pp.player, pp.games2, pp.wins2, s$rounds.p AS strength_micro,
        |  ROUND(1500.0 + 400.0 * ln(CAST(s$rounds.p AS DOUBLE) / 1e6)
        |    / ln(10.0), 6) AS elo
        |FROM pp JOIN s$rounds USING (player)
        |ORDER BY strength_micro DESC, player""".stripMargin
-  }
 
   /** Deterministic KLL sketch replay: value dictionary + cumulative count,
     * the md5-bit tournament descent as a list_reduce fold, the bounded

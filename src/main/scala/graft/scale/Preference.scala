@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Preference-data fitting: Bradley-Terry strengths from pairwise
@@ -101,50 +101,151 @@ object Preference {
     */
   def bradleyTerryFromPairs(
       pairs0: DataFrame,
-      rounds: Int = 3): DataFrame = {
+      rounds: Int = 3): DataFrame = mmFit(pairs0, Seq.empty, rounds)
+
+  /** The MM rounds, optionally keyed (e.g. by a bootstrap-replicate
+    * column): every join, aggregation, and the renormalization carry
+    * `keys` — the empty-key case is the plain fit.
+    */
+  private def mmFit(
+      pairs0: DataFrame,
+      keys: Seq[String],
+      rounds: Int): DataFrame = {
     require(rounds >= 1, "need at least one MM round")
+    val k = keys.map(col)
     val pairs = pairs0.localCheckpoint(true)
     val perPlayer = pairs
-      .select(col("lo").as("player"), col("n2"), col("w2lo").as("w2"))
-      .unionByName(pairs.select(col("hi").as("player"), col("n2"),
-        (col("n2") - col("w2lo")).as("w2")))
-      .groupBy(col("player"))
+      .select(k ++ Seq(col("lo").as("player"), col("n2"),
+        col("w2lo").as("w2")): _*)
+      .unionByName(pairs.select(k ++ Seq(col("hi").as("player"),
+        col("n2"), (col("n2") - col("w2lo")).as("w2")): _*))
+      .groupBy(k :+ col("player"): _*)
       .agg(sum(col("n2")).as("games2"), sum(col("w2")).as("wins2"))
       .localCheckpoint(true)
 
-    var scores = perPlayer.select(col("player"), lit(Micro).as("p"))
+    var scores = perPlayer
+      .select(k ++ Seq(col("player"), lit(Micro).as("p")): _*)
     for (_ <- 1 to rounds) {
       val tt = pairs
-        .join(scores.select(col("player").as("lo"), col("p").as("plo")),
-          Seq("lo"))
-        .join(scores.select(col("player").as("hi"), col("p").as("phi")),
-          Seq("hi"))
+        .join(scores.select(k ++ Seq(col("player").as("lo"),
+          col("p").as("plo")): _*), keys :+ "lo")
+        .join(scores.select(k ++ Seq(col("player").as("hi"),
+          col("p").as("phi")): _*), keys :+ "hi")
         .withColumn("tt",
           expr("(n2 * 1000000000000L) div (plo + phi)"))
-      val denom = tt.select(col("lo").as("player"), col("tt"))
-        .unionByName(tt.select(col("hi").as("player"), col("tt")))
-        .groupBy(col("player")).agg(sum(col("tt")).as("t"))
-      val praw = perPlayer.join(denom, Seq("player"))
+      val denom = tt.select(k ++ Seq(col("lo").as("player"), col("tt")): _*)
+        .unionByName(tt.select(k ++ Seq(col("hi").as("player"),
+          col("tt")): _*))
+        .groupBy(k :+ col("player"): _*).agg(sum(col("tt")).as("t"))
+      val praw = perPlayer.join(denom, keys :+ "player")
         .withColumn("praw", expr(
           "greatest((wins2 * 1000000L) div greatest(t div 1000000L, 1L), 1L)"))
-      val norm = praw.agg(sum(col("praw")).as("__s"),
-        count(lit(1)).as("__n"))
-      scores = praw.crossJoin(broadcast(norm))
+      val scored =
+        if (keys.isEmpty) {
+          val norm = praw.agg(sum(col("praw")).as("__s"),
+            count(lit(1)).as("__n"))
+          praw.crossJoin(broadcast(norm))
+        } else {
+          val norm = praw.groupBy(k: _*).agg(sum(col("praw")).as("__s"),
+            count(lit(1)).as("__n"))
+          praw.join(broadcast(norm), keys)
+        }
+      scores = scored
         .withColumn("p", expr(
           "greatest((praw * 1000000L) div greatest(__s div __n, 1L), 1L)"))
-        .select(col("player"), col("p"))
+        .select(k ++ Seq(col("player"), col("p")): _*)
         // scores is referenced TWICE by the next round (the lo and hi
         // strength joins) — without the eager cut the round-k lineage
         // re-executes 2^k times (measured 24 s → ~4 s at sf0.1). The
-        // checkpointed relation is N rows (the player dictionary).
+        // checkpointed relation is keys x players rows (dictionary).
         .localCheckpoint(true)
     }
-    perPlayer.join(scores, Seq("player"))
-      .select(col("player"), col("games2"), col("wins2"),
+    perPlayer.join(scores, keys :+ "player")
+      .select(k ++ Seq(col("player"), col("games2"), col("wins2"),
         col("p").as("strength_micro"),
         round(lit(1500.0) +
           lit(400.0) * log(col("p").cast("double") / 1e6) / log(lit(10.0)),
-          6).as("elo"))
+          6).as("elo")): _*)
+  }
+
+  /** Bootstrapped Bradley-Terry: the point fit plus a per-player
+    * standard error and envelope from `reps` Poisson(1) match-resampled
+    * MM fits — the uncertainty a leaderboard needs before declaring one
+    * model above another (Chatbot-Arena-style reports publish exactly
+    * this CI beside the rating).
+    *
+    * Composition of two proven house pieces: the ONE-SCAN Poisson
+    * bootstrap (Chamandy 2012 — per-match deterministic Poisson(1)
+    * multiplicities from 16-bit md5-digest windows through the shared
+    * [[graft.sample.Samplers.PoissonCdf16]] ladder, so any engine
+    * replays every draw) feeding the keyed MM fit ([[mmFit]] with the
+    * replicate as the key). The replicate explode is map-local — the
+    * hash-aggregate combines to the (rep × pair) dictionary before any
+    * exchange — and all `reps` fits run as ONE dictionary-scale job
+    * grouped by replicate, not `reps` passes.
+    *
+    * Determinism: replicate strengths are the exact micro-longs of the
+    * keyed fit; boot_se is the moment form over those longs (the
+    * bootstrapFromSums convention, one rounded sqrt), ci_lo/ci_hi the
+    * exact envelope. Players absent from a replicate (every one of
+    * their matches drew multiplicity 0) simply miss that replicate —
+    * n_reps reports the per-player coverage.
+    */
+  def bradleyTerryBootstrap(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String,
+      idCol: String,
+      reps: Int = 32,
+      rounds: Int = 3): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"bad reps $reps")
+    val lo = least(col(playerA), col(playerB))
+    val hi = greatest(col(playerA), col(playerB))
+    val loWin = (col(outcomeCol) === 0 && col(playerA) === lo) ||
+      (col(outcomeCol) === 1 && col(playerB) === lo)
+    val nDigests = (reps + 2) / 3
+    def digestCol(c: Int): Column =
+      graft.scale.HashExprs.md5PrefixLong(
+        concat(col(idCol).cast("string"), lit(":c" + c)).cast("binary"), 15)
+    def weight(b: Int): Column = {
+      val u16 = shiftright(col(s"__h${b / 3}"), (b % 3) * 16)
+        .bitwiseAND(lit(65535L))
+      graft.sample.Samplers.PoissonCdf16.zipWithIndex
+        .foldRight(lit(8L): Column) { case ((t, k), acc) =>
+          when(u16 < t, k.toLong).otherwise(acc)
+        }
+    }
+    val base = matches
+      .filter(col(playerA) =!= col(playerB))
+      .select((lo.as("lo") +: hi.as("hi") +:
+        when(col(outcomeCol) === 2, lit(1L))
+          .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l") +:
+        (0 until nDigests).map(c => digestCol(c).as(s"__h$c"))): _*)
+      .select(col("lo"), col("hi"), col("w2l"),
+        posexplode(array((0 until reps).map(weight): _*))
+          .as(Seq("rep", "w")))
+      .filter(col("w") > 0)
+    val pairsB = base.groupBy(col("rep"), col("lo"), col("hi"))
+      .agg(sum(col("w") * 2).as("n2"),
+        sum(col("w") * col("w2l")).as("w2lo"))
+    val fits = mmFit(pairsB, Seq("rep"), rounds)
+    val panel = fits.groupBy(col("player"))
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("strength_micro")).as("__sq"),
+        sum(col("strength_micro") * col("strength_micro")).as("__sqq"),
+        min(col("strength_micro")).as("ci_lo_micro"),
+        max(col("strength_micro")).as("ci_hi_micro"))
+      .withColumn("boot_se", when(col("n_reps") > 1, round(
+        sqrt((col("n_reps") * col("__sqq") - col("__sq") * col("__sq"))
+          .cast("double") /
+          (col("n_reps").cast("double") * (col("n_reps") - 1)
+            .cast("double"))) / 1e6, 6)))
+    bradleyTerryMicro(matches, playerA, playerB, outcomeCol, rounds)
+      .join(panel, Seq("player"))
+      .select(col("player"), col("games2"), col("wins2"),
+        col("strength_micro"), col("elo"), col("n_reps"), col("boot_se"),
+        col("ci_lo_micro"), col("ci_hi_micro"))
   }
 
   /** Condorcet / Copeland head-to-head panel — the non-parametric

@@ -80,6 +80,32 @@ class PreferenceSpec extends SparkSpec {
     assert(got2.getLong(2) == 2L && got2.getBoolean(6))
   }
 
+  test("bradleyTerryBootstrap: point columns equal the plain fit; " +
+      "envelope brackets are ordered; deterministic under repartition") {
+    val ms = (0 until 120).map { i =>
+      (i.toLong, (i % 5).toLong, ((i / 5) % 5).toLong, i % 3)
+    }.filter { case (_, a, b, _) => a != b }
+    val df = ms.toDF("mid", "pa", "pb", "oc")
+    val boot = Preference.bradleyTerryBootstrap(df, "pa", "pb", "oc",
+      "mid", 16, 3)
+    val point = Preference.bradleyTerryMicro(df, "pa", "pb", "oc", 3)
+      .orderBy($"player").collect().toSeq
+    val got = boot.orderBy($"player").collect().toSeq
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getDouble(4))) ===
+      point.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))))
+    got.foreach { r =>
+      val (nr, lo, hi) = (r.getLong(5), r.getLong(7), r.getLong(8))
+      assert(nr >= 1 && nr <= 16 && lo <= hi)
+      if (nr > 1) assert(r.getDouble(6) >= 0.0)
+    }
+    val re = Preference.bradleyTerryBootstrap(df.repartition(7),
+        "pa", "pb", "oc", "mid", 16, 3)
+      .orderBy($"player").collect().toSeq
+    assert(got === re)
+  }
+
   test("partition-invariant: 7-way repartition fits identical strengths") {
     val ms = (0 until 60).map { i =>
       ((i % 5).toLong, ((i / 5) % 5).toLong, i % 3)
