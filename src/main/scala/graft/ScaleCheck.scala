@@ -1281,6 +1281,22 @@ object ScaleCheck {
                   when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
           "pa", "pb", "oc", "mid", 32, 3),
         events, "event_id", None),
+      ("majority_cycles",
+        // one corpus hash-agg to the pair dictionary; the triad census is
+        // a dictionary^3-bounded self-join (players fixed at 12)
+        (d: DataFrame) => graft.scale.Preference.majorityCycles(
+          d.select(col("event_id").as("mid"),
+              expr("event_id % 12").as("pa"),
+              expr("(event_id div 12) % 12").as("pb"),
+              expr("user_id % 10").as("ock"))
+            .withColumn("oc",
+              when(col("ock") === 0, lit(2))
+                .when(col("ock") <= 6,
+                  when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+                .otherwise(
+                  when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+          "pa", "pb", "oc"),
+        events, "event_id", None),
       ("copeland",
         // the bradley_terry first-agg shape minus the MM rounds: one
         // corpus hash-agg to the pair dictionary + two dictionary folds

@@ -4281,6 +4281,14 @@ object SparkEntry {
         arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")
         .orderBy(col("copeland").desc, col("player"))),
 
+    // ---- majority-graph transitivity (cyclic-triad census) -----------------
+    // Rock-paper-scissors triads among decided head-to-heads — the "is
+    // there a consistent ranking at all" gate before publishing a BT or
+    // Copeland ladder (Kendall & Babington Smith 1940).
+    "majority_cycles_events" -> ((s, dir) =>
+      graft.scale.Preference.majorityCycles(
+        arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")),
+
     // ---- STREAMING Copeland (the SAME pair-count state, majority fold) ----
     "streaming_copeland_events" -> ((s, dir) => {
       val batch = t(s, dir, "events")
@@ -4699,6 +4707,25 @@ object SparkEntry {
               .cast("long")),
           "cents", Seq("l_returnflag"), 1024, kllProbes)
         .orderBy(col("l_returnflag"), col("q_num"))),
+
+    // ---- STREAMING per-group KLL (per-group value-dictionary state) --------
+    "streaming_kll_quantiles_by_flag_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("cents",
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      val counts = stream
+        .groupBy(col("l_returnflag"), col("cents").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val name = "stream_kllby_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Sketches.kllFromCountsBy(drained, Seq("l_returnflag"),
+          1024, kllProbes)
+        .orderBy(col("l_returnflag"), col("q_num"))
+    }),
 
     // ---- STREAMING KLL sketch (value-dictionary Complete-mode state) -------
     // The pre-compaction state is the associative (value, count) monoid —
@@ -5601,6 +5628,34 @@ object SparkEntry {
       ("streaming_copeland_events" -> copelandOracle),
       // bootstrap BT: long-format Poisson weights, rep-keyed MM chain
       ("bootstrap_bradley_terry_events" -> bradleyTerryBootOracle(32, 3)),
+      // majority-cycle triad census over the decided pair dictionary
+      ("majority_cycles_events" ->
+        s"""$btPairCtes,
+           |dec AS (
+           |  SELECT lo, hi,
+           |    CASE WHEN w2lo * 2 > n2 THEN lo ELSE hi END AS src,
+           |    CASE WHEN w2lo * 2 > n2 THEN hi ELSE lo END AS dst
+           |  FROM pr WHERE w2lo * 2 <> n2),
+           |cyc AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic
+           |  FROM dec e1 JOIN dec e2 ON e2.src = e1.dst
+           |  JOIN dec e3 ON e3.src = e2.dst AND e3.dst = e1.src
+           |  WHERE e1.src < e1.dst AND e1.src < e2.dst),
+           |res AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_resolved
+           |  FROM dec u1 JOIN dec u2 ON u2.lo = u1.hi
+           |  JOIN dec u3 ON u3.lo = u1.lo AND u3.hi = u2.hi),
+           |np AS (SELECT CAST(COUNT(DISTINCT p) AS BIGINT) AS n_players
+           |  FROM (SELECT lo AS p FROM pr UNION ALL SELECT hi FROM pr)),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_decided_pairs
+           |  FROM dec)
+           |SELECT np.n_players, nd.n_decided_pairs,
+           |  res.n_resolved AS n_resolved_triads,
+           |  cyc.n_cyclic AS n_cyclic_triads,
+           |  CASE WHEN res.n_resolved > 0 THEN
+           |    ROUND(CAST(cyc.n_cyclic AS DOUBLE) /
+           |      CAST(res.n_resolved AS DOUBLE), 6) END AS cyclic_rate
+           |FROM np, nd, res, cyc""".stripMargin),
       // Kendall tau-b: contingency-dictionary self-join + tie margins
       ("kendall_tau_lineitem" ->
         """WITH ct AS (
@@ -5733,6 +5788,8 @@ object SparkEntry {
       // deterministic KLL sketch: dictionary + tournament-descent fold
       ("kll_quantiles_lineitem" -> kllOracle),
       ("kll_quantiles_by_flag_lineitem" -> kllByOracle),
+      // grouped KLL twin: per-group (value, count) Complete-mode state
+      ("streaming_kll_quantiles_by_flag_lineitem" -> kllByOracle),
       // KLL twin: the (value, count) Complete-mode state is the batch
       // dictionary (associative monoid) — same SQL verbatim
       ("streaming_kll_quantiles_lineitem" -> kllOracle),

@@ -288,4 +288,66 @@ object Preference {
           .as("copeland"),
         (sum(col("w")) === count(lit(1))).as("is_condorcet"))
   }
+
+  /** Majority-graph TRANSITIVITY diagnostic — the triad census behind
+    * "is there even a consistent ranking to fit?": among triples whose
+    * three pairwise head-to-heads are all DECIDED (strict majority, no
+    * tie), count the cyclic ones (rock-paper-scissors triads; Kendall &
+    * Babington Smith 1940's inconsistency count). A high cyclic rate
+    * means neither BT nor Copeland can honestly linearize the data — the
+    * report every arena leaderboard should run before publishing one.
+    *
+    * Exact integers: majority edges from the ×2 tie-halved pair
+    * dictionary; a directed 3-cycle a→b→c→a is counted once at its
+    * minimum vertex (a < b, a < c filters the two rotations); resolved
+    * triads join the undirected decided-pair relation (i < j < k by
+    * construction of (lo, hi) keys). Everything after the one corpus
+    * hash-agg is a dictionary³-bounded self-join — the declared
+    * leaderboard-scale precondition (players in the hundreds), same
+    * class as the Kendall-tau contingency self-join.
+    *
+    * @return one row: (n_players, n_decided_pairs, n_resolved_triads,
+    *         n_cyclic_triads, cyclic_rate) — rate NULL when no triad is
+    *         resolved.
+    */
+  def majorityCycles(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String): DataFrame = {
+    val pairs = pairCounts(matches, playerA, playerB, outcomeCol)
+      .localCheckpoint(true)
+    val dec = pairs.filter(col("w2lo") * 2 =!= col("n2"))
+      .select(col("lo"), col("hi"),
+        when(col("w2lo") * 2 > col("n2"), col("lo")).otherwise(col("hi"))
+          .as("w_src"))
+      .localCheckpoint(true)
+    val e = dec.select(col("w_src").as("src"),
+      when(col("w_src") === col("lo"), col("hi")).otherwise(col("lo"))
+        .as("dst"))
+    val cyc = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("b"), col("dst").as("c")), Seq("b"))
+      .join(e.select(col("src").as("c"), col("dst").as("a")),
+        Seq("c", "a"))
+      .filter(col("a") < col("b") && col("a") < col("c"))
+      .agg(count(lit(1)).as("n_cyclic"))
+    val und = dec.select(col("lo"), col("hi"))
+    val resolved = und.select(col("lo").as("i"), col("hi").as("j"))
+      .join(und.select(col("lo").as("j"), col("hi").as("k")), Seq("j"))
+      .join(und.select(col("lo").as("i"), col("hi").as("k")),
+        Seq("i", "k"))
+      .agg(count(lit(1)).as("n_resolved"))
+    val np = pairs.select(col("lo").as("p"))
+      .unionByName(pairs.select(col("hi").as("p"))).distinct()
+      .agg(count(lit(1)).as("n_players"))
+    val ndec = dec.agg(count(lit(1)).as("n_decided_pairs"))
+    np.crossJoin(broadcast(ndec)).crossJoin(broadcast(resolved))
+      .crossJoin(broadcast(cyc))
+      .select(col("n_players"), col("n_decided_pairs"),
+        col("n_resolved").as("n_resolved_triads"),
+        col("n_cyclic").as("n_cyclic_triads"),
+        when(col("n_resolved") > 0,
+          round(col("n_cyclic").cast("double") /
+            col("n_resolved").cast("double"), 6)).as("cyclic_rate"))
+  }
 }

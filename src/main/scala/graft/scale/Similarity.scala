@@ -851,10 +851,15 @@ object Similarity {
       .agg(count(lit(1)).cast(dec).as("n"),
         sum(col("x")).cast(dec).as("s"),
         sum(col("x").cast(dec) * col("x")).cast(dec).as("ss"))
-    stats
-      .withColumn("var_num", col("n") * col("ss") - col("s") * col("s"))
-      .withColumn("r0", row_number().over(Window.orderBy(
-        col("var_num").desc, col("olddim"))).cast("long") - 1)
+    // rank by the predecessor-count join (Bounded.withRank — the repo's
+    // standard for global rank; also on a d-row dictionary an
+    // unpartitioned row_number window was the one WindowExec single-task
+    // warning left in the suite)
+    graft.core.Bounded.withRank(
+        stats.withColumn("var_num",
+          col("n") * col("ss") - col("s") * col("s")),
+        Seq(("var_num", true), ("olddim", false)), "__rk")
+      .withColumn("r0", col("__rk").cast("long") - 1)
       .withColumn("rnd", expr(s"r0 div $m"))
       .withColumn("pos", expr(s"r0 % $m"))
       .withColumn("subsp", when(col("rnd") % 2 === 0, col("pos"))

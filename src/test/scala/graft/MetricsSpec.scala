@@ -589,6 +589,44 @@ class MetricsSpec extends SparkSpec {
     assert(Metrics.spearmanCorr(const, "a", "b").collect().head.isNullAt(1))
   }
 
+  test("round-11 panels are partition-invariant: every statistic " +
+      "identical under adversarial repartitioning") {
+    import org.apache.spark.sql.DataFrame
+    import graft.scale.{Multimodal, Preference, TextAnalysis}
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map { i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(3).toLong,
+        s"g${rnd.nextInt(3)}",
+        (0 until (rnd.nextInt(12) + 1)).map(j => s"w${(i + j) % 37}")
+          .mkString(" "))
+    }
+    def check(name: String)(op: DataFrame => DataFrame): Unit = {
+      val base = rows.toDF("id", "x", "y", "g", "text")
+      val a = op(base.repartition(1)).collect().toSeq
+        .map(_.toSeq).sortBy(_.mkString("|"))
+      val b = op(base.repartition(13, col("id"))).collect().toSeq
+        .map(_.toSeq).sortBy(_.mkString("|"))
+      assert(a === b, s"$name is partition-sensitive")
+    }
+    check("kendallTauB")(df =>
+      Metrics.kendallTauB(df, "x", "y", Seq("g")))
+    check("vocabRichness")(df => TextAnalysis.vocabRichness(df, "text"))
+    check("bfdPack")(df => TextAnalysis.bfdPack(df, "text", 16))
+    check("bfdPackManifest")(df =>
+      TextAnalysis.bfdPackManifest(df, "id", "text", 16))
+    check("unigramEncode")(df => TextAnalysis.unigramEncode(
+      df.filter(col("id") % 5 =!= 0), df.filter(col("id") % 5 === 0),
+      "g", "text", 2, 4, 1, 0.5, 24))
+    check("copelandPanel")(df => Preference.copelandPanel(
+      df.withColumn("pa", col("x") % 5)
+        .withColumn("pb", col("id") % 5)
+        .withColumn("oc", (col("y") % 3).cast("int")),
+      "pa", "pb", "oc"))
+    check("videoDupPairs")(df => Multimodal.videoDupPairs(
+      Multimodal.fromDocuments(df
+        .select((col("id") * 3 + 2).as("doc_id"), col("text")))))
+  }
+
   test("kendallTauB: hand-counted concordant/discordant pairs with tie " +
       "margins; perfect orders = ±1; constant margin = NULL") {
     // (1,1),(2,2),(3,3): C=3 D=0 no ties -> tau = 1

@@ -80,6 +80,24 @@ class PreferenceSpec extends SparkSpec {
     assert(got2.getLong(2) == 2L && got2.getBoolean(6))
   }
 
+  test("majorityCycles: rock-paper-scissors triad counted once; " +
+      "transitive triad is zero-cycle; a tied pair unresolves the triad") {
+    def census(ms: Seq[(Long, Long, Int)]) =
+      Preference.majorityCycles(ms.toDF("pa", "pb", "oc"),
+        "pa", "pb", "oc").collect().head
+    // A>B, B>C, C>A — the cycle
+    val rps = census(Seq((1L, 2L, 0), (2L, 3L, 0), (3L, 1L, 0)))
+    assert((rps.getLong(0), rps.getLong(1), rps.getLong(2),
+      rps.getLong(3), rps.getDouble(4)) === ((3L, 3L, 1L, 1L, 1.0)))
+    // A>B, B>C, A>C — transitive
+    val tr = census(Seq((1L, 2L, 0), (2L, 3L, 0), (1L, 3L, 0)))
+    assert((tr.getLong(2), tr.getLong(3), tr.getDouble(4)) ===
+      ((1L, 0L, 0.0)))
+    // tie on one pair -> no resolved triad, NULL rate
+    val td = census(Seq((1L, 2L, 0), (2L, 3L, 0), (1L, 3L, 2)))
+    assert(td.getLong(2) == 0L && td.getLong(3) == 0L && td.isNullAt(4))
+  }
+
   test("bradleyTerryBootstrap: point columns equal the plain fit; " +
       "envelope brackets are ordered; deterministic under repartition") {
     val ms = (0 until 120).map { i =>
