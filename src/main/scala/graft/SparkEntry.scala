@@ -4841,6 +4841,41 @@ object SparkEntry {
         "price_band", "qty", Seq("l_returnflag"))
         .orderBy(col("l_returnflag"))),
 
+    // ---- STREAMING Kendall tau-b (contingency cells as Complete state) ----
+    "streaming_kendall_tau_lineitem" -> ((s, dir) => {
+      val batch = t(s, dir, "lineitem")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/lineitem*.parquet")
+        .withColumn("x", expr(
+          "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)" +
+            " div 1000000"))
+        .withColumn("y", col("l_quantity").cast("long"))
+      val counts = stream.groupBy(col("l_returnflag"), col("x"), col("y"))
+        .agg(count(lit(1)).as("n"))
+      val name = "stream_tau_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.kendallTauFromCounts(drained, "x", "y", "n",
+          Seq("l_returnflag"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- STREAMING vocabulary richness (token dictionary as state) --------
+    "streaming_vocab_richness_docs" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val counts = stream
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val name = "stream_rich_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      TextAnalysis.vocabRichnessFromCounts(drained)
+    }),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -5657,64 +5692,14 @@ object SparkEntry {
            |      CAST(res.n_resolved AS DOUBLE), 6) END AS cyclic_rate
            |FROM np, nd, res, cyc""".stripMargin),
       // Kendall tau-b: contingency-dictionary self-join + tie margins
-      ("kendall_tau_lineitem" ->
-        """WITH ct AS (
-          |  SELECT l_returnflag AS g,
-          |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
-          |      AS BIGINT) // 1000000 AS x,
-          |    CAST(l_quantity AS BIGINT) AS y,
-          |    CAST(COUNT(*) AS BIGINT) AS n
-          |  FROM lineitem GROUP BY 1, 2, 3),
-          |cd AS (
-          |  SELECT a.g,
-          |    CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
-          |      AS BIGINT) AS conc,
-          |    CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
-          |      AS BIGINT) AS disc
-          |  FROM ct a JOIN ct b ON a.g = b.g AND b.x > a.x
-          |  GROUP BY 1),
-          |tx AS (
-          |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_x FROM (
-          |    SELECT g, x, CAST(SUM(n) AS BIGINT) AS m FROM ct
-          |    GROUP BY 1, 2) GROUP BY 1),
-          |ty AS (
-          |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_y FROM (
-          |    SELECT g, y, CAST(SUM(n) AS BIGINT) AS m FROM ct
-          |    GROUP BY 1, 2) GROUP BY 1),
-          |nn AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n FROM ct GROUP BY 1)
-          |SELECT nn.g AS l_returnflag, nn.n,
-          |  COALESCE(cd.conc, 0) AS concordant,
-          |  COALESCE(cd.disc, 0) AS discordant,
-          |  tx.t_x, ty.t_y, n * (n - 1) // 2 AS n0,
-          |  CASE WHEN n * (n - 1) // 2 > tx.t_x
-          |      AND n * (n - 1) // 2 > ty.t_y THEN
-          |    ROUND(CAST(COALESCE(cd.conc, 0) - COALESCE(cd.disc, 0)
-          |        AS DOUBLE) /
-          |      sqrt(CAST(n * (n - 1) // 2 - tx.t_x AS DOUBLE) *
-          |        CAST(n * (n - 1) // 2 - ty.t_y AS DOUBLE)), 6) END
-          |    AS tau_b
-          |FROM nn JOIN tx USING (g) JOIN ty USING (g)
-          |LEFT JOIN cd USING (g)
-          |ORDER BY 1""".stripMargin),
+      ("kendall_tau_lineitem" -> kendallTauOracle),
+      // tau-b twin: contingency cells as Complete-mode state, fold on
+      // drain (FromCounts ∘ cell-counts spec-pinned) — batch SQL verbatim
+      ("streaming_kendall_tau_lineitem" -> kendallTauOracle),
+      // richness twin: vocab-bounded token dictionary state, same fold
+      ("streaming_vocab_richness_docs" -> vocabRichnessOracle),
       // vocab richness: frequency-of-frequencies fold, floored micro
-      ("vocab_richness_docs" ->
-        """WITH tok AS (
-          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
-          |    SELECT unnest(list_filter(string_split_regex(lower(text),
-          |      '\s+'), x -> len(x) > 0)) AS w
-          |    FROM documents) GROUP BY 1),
-          |ag AS (
-          |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
-          |    CAST(COUNT(*) AS BIGINT) AS vocab,
-          |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-          |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
-          |  FROM tok)
-          |SELECT n_tokens, vocab, f1, f2,
-          |  vocab * 1000000 + (f1 * (f1 - 1)) // (2 * (f2 + 1)) * 1000000
-          |    + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000
-          |      // (2 * (f2 + 1)) AS chao1_micro,
-          |  (f1 * 1000000) // n_tokens AS gt_unseen_micro
-          |FROM ag""".stripMargin),
+      ("vocab_richness_docs" -> vocabRichnessOracle),
       // video near-dup: shot segmentation (lag + cumulative breaks) ->
       // shot-key MinHash bands -> exact set-Jaccard verify
       ("video_dup_docs" ->
@@ -6985,6 +6970,71 @@ object SparkEntry {
       |  FROM iv JOIN sz sa ON sa.doc_id = iv.id_a
       |  JOIN sz sb ON sb.doc_id = iv.id_b
       |  WHERE iv.n_common * 2 >= sa.n + sb.n - iv.n_common)""".stripMargin
+
+  /** Kendall tau-b replay — shared by the batch query and its
+    * Complete-mode contingency-state streaming twin.
+    */
+  private val kendallTauOracle: String =
+    """WITH ct AS (
+      |  SELECT l_returnflag AS g,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+      |      AS BIGINT) // 1000000 AS x,
+      |    CAST(l_quantity AS BIGINT) AS y,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cd AS (
+      |  SELECT a.g,
+      |    CAST(SUM(CASE WHEN b.y > a.y THEN a.n * b.n ELSE 0 END)
+      |      AS BIGINT) AS conc,
+      |    CAST(SUM(CASE WHEN b.y < a.y THEN a.n * b.n ELSE 0 END)
+      |      AS BIGINT) AS disc
+      |  FROM ct a JOIN ct b ON a.g = b.g AND b.x > a.x
+      |  GROUP BY 1),
+      |tx AS (
+      |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_x FROM (
+      |    SELECT g, x, CAST(SUM(n) AS BIGINT) AS m FROM ct
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |ty AS (
+      |  SELECT g, CAST(SUM(m * (m - 1) // 2) AS BIGINT) AS t_y FROM (
+      |    SELECT g, y, CAST(SUM(n) AS BIGINT) AS m FROM ct
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |nn AS (SELECT g, CAST(SUM(n) AS BIGINT) AS n FROM ct GROUP BY 1)
+      |SELECT nn.g AS l_returnflag, nn.n,
+      |  COALESCE(cd.conc, 0) AS concordant,
+      |  COALESCE(cd.disc, 0) AS discordant,
+      |  tx.t_x, ty.t_y, n * (n - 1) // 2 AS n0,
+      |  CASE WHEN n * (n - 1) // 2 > tx.t_x
+      |      AND n * (n - 1) // 2 > ty.t_y THEN
+      |    ROUND(CAST(COALESCE(cd.conc, 0) - COALESCE(cd.disc, 0)
+      |        AS DOUBLE) /
+      |      sqrt(CAST(n * (n - 1) // 2 - tx.t_x AS DOUBLE) *
+      |        CAST(n * (n - 1) // 2 - ty.t_y AS DOUBLE)), 6) END
+      |    AS tau_b
+      |FROM nn JOIN tx USING (g) JOIN ty USING (g)
+      |LEFT JOIN cd USING (g)
+      |ORDER BY 1""".stripMargin
+
+  /** Vocabulary-richness replay — shared with its token-dictionary-
+    * state streaming twin.
+    */
+  private val vocabRichnessOracle: String =
+    """WITH tok AS (
+      |  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      |    SELECT unnest(list_filter(string_split_regex(lower(text),
+      |      '\s+'), x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY 1),
+      |ag AS (
+      |  SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS vocab,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+      |    CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      |  FROM tok)
+      |SELECT n_tokens, vocab, f1, f2,
+      |  vocab * 1000000 + (f1 * (f1 - 1)) // (2 * (f2 + 1)) * 1000000
+      |    + ((f1 * (f1 - 1)) % (2 * (f2 + 1))) * 1000000
+      |      // (2 * (f2 + 1)) AS chao1_micro,
+      |  (f1 * 1000000) // n_tokens AS gt_unseen_micro
+      |FROM ag""".stripMargin
 
   private def baseOracleSql: Map[String, String] =
     distinctKeys("baseOracleSql", Seq(

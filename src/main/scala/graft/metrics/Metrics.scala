@@ -736,11 +736,28 @@ object Metrics {
       groupCols: Seq[String]): DataFrame = {
     require(groupCols.nonEmpty,
       "kendallTauB is grouped; pass a literal group for the global form")
+    kendallTauFromCounts(
+      df.groupBy(groupCols.map(col) :+ col(xCol).cast("long").as("__x") :+
+          col(yCol).cast("long").as("__y"): _*)
+        .agg(count(lit(1)).as("__n")),
+      "__x", "__y", "__n", groupCols)
+  }
+
+  /** The tau-b fold over a drained/batch (groups…, x, y, n) contingency
+    * dictionary — kendallTauFromCounts ∘ cell-counts = kendallTauB by
+    * construction (the streaming-twin rule: the cell counts are
+    * associative Complete-mode state).
+    */
+  def kendallTauFromCounts(
+      counts: DataFrame,
+      xCol: String,
+      yCol: String,
+      nCol: String,
+      groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    val ct = df
-      .groupBy(g :+ col(xCol).cast("long").as("__x") :+
-        col(yCol).cast("long").as("__y"): _*)
-      .agg(count(lit(1)).as("__n"))
+    val ct = counts
+      .select(g ++ Seq(col(xCol).as("__x"), col(yCol).as("__y"),
+        col(nCol).as("__n")): _*)
       .localCheckpoint(true) // referenced by cd (twice), margins, totals
     val bSide = ct.select(groupCols.map(c => col(c).as(s"__gb_$c")) ++
       Seq(col("__x").as("__xb"), col("__y").as("__yb"),

@@ -618,9 +618,17 @@ object TextAnalysis {
     * fold. No join, no window.
     */
   def vocabRichness(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      .agg(sum(col("c")).as("n_tokens"),
+    vocabRichnessFromCounts(
+      df.select(explode(tokens(col(textCol))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c")))
+
+  /** The richness fold over a drained/batch (w, c) token dictionary —
+    * vocabRichnessFromCounts ∘ token-counts = vocabRichness by
+    * construction (the streaming-twin rule; the dictionary is genuinely
+    * vocab-bounded state).
+    */
+  def vocabRichnessFromCounts(tok: DataFrame): DataFrame =
+    tok.agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("vocab"),
         sum((col("c") === 1).cast("long")).as("f1"),
         sum((col("c") === 2).cast("long")).as("f2"))
