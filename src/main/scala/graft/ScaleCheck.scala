@@ -1281,6 +1281,30 @@ object ScaleCheck {
                   when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
           "pa", "pb", "oc", "mid", 32, 3),
         events, "event_id", None),
+      ("plackett_luce",
+        // one corpus hash-agg to the ordered-triple dictionary; the MM
+        // rounds explode/join/agg that dictionary only
+        (d: DataFrame) => graft.scale.Preference.plackettLuceMicro(
+          d.select(expr("event_id % 12").as("x"),
+              expr("(event_id div 12) % 12").as("y"),
+              expr("(event_id div 144) % 12").as("z"),
+              expr("user_id % 10").as("k"))
+            .filter(col("x") =!= col("y") && col("x") =!= col("z") &&
+              col("y") =!= col("z"))
+            .withColumn("a", least(col("x"), col("y"), col("z")))
+            .withColumn("c", greatest(col("x"), col("y"), col("z")))
+            .withColumn("b",
+              col("x") + col("y") + col("z") - col("a") - col("c"))
+            .selectExpr(
+              "CASE WHEN k <= 5 THEN a WHEN k <= 7 THEN b ELSE c END AS f",
+              "CASE WHEN k <= 4 THEN b WHEN k = 5 THEN c " +
+                "WHEN k = 6 THEN a WHEN k = 7 THEN c WHEN k = 8 THEN a " +
+                "ELSE b END AS s",
+              "CASE WHEN k <= 4 THEN c WHEN k = 5 THEN b " +
+                "WHEN k = 6 THEN c WHEN k = 7 THEN a WHEN k = 8 THEN b " +
+                "ELSE a END AS t3"),
+          "f", "s", "t3", 3),
+        events, "event_id", None),
       ("majority_cycles",
         // one corpus hash-agg to the pair dictionary; the triad census is
         // a dictionary^3-bounded self-join (players fixed at 12)

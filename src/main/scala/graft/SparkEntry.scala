@@ -39,6 +39,30 @@ object SparkEntry {
           .otherwise(
             when(col("pa") > col("pb"), lit(0)).otherwise(lit(1))))
 
+  /** Arena 3-way-race fabrication (the listwise sibling of
+    * [[arenaMatches]]): three distinct players from event_id digit
+    * groups, finish order keyed on user_id % 10 — 0..4 the id-ascending
+    * order (lower index = stronger), 5..9 one of the five other
+    * permutations each.
+    */
+  private def arenaRaces(df: DataFrame): DataFrame =
+    df.select(expr("event_id % 12").as("x"),
+        expr("(event_id div 12) % 12").as("y"),
+        expr("(event_id div 144) % 12").as("z"),
+        expr("user_id % 10").as("k"))
+      .filter(col("x") =!= col("y") && col("x") =!= col("z") &&
+        col("y") =!= col("z"))
+      .withColumn("a", least(col("x"), col("y"), col("z")))
+      .withColumn("c", greatest(col("x"), col("y"), col("z")))
+      .withColumn("b",
+        col("x") + col("y") + col("z") - col("a") - col("c"))
+      .selectExpr(
+        "CASE WHEN k <= 5 THEN a WHEN k <= 7 THEN b ELSE c END AS f",
+        "CASE WHEN k <= 4 THEN b WHEN k = 5 THEN c WHEN k = 6 THEN a " +
+          "WHEN k = 7 THEN c WHEN k = 8 THEN a ELSE b END AS s",
+        "CASE WHEN k <= 4 THEN c WHEN k = 5 THEN b WHEN k = 6 THEN c " +
+          "WHEN k = 7 THEN a WHEN k = 8 THEN b ELSE a END AS t3")
+
   /** The standard quantile probe set of the KLL sketch queries. */
   private val kllProbes: Seq[(Int, Int)] =
     Seq((1, 100), (5, 100), (10, 100), (25, 100), (50, 100), (75, 100),
@@ -4281,6 +4305,14 @@ object SparkEntry {
         arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")
         .orderBy(col("copeland").desc, col("player"))),
 
+    // ---- Plackett-Luce listwise fit (3-way rankings) -----------------------
+    // The k-way generalization of the BT fit: two choice stages per race,
+    // exact-integer MM rounds over the ordered-triple pattern dictionary.
+    "plackett_luce_events" -> ((s, dir) =>
+      graft.scale.Preference.plackettLuceMicro(
+        arenaRaces(t(s, dir, "events")), "f", "s", "t3", 3)
+        .orderBy(col("strength_micro").desc, col("player"))),
+
     // ---- majority-graph transitivity (cyclic-triad census) -----------------
     // Rock-paper-scissors triads among decided head-to-heads — the "is
     // there a consistent ranking at all" gate before publishing a BT or
@@ -5663,6 +5695,8 @@ object SparkEntry {
       ("streaming_copeland_events" -> copelandOracle),
       // bootstrap BT: long-format Poisson weights, rep-keyed MM chain
       ("bootstrap_bradley_terry_events" -> bradleyTerryBootOracle(32, 3)),
+      // Plackett-Luce: two-stage MM rounds over the triple dictionary
+      ("plackett_luce_events" -> plackettLuceOracle(3)),
       // majority-cycle triad census over the decided pair dictionary
       ("majority_cycles_events" ->
         s"""$btPairCtes,
@@ -6735,6 +6769,79 @@ object SparkEntry {
        |  se.ci_lo_micro, se.ci_hi_micro
        |FROM pp JOIN s$rounds USING (player)
        |LEFT JOIN se USING (player)
+       |ORDER BY strength_micro DESC, player""".stripMargin
+  }
+
+  /** Plackett-Luce replay: race fabrication, the ordered-triple pattern
+    * dictionary, and unrolled two-stage MM rounds (suffix members as a
+    * CASE list UNNEST) — mirrors
+    * [[graft.scale.Preference.plackettLuceMicro]] term for term.
+    */
+  private def plackettLuceOracle(rounds: Int): String = {
+    val mem = "CASE WHEN stage = 0 THEN [f, s, t3] ELSE [s, t3] END"
+    val perRound = (1 to rounds).map { r =>
+      s"""d$r AS (
+         |  SELECT f, s, t3, cnt, stage,
+         |    (cnt * 1000000000000) // ssum AS term FROM (
+         |    SELECT sg.f, sg.s, sg.t3, sg.cnt, sg.stage,
+         |      CAST(SUM(p.p) AS BIGINT) AS ssum
+         |    FROM sg, UNNEST(CASE WHEN sg.stage = 0
+         |      THEN [sg.f, sg.s, sg.t3] ELSE [sg.s, sg.t3] END) AS u(m)
+         |    JOIN ps${r - 1} p ON p.player = u.m
+         |    GROUP BY 1, 2, 3, 4, 5)),
+         |tm$r AS (
+         |  SELECT u.m AS player, CAST(SUM(term) AS BIGINT) AS t
+         |  FROM d$r, UNNEST($mem) AS u(m)
+         |  GROUP BY 1),
+         |pr$r AS (
+         |  SELECT w.player, GREATEST((w.n_chosen * 1000000) //
+         |    GREATEST(tm$r.t // 1000000, 1), 1) AS praw
+         |  FROM w JOIN tm$r USING (player)),
+         |ps$r AS (
+         |  SELECT player, GREATEST((praw * 1000000) //
+         |    GREATEST(nn.s // nn.n, 1), 1) AS p
+         |  FROM pr$r, (SELECT CAST(SUM(praw) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM pr$r) nn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH rr AS (
+       |  SELECT event_id % 12 AS x, (event_id // 12) % 12 AS y,
+       |    (event_id // 144) % 12 AS z, user_id % 10 AS k
+       |  FROM events
+       |  WHERE event_id % 12 <> (event_id // 12) % 12
+       |    AND event_id % 12 <> (event_id // 144) % 12
+       |    AND (event_id // 12) % 12 <> (event_id // 144) % 12),
+       |ro AS (
+       |  SELECT LEAST(x, y, z) AS a, GREATEST(x, y, z) AS c,
+       |    x + y + z - LEAST(x, y, z) - GREATEST(x, y, z) AS b, k
+       |  FROM rr),
+       |races AS (
+       |  SELECT
+       |    CASE WHEN k <= 5 THEN a WHEN k <= 7 THEN b ELSE c END AS f,
+       |    CASE WHEN k <= 4 THEN b WHEN k = 5 THEN c WHEN k = 6 THEN a
+       |      WHEN k = 7 THEN c WHEN k = 8 THEN a ELSE b END AS s,
+       |    CASE WHEN k <= 4 THEN c WHEN k = 5 THEN b WHEN k = 6 THEN c
+       |      WHEN k = 7 THEN a WHEN k = 8 THEN b ELSE a END AS t3
+       |  FROM ro),
+       |rc AS (
+       |  SELECT f, s, t3, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM races GROUP BY 1, 2, 3),
+       |w AS (
+       |  SELECT player, CAST(SUM(ca) AS BIGINT) AS n_races,
+       |    CAST(SUM(cw) AS BIGINT) AS n_chosen
+       |  FROM (
+       |    SELECT f AS player, cnt AS cw, cnt AS ca FROM rc
+       |    UNION ALL SELECT s, cnt, cnt FROM rc
+       |    UNION ALL SELECT t3, CAST(0 AS BIGINT), cnt FROM rc)
+       |  GROUP BY 1),
+       |sg AS (SELECT f, s, t3, cnt, st.stage
+       |  FROM rc, UNNEST([0, 1]) AS st(stage)),
+       |ps0 AS (SELECT player, CAST(1000000 AS BIGINT) AS p FROM w),
+       |$perRound
+       |SELECT w.player, w.n_races, w.n_chosen, ps$rounds.p
+       |  AS strength_micro,
+       |  ROUND(1500.0 + 400.0 * ln(CAST(ps$rounds.p AS DOUBLE) / 1e6)
+       |    / ln(10.0), 6) AS elo
+       |FROM w JOIN ps$rounds USING (player)
        |ORDER BY strength_micro DESC, player""".stripMargin
   }
 

@@ -289,6 +289,83 @@ object Preference {
         (sum(col("w")) === count(lit(1))).as("is_condorcet"))
   }
 
+  /** Plackett-Luce strengths from 3-WAY RANKINGS — the listwise
+    * generalization of [[bradleyTerryMicro]] (best-of-k judgments, k-way
+    * arena battles, ranked retrieval preferences). Hunter (AoS'04)'s PL
+    * MM iteration:
+    *   p_i ← W_i / Σ_{(race, stage): i ∈ suffix} n_race / Σ_{j ∈ suffix} p_j
+    * where a length-3 ranking contributes two choice stages (winner among
+    * all three, runner-up among the remaining two) and W_i counts the
+    * times i was the chosen one. Same exact-integer scheme as the BT fit
+    * (stage term = cnt·1e12 div suffix-sum, the floored Praw pick, the
+    * mean-1e6 renormalization, per-round eager cut).
+    *
+    * Scale shape: ONE corpus hash-agg collapses the race stream to the
+    * ordered-triple pattern dictionary (≤ N·(N−1)·(N−2) rows); rounds are
+    * explode/join/agg over that dictionary only.
+    */
+  def plackettLuceMicro(
+      races: DataFrame,
+      firstCol: String,
+      secondCol: String,
+      thirdCol: String,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one MM round")
+    val rc = races
+      .filter(col(firstCol) =!= col(secondCol) &&
+        col(firstCol) =!= col(thirdCol) &&
+        col(secondCol) =!= col(thirdCol))
+      .select(col(firstCol).as("f"), col(secondCol).as("s"),
+        col(thirdCol).as("t3"))
+      .groupBy(col("f"), col("s"), col("t3"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val perPlayer = rc
+      .select(col("f").as("player"), col("cnt").as("cw"),
+        col("cnt").as("ca"))
+      .unionByName(rc.select(col("s").as("player"), col("cnt").as("cw"),
+        col("cnt").as("ca")))
+      .unionByName(rc.select(col("t3").as("player"), lit(0L).as("cw"),
+        col("cnt").as("ca")))
+      .groupBy(col("player"))
+      .agg(sum(col("ca")).as("n_races"), sum(col("cw")).as("n_chosen"))
+      .localCheckpoint(true)
+    // two choice stages per pattern; suffix members derived from the keys
+    val stages = rc.select(col("f"), col("s"), col("t3"), col("cnt"),
+        explode(array(lit(0), lit(1))).as("stage"))
+    val memberExpr =
+      "CASE WHEN stage = 0 THEN array(f, s, t3) ELSE array(s, t3) END"
+    var scores = perPlayer.select(col("player"), lit(Micro).as("p"))
+    for (_ <- 1 to rounds) {
+      val denom = stages
+        .withColumn("m", explode(expr(memberExpr)))
+        .join(scores.select(col("player").as("m"), col("p")), Seq("m"))
+        .groupBy(col("f"), col("s"), col("t3"), col("cnt"), col("stage"))
+        .agg(sum(col("p")).as("ssum"))
+        .withColumn("term", expr("(cnt * 1000000000000L) div ssum"))
+      val t = denom
+        .withColumn("player", explode(expr(memberExpr)))
+        .groupBy(col("player")).agg(sum(col("term")).as("t"))
+      val praw = perPlayer.join(t, Seq("player"))
+        .withColumn("praw", expr(
+          "greatest((n_chosen * 1000000L) div " +
+            "greatest(t div 1000000L, 1L), 1L)"))
+      val norm = praw.agg(sum(col("praw")).as("__s"),
+        count(lit(1)).as("__n"))
+      scores = praw.crossJoin(broadcast(norm))
+        .withColumn("p", expr(
+          "greatest((praw * 1000000L) div greatest(__s div __n, 1L), 1L)"))
+        .select(col("player"), col("p"))
+        .localCheckpoint(true) // the BT per-round lineage cut
+    }
+    perPlayer.join(scores, Seq("player"))
+      .select(col("player"), col("n_races"), col("n_chosen"),
+        col("p").as("strength_micro"),
+        round(lit(1500.0) +
+          lit(400.0) * log(col("p").cast("double") / 1e6) / log(lit(10.0)),
+          6).as("elo"))
+  }
+
   /** Majority-graph TRANSITIVITY diagnostic — the triad census behind
     * "is there even a consistent ranking to fit?": among triples whose
     * three pairwise head-to-heads are all DECIDED (strict majority, no

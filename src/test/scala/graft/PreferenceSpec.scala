@@ -80,6 +80,32 @@ class PreferenceSpec extends SparkSpec {
     assert(got2.getLong(2) == 2L && got2.getBoolean(6))
   }
 
+  test("plackettLuceMicro: hand-walked 3-way fixture — two choice stages " +
+      "per race, exact micro strengths; last-place-only player floors") {
+    // races (first, second, third): (1,2,3) x2, (2,1,3), (3,1,2)
+    val rs = Seq((1L, 2L, 3L), (1L, 2L, 3L), (2L, 1L, 3L), (3L, 1L, 2L))
+    val got = Preference.plackettLuceMicro(
+        rs.toDF("f", "s", "t3"), "f", "s", "t3", 3)
+      .orderBy($"player").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // hand-walked 3 MM rounds (chosen counts 4/3/1 over 4 appearances)
+    assert(got === Seq(
+      (1L, 4L, 4L, 1800000L),
+      (2L, 4L, 3L, 900000L),
+      (3L, 4L, 1L, 299999L)))
+    // a player who only ever finishes last never gets chosen -> floor 1
+    val never = Seq((1L, 2L, 9L), (2L, 1L, 9L))
+    val worst = Preference.plackettLuceMicro(
+        never.toDF("f", "s", "t3"), "f", "s", "t3", 3)
+      .filter($"player" === 9L).collect().head
+    assert(worst.getLong(2) == 0L && worst.getLong(3) >= 1L)
+    // degenerate races (repeated player) are dropped loudly-by-filter
+    val withSelf = rs ++ Seq((5L, 5L, 6L))
+    assert(Preference.plackettLuceMicro(withSelf.toDF("f", "s", "t3"),
+      "f", "s", "t3", 3).count() == 3L)
+  }
+
   test("majorityCycles: rock-paper-scissors triad counted once; " +
       "transitive triad is zero-cycle; a tied pair unresolves the triad") {
     def census(ms: Seq[(Long, Long, Int)]) =
