@@ -4313,6 +4313,30 @@ object SparkEntry {
         arenaRaces(t(s, dir, "events")), "f", "s", "t3", 3)
         .orderBy(col("strength_micro").desc, col("player"))),
 
+    // ---- STREAMING Plackett-Luce (pattern dictionary as Complete state) ---
+    "streaming_plackett_luce_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = graft.scale.Preference.raceCounts(
+        arenaRaces(stream), "f", "s", "t3")
+      val name = "stream_pl_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Preference.plackettLuceFromCounts(drained, 3)
+        .orderBy(col("strength_micro").desc, col("player"))
+    }),
+
+    // ---- pairwise win-rate matrix (the leaderboard's second table) --------
+    "winrate_matrix_events" -> ((s, dir) =>
+      graft.scale.Preference.pairCounts(
+          arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")
+        .select(col("lo"), col("hi"), col("n2"), col("w2lo"),
+          round(col("w2lo").cast("double") / col("n2").cast("double"), 6)
+            .as("winrate_lo"))
+        .orderBy(col("lo"), col("hi"))),
+
     // ---- majority-graph transitivity (cyclic-triad census) -----------------
     // Rock-paper-scissors triads among decided head-to-heads — the "is
     // there a consistent ranking at all" gate before publishing a BT or
@@ -5697,6 +5721,15 @@ object SparkEntry {
       ("bootstrap_bradley_terry_events" -> bradleyTerryBootOracle(32, 3)),
       // Plackett-Luce: two-stage MM rounds over the triple dictionary
       ("plackett_luce_events" -> plackettLuceOracle(3)),
+      // PL twin: the pattern dictionary is associative Complete state
+      ("streaming_plackett_luce_events" -> plackettLuceOracle(3)),
+      // pairwise win-rate matrix over the shared pair dictionary
+      ("winrate_matrix_events" ->
+        s"""$btPairCtes
+           |SELECT lo, hi, n2, w2lo,
+           |  ROUND(CAST(w2lo AS DOUBLE) / CAST(n2 AS DOUBLE), 6)
+           |    AS winrate_lo
+           |FROM pr ORDER BY lo, hi""".stripMargin),
       // majority-cycle triad census over the decided pair dictionary
       ("majority_cycles_events" ->
         s"""$btPairCtes,

@@ -309,9 +309,20 @@ object Preference {
       firstCol: String,
       secondCol: String,
       thirdCol: String,
-      rounds: Int = 3): DataFrame = {
-    require(rounds >= 1, "need at least one MM round")
-    val rc = races
+      rounds: Int = 3): DataFrame =
+    plackettLuceFromCounts(
+      raceCounts(races, firstCol, secondCol, thirdCol), rounds)
+
+  /** The one corpus-mass job: race stream -> ordered-triple pattern
+    * dictionary (degenerate repeated-player races dropped). Associative
+    * counts — the Complete-mode streaming state of the PL twin.
+    */
+  def raceCounts(
+      races: DataFrame,
+      firstCol: String,
+      secondCol: String,
+      thirdCol: String): DataFrame =
+    races
       .filter(col(firstCol) =!= col(secondCol) &&
         col(firstCol) =!= col(thirdCol) &&
         col(secondCol) =!= col(thirdCol))
@@ -319,7 +330,16 @@ object Preference {
         col(thirdCol).as("t3"))
       .groupBy(col("f"), col("s"), col("t3"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+
+  /** The MM rounds over a drained/batch (f, s, t3, cnt) dictionary —
+    * plackettLuceFromCounts ∘ raceCounts = plackettLuceMicro by
+    * construction (the streaming-twin rule).
+    */
+  def plackettLuceFromCounts(
+      rc0: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one MM round")
+    val rc = rc0.localCheckpoint(true)
     val perPlayer = rc
       .select(col("f").as("player"), col("cnt").as("cw"),
         col("cnt").as("ca"))
