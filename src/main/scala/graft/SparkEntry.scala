@@ -1926,6 +1926,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- video near-dup RECALL vs the planted truth -------------------------
+    // The opq_recall discipline for the video LSH path: exact shot-set
+    // Jaccard on the planted echo pairs, gate subset, measured recall of
+    // the banded-MinHash candidates.
+    "video_dup_recall_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val echo = docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(999999999L))
+      val media = Multimodal.fromDocuments(docs.unionByName(echo))
+      val planted = docs
+        .filter(col("doc_id") % 13 === 0 && col("doc_id") % 3 === 2)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(999999999L)).as("id_b"))
+      Multimodal.videoDupRecall(media, planted)
+    }),
+
     // ---- video shot-boundary screening -------------------------------------
     // Frame-difference detector over the seam signatures; per-row state
     // bounded by n_frames, no frame explosion, no shuffle.
@@ -5775,6 +5791,42 @@ object SparkEntry {
           |  ROUND(CAST(n_common AS DOUBLE) /
           |    CAST(n_a + n_b - n_common AS DOUBLE), 6) AS jaccard
           |FROM gp ORDER BY 1, 2""".stripMargin),
+      // video recall grade: exact Jaccard of planted pairs vs gp hits
+      ("video_dup_recall_docs" ->
+        s"""$videoDupCtes,
+          |pl AS (
+          |  SELECT doc_id AS id_a, doc_id + 999999999 AS id_b
+          |  FROM documents WHERE doc_id % 13 = 0 AND doc_id % 3 = 2),
+          |ti AS (
+          |  SELECT pl.id_a, pl.id_b, CAST(COUNT(*) AS BIGINT) AS nc
+          |  FROM pl JOIN ks ka ON ka.doc_id = pl.id_a
+          |  JOIN ks kb ON kb.doc_id = pl.id_b
+          |    AND kb.shot_key = ka.shot_key
+          |  GROUP BY 1, 2),
+          |tv AS (
+          |  SELECT pl.id_a, pl.id_b, sa.n AS n_a, sb.n AS n_b,
+          |    COALESCE(ti.nc, 0) AS nc
+          |  FROM pl JOIN sz sa ON sa.doc_id = pl.id_a
+          |  JOIN sz sb ON sb.doc_id = pl.id_b
+          |  LEFT JOIN ti ON ti.id_a = pl.id_a AND ti.id_b = pl.id_b),
+          |tg AS (SELECT id_a, id_b,
+          |  (nc * 2 >= n_a + n_b - nc) AS above FROM tv),
+          |fj AS (
+          |  SELECT tg.above,
+          |    CASE WHEN gp.id_a IS NOT NULL THEN 1 ELSE 0 END AS hit
+          |  FROM tg LEFT JOIN gp
+          |    ON gp.id_a = tg.id_a AND gp.id_b = tg.id_b)
+          |SELECT CAST(COUNT(*) AS BIGINT) AS n_planted,
+          |  CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_above_gate,
+          |  CAST(SUM(CASE WHEN above THEN hit ELSE 0 END) AS BIGINT)
+          |    AS n_recovered,
+          |  CASE WHEN SUM(CASE WHEN above THEN 1 ELSE 0 END) > 0 THEN
+          |    ROUND(CAST(SUM(CASE WHEN above THEN hit ELSE 0 END)
+          |        AS DOUBLE) /
+          |      CAST(SUM(CASE WHEN above THEN 1 ELSE 0 END) AS DOUBLE), 6)
+          |    END AS recall
+          |FROM fj""".stripMargin),
       // video clusters: the gated pairs + the dup_clusters reach pattern
       ("video_dup_clusters_docs" ->
         s"""$videoDupCtes,

@@ -616,6 +616,52 @@ object Multimodal {
           .as("jaccard"))
   }
 
+  /** Recall grade for [[videoDupPairs]] against a PLANTED pair list — the
+    * opq_recall/ann_recall discipline applied to the video LSH path: the
+    * exact shot-set Jaccard of every planted pair (a dictionary-scale
+    * keyed join — the planted list is tiny), the gate subset, and how
+    * many of those the banded MinHash path recovered. The banding's
+    * 1−(1−J²)^bands recall curve becomes a measured number instead of a
+    * formula.
+    *
+    * @param planted (id_a, id_b) ground-truth duplicate pairs
+    * @return one row: (n_planted, n_above_gate, n_recovered, recall) —
+    *         recall NULL when nothing clears the gate
+    */
+  def videoDupRecall(media: DataFrame, planted: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val keys = videoShotKeys(media, idCol).localCheckpoint(true)
+    val sizes = keys.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pl = planted.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val inter = pl
+      .join(keys.select(col(idCol).as("id_a"), col("shot_key")), Seq("id_a"))
+      .join(keys.select(col(idCol).as("id_b"), col("shot_key")),
+        Seq("id_b", "shot_key"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val truth = pl
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("n_a")),
+        Seq("id_a"))
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("n_b")),
+        Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("nc", coalesce(col("n_common"), lit(0L)))
+      .withColumn("above",
+        col("nc") * 2 >= col("n_a") + col("n_b") - col("nc"))
+      .localCheckpoint(true)
+    val found = videoDupPairs(media, idCol)
+      .select(col("id_a"), col("id_b"), lit(1L).as("hit"))
+    truth.join(found, Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).as("n_planted"),
+        sum(col("above").cast("long")).as("n_above_gate"),
+        sum(when(col("above"), coalesce(col("hit"), lit(0L)))
+          .otherwise(0L)).as("n_recovered"))
+      .select(col("n_planted"), col("n_above_gate"), col("n_recovered"),
+        when(col("n_above_gate") > 0,
+          round(col("n_recovered").cast("double") /
+            col("n_above_gate").cast("double"), 6)).as("recall"))
+  }
+
   /** Cross-modal alignment-score filter — the CLIP-score curation step
     * (Radford et al. 2021; the LAION-400M/5B pipeline, Schuhmann et al.
     * 2021, keeps an image-text pair iff the cosine of its CLIP embeddings

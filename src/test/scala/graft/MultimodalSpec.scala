@@ -369,6 +369,20 @@ class MultimodalSpec extends SparkSpec {
     assert(got === keys.toSet)
   }
 
+  test("videoDupRecall: exact-Jaccard truth gates the planted list; " +
+      "recovered/above-gate counted apart") {
+    val fox = "the quick brown fox jumps over the lazy dog"
+    val mm = Multimodal.fromDocuments(Seq(
+      (26L, fox), (29L, fox), (11L, fox),
+      (23L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text"))
+    // planted: (26,29) J=17/19 above gate + found; (11,29) J=6/19 below
+    val planted = Seq((26L, 29L), (11L, 29L)).toDF("id_a", "id_b")
+    val r = Multimodal.videoDupRecall(mm, planted).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ===
+      ((2L, 1L, 1L, 1.0)))
+  }
+
   test("videoDupPairs: planted re-cut clip recovered with exact set " +
       "Jaccard; low-overlap stub and foreign clip stay out") {
     val fox = "the quick brown fox jumps over the lazy dog"
