@@ -1222,6 +1222,12 @@ object ScaleCheck {
               .cast("long")),
           "cents", 1024, Seq((1, 100), (50, 100), (99, 100))),
         lineitem, "l_orderkey", None),
+      ("phonetic_block",
+        // corpus -> distinct-name dictionary in one hash-agg; block join
+        // + lev verify run at dictionary scale keyed on the code
+        (d: DataFrame) => graft.scale.Dedup.phoneticBlockPairs(
+          d, "p_name", 2),
+        part, "p_partkey", None),
       ("kll_quantiles_by",
         // per-group dictionary window + per-(group, block) fold; the
         // group count is fixed, so only the first hash-agg scales

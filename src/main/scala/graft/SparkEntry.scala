@@ -4948,6 +4948,14 @@ object SparkEntry {
       TextAnalysis.vocabRichnessFromCounts(drained)
     }),
 
+    // ---- phonetic blocking (surname-Soundex block + exact lev verify) -----
+    // The Newcombe blocking key beside q-gram/SNM/LSH: last-token
+    // phonetic code blocks, full-name Levenshtein <= 2 verify, at
+    // distinct-name dictionary scale.
+    "phonetic_block_part" -> ((s, dir) =>
+      Dedup.phoneticBlockPairs(t(s, dir, "part"), "p_name", 2)
+        .orderBy(col("code"), col("name_a"), col("name_b"))),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -5776,6 +5784,35 @@ object SparkEntry {
            |FROM np, nd, res, cyc""".stripMargin),
       // Kendall tau-b: contingency-dictionary self-join + tie margins
       ("kendall_tau_lineitem" -> kendallTauOracle),
+      // phonetic blocking: surname-code blocks + levenshtein verify
+      ("phonetic_block_part" ->
+        """WITH names AS (
+          |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM part GROUP BY 1),
+          |k0 AS (
+          |  SELECT name, n, upper(string_split(name, ' ')[-1]) AS key
+          |  FROM names),
+          |k1 AS (
+          |  SELECT name, n, key,
+          |    translate(key[2:], 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+          |      '00000000111122222222334556') AS m
+          |  FROM k0),
+          |k2 AS (
+          |  SELECT name, n,
+          |    key[1:1] || rpad(substring(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(m,
+          |        '0{2,}','0','g'),'1{2,}','1','g'),'2{2,}','2','g'),
+          |        '3{2,}','3','g'),'4{2,}','4','g'),'5{2,}','5','g'),
+          |        '6{2,}','6','g'), '0', '', 'g'), 1, 3), 3, '0') AS code
+          |  FROM k1)
+          |SELECT a.code, a.name AS name_a, b.name AS name_b,
+          |  a.n AS n_a, b.n AS n_b,
+          |  CAST(levenshtein(a.name, b.name) AS INT) AS lev
+          |FROM k2 a JOIN k2 b ON a.code = b.code AND a.name < b.name
+          |WHERE levenshtein(a.name, b.name) <= 2
+          |ORDER BY 1, 2, 3""".stripMargin),
       // tau-b twin: contingency cells as Complete-mode state, fold on
       // drain (FromCounts ∘ cell-counts spec-pinned) — batch SQL verbatim
       ("streaming_kendall_tau_lineitem" -> kendallTauOracle),

@@ -1572,6 +1572,65 @@ object Dedup {
     * once emission, no distinct over pair mass), and Levenshtein runs once
     * per distinct STRING pair, never per id pair.
     */
+  /** Declared-deterministic Soundex-STYLE phonetic code of one token:
+    * first letter + the first three consonant-class digits of the rest
+    * (B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3, L→4, M/N→5, R→6; vowels,
+    * Y/H/W and unmapped characters are class 0, adjacent equal classes
+    * collapse, zeros drop, zero-padded to 4). DECLARED variant of
+    * American Soundex (H/W break runs here; the first letter's own run
+    * is not merged) — a blocking key needs a deterministic equivalence
+    * relation replayable in any engine, not AMA compliance; every
+    * operation below is a mirrored string builtin (upper/translate/
+    * run-collapsing regexes with no backreferences — RE2-safe).
+    */
+  def phoneticCode(token: Column): Column = {
+    val up = upper(token)
+    val mapped = translate(substring(up, 2, 1000000),
+      "AEIOUYHWBFPVCGJKQSXZDTLMNR", "00000000111122222222334556")
+    val collapsed = (0 to 6).foldLeft(mapped) { (c, d) =>
+      regexp_replace(c, s"$d{2,}", d.toString)
+    }
+    concat(substring(up, 1, 1),
+      rpad(substring(regexp_replace(collapsed, "0", ""), 1, 3), 3, "0"))
+  }
+
+  /** Phonetic BLOCKING for record linkage — the classic surname-Soundex
+    * block (Newcombe, Science 1959; the standard cheap blocking key
+    * beside this file's q-gram prefix / SNM / LSH families): names
+    * sharing the LAST token's phonetic code become candidates, verified
+    * by exact full-string Levenshtein ≤ `maxDist`. Catches the
+    * sound-alike misspelling class character-q-gram prefixes rank poorly
+    * (transcription variants move letters but keep the sound class).
+    *
+    * Scale shape: the corpus collapses to the DISTINCT-NAME dictionary
+    * in one hash-agg (identical names never pair — exact dedup's job);
+    * the block join runs at dictionary scale keyed on the code, and the
+    * Levenshtein verify touches only same-code candidates. No corpus
+    * self-join, no pair mass beyond the phonetic blocks.
+    *
+    * @return (code, name_a, name_b, n_a, n_b, lev) — one row per
+    *         verified DISTINCT-name pair, n_* the corpus multiplicities.
+    */
+  def phoneticBlockPairs(
+      df: DataFrame,
+      nameCol: String,
+      maxDist: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist >= 1, got $maxDist")
+    val keyed = df.groupBy(col(nameCol).as("name"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("code",
+        phoneticCode(element_at(split(col("name"), " "), -1)))
+      .localCheckpoint(true) // both sides of the block join
+    keyed.select(col("code"), col("name").as("name_a"), col("n").as("n_a"))
+      .join(keyed.select(col("code"), col("name").as("name_b"),
+        col("n").as("n_b")), Seq("code"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("lev", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("lev") <= maxDist)
+      .select(col("code"), col("name_a"), col("name_b"), col("n_a"),
+        col("n_b"), col("lev"))
+  }
+
   def editDistancePairs(
       df: DataFrame,
       idCol: String,

@@ -2213,6 +2213,29 @@ class ScaleSpec extends SparkSpec {
     assert(got.contains((2L, 3L, 3L)) && got.count(_ == (2L, 3L, 3L)) == 1)
   }
 
+  test("phoneticCode: hand-coded tokens; phoneticBlockPairs finds the " +
+      "sound-alike pair, multiplicities carried, cross-initial missed " +
+      "by design") {
+    import org.apache.spark.sql.functions.{col => c}
+    val codes = Seq("widget", "rod", "red", "ring", "pfft")
+      .toDF("t").select(Dedup.phoneticCode(c("t"))).collect()
+      .map(_.getString(0)).toSeq
+    // WIDGET -> W + 323; ROD/RED -> R + 3 pad; RING -> R + 52 pad;
+    // PFFT -> P + (F F collapse to one 1) 1,3 pad
+    assert(codes === Seq("W323", "R300", "R300", "R520", "P130"))
+    val names = Seq("red rod", "red rod", "old rod", "cold rod",
+      "hot rod", "red ring")
+    val got = Dedup.phoneticBlockPairs(names.toDF("p"), "p", 2)
+      .orderBy("name_a").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getInt(5))).toSeq
+    // same R300 block: cold~old (lev 1), old~red (lev 2, n_b = 2);
+    // hot~red is lev 3 (verified out); red ring blocks apart (R520)
+    assert(got === Seq(
+      ("R300", "cold rod", "old rod", 1L, 1L, 1),
+      ("R300", "old rod", "red rod", 1L, 2L, 2)))
+  }
+
   test("editDistancePairs matches brute force, incl. degenerate shorts") {
     import spark.implicits._
     // covers: exact dups (1,2), one-substitution (1,3), distance-2 (1,4),
