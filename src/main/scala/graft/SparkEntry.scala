@@ -4956,6 +4956,30 @@ object SparkEntry {
       Dedup.phoneticBlockPairs(t(s, dir, "part"), "p_name", 2)
         .orderBy(col("code"), col("name_a"), col("name_b"))),
 
+    // ---- phonetic blocking QUALITY vs exact lev<=2 ground truth ------------
+    // Grades the new blocking the way blocking_quality grades the
+    // brand/size blocks: candidates = same-code name pairs, gold = the
+    // exact brute-force lev<=2 pairs over the distinct-NAME dictionary
+    // (the declared exact baseline — dictionary-scale, never corpus).
+    "phonetic_blocking_quality_part" -> ((s, dir) => {
+      val names = t(s, dir, "part").select(col("p_name").as("name"))
+        .distinct()
+        .withColumn("code", Dedup.phoneticCode(
+          element_at(split(col("name"), " "), -1)))
+        .localCheckpoint(true)
+      val cand = names.select(col("code"), col("name").as("id_a"))
+        .join(names.select(col("code"), col("name").as("id_b")),
+          Seq("code"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val gold = names.select(col("name").as("id_a"))
+        .crossJoin(names.select(col("name").as("id_b")))
+        .filter(col("id_a") < col("id_b") &&
+          levenshtein(col("id_a"), col("id_b")) <= 2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.blockingQuality(cand, gold, names.select(col("name")))
+    }),
+
     // ---- edit-distance similarity self-join (Ed-Join prefix filtering) ----
     // Every part pair within Levenshtein distance 2 of each other's name,
     // with the exact distance. The oracle brute-forces the distance
@@ -5813,6 +5837,48 @@ object SparkEntry {
           |FROM k2 a JOIN k2 b ON a.code = b.code AND a.name < b.name
           |WHERE levenshtein(a.name, b.name) <= 2
           |ORDER BY 1, 2, 3""".stripMargin),
+      // phonetic blocking quality: same-code candidates vs brute gold
+      ("phonetic_blocking_quality_part" ->
+        """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+          |k0 AS (
+          |  SELECT name, upper(string_split(name, ' ')[-1]) AS key
+          |  FROM names),
+          |k1 AS (
+          |  SELECT name, key,
+          |    translate(key[2:], 'AEIOUYHWBFPVCGJKQSXZDTLMNR',
+          |      '00000000111122222222334556') AS m
+          |  FROM k0),
+          |k2 AS (
+          |  SELECT name,
+          |    key[1:1] || rpad(substring(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(regexp_replace(regexp_replace(
+          |      regexp_replace(m,
+          |        '0{2,}','0','g'),'1{2,}','1','g'),'2{2,}','2','g'),
+          |        '3{2,}','3','g'),'4{2,}','4','g'),'5{2,}','5','g'),
+          |        '6{2,}','6','g'), '0', '', 'g'), 1, 3), 3, '0') AS code
+          |  FROM k1),
+          |nr0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS nr FROM names),
+          |cand AS (
+          |  SELECT a.name AS i, b.name AS j
+          |  FROM k2 a JOIN k2 b ON a.code = b.code AND a.name < b.name),
+          |gold AS (
+          |  SELECT a.name AS i, b.name AS j
+          |  FROM names a JOIN names b ON a.name < b.name
+          |  WHERE levenshtein(a.name, b.name) <= 2),
+          |c AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand),
+          |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_gold FROM gold),
+          |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+          |  FROM cand JOIN gold USING (i, j))
+          |SELECT nr AS n_records, n_cand, n_gold, n_hit,
+          |  CASE WHEN n_gold > 0 THEN
+          |    ROUND(CAST(n_hit AS DOUBLE) / CAST(n_gold AS DOUBLE), 6)
+          |  END AS pair_completeness,
+          |  CASE WHEN nr > 1 THEN
+          |    ROUND(1.0 - CAST(n_cand AS DOUBLE)
+          |      / CAST(CAST(nr AS HUGEINT) * (nr - 1) / 2 AS DOUBLE), 6)
+          |  END AS reduction_ratio
+          |FROM nr0, c, g, h""".stripMargin),
       // tau-b twin: contingency cells as Complete-mode state, fold on
       // drain (FromCounts ∘ cell-counts spec-pinned) — batch SQL verbatim
       ("streaming_kendall_tau_lineitem" -> kendallTauOracle),
