@@ -1222,6 +1222,17 @@ object ScaleCheck {
               .cast("long")),
           "cents", 1024, Seq((1, 100), (50, 100), (99, 100))),
         lineitem, "l_orderkey", None),
+      ("isotonic_calibration",
+        // one corpus hash-agg to the <=nBins dictionary; the minimax
+        // interval relation + dominance anti-joins are nBins^3-bounded
+        (d: DataFrame) => graft.metrics.Metrics.isotonicCalibration(
+          graft.scale.TextAnalysis.hashedLinearScore(d, "doc_id", "text")
+            .join(d.select(col("doc_id"),
+              (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+            .withColumn("pnum", col("w_sum") + lit(1000L) * col("n_tokens"))
+            .withColumn("pden", lit(2000L) * col("n_tokens")),
+          "pnum", "pden", "y", 10),
+        docs, "doc_id", None),
       ("phonetic_block",
         // corpus -> distinct-name dictionary in one hash-agg; block join
         // + lev verify run at dictionary scale keyed on the code

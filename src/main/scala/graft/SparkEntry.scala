@@ -1334,6 +1334,22 @@ object SparkEntry {
         "pnum", "pden", "y", 10)
     }),
 
+    // ---- isotonic calibration (PAV, exact minimax form) --------------------
+    // The FIX beside the brier/ECE measurement: the optimal monotone
+    // recalibration map over the same probability bins — fractions
+    // ordered by cross-multiplication, nothing float-ordered.
+    "isotonic_calibration_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Metrics.isotonicCalibration(
+        TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("y")), Seq("doc_id"))
+          .withColumn("pnum", col("w_sum") + lit(1000L) * col("n_tokens"))
+          .withColumn("pden", lit(2000L) * col("n_tokens")),
+        "pnum", "pden", "y", 10)
+        .orderBy(col("bin"))
+    }),
+
     // ---- ML eval: calibration curve of the hashed linear classifier --------
     // Decile-ish bins by EXACT integer math on (w_sum, n_tokens) — never
     // float bin edges, and the +1000·n offset keeps the dividend
@@ -9783,6 +9799,65 @@ object SparkEntry {
         |  ROUND(ecesum / CAST(n AS DOUBLE), 6) AS ece,
         |  ROUND(mce, 6) AS mce
         |FROM f""".stripMargin,
+
+    // PAV replay: same score/label prefix as brier; minimax fractions
+    // ordered by cross-multiplied NOT EXISTS dominance
+    "isotonic_calibration_docs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id,
+        |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024)
+        |      * 2654435761) % 2001 - 1000 AS w
+        |  FROM toks),
+        |sc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(w) AS BIGINT) AS w_sum
+        |  FROM w GROUP BY doc_id),
+        |lab AS (
+        |  SELECT s.w_sum + 1000 * s.n_tokens AS pn,
+        |    2000 * s.n_tokens AS pd,
+        |    CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+        |  FROM sc s JOIN documents d ON s.doc_id = d.doc_id
+        |  WHERE 2000 * s.n_tokens > 0),
+        |bn AS (SELECT LEAST((pn * 10) // pd, 9) AS bin, y FROM lab),
+        |bb AS (
+        |  SELECT bin, CAST(COUNT(*) AS BIGINT) AS w,
+        |    CAST(SUM(y) AS BIGINT) AS sy
+        |  FROM bn GROUP BY 1),
+        |ps AS (
+        |  SELECT bin, w, sy,
+        |    CAST(SUM(w) OVER (ORDER BY bin) AS BIGINT) AS cw,
+        |    CAST(SUM(sy) OVER (ORDER BY bin) AS BIGINT) AS cy
+        |  FROM bb),
+        |iv AS (
+        |  SELECT j.bin AS jb, k.bin AS kb,
+        |    k.cy - (j.cy - j.sy) AS nm, k.cw - (j.cw - j.w) AS dn
+        |  FROM ps j JOIN ps k ON k.bin >= j.bin),
+        |cand AS (
+        |  SELECT i.bin AS i, iv.jb, iv.kb, iv.nm, iv.dn
+        |  FROM ps i JOIN iv ON iv.jb <= i.bin AND iv.kb >= i.bin),
+        |mink AS (
+        |  SELECT * FROM cand a WHERE NOT EXISTS (
+        |    SELECT 1 FROM cand b WHERE b.i = a.i AND b.jb = a.jb
+        |      AND (b.nm * a.dn < a.nm * b.dn
+        |        OR (b.nm * a.dn = a.nm * b.dn AND b.kb < a.kb)))),
+        |fit AS (
+        |  SELECT * FROM mink a WHERE NOT EXISTS (
+        |    SELECT 1 FROM mink b WHERE b.i = a.i
+        |      AND (b.nm * a.dn > a.nm * b.dn
+        |        OR (b.nm * a.dn = a.nm * b.dn AND b.jb < a.jb))))
+        |SELECT ps.bin, ps.w, ps.sy,
+        |  ROUND(CAST(ps.sy AS DOUBLE) / CAST(ps.w AS DOUBLE), 6)
+        |    AS raw_rate,
+        |  fit.nm AS iso_num, fit.dn AS iso_den,
+        |  ROUND(CAST(fit.nm AS DOUBLE) / CAST(fit.dn AS DOUBLE), 6)
+        |    AS iso_rate
+        |FROM ps JOIN fit ON fit.i = ps.bin
+        |ORDER BY ps.bin""".stripMargin,
 
     "calibration_docs" ->
       """WITH toks AS (

@@ -711,6 +711,80 @@ object Metrics {
         round(col("n_outliers").cast("double") / col("n"), 6))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) over probability
+    * bins — the FIX beside [[brierPanel]]'s measurement: the optimal
+    * monotone recalibration map (Zadrozny & Elkan KDD'02 brought PAV to
+    * classifier calibration). Computed by the exact MINIMAX closed form
+    * (Robertson-Wright-Dykstra 1988, §1.2): over present bins in score
+    * order with prefix weights/positives,
+    *   fitted(i) = max_{j ≤ i} min_{k ≥ i} (SY_k − SY_{j−1}) / (W_k − W_{j−1})
+    * — every candidate a ratio of exact longs, min/max decided by
+    * CROSS-MULTIPLIED comparisons (no float ever orders anything; the
+    * emitted rate is one rounded division per bin). Identical to
+    * sequential PAV pooling, but order-free and replayable.
+    *
+    * Scale shape: one corpus hash-agg to the ≤ nBins dictionary; prefix
+    * sums ride the range-partitioned scaffold; the (i, j, k) interval
+    * relation and its two dominance anti-joins are nBins³-bounded (the
+    * declared calibration-bin precondition — nBins is 10-100, never
+    * corpus-scale).
+    *
+    * @return per present bin: (bin, w, sy, raw_rate, iso_num, iso_den,
+    *         iso_rate) — iso_num/iso_den the exact pooled fraction;
+    *         iso_rate non-decreasing in bin by construction.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      pNumCol: String,
+      pDenCol: String,
+      yCol: String,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"bad bin count $nBins")
+    val bins = df.filter(col(pDenCol) > 0)
+      .select(least(expr(s"($pNumCol * $nBins) div $pDenCol"),
+        lit(nBins - 1L)).as("bin"), col(yCol).cast("long").as("__y"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("w"), sum(col("__y")).as("sy"))
+    val ps = graft.sample.Samplers
+      .globalCumSums(bins, Seq("bin"), Seq("w", "sy"), Seq("cw", "cy"))
+      .localCheckpoint(true)
+    val iv = ps.select(col("bin").as("jb"), (col("cw") - col("w")).as("pw"),
+        (col("cy") - col("sy")).as("py"))
+      .join(ps.select(col("bin").as("kb"), col("cw"), col("cy")),
+        col("kb") >= col("jb"))
+      .select(col("jb"), col("kb"), (col("cy") - col("py")).as("nm"),
+        (col("cw") - col("pw")).as("dn"))
+    val cand = ps.select(col("bin").as("i"))
+      .join(iv, col("jb") <= col("i") && col("kb") >= col("i"))
+      .localCheckpoint(true) // both sides of two dominance anti-joins
+    // inner min over k (per i, jb): drop rows some k' strictly beats
+    val minK = cand.join(
+      cand.select(col("i").as("i2"), col("jb").as("jb2"),
+        col("kb").as("kb2"), col("nm").as("nm2"), col("dn").as("dn2")),
+      col("i2") === col("i") && col("jb2") === col("jb") &&
+        (col("nm2") * col("dn") < col("nm") * col("dn2") ||
+          (col("nm2") * col("dn") === col("nm") * col("dn2") &&
+            col("kb2") < col("kb"))),
+      "left_anti")
+    // outer max over j (per i): keep the dominant fraction
+    val fit = minK.join(
+      minK.select(col("i").as("i2"), col("jb").as("jb2"),
+        col("nm").as("nm2"), col("dn").as("dn2")),
+      col("i2") === col("i") &&
+        (col("nm2") * col("dn") > col("nm") * col("dn2") ||
+          (col("nm2") * col("dn") === col("nm") * col("dn2") &&
+            col("jb2") < col("jb"))),
+      "left_anti")
+    ps.join(fit.select(col("i").as("bin"), col("nm").as("iso_num"),
+        col("dn").as("iso_den")), Seq("bin"))
+      .select(col("bin"), col("w"), col("sy"),
+        round(col("sy").cast("double") / col("w").cast("double"), 6)
+          .as("raw_rate"),
+        col("iso_num"), col("iso_den"),
+        round(col("iso_num").cast("double") / col("iso_den").cast("double"),
+          6).as("iso_rate"))
+  }
+
   /** Kendall τ-b between two BANDED integer metrics, per group — the
     * concordance view beside [[spearmanCorr]]'s rank correlation: τ-b
     * counts concordant vs discordant PAIRS with the standard tie

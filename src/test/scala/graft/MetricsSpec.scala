@@ -627,6 +627,31 @@ class MetricsSpec extends SparkSpec {
         .select((col("id") * 3 + 2).as("doc_id"), col("text")))))
   }
 
+  test("isotonicCalibration: hand-pooled PAV fixture — violating bins " +
+      "merge to the pooled fraction, order restored, mass preserved") {
+    // nBins = 4; bins 0/1/2 with raw rates 0.8 / 0.2 / 0.6: PAV pools
+    // the (0.8, 0.2) violation to 5/10, leaves 3/5
+    val rows =
+      Seq.fill(4)((1L, 8L, 1L)) ++ Seq.fill(1)((1L, 8L, 0L)) ++
+      Seq.fill(1)((3L, 8L, 1L)) ++ Seq.fill(4)((3L, 8L, 0L)) ++
+      Seq.fill(3)((5L, 8L, 1L)) ++ Seq.fill(2)((5L, 8L, 0L))
+    val got = Metrics.isotonicCalibration(
+        rows.toDF("pn", "pd", "y"), "pn", "pd", "y", 4)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5), r.getDouble(6)))
+      .toSeq
+    assert(got === Seq(
+      (0L, 5L, 4L, 0.8, 5L, 10L, 0.5),
+      (1L, 5L, 1L, 0.2, 5L, 10L, 0.5),
+      (2L, 5L, 3L, 0.6, 3L, 5L, 0.6)))
+    // structural invariants: non-decreasing fit, exact mass preserved
+    val fracs = got.map(g => BigDecimal(g._5) / BigDecimal(g._6))
+    assert(fracs == fracs.sorted)
+    assert(got.map(g => BigDecimal(g._2) * BigDecimal(g._5) /
+      BigDecimal(g._6)).sum == BigDecimal(got.map(_._3).sum))
+  }
+
   test("kendallTauB: hand-counted concordant/discordant pairs with tie " +
       "margins; perfect orders = ±1; constant margin = NULL") {
     // (1,1),(2,2),(3,3): C=3 D=0 no ties -> tau = 1
