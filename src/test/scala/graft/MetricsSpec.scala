@@ -625,6 +625,12 @@ class MetricsSpec extends SparkSpec {
     check("videoDupPairs")(df => Multimodal.videoDupPairs(
       Multimodal.fromDocuments(df
         .select((col("id") * 3 + 2).as("doc_id"), col("text")))))
+    check("isotonicCalibration")(df => Metrics.isotonicCalibration(
+      df.withColumn("pn", col("x") + 1).withColumn("pd", lit(51L))
+        .withColumn("yy", (col("y") === 0).cast("long")),
+      "pn", "pd", "yy", 5))
+    check("phoneticBlockPairs")(df =>
+      graft.scale.Dedup.phoneticBlockPairs(df, "text", 2))
   }
 
   test("isotonicCalibration: hand-pooled PAV fixture — violating bins " +
