@@ -5830,7 +5830,8 @@ object SparkEntry {
           |  SELECT p_name AS name, CAST(COUNT(*) AS BIGINT) AS n
           |  FROM part GROUP BY 1),
           |k0 AS (
-          |  SELECT name, n, upper(string_split(name, ' ')[-1]) AS key
+          |  SELECT name, n, regexp_replace(upper(string_split(name, ' ')[-1]),
+          |      '[^A-Z]', '', 'g') AS key
           |  FROM names),
           |k1 AS (
           |  SELECT name, n, key,
@@ -5857,7 +5858,8 @@ object SparkEntry {
       ("phonetic_blocking_quality_part" ->
         """WITH names AS (SELECT DISTINCT p_name AS name FROM part),
           |k0 AS (
-          |  SELECT name, upper(string_split(name, ' ')[-1]) AS key
+          |  SELECT name, regexp_replace(upper(string_split(name, ' ')[-1]),
+          |      '[^A-Z]', '', 'g') AS key
           |  FROM names),
           |k1 AS (
           |  SELECT name, key,
@@ -6900,13 +6902,13 @@ object SparkEntry {
       s"""wt$r AS (
          |  SELECT rep, player, CAST(SUM(tt) AS BIGINT) AS t FROM (
          |    SELECT wp.rep, wp.lo AS player,
-         |      (wp.n2 * 1000000000000) // (sl.p + sh.p) AS tt
+         |      CAST(CAST(wp.n2 AS HUGEINT) * 1000000000000 // (sl.p + sh.p) AS BIGINT) AS tt
          |    FROM wp JOIN ws${r - 1} sl
          |      ON sl.rep = wp.rep AND sl.player = wp.lo
          |    JOIN ws${r - 1} sh
          |      ON sh.rep = wp.rep AND sh.player = wp.hi
          |    UNION ALL
-         |    SELECT wp.rep, wp.hi, (wp.n2 * 1000000000000) // (sl.p + sh.p)
+         |    SELECT wp.rep, wp.hi, CAST(CAST(wp.n2 AS HUGEINT) * 1000000000000 // (sl.p + sh.p) AS BIGINT)
          |    FROM wp JOIN ws${r - 1} sl
          |      ON sl.rep = wp.rep AND sl.player = wp.lo
          |    JOIN ws${r - 1} sh
@@ -6986,7 +6988,7 @@ object SparkEntry {
     val perRound = (1 to rounds).map { r =>
       s"""d$r AS (
          |  SELECT f, s, t3, cnt, stage,
-         |    (cnt * 1000000000000) // ssum AS term FROM (
+         |    CAST(CAST(cnt AS HUGEINT) * 1000000000000 // ssum AS BIGINT) AS term FROM (
          |    SELECT sg.f, sg.s, sg.t3, sg.cnt, sg.stage,
          |      CAST(SUM(p.p) AS BIGINT) AS ssum
          |    FROM sg, UNNEST(CASE WHEN sg.stage = 0
@@ -7079,11 +7081,11 @@ object SparkEntry {
       s"""t$r AS (
          |  SELECT player, CAST(SUM(tt) AS BIGINT) AS t FROM (
          |    SELECT pr.lo AS player,
-         |      (pr.n2 * 1000000000000) // (sl.p + sh.p) AS tt
+         |      CAST(CAST(pr.n2 AS HUGEINT) * 1000000000000 // (sl.p + sh.p) AS BIGINT) AS tt
          |    FROM pr JOIN s${r - 1} sl ON sl.player = pr.lo
          |    JOIN s${r - 1} sh ON sh.player = pr.hi
          |    UNION ALL
-         |    SELECT pr.hi, (pr.n2 * 1000000000000) // (sl.p + sh.p)
+         |    SELECT pr.hi, CAST(CAST(pr.n2 AS HUGEINT) * 1000000000000 // (sl.p + sh.p) AS BIGINT)
          |    FROM pr JOIN s${r - 1} sl ON sl.player = pr.lo
          |    JOIN s${r - 1} sh ON sh.player = pr.hi)
          |  GROUP BY 1),

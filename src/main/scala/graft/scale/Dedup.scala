@@ -1573,18 +1573,22 @@ object Dedup {
     * per distinct STRING pair, never per id pair.
     */
   /** Declared-deterministic Soundex-STYLE phonetic code of one token:
-    * first letter + the first three consonant-class digits of the rest
-    * (B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3, L→4, M/N→5, R→6; vowels,
-    * Y/H/W and unmapped characters are class 0, adjacent equal classes
-    * collapse, zeros drop, zero-padded to 4). DECLARED variant of
-    * American Soundex (H/W break runs here; the first letter's own run
-    * is not merged) — a blocking key needs a deterministic equivalence
-    * relation replayable in any engine, not AMA compliance; every
-    * operation below is a mirrored string builtin (upper/translate/
-    * run-collapsing regexes with no backreferences — RE2-safe).
+    * non-alphabetic characters (apostrophes, hyphens, digits) are
+    * STRIPPED first — O'BRIEN and OBRIEN must share a block, which is
+    * exactly the punctuated-name class the op targets — then first
+    * letter + the first three consonant-class digits of the rest
+    * (B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3, L→4, M/N→5, R→6; vowels and
+    * Y/H/W are class 0, adjacent equal classes collapse, zeros drop,
+    * zero-padded to 4; a token with no letters codes as "000").
+    * DECLARED variant of American Soundex (H/W break runs here; the
+    * first letter's own run is not merged) — a blocking key needs a
+    * deterministic equivalence relation replayable in any engine, not
+    * AMA compliance; every operation below is a mirrored string builtin
+    * (upper/strip/translate/run-collapsing regexes with no
+    * backreferences — RE2-safe).
     */
   def phoneticCode(token: Column): Column = {
-    val up = upper(token)
+    val up = regexp_replace(upper(token), "[^A-Z]", "")
     val mapped = translate(substring(up, 2, 1000000),
       "AEIOUYHWBFPVCGJKQSXZDTLMNR", "00000000111122222222334556")
     val collapsed = (0 to 6).foldLeft(mapped) { (c, d) =>

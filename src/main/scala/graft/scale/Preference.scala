@@ -26,16 +26,24 @@ import org.apache.spark.sql.functions._
   * Determinism (the repo's money rule, SURVEY §5.3): strengths are EXACT
   * long micro-units (1e6 = mean strength) and every round is integer
   * arithmetic only —
-  *   tt_ij  = (n2_ij · 1e12)  div (P_i + P_j)         (pair term)
+  *   tt_ij  = floor(n2_ij · 1e12 / (P_i + P_j))       (pair term)
   *   T_i    = Σ_j tt_ij                               (long sum)
   *   Praw_i = max((W2_i · 1e6) div max(T_i div 1e6, 1), 1)
   *   P_i    = max((Praw_i · 1e6) div max(S div N, 1), 1),  S = Σ Praw
-  * The T div 1e6 / S div N pre-divisions keep every product under 2e18
-  * (no long overflow at any corpus size with N·1e6-normalized strengths);
-  * the max(…, 1) floors make zero-win players (the degenerate one-sided
-  * pair) well-defined without a division by zero — they pin to the
-  * smallest positive strength instead of collapsing the next round's
-  * p_i + p_j term. Associative long sums + per-row integer ops ⇒
+  * The pair term evaluates as the exact two-step split
+  *   q1 = (n2·1e6) div d;  tt = q1·1e6 + (((n2·1e6) mod d)·1e6) div d
+  * (identical value to the single division — n2·1e12 = (q1·d + r1)·1e6 —
+  * but the largest intermediate is n2·1e6, not n2·1e12, so the pair
+  * dictionary holds up to ~4.6e12 comparisons per pair in ×2 units before
+  * any long product wraps; the remainder term is bounded by d·1e6 ≤
+  * 2N·1e12, fine to N ≈ 4.6e6 players). The remaining domain bound is tt
+  * itself: floor(n2·1e12/d) must fit a long, which at the mean-1e6
+  * normalized strength scale (d ≈ 2e6) again holds to ~1.8e13 comparisons
+  * per pair — far past any arena corpus. The T div 1e6 / S div N
+  * pre-divisions keep the later products under 2e18; the max(…, 1) floors
+  * make zero-win players (the degenerate one-sided pair) well-defined
+  * without a division by zero — they pin to the smallest positive
+  * strength instead of collapsing the next round's p_i + p_j term. Associative long sums + per-row integer ops ⇒
   * bit-identical on any partitioning and replayable in any 64-bit engine
   * (the pageRankMicro unrolled-round oracle pattern, Graph.scala).
   *
@@ -131,8 +139,11 @@ object Preference {
           col("p").as("plo")): _*), keys :+ "lo")
         .join(scores.select(k ++ Seq(col("player").as("hi"),
           col("p").as("phi")): _*), keys :+ "hi")
+        // exact split of (n2·1e12) div d with max intermediate n2·1e6 —
+        // see the object doc's overflow-headroom derivation
         .withColumn("tt",
-          expr("(n2 * 1000000000000L) div (plo + phi)"))
+          expr("((n2 * 1000000L) div (plo + phi)) * 1000000L + " +
+            "(((n2 * 1000000L) % (plo + phi)) * 1000000L) div (plo + phi)"))
       val denom = tt.select(k ++ Seq(col("lo").as("player"), col("tt")): _*)
         .unionByName(tt.select(k ++ Seq(col("hi").as("player"),
           col("tt")): _*))
@@ -189,7 +200,11 @@ object Preference {
     * bootstrapFromSums convention, one rounded sqrt), ci_lo/ci_hi the
     * exact envelope. Players absent from a replicate (every one of
     * their matches drew multiplicity 0) simply miss that replicate —
-    * n_reps reports the per-player coverage.
+    * n_reps reports the per-player coverage. A player absent from EVERY
+    * replicate (possible only for near-zero match counts, ~0.37^reps for
+    * a single-match player) keeps its point-fit row with NULL panel
+    * columns — the panel join is a LEFT join, mirroring the oracle's
+    * LEFT JOIN se USING (player).
     */
   def bradleyTerryBootstrap(
       matches: DataFrame,
@@ -242,7 +257,7 @@ object Preference {
           (col("n_reps").cast("double") * (col("n_reps") - 1)
             .cast("double"))) / 1e6, 6)))
     bradleyTerryMicro(matches, playerA, playerB, outcomeCol, rounds)
-      .join(panel, Seq("player"))
+      .join(panel, Seq("player"), "left")
       .select(col("player"), col("games2"), col("wins2"),
         col("strength_micro"), col("elo"), col("n_reps"), col("boot_se"),
         col("ci_lo_micro"), col("ci_hi_micro"))
@@ -362,7 +377,11 @@ object Preference {
         .join(scores.select(col("player").as("m"), col("p")), Seq("m"))
         .groupBy(col("f"), col("s"), col("t3"), col("cnt"), col("stage"))
         .agg(sum(col("p")).as("ssum"))
-        .withColumn("term", expr("(cnt * 1000000000000L) div ssum"))
+        // same overflow-safe split as the BT pair term (max intermediate
+        // cnt·1e6 / ssum·1e6 instead of cnt·1e12)
+        .withColumn("term",
+          expr("((cnt * 1000000L) div ssum) * 1000000L + " +
+            "(((cnt * 1000000L) % ssum) * 1000000L) div ssum"))
       val t = denom
         .withColumn("player", explode(expr(memberExpr)))
         .groupBy(col("player")).agg(sum(col("term")).as("t"))

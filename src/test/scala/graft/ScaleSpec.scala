@@ -2223,6 +2223,13 @@ class ScaleSpec extends SparkSpec {
     // WIDGET -> W + 323; ROD/RED -> R + 3 pad; RING -> R + 52 pad;
     // PFFT -> P + (F F collapse to one 1) 1,3 pad
     assert(codes === Seq("W323", "R300", "R300", "R520", "P130"))
+    // punctuated-name class: non-alpha strips BEFORE coding, so O'BRIEN,
+    // OBRIEN and a digit-garbled variant all share O165; a letterless
+    // token codes as the empty-head "000" sentinel block
+    val punct = Seq("o'brien", "obrien", "o-bri3en", "12-34")
+      .toDF("t").select(Dedup.phoneticCode(c("t"))).collect()
+      .map(_.getString(0)).toSeq
+    assert(punct === Seq("O165", "O165", "O165", "000"))
     val names = Seq("red rod", "red rod", "old rod", "cold rod",
       "hot rod", "red ring")
     val got = Dedup.phoneticBlockPairs(names.toDF("p"), "p", 2)
