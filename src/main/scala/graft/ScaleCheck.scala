@@ -1390,7 +1390,13 @@ object ScaleCheck {
           d.filter(col("vec_id") % 2 === 1)
             .select(expr("vec_id div 2").as("pair_id"), col("embedding")),
           "pair_id", "embedding", 280000L),
-        embeddings, "vec_id", None))
+        embeddings, "vec_id", None),
+      ("image_quality",
+        // pure map stage: one decode pass per row, zero shuffle
+        (d: DataFrame) => graft.scale.Multimodal.imageQuality(
+          graft.scale.Multimodal.fromDocuments(
+            d.select(col("doc_id"), col("text")))),
+        docs, "doc_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -1898,6 +1898,17 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- image-quality screening panel (blur / exposure, real pixels) -----
+    // The LAION-style pre-fingerprint curation gate: variance-of-Laplacian
+    // sharpness + brightness/contrast/extreme-pixel exposure screens over
+    // the decoded 8×8 gray grid (real decode for recognized payloads; the
+    // md5 stub grid here, so DuckDB replays every long exactly).
+    "image_quality_docs" -> ((s, dir) =>
+      Multimodal.imageQuality(
+          Multimodal.fromDocuments(
+            t(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .orderBy(col("doc_id"))),
+
     // ---- audio near-dup pairs (energy-delta fingerprint, banded) ----------
     // Re-ingested clips (every 97th doc, id shifted by a multiple of 3 so
     // the kind survives) collide at hamming 0; banding is complete for
@@ -6445,6 +6456,52 @@ object SparkEntry {
        |FROM m GROUP BY n, sn, sd""".stripMargin
   }
 
+  /** Image-quality panel replay: the phash oracle's md5 stub-grid CTE
+    * (documents are text payloads, so every grid replays in VARCHAR md5),
+    * then the exact long sums — Laplacian response per interior cell as
+    * explicit 1-based list indexing — and the same fixed-order float
+    * expressions as [[graft.scale.Multimodal.imageQuality]].
+    */
+  private def imageQualityOracleSql: String = {
+    // 1-based grid indices of the 3x3 Laplacian stencil at interior cell
+    // k in 0..35 (gy = k//6+1, gx = k%6+1, row-major 8-wide)
+    val c = "(k // 6 + 1) * 8 + k % 6 + 2"
+    val n = "(k // 6) * 8 + k % 6 + 2"
+    val s2 = "(k // 6 + 2) * 8 + k % 6 + 2"
+    val w = "(k // 6 + 1) * 8 + k % 6 + 1"
+    val e = "(k // 6 + 1) * 8 + k % 6 + 3"
+    val lap = s"(4 * p[$c] - p[$n] - p[$s2] - p[$w] - p[$e])"
+    s"""WITH px AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 64), k ->
+       |      CAST(('0x' || substring(
+       |        md5(text || ':' || CAST(k // 16 AS VARCHAR)),
+       |        (k % 16) * 2 + 1, 2)) AS BIGINT)) AS p
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |agg AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(p) AS BIGINT) AS sum_px,
+       |    CAST(list_sum(list_transform(p, x -> x * x)) AS BIGINT)
+       |      AS sumsq_px,
+       |    CAST(list_sum(list_transform(range(0, 36), k ->
+       |      $lap)) AS BIGINT) AS lap_sum,
+       |    CAST(list_sum(list_transform(range(0, 36), k ->
+       |      $lap * $lap)) AS BIGINT) AS lap_sumsq,
+       |    CAST(len(list_filter(p, x -> x <= 25)) AS INT) AS n_dark,
+       |    CAST(len(list_filter(p, x -> x >= 230)) AS INT) AS n_bright
+       |  FROM px)
+       |SELECT doc_id, sum_px, sumsq_px, lap_sum, lap_sumsq, n_dark,
+       |  n_bright,
+       |  ROUND(CAST(sum_px AS DOUBLE) / 64.0, 6) AS brightness,
+       |  ROUND(sqrt(CAST(64 * sumsq_px - sum_px * sum_px AS DOUBLE)
+       |    / 4096.0), 6) AS contrast,
+       |  ROUND(CAST(36 * lap_sumsq - lap_sum * lap_sum AS DOUBLE)
+       |    / 1296.0, 6) AS blur_var,
+       |  ROUND(CAST(n_dark AS DOUBLE) / 64.0, 6) AS dark_frac,
+       |  ROUND(CAST(n_bright AS DOUBLE) / 64.0, 6) AS bright_frac
+       |FROM agg ORDER BY doc_id""".stripMargin
+  }
+
   private def phashOracleSql: String = {
     val table = graft.scale.Multimodal.cosQ.mkString(", ")
     s"""WITH corpus AS (
@@ -9475,6 +9532,8 @@ object SparkEntry {
     // uses (interpolated below); bands are bit slices, verify is
     // bit_count(xor)
     "phash_pairs_docs" -> phashOracleSql,
+
+    "image_quality_docs" -> imageQualityOracleSql,
 
     // streaming KMV == batch KMV (merge-order invariance): same replay as
     // kmv_distinct_events, without the exact companion column

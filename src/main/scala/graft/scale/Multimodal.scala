@@ -704,4 +704,85 @@ object Multimodal {
       .select(col(keyCol), col("cos_micro"),
         (col("cos_micro") >= thresholdMicro).as("aligned"))
   }
+
+  /** Image-quality screening panel from REAL pixels — the LAION-style
+    * curation gate a multimodal pipeline applies BEFORE it pays for
+    * fingerprinting/embedding (Schuhmann et al. 2021 filter on size/
+    * aspect/score; production image-curation stacks add blur and
+    * exposure screens): per image over the decoded 8×8 gray grid
+    * ([[Codec.gridOrStub]] — real decode for recognized payloads, the
+    * md5 stub grid otherwise, so text-corpus oracle queries replay):
+    *
+    *  - blur: variance of the 3×3 LAPLACIAN response 4p − pN − pS − pE
+    *    − pW over the 36 interior cells (variance-of-Laplacian is the
+    *    classic no-reference sharpness measure, Pech-Pacheco et al.
+    *    ICPR 2000) — LOW variance = flat response = blurry;
+    *  - exposure: mean (brightness), population std-dev (contrast),
+    *    and the extreme-pixel fractions (≤ 25 dark, ≥ 230 bright —
+    *    clipped-shadow / blown-highlight mass).
+    *
+    * Exact integers end to end: the mapPartitions seam emits ONLY long
+    * sums (Σp, Σp², ΣL, ΣL², dark/bright counts — each bounded by
+    * 64·255² so nothing approaches overflow); the five floats are
+    * Catalyst round()s of fixed-order expressions over those longs
+    * (population variance as (n·Σx² − (Σx)²)/n², one correctly-rounded
+    * sqrt for contrast), mirrored verbatim by the oracle.
+    *
+    * Scale shape: one decode pass (the [[decodeFeatures]] contract —
+    * pair with [[repartitionBySize]] for skewed blobs), zero shuffle:
+    * the panel is per-row. At 100 TB this is a pure map stage.
+    */
+  def imageQuality(media: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("sum_px", LongType, nullable = false),
+      StructField("sumsq_px", LongType, nullable = false),
+      StructField("lap_sum", LongType, nullable = false),
+      StructField("lap_sumsq", LongType, nullable = false),
+      StructField("n_dark", IntegerType, nullable = false),
+      StructField("n_bright", IntegerType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    media.filter(col("meta.kind") === "image")
+      .select(col(idCol), col("payload"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val payload = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
+          val g = Codec.gridOrStub(payload)
+          var s = 0L; var sq = 0L; var dark = 0; var bright = 0
+          var i = 0
+          while (i < 64) {
+            val p = g(i)
+            s += p; sq += p.toLong * p
+            if (p <= 25) dark += 1
+            if (p >= 230) bright += 1
+            i += 1
+          }
+          var ls = 0L; var lsq = 0L
+          var gy = 1
+          while (gy < 7) {
+            var gx = 1
+            while (gx < 7) {
+              val k = gy * 8 + gx
+              val l = 4L * g(k) - g(k - 8) - g(k + 8) - g(k - 1) - g(k + 1)
+              ls += l; lsq += l * l
+              gx += 1
+            }
+            gy += 1
+          }
+          Row(r.getLong(0), s, sq, ls, lsq, dark, bright)
+        }
+      }(enc)
+      .select(col(idCol), col("sum_px"), col("sumsq_px"), col("lap_sum"),
+        col("lap_sumsq"), col("n_dark"), col("n_bright"),
+        round(col("sum_px").cast("double") / 64.0, 6).as("brightness"),
+        round(sqrt((lit(64L) * col("sumsq_px") -
+          col("sum_px") * col("sum_px")).cast("double") / 4096.0), 6)
+          .as("contrast"),
+        round((lit(36L) * col("lap_sumsq") -
+          col("lap_sum") * col("lap_sum")).cast("double") / 1296.0, 6)
+          .as("blur_var"),
+        round(col("n_dark").cast("double") / 64.0, 6).as("dark_frac"),
+        round(col("n_bright").cast("double") / 64.0, 6).as("bright_frac"))
+  }
 }

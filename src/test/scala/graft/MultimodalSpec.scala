@@ -235,6 +235,69 @@ class MultimodalSpec extends SparkSpec {
       "mirrored image must not collide with the original")
   }
 
+  /** 8×8 grayscale PGM from 64 pixel values (grayGrid8 is identity at
+    * exactly 8×8, so the panel reads these pixels verbatim).
+    */
+  private def pgm8(px: Seq[Int]): Array[Byte] =
+    "P5\n8 8\n255\n".getBytes("US-ASCII") ++ px.map(_.toByte).toArray
+
+  private def mediaOf(rows: (Long, Array[Byte])*) =
+    rows.toDF("doc_id", "payload")
+      .withColumn("meta", struct(lit("image").as("kind"),
+        lit(8).cast("int").as("width"), lit(8).cast("int").as("height"),
+        lit(0).cast("int").as("sample_rate"),
+        lit(0).cast("int").as("n_frames")))
+
+  test("imageQuality: hand-computed panel on real pixels — flat field, " +
+      "checkerboard vs smooth ramp sharpness ranking, stub fallback") {
+    val flat = pgm8(Seq.fill(64)(100))
+    val checker = pgm8((0 until 64).map(k =>
+      if ((k / 8 + k % 8) % 2 == 0) 0 else 255))
+    // linear horizontal ramp: Laplacian of a linear function is 0 on the
+    // interior — the maximally "blurry" (flat-response) structured image
+    val ramp = pgm8((0 until 64).map(k => (k % 8) * 255 / 7))
+    val textPayload = "not an image at all".getBytes("UTF-8")
+    val out = Multimodal.imageQuality(mediaOf(
+        1L -> flat, 2L -> checker, 3L -> ramp, 4L -> textPayload))
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    val f = out(1L)
+    assert(f.getLong(1) === 6400L && f.getLong(2) === 640000L) // Σp, Σp²
+    assert(f.getLong(3) === 0L && f.getLong(4) === 0L)         // Laplacian
+    assert(f.getInt(5) === 0 && f.getInt(6) === 0)
+    assert(f.getAs[Double]("brightness") === 100.0)
+    assert(f.getAs[Double]("contrast") === 0.0)
+    assert(f.getAs[Double]("blur_var") === 0.0)
+
+    // checkerboard: every interior Laplacian is ±(4·255) = ±1020, 18 of
+    // each sign → Σl = 0, Σl² = 36·1020², variance = 1020²
+    val c2 = out(2L)
+    assert(c2.getLong(3) === 0L && c2.getLong(4) === 36L * 1020 * 1020)
+    assert(c2.getAs[Double]("blur_var") === 1020.0 * 1020.0)
+    assert(c2.getInt(5) === 32 && c2.getInt(6) === 32)
+    assert(c2.getAs[Double]("brightness") === 127.5)
+    // ramp: near-zero interior Laplacian response (the k*255/7 integer
+    // rounding leaves ±1 blips) — ranks maximally blurry
+    val r3 = out(3L)
+    assert(r3.getAs[Double]("blur_var") < 1.0)
+    assert(c2.getAs[Double]("blur_var") > r3.getAs[Double]("blur_var"),
+      "sharp checkerboard must out-rank the smooth ramp")
+    // ramp columns are k*255/7 = 0,36,72,109,145,182,218,255: only the 0
+    // column is dark (<= 25) and only the 255 column bright (>= 230)
+    assert(r3.getInt(5) === 8 && r3.getInt(6) === 8)
+
+    // stub branch: the panel over the md5 grid, replicated in plain JVM
+    val g = Multimodal.StubCodec.grayGrid(textPayload)
+    val s4 = out(4L)
+    assert(s4.getLong(1) === g.map(_.toLong).sum)
+    assert(s4.getLong(2) === g.map(p => p.toLong * p).sum)
+    val lap = for (gy <- 1 to 6; gx <- 1 to 6) yield {
+      val k = gy * 8 + gx
+      4L * g(k) - g(k - 8) - g(k + 8) - g(k - 1) - g(k + 1)
+    }
+    assert(s4.getLong(3) === lap.sum && s4.getLong(4) === lap.map(l => l * l).sum)
+  }
+
   test("grayGrid8 box filter: constant image -> constant grid; " +
       "tiny frames replicate edges") {
     val const = Array.fill(16 * 16)(77)
