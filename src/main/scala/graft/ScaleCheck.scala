@@ -1396,7 +1396,14 @@ object ScaleCheck {
         (d: DataFrame) => graft.scale.Multimodal.imageQuality(
           graft.scale.Multimodal.fromDocuments(
             d.select(col("doc_id"), col("text")))),
-        docs, "doc_id", None))
+        docs, "doc_id", None),
+      ("sequential_ab",
+        // one map-side-combined conditional hash-agg to |groups| rows;
+        // the mSPRT algebra is per-row on the drained state
+        (d: DataFrame) => graft.metrics.Metrics.sequentialAbTest(
+          d.withColumn("side", col("user_id") % 2 === 0),
+          "value", "side", Seq("event_type")),
+        events, "event_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

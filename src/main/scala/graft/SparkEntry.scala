@@ -5277,6 +5277,37 @@ object SparkEntry {
         "value", "side", Seq("event_type"))
         .orderBy(col("event_type"))),
 
+    // ---- ALWAYS-VALID sequential A/B test (mixture-mSPRT) -----------------
+    // The continuous-monitoring companion the fixed-horizon Welch panel
+    // lacks: Λ over the same six-moment state, p = min(1, 1/Λ) valid at
+    // every intermediate drain (Johari et al. KDD'17). Same side/group
+    // fabric as ab_test_events.
+    "sequential_ab_events" -> ((s, dir) =>
+      Metrics.sequentialAbTest(t(s, dir, "events")
+          .withColumn("side", col("user_id") % 2 === 0),
+        "value", "side", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
+    // ---- STREAMING always-valid sequential A/B ----------------------------
+    // The op the mSPRT exists for: the moments are Complete-mode state and
+    // the mixture statistic is licensed at EVERY drain — the twin shares
+    // the batch oracle verbatim (state = batch aggregate).
+    "streaming_sequential_ab_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val moments = Metrics.welchMoments(
+        stream.withColumn("side", col("user_id") % 2 === 0),
+        "value", "side", Seq("event_type"))
+      val name = "stream_seqab_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams
+        .runToMemory(s, moments, name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.sequentialAbFromMoments(drained, Seq("event_type"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---- embedding-space drift per dimension ------------------------------
     // WHERE in the embedding space do the two corpus halves diverge? Exact
     // quantized sums per (dim, side), mean shift per dimension.
@@ -6455,6 +6486,55 @@ object SparkEntry {
        |  ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
        |FROM m GROUP BY n, sn, sd""".stripMargin
   }
+
+  /** Mixture-mSPRT replay (τ = 5, α = 0.05, minN = 100): the ab_test
+    * moment CTEs, then the fixed-order mixture statistic — shared by the
+    * batch query and the streaming twin (the drained Complete-mode state
+    * IS the batch aggregate).
+    */
+  private def sequentialAbOracleSql: String =
+    """WITH s AS (
+      |  SELECT event_type, (user_id % 2 = 0) AS side,
+      |    CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type,
+      |    COUNT(*) FILTER (NOT side) AS n_a,
+      |    COUNT(*) FILTER (side) AS n_b,
+      |    CAST(SUM(v) FILTER (NOT side) AS DOUBLE) AS sa,
+      |    CAST(SUM(v) FILTER (side) AS DOUBLE) AS sb,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+      |      AS DOUBLE) AS qa,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+      |      AS DOUBLE) AS qb
+      |  FROM s GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, n_a, n_b, sa, sb, qa, qb,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+      |  FROM g),
+      |v AS (
+      |  SELECT *,
+      |    ((qa - sa * sa / na) / (na - 1.0)) / na
+      |      + ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS vv,
+      |    sa / na - sb / nb AS delta
+      |  FROM d),
+      |st AS (
+      |  SELECT *,
+      |    0.5 * ln(vv / (vv + 25.0))
+      |      + delta * delta * 25.0 / (2.0 * vv * (vv + 25.0)) AS llr,
+      |    (n_a >= 100 AND n_b >= 100 AND vv > 0.0) AS ok
+      |  FROM v),
+      |p AS (
+      |  SELECT event_type, n_a, n_b,
+      |    ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+      |    ROUND(delta, 6) AS delta,
+      |    CASE WHEN ok THEN ROUND(llr, 6) END AS log_lr,
+      |    CASE WHEN ok THEN ROUND(LEAST(1.0, exp(-llr)), 6) END
+      |      AS p_always
+      |  FROM st)
+      |SELECT event_type, n_a, n_b, mean_a, mean_b, delta, log_lr,
+      |  p_always, p_always < 0.05 AS reject
+      |FROM p ORDER BY event_type""".stripMargin
 
   /** Image-quality panel replay: the phash oracle's md5 stub-grid CTE
     * (documents are text payloads, so every grid replays in VARCHAR md5),
@@ -14853,6 +14933,10 @@ object SparkEntry {
         |      (sea * sea / (na - 1.0) + seb * seb / (nb - 1.0)), 6)
         |    END AS dof
         |FROM v ORDER BY event_type""".stripMargin,
+
+    "sequential_ab_events" -> sequentialAbOracleSql,
+
+    "streaming_sequential_ab_events" -> sequentialAbOracleSql,
 
     "embedding_drift_embeddings" ->
       """WITH q AS (

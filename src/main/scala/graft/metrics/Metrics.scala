@@ -1656,6 +1656,81 @@ object Metrics {
         col("mean_a"), col("mean_b"), col("t_stat"), col("dof"))): _*)
   }
 
+  /** Always-valid SEQUENTIAL A/B test — the mixture-mSPRT of Johari,
+    * Koomen, Pekelis & Walsh ("Peeking at A/B Tests", KDD'17) over the
+    * same [[welchMoments]] associative state the fixed-horizon panel
+    * uses. The streaming Welch twin invites CONTINUOUS monitoring, which
+    * its t statistic does not license (peeking inflates type-I error
+    * without bound); the mSPRT's mixture likelihood ratio against a
+    * N(0, τ²) effect prior,
+    *   Λ_n = sqrt(V/(V+τ²)) · exp(Δ² τ² / (2V(V+τ²))),
+    *   Δ = mean_a − mean_b,  V = s²_a/n_a + s²_b/n_b,
+    * is a test martingale under H₀, so p_n = min(1, 1/Λ_n) is valid at
+    * EVERY intermediate drain simultaneously (optional stopping is free
+    * — the production guardrail shape for a streaming panel). This
+    * reports the statistic of the drained state: log_lr = ln Λ_n and
+    * the always-valid p, with reject decided on the ROUNDED p (both
+    * engines compare the identical 6-decimal double — no raw
+    * float-boundary flapping).
+    *
+    * NULL gate: below `minN` observations on either side (the normal
+    * approximation needs mass; Johari et al. run the same guard), or
+    * when V ≤ 0 (a constant-valued side has no variance estimate), the
+    * three statistics and the decision are NULL — never a division by
+    * zero or ln(0).
+    *
+    * Determinism: moments are exact decimal sums (ONE conditional
+    * hash-aggregate — associative, legal Complete-mode streaming
+    * state); the statistic is a fixed-order double expression over
+    * them, rounded to 6 (ln/exp/sqrt on identical doubles — the
+    * BM25/perplexity oracle precedent). Scale: |groups| output rows
+    * from one map-side-combined hash-agg; no join, no window.
+    */
+  def sequentialAbTest(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      groupCols: Seq[String],
+      tau: Double = 5.0,
+      alpha: Double = 0.05,
+      minN: Long = 100L): DataFrame =
+    sequentialAbFromMoments(
+      welchMoments(df, valCol, sideCol, groupCols), groupCols, tau, alpha,
+      minN)
+
+  /** The mSPRT algebra over a drained [[welchMoments]] table — split out
+    * so the streaming twin shares the batch oracle verbatim.
+    */
+  def sequentialAbFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String],
+      tau: Double = 5.0,
+      alpha: Double = 0.05,
+      minN: Long = 100L): DataFrame = {
+    require(tau > 0.0 && alpha > 0.0 && alpha < 1.0 && minN >= 2L,
+      s"bad mSPRT params tau=$tau alpha=$alpha minN=$minN")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val va = (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__qb") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val vv = va / na + vb / nb
+    val t2 = lit(tau * tau)
+    val delta = col("__sa") / na - col("__sb") / nb
+    val ok = col("n_a") >= minN && col("n_b") >= minN && vv > 0.0
+    val llr = lit(0.5) * log(vv / (vv + t2)) +
+      delta * delta * t2 / (lit(2.0) * vv * (vv + t2))
+    g.withColumn("mean_a", round(col("__sa") / na, 6))
+      .withColumn("mean_b", round(col("__sb") / nb, 6))
+      .withColumn("delta", round(delta, 6))
+      .withColumn("log_lr", when(ok, round(llr, 6)))
+      .withColumn("p_always",
+        when(ok, round(least(lit(1.0), exp(-llr)), 6)))
+      .withColumn("reject", when(ok, col("p_always") < alpha))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("delta"), col("log_lr"),
+        col("p_always"), col("reject"))): _*)
+  }
+
   /** Two-proportion z-test per group — the conversion-rate half of the
     * A/B panel ([[welchTTest]] covers means): for each group, the share
     * of side-A vs side-B UNITS satisfying the success predicate, and the

@@ -519,6 +519,53 @@ class MetricsSpec extends SparkSpec {
     assert(y.isNullAt(y.fieldIndex("t_stat")) && y.isNullAt(y.fieldIndex("dof")))
   }
 
+  test("sequentialAbTest: planted effect crosses, planted null holds at " +
+      "p = 1, below-minN gates NULL, statistic matches a JVM replica") {
+    // effect group g: sides shifted by 50; null group h: identical
+    // multisets on both sides (delta exactly 0)
+    val eff = (0 until 120).flatMap(i => Seq(
+      ("g", false, 100.0 + (i % 5)), ("g", true, 50.0 + (i % 5))))
+    val nul = (0 until 120).flatMap(i => Seq(
+      ("h", false, 70.0 + (i % 7)), ("h", true, 70.0 + (i % 7))))
+    val df = (eff ++ nul).toDF("grp", "side", "v")
+    val out = Metrics.sequentialAbTest(df, "v", "side", Seq("grp"))
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    // JVM replica of the fixed-order mSPRT expression for group g
+    val av = (0 until 120).map(i => 100.0 + (i % 5))
+    val bv = (0 until 120).map(i => 50.0 + (i % 5))
+    val (na, nb) = (av.size.toDouble, bv.size.toDouble)
+    val (sa, sb) = (av.sum, bv.sum)
+    val (qa, qb) = (av.map(x => x * x).sum, bv.map(x => x * x).sum)
+    val vv = ((qa - sa * sa / na) / (na - 1.0)) / na +
+      ((qb - sb * sb / nb) / (nb - 1.0)) / nb
+    val delta = sa / na - sb / nb
+    val llr = 0.5 * math.log(vv / (vv + 25.0)) +
+      delta * delta * 25.0 / (2.0 * vv * (vv + 25.0))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val e = out("g")
+    assert(e.getAs[Long]("n_a") === 120L && e.getAs[Long]("n_b") === 120L)
+    assert(e.getAs[Double]("delta") === 50.0)
+    assert(e.getAs[Double]("log_lr") === r6(llr))
+    assert(e.getAs[Double]("p_always") ===
+      r6(math.min(1.0, math.exp(-llr))))
+    assert(e.getAs[Boolean]("reject"), "a 50-point shift must cross")
+
+    // null: Λ = sqrt(V/(V+τ²)) < 1 ⇒ 1/Λ > 1 ⇒ always-valid p pins at 1
+    val h = out("h")
+    assert(h.getAs[Double]("delta") === 0.0)
+    assert(h.getAs[Double]("p_always") === 1.0)
+    assert(!h.getAs[Boolean]("reject"))
+
+    // below minN: every statistic and the decision gate to NULL
+    val gated = Metrics.sequentialAbTest(df, "v", "side", Seq("grp"),
+      minN = 1000L).collect()
+    assert(gated.forall(r => r.isNullAt(r.fieldIndex("log_lr")) &&
+      r.isNullAt(r.fieldIndex("p_always")) &&
+      r.isNullAt(r.fieldIndex("reject"))))
+  }
+
   test("proportionZTest: hand-computed pooled z and degenerate NULL") {
     // group g: A 2/4 vs B 1/4 -> pooled 3/8, vv = .375*.625*.5,
     // z = 0.25/sqrt(vv) = 0.730297; group h: all success -> vv 0 -> NULL z
