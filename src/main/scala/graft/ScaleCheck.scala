@@ -1403,6 +1403,21 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.sequentialAbTest(
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
+        events, "event_id", None),
+      ("rank_centrality",
+        // the bradley_terry first-agg shape; the walk rounds join/agg
+        // the <=2N^2 edge dictionary only (players fixed at 12)
+        (d: DataFrame) => graft.scale.Preference.rankCentralityMicro(
+          d.select(expr("event_id % 12").as("pa"),
+              expr("(event_id div 12) % 12").as("pb"),
+              expr("user_id % 10").as("ock"))
+            .withColumn("oc",
+              when(col("ock") === 0, lit(2))
+                .when(col("ock") <= 6,
+                  when(col("pa") < col("pb"), lit(0)).otherwise(lit(1)))
+                .otherwise(
+                  when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
+          "pa", "pb", "oc", 3),
         events, "event_id", None))
 
     // warm-up

@@ -4348,6 +4348,16 @@ object SparkEntry {
         arenaMatches(t(s, dir, "events")), "pa", "pb", "oc")
         .orderBy(col("copeland").desc, col("player"))),
 
+    // ---- Rank Centrality spectral preference fit ---------------------------
+    // The random-walk cross-check on the SAME matches: stationary mass of
+    // the win-fraction chain (Negahban-Oh-Shah), exact micro-longs over
+    // the shared pair dictionary — robust where BT's count-weighted
+    // likelihood over-trusts replayed pairs.
+    "rank_centrality_events" -> ((s, dir) =>
+      graft.scale.Preference.rankCentralityMicro(
+        arenaMatches(t(s, dir, "events")), "pa", "pb", "oc", 3)
+        .orderBy(col("pi_micro").desc, col("player"))),
+
     // ---- Plackett-Luce listwise fit (3-way rankings) -----------------------
     // The k-way generalization of the BT fit: two choice stages per race,
     // exact-integer MM rounds over the ordered-triple pattern dictionary.
@@ -5816,6 +5826,7 @@ object SparkEntry {
       ("kcore_lineitem" -> kcoreOracleSql(4, 20)),
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
+      ("rank_centrality_events" -> rankCentralityOracle(3)),
       // Copeland/Condorcet: majority-graph fold on the same dictionary
       ("copeland_events" -> copelandOracle),
       // preference twins: the pair-count dictionary is associative
@@ -7236,6 +7247,48 @@ object SparkEntry {
          |  FROM r$r, (SELECT CAST(SUM(praw) AS BIGINT) AS s,
          |    CAST(COUNT(*) AS BIGINT) AS n FROM r$r) nn)""".stripMargin
     }.mkString(",\n")
+
+  /** Rank Centrality replay: the shared pair dictionary → ordered edge
+    * relation → integer transition dictionary (win share over max
+    * degree) → unrolled lazy-walk rounds — mirrors
+    * [[graft.scale.Preference.rankCentralityMicro]] term for term.
+    */
+  private def rankCentralityOracle(rounds: Int): String = {
+    val perRound = (1 to rounds).map { r =>
+      s"""in$r AS (
+         |  SELECT pe.dst AS player,
+         |    CAST(SUM((pi.pi * pe.p_micro) // 1000000) AS BIGINT)
+         |      AS inflow
+         |  FROM pe JOIN pi${r - 1} pi ON pi.player = pe.src
+         |  GROUP BY 1),
+         |pi$r AS (
+         |  SELECT p.player,
+         |    (p.pi * resid.resid) // 1000000
+         |      + COALESCE(in$r.inflow, 0) AS pi
+         |  FROM pi${r - 1} p JOIN resid USING (player)
+         |  LEFT JOIN in$r USING (player))""".stripMargin
+    }.mkString(",\n")
+    s"""$btPairCtes,
+       |e AS (
+       |  SELECT lo AS src, hi AS dst, n2 - w2lo AS w2, n2 FROM pr
+       |  UNION ALL SELECT hi, lo, w2lo, n2 FROM pr),
+       |deg AS (
+       |  SELECT src AS player, CAST(COUNT(*) AS BIGINT) AS n_opponents
+       |  FROM e GROUP BY 1),
+       |dm AS (SELECT CAST(MAX(n_opponents) AS BIGINT) AS dmax FROM deg),
+       |pe AS (
+       |  SELECT src, dst, (w2 * 1000000) // (n2 * dm.dmax) AS p_micro
+       |  FROM e, dm),
+       |resid AS (
+       |  SELECT src AS player,
+       |    1000000 - CAST(SUM(p_micro) AS BIGINT) AS resid
+       |  FROM pe GROUP BY 1),
+       |pi0 AS (SELECT player, CAST(1000000 AS BIGINT) AS pi FROM deg),
+       |$perRound
+       |SELECT deg.player, deg.n_opponents, pi$rounds.pi AS pi_micro
+       |FROM deg JOIN pi$rounds USING (player)
+       |ORDER BY pi_micro DESC, player""".stripMargin
+  }
 
   private def bradleyTerryOracle(rounds: Int): String =
     s"""$btPairCtes,

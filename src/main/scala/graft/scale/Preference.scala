@@ -405,6 +405,84 @@ object Preference {
           6).as("elo"))
   }
 
+  /** Rank Centrality — the SPECTRAL preference fit (Negahban, Oh & Shah,
+    * "Iterative Ranking from Pair-wise Comparisons", NIPS'12 / Operations
+    * Research '17): scores are the stationary distribution of a random
+    * walk on the comparison graph that moves from player i to player j
+    * with probability proportional to the FRACTION of their games j won.
+    * The robustness companion the MM ladder needs: BT's likelihood
+    * weights pairs by GAME COUNT, so a heavily-replayed pair dominates a
+    * sparse one; the walk normalizes each pair to its win fraction and
+    * each player by the max degree, so on intransitive data it degrades
+    * to honest flatness instead of count-driven false order (the spec
+    * plants exactly that cycle).
+    *
+    * Chain (tie-halved ×2 units, dmax = max opponents per player):
+    *   P(i→j) = f_ji / dmax,  f_ji = w2_j / n2_ij  (share j won)
+    *   P(i→i) = 1 − Σ_j P(i→j)   (lazy self-loop — rows sum to 1)
+    * Exact micro-longs, the [[graft.scale.Graph.pageRankMicro]] scheme:
+    * p_micro(i→j) = (w2_j·1e6) div (n2·dmax) (dividend ≤ n2·1e6 — the MM
+    * pair-term headroom; divisor n2·dmax needs n2·N < 9.2e18, fine to
+    * thousands of players at trillions of games), π₀ = 1e6 per player,
+    *   π'(i) = (π(i)·resid_i) div 1e6 + Σ_j (π(j)·p_micro(j→i)) div 1e6
+    * unrolled `rounds` times — associative long sums, bit-identical on
+    * any partitioning, mechanically replayable (unrolled-round oracle).
+    *
+    * Scale shape: ONE corpus hash-agg to the pair dictionary (the
+    * [[pairCounts]] job every preference op shares); rounds are keyed
+    * joins + hash-aggs over the ≤ 2·N² edge dictionary only.
+    */
+  def rankCentralityMicro(
+      matches: DataFrame,
+      playerA: String,
+      playerB: String,
+      outcomeCol: String,
+      rounds: Int = 3): DataFrame =
+    rankCentralityFromPairs(
+      pairCounts(matches, playerA, playerB, outcomeCol), rounds)
+
+  /** The walk over a drained/batch pair dictionary —
+    * rankCentralityFromPairs ∘ pairCounts = rankCentralityMicro by
+    * construction (the streaming-twin rule).
+    */
+  def rankCentralityFromPairs(
+      pairs0: DataFrame,
+      rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, "need at least one walk round")
+    val pairs = pairs0.localCheckpoint(true)
+    // ordered edges: src pays mass to dst at dst's win share of the pair
+    val edges0 = pairs.select(col("lo").as("src"), col("hi").as("dst"),
+        (col("n2") - col("w2lo")).as("w2"), col("n2"))
+      .unionByName(pairs.select(col("hi").as("src"), col("lo").as("dst"),
+        col("w2lo").as("w2"), col("n2")))
+    val deg = edges0.groupBy(col("src").as("player"))
+      .agg(count(lit(1)).as("n_opponents"))
+      .localCheckpoint(true)
+    val dmax = deg.agg(max(col("n_opponents")).as("__dmax"))
+    val edges = edges0.crossJoin(broadcast(dmax))
+      .withColumn("p_micro", expr("(w2 * 1000000L) div (n2 * __dmax)"))
+      .select(col("src"), col("dst"), col("p_micro"))
+      .localCheckpoint(true)
+    val resid = edges.groupBy(col("src").as("player"))
+      .agg((lit(Micro) - sum(col("p_micro"))).as("resid"))
+      .localCheckpoint(true)
+    var pi = deg.select(col("player"), lit(Micro).as("pi"))
+    for (_ <- 1 to rounds) {
+      val inflow = edges
+        .join(pi.select(col("player").as("src"), col("pi")), Seq("src"))
+        .withColumn("c", expr("(pi * p_micro) div 1000000L"))
+        .groupBy(col("dst").as("player")).agg(sum(col("c")).as("inflow"))
+      pi = pi.join(resid, Seq("player"))
+        .join(inflow, Seq("player"), "left")
+        .select(col("player"),
+          (expr("(pi * resid) div 1000000L") +
+            coalesce(col("inflow"), lit(0L))).as("pi"))
+        .localCheckpoint(true) // pi feeds BOTH next-round joins
+    }
+    deg.join(pi, Seq("player"))
+      .select(col("player"), col("n_opponents"), col("pi").as("pi_micro"))
+  }
+
   /** Majority-graph TRANSITIVITY diagnostic — the triad census behind
     * "is there even a consistent ranking to fit?": among triples whose
     * three pairwise head-to-heads are all DECIDED (strict majority, no

@@ -160,4 +160,55 @@ class PreferenceSpec extends SparkSpec {
       .orderBy($"player").collect().toSeq
     assert(base === re)
   }
+
+  private def rc(ms: Seq[(Long, Long, Int)]) =
+    Preference.rankCentralityMicro(
+      ms.toDF("pa", "pb", "oc"), "pa", "pb", "oc", 3)
+
+  test("rankCentrality: exact 2-player stationary mass at the win-odds " +
+      "ratio") {
+    // A beats B 3 of 4: p(A->B) = (2e6) div 8 = 250000, p(B->A) = 750000,
+    // dmax = 1; round 1 reaches the stationary 3:1 split exactly and
+    // rounds 2-3 hold it (detailed-balance: pi_A * .25 = pi_B * .75)
+    val got = rc(Seq.fill(3)((1L, 2L, 0)) :+ ((1L, 2L, 1)))
+      .orderBy($"player").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 1L, 1500000L), (2L, 1L, 500000L)))
+  }
+
+  test("rankCentrality agrees with the BT ordering on a transitive " +
+      "arena and stays exactly uniform on a planted cycle BT strictly " +
+      "orders") {
+    // transitive: 0 beats 1 x4, 1 beats 2 x4, 0 beats 2 x4
+    val trans = Seq.fill(4)((0L, 1L, 0)) ++ Seq.fill(4)((1L, 2L, 0)) ++
+      Seq.fill(4)((0L, 2L, 0))
+    val rcOrder = rc(trans).orderBy($"pi_micro".desc, $"player")
+      .collect().map(_.getLong(0)).toSeq
+    val btOrder = fit(trans).orderBy($"strength_micro".desc, $"player")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rcOrder === btOrder && rcOrder === Seq(0L, 1L, 2L))
+
+    // cycle with equal win FRACTIONS (all 1.0) but wildly unequal game
+    // counts: A>B once, B>C x10, C>A x10. The walk sees three identical
+    // p = 500000 edges — exactly uniform stationary mass (an honest "no
+    // ranking here"); BT's count-weighted likelihood still emits a
+    // strict order. This divergence is WHY the spectral cross-check
+    // exists (Negahban-Oh-Shah's robustness argument).
+    val cyc = Seq((0L, 1L, 0)) ++ Seq.fill(10)((1L, 2L, 0)) ++
+      Seq.fill(10)((2L, 0L, 0))
+    val pis = rc(cyc).collect().map(_.getLong(2)).toSet
+    assert(pis === Set(1000000L), "fraction-symmetric cycle must be flat")
+    val bts = fit(cyc).collect().map(_.getLong(3)).toSet
+    assert(bts.size > 1, "BT strictly orders the count-skewed cycle")
+  }
+
+  test("rankCentrality is partition-invariant (exact long walk)") {
+    val ms = Seq.fill(3)((0L, 1L, 0)) ++ Seq.fill(5)((1L, 2L, 0)) ++
+      Seq((2L, 0L, 0), (0L, 2L, 2), (1L, 0L, 1))
+    val base = rc(ms).orderBy($"player").collect().toSeq
+    val re = Preference.rankCentralityMicro(
+      ms.toDF("pa", "pb", "oc").repartition(7), "pa", "pb", "oc", 3)
+      .orderBy($"player").collect().toSeq
+    assert(base === re)
+  }
 }
