@@ -1418,7 +1418,20 @@ object ScaleCheck {
                 .otherwise(
                   when(col("pa") > col("pb"), lit(0)).otherwise(lit(1)))),
           "pa", "pb", "oc", 3),
-        events, "event_id", None))
+        events, "event_id", None),
+      ("pii_checksums",
+        // extract + explode + per-candidate integer fold: shuffle-free
+        // projection, linear in corpus bytes
+        (d: DataFrame) => graft.scale.TextAnalysis.piiChecksums(
+          d.select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 3 === 1,
+                lit(" card 4532015112830366"))
+                .when(col("doc_id") % 3 === 2,
+                  lit(" pay GB82WEST12345698765432"))
+                .otherwise(lit(""))).as("tx")),
+          "doc_id", "tx"),
+        docs, "doc_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

@@ -1563,6 +1563,29 @@ object SparkEntry {
             lit("-1234"))).as("clean_text"))
         .orderBy(col("doc_id"))),
 
+    // ---- scale: checksum-validated PII detection (Luhn + IBAN mod-97) -----
+    // Precision upgrade over the shape-only scrub: injected valid/invalid
+    // card and IBAN spans per doc_id residue (plus too-short/too-long
+    // digit-run decoys) — only checksum-passing candidates flag.
+    "pii_luhn_docs" -> ((s, dir) =>
+      TextAnalysis.piiChecksums(
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(col("text"),
+              when(col("doc_id") % 7 === 1,
+                lit(" card 4532015112830366 ok"))
+                .when(col("doc_id") % 7 === 2,
+                  lit(" card 4532015112830367 bad"))
+                .when(col("doc_id") % 7 === 3,
+                  lit(" pay GB82WEST12345698765432 now"))
+                .when(col("doc_id") % 7 === 4,
+                  lit(" pay GB82WEST12345698765431 now"))
+                .when(col("doc_id") % 7 === 5,
+                  lit(" n 123456789012 x 12345678901234567890"))
+                .otherwise(lit(""))).as("tx")),
+        "doc_id", "tx")
+        .orderBy(col("doc_id"), col("kind"), col("token"))),
+
     // ---- streaming in the CHECKED surface: hourly agg via readStream -------
     // Structured Streaming over the events parquet (AvailableNow semantics
     // through processAllAvailable), Complete-mode memory sink; deterministic
@@ -10705,6 +10728,61 @@ object SparkEntry {
         |    '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Luhn is a SUM of independent per-position terms (list_sum); the
+    // IBAN mod-97 is a seeded sequential fold (list_prepend + list_reduce
+    // — DuckDB's reduce seeds from the first element)
+    "pii_luhn_docs" ->
+      """WITH d AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 1 THEN ' card 4532015112830366 ok'
+        |         WHEN doc_id % 7 = 2 THEN ' card 4532015112830367 bad'
+        |         WHEN doc_id % 7 = 3 THEN ' pay GB82WEST12345698765432 now'
+        |         WHEN doc_id % 7 = 4 THEN ' pay GB82WEST12345698765431 now'
+        |         WHEN doc_id % 7 = 5
+        |           THEN ' n 123456789012 x 12345678901234567890'
+        |         ELSE '' END AS tx
+        |  FROM documents),
+        |cards AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(tx, '[0-9]+')) AS token
+        |  FROM d),
+        |cardv AS (
+        |  SELECT doc_id, 'card' AS kind, token,
+        |    CAST(list_sum(list_transform(range(1, len(token) + 1), j ->
+        |      CASE WHEN (len(token) - j) % 2 = 1 THEN
+        |        CASE WHEN ascii(substring(token, CAST(j AS INT), 1))
+        |            - 48 >= 5
+        |          THEN 2 * (ascii(substring(token, CAST(j AS INT), 1))
+        |            - 48) - 9
+        |          ELSE 2 * (ascii(substring(token, CAST(j AS INT), 1))
+        |            - 48) END
+        |      ELSE ascii(substring(token, CAST(j AS INT), 1)) - 48 END))
+        |      AS BIGINT) % 10 = 0 AS valid
+        |  FROM cards WHERE len(token) BETWEEN 13 AND 19),
+        |ib AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(tx, '[A-Z0-9]+'))
+        |    AS token
+        |  FROM d),
+        |ibr AS (
+        |  SELECT doc_id, token,
+        |    substring(token, 5) || substring(token, 1, 4) AS re
+        |  FROM ib
+        |  WHERE regexp_matches(token, '^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$')),
+        |ibv AS (
+        |  SELECT doc_id, 'iban' AS kind, token,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(re) + 1), j ->
+        |        CASE WHEN ascii(substring(re, CAST(j AS INT), 1)) >= 65
+        |          THEN CAST(ascii(substring(re, CAST(j AS INT), 1)) - 55
+        |            AS BIGINT)
+        |          ELSE CAST(ascii(substring(re, CAST(j AS INT), 1)) - 48
+        |            AS BIGINT) END)),
+        |      (acc, c) -> CASE WHEN c < 10 THEN (acc * 10 + c) % 97
+        |        ELSE (acc * 100 + c) % 97 END) = 1 AS valid
+        |  FROM ibr)
+        |SELECT doc_id, kind, token, valid FROM (
+        |  SELECT * FROM cardv UNION ALL SELECT * FROM ibv)
+        |ORDER BY doc_id, kind, token""".stripMargin,
 
     "streaming_hourly_agg_events" ->
       """SELECT (CAST(EPOCH_US(date_trunc('hour', ts)) AS BIGINT) // 1000000)

@@ -556,6 +556,71 @@ object TextAnalysis {
       regexp_replace(text, EmailPattern, "<EMAIL>"),
       PhonePattern, "<PHONE>")
 
+  /** CHECKSUM-validated PII detection — the precision upgrade over
+    * [[scrubPii]]'s shape-only regexes: a 16-digit run is only a payment
+    * card if its Luhn check digit holds (ISO/IEC 7812), and an
+    * IBAN-shaped token only an account number if its mod-97 remainder is
+    * 1 (ISO 13616) — pure integer digit folds that cut the
+    * false-positive rate of a scrub pass by orders of magnitude (random
+    * digit runs pass Luhn 1 in 10 and mod-97 1 in 97).
+    *
+    * Candidates are MAXIMAL runs (digits for cards, [A-Z0-9] for IBANs —
+    * maximal-run extraction + length/shape filters instead of bounded
+    * quantifiers, because RE2 has no word-boundary/lookaround and a
+    * bounded match could split a longer run): digit runs of 13–19 for
+    * cards; [A-Z]{2}[0-9]{2}[A-Z0-9]{11,30} for IBANs. Both checksums
+    * are exact integer folds over per-character codes (Luhn is a SUM of
+    * independent per-position terms — order-free; mod-97 is a short
+    * sequential fold seeded at 0), mirrored by the oracle via
+    * list_sum / seeded list_reduce. The interpreted HOF lambdas run per
+    * CANDIDATE (a regex-filtered, tens-of-chars string), never per
+    * corpus row — the engine-wide HOF discipline.
+    *
+    * Scale: one extract + explode per kind, shuffle-free projection —
+    * linear at any corpus size.
+    *
+    * @return (idCol, kind 'card'|'iban', token, valid) per candidate
+    */
+  def piiChecksums(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    // per-position Luhn term: digit at j (1-based from the left) doubles
+    // when its 0-based position from the RIGHT is odd; 2d-9 folds the
+    // double's digit sum. The total is a plain sum -> order-free.
+    val luhnValid = expr(
+      "aggregate(sequence(1, length(token)), 0L, (acc, j) -> acc + " +
+        "CASE WHEN (length(token) - j) % 2 = 1 THEN " +
+        "  CASE WHEN ascii(substr(token, j, 1)) - 48 >= 5 " +
+        "    THEN 2 * (ascii(substr(token, j, 1)) - 48) - 9 " +
+        "    ELSE 2 * (ascii(substr(token, j, 1)) - 48) END " +
+        "ELSE ascii(substr(token, j, 1)) - 48 END) % 10 = 0")
+    // ISO 13616: move the country+check head to the tail, map letters to
+    // 10..35, incremental mod so the accumulator never leaves [0, 96]
+    val ibanValid = expr(
+      "aggregate(transform(sequence(1, length(__re)), j -> " +
+        "  CASE WHEN ascii(substr(__re, j, 1)) >= 65 " +
+        "    THEN ascii(substr(__re, j, 1)) - 55 " +
+        "    ELSE ascii(substr(__re, j, 1)) - 48 END), 0L, (acc, c) -> " +
+        "CASE WHEN c < 10 THEN (acc * 10 + c) % 97 " +
+        "ELSE (acc * 100 + c) % 97 END) = 1")
+    val cards = df
+      .select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, '[0-9]+', 0)"))
+          .as("token"))
+      .filter(length(col("token")).between(13, 19))
+      .select(col(idCol), lit("card").as("kind"), col("token"),
+        luhnValid.as("valid"))
+    val ibans = df
+      .select(col(idCol),
+        explode(expr(s"regexp_extract_all($textCol, '[A-Z0-9]+', 0)"))
+          .as("token"))
+      .filter(col("token").rlike("^[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}$"))
+      .withColumn("__re",
+        concat(expr("substr(token, 5)"), expr("substr(token, 1, 4)")))
+      .select(col(idCol), lit("iban").as("kind"), col("token"),
+        ibanValid.as("valid"))
+    cards.unionByName(ibans)
+  }
+
   /** Padding-waste analysis for fixed-size batch packing: batches of
     * `batchSize` docs pad every member to the batch max token count, so
     * waste = Σ(batch_max·batch_size − batch_sum). Compares ARRIVAL order

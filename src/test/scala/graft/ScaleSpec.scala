@@ -269,6 +269,36 @@ class ScaleSpec extends SparkSpec {
     assert(got === "write to <EMAIL> or call <PHONE> today")
   }
 
+  test("piiChecksums: Luhn and IBAN mod-97 separate valid from shaped-" +
+      "but-invalid; length and shape decoys never become candidates") {
+    val df = Seq(
+      // valid card / one-digit-off card (same shape, fails Luhn)
+      (1L, "pay 4532015112830366 now"),
+      (2L, "pay 4532015112830367 now"),
+      // valid IBAN / one-digit-off IBAN (fails mod-97)
+      (3L, "acct GB82WEST12345698765432 ok"),
+      (4L, "acct GB82WEST12345698765431 ok"),
+      // decoys: 12-digit run (short), 20-digit run (long), IBAN-cased
+      // token with a letter head but no digit check positions
+      (5L, "n 123456789012 x 12345678901234567890 y GBXXWEST123456987"),
+      // another known-valid card (classic 4111... test number)
+      (6L, "4111111111111111")).toDF("doc_id", "text")
+    val got = TextAnalysis.piiChecksums(df, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getBoolean(3))).toSet
+    assert(got === Set(
+      (1L, "card", "4532015112830366", true),
+      (2L, "card", "4532015112830367", false),
+      // the IBAN's own 14-digit substring surfaces as a card candidate
+      // and (correctly) fails Luhn — the precision story in one row
+      (3L, "iban", "GB82WEST12345698765432", true),
+      (3L, "card", "12345698765432", false),
+      (4L, "iban", "GB82WEST12345698765431", false),
+      (4L, "card", "12345698765431", false),
+      (6L, "card", "4111111111111111", true)))
+  }
+
   test("corpus invariants of the new operators hold on the sf0.001 table") {
     val corpus = graft.io.Tables.load(spark, sf, "documents")
     // passage dedup conservation: every distinct chunk survives exactly once
