@@ -1431,6 +1431,13 @@ object ScaleCheck {
                   lit(" pay GB82WEST12345698765432"))
                 .otherwise(lit(""))).as("tx")),
           "doc_id", "tx"),
+        docs, "doc_id", None),
+      ("wordpiece_train",
+        // corpus collapses to its vocabulary ONCE; rounds are two
+        // |vocab|-scale hash-aggs + a 1-row TakeOrdered each (key-shifted
+        // copies multiply freqs, the vocab dictionary stays fixed)
+        (d: DataFrame) => graft.scale.TextAnalysis.wordpieceTrain(
+          d, "text", 4),
         docs, "doc_id", None))
 
     // warm-up

@@ -2732,6 +2732,21 @@ object SparkEntry {
       TextAnalysis.bpeEncode(t(s, dir, "documents"), "source", "text", 8)
         .orderBy(col("source"))),
 
+    // ---- WordPiece trainer (likelihood-gain merges — the BERT tokenizer) ---
+    // The BPE loop with score(a,b) = count(ab)/(count(a)·count(b)) as the
+    // exact quantized gain_q = floor(c·1e12/(cl·cr)) — a frequent pair of
+    // independently-common symbols loses to a rarer better-than-predicted
+    // one. Closes the third tokenizer family (BPE ✓, unigram ✓).
+    "wordpiece_train_docs" -> ((s, dir) =>
+      TextAnalysis.wordpieceTrain(t(s, dir, "documents"), "text", 8)
+        .orderBy(col("round"))),
+
+    // ---- WordPiece APPLICATION (the bpe_encode dictionary-join shape) ------
+    "wordpiece_encode_docs" -> ((s, dir) =>
+      TextAnalysis.wordpieceEncode(
+          t(s, dir, "documents"), "source", "text", 8)
+        .orderBy(col("source"))),
+
     // ---- unigram-LM Viterbi ENCODE (the SentencePiece serving path) --------
     // Train the unigram vocab on the %5<>0 split, segment the HELD-OUT
     // %5=0 docs by max-plus Viterbi (ties -> fewest pieces; unseen chars
@@ -6101,6 +6116,8 @@ object SparkEntry {
       // the encode half: train CTEs on the %5<>0 split + forward Viterbi
       ("unigram_encode_docs" -> unigramEncodeOracle(2)),
       ("bpe_encode_docs" -> bpeEncodeOracle(8)),
+      ("wordpiece_train_docs" -> wordpieceTrainOracle(8)),
+      ("wordpiece_encode_docs" -> wordpieceEncodeOracle(8)),
       ("tokenizer_fertility_docs" -> tokenizerFertilityOracle(8)),
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
       ("classifier_train_docs" ->
@@ -6979,6 +6996,85 @@ object SparkEntry {
 
   private def bpeEncodeOracle(rounds: Int): String =
     s"""${bpeEncCtes(rounds, "source")}
+       |SELECT g AS source, n_words, n_tokens, n_chars
+       |FROM enc ORDER BY 1""".stripMargin
+
+  /** WordPiece-trainer CTE chain: the BPE chain with each round's
+    * arg-max over the exact quantized likelihood gain — per round a
+    * symbol-count CTE joins the pair counts and gain_q =
+    * floor(c·1e12/(cl·cr)) rides HUGEINT (mirrors
+    * [[TextAnalysis.wordpieceTrainWithVocab]] term for term, including
+    * the (gain desc, count desc, pair asc) tiebreak).
+    */
+  private def wordpieceCtes(rounds: Int): String = {
+    val head =
+      """WITH v1 AS MATERIALIZED (
+        |  SELECT regexp_replace(w, '(.)', chr(1) || '\1' || chr(1), 'g') AS s,
+        |    freq
+        |  FROM (
+        |    SELECT w, COUNT(*) AS freq
+        |    FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |            x -> len(x) > 0)) AS w FROM documents)
+        |    WHERE NOT contains(w, chr(1))
+        |    GROUP BY w))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s""",
+         |sc$r AS (
+         |  SELECT sym, CAST(SUM(freq) AS BIGINT) AS sc FROM (
+         |    SELECT unnest(list_filter(string_split(s, chr(1)),
+         |      x -> len(x) > 0)) AS sym, freq
+         |    FROM v$r)
+         |  GROUP BY sym),
+         |p$r AS (
+         |  SELECT list_extract(sy, CAST(i AS INT)) AS l,
+         |    list_extract(sy, CAST(i + 1 AS INT)) AS r2, freq
+         |  FROM (SELECT list_filter(string_split(s, chr(1)), x -> len(x) > 0)
+         |          AS sy, freq FROM v$r),
+         |    UNNEST(range(1, len(sy))) AS u(i)),
+         |t$r AS (
+         |  SELECT pc.l, pc.r2, pc.c,
+         |    CAST(CAST(pc.c AS HUGEINT) * 1000000000000
+         |      // (CAST(a.sc AS HUGEINT) * b.sc) AS BIGINT) AS gain_q
+         |  FROM (SELECT l, r2, CAST(SUM(freq) AS BIGINT) AS c FROM p$r
+         |        GROUP BY l, r2) pc
+         |  JOIN sc$r a ON a.sym = pc.l
+         |  JOIN sc$r b ON b.sym = pc.r2
+         |  ORDER BY gain_q DESC, pc.c DESC, pc.l, pc.r2 LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT replace(s, chr(1) || l || chr(1) || chr(1) || r2 || chr(1),
+         |    chr(1) || l || r2 || chr(1)) AS s, freq
+         |  FROM v$r CROSS JOIN t$r)""".stripMargin
+    }.mkString
+    s"$head$roundCtes"
+  }
+
+  private def wordpieceTrainOracle(rounds: Int): String = {
+    val unions = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS INT) AS round, l AS sym_l, r2 AS sym_r, " +
+        s"l || r2 AS merged, c AS n_occurrences, gain_q FROM t$r"
+    }.mkString("\nUNION ALL\n")
+    s"${wordpieceCtes(rounds)}\nSELECT * FROM (\n$unions\n) ORDER BY round"
+  }
+
+  private def wordpieceEncodeOracle(rounds: Int): String =
+    s"""${wordpieceCtes(rounds)},
+       |dict AS (
+       |  SELECT replace(s, chr(1), '') AS w,
+       |    CAST(len(list_filter(string_split(s, chr(1)), x -> len(x) > 0))
+       |      AS BIGINT) AS nt
+       |  FROM v${rounds + 1}),
+       |wd AS (
+       |  SELECT source AS g,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0)) AS w
+       |  FROM documents),
+       |enc AS (
+       |  SELECT wd.g, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(d.nt) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(len(wd.w)) AS BIGINT) AS n_chars
+       |  FROM wd JOIN dict d ON wd.w = d.w
+       |  WHERE NOT contains(wd.w, chr(1))
+       |  GROUP BY 1)
        |SELECT g AS source, n_words, n_tokens, n_chars
        |FROM enc ORDER BY 1""".stripMargin
 

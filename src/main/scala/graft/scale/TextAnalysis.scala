@@ -1001,6 +1001,120 @@ object TextAnalysis {
       vocab)
   }
 
+  /** WordPiece tokenizer TRAINING — the third production subword trainer
+    * beside BPE and unigram-LM (Schuster & Nakajima, "Japanese and Korean
+    * voice search", ICASSP 2012; the BERT tokenizer): the SAME iterative
+    * merge loop as [[bpeTrainWithVocab]], but each round merges the pair
+    * maximizing the LIKELIHOOD GAIN of a unigram LM over the segmented
+    * corpus — score(a,b) = count(ab) / (count(a)·count(b)) — instead of
+    * the raw pair count. A frequent-but-expected pair (two independently
+    * common symbols) loses to a rarer pair whose co-occurrence beats its
+    * unigram prediction; that is the entire BPE/WordPiece difference.
+    *
+    * Determinism: the gain is compared as the QUANTIZED exact integer
+    * gain_q = floor(c_ab·1e12 / (c_a·c_b)) — always ≤ 1e12 since
+    * c_ab ≤ min(c_a, c_b), so the quotient fits a long at ANY corpus
+    * size; the dividend/divisor products ride decimal(38,0)/HUGEINT so
+    * nothing wraps — with the total tiebreak (gain desc, pair count
+    * desc, pair asc). Scale shape is the BPE trainer's: the corpus
+    * collapses to its vocabulary ONCE; every round is two |vocab|-scale
+    * hash-aggs (symbol counts + pair counts), one dictionary join, a
+    * 1-row TakeOrdered, and one literal rewrite.
+    *
+    * Returns (merge table (round, sym_l, sym_r, merged, n_occurrences,
+    * gain_q), final vocab state) — the encode input, like BPE's.
+    */
+  def wordpieceTrainWithVocab(df: DataFrame, textCol: String,
+      rounds: Int = 8): (DataFrame, DataFrame) = {
+    val spark = df.sparkSession
+    val SENT = "\u0001"
+    var vocab = df.select(explode(tokens(col(textCol))).as("w"))
+      .filter(!col("w").contains(SENT))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(regexp_replace(col("w"), "(.)", SENT + "$1" + SENT).as("s"),
+        col("freq"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable
+      .ArrayBuffer[(Int, String, String, String, Long, Long)]()
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      // symbol sequences reused by BOTH aggregations this round
+      val syms = vocab
+        .select(col("freq"),
+          filter(split(col("s"), SENT), x => length(x) > 0).as("sy"))
+        .localCheckpoint(true)
+      val symCounts = syms
+        .select(col("freq"), explode(col("sy")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("freq")).as("sc"))
+      val top = syms
+        .filter(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> " +
+            "named_struct('l', element_at(sy, i), 'r', element_at(sy, i + 1)))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r2"))
+        .agg(sum(col("freq")).as("c"))
+        .join(symCounts.select(col("sym").as("l"), col("sc").as("cl")),
+          Seq("l"))
+        .join(symCounts.select(col("sym").as("r2"), col("sc").as("cr")),
+          Seq("r2"))
+        .withColumn("gain_q", expr(
+          "CAST(CAST(c AS DECIMAL(38,0)) * 1000000000000 div " +
+            "(CAST(cl AS DECIMAL(38,0)) * cr) AS BIGINT)"))
+        .orderBy(col("gain_q").desc, col("c").desc, col("l"), col("r2"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, rr, c, g) = (top(0).getAs[String]("l"),
+          top(0).getAs[String]("r2"), top(0).getAs[Long]("c"),
+          top(0).getAs[Long]("gain_q"))
+        merges += ((r, l, rr, l + rr, c, g))
+        vocab = vocab.select(
+          regexp_replace(col("s"),
+            lit(java.util.regex.Pattern.quote(
+              SENT + l + SENT + SENT + rr + SENT)),
+            lit(java.util.regex.Matcher.quoteReplacement(
+              SENT + l + rr + SENT))).as("s"),
+          col("freq"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    import spark.implicits._
+    (merges.toSeq.toDF("round", "sym_l", "sym_r", "merged",
+      "n_occurrences", "gain_q"), vocab)
+  }
+
+  /** [[wordpieceTrainWithVocab]]'s merge table alone. */
+  def wordpieceTrain(df: DataFrame, textCol: String,
+      rounds: Int = 8): DataFrame =
+    wordpieceTrainWithVocab(df, textCol, rounds)._1
+
+  /** WordPiece tokenizer APPLICATION — [[bpeEncode]]'s discipline over
+    * the wordpiece-trained vocabulary: the final merge-applied vocab
+    * becomes a word → piece-count dictionary and encoding the corpus is
+    * ONE equi-join of exploded words against it. Corpus-mass work is the
+    * split + join; the trainer stays |vocab|-bound. Per group: n_words,
+    * n_tokens (= words + ##-continuation pieces), n_chars.
+    */
+  def wordpieceEncode(df: DataFrame, groupCol: String, textCol: String,
+      rounds: Int = 8): DataFrame = {
+    val SENT = "\u0001"
+    val (_, vocab) = wordpieceTrainWithVocab(df, textCol, rounds)
+    val dict = vocab.select(
+      regexp_replace(col("s"), SENT, "").as("__w"),
+      size(filter(split(col("s"), SENT), x => length(x) > 0))
+        .cast("long").as("__nt"))
+    df.select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+      .filter(!col("__w").contains(SENT))
+      .join(dict, Seq("__w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("__nt")).as("n_tokens"),
+        sum(length(col("__w")).cast("long")).as("n_chars"))
+  }
+
   /** Tokenizer APPLICATION at corpus scale: encode every document with the
     * trained BPE merges and report per-group token mass. The merge table
     * is never applied per document — the final vocabulary (|vocab| rows,

@@ -803,6 +803,39 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("wordpieceTrain: likelihood-gain argmax diverges from BPE's " +
+      "count argmax; exact quantized gains; encode mass hand-applied") {
+    // corpus: 'ab' x10, 'a' x90, 'b' x90, 'cd' x3.
+    // pair counts: (a,b)=10, (c,d)=3 — BPE merges (a,b) first.
+    // symbol counts: a=100, b=100, c=3, d=3.
+    // gains: (a,b) = 10e12/10000 = 1e9; (c,d) = floor(3e12/9) =
+    // 333333333333 — WordPiece merges (c,d) FIRST (co-occurrence beats
+    // its unigram prediction), then (a,b), then runs dry.
+    val words = Seq.fill(10)("ab") ++ Seq.fill(90)("a") ++
+      Seq.fill(90)("b") ++ Seq.fill(3)("cd")
+    val d = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceTrain(d, "text", 8)
+      .orderBy($"round")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got === Seq(
+      (1, "c", "d", "cd", 3L, 333333333333L),
+      (2, "a", "b", "ab", 10L, 1000000000L)), s"merge table: $got")
+    val bpeFirst = TextAnalysis.bpeTrain(d, "text", 1).collect()(0)
+    assert(bpeFirst.getString(3) === "ab",
+      "BPE's count argmax must pick the other pair — the divergence " +
+        "this trainer exists for")
+
+    // encode after ONE merge (cd): ab still 2 pieces, cd 1
+    val enc = TextAnalysis.wordpieceEncode(
+      d.withColumn("source", lit("g")), "source", "text", 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // words 193; tokens 10·2 + 90 + 90 + 3 = 203; chars 20+90+90+6 = 206
+    assert(enc === Seq(("g", 193L, 203L, 206L)), s"encode: $enc")
+  }
+
   test("bpeEncode: token mass from hand-applied merges") {
     // same Sennrich corpus, 3 merges (we, lo, st). Tokenizations after:
     // low = lo|w (2), lower = lo|we|r (3), newest = n|e|we|st (4),
