@@ -1438,6 +1438,15 @@ object ScaleCheck {
         // copies multiply freqs, the vocab dictionary stays fixed)
         (d: DataFrame) => graft.scale.TextAnalysis.wordpieceTrain(
           d, "text", 4),
+        docs, "doc_id", None),
+      ("conformal_classifier",
+        // trainer epochs on the train split (keyed aggs) + one feature
+        // hash-agg per split + a dictionary-scale order statistic + a
+        // 1-row coverage fold
+        (d: DataFrame) => graft.scale.TextAnalysis.conformalClassifier(
+          d, "doc_id", "text",
+          array_contains(graft.scale.TextAnalysis.tokens(col("text")),
+            "spark").cast("long"), 9, 10, 4),
         docs, "doc_id", None))
 
     // warm-up

@@ -3035,6 +3035,17 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ---- SPLIT-CONFORMAL coverage for the trained classifier ---------------
+    // Train on the md5 %4<=1 split, exact k = ceil((n_cal+1)*0.9) order
+    // statistic of calibration nonconformity (the +1 IS the finite-sample
+    // guarantee), coverage + prediction-set size measured on the disjoint
+    // holdout — the calibrated-confidence row the classifier family lacked.
+    "conformal_classifier_docs" -> ((s, dir) =>
+      TextAnalysis.conformalClassifier(t(s, dir, "documents"), "doc_id",
+        "text",
+        array_contains(TextAnalysis.tokens(col("text")), "spark")
+          .cast("long"))),
+
     // ---- hashed-feature linear quality classifier (fastText-style gate) ----
     "classifier_score_docs" -> ((s, dir) =>
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
@@ -6121,9 +6132,11 @@ object SparkEntry {
       ("tokenizer_fertility_docs" -> tokenizerFertilityOracle(8)),
       ("gopher_repetition_docs" -> gopherRepetitionOracle(2, 6)),
       ("classifier_train_docs" ->
-        classifierTrainOracle(8, calibration = false)),
+        classifierTrainOracle(8, "train")),
       ("classifier_calibration_trained_docs" ->
-        classifierTrainOracle(8, calibration = true)),
+        classifierTrainOracle(8, "calibration")),
+      ("conformal_classifier_docs" ->
+        classifierTrainOracle(8, "conformal")),
       ("kfold_docs" ->
         """WITH RECURSIVE toks AS (
           |  SELECT doc_id,
@@ -6795,17 +6808,24 @@ object SparkEntry {
     * final weights (bound B = max|w| from the replayed weight table).
     */
   private def classifierTrainOracle(
-      epochs: Int, calibration: Boolean): String = {
+      epochs: Int, mode: String): String = {
+    // conformal mode trains on the md5(doc_id:cf) % 4 <= 1 split only;
+    // the other modes train on the whole corpus (empty filter)
+    val f =
+      if (mode == "conformal")
+        "\n  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
+          " || ':cf'), 1, 15)) AS BIGINT) % 4 <= 1"
+      else ""
     val head =
       """WITH lab AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(list_contains(list_filter(string_split_regex(lower(text), '\s+'),
         |      x -> len(x) > 0), 'spark') AS BIGINT) AS y
-        |  FROM documents),
+        |  FROM documents__F__),
         |toks AS MATERIALIZED (
         |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |    x -> len(x) > 0)) AS tok
-        |  FROM documents),
+        |  FROM documents__F__),
         |ft AS MATERIALIZED (
         |  SELECT doc_id,
         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b,
@@ -6813,9 +6833,9 @@ object SparkEntry {
         |  FROM toks GROUP BY 1, 2
         |  UNION ALL
         |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
-        |  FROM documents),
+        |  FROM documents__F__),
         |w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, 1025)) AS BIGINT) AS b,
-        |  CAST(0 AS BIGINT) AS w)""".stripMargin
+        |  CAST(0 AS BIGINT) AS w)""".stripMargin.replace("__F__", f)
     val epochCtes = (1 to epochs).map { k =>
       s""",
          |s$k AS MATERIALIZED (
@@ -6851,7 +6871,7 @@ object SparkEntry {
          |  CROSS JOIN n$k n)""".stripMargin
     }.mkString
     val tail =
-      if (!calibration) {
+      if (mode == "train") {
         val unions = (1 to epochs).map { k =>
           s"""SELECT CAST($k AS INT) AS epoch,
              |  CAST(SUM(CASE WHEN err = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
@@ -6863,6 +6883,73 @@ object SparkEntry {
              |FROM e$k""".stripMargin
         }.mkString("\nUNION ALL\n")
         s"\nSELECT * FROM (\n$unions\n) ORDER BY epoch"
+      } else if (mode == "conformal") {
+        // score the NON-train splits with the final weights, take the
+        // exact k = ceil((n_cal+1)*9/10) order statistic of calibration
+        // nonconformity, measure holdout coverage + set size. Constants
+        // fold through MIN (no GROUP BY), so an empty holdout still
+        // yields the one diagnostic row — mirroring the Spark agg.
+        s""",
+           |spl AS MATERIALIZED (
+           |  SELECT doc_id, CAST(('0x' || substring(md5(CAST(doc_id
+           |    AS VARCHAR) || ':cf'), 1, 15)) AS BIGINT) % 4 AS sp
+           |  FROM documents),
+           |labA AS MATERIALIZED (
+           |  SELECT d.doc_id, s.sp,
+           |    CAST(list_contains(list_filter(string_split_regex(
+           |      lower(d.text), '\\s+'), x -> len(x) > 0), 'spark')
+           |      AS BIGINT) AS y
+           |  FROM documents d JOIN spl s ON s.doc_id = d.doc_id
+           |  WHERE s.sp >= 2),
+           |ftA AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+           |      % 1024 AS b,
+           |    CAST(1 AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT d.doc_id, unnest(list_filter(string_split_regex(
+           |      lower(d.text), '\\s+'), x -> len(x) > 0)) AS tok
+           |    FROM documents d JOIN spl s ON s.doc_id = d.doc_id
+           |    WHERE s.sp >= 2)
+           |  GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT l.doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+           |  FROM labA l),
+           |scA AS MATERIALIZED (
+           |  SELECT l.doc_id, l.y, l.sp,
+           |    CAST(COALESCE(SUM(f.cnt * wf.w), 0) AS BIGINT) AS score
+           |  FROM labA l
+           |  LEFT JOIN ftA f ON f.doc_id = l.doc_id
+           |  LEFT JOIN w$epochs wf ON wf.b = f.b
+           |  GROUP BY 1, 2, 3),
+           |al AS MATERIALIZED (
+           |  SELECT doc_id, sp, score, (1 - 2 * y) * score AS alpha
+           |  FROM scA),
+           |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM al
+           |  WHERE sp = 2),
+           |kk AS (SELECT n_cal,
+           |  ((n_cal + 1) * 9 + 9) // 10 AS k_rank FROM nc),
+           |qq AS (
+           |  SELECT MIN(alpha) AS q_hat FROM (
+           |    SELECT alpha, CAST(SUM(cnt) OVER (ORDER BY alpha)
+           |      AS BIGINT) AS cum
+           |    FROM (SELECT alpha, CAST(COUNT(*) AS BIGINT) AS cnt
+           |          FROM al WHERE sp = 2 GROUP BY alpha)) c, kk
+           |  WHERE c.cum >= kk.k_rank),
+           |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM lab)
+           |SELECT MIN(ntr.n_train) AS n_train, MIN(kk.n_cal) AS n_cal,
+           |  MIN(kk.k_rank) AS k_rank, MIN(qq.q_hat) AS q_hat,
+           |  CAST(COUNT(h.doc_id) AS BIGINT) AS n_test,
+           |  CAST(SUM(CASE WHEN h.alpha <= qq.q_hat THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_covered,
+           |  ROUND(CAST(SUM(CASE WHEN h.alpha <= qq.q_hat THEN 1 ELSE 0
+           |    END) AS DOUBLE) / COUNT(h.doc_id), 6) AS coverage,
+           |  0.9 AS target,
+           |  ROUND(CAST(SUM((CASE WHEN -h.score <= qq.q_hat THEN 1
+           |      ELSE 0 END) +
+           |    (CASE WHEN h.score <= qq.q_hat THEN 1 ELSE 0 END))
+           |    AS DOUBLE) / COUNT(h.doc_id), 6) AS avg_set_size
+           |FROM (SELECT * FROM al WHERE sp = 3) h, ntr, kk, qq""".stripMargin
       } else {
         s""",
            |bnd AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w))) AS bv

@@ -1637,6 +1637,103 @@ object TextAnalysis {
         round(col("n_pos").cast("double") / col("n"), 6).as("pos_rate"))
   }
 
+  /** SPLIT-CONFORMAL prediction for the trained quality classifier — the
+    * finite-sample coverage guarantee the classifier family lacked
+    * (Vovk et al., "Algorithmic Learning in a Random World", 2005;
+    * Papadopoulos et al. 2002's inductive/split form): train on a
+    * deterministic md5 split, take the k-th smallest calibration
+    * NONCONFORMITY score with k = ⌈(n_cal+1)·target⌉ (the exact
+    * finite-sample rank — NOT ⌈n·q⌉; the +1 is what buys the marginal
+    * guarantee P(covered) ≥ target for exchangeable data), and MEASURE
+    * the achieved coverage on a disjoint holdout. Nonconformity of a
+    * labeled doc is (1−2y)·score — the signed margin against the true
+    * class, exact long. The prediction SET at q̂ contains class 1 iff
+    * −score ≤ q̂ and class 0 iff score ≤ q̂; avg_set_size reports its
+    * efficiency (a set size near 2 means the guarantee is vacuous).
+    *
+    * Split: md5(doc_id:cf) mod 4 → {0,1} train, 2 calibration, 3
+    * holdout — deterministic, engine-replayable, disjoint by
+    * construction. The calibration quantile is the exactPercentiles
+    * discipline reduced to one order statistic: value-dictionary
+    * hash-agg → range-partitioned cumulative count → first value whose
+    * cumulative count reaches k (one TakeOrdered over the dictionary;
+    * NULL — not a dropped row — when k > n_cal, the honest
+    * too-little-calibration-data answer).
+    *
+    * Scale: the trainer's per-epoch keyed aggregations on the train
+    * split; scoring is one feature hash-agg per split; the quantile is
+    * dictionary-scale; coverage is one 1-row fold. No window over data
+    * mass, no driver-side data-plane state.
+    *
+    * @return one row: (n_train, n_cal, k_rank, q_hat, n_test,
+    *         n_covered, coverage, target, avg_set_size)
+    */
+  def conformalClassifier(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      targetNum: Int = 9, targetDen: Int = 10,
+      epochs: Int = 8, nBuckets: Int = 1024): DataFrame = {
+    require(targetNum > 0 && targetDen > targetNum,
+      s"target must be a proper fraction, got $targetNum/$targetDen")
+    val split = pmod(HashExprs.md5PrefixLong(
+      concat(col(idCol).cast("string"), lit(":cf")).cast("binary"), 15),
+      lit(4L))
+    val base = df.withColumn("__sp", split).localCheckpoint(true)
+    val train = base.filter(col("__sp") <= 1L)
+    val (_, w) = trainHashedLinear(train, idCol, textCol, label, epochs,
+      nBuckets)
+    val wm = typedLit(w.zipWithIndex.map {
+      case (v, b) => b.toLong -> v
+    }.toMap)
+    def alphaOf(part: DataFrame): DataFrame = {
+      val scored = hashedBinaryFeatures(part, idCol, textCol, nBuckets)
+        .withColumn("wv", coalesce(element_at(wm, col("b")), lit(0L)))
+        .groupBy(col(idCol)).agg(sum(col("cnt") * col("wv")).as("score"))
+      part.select(col(idCol), label.as("y"))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("score"), lit(0L)).as("score"),
+          col("y"))
+        .withColumn("alpha",
+          (lit(1L) - lit(2L) * col("y")) * col("score"))
+    }
+    val cal = alphaOf(base.filter(col("__sp") === 2L)).localCheckpoint(true)
+    val hold = alphaOf(base.filter(col("__sp") === 3L))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val dict = cal.groupBy(col("alpha")).agg(count(lit(1)).as("__cnt"))
+    val qhat = graft.sample.Samplers
+      .globalCumSum(dict, Seq("alpha"), "__cnt")
+      .crossJoin(broadcast(nCal))
+      .withColumn("k_rank",
+        expr(s"((n_cal + 1) * $targetNum + ${targetDen - 1}) " +
+          s"div $targetDen"))
+      .filter(col("__cum") >= col("k_rank"))
+      // MIN over the qualifying dictionary rows: always one row, NULL
+      // q_hat when the rank exceeds the calibration mass (k > n_cal)
+      .agg(min(col("alpha")).as("q_hat"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val kOf = nCal.withColumn("k_rank",
+      expr(s"((n_cal + 1) * $targetNum + ${targetDen - 1}) " +
+        s"div $targetDen"))
+    hold.crossJoin(broadcast(qhat)).crossJoin(broadcast(kOf))
+      .crossJoin(broadcast(nTrain))
+      .agg(min(col("n_train")).as("n_train"),
+        min(col("n_cal")).as("n_cal"),
+        min(col("k_rank")).as("k_rank"),
+        min(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("alpha") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"),
+        sum(when(-col("score") <= col("q_hat"), 1L).otherwise(0L) +
+          when(col("score") <= col("q_hat"), 1L).otherwise(0L))
+          .as("__set"))
+      .select(col("n_train"), col("n_cal"), col("k_rank"), col("q_hat"),
+        col("n_test"), col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"),
+        lit(targetNum.toDouble / targetDen).as("target"),
+        round(col("__set").cast("double") / col("n_test"), 6)
+          .as("avg_set_size"))
+  }
+
   /** Cross-corpus n-gram overlap — the corpus-level diversity /
     * contamination metric (what share of corpus A's distinct k-shingles
     * also occur in corpus B, and vice versa): the aggregate form of

@@ -803,6 +803,55 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("conformalClassifier: hand-walked trainer + exact finite-sample " +
+      "rank + measured coverage on a separable fixture") {
+    // 40 one-word docs: even ids "spark" (y=1), odd "flink" (y=0). The
+    // batch perceptron hand-walks to w[spark]=1000, w[flink]=-500,
+    // w[bias]=500 by epoch 3 (e1: all-zero scores -> +1000 on spark+bias;
+    // e2: odd docs score 1000 -> -1000/2 on flink+bias; e3+: separated,
+    // zero gradient). Scores: even 1500, odd 0; nonconformity alpha:
+    // even -1500, odd 0.
+    // 80 docs: the md5 split lands 17 in calibration, so k = 17 <= n_cal
+    // (a 40-doc fixture gives n_cal = 7 < k = 8 — the NULL-q_hat branch)
+    val docs = (0 until 80).map(i =>
+      (i.toLong, if (i % 2 == 0) "spark" else "flink"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.conformalClassifier(
+      docs, "doc_id", "text",
+      array_contains(graft.scale.TextAnalysis.tokens($"text"), "spark")
+        .cast("long")).collect()(0)
+
+    // JVM split replica: first 15 md5 hex chars of "<id>:cf" mod 4
+    def sp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:cf".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 4
+    }
+    val ids = (0L until 80L)
+    val nTrain = ids.count(sp(_) <= 1)
+    val cal = ids.filter(sp(_) == 2L)
+    val hold = ids.filter(sp(_) == 3L)
+    assert(got.getAs[Long]("n_train") === nTrain)
+    assert(got.getAs[Long]("n_cal") === cal.size)
+    assert(got.getAs[Long]("n_test") === hold.size)
+    val k = ((cal.size + 1) * 9 + 9) / 10
+    assert(got.getAs[Long]("k_rank") === k)
+    // calibration alphas sorted: the even docs' -1500s then the odds' 0s
+    val alphas = cal.map(i => if (i % 2 == 0) -1500L else 0L).sorted
+    assert(got.getAs[Long]("q_hat") === alphas(k.toInt - 1))
+    // separable fixture: every holdout alpha <= q_hat -> full coverage
+    assert(got.getAs[Double]("coverage") === 1.0)
+    assert(got.getAs[Double]("target") === 0.9)
+    // set sizes: even docs {1} (score 1500: only class 1 conforms at
+    // q_hat = 0), odd docs {0, 1} (score 0 conforms both ways)
+    val nEvenH = hold.count(_ % 2 == 0)
+    val expSet = BigDecimal(
+      (nEvenH + 2.0 * (hold.size - nEvenH)) / hold.size)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getAs[Double]("avg_set_size") === expSet)
+  }
+
   test("wordpieceTrain: likelihood-gain argmax diverges from BPE's " +
       "count argmax; exact quantized gains; encode mass hand-applied") {
     // corpus: 'ab' x10, 'a' x90, 'b' x90, 'cd' x3.
