@@ -1932,6 +1932,30 @@ object SparkEntry {
             t(s, dir, "documents").select(col("doc_id"), col("text"))))
         .orderBy(col("doc_id"))),
 
+    // ---- image-quality GATE roll-up (the curation keep/drop accounting) ---
+    // The LAION-gate decision folded to corpus accounting: blurry =
+    // Laplacian variance < 100 (decided on the exact integer moment
+    // 36·Σl²−(Σl)² < 129600 — no float compare), dark/bright = more than
+    // half the grid clipped. Conditions counted independently; kept =
+    // none of the three.
+    "image_quality_gate_docs" -> ((s, dir) =>
+      Multimodal.imageQuality(
+          Multimodal.fromDocuments(
+            t(s, dir, "documents").select(col("doc_id"), col("text"))))
+        .select(
+          (lit(36L) * col("lap_sumsq") - col("lap_sum") * col("lap_sum")
+            < 129600L).as("blurry"),
+          (col("n_dark") > 32).as("dk"),
+          (col("n_bright") > 32).as("br"))
+        .agg(count(lit(1)).as("n_images"),
+          sum(col("blurry").cast("long")).as("n_blurry"),
+          sum(col("dk").cast("long")).as("n_dark_heavy"),
+          sum(col("br").cast("long")).as("n_bright_heavy"),
+          sum((!col("blurry") && !col("dk") && !col("br")).cast("long"))
+            .as("n_kept"))
+        .withColumn("kept_frac",
+          round(col("n_kept").cast("double") / col("n_images"), 6))),
+
     // ---- audio near-dup pairs (energy-delta fingerprint, banded) ----------
     // Re-ingested clips (every 97th doc, id shifted by a multiple of 3 so
     // the kind survives) collide at hamming 0; banding is complete for
@@ -4407,6 +4431,24 @@ object SparkEntry {
         arenaMatches(t(s, dir, "events")), "pa", "pb", "oc", 3)
         .orderBy(col("pi_micro").desc, col("player"))),
 
+    // ---- STREAMING Rank Centrality (the SAME pair-count state) -------------
+    // The preference-family twin convention: the associative pair
+    // dictionary is Complete-mode state; the walk runs over the drained
+    // table and shares the batch oracle verbatim.
+    "streaming_rank_centrality_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = graft.scale.Preference.pairCounts(
+        arenaMatches(stream), "pa", "pb", "oc")
+      val name = "stream_rc_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Preference.rankCentralityFromPairs(drained, 3)
+        .orderBy(col("pi_micro").desc, col("player"))
+    }),
+
     // ---- Plackett-Luce listwise fit (3-way rankings) -----------------------
     // The k-way generalization of the BT fit: two choice stages per race,
     // exact-integer MM rounds over the ordered-triple pattern dictionary.
@@ -5876,6 +5918,7 @@ object SparkEntry {
       // Bradley-Terry: MM rounds unrolled (the pagerank convention)
       ("bradley_terry_events" -> bradleyTerryOracle(3)),
       ("rank_centrality_events" -> rankCentralityOracle(3)),
+      ("streaming_rank_centrality_events" -> rankCentralityOracle(3)),
       // Copeland/Condorcet: majority-graph fold on the same dictionary
       ("copeland_events" -> copelandOracle),
       // preference twins: the pair-count dictionary is associative
@@ -6606,7 +6649,8 @@ object SparkEntry {
     * explicit 1-based list indexing — and the same fixed-order float
     * expressions as [[graft.scale.Multimodal.imageQuality]].
     */
-  private def imageQualityOracleSql: String = {
+  /** Shared px→agg CTE chain of the two image-quality oracles. */
+  private def imageQualityAggCtes: String = {
     // 1-based grid indices of the 3x3 Laplacian stencil at interior cell
     // k in 0..35 (gy = k//6+1, gx = k%6+1, row-major 8-wide)
     val c = "(k // 6 + 1) * 8 + k % 6 + 2"
@@ -6633,7 +6677,11 @@ object SparkEntry {
        |      $lap * $lap)) AS BIGINT) AS lap_sumsq,
        |    CAST(len(list_filter(p, x -> x <= 25)) AS INT) AS n_dark,
        |    CAST(len(list_filter(p, x -> x >= 230)) AS INT) AS n_bright
-       |  FROM px)
+       |  FROM px)""".stripMargin
+  }
+
+  private def imageQualityOracleSql: String =
+    s"""$imageQualityAggCtes
        |SELECT doc_id, sum_px, sumsq_px, lap_sum, lap_sumsq, n_dark,
        |  n_bright,
        |  ROUND(CAST(sum_px AS DOUBLE) / 64.0, 6) AS brightness,
@@ -6644,7 +6692,26 @@ object SparkEntry {
        |  ROUND(CAST(n_dark AS DOUBLE) / 64.0, 6) AS dark_frac,
        |  ROUND(CAST(n_bright AS DOUBLE) / 64.0, 6) AS bright_frac
        |FROM agg ORDER BY doc_id""".stripMargin
-  }
+
+  private def imageQualityGateOracleSql: String =
+    s"""$imageQualityAggCtes,
+       |g AS (
+       |  SELECT
+       |    36 * lap_sumsq - lap_sum * lap_sum < 129600 AS blurry,
+       |    n_dark > 32 AS dk, n_bright > 32 AS br
+       |  FROM agg)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_images,
+       |  CAST(SUM(CASE WHEN blurry THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_blurry,
+       |  CAST(SUM(CASE WHEN dk THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dark_heavy,
+       |  CAST(SUM(CASE WHEN br THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bright_heavy,
+       |  CAST(SUM(CASE WHEN NOT blurry AND NOT dk AND NOT br THEN 1
+       |    ELSE 0 END) AS BIGINT) AS n_kept,
+       |  ROUND(CAST(SUM(CASE WHEN NOT blurry AND NOT dk AND NOT br
+       |    THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS kept_frac
+       |FROM g""".stripMargin
 
   private def phashOracleSql: String = {
     val table = graft.scale.Multimodal.cosQ.mkString(", ")
@@ -9873,6 +9940,8 @@ object SparkEntry {
     "phash_pairs_docs" -> phashOracleSql,
 
     "image_quality_docs" -> imageQualityOracleSql,
+
+    "image_quality_gate_docs" -> imageQualityGateOracleSql,
 
     // streaming KMV == batch KMV (merge-order invariance): same replay as
     // kmv_distinct_events, without the exact companion column

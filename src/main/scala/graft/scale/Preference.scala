@@ -231,12 +231,18 @@ object Preference {
           when(u16 < t, k.toLong).otherwise(acc)
         }
     }
-    val base = matches
+    // ONE corpus scan feeds both the replicate panel and the point fit
+    // (the match projection with its Poisson digests is pinned once;
+    // the point dictionary is a plain groupBy of the same relation — no
+    // second pairCounts pass over the raw matches)
+    val proj = matches
       .filter(col(playerA) =!= col(playerB))
       .select((lo.as("lo") +: hi.as("hi") +:
         when(col(outcomeCol) === 2, lit(1L))
           .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l") +:
         (0 until nDigests).map(c => digestCol(c).as(s"__h$c"))): _*)
+      .localCheckpoint(true)
+    val base = proj
       .select(col("lo"), col("hi"), col("w2l"),
         posexplode(array((0 until reps).map(weight): _*))
           .as(Seq("rep", "w")))
@@ -244,6 +250,8 @@ object Preference {
     val pairsB = base.groupBy(col("rep"), col("lo"), col("hi"))
       .agg(sum(col("w") * 2).as("n2"),
         sum(col("w") * col("w2l")).as("w2lo"))
+    val pairsPoint = proj.groupBy(col("lo"), col("hi"))
+      .agg((count(lit(1)) * 2).as("n2"), sum(col("w2l")).as("w2lo"))
     val fits = mmFit(pairsB, Seq("rep"), rounds)
     val panel = fits.groupBy(col("player"))
       .agg(count(lit(1)).as("n_reps"),
@@ -256,7 +264,7 @@ object Preference {
           .cast("double") /
           (col("n_reps").cast("double") * (col("n_reps") - 1)
             .cast("double"))) / 1e6, 6)))
-    bradleyTerryMicro(matches, playerA, playerB, outcomeCol, rounds)
+    bradleyTerryFromPairs(pairsPoint, rounds)
       .join(panel, Seq("player"), "left")
       .select(col("player"), col("games2"), col("wins2"),
         col("strength_micro"), col("elo"), col("n_reps"), col("boot_se"),
