@@ -3070,6 +3070,18 @@ object SparkEntry {
         array_contains(TextAnalysis.tokens(col("text")), "spark")
           .cast("long"))),
 
+    // ---- SPLIT-CONFORMAL regression interval (numeric coverage row) --------
+    // Fixed declared predictor n_chars ≈ 6·n_tokens (the mean-word-length
+    // prior); the conformal interval pred ± q_hat needs NO residual
+    // distribution assumption — k = ceil((n_cal+1)*0.9)-th smallest
+    // calibration |residual|, coverage measured on the disjoint holdout.
+    "conformal_regression_docs" -> ((s, dir) =>
+      Metrics.conformalRegression(
+        t(s, dir, "documents")
+          .withColumn("pred",
+            TextAnalysis.tokenCount(col("text")).cast("long") * 6L),
+        "doc_id", "n_chars", "pred")),
+
     // ---- hashed-feature linear quality classifier (fastText-style gate) ----
     "classifier_score_docs" -> ((s, dir) =>
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
@@ -6180,6 +6192,37 @@ object SparkEntry {
         classifierTrainOracle(8, "calibration")),
       ("conformal_classifier_docs" ->
         classifierTrainOracle(8, "conformal")),
+      ("conformal_regression_docs" ->
+        """WITH b AS (
+          |  SELECT doc_id, n_chars,
+          |    6 * len(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS pred,
+          |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+          |      || ':crg'), 1, 15)) AS BIGINT) % 4 AS sp
+          |  FROM documents),
+          |r AS (
+          |  SELECT doc_id, sp, ABS(n_chars - pred) AS resid FROM b),
+          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM r
+          |  WHERE sp = 2),
+          |kk AS (SELECT n_cal,
+          |  ((n_cal + 1) * 9 + 9) // 10 AS k_rank FROM nc),
+          |qq AS (
+          |  SELECT MIN(resid) AS q_hat FROM (
+          |    SELECT resid, CAST(SUM(cnt) OVER (ORDER BY resid)
+          |      AS BIGINT) AS cum
+          |    FROM (SELECT resid, CAST(COUNT(*) AS BIGINT) AS cnt
+          |          FROM r WHERE sp = 2 GROUP BY resid)) c, kk
+          |  WHERE c.cum >= kk.k_rank)
+          |SELECT MIN(kk.n_cal) AS n_cal, MIN(kk.k_rank) AS k_rank,
+          |  MIN(qq.q_hat) AS q_hat,
+          |  CAST(COUNT(h.doc_id) AS BIGINT) AS n_test,
+          |  CAST(SUM(CASE WHEN h.resid <= qq.q_hat THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_covered,
+          |  ROUND(CAST(SUM(CASE WHEN h.resid <= qq.q_hat THEN 1 ELSE 0
+          |    END) AS DOUBLE) / COUNT(h.doc_id), 6) AS coverage,
+          |  0.9 AS target,
+          |  2 * MIN(qq.q_hat) AS interval_width
+          |FROM (SELECT * FROM r WHERE sp = 3) h, kk, qq""".stripMargin),
       ("kfold_docs" ->
         """WITH RECURSIVE toks AS (
           |  SELECT doc_id,

@@ -518,6 +518,71 @@ object Metrics {
         col("__v").as("value"))): _*)
   }
 
+  /** SPLIT-CONFORMAL regression interval — the numeric companion to the
+    * classifier's conformal row (Vovk; Papadopoulos et al. 2002): for
+    * ANY fixed point predictor, the k-th smallest calibration |residual|
+    * with k = ⌈(n_cal+1)·target⌉ yields the interval ŷ ± q̂ whose
+    * finite-sample marginal coverage is ≥ target on exchangeable data —
+    * no distributional assumption on the residuals at all. Coverage is
+    * then MEASURED on a disjoint holdout (the guarantee as a number).
+    *
+    * Split: md5(id:crg) mod 4 → {0,1} reserved for fitting the
+    * predictor (the caller's job — here the predictor is a declared
+    * fixed function, the valid degenerate case), 2 calibration, 3
+    * holdout. Residuals are exact longs; q̂ is one order statistic over
+    * the residual value dictionary (hash-agg → range-partitioned
+    * cumulative count → MIN over qualifying rows — NULL when
+    * k > n_cal). Scale: one scan, one dictionary fold, one 1-row
+    * coverage aggregate.
+    *
+    * @return one row: (n_cal, k_rank, q_hat, n_test, n_covered,
+    *         coverage, target, interval_width = 2·q̂)
+    */
+  def conformalRegression(
+      df: DataFrame,
+      idCol: String,
+      actualCol: String,
+      predCol: String,
+      targetNum: Int = 9,
+      targetDen: Int = 10): DataFrame = {
+    require(targetNum > 0 && targetDen > targetNum,
+      s"target must be a proper fraction, got $targetNum/$targetDen")
+    val split = pmod(graft.scale.HashExprs.md5PrefixLong(
+      concat(col(idCol).cast("string"), lit(":crg")).cast("binary"), 15),
+      lit(4L))
+    val r = df.select(col(idCol),
+        abs(col(actualCol).cast("long") - col(predCol).cast("long"))
+          .as("resid"),
+        split.as("__sp"))
+      .localCheckpoint(true) // calibration + holdout consumers
+    val cal = r.filter(col("__sp") === 2L)
+    val hold = r.filter(col("__sp") === 3L)
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val kExpr = s"((n_cal + 1) * $targetNum + ${targetDen - 1}) " +
+      s"div $targetDen"
+    val dict = cal.groupBy(col("resid")).agg(count(lit(1)).as("__cnt"))
+    val qhat = graft.sample.Samplers
+      .globalCumSum(dict, Seq("resid"), "__cnt")
+      .crossJoin(broadcast(nCal))
+      .withColumn("k_rank", expr(kExpr))
+      .filter(col("__cum") >= col("k_rank"))
+      .agg(min(col("resid")).as("q_hat"))
+    val kOf = nCal.withColumn("k_rank", expr(kExpr))
+    hold.crossJoin(broadcast(qhat)).crossJoin(broadcast(kOf))
+      .agg(min(col("n_cal")).as("n_cal"),
+        min(col("k_rank")).as("k_rank"),
+        min(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("resid") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("n_cal"), col("k_rank"), col("q_hat"), col("n_test"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"),
+        lit(targetNum.toDouble / targetDen).as("target"),
+        (lit(2L) * col("q_hat")).as("interval_width"))
+  }
+
   /** [[exactPercentiles]]' state half for the STREAMING twin: per-(group,
     * value) counts — ONE associative aggregation, so it runs unchanged as
     * Complete-mode streaming state. State scale is the per-group VALUE

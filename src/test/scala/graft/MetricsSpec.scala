@@ -566,6 +566,37 @@ class MetricsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("reject"))))
   }
 
+  test("conformalRegression: exact finite-sample rank over the residual " +
+      "dictionary, measured holdout coverage, hand-computed via a JVM " +
+      "md5 split replica") {
+    // actual = 2i, pred = i -> residual = i: the md5(:crg) split lands
+    // 22 ids in calibration, k = ceil(23*0.9) = 21 -> q_hat = the
+    // 21st-smallest calibration id = 92; two holdout ids exceed it ->
+    // coverage 27/29 = 0.931034 (>= the 0.9 target, as guaranteed)
+    val df = (0 until 100).map(i => (i.toLong, 2L * i, i.toLong))
+      .toDF("id", "actual", "pred")
+    val got = Metrics.conformalRegression(df, "id", "actual", "pred")
+      .collect()(0)
+    def sp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:crg".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 4
+    }
+    val cal = (0L until 100L).filter(sp(_) == 2L)
+    val hold = (0L until 100L).filter(sp(_) == 3L)
+    val k = ((cal.size + 1) * 9 + 9) / 10
+    val q = cal.sorted.apply(k.toInt - 1)
+    assert(got.getAs[Long]("n_cal") === cal.size)
+    assert(got.getAs[Long]("k_rank") === k)
+    assert(got.getAs[Long]("q_hat") === q && q === 92L)
+    assert(got.getAs[Long]("n_test") === hold.size)
+    assert(got.getAs[Long]("n_covered") === hold.count(_ <= q))
+    assert(got.getAs[Double]("coverage") === 0.931034)
+    assert(got.getAs[Double]("coverage") >= got.getAs[Double]("target"))
+    assert(got.getAs[Long]("interval_width") === 2 * q)
+  }
+
   test("proportionZTest: hand-computed pooled z and degenerate NULL") {
     // group g: A 2/4 vs B 1/4 -> pooled 3/8, vv = .375*.625*.5,
     // z = 0.25/sqrt(vv) = 0.730297; group h: all success -> vv 0 -> NULL z
