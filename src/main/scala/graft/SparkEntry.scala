@@ -5554,6 +5554,38 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- ALWAYS-VALID sequential two-proportion test ------------------------
+    // The conversion-rate mSPRT (sequential_ab covers means): same
+    // event-level fabric as the streaming proportions twin, so the
+    // statistic is licensed at every drain of a conversion dashboard.
+    "sequential_proportion_events" -> ((s, dir) =>
+      Metrics.sequentialProportionTest(
+        t(s, dir, "events").select((col("user_id") % 3).as("arm"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("event_type") === "purchase" && col("value") >= 150.0)
+            .as("success")),
+        "success", "side", Seq("arm"))
+        .orderBy(col("arm"))),
+
+    // ---- STREAMING sequential two-proportion (same four-count state) -------
+    "streaming_sequential_proportion_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val units = stream.select((col("user_id") % 3).as("arm"),
+        (col("user_id") % 2 === 0).as("side"),
+        (col("event_type") === "purchase" && col("value") >= 150.0)
+          .as("success"))
+      val moments =
+        Metrics.proportionMoments(units, "success", "side", Seq("arm"))
+      val name = "stream_seqprop_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.sequentialProportionFromMoments(drained, Seq("arm"))
+        .orderBy(col("arm"))
+    }),
+
     // ---- STREAMING per-dimension embedding drift ---------------------------
     // The drift panel's third streaming twin (after Welch and the
     // proportions test): a stateless posexplode feeds one per-dim
@@ -5892,6 +5924,10 @@ object SparkEntry {
       // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
       ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
+      // sequential (mSPRT) conversion test + its twin share one oracle
+      ("sequential_proportion_events" -> sequentialProportionOracleSql),
+      ("streaming_sequential_proportion_events" ->
+        sequentialProportionOracleSql),
       // event-level proportions twin — no user-level pre-aggregation
       // (chained streaming aggs are illegal), so its oracle is its own
       ("streaming_proportion_events" ->
@@ -6636,6 +6672,48 @@ object SparkEntry {
        |  ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
        |FROM m GROUP BY n, sn, sd""".stripMargin
   }
+
+  /** Conversion-rate mSPRT replay (τ = 0.1, α = 0.05, minN = 100): the
+    * event-level four-count moments, then the fixed-order mixture
+    * statistic on the Wald rate variance — shared by the batch query
+    * and the streaming twin.
+    */
+  private def sequentialProportionOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 3 AS arm, (user_id % 2 = 0) AS side,
+      |    (event_type = 'purchase' AND value >= 150.0) AS success
+      |  FROM events),
+      |g AS (
+      |  SELECT arm,
+      |    COUNT(*) FILTER (NOT side) AS n_a,
+      |    COUNT(*) FILTER (side) AS n_b,
+      |    COUNT(*) FILTER (NOT side AND success) AS k_a,
+      |    COUNT(*) FILTER (side AND success) AS k_b
+      |  FROM u GROUP BY arm),
+      |v AS (
+      |  SELECT arm, n_a, n_b, k_a, k_b,
+      |    CAST(k_a AS DOUBLE) / n_a AS pa,
+      |    CAST(k_b AS DOUBLE) / n_b AS pb
+      |  FROM g),
+      |w AS (
+      |  SELECT *, pa * (1.0 - pa) / n_a + pb * (1.0 - pb) / n_b AS vv,
+      |    pa - pb AS delta
+      |  FROM v),
+      |st AS (
+      |  SELECT *, 0.5 * ln(vv / (vv + 0.01))
+      |    + delta * delta * 0.01 / (2.0 * vv * (vv + 0.01)) AS llr,
+      |    (n_a >= 100 AND n_b >= 100 AND vv > 0.0) AS ok
+      |  FROM w),
+      |p AS (
+      |  SELECT arm, n_a, n_b, k_a, k_b, ROUND(pa, 6) AS p_a,
+      |    ROUND(pb, 6) AS p_b, ROUND(delta, 6) AS delta,
+      |    CASE WHEN ok THEN ROUND(llr, 6) END AS log_lr,
+      |    CASE WHEN ok THEN ROUND(LEAST(1.0, exp(-llr)), 6) END
+      |      AS p_always
+      |  FROM st)
+      |SELECT arm, n_a, n_b, k_a, k_b, p_a, p_b, delta, log_lr,
+      |  p_always, p_always < 0.05 AS reject
+      |FROM p ORDER BY arm""".stripMargin
 
   /** Mixture-mSPRT replay (τ = 5, α = 0.05, minN = 100): the ab_test
     * moment CTEs, then the fixed-order mixture statistic — shared by the

@@ -1796,6 +1796,61 @@ object Metrics {
         col("p_always"), col("reject"))): _*)
   }
 
+  /** Always-valid SEQUENTIAL two-proportion test — the conversion-rate
+    * half of the mSPRT panel ([[sequentialAbTest]] covers means): the
+    * same N(0, τ²)-mixture likelihood ratio over the normal
+    * approximation of the rate difference, with V the Wald variance
+    * p̂_a(1−p̂_a)/n_a + p̂_b(1−p̂_b)/n_b from the four exact
+    * [[proportionMoments]] counts. Valid at every intermediate drain of
+    * the streaming twin (the whole point — a conversion dashboard is
+    * watched continuously); τ defaults to 0.1 (a rate-scale effect
+    * prior). NULL below `minN` per side or when V ≤ 0 (degenerate
+    * all-success/all-failure sides); reject decided on the rounded
+    * 6-decimal p.
+    */
+  def sequentialProportionTest(
+      df: DataFrame,
+      successCol: String,
+      sideCol: String,
+      groupCols: Seq[String],
+      tau: Double = 0.1,
+      alpha: Double = 0.05,
+      minN: Long = 100L): DataFrame =
+    sequentialProportionFromMoments(
+      proportionMoments(df, successCol, sideCol, groupCols), groupCols,
+      tau, alpha, minN)
+
+  /** The mSPRT algebra over a drained [[proportionMoments]] table. */
+  def sequentialProportionFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String],
+      tau: Double = 0.1,
+      alpha: Double = 0.05,
+      minN: Long = 100L): DataFrame = {
+    require(tau > 0.0 && alpha > 0.0 && alpha < 1.0 && minN >= 1L,
+      s"bad mSPRT params tau=$tau alpha=$alpha minN=$minN")
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val pa = col("k_a").cast("double") / na
+    val pb = col("k_b").cast("double") / nb
+    val vv = pa * (lit(1.0) - pa) / na + pb * (lit(1.0) - pb) / nb
+    val t2 = lit(tau * tau)
+    val delta = pa - pb
+    val ok = col("n_a") >= minN && col("n_b") >= minN && vv > 0.0
+    val llr = lit(0.5) * log(vv / (vv + t2)) +
+      delta * delta * t2 / (lit(2.0) * vv * (vv + t2))
+    g.withColumn("p_a", round(pa, 6))
+      .withColumn("p_b", round(pb, 6))
+      .withColumn("delta", round(delta, 6))
+      .withColumn("log_lr", when(ok, round(llr, 6)))
+      .withColumn("p_always",
+        when(ok, round(least(lit(1.0), exp(-llr)), 6)))
+      .withColumn("reject", when(ok, col("p_always") < alpha))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("k_a"), col("k_b"), col("p_a"), col("p_b"), col("delta"),
+        col("log_lr"), col("p_always"), col("reject"))): _*)
+  }
+
   /** Two-proportion z-test per group — the conversion-rate half of the
     * A/B panel ([[welchTTest]] covers means): for each group, the share
     * of side-A vs side-B UNITS satisfying the success predicate, and the

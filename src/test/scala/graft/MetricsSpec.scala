@@ -566,6 +566,38 @@ class MetricsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("reject"))))
   }
 
+  test("sequentialProportionTest: planted rate shift crosses, equal " +
+      "rates pin at p = 1, JVM replica of the Wald-variance statistic") {
+    // effect arm g: a converts 60/120, b converts 12/120; null arm h:
+    // both sides 30/120
+    val rows =
+      (0 until 120).map(i => ("g", false, i % 2 == 0)) ++
+      (0 until 120).map(i => ("g", true, i % 10 == 0)) ++
+      (0 until 120).map(i => ("h", false, i % 4 == 0)) ++
+      (0 until 120).map(i => ("h", true, i % 4 == 0))
+    val df = rows.toDF("arm", "side", "success")
+    val out = Metrics.sequentialProportionTest(df, "success", "side",
+      Seq("arm")).collect().map(r => r.getString(0) -> r).toMap
+    val (pa, pb) = (60.0 / 120, 12.0 / 120)
+    val vv = pa * (1.0 - pa) / 120 + pb * (1.0 - pb) / 120
+    val d = pa - pb
+    val llr = 0.5 * math.log(vv / (vv + 0.01)) +
+      d * d * 0.01 / (2.0 * vv * (vv + 0.01))
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val e = out("g")
+    assert(e.getAs[Long]("k_a") === 60L && e.getAs[Long]("k_b") === 12L)
+    assert(e.getAs[Double]("log_lr") === r6(llr))
+    assert(e.getAs[Boolean]("reject"), "a 40-point rate shift must cross")
+    val h = out("h")
+    assert(h.getAs[Double]("delta") === 0.0)
+    assert(h.getAs[Double]("p_always") === 1.0)
+    assert(!h.getAs[Boolean]("reject"))
+    val gated = Metrics.sequentialProportionTest(df, "success", "side",
+      Seq("arm"), minN = 1000L).collect()
+    assert(gated.forall(r => r.isNullAt(r.fieldIndex("p_always"))))
+  }
+
   test("conformalRegression: exact finite-sample rank over the residual " +
       "dictionary, measured holdout coverage, hand-computed via a JVM " +
       "md5 split replica") {
