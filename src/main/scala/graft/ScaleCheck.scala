@@ -1447,7 +1447,12 @@ object ScaleCheck {
           d, "doc_id", "text",
           array_contains(graft.scale.TextAnalysis.tokens(col("text")),
             "spark").cast("long"), 9, 10, 4),
-        docs, "doc_id", None))
+        docs, "doc_id", None),
+      ("cuped",
+        // one unit-keyed hash-agg + one map-side-combined 1-row moment
+        // fold; the panel algebra is constant work
+        (d: DataFrame) => graft.scale.Events.cuped(d, 19738L),
+        events, "event_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

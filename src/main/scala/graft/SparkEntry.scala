@@ -5554,6 +5554,14 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- CUPED variance reduction (Deng et al. WSDM'13) --------------------
+    // Pre-period (days 1-15) per-user revenue predicts the outcome
+    // period; the theta-adjusted metric keeps the estimand and removes
+    // the variance X explains — the entire panel is an algebra over
+    // exact decimal moment sums (no per-unit double ever summed).
+    "cuped_events" -> ((s, dir) =>
+      Events.cuped(t(s, dir, "events"), 19738L)),
+
     // ---- ALWAYS-VALID sequential two-proportion test ------------------------
     // The conversion-rate mSPRT (sequential_ab covers means): same
     // event-level fabric as the streaming proportions twin, so the
@@ -5924,6 +5932,91 @@ object SparkEntry {
       // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
       ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
+      ("cuped_events" ->
+        """WITH e AS (
+          |  SELECT user_id, (user_id % 2 = 0) AS side,
+          |    ((CAST(EPOCH_US(ts) AS BIGINT) // 1000000) // 86400
+          |      < 19738) AS pre,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+          |  FROM events),
+          |u AS (
+          |  SELECT user_id, side,
+          |    CAST(SUM(CASE WHEN pre THEN c ELSE 0 END) AS BIGINT) AS x,
+          |    CAST(SUM(CASE WHEN NOT pre THEN c ELSE 0 END) AS BIGINT)
+          |      AS y
+          |  FROM e GROUP BY 1, 2),
+          |g AS (
+          |  SELECT
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    CAST(SUM(CAST(x AS HUGEINT)) FILTER (NOT side) AS DOUBLE)
+          |      AS sxa,
+          |    CAST(SUM(CAST(x AS HUGEINT)) FILTER (side) AS DOUBLE)
+          |      AS sxb,
+          |    CAST(SUM(CAST(y AS HUGEINT)) FILTER (NOT side) AS DOUBLE)
+          |      AS sya,
+          |    CAST(SUM(CAST(y AS HUGEINT)) FILTER (side) AS DOUBLE)
+          |      AS syb,
+          |    CAST(SUM(CAST(x AS HUGEINT) * x) FILTER (NOT side)
+          |      AS DOUBLE) AS xxa,
+          |    CAST(SUM(CAST(x AS HUGEINT) * x) FILTER (side) AS DOUBLE)
+          |      AS xxb,
+          |    CAST(SUM(CAST(y AS HUGEINT) * y) FILTER (NOT side)
+          |      AS DOUBLE) AS yya,
+          |    CAST(SUM(CAST(y AS HUGEINT) * y) FILTER (side) AS DOUBLE)
+          |      AS yyb,
+          |    CAST(SUM(CAST(x AS HUGEINT) * y) FILTER (NOT side)
+          |      AS DOUBLE) AS xya,
+          |    CAST(SUM(CAST(x AS HUGEINT) * y) FILTER (side) AS DOUBLE)
+          |      AS xyb
+          |  FROM u),
+          |d AS (
+          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE)
+          |      AS nb,
+          |    CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) AS n,
+          |    sxa + sxb AS sx, sya + syb AS sy,
+          |    xxa + xxb AS sxx, xya + xyb AS sxy
+          |  FROM g),
+          |th AS (
+          |  SELECT *, n * sxx - sx * sx AS thden,
+          |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+          |    sx / n AS xbar
+          |  FROM d),
+          |v AS (
+          |  SELECT *,
+          |    (yya - sya * sya / na) / (na - 1.0) AS vya,
+          |    (yyb - syb * syb / nb) / (nb - 1.0) AS vyb,
+          |    (xxa - sxa * sxa / na) / (na - 1.0) AS vxa,
+          |    (xxb - sxb * sxb / nb) / (nb - 1.0) AS vxb,
+          |    (xya - sxa * sya / na) / (na - 1.0) AS ca,
+          |    (xyb - sxb * syb / nb) / (nb - 1.0) AS cb
+          |  FROM th),
+          |w AS (
+          |  SELECT *,
+          |    vya + theta * theta * vxa - 2.0 * theta * ca AS vaa,
+          |    vyb + theta * theta * vxb - 2.0 * theta * cb AS vab,
+          |    sya / na - theta * (sxa / na - xbar) AS maa,
+          |    syb / nb - theta * (sxb / nb - xbar) AS mab,
+          |    vya / na + vyb / nb AS seraw
+          |  FROM v),
+          |z AS (
+          |  SELECT *, vaa / na + vab / nb AS seadj,
+          |    (n_a >= 2 AND n_b >= 2) AS okraw,
+          |    (n_a >= 2 AND n_b >= 2 AND thden > 0.0) AS oktheta
+          |  FROM w)
+          |SELECT n_a, n_b,
+          |  CASE WHEN oktheta THEN ROUND(theta, 6) END AS theta,
+          |  ROUND(sya / na, 6) AS mean_a, ROUND(syb / nb, 6) AS mean_b,
+          |  CASE WHEN oktheta THEN ROUND(maa, 6) END AS mean_a_adj,
+          |  CASE WHEN oktheta THEN ROUND(mab, 6) END AS mean_b_adj,
+          |  CASE WHEN okraw AND seraw > 0.0 THEN
+          |    ROUND((sya / na - syb / nb) / sqrt(seraw), 6) END AS t_raw,
+          |  CASE WHEN oktheta AND seadj > 0.0 THEN
+          |    ROUND((maa - mab) / sqrt(seadj), 6) END AS t_cuped,
+          |  CASE WHEN oktheta AND seraw > 0.0 THEN
+          |    ROUND(1.0 - seadj / seraw, 6) END AS var_reduction
+          |FROM z""".stripMargin),
+
       // sequential (mSPRT) conversion test + its twin share one oracle
       ("sequential_proportion_events" -> sequentialProportionOracleSql),
       ("streaming_sequential_proportion_events" ->

@@ -803,6 +803,76 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("cuped: planted predictive covariate collapses variance, JVM " +
+      "moment-algebra replica, degenerate no-covariate NULL theta") {
+    // 20 users, one pre event (day 0) and one post event (day 20) each.
+    // Post = pre + treatment(10 on even users = side a) + a small
+    // user-dependent wobble: X explains almost all of Y's variance, so
+    // t_cuped must sharpen t_raw and var_reduction must be large.
+    val day = 86400L * 1000000000L
+    val rows = (0 until 20).flatMap { u =>
+      val pre = 100.0 + 7.0 * u                 // cents vary per user
+      val post = pre + (if (u % 2 == 0) 10.0 else 0.0) + (u % 3)
+      Seq((u.toLong, 0L * day, pre), (u.toLong, 20L * day, post))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val got = graft.scale.Events.cuped(df, 10L).collect()(0)
+
+    // JVM replica of the exact moment algebra (cents)
+    val units = (0 until 20).map { u =>
+      val x = math.round((100.0 + 7.0 * u) * 100)
+      val y = math.round((100.0 + 7.0 * u +
+        (if (u % 2 == 0) 10.0 else 0.0) + (u % 3)) * 100)
+      (u % 2 == 0, x.toDouble, y.toDouble)
+    }
+    def sums(a: Boolean) = {
+      val s = units.filter(_._1 == a)
+      (s.size.toDouble, s.map(_._2).sum, s.map(_._3).sum,
+        s.map(t => t._2 * t._2).sum, s.map(t => t._3 * t._3).sum,
+        s.map(t => t._2 * t._3).sum)
+    }
+    // the "a" side is side = false (odd users) — the welchMoments
+    // n_a-counts-!side convention
+    val (na, sxa, sya, xxa, yya, xya) = sums(false)
+    val (nb, sxb, syb, xxb, yyb, xyb) = sums(true)
+    val n = na + nb; val sx = sxa + sxb; val sy = sya + syb
+    val sxx = xxa + xxb; val sxy = xya + xyb
+    val theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.getAs[Double]("theta") === r6(theta))
+    val vya = (yya - sya * sya / na) / (na - 1.0)
+    val vyb = (yyb - syb * syb / nb) / (nb - 1.0)
+    val vxa = (xxa - sxa * sxa / na) / (na - 1.0)
+    val vxb = (xxb - sxb * sxb / nb) / (nb - 1.0)
+    val ca = (xya - sxa * sya / na) / (na - 1.0)
+    val cb = (xyb - sxb * syb / nb) / (nb - 1.0)
+    val vaa = vya + theta * theta * vxa - 2.0 * theta * ca
+    val vab = vyb + theta * theta * vxb - 2.0 * theta * cb
+    val seRaw = vya / na + vyb / nb
+    val seAdj = vaa / na + vab / nb
+    assert(got.getAs[Double]("var_reduction") === r6(1.0 - seAdj / seRaw))
+    assert(got.getAs[Double]("var_reduction") > 0.99,
+      "a near-perfectly predictive covariate must remove ~all variance")
+    val xbar = sx / n
+    val maa = sya / na - theta * (sxa / na - xbar)
+    val mab = syb / nb - theta * (sxb / nb - xbar)
+    assert(got.getAs[Double]("t_cuped") ===
+      r6((maa - mab) / math.sqrt(seAdj)))
+    assert(math.abs(got.getAs[Double]("t_cuped")) >
+      math.abs(got.getAs[Double]("t_raw")),
+      "CUPED must sharpen the planted treatment effect")
+
+    // degenerate: no pre-period events at all -> var(X) = 0 -> NULL
+    // theta/cuped columns, raw t preserved
+    val post = (0 until 20).map(u =>
+      (u.toLong, 20L * day, 50.0 + u)).toDF("user_id", "ts", "value")
+    val deg = graft.scale.Events.cuped(post, 10L).collect()(0)
+    assert(deg.isNullAt(deg.fieldIndex("theta")) &&
+      deg.isNullAt(deg.fieldIndex("t_cuped")))
+    assert(!deg.isNullAt(deg.fieldIndex("t_raw")))
+  }
+
   test("conformalClassifier: hand-walked trainer + exact finite-sample " +
       "rank + measured coverage on a separable fixture") {
     // 40 one-word docs: even ids "spark" (y=1), odd "flink" (y=0). The
