@@ -5554,6 +5554,16 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- minimum detectable effect at current traffic ----------------------
+    // The planning row an experimenter reads BEFORE peeking at the
+    // delta: MDE = 2.801585 * SE(delta) (alpha .05 two-sided, 80%
+    // power), absolute and relative to the pooled mean.
+    "mde_events" -> ((s, dir) =>
+      Metrics.minDetectableEffect(t(s, dir, "events")
+          .withColumn("side", col("user_id") % 2 === 0),
+        "value", "side", Seq("event_type"))
+        .orderBy(col("event_type"))),
+
     // ---- CUPED variance reduction (Deng et al. WSDM'13) --------------------
     // Pre-period (days 1-15) per-user revenue predicts the outcome
     // period; the theta-adjusted metric keeps the estimand and removes
@@ -5932,6 +5942,44 @@ object SparkEntry {
       // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
       ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
+      ("mde_events" ->
+        """WITH s AS (
+          |  SELECT event_type, (user_id % 2 = 0) AS side,
+          |    CAST(value AS DECIMAL(18,2)) AS v
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type,
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    CAST(SUM(v) FILTER (NOT side) AS DOUBLE) AS sa,
+          |    CAST(SUM(v) FILTER (side) AS DOUBLE) AS sb,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+          |      AS DOUBLE) AS qa,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+          |      AS DOUBLE) AS qb
+          |  FROM s GROUP BY event_type),
+          |d AS (
+          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE)
+          |    AS nb
+          |  FROM g),
+          |v AS (
+          |  SELECT *,
+          |    ((qa - sa * sa / na) / (na - 1.0)) / na
+          |      + ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS vv,
+          |    (sa + sb) / (na + nb) AS pm
+          |  FROM d),
+          |z AS (
+          |  SELECT *, (n_a >= 2 AND n_b >= 2 AND vv > 0.0) AS ok
+          |  FROM v)
+          |SELECT event_type, n_a, n_b,
+          |  ROUND(sa / na, 6) AS mean_a, ROUND(sb / nb, 6) AS mean_b,
+          |  CASE WHEN ok THEN ROUND(sqrt(vv), 6) END AS se_diff,
+          |  CASE WHEN ok THEN ROUND(2.801585 * sqrt(vv), 6) END
+          |    AS mde_abs,
+          |  CASE WHEN ok AND pm <> 0.0 THEN
+          |    ROUND(2.801585 * sqrt(vv) / pm, 6) END AS mde_rel
+          |FROM z ORDER BY event_type""".stripMargin),
+
       ("cuped_events" ->
         """WITH e AS (
           |  SELECT user_id, (user_id % 2 = 0) AS side,

@@ -1796,6 +1796,53 @@ object Metrics {
         col("p_always"), col("reject"))): _*)
   }
 
+  /** Minimum detectable effect at the CURRENT sample sizes — the
+    * experiment-planning row beside the A/B panel (the standard
+    * two-sample power identity: MDE = (z_{1−α/2} + z_{power})·SE(Δ),
+    * here α = 0.05 two-sided and 80% power, so the multiplier is
+    * 1.959964 + 0.841621 = 2.801585 — fixed literals, both engines
+    * multiply the same constants). An experimenter reads this BEFORE
+    * peeking at Δ: effects smaller than mde_abs are invisible at this
+    * traffic, and mde_rel says how long to keep collecting.
+    *
+    * Same determinism/scale contract as [[welchFromMoments]]: one
+    * conditional hash-aggregate, fixed-order double algebra rounded 6,
+    * NULL below two observations per side or on zero variance.
+    */
+  def minDetectableEffect(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      groupCols: Seq[String]): DataFrame =
+    minDetectableEffectFromMoments(
+      welchMoments(df, valCol, sideCol, groupCols), groupCols)
+
+  /** The MDE algebra over a drained [[welchMoments]] table. */
+  def minDetectableEffectFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val va = (col("__qa") - col("__sa") * col("__sa") / na) / (na - 1.0)
+    val vb = (col("__qb") - col("__sb") * col("__sb") / nb) / (nb - 1.0)
+    val vv = va / na + vb / nb
+    val ok = col("n_a") >= 2L && col("n_b") >= 2L && vv > 0.0
+    // the SUMMED literal, not a runtime sum: 1.959964 + 0.841621 in
+    // binary double is 1 ulp off the parsed 2.801585 the oracle uses
+    val mult = lit(2.801585)
+    val pooledMean = (col("__sa") + col("__sb")) / (na + nb)
+    g.withColumn("mean_a", round(col("__sa") / na, 6))
+      .withColumn("mean_b", round(col("__sb") / nb, 6))
+      .withColumn("se_diff", when(ok, round(sqrt(vv), 6)))
+      .withColumn("mde_abs", when(ok, round(mult * sqrt(vv), 6)))
+      .withColumn("mde_rel",
+        when(ok && pooledMean =!= 0.0,
+          round(mult * sqrt(vv) / pooledMean, 6)))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("mean_a"), col("mean_b"), col("se_diff"), col("mde_abs"),
+        col("mde_rel"))): _*)
+  }
+
   /** Always-valid SEQUENTIAL two-proportion test — the conversion-rate
     * half of the mSPRT panel ([[sequentialAbTest]] covers means): the
     * same N(0, τ²)-mixture likelihood ratio over the normal

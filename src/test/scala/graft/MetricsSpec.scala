@@ -566,6 +566,29 @@ class MetricsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("reject"))))
   }
 
+  test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +
+      "NULL on a one-observation side") {
+    // group x: A={1,2,3} (var 1), B={2,4,6} (var 4) -> V = 1/3 + 4/3,
+    // SE = sqrt(5/3); pooled mean = 3
+    val df = (Seq(1.0, 2.0, 3.0).map(v => ("x", false, v)) ++
+      Seq(2.0, 4.0, 6.0).map(v => ("x", true, v)) ++
+      Seq(("y", false, 5.0), ("y", false, 7.0), ("y", true, 9.0)))
+      .toDF("g", "side", "value")
+    val got = Metrics.minDetectableEffect(df, "value", "side", Seq("g"))
+      .orderBy("g").collect()
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val se = math.sqrt(5.0 / 3.0)
+    val x = got(0)
+    assert(x.getAs[Double]("se_diff") === r6(se))
+    assert(x.getAs[Double]("mde_abs") === r6(2.801585 * se))
+    assert(x.getAs[Double]("mde_rel") === r6(2.801585 * se / 3.0))
+    val y = got(1)
+    assert(y.isNullAt(y.fieldIndex("se_diff")) &&
+      y.isNullAt(y.fieldIndex("mde_abs")) &&
+      y.isNullAt(y.fieldIndex("mde_rel")))
+  }
+
   test("sequentialProportionTest: planted rate shift crosses, equal " +
       "rates pin at p = 1, JVM replica of the Wald-variance statistic") {
     // effect arm g: a converts 60/120, b converts 12/120; null arm h:
