@@ -3059,6 +3059,21 @@ object SparkEntry {
         .orderBy(col("bin"))
     }),
 
+    // ---- precision-recall operating curve of the quality gate --------------
+    // P/R/F1 at EVERY distinct hashed-linear score threshold (predict
+    // positive iff w_sum >= t) against the contains-'spark' label — the
+    // imbalanced-label view the single-threshold confusion matrix hides.
+    "pr_curve_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .hashedLinearScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("long").as("y")), Seq("doc_id"))
+      Metrics.prCurve(scored, "w_sum", "y")
+        .orderBy(col("threshold").desc)
+    }),
+
     // ---- SPLIT-CONFORMAL coverage for the trained classifier ---------------
     // Train on the md5 %4<=1 split, exact k = ceil((n_cal+1)*0.9) order
     // statistic of calibration nonconformity (the +1 IS the finite-sample
@@ -6369,6 +6384,44 @@ object SparkEntry {
         classifierTrainOracle(8, "calibration")),
       ("conformal_classifier_docs" ->
         classifierTrainOracle(8, "conformal")),
+      ("pr_curve_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id,
+          |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+          |      % 1024) * 2654435761) % 2001 - 1000 AS w
+          |  FROM toks),
+          |sc AS (
+          |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+          |  FROM w GROUP BY doc_id),
+          |lab AS (
+          |  SELECT doc_id,
+          |    CAST(list_contains(list_filter(string_split_regex(
+          |      lower(text), '\s+'), x -> len(x) > 0), 'spark')
+          |      AS BIGINT) AS y
+          |  FROM documents),
+          |j AS (SELECT s.score, l.y FROM sc s JOIN lab l USING (doc_id)),
+          |d AS (
+          |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(y) AS BIGINT) AS npos
+          |  FROM j GROUP BY score),
+          |c AS (
+          |  SELECT score, n, npos,
+          |    CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+          |    CAST(SUM(npos) OVER (ORDER BY score DESC) AS BIGINT) AS tp
+          |  FROM d),
+          |t AS (SELECT CAST(SUM(npos) AS BIGINT) AS pos FROM d)
+          |SELECT score AS threshold, cum_n AS n_predicted_pos, tp,
+          |  ROUND(CAST(tp AS DOUBLE) / cum_n, 6) AS prec,
+          |  CASE WHEN pos > 0 THEN ROUND(CAST(tp AS DOUBLE) / pos, 6)
+          |    END AS rec,
+          |  ROUND(CAST(2 * tp AS DOUBLE) / (cum_n + pos), 6) AS f1
+          |FROM c, t ORDER BY threshold DESC""".stripMargin),
+
       ("conformal_regression_docs" ->
         """WITH b AS (
           |  SELECT doc_id, n_chars,

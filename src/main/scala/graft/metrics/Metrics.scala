@@ -1796,6 +1796,45 @@ object Metrics {
         col("p_always"), col("reject"))): _*)
   }
 
+  /** Precision-recall sweep over every observed score threshold — the
+    * operating-curve view the single-threshold confusion matrix hides
+    * (Davis & Goadrich, ICML'06 on PR vs ROC for imbalanced labels —
+    * exactly the quality-classifier regime): predict positive iff
+    * score ≥ t for each DISTINCT observed score t, and report the
+    * confusion mass and P/R/F1 at every t in one pass.
+    *
+    * Exact construction: (score → n, n_pos) dictionary in one
+    * hash-agg; TP and predicted-positive counts are inclusive running
+    * sums in DESCENDING score order through the range-partitioned
+    * cumulative scaffold (no single-partition window); precision =
+    * tp/cum_n, recall = tp/P, and F1 = 2·tp/(cum_n + P) — the last an
+    * exact integer ratio, so no compounding of rounded intermediates.
+    * Scale: dictionary-sized output, one corpus hash-agg + one
+    * dictionary range pass.
+    */
+  def prCurve(
+      df: DataFrame,
+      scoreCol: String,
+      yCol: String): DataFrame = {
+    val dict = df.select(col(scoreCol).cast("long").as("threshold"),
+        col(yCol).cast("long").as("__y"))
+      .filter(col("__y").isNotNull)
+      .groupBy(col("threshold"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__npos"))
+      .withColumn("__negs", -col("threshold"))
+    val cum = graft.sample.Samplers.globalCumSums(dict, Seq("__negs"),
+      Seq("__n", "__npos"), Seq("n_predicted_pos", "tp"))
+    val tot = dict.agg(sum(col("__npos")).as("__pos"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("threshold"), col("n_predicted_pos"), col("tp"),
+        round(col("tp").cast("double") / col("n_predicted_pos"), 6)
+          .as("prec"),
+        when(col("__pos") > 0L,
+          round(col("tp").cast("double") / col("__pos"), 6)).as("rec"),
+        round((lit(2L) * col("tp")).cast("double") /
+          (col("n_predicted_pos") + col("__pos")), 6).as("f1"))
+  }
+
   /** Minimum detectable effect at the CURRENT sample sizes — the
     * experiment-planning row beside the A/B panel (the standard
     * two-sample power identity: MDE = (z_{1−α/2} + z_{power})·SE(Δ),

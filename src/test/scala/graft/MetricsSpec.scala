@@ -566,6 +566,23 @@ class MetricsSpec extends SparkSpec {
       r.isNullAt(r.fieldIndex("reject"))))
   }
 
+  test("prCurve: hand-computed P/R/F1 at every distinct threshold, " +
+      "partition-invariant") {
+    // dict: 5 -> (2 rows, 1 pos), 3 -> (1, 1), 1 -> (2, 1); P = 3
+    val df = Seq((5L, 1L), (5L, 0L), (3L, 1L), (1L, 0L), (1L, 1L))
+      .toDF("score", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Metrics.prCurve(d, "score", "y").orderBy($"threshold".desc)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val got = run(df)
+    assert(got === Seq(
+      (5L, 2L, 1L, 0.5, 0.333333, 0.4),
+      (3L, 3L, 2L, 0.666667, 0.666667, 0.666667),
+      (1L, 5L, 3L, 0.6, 1.0, 0.75)))
+    assert(run(df.repartition(7)) === got)
+  }
+
   test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +
       "NULL on a one-observation side") {
     // group x: A={1,2,3} (var 1), B={2,4,6} (var 4) -> V = 1/3 + 4/3,
