@@ -1452,7 +1452,28 @@ object ScaleCheck {
         // one unit-keyed hash-agg + one map-side-combined 1-row moment
         // fold; the panel algebra is constant work
         (d: DataFrame) => graft.scale.Events.cuped(d, 19738L),
-        events, "event_id", None))
+        events, "event_id", None),
+      ("pr_curve",
+        // one corpus hash-agg to the score dictionary + one dictionary
+        // range pass (cumulative TP); output is dictionary-sized
+        (d: DataFrame) => {
+          val scored = graft.scale.TextAnalysis
+            .hashedLinearScore(d, "doc_id", "text")
+            .join(d.select(col("doc_id"),
+              array_contains(graft.scale.TextAnalysis.tokens(col("text")),
+                "spark").cast("long").as("y")), Seq("doc_id"))
+          graft.metrics.Metrics.prCurve(scored, "w_sum", "y")
+        },
+        docs, "doc_id", None),
+      ("conformal_regression",
+        // one scan to exact residuals + a dictionary order statistic +
+        // a 1-row coverage fold
+        (d: DataFrame) => graft.metrics.Metrics.conformalRegression(
+          d.withColumn("pred",
+            graft.scale.TextAnalysis.tokenCount(col("text"))
+              .cast("long") * 6L),
+          "doc_id", "n_chars", "pred"),
+        docs, "doc_id", None))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))
