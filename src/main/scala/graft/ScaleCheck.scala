@@ -1473,7 +1473,26 @@ object ScaleCheck {
             graft.scale.TextAnalysis.tokenCount(col("text"))
               .cast("long") * 6L),
           "doc_id", "n_chars", "pred"),
-        docs, "doc_id", None))
+        docs, "doc_id", None),
+      ("pass_at_k",
+        // one corpus hash-agg to the task dictionary; the k-fold product
+        // runs per dictionary row (97 tasks however large the corpus)
+        (d: DataFrame) => graft.scale.Eval.passAtK(
+          d.select(expr("event_id % 97").as("task"),
+            (col("event_type") === "purchase" && col("value") >= 120.0)
+              .as("ok")),
+          "task", "ok", Seq(1, 5, 10)),
+        events, "event_id", None),
+      ("rouge2",
+        // two gram dictionaries + one (key, gram) equi-join + per-key
+        // fold — corpus-linear, no pair mass
+        (d: DataFrame) => graft.scale.Eval.rougeN(
+          d.select(col("doc_id"), expr(
+            "concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
+              "x -> length(x) > 0), 1, 12))").as("text")),
+          d.select(col("doc_id"), col("text")),
+          "doc_id", "text", 2),
+        docs, "doc_id", Some("text")))
 
     // warm-up
     noop(Dedup.passageDedup(docs, "doc_id", "text", 10))

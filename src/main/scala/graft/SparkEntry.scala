@@ -5569,6 +5569,35 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- unbiased pass@k over sampled verdicts (Chen et al. 2021) ----------
+    // Per task (event_id % 97) with n samples and c passes: pass@k =
+    // 1 - prod_{i<k}(n-c-i)/(n-i), left-folded so both engines multiply
+    // identical doubles; 1.0 when every size-k draw must pass, NULL
+    // below k samples.
+    "pass_at_k_events" -> ((s, dir) =>
+      graft.scale.Eval.passAtK(
+        t(s, dir, "events").select((col("event_id") % 97).as("task"),
+          (col("event_type") === "purchase" && col("value") >= 120.0)
+            .as("ok")),
+        "task", "ok", Seq(1, 5, 10))
+        .orderBy(col("task"), col("k"))),
+
+    // ---- ROUGE-2 recall of a truncated candidate vs its reference ----------
+    // Clipped-multiset bigram overlap over reference mass (Lin 2004);
+    // candidate = the doc's first 12 tokens (the deterministic
+    // "summary"), reference = the full text — keyed dictionaries + ONE
+    // (key, gram) equi-join, never pair mass.
+    "rouge2_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Eval.rougeN(
+        docs.select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+            .as("text")),
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", 2)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- minimum detectable effect at current traffic ----------------------
     // The planning row an experimenter reads BEFORE peeking at the
     // delta: MDE = 2.801585 * SE(delta) (alpha .05 two-sided, 80%
@@ -5957,6 +5986,69 @@ object SparkEntry {
       // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
       ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
+      ("pass_at_k_events" ->
+        """WITH s AS (
+          |  SELECT event_id % 97 AS task,
+          |    CASE WHEN event_type = 'purchase' AND value >= 120.0
+          |      THEN 1 ELSE 0 END AS ok
+          |  FROM events),
+          |t AS (
+          |  SELECT task, CAST(COUNT(*) AS BIGINT) AS n_samples,
+          |    CAST(SUM(ok) AS BIGINT) AS n_correct
+          |  FROM s GROUP BY task),
+          |k AS (SELECT UNNEST([1, 5, 10]) AS k)
+          |SELECT task, n_samples, n_correct, CAST(k.k AS INT) AS k,
+          |  CASE WHEN n_samples < k.k THEN NULL
+          |       WHEN n_samples - n_correct < k.k THEN 1.0
+          |       ELSE ROUND(1.0 - list_reduce(
+          |         list_prepend(CAST(1.0 AS DOUBLE),
+          |           list_transform(range(0, k.k), i ->
+          |             CAST(n_samples - n_correct - i AS DOUBLE)
+          |               / (n_samples - i))),
+          |         (acc, x) -> acc * x), 6) END AS pass_at_k
+          |FROM t, k ORDER BY task, k""".stripMargin),
+
+      ("rouge2_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |refg AS (
+          |  SELECT doc_id,
+          |    concat_ws(' ', t[CAST(i AS INT)], t[CAST(i + 1 AS INT)])
+          |      AS g
+          |  FROM toks,
+          |    UNNEST(range(1, GREATEST(len(t) - 1, 1) + 1)) AS u(i)),
+          |refc AS (
+          |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rc
+          |  FROM refg GROUP BY 1, 2),
+          |candt AS (SELECT doc_id, t[1:12] AS t FROM toks),
+          |cg AS (
+          |  SELECT doc_id,
+          |    concat_ws(' ', t[CAST(i AS INT)], t[CAST(i + 1 AS INT)])
+          |      AS g
+          |  FROM candt,
+          |    UNNEST(range(1, GREATEST(len(t) - 1, 1) + 1)) AS u(i)),
+          |cc AS (
+          |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cn
+          |  FROM cg GROUP BY 1, 2),
+          |rt AS (
+          |  SELECT doc_id, CAST(SUM(rc) AS BIGINT) AS n_ref_grams
+          |  FROM refc GROUP BY 1),
+          |ov AS (
+          |  SELECT r.doc_id,
+          |    CAST(SUM(LEAST(r.rc, c.cn)) AS BIGINT) AS n_overlap
+          |  FROM refc r JOIN cc c ON c.doc_id = r.doc_id AND c.g = r.g
+          |  GROUP BY 1)
+          |SELECT rt.doc_id, rt.n_ref_grams,
+          |  COALESCE(ov.n_overlap, 0) AS n_overlap,
+          |  CASE WHEN rt.n_ref_grams > 0 THEN
+          |    ROUND(CAST(COALESCE(ov.n_overlap, 0) AS DOUBLE)
+          |      / rt.n_ref_grams, 6) END AS rouge_2
+          |FROM rt LEFT JOIN ov USING (doc_id)
+          |ORDER BY rt.doc_id""".stripMargin),
+
       ("mde_events" ->
         """WITH s AS (
           |  SELECT event_type, (user_id % 2 = 0) AS side,

@@ -1,0 +1,101 @@
+package graft.scale
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators over sampled generations — the measurement
+  * half of an eval pipeline once candidate outputs land in a table
+  * (task, sample, verdict / candidate text). Reference scope: the
+  * reference engine has no eval operator; this is a scale-path extension
+  * beside the judge-ensemble and preference families.
+  *
+  * House determinism rules throughout: counts are exact longs from
+  * hash-aggregates; the only doubles are fixed-order expressions over
+  * them (a k-term left-fold product, one division), mirrored verbatim by
+  * the oracle.
+  */
+object Eval {
+
+  /** Unbiased pass@k (Chen et al., "Evaluating Large Language Models
+    * Trained on Code", 2021, eq. 1): with n samples per task of which c
+    * pass,   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − Π_{i<k} (n−c−i)/(n−i)
+    * — the UNBIASED estimator of the probability at least one of k
+    * drawn samples passes (the naive "any of the first k" is biased
+    * when n > k; the product form is also numerically stable where the
+    * binomials overflow). Per (task, k):
+    *   n < k         → NULL (not enough samples to draw k)
+    *   n − c < k     → 1.0  (every size-k draw must contain a pass)
+    *   otherwise     → the k-term product, folded left in i order —
+    *                   both engines multiply the SAME doubles in the
+    *                   SAME order, so the rounded value is identical.
+    *
+    * Scale shape: ONE corpus hash-agg to the (task, n, c) dictionary;
+    * the k-fold product runs per dictionary row (tasks, not samples) —
+    * the interpreted-HOF discipline. Output |tasks|·|ks| rows.
+    */
+  def passAtK(
+      df: DataFrame,
+      taskCol: String,
+      correctCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list $ks")
+    val tasks = df.groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n_samples"),
+        sum(col(correctCol).cast("long")).as("n_correct"))
+    val withK = tasks.select(col("task"), col("n_samples"),
+      col("n_correct"),
+      explode(lit(ks.toArray)).as("k"))
+    withK.withColumn("pass_at_k", expr(
+      "CASE WHEN n_samples < k THEN CAST(NULL AS DOUBLE) " +
+        "WHEN n_samples - n_correct < k THEN 1.0 " +
+        "ELSE ROUND(1.0 - aggregate(sequence(0, k - 1), " +
+        "CAST(1.0 AS DOUBLE), (acc, i) -> acc * " +
+        "CAST(n_samples - n_correct - i AS DOUBLE) / " +
+        "CAST(n_samples - i AS DOUBLE)), 6) END"))
+  }
+
+  /** ROUGE-N recall per (candidate, reference) pair (Lin, "ROUGE: A
+    * Package for Automatic Evaluation of Summaries", WAS 2004): clipped
+    * n-gram overlap over the reference n-gram count —
+    *   rouge_n = Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_ref(g)
+    * with MULTISET clipping (a candidate repeating one reference gram
+    * five times earns credit once per reference occurrence — dropping
+    * the clip is the classic inflated-overlap bug). NULL when the
+    * reference has no n-grams.
+    *
+    * Scale shape: both sides explode to (key, gram, cnt) dictionaries
+    * via hash-aggs, ONE keyed equi-join on (key, gram), one per-key
+    * fold — corpus-linear, no pair mass beyond the keyed join, nothing
+    * broadcast with the corpus. Exact longs; the recall division is the
+    * only double.
+    */
+  def rougeN(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"bad n $n")
+    def grams(df: DataFrame) = df
+      .select(col(keyCol).as("key"),
+        explode(graft.scale.Shingles.positionalShingles(col(textCol), n))
+          .as("g"))
+      .groupBy(col("key"), col("g")).agg(count(lit(1)).as("cnt"))
+    val ref = grams(references)
+    val cand = grams(candidates)
+    val refTot = ref.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("n_ref_grams"))
+    val overlap = ref.select(col("key"), col("g"),
+        col("cnt").as("__rc"))
+      .join(cand.select(col("key"), col("g"), col("cnt").as("__cc")),
+        Seq("key", "g"))
+      .groupBy(col("key"))
+      .agg(sum(least(col("__rc"), col("__cc"))).as("n_overlap"))
+    refTot.join(overlap, Seq("key"), "left")
+      .select(col("key").as(keyCol), col("n_ref_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_ref_grams") > 0L,
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") /
+            col("n_ref_grams"), 6)).as(s"rouge_$n"))
+  }
+}

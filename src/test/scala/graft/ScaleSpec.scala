@@ -803,6 +803,45 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
+      "pass and too-few-samples branches") {
+    // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
+    // (5*4*3) = .9; pass@5: n-c=3 < 5 -> 1.0; pass@6: n < 6 -> NULL.
+    // task B: n=4, c=0 -> every k gives 0.0 (k <= 4), NULL past it.
+    val df = (Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq.fill(4)(("B", false))).toDF("task", "ok")
+    val got = graft.scale.Eval.passAtK(df, "task", "ok", Seq(1, 3, 5, 6))
+      .collect()
+      .map(r => (r.getString(0), r.getInt(3)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(got(("A", 1)) === Some(0.4))
+    assert(got(("A", 3)) === Some(0.9))
+    assert(got(("A", 5)) === Some(1.0))
+    assert(got(("A", 6)) === None)
+    assert(got(("B", 1)) === Some(0.0))
+    assert(got(("B", 3)) === Some(0.0))
+    assert(got(("B", 6)) === None)
+  }
+
+  test("rougeN: clipped multiset bigram recall, repeated candidate " +
+      "grams credited once per reference occurrence") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ref = Seq((1L, "a b c a b"), (2L, "a b c a b"), (3L, "x y"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, "a b b a"), (2L, "a b a b a b"), (3L, "z z"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.Eval.rougeN(cand, ref, "doc_id", "text", 2)
+      .orderBy(c("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    // ref bigrams of "a b c a b": {a b: 2, b c: 1, c a: 1}, total 4.
+    // doc 1 cand {a b, b b, b a}: overlap min(2,1)=1 -> .25
+    // doc 2 cand {a b: 3, b a: 2}: CLIPPED overlap min(2,3)=2 -> .5
+    // doc 3: no shared grams -> 0.0
+    assert(got === Seq((1L, 4L, 1L, 0.25), (2L, 4L, 2L, 0.5),
+      (3L, 1L, 0L, 0.0)))
+  }
+
   test("cuped: planted predictive covariate collapses variance, JVM " +
       "moment-algebra replica, degenerate no-covariate NULL theta") {
     // 20 users, one pre event (day 0) and one post event (day 20) each.
