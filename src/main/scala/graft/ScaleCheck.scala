@@ -1492,6 +1492,19 @@ object ScaleCheck {
               "x -> length(x) > 0), 1, 12))").as("text")),
           d.select(col("doc_id"), col("text")),
           "doc_id", "text", 2),
+        docs, "doc_id", Some("text")),
+      ("js_divergence",
+        // one tagged-union hash-agg to the union-vocab dictionary + a
+        // 1-row broadcast + an associative micro-long fold
+        (d: DataFrame) => graft.scale.TextAnalysis.jsDivergence(
+          d.filter(col("lang") === "en"),
+          d.filter(col("lang") =!= "en"), "text"),
+        docs, "doc_id", Some("text")),
+      ("simpson",
+        // one explode + two hash-aggs, dictionary-scale after the
+        // token collapse
+        (d: DataFrame) => graft.scale.TextAnalysis.simpsonDiversity(
+          d, "source", "text"),
         docs, "doc_id", Some("text")))
 
     // warm-up

@@ -3102,6 +3102,25 @@ object SparkEntry {
       TextAnalysis.hashedLinearScore(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))),
 
+    // ---- Jensen-Shannon lexical drift between corpus halves ----------------
+    // Symmetric, bounded, defined on disjoint vocabularies; add-one
+    // smoothing over the union vocabulary, per-token KL terms quantized
+    // to exact 1e12 micro-longs so the fold is associative.
+    "js_divergence_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.jsDivergence(
+        docs.filter(col("lang") === "en"),
+        docs.filter(col("lang") =!= "en"), "text")
+    }),
+
+    // ---- Simpson diversity / concentration per source ----------------------
+    // Exact collision probability of two drawn tokens + the effective
+    // type count — the evenness gate that flags template spam.
+    "simpson_docs" -> ((s, dir) =>
+      TextAnalysis.simpsonDiversity(t(s, dir, "documents"), "source",
+        "text")
+        .orderBy(col("source"))),
+
     // ---- cross-corpus n-gram overlap (diversity / contamination metric) ----
     "ngram_overlap_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -10443,6 +10462,58 @@ object SparkEntry {
         |  e.cms_est - t.n_exact AS overcount
         |FROM top t JOIN est e USING (user_id)
         |ORDER BY t.n_exact DESC, t.user_id""".stripMargin,
+
+    "js_divergence_docs" ->
+      """WITH tk AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ina,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT tok, CAST(SUM(ina) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ina) AS BIGINT) AS cb
+        |  FROM tk GROUP BY tok),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM d),
+        |p AS (
+        |  SELECT v, na, nb,
+        |    CAST(ca + 1 AS DOUBLE) / (na + v) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / (nb + v) AS pb,
+        |    (CAST(ca + 1 AS DOUBLE) / (na + v)
+        |      + CAST(cb + 1 AS DOUBLE) / (nb + v)) / 2.0 AS m
+        |  FROM d, t),
+        |q AS (
+        |  SELECT v, na, nb,
+        |    CAST(ROUND(pa * ln(pa / m) * 1e12) AS BIGINT) AS ta,
+        |    CAST(ROUND(pb * ln(pb / m) * 1e12) AS BIGINT) AS tb
+        |  FROM p)
+        |SELECT v AS n_vocab, na AS n_tokens_a, nb AS n_tokens_b,
+        |  CAST(SUM(ta) AS BIGINT) AS kl_a_micro,
+        |  CAST(SUM(tb) AS BIGINT) AS kl_b_micro,
+        |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2e12, 6) AS jsd
+        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+
+    "simpson_docs" ->
+      """WITH c AS (
+        |  SELECT g, tok, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source AS g,
+        |      unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> len(x) > 0)) AS tok
+        |    FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT g AS source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CASE WHEN SUM(c) >= 2 THEN
+        |    ROUND(CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE) /
+        |      (CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1)), 6) END AS simpson,
+        |  CASE WHEN SUM(c) >= 2 AND SUM(CAST(c AS HUGEINT) * (c - 1)) > 0
+        |    THEN ROUND((CAST(SUM(c) AS DOUBLE) * (SUM(c) - 1)) /
+        |      CAST(SUM(CAST(c AS HUGEINT) * (c - 1)) AS DOUBLE), 6)
+        |    END AS inv_simpson
+        |FROM c GROUP BY g ORDER BY g""".stripMargin,
 
     // same 3-shingle construction as the jaccard oracle, per language side;
     // |intersection| of two DISTINCT sets = inner-join row count

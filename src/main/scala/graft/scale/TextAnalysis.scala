@@ -1734,6 +1734,88 @@ object TextAnalysis {
           .as("avg_set_size"))
   }
 
+  /** Jensen-Shannon divergence between two corpora's token
+    * distributions — the LEXICAL drift gate (symmetric, bounded by ln 2,
+    * defined even on disjoint vocabularies — everything KL alone is
+    * not): with add-one smoothing over the UNION vocabulary,
+    *   JSD = ½·KL(P‖M) + ½·KL(Q‖M),  M = (P+Q)/2.
+    * A crawl snapshot drifting from the reference corpus moves this
+    * number before any per-doc quality score does.
+    *
+    * Determinism (the zipf-fit quantization pattern): each token's KL
+    * term p·ln(p/m) quantizes to round(term·1e12) — an exact long per
+    * dictionary row, so the corpus fold is an ASSOCIATIVE long sum
+    * (partition-invariant, engine-replayable); total quantization error
+    * ≤ V·5e-13, invisible at the 6-decimal output. Smoothed
+    * probabilities are fixed-order doubles of exact long counts.
+    *
+    * Scale: ONE tagged-union hash-agg to the (token, c_a, c_b)
+    * dictionary (the ngramOverlap single-shuffle shape), a 1-row total
+    * broadcast, one dictionary projection + fold.
+    */
+  def jsDivergence(
+      a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
+    def side(df: DataFrame, inA: Boolean) =
+      df.select(explode(tokens(col(textCol))).as("tok"))
+        .select(col("tok"), lit(if (inA) 1L else 0L).as("ca"),
+          lit(if (inA) 0L else 1L).as("cb"))
+    val dict = side(a, inA = true).unionAll(side(b, inA = false))
+      .groupBy(col("tok"))
+      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+    val tot = dict.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val pa = (col("ca") + 1).cast("double") /
+      (col("na") + col("v")).cast("double")
+    val pb = (col("cb") + 1).cast("double") /
+      (col("nb") + col("v")).cast("double")
+    val m = (pa + pb) / 2.0
+    dict.crossJoin(broadcast(tot))
+      .select(col("v"), col("na"), col("nb"),
+        round(pa * log(pa / m) * 1e12).cast("long").as("__ta"),
+        round(pb * log(pb / m) * 1e12).cast("long").as("__tb"))
+      .groupBy(col("v"), col("na"), col("nb"))
+      .agg(sum(col("__ta")).as("kl_a_micro"),
+        sum(col("__tb")).as("kl_b_micro"))
+      .select(col("v").as("n_vocab"), col("na").as("n_tokens_a"),
+        col("nb").as("n_tokens_b"), col("kl_a_micro"),
+        col("kl_b_micro"),
+        round((col("kl_a_micro") + col("kl_b_micro")).cast("double")
+          / 2e12, 6).as("jsd"))
+  }
+
+  /** Simpson concentration / diversity panel per group — the
+    * species-evenness gate beside [[vocabRichness]]'s unseen-mass view
+    * (Simpson, Nature 1949): D = Σ c(c−1) / (N(N−1)) is the EXACT
+    * probability two tokens drawn without replacement are the same
+    * type; 1/D is the effective number of equally-common types. A
+    * template-spam source shows high D (few types dominate) long
+    * before its mean quality score moves.
+    *
+    * Exact integers end to end: Σ c(c−1) rides decimal(38,0); the two
+    * reported floats are one division each, rounded 6 — NULL on
+    * sub-2-token groups. One explode + two hash-aggs, dictionary-scale
+    * everything after the token collapse.
+    */
+  def simpsonDiversity(
+      df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("g"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col("g"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum((col("c").cast("decimal(38,0)") * (col("c") - 1))).as("__ss"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        when(col("n_tokens") >= 2L,
+          round(col("__ss").cast("double") /
+            (col("n_tokens").cast("double") *
+              (col("n_tokens") - 1L).cast("double")), 6)).as("simpson"),
+        when(col("n_tokens") >= 2L && col("__ss") > 0,
+          round((col("n_tokens").cast("double") *
+            (col("n_tokens") - 1L).cast("double")) /
+            col("__ss").cast("double"), 6)).as("inv_simpson"))
+  }
+
   /** Cross-corpus n-gram overlap — the corpus-level diversity /
     * contamination metric (what share of corpus A's distinct k-shingles
     * also occur in corpus B, and vice versa): the aggregate form of

@@ -803,6 +803,64 @@ class ScaleSpec extends SparkSpec {
       (3, "s", "t", "st", 5L)), s"unexpected merge table: $got")
   }
 
+  test("jsDivergence: JVM-replica value on a tiny fixture, exact zero " +
+      "on identical corpora, symmetric") {
+    val a = Seq((1L, "a a b")).toDF("doc_id", "text")
+    val b = Seq((2L, "b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.jsDivergence(a, b, "text").collect()(0)
+    assert(got.getAs[Long]("n_vocab") === 3L)
+    assert(got.getAs[Long]("n_tokens_a") === 3L)
+    assert(got.getAs[Long]("n_tokens_b") === 2L)
+    // replica with the same 1e12 term quantization
+    val ca = Map("a" -> 2L, "b" -> 1L, "c" -> 0L)
+    val cb = Map("a" -> 0L, "b" -> 1L, "c" -> 1L)
+    val (na, nb, v) = (3.0, 2.0, 3.0)
+    val terms = ca.keys.toSeq.map { k =>
+      val pa = (ca(k) + 1) / (na + v)
+      val pb = (cb(k) + 1) / (nb + v)
+      val m = (pa + pb) / 2.0
+      (math.round(pa * math.log(pa / m) * 1e12),
+        math.round(pb * math.log(pb / m) * 1e12))
+    }
+    val (kla, klb) = (terms.map(_._1).sum, terms.map(_._2).sum)
+    assert(got.getAs[Long]("kl_a_micro") === kla)
+    assert(got.getAs[Long]("kl_b_micro") === klb)
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.getAs[Double]("jsd") === r6((kla + klb) / 2e12))
+    assert(got.getAs[Double]("jsd") > 0.0)
+    // identical corpora: every term is p·ln(1) = 0 exactly
+    val self = TextAnalysis.jsDivergence(a, a, "text").collect()(0)
+    assert(self.getAs[Long]("kl_a_micro") === 0L &&
+      self.getAs[Double]("jsd") === 0.0)
+    // symmetry: swapping sides swaps the KL halves, jsd unchanged
+    val rev = TextAnalysis.jsDivergence(b, a, "text").collect()(0)
+    assert(rev.getAs[Double]("jsd") === got.getAs[Double]("jsd"))
+    assert(rev.getAs[Long]("kl_a_micro") === klb)
+  }
+
+  test("simpsonDiversity: exact collision probability, uniform floor, " +
+      "degenerate NULLs") {
+    val df = Seq(
+      ("s1", "a a b"),      // D = 2/(3*2) = .333333, 1/D = 3
+      ("s2", "a b c"),      // all singletons: D = 0, inv NULL
+      ("s3", "x")           // one token: both NULL
+    ).toDF("source", "text")
+    val got = TextAnalysis.simpsonDiversity(df, "source", "text")
+      .orderBy($"source").collect()
+    val s1 = got(0)
+    assert(s1.getAs[Long]("n_tokens") === 3L &&
+      s1.getAs[Long]("n_types") === 2L)
+    assert(s1.getAs[Double]("simpson") === 0.333333)
+    assert(s1.getAs[Double]("inv_simpson") === 3.0)
+    val s2 = got(1)
+    assert(s2.getAs[Double]("simpson") === 0.0)
+    assert(s2.isNullAt(s2.fieldIndex("inv_simpson")))
+    val s3 = got(2)
+    assert(s3.isNullAt(s3.fieldIndex("simpson")) &&
+      s3.isNullAt(s3.fieldIndex("inv_simpson")))
+  }
+
   test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
       "pass and too-few-samples branches") {
     // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
