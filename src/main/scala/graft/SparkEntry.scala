@@ -3113,6 +3113,24 @@ object SparkEntry {
         docs.filter(col("lang") =!= "en"), "text")
     }),
 
+    // ---- STREAMING Jensen-Shannon lexical drift -----------------------------
+    // The per-token side counts are two associative sums — Complete-mode
+    // state at vocab-dictionary scale (the vocab_richness twin's class);
+    // the quantized fold runs over the drained table, batch oracle
+    // verbatim.
+    "streaming_js_divergence_docs" -> ((s, dir) => {
+      val batch = t(s, dir, "documents")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/documents*.parquet")
+      val counts = TextAnalysis.jsDivergenceCounts(
+        stream, "text", col("lang") === "en")
+      val name = "stream_jsd_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      TextAnalysis.jsDivergenceFromCounts(drained)
+    }),
+
     // ---- Simpson diversity / concentration per source ----------------------
     // Exact collision probability of two drawn tokens + the effective
     // type count — the evenness gate that flags template spam.
@@ -6978,6 +6996,43 @@ object SparkEntry {
        |FROM m GROUP BY n, sn, sd""".stripMargin
   }
 
+  /** Jensen-Shannon drift replay — shared by the batch query and
+    * the streaming twin (the drained Complete-mode (tok, ca, cb)
+    * state IS the batch dictionary).
+    */
+  private def jsDivergenceOracleSql: String =
+      """WITH tk AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ina,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |d AS (
+        |  SELECT tok, CAST(SUM(ina) AS BIGINT) AS ca,
+        |    CAST(SUM(1 - ina) AS BIGINT) AS cb
+        |  FROM tk GROUP BY tok),
+        |t AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+        |    CAST(SUM(ca) AS BIGINT) AS na,
+        |    CAST(SUM(cb) AS BIGINT) AS nb
+        |  FROM d),
+        |p AS (
+        |  SELECT v, na, nb,
+        |    CAST(ca + 1 AS DOUBLE) / (na + v) AS pa,
+        |    CAST(cb + 1 AS DOUBLE) / (nb + v) AS pb,
+        |    (CAST(ca + 1 AS DOUBLE) / (na + v)
+        |      + CAST(cb + 1 AS DOUBLE) / (nb + v)) / 2.0 AS m
+        |  FROM d, t),
+        |q AS (
+        |  SELECT v, na, nb,
+        |    CAST(ROUND(pa * ln(pa / m) * 1e12) AS BIGINT) AS ta,
+        |    CAST(ROUND(pb * ln(pb / m) * 1e12) AS BIGINT) AS tb
+        |  FROM p)
+        |SELECT v AS n_vocab, na AS n_tokens_a, nb AS n_tokens_b,
+        |  CAST(SUM(ta) AS BIGINT) AS kl_a_micro,
+        |  CAST(SUM(tb) AS BIGINT) AS kl_b_micro,
+        |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2e12, 6) AS jsd
+        |FROM q GROUP BY 1, 2, 3""".stripMargin
+
   /** Conversion-rate mSPRT replay (τ = 0.1, α = 0.05, minN = 100): the
     * event-level four-count moments, then the fixed-order mixture
     * statistic on the Wald rate variance — shared by the batch query
@@ -10463,38 +10518,11 @@ object SparkEntry {
         |FROM top t JOIN est e USING (user_id)
         |ORDER BY t.n_exact DESC, t.user_id""".stripMargin,
 
-    "js_divergence_docs" ->
-      """WITH tk AS (
-        |  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ina,
-        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> len(x) > 0)) AS tok
-        |  FROM documents),
-        |d AS (
-        |  SELECT tok, CAST(SUM(ina) AS BIGINT) AS ca,
-        |    CAST(SUM(1 - ina) AS BIGINT) AS cb
-        |  FROM tk GROUP BY tok),
-        |t AS (
-        |  SELECT CAST(COUNT(*) AS BIGINT) AS v,
-        |    CAST(SUM(ca) AS BIGINT) AS na,
-        |    CAST(SUM(cb) AS BIGINT) AS nb
-        |  FROM d),
-        |p AS (
-        |  SELECT v, na, nb,
-        |    CAST(ca + 1 AS DOUBLE) / (na + v) AS pa,
-        |    CAST(cb + 1 AS DOUBLE) / (nb + v) AS pb,
-        |    (CAST(ca + 1 AS DOUBLE) / (na + v)
-        |      + CAST(cb + 1 AS DOUBLE) / (nb + v)) / 2.0 AS m
-        |  FROM d, t),
-        |q AS (
-        |  SELECT v, na, nb,
-        |    CAST(ROUND(pa * ln(pa / m) * 1e12) AS BIGINT) AS ta,
-        |    CAST(ROUND(pb * ln(pb / m) * 1e12) AS BIGINT) AS tb
-        |  FROM p)
-        |SELECT v AS n_vocab, na AS n_tokens_a, nb AS n_tokens_b,
-        |  CAST(SUM(ta) AS BIGINT) AS kl_a_micro,
-        |  CAST(SUM(tb) AS BIGINT) AS kl_b_micro,
-        |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2e12, 6) AS jsd
-        |FROM q GROUP BY 1, 2, 3""".stripMargin,
+    // the twin drains the same (tok, ca, cb) Complete-mode state —
+    // one oracle serves both
+    "streaming_js_divergence_docs" -> jsDivergenceOracleSql,
+
+    "js_divergence_docs" -> jsDivergenceOracleSql,
 
     "simpson_docs" ->
       """WITH c AS (

@@ -1754,14 +1754,33 @@ object TextAnalysis {
     * broadcast, one dictionary projection + fold.
     */
   def jsDivergence(
-      a: DataFrame, b: DataFrame, textCol: String): DataFrame = {
-    def side(df: DataFrame, inA: Boolean) =
-      df.select(explode(tokens(col(textCol))).as("tok"))
-        .select(col("tok"), lit(if (inA) 1L else 0L).as("ca"),
-          lit(if (inA) 0L else 1L).as("cb"))
-    val dict = side(a, inA = true).unionAll(side(b, inA = false))
+      a: DataFrame, b: DataFrame, textCol: String): DataFrame =
+    jsDivergenceFromCounts(jsDivergenceCounts(
+      a.select(col(textCol), lit(true).as("__ina"))
+        .unionByName(b.select(col(textCol), lit(false).as("__ina"))),
+      textCol, col("__ina")))
+
+  /** The one corpus-mass job of [[jsDivergence]]: tagged doc stream →
+    * per-token (ca, cb) side counts — TWO associative sums, i.e. legal
+    * Complete-mode streaming state (vocab-dictionary-scale, the
+    * vocab_richness twin's declared state class). The streaming twin
+    * drains this and runs [[jsDivergenceFromCounts]], sharing the batch
+    * oracle verbatim.
+    */
+  def jsDivergenceCounts(
+      df: DataFrame, textCol: String, inA: org.apache.spark.sql.Column)
+      : DataFrame =
+    df.select(inA.cast("boolean").as("__a"),
+        explode(tokens(col(textCol))).as("tok"))
       .groupBy(col("tok"))
-      .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("cb"))
+
+  /** The quantized fold over a drained/batch (tok, ca, cb) dictionary —
+    * jsDivergenceFromCounts ∘ jsDivergenceCounts = jsDivergence by
+    * construction (the streaming-twin rule).
+    */
+  def jsDivergenceFromCounts(dict: DataFrame): DataFrame = {
     val tot = dict.agg(count(lit(1)).as("v"),
       sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
     val pa = (col("ca") + 1).cast("double") /
