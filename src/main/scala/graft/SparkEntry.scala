@@ -3074,6 +3074,19 @@ object SparkEntry {
         .orderBy(col("threshold").desc)
     }),
 
+    // ---- best-F1 operating point of the quality gate ------------------------
+    // The threshold a deployment ships: argmax of the 6-decimal F1 over
+    // the PR sweep, ties to the smallest (most permissive) threshold.
+    "best_f1_threshold_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val scored = TextAnalysis
+        .hashedLinearScore(docs, "doc_id", "text")
+        .join(docs.select(col("doc_id"),
+          array_contains(TextAnalysis.tokens(col("text")), "spark")
+            .cast("long").as("y")), Seq("doc_id"))
+      Metrics.bestF1Threshold(scored, "w_sum", "y")
+    }),
+
     // ---- SPLIT-CONFORMAL coverage for the trained classifier ---------------
     // Train on the md5 %4<=1 split, exact k = ceil((n_cal+1)*0.9) order
     // statistic of calibration nonconformity (the +1 IS the finite-sample
@@ -5619,6 +5632,24 @@ object SparkEntry {
         "task", "ok", Seq(1, 5, 10))
         .orderBy(col("task"), col("k"))),
 
+    // ---- STREAMING pass@k (per-task counts as Complete-mode state) ---------
+    "streaming_pass_at_k_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = graft.scale.Eval.passAtKCounts(
+        stream.select((col("event_id") % 97).as("task"),
+          (col("event_type") === "purchase" && col("value") >= 120.0)
+            .as("ok")),
+        "task", "ok")
+      val name = "stream_passk_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      graft.scale.Eval.passAtKFromCounts(drained, Seq(1, 5, 10))
+        .orderBy(col("task"), col("k"))
+    }),
+
     // ---- ROUGE-2 recall of a truncated candidate vs its reference ----------
     // Clipped-multiset bigram overlap over reference mass (Lin 2004);
     // candidate = the doc's first 12 tokens (the deterministic
@@ -6023,27 +6054,8 @@ object SparkEntry {
       // ≡ the batch two-pass selection (composition spec-pinned) — same SQL
       ("streaming_percentiles_bounded_lineitem" -> percentilesOracle(
         Seq(500000L, 900000L, 990000L))),
-      ("pass_at_k_events" ->
-        """WITH s AS (
-          |  SELECT event_id % 97 AS task,
-          |    CASE WHEN event_type = 'purchase' AND value >= 120.0
-          |      THEN 1 ELSE 0 END AS ok
-          |  FROM events),
-          |t AS (
-          |  SELECT task, CAST(COUNT(*) AS BIGINT) AS n_samples,
-          |    CAST(SUM(ok) AS BIGINT) AS n_correct
-          |  FROM s GROUP BY task),
-          |k AS (SELECT UNNEST([1, 5, 10]) AS k)
-          |SELECT task, n_samples, n_correct, CAST(k.k AS INT) AS k,
-          |  CASE WHEN n_samples < k.k THEN NULL
-          |       WHEN n_samples - n_correct < k.k THEN 1.0
-          |       ELSE ROUND(1.0 - list_reduce(
-          |         list_prepend(CAST(1.0 AS DOUBLE),
-          |           list_transform(range(0, k.k), i ->
-          |             CAST(n_samples - n_correct - i AS DOUBLE)
-          |               / (n_samples - i))),
-          |         (acc, x) -> acc * x), 6) END AS pass_at_k
-          |FROM t, k ORDER BY task, k""".stripMargin),
+      ("pass_at_k_events" -> passAtKOracleSql),
+      ("streaming_pass_at_k_events" -> passAtKOracleSql),
 
       ("rouge2_docs" ->
         """WITH toks AS (
@@ -6514,42 +6526,9 @@ object SparkEntry {
       ("conformal_classifier_docs" ->
         classifierTrainOracle(8, "conformal")),
       ("pr_curve_docs" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
-          |      x -> len(x) > 0)) AS tok
-          |  FROM documents),
-          |w AS (
-          |  SELECT doc_id,
-          |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
-          |      % 1024) * 2654435761) % 2001 - 1000 AS w
-          |  FROM toks),
-          |sc AS (
-          |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
-          |  FROM w GROUP BY doc_id),
-          |lab AS (
-          |  SELECT doc_id,
-          |    CAST(list_contains(list_filter(string_split_regex(
-          |      lower(text), '\s+'), x -> len(x) > 0), 'spark')
-          |      AS BIGINT) AS y
-          |  FROM documents),
-          |j AS (SELECT s.score, l.y FROM sc s JOIN lab l USING (doc_id)),
-          |d AS (
-          |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
-          |    CAST(SUM(y) AS BIGINT) AS npos
-          |  FROM j GROUP BY score),
-          |c AS (
-          |  SELECT score, n, npos,
-          |    CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
-          |    CAST(SUM(npos) OVER (ORDER BY score DESC) AS BIGINT) AS tp
-          |  FROM d),
-          |t AS (SELECT CAST(SUM(npos) AS BIGINT) AS pos FROM d)
-          |SELECT score AS threshold, cum_n AS n_predicted_pos, tp,
-          |  ROUND(CAST(tp AS DOUBLE) / cum_n, 6) AS prec,
-          |  CASE WHEN pos > 0 THEN ROUND(CAST(tp AS DOUBLE) / pos, 6)
-          |    END AS rec,
-          |  ROUND(CAST(2 * tp AS DOUBLE) / (cum_n + pos), 6) AS f1
-          |FROM c, t ORDER BY threshold DESC""".stripMargin),
+        s"$prCurveOracleCore ORDER BY threshold DESC"),
+      ("best_f1_threshold_docs" ->
+        s"SELECT * FROM ($prCurveOracleCore) ORDER BY f1 DESC, threshold LIMIT 1"),
 
       ("conformal_regression_docs" ->
         """WITH b AS (
@@ -6995,6 +6974,72 @@ object SparkEntry {
        |  ROUND(MIN(m), 6) AS ci_lo, ROUND(MAX(m), 6) AS ci_hi
        |FROM m GROUP BY n, sn, sd""".stripMargin
   }
+
+  /** pass@k replay — shared by the batch query and the streaming
+    * twin (the drained per-task counts ARE the batch dictionary).
+    */
+  private def passAtKOracleSql: String =
+        """WITH s AS (
+          |  SELECT event_id % 97 AS task,
+          |    CASE WHEN event_type = 'purchase' AND value >= 120.0
+          |      THEN 1 ELSE 0 END AS ok
+          |  FROM events),
+          |t AS (
+          |  SELECT task, CAST(COUNT(*) AS BIGINT) AS n_samples,
+          |    CAST(SUM(ok) AS BIGINT) AS n_correct
+          |  FROM s GROUP BY task),
+          |k AS (SELECT UNNEST([1, 5, 10]) AS k)
+          |SELECT task, n_samples, n_correct, CAST(k.k AS INT) AS k,
+          |  CASE WHEN n_samples < k.k THEN NULL
+          |       WHEN n_samples - n_correct < k.k THEN 1.0
+          |       ELSE ROUND(1.0 - list_reduce(
+          |         list_prepend(CAST(1.0 AS DOUBLE),
+          |           list_transform(range(0, k.k), i ->
+          |             CAST(n_samples - n_correct - i AS DOUBLE)
+          |               / (n_samples - i))),
+          |         (acc, x) -> acc * x), 6) END AS pass_at_k
+          |FROM t, k ORDER BY task, k""".stripMargin
+
+  /** PR-sweep replay core (no final ordering) — shared by the full
+    * curve and the best-F1 operating-point oracle.
+    */
+  private def prCurveOracleCore: String =
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0)) AS tok
+          |  FROM documents),
+          |w AS (
+          |  SELECT doc_id,
+          |    ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+          |      % 1024) * 2654435761) % 2001 - 1000 AS w
+          |  FROM toks),
+          |sc AS (
+          |  SELECT doc_id, CAST(SUM(w) AS BIGINT) AS score
+          |  FROM w GROUP BY doc_id),
+          |lab AS (
+          |  SELECT doc_id,
+          |    CAST(list_contains(list_filter(string_split_regex(
+          |      lower(text), '\s+'), x -> len(x) > 0), 'spark')
+          |      AS BIGINT) AS y
+          |  FROM documents),
+          |j AS (SELECT s.score, l.y FROM sc s JOIN lab l USING (doc_id)),
+          |d AS (
+          |  SELECT score, CAST(COUNT(*) AS BIGINT) AS n,
+          |    CAST(SUM(y) AS BIGINT) AS npos
+          |  FROM j GROUP BY score),
+          |c AS (
+          |  SELECT score, n, npos,
+          |    CAST(SUM(n) OVER (ORDER BY score DESC) AS BIGINT) AS cum_n,
+          |    CAST(SUM(npos) OVER (ORDER BY score DESC) AS BIGINT) AS tp
+          |  FROM d),
+          |t AS (SELECT CAST(SUM(npos) AS BIGINT) AS pos FROM d)
+          |SELECT score AS threshold, cum_n AS n_predicted_pos, tp,
+          |  ROUND(CAST(tp AS DOUBLE) / cum_n, 6) AS prec,
+          |  CASE WHEN pos > 0 THEN ROUND(CAST(tp AS DOUBLE) / pos, 6)
+          |    END AS rec,
+          |  ROUND(CAST(2 * tp AS DOUBLE) / (cum_n + pos), 6) AS f1
+          |FROM c, t""".stripMargin
 
   /** Jensen-Shannon drift replay — shared by the batch query and
     * the streaming twin (the drained Complete-mode (tok, ca, cb)

@@ -1835,6 +1835,19 @@ object Metrics {
           (col("n_predicted_pos") + col("__pos")), 6).as("f1"))
   }
 
+  /** The operating point a deployment actually ships: the threshold
+    * maximizing the 6-decimal F1 on the [[prCurve]] sweep (ties break
+    * to the SMALLEST threshold — the more permissive gate), as one
+    * TakeOrdered over the dictionary-sized curve.
+    */
+  def bestF1Threshold(
+      df: DataFrame,
+      scoreCol: String,
+      yCol: String): DataFrame =
+    prCurve(df, scoreCol, yCol)
+      .orderBy(col("f1").desc, col("threshold"))
+      .limit(1)
+
   /** Minimum detectable effect at the CURRENT sample sizes — the
     * experiment-planning row beside the A/B panel (the standard
     * two-sample power identity: MDE = (z_{1−α/2} + z_{power})·SE(Δ),

@@ -37,11 +37,29 @@ object Eval {
       df: DataFrame,
       taskCol: String,
       correctCol: String,
-      ks: Seq[Int]): DataFrame = {
-    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list $ks")
-    val tasks = df.groupBy(col(taskCol).as("task"))
+      ks: Seq[Int]): DataFrame =
+    passAtKFromCounts(passAtKCounts(df, taskCol, correctCol), ks)
+
+  /** The one corpus-mass job of [[passAtK]]: sample stream → per-task
+    * (n, c) — two associative sums, legal Complete-mode streaming state
+    * at task-dictionary scale. The twin drains this and runs
+    * [[passAtKFromCounts]], sharing the batch oracle verbatim.
+    */
+  def passAtKCounts(
+      df: DataFrame,
+      taskCol: String,
+      correctCol: String): DataFrame =
+    df.groupBy(col(taskCol).as("task"))
       .agg(count(lit(1)).as("n_samples"),
         sum(col(correctCol).cast("long")).as("n_correct"))
+
+  /** The estimator fold over a drained/batch (task, n, c) dictionary —
+    * passAtKFromCounts ∘ passAtKCounts = passAtK by construction.
+    */
+  def passAtKFromCounts(
+      tasks: DataFrame,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"bad k list $ks")
     val withK = tasks.select(col("task"), col("n_samples"),
       col("n_correct"),
       explode(lit(ks.toArray)).as("k"))

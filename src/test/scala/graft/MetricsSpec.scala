@@ -581,6 +581,9 @@ class MetricsSpec extends SparkSpec {
       (3L, 3L, 2L, 0.666667, 0.666667, 0.666667),
       (1L, 5L, 3L, 0.6, 1.0, 0.75)))
     assert(run(df.repartition(7)) === got)
+    // the shipped operating point: argmax F1 = threshold 1 at 0.75
+    val best = Metrics.bestF1Threshold(df, "score", "y").collect()(0)
+    assert(best.getLong(0) === 1L && best.getAs[Double]("f1") === 0.75)
   }
 
   test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +
