@@ -1505,6 +1505,16 @@ object ScaleCheck {
         // token collapse
         (d: DataFrame) => graft.scale.TextAnalysis.simpsonDiversity(
           d, "source", "text"),
+        docs, "doc_id", Some("text")),
+      ("chrf",
+        // the rouge2 shape with char grams: two dictionaries + one
+        // (key, gram) equi-join — corpus-linear
+        (d: DataFrame) => graft.scale.Eval.chrF(
+          d.select(col("doc_id"), expr(
+            "concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
+              "x -> length(x) > 0), 1, 12))").as("text")),
+          d.select(col("doc_id"), col("text")),
+          "doc_id", "text"),
         docs, "doc_id", Some("text")))
 
     // warm-up

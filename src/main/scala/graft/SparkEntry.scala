@@ -5666,6 +5666,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- chrF of the truncated candidate vs its reference ------------------
+    // Character-6-gram F2 (Popović WMT'15) — tokenization-free eval
+    // beside rouge2_docs; same keyed-dictionary construction, clipped
+    // multiset overlap, P AND R.
+    "chrf_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Eval.chrF(
+        docs.select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+            .as("text")),
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- minimum detectable effect at current traffic ----------------------
     // The planning row an experimenter reads BEFORE peeking at the
     // delta: MDE = 2.801585 * SE(delta) (alpha .05 two-sided, 80%
@@ -6097,6 +6112,53 @@ object SparkEntry {
           |      / rt.n_ref_grams, 6) END AS rouge_2
           |FROM rt LEFT JOIN ov USING (doc_id)
           |ORDER BY rt.doc_id""".stripMargin),
+
+      ("chrf_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t,
+          |    lower(text) AS rt
+          |  FROM documents),
+          |candt AS (
+          |  SELECT doc_id, array_to_string(t[1:12], ' ') AS ct
+          |  FROM toks),
+          |rg AS (
+          |  SELECT doc_id, substring(rt, CAST(i AS INT), 6) AS g
+          |  FROM toks,
+          |    UNNEST(range(1, GREATEST(len(rt) - 5, 1) + 1)) AS u(i)),
+          |rc AS (
+          |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS rcn
+          |  FROM rg GROUP BY 1, 2),
+          |cg AS (
+          |  SELECT doc_id, substring(ct, CAST(i AS INT), 6) AS g
+          |  FROM candt,
+          |    UNNEST(range(1, GREATEST(len(ct) - 5, 1) + 1)) AS u(i)),
+          |cc AS (
+          |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS ccn
+          |  FROM cg GROUP BY 1, 2),
+          |tt AS (
+          |  SELECT r.doc_id, r.nr, c.nc FROM
+          |    (SELECT doc_id, CAST(SUM(rcn) AS BIGINT) AS nr FROM rc
+          |     GROUP BY 1) r
+          |  JOIN (SELECT doc_id, CAST(SUM(ccn) AS BIGINT) AS nc FROM cc
+          |        GROUP BY 1) c USING (doc_id)),
+          |ov AS (
+          |  SELECT r.doc_id,
+          |    CAST(SUM(LEAST(r.rcn, c.ccn)) AS BIGINT) AS nov
+          |  FROM rc r JOIN cc c ON c.doc_id = r.doc_id AND c.g = r.g
+          |  GROUP BY 1),
+          |pr AS (
+          |  SELECT tt.doc_id, tt.nr, tt.nc, COALESCE(ov.nov, 0) AS nov,
+          |    CAST(COALESCE(ov.nov, 0) AS DOUBLE) / tt.nc AS p,
+          |    CAST(COALESCE(ov.nov, 0) AS DOUBLE) / tt.nr AS r
+          |  FROM tt LEFT JOIN ov USING (doc_id))
+          |SELECT doc_id, nr AS n_ref_grams, nc AS n_cand_grams,
+          |  nov AS n_overlap,
+          |  ROUND(p, 6) AS chr_p, ROUND(r, 6) AS chr_r,
+          |  CASE WHEN nov > 0 THEN ROUND(5.0 * p * r / (4.0 * p + r), 6)
+          |    ELSE 0.0 END AS chrf
+          |FROM pr ORDER BY doc_id""".stripMargin),
 
       ("mde_events" ->
         """WITH s AS (

@@ -72,6 +72,65 @@ object Eval {
         "CAST(n_samples - i AS DOUBLE)), 6) END"))
   }
 
+  /** chrF per (candidate, reference) pair (Popović, "chrF: character
+    * n-gram F-score for automatic MT evaluation", WMT 2015) — the
+    * tokenization-free companion to [[rougeN]]: clipped character
+    * n-gram precision AND recall combined as
+    *   chrF_β = (1+β²)·P·R / (β²·P + R),   β = 2 (recall-weighted,
+    * the WMT standard). Character grams survive morphology and
+    * whitespace damage that word n-grams do not — the robust choice
+    * for multilingual eval tables. Declared variant: grams run over
+    * the raw lowercased text INCLUDING spaces, and a text shorter than
+    * n contributes its whole string as one gram (the house ragged
+    * convention), so no row is dropped.
+    *
+    * Same exact construction as rougeN: two (key, gram, cnt)
+    * dictionaries, ONE keyed equi-join with multiset clipping, one
+    * per-key fold; P/R are single divisions of exact longs and chrF
+    * one fixed-order expression (0.0 when the overlap is empty).
+    */
+  def chrF(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      n: Int = 6,
+      beta: Double = 2.0): DataFrame = {
+    require(n >= 1 && beta > 0.0, s"bad chrF params n=$n beta=$beta")
+    def grams(df: DataFrame) = df
+      .select(col(keyCol).as("key"), explode(expr(
+        s"transform(sequence(1, greatest(length(lower($textCol)) " +
+          s"- ${n - 1}, 1)), i -> substr(lower($textCol), i, $n))"))
+        .as("g"))
+      .groupBy(col("key"), col("g")).agg(count(lit(1)).as("cnt"))
+    val ref = grams(references)
+    val cand = grams(candidates)
+    val totals = ref.groupBy(col("key"))
+      .agg(sum(col("cnt")).as("n_ref_grams"))
+      .join(cand.groupBy(col("key"))
+        .agg(sum(col("cnt")).as("n_cand_grams")), Seq("key"))
+    val overlap = ref.select(col("key"), col("g"), col("cnt").as("__rc"))
+      .join(cand.select(col("key"), col("g"), col("cnt").as("__cc")),
+        Seq("key", "g"))
+      .groupBy(col("key"))
+      .agg(sum(least(col("__rc"), col("__cc"))).as("n_overlap"))
+    val b2 = beta * beta
+    val pr = totals.join(overlap, Seq("key"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("__p",
+        col("n_overlap").cast("double") / col("n_cand_grams"))
+      .withColumn("__r",
+        col("n_overlap").cast("double") / col("n_ref_grams"))
+    pr.select(col("key").as(keyCol), col("n_ref_grams"),
+      col("n_cand_grams"), col("n_overlap"),
+      round(col("__p"), 6).as("chr_p"),
+      round(col("__r"), 6).as("chr_r"),
+      when(col("n_overlap") > 0L,
+        round(lit(1.0 + b2) * col("__p") * col("__r") /
+          (lit(b2) * col("__p") + col("__r")), 6))
+        .otherwise(lit(0.0)).as("chrf"))
+  }
+
   /** ROUGE-N recall per (candidate, reference) pair (Lin, "ROUGE: A
     * Package for Automatic Evaluation of Summaries", WAS 2004): clipped
     * n-gram overlap over the reference n-gram count —

@@ -861,6 +861,29 @@ class ScaleSpec extends SparkSpec {
       s3.isNullAt(s3.fieldIndex("inv_simpson")))
   }
 
+  test("chrF: hand-computed clipped char-6-gram F2, identity pair " +
+      "scores 1.0, disjoint pair scores 0.0") {
+    import org.apache.spark.sql.functions.{col => c}
+    // ref "abcdefgh" -> 6-grams {abcdef, bcdefg, cdefgh} (3);
+    // cand "abcdefg" -> {abcdef, bcdefg} (2); overlap 2 ->
+    // P = 1, R = 2/3, chrF2 = 5*(2/3)/(4 + 2/3) = 10/14 = .714286
+    val ref = Seq((1L, "abcdefgh"), (2L, "same text"), (3L, "aaaaaaa"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, "abcdefg"), (2L, "same text"), (3L, "zzzzzzz"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.Eval.chrF(cand, ref, "doc_id", "text")
+      .orderBy(c("doc_id")).collect()
+    val r1 = got(0)
+    assert(r1.getAs[Long]("n_ref_grams") === 3L &&
+      r1.getAs[Long]("n_cand_grams") === 2L &&
+      r1.getAs[Long]("n_overlap") === 2L)
+    assert(r1.getAs[Double]("chr_p") === 1.0)
+    assert(r1.getAs[Double]("chr_r") === 0.666667)
+    assert(r1.getAs[Double]("chrf") === 0.714286)
+    assert(got(1).getAs[Double]("chrf") === 1.0, "identity pair")
+    assert(got(2).getAs[Double]("chrf") === 0.0, "disjoint pair")
+  }
+
   test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
       "pass and too-few-samples branches") {
     // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
