@@ -340,6 +340,60 @@ class MetricsSpec extends SparkSpec {
       Seq(250000L, 500000L, 750000L)).orderBy("q"))
   }
 
+  test("round-12 panels are partition-invariant: every statistic " +
+      "identical under adversarial repartitioning") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(12)
+    val day = 86400L * 1000000000L
+    val rows = (1L to 200L).map { i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(3).toLong,
+        s"g${rnd.nextInt(3)}",
+        s"w${rnd.nextInt(30)} w${rnd.nextInt(30)} w${rnd.nextInt(30)}")
+    }
+    def check(name: String)(op: DataFrame => DataFrame): Unit = {
+      val base = rows.toDF("id", "x", "y", "g", "text")
+      val a = op(base.repartition(1)).collect().toSeq
+      val b = op(base.repartition(13, col("id"))).collect().toSeq
+      assert(a === b, s"$name is partition-sensitive")
+    }
+    check("sequentialAbTest")(df => Metrics.sequentialAbTest(
+      df.withColumn("side", col("id") % 2 === 0), "x", "side", Seq("g"),
+      minN = 2L).orderBy("g"))
+    check("sequentialProportionTest")(df =>
+      Metrics.sequentialProportionTest(
+        df.withColumn("side", col("id") % 2 === 0)
+          .withColumn("ok", col("y") === 0), "ok", "side", Seq("g"),
+        minN = 2L).orderBy("g"))
+    check("minDetectableEffect")(df => Metrics.minDetectableEffect(
+      df.withColumn("side", col("id") % 2 === 0), "x", "side", Seq("g"))
+      .orderBy("g"))
+    check("cuped")(df => graft.scale.Events.cuped(
+      df.select((col("id") % 10).as("user_id"),
+        when(col("id") % 2 === 0, lit(0L)).otherwise(lit(20L * day))
+          .as("ts"),
+        col("x").cast("double").as("value")), 10L))
+    check("conformalRegression")(df =>
+      Metrics.conformalRegression(df, "id", "x", "y"))
+    check("passAtK")(df => graft.scale.Eval.passAtK(
+      df.withColumn("ok", col("y") === 0), "g", "ok", Seq(1, 3))
+      .orderBy("g", "k"))
+    check("jsDivergence")(df => graft.scale.TextAnalysis.jsDivergence(
+      df.filter(col("id") % 2 === 0), df.filter(col("id") % 2 === 1),
+      "text"))
+    check("simpsonDiversity")(df => graft.scale.TextAnalysis
+      .simpsonDiversity(df, "g", "text").orderBy("g"))
+    check("rougeN")(df => graft.scale.Eval.rougeN(
+      df.select(col("id"), expr("substr(text, 1, 7)").as("text")),
+      df.select(col("id"), col("text")), "id", "text", 2).orderBy("id"))
+    check("chrF")(df => graft.scale.Eval.chrF(
+      df.select(col("id"), expr("substr(text, 1, 7)").as("text")),
+      df.select(col("id"), col("text")), "id", "text", 3).orderBy("id"))
+    check("imageQuality")(df => graft.scale.Multimodal.imageQuality(
+      graft.scale.Multimodal.fromDocuments(
+        df.select(col("id").as("doc_id"), col("text"))))
+      .orderBy("doc_id"))
+  }
+
   test("brierPanel: hand-computed Murphy decomposition; the identity " +
       "brier = rel - res + unc holds on singleton bins; top edge clamps") {
     // p = .25/.75/1/0 with y = 0/1/1/0: brier = 2*(0.0625)/4 = 0.03125,
