@@ -78,7 +78,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.distinct.sorted.map(n => s"\"$n\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}"""
+    // min-pass total beside the median total: a mid-suite host stall
+    // inflates 2-of-3 medians of whichever queries it straddles but
+    // almost never all three passes, so value_min is the stall-immune
+    // code-vs-code headline (the r12 driver capture burned adjudication
+    // on exactly this — 17.26 s median / 2.74 s min on untouched code)
+    val totalMin = names.map(n => samples(n).min).sum
+    val full = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","passes":$passes,"warmup_sec":$warmupSec,"errors":$errs,"queries":$qs,"queries_min":$qmins,"sf":"$sfDir"}"""
     // The full per-query map (~6 KB for 166 queries) goes to a known file:
     // a consumer that captures only the TAIL of stdout truncates the long
     // line mid-JSON (both prior rounds' bench records show `parsed: null`

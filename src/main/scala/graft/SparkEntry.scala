@@ -6141,8 +6141,8 @@ object SparkEntry {
           |  SELECT r.doc_id, r.nr, c.nc FROM
           |    (SELECT doc_id, CAST(SUM(rcn) AS BIGINT) AS nr FROM rc
           |     GROUP BY 1) r
-          |  JOIN (SELECT doc_id, CAST(SUM(ccn) AS BIGINT) AS nc FROM cc
-          |        GROUP BY 1) c USING (doc_id)),
+          |  LEFT JOIN (SELECT doc_id, CAST(SUM(ccn) AS BIGINT) AS nc
+          |             FROM cc GROUP BY 1) c USING (doc_id)),
           |ov AS (
           |  SELECT r.doc_id,
           |    CAST(SUM(LEAST(r.rcn, c.ccn)) AS BIGINT) AS nov

@@ -1811,11 +1811,26 @@ object Metrics {
     * exact integer ratio, so no compounding of rounded intermediates.
     * Scale: dictionary-sized output, one corpus hash-agg + one
     * dictionary range pass.
+    *
+    * The score column must be an INTEGRAL type (the exact-long
+    * thresholds are the determinism contract — a fractional score
+    * would silently truncate and merge distinct scores, breaking the
+    * "every distinct observed score" promise); quantize fractional
+    * scores to longs at the call site first.
     */
   def prCurve(
       df: DataFrame,
       scoreCol: String,
       yCol: String): DataFrame = {
+    require(Set[org.apache.spark.sql.types.DataType](
+        org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType)
+        .contains(df.schema(scoreCol).dataType),
+      s"prCurve needs an integral score column, got " +
+        s"${df.schema(scoreCol).dataType.simpleString} for '$scoreCol' — " +
+        "quantize fractional scores to longs first")
     val dict = df.select(col(scoreCol).cast("long").as("threshold"),
         col(yCol).cast("long").as("__y"))
       .filter(col("__y").isNotNull)

@@ -25,9 +25,11 @@ object Eval {
     * binomials overflow). Per (task, k):
     *   n < k         → NULL (not enough samples to draw k)
     *   n − c < k     → 1.0  (every size-k draw must contain a pass)
-    *   otherwise     → the k-term product, folded left in i order —
-    *                   both engines multiply the SAME doubles in the
-    *                   SAME order, so the rounded value is identical.
+    *   otherwise     → the k-term product, folded left in i order with
+    *                   each term's quotient taken FIRST — acc·(A/B),
+    *                   parenthesized, never (acc·A)/B — so both engines
+    *                   execute the identical op sequence and the
+    *                   rounded value cannot flap by an ulp.
     *
     * Scale shape: ONE corpus hash-agg to the (task, n, c) dictionary;
     * the k-fold product runs per dictionary row (tasks, not samples) —
@@ -68,8 +70,8 @@ object Eval {
         "WHEN n_samples - n_correct < k THEN 1.0 " +
         "ELSE ROUND(1.0 - aggregate(sequence(0, k - 1), " +
         "CAST(1.0 AS DOUBLE), (acc, i) -> acc * " +
-        "CAST(n_samples - n_correct - i AS DOUBLE) / " +
-        "CAST(n_samples - i AS DOUBLE)), 6) END"))
+        "(CAST(n_samples - n_correct - i AS DOUBLE) / " +
+        "CAST(n_samples - i AS DOUBLE))), 6) END"))
   }
 
   /** chrF per (candidate, reference) pair (Popović, "chrF: character
@@ -79,10 +81,14 @@ object Eval {
     *   chrF_β = (1+β²)·P·R / (β²·P + R),   β = 2 (recall-weighted,
     * the WMT standard). Character grams survive morphology and
     * whitespace damage that word n-grams do not — the robust choice
-    * for multilingual eval tables. Declared variant: grams run over
+    * for multilingual eval tables. Declared variant (diverges from
+    * sacrebleu's chrF, which strips whitespace runs before gramming —
+    * do not compare absolute numbers across tools): grams run over
     * the raw lowercased text INCLUDING spaces, and a text shorter than
     * n contributes its whole string as one gram (the house ragged
-    * convention), so no row is dropped.
+    * convention), so no row is dropped. Unpaired keys follow
+    * [[rougeN]]: reference-only keys emit chr_r/chrf 0.0 with
+    * n_cand_grams/chr_p NULL; candidate-only keys are not emitted.
     *
     * Same exact construction as rougeN: two (key, gram, cnt)
     * dictionaries, ONE keyed equi-join with multiset clipping, one
@@ -105,10 +111,15 @@ object Eval {
       .groupBy(col("key"), col("g")).agg(count(lit(1)).as("cnt"))
     val ref = grams(references)
     val cand = grams(candidates)
+    // LEFT join from the reference totals — [[rougeN]]'s edge semantics:
+    // a key with no candidate row survives with n_cand_grams NULL,
+    // chr_p NULL, chr_r/chrf 0.0 (zero overlap), instead of silently
+    // vanishing. Keys present only in the candidate input are not
+    // scored (no reference → no truth to score against), same as rougeN.
     val totals = ref.groupBy(col("key"))
       .agg(sum(col("cnt")).as("n_ref_grams"))
       .join(cand.groupBy(col("key"))
-        .agg(sum(col("cnt")).as("n_cand_grams")), Seq("key"))
+        .agg(sum(col("cnt")).as("n_cand_grams")), Seq("key"), "left")
     val overlap = ref.select(col("key"), col("g"), col("cnt").as("__rc"))
       .join(cand.select(col("key"), col("g"), col("cnt").as("__cc")),
         Seq("key", "g"))

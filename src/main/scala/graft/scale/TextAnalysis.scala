@@ -1099,9 +1099,19 @@ object TextAnalysis {
     * n_tokens (= words + ##-continuation pieces), n_chars.
     */
   def wordpieceEncode(df: DataFrame, groupCol: String, textCol: String,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8): DataFrame =
+    wordpieceEncodeWithVocab(df, groupCol, textCol,
+      wordpieceTrainWithVocab(df, textCol, rounds)._2)
+
+  /** [[wordpieceEncode]] with an ALREADY-TRAINED vocab state (the
+    * second [[wordpieceTrainWithVocab]] return) -- a caller holding the
+    * trainer output encodes without re-running the merge rounds (the
+    * trainer is collect-driven, so the one-arg form re-executes it
+    * eagerly per call).
+    */
+  def wordpieceEncodeWithVocab(df: DataFrame, groupCol: String,
+      textCol: String, vocab: DataFrame): DataFrame = {
     val SENT = "\u0001"
-    val (_, vocab) = wordpieceTrainWithVocab(df, textCol, rounds)
     val dict = vocab.select(
       regexp_replace(col("s"), SENT, "").as("__w"),
       size(filter(split(col("s"), SENT), x => length(x) > 0))

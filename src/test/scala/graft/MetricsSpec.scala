@@ -638,6 +638,14 @@ class MetricsSpec extends SparkSpec {
     // the shipped operating point: argmax F1 = threshold 1 at 0.75
     val best = Metrics.bestF1Threshold(df, "score", "y").collect()(0)
     assert(best.getLong(0) === 1L && best.getAs[Double]("f1") === 0.75)
+    // a fractional score column is REFUSED, not silently truncated
+    // (truncation would merge distinct scores and break the
+    // every-distinct-threshold contract)
+    val frac = Seq((0.5, 1L), (0.4, 0L)).toDF("score", "y")
+    val ex = intercept[IllegalArgumentException] {
+      Metrics.prCurve(frac, "score", "y")
+    }
+    assert(ex.getMessage.contains("integral score column"))
   }
 
   test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +

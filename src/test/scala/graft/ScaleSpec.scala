@@ -884,6 +884,25 @@ class ScaleSpec extends SparkSpec {
     assert(got(2).getAs[Double]("chrf") === 0.0, "disjoint pair")
   }
 
+  test("chrF: unpaired keys follow rougeN — reference-only key scores " +
+      "0.0 with NULL candidate mass, candidate-only key is not emitted") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ref = Seq((1L, "abcdefgh"), (2L, "reference only"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, "abcdefgh"), (3L, "candidate only"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.Eval.chrF(cand, ref, "doc_id", "text")
+      .orderBy(c("doc_id")).collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L),
+      "ref keys kept, cand-only key 3 dropped")
+    val r2 = got(1)
+    assert(r2.isNullAt(r2.fieldIndex("n_cand_grams")) &&
+      r2.isNullAt(r2.fieldIndex("chr_p")))
+    assert(r2.getAs[Long]("n_overlap") === 0L &&
+      r2.getAs[Double]("chr_r") === 0.0 &&
+      r2.getAs[Double]("chrf") === 0.0)
+  }
+
   test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
       "pass and too-few-samples branches") {
     // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
