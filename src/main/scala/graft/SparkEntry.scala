@@ -5681,6 +5681,39 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- BLEU-4 of the truncated candidate vs its reference ----------------
+    // Clipped modified precisions n=1..4 + brevity penalty (Papineni
+    // ACL'02) — the remaining canonical generation metric beside
+    // ROUGE/chrF; one (key, n, gram) dictionary per side, ONE keyed
+    // equi-join, conditional-sum pivot.
+    "bleu_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.scale.Eval.bleu(
+        docs.select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+            .as("text")),
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- corpus-level BLEU-4 (summed counts, then the same algebra) --------
+    // The Papineni corpus statistic — overlaps/masses/lengths sum over
+    // segments BEFORE the precision quotients (not a mean of segment
+    // BLEUs, which over-rewards short segments); one diagnostic row.
+    // Runs on the doc_id % 5 = 0 segment stratum: the statistic is the
+    // deliverable, and re-gramming the full corpus would duplicate
+    // bleu_docs' by-construction 4-gram mass in the suite.
+    "bleu_corpus_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      graft.scale.Eval.bleuCorpus(
+        docs.select(col("doc_id"),
+          concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
+            .as("text")),
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    }),
+
     // ---- minimum detectable effect at current traffic ----------------------
     // The planning row an experimenter reads BEFORE peeking at the
     // delta: MDE = 2.801585 * SE(delta) (alpha .05 two-sided, 80%
@@ -6159,6 +6192,9 @@ object SparkEntry {
           |  CASE WHEN nov > 0 THEN ROUND(5.0 * p * r / (4.0 * p + r), 6)
           |    ELSE 0.0 END AS chrf
           |FROM pr ORDER BY doc_id""".stripMargin),
+
+      ("bleu_docs" -> bleuOracleSql(corpus = false)),
+      ("bleu_corpus_docs" -> bleuOracleSql(corpus = true)),
 
       ("mde_events" ->
         """WITH s AS (
@@ -7040,6 +7076,104 @@ object SparkEntry {
   /** pass@k replay — shared by the batch query and the streaming
     * twin (the drained per-task counts ARE the batch dictionary).
     */
+  /** BLEU-4 replay: per n = 1..4, the rouge2-oracle gram construction
+    * (ragged concat_ws over possibly-NULL positional indexes) on both
+    * sides, clipped overlap + candidate gram mass per (doc, n), then the
+    * fixed-order p_n/BP/geomean algebra — quotients first, logs summed
+    * left-to-right, divide by 4.0, BP last, round 6. `corpus = true`
+    * sums the exact counts over segments before the identical algebra.
+    */
+  private def bleuOracleSql(corpus: Boolean): String = {
+    val maxN = 4
+    def gramCtes(side: String, src: String): String =
+      (1 to maxN).map { n =>
+        val cols = (0 until n).map(j =>
+          if (j == 0) "t[CAST(i AS INT)]"
+          else s"t[CAST(i + $j AS INT)]").mkString(", ")
+        s""",
+           |${side}g$n AS (
+           |  SELECT doc_id, concat_ws(' ', $cols) AS g
+           |  FROM $src,
+           |    UNNEST(range(1, GREATEST(len(t) - ${n - 1}, 1) + 1)) AS u(i)),
+           |${side}c$n AS (
+           |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM ${side}g$n GROUP BY 1, 2)""".stripMargin
+      }.mkString
+    val perN = (1 to maxN).map { n =>
+      s""",
+         |ct$n AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS ct
+         |  FROM cc$n GROUP BY 1),
+         |ov$n AS (
+         |  SELECT r.doc_id, CAST(SUM(LEAST(r.cnt, c.cnt)) AS BIGINT) AS ov
+         |  FROM rc$n r JOIN cc$n c ON c.doc_id = r.doc_id AND c.g = r.g
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    val joins = (1 to maxN).map(n =>
+      s"  JOIN ct$n ON ct$n.doc_id = lens.doc_id\n" +
+        s"  LEFT JOIN ov$n ON ov$n.doc_id = lens.doc_id").mkString("\n")
+    val ctCols = (1 to maxN).map(n =>
+      s"    ct$n.ct AS ct_$n, COALESCE(ov$n.ov, 0) AS ov_$n")
+      .mkString(",\n")
+    val head =
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\\s+'),
+         |      x -> len(x) > 0) AS t
+         |  FROM documents${
+           if (corpus) "\n  WHERE doc_id % 5 = 0" else ""}),
+         |candt AS (SELECT doc_id, t[1:12] AS t FROM toks)${
+           gramCtes("r", "toks")}${gramCtes("c", "candt")}$perN,
+         |lens AS (
+         |  SELECT c.doc_id, CAST(len(c.t) AS BIGINT) AS clen,
+         |    CAST(len(r.t) AS BIGINT) AS rlen
+         |  FROM candt c JOIN toks r ON r.doc_id = c.doc_id),
+         |pern AS (
+         |  SELECT lens.doc_id, lens.clen, lens.rlen,
+         |$ctCols
+         |  FROM lens
+         |$joins)""".stripMargin
+    def algebra(src: String): String = {
+      val lnSum = (1 to maxN).map(n =>
+        s"ln(CAST(ov_$n AS DOUBLE) / ct_$n)").mkString(" + ")
+      val anyZero = (1 to maxN).map(n => s"ov_$n = 0").mkString(" OR ")
+      val pCols = (1 to maxN).map(n =>
+        s"  ROUND(CAST(ov_$n AS DOUBLE) / ct_$n, 6) AS p_$n")
+        .mkString(",\n")
+      val bpExpr = "CASE WHEN cand_len >= ref_len THEN 1.0 " +
+        "ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / cand_len) END"
+      s"""SELECT ${if (corpus) "n_segments, " else "doc_id, "}cand_len, ref_len,
+         |$pCols,
+         |  CASE WHEN cand_len = 0 THEN NULL
+         |    ELSE ROUND($bpExpr, 6) END AS bp,
+         |  CASE WHEN cand_len = 0 THEN NULL
+         |    WHEN $anyZero THEN 0.0
+         |    ELSE ROUND(($bpExpr) *
+         |      exp(($lnSum) / 4.0), 6) END AS bleu
+         |FROM $src""".stripMargin
+    }
+    if (!corpus)
+      s"""$head
+         |${algebra(
+          "(SELECT doc_id, clen AS cand_len, rlen AS ref_len, " +
+            (1 to maxN).flatMap(n => Seq(s"ct_$n", s"ov_$n"))
+              .mkString(", ") + " FROM pern)")}
+         |ORDER BY doc_id""".stripMargin
+    else {
+      val sums = (1 to maxN).flatMap(n => Seq(
+        s"CAST(SUM(ct_$n) AS BIGINT) AS ct_$n",
+        s"CAST(SUM(ov_$n) AS BIGINT) AS ov_$n")).mkString(",\n    ")
+      s"""$head,
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segments,
+         |    CAST(SUM(clen) AS BIGINT) AS cand_len,
+         |    CAST(SUM(rlen) AS BIGINT) AS ref_len,
+         |    $sums
+         |  FROM pern)
+         |${algebra("tot")}""".stripMargin
+    }
+  }
+
   private def passAtKOracleSql: String =
         """WITH s AS (
           |  SELECT event_id % 97 AS task,

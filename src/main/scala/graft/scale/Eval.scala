@@ -1,6 +1,6 @@
 package graft.scale
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-evaluation operators over sampled generations — the measurement
@@ -140,6 +140,142 @@ object Eval {
         round(lit(1.0 + b2) * col("__p") * col("__r") /
           (lit(b2) * col("__p") + col("__r")), 6))
         .otherwise(lit(0.0)).as("chrf"))
+  }
+
+  /** BLEU-4 per (candidate, reference) segment pair (Papineni et al.,
+    * "BLEU: a Method for Automatic Evaluation of Machine Translation",
+    * ACL 2002) — the most-cited generation metric, closing the eval
+    * family beside [[rougeN]] (recall) and [[chrF]] (char F):
+    *   p_n  = Σ_g min(cnt_cand(g), cnt_ref(g)) / Σ_g cnt_cand(g)
+    *          (clipped MODIFIED precision, word n-grams, n = 1..4)
+    *   BP   = 1 if c ≥ r else e^(1−r/c)   (brevity penalty; c, r =
+    *          candidate/reference token counts)
+    *   BLEU = BP · exp((ln p₁ + ln p₂ + ln p₃ + ln p₄) / 4)
+    * with the standard unsmoothed zero rule: any n with zero clipped
+    * overlap → BLEU 0.0 (the geometric mean is −∞); a token-less
+    * candidate → NULL (nothing to score). Declared variant: n-grams use
+    * the house ragged convention ([[rougeN]]'s shingles — a text
+    * shorter than n contributes its whole token span as one gram), so
+    * every non-empty candidate has all four denominators ≥ 1. BLEU is
+    * a PAIR metric: only keys present in BOTH inputs are scored
+    * (unpaired keys are dropped — use rougeN/chrF for the
+    * reference-coverage semantics).
+    *
+    * Determinism: every count is an exact long from a hash-aggregate;
+    * p_n, BP, and the geometric mean are ONE fixed-order double
+    * expression each — both engines take the quotients first, sum the
+    * four logs left-to-right, divide by 4.0, multiply BP last, round 6.
+    *
+    * Scale shape: each side explodes ONCE to a (key, n, gram, cnt)
+    * dictionary covering all four n values (4× the [[rougeN]] gram
+    * mass, still corpus-linear), ONE keyed equi-join on (key, n, gram),
+    * one conditional-sum pivot to the per-key count row — no pair mass,
+    * no window, nothing driver-side.
+    */
+  def bleu(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      maxN: Int = 4): DataFrame = {
+    val counts = bleuCounts(candidates, references, keyCol, textCol, maxN)
+    counts.select(col("key").as(keyCol) +: col("cand_len") +:
+      col("ref_len") +: bleuCols(maxN): _*)
+  }
+
+  /** Corpus-level BLEU over the same counts — clipped overlaps, candidate
+    * gram masses, and lengths SUM over segments first (the Papineni
+    * corpus statistic — NOT a mean of segment BLEUs, which over-rewards
+    * short segments), then the identical p_n/BP/geomean algebra runs on
+    * the four exact totals. One row: n_segments + the [[bleu]] columns.
+    */
+  def bleuCorpus(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      maxN: Int = 4): DataFrame = {
+    val counts = bleuCounts(candidates, references, keyCol, textCol, maxN)
+    val tot = counts.agg(
+      count(lit(1)).as("n_segments"),
+      sum(col("cand_len")).as("cand_len") +:
+        sum(col("ref_len")).as("ref_len") +:
+        (1 to maxN).flatMap(n => Seq(
+          sum(col(s"ct_$n")).as(s"ct_$n"),
+          sum(col(s"ov_$n")).as(s"ov_$n"))): _*)
+    tot.select(col("n_segments") +: col("cand_len") +: col("ref_len") +:
+      bleuCols(maxN): _*)
+  }
+
+  /** The shared corpus-mass job: per pair key, candidate/reference token
+    * counts plus the clipped n-gram overlap `ov_n` and candidate gram
+    * mass `ct_n` for every n ≤ maxN — exact longs, one wide row per key.
+    */
+  private def bleuCounts(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      maxN: Int): DataFrame = {
+    require(maxN >= 1, s"bad maxN $maxN")
+    def grams(df: DataFrame) = df
+      .select(col(keyCol).as("key"), explode(flatten(array(
+        (1 to maxN).map(n => transform(
+          graft.scale.Shingles.positionalShingles(col(textCol), n),
+          g => struct(lit(n).as("n"), g.as("g")))): _*))).as("t"))
+      .select(col("key"), col("t.n").as("n"), col("t.g").as("g"))
+      .groupBy(col("key"), col("n"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val ref = grams(references)
+    val cand = grams(candidates)
+    val candTot = cand.groupBy(col("key"), col("n"))
+      .agg(sum(col("cnt")).as("ct"))
+    val overlap = ref
+      .select(col("key"), col("n"), col("g"), col("cnt").as("__rc"))
+      .join(cand.select(col("key"), col("n"), col("g"),
+        col("cnt").as("__cc")), Seq("key", "n", "g"))
+      .groupBy(col("key"), col("n"))
+      .agg(sum(least(col("__rc"), col("__cc"))).as("ov"))
+    val wide = candTot.join(overlap, Seq("key", "n"), "left")
+      .groupBy(col("key"))
+      .agg((1 to maxN).flatMap(n => Seq(
+        sum(when(col("n") === n, col("ct")).otherwise(0L)).as(s"ct_$n"),
+        sum(when(col("n") === n, coalesce(col("ov"), lit(0L)))
+          .otherwise(0L)).as(s"ov_$n"))).head,
+        (1 to maxN).flatMap(n => Seq(
+          sum(when(col("n") === n, col("ct")).otherwise(0L)).as(s"ct_$n"),
+          sum(when(col("n") === n, coalesce(col("ov"), lit(0L)))
+            .otherwise(0L)).as(s"ov_$n"))).tail: _*)
+    val lens = candidates
+      .select(col(keyCol).as("key"),
+        size(graft.scale.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("cand_len"))
+      .join(references.select(col(keyCol).as("key"),
+        size(graft.scale.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as("ref_len")), Seq("key"))
+    lens.join(wide, Seq("key"))
+  }
+
+  /** The BLEU algebra over a count row: p_n, BP, and the final score as
+    * fixed-order expressions of the exact longs — shared verbatim by the
+    * per-segment and corpus forms, so corpus = segment algebra over
+    * summed counts by construction.
+    */
+  private def bleuCols(maxN: Int): Seq[Column] = {
+    val ps = (1 to maxN).map(n =>
+      col(s"ov_$n").cast("double") / col(s"ct_$n"))
+    val gm = exp(ps.map(log(_)).reduceLeft(_ + _) / lit(maxN.toDouble))
+    val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col("cand_len")))
+    val anyZero = (1 to maxN).map(n => col(s"ov_$n") === 0L)
+      .reduceLeft(_ || _)
+    (1 to maxN).map(n => round(ps(n - 1), 6).as(s"p_$n")) ++ Seq(
+      when(col("cand_len") === 0L, lit(null).cast("double"))
+        .otherwise(round(bp, 6)).as("bp"),
+      when(col("cand_len") === 0L, lit(null).cast("double"))
+        .when(anyZero, lit(0.0))
+        .otherwise(round(bp * gm, 6)).as("bleu"))
   }
 
   /** ROUGE-N recall per (candidate, reference) pair (Lin, "ROUGE: A

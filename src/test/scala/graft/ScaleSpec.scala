@@ -903,6 +903,59 @@ class ScaleSpec extends SparkSpec {
       r2.getAs[Double]("chrf") === 0.0)
   }
 
+  test("bleu: hand-computed clipped precisions, brevity penalty, " +
+      "zero-overlap and empty-candidate branches; corpus = summed counts") {
+    import org.apache.spark.sql.functions.{col => c}
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ref = Seq(
+      (1L, "the cat sat on a mat"),   // identity pair
+      (2L, "a b c d"),                // clipping: cand repeats 'a'
+      (3L, "x y z w v"),              // BP: cand is a 4/5 prefix
+      (4L, "x y")                     // empty candidate
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "the cat sat on a mat"),
+      (2L, "a a a b"),
+      (3L, "x y z w"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = graft.scale.Eval.bleu(cand, ref, "doc_id", "text")
+      .orderBy(c("doc_id")).collect()
+    val d1 = got(0)
+    assert((1 to 4).forall(n => d1.getAs[Double](s"p_$n") === 1.0) &&
+      d1.getAs[Double]("bp") === 1.0 && d1.getAs[Double]("bleu") === 1.0,
+      "identity pair scores 1.0 throughout")
+    val d2 = got(1)
+    // unigrams: cand {a:3, b:1} vs ref {a:1, b:1} -> clipped 2/4;
+    // bigrams: cand {aa:2, ab:1} vs ref {ab, bc, cd} -> 1/3;
+    // trigrams: {aaa, aab} vs {abc, bcd} -> 0 -> BLEU 0.0 (unsmoothed)
+    assert(d2.getAs[Double]("p_1") === 0.5 &&
+      d2.getAs[Double]("p_2") === 0.333333 &&
+      d2.getAs[Double]("p_3") === 0.0)
+    assert(d2.getAs[Double]("bleu") === 0.0, "zero clipped overlap")
+    val d3 = got(2)
+    // every cand gram survives (prefix) -> all p_n = 1; BP = e^(1-5/4)
+    assert((1 to 4).forall(n => d3.getAs[Double](s"p_$n") === 1.0))
+    assert(d3.getAs[Double]("bp") === r6(math.exp(-0.25)) &&
+      d3.getAs[Double]("bleu") === r6(math.exp(-0.25)))
+    val d4 = got(3)
+    assert(d4.getAs[Long]("cand_len") === 0L &&
+      d4.isNullAt(d4.fieldIndex("bp")) &&
+      d4.isNullAt(d4.fieldIndex("bleu")), "token-less candidate -> NULL")
+    // corpus form over pairs 1+3 only: counts SUM first (c=10, r=11,
+    // all overlaps full) -> p_n = 1, BLEU = BP = e^(1-11/10)
+    val corp = graft.scale.Eval.bleuCorpus(
+      cand.filter(c("doc_id").isin(1L, 3L)),
+      ref.filter(c("doc_id").isin(1L, 3L)), "doc_id", "text")
+      .collect()(0)
+    assert(corp.getAs[Long]("n_segments") === 2L &&
+      corp.getAs[Long]("cand_len") === 10L &&
+      corp.getAs[Long]("ref_len") === 11L)
+    assert((1 to 4).forall(n => corp.getAs[Double](s"p_$n") === 1.0))
+    assert(corp.getAs[Double]("bleu") === r6(math.exp(1.0 - 11.0 / 10.0)))
+  }
+
   test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
       "pass and too-few-samples branches") {
     // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
