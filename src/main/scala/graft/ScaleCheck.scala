@@ -1404,6 +1404,14 @@ object ScaleCheck {
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
         events, "event_id", None),
+      ("srm_guard",
+        // two conditional long sums per arm (one hash-agg), chi-square
+        // per |arms| dictionary row
+        (d: DataFrame) => graft.metrics.Metrics.srmGuard(
+          d.select((col("user_id") % 3).as("arm"),
+            (col("user_id") % 2 === 0).as("side")),
+          "side", Seq("arm")),
+        events, "event_id", None),
       ("rank_centrality",
         // the bradley_terry first-agg shape; the walk rounds join/agg
         // the <=2N^2 edge dictionary only (players fixed at 12)

@@ -5732,6 +5732,35 @@ object SparkEntry {
     "cuped_events" -> ((s, dir) =>
       Events.cuped(t(s, dir, "events"), 19738L)),
 
+    // ---- sample-ratio-mismatch guard (assignment-count chi-square) ---------
+    // The FIRST check a real A/B platform runs: Pearson chi-square of
+    // the n_a:n_b assignment counts against the declared 50/50 design
+    // at the strict alpha=0.001 SRM literal (Fabijan KDD'19) — the
+    // validity gate the whole mSPRT/CUPED/MDE panel silently assumes.
+    "srm_guard_events" -> ((s, dir) =>
+      Metrics.srmGuard(
+        t(s, dir, "events").select((col("user_id") % 3).as("arm"),
+          (col("user_id") % 2 === 0).as("side")),
+        "side", Seq("arm"))
+        .orderBy(col("arm"))),
+
+    // ---- STREAMING SRM guard (the two assignment counts as state) ----------
+    "streaming_srm_guard_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = Metrics.srmCounts(
+        stream.select((col("user_id") % 3).as("arm"),
+          (col("user_id") % 2 === 0).as("side")),
+        "side", Seq("arm"))
+      val name = "stream_srm_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.srmFromCounts(drained, Seq("arm"))
+        .orderBy(col("arm"))
+    }),
+
     // ---- ALWAYS-VALID sequential two-proportion test ------------------------
     // The conversion-rate mSPRT (sequential_ab covers means): same
     // event-level fabric as the streaming proportions twin, so the
@@ -6320,6 +6349,8 @@ object SparkEntry {
           |FROM z""".stripMargin),
 
       // sequential (mSPRT) conversion test + its twin share one oracle
+      ("srm_guard_events" -> srmGuardOracleSql),
+      ("streaming_srm_guard_events" -> srmGuardOracleSql),
       ("sequential_proportion_events" -> sequentialProportionOracleSql),
       ("streaming_sequential_proportion_events" ->
         sequentialProportionOracleSql),
@@ -7076,6 +7107,37 @@ object SparkEntry {
   /** pass@k replay — shared by the batch query and the streaming
     * twin (the drained per-task counts ARE the batch dictionary).
     */
+  /** SRM chi-square replay: two conditional counts per arm, expected
+    * halves via the same multiply-then-divide literal order, a-term +
+    * b-term, rounded 6; the flag compares the ROUNDED chi2 to the
+    * alpha=0.001 df=1 literal so both engines decide identically.
+    */
+  private def srmGuardOracleSql: String =
+    """WITH s AS (
+      |  SELECT user_id % 3 AS arm, (user_id % 2 = 0) AS side
+      |  FROM events),
+      |g AS (
+      |  SELECT arm,
+      |    CAST(COUNT(*) FILTER (NOT side) AS BIGINT) AS n_a,
+      |    CAST(COUNT(*) FILTER (side) AS BIGINT) AS n_b
+      |  FROM s GROUP BY arm),
+      |d AS (
+      |  SELECT arm, n_a, n_b, n_a + n_b AS n,
+      |    CAST(n_a + n_b AS DOUBLE) * 1.0 / 2.0 AS ea,
+      |    CAST(n_a + n_b AS DOUBLE) * 1.0 / 2.0 AS eb
+      |  FROM g),
+      |c AS (
+      |  SELECT arm, n_a, n_b, n, ea,
+      |    ROUND((CAST(n_a AS DOUBLE) - ea) * (CAST(n_a AS DOUBLE) - ea)
+      |        / ea
+      |      + (CAST(n_b AS DOUBLE) - eb) * (CAST(n_b AS DOUBLE) - eb)
+      |        / eb, 6) AS x2
+      |  FROM d)
+      |SELECT arm, n_a, n_b, ROUND(ea, 6) AS expected_a,
+      |  CASE WHEN n >= 100 THEN x2 END AS chi2,
+      |  CASE WHEN n >= 100 THEN x2 > 10.827566 END AS srm
+      |FROM c ORDER BY arm""".stripMargin
+
   /** BLEU-4 replay: per n = 1..4, the rouge2-oracle gram construction
     * (ragged concat_ws over possibly-NULL positional indexes) on both
     * sides, clipped overlap + candidate gram mass per (doc, n), then the

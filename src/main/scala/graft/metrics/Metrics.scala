@@ -2029,6 +2029,78 @@ object Metrics {
         col("k_a"), col("k_b"), col("p_a"), col("p_b"), col("z"))): _*)
   }
 
+  /** Sample-ratio-mismatch (SRM) guard — the validity gate every A/B
+    * readout silently assumes (Fabijan et al., "Diagnosing Sample Ratio
+    * Mismatch in Online Controlled Experiments", KDD 2019): a Pearson
+    * chi-square on the ASSIGNMENT counts against the declared design
+    * ratio. A broken randomizer/logging path skews n_a:n_b long before
+    * it biases any metric, and every downstream statistic
+    * ([[sequentialAbTest]], [[cuped]]-adjusted deltas, [[minDetectableEffect]])
+    * is built on the assumption this test passes. Per group, with
+    * E_s = n·r_s/(r_a+r_b):
+    *   χ² = (n_a−E_a)²/E_a + (n_b−E_b)²/E_b   (df = 1)
+    * flagged at the α = 0.001 critical literal 10.827566 — the
+    * deliberately strict SRM convention (a false SRM alarm kills a
+    * healthy experiment, so the industry tests at 0.001, not 0.05).
+    *
+    * Determinism: counts are exact longs from one conditional
+    * hash-aggregate; E and χ² are ONE fixed-order double expression
+    * (multiply by the ratio literal, then divide by the ratio-sum
+    * literal; a-term plus b-term), rounded to 6 — and the decision
+    * compares the ROUNDED χ² to the literal, so both engines flag
+    * identically. NULL χ²/flag below `minN` total units (the honest
+    * too-early answer, matching the mSPRT panel).
+    */
+  def srmGuard(
+      df: DataFrame,
+      sideCol: String,
+      groupCols: Seq[String],
+      ratioA: Long = 1L,
+      ratioB: Long = 1L,
+      minN: Long = 100L): DataFrame =
+    srmFromCounts(srmCounts(df, sideCol, groupCols), groupCols,
+      ratioA, ratioB, minN)
+
+  /** The associative half of [[srmGuard]] — two exact conditional long
+    * sums per group, legal Complete-mode streaming state; the streaming
+    * twin drains this and runs [[srmFromCounts]], sharing the batch
+    * oracle verbatim.
+    */
+  def srmCounts(
+      df: DataFrame,
+      sideCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val side = col(sideCol).cast("boolean")
+    df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(side, 0L).otherwise(1L)).as("n_a"),
+      sum(when(side, 1L).otherwise(0L)).as("n_b"))
+  }
+
+  /** The chi-square algebra over a drained [[srmCounts]] table. */
+  def srmFromCounts(
+      g: DataFrame,
+      groupCols: Seq[String],
+      ratioA: Long = 1L,
+      ratioB: Long = 1L,
+      minN: Long = 100L): DataFrame = {
+    require(ratioA >= 1L && ratioB >= 1L && minN >= 1L,
+      s"bad SRM params ratioA=$ratioA ratioB=$ratioB minN=$minN")
+    val crit = 10.827566 // chi-square df=1 upper-0.001 critical value
+    val n = col("n_a") + col("n_b")
+    val rab = (ratioA + ratioB).toDouble
+    val ea = n.cast("double") * lit(ratioA.toDouble) / lit(rab)
+    val eb = n.cast("double") * lit(ratioB.toDouble) / lit(rab)
+    val da = col("n_a").cast("double") - ea
+    val db = col("n_b").cast("double") - eb
+    val chi2 = da * da / ea + db * db / eb
+    val ok = n >= minN
+    g.withColumn("expected_a", round(ea, 6))
+      .withColumn("chi2", when(ok, round(chi2, 6)))
+      .withColumn("srm", when(ok, col("chi2") > lit(crit)))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("expected_a"), col("chi2"), col("srm"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -648,6 +648,43 @@ class MetricsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integral score column"))
   }
 
+  test("srmGuard: planted 70/30 mismatch flagged, healthy 51/49 split " +
+      "passes, below-minN group gates to NULL, declared 3:1 ratio exact") {
+    // bad: 700/300 on a 50/50 design -> E = 500 each,
+    //   chi2 = 200^2/500 + 200^2/500 = 160.0 -> srm (>> 10.827566)
+    // ok:  510/490 -> chi2 = 10^2/500 * 2 = 0.4 -> no srm
+    // tiny: 6/4 -> n = 10 < minN -> chi2/srm NULL
+    val rows =
+      Seq.fill(700)(("bad", false)) ++ Seq.fill(300)(("bad", true)) ++
+      Seq.fill(510)(("ok", false)) ++ Seq.fill(490)(("ok", true)) ++
+      Seq.fill(6)(("tiny", false)) ++ Seq.fill(4)(("tiny", true))
+    val df = rows.toDF("grp", "side")
+    val got = Metrics.srmGuard(df, "side", Seq("grp"))
+      .orderBy($"grp").collect()
+    val bad = got(0)
+    assert(bad.getAs[Long]("n_a") === 700L &&
+      bad.getAs[Double]("expected_a") === 500.0 &&
+      bad.getAs[Double]("chi2") === 160.0 &&
+      bad.getAs[Boolean]("srm"))
+    val ok = got(1)
+    assert(ok.getAs[Double]("chi2") === 0.4 && !ok.getAs[Boolean]("srm"))
+    val tiny = got(2)
+    assert(tiny.isNullAt(tiny.fieldIndex("chi2")) &&
+      tiny.isNullAt(tiny.fieldIndex("srm")), "below minN -> NULL gate")
+    // declared 3:1 design hit exactly: E_a = 300, E_b = 100, chi2 = 0
+    val r31 = Metrics.srmGuard(
+      (Seq.fill(300)(("g", false)) ++ Seq.fill(100)(("g", true)))
+        .toDF("grp", "side"),
+      "side", Seq("grp"), ratioA = 3L, ratioB = 1L).collect()(0)
+    assert(r31.getAs[Double]("expected_a") === 300.0 &&
+      r31.getAs[Double]("chi2") === 0.0 && !r31.getAs[Boolean]("srm"))
+    // composition: srmFromCounts over srmCounts = srmGuard by construction
+    val viaCounts = Metrics.srmFromCounts(
+      Metrics.srmCounts(df, "side", Seq("grp")), Seq("grp"))
+      .orderBy($"grp").collect()
+    assert(viaCounts.map(_.toString).toSeq === got.map(_.toString).toSeq)
+  }
+
   test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +
       "NULL on a one-observation side") {
     // group x: A={1,2,3} (var 1), B={2,4,6} (var 4) -> V = 1/3 + 4/3,
