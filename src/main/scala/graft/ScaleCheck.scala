@@ -1404,6 +1404,16 @@ object ScaleCheck {
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
         events, "event_id", None),
+      ("url_dedup",
+        // pure-expression canonicalization + ONE hash-agg on the
+        // canonical key — the cheapest dedup pass by construction
+        (d: DataFrame) => graft.scale.Dedup.urlDedup(
+          d.select(col("doc_id"), concat(
+            lit("https://example.com/page/"),
+            (col("doc_id") % 1000000L).cast("string"),
+            lit("?utm_source=x")).as("url")),
+          "doc_id", "url"),
+        docs, "doc_id", None),
       ("srm_guard",
         // two conditional long sums per arm (one hash-agg), chi-square
         // per |arms| dictionary row

@@ -5732,6 +5732,31 @@ object SparkEntry {
     "cuped_events" -> ((s, dir) =>
       Events.cuped(t(s, dir, "events"), 19738L)),
 
+    // ---- URL canonicalization + URL-level dedup ----------------------------
+    // The crawl pipeline's FIRST dedup pass: case-shuffled hosts,
+    // default ports, fragments, and tracking params collapse to one
+    // canonical key, then one hash-agg picks the min-id representative.
+    // Five deterministic messy variants per page derive from doc_id
+    // (the planted-fixture pattern); variants 0-3 canonicalize
+    // together, variant 4 (http + a KEPT id param) stays distinct.
+    "url_dedup_docs" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"), expr(
+        """CASE CAST(doc_id % 5 AS INT)
+          |  WHEN 0 THEN concat('HTTPS://Example.COM:443/page/',
+          |    CAST(doc_id div 5 AS STRING), '/')
+          |  WHEN 1 THEN concat('https://example.com/page/',
+          |    CAST(doc_id div 5 AS STRING), '#section-2')
+          |  WHEN 2 THEN concat('https://example.com/page/',
+          |    CAST(doc_id div 5 AS STRING), '?utm_source=feed&fbclid=abc')
+          |  WHEN 3 THEN concat('https://example.com/page/',
+          |    CAST(doc_id div 5 AS STRING), '/?ref=home')
+          |  ELSE concat('http://example.com:80/page/',
+          |    CAST(doc_id div 5 AS STRING), '?id=7')
+          |END""".stripMargin).as("url"))
+      Dedup.urlDedup(urls, "doc_id", "url")
+        .orderBy(col("canonical_url"))
+    }),
+
     // ---- sample-ratio-mismatch guard (assignment-count chi-square) ---------
     // The FIRST check a real A/B platform runs: Pearson chi-square of
     // the n_a:n_b assignment counts against the declared 50/50 design
@@ -6349,6 +6374,71 @@ object SparkEntry {
           |FROM z""".stripMargin),
 
       // sequential (mSPRT) conversion test + its twin share one oracle
+      // url dedup: the same messy-variant construction, the same six
+      // declared canonicalization rules as expression mirrors, one
+      // GROUP BY on the canonical key
+      ("url_dedup_docs" ->
+        """WITH u0 AS (
+          |  SELECT doc_id,
+          |    CASE CAST(doc_id % 5 AS INT)
+          |      WHEN 0 THEN 'HTTPS://Example.COM:443/page/'
+          |        || CAST(doc_id // 5 AS VARCHAR) || '/'
+          |      WHEN 1 THEN 'https://example.com/page/'
+          |        || CAST(doc_id // 5 AS VARCHAR) || '#section-2'
+          |      WHEN 2 THEN 'https://example.com/page/'
+          |        || CAST(doc_id // 5 AS VARCHAR)
+          |        || '?utm_source=feed&fbclid=abc'
+          |      WHEN 3 THEN 'https://example.com/page/'
+          |        || CAST(doc_id // 5 AS VARCHAR) || '/?ref=home'
+          |      ELSE 'http://example.com:80/page/'
+          |        || CAST(doc_id // 5 AS VARCHAR) || '?id=7'
+          |    END AS url
+          |  FROM documents),
+          |c0 AS (
+          |  SELECT doc_id, trim(url) AS tu,
+          |    regexp_replace(trim(url), '#.*$', '') AS nf
+          |  FROM u0),
+          |c1 AS (
+          |  SELECT doc_id, tu, nf,
+          |    regexp_extract(nf,
+          |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth
+          |  FROM c0),
+          |c2 AS (
+          |  SELECT doc_id, tu, auth,
+          |    substring(nf, length(auth) + 1) AS rest
+          |  FROM c1),
+          |c3 AS (
+          |  SELECT doc_id, tu, auth,
+          |    regexp_replace(regexp_replace(lower(auth),
+          |      '^(https://[^:/?#]*):443$', '\1'),
+          |      '^(http://[^:/?#]*):80$', '\1') AS authc,
+          |    regexp_replace(rest, '\?.*$', '') AS path,
+          |    CASE WHEN contains(rest, '?')
+          |      THEN regexp_replace(rest, '^[^?]*\?', '')
+          |      ELSE '' END AS q
+          |  FROM c2),
+          |c4 AS (
+          |  SELECT doc_id, tu, auth, authc,
+          |    regexp_replace(path, '/$', '') AS path2,
+          |    array_to_string(list_filter(string_split(q, '&'),
+          |      p -> len(p) > 0 AND NOT (starts_with(p, 'utm_')
+          |        OR p = 'gclid' OR starts_with(p, 'gclid=')
+          |        OR p = 'fbclid' OR starts_with(p, 'fbclid=')
+          |        OR p = 'msclkid' OR starts_with(p, 'msclkid=')
+          |        OR p = 'ref' OR starts_with(p, 'ref='))), '&') AS q2
+          |  FROM c3),
+          |canon AS (
+          |  SELECT doc_id,
+          |    CASE WHEN length(auth) > 0 THEN authc || path2 ||
+          |      (CASE WHEN length(q2) > 0 THEN '?' || q2 ELSE '' END)
+          |    ELSE tu END AS canonical_url
+          |  FROM c4)
+          |SELECT canonical_url,
+          |  CAST(MIN(doc_id) AS BIGINT) AS rep_id,
+          |  CAST(COUNT(*) AS BIGINT) AS n_dups
+          |FROM canon GROUP BY canonical_url
+          |ORDER BY canonical_url""".stripMargin),
+
       ("srm_guard_events" -> srmGuardOracleSql),
       ("streaming_srm_guard_events" -> srmGuardOracleSql),
       ("sequential_proportion_events" -> sequentialProportionOracleSql),

@@ -28,6 +28,72 @@ object Dedup {
     df.groupBy(md5(to_json(struct(dupCols.map(col): _*))).as("dup_key"))
       .agg(min(col(keyCol)).as(keyCol), count(lit(1)).as("n_dups"))
 
+  /** Query parameters stripped by [[canonicalizeUrl]]: the `utm_*`
+    * campaign-tagging prefix plus the common click-identifier keys — the
+    * parameters ad/analytics stacks append that never change the fetched
+    * resource. Declared and fixed so the canonical key is reproducible.
+    */
+  val TrackingParamPrefixes: Seq[String] = Seq("utm_")
+  val TrackingParamKeys: Seq[String] =
+    Seq("gclid", "fbclid", "msclkid", "ref")
+
+  /** URL canonicalization — the key a crawl pipeline dedups on BEFORE any
+    * content dedup (the same page is fetched under case-shuffled hosts,
+    * default ports, tracking params, and fragment anchors; URL-level
+    * dedup removes those refetches for the price of one hash-agg, orders
+    * of magnitude cheaper than content shingling). Declared rules, all
+    * pure codegen-friendly expressions:
+    *   1. trim surrounding whitespace;
+    *   2. drop the `#fragment` (never sent to the server);
+    *   3. lowercase the scheme and authority (host) — the PATH stays
+    *      case-sensitive per RFC 3986;
+    *   4. strip the scheme-default port (`:80` for http, `:443` for
+    *      https; explicit non-default ports survive);
+    *   5. drop [[TrackingParamPrefixes]]/[[TrackingParamKeys]] query
+    *      parameters (remaining params keep their order — reordering
+    *      would conflate genuinely different cache keys);
+    *   6. strip ONE trailing slash from the path (`/a/` ≡ `/a`, and the
+    *      bare root `/` collapses into the authority).
+    * A string with no `scheme://authority` head is returned trimmed but
+    * otherwise untouched (not a URL — nothing safe to rewrite).
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val t = trim(url)
+    val noFrag = regexp_replace(t, "#.*$", "")
+    val auth =
+      regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = noFrag.substr(length(auth) + lit(1), length(noFrag))
+    val authCanon = regexp_replace(
+      regexp_replace(lower(auth), "^(https://[^:/?#]*):443$", "$1"),
+      "^(http://[^:/?#]*):80$", "$1")
+    val path = regexp_replace(rest, "\\?.*$", "")
+    val query = when(rest.contains("?"),
+      regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
+    val isTracking = (p: Column) =>
+      (TrackingParamPrefixes.map(px => startswith(p, lit(px))) ++
+        TrackingParamKeys.map(k =>
+          p === lit(k) || startswith(p, lit(k + "=")))).reduce(_ || _)
+    val kept = filter(split(query, "&"),
+      p => length(p) > 0 && !isTracking(p))
+    val q2 = array_join(kept, "&")
+    val path2 = regexp_replace(path, "/$", "")
+    when(length(auth) > 0,
+      concat(authCanon, path2,
+        when(length(q2) > 0, concat(lit("?"), q2)).otherwise(lit(""))))
+      .otherwise(t)
+  }
+
+  /** URL-level exact dedup: [[canonicalizeUrl]] then one hash-aggregate
+    * on the canonical key — min id as the representative, refetch count
+    * per page. The cheapest dedup pass in the pipeline (no shingles, no
+    * pair mass) and the one a crawl corpus runs FIRST; content dedup
+    * ([[minhashLsh]] etc.) then works on an already-URL-unique corpus.
+    */
+  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
   /** MinHash signature per (doc, hash seed): min over shingles of
     * md5(seed || ":" || shingle). Lexicographic min over hex strings is a
     * valid min-wise hash family here (fixed-width hex).

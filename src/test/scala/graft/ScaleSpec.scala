@@ -68,6 +68,56 @@ class ScaleSpec extends SparkSpec {
     assert(got === Seq("the quick brown fox", "jumps over the lazy", "dog"))
   }
 
+  test("canonicalizeUrl: hand-written rule table — case/port/fragment/" +
+      "tracking-param/trailing-slash normalization, non-URLs untouched") {
+    val table = Seq(
+      // lowercase scheme+host, default https port, trailing slash
+      ("HTTPS://Example.COM:443/a/", "https://example.com/a"),
+      // default http port + bare root path collapses
+      ("http://Example.com:80/", "http://example.com"),
+      // explicit NON-default port survives
+      ("https://example.com:8443/a", "https://example.com:8443/a"),
+      // tracking params dropped, real param kept, fragment dropped
+      ("https://example.com/a?utm_source=x&id=7&fbclid=z#frag",
+        "https://example.com/a?id=7"),
+      // 'utm=' is NOT the 'utm_' prefix -> kept
+      ("https://example.com/a?utm=keepme",
+        "https://example.com/a?utm=keepme"),
+      // exact tracking key, with and without '='
+      ("https://example.com/a?ref=home", "https://example.com/a"),
+      ("https://example.com/?gclid", "https://example.com"),
+      // 'refresh' is not 'ref' -> kept
+      ("https://example.com/a?refresh=1",
+        "https://example.com/a?refresh=1"),
+      // PATH case is preserved (RFC 3986: only scheme/host fold)
+      ("https://example.com/CaseSensitive/Path",
+        "https://example.com/CaseSensitive/Path"),
+      // surrounding whitespace trimmed
+      ("  https://example.com/b  ", "https://example.com/b"),
+      // not a URL: trimmed, otherwise untouched
+      ("not a url", "not a url"))
+    val got = table.zipWithIndex
+      .map { case ((in, _), i) => (i, in) }.toDF("i", "url")
+      .select($"i", Dedup.canonicalizeUrl($"url").as("c"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    table.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) === want, s"canonicalizeUrl('$in')")
+    }
+    // urlDedup: variants of one page collapse to min-id rep
+    val urls = Seq(
+      (10L, "https://example.com/p/1"),
+      (11L, "HTTPS://example.com:443/p/1/"),
+      (12L, "https://example.com/p/1?utm_source=a#x"),
+      (13L, "https://example.com/p/2")).toDF("doc_id", "url")
+    val dd = Dedup.urlDedup(urls, "doc_id", "url")
+      .orderBy($"canonical_url").collect()
+    assert(dd.length === 2)
+    assert(dd(0).getString(0) === "https://example.com/p/1" &&
+      dd(0).getLong(1) === 10L && dd(0).getLong(2) === 3L)
+    assert(dd(1).getString(0) === "https://example.com/p/2" &&
+      dd(1).getLong(2) === 1L)
+  }
+
   test("passageDedup keeps only the first global occurrence of each passage") {
     // chunk size 4: docs 1 and 4 are identical → doc 4 loses all chunks;
     // doc 2 shares its first 2 chunks with doc 1 and keeps only "cat"
