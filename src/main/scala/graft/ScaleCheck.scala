@@ -1404,6 +1404,15 @@ object ScaleCheck {
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
         events, "event_id", None),
+      ("line_density",
+        // one per-line metric-struct explode (lambda binds the token
+        // array once) + one doc-key hash-agg — corpus-linear
+        (d: DataFrame) => graft.scale.TextAnalysis.lineDensityFilter(
+          d.select(col("doc_id"),
+            concat_ws("\n", graft.scale.TextAnalysis
+              .wordChunks(col("text"), 8)).as("text")),
+          "doc_id", "text"),
+        docs, "doc_id", Some("text")),
       ("url_dedup",
         // pure-expression canonicalization + ONE hash-agg on the
         // canonical key — the cheapest dedup pass by construction

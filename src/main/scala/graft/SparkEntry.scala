@@ -5732,6 +5732,24 @@ object SparkEntry {
     "cuped_events" -> ((s, dir) =>
       Events.cuped(t(s, dir, "events"), 19738L)),
 
+    // ---- line-density boilerplate filter ------------------------------------
+    // jusText-class intra-doc gate: docs become 8-token lines plus
+    // deterministic planted boilerplate (a link-dense nav line on
+    // doc_id % 3, a too-short "click here" on doc_id % 4); keep a line
+    // iff >= 4 tokens AND link density <= 1/5 (exact integer compare).
+    // Per doc: kept/dropped line counts + token keep-mass.
+    // (boilerplate_docs is the complementary CROSS-doc C4 df-rule scrub.)
+    "line_density_docs" -> ((s, dir) => {
+      val lined = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n",
+          concat_ws("\n", TextAnalysis.wordChunks(col("text"), 8)),
+          when(col("doc_id") % 3 === 0,
+            lit("home | about | http://site.example/nav www.example.com")),
+          when(col("doc_id") % 4 === 0, lit("click here"))).as("text"))
+      TextAnalysis.lineDensityFilter(lined, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- URL canonicalization + URL-level dedup ----------------------------
     // The crawl pipeline's FIRST dedup pass: case-shuffled hosts,
     // default ports, fragments, and tracking params collapse to one
@@ -6374,6 +6392,62 @@ object SparkEntry {
           |FROM z""".stripMargin),
 
       // sequential (mSPRT) conversion test + its twin share one oracle
+      // line-density boilerplate: same 8-token chunking + planted lines,
+      // same exact-integer keep rule (nt >= 4 AND nl*5 <= nt*1)
+      ("line_density_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS t
+          |  FROM documents),
+          |lined AS (
+          |  SELECT doc_id, concat_ws(chr(10),
+          |    array_to_string(list_transform(
+          |      range(0, GREATEST(CAST(ceil(len(t) / 8.0) AS INT), 1)),
+          |      i -> array_to_string(
+          |        t[CAST(i * 8 + 1 AS INT):CAST(i * 8 + 8 AS INT)], ' ')),
+          |      chr(10)),
+          |    CASE WHEN doc_id % 3 = 0 THEN
+          |      'home | about | http://site.example/nav www.example.com'
+          |      END,
+          |    CASE WHEN doc_id % 4 = 0 THEN 'click here' END) AS text
+          |  FROM toks),
+          |lines AS (
+          |  SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+          |  FROM lined),
+          |m AS (
+          |  SELECT doc_id,
+          |    CAST(len(lt) AS BIGINT) AS nt,
+          |    CAST(len(list_filter(lt, x -> contains(x, '://')
+          |      OR starts_with(x, 'www.'))) AS BIGINT) AS nl,
+          |    CAST(len(list_filter(lt, x -> list_contains(['the', 'a',
+          |      'an', 'and', 'or', 'of', 'to', 'in', 'is', 'it', 'that',
+          |      'for', 'on', 'with', 'as', 'at', 'by', 'from'], x)))
+          |      AS BIGINT) AS ns
+          |  FROM (
+          |    SELECT doc_id,
+          |      list_filter(string_split_regex(lower(line), '\s+'),
+          |        x -> len(x) > 0) AS lt
+          |    FROM lines)),
+          |agg AS (
+          |  SELECT doc_id,
+          |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+          |    CAST(SUM(CASE WHEN nt >= 4 AND nl * 5 <= nt * 1
+          |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_lines,
+          |    CAST(SUM(CASE WHEN nt >= 4 AND nl * 5 <= nt * 1
+          |      THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped_lines,
+          |    CAST(SUM(nt) AS BIGINT) AS n_tokens,
+          |    CAST(SUM(CASE WHEN nt >= 4 AND nl * 5 <= nt * 1
+          |      THEN nt ELSE 0 END) AS BIGINT) AS n_kept_tokens,
+          |    CAST(SUM(ns) AS BIGINT) AS n_stop
+          |  FROM m GROUP BY doc_id)
+          |SELECT doc_id, n_lines, n_kept_lines, n_dropped_lines,
+          |  n_tokens, n_kept_tokens, n_stop,
+          |  CASE WHEN n_tokens > 0 THEN
+          |    ROUND(CAST(n_kept_tokens AS DOUBLE) / n_tokens, 6)
+          |  END AS keep_mass
+          |FROM agg ORDER BY doc_id""".stripMargin),
+
       // url dedup: the same messy-variant construction, the same six
       // declared canonicalization rules as expression mirrors, one
       // GROUP BY on the canonical key

@@ -84,6 +84,63 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "from")
 
+  /** Line-density boilerplate filter — the jusText/trafilatura-class
+    * INTRA-document gate a crawl pipeline runs before any quality
+    * scoring ([[Dedup.boilerplateScrub]] is the complementary
+    * CROSS-document repeated-chunk scrub): split on newlines, measure
+    * each line, keep it iff
+    *   n_tokens ≥ `minTokens`  AND  n_link·`linkDen` ≤ n_tokens·`linkNum`
+    * (link density ≤ linkNum/linkDen as an EXACT integer comparison —
+    * no float threshold to disagree on). A "link token" contains `://`
+    * or starts with `www.` — nav bars, share buttons, and footer menus
+    * are short and link-dense, body prose is neither (the jusText
+    * heuristic). Stopword occurrences ([[Stopwords]]) are reported per
+    * doc as the density diagnostic, not gated on.
+    *
+    * Per doc: n_lines, kept/dropped line counts, total + kept token
+    * mass, n_stop, keep_mass = kept/total (round 6, NULL on a
+    * token-less doc).
+    *
+    * Scale shape: ONE explode of per-line metric structs (the line
+    * lambda binds its token array once and the Generate boundary
+    * materializes the struct, so nothing re-tokenizes), then one
+    * hash-aggregate on the doc key — corpus-linear, partial-agg
+    * friendly, no window/join/driver state.
+    */
+  def lineDensityFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 4,
+      linkNum: Int = 1,
+      linkDen: Int = 5): DataFrame = {
+    require(minTokens >= 0 && linkNum >= 0 && linkDen >= 1,
+      s"bad lineDensityFilter params $minTokens $linkNum/$linkDen")
+    val perLine = df.select(col(idCol), explode(transform(
+      split(col(textCol), "\n"), line =>
+        element_at(transform(array(
+          filter(split(lower(line), "\\s+"), x => length(x) > 0)), t =>
+          struct(
+            size(t).cast("long").as("nt"),
+            size(filter(t, x => x.contains("://") ||
+              startswith(x, lit("www.")))).cast("long").as("nl"),
+            size(filter(t, x =>
+              array_contains(lit(Stopwords.toArray), x)))
+              .cast("long").as("ns"))), 1))).as("m"))
+    val keep = col("m.nt") >= minTokens.toLong &&
+      col("m.nl") * lit(linkDen.toLong) <=
+        col("m.nt") * lit(linkNum.toLong)
+    perLine.groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept_lines"),
+        sum(when(keep, 0L).otherwise(1L)).as("n_dropped_lines"),
+        sum(col("m.nt")).as("n_tokens"),
+        sum(when(keep, col("m.nt")).otherwise(0L)).as("n_kept_tokens"),
+        sum(col("m.ns")).as("n_stop"))
+      .withColumn("keep_mass", when(col("n_tokens") > 0L,
+        round(col("n_kept_tokens").cast("double") / col("n_tokens"), 6)))
+  }
+
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = tokens(col(textCol))
     val stop = lit(Stopwords.toArray)

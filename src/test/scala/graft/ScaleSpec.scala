@@ -68,6 +68,43 @@ class ScaleSpec extends SparkSpec {
     assert(got === Seq("the quick brown fox", "jumps over the lazy", "dog"))
   }
 
+  test("lineDensityFilter: planted nav/short lines dropped, body kept, " +
+      "exact link-density boundary, token-less doc gates keep_mass NULL") {
+    val fix = Seq(
+      // L1 body (8 toks, keep; stop: the, and), L2 nav (6 toks, 2 links
+      // -> 2*5 > 6, drop), L3 short (2 toks < 4, drop), L4 body (7 toks,
+      // keep; stop: the)
+      (1L, "the quick brown fox jumps over and over\n" +
+        "home | about | http://x.io/a www.x.io\n" +
+        "click here\n" +
+        "this body line has the required tokens"),
+      // token-less doc: one empty line, nothing kept, NULL keep_mass
+      (2L, ""),
+      // exact boundary: 1 link in 5 tokens keeps (5 <= 5), 1 in 4 drops
+      (3L, "a b c d www.x.io\na b c www.x.io")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDensityFilter(fix, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+    val d1 = got(0)
+    assert(d1.getAs[Long]("n_lines") === 4L &&
+      d1.getAs[Long]("n_kept_lines") === 2L &&
+      d1.getAs[Long]("n_dropped_lines") === 2L)
+    assert(d1.getAs[Long]("n_tokens") === 23L &&
+      d1.getAs[Long]("n_kept_tokens") === 15L &&
+      d1.getAs[Long]("n_stop") === 3L)
+    assert(d1.getAs[Double]("keep_mass") === 0.652174)
+    val d2 = got(1)
+    assert(d2.getAs[Long]("n_lines") === 1L &&
+      d2.getAs[Long]("n_kept_lines") === 0L &&
+      d2.getAs[Long]("n_tokens") === 0L &&
+      d2.isNullAt(d2.fieldIndex("keep_mass")))
+    val d3 = got(2)
+    assert(d3.getAs[Long]("n_kept_lines") === 1L &&
+      d3.getAs[Long]("n_dropped_lines") === 1L &&
+      d3.getAs[Long]("n_kept_tokens") === 5L &&
+      d3.getAs[Double]("keep_mass") === 0.555556)
+  }
+
   test("canonicalizeUrl: hand-written rule table — case/port/fragment/" +
       "tracking-param/trailing-slash normalization, non-URLs untouched") {
     val table = Seq(
