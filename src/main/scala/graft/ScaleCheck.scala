@@ -1404,6 +1404,15 @@ object ScaleCheck {
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
         events, "event_id", None),
+      ("conformal_mondrian",
+        // the conformal_classifier shape + a per-class dictionary rank
+        // (range-partitioned cumulative, 2-row offset fold)
+        (d: DataFrame) => graft.scale.TextAnalysis.conformalMondrian(
+          d, "doc_id", "text",
+          expr("CAST(array_contains(filter(split(lower(text), " +
+            "'\\\\s+'), x -> length(x) > 0), 'spark') AS LONG)"),
+          epochs = 2),
+        docs, "doc_id", Some("text")),
       ("line_density",
         // one per-line metric-struct explode (lambda binds the token
         // array once) + one doc-key hash-agg — corpus-linear

@@ -3098,6 +3098,18 @@ object SparkEntry {
         array_contains(TextAnalysis.tokens(col("text")), "spark")
           .cast("long"))),
 
+    // ---- MONDRIAN (class-conditional) conformal coverage -------------------
+    // Per-class q_hat with each class's own exact finite-sample rank +
+    // per-class MEASURED holdout coverage — marginal conformal can
+    // over-cover the majority and under-cover the minority class, the
+    // exact skewed-class regime of a quality gate.
+    "conformal_mondrian_docs" -> ((s, dir) =>
+      TextAnalysis.conformalMondrian(t(s, dir, "documents"), "doc_id",
+        "text",
+        array_contains(TextAnalysis.tokens(col("text")), "spark")
+          .cast("long"))
+        .orderBy(col("y"))),
+
     // ---- SPLIT-CONFORMAL regression interval (numeric coverage row) --------
     // Fixed declared predictor n_chars ≈ 6·n_tokens (the mean-word-length
     // prior); the conformal interval pred ± q_hat needs NO residual
@@ -6818,6 +6830,8 @@ object SparkEntry {
         classifierTrainOracle(8, "calibration")),
       ("conformal_classifier_docs" ->
         classifierTrainOracle(8, "conformal")),
+      ("conformal_mondrian_docs" ->
+        classifierTrainOracle(8, "mondrian")),
       ("pr_curve_docs" ->
         s"$prCurveOracleCore ORDER BY threshold DESC"),
       ("best_f1_threshold_docs" ->
@@ -7824,10 +7838,11 @@ object SparkEntry {
     */
   private def classifierTrainOracle(
       epochs: Int, mode: String): String = {
-    // conformal mode trains on the md5(doc_id:cf) % 4 <= 1 split only;
-    // the other modes train on the whole corpus (empty filter)
+    // conformal/mondrian modes train on the md5(doc_id:cf) % 4 <= 1
+    // split only; the other modes train on the whole corpus (empty
+    // filter)
     val f =
-      if (mode == "conformal")
+      if (mode == "conformal" || mode == "mondrian")
         "\n  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
           " || ':cf'), 1, 15)) AS BIGINT) % 4 <= 1"
       else ""
@@ -7965,6 +7980,77 @@ object SparkEntry {
            |    (CASE WHEN h.score <= qq.q_hat THEN 1 ELSE 0 END))
            |    AS DOUBLE) / COUNT(h.doc_id), 6) AS avg_set_size
            |FROM (SELECT * FROM al WHERE sp = 3) h, ntr, kk, qq""".stripMargin
+      } else if (mode == "mondrian") {
+        // per-class quantile: the same non-train scoring, but the rank
+        // runs WITHIN each true class (PARTITION BY y over the
+        // calibration alpha dictionary) and coverage is measured per
+        // holdout class; a class with k > n_cal reports NULL q_hat and
+        // NULL coverage
+        s""",
+           |spl AS MATERIALIZED (
+           |  SELECT doc_id, CAST(('0x' || substring(md5(CAST(doc_id
+           |    AS VARCHAR) || ':cf'), 1, 15)) AS BIGINT) % 4 AS sp
+           |  FROM documents),
+           |labA AS MATERIALIZED (
+           |  SELECT d.doc_id, s.sp,
+           |    CAST(list_contains(list_filter(string_split_regex(
+           |      lower(d.text), '\\s+'), x -> len(x) > 0), 'spark')
+           |      AS BIGINT) AS y
+           |  FROM documents d JOIN spl s ON s.doc_id = d.doc_id
+           |  WHERE s.sp >= 2),
+           |ftA AS MATERIALIZED (
+           |  SELECT doc_id,
+           |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT)
+           |      % 1024 AS b,
+           |    CAST(1 AS BIGINT) AS cnt
+           |  FROM (
+           |    SELECT d.doc_id, unnest(list_filter(string_split_regex(
+           |      lower(d.text), '\\s+'), x -> len(x) > 0)) AS tok
+           |    FROM documents d JOIN spl s ON s.doc_id = d.doc_id
+           |    WHERE s.sp >= 2)
+           |  GROUP BY 1, 2
+           |  UNION ALL
+           |  SELECT l.doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+           |  FROM labA l),
+           |scA AS MATERIALIZED (
+           |  SELECT l.doc_id, l.y, l.sp,
+           |    CAST(COALESCE(SUM(f.cnt * wf.w), 0) AS BIGINT) AS score
+           |  FROM labA l
+           |  LEFT JOIN ftA f ON f.doc_id = l.doc_id
+           |  LEFT JOIN w$epochs wf ON wf.b = f.b
+           |  GROUP BY 1, 2, 3),
+           |al AS MATERIALIZED (
+           |  SELECT doc_id, y, sp, (1 - 2 * y) * score AS alpha
+           |  FROM scA),
+           |nc AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS n_cal
+           |  FROM al WHERE sp = 2 GROUP BY y),
+           |kk AS (SELECT y, n_cal,
+           |  ((n_cal + 1) * 9 + 9) // 10 AS k_rank FROM nc),
+           |qq AS (
+           |  SELECT c.y, MIN(c.alpha) AS q_hat FROM (
+           |    SELECT y, alpha, CAST(SUM(cnt) OVER (PARTITION BY y
+           |      ORDER BY alpha) AS BIGINT) AS cum
+           |    FROM (SELECT y, alpha, CAST(COUNT(*) AS BIGINT) AS cnt
+           |          FROM al WHERE sp = 2 GROUP BY y, alpha)) c
+           |  JOIN kk ON kk.y = c.y
+           |  WHERE c.cum >= kk.k_rank GROUP BY c.y),
+           |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM lab)
+           |SELECT h.y, MIN(ntr.n_train) AS n_train,
+           |  MIN(kk.n_cal) AS n_cal, MIN(kk.k_rank) AS k_rank,
+           |  MIN(qq.q_hat) AS q_hat,
+           |  CAST(COUNT(*) AS BIGINT) AS n_test,
+           |  CASE WHEN MIN(qq.q_hat) IS NOT NULL THEN
+           |    CAST(SUM(CASE WHEN h.alpha <= qq.q_hat THEN 1 ELSE 0 END)
+           |      AS BIGINT) END AS n_covered,
+           |  CASE WHEN MIN(qq.q_hat) IS NOT NULL THEN
+           |    ROUND(CAST(SUM(CASE WHEN h.alpha <= qq.q_hat THEN 1
+           |      ELSE 0 END) AS DOUBLE) / COUNT(*), 6) END AS coverage,
+           |  0.9 AS target
+           |FROM (SELECT * FROM al WHERE sp = 3) h
+           |LEFT JOIN kk ON kk.y = h.y
+           |LEFT JOIN qq ON qq.y = h.y
+           |CROSS JOIN ntr
+           |GROUP BY h.y ORDER BY h.y""".stripMargin
       } else {
         s""",
            |bnd AS MATERIALIZED (SELECT GREATEST(CAST(1 AS BIGINT), MAX(ABS(w))) AS bv

@@ -1801,6 +1801,98 @@ object TextAnalysis {
           .as("avg_set_size"))
   }
 
+  /** MONDRIAN (class-conditional) split-conformal prediction — the
+    * [[conformalClassifier]] guarantee strengthened to hold PER CLASS
+    * (Vovk et al. 2005 §4.5's Mondrian taxonomy at the label level):
+    * marginal conformal can hit 90% overall by over-covering the
+    * majority class and under-covering the minority — exactly the
+    * skewed-class regime a quality gate runs in. Here the calibration
+    * nonconformity quantile q̂_y is taken WITHIN each true class with
+    * its own exact finite-sample rank k_y = ⌈(n_cal,y + 1)·target⌉,
+    * and holdout coverage is MEASURED per class.
+    *
+    * Same trainer, same md5(doc_id:cf) % 4 split, same α = (1−2y)·score
+    * as the marginal form. The per-class quantile reuses the
+    * globalCumSum scaffold over the (y, α) order: the range shuffle
+    * carries the whole dictionary, and the within-class cumulative is
+    * the global cumulative minus the preceding classes' calibration
+    * mass (an exact 2-row broadcast fold) — no per-class window over
+    * data mass, no skew funnel on the 2-value class key. A class whose
+    * k exceeds its calibration mass reports NULL q̂ (and NULL coverage)
+    * — the honest too-little-minority-data answer.
+    *
+    * @return one row per class: (y, n_train, n_cal, k_rank, q_hat,
+    *         n_test, n_covered, coverage, target)
+    */
+  def conformalMondrian(
+      df: DataFrame, idCol: String, textCol: String, label: Column,
+      targetNum: Int = 9, targetDen: Int = 10,
+      epochs: Int = 8, nBuckets: Int = 1024): DataFrame = {
+    require(targetNum > 0 && targetDen > targetNum,
+      s"target must be a proper fraction, got $targetNum/$targetDen")
+    val split = pmod(HashExprs.md5PrefixLong(
+      concat(col(idCol).cast("string"), lit(":cf")).cast("binary"), 15),
+      lit(4L))
+    val base = df.withColumn("__sp", split).localCheckpoint(true)
+    val train = base.filter(col("__sp") <= 1L)
+    val (_, w) = trainHashedLinear(train, idCol, textCol, label, epochs,
+      nBuckets)
+    val wm = typedLit(w.zipWithIndex.map {
+      case (v, b) => b.toLong -> v
+    }.toMap)
+    def alphaOf(part: DataFrame): DataFrame = {
+      val scored = hashedBinaryFeatures(part, idCol, textCol, nBuckets)
+        .withColumn("wv", coalesce(element_at(wm, col("b")), lit(0L)))
+        .groupBy(col(idCol)).agg(sum(col("cnt") * col("wv")).as("score"))
+      part.select(col(idCol), label.as("y"))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol), col("y"),
+          coalesce(col("score"), lit(0L)).as("score"))
+        .withColumn("alpha",
+          (lit(1L) - lit(2L) * col("y")) * col("score"))
+    }
+    val cal = alphaOf(base.filter(col("__sp") === 2L)).localCheckpoint(true)
+    val hold = alphaOf(base.filter(col("__sp") === 3L))
+    val classCal = cal.groupBy(col("y")).agg(count(lit(1)).as("n_cal"))
+      .withColumn("k_rank",
+        expr(s"((n_cal + 1) * $targetNum + ${targetDen - 1}) " +
+          s"div $targetDen"))
+    // preceding-class calibration mass: within-class cum = global cum
+    // over the (y, alpha) range order minus this offset (2-row fold)
+    val offsets = classCal.select(col("y"))
+      .join(classCal.select(col("y").as("__y2"), col("n_cal").as("__m")),
+        col("__y2") < col("y"), "left")
+      .groupBy(col("y"))
+      .agg(coalesce(sum(col("__m")), lit(0L)).as("__prev"))
+    val dict = cal.groupBy(col("y"), col("alpha"))
+      .agg(count(lit(1)).as("__cnt"))
+    val qhat = graft.sample.Samplers
+      .globalCumSum(dict, Seq("y", "alpha"), "__cnt")
+      .join(broadcast(offsets), Seq("y"))
+      .join(broadcast(classCal), Seq("y"))
+      .filter(col("__cum") - col("__prev") >= col("k_rank"))
+      .groupBy(col("y")).agg(min(col("alpha")).as("q_hat"))
+    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    hold.join(broadcast(classCal), Seq("y"), "left")
+      .join(broadcast(qhat), Seq("y"), "left")
+      .crossJoin(broadcast(nTrain))
+      .groupBy(col("y"))
+      .agg(min(col("n_train")).as("n_train"),
+        min(col("n_cal")).as("n_cal"),
+        min(col("k_rank")).as("k_rank"),
+        min(col("q_hat")).as("q_hat"),
+        count(lit(1)).as("n_test"),
+        sum(when(col("alpha") <= col("q_hat"), 1L).otherwise(0L))
+          .as("n_covered"))
+      .select(col("y"), col("n_train"), col("n_cal"), col("k_rank"),
+        col("q_hat"), col("n_test"),
+        when(col("q_hat").isNotNull, col("n_covered")).as("n_covered"),
+        when(col("q_hat").isNotNull,
+          round(col("n_covered").cast("double") / col("n_test"), 6))
+          .as("coverage"),
+        lit(targetNum.toDouble / targetDen).as("target"))
+  }
+
   /** Jensen-Shannon divergence between two corpora's token
     * distributions — the LEXICAL drift gate (symmetric, bounded by ln 2,
     * defined even on disjoint vocabularies — everything KL alone is

@@ -1201,6 +1201,66 @@ class ScaleSpec extends SparkSpec {
     assert(got.getAs[Double]("avg_set_size") === expSet)
   }
 
+  test("conformalMondrian: per-class exact ranks and per-class measured " +
+      "coverage on the separable fixture; starved class gates to NULL") {
+    // same 80-doc separable fixture as the marginal test: even ids
+    // "spark" (y=1, cal alpha -1500), odd "flink" (y=0, cal alpha 0)
+    val docs = (0 until 80).map(i =>
+      (i.toLong, if (i % 2 == 0) "spark" else "flink"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.conformalMondrian(
+      docs, "doc_id", "text",
+      array_contains(graft.scale.TextAnalysis.tokens($"text"), "spark")
+        .cast("long")).orderBy($"y").collect()
+    def sp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:cf".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 4
+    }
+    val ids = (0L until 80L)
+    val nTrain = ids.count(sp(_) <= 1)
+    def classOf(i: Long): Long = if (i % 2 == 0) 1L else 0L
+    for (y <- Seq(0L, 1L)) {
+      val r = got(y.toInt)
+      assert(r.getAs[Long]("y") === y)
+      assert(r.getAs[Long]("n_train") === nTrain)
+      val calY = ids.filter(i => sp(i) == 2L && classOf(i) == y)
+      val holdY = ids.filter(i => sp(i) == 3L && classOf(i) == y)
+      assert(r.getAs[Long]("n_cal") === calY.size)
+      assert(r.getAs[Long]("n_test") === holdY.size)
+      val k = ((calY.size + 1) * 9 + 9) / 10
+      assert(r.getAs[Long]("k_rank") === k)
+      if (k <= calY.size) {
+        // within-class alphas are constant -> q_hat is that constant,
+        // and the separable holdout is fully covered
+        assert(r.getAs[Long]("q_hat") ===
+          (if (y == 1L) -1500L else 0L))
+        assert(r.getAs[Double]("coverage") === 1.0)
+      } else {
+        assert(r.isNullAt(r.fieldIndex("q_hat")) &&
+          r.isNullAt(r.fieldIndex("coverage")),
+          "starved class -> NULL q_hat/coverage")
+      }
+    }
+    // the starved-class branch, exercised deterministically: 20 docs
+    // leave every class below its rank -> both rows gate to NULL
+    val tiny = (0 until 20).map(i =>
+      (i.toLong, if (i % 2 == 0) "spark" else "flink"))
+      .toDF("doc_id", "text")
+    val g2 = graft.scale.TextAnalysis.conformalMondrian(
+      tiny, "doc_id", "text",
+      array_contains(graft.scale.TextAnalysis.tokens($"text"), "spark")
+        .cast("long")).collect()
+    g2.foreach { r =>
+      val calY = (0L until 20L)
+        .filter(i => sp(i) == 2L && classOf(i) === r.getAs[Long]("y"))
+      val k = ((calY.size + 1) * 9 + 9) / 10
+      if (k > calY.size)
+        assert(r.isNullAt(r.fieldIndex("q_hat")))
+    }
+  }
+
   test("wordpieceTrain: likelihood-gain argmax diverges from BPE's " +
       "count argmax; exact quantized gains; encode mass hand-applied") {
     // corpus: 'ab' x10, 'a' x90, 'b' x90, 'cd' x3.
