@@ -1404,6 +1404,15 @@ object ScaleCheck {
           d.withColumn("side", col("user_id") % 2 === 0),
           "value", "side", Seq("event_type")),
         events, "event_id", None),
+      ("langid_trained",
+        // bounded-prefix char-gram features (first 120 chars per doc,
+        // so feature mass per doc is CONSTANT in doc length) through
+        // the per-epoch keyed-aggregation trainer
+        (d: DataFrame) => graft.scale.TextAnalysis.langIdTrained(
+          d, "doc_id", "text",
+          col("doc_id") % 5 === 0, col("doc_id") % 5 === 0,
+          epochs = 2),
+        docs, "doc_id", Some("text")),
       ("conformal_mondrian",
         // the conformal_classifier shape + a per-class dictionary rank
         // (range-partitioned cumulative, 2-row offset fold)

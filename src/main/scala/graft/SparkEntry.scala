@@ -3098,6 +3098,35 @@ object SparkEntry {
         array_contains(TextAnalysis.tokens(col("text")), "spark")
           .cast("long"))),
 
+    // ---- TRAINED language-ID with a measured accuracy grade ----------------
+    // Planted multilingual fixture: each doc gets a language by
+    // doc_id % 5 and that language's marker tokens (under a per-marker
+    // md5 dropout) prefixed to its body text. The char-3-gram perceptron
+    // trains on the md5 %4<=2 split and is graded on the held-out
+    // quarter SIDE BY SIDE with the marker heuristic — whose en markers
+    // ('the', 'a', ...) saturate in every body text, the exact
+    // weakness a trained gate fixes.
+    "langid_trained_docs" -> ((s, dir) => {
+      val plang = expr("element_at(array('en', 'es', 'de', 'fr', 'zh'), " +
+        "CAST(doc_id % 5 AS INT) + 1)")
+      val markerCols = TextAnalysis.LangMarkers.flatMap {
+        case (lang, ms) => ms.zipWithIndex.map { case (m, j) =>
+          when(col("plang") === lang &&
+            pmod(graft.scale.HashExprs.md5PrefixLong(
+              concat(col("doc_id").cast("string"),
+                lit(s":mk:$lang:$j")).cast("binary"), 15),
+              lit(3L)) > 0L, lit(m))
+        }
+      }
+      val fx = t(s, dir, "documents")
+        .select(col("doc_id"), plang.as("plang"), col("text"))
+        .select(col("doc_id"), col("plang"),
+          concat_ws(" ", markerCols :+ col("text"): _*).as("text"))
+      val withPred = TextAnalysis.languageId(fx, "text")
+      TextAnalysis.langIdTrained(withPred, "doc_id", "text",
+        col("plang") === "en", col("pred_lang") === "en")
+    }),
+
     // ---- MONDRIAN (class-conditional) conformal coverage -------------------
     // Per-class q_hat with each class's own exact finite-sample rank +
     // per-class MEASURED holdout coverage — marginal conformal can
@@ -6832,6 +6861,7 @@ object SparkEntry {
         classifierTrainOracle(8, "conformal")),
       ("conformal_mondrian_docs" ->
         classifierTrainOracle(8, "mondrian")),
+      ("langid_trained_docs" -> langidTrainedOracleSql(4)),
       ("pr_curve_docs" ->
         s"$prCurveOracleCore ORDER BY threshold DESC"),
       ("best_f1_threshold_docs" ->
@@ -7836,37 +7866,14 @@ object SparkEntry {
     * `calibration = true` emits the exact-integer calibration curve of the
     * final weights (bound B = max|w| from the replayed weight table).
     */
-  private def classifierTrainOracle(
-      epochs: Int, mode: String): String = {
-    // conformal/mondrian modes train on the md5(doc_id:cf) % 4 <= 1
-    // split only; the other modes train on the whole corpus (empty
-    // filter)
-    val f =
-      if (mode == "conformal" || mode == "mondrian")
-        "\n  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
-          " || ':cf'), 1, 15)) AS BIGINT) % 4 <= 1"
-      else ""
-    val head =
-      """WITH lab AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CAST(list_contains(list_filter(string_split_regex(lower(text), '\s+'),
-        |      x -> len(x) > 0), 'spark') AS BIGINT) AS y
-        |  FROM documents__F__),
-        |toks AS MATERIALIZED (
-        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
-        |    x -> len(x) > 0)) AS tok
-        |  FROM documents__F__),
-        |ft AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b,
-        |    CAST(1 AS BIGINT) AS cnt
-        |  FROM toks GROUP BY 1, 2
-        |  UNION ALL
-        |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
-        |  FROM documents__F__),
-        |w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, 1025)) AS BIGINT) AS b,
-        |  CAST(0 AS BIGINT) AS w)""".stripMargin.replace("__F__", f)
-    val epochCtes = (1 to epochs).map { k =>
+  /** The unrolled exact-integer perceptron epochs shared by every
+    * hashed-linear-trainer oracle: each round scores against w_{k-1}
+    * over CTEs named `lab`(doc_id, y) and `ft`(doc_id, b, cnt), takes
+    * the class-balanced quantized gradient, and emits w_k — the SQL
+    * replica of [[graft.scale.TextAnalysis.trainHashedLinearFromFeatures]].
+    */
+  private def trainerEpochCtes(epochs: Int): String =
+    (1 to epochs).map { k =>
       s""",
          |s$k AS MATERIALIZED (
          |  SELECT l.doc_id, l.y,
@@ -7900,6 +7907,152 @@ object SparkEntry {
          |  LEFT JOIN g$k g ON g.b = wp.b
          |  CROSS JOIN n$k n)""".stripMargin
     }.mkString
+
+  /** Trained + heuristic language-ID accuracy replay: the SAME planted
+    * multilingual fixture (per-doc language by doc_id % 5, its marker
+    * tokens kept under a per-(doc, marker) md5 %3 dropout, prefixed to
+    * the body text), the SAME md5(doc:li) %4 split, the char-3-gram
+    * bucket features of the first 120 lowered chars through the shared
+    * [[trainerEpochCtes]], and the [[graft.scale.TextAnalysis.languageId]]
+    * marker-argmax (with its larger-lang tiebreak) binary-ized against
+    * the same held-out quarter.
+    */
+  private def langidTrainedOracleSql(epochs: Int): String = {
+    val markerExprs = graft.scale.TextAnalysis.LangMarkers.flatMap {
+      case (lang, ms) => ms.zipWithIndex.map { case (m, j) =>
+        s"CASE WHEN plang = '$lang' AND CAST(('0x' || " +
+          s"substring(md5(CAST(doc_id AS VARCHAR) || ':mk:$lang:$j'), " +
+          s"1, 15)) AS BIGINT) % 3 > 0 THEN '$m' END"
+      }
+    }.mkString(",\n      ")
+    val scoreCols = graft.scale.TextAnalysis.LangMarkers.map {
+      case (lang, ms) =>
+        val lst = ms.map(m => s"'$m'").mkString(", ")
+        s"len(list_filter(tk, x -> x IN ($lst))) AS s_$lang"
+    }.mkString(",\n    ")
+    val head =
+      s"""WITH base AS MATERIALIZED (
+         |  SELECT doc_id, text,
+         |    ['en', 'es', 'de', 'fr', 'zh'][CAST(doc_id % 5 AS INT) + 1]
+         |      AS plang
+         |  FROM documents),
+         |tx AS MATERIALIZED (
+         |  SELECT doc_id, plang,
+         |    concat_ws(' ',
+         |      $markerExprs,
+         |      text) AS t2
+         |  FROM base),
+         |spl AS MATERIALIZED (
+         |  SELECT doc_id, CAST(('0x' || substring(md5(CAST(doc_id
+         |    AS VARCHAR) || ':li'), 1, 15)) AS BIGINT) % 4 AS sp
+         |  FROM base),
+         |lab AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(t.plang = 'en' AS BIGINT) AS y
+         |  FROM tx t JOIN spl s ON s.doc_id = t.doc_id WHERE s.sp <= 2),
+         |sub AS MATERIALIZED (
+         |  SELECT t.doc_id, s.sp, substring(lower(t.t2), 1, 120) AS ss
+         |  FROM tx t JOIN spl s ON s.doc_id = t.doc_id),
+         |gr AS MATERIALIZED (
+         |  SELECT doc_id, sp, substring(ss, CAST(i AS INT), 3) AS g
+         |  FROM sub,
+         |    UNNEST(range(1, GREATEST(length(ss) - 2, 1) + 1)) AS u(i)),
+         |ft AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 1024
+         |      AS b,
+         |    CAST(1 AS BIGINT) AS cnt
+         |  FROM gr WHERE sp <= 2 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM lab),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(UNNEST(range(0, 1025)) AS BIGINT) AS b,
+         |    CAST(0 AS BIGINT) AS w)""".stripMargin
+    val tail =
+      s""",
+         |hx AS MATERIALIZED (
+         |  SELECT t.doc_id, CAST(t.plang = 'en' AS BIGINT) AS y,
+         |    list_filter(string_split_regex(lower(t.t2), '\\s+'),
+         |      x -> len(x) > 0) AS tk
+         |  FROM tx t JOIN spl s ON s.doc_id = t.doc_id WHERE s.sp = 3),
+         |hsc AS (
+         |  SELECT doc_id, y,
+         |    $scoreCols
+         |  FROM hx),
+         |hp AS (
+         |  SELECT doc_id, y,
+         |    CASE WHEN gmax = 0 THEN 0
+         |      WHEN s_zh = gmax THEN 0
+         |      WHEN s_fr = gmax THEN 0
+         |      WHEN s_es = gmax THEN 0
+         |      WHEN s_en = gmax THEN 1
+         |      ELSE 0 END AS h
+         |  FROM (SELECT *, GREATEST(s_en, s_es, s_de, s_fr, s_zh) AS gmax
+         |        FROM hsc)),
+         |fts AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST(('0x' || substring(md5(g), 1, 15)) AS BIGINT) % 1024
+         |      AS b,
+         |    CAST(1 AS BIGINT) AS cnt
+         |  FROM gr WHERE sp = 3 GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+         |  FROM hx),
+         |sct AS MATERIALIZED (
+         |  SELECT x.doc_id,
+         |    CAST(COALESCE(SUM(f.cnt * wf.w), 0) AS BIGINT) AS score
+         |  FROM hx x
+         |  LEFT JOIN fts f ON f.doc_id = x.doc_id
+         |  LEFT JOIN w$epochs wf ON wf.b = f.b
+         |  GROUP BY 1),
+         |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM lab)
+         |SELECT MIN(ntr.n_train) AS n_train,
+         |  CAST(COUNT(*) AS BIGINT) AS n_test,
+         |  CAST(SUM(CASE WHEN (CASE WHEN s.score > 0 THEN 1 ELSE 0 END)
+         |    = p.y THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  ROUND(CAST(SUM(CASE WHEN (CASE WHEN s.score > 0 THEN 1
+         |    ELSE 0 END) = p.y THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*), 6) AS accuracy,
+         |  CAST(SUM(CASE WHEN p.h = p.y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct_heuristic,
+         |  ROUND(CAST(SUM(CASE WHEN p.h = p.y THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS heuristic_accuracy
+         |FROM hp p JOIN sct s ON s.doc_id = p.doc_id
+         |CROSS JOIN ntr""".stripMargin
+    s"$head${trainerEpochCtes(epochs)}$tail"
+  }
+
+  private def classifierTrainOracle(
+      epochs: Int, mode: String): String = {
+    // conformal/mondrian modes train on the md5(doc_id:cf) % 4 <= 1
+    // split only; the other modes train on the whole corpus (empty
+    // filter)
+    val f =
+      if (mode == "conformal" || mode == "mondrian")
+        "\n  WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
+          " || ':cf'), 1, 15)) AS BIGINT) % 4 <= 1"
+      else ""
+    val head =
+      """WITH lab AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(list_contains(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0), 'spark') AS BIGINT) AS y
+        |  FROM documents__F__),
+        |toks AS MATERIALIZED (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> len(x) > 0)) AS tok
+        |  FROM documents__F__),
+        |ft AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % 1024 AS b,
+        |    CAST(1 AS BIGINT) AS cnt
+        |  FROM toks GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT doc_id, CAST(1024 AS BIGINT), CAST(1 AS BIGINT)
+        |  FROM documents__F__),
+        |w0 AS MATERIALIZED (SELECT CAST(UNNEST(range(0, 1025)) AS BIGINT) AS b,
+        |  CAST(0 AS BIGINT) AS w)""".stripMargin.replace("__F__", f)
+    val epochCtes = trainerEpochCtes(epochs)
     val tail =
       if (mode == "train") {
         val unions = (1 to epochs).map { k =>

@@ -1201,6 +1201,40 @@ class ScaleSpec extends SparkSpec {
     assert(got.getAs[Double]("avg_set_size") === expSet)
   }
 
+  test("langIdTrained: separable char-gram fixture reaches full held-out " +
+      "accuracy; the heuristic column is graded on the same rows") {
+    // even ids are the target language ("aaaa aaaa"), odd are not
+    // ("zzzz zzzz") — disjoint char-3-gram spaces, so the perceptron
+    // separates within the 4 epochs (same hand-walk as the spark/flink
+    // trainer fixture). The heuristic under grade is a deliberately
+    // useless constant-true call: its accuracy must equal the target
+    // share of the held-out quarter, proving the grade really measures
+    // the SAME rows for both models.
+    val docs = (0 until 80).map(i =>
+      (i.toLong, if (i % 2 == 0) "aaaa aaaa" else "zzzz zzzz"))
+      .toDF("doc_id", "text")
+    val got = graft.scale.TextAnalysis.langIdTrained(
+      docs, "doc_id", "text", $"doc_id" % 2 === 0, lit(true))
+      .collect()(0)
+    def sp(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:li".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 4
+    }
+    val ids = (0L until 80L)
+    val test = ids.filter(sp(_) == 3L)
+    assert(got.getAs[Long]("n_train") === ids.count(sp(_) <= 2L))
+    assert(got.getAs[Long]("n_test") === test.size)
+    assert(got.getAs[Double]("accuracy") === 1.0,
+      "separable fixture must be fully classified on the holdout")
+    val nTarget = test.count(_ % 2 == 0)
+    assert(got.getAs[Long]("n_correct_heuristic") === nTarget)
+    assert(got.getAs[Double]("heuristic_accuracy") ===
+      BigDecimal(nTarget.toDouble / test.size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("conformalMondrian: per-class exact ranks and per-class measured " +
       "coverage on the separable fixture; starved class gates to NULL") {
     // same 80-doc separable fixture as the marginal test: even ids
