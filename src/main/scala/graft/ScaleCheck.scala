@@ -1441,6 +1441,18 @@ object ScaleCheck {
             lit("?utm_source=x")).as("url")),
           "doc_id", "url"),
         docs, "doc_id", None),
+      ("ratio_delta",
+        // twelve conditional decimal moment sums in ONE hash-agg; the
+        // delta-method algebra is per-|groups|-row
+        (d: DataFrame) => graft.metrics.Metrics.ratioMetricDelta(
+          d.select((col("user_id") % 3).as("arm"),
+            (col("user_id") % 2 === 0).as("side"),
+            when(col("event_type") === "purchase", col("value"))
+              .otherwise(lit(0.0)).as("x"),
+            when(col("event_type") === "click", lit(1.0))
+              .otherwise(lit(0.0)).as("y")),
+          "x", "y", "side", Seq("arm")),
+        events, "event_id", None),
       ("srm_guard",
         // two conditional long sums per arm (one hash-agg), chi-square
         // per |arms| dictionary row

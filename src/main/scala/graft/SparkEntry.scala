@@ -5845,6 +5845,43 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- delta-method ratio-metric z-test (Deng et al. KDD'18) -------------
+    // Revenue-per-click per arm: most production metrics are ratios of
+    // unit sums, where a naive per-unit t-test is wrong (undefined on
+    // y=0 units, mis-weighted elsewhere). Six exact decimal moments per
+    // side in one hash-agg, then the delta-method variance.
+    "ratio_delta_events" -> ((s, dir) =>
+      Metrics.ratioMetricDelta(
+        t(s, dir, "events").select((col("user_id") % 3).as("arm"),
+          (col("user_id") % 2 === 0).as("side"),
+          when(col("event_type") === "purchase", col("value"))
+            .otherwise(lit(0.0)).as("x"),
+          when(col("event_type") === "click", lit(1.0))
+            .otherwise(lit(0.0)).as("y")),
+        "x", "y", "side", Seq("arm"))
+        .orderBy(col("arm"))),
+
+    // ---- STREAMING ratio-metric twin (the 12 moment sums as state) ---------
+    "streaming_ratio_delta_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val units = stream.select((col("user_id") % 3).as("arm"),
+        (col("user_id") % 2 === 0).as("side"),
+        when(col("event_type") === "purchase", col("value"))
+          .otherwise(lit(0.0)).as("x"),
+        when(col("event_type") === "click", lit(1.0))
+          .otherwise(lit(0.0)).as("y"))
+      val moments =
+        Metrics.ratioDeltaMoments(units, "x", "y", "side", Seq("arm"))
+      val name = "stream_ratio_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.ratioDeltaFromMoments(drained, Seq("arm"))
+        .orderBy(col("arm"))
+    }),
+
     // ---- ALWAYS-VALID sequential two-proportion test ------------------------
     // The conversion-rate mSPRT (sequential_ab covers means): same
     // event-level fabric as the streaming proportions twin, so the
@@ -6556,6 +6593,8 @@ object SparkEntry {
 
       ("srm_guard_events" -> srmGuardOracleSql),
       ("streaming_srm_guard_events" -> srmGuardOracleSql),
+      ("ratio_delta_events" -> ratioDeltaOracleSql),
+      ("streaming_ratio_delta_events" -> ratioDeltaOracleSql),
       ("sequential_proportion_events" -> sequentialProportionOracleSql),
       ("streaming_sequential_proportion_events" ->
         sequentialProportionOracleSql),
@@ -7315,6 +7354,69 @@ object SparkEntry {
   /** pass@k replay — shared by the batch query and the streaming
     * twin (the drained per-task counts ARE the batch dictionary).
     */
+  /** Delta-method ratio-metric replay: six exact decimal moment sums
+    * per side (the welch-moments casting discipline), then the
+    * Var(R) = (s²x − 2R·sxy + R²·s²y)/(n·ȳ²) algebra in the identical
+    * operation order, NULL-gated on side mass / ΣY = 0 / non-positive
+    * variance, decisions on rounded doubles.
+    */
+  private def ratioDeltaOracleSql: String =
+    """WITH u AS (
+      |  SELECT user_id % 3 AS arm, (user_id % 2 = 0) AS side,
+      |    CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+      |      AS DECIMAL(18,2)) AS x,
+      |    CAST(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+      |      AS DECIMAL(18,2)) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT arm,
+      |    CAST(COUNT(*) FILTER (NOT side) AS BIGINT) AS n_a,
+      |    CAST(COUNT(*) FILTER (side) AS BIGINT) AS n_b,
+      |    CAST(SUM(x) FILTER (NOT side) AS DOUBLE) AS sxa,
+      |    CAST(SUM(x) FILTER (side) AS DOUBLE) AS sxb,
+      |    CAST(SUM(y) FILTER (NOT side) AS DOUBLE) AS sya,
+      |    CAST(SUM(y) FILTER (side) AS DOUBLE) AS syb,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) FILTER (NOT side)
+      |      AS DOUBLE) AS qxa,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,4))) FILTER (side)
+      |      AS DOUBLE) AS qxb,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) FILTER (NOT side)
+      |      AS DOUBLE) AS qya,
+      |    CAST(SUM(CAST(y * y AS DECIMAL(38,4))) FILTER (side)
+      |      AS DOUBLE) AS qyb,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) FILTER (NOT side)
+      |      AS DOUBLE) AS pxa,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,4))) FILTER (side)
+      |      AS DOUBLE) AS pxb
+      |  FROM u GROUP BY arm),
+      |a AS (
+      |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+      |    sxa / sya AS ra, sxb / syb AS rb
+      |  FROM g),
+      |v AS (
+      |  SELECT *,
+      |    ((qxa - sxa * sxa / na) / (na - 1.0)
+      |      - 2.0 * ra * ((pxa - sxa * sya / na) / (na - 1.0))
+      |      + ra * ra * ((qya - sya * sya / na) / (na - 1.0)))
+      |      / (na * (sya / na) * (sya / na)) AS va,
+      |    ((qxb - sxb * sxb / nb) / (nb - 1.0)
+      |      - 2.0 * rb * ((pxb - sxb * syb / nb) / (nb - 1.0))
+      |      + rb * rb * ((qyb - syb * syb / nb) / (nb - 1.0)))
+      |      / (nb * (syb / nb) * (syb / nb)) AS vb
+      |  FROM a),
+      |z AS (
+      |  SELECT *, (n_a >= 2 AND n_b >= 2 AND sya <> 0.0 AND syb <> 0.0
+      |    AND va + vb > 0.0) AS ok
+      |  FROM v)
+      |SELECT arm, n_a, n_b,
+      |  CASE WHEN sya <> 0.0 THEN ROUND(ra, 6) END AS r_a,
+      |  CASE WHEN syb <> 0.0 THEN ROUND(rb, 6) END AS r_b,
+      |  CASE WHEN sya <> 0.0 AND syb <> 0.0 THEN ROUND(ra - rb, 6) END
+      |    AS delta,
+      |  CASE WHEN ok THEN ROUND(sqrt(va + vb), 6) END AS se_delta,
+      |  CASE WHEN ok THEN ROUND((ra - rb) / sqrt(va + vb), 6) END AS z
+      |FROM z ORDER BY arm""".stripMargin
+
   /** SRM chi-square replay: two conditional counts per arm, expected
     * halves via the same multiply-then-divide literal order, a-term +
     * b-term, rounded 6; the flag compares the ROUNDED chi2 to the

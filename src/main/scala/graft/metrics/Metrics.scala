@@ -2101,6 +2101,113 @@ object Metrics {
         col("expected_a"), col("chi2"), col("srm"))): _*)
   }
 
+  /** Delta-method inference for RATIO metrics (Deng, Knoblich & Lu,
+    * "Applying the Delta Method in Metric Analytics", KDD 2018) — the
+    * missing third leg of the A/B panel beside means ([[welchTTest]])
+    * and proportions ([[proportionZTest]]): most production metrics are
+    * ratios of unit-level sums (revenue per click, items per order),
+    *   R = ΣX / ΣY,
+    * and a naive t-test on per-unit x/y is WRONG (undefined on y = 0
+    * units and mis-weighted elsewhere). The delta method gives
+    *   Var(R) ≈ (s²_x − 2R·s_xy + R²·s²_y) / (n · ȳ²)
+    * per side from the unit-level (co)variances, then the usual
+    * two-sample z on Δ = R_a − R_b. `df` must be one row per
+    * (unit, group) — the caller aggregates events to the randomization
+    * unit first, exactly the [[proportionZTest]] unit contract.
+    *
+    * Determinism: six exact decimal moment sums per side in ONE
+    * conditional hash-aggregate ([[welchMoments]]' pattern — x, y as
+    * decimal(18,2), squares/cross as decimal(38,4) — associative,
+    * legal Complete-mode streaming state); the algebra is a fixed-order
+    * double expression rounded to 6, with the decision on the ROUNDED
+    * z. NULL gates: a side below `minN` units, ΣY = 0 (the ratio is
+    * undefined), or a non-positive variance estimate.
+    */
+  def ratioMetricDelta(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      sideCol: String,
+      groupCols: Seq[String],
+      minN: Long = 2L): DataFrame =
+    ratioDeltaFromMoments(
+      ratioDeltaMoments(df, xCol, yCol, sideCol, groupCols),
+      groupCols, minN)
+
+  /** The associative half of [[ratioMetricDelta]]: per group, counts and
+    * exact decimal Σx, Σy, Σx², Σy², Σxy per side — the streaming twin
+    * drains this and runs [[ratioDeltaFromMoments]], sharing the batch
+    * oracle verbatim.
+    */
+  def ratioDeltaMoments(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      sideCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    val x = col(xCol).cast("decimal(18,2)")
+    val y = col(yCol).cast("decimal(18,2)")
+    val side = col(sideCol).cast("boolean")
+    def m(c: Column) = c.cast("decimal(38,4)")
+    df.groupBy(groupCols.map(col): _*).agg(
+      sum(when(side, 0L).otherwise(1L)).as("n_a"),
+      sum(when(side, 1L).otherwise(0L)).as("n_b"),
+      sum(when(!side, x)).cast("double").as("__sxa"),
+      sum(when(side, x)).cast("double").as("__sxb"),
+      sum(when(!side, y)).cast("double").as("__sya"),
+      sum(when(side, y)).cast("double").as("__syb"),
+      sum(when(!side, m(x * x))).cast("double").as("__qxa"),
+      sum(when(side, m(x * x))).cast("double").as("__qxb"),
+      sum(when(!side, m(y * y))).cast("double").as("__qya"),
+      sum(when(side, m(y * y))).cast("double").as("__qyb"),
+      sum(when(!side, m(x * y))).cast("double").as("__pxa"),
+      sum(when(side, m(x * y))).cast("double").as("__pxb"))
+  }
+
+  /** The delta-method z algebra over a drained [[ratioDeltaMoments]]
+    * table.
+    */
+  def ratioDeltaFromMoments(
+      g: DataFrame,
+      groupCols: Seq[String],
+      minN: Long = 2L): DataFrame = {
+    require(minN >= 2L, s"delta method needs minN >= 2, got $minN")
+    def varOf(n: Column, s: Column, q: Column) =
+      (q - s * s / n) / (n - lit(1.0))
+    def covOf(n: Column, sx: Column, sy: Column, p: Column) =
+      (p - sx * sy / n) / (n - lit(1.0))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val ra = col("__sxa") / col("__sya")
+    val rb = col("__sxb") / col("__syb")
+    def varR(n: Column, s: Column, sy: Column, qx: Column, qy: Column,
+        p: Column, r: Column) = {
+      val ybar = sy / n
+      (varOf(n, s, qx) - lit(2.0) * r * covOf(n, s, sy, p) +
+        r * r * varOf(n, sy, qy)) / (n * ybar * ybar)
+    }
+    val va = varR(na, col("__sxa"), col("__sya"), col("__qxa"),
+      col("__qya"), col("__pxa"), ra)
+    val vb = varR(nb, col("__sxb"), col("__syb"), col("__qxb"),
+      col("__qyb"), col("__pxb"), rb)
+    val ok = col("n_a") >= minN && col("n_b") >= minN &&
+      col("__sya") =!= 0.0 && col("__syb") =!= 0.0 &&
+      when(col("__sya") =!= 0.0 && col("__syb") =!= 0.0,
+        va + vb > 0.0).otherwise(false)
+    g.withColumn("r_a",
+        when(col("__sya") =!= 0.0, round(ra, 6)))
+      .withColumn("r_b",
+        when(col("__syb") =!= 0.0, round(rb, 6)))
+      .withColumn("delta",
+        when(col("__sya") =!= 0.0 && col("__syb") =!= 0.0,
+          round(ra - rb, 6)))
+      .withColumn("se_delta", when(ok, round(sqrt(va + vb), 6)))
+      .withColumn("z", when(ok, round((ra - rb) / sqrt(va + vb), 6)))
+      .select((groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("r_a"), col("r_b"), col("delta"), col("se_delta"),
+        col("z"))): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -648,6 +648,56 @@ class MetricsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integral score column"))
   }
 
+  test("ratioMetricDelta: hand-computed delta-method variance, z on the " +
+      "planted ratio fixture; zero-variance and sumY=0 sides gate NULL") {
+    // side A units (x, y): (10,2), (20,3), (0,1) -> R_a = 30/6 = 5
+    //   var_x = 100, var_y = 1, cov = 10, ybar = 2
+    //   Var(R_a) = (100 - 2*5*10 + 25*1) / (3*4) = 25/12
+    // side B units: (9,3), (3,1), (6,2) -> R_b = 18/6 = 3, x = 3y
+    //   exactly -> Var(R_b) = 0
+    // z = (5-3)/sqrt(25/12)
+    val df = (Seq((10.0, 2.0), (20.0, 3.0), (0.0, 1.0))
+        .map { case (x, y) => ("g", false, x, y) } ++
+      Seq((9.0, 3.0), (3.0, 1.0), (6.0, 2.0))
+        .map { case (x, y) => ("g", true, x, y) })
+      .toDF("grp", "side", "x", "y")
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val got = Metrics.ratioMetricDelta(df, "x", "y", "side", Seq("grp"))
+      .collect()(0)
+    assert(got.getAs[Double]("r_a") === 5.0 &&
+      got.getAs[Double]("r_b") === 3.0 &&
+      got.getAs[Double]("delta") === 2.0)
+    val se = math.sqrt(25.0 / 12.0)
+    assert(got.getAs[Double]("se_delta") === r6(se))
+    assert(got.getAs[Double]("z") === r6(2.0 / se))
+    // both sides exactly proportional -> total variance 0 -> NULL se/z
+    val flat = Metrics.ratioMetricDelta(
+      Seq(("g", false, 2.0, 1.0), ("g", false, 4.0, 2.0),
+        ("g", true, 3.0, 1.0), ("g", true, 6.0, 2.0))
+        .toDF("grp", "side", "x", "y"),
+      "x", "y", "side", Seq("grp")).collect()(0)
+    assert(flat.getAs[Double]("r_a") === 2.0 &&
+      flat.getAs[Double]("r_b") === 3.0)
+    assert(flat.isNullAt(flat.fieldIndex("se_delta")) &&
+      flat.isNullAt(flat.fieldIndex("z")))
+    // a sumY = 0 side: its ratio, delta, se, z all NULL
+    val zy = Metrics.ratioMetricDelta(
+      Seq(("g", false, 2.0, 0.0), ("g", false, 4.0, 0.0),
+        ("g", true, 3.0, 1.0), ("g", true, 6.0, 2.0))
+        .toDF("grp", "side", "x", "y"),
+      "x", "y", "side", Seq("grp")).collect()(0)
+    assert(zy.isNullAt(zy.fieldIndex("r_a")) &&
+      zy.getAs[Double]("r_b") === 3.0 &&
+      zy.isNullAt(zy.fieldIndex("delta")) &&
+      zy.isNullAt(zy.fieldIndex("z")))
+    // composition: FromMoments over Moments = the one-shot operator
+    val via = Metrics.ratioDeltaFromMoments(
+      Metrics.ratioDeltaMoments(df, "x", "y", "side", Seq("grp")),
+      Seq("grp")).collect()(0)
+    assert(via.toString === got.toString)
+  }
+
   test("srmGuard: planted 70/30 mismatch flagged, healthy 51/49 split " +
       "passes, below-minN group gates to NULL, declared 3:1 ratio exact") {
     // bad: 700/300 on a 50/50 design -> E = 500 each,
