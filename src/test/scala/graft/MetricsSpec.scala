@@ -394,6 +394,46 @@ class MetricsSpec extends SparkSpec {
       .orderBy("doc_id"))
   }
 
+  test("round-13 panels are partition-invariant: every statistic " +
+      "identical under adversarial repartitioning") {
+    import org.apache.spark.sql.DataFrame
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 200L).map { i =>
+      (i, rnd.nextInt(50).toLong, rnd.nextInt(3).toLong,
+        s"g${rnd.nextInt(3)}",
+        s"w${rnd.nextInt(30)} w${rnd.nextInt(30)} w${rnd.nextInt(30)} " +
+          s"w${rnd.nextInt(30)} w${rnd.nextInt(30)}")
+    }
+    def check(name: String)(op: DataFrame => DataFrame): Unit = {
+      val base = rows.toDF("id", "x", "y", "g", "text")
+      val a = op(base.repartition(1)).collect().toSeq
+      val b = op(base.repartition(13, col("id"))).collect().toSeq
+      assert(a === b, s"$name is partition-sensitive")
+    }
+    check("srmGuard")(df => Metrics.srmGuard(
+      df.withColumn("side", col("id") % 3 === 0), "side", Seq("g"),
+      minN = 2L).orderBy("g"))
+    check("ratioMetricDelta")(df => Metrics.ratioMetricDelta(
+      df.withColumn("side", col("id") % 2 === 0)
+        .withColumn("yy", col("y") + 1L),
+      "x", "yy", "side", Seq("g")).orderBy("g"))
+    check("bleu")(df => graft.scale.Eval.bleu(
+      df.select(col("id"), expr("substr(text, 1, 9)").as("text")),
+      df.select(col("id"), col("text")), "id", "text").orderBy("id"))
+    check("bleuCorpus")(df => graft.scale.Eval.bleuCorpus(
+      df.select(col("id"), expr("substr(text, 1, 9)").as("text")),
+      df.select(col("id"), col("text")), "id", "text"))
+    check("urlDedup")(df => graft.scale.Dedup.urlDedup(
+      df.select(col("id"), concat(lit("https://Example.com:443/p/"),
+        (col("id") % 40).cast("string"), lit("?utm_source=x")).as("u")),
+      "id", "u").orderBy("canonical_url"))
+    check("lineDensityFilter")(df =>
+      graft.scale.TextAnalysis.lineDensityFilter(
+        df.select(col("id"),
+          regexp_replace(col("text"), " ", "\n").as("t2")),
+        "id", "t2", minTokens = 1).orderBy("id"))
+  }
+
   test("brierPanel: hand-computed Murphy decomposition; the identity " +
       "brier = rel - res + unc holds on singleton bins; top edge clamps") {
     // p = .25/.75/1/0 with y = 0/1/1/0: brier = 2*(0.0625)/4 = 0.03125,
