@@ -1573,6 +1573,16 @@ object ScaleCheck {
           d.select(col("doc_id"), col("text")),
           "doc_id", "text"),
         docs, "doc_id", Some("text")),
+      ("wer",
+        // per-pair relabeling encode + codegen levenshtein — pure map
+        // over the pair join, O(|cand|*|ref|) per row, no extra shuffle
+        (d: DataFrame) => graft.scale.Eval.wer(
+          d.select(col("doc_id"), expr(
+            "concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
+              "x -> length(x) > 0), 1, 12))").as("text")),
+          d.select(col("doc_id"), col("text")),
+          "doc_id", "text"),
+        docs, "doc_id", Some("text")),
       ("bleu",
         // 4 word-gram sizes -> one (key, n, gram) dictionary per side +
         // ONE keyed equi-join + conditional-sum pivot — corpus-linear

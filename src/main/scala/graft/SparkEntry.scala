@@ -5691,6 +5691,46 @@ object SparkEntry {
         .orderBy(col("task"), col("k"))
     }),
 
+    // ---- word error rate of a perturbed transcript vs its reference --------
+    // Every 7th token miscalled 'xxx' (the deterministic ASR-noise
+    // fixture); token-level levenshtein via the per-pair relabeling
+    // encode (distance is invariant under any bijective relabeling).
+    "wer_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), expr(
+          "CASE WHEN size(tk) = 0 THEN '' ELSE concat_ws(' ', " +
+            "transform(sequence(1, size(tk)), i -> CASE WHEN i % 7 = 0 " +
+            "THEN 'xxx' ELSE element_at(tk, i) END)) END").as("text"))
+      graft.scale.Eval.wer(cand,
+        docs.select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- character error rate of the same perturbed transcript -------------
+    // WER's tokenization-free companion (the OCR convention): plain
+    // levenshtein on the lowercased texts over reference chars. Both
+    // sides truncate to the first 120 chars — CER's domain is
+    // utterance-scale transcripts, and the O(|c|*|r|) distance on full
+    // document pairs would cost quadratic char mass for no extra
+    // coverage (the langid bounded-prefix discipline).
+    "cer_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = docs
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tk"))
+        .select(col("doc_id"), expr(
+          "substring(CASE WHEN size(tk) = 0 THEN '' ELSE concat_ws(' ', " +
+            "transform(sequence(1, size(tk)), i -> CASE WHEN i % 7 = 0 " +
+            "THEN 'xxx' ELSE element_at(tk, i) END)) END, 1, 120)")
+          .as("text"))
+      graft.scale.Eval.cer(cand,
+        docs.select(col("doc_id"),
+          substring(col("text"), 1, 120).as("text")),
+        "doc_id", "text")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- ROUGE-2 recall of a truncated candidate vs its reference ----------
     // Clipped-multiset bigram overlap over reference mass (Lin 2004);
     // candidate = the doc's first 12 tokens (the deterministic
@@ -6345,6 +6385,72 @@ object SparkEntry {
 
       ("bleu_docs" -> bleuOracleSql(corpus = false)),
       ("bleu_corpus_docs" -> bleuOracleSql(corpus = true)),
+
+      // WER: the same 7th-token perturbation, per-pair relabeling
+      // encode into the private-use plane (any bijection gives the
+      // identical distance), same empty-ref / >254-vocab NULL gates
+      ("wer_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS rt
+          |  FROM documents),
+          |cand AS (
+          |  SELECT doc_id, list_transform(range(1, len(rt) + 1), i ->
+          |    CASE WHEN i % 7 = 0 THEN 'xxx'
+          |      ELSE rt[CAST(i AS INT)] END) AS ck
+          |  FROM toks),
+          |p AS (
+          |  SELECT t.doc_id, t.rt, c.ck,
+          |    list_distinct(list_concat(t.rt, c.ck)) AS v
+          |  FROM toks t JOIN cand c ON c.doc_id = t.doc_id),
+          |e AS (
+          |  SELECT doc_id,
+          |    CAST(len(rt) AS BIGINT) AS n_ref_tokens,
+          |    CAST(len(ck) AS BIGINT) AS n_cand_tokens,
+          |    CASE WHEN len(rt) = 0 THEN NULL
+          |      WHEN len(v) > 254 THEN NULL
+          |      ELSE CAST(levenshtein(
+          |        array_to_string(list_transform(ck, t ->
+          |          chr(CAST(57344 + list_position(v, t) AS INT))), ''),
+          |        array_to_string(list_transform(rt, t ->
+          |          chr(CAST(57344 + list_position(v, t) AS INT))), ''))
+          |        AS BIGINT)
+          |    END AS edit_distance
+          |  FROM p)
+          |SELECT doc_id, n_ref_tokens, n_cand_tokens, edit_distance,
+          |  CASE WHEN edit_distance IS NOT NULL THEN
+          |    ROUND(CAST(edit_distance AS DOUBLE) / n_ref_tokens, 6)
+          |  END AS wer
+          |FROM e ORDER BY doc_id""".stripMargin),
+
+      // CER: plain codepoint levenshtein on the lowercased pair texts,
+      // both sides truncated to the first 120 chars (utterance scale)
+      ("cer_docs" ->
+        """WITH toks AS (
+          |  SELECT doc_id, substring(text, 1, 120) AS rtx,
+          |    list_filter(string_split_regex(lower(text), '\s+'),
+          |      x -> len(x) > 0) AS rt
+          |  FROM documents),
+          |cand AS (
+          |  SELECT doc_id,
+          |    substring(array_to_string(list_transform(
+          |      range(1, len(rt) + 1), i ->
+          |      CASE WHEN i % 7 = 0 THEN 'xxx'
+          |        ELSE rt[CAST(i AS INT)] END), ' '), 1, 120) AS ct
+          |  FROM toks),
+          |e AS (
+          |  SELECT t.doc_id,
+          |    CAST(length(lower(t.rtx)) AS BIGINT) AS n_ref_chars,
+          |    CAST(length(lower(c.ct)) AS BIGINT) AS n_cand_chars,
+          |    CAST(levenshtein(lower(c.ct), lower(t.rtx)) AS BIGINT)
+          |      AS edit_distance
+          |  FROM toks t JOIN cand c ON c.doc_id = t.doc_id)
+          |SELECT doc_id, n_ref_chars, n_cand_chars, edit_distance,
+          |  CASE WHEN n_ref_chars > 0 THEN
+          |    ROUND(CAST(edit_distance AS DOUBLE) / n_ref_chars, 6)
+          |  END AS cer
+          |FROM e ORDER BY doc_id""".stripMargin),
 
       ("mde_events" ->
         """WITH s AS (

@@ -278,6 +278,84 @@ object Eval {
         .otherwise(round(bp * gm, 6)).as("bleu"))
   }
 
+  /** Word error rate per (candidate, reference) pair — the standard
+    * ASR/transcription eval metric (substitutions + deletions +
+    * insertions at the TOKEN level over the reference length, unit
+    * costs): the gate a speech- or OCR-derived text pipeline applies
+    * before admitting transcripts. Computed as a pure codegen
+    * expression: each pair's union token vocabulary maps tokens to
+    * single characters and `levenshtein` runs on the encoded strings —
+    * edit distance is invariant under ANY bijective relabeling (it
+    * depends only on the equality pattern), so the two engines agree
+    * even though each builds its own mapping. WER can exceed 1.0 (more
+    * insertions than reference tokens — the standard convention).
+    *
+    * Declared scale limit: the per-pair encoding has 254 code points,
+    * so a pair with more than 254 DISTINCT tokens gates to NULL (the
+    * honest answer, never a silently-colliding distance) — sized for
+    * utterance/transcript-scale pairs, which is what WER measures;
+    * document-scale pairs belong to [[rougeN]]/[[bleu]]. NULL on a
+    * token-less reference. Per-row cost is O(|cand|·|ref|) inside the
+    * levenshtein codegen — corpus-linear, no shuffle beyond the pair
+    * join, nothing driver-side.
+    */
+  def wer(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String): DataFrame = {
+    val paired = candidates
+      .select(col(keyCol).as("key"), col(textCol).as("__ct"))
+      .join(references.select(col(keyCol).as("key"),
+        col(textCol).as("__rt")), Seq("key"))
+    val rt = graft.scale.TextAnalysis.tokens(col("__rt"))
+    val ct = graft.scale.TextAnalysis.tokens(col("__ct"))
+    paired
+      .select(col("key"), rt.as("__r"), ct.as("__c"))
+      .select(col("key").as(keyCol),
+        size(col("__r")).cast("long").as("n_ref_tokens"),
+        size(col("__c")).cast("long").as("n_cand_tokens"),
+        expr("""CASE
+          |  WHEN size(__r) = 0 THEN CAST(NULL AS BIGINT)
+          |  WHEN size(array_distinct(concat(__r, __c))) > 254
+          |    THEN CAST(NULL AS BIGINT)
+          |  ELSE CAST(element_at(transform(
+          |    array(map_from_arrays(array_distinct(concat(__r, __c)),
+          |      sequence(1, size(array_distinct(concat(__r, __c)))))),
+          |    m -> levenshtein(
+          |      concat_ws('', transform(__c, t -> chr(element_at(m, t)))),
+          |      concat_ws('', transform(__r, t -> chr(element_at(m, t)))))
+          |  ), 1) AS BIGINT)
+          |END""".stripMargin).as("edit_distance"))
+      .withColumn("wer", when(col("edit_distance").isNotNull,
+        round(col("edit_distance").cast("double") / col("n_ref_tokens"),
+          6)))
+  }
+
+  /** Character error rate per (candidate, reference) pair — WER's
+    * character-level companion (the OCR and tokenization-free ASR
+    * convention): `levenshtein` straight on the lowercased texts over
+    * the reference character count. No encoding step, no vocabulary
+    * limit; NULL on an empty reference. Same pair semantics and scale
+    * shape as [[wer]].
+    */
+  def cer(
+      candidates: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String): DataFrame =
+    candidates.select(col(keyCol).as("key"), col(textCol).as("__ct"))
+      .join(references.select(col(keyCol).as("key"),
+        col(textCol).as("__rt")), Seq("key"))
+      .select(col("key").as(keyCol),
+        length(lower(col("__rt"))).cast("long").as("n_ref_chars"),
+        length(lower(col("__ct"))).cast("long").as("n_cand_chars"),
+        levenshtein(lower(col("__ct")), lower(col("__rt"))).cast("long")
+          .as("edit_distance"))
+      .withColumn("cer", when(col("n_ref_chars") > 0L,
+        round(col("edit_distance").cast("double") / col("n_ref_chars"),
+          6)))
+
   /** ROUGE-N recall per (candidate, reference) pair (Lin, "ROUGE: A
     * Package for Automatic Evaluation of Summaries", WAS 2004): clipped
     * n-gram overlap over the reference n-gram count —

@@ -1043,6 +1043,41 @@ class ScaleSpec extends SparkSpec {
     assert(corp.getAs[Double]("bleu") === r6(math.exp(1.0 - 11.0 / 10.0)))
   }
 
+  test("wer/cer: hand-computed substitution/deletion/insertion cases, " +
+      "empty-reference and vocab-limit NULL gates") {
+    import org.apache.spark.sql.functions.{col => c}
+    val ref = Seq(
+      (1L, "a b c d"),      // sub + del vs "a x c" -> 2/4
+      (2L, "a b"),          // insertion vs "a z b" -> 1/2
+      (3L, "a b"),          // empty candidate -> 2 deletions -> 1.0
+      (4L, ""),             // empty reference -> NULL
+      (5L, (1 to 300).map(i => s"t$i").mkString(" ")) // vocab > 254
+    ).toDF("doc_id", "text")
+    val cand = Seq(
+      (1L, "a x c"), (2L, "a z b"), (3L, ""), (4L, "a"),
+      (5L, "t1 t2")
+    ).toDF("doc_id", "text")
+    val got = graft.scale.Eval.wer(cand, ref, "doc_id", "text")
+      .orderBy(c("doc_id")).collect()
+    assert(got(0).getAs[Long]("edit_distance") === 2L &&
+      got(0).getAs[Double]("wer") === 0.5)
+    assert(got(1).getAs[Double]("wer") === 0.5, "insertion costs 1")
+    assert(got(2).getAs[Double]("wer") === 1.0, "all-deletions")
+    assert(got(3).isNullAt(got(3).fieldIndex("wer")),
+      "empty reference -> NULL")
+    assert(got(4).isNullAt(got(4).fieldIndex("wer")) &&
+      got(4).isNullAt(got(4).fieldIndex("edit_distance")),
+      ">254 distinct tokens -> honest NULL, never a colliding distance")
+    // CER: one substituted char in four; empty ref NULL
+    val cg = graft.scale.Eval.cer(
+      Seq((1L, "abxd"), (2L, "zz")).toDF("doc_id", "text"),
+      Seq((1L, "abcd"), (2L, "")).toDF("doc_id", "text"),
+      "doc_id", "text").orderBy(c("doc_id")).collect()
+    assert(cg(0).getAs[Long]("edit_distance") === 1L &&
+      cg(0).getAs[Double]("cer") === 0.25)
+    assert(cg(1).isNullAt(cg(1).fieldIndex("cer")))
+  }
+
   test("passAtK: hand-computed unbiased estimator incl. the all-draws-" +
       "pass and too-few-samples branches") {
     // task A: n=5, c=2 -> pass@1 = 1 - 3/5 = .4; pass@3 = 1 - (3*2*1)/
