@@ -1441,6 +1441,17 @@ object ScaleCheck {
             lit("?utm_source=x")).as("url")),
           "doc_id", "url"),
         docs, "doc_id", None),
+      ("fdr_bh",
+        // the hypothesis table is |groups|-sized; the corpus mass is
+        // the one conditional moment hash-agg feeding it
+        (d: DataFrame) => graft.metrics.Metrics.benjaminiHochberg(
+          graft.metrics.Metrics.sequentialAbTest(
+            d.select(col("event_type"),
+              (col("user_id") % 7).as("segment"),
+              (col("user_id") % 2 === 0).as("side"), col("value")),
+            "value", "side", Seq("event_type", "segment")),
+          Seq("event_type", "segment"), "p_always"),
+        events, "event_id", None),
       ("ratio_delta",
         // twelve conditional decimal moment sums in ONE hash-agg; the
         // delta-method algebra is per-|groups|-row

@@ -5885,6 +5885,23 @@ object SparkEntry {
         .orderBy(col("arm"))
     }),
 
+    // ---- Benjamini-Hochberg FDR over a segment dashboard -------------------
+    // 35 always-valid p-values (mSPRT per event_type x user-mod-7
+    // segment) through the step-up FDR control: global p-rank via the
+    // range scaffold, adjusted p as the two-phase suffix min, reject
+    // on the rounded adjusted p. The multiple-testing guard every
+    // many-segment dashboard needs.
+    "fdr_bh_events" -> ((s, dir) => {
+      val tests = Metrics.sequentialAbTest(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 7).as("segment"),
+          (col("user_id") % 2 === 0).as("side"), col("value")),
+        "value", "side", Seq("event_type", "segment"))
+      Metrics.benjaminiHochberg(tests, Seq("event_type", "segment"),
+        "p_always")
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
     // ---- delta-method ratio-metric z-test (Deng et al. KDD'18) -------------
     // Revenue-per-click per arm: most production metrics are ratios of
     // unit sums, where a naive per-unit t-test is wrong (undefined on
@@ -6701,6 +6718,64 @@ object SparkEntry {
       ("streaming_srm_guard_events" -> srmGuardOracleSql),
       ("ratio_delta_events" -> ratioDeltaOracleSql),
       ("streaming_ratio_delta_events" -> ratioDeltaOracleSql),
+
+      // BH FDR: the mSPRT p panel per (event_type, segment), then the
+      // textbook step-up — rank over (p, ids), q = min(1, m*p/i),
+      // adjusted p as the descending running min, reject on rounded
+      ("fdr_bh_events" ->
+        """WITH s AS (
+          |  SELECT event_type, user_id % 7 AS segment,
+          |    (user_id % 2 = 0) AS side,
+          |    CAST(value AS DECIMAL(18,2)) AS v
+          |  FROM events),
+          |g AS (
+          |  SELECT event_type, segment,
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    CAST(SUM(v) FILTER (NOT side) AS DOUBLE) AS sa,
+          |    CAST(SUM(v) FILTER (side) AS DOUBLE) AS sb,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+          |      AS DOUBLE) AS qa,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+          |      AS DOUBLE) AS qb
+          |  FROM s GROUP BY event_type, segment),
+          |d AS (
+          |  SELECT event_type, segment, n_a, n_b, sa, sb, qa, qb,
+          |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+          |  FROM g),
+          |v AS (
+          |  SELECT *,
+          |    ((qa - sa * sa / na) / (na - 1.0)) / na
+          |      + ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS vv,
+          |    sa / na - sb / nb AS delta
+          |  FROM d),
+          |st AS (
+          |  SELECT *,
+          |    0.5 * ln(vv / (vv + 25.0))
+          |      + delta * delta * 25.0 / (2.0 * vv * (vv + 25.0)) AS llr,
+          |    (n_a >= 100 AND n_b >= 100 AND vv > 0.0) AS ok
+          |  FROM v),
+          |h AS (
+          |  SELECT event_type, segment,
+          |    CASE WHEN ok THEN ROUND(LEAST(1.0, exp(-llr)), 6) END AS p
+          |  FROM st),
+          |hh AS (SELECT * FROM h WHERE p IS NOT NULL),
+          |r AS (
+          |  SELECT *,
+          |    CAST(ROW_NUMBER() OVER (ORDER BY p, event_type, segment)
+          |      AS BIGINT) AS rank,
+          |    CAST(COUNT(*) OVER () AS BIGINT) AS m
+          |  FROM hh),
+          |q AS (
+          |  SELECT *, LEAST(1.0, CAST(m AS DOUBLE) * p / rank) AS qv
+          |  FROM r),
+          |a AS (
+          |  SELECT *, MIN(qv) OVER (ORDER BY rank DESC
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS padj
+          |  FROM q)
+          |SELECT event_type, segment, p AS p_always, rank,
+          |  ROUND(padj, 6) AS p_adj, ROUND(padj, 6) <= 0.05 AS reject
+          |FROM a ORDER BY event_type, segment""".stripMargin),
       ("sequential_proportion_events" -> sequentialProportionOracleSql),
       ("streaming_sequential_proportion_events" ->
         sequentialProportionOracleSql),

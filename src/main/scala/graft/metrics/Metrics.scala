@@ -2208,6 +2208,72 @@ object Metrics {
         col("z"))): _*)
   }
 
+  /** Benjamini–Hochberg FDR control (Benjamini & Hochberg, JRSS-B
+    * 1995) — the multiple-testing guard the A/B panel family needs the
+    * moment it tests MANY segments/metrics at once (at α = 0.05, a
+    * 40-segment dashboard with no real effects still "wins" two
+    * segments by chance; BH bounds the expected FALSE-DISCOVERY share
+    * of the rejected set at α). One row per hypothesis in, the same
+    * rows out with: the global p-rank, the step-up adjusted p-value
+    *   p_adj(i) = min_{j ≥ i} min(1, m·p_(j)/j)
+    * and the decision (reject ⟺ rounded p_adj ≤ α — both engines
+    * compare the identical 6-decimal double). Rows with NULL p are
+    * excluded from m and from the output (they were never tested).
+    *
+    * Scale shape: ranks come from the [[graft.sample.Samplers.globalRowNumber]]
+    * range-partition scaffold over the (p, id) total order, and the
+    * suffix-min runs the SAME two-phase trick with min in place of sum
+    * (per-partition minima to the driver — numPartitions values — then
+    * a within-partition descending running min + the broadcast suffix
+    * of the following partitions' minima). No single-partition window;
+    * min is order-insensitive, so no float-summation-order hazard
+    * exists anywhere in the procedure.
+    */
+  def benjaminiHochberg(
+      df: DataFrame,
+      idCols: Seq[String],
+      pCol: String,
+      alpha: Double = 0.05,
+      numPartitions: Int = 32): DataFrame = {
+    require(idCols.nonEmpty && alpha > 0.0 && alpha < 1.0,
+      s"bad BH params idCols=$idCols alpha=$alpha")
+    val base = df
+      .select(idCols.map(col) :+ col(pCol).cast("double").as("__p"): _*)
+      .filter(col("__p").isNotNull)
+    val (ranked, m) = graft.sample.Samplers.globalRowNumberWithTotal(
+      base, "__p" +: idCols, numPartitions, "rank")
+    val q = least(lit(1.0),
+      lit(m.toDouble) * col("__p") / col("rank"))
+    val withQ = ranked.withColumn("__q", q)
+      .repartitionByRange(numPartitions, col("rank"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val mins = withQ.groupBy(col("__pid"))
+      .agg(min(col("__q")).as("__mn")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // min of the partitions AFTER each pid (identity 1.0 — q ≤ 1)
+    val sufMap = {
+      var acc = 1.0
+      val buf = scala.collection.mutable.Map[Int, Double]()
+      for (pid <- (numPartitions - 1) to 0 by -1) {
+        buf(pid) = acc
+        acc = math.min(acc, mins.getOrElse(pid, 1.0))
+      }
+      buf.toMap
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("rank").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    withQ
+      .withColumn("__padj", least(min(col("__q")).over(w),
+        coalesce(element_at(typedLit(sufMap), col("__pid")), lit(1.0))))
+      .select(idCols.map(col) :+ col("__p").as(pCol) :+ col("rank") :+
+        round(col("__padj"), 6).as("p_adj") :+
+        (round(col("__padj"), 6) <= lit(alpha)).as("reject"): _*)
+  }
+
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(

@@ -688,6 +688,41 @@ class MetricsSpec extends SparkSpec {
     assert(ex.getMessage.contains("integral score column"))
   }
 
+  test("benjaminiHochberg: hand-computed step-up adjusted p-values on " +
+      "the textbook panel, NULL p excluded, partition-invariant") {
+    // m = 8, alpha = .05. q_i = 8 p_i / i:
+    //   .008 .032 .104 .082 .0672 .08 .084571 .205
+    // suffix-min (adjusted p):
+    //   .008 .032 .0672 .0672 .0672 .08 .084571 .205
+    // -> exactly the two smallest p's are rejected (k* = 2)
+    val ps = Seq(0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205)
+    val df = ps.zipWithIndex.map { case (p, i) => (s"h$i", p) }
+      .toDF("hyp", "p") unionByName
+      Seq(("hnull", Option.empty[Double])).toDF("hyp", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Metrics.benjaminiHochberg(d, Seq("hyp"), "p")
+        .orderBy($"rank").collect()
+    val got = run(df)
+    assert(got.length === 8, "NULL p excluded from m and output")
+    assert(got.map(_.getAs[Long]("rank")).toSeq === (1L to 8L))
+    val wantAdj = Seq(0.008, 0.032, 0.0672, 0.0672, 0.0672, 0.08,
+      0.084571, 0.205)
+    assert(got.map(_.getAs[Double]("p_adj")).toSeq === wantAdj)
+    assert(got.map(_.getAs[Boolean]("reject")).toSeq ===
+      Seq(true, true, false, false, false, false, false, false))
+    // adversarial repartitioning changes nothing (min has no
+    // accumulation-order sensitivity; ranks come from the total order)
+    assert(run(df.repartition(7)).map(_.toString).toSeq ===
+      got.map(_.toString).toSeq)
+    // every p equal at the boundary: q_i = p*m/i, suffix min is q_m = p
+    // -> all adjusted to p, all rejected at alpha = p
+    val flat = (1 to 5).map(i => (s"f$i", 0.05)).toDF("hyp", "p")
+    val g2 = Metrics.benjaminiHochberg(flat, Seq("hyp"), "p")
+      .collect()
+    assert(g2.forall(_.getAs[Double]("p_adj") === 0.05) &&
+      g2.forall(_.getAs[Boolean]("reject")))
+  }
+
   test("ratioMetricDelta: hand-computed delta-method variance, z on the " +
       "planted ratio fixture; zero-variance and sumY=0 sides gate NULL") {
     // side A units (x, y): (10,2), (20,3), (0,1) -> R_a = 30/6 = 5
