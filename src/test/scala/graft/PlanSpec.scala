@@ -817,4 +817,73 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"pair generation degenerated to a cross product:\n$plan")
   }
+
+  test("urlDedup is ONE canonical-key hash shuffle with map-side combine " +
+      "— no join, no window") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        concat(lit("https://Example.com/p/"),
+          (col("doc_id") % 40).cast("string"),
+          lit("?utm_source=x")).as("url"))
+    val df = graft.scale.Dedup.urlDedup(docs, "doc_id", "url")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected exactly one canonical-key shuffle:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final HashAggregate:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"urlDedup grew a join/window:\n$plan")
+  }
+
+  test("srmGuard and ratioDeltaMoments are single conditional hash-aggs " +
+      "(partial+final, one group-key exchange, no join)") {
+    val units = Tables.load(spark, sf, "events")
+      .select((col("user_id") % 3).as("arm"),
+        (col("user_id") % 2 === 0).as("side"),
+        col("value").as("x"), lit(1.0).as("y"))
+    for ((name, df) <- Seq(
+      "srmGuard" -> graft.metrics.Metrics.srmGuard(units, "side",
+        Seq("arm")),
+      "ratioDeltaMoments" -> graft.metrics.Metrics.ratioDeltaMoments(
+        units, "x", "y", "side", Seq("arm")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+        s"$name: expected one group-key shuffle:\n$plan")
+      assert("HashAggregate".r.findAllIn(plan).length >= 2,
+        s"$name: expected partial+final HashAggregate:\n$plan")
+      assert(!plan.contains("Join"), s"$name grew a join:\n$plan")
+    }
+  }
+
+  test("lineDensityFilter: the per-line struct rides ONE Generate and the " +
+      "doc rollup is one partial+final hash-agg — nothing re-tokenizes") {
+    val docs = Tables.load(spark, sf, "documents")
+    val df = graft.scale.TextAnalysis.lineDensityFilter(
+      docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(plan).length === 1,
+      s"expected exactly one line explode:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected one doc-key shuffle:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Window"),
+      s"lineDensityFilter grew a join/window:\n$plan")
+  }
+
+  test("wer/cer stay join-once: one pair equi-join, no aggregation, " +
+      "levenshtein inside the projection") {
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    for ((name, df) <- Seq(
+      "wer" -> graft.scale.Eval.wer(docs, docs, "doc_id", "text"),
+      "cer" -> graft.scale.Eval.cer(docs, docs, "doc_id", "text"))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert("Join".r.findAllIn(plan).length >= 1 &&
+        !plan.contains("CartesianProduct"),
+        s"$name: pair join degenerated:\n$plan")
+      assert(!plan.contains("HashAggregate"),
+        s"$name grew an aggregation:\n$plan")
+      assert(plan.toLowerCase.contains("levenshtein"),
+        s"$name: levenshtein not in the physical projection:\n$plan")
+    }
+  }
 }
