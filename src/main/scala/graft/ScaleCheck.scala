@@ -1603,6 +1603,18 @@ object ScaleCheck {
               "x -> length(x) > 0), 1, 12))").as("text")),
           d.select(col("doc_id"), col("text")),
           "doc_id", "text"),
+        docs, "doc_id", Some("text")),
+      ("bleu_paired_bootstrap",
+        // two count dictionaries (the only corpus-mass jobs, pinned
+        // once) + a map-local 32-replicate explode that combines to 32
+        // rows — the panel cost is ~2x bleu's gram mass, corpus-linear
+        (d: DataFrame) => {
+          def prefix(k: Int) = d.select(col("doc_id"), expr(
+            "concat_ws(' ', slice(filter(split(lower(text), '\\\\s+'), " +
+              s"x -> length(x) > 0), 1, $k))").as("text"))
+          graft.scale.Eval.bleuPairedBootstrap(prefix(12), prefix(6),
+            d.select(col("doc_id"), col("text")), "doc_id", "text")
+        },
         docs, "doc_id", Some("text")))
 
     // warm-up

@@ -5714,7 +5714,10 @@ object SparkEntry {
     // sides truncate to the first 120 chars — CER's domain is
     // utterance-scale transcripts, and the O(|c|*|r|) distance on full
     // document pairs would cost quadratic char mass for no extra
-    // coverage (the langid bounded-prefix discipline).
+    // coverage (the langid bounded-prefix discipline). The truncation is
+    // DECLARED IN THE OUTPUT SURFACE: the score column is cer_first120,
+    // not cer — a bounded-prefix CER diverges from full-text CER tools
+    // (the chrF declared-variant discipline).
     "cer_docs" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cand = docs
@@ -5728,6 +5731,7 @@ object SparkEntry {
         docs.select(col("doc_id"),
           substring(col("text"), 1, 120).as("text")),
         "doc_id", "text")
+        .withColumnRenamed("cer", "cer_first120")
         .orderBy(col("doc_id"))
     }),
 
@@ -5791,6 +5795,26 @@ object SparkEntry {
         docs.select(col("doc_id"),
           concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, 12))
             .as("text")),
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    }),
+
+    // ---- paired bootstrap: is system A's corpus BLEU significantly above
+    // B's? (Koehn EMNLP'04) -----------------------------------------------
+    // System A = the 12-token-prefix candidate, system B = the 6-token
+    // prefix (worse by construction — half the mass, a far harsher
+    // brevity penalty); 32 Poisson(1) segment resamples recompute BOTH
+    // corpus BLEUs per replicate from the SAME draw over the summed
+    // per-segment exact counts. Same doc_id % 5 stratum as
+    // bleu_corpus_docs (the statistic is the deliverable; full-corpus
+    // re-gramming would triple the suite's 4-gram mass).
+    "bleu_paired_bootstrap_docs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").filter(col("doc_id") % 5 === 0)
+      def prefix(k: Int) = docs.select(col("doc_id"),
+        concat_ws(" ", slice(TextAnalysis.tokens(col("text")), 1, k))
+          .as("text"))
+      graft.scale.Eval.bleuPairedBootstrap(
+        prefix(12), prefix(6),
         docs.select(col("doc_id"), col("text")),
         "doc_id", "text")
     }),
@@ -6402,6 +6426,7 @@ object SparkEntry {
 
       ("bleu_docs" -> bleuOracleSql(corpus = false)),
       ("bleu_corpus_docs" -> bleuOracleSql(corpus = true)),
+      ("bleu_paired_bootstrap_docs" -> bleuPairedBootstrapOracleSql(32)),
 
       // WER: the same 7th-token perturbation, per-pair relabeling
       // encode into the private-use plane (any bijection gives the
@@ -6466,7 +6491,7 @@ object SparkEntry {
           |SELECT doc_id, n_ref_chars, n_cand_chars, edit_distance,
           |  CASE WHEN n_ref_chars > 0 THEN
           |    ROUND(CAST(edit_distance AS DOUBLE) / n_ref_chars, 6)
-          |  END AS cer
+          |  END AS cer_first120
           |FROM e ORDER BY doc_id""".stripMargin),
 
       ("mde_events" ->
@@ -7725,6 +7750,135 @@ object SparkEntry {
          |  FROM pern)
          |${algebra("tot")}""".stripMargin
     }
+  }
+
+  /** Paired-bootstrap BLEU replay: per-segment exact count rows for BOTH
+    * candidate prefixes against the shared reference (the bleuOracleSql
+    * gram machinery, two candidate sides), then the Poisson(1) ladder
+    * evaluated with the REPLICATE AS A COLUMN (UNNEST(range(reps)) —
+    * digest index b//3, window shift (b%3)·16, the same PoissonCdf16
+    * literals), weighted sums per replicate, and the identical
+    * BP·geomean algebra per side. Decisions on rounded deltas; SE in
+    * micro-quantized exact integers.
+    */
+  private def bleuPairedBootstrapOracleSql(reps: Int): String = {
+    val maxN = 4
+    val cdf = graft.sample.Samplers.PoissonCdf16
+    def gramCtes(side: String, src: String): String =
+      (1 to maxN).map { n =>
+        val cols = (0 until n).map(j =>
+          if (j == 0) "t[CAST(i AS INT)]"
+          else s"t[CAST(i + $j AS INT)]").mkString(", ")
+        s""",
+           |${side}g$n AS (
+           |  SELECT doc_id, concat_ws(' ', $cols) AS g
+           |  FROM $src,
+           |    UNNEST(range(1, GREATEST(len(t) - ${n - 1}, 1) + 1)) AS u(i)),
+           |${side}c$n AS MATERIALIZED (
+           |  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+           |  FROM ${side}g$n GROUP BY 1, 2)""".stripMargin
+      }.mkString
+    def perN(side: String): String = (1 to maxN).map { n =>
+      s""",
+         |${side}ct$n AS (
+         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS ct
+         |  FROM ${side}c$n GROUP BY 1),
+         |${side}ov$n AS (
+         |  SELECT r.doc_id, CAST(SUM(LEAST(r.cnt, c.cnt)) AS BIGINT) AS ov
+         |  FROM rc$n r JOIN ${side}c$n c
+         |    ON c.doc_id = r.doc_id AND c.g = r.g
+         |  GROUP BY 1)""".stripMargin
+    }.mkString
+    val joins = Seq("a", "b").flatMap(s => (1 to maxN).map(n =>
+      s"  JOIN ${s}ct$n ON ${s}ct$n.doc_id = lens.doc_id\n" +
+        s"  LEFT JOIN ${s}ov$n ON ${s}ov$n.doc_id = lens.doc_id"))
+      .mkString("\n")
+    val cntCols = Seq("a", "b").flatMap(s => (1 to maxN).map(n =>
+      s"    ${s}ct$n.ct AS ${s}_ct_$n, " +
+        s"COALESCE(${s}ov$n.ov, 0) AS ${s}_ov_$n")).mkString(",\n")
+    val cnts = Seq("ref_len", "a_cand_len", "b_cand_len") ++
+      Seq("a", "b").flatMap(s =>
+        (1 to maxN).flatMap(n => Seq(s"${s}_ct_$n", s"${s}_ov_$n")))
+    val w = {
+      val u = "((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)" +
+        " || ':c' || CAST(b // 3 AS VARCHAR)), 1, 15)) AS BIGINT)" +
+        " >> CAST((b % 3) * 16 AS INT)) & 65535)"
+      cdf.zipWithIndex.foldRight("8") { case ((t, k), acc) =>
+        s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+      }
+    }
+    def algebra(p: String): String = {
+      val lnSum = (1 to maxN).map(n =>
+        s"ln(CAST(${p}ov_$n AS DOUBLE) / ${p}ct_$n)").mkString(" + ")
+      val anyZero = (1 to maxN).map(n => s"${p}ov_$n = 0").mkString(" OR ")
+      val bp = s"CASE WHEN ${p}cand_len >= ref_len THEN 1.0 " +
+        s"ELSE exp(1.0 - CAST(ref_len AS DOUBLE) / ${p}cand_len) END"
+      s"""CASE WHEN ${p}cand_len = 0 THEN NULL
+         |    WHEN $anyZero THEN 0.0
+         |    ELSE ROUND(($bp) * exp(($lnSum) / 4.0), 6) END""".stripMargin
+    }
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'),
+       |      x -> len(x) > 0) AS t
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |candta AS (SELECT doc_id, t[1:12] AS t FROM toks),
+       |candtb AS (SELECT doc_id, t[1:6] AS t FROM toks)${
+         gramCtes("r", "toks")}${gramCtes("a", "candta")}${
+         gramCtes("b", "candtb")}${perN("a")}${perN("b")},
+       |lens AS (
+       |  SELECT r.doc_id, CAST(len(r.t) AS BIGINT) AS ref_len,
+       |    CAST(len(a.t) AS BIGINT) AS a_cand_len,
+       |    CAST(len(b.t) AS BIGINT) AS b_cand_len
+       |  FROM toks r
+       |  JOIN candta a ON a.doc_id = r.doc_id
+       |  JOIN candtb b ON b.doc_id = r.doc_id),
+       |pern AS MATERIALIZED (
+       |  SELECT lens.doc_id, ref_len, a_cand_len, b_cand_len,
+       |$cntCols
+       |  FROM lens
+       |$joins),
+       |pt AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |    ${cnts.map(c => s"CAST(SUM($c) AS BIGINT) AS $c")
+           .mkString(",\n    ")}
+       |  FROM pern),
+       |point AS (
+       |  SELECT n_segments, ${algebra("a_")} AS bleu_a,
+       |    ${algebra("b_")} AS bleu_b
+       |  FROM pt),
+       |wts AS (
+       |  SELECT pern.*, b AS rep, $w AS w
+       |  FROM pern, UNNEST(range(0, $reps)) AS u(b)),
+       |rs AS (
+       |  SELECT rep,
+       |    ${cnts.map(c => s"CAST(SUM($c * w) AS BIGINT) AS $c")
+           .mkString(",\n    ")}
+       |  FROM wts WHERE w > 0 GROUP BY rep),
+       |rb AS (
+       |  SELECT rep, ${algebra("a_")} AS ba, ${algebra("b_")} AS bb
+       |  FROM rs),
+       |rd AS (
+       |  SELECT d, CAST(ROUND(d * 1e6) AS BIGINT) AS q
+       |  FROM (SELECT ROUND(ba - bb, 6) AS d FROM rb
+       |        WHERE ba IS NOT NULL AND bb IS NOT NULL)),
+       |panel AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |    CASE WHEN COUNT(*) > 1 THEN
+       |      ROUND(sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(q * q)
+       |        - SUM(q) * SUM(q) AS DOUBLE)
+       |        / (CAST(COUNT(*) AS DOUBLE)
+       |           * (CAST(COUNT(*) AS DOUBLE) - 1.0))) / 1e6, 6)
+       |    END AS boot_se,
+       |    ROUND(MIN(d), 6) AS ci_lo, ROUND(MAX(d), 6) AS ci_hi,
+       |    CASE WHEN COUNT(*) > 0 THEN
+       |      ROUND(SUM(CASE WHEN d > 0 THEN 1.0 WHEN d = 0 THEN 0.5
+       |        ELSE 0.0 END) / COUNT(*), 6) END AS p_a_gt_b
+       |  FROM rd)
+       |SELECT n_segments, bleu_a, bleu_b,
+       |  ROUND(bleu_a - bleu_b, 6) AS delta,
+       |  n_reps, boot_se, ci_lo, ci_hi, p_a_gt_b
+       |FROM point, panel""".stripMargin
   }
 
   private def passAtKOracleSql: String =

@@ -153,10 +153,16 @@ object Eval {
     *   BLEU = BP · exp((ln p₁ + ln p₂ + ln p₃ + ln p₄) / 4)
     * with the standard unsmoothed zero rule: any n with zero clipped
     * overlap → BLEU 0.0 (the geometric mean is −∞); a token-less
-    * candidate → NULL (nothing to score). Declared variant: n-grams use
-    * the house ragged convention ([[rougeN]]'s shingles — a text
-    * shorter than n contributes its whole token span as one gram), so
-    * every non-empty candidate has all four denominators ≥ 1. BLEU is
+    * candidate → NULL (nothing to score). Declared variant (diverges
+    * from sacrebleu — do NOT compare absolute numbers across tools, the
+    * [[chrF]] discipline): n-grams use the house ragged convention
+    * ([[rougeN]]'s shingles — a text shorter than n contributes its
+    * whole token span as one gram), so every non-empty candidate has
+    * all four denominators ≥ 1; sacrebleu instead gives a sub-n-token
+    * segment ZERO mass at order n, so short segments depress this
+    * BLEU's ct_n (and can force p_n = 0) where sacrebleu skips them.
+    * Within-variant comparisons (system A vs B on the same sets —
+    * [[bleuPairedBootstrap]]) are unaffected. BLEU is
     * a PAIR metric: only keys present in BOTH inputs are scored
     * (unpaired keys are dropped — use rougeN/chrF for the
     * reference-coverage semantics).
@@ -264,18 +270,147 @@ object Eval {
   private def bleuCols(maxN: Int): Seq[Column] = {
     val ps = (1 to maxN).map(n =>
       col(s"ov_$n").cast("double") / col(s"ct_$n"))
-    val gm = exp(ps.map(log(_)).reduceLeft(_ + _) / lit(maxN.toDouble))
     val bp = when(col("cand_len") >= col("ref_len"), lit(1.0))
       .otherwise(exp(lit(1.0) -
         col("ref_len").cast("double") / col("cand_len")))
-    val anyZero = (1 to maxN).map(n => col(s"ov_$n") === 0L)
-      .reduceLeft(_ || _)
     (1 to maxN).map(n => round(ps(n - 1), 6).as(s"p_$n")) ++ Seq(
       when(col("cand_len") === 0L, lit(null).cast("double"))
         .otherwise(round(bp, 6)).as("bp"),
-      when(col("cand_len") === 0L, lit(null).cast("double"))
-        .when(anyZero, lit(0.0))
-        .otherwise(round(bp * gm, 6)).as("bleu"))
+      bleuScoreCol(maxN, "").as("bleu"))
+  }
+
+  /** The final BLEU score over a (possibly column-prefixed) count row —
+    * the ONE place the BP · geomean algebra lives: [[bleuCols]] calls it
+    * with the empty prefix and [[bleuPairedBootstrap]] with "a_"/"b_"
+    * over the replicate-weighted sums, so the bootstrap replays exactly
+    * the statistic it tests. `ref_len` is never prefixed (both systems
+    * score against the same references).
+    */
+  private def bleuScoreCol(maxN: Int, p: String): Column = {
+    val ps = (1 to maxN).map(n =>
+      col(s"${p}ov_$n").cast("double") / col(s"${p}ct_$n"))
+    val gm = exp(ps.map(log(_)).reduceLeft(_ + _) / lit(maxN.toDouble))
+    val bp = when(col(s"${p}cand_len") >= col("ref_len"), lit(1.0))
+      .otherwise(exp(lit(1.0) -
+        col("ref_len").cast("double") / col(s"${p}cand_len")))
+    val anyZero = (1 to maxN).map(n => col(s"${p}ov_$n") === 0L)
+      .reduceLeft(_ || _)
+    when(col(s"${p}cand_len") === 0L, lit(null).cast("double"))
+      .when(anyZero, lit(0.0))
+      .otherwise(round(bp * gm, 6))
+  }
+
+  /** Paired bootstrap significance test for a corpus-BLEU delta (Koehn,
+    * "Statistical Significance Tests for Machine Translation Evaluation",
+    * EMNLP 2004) — the question every reported BLEU ends with: system A
+    * scores above system B, but is the difference real or segment-sampling
+    * noise? Resample the SEGMENT SET with replacement, recompute corpus
+    * BLEU for both systems on each replicate FROM THE SAME DRAW (the
+    * pairing — per-segment skill correlates across systems, so unpaired
+    * resampling wildly overstates the variance), and read the delta
+    * distribution.
+    *
+    * Composition of two proven house pieces: [[bleuCounts]]' per-segment
+    * exact count rows (corpus BLEU is pure algebra over their sums, so a
+    * resample never re-grams anything) and the ONE-SCAN Poisson bootstrap
+    * (Chamandy 2012 — per-segment deterministic Poisson(1) multiplicities
+    * from 16-bit md5-digest windows through the shared
+    * [[graft.sample.Samplers.PoissonCdf16]] ladder, so any engine replays
+    * every draw). Only keys scored under BOTH systems pair up (inner
+    * join — the Koehn contract of one shared test set).
+    *
+    * Output (one row): n_segments, the point corpus scores bleu_a/bleu_b
+    * and delta = bleu_a − bleu_b, then the replicate panel — n_reps
+    * (replicates where both scores are defined), boot_se (moment form
+    * over micro-quantized replicate deltas), the ci_lo/ci_hi envelope,
+    * and p_a_gt_b = the share of replicates with a positive rounded
+    * delta (ties count ½) — Koehn's "significant at 95%" reads
+    * p_a_gt_b ≥ 0.95.
+    *
+    * Determinism: every replicate count is an exact long sum of
+    * count-row longs × ladder weights; the per-replicate algebra is
+    * [[bleuScoreCol]] verbatim; all panel decisions run on ROUNDED
+    * deltas. Scale shape: the count dictionaries are the only
+    * corpus-mass jobs (pinned once — they feed both the point row and
+    * the panel); the replicate explode is map-local and combines to
+    * |reps| rows before the final fold. A replicate that draws weight 0
+    * for every segment simply misses (n_reps reports coverage).
+    */
+  def bleuPairedBootstrap(
+      candidatesA: DataFrame,
+      candidatesB: DataFrame,
+      references: DataFrame,
+      keyCol: String,
+      textCol: String,
+      maxN: Int = 4,
+      reps: Int = 32): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"bad reps $reps")
+    val sideCnts = "cand_len" +:
+      (1 to maxN).flatMap(n => Seq(s"ct_$n", s"ov_$n"))
+    def pref(cands: DataFrame, p: String) =
+      bleuCounts(cands, references, keyCol, textCol, maxN)
+        .select(col("key") +: col("ref_len") +:
+          sideCnts.map(c => col(c).as(p + c)): _*)
+    val cnts = "ref_len" +: (Seq("a_", "b_").flatMap(p =>
+      sideCnts.map(p + _)))
+    val nDigests = (reps + 2) / 3
+    def digestCol(c: Int): Column =
+      graft.scale.HashExprs.md5PrefixLong(
+        concat(col("key").cast("string"), lit(":c" + c)).cast("binary"), 15)
+    def weight(b: Int): Column = {
+      val u16 = shiftright(col(s"__h${b / 3}"), (b % 3) * 16)
+        .bitwiseAND(lit(65535L))
+      graft.sample.Samplers.PoissonCdf16.zipWithIndex
+        .foldRight(lit(8L): Column) { case ((t, k), acc) =>
+          when(u16 < t, k.toLong).otherwise(acc)
+        }
+    }
+    // the gram-dictionary jobs are the expensive piece and feed BOTH the
+    // point statistic and the replicate panel — pin the paired count
+    // rows once (the bradleyTerryBootstrap proj discipline)
+    val paired = pref(candidatesA, "a_")
+      .join(pref(candidatesB, "b_").drop("ref_len"), Seq("key"))
+      .select(col("key") +: cnts.map(col) ++:
+        (0 until nDigests).map(c => digestCol(c).as(s"__h$c")): _*)
+      .localCheckpoint(true)
+    val pointAggs = count(lit(1)).as("n_segments") +:
+      cnts.map(c => sum(col(c)).as(c))
+    val point = paired.agg(pointAggs.head, pointAggs.tail: _*)
+      .select(col("n_segments"),
+        bleuScoreCol(maxN, "a_").as("bleu_a"),
+        bleuScoreCol(maxN, "b_").as("bleu_b"))
+      .withColumn("delta", round(col("bleu_a") - col("bleu_b"), 6))
+    val repAggs = cnts.map(c => sum(col(c) * col("w")).as(c))
+    val repD = paired
+      .select(cnts.map(col) :+
+        posexplode(array((0 until reps).map(weight): _*))
+          .as(Seq("rep", "w")): _*)
+      .filter(col("w") > 0L)
+      .groupBy(col("rep"))
+      .agg(repAggs.head, repAggs.tail: _*)
+      .select(bleuScoreCol(maxN, "a_").as("__ba"),
+        bleuScoreCol(maxN, "b_").as("__bb"))
+      .filter(col("__ba").isNotNull && col("__bb").isNotNull)
+      .select(round(col("__ba") - col("__bb"), 6).as("__d"))
+      .withColumn("__q", round(col("__d") * lit(1e6)).cast("long"))
+    val panel = repD.agg(
+        count(lit(1)).as("n_reps"),
+        sum(col("__q")).as("__sq"),
+        sum(col("__q") * col("__q")).as("__sqq"),
+        round(min(col("__d")), 6).as("ci_lo"),
+        round(max(col("__d")), 6).as("ci_hi"),
+        sum(when(col("__d") > 0.0, 1.0).when(col("__d") === 0.0, 0.5)
+          .otherwise(0.0)).as("__wins"))
+      .withColumn("boot_se", when(col("n_reps") > 1L, round(
+        sqrt((col("n_reps") * col("__sqq") - col("__sq") * col("__sq"))
+          .cast("double") /
+          (col("n_reps").cast("double") *
+            (col("n_reps") - 1L).cast("double"))) / 1e6, 6)))
+      .withColumn("p_a_gt_b", when(col("n_reps") > 0L,
+        round(col("__wins") / col("n_reps").cast("double"), 6)))
+      .select(col("n_reps"), col("boot_se"), col("ci_lo"), col("ci_hi"),
+        col("p_a_gt_b"))
+    point.crossJoin(panel) // two 1-row folds — the dictionary-fold join
   }
 
   /** Word error rate per (candidate, reference) pair — the standard
@@ -337,7 +472,13 @@ object Eval {
     * convention): `levenshtein` straight on the lowercased texts over
     * the reference character count. No encoding step, no vocabulary
     * limit; NULL on an empty reference. Same pair semantics and scale
-    * shape as [[wer]].
+    * shape as [[wer]]. CER's per-pair cost is O(|cand|·|ref|) characters
+    * inside the levenshtein codegen — utterance/transcript-scale input
+    * is the domain; callers scoring DOCUMENT pairs should truncate both
+    * sides to a declared prefix first AND SAY SO in the output surface
+    * (name the column `cer_first120`, not `cer` — a bounded-prefix CER
+    * diverges from full-text CER tools, the [[chrF]] declared-variant
+    * discipline).
     */
   def cer(
       candidates: DataFrame,

@@ -1043,6 +1043,38 @@ class ScaleSpec extends SparkSpec {
     assert(corp.getAs[Double]("bleu") === r6(math.exp(1.0 - 11.0 / 10.0)))
   }
 
+  test("bleuPairedBootstrap: forced sign — A identical to ref, B a short " +
+      "prefix; hand-computed corpus scores, every replicate delta positive") {
+    import org.apache.spark.sql.functions.{col => c}
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val ref = Seq((1L, "a b c d e f"), (2L, "g h i j"))
+      .toDF("doc_id", "text")
+    val candB = Seq((1L, "a b c d"), (2L, "g h")).toDF("doc_id", "text")
+    val got = graft.scale.Eval.bleuPairedBootstrap(
+      ref, candB, ref, "doc_id", "text", reps = 8).collect()(0)
+    // B corpus counts summed BEFORE the algebra: seg1 (4-token prefix of
+    // a 6-token ref) has all clipped precisions 1 (ct 4/3/2/1); seg2
+    // (2-token prefix of a 4-token ref) matches at n=1,2 (ct 2/1) but
+    // its ragged whole-span "g h" 3- and 4-gram never match -> ov3 2+0,
+    // ov4 1+0. cand_len 6, ref_len 10.
+    val gm = math.exp((math.log(6.0 / 6.0) + math.log(4.0 / 4.0) +
+      math.log(2.0 / 3.0) + math.log(1.0 / 2.0)) / 4.0)
+    val expB = r6(math.exp(1.0 - 10.0 / 6.0) * gm)
+    assert(got.getAs[Long]("n_segments") === 2L)
+    assert(got.getAs[Double]("bleu_a") === 1.0, "identity system scores 1")
+    assert(got.getAs[Double]("bleu_b") === expB)
+    assert(got.getAs[Double]("delta") === r6(1.0 - expB))
+    // every replicate that draws anything keeps A at 1.0 and B strictly
+    // below (either a BP < 1 or a zero 3/4-gram overlap) -> the whole
+    // envelope is positive and A wins every replicate
+    val nReps = got.getAs[Long]("n_reps")
+    assert(nReps >= 1L && nReps <= 8L)
+    assert(got.getAs[Double]("ci_lo") > 0.0)
+    assert(got.getAs[Double]("p_a_gt_b") === 1.0)
+    if (nReps > 1L) assert(got.getAs[Double]("boot_se") >= 0.0)
+  }
+
   test("wer/cer: hand-computed substitution/deletion/insertion cases, " +
       "empty-reference and vocab-limit NULL gates") {
     import org.apache.spark.sql.functions.{col => c}
