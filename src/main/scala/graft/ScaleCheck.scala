@@ -275,6 +275,16 @@ object ScaleCheck {
         // within-cluster pair mass scales linearly
         (d: DataFrame) => Similarity.semDedup(d, "vec_id", "embedding", 0.3),
         embeddings, "vec_id", Some("embedding")),
+      ("decontaminate_semantic",
+        // bench = every 7th corpus vector verbatim (the worst-case
+        // all-hits workload); centroid count grows with the data so the
+        // within-cell pair mass stays ~n·|bench-per-cell| — the semdedup
+        // shape with a second (dictionary-scale) probe side
+        (d: DataFrame) => graft.scale.Dedup.decontaminateSemantic(d,
+          d.filter(col("vec_id") % 7 === 0)
+            .select(col("vec_id").as("bench_id"), col("embedding")),
+          "vec_id", "bench_id", "embedding", 0.95),
+        embeddings, "vec_id", Some("embedding")),
       ("unigram_logprob",
         // UNsalted copies (like bpe_train): salting grew the VOCABULARY N×,
         // so the r3-r5 ratios measured the replica trick (an N×-wider LM

@@ -71,6 +71,26 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** The planted benchmark set of the semantic-decontamination queries:
+    * vec_id % 7 = 0 items are PARAPHRASES — the corpus embedding's
+    * 1e-3-quantized integers jittered by (vec_id + i) % 5 − 2 milli-units
+    * and divided back, so both engines recover exactly v_i + j_i after
+    * quantization (no float-boundary flap; cosine to the source stays
+    * ≈ 1). vec_id % 7 = 3 items are NOVEL — the reversed vector,
+    * decorrelated from every corpus embedding (must not flag at 0.95).
+    */
+  private def semanticBench(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") % 7 === 0 || col("vec_id") % 7 === 3)
+      .select(col("vec_id").as("bench_id"), expr(
+        """CASE WHEN vec_id % 7 = 0 THEN
+          |  transform(sequence(1, size(embedding)), i ->
+          |    (round(CAST(element_at(embedding, i) AS DOUBLE) * 1000)
+          |     + CAST((vec_id + i) % 5 - 2 AS DOUBLE)) / 1000.0D)
+          |ELSE transform(sequence(1, size(embedding)), i ->
+          |  CAST(element_at(embedding, size(embedding) - i + 1)
+          |    AS DOUBLE))
+          |END""".stripMargin).as("embedding"))
+
   /** Three deterministic quality "judges" over documents — the demo
     * rater ensemble the Fleiss-kappa panel grades: length class,
     * token-count class, lexical-diversity class (exact cross-multiplied
@@ -1506,6 +1526,42 @@ object SparkEntry {
           docs.filter(col("doc_id") % 20 === 0),
           "doc_id", "text", 8, 2, 3, 600000L)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- scale: SEMANTIC (embedding-space) decontamination ------------------
+    // The paraphrase gate the lexical passes above miss: benchmark =
+    // planted PARAPHRASE vectors (vec_id % 7 = 0 — the corpus vector
+    // jittered by <= 2 milli-units per dim: same meaning-point in
+    // embedding space, ZERO lexical trace for any n-gram pass to find)
+    // plus novel items (vec_id % 7 = 3 — the REVERSED vector,
+    // decorrelated: must NOT flag). IVF cell-probe walk, cosine >= 0.95
+    // within cells only.
+    "decontaminate_semantic_docs" -> ((s, dir) =>
+      Dedup.decontaminateSemantic(t(s, dir, "embeddings"),
+          semanticBench(t(s, dir, "embeddings")),
+          "vec_id", "bench_id", "embedding", 0.95)
+        .orderBy(col("corpus_id"))),
+
+    // ---- MEASURED recall of the semantic pass against the planted truth ----
+    // The phonetic_blocking_quality discipline: the planted paraphrases
+    // ARE the ground truth, so recall is a measurement, not an
+    // assertion — n_planted_flagged / n_planted, with the non-planted
+    // flag count beside it (reversed novel items must contribute 0).
+    "decontaminate_semantic_recall_docs" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val flagged = Dedup.decontaminateSemantic(emb, semanticBench(emb),
+        "vec_id", "bench_id", "embedding", 0.95)
+      val hits = flagged.agg(
+        count(lit(1)).as("n_flagged"),
+        sum(when(col("corpus_id") % 7 === 0, 1L).otherwise(0L))
+          .as("n_planted_flagged"))
+      emb.agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("vec_id") % 7 === 0, 1L).otherwise(0L))
+            .as("n_planted"))
+        .crossJoin(hits)
+        .withColumn("recall", when(col("n_planted") > 0L,
+          round(col("n_planted_flagged").cast("double") /
+            col("n_planted").cast("double"), 6)))
     }),
 
     // ---- per-benchmark contamination report (the release-audit table) -------
@@ -7752,6 +7808,59 @@ object SparkEntry {
     }
   }
 
+  /** Semantic-decontamination replay core (through the within-cell
+    * cosine hits) — shared by the flagged-doc detail and the measured
+    * recall oracles. Benchmark vectors are rebuilt from the QUANTIZED
+    * corpus integers (v_i + (vec_id+i)%5 − 2 for paraphrases, the
+    * reversed list for novels) — exactly what Spark's quantize recovers
+    * from the fixture's /1000.0 floats. Same 1-probe corpus / 2-probe
+    * bench cell walk, exact-double dots (integer-valued, < 2^53).
+    */
+  private def semanticDecontamOracleCore: String =
+    """WITH qv AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 1000))
+      |      AS v
+      |  FROM embeddings),
+      |bench AS (
+      |  SELECT vec_id AS bench_id,
+      |    CASE WHEN vec_id % 7 = 0 THEN
+      |      list_transform(range(1, len(v) + 1),
+      |        i -> v[i] + CAST((vec_id + i) % 5 - 2 AS DOUBLE))
+      |    ELSE list_reverse(v) END AS bv
+      |  FROM qv WHERE vec_id % 7 = 0 OR vec_id % 7 = 3),
+      |cents AS (
+      |  SELECT vec_id AS centroid_id, v AS centv FROM qv
+      |  WHERE vec_id % 100 = 0),
+      |casn AS (
+      |  SELECT corpus_id, cv, centroid_id FROM (
+      |    SELECT q.vec_id AS corpus_id, q.v AS cv, c.centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+      |        list_dot_product(q.v, c.centv)
+      |          / sqrt(list_dot_product(q.v, q.v)
+      |                 * list_dot_product(c.centv, c.centv)) DESC,
+      |        c.centroid_id) AS rk
+      |    FROM qv q, cents c)
+      |  WHERE rk = 1),
+      |basn AS (
+      |  SELECT centroid_id, bench_id, bv FROM (
+      |    SELECT b.bench_id, c.centroid_id, b.bv,
+      |      ROW_NUMBER() OVER (PARTITION BY b.bench_id ORDER BY
+      |        list_dot_product(b.bv, c.centv)
+      |          / sqrt(list_dot_product(b.bv, b.bv)
+      |                 * list_dot_product(c.centv, c.centv)) DESC,
+      |        c.centroid_id) AS rk
+      |    FROM bench b, cents c)
+      |  WHERE rk <= 2),
+      |hits AS (
+      |  SELECT corpus_id, bench_id, cs FROM (
+      |    SELECT a.corpus_id, b.bench_id,
+      |      list_dot_product(a.cv, b.bv)
+      |        / sqrt(list_dot_product(a.cv, a.cv)
+      |               * list_dot_product(b.bv, b.bv)) AS cs
+      |    FROM casn a JOIN basn b ON b.centroid_id = a.centroid_id)
+      |  WHERE cs >= 0.95)""".stripMargin
+
   /** Paired-bootstrap BLEU replay: per-segment exact count rows for BOTH
     * candidate prefixes against the shared reference (the bleuOracleSql
     * gram machinery, two candidate sides), then the Poisson(1) ladder
@@ -12387,6 +12496,38 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents) d
         |LEFT JOIN h USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "decontaminate_semantic_docs" ->
+      s"""$semanticDecontamOracleCore,
+         |sel AS (
+         |  SELECT corpus_id, bench_id, cs,
+         |    ROW_NUMBER() OVER (PARTITION BY corpus_id
+         |      ORDER BY cs DESC, bench_id) AS rk,
+         |    COUNT(*) OVER (PARTITION BY corpus_id) AS nh,
+         |    MAX(cs) OVER (PARTITION BY corpus_id) AS mx
+         |  FROM hits)
+         |SELECT corpus_id, CAST(nh AS BIGINT) AS n_bench_hits,
+         |  bench_id AS top_bench_id, ROUND(mx, 6) AS max_sim
+         |FROM sel WHERE rk = 1 ORDER BY corpus_id""".stripMargin,
+
+    "decontaminate_semantic_recall_docs" ->
+      s"""$semanticDecontamOracleCore,
+         |f AS (SELECT corpus_id FROM hits GROUP BY corpus_id),
+         |agg AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_flagged,
+         |    CAST(SUM(CASE WHEN corpus_id % 7 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_planted_flagged
+         |  FROM f),
+         |tot AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |    CAST(SUM(CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_planted
+         |  FROM embeddings)
+         |SELECT n_corpus, n_planted, n_flagged, n_planted_flagged,
+         |  CASE WHEN n_planted > 0 THEN
+         |    ROUND(CAST(n_planted_flagged AS DOUBLE)
+         |      / CAST(n_planted AS DOUBLE), 6) END AS recall
+         |FROM tot, agg""".stripMargin,
 
     "decontaminate_docs" ->
       """WITH toks AS (

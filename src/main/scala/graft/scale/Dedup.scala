@@ -947,6 +947,89 @@ object Dedup {
           .as("contaminated"))
   }
 
+  /** SEMANTIC (embedding-space) decontamination — the gate the lexical
+    * family above cannot provide: [[decontaminate]]/[[decontaminateBloom]]/
+    * [[decontaminateFuzzy]] catch n-gram overlap, so a PARAPHRASED
+    * benchmark item (same content, different words — zero shared
+    * shingles) sails straight through into the training set. This pass
+    * works where paraphrases live: flag every corpus document whose
+    * embedding lies within cosine `threshold` of ANY benchmark-item
+    * embedding.
+    *
+    * Scale shape — the [[graft.scale.Similarity.ivfTopK]] cell-probe
+    * walk, never corpus × benchmark pair mass: centroids are the
+    * deterministic id-modulo pick (a trained
+    * [[graft.scale.Similarity.kmeansCentroids]] codebook drops in);
+    * corpus vectors assign to their top-1 cell via ONE broadcast
+    * crossJoin + max-struct hash-agg (no window over the corpus);
+    * benchmark items probe their top-`probes` cells (multi-probe buys
+    * back the recall a cell boundary would cost — benchmark sets are
+    * dictionary-scale, so the window is cheap); the similarity join runs
+    * within cells only. Determinism: 1e-3-quantized integer vectors,
+    * exact-long dots ([[graft.scale.Similarity.cosineQuantized]]), ties
+    * to the smallest id everywhere.
+    *
+    * Recall is MEASURED, not assumed — the fixture plants paraphrase
+    * vectors and grades this op's hits against the planted truth (the
+    * phonetic_blocking_quality discipline); see
+    * decontaminate_semantic_recall_docs.
+    *
+    * @return one row per FLAGGED corpus doc: (corpus_id, n_bench_hits,
+    *         top_bench_id, max_sim) — unflagged docs are absent (the
+    *         drop-list contract; LEFT-join back for a per-doc flag)
+    */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      corpusIdCol: String,
+      benchIdCol: String,
+      vecCol: String,
+      threshold: Double,
+      centroidMod: Int = 100,
+      probes: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold $threshold")
+    require(probes >= 1, s"bad probes $probes")
+    val cents = corpus.filter(col(corpusIdCol) % centroidMod === 0)
+      .select(col(corpusIdCol).as("centroid_id"),
+        Similarity.quantize(col(vecCol)).as("centv"))
+    val cAsn = corpus
+      .select(col(corpusIdCol).as("corpus_id"),
+        Similarity.quantize(col(vecCol)).as("cv"))
+      .crossJoin(broadcast(cents))
+      .select(col("corpus_id"), col("cv"), col("centroid_id"),
+        Similarity.cosineQuantized(col("cv"), col("centv")).as("c_sim"))
+      .groupBy(col("corpus_id"))
+      .agg(max(struct(col("c_sim"), (-col("centroid_id")).as("__nc"),
+        col("cv").as("cv"))).as("__m"))
+      .select(col("corpus_id"), (-col("__m.__nc")).as("centroid_id"),
+        col("__m.cv").as("cv"))
+    val wp = Window.partitionBy(col("bench_id"))
+      .orderBy(col("b_sim").desc, col("centroid_id"))
+    val bAsn = benchmark
+      .select(col(benchIdCol).as("bench_id"),
+        Similarity.quantize(col(vecCol)).as("bv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("b_sim",
+        Similarity.cosineQuantized(col("bv"), col("centv")))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= probes)
+      .select(col("centroid_id"), col("bench_id"), col("bv"))
+    // each corpus doc lives in exactly one cell, so a (corpus, bench)
+    // pair meets at most once even under multi-probe — no distinct needed
+    cAsn.join(bAsn, Seq("centroid_id"))
+      .withColumn("cos_sim",
+        Similarity.cosineQuantized(col("cv"), col("bv")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(struct(col("cos_sim"), (-col("bench_id")).as("__nb")))
+          .as("__m"),
+        round(max(col("cos_sim")), 6).as("max_sim"))
+      .select(col("corpus_id"), col("n_bench_hits"),
+        (-col("__m.__nb")).as("top_bench_id"), col("max_sim"))
+  }
+
   /** Per-benchmark contamination report — the release-audit table
     * (Dolma / FineWeb convention): [[decontaminateFuzzy]] flags docs
     * against ONE eval slice; a real release audits N benchmarks at once

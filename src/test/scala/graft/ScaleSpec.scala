@@ -233,6 +233,38 @@ class ScaleSpec extends SparkSpec {
     assert(got.head._2 === 6L)   // doc 2 shares 6 of 7 trigrams with doc 1
   }
 
+  test("decontaminateSemantic: planted paraphrase flags its source through " +
+      "the cell walk, novel reversed vector flags nothing") {
+    import org.apache.spark.sql.functions.{col => c}
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    // two centroids (ids 0, 100 — the % 100 pick): the x- and y-axis
+    // cells; corpus 3 sits in the x cell (cos 0.8 vs 0.6)
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (100L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    // bench 7 = paraphrase of corpus 0 (quantizes to (999, 1)); bench 8 =
+    // a novel direction no corpus vector approaches
+    val bench = Seq(
+      (7L, Seq(0.999f, 0.001f)),
+      (8L, Seq(-1.0f, 0.0f))).toDF("bench_id", "embedding")
+    val got = Dedup.decontaminateSemantic(corpus, bench,
+      "vec_id", "bench_id", "embedding", 0.95).collect()
+    // hand walk: with 2 cells and probes = 2, every bench item reaches
+    // every cell; the only pair at cos >= 0.95 is (corpus 0, bench 7):
+    // dot = 1000*999 = 999000, |a|^2 = 1e6, |b|^2 = 998002 ->
+    // cos = 999000/sqrt(998002e6); (corpus 3, bench 7) reads 0.8006 and
+    // bench 8 is anti-aligned everywhere
+    assert(got.length === 1)
+    val r = got(0)
+    assert(r.getAs[Long]("corpus_id") === 0L &&
+      r.getAs[Long]("n_bench_hits") === 1L &&
+      r.getAs[Long]("top_bench_id") === 7L)
+    assert(r.getAs[Double]("max_sim") ===
+      r6(999000.0 / math.sqrt(998002000000.0)))
+  }
+
   test("decontaminateFuzzy: exact eval copy estimates 1.0, disjoint vocab " +
       "never collides, any band match implies >= rowsPerBand agreement") {
     val eval_ = docs.filter($"doc_id" === 4)   // exact copy of doc 1
