@@ -924,6 +924,71 @@ object ScaleCheck {
         (d: DataFrame) => graft.metrics.Metrics.skewProfile(
           d, Seq("user_id"), 32),
         events, "event_id", None),
+      ("domain_stats",
+        // pure string algebra per row (the one matched suffix branch runs
+        // its regex), then ONE hash-agg on the short domain key; the
+        // distinct-page state carries md5 fingerprints, never URL bytes
+        (d: DataFrame) => Dedup.domainStats(
+          d.select(col("doc_id"),
+            length(col("text")).cast("long").as("mass"),
+            concat(lit("https://h"), (col("doc_id") % 97).cast("string"),
+              lit(".example.co.uk/p/"),
+              (col("doc_id") % 1000).cast("string")).as("url")),
+          "doc_id", "url", "mass"),
+        docs, "doc_id", None),
+      ("quantile_effect",
+        // one corpus scan explodes 33 Poisson weights and hash-aggs to
+        // the per-(type, side, rep) value dictionaries; rank windows and
+        // the delta panel run at dictionary scale
+        (d: DataFrame) => graft.metrics.Metrics.quantileTreatmentEffect(
+          d.select(col("event_type"),
+            (col("user_id") % 2 === 0).as("side"),
+            col("value"), col("event_id")),
+          "value", "side", "event_id", Seq("event_type")),
+        events, "event_id", None),
+      ("online_fdr",
+        // corpus mass = ONE conditional moment hash-agg (the mSPRT
+        // panel); the LORD fixed-point walk runs on the drained
+        // hypothesis dictionary with rejection ranks as plan literals
+        (d: DataFrame) => graft.metrics.Metrics.onlineFdrLord(
+          graft.metrics.Metrics.sequentialAbTest(
+            d.select(col("event_type"),
+              (col("user_id") % 7).as("segment"),
+              (col("user_id") % 2 === 0).as("side"),
+              (col("value") + when((col("user_id") % 7) < 2 &&
+                col("user_id") % 2 === 0, lit(40.0))
+                .otherwise(lit(0.0))).as("value")),
+            "value", "side", Seq("event_type", "segment")),
+          Seq("event_type", "segment"), "p_always"),
+        events, "event_id", None),
+      ("calibration",
+        // ONE conditional hash-agg to the (group, bin) dictionary;
+        // ECE/MCE algebra + join-back at dictionary scale
+        (d: DataFrame) => graft.metrics.Metrics.expectedCalibrationError(
+          d.select(col("event_type"),
+            ((col("event_id") % 97) / lit(96.0)).as("score"),
+            (col("user_id") % 5 < 3).as("correct")),
+          "score", "correct", Seq("event_type")),
+        events, "event_id", None),
+      ("post_strat",
+        // ONE stratum-keyed conditional decimal hash-agg, then the
+        // micro-quantized cross-strata roll-up at dictionary scale
+        (d: DataFrame) => graft.metrics.Metrics.postStratifiedDelta(
+          d.select((col("user_id") % 3).as("arm"), col("event_type"),
+            (col("user_id") % 2 === 0).as("side"),
+            (col("value") + when(col("user_id") % 2 === 0, lit(2.0))
+              .otherwise(lit(0.0))).as("value")),
+          "value", "side", "event_type", Seq("arm")),
+        events, "event_id", None),
+      ("pack_sequences",
+        // one globalCumSum scaffold pass + a narrow sequence() explode;
+        // output mass = token mass / contextLen + one row per doc
+        (d: DataFrame) => graft.scale.TextAnalysis.packSequences(
+          d.select(col("doc_id"),
+            graft.scale.TextAnalysis.tokenCount(col("text"))
+              .as("n_tokens")),
+          "doc_id", "n_tokens", 256L),
+        docs, "doc_id", None),
       ("dbscan",
         // block-bounded pair mass + degree hash-agg + core-only CC
         (d: DataFrame) => Similarity.dbscanClusters(

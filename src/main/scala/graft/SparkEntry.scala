@@ -517,6 +517,19 @@ object SparkEntry {
           size(TextAnalysis.regexTokens(col("text"))).as("n_re_tokens"))
         .orderBy(col("doc_id"))),
 
+    // ---- scale: concat-and-chunk sequence packing ---------------------------
+    // The GPT pretraining manifest: documents laid end-to-end in doc_id
+    // order, the token stream cut into 256-token context windows, one
+    // row per (chunk, doc piece) with offsets. One globalCumSum scaffold
+    // pass + a narrow per-doc sequence() explode — output mass is
+    // corpus tokens / 256 + one row per doc.
+    "pack_sequences_docs" -> ((s, dir) =>
+      TextAnalysis.packSequences(
+        t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens")),
+        "doc_id", "n_tokens", 256L)
+        .orderBy(col("chunk_id"), col("chunk_offset"))),
+
     // ---- scale: brute-force cosine top-k (quantized, oracle-exact) --------
     "ann_topk_embeddings" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
@@ -5936,6 +5949,37 @@ object SparkEntry {
         .orderBy(col("canonical_url"))
     }),
 
+    // ---- per-domain crawl-health panel (registrable domain / eTLD+1) -------
+    // Crawl pipelines budget, cap, and report by eTLD+1, not host or
+    // TLD: eight deterministic host variants exercise the two-label
+    // suffix match (co.uk), the PSL private registries (each
+    // *.github.io user is its own domain), a non-default port, an IPv4
+    // literal, and the wildcard fallback (.zz); per domain: doc count,
+    // distinct canonical pages, content mass, refetch share.
+    "domain_stats_docs" -> ((s, dir) => {
+      val urls = t(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).cast("long").as("mass"), expr(
+        """CASE CAST(doc_id % 8 AS INT)
+          |  WHEN 0 THEN concat('https://WWW.Example.CO.UK/art/',
+          |    CAST(doc_id div 24 AS STRING), '?utm_source=x')
+          |  WHEN 1 THEN concat('https://news.example.co.uk/art/',
+          |    CAST(doc_id div 24 AS STRING))
+          |  WHEN 2 THEN concat('https://Alice.GitHub.IO/proj/',
+          |    CAST(doc_id div 24 AS STRING), '#readme')
+          |  WHEN 3 THEN concat('https://a.b.github.io/x/',
+          |    CAST(doc_id div 24 AS STRING))
+          |  WHEN 4 THEN concat('http://data.example.org:8080/d?id=',
+          |    CAST(doc_id % 3 AS STRING))
+          |  WHEN 5 THEN concat('https://one.two.example.ai/e/',
+          |    CAST(doc_id div 24 AS STRING))
+          |  WHEN 6 THEN 'http://192.168.0.1/admin'
+          |  ELSE concat('https://weird.example.zz/f/',
+          |    CAST(doc_id div 24 AS STRING))
+          |END""".stripMargin).as("url"))
+      Dedup.domainStats(urls, "doc_id", "url", "mass")
+        .orderBy(col("domain"))
+    }),
+
     // ---- sample-ratio-mismatch guard (assignment-count chi-square) ---------
     // The FIRST check a real A/B platform runs: Pearson chi-square of
     // the n_a:n_b assignment counts against the declared 50/50 design
@@ -5982,6 +6026,58 @@ object SparkEntry {
         .orderBy(col("event_type"), col("segment"))
     }),
 
+    // ---- LORD online FDR over the arriving segment stream -------------------
+    // The ONLINE companion to fdr_bh_events: hypotheses arrive in the
+    // declared (event_type, segment) order, each spends the LORD++
+    // wealth budget alpha_t (gamma_j = 1/(j(j+1)) schedule, W0 = alpha/2),
+    // and a rejection re-injects wealth over the future. Two segments
+    // per event type carry a planted +40 lift on side B, so the early
+    // rejections are real and the later null segments face budgets that
+    // reflect the earned wealth. Exact integer decision (nano-gamma sums
+    // vs micro-p), monotone fixed-point evaluation of the sequential
+    // recursion.
+    "online_fdr_events" -> ((s, dir) => {
+      val tests = Metrics.sequentialAbTest(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 7).as("segment"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("value") + when((col("user_id") % 7) < 2 &&
+            col("user_id") % 2 === 0, lit(40.0))
+            .otherwise(lit(0.0))).as("value")),
+        "value", "side", Seq("event_type", "segment"))
+      Metrics.onlineFdrLord(tests, Seq("event_type", "segment"),
+        "p_always")
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
+    // ---- STREAMING LORD twin (the welch moment sums as state) --------------
+    // The shape online FDR exists for: the mSPRT panel drained from a
+    // stream, then the LORD walk over the drained hypothesis dictionary
+    // — welchMoments / sequentialAbFromMoments / onlineFdrLord shared
+    // with the batch path verbatim.
+    "streaming_online_fdr_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val units = stream.select(col("event_type"),
+        (col("user_id") % 7).as("segment"),
+        (col("user_id") % 2 === 0).as("side"),
+        (col("value") + when((col("user_id") % 7) < 2 &&
+          col("user_id") % 2 === 0, lit(40.0))
+          .otherwise(lit(0.0))).as("value"))
+      val moments = Metrics.welchMoments(units, "value", "side",
+        Seq("event_type", "segment"))
+      val name = "stream_lord_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.onlineFdrLord(
+        Metrics.sequentialAbFromMoments(drained,
+          Seq("event_type", "segment")),
+        Seq("event_type", "segment"), "p_always")
+        .orderBy(col("event_type"), col("segment"))
+    }),
+
     // ---- delta-method ratio-metric z-test (Deng et al. KDD'18) -------------
     // Revenue-per-click per arm: most production metrics are ratios of
     // unit sums, where a naive per-unit t-test is wrong (undefined on
@@ -6018,6 +6114,90 @@ object SparkEntry {
       Metrics.ratioDeltaFromMoments(drained, Seq("arm"))
         .orderBy(col("arm"))
     }),
+
+    // ---- quantile treatment effect with Poisson-bootstrap CI ---------------
+    // The heavy-tail leg of the A/B panel: P50/P90 deltas per event
+    // type (latency/revenue metrics are READ at quantiles, where the
+    // mean test answers the wrong question). Type-1 quantiles over the
+    // per-(type, side, rep) value dictionaries; CI from the one-scan
+    // Poisson replicate machinery.
+    "quantile_effect_events" -> ((s, dir) =>
+      Metrics.quantileTreatmentEffect(
+        t(s, dir, "events").select(col("event_type"),
+          (col("user_id") % 2 === 0).as("side"),
+          col("value"), col("event_id")),
+        "value", "side", "event_id", Seq("event_type"))
+        .orderBy(col("event_type"), col("quantile"))),
+
+    // ---- STREAMING QTE twin (the replicate value dictionaries as state) ----
+    "streaming_quantile_effect_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = Metrics.qteReplicateCounts(
+        stream.select(col("event_type"),
+          (col("user_id") % 2 === 0).as("side"),
+          col("value"), col("event_id")),
+        "value", "side", "event_id", Seq("event_type"), 32)
+      val name = "stream_qte_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.qteFromCounts(drained, Seq("event_type"),
+        Seq((1, 2), (9, 10)))
+        .orderBy(col("event_type"), col("quantile"))
+    }),
+
+    // ---- reliability diagram + expected calibration error ------------------
+    // The calibration audit every scored classifier/judge pipeline gets:
+    // 10 equal-width confidence bins per event type, per-bin mean
+    // confidence vs empirical accuracy, ECE as the exact
+    // sum|correct_b - conf-mass_b|/N reduction (no per-bin float
+    // division in the statistic), MCE alongside. The planted fixture is
+    // a flat-0.6-accuracy scorer whose confidence sweeps [0,1] — textbook
+    // overconfidence above 0.6, underconfidence below.
+    "calibration_events" -> ((s, dir) =>
+      Metrics.expectedCalibrationError(
+        t(s, dir, "events").select(col("event_type"),
+          ((col("event_id") % 97) / lit(96.0)).as("score"),
+          (col("user_id") % 5 < 3).as("correct")),
+        "score", "correct", Seq("event_type"))
+        .orderBy(col("event_type"), col("bin"))),
+
+    // ---- STREAMING calibration twin (bin counts as state) -------------------
+    "streaming_calibration_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val counts = Metrics.calibrationBinCounts(
+        stream.select(col("event_type"),
+          ((col("event_id") % 97) / lit(96.0)).as("score"),
+          (col("user_id") % 5 < 3).as("correct")),
+        "score", "correct", Seq("event_type"), 10)
+      val name = "stream_cal_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, counts, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.eceFromBinCounts(drained, Seq("event_type"))
+        .orderBy(col("event_type"), col("bin"))
+    }),
+
+    // ---- post-stratified treatment effect (variance reduction) -------------
+    // Stratify the per-arm A/B readout by event_type (the categorical
+    // pre-treatment covariate): between-type value variance drops out
+    // of the comparison, and var_reduction_pct SAYS how much the
+    // stratification bought. Planted +2 lift on side B; exact decimal
+    // moments per (arm, stratum, side), micro-quantized cross-strata
+    // sums — order-insensitive end to end.
+    "post_strat_events" -> ((s, dir) =>
+      Metrics.postStratifiedDelta(
+        t(s, dir, "events").select((col("user_id") % 3).as("arm"),
+          col("event_type"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("value") + when(col("user_id") % 2 === 0, lit(2.0))
+            .otherwise(lit(0.0))).as("value")),
+        "value", "side", "event_type", Seq("arm"))
+        .orderBy(col("arm"))),
 
     // ---- ALWAYS-VALID sequential two-proportion test ------------------------
     // The conversion-rate mSPRT (sequential_ab covers means): same
@@ -6795,10 +6975,93 @@ object SparkEntry {
           |FROM canon GROUP BY canonical_url
           |ORDER BY canonical_url""".stripMargin),
 
+      ("domain_stats_docs" -> domainStatsOracleSql),
+
       ("srm_guard_events" -> srmGuardOracleSql),
       ("streaming_srm_guard_events" -> srmGuardOracleSql),
       ("ratio_delta_events" -> ratioDeltaOracleSql),
       ("streaming_ratio_delta_events" -> ratioDeltaOracleSql),
+      ("quantile_effect_events" -> quantileEffectOracleSql(32)),
+      ("streaming_quantile_effect_events" -> quantileEffectOracleSql(32)),
+      ("calibration_events" -> calibrationOracleSql),
+      ("streaming_calibration_events" -> calibrationOracleSql),
+      ("post_strat_events" ->
+        """WITH s AS (
+          |  SELECT user_id % 3 AS arm, event_type AS st,
+          |    (user_id % 2 = 0) AS side,
+          |    CAST(value + (CASE WHEN user_id % 2 = 0 THEN 2.0
+          |      ELSE 0.0 END) AS DECIMAL(18,2)) AS v
+          |  FROM events),
+          |m AS (
+          |  SELECT arm, st,
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    CAST(SUM(v) FILTER (NOT side) AS DECIMAL(38,2)) AS sa,
+          |    CAST(SUM(v) FILTER (side) AS DECIMAL(38,2)) AS sb,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+          |      AS DECIMAL(38,4)) AS qa,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+          |      AS DECIMAL(38,4)) AS qb
+          |  FROM s GROUP BY arm, st),
+          |k AS (
+          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+          |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+          |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
+          |    n_a + n_b AS nk
+          |  FROM m),
+          |t AS (
+          |  SELECT *,
+          |    (qad - sad * sad / na) / (na - 1.0) AS va,
+          |    (qbd - sbd * sbd / nb) / (nb - 1.0) AS vb,
+          |    sad / na - sbd / nb AS dk
+          |  FROM k),
+          |q AS (
+          |  SELECT arm, n_a, n_b, nk, sa, sb, qa, qb,
+          |    (n_a >= 2 AND n_b >= 2) AS ok,
+          |    CAST(ROUND(dk * 1e6) AS DECIMAL(38,0)) * nk AS dq,
+          |    CAST(ROUND((va / na + vb / nb) * 1e12) AS DECIMAL(38,0))
+          |      * nk * nk AS vq
+          |  FROM t),
+          |g AS (
+          |  SELECT arm,
+          |    CAST(SUM(n_a) AS BIGINT) AS n_a,
+          |    CAST(SUM(n_b) AS BIGINT) AS n_b,
+          |    COUNT(*) AS n_strata, MIN(ok) AS allok,
+          |    CAST(SUM(nk) AS DOUBLE) AS nn,
+          |    CAST(SUM(dq) AS DOUBLE) AS dsum,
+          |    CAST(SUM(vq) AS DOUBLE) AS vsum,
+          |    CAST(CAST(SUM(sa) AS DECIMAL(38,2)) AS DOUBLE) AS gsa,
+          |    CAST(CAST(SUM(sb) AS DECIMAL(38,2)) AS DOUBLE) AS gsb,
+          |    CAST(CAST(SUM(qa) AS DECIMAL(38,4)) AS DOUBLE) AS gqa,
+          |    CAST(CAST(SUM(qb) AS DECIMAL(38,4)) AS DOUBLE) AS gqb
+          |  FROM q GROUP BY arm),
+          |f AS (
+          |  SELECT *,
+          |    CAST(n_a AS DOUBLE) AS gna, CAST(n_b AS DOUBLE) AS gnb,
+          |    dsum / 1e6 / nn AS dps,
+          |    vsum / 1e12 / (nn * nn) AS seps2
+          |  FROM g),
+          |f2 AS (
+          |  SELECT *,
+          |    (gqa - gsa * gsa / gna) / (gna - 1.0) / gna
+          |      + (gqb - gsb * gsb / gnb) / (gnb - 1.0) / gnb AS seu2
+          |  FROM f),
+          |f3 AS (
+          |  SELECT *,
+          |    (n_a >= 2 AND n_b >= 2 AND seu2 > 0.0) AS oku,
+          |    (allok AND seps2 > 0.0) AS okps
+          |  FROM f2)
+          |SELECT arm, n_a, n_b, n_strata,
+          |  CASE WHEN oku THEN ROUND(gsa / gna - gsb / gnb, 6) END
+          |    AS delta,
+          |  CASE WHEN oku THEN ROUND(sqrt(seu2), 6) END AS se,
+          |  CASE WHEN okps THEN ROUND(dps, 6) END AS delta_ps,
+          |  CASE WHEN okps THEN ROUND(sqrt(seps2), 6) END AS se_ps,
+          |  CASE WHEN okps THEN ROUND(dps / sqrt(seps2), 6) END AS z_ps,
+          |  CASE WHEN okps AND oku
+          |    THEN ROUND((1.0 - seps2 / seu2) * 100.0, 4) END
+          |    AS var_reduction_pct
+          |FROM f3 ORDER BY arm""".stripMargin),
 
       // BH FDR: the mSPRT p panel per (event_type, segment), then the
       // textbook step-up — rank over (p, ids), q = min(1, m*p/i),
@@ -6857,6 +7120,8 @@ object SparkEntry {
           |SELECT event_type, segment, p AS p_always, rank,
           |  ROUND(padj, 6) AS p_adj, ROUND(padj, 6) <= 0.05 AS reject
           |FROM a ORDER BY event_type, segment""".stripMargin),
+      ("online_fdr_events" -> onlineFdrOracleSql),
+      ("streaming_online_fdr_events" -> onlineFdrOracleSql),
       ("sequential_proportion_events" -> sequentialProportionOracleSql),
       ("streaming_sequential_proportion_events" ->
         sequentialProportionOracleSql),
@@ -7679,6 +7944,189 @@ object SparkEntry {
       |  CASE WHEN ok THEN ROUND((ra - rb) / sqrt(va + vb), 6) END AS z
       |FROM z ORDER BY arm""".stripMargin
 
+  /** Per-domain crawl-panel replay: the url_dedup canonicalization chain,
+    * then host extraction and the SAME suffix ladder the Spark side runs,
+    * generated from the one [[graft.scale.Dedup.PublicSuffixes]] list
+    * (longest-label-first order; host = suffix gates NULL; IPv4 and the
+    * wildcard fallback included), then one hash-agg per domain.
+    */
+  private def domainStatsOracleSql: String = {
+    val ordered = graft.scale.Dedup.PublicSuffixes.distinct
+      .sortBy(s => (-s.count(_ == '.'), -s.length, s))
+    val ladder = ordered.map { sfx =>
+      val esc = sfx.replace(".", "\\.")
+      s"      WHEN host = '$sfx' THEN NULL\n" +
+        s"      WHEN ends_with(host, '.$sfx')\n" +
+        s"        THEN regexp_extract(host, '([^.]+\\.$esc)$$', 1)"
+    }.mkString("\n")
+    val head =
+      """WITH u0 AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS mass,
+        |    CASE CAST(doc_id % 8 AS INT)
+        |      WHEN 0 THEN 'https://WWW.Example.CO.UK/art/'
+        |        || CAST(doc_id // 24 AS VARCHAR) || '?utm_source=x'
+        |      WHEN 1 THEN 'https://news.example.co.uk/art/'
+        |        || CAST(doc_id // 24 AS VARCHAR)
+        |      WHEN 2 THEN 'https://Alice.GitHub.IO/proj/'
+        |        || CAST(doc_id // 24 AS VARCHAR) || '#readme'
+        |      WHEN 3 THEN 'https://a.b.github.io/x/'
+        |        || CAST(doc_id // 24 AS VARCHAR)
+        |      WHEN 4 THEN 'http://data.example.org:8080/d?id='
+        |        || CAST(doc_id % 3 AS VARCHAR)
+        |      WHEN 5 THEN 'https://one.two.example.ai/e/'
+        |        || CAST(doc_id // 24 AS VARCHAR)
+        |      WHEN 6 THEN 'http://192.168.0.1/admin'
+        |      ELSE 'https://weird.example.zz/f/'
+        |        || CAST(doc_id // 24 AS VARCHAR)
+        |    END AS url
+        |  FROM documents),
+        |c0 AS (
+        |  SELECT doc_id, mass, trim(url) AS tu,
+        |    regexp_replace(trim(url), '#.*$', '') AS nf
+        |  FROM u0),
+        |c1 AS (
+        |  SELECT doc_id, mass, tu, nf,
+        |    regexp_extract(nf,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS auth
+        |  FROM c0),
+        |c2 AS (
+        |  SELECT doc_id, mass, tu, auth,
+        |    substring(nf, length(auth) + 1) AS rest
+        |  FROM c1),
+        |c3 AS (
+        |  SELECT doc_id, mass, tu, auth,
+        |    regexp_replace(regexp_replace(lower(auth),
+        |      '^(https://[^:/?#]*):443$', '\1'),
+        |      '^(http://[^:/?#]*):80$', '\1') AS authc,
+        |    regexp_replace(rest, '\?.*$', '') AS path,
+        |    CASE WHEN contains(rest, '?')
+        |      THEN regexp_replace(rest, '^[^?]*\?', '')
+        |      ELSE '' END AS q
+        |  FROM c2),
+        |c4 AS (
+        |  SELECT doc_id, mass, tu, auth, authc,
+        |    regexp_replace(path, '/$', '') AS path2,
+        |    array_to_string(list_filter(string_split(q, '&'),
+        |      p -> len(p) > 0 AND NOT (starts_with(p, 'utm_')
+        |        OR p = 'gclid' OR starts_with(p, 'gclid=')
+        |        OR p = 'fbclid' OR starts_with(p, 'fbclid=')
+        |        OR p = 'msclkid' OR starts_with(p, 'msclkid=')
+        |        OR p = 'ref' OR starts_with(p, 'ref='))), '&') AS q2
+        |  FROM c3),
+        |canon AS (
+        |  SELECT doc_id, mass,
+        |    CASE WHEN length(auth) > 0 THEN authc || path2 ||
+        |      (CASE WHEN length(q2) > 0 THEN '?' || q2 ELSE '' END)
+        |    ELSE tu END AS cu
+        |  FROM c4),
+        |h0 AS (
+        |  SELECT doc_id, mass, cu,
+        |    regexp_replace(regexp_replace(lower(regexp_extract(trim(cu),
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+        |      '^.*@', ''), ':[0-9]*$', '') AS host
+        |  FROM canon),
+        |d0 AS (
+        |  SELECT doc_id, mass, cu,
+        |    NULLIF(CASE
+        |      WHEN length(host) = 0 THEN NULL
+        |      WHEN regexp_matches(host, '^[0-9]+(\.[0-9]+){3}$')
+        |        THEN host""".stripMargin
+    val tail =
+      """      WHEN regexp_matches(host, '[^.]\.[^.]+$')
+        |        THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |      ELSE NULL END, '') AS domain
+        |  FROM h0)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(cu)) AS BIGINT) AS n_pages,
+        |  CAST(SUM(mass) AS BIGINT) AS mass,
+        |  ROUND(1.0 - CAST(COUNT(DISTINCT md5(cu)) AS DOUBLE)
+        |    / COUNT(*), 6) AS dup_share
+        |FROM d0 GROUP BY domain ORDER BY domain""".stripMargin
+    head + "\n" + ladder + "\n" + tail
+  }
+
+  /** Quantile-treatment-effect replay: the (b − 1)-indexed Poisson
+    * ladder (b = 0 is the unweighted point replicate) reweights the
+    * per-(type, side, rep) value dictionaries; type-1 quantile = the
+    * dictionary row covering rank ceil(p·n) (pure integer target), then
+    * the same pivot/delta/micro-quantized-panel algebra as the Spark
+    * side, gates on n_a/n_b >= 2.
+    */
+  private def quantileEffectOracleSql(reps: Int): String = {
+    val cdf = graft.sample.Samplers.PoissonCdf16
+    val w = {
+      val u = "((CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)" +
+        " || ':c' || CAST((b - 1) // 3 AS VARCHAR)), 1, 15)) AS BIGINT)" +
+        " >> CAST(((b - 1) % 3) * 16 AS INT)) & 65535)"
+      cdf.zipWithIndex.foldRight("8") { case ((t, k), acc) =>
+        s"CASE WHEN $u < $t THEN $k ELSE $acc END"
+      }
+    }
+    s"""WITH u AS (
+       |  SELECT event_type, (user_id % 2 = 0) AS side, value AS v,
+       |    event_id
+       |  FROM events WHERE value IS NOT NULL),
+       |wts AS (
+       |  SELECT event_type, side, v, CAST(b - 1 AS INT) AS rep,
+       |    CASE WHEN b = 0 THEN 1 ELSE $w END AS w
+       |  FROM u, UNNEST(range(0, ${reps + 1})) AS t(b)),
+       |vc AS MATERIALIZED (
+       |  SELECT event_type, side, rep, v, CAST(SUM(w) AS BIGINT) AS c
+       |  FROM wts WHERE w > 0 GROUP BY 1, 2, 3, 4),
+       |cum AS (
+       |  SELECT *,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type, side, rep
+       |      ORDER BY v) AS BIGINT) AS cum,
+       |    CAST(SUM(c) OVER (PARTITION BY event_type, side, rep)
+       |      AS BIGINT) AS n
+       |  FROM vc),
+       |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS q(num, den)),
+       |pick AS (
+       |  SELECT event_type, num, den, side, rep, v AS qv, n
+       |  FROM cum, qs
+       |  WHERE cum - c < (num * n + den - 1) // den
+       |    AND cum >= (num * n + den - 1) // den),
+       |pt AS (
+       |  SELECT event_type, num, den,
+       |    MAX(CASE WHEN NOT side THEN n END) AS n_a,
+       |    MAX(CASE WHEN side THEN n END) AS n_b,
+       |    MAX(CASE WHEN NOT side THEN qv END) AS q_a,
+       |    MAX(CASE WHEN side THEN qv END) AS q_b
+       |  FROM pick WHERE rep = -1 GROUP BY 1, 2, 3),
+       |pr AS (
+       |  SELECT event_type, num, den, rep,
+       |    MAX(CASE WHEN NOT side THEN qv END) AS qa,
+       |    MAX(CASE WHEN side THEN qv END) AS qb
+       |  FROM pick WHERE rep >= 0 GROUP BY 1, 2, 3, 4),
+       |rd AS (
+       |  SELECT event_type, num, den, d,
+       |    CAST(ROUND(d * 1e6) AS HUGEINT) AS q
+       |  FROM (SELECT event_type, num, den, ROUND(qb - qa, 6) AS d
+       |        FROM pr WHERE qa IS NOT NULL AND qb IS NOT NULL)),
+       |panel AS (
+       |  SELECT event_type, num, den,
+       |    CAST(COUNT(*) AS BIGINT) AS n_reps,
+       |    CASE WHEN COUNT(*) > 1 THEN
+       |      ROUND(sqrt(CAST(CAST(COUNT(*) AS HUGEINT) * SUM(q * q)
+       |        - SUM(q) * SUM(q) AS DOUBLE)
+       |        / (CAST(COUNT(*) AS DOUBLE)
+       |           * (CAST(COUNT(*) AS DOUBLE) - 1.0))) / 1e6, 6)
+       |    END AS boot_se,
+       |    ROUND(MIN(d), 6) AS ci_lo, ROUND(MAX(d), 6) AS ci_hi
+       |  FROM rd GROUP BY 1, 2, 3)
+       |SELECT pt.event_type,
+       |  ROUND(CAST(num AS DOUBLE) / den, 4) AS quantile,
+       |  n_a, n_b, q_a, q_b,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN ROUND(q_b - q_a, 6) END
+       |    AS delta,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN n_reps END AS n_reps,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN boot_se END AS boot_se,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN ci_lo END AS ci_lo,
+       |  CASE WHEN n_a >= 2 AND n_b >= 2 THEN ci_hi END AS ci_hi
+       |FROM pt LEFT JOIN panel USING (event_type, num, den)
+       |ORDER BY event_type, quantile""".stripMargin
+  }
+
   /** SRM chi-square replay: two conditional counts per arm, expected
     * halves via the same multiply-then-divide literal order, a-term +
     * b-term, rounded 6; the flag compares the ROUNDED chi2 to the
@@ -8089,6 +8537,143 @@ object SparkEntry {
         |  CAST(SUM(tb) AS BIGINT) AS kl_b_micro,
         |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2e12, 6) AS jsd
         |FROM q GROUP BY 1, 2, 3""".stripMargin
+
+  /** Reliability-bin + ECE replay: 10 equal-width confidence bins per
+    * event type over the flat-0.6-accuracy sweep fixture; ECE/MCE from
+    * the exact |correct − conf-mass| decimal reduction — shared by the
+    * batch query and the streaming twin.
+    */
+  private def calibrationOracleSql: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    (event_id % 97) / 96.0 AS s,
+      |    (user_id % 5 < 3) AS y
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |    LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin,
+      |    CAST(ROUND(s, 6) AS DECIMAL(18,6)) AS c6,
+      |    CASE WHEN y THEN 1 ELSE 0 END AS yy
+      |  FROM c WHERE s IS NOT NULL AND y IS NOT NULL
+      |    AND s >= 0.0 AND s <= 1.0),
+      |g AS (
+      |  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(yy) AS BIGINT) AS corr,
+      |    CAST(SUM(c6) AS DECIMAL(38,6)) AS conf
+      |  FROM b GROUP BY event_type, bin),
+      |p AS (
+      |  SELECT event_type, bin, n,
+      |    ROUND(CAST(conf AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      AS avg_conf,
+      |    ROUND(CAST(corr AS DOUBLE) / CAST(n AS DOUBLE), 6)
+      |      AS accuracy,
+      |    ROUND(CAST(CAST(corr AS DECIMAL(38,6)) - conf AS DOUBLE)
+      |      / CAST(n AS DOUBLE), 6) AS gap,
+      |    ABS(CAST(corr AS DECIMAL(38,6)) - conf) AS agap
+      |  FROM g),
+      |su AS (
+      |  SELECT event_type,
+      |    ROUND(CAST(SUM(agap) AS DOUBLE)
+      |      / CAST(SUM(n) AS DOUBLE), 6) AS ece,
+      |    ROUND(MAX(CAST(agap AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+      |      AS mce
+      |  FROM p GROUP BY event_type)
+      |SELECT p.event_type, p.bin, p.n, p.avg_conf, p.accuracy, p.gap,
+      |  su.ece, su.mce
+      |FROM p JOIN su ON p.event_type = su.event_type
+      |ORDER BY p.event_type, p.bin""".stripMargin
+
+  /** LORD++ online-FDR replay: the mSPRT p-stream over the planted-lift
+    * segment panel (arrival order = (event_type, segment)), then the
+    * SEQUENTIAL wealth walk as a recursive CTE carrying the rejection-
+    * time list — exact integer decision (nano-gamma budget sums vs
+    * micro-quantized p), matching [[graft.metrics.Metrics.onlineFdrLord]]'s
+    * monotone fixed point term for term. Shared by the batch query and
+    * the streaming twin.
+    */
+  private def onlineFdrOracleSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT event_type, user_id % 7 AS segment,
+      |    (user_id % 2 = 0) AS side,
+      |    CAST(value + (CASE WHEN user_id % 7 < 2 AND user_id % 2 = 0
+      |      THEN 40.0 ELSE 0.0 END) AS DECIMAL(18,2)) AS v
+      |  FROM events),
+      |g AS (
+      |  SELECT event_type, segment,
+      |    COUNT(*) FILTER (NOT side) AS n_a,
+      |    COUNT(*) FILTER (side) AS n_b,
+      |    CAST(SUM(v) FILTER (NOT side) AS DOUBLE) AS sa,
+      |    CAST(SUM(v) FILTER (side) AS DOUBLE) AS sb,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+      |      AS DOUBLE) AS qa,
+      |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+      |      AS DOUBLE) AS qb
+      |  FROM s GROUP BY event_type, segment),
+      |d AS (
+      |  SELECT event_type, segment, n_a, n_b, sa, sb, qa, qb,
+      |    CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb
+      |  FROM g),
+      |v AS (
+      |  SELECT *,
+      |    ((qa - sa * sa / na) / (na - 1.0)) / na
+      |      + ((qb - sb * sb / nb) / (nb - 1.0)) / nb AS vv,
+      |    sa / na - sb / nb AS delta
+      |  FROM d),
+      |st AS (
+      |  SELECT *,
+      |    0.5 * ln(vv / (vv + 25.0))
+      |      + delta * delta * 25.0 / (2.0 * vv * (vv + 25.0)) AS llr,
+      |    (n_a >= 100 AND n_b >= 100 AND vv > 0.0) AS ok
+      |  FROM v),
+      |h AS (
+      |  SELECT event_type, segment,
+      |    CASE WHEN ok THEN ROUND(LEAST(1.0, exp(-llr)), 6) END AS p
+      |  FROM st),
+      |hh AS (SELECT * FROM h WHERE p IS NOT NULL),
+      |r AS (
+      |  SELECT *,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY event_type, segment)
+      |      AS BIGINT) AS t
+      |  FROM hh),
+      |walk(t, taus) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST([] AS BIGINT[])
+      |  UNION ALL
+      |  SELECT r.t,
+      |    CASE WHEN CAST(ROUND(r.p * 1000000.0) AS BIGINT) * 200000
+      |      <= 5 * (
+      |        CAST(FLOOR(1000000000.0 /
+      |          CAST(r.t * (r.t + 1) AS DOUBLE)) AS BIGINT)
+      |        + COALESCE(CAST(FLOOR(1000000000.0 /
+      |            CAST((r.t - w.taus[1]) * (r.t - w.taus[1] + 1)
+      |              AS DOUBLE)) AS BIGINT), 0)
+      |        + COALESCE(2 * list_sum(list_transform(w.taus[2:],
+      |            tau -> CAST(FLOOR(1000000000.0 /
+      |              CAST((r.t - tau) * (r.t - tau + 1) AS DOUBLE))
+      |              AS BIGINT))), 0))
+      |    THEN list_append(w.taus, r.t) ELSE w.taus END
+      |  FROM walk w JOIN r ON r.t = w.t + 1),
+      |fin AS (SELECT taus FROM walk ORDER BY t DESC LIMIT 1),
+      |ft AS (
+      |  SELECT r.*, list_filter(fin.taus, tau -> tau < r.t) AS fl
+      |  FROM r, fin),
+      |b AS (
+      |  SELECT *,
+      |    CAST(FLOOR(1000000000.0 / CAST(t * (t + 1) AS DOUBLE))
+      |      AS BIGINT)
+      |    + COALESCE(CAST(FLOOR(1000000000.0 /
+      |        CAST((t - fl[1]) * (t - fl[1] + 1) AS DOUBLE))
+      |        AS BIGINT), 0)
+      |    + COALESCE(2 * list_sum(list_transform(fl[2:],
+      |        tau -> CAST(FLOOR(1000000000.0 /
+      |          CAST((t - tau) * (t - tau + 1) AS DOUBLE))
+      |          AS BIGINT))), 0) AS sbudget
+      |  FROM ft)
+      |SELECT event_type, segment, p AS p_always, t,
+      |  ROUND(CAST(sbudget AS DOUBLE)
+      |    * (5.0 / (2.0 * 100.0) / 1000000000.0), 9) AS alpha_t,
+      |  CAST(ROUND(p * 1000000.0) AS BIGINT) * 200000 <= 5 * sbudget
+      |    AS reject
+      |FROM b ORDER BY event_type, segment""".stripMargin
 
   /** Conversion-rate mSPRT replay (τ = 0.1, α = 0.05, minN = 100): the
     * event-level four-count moments, then the fixed-order mixture
@@ -9997,6 +10582,32 @@ object SparkEntry {
         |  CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS INT) AS n_ws_tokens,
         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_re_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pack_sequences_docs" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, nt,
+        |    CAST(SUM(nt) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum
+        |  FROM n WHERE nt > 0),
+        |p AS (
+        |  SELECT doc_id, nt, cum, cum - nt AS st,
+        |    UNNEST(range(CAST((cum - nt) // 256 AS BIGINT),
+        |      CAST((cum - 1) // 256 + 1 AS BIGINT))) AS chunk_id
+        |  FROM c),
+        |q AS (
+        |  SELECT chunk_id, doc_id,
+        |    GREATEST(st, chunk_id * 256) AS ps,
+        |    LEAST(cum, (chunk_id + 1) * 256) AS pe, st
+        |  FROM p)
+        |SELECT chunk_id, doc_id, ps - st AS doc_offset,
+        |  ps - chunk_id * 256 AS chunk_offset, pe - ps AS piece_len
+        |FROM q ORDER BY chunk_id, chunk_offset""".stripMargin,
 
     "ann_topk_embeddings" ->
       """WITH qv AS (

@@ -2071,9 +2071,12 @@ object Metrics {
       sideCol: String,
       groupCols: Seq[String]): DataFrame = {
     val side = col(sideCol).cast("boolean")
-    df.groupBy(groupCols.map(col): _*).agg(
-      sum(when(side, 0L).otherwise(1L)).as("n_a"),
-      sum(when(side, 1L).otherwise(0L)).as("n_b"))
+    // NULL-side rows are excluded (never silently counted into a side) —
+    // the COUNT(*) FILTER (side)/(NOT side) convention the oracle uses
+    df.filter(side.isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
+        sum(when(side, 0L).otherwise(1L)).as("n_a"),
+        sum(when(side, 1L).otherwise(0L)).as("n_b"))
   }
 
   /** The chi-square algebra over a drained [[srmCounts]] table. */
@@ -2149,7 +2152,11 @@ object Metrics {
     val y = col(yCol).cast("decimal(18,2)")
     val side = col(sideCol).cast("boolean")
     def m(c: Column) = c.cast("decimal(38,4)")
-    df.groupBy(groupCols.map(col): _*).agg(
+    // NULL-side rows excluded (the srmCounts convention): counting them
+    // into n_a while the conditional sums skip them would corrupt the
+    // side-A moments
+    df.filter(side.isNotNull)
+      .groupBy(groupCols.map(col): _*).agg(
       sum(when(side, 0L).otherwise(1L)).as("n_a"),
       sum(when(side, 1L).otherwise(0L)).as("n_b"),
       sum(when(!side, x)).cast("double").as("__sxa"),
@@ -2237,6 +2244,16 @@ object Metrics {
       numPartitions: Int = 32): DataFrame = {
     require(idCols.nonEmpty && alpha > 0.0 && alpha < 1.0,
       s"bad BH params idCols=$idCols alpha=$alpha")
+    // the output/scratch names are fixed — a colliding id column would
+    // fail ambiguously downstream, so refuse it loudly here
+    val reserved = Set("rank", "p_adj", "reject", "__p", "__q", "__pid")
+    require(idCols.forall(c => !reserved.contains(c)),
+      s"benjaminiHochberg reserves $reserved; rename the colliding id " +
+        s"column in $idCols")
+    // the suffix-min map is embedded as a plan LITERAL (one double per
+    // partition) — numPartitions is O(plan size), so keep it panel-scale
+    require(numPartitions >= 1 && numPartitions <= 4096,
+      s"numPartitions is embedded as a plan literal; got $numPartitions")
     val base = df
       .select(idCols.map(col) :+ col(pCol).cast("double").as("__p"): _*)
       .filter(col("__p").isNotNull)
@@ -2272,6 +2289,491 @@ object Metrics {
       .select(idCols.map(col) :+ col("__p").as(pCol) :+ col("rank") :+
         round(col("__padj"), 6).as("p_adj") :+
         (round(col("__padj"), 6) <= lit(alpha)).as("reject"): _*)
+  }
+
+  /** LORD++ online FDR control (Javanmard & Montanari, Ann. Stat. 2018;
+    * Ramdas, Yang, Wainwright & Jordan, NIPS 2017) — the ONLINE
+    * companion to [[benjaminiHochberg]]: BH needs the full p-vector, but
+    * the always-valid mSPRT panel ([[sequentialAbTest]]) emits hypotheses
+    * CONTINUOUSLY, and reading each at level α inflates the false-
+    * discovery rate exactly the way BH exists to prevent. LORD assigns
+    * hypothesis t (in the DECLARED arrival order = ascending `idCols`)
+    * the budget
+    *   α_t = γ_t·W₀ + (α−W₀)·γ_{t−τ₁} + α·Σ_{j≥2, τ_j<t} γ_{t−τ_j}
+    * with W₀ = α/2 and τ_j the j-th rejection time — the generalized
+    * alpha-investing WEALTH accounting in its closed γ-sum form (a
+    * rejection at τ earns wealth that is re-spent over the future as the
+    * decaying stream γ_{t−τ}). The declared schedule is
+    * γ_j = 1/(j·(j+1)): nonincreasing and Σ_{j≥1} γ_j = 1 exactly (the
+    * telescoping sum), the LORD validity conditions.
+    *
+    * EXACT INTEGER algebra (the house fixed-order discipline): γ is
+    * nano-quantized as G(j) = ⌊10⁹/(j(j+1))⌋ (Σ G ≤ 10⁹, so the
+    * procedure only gets CONSERVATIVE — FDR control needs Σγ ≤ 1, not
+    * equality), the budget in units of (α/2)·10⁻⁹ is the long sum
+    *   S_t = G(t) + G(t−τ₁) + 2·Σ_{j≥2} G(t−τ_j),
+    * and with α = alphaNum/alphaDen and micro-quantized p
+    * (P6 = round(10⁶·p), matching the 6-decimal rounding the p-emitting
+    * panels already apply) the decision is the pure integer comparison
+    *   reject ⟺ P6·2000·alphaDen ≤ alphaNum·S_t
+    * — order-insensitive; no float-summation hazard anywhere.
+    *
+    * The sequential recursion (α_t depends on prior rejections, which
+    * depend on THEIR α's) is computed as a MONOTONE FIXED POINT: start
+    * with no rejections, compute every S_t in one distributed pass,
+    * collect the rejected arrival ranks, repeat until stable. Adding a
+    * rejection only raises later budgets (every γ term is ≥ 0, and when
+    * a new earlier rejection becomes τ₁ the old first rejection's weight
+    * is PROMOTED from α/2 to α), so the iterates grow monotonically and
+    * the least fixed point equals the true sequential LORD answer
+    * (induction over t: the prefix decisions agree). Rounds ≤
+    * rejections + 1; in practice a handful.
+    *
+    * Scale shape: arrival ranks come from the
+    * [[graft.sample.Samplers.globalRowNumber]] range scaffold (no
+    * single-partition window); each fixed-point round is ONE distributed
+    * filter over the checkpointed (t, P6) dictionary with the current
+    * rejection times embedded as plan literals (the [[benjaminiHochberg]]
+    * suffix-map discipline — the rejection set is panel-sized by
+    * contract, required ≤ 4096, and only rank longs ever reach the
+    * driver). Rows with NULL p were never tested and are excluded.
+    */
+  def onlineFdrLord(
+      df: DataFrame,
+      idCols: Seq[String],
+      pCol: String,
+      alphaNum: Int = 5,
+      alphaDen: Int = 100,
+      numPartitions: Int = 32): DataFrame = {
+    require(idCols.nonEmpty && alphaNum >= 1 && alphaDen > alphaNum &&
+      alphaDen <= 1000000,
+      s"bad LORD params alpha=$alphaNum/$alphaDen idCols=$idCols")
+    val reserved = Set("t", "alpha_t", "reject", "__p", "__p6")
+    require(idCols.forall(c => !reserved.contains(c)),
+      s"onlineFdrLord reserves $reserved; rename the colliding id " +
+        s"column in $idCols")
+    val base = df
+      .select(idCols.map(col) :+ col(pCol).cast("double").as("__p"): _*)
+      .filter(col("__p").isNotNull)
+    val ranked = graft.sample.Samplers
+      .globalRowNumber(base, idCols, numPartitions, "t")
+      .withColumn("__p6", round(col("__p") * lit(1e6), 0).cast("long"))
+      .localCheckpoint(true)
+    // G(j) = floor(1e9 / (j·(j+1))): one double division of exact
+    // integer-valued operands + floor — bit-identical in both engines
+    def g(j: Column): Column =
+      floor(lit(1.0e9) / (j * (j + lit(1L))).cast("double")).cast("long")
+    // S_t against a FIXED rejection set (ascending plan literals)
+    def budget(taus: Seq[Long]): Column = {
+      val first = taus.headOption.map(t1 =>
+        when(col("t") > lit(t1), g(col("t") - lit(t1)))
+          .otherwise(lit(0L))).getOrElse(lit(0L))
+      val rest = taus.drop(1).map(tj =>
+        when(col("t") > lit(tj), lit(2L) * g(col("t") - lit(tj)))
+          .otherwise(lit(0L)))
+      (g(col("t")) +: first +: rest).reduce(_ + _)
+    }
+    def rejectsOf(taus: Seq[Long]): Array[Long] =
+      ranked
+        .filter(col("__p6") * lit(2000L * alphaDen) <=
+          lit(alphaNum.toLong) * budget(taus))
+        .select(col("t")).collect().map(_.getLong(0)).sorted
+    var taus = Array.empty[Long]
+    var stable = false
+    while (!stable) {
+      val next = rejectsOf(taus)
+      require(next.length <= 4096,
+        s"${next.length} rejections exceed the panel-scale plan-literal " +
+          "contract (4096)")
+      if (next.sameElements(taus)) stable = true else taus = next
+    }
+    val s = budget(taus.toSeq)
+    ranked.select(idCols.map(col) :+ col("__p").as(pCol) :+ col("t") :+
+      round(s.cast("double") *
+        lit(alphaNum.toDouble / (2.0 * alphaDen) / 1.0e9), 9)
+        .as("alpha_t") :+
+      (col("__p6") * lit(2000L * alphaDen) <= lit(alphaNum.toLong) * s)
+        .as("reject"): _*)
+  }
+
+  /** Reliability-diagram bins + expected calibration error (Naeini,
+    * Cooper & Hauskrecht AAAI'15; Guo et al. ICML'17) — the calibration
+    * readout every scored classifier/judge pipeline is audited with:
+    * does a 0.9-confidence prediction come true 90% of the time? Scores
+    * bin into `bins` equal-width confidence buckets
+    * (bin = min(⌊score·B⌋, B−1), so 1.0 lands in the top bin), and each
+    * (group, bin) row reports count, mean confidence, empirical
+    * accuracy, and the signed gap; the per-group summary column is
+    *   ECE = Σ_b (n_b/N)·|acc_b − conf̄_b|
+    * which reduces EXACTLY to Σ_b |correct_b − Σconf_b| / N — one
+    * absolute difference of a long count and an exact decimal sum per
+    * bin, summed and divided once: no per-bin float division enters the
+    * statistic, so there is no summation-order hazard anywhere
+    * (the [[benjaminiHochberg]] order-insensitivity discipline). The
+    * max absolute gap (maximum calibration error, MCE) rides along.
+    *
+    * Scores are micro-quantized (round 6, then decimal) before summing —
+    * the house money-sum convention. Rows with NULL score/label or a
+    * score outside [0, 1] are EXCLUDED (never silently clamped into a
+    * boundary bin); a pipeline emitting out-of-domain confidences should
+    * hear about it from [[constraintViolations]], not have it laundered
+    * here.
+    *
+    * Scale shape: ONE conditional hash-aggregate to the (group, bin)
+    * dictionary — exact long/decimal sums, legal Complete-mode streaming
+    * state via [[calibrationBinCounts]] — then dictionary-scale algebra
+    * and one group-level hash-agg for the ECE/MCE join-back.
+    */
+  def expectedCalibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String],
+      bins: Int = 10): DataFrame =
+    eceFromBinCounts(
+      calibrationBinCounts(df, scoreCol, labelCol, groupCols, bins),
+      groupCols)
+
+  /** The associative half of [[expectedCalibrationError]]: per (group,
+    * bin) long counts + exact decimal confidence mass.
+    */
+  def calibrationBinCounts(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      groupCols: Seq[String],
+      bins: Int): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bin count $bins")
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("boolean")
+    df.filter(s.isNotNull && y.isNotNull && s >= 0.0 && s <= 1.0)
+      .select(groupCols.map(col) ++ Seq(
+        least(floor(s * lit(bins)).cast("int"), lit(bins - 1)).as("bin"),
+        round(s, 6).cast("decimal(18,6)").as("__c"),
+        when(y, 1L).otherwise(0L).as("__y")): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("__correct"),
+        sum(col("__c")).as("__conf"))
+  }
+
+  /** The reliability/ECE algebra over a (drained)
+    * [[calibrationBinCounts]] dictionary.
+    */
+  def eceFromBinCounts(
+      bc: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val nd = col("n").cast("double")
+    val gap = (col("__correct").cast("decimal(38,6)") - col("__conf"))
+    // group-partitioned windows over the (group, bin) DICTIONARY — at
+    // most `bins` rows per partition, and no self-join (a drained
+    // memory-sink lineage cannot dedup conflicting references)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+    bc
+      .withColumn("avg_conf",
+        round(col("__conf").cast("double") / nd, 6))
+      .withColumn("accuracy",
+        round(col("__correct").cast("double") / nd, 6))
+      .withColumn("gap", round(gap.cast("double") / nd, 6))
+      .withColumn("ece", round(sum(abs(gap)).over(w).cast("double") /
+        sum(col("n")).over(w).cast("double"), 6))
+      .withColumn("mce",
+        round(max(abs(gap).cast("double") / nd).over(w), 6))
+      .select(groupCols.map(col) ++ Seq(col("bin"), col("n"),
+        col("avg_conf"), col("accuracy"), col("gap"), col("ece"),
+        col("mce")): _*)
+  }
+
+  /** Post-stratified treatment-effect estimate (Miratrix, Sekhon & Yu,
+    * JRSS-B 2013; the experimentation-platform companion to
+    * [[graft.scale.Events.cuped]]) — variance reduction from a
+    * CATEGORICAL pre-treatment covariate where CUPED wants a numeric
+    * one: re-weight per-stratum mean differences by the POOLED stratum
+    * shares,
+    *   Δ_ps = Σ_k w_k·(mean_a,k − mean_b,k),   w_k = n_k / N,
+    *   SE²_ps = Σ_k w_k²·(s²_a,k/n_a,k + s²_b,k/n_b,k),
+    * so between-strata variance drops out of the comparison. Reported
+    * beside the UNADJUSTED Welch delta/SE from the SAME moment sums
+    * (strata moments add — no second scan), plus
+    * `var_reduction_pct` = 1 − SE²_ps/SE²_unadj, the number that says
+    * whether stratifying was worth it.
+    *
+    * Determinism: per-(group, stratum, side) moments are exact decimal
+    * sums in ONE conditional hash-agg ([[welchMoments]] with the stratum
+    * in the key); the cross-strata weighted sums micro-quantize each
+    * stratum's contribution (Δ_k at 10⁻⁶, the variance term at 10⁻¹²)
+    * and sum LONGS-in-decimal — order-insensitive, the
+    * [[quantileTreatmentEffect]] boot_se discipline.
+    *
+    * NULL gate: a stratum below `minN` on EITHER side gates the whole
+    * group's post-stratified columns to NULL (the estimator needs every
+    * stratum estimable — silently dropping a stratum would change the
+    * estimand); the unadjusted columns still report when the group-level
+    * sides have mass.
+    */
+  def postStratifiedDelta(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      stratumCol: String,
+      groupCols: Seq[String],
+      minN: Long = 2L): DataFrame = {
+    require(minN >= 2L, s"bad minN $minN")
+    // stratum-keyed moments with the sums kept DECIMAL — the group-level
+    // roll-up must sum exactly (a double sum across strata would be
+    // partition-order-sensitive); doubles only ever appear per stratum
+    // (deterministic fixed-order algebra) or after the final exact sums
+    val decV = col(valCol).cast("decimal(18,2)")
+    val sqV = (decV * decV).cast("decimal(38,4)")
+    val side = col(sideCol).cast("boolean")
+    val m = df.filter(side.isNotNull)
+      .groupBy((groupCols :+ stratumCol).map(col): _*).agg(
+        sum(when(side, 0L).otherwise(1L)).as("n_a"),
+        sum(when(side, 1L).otherwise(0L)).as("n_b"),
+        sum(when(!side, decV)).cast("decimal(38,2)").as("__sa"),
+        sum(when(side, decV)).cast("decimal(38,2)").as("__sb"),
+        sum(when(!side, sqV)).cast("decimal(38,4)").as("__qa"),
+        sum(when(side, sqV)).cast("decimal(38,4)").as("__qb"))
+    val na = col("n_a").cast("double")
+    val nb = col("n_b").cast("double")
+    val saD = col("__sa").cast("double")
+    val sbD = col("__sb").cast("double")
+    val qaD = col("__qa").cast("double")
+    val qbD = col("__qb").cast("double")
+    val va = (qaD - saD * saD / na) / (na - 1.0)
+    val vb = (qbD - sbD * sbD / nb) / (nb - 1.0)
+    val dk = saD / na - sbD / nb
+    val vk = va / na + vb / nb
+    val nk = col("n_a") + col("n_b")
+    val dec38 = (c: Column) => c.cast("decimal(38,0)")
+    val strat = m.select(groupCols.map(col) ++ Seq(
+      col("n_a"), col("n_b"),
+      col("__sa"), col("__sb"), col("__qa"), col("__qb"),
+      nk.as("__nk"),
+      (col("n_a") >= minN && col("n_b") >= minN).as("__ok"),
+      // micro-quantized per-stratum contributions, weighted by exact
+      // integer stratum mass BEFORE the single final division
+      (dec38(round(dk * lit(1e6), 0)) * dec38(nk)).as("__dq"),
+      (dec38(round(vk * lit(1e12), 0)) * dec38(nk) * dec38(nk))
+        .as("__vq")): _*)
+    val g = strat.groupBy(groupCols.map(col): _*).agg(
+      sum(col("n_a")).as("n_a"),
+      sum(col("n_b")).as("n_b"),
+      count(lit(1)).as("n_strata"),
+      min(col("__ok")).as("__allok"),
+      sum(col("__nk")).as("__n"),
+      sum(col("__dq")).as("__dsum"),
+      sum(col("__vq")).as("__vsum"),
+      sum(col("__sa")).cast("decimal(38,2)").as("__gsa"),
+      sum(col("__sb")).cast("decimal(38,2)").as("__gsb"),
+      sum(col("__qa")).cast("decimal(38,4)").as("__gqa"),
+      sum(col("__qb")).cast("decimal(38,4)").as("__gqb"))
+    val gna = col("n_a").cast("double")
+    val gnb = col("n_b").cast("double")
+    val gsa = col("__gsa").cast("double")
+    val gsb = col("__gsb").cast("double")
+    val gva = (col("__gqa").cast("double") - gsa * gsa / gna) /
+      (gna - 1.0)
+    val gvb = (col("__gqb").cast("double") - gsb * gsb / gnb) /
+      (gnb - 1.0)
+    val seU2 = gva / gna + gvb / gnb
+    val nD = col("__n").cast("double")
+    val dPs = col("__dsum").cast("double") / lit(1e6) / nD
+    val sePs2 = col("__vsum").cast("double") / lit(1e12) / (nD * nD)
+    val okU = col("n_a") >= minN && col("n_b") >= minN &&
+      when(col("n_a") >= minN && col("n_b") >= minN, seU2 > 0.0)
+        .otherwise(false)
+    val okPs = col("__allok") && when(col("__allok"), sePs2 > 0.0)
+      .otherwise(false)
+    g.withColumn("delta", when(okU, round(gsa / gna - gsb / gnb, 6)))
+      .withColumn("se", when(okU, round(sqrt(seU2), 6)))
+      .withColumn("delta_ps", when(okPs, round(dPs, 6)))
+      .withColumn("se_ps", when(okPs, round(sqrt(sePs2), 6)))
+      .withColumn("z_ps", when(okPs, round(dPs / sqrt(sePs2), 6)))
+      .withColumn("var_reduction_pct", when(okPs && okU,
+        round((lit(1.0) - sePs2 / seU2) * lit(100.0), 4)))
+      .select(groupCols.map(col) ++ Seq(col("n_a"), col("n_b"),
+        col("n_strata"), col("delta"), col("se"), col("delta_ps"),
+        col("se_ps"), col("z_ps"), col("var_reduction_pct")): _*)
+  }
+
+  /** Quantile treatment effect with a Poisson-bootstrap CI — the
+    * heavy-tail leg of the A/B panel beside means ([[welchTTest]]),
+    * proportions ([[proportionZTest]]) and ratios ([[ratioMetricDelta]]):
+    * latency and revenue metrics are READ at P50/P90, where a mean test
+    * answers the wrong question (one whale moves the mean, not the
+    * median), so the readout is
+    *   Δ_p = Q_p(treatment) − Q_p(control)
+    * at declared probabilities p, with a bootstrap envelope because the
+    * sampling distribution of a quantile difference has no clean closed
+    * form.
+    *
+    * Quantiles are type-1 (inverse CDF) over the exact per-(group, side)
+    * VALUE DICTIONARY: target rank t = ceil(p·n) as pure integer math
+    * ((num·n + den − 1) div den — the [[graft.scale.Sketches.kllQuantiles]]
+    * convention), answered by the dictionary row covering rank t of the
+    * cumulative count. The CI is the ONE-SCAN Poisson bootstrap
+    * (Chamandy 2012; the [[graft.sample.Samplers.bootstrapRatioSums]]
+    * machinery): every unit draws a deterministic Poisson(1) multiplicity
+    * per replicate from 16-bit md5-digest windows through the shared
+    * [[graft.sample.Samplers.PoissonCdf16]] ladder, each replicate's
+    * reweighted dictionary yields its own Q_p per side, and the per-
+    * replicate deltas give the envelope (min/max across replicates — the
+    * [[graft.scale.Eval.bleuPairedBootstrap]] convention), the
+    * micro-quantized moment-form boot_se, and nothing else: the decision
+    * surface is the CI, read as "does it cover 0".
+    *
+    * Scale shape: ONE corpus scan explodes (reps + 1) weights per unit
+    * (rep −1 carries weight 1 — the point estimate rides the same
+    * dictionary job) and hash-aggregates to the per-(group, side, rep)
+    * value dictionaries with map-side combine; the rank windows run
+    * per-(group, side, rep) partition at DICTIONARY scale (the
+    * kllQuantilesBy discipline — callers with an unbounded value domain
+    * quantize values first, exactly as they would for the KLL sketch).
+    * NULL gates: a side below `minN` units gates delta and the whole
+    * replicate panel to NULL; a replicate that loses a side entirely
+    * drops (n_reps reports coverage).
+    *
+    * Determinism: dictionary counts are exact long sums; quantile values
+    * are SELECTED input doubles (never computed); deltas round to 6 and
+    * every panel statistic folds over micro-quantized exact decimals.
+    */
+  def quantileTreatmentEffect(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String,
+      unitCol: String,
+      groupCols: Seq[String],
+      quantiles: Seq[(Int, Int)] = Seq((1, 2), (9, 10)),
+      reps: Int = 32,
+      minN: Long = 2L): DataFrame =
+    qteFromCounts(
+      qteReplicateCounts(df, valueCol, sideCol, unitCol, groupCols, reps),
+      groupCols, quantiles, minN)
+
+  /** The associative half of [[quantileTreatmentEffect]]: the per-(group,
+    * side, replicate) value dictionaries — exact long count sums, so the
+    * whole thing is legal Complete-mode streaming state (each arriving
+    * unit adds its deterministic per-replicate Poisson weights); the
+    * streaming twin drains this and runs [[qteFromCounts]], sharing the
+    * batch oracle verbatim. Replicate −1 is the unweighted point
+    * dictionary.
+    */
+  def qteReplicateCounts(
+      df: DataFrame,
+      valueCol: String,
+      sideCol: String,
+      unitCol: String,
+      groupCols: Seq[String],
+      reps: Int): DataFrame = {
+    require(reps >= 2 && reps <= 64, s"bad reps $reps")
+    val nDigests = (reps + 2) / 3
+    def digestCol(c: Int): Column =
+      graft.scale.HashExprs.md5PrefixLong(
+        concat(col(unitCol).cast("string"), lit(":c" + c)).cast("binary"),
+        15)
+    def weight(b: Int): Column = {
+      val u16 = shiftright(col(s"__h${b / 3}"), (b % 3) * 16)
+        .bitwiseAND(lit(65535L))
+      graft.sample.Samplers.PoissonCdf16.zipWithIndex
+        .foldRight(lit(8L): Column) { case ((t, k), acc) =>
+          when(u16 < t, k.toLong).otherwise(acc)
+        }
+    }
+    val repw = struct(lit(-1).as("rep"), lit(1L).as("w")) +:
+      (0 until reps).map(b => struct(lit(b).as("rep"), weight(b).as("w")))
+    df.filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+      .select(groupCols.map(col) ++ Seq(
+        col(sideCol).cast("boolean").as("__side"),
+        col(valueCol).cast("double").as("__v")) ++
+        (0 until nDigests).map(c => digestCol(c).as(s"__h$c")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__side"), col("__v"),
+        explode(array(repw: _*)).as("__rw")): _*)
+      .select(groupCols.map(col) ++ Seq(col("__side"), col("__v"),
+        col("__rw.rep").as("__rep"), col("__rw.w").as("__w")): _*)
+      .filter(col("__w") > 0L)
+      .groupBy(groupCols.map(col) ++
+        Seq(col("__side"), col("__rep"), col("__v")): _*)
+      .agg(sum(col("__w")).as("__c"))
+  }
+
+  /** The quantile-pick + delta-panel algebra over a (drained)
+    * [[qteReplicateCounts]] dictionary table.
+    */
+  def qteFromCounts(
+      vc: DataFrame,
+      groupCols: Seq[String],
+      quantiles: Seq[(Int, Int)],
+      minN: Long = 2L): DataFrame = {
+    require(quantiles.nonEmpty, "declare at least one quantile")
+    quantiles.foreach { case (num, den) =>
+      require(num >= 1 && num < den, s"bad quantile $num/$den") }
+    require(minN >= 1L, s"bad minN $minN")
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val g = groupCols.map(col)
+    val part = g ++ Seq(col("__side"), col("__rep"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*).orderBy(col("__v"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(part: _*)
+    val qlits = array(quantiles.map { case (num, den) =>
+      struct(lit(num).as("num"), lit(den).as("den")) }: _*)
+    val picked = vc
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(g ++ Seq(col("__side"), col("__rep"), col("__v"),
+        col("__c"), col("__cum"), col("__n"),
+        explode(qlits).as("__q")): _*)
+      .withColumn("__t",
+        expr("(__q.num * __n + __q.den - 1) div __q.den"))
+      .filter(col("__cum") - col("__c") < col("__t") &&
+        col("__cum") >= col("__t"))
+      .select(g ++ Seq(col("__q.num").as("__num"),
+        col("__q.den").as("__den"), col("__side"), col("__rep"),
+        col("__v").as("__qv"), col("__n")): _*)
+      // |groups|·|quantiles|·2·(reps+1) rows; referenced by BOTH the
+      // point pivot and the replicate panel — pin it once (also the
+      // self-join dedup a memory-sink lineage can't do on its own)
+      .localCheckpoint(true)
+    val keyNames = groupCols ++ Seq("__num", "__den")
+    val key = keyNames.map(col)
+    val point = picked.filter(col("__rep") === -1)
+      .groupBy(key: _*)
+      .agg(
+        max(when(!col("__side"), col("__n"))).as("n_a"),
+        max(when(col("__side"), col("__n"))).as("n_b"),
+        max(when(!col("__side"), col("__qv"))).as("q_a"),
+        max(when(col("__side"), col("__qv"))).as("q_b"))
+    val repD = picked.filter(col("__rep") >= 0)
+      .groupBy(key :+ col("__rep"): _*)
+      .agg(max(when(!col("__side"), col("__qv"))).as("__qa"),
+        max(when(col("__side"), col("__qv"))).as("__qb"))
+      .filter(col("__qa").isNotNull && col("__qb").isNotNull)
+      .select(key :+ round(col("__qb") - col("__qa"), 6).as("__d"): _*)
+      .withColumn("__qz", dec(round(col("__d") * lit(1e6), 0)))
+    val panel = repD.groupBy(key: _*)
+      .agg(count(lit(1)).as("n_reps"),
+        sum(col("__qz")).as("__sq"),
+        sum(col("__qz") * col("__qz")).as("__sqq"),
+        round(min(col("__d")), 6).as("ci_lo"),
+        round(max(col("__d")), 6).as("ci_hi"))
+      .withColumn("boot_se", when(col("n_reps") > 1L, round(
+        sqrt((dec(col("n_reps")) * col("__sqq") -
+          col("__sq") * col("__sq")).cast("double") /
+          (col("n_reps").cast("double") *
+            (col("n_reps").cast("double") - lit(1.0)))) / 1e6, 6)))
+    val ok = col("n_a") >= minN && col("n_b") >= minN
+    point.join(panel, keyNames, "left")
+      .withColumn("delta", when(ok, round(col("q_b") - col("q_a"), 6)))
+      .select(g ++ Seq(
+        round(col("__num").cast("double") / col("__den"), 4)
+          .as("quantile"),
+        col("n_a"), col("n_b"), col("q_a"), col("q_b"), col("delta"),
+        when(ok, col("n_reps")).as("n_reps"),
+        when(ok, col("boot_se")).as("boot_se"),
+        when(ok, col("ci_lo")).as("ci_lo"),
+        when(ok, col("ci_hi")).as("ci_hi")): _*)
   }
 
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {

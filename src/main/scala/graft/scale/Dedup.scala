@@ -49,15 +49,26 @@ object Dedup {
     *      case-sensitive per RFC 3986;
     *   4. strip the scheme-default port (`:80` for http, `:443` for
     *      https; explicit non-default ports survive);
-    *   5. drop [[TrackingParamPrefixes]]/[[TrackingParamKeys]] query
-    *      parameters (remaining params keep their order — reordering
-    *      would conflate genuinely different cache keys);
+    *   5. drop the tracking query parameters (remaining params keep
+    *      their order — reordering would conflate genuinely different
+    *      cache keys);
     *   6. strip ONE trailing slash from the path (`/a/` ≡ `/a`, and the
     *      bare root `/` collapses into the authority).
     * A string with no `scheme://authority` head is returned trimmed but
     * otherwise untouched (not a URL — nothing safe to rewrite).
+    *
+    * The stripped key set is a PARAMETER (defaults: [[TrackingParamPrefixes]]
+    * / [[TrackingParamKeys]]) because it is a policy, not a fact: the
+    * default list includes the generic `ref`, which on some hosts is
+    * functional (`?ref=branch` on code forges selects a different page) —
+    * a caller crawling such a site passes a narrower key list (e.g. only
+    * the unambiguous click IDs gclid/fbclid/msclkid) and keeps those pages
+    * distinct.
     */
-  def canonicalizeUrl(url: Column): Column = {
+  def canonicalizeUrl(
+      url: Column,
+      trackingPrefixes: Seq[String] = TrackingParamPrefixes,
+      trackingKeys: Seq[String] = TrackingParamKeys): Column = {
     val t = trim(url)
     val noFrag = regexp_replace(t, "#.*$", "")
     val auth =
@@ -70,9 +81,12 @@ object Dedup {
     val query = when(rest.contains("?"),
       regexp_replace(rest, "^[^?]*\\?", "")).otherwise(lit(""))
     val isTracking = (p: Column) =>
-      (TrackingParamPrefixes.map(px => startswith(p, lit(px))) ++
-        TrackingParamKeys.map(k =>
-          p === lit(k) || startswith(p, lit(k + "=")))).reduce(_ || _)
+      (trackingPrefixes.map(px => startswith(p, lit(px))) ++
+        trackingKeys.map(k =>
+          p === lit(k) || startswith(p, lit(k + "=")))) match {
+        case Nil => lit(false)
+        case cs => cs.reduce(_ || _)
+      }
     val kept = filter(split(query, "&"),
       p => length(p) > 0 && !isTracking(p))
     val q2 = array_join(kept, "&")
@@ -89,10 +103,113 @@ object Dedup {
     * pair mass) and the one a crawl corpus runs FIRST; content dedup
     * ([[minhashLsh]] etc.) then works on an already-URL-unique corpus.
     */
-  def urlDedup(df: DataFrame, idCol: String, urlCol: String): DataFrame =
-    df.select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+  def urlDedup(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      trackingPrefixes: Seq[String] = TrackingParamPrefixes,
+      trackingKeys: Seq[String] = TrackingParamKeys): DataFrame =
+    df.select(col(idCol),
+        canonicalizeUrl(col(urlCol), trackingPrefixes, trackingKeys)
+          .as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("n_dups"))
+
+  /** Declared public-suffix subset for [[registrableDomain]] — a FIXED,
+    * oracle-reproducible slice of the Mozilla Public Suffix List: the
+    * common two-label ccTLD registries (the co.uk family), the PSL
+    * "private" registry suffixes under which every user site is its own
+    * registrable domain (github.io et al.), and the high-traffic
+    * one-label TLDs. Deliberately a parameter with a declared default
+    * (the TrackingParamKeys discipline): the real PSL changes monthly,
+    * so a production deployment passes its own pinned snapshot; the
+    * LOGIC (longest-suffix match, eq-is-suffix gate, wildcard fallback)
+    * is what this engine owns.
+    */
+  val PublicSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "github.io", "gitlab.io", "blogspot.com",
+    "com", "net", "org", "io", "co", "ai", "dev", "app", "edu", "gov",
+    "mil", "int", "info", "biz",
+    "uk", "de", "fr", "jp", "cn", "ru", "br", "in", "au")
+
+  /** Registrable domain (eTLD+1) of a URL — the unit crawl pipelines
+    * budget, cap, and report by (a per-HOST panel splits one site into
+    * thousands of subdomain rows; a per-TLD panel collapses the whole
+    * web into ~40). Pure codegen-friendly string algebra:
+    *   1. host = lowercased authority, userinfo and port stripped;
+    *   2. IPv4 literal hosts are their own "domain" (no label algebra
+    *      applies);
+    *   3. longest declared suffix match (suffixes ordered by label
+    *      count, then length — `.co.uk` beats `.uk`, `.github.io`
+    *      beats `.io`): eTLD+1 = the label before the suffix + the
+    *      suffix;
+    *   4. a host EQUAL to a public suffix has no registrable domain →
+    *      NULL (you cannot register `co.uk`);
+    *   5. no suffix matches → the PSL `*` wildcard rule: the last label
+    *      is treated as the suffix, so eTLD+1 = the last two labels;
+    *   6. non-URLs, single-label hosts (`localhost`) and empty
+    *      authorities → NULL.
+    * The per-row cost is a CASE ladder of cheap `endswith` probes — only
+    * the ONE matched branch runs its regex extract.
+    */
+  def registrableDomain(
+      url: Column,
+      suffixes: Seq[String] = PublicSuffixes): Column = {
+    require(suffixes.nonEmpty && suffixes.forall(s =>
+      s.nonEmpty && !s.startsWith(".") && !s.endsWith(".") &&
+        s.toLowerCase == s),
+      s"bad suffix list $suffixes")
+    val auth = lower(regexp_extract(trim(url),
+      "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = regexp_replace(regexp_replace(auth, "^.*@", ""),
+      ":[0-9]*$", "")
+    val ordered = suffixes.distinct
+      .sortBy(s => (-s.count(_ == '.'), -s.length, s))
+    val fallback = when(host.rlike("[^.]\\.[^.]+$"),
+      regexp_extract(host, "([^.]+\\.[^.]+)$", 1))
+    val ladder = ordered.foldRight(fallback) { (sfx, acc) =>
+      val esc = sfx.replace(".", "\\.")
+      when(host === lit(sfx), lit(null).cast("string"))
+        .when(endswith(host, lit("." + sfx)),
+          regexp_extract(host, "([^.]+\\." + esc + ")$", 1))
+        .otherwise(acc)
+    }
+    val d = when(length(host) === 0, lit(null).cast("string"))
+      .when(host.rlike("^[0-9]+(\\.[0-9]+){3}$"), host)
+      .otherwise(ladder)
+    nullif(d, lit(""))
+  }
+
+  /** Per-domain crawl-health panel — the first readout anyone asks of a
+    * crawl corpus: for each registrable domain, document count, distinct
+    * canonical pages, content mass, and the URL-level dup (refetch)
+    * share. [[canonicalizeUrl]] → [[registrableDomain]] → ONE
+    * hash-aggregate on the domain key; the distinct-page count runs on
+    * the md5 of the canonical URL so the partial-agg state never carries
+    * full URL bytes (the exact-dedup fingerprint discipline). This is
+    * the table a domain-cap sampler ([[graft.sample.Samplers]]) and a
+    * crawl-budget allocator read.
+    */
+  def domainStats(
+      df: DataFrame,
+      idCol: String,
+      urlCol: String,
+      massCol: String,
+      suffixes: Seq[String] = PublicSuffixes): DataFrame =
+    df.select(col(idCol),
+        canonicalizeUrl(col(urlCol)).as("__cu"),
+        col(massCol).cast("long").as("__m"))
+      .withColumn("domain", registrableDomain(col("__cu"), suffixes))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(md5(col("__cu"))).as("n_pages"),
+        sum(col("__m")).as("mass"))
+      .withColumn("dup_share", round(lit(1.0) -
+        col("n_pages").cast("double") / col("n_docs").cast("double"), 6))
 
   /** MinHash signature per (doc, hash seed): min over shingles of
     * md5(seed || ":" || shingle). Lexicographic min over hex strings is a

@@ -3042,6 +3042,63 @@ object TextAnalysis {
       .select(col("g").as(groupCol), col("n_words"), col("n_tokens"),
         col("n_chars"))
   }
+
+  /** Concat-and-chunk sequence packing — the GPT pretraining convention
+    * (Brown et al. 2020 §2.3; every major pretraining pipeline since):
+    * documents are laid end-to-end in a DECLARED total order (ascending
+    * `idCol`) and the token stream is cut into fixed `contextLen`
+    * windows, so no context is padded and a document crossing a window
+    * boundary is SPLIT across consecutive chunks. Completes the packing
+    * family: [[packIntoShards]] assigns whole docs to variable-mass
+    * shards by start position (no splits, no offsets) and
+    * [[bfdPackManifest]] packs whole docs with padding; neither can
+    * RECONSTRUCT a fixed-length training context — this manifest can.
+    * The output is one row per (chunk, document piece):
+    *   chunk_id      window index (token position div contextLen),
+    *   doc_offset    first token of the piece within ITS document,
+    *   chunk_offset  first token of the piece within its chunk,
+    *   piece_len     tokens contributed.
+    * Chunk `chunk_id`'s rows ordered by `chunk_offset` reconstruct it
+    * exactly; a trainer shards by `chunk_id` and never sees padding
+    * except the final partial window. Zero-token documents contribute
+    * nothing and are excluded (they have no position on the stream).
+    *
+    * Scale shape: the stream positions come from ONE
+    * [[graft.sample.Samplers.globalCumSum]] range-scaffold pass (no
+    * single-partition window), then a narrow per-doc `sequence()`
+    * explode — a document spanning k windows emits exactly k rows, so
+    * output mass = corpus token mass / contextLen + one row per doc:
+    * corpus-linear by construction, at 100 TB as at 60 k rows. Pure
+    * integer algebra throughout (div/greatest/least on longs) — nothing
+    * to round, nothing order-sensitive.
+    */
+  def packSequences(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      contextLen: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(contextLen >= 1L, s"bad contextLen $contextLen")
+    val base = df
+      .select(col(idCol), col(nTokensCol).cast("long").as("__n"))
+      .filter(col("__n") > 0L)
+    val cum = graft.sample.Samplers
+      .globalCumSum(base, Seq(idCol), "__n", numPartitions, "__cum")
+    cum
+      .withColumn("__start", col("__cum") - col("__n"))
+      .withColumn("chunk_id",
+        explode(sequence(expr("__start div " + contextLen),
+          expr("(__cum - 1) div " + contextLen))))
+      .withColumn("__ps",
+        greatest(col("__start"), col("chunk_id") * lit(contextLen)))
+      .withColumn("__pe", least(col("__cum"),
+        (col("chunk_id") + 1L) * lit(contextLen)))
+      .select(col("chunk_id"), col(idCol),
+        (col("__ps") - col("__start")).as("doc_offset"),
+        (col("__ps") - col("chunk_id") * lit(contextLen))
+          .as("chunk_offset"),
+        (col("__pe") - col("__ps")).as("piece_len"))
+  }
 }
 
 /** Word k-shingling shared by fingerprinting / MinHash / Jaccard. */
@@ -3085,4 +3142,5 @@ object Shingles {
               when(i + j <= n, element_at(t, (i + j).cast("int")))): _*))
       }),
       1)
+
 }

@@ -723,6 +723,140 @@ class MetricsSpec extends SparkSpec {
       g2.forall(_.getAs[Boolean]("reject")))
   }
 
+  test("onlineFdrLord: hand-walked wealth accounting — a rejection " +
+      "re-funds later budgets, the fixed point equals the sequential " +
+      "walk, NULL p excluded") {
+    // alpha = 5/100, W0 = alpha/2. Nano-gamma G(j) = floor(1e9/(j(j+1))):
+    //   G(1)=500000000 G(2)=166666666 G(3)=83333333 G(4)=50000000
+    //   G(5)=33333333 G(6)=23809523 G(7)=17857142
+    // Sequential walk (S_t in nano-units, alpha_t = 0.025*S*1e-9):
+    //   t=1 S=G(1)           alpha=.0125     p=.01   REJECT (tau1=1)
+    //   t=2 S=G(2)+G(1)      alpha=.01666..  p=.015  REJECT — but with
+    //       NO wealth from t=1 it would be .00416 < p: the re-funding
+    //       is what rejects it
+    //   t=3 S=G(3)+G(2)+2G(1) alpha=.03125   p=.5    no
+    //   t=4 S=G(4)+G(3)+2G(2) alpha=.0116666 p=.011  REJECT
+    //   t=5 S=G(5)+G(4)+2(G(3)+G(1)) alpha=.03125 p=.04 no
+    //   t=6 S=G(6)+G(5)+2(G(4)+G(2)) = 490476188 -> alpha=.012261905
+    //       p=.0123 no (the just-above-budget boundary)
+    //   t=7 S=G(7)+G(6)+2(G(5)+G(3)) alpha=.006875 p=.006 REJECT
+    // Fixed point needs 5 monotone rounds: {1} {1,2} {1,2,4} {1,2,4,7}.
+    val ps = Seq("a" -> 0.01, "b" -> 0.015, "c" -> 0.5, "d" -> 0.011,
+      "e" -> 0.04, "f" -> 0.0123, "g" -> 0.006)
+    val df = ps.map { case (h, p) => (h, Option(p)) }
+      .toDF("hyp", "p") unionByName
+      Seq(("zz", Option.empty[Double])).toDF("hyp", "p")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Metrics.onlineFdrLord(d, Seq("hyp"), "p").orderBy($"t").collect()
+    val got = run(df)
+    assert(got.length === 7, "NULL p excluded")
+    assert(got.map(_.getAs[Long]("t")).toSeq === (1L to 7L))
+    assert(got.map(_.getAs[Boolean]("reject")).toSeq ===
+      Seq(true, true, false, true, false, false, true))
+    val wantAlpha = Seq(0.0125, 0.016666667, 0.03125, 0.011666667,
+      0.03125, 0.012261905, 0.006875)
+    got.map(_.getAs[Double]("alpha_t")).zip(wantAlpha).foreach {
+      case (a, w) => assert(math.abs(a - w) < 1e-9, s"alpha_t $a != $w")
+    }
+    // order-insensitive: adversarial repartitioning changes nothing
+    // (integer budget sums, ranks from the total-order scaffold)
+    assert(run(df.repartition(5)).map(_.toString).toSeq ===
+      got.map(_.toString).toSeq)
+    // no wealth, no rejections: every p above its unfunded budget
+    val dull = Seq("a" -> 0.02, "b" -> 0.02, "c" -> 0.02)
+      .map { case (h, p) => (h, Option(p)) }.toDF("hyp", "p")
+    assert(run(dull).forall(!_.getAs[Boolean]("reject")))
+    // reserved-name collision refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      Metrics.onlineFdrLord(df.withColumnRenamed("hyp", "t"),
+        Seq("t"), "p")
+    }
+    assert(ex.getMessage.contains("reserves"))
+  }
+
+  test("expectedCalibrationError: hand-computed bins, exact " +
+      "|correct - conf-mass| ECE reduction, out-of-domain excluded") {
+    // 2 bins. bin0 (s < .5): (.2,T) (.2,F) (.3,F) -> n=3 conf=.7 corr=1
+    //   avg_conf=.233333 acc=.333333 gap=(1-.7)/3=.1
+    // bin1: (.8,T) (.9,T) (.7,F) (1.0,T) -> n=4 conf=3.4 corr=3
+    //   (1.0 lands in the TOP bin, not bin 2)
+    //   avg_conf=.85 acc=.75 gap=(3-3.4)/4=-.1
+    // ECE = (|1-.7|+|3-3.4|)/7 = .7/7 = .1; MCE = max(.3/3,.4/4) = .1
+    val rows = Seq((0.2, true), (0.2, false), (0.3, false),
+      (0.8, true), (0.9, true), (0.7, false), (1.0, true))
+      .map { case (s, y) => ("g", Option(s), Option(y)) }
+    val junk = Seq(("g", Option(1.5), Option(true)),
+      ("g", Option.empty[Double], Option(true)),
+      ("g", Option(0.4), Option.empty[Boolean]))
+    val df = (rows ++ junk).toDF("grp", "s", "y")
+    val got = Metrics.expectedCalibrationError(df, "s", "y", Seq("grp"), 2)
+      .orderBy($"bin").collect()
+    assert(got.length === 2)
+    assert(got.map(_.getAs[Int]("bin")).toSeq === Seq(0, 1))
+    assert(got.map(_.getAs[Long]("n")).toSeq === Seq(3L, 4L))
+    assert(got.map(_.getAs[Double]("avg_conf")).toSeq ===
+      Seq(0.233333, 0.85))
+    assert(got.map(_.getAs[Double]("accuracy")).toSeq ===
+      Seq(0.333333, 0.75))
+    assert(got.map(_.getAs[Double]("gap")).toSeq === Seq(0.1, -0.1))
+    assert(got.forall(_.getAs[Double]("ece") === 0.1))
+    assert(got.forall(_.getAs[Double]("mce") === 0.1))
+    // a perfectly calibrated table: every bin's conf mass = its correct
+    // count -> ECE = 0 exactly
+    val perfect = Seq((0.25, false), (0.25, false), (0.25, false),
+      (0.25, true), (0.75, true), (0.75, true), (0.75, true),
+      (0.75, false)).map { case (s, y) => ("g", s, y) }
+      .toDF("grp", "s", "y")
+    val p = Metrics.expectedCalibrationError(perfect, "s", "y",
+      Seq("grp"), 2).collect()
+    assert(p.forall(_.getAs[Double]("ece") === 0.0))
+  }
+
+  test("postStratifiedDelta: between-strata variance drops out — " +
+      "hand-computed SE ratio; a starved stratum gates ps to NULL") {
+    // strata s1 (values ~11) and s2 (~102), lift -1 inside each:
+    //   s1: A (10,12) B (11,13); s2: A (100,104) B (101,105)
+    // every cell variance: s1 var=2, s2 var=8 -> vk1 = 2/2+2/2 = 2,
+    //   vk2 = 8/2+8/2 = 8; w_k = 4/8 each
+    //   delta_ps = .5*(-1) + .5*(-1) = -1
+    //   SE2_ps = .25*2*... = (4/8)^2*2 + (4/8)^2*8 = .5+2 = 2.5
+    // unadjusted: A mean 56.5, B mean 57.5, both var 8291/3
+    //   SE2_u = 2*(8291/3)/4 = 1381.8333...
+    val df = Seq(
+      ("g", "s1", false, 10.0), ("g", "s1", false, 12.0),
+      ("g", "s1", true, 11.0), ("g", "s1", true, 13.0),
+      ("g", "s2", false, 100.0), ("g", "s2", false, 104.0),
+      ("g", "s2", true, 101.0), ("g", "s2", true, 105.0))
+      .toDF("grp", "st", "side", "v")
+    val got = Metrics.postStratifiedDelta(df, "v", "side", "st",
+      Seq("grp")).collect().head
+    def r6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.getAs[Long]("n_a") === 4L &&
+      got.getAs[Long]("n_b") === 4L &&
+      got.getAs[Long]("n_strata") === 2L)
+    assert(got.getAs[Double]("delta") === -1.0)
+    assert(got.getAs[Double]("delta_ps") === -1.0)
+    val se2u = 2.0 * (8291.0 / 3.0) / 4.0
+    assert(got.getAs[Double]("se") === r6(math.sqrt(se2u)))
+    assert(got.getAs[Double]("se_ps") === r6(math.sqrt(2.5)))
+    assert(got.getAs[Double]("z_ps") === r6(-1.0 / math.sqrt(2.5)))
+    val wantVr = java.math.BigDecimal.valueOf((1.0 - 2.5 / se2u) * 100.0)
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    assert(got.getAs[Double]("var_reduction_pct") === wantVr)
+    // a stratum missing one side entirely -> whole ps panel NULL, the
+    // unadjusted columns still report
+    val starved = df unionByName
+      Seq(("g", "s3", false, 50.0), ("g", "s3", false, 51.0))
+        .toDF("grp", "st", "side", "v")
+    val g2 = Metrics.postStratifiedDelta(starved, "v", "side", "st",
+      Seq("grp")).collect().head
+    assert(g2.isNullAt(g2.fieldIndex("delta_ps")) &&
+      g2.isNullAt(g2.fieldIndex("se_ps")) &&
+      g2.isNullAt(g2.fieldIndex("var_reduction_pct")))
+    assert(!g2.isNullAt(g2.fieldIndex("delta")))
+  }
+
   test("ratioMetricDelta: hand-computed delta-method variance, z on the " +
       "planted ratio fixture; zero-variance and sumY=0 sides gate NULL") {
     // side A units (x, y): (10,2), (20,3), (0,1) -> R_a = 30/6 = 5
@@ -771,6 +905,85 @@ class MetricsSpec extends SparkSpec {
       Metrics.ratioDeltaMoments(df, "x", "y", "side", Seq("grp")),
       Seq("grp")).collect()(0)
     assert(via.toString === got.toString)
+    // NULL-side rows are excluded from n_a AND the moment sums (counting
+    // them into n_a while the conditional sums skip them would corrupt
+    // the side-A variance)
+    val withNull = df unionByName
+      Seq(("g", Option.empty[Boolean], 7.0, 7.0))
+        .toDF("grp", "side", "x", "y")
+    assert(Metrics.ratioMetricDelta(withNull, "x", "y", "side", Seq("grp"))
+      .collect()(0).toString === got.toString)
+  }
+
+  test("quantileTreatmentEffect: planted +5 location shift read exactly " +
+      "at P50/P90 (type-1 picks), ties covered, minN gate, composition, " +
+      "partition invariance") {
+    // control units 1..10 with values 1..10, treatment units 11..20 with
+    // values 6..15 (a pure +5 shift):
+    //   P50: t = ceil(0.5*10) = 5 -> q_a = 5, q_b = 10, delta = 5
+    //   P90: t = ceil(0.9*10) = 9 -> q_a = 9, q_b = 14, delta = 5
+    val df = ((1L to 10L).map(i => ("g", false, i.toDouble, i)) ++
+      (1L to 10L).map(i => ("g", true, i + 5.0, i + 10L)))
+      .toDF("grp", "side", "v", "unit")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Metrics.quantileTreatmentEffect(d, "v", "side", "unit", Seq("grp"))
+        .orderBy($"quantile").collect()
+    val got = run(df)
+    assert(got.map(_.getAs[Double]("quantile")).toSeq === Seq(0.5, 0.9))
+    val p50 = got(0); val p90 = got(1)
+    assert(p50.getAs[Long]("n_a") === 10L && p50.getAs[Long]("n_b") === 10L)
+    assert(p50.getAs[Double]("q_a") === 5.0 &&
+      p50.getAs[Double]("q_b") === 10.0 &&
+      p50.getAs[Double]("delta") === 5.0)
+    assert(p90.getAs[Double]("q_a") === 9.0 &&
+      p90.getAs[Double]("q_b") === 14.0 &&
+      p90.getAs[Double]("delta") === 5.0)
+    // the replicate panel exists and is internally consistent
+    got.foreach { r =>
+      val nr = r.getAs[Long]("n_reps")
+      assert(nr >= 1L && nr <= 32L)
+      assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("ci_hi"))
+      assert(!r.isNullAt(r.fieldIndex("boot_se")))
+    }
+    // adversarial repartitioning changes nothing (dictionary counts are
+    // exact; picks are rank lookups; the panel folds micro-quantized)
+    assert(run(df.repartition(7, $"unit")).map(_.toString).toSeq ===
+      got.map(_.toString).toSeq)
+    // ties: control [1,1,1,2], treatment [1,2,2,2] -> P50 t=2 covers the
+    // v=1 run on control (cum 3 >= 2) and the v=2 run on treatment
+    val ties = (Seq(1.0, 1.0, 1.0, 2.0).zipWithIndex.map { case (v, i) =>
+        ("g", false, v, i.toLong) } ++
+      Seq(1.0, 2.0, 2.0, 2.0).zipWithIndex.map { case (v, i) =>
+        ("g", true, v, i + 100L) })
+      .toDF("grp", "side", "v", "unit")
+    val tg = Metrics.quantileTreatmentEffect(ties, "v", "side", "unit",
+      Seq("grp"), quantiles = Seq((1, 2))).collect()(0)
+    assert(tg.getAs[Double]("q_a") === 1.0 &&
+      tg.getAs[Double]("q_b") === 2.0 &&
+      tg.getAs[Double]("delta") === 1.0)
+    // below-minN side: point quantiles still reported, delta and the
+    // whole panel gate to NULL
+    val tiny = Seq(("g", false, 1.0, 1L), ("g", true, 2.0, 2L))
+      .toDF("grp", "side", "v", "unit")
+    val tn = Metrics.quantileTreatmentEffect(tiny, "v", "side", "unit",
+      Seq("grp"), quantiles = Seq((1, 2))).collect()(0)
+    assert(tn.getAs[Double]("q_a") === 1.0 &&
+      tn.getAs[Double]("q_b") === 2.0)
+    assert(tn.isNullAt(tn.fieldIndex("delta")) &&
+      tn.isNullAt(tn.fieldIndex("n_reps")) &&
+      tn.isNullAt(tn.fieldIndex("boot_se")))
+    // NULL side/value rows are excluded, never counted into a side
+    val withNulls = df unionByName
+      Seq(("g", Option.empty[Boolean], Option(99.0), 50L),
+        ("g", Option(true), Option.empty[Double], 51L))
+        .toDF("grp", "side", "v", "unit")
+    assert(run(withNulls).map(_.toString).toSeq === got.map(_.toString).toSeq)
+    // composition: FromCounts over ReplicateCounts = the one-shot op
+    val via = Metrics.qteFromCounts(
+      Metrics.qteReplicateCounts(df, "v", "side", "unit", Seq("grp"), 32),
+      Seq("grp"), Seq((1, 2), (9, 10)))
+      .orderBy($"quantile").collect()
+    assert(via.map(_.toString).toSeq === got.map(_.toString).toSeq)
   }
 
   test("srmGuard: planted 70/30 mismatch flagged, healthy 51/49 split " +
@@ -808,6 +1021,13 @@ class MetricsSpec extends SparkSpec {
       Metrics.srmCounts(df, "side", Seq("grp")), Seq("grp"))
       .orderBy($"grp").collect()
     assert(viaCounts.map(_.toString).toSeq === got.map(_.toString).toSeq)
+    // NULL-side rows are excluded (the oracle's COUNT FILTER semantics),
+    // never silently counted into side A
+    val withNull = df unionByName
+      Seq(("bad", Option.empty[Boolean])).toDF("grp", "side")
+    assert(Metrics.srmGuard(withNull, "side", Seq("grp"))
+      .orderBy($"grp").collect().map(_.toString).toSeq ===
+      got.map(_.toString).toSeq)
   }
 
   test("minDetectableEffect: hand-computed MDE on the Welch fixture, " +

@@ -153,6 +153,79 @@ class ScaleSpec extends SparkSpec {
       dd(0).getLong(1) === 10L && dd(0).getLong(2) === 3L)
     assert(dd(1).getString(0) === "https://example.com/p/2" &&
       dd(1).getLong(2) === 1L)
+    // the tracking key set is a parameter: with only click IDs declared,
+    // a functional ?ref=branch page stays distinct
+    val refKept = Dedup.urlDedup(
+      Seq((1L, "https://forge.example/p?ref=main"),
+        (2L, "https://forge.example/p?ref=dev"),
+        (3L, "https://forge.example/p?gclid=x"))
+        .toDF("doc_id", "url"),
+      "doc_id", "url",
+      trackingKeys = Seq("gclid", "fbclid", "msclkid"))
+      .orderBy($"canonical_url").collect()
+    assert(refKept.length === 3)
+    assert(refKept.map(_.getString(0)).toSeq === Seq(
+      "https://forge.example/p",
+      "https://forge.example/p?ref=dev",
+      "https://forge.example/p?ref=main"))
+  }
+
+  test("registrableDomain: hand-written suffix table — two-label ccTLD " +
+      "registries, PSL private registries, suffix-equal hosts, IPv4, " +
+      "wildcard fallback; domainStats panel on a planted fixture") {
+    val table = Seq(
+      // two-label suffix wins over the one-label '.uk'
+      ("https://WWW.Example.CO.UK/a", Some("example.co.uk")),
+      ("https://example.co.uk", Some("example.co.uk")),
+      ("https://deep.sub.news.example.co.uk/b", Some("example.co.uk")),
+      // a host EQUAL to a public suffix has no registrable domain
+      ("https://co.uk/x", None),
+      ("https://github.io/", None),
+      // PSL private registries: each user site is its own domain
+      ("https://alice.github.io/proj", Some("alice.github.io")),
+      ("https://a.b.github.io/p", Some("b.github.io")),
+      ("https://team.blogspot.com/post", Some("team.blogspot.com")),
+      // plain gTLD, deep subdomains collapse
+      ("https://deep.a.example.com/x", Some("example.com")),
+      ("https://example.uk", Some("example.uk")),
+      // userinfo and port are stripped before matching
+      ("http://user:pw@Site.COM:8080/x", Some("site.com")),
+      // IPv4 literal is its own unit
+      ("http://192.168.0.1/admin", Some("192.168.0.1")),
+      // unknown TLD -> PSL '*' wildcard rule: last two labels
+      ("https://weird.example.zz/f", Some("example.zz")),
+      // single-label host: it IS the (wildcard) suffix
+      ("https://localhost/x", None),
+      // not a URL at all
+      ("not a url", None))
+    val got = table.zipWithIndex
+      .map { case ((in, _), i) => (i, in) }.toDF("i", "url")
+      .select($"i", Dedup.registrableDomain($"url").as("d"))
+      .collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    table.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(got(i) === want, s"registrableDomain('$in')")
+    }
+    // domainStats: 2 hosts of one registrable domain, one refetched
+    // under a tracking param -> n_docs=3, n_pages=2, dup_share=1/3
+    val urls = Seq(
+      (1L, "https://a.example.co.uk/p/1", 10L),
+      (2L, "https://a.example.co.uk/p/1?utm_source=x", 20L),
+      (3L, "https://b.example.co.uk/p/2", 30L),
+      (4L, "https://alice.github.io/p", 5L)).toDF("doc_id", "url", "m")
+    val ds = Dedup.domainStats(urls, "doc_id", "url", "m")
+      .orderBy($"domain").collect()
+    assert(ds.length === 2)
+    assert(ds(0).getAs[String]("domain") === "alice.github.io" &&
+      ds(0).getAs[Long]("n_docs") === 1L &&
+      ds(0).getAs[Long]("n_pages") === 1L &&
+      ds(0).getAs[Long]("mass") === 5L &&
+      ds(0).getAs[Double]("dup_share") === 0.0)
+    assert(ds(1).getAs[String]("domain") === "example.co.uk" &&
+      ds(1).getAs[Long]("n_docs") === 3L &&
+      ds(1).getAs[Long]("n_pages") === 2L &&
+      ds(1).getAs[Long]("mass") === 60L &&
+      ds(1).getAs[Double]("dup_share") === 0.333333)
   }
 
   test("passageDedup keeps only the first global occurrence of each passage") {
@@ -3647,6 +3720,38 @@ class ScaleSpec extends SparkSpec {
     val bins = TextAnalysis.bfdPack(d2, "text", 64)
       .filter(col("kind") === "total").collect().head.getLong(6)
     assert(m.map(_.getLong(3)).max + 1 == bins)
+  }
+
+  test("packSequences: hand-traced concat-and-chunk manifest — split " +
+      "docs reconstruct, every interior chunk is exactly full") {
+    // contextLen 10; docs (a=4, b=10, c=7, d=0 excluded, e=12 tokens)
+    // laid end-to-end: cum a:4 b:14 c:21 e:33. Hand manifest:
+    //   chunk0 = a[0:4) + b[0:6)      chunk1 = b[6:10) + c[0:6)
+    //   chunk2 = c[6:7) + e[0:9)      chunk3 = e[9:12)  (tail, 3 toks)
+    val d = Seq(("a", 4L), ("b", 10L), ("c", 7L), ("d", 0L), ("e", 12L))
+      .toDF("doc_id", "n")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.packSequences(x, "doc_id", "n", 10L)
+        .orderBy($"chunk_id", $"chunk_offset").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
+    val got = run(d)
+    assert(got === Seq(
+      (0L, "a", 0L, 0L, 4L), (0L, "b", 0L, 4L, 6L),
+      (1L, "b", 6L, 0L, 4L), (1L, "c", 0L, 4L, 6L),
+      (2L, "c", 6L, 0L, 1L), (2L, "e", 0L, 1L, 9L),
+      (3L, "e", 9L, 0L, 3L)))
+    // invariants: interior chunks carry exactly contextLen tokens, the
+    // pieces of each chunk tile it contiguously, and every document's
+    // pieces cover [0, n) in order
+    val byChunk = got.groupBy(_._1).view.mapValues(_.map(_._5).sum)
+    assert(byChunk(0L) === 10L && byChunk(1L) === 10L &&
+      byChunk(2L) === 10L && byChunk(3L) === 3L)
+    val ePieces = got.filter(_._2 == "e").sortBy(_._3)
+    assert(ePieces.map(_._5).sum === 12L &&
+      ePieces.head._3 === 0L)
+    // partition-invariant (pure integer algebra over the scaffold)
+    assert(run(d.repartition(4)) === got)
   }
 
   test("unigramEncode: Viterbi segmentation with the trainer's fixture " +
