@@ -886,4 +886,59 @@ class PlanSpec extends SparkSpec {
         s"$name: levenshtein not in the physical projection:\n$plan")
     }
   }
+
+  test("ppjoin prefix-filter shape holds POSITIVELY: the posting index " +
+      "is a prefix-slice posexplode, pair mass never rides a join") {
+    // r13 verdict nit 1 companion to the isolated band: assert the
+    // candidate generation IS the prefix filter (posexplode over the
+    // sliced rarity-ordered prefix), not merely "not a cartesian"
+    val df = SparkEntry.queries("em_similarity_part")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("posexplode"),
+      s"prefix posting slice gone — candidate path changed:\n$plan")
+    assert("Generate explode".r.findAllIn(plan).length >= 2,
+      s"posting-list pair expansion gone:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"pair mass degenerated to all-pairs:\n$plan")
+  }
+
+  test("round-14 ops hold their scan discipline: calibration is one " +
+      "conditional hash-agg, post-strat two agg layers join-free, " +
+      "packing one range scaffold + one sequence explode") {
+    val events = Tables.load(spark, sf, "events")
+    val cal = graft.metrics.Metrics.calibrationBinCounts(
+      events.select(col("event_type"),
+        ((col("event_id") % 97) / lit(96.0)).as("s"),
+        (col("user_id") % 5 < 3).as("y")),
+      "s", "y", Seq("event_type"), 10)
+    val calPlan = cal.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(calPlan).length === 1 &&
+      "HashAggregate".r.findAllIn(calPlan).length >= 2 &&
+      !calPlan.contains("Join"),
+      s"calibrationBinCounts: expected one partial+final hash-agg:\n$calPlan")
+
+    val ps = graft.metrics.Metrics.postStratifiedDelta(
+      events.select((col("user_id") % 3).as("arm"), col("event_type"),
+        (col("user_id") % 2 === 0).as("side"), col("value")),
+      "value", "side", "event_type", Seq("arm"))
+    val psPlan = ps.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(psPlan).length <= 2 &&
+      !psPlan.contains("Join") && !psPlan.contains("Window"),
+      s"postStratifiedDelta: expected stratum+group aggs only:\n$psPlan")
+
+    val docs = Tables.load(spark, sf, "documents")
+    val pack = graft.scale.TextAnalysis.packSequences(
+      docs.select(col("doc_id"),
+        graft.scale.TextAnalysis.tokenCount(col("text")).as("n")),
+      "doc_id", "n", 256L)
+    val packPlan = pack.queryExecution.executedPlan.toString
+    // the scaffold's per-partition running sum re-clusters on __pid (one
+    // partition-id exchange); nothing may shuffle on a DATA key or join
+    assert("Generate".r.findAllIn(packPlan).length === 1 &&
+      !packPlan.contains("Join") &&
+      "Exchange hashpartitioning".r.findAllIn(packPlan).length <= 1,
+      s"packSequences: expected scaffold + one sequence explode only:\n" +
+        packPlan)
+  }
 }
