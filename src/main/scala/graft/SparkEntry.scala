@@ -6134,11 +6134,16 @@ object SparkEntry {
       val batch = t(s, dir, "events")
       val stream = s.readStream.schema(batch.schema)
         .parquet(s"$dir/events*.parquet")
+      // the twin PROVES the replicate dictionary is legal Complete-mode
+      // state; it runs 8 replicates (the batch panel runs 32) because
+      // the state the memory sink re-emits per drain is (reps+1)× the
+      // value dictionary — the mechanism is identical, the drain mass
+      // is a quarter
       val counts = Metrics.qteReplicateCounts(
         stream.select(col("event_type"),
           (col("user_id") % 2 === 0).as("side"),
           col("value"), col("event_id")),
-        "value", "side", "event_id", Seq("event_type"), 32)
+        "value", "side", "event_id", Seq("event_type"), 8)
       val name = "stream_qte_" +
         java.util.UUID.randomUUID.toString.replace("-", "")
       val drained = graft.streaming.Streams.runToMemory(s, counts, name,
@@ -6198,6 +6203,26 @@ object SparkEntry {
             .otherwise(lit(0.0))).as("value")),
         "value", "side", "event_type", Seq("arm"))
         .orderBy(col("arm"))),
+
+    // ---- STREAMING post-stratification twin (stratum moments as state) -----
+    "streaming_post_strat_events" -> ((s, dir) => {
+      val batch = t(s, dir, "events")
+      val stream = s.readStream.schema(batch.schema)
+        .parquet(s"$dir/events*.parquet")
+      val moments = Metrics.postStratMoments(
+        stream.select((col("user_id") % 3).as("arm"),
+          col("event_type"),
+          (col("user_id") % 2 === 0).as("side"),
+          (col("value") + when(col("user_id") % 2 === 0, lit(2.0))
+            .otherwise(lit(0.0))).as("value")),
+        "value", "side", "event_type", Seq("arm"))
+      val name = "stream_pstrat_" +
+        java.util.UUID.randomUUID.toString.replace("-", "")
+      val drained = graft.streaming.Streams.runToMemory(s, moments, name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+      Metrics.postStratFromMoments(drained, Seq("arm"))
+        .orderBy(col("arm"))
+    }),
 
     // ---- ALWAYS-VALID sequential two-proportion test ------------------------
     // The conversion-rate mSPRT (sequential_ab covers means): same
@@ -6982,86 +7007,11 @@ object SparkEntry {
       ("ratio_delta_events" -> ratioDeltaOracleSql),
       ("streaming_ratio_delta_events" -> ratioDeltaOracleSql),
       ("quantile_effect_events" -> quantileEffectOracleSql(32)),
-      ("streaming_quantile_effect_events" -> quantileEffectOracleSql(32)),
+      ("streaming_quantile_effect_events" -> quantileEffectOracleSql(8)),
       ("calibration_events" -> calibrationOracleSql),
       ("streaming_calibration_events" -> calibrationOracleSql),
-      ("post_strat_events" ->
-        """WITH s AS (
-          |  SELECT user_id % 3 AS arm, event_type AS st,
-          |    (user_id % 2 = 0) AS side,
-          |    CAST(value + (CASE WHEN user_id % 2 = 0 THEN 2.0
-          |      ELSE 0.0 END) AS DECIMAL(18,2)) AS v
-          |  FROM events),
-          |m AS (
-          |  SELECT arm, st,
-          |    COUNT(*) FILTER (NOT side) AS n_a,
-          |    COUNT(*) FILTER (side) AS n_b,
-          |    CAST(SUM(v) FILTER (NOT side) AS DECIMAL(38,2)) AS sa,
-          |    CAST(SUM(v) FILTER (side) AS DECIMAL(38,2)) AS sb,
-          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
-          |      AS DECIMAL(38,4)) AS qa,
-          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
-          |      AS DECIMAL(38,4)) AS qb
-          |  FROM s GROUP BY arm, st),
-          |k AS (
-          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
-          |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
-          |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
-          |    n_a + n_b AS nk
-          |  FROM m),
-          |t AS (
-          |  SELECT *,
-          |    (qad - sad * sad / na) / (na - 1.0) AS va,
-          |    (qbd - sbd * sbd / nb) / (nb - 1.0) AS vb,
-          |    sad / na - sbd / nb AS dk
-          |  FROM k),
-          |q AS (
-          |  SELECT arm, n_a, n_b, nk, sa, sb, qa, qb,
-          |    (n_a >= 2 AND n_b >= 2) AS ok,
-          |    CAST(ROUND(dk * 1e6) AS DECIMAL(38,0)) * nk AS dq,
-          |    CAST(ROUND((va / na + vb / nb) * 1e12) AS DECIMAL(38,0))
-          |      * nk * nk AS vq
-          |  FROM t),
-          |g AS (
-          |  SELECT arm,
-          |    CAST(SUM(n_a) AS BIGINT) AS n_a,
-          |    CAST(SUM(n_b) AS BIGINT) AS n_b,
-          |    COUNT(*) AS n_strata, MIN(ok) AS allok,
-          |    CAST(SUM(nk) AS DOUBLE) AS nn,
-          |    CAST(SUM(dq) AS DOUBLE) AS dsum,
-          |    CAST(SUM(vq) AS DOUBLE) AS vsum,
-          |    CAST(CAST(SUM(sa) AS DECIMAL(38,2)) AS DOUBLE) AS gsa,
-          |    CAST(CAST(SUM(sb) AS DECIMAL(38,2)) AS DOUBLE) AS gsb,
-          |    CAST(CAST(SUM(qa) AS DECIMAL(38,4)) AS DOUBLE) AS gqa,
-          |    CAST(CAST(SUM(qb) AS DECIMAL(38,4)) AS DOUBLE) AS gqb
-          |  FROM q GROUP BY arm),
-          |f AS (
-          |  SELECT *,
-          |    CAST(n_a AS DOUBLE) AS gna, CAST(n_b AS DOUBLE) AS gnb,
-          |    dsum / 1e6 / nn AS dps,
-          |    vsum / 1e12 / (nn * nn) AS seps2
-          |  FROM g),
-          |f2 AS (
-          |  SELECT *,
-          |    (gqa - gsa * gsa / gna) / (gna - 1.0) / gna
-          |      + (gqb - gsb * gsb / gnb) / (gnb - 1.0) / gnb AS seu2
-          |  FROM f),
-          |f3 AS (
-          |  SELECT *,
-          |    (n_a >= 2 AND n_b >= 2 AND seu2 > 0.0) AS oku,
-          |    (allok AND seps2 > 0.0) AS okps
-          |  FROM f2)
-          |SELECT arm, n_a, n_b, n_strata,
-          |  CASE WHEN oku THEN ROUND(gsa / gna - gsb / gnb, 6) END
-          |    AS delta,
-          |  CASE WHEN oku THEN ROUND(sqrt(seu2), 6) END AS se,
-          |  CASE WHEN okps THEN ROUND(dps, 6) END AS delta_ps,
-          |  CASE WHEN okps THEN ROUND(sqrt(seps2), 6) END AS se_ps,
-          |  CASE WHEN okps THEN ROUND(dps / sqrt(seps2), 6) END AS z_ps,
-          |  CASE WHEN okps AND oku
-          |    THEN ROUND((1.0 - seps2 / seu2) * 100.0, 4) END
-          |    AS var_reduction_pct
-          |FROM f3 ORDER BY arm""".stripMargin),
+      ("post_strat_events" -> postStratOracleSql),
+      ("streaming_post_strat_events" -> postStratOracleSql),
 
       // BH FDR: the mSPRT p panel per (event_type, segment), then the
       // textbook step-up — rank over (p, ids), q = min(1, m*p/i),
@@ -8537,6 +8487,88 @@ object SparkEntry {
         |  CAST(SUM(tb) AS BIGINT) AS kl_b_micro,
         |  ROUND(CAST(SUM(ta) + SUM(tb) AS DOUBLE) / 2e12, 6) AS jsd
         |FROM q GROUP BY 1, 2, 3""".stripMargin
+
+  /** Post-stratification replay (stratum-keyed decimal moments,
+    * micro-quantized cross-strata roll-up) over the planted +2-lift
+    * fixture - shared by the batch query and the streaming twin.
+    */
+  private def postStratOracleSql: String =
+    """WITH s AS (
+          |  SELECT user_id % 3 AS arm, event_type AS st,
+          |    (user_id % 2 = 0) AS side,
+          |    CAST(value + (CASE WHEN user_id % 2 = 0 THEN 2.0
+          |      ELSE 0.0 END) AS DECIMAL(18,2)) AS v
+          |  FROM events),
+          |m AS (
+          |  SELECT arm, st,
+          |    COUNT(*) FILTER (NOT side) AS n_a,
+          |    COUNT(*) FILTER (side) AS n_b,
+          |    CAST(SUM(v) FILTER (NOT side) AS DECIMAL(38,2)) AS sa,
+          |    CAST(SUM(v) FILTER (side) AS DECIMAL(38,2)) AS sb,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (NOT side)
+          |      AS DECIMAL(38,4)) AS qa,
+          |    CAST(SUM(CAST(v * v AS DECIMAL(38,4))) FILTER (side)
+          |      AS DECIMAL(38,4)) AS qb
+          |  FROM s GROUP BY arm, st),
+          |k AS (
+          |  SELECT *, CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+          |    CAST(sa AS DOUBLE) AS sad, CAST(sb AS DOUBLE) AS sbd,
+          |    CAST(qa AS DOUBLE) AS qad, CAST(qb AS DOUBLE) AS qbd,
+          |    n_a + n_b AS nk
+          |  FROM m),
+          |t AS (
+          |  SELECT *,
+          |    (qad - sad * sad / na) / (na - 1.0) AS va,
+          |    (qbd - sbd * sbd / nb) / (nb - 1.0) AS vb,
+          |    sad / na - sbd / nb AS dk
+          |  FROM k),
+          |q AS (
+          |  SELECT arm, n_a, n_b, nk, sa, sb, qa, qb,
+          |    (n_a >= 2 AND n_b >= 2) AS ok,
+          |    CAST(ROUND(dk * 1e6) AS DECIMAL(38,0)) * nk AS dq,
+          |    CAST(ROUND((va / na + vb / nb) * 1e12) AS DECIMAL(38,0))
+          |      * nk * nk AS vq
+          |  FROM t),
+          |g AS (
+          |  SELECT arm,
+          |    CAST(SUM(n_a) AS BIGINT) AS n_a,
+          |    CAST(SUM(n_b) AS BIGINT) AS n_b,
+          |    COUNT(*) AS n_strata, MIN(ok) AS allok,
+          |    CAST(SUM(nk) AS DOUBLE) AS nn,
+          |    CAST(SUM(dq) AS DOUBLE) AS dsum,
+          |    CAST(SUM(vq) AS DOUBLE) AS vsum,
+          |    CAST(CAST(SUM(sa) AS DECIMAL(38,2)) AS DOUBLE) AS gsa,
+          |    CAST(CAST(SUM(sb) AS DECIMAL(38,2)) AS DOUBLE) AS gsb,
+          |    CAST(CAST(SUM(qa) AS DECIMAL(38,4)) AS DOUBLE) AS gqa,
+          |    CAST(CAST(SUM(qb) AS DECIMAL(38,4)) AS DOUBLE) AS gqb
+          |  FROM q GROUP BY arm),
+          |f AS (
+          |  SELECT *,
+          |    CAST(n_a AS DOUBLE) AS gna, CAST(n_b AS DOUBLE) AS gnb,
+          |    dsum / 1e6 / nn AS dps,
+          |    vsum / 1e12 / (nn * nn) AS seps2
+          |  FROM g),
+          |f2 AS (
+          |  SELECT *,
+          |    (gqa - gsa * gsa / gna) / (gna - 1.0) / gna
+          |      + (gqb - gsb * gsb / gnb) / (gnb - 1.0) / gnb AS seu2
+          |  FROM f),
+          |f3 AS (
+          |  SELECT *,
+          |    (n_a >= 2 AND n_b >= 2 AND seu2 > 0.0) AS oku,
+          |    (allok AND seps2 > 0.0) AS okps
+          |  FROM f2)
+          |SELECT arm, n_a, n_b, n_strata,
+          |  CASE WHEN oku THEN ROUND(gsa / gna - gsb / gnb, 6) END
+          |    AS delta,
+          |  CASE WHEN oku THEN ROUND(sqrt(seu2), 6) END AS se,
+          |  CASE WHEN okps THEN ROUND(dps, 6) END AS delta_ps,
+          |  CASE WHEN okps THEN ROUND(sqrt(seps2), 6) END AS se_ps,
+          |  CASE WHEN okps THEN ROUND(dps / sqrt(seps2), 6) END AS z_ps,
+          |  CASE WHEN okps AND oku
+          |    THEN ROUND((1.0 - seps2 / seu2) * 100.0, 4) END
+          |    AS var_reduction_pct
+          |FROM f3 ORDER BY arm""".stripMargin
 
   /** Reliability-bin + ECE replay: 10 equal-width confidence bins per
     * event type over the flat-0.6-accuracy sweep fixture; ECE/MCE from

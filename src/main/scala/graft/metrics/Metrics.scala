@@ -2518,16 +2518,28 @@ object Metrics {
       sideCol: String,
       stratumCol: String,
       groupCols: Seq[String],
-      minN: Long = 2L): DataFrame = {
-    require(minN >= 2L, s"bad minN $minN")
-    // stratum-keyed moments with the sums kept DECIMAL — the group-level
-    // roll-up must sum exactly (a double sum across strata would be
-    // partition-order-sensitive); doubles only ever appear per stratum
-    // (deterministic fixed-order algebra) or after the final exact sums
+      minN: Long = 2L): DataFrame =
+    postStratFromMoments(
+      postStratMoments(df, valCol, sideCol, stratumCol, groupCols),
+      groupCols, minN)
+
+  /** The associative half of [[postStratifiedDelta]]: per (group,
+    * stratum, side) counts + exact DECIMAL value/square sums — legal
+    * Complete-mode streaming state (the group-level roll-up must sum
+    * exactly; a double sum across strata would be partition-order-
+    * sensitive, so doubles only appear per stratum or after the final
+    * exact sums).
+    */
+  def postStratMoments(
+      df: DataFrame,
+      valCol: String,
+      sideCol: String,
+      stratumCol: String,
+      groupCols: Seq[String]): DataFrame = {
     val decV = col(valCol).cast("decimal(18,2)")
     val sqV = (decV * decV).cast("decimal(38,4)")
     val side = col(sideCol).cast("boolean")
-    val m = df.filter(side.isNotNull)
+    df.filter(side.isNotNull)
       .groupBy((groupCols :+ stratumCol).map(col): _*).agg(
         sum(when(side, 0L).otherwise(1L)).as("n_a"),
         sum(when(side, 1L).otherwise(0L)).as("n_b"),
@@ -2535,6 +2547,17 @@ object Metrics {
         sum(when(side, decV)).cast("decimal(38,2)").as("__sb"),
         sum(when(!side, sqV)).cast("decimal(38,4)").as("__qa"),
         sum(when(side, sqV)).cast("decimal(38,4)").as("__qb"))
+  }
+
+  /** The post-stratification algebra over a (drained)
+    * [[postStratMoments]] table — shared verbatim by the batch query and
+    * the streaming twin.
+    */
+  def postStratFromMoments(
+      m: DataFrame,
+      groupCols: Seq[String],
+      minN: Long = 2L): DataFrame = {
+    require(minN >= 2L, s"bad minN $minN")
     val na = col("n_a").cast("double")
     val nb = col("n_b").cast("double")
     val saD = col("__sa").cast("double")
@@ -2673,25 +2696,31 @@ object Metrics {
       graft.scale.HashExprs.md5PrefixLong(
         concat(col(unitCol).cast("string"), lit(":c" + c)).cast("binary"),
         15)
-    def weight(b: Int): Column = {
-      val u16 = shiftright(col(s"__h${b / 3}"), (b % 3) * 16)
-        .bitwiseAND(lit(65535L))
-      graft.sample.Samplers.PoissonCdf16.zipWithIndex
-        .foldRight(lit(8L): Column) { case ((t, k), acc) =>
-          when(u16 < t, k.toLong).otherwise(acc)
-        }
-    }
-    val repw = struct(lit(-1).as("rep"), lit(1L).as("w")) +:
-      (0 until reps).map(b => struct(lit(b).as("rep"), weight(b).as("w")))
+    // EXPLODE FIRST, one weight per exploded row: materializing all
+    // `reps` weights before the explode (an array of weight structs)
+    // builds a reps×|ladder| when-tree in ONE projection — big enough
+    // to blow past JIT/codegen budgets and dominate the operator (this
+    // exact shape measured ~4× slower at reps = 32). Exploding the bare
+    // replicate index and extracting the SINGLE digest window per row
+    // keeps the projection ladder-sized; the drawn values are identical
+    // (same digest windows, same CDF ladder), so the oracle is untouched.
+    val u16 = expr("shiftright(element_at(__hs, " +
+      "cast(__rep div 3 as int) + 1), cast((__rep % 3) * 16 as int)) " +
+      "& 65535")
+    val drawn = graft.sample.Samplers.PoissonCdf16.zipWithIndex
+      .foldRight(lit(8L): Column) { case ((t, k), acc) =>
+        when(u16 < t, k.toLong).otherwise(acc)
+      }
     df.filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
       .select(groupCols.map(col) ++ Seq(
         col(sideCol).cast("boolean").as("__side"),
-        col(valueCol).cast("double").as("__v")) ++
-        (0 until nDigests).map(c => digestCol(c).as(s"__h$c")): _*)
+        col(valueCol).cast("double").as("__v"),
+        array((0 until nDigests).map(digestCol): _*).as("__hs")): _*)
       .select(groupCols.map(col) ++ Seq(col("__side"), col("__v"),
-        explode(array(repw: _*)).as("__rw")): _*)
-      .select(groupCols.map(col) ++ Seq(col("__side"), col("__v"),
-        col("__rw.rep").as("__rep"), col("__rw.w").as("__w")): _*)
+        col("__hs"),
+        explode(sequence(lit(-1), lit(reps - 1))).as("__rep")): _*)
+      .withColumn("__w",
+        when(col("__rep") === -1, lit(1L)).otherwise(drawn))
       .filter(col("__w") > 0L)
       .groupBy(groupCols.map(col) ++
         Seq(col("__side"), col("__rep"), col("__v")): _*)
