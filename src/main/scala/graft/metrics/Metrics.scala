@@ -2711,7 +2711,12 @@ object Metrics {
       .foldRight(lit(8L): Column) { case ((t, k), acc) =>
         when(u16 < t, k.toLong).otherwise(acc)
       }
-    df.filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+    // spread the digest+explode+ladder pipeline across cores — per-row
+    // md5 digests and (reps+1) exploded ladder rows dominate, and the
+    // single-row-group corpus scans as ONE task otherwise (Tables.spread;
+    // no-op on the streaming twin's input)
+    graft.io.Tables.spread(
+        df.filter(col(sideCol).isNotNull && col(valueCol).isNotNull))
       .select(groupCols.map(col) ++ Seq(
         col(sideCol).cast("boolean").as("__side"),
         col(valueCol).cast("double").as("__v"),

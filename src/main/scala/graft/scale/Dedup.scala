@@ -228,7 +228,9 @@ object Dedup {
       textCol: String,
       numHashes: Int = 8,
       shingleSize: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol),
+    // spread the shingle+digest job across cores (single-row-group
+    // corpus => 1-task scan otherwise; Tables.spread rationale)
+    val sh = graft.io.Tables.spread(df).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
     val mins = (0 until numHashes).map { s =>
       min(md5(concat(lit(s.toString), lit(":"), col("sh")).cast("binary")))
@@ -309,7 +311,7 @@ object Dedup {
       shingleSize: Int = 3): DataFrame =
     // the "one" in one-permutation, literally: a single digest per shingle
     // feeds BOTH the bin assignment (leading 24 bits) and the min value
-    df.select(col(idCol),
+    graft.io.Tables.spread(df).select(col(idCol),
         explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .withColumn("__h", md5(col("sh").cast("binary")))
       .withColumn("bucket",
@@ -363,7 +365,7 @@ object Dedup {
       ophBands(ophSignatures(df, idCol, textCol, numBuckets, shingleSize),
         idCol, rowsPerBand),
       idCol)
-    val sh = df.select(col(idCol),
+    val sh = graft.io.Tables.spread(df).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("sz"))
     val common = cand
@@ -426,7 +428,7 @@ object Dedup {
     // estimator approximates — no df-cut here), candidate docs only
     val inCand = cand.select(col("id_a").as(idCol))
       .union(cand.select(col("id_b").as(idCol))).distinct()
-    val sh = df.join(inCand, Seq(idCol), "left_semi")
+    val sh = graft.io.Tables.spread(df.join(inCand, Seq(idCol), "left_semi"))
       .select(col(idCol),
         explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .distinct()
@@ -914,7 +916,7 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleSize: Int = 3): DataFrame = {
-    val corpusSh = corpus.select(col(idCol),
+    val corpusSh = graft.io.Tables.spread(corpus).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
     val evalSh = evalSet
       .select(explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
@@ -957,7 +959,7 @@ object Dedup {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
-    val corpusSh = corpus.select(col(idCol),
+    val corpusSh = graft.io.Tables.spread(corpus).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
     val evalSh = evalSet
       .select(explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
@@ -1251,7 +1253,7 @@ object Dedup {
     // per-doc sizes and the posting-list aggregate, and Spark re-executes
     // the tokenize+shingle pipeline per consumer otherwise (measured ~4×
     // scan cost at sf0.1).
-    val sh = df.select(col(idCol),
+    val sh = graft.io.Tables.spread(df).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .localCheckpoint(true)
     // Inverted-index pair generation. Order matters for scale: the df-cut
@@ -1314,7 +1316,7 @@ object Dedup {
       shingleSize: Int = 3,
       threshold: Double = 0.8,
       maxDf: Int = 100): DataFrame = {
-    val sh = df.select(col(idCol),
+    val sh = graft.io.Tables.spread(df).select(col(idCol),
       explode(Shingles.wordShingles(col(textCol), shingleSize)).as("sh"))
       .localCheckpoint(true)
     val keep = sh.groupBy(col("sh")).agg(count(lit(1)).as("df_cnt"))
@@ -1371,7 +1373,7 @@ object Dedup {
       minShared: Long = 2L,
       maxDf: Int = 100): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = df.select(col(idCol),
+    val grams = graft.io.Tables.spread(df).select(col(idCol),
         posexplode(Shingles.positionalShingles(col(textCol), shingleSize))
           .as(Seq("pos", "gram")))
       .withColumn("h", HashExprs.md5PrefixLong(col("gram").cast("binary"), 15))

@@ -103,10 +103,19 @@ object Eval {
       n: Int = 6,
       beta: Double = 2.0): DataFrame = {
     require(n >= 1 && beta > 0.0, s"bad chrF params n=$n beta=$beta")
-    def grams(df: DataFrame) = df
-      .select(col(keyCol).as("key"), explode(expr(
-        s"transform(sequence(1, greatest(length(lower($textCol)) " +
-          s"- ${n - 1}, 1)), i -> substr(lower($textCol), i, $n))"))
+    // Two scan-stage fixes, measured together 8.6 s → ~2.5 s on the sf0.1
+    // bench row: (1) spread the compute-dense gram explode across cores
+    // (single-row-group corpus ⇒ 1-task scan otherwise — Tables.spread);
+    // (2) bind lower(text) ONCE as the materialized `__s` column — the
+    // lambda body referenced `lower(textCol)` directly, and interpreted
+    // HOF evaluation re-runs that whole subtree on EVERY element access
+    // (the Shingles.wordShingles ~100× lesson; `__s` is referenced twice,
+    // so CollapseProject cannot inline it back into the lambda).
+    def grams(df: DataFrame) = graft.io.Tables.spread(df)
+      .select(col(keyCol).as("key"), lower(col(textCol)).as("__s"))
+      .select(col("key"), explode(expr(
+        s"transform(sequence(1, greatest(length(__s) " +
+          s"- ${n - 1}, 1)), i -> substr(__s, i, $n))"))
         .as("g"))
       .groupBy(col("key"), col("g")).agg(count(lit(1)).as("cnt"))
     val ref = grams(references)
@@ -222,9 +231,20 @@ object Eval {
       references: DataFrame,
       keyCol: String,
       textCol: String,
-      maxN: Int): DataFrame = {
-    require(maxN >= 1, s"bad maxN $maxN")
-    def grams(df: DataFrame) = df
+      maxN: Int): DataFrame =
+    bleuCountsFromRef(candidates, keyCol, textCol, maxN,
+      bleuGrams(references, keyCol, textCol, maxN),
+      bleuLens(references, keyCol, textCol, "ref_len"))
+
+  /** The (key, n, gram, cnt) dictionary of one side — spread across cores
+    * (single-row-group corpus ⇒ 1-task scan otherwise; Tables.spread
+    * rationale). Factored out so [[bleuPairedBootstrap]] grams the shared
+    * reference set ONCE instead of once per system.
+    */
+  private def bleuGrams(
+      df: DataFrame, keyCol: String, textCol: String,
+      maxN: Int): DataFrame =
+    graft.io.Tables.spread(df)
       .select(col(keyCol).as("key"), explode(flatten(array(
         (1 to maxN).map(n => transform(
           graft.scale.Shingles.positionalShingles(col(textCol), n),
@@ -232,8 +252,28 @@ object Eval {
       .select(col("key"), col("t.n").as("n"), col("t.g").as("g"))
       .groupBy(col("key"), col("n"), col("g"))
       .agg(count(lit(1)).as("cnt"))
-    val ref = grams(references)
-    val cand = grams(candidates)
+
+  /** One side's (key, token count) — the BP length input, spread like the
+    * grams.
+    */
+  private def bleuLens(
+      df: DataFrame, keyCol: String, textCol: String,
+      as: String): DataFrame =
+    graft.io.Tables.spread(df)
+      .select(col(keyCol).as("key"),
+        size(graft.scale.TextAnalysis.tokens(col(textCol)))
+          .cast("long").as(as))
+
+  /** [[bleuCounts]] against PREBUILT reference grams/lengths. */
+  private def bleuCountsFromRef(
+      candidates: DataFrame,
+      keyCol: String,
+      textCol: String,
+      maxN: Int,
+      ref: DataFrame,
+      refLens: DataFrame): DataFrame = {
+    require(maxN >= 1, s"bad maxN $maxN")
+    val cand = bleuGrams(candidates, keyCol, textCol, maxN)
     val candTot = cand.groupBy(col("key"), col("n"))
       .agg(sum(col("cnt")).as("ct"))
     val overlap = ref
@@ -252,13 +292,8 @@ object Eval {
           sum(when(col("n") === n, col("ct")).otherwise(0L)).as(s"ct_$n"),
           sum(when(col("n") === n, coalesce(col("ov"), lit(0L)))
             .otherwise(0L)).as(s"ov_$n"))).tail: _*)
-    val lens = candidates
-      .select(col(keyCol).as("key"),
-        size(graft.scale.TextAnalysis.tokens(col(textCol)))
-          .cast("long").as("cand_len"))
-      .join(references.select(col(keyCol).as("key"),
-        size(graft.scale.TextAnalysis.tokens(col(textCol)))
-          .cast("long").as("ref_len")), Seq("key"))
+    val lens = bleuLens(candidates, keyCol, textCol, "cand_len")
+      .join(refLens, Seq("key"))
     lens.join(wide, Seq("key"))
   }
 
@@ -347,8 +382,14 @@ object Eval {
     require(reps >= 2 && reps <= 64, s"bad reps $reps")
     val sideCnts = "cand_len" +:
       (1 to maxN).flatMap(n => Seq(s"ct_$n", s"ov_$n"))
+    // the REFERENCE side is shared by both systems — gram and measure it
+    // ONCE (pinned: two consumers) instead of once per bleuCounts call
+    val refG = bleuGrams(references, keyCol, textCol, maxN)
+      .localCheckpoint(true)
+    val refL = bleuLens(references, keyCol, textCol, "ref_len")
+      .localCheckpoint(true)
     def pref(cands: DataFrame, p: String) =
-      bleuCounts(cands, references, keyCol, textCol, maxN)
+      bleuCountsFromRef(cands, keyCol, textCol, maxN, refG, refL)
         .select(col("key") +: col("ref_len") +:
           sideCnts.map(c => col(c).as(p + c)): _*)
     val cnts = "ref_len" +: (Seq("a_", "b_").flatMap(p =>
@@ -439,7 +480,9 @@ object Eval {
       references: DataFrame,
       keyCol: String,
       textCol: String): DataFrame = {
-    val paired = candidates
+    // spread the pair scan: the per-pair levenshtein is the cost and
+    // would otherwise run on the single-task corpus scan (Tables.spread)
+    val paired = graft.io.Tables.spread(candidates)
       .select(col(keyCol).as("key"), col(textCol).as("__ct"))
       .join(references.select(col(keyCol).as("key"),
         col(textCol).as("__rt")), Seq("key"))
@@ -485,7 +528,8 @@ object Eval {
       references: DataFrame,
       keyCol: String,
       textCol: String): DataFrame =
-    candidates.select(col(keyCol).as("key"), col(textCol).as("__ct"))
+    graft.io.Tables.spread(candidates)
+      .select(col(keyCol).as("key"), col(textCol).as("__ct"))
       .join(references.select(col(keyCol).as("key"),
         col(textCol).as("__rt")), Seq("key"))
       .select(col("key").as(keyCol),
@@ -519,7 +563,8 @@ object Eval {
       textCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"bad n $n")
-    def grams(df: DataFrame) = df
+    // spread the gram explode across cores (Tables.spread rationale)
+    def grams(df: DataFrame) = graft.io.Tables.spread(df)
       .select(col(keyCol).as("key"),
         explode(graft.scale.Shingles.positionalShingles(col(textCol), n))
           .as("g"))

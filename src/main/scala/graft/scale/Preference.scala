@@ -235,8 +235,11 @@ object Preference {
     // (the match projection with its Poisson digests is pinned once;
     // the point dictionary is a plain groupBy of the same relation — no
     // second pairCounts pass over the raw matches)
-    val proj = matches
-      .filter(col(playerA) =!= col(playerB))
+    // spread the digest projection + replicate explode across cores —
+    // they'd otherwise run on the single-task corpus scan AND the
+    // 1-partition checkpoint it feeds (Tables.spread rationale)
+    val proj = graft.io.Tables.spread(matches
+        .filter(col(playerA) =!= col(playerB)))
       .select((lo.as("lo") +: hi.as("hi") +:
         when(col(outcomeCol) === 2, lit(1L))
           .when(loWin, lit(2L)).otherwise(lit(0L)).as("w2l") +:

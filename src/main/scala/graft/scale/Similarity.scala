@@ -82,8 +82,12 @@ object Similarity {
       quantized: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
       (if (quantized) quantize(col(vecCol)) else col(vecCol)).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      (if (quantized) quantize(col(vecCol)) else col(vecCol)).as("cv"))
+    // spread the candidate (probe) side: the |C|·|Q| dot products run in
+    // its scan stage, which the single-row-group corpus serializes onto
+    // ONE task otherwise (Tables.spread rationale)
+    val c = graft.io.Tables.spread(
+      candidates.select(col(idCol).as("cand_id"),
+        (if (quantized) quantize(col(vecCol)) else col(vecCol)).as("cv")))
     val sim =
       if (quantized) cosineQuantized(col("qv"), col("cv"))
       else cosine(col("qv"), col("cv"))
@@ -504,8 +508,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val q = queries.select(col(idCol).as("query_id"),
       quantize(col(vecCol)).as("qv"))
-    val c = candidates.select(col(idCol).as("cand_id"),
-      quantize(col(vecCol)).as("cv"))
+    // spread the probe side (the |C|·|Q| L2 math — bruteForceTopK note)
+    val c = graft.io.Tables.spread(
+      candidates.select(col(idCol).as("cand_id"),
+        quantize(col(vecCol)).as("cv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("d2"), col("cand_id"))
     c.crossJoin(broadcast(q))

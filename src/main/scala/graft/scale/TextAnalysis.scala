@@ -1267,7 +1267,8 @@ object TextAnalysis {
       regexp_replace(col("s"), SENT, "").as("__w"),
       size(filter(split(col("s"), SENT), x => length(x) > 0))
         .cast("long").as("__nt"))
-    df.select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+    graft.io.Tables.spread(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains(SENT))
       .join(dict, Seq("__w"))
       .groupBy(col(groupCol))
@@ -1294,7 +1295,8 @@ object TextAnalysis {
       regexp_replace(col("s"), SENT, "").as("__w"),
       size(filter(split(col("s"), SENT), x => length(x) > 0))
         .cast("long").as("__nt"))
-    df.select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
+    graft.io.Tables.spread(df.select(col(groupCol), col(textCol)))
+      .select(col(groupCol), explode(tokens(col(textCol))).as("__w"))
       .filter(!col("__w").contains(SENT))
       .join(dict, Seq("__w"))
       .groupBy(col(groupCol))
@@ -1322,10 +1324,11 @@ object TextAnalysis {
     */
   def readability(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val base = df.select(col(idCol),
-      greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
-        .cast("long").as("__ns"),
-      explode_outer(tokens(col(textCol))).as("__w"))
+    val base = graft.io.Tables.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        greatest(regexp_count(col(textCol), lit("[.!?]+")), lit(1))
+          .cast("long").as("__ns"),
+        explode_outer(tokens(col(textCol))).as("__w"))
     val agg = base.groupBy(col(idCol))
       .agg(max(col("__ns")).as("n_sentences"),
         sum(when(col("__w").isNotNull, 1L).otherwise(0L)).as("n_words"),
@@ -1720,6 +1723,8 @@ object TextAnalysis {
     val w = Array.fill(nBuckets + 1)(0L)   // + the bias bucket
     val log = scala.collection.mutable
       .ArrayBuffer[(Int, Long, Long, Long, Double, Long)]()
+    // n is epoch-invariant — ONE count job up front, not one per epoch
+    val n = labels.count()
     for (epoch <- 1 to epochs) {
       val wm = typedLit((0 to nBuckets).map(b => b.toLong -> w(b)).toMap)
       val scores = feats
@@ -1731,13 +1736,6 @@ object TextAnalysis {
         .select(col(idCol), col("y"),
           (col("y") - when(coalesce(col("score"), lit(0L)) > 0L, 1L)
             .otherwise(0L)).as("err"))
-        .localCheckpoint(true)
-      val m = errs.agg(
-        sum(when(col("err") === 0L, 1L).otherwise(0L)).as("n_correct"),
-        sum(when(col("err") === 1L, 1L).otherwise(0L)).as("n_pos_err"),
-        sum(when(col("err") === -1L, 1L).otherwise(0L)).as("n_neg_err"),
-        count(lit(1)).as("n")).collect()(0)
-      val (npe, nne) = (m.getLong(1), m.getLong(2))
       // CLASS-BALANCED batch gradient: each error class contributes its
       // per-bucket presence share scaled to K, so a 3:1 class imbalance
       // can't freeze the model at the majority prediction (the plain batch
@@ -1747,20 +1745,33 @@ object TextAnalysis {
       // Harmonic damping g/epoch: steps shrink but Σ1/k diverges, so the
       // model can keep moving as far as it needs. All divisions truncate
       // toward zero — DuckDB's // semantics (-3 // 2 = -1, verified).
+      //
+      // ONE action per epoch: the bias bucket (b = nBuckets, cnt = 1 on
+      // EVERY doc — the feature-map contract) makes the gradient row at b
+      // carry the per-class error counts — pg(bias) = n_pos_err,
+      // ng(bias) = n_neg_err — so the former separate metrics job (and
+      // the errs checkpoint that fed it twice) are free rides on the
+      // gradient collect: 3 jobs/epoch → 1 (measured ~2× on the
+      // trainer-bound queries at sf0.1). errs feeds exactly one consumer
+      // now, so nothing re-executes without the checkpoint.
       val grad = feats.join(errs.filter(col("err") =!= 0L), Seq(idCol))
         .groupBy(col("b")).agg(
           sum(when(col("err") === 1L, col("cnt")).otherwise(0L)).as("pg"),
           sum(when(col("err") === -1L, col("cnt")).otherwise(0L)).as("ng"))
         .collect()
+      val bias = grad.find(_.getLong(0) == nBuckets.toLong)
+      val npe = bias.map(_.getLong(1)).getOrElse(0L)
+      val nne = bias.map(_.getLong(2)).getOrElse(0L)
       grad.foreach { r =>
         val g = (if (npe > 0) K * r.getLong(1) / npe else 0L) -
           (if (nne > 0) K * r.getLong(2) / nne else 0L)
         w(r.getLong(0).toInt) += g / epoch
       }
+      val nCorrect = n - npe - nne
       val acc = java.math.BigDecimal
-        .valueOf(m.getLong(0).toDouble / m.getLong(3))
+        .valueOf(nCorrect.toDouble / n)
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      log += ((epoch, m.getLong(0), npe, nne, acc, w.map(math.abs).sum))
+      log += ((epoch, nCorrect, npe, nne, acc, w.map(math.abs).sum))
     }
     import spark.implicits._
     (log.toSeq.toDF("epoch", "n_correct", "n_pos_err", "n_neg_err",

